@@ -1,13 +1,362 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Driver contract — one `queries` entry (plus matching `oracleSql`) per
+  * implemented operator from SURVEY.md §2, expressed over the driver's
+  * synthetic tables (TESTDATA.md). Column names are aligned 1:1 between
+  * the Spark plan and the DuckDB oracle; all floating-point aggregation
+  * uses exact integer-cents arithmetic so hashes match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- queries
+
+  /** Pricing summary (A1-style grouped rollup; reference changeset rollup
+    * shape at apps/.../batch/ChangesetStatsCreator.scala:118-142). */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1: pruned/pushed-down scan (SURVEY §2.1)
+    "q_s1_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1996-07-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- A1-style grouped aggregation
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+
+    // ---- P2/P3: null/type filters + isin membership (SURVEY §2.2)
+    "q_p3_isin" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))),
+
+    // ---- P4: nested/JSON field access (reference map-key access P4)
+    "q_p4_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy(col("event_id"))),
+
+    // ---- J1: full-outer equi-join + coalesced merge (SURVEY §2.3 J1)
+    "q_j1_full_outer" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("sum_qty"))
+        .withColumnRenamed("l_orderkey", "okey")
+      val big = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      li.join(big, Seq("okey"), "full_outer")
+        .select(col("okey"),
+          coalesce(col("sum_qty"), lit(0.0)).as("qty"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("price"))
+        .orderBy(col("okey"))
+    }),
+
+    // ---- J2: left equi-join (SURVEY §2.3 J2)
+    "q_j2_left" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("segment"))),
+
+    // ---- J3: semi-join by intent (SURVEY §2.3 J3)
+    "q_j3_semi" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      Tables.lineitem(s, dir)
+        .join(bigOrders, Seq("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- J4: temporal-validity range join (SURVEY §2.3 J4; reference
+    //      FacetedEditHistogramTileCreator.scala:69-77). Purchase events
+    //      define validity windows per user (validUntil = next purchase);
+    //      click events join to the purchase whose window contains them.
+    "q_j4_temporal" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val versions = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("valid_until", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id").as("v_user"), col("ts_us").as("valid_from"),
+          col("valid_until"), col("event_id").as("purchase_id"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"), col("event_id").as("click_id"))
+      probes.join(versions,
+          probes("user_id") === versions("v_user") &&
+            col("valid_from") <= col("click_ts") &&
+            (col("valid_until").isNull || col("click_ts") < col("valid_until")))
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // ---- W1: lag window (SURVEY §2.5 W1; reference prevGeom lag at
+    //      analytics/.../stats/package.scala:62-68)
+    "q_w1_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"),
+          coalesce(abs(col("value") - col("prev_value")), lit(-1.0)).as("delta"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- W2: row_number minor-versioning (SURVEY §2.5 W2)
+    "q_w2_row_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("minor_version", row_number().over(w) - 1)
+        .select(col("event_id"), col("minor_version"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- W3/A12: rank-gated top-k per group (SURVEY §2.5 W3)
+    "q_w3_rank_topk" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      counts.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("user_id"), col("event_type"), col("cnt"), col("rnk"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- A3: first/ignoreNulls as deterministic window (SURVEY §2.4 A3)
+    "q_a3_first_nonnull" -> ((s, dir) => {
+      val nonNull = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type") === "purchase")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      nonNull.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("first_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- A4: collect + re-zip to deterministic string (SURVEY §2.4 A4)
+    "q_a4_collect" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types"))
+        .orderBy(col("user_id"))),
+
+    // ---- A5: global max (SURVEY §2.4 A5)
+    "q_a5_global_max" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(max(col("ts_us")).as("max_ts_us"), max(col("event_id")).as("max_id"))),
+
+    // ---- A6: version dedup via groupBy max (SURVEY §2.4 A6)
+    "q_a6_dedup_max" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("ts_us")).as("last_ts_us"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ---- A9: distinct (SURVEY §2.4 A9)
+    "q_a9_distinct" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // ---- set op: unionByName (SURVEY §2.7)
+    "q_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id")) // column order differs on purpose
+      a.unionByName(b)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- sort/limit top-k (SURVEY §2.6)
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- scalar functions: hashtags / day-key / math (SURVEY §2.8)
+    "q_f_daykey" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), dayKey(col("o_orderdate")).as("day_key"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_f_seq_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr(s"(ts_us div 1000000 - ${SequenceEpochSeconds}) div 60").as("seq"),
+          sequenceToTimestamp(
+            expr(s"(ts_us div 1000000 - ${SequenceEpochSeconds}) div 60")).as("seq_ts"))
+        .orderBy(col("event_id")))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** Exact-cents SQL fragment mirroring [[graft.functions.sumMoney]]. */
+  private def moneySql(col: String): String =
+    s"SUM(CAST(round($col*100) AS BIGINT))/100.0"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |${moneySql("l_extendedprice")} AS sum_base, count(*) AS cnt
+         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_p3_isin" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE event_type IN ('click','view') AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p4_json" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_j1_full_outer" ->
+      """WITH li AS (SELECT l_orderkey AS okey, sum(l_quantity) AS sum_qty
+        |            FROM lineitem GROUP BY 1),
+        |     big AS (SELECT o_orderkey AS okey, o_totalprice FROM orders
+        |             WHERE o_totalprice > 400000.0)
+        |SELECT COALESCE(li.okey, big.okey) AS okey,
+        |       COALESCE(sum_qty, 0.0) AS qty,
+        |       COALESCE(o_totalprice, 0.0) AS price
+        |FROM li FULL OUTER JOIN big ON li.okey = big.okey
+        |ORDER BY okey""".stripMargin,
+
+    "q_j2_left" ->
+      s"""SELECT COALESCE(c_mktsegment,'UNKNOWN') AS segment,
+         |count(*) AS cnt, ${moneySql("o_totalprice")} AS revenue
+         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j3_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j4_temporal" ->
+      """WITH versions AS (
+        |  SELECT user_id AS v_user, ts AS valid_from, event_id AS purchase_id,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS valid_until
+        |  FROM events WHERE event_type = 'purchase'),
+        |probes AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT click_id, purchase_id
+        |FROM probes JOIN versions ON probes.user_id = versions.v_user
+        | AND valid_from <= click_ts
+        | AND (valid_until IS NULL OR click_ts < valid_until)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_w1_lag" ->
+      """SELECT event_id,
+        |COALESCE(abs(value - lag(value) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id)), -1.0) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w2_row_number" ->
+      """SELECT event_id,
+        |row_number() OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1
+        |  AS minor_version
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w3_rank_topk" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1,2)
+        |SELECT user_id, event_type, cnt, rnk FROM (
+        |  SELECT user_id, event_type, cnt,
+        |         rank() OVER (PARTITION BY user_id
+        |                      ORDER BY cnt DESC, event_type) AS rnk
+        |  FROM counts) t
+        |WHERE rnk <= 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_a3_first_nonnull" ->
+      """SELECT user_id, value AS first_purchase FROM (
+        |  SELECT user_id, value, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_a4_collect" ->
+      """SELECT user_id,
+        |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a5_global_max" ->
+      "SELECT max(epoch_us(ts)) AS max_ts_us, max(event_id) AS max_id FROM events",
+
+    "q_a6_dedup_max" ->
+      """SELECT user_id, event_type, max(epoch_us(ts)) AS last_ts_us, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_a9_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY 1,2""".stripMargin,
+
+    "q_union" ->
+      """SELECT user_id, count(*) AS cnt FROM (
+        |  SELECT user_id, event_id FROM events WHERE event_type='click'
+        |  UNION ALL
+        |  SELECT user_id, event_id FROM events WHERE event_type='purchase') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_f_daykey" ->
+      """SELECT o_orderkey,
+        |year(o_orderdate)*1000 + dayofyear(o_orderdate) AS day_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f_seq_roundtrip" ->
+      """SELECT event_id,
+        |(epoch_us(ts)//1000000 - 1347437700)//60 AS seq,
+        |make_timestamp((1347437700 +
+        |  ((epoch_us(ts)//1000000 - 1347437700)//60) * 60)
+        |  * 1000000) AS seq_ts
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core column functions of the engine: deterministic numerics, tag /
+  * hashtag helpers, day keys, sequence<->timestamp arithmetic.
+  *
+  * All are pure `Column => Column` compositions of Spark built-ins so they
+  * stay inside whole-stage codegen (no UDFs on the hot path). Semantics
+  * mirror the reference's vectorpipe-provided function surface (SURVEY.md
+  * §2.8), re-derived from public formulas.
+  */
+package object functions {
+
+  // ---------------------------------------------------------------- numerics
+
+  /** Exact money arithmetic: doubles representing 2-decimal quantities are
+    * converted to integer cents (`round(x*100)` is deterministic IEEE-754:
+    * the multiply is a single rounding, `round` half-away-from-zero in both
+    * Spark and any ANSI engine), summed exactly as BIGINT, and divided back
+    * at the end. Makes money aggregations order-independent and bit-exact
+    * across engines — important both for the DuckDB oracle gate and for
+    * reproducible results under AQE re-partitioning at scale.
+    */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Sum a 2-decimal double column exactly; result is a double again. */
+  def sumMoney(c: Column): Column = (sum(cents(c)) / 100.0)
+
+  /** Average of a 2-decimal double column, computed exactly then divided. */
+  def avgMoney(c: Column): Column = (sum(cents(c)) / 100.0) / count(lit(1))
+
+  // ---------------------------------------------------------------- tags
+
+  /** Split ";"-delimited tag values into a trimmed array.
+    * Reference behavior: vectorpipe `splitDelimitedValues`, used by the tag
+    * predicates at reference analytics/.../stats/package.scala:97-106. */
+  def splitDelimitedValues(c: Column): Column =
+    transform(split(c, ";"), v => trim(v))
+
+  /** True when a ";"-delimited tag value contains `v`. */
+  def tagContains(tags: Column, key: String, v: String): Column =
+    array_contains(splitDelimitedValues(lower(tags.getItem(key))), v)
+
+  /** Element has any tag at all (reference: vectorpipe `isTagged`). */
+  def isTagged(tags: Column): Column = size(map_keys(tags)) > 0
+
+  /** Tag-predicate family (reference semantics documented at
+    * reference README.md:60-115 and analytics/.../stats/package.scala:78-117).
+    * Pure Column predicates over a MAP<STRING,STRING> tags column. */
+  def hasKey(tags: Column, key: String): Column =
+    tags.getItem(key).isNotNull
+  def isBuilding(tags: Column): Column =
+    hasKey(tags, "building") && !(lower(tags.getItem("building")) === "no")
+  def isRoad(tags: Column): Column = hasKey(tags, "highway")
+  def isWaterway(tags: Column): Column = hasKey(tags, "waterway")
+  def isCoastline(tags: Column): Column =
+    tagContains(tags, "natural", "coastline")
+  def isPOI(tags: Column): Column =
+    hasKey(tags, "amenity") || hasKey(tags, "shop") ||
+      hasKey(tags, "craft") || hasKey(tags, "office") ||
+      hasKey(tags, "leisure") || hasKey(tags, "aeroway")
+
+  /** New-vs-modified classification: first major version with no minor
+    * version (reference analytics/.../stats/package.scala:119-141 uses
+    * `isNew('version,'minorVersion)` to drive added/modified counts). */
+  def isNew(version: Column, minorVersion: Column): Column =
+    version === 1 && coalesce(minorVersion, lit(0)) === 0
+
+  // ---------------------------------------------------------------- hashtags
+
+  /** Extract lowercase #hashtags from free text.
+    * Reference behavior: vectorpipe `hashtags` (18 call sites, e.g.
+    * reference apps/.../batch/ChangesetStatsCreator.scala:198). */
+  def hashtags(c: Column): Column =
+    regexp_extract_all(lower(c), lit("#(\\w+)"), lit(1))
+
+  /** Union of two string-array columns, distinct (vectorpipe `merge_sets`,
+    * same call sites as [[hashtags]]). */
+  def mergeSets(a: Column, b: Column): Column =
+    array_union(coalesce(a, array()), coalesce(b, array()))
+
+  // ---------------------------------------------------------------- time
+
+  /** Day key `year*1000 + dayOfYear` (reference
+    * apps/.../batch/EditHistogramTileCreator.scala:58). */
+  def dayKey(t: Column): Column = year(t) * 1000 + dayofyear(t)
+
+  /** Minutely replication sequence -> timestamp and back. Pure arithmetic
+    * on a fixed epoch at 60 s cadence (reference semantics:
+    * AugmentedDiffSource.sequenceToTimestamp / timestampToSequence, call
+    * sites at apps/.../streaming/StreamingChangesetStatsUpdater.scala:114
+    * and apps/.../batch/ChangesetStatsCreator.scala:88-90). */
+  val SequenceEpochSeconds: Long = 1347437700L // 2012-09-12T08:15:00Z
+  def sequenceToTimestamp(seq: Column): Column =
+    timestamp_seconds(lit(SequenceEpochSeconds) + seq.cast(LongType) * 60L)
+  def timestampToSequence(ts: Column): Column =
+    floor((unix_timestamp(ts) - SequenceEpochSeconds) / 60L).cast(LongType)
+
+  // ---------------------------------------------------------------- maps
+
+  /** Strip zero-valued entries from a map column (reference `simplify_*`
+    * at analytics/.../stats/functions/package.scala:22-28 — UDFs there;
+    * pure `map_filter` here). */
+  def simplifyMap(m: Column): Column = map_filter(m, (_, v) => v =!= 0)
+
+  /** Sum all values of a numeric-valued map (reference `sum_count_values`,
+    * analytics/.../stats/functions/package.scala:18-20). */
+  def sumMapValues(m: Column): Column =
+    aggregate(map_values(m), lit(0L), (acc, v) => acc + v.cast(LongType))
+
+  /** Multiset -> value-count map over an array column (reference
+    * vectorpipe `count_values`, used at
+    * apps/.../batch/ChangesetStatsCreator.scala:129). */
+  def countValues(arr: Column): Column =
+    map_from_entries(
+      transform(array_distinct(arr), k =>
+        struct(k.as("key"),
+          aggregate(arr, lit(0), (acc, x) =>
+            acc + when(x === k, 1).otherwise(0)).as("value"))))
+
+  // ---------------------------------------------------------------- hashing
+
+  /** Stable 60-bit non-negative hash of a string, identical in Spark and
+    * DuckDB: first 15 hex chars of md5 parsed as a base-16 BIGINT. Used as
+    * the foundation of minhash/simhash/LSH so the DuckDB oracle can
+    * reproduce signatures exactly (`CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)` on the oracle side). */
+  def stableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Salted variant for independent hash families. */
+  def stableHash64(c: Column, salt: Int): Column =
+    stableHash64(concat(lit(salt.toString + ":"), c))
+}
