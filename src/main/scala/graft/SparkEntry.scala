@@ -208,6 +208,100 @@ object SparkEntry {
         .limit(20)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // ---- J7: broadcast spatial geocode (SURVEY §2.3 J7; reference
+    //      Countries.scala STRtree + UDF). Points synthesized from
+    //      event_id by exact integer arithmetic; countries are the
+    //      synthetic rectangle grid (SQL-expressible for the oracle,
+    //      JTS STRtree broadcast on the Spark side).
+    "q_j7_geocode" -> ((s, dir) => {
+      val geocode = geo.CountryIndex.geocodeFirst(s, geo.CountryIndex.synthetic())
+      Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .withColumn("country", coalesce(geocode(col("lon"), col("lat")), lit("NONE")))
+        .groupBy(col("country")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("country"))
+    }),
+
+    // ---- geodesic length (SURVEY §2.8 spatial; reference st_lengthSphere)
+    "q_geo_haversine" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .withColumn("prev_lon", lag(col("lon"), 1).over(w))
+        .withColumn("prev_lat", lag(col("lat"), 1).over(w))
+        .withColumn("seg_cm",
+          when(col("prev_lon").isNull, lit(0L)).otherwise(
+            floor(geo.Geodesy.haversineMeters(
+              col("prev_lon"), col("prev_lat"), col("lon"), col("lat")) * 100 + 0.5)
+              .cast(LongType)))
+        .groupBy(col("user_id"))
+        .agg((sum(col("seg_cm")) / 100000.0).as("path_km"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- tile-key assignment (SURVEY §2.10 `tile`; equirect layout so
+    //      the z/x/y arithmetic is integer-exact for the oracle)
+    "q_tile_zxy" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .select(
+          geo.GridLayout.equirect.tileX(col("lon"), 6).as("tile_x"),
+          geo.GridLayout.equirect.tileY(col("lat"), 6).as("tile_y"))
+        .groupBy(col("tile_x"), col("tile_y"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("tile_x"), col("tile_y"))),
+
+    // ---- A1: key-wise map-merge rollup via Aggregator (SURVEY §2.4 A1;
+    //      reference sum_counts at stats/functions/package.scala:12-36).
+    //      Result exploded to rows so the oracle can check it relationally.
+    "q_a1_map_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val countsMap = simplifyMap(map(
+        types.flatMap(t =>
+          Seq(lit(t), (col("event_type") === t).cast(LongType))): _*))
+      ev.withColumn("counts", countsMap)
+        .groupBy(col("user_id"))
+        .agg(functions.MapAggregators.sumCounts(col("counts")).as("summed"))
+        .select(col("user_id"), explode(col("summed")).as(Seq("key", "cnt")))
+        .orderBy(col("user_id"), col("key"))
+    }),
+
+    // ---- A2: measurement-map projection + merge, exact cents (SURVEY
+    //      §2.4 A2; reference DefaultMeasurements at stats/package.scala:119-179)
+    "q_a2_measurements" -> ((s, dir) => {
+      val mmap = simplifyMap(map(
+        lit("status_F"),
+        when(col("o_orderstatus") === "F", cents(col("o_totalprice"))).otherwise(0L),
+        lit("urgent"),
+        when(col("o_orderpriority") === "1-URGENT", cents(col("o_totalprice"))).otherwise(0L)))
+      Tables.orders(s, dir)
+        .withColumn("m", mmap)
+        .groupBy(col("o_custkey"))
+        .agg(functions.MapAggregators.sumCounts(col("m")).as("summed"))
+        .select(col("o_custkey"), explode(col("summed")).as(Seq("key", "cents_v")))
+        .select(col("o_custkey"), col("key"), (col("cents_v") / 100.0).as("amount"))
+        .orderBy(col("o_custkey"), col("key"))
+    }),
+
+    // ---- P5: tag-predicate over map column w/ delimited values (SURVEY
+    //      §2.2 P5; reference splitDelimitedValues tag predicates)
+    "q_p5_tags" -> ((s, dir) => {
+      val parity = when(
+        get_json_object(col("props"), "$.k").cast(IntegerType) % 2 === 0,
+        "even").otherwise("odd")
+      Tables.events(s, dir)
+        .withColumn("tags", map(
+          lit("cat"), concat(col("event_type"), lit(";"), parity),
+          lit("type"), col("event_type")))
+        .filter(tagContains(col("tags"), "cat", "even"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- scalar functions: hashtags / day-key / math (SURVEY §2.8)
     "q_f_daykey" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -228,6 +322,23 @@ object SparkEntry {
   /** Exact-cents SQL fragment mirroring [[graft.functions.sumMoney]]. */
   private def moneySql(col: String): String =
     s"SUM(CAST(round($col*100) AS BIGINT))/100.0"
+
+  /** VALUES list of the synthetic country rectangles (single source of
+    * truth: [[geo.CountryIndex.syntheticRects]]). */
+  private def rectsValuesSql: String =
+    geo.CountryIndex.syntheticRects
+      .map(r => s"('${r.code}',${r.minLon},${r.minLat},${r.maxLon},${r.maxLat})")
+      .mkString(", ")
+
+  /** Haversine distance in meters, formulated token-for-token like
+    * [[geo.Geodesy.haversineMeters]] so both engines compute on the same
+    * IEEE operations. */
+  private def haversineSql(lon1: String, lat1: String,
+                           lon2: String, lat2: String): String =
+    s"2.0 * 6371008.8 * asin(sqrt(" +
+      s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians($lon2 - $lon1) / 2), 2)))"
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_scan" ->
@@ -345,6 +456,74 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_j7_geocode" ->
+      s"""WITH pts AS (
+         |  SELECT event_id, ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |rects(code, minlon, minlat, maxlon, maxlat) AS (
+         |  VALUES $rectsValuesSql)
+         |SELECT COALESCE(code, 'NONE') AS country, count(*) AS cnt
+         |FROM pts LEFT JOIN rects
+         |  ON lon >= minlon AND lon <= maxlon
+         | AND lat >= minlat AND lat <= maxlat
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_geo_haversine" ->
+      s"""WITH pts AS (
+         |  SELECT user_id, ts, event_id,
+         |         ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |segs AS (
+         |  SELECT user_id, lon, lat,
+         |         lag(lon) OVER w AS prev_lon, lag(lat) OVER w AS prev_lat
+         |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id,
+         |  SUM(CASE WHEN prev_lon IS NULL THEN 0 ELSE
+         |    CAST(floor(${haversineSql("prev_lon", "prev_lat", "lon", "lat")}
+         |      * 100 + 0.5) AS BIGINT) END) / 100000.0 AS path_km
+         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tile_zxy" ->
+      s"""WITH pts AS (
+         |  SELECT ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events)
+         |SELECT
+         |  CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0*64), 0.0), 63.0)
+         |    AS BIGINT) AS tile_x,
+         |  CAST(LEAST(GREATEST(floor((90.0 - lat)/180.0*64), 0.0), 63.0)
+         |    AS BIGINT) AS tile_y,
+         |  count(*) AS cnt
+         |FROM pts GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_a1_map_rollup" ->
+      """SELECT user_id, event_type AS key, count(*) AS cnt
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_a2_measurements" ->
+      """SELECT o_custkey, key, amount FROM (
+        |  SELECT o_custkey, 'status_F' AS key,
+        |    SUM(CASE WHEN o_orderstatus='F'
+        |        THEN CAST(round(o_totalprice*100) AS BIGINT)
+        |        ELSE 0 END)/100.0 AS amount
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_custkey, 'urgent',
+        |    SUM(CASE WHEN o_orderpriority='1-URGENT'
+        |        THEN CAST(round(o_totalprice*100) AS BIGINT)
+        |        ELSE 0 END)/100.0
+        |  FROM orders GROUP BY 1) t
+        |WHERE amount != 0 ORDER BY o_custkey, key""".stripMargin,
+
+    "q_p5_tags" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+        |  SELECT event_type,
+        |    event_type || ';' ||
+        |      (CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER)
+        |            % 2 = 0 THEN 'even' ELSE 'odd' END) AS cat
+        |  FROM events) t
+        |WHERE list_contains(string_split(cat, ';'), 'even')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_f_daykey" ->
       """SELECT o_orderkey,

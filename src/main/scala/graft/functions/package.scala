@@ -134,4 +134,18 @@ package object functions {
   /** Salted variant for independent hash families. */
   def stableHash64(c: Column, salt: Int): Column =
     stableHash64(concat(lit(salt.toString + ":"), c))
+
+  // ------------------------------------------------------------ synthetics
+
+  /** Deterministic synthetic lon/lat derived from an id column by pure
+    * integer arithmetic (then one exact-rounded division) — identical in
+    * any engine, which is what lets spatial operators be oracle-checked
+    * on the driver's aspatial tables. lon ∈ [-180,180), lat ∈ [-90,90),
+    * 0.01° resolution. */
+  def synthLon(id: Column): Column = ((id * 7919L) % 36000L) / 100.0 - 180.0
+  def synthLat(id: Column): Column = ((id * 104729L) % 18000L) / 100.0 - 90.0
+
+  /** SQL fragments mirroring [[synthLon]]/[[synthLat]] for oracles. */
+  def synthLonSql(id: String): String = s"(($id * 7919) % 36000)/100.0 - 180.0"
+  def synthLatSql(id: String): String = s"(($id * 104729) % 18000)/100.0 - 90.0"
 }

@@ -1,0 +1,91 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import org.locationtech.jts.geom.{Coordinate, Envelope, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+
+import scala.jdk.CollectionConverters._
+
+/** Broadcast spatial lookup ("geocode").
+  *
+  * Reference: a serialized JTS STRtree over prepared country polygons,
+  * applied as a UDF — deliberately a broadcast-by-construction lookup,
+  * never a shuffle join (reference analytics/.../Countries.scala:38-67;
+  * call sites apps/.../batch/ChangesetStatsCreator.scala:98-114). The
+  * same design holds at 100 TB: the index is a few MB broadcast to every
+  * executor; the point side streams through codegen + one UDF call.
+  *
+  * Index construction is driver-side; the lookup object is Serializable
+  * and rebuilt lazily per executor after broadcast.
+  */
+class CountryIndex(entries: Seq[(String, Geometry)]) extends Serializable {
+
+  @transient private lazy val prepared: Seq[(String, PreparedGeometry)] =
+    entries.map { case (code, g) => (code, PreparedGeometryFactory.prepare(g)) }
+
+  @transient private lazy val tree: STRtree = {
+    val t = new STRtree()
+    prepared.foreach { case (code, pg) =>
+      t.insert(pg.getGeometry.getEnvelopeInternal, (code, pg))
+    }
+    t.build()
+    t
+  }
+
+  private val factory = new GeometryFactory()
+
+  /** Country codes containing the point, sorted for determinism. */
+  def lookup(lon: Double, lat: Double): Seq[String] = {
+    val pt = factory.createPoint(new Coordinate(lon, lat))
+    tree.query(new Envelope(pt.getCoordinate)).asScala.toSeq
+      .collect { case (code: String, pg: PreparedGeometry) if pg.covers(pt) => code }
+      .sorted
+  }
+
+  /** First (alphabetical) containing country or null. */
+  def lookupFirst(lon: Double, lat: Double): String =
+    lookup(lon, lat).headOption.orNull
+}
+
+object CountryIndex {
+
+  /** Rectangular synthetic "countries": a 6x4 grid of 50°x35° boxes with
+    * 5° ocean margins, covering lon [-180,180) lat [-90,90). Inclusive
+    * min edges, exclusive max edges. Deterministic and SQL-expressible,
+    * which is what makes the geocode operator oracle-checkable. */
+  case class Rect(code: String, minLon: Double, minLat: Double,
+                  maxLon: Double, maxLat: Double)
+
+  val syntheticRects: Seq[Rect] =
+    (for (i <- 0 until 6; j <- 0 until 4) yield Rect(
+      f"C$i$j",
+      -180.0 + i * 60 + 5, -90.0 + j * 45 + 5,
+      -180.0 + (i + 1) * 60 - 5, -90.0 + (j + 1) * 45 - 5)).toSeq
+
+  def synthetic(): CountryIndex = {
+    val f = new GeometryFactory()
+    new CountryIndex(syntheticRects.map { r =>
+      val shell = Array(
+        new Coordinate(r.minLon, r.minLat), new Coordinate(r.maxLon, r.minLat),
+        new Coordinate(r.maxLon, r.maxLat), new Coordinate(r.minLon, r.maxLat),
+        new Coordinate(r.minLon, r.minLat))
+      (r.code, f.createPolygon(shell): Geometry)
+    })
+  }
+
+  /** Register a broadcast geocode UDF over (lon, lat) -> first country. */
+  def geocodeFirst(spark: SparkSession, index: CountryIndex): (Column, Column) => Column = {
+    val bc = spark.sparkContext.broadcast(index)
+    val u = udf((lon: Double, lat: Double) => bc.value.lookupFirst(lon, lat))
+    (lon: Column, lat: Column) => u(lon, lat)
+  }
+
+  /** Register a broadcast geocode UDF over (lon, lat) -> all countries. */
+  def geocodeAll(spark: SparkSession, index: CountryIndex): (Column, Column) => Column = {
+    val bc = spark.sparkContext.broadcast(index)
+    val u = udf((lon: Double, lat: Double) => bc.value.lookup(lon, lat))
+    (lon: Column, lat: Column) => u(lon, lat)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic measurement as pure Column expressions (whole-stage codegen;
+  * no UDFs on the hot path).
+  *
+  * The reference measures "length on sphere" via geomesa's
+  * `st_lengthSphere` (reference analytics/.../stats/package.scala:40-47)
+  * and benchmarks the haversine loop itself
+  * (reference bench/src/main/scala/osmesa/MetresBench.scala:25-52).
+  * Here it is the standard haversine great-circle formula on the mean
+  * Earth radius, expressed over lon/lat columns.
+  */
+object Geodesy {
+
+  val EarthRadiusMeters: Double = 6371008.8
+
+  /** Great-circle distance in meters between two lon/lat points (deg). */
+  def haversineMeters(lon1: Column, lat1: Column,
+                      lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+
+  /** Cross-engine-stable rounding: floor(x*10^k + 0.5)/10^k. Spark's
+    * built-in `round(col, k)` goes through BigDecimal.valueOf's
+    * shortest-decimal representation, which can disagree with C-library
+    * `round()` on values like 2.0495 whose hidden binary digits round
+    * differently — this formulation uses only IEEE mul/add/floor, which
+    * are bit-identical in any engine. */
+  def stableRound(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * p + 0.5) / p
+  }
+}

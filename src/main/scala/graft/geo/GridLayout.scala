@@ -1,0 +1,58 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** z/x/y tile layouts as pure Column arithmetic.
+  *
+  * The reference tiles through geotrellis' WebMercator
+  * `ZoomedLayoutScheme` (reference analytics/.../VectorGrid.scala:19-32;
+  * key enumeration + clipping at analytics/.../Implicits.scala:57-140).
+  * Re-derived here from the public slippy-map formulas. Two layouts:
+  *
+  *  - [[equirect]]: linear lon/lat grid — exact integer arithmetic,
+  *    deterministic across engines (used for oracle-checked queries).
+  *  - [[webMercator]]: standard spherical-mercator y (trig; used by the
+  *    tile pipeline like the reference).
+  */
+object GridLayout {
+
+  /** Tiles per side at zoom z. */
+  def tilesAt(z: Int): Long = 1L << z
+
+  object equirect {
+    def tileX(lon: Column, z: Int): Column = {
+      val n = tilesAt(z)
+      least(greatest(floor((lon + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble))
+        .cast(LongType)
+    }
+    def tileY(lat: Column, z: Int): Column = {
+      val n = tilesAt(z)
+      least(greatest(floor((lit(90.0) - lat) / 180.0 * n), lit(0.0)), lit((n - 1).toDouble))
+        .cast(LongType)
+    }
+  }
+
+  object webMercator {
+    def tileX(lon: Column, z: Int): Column = equirect.tileX(lon, z)
+    def tileY(lat: Column, z: Int): Column = {
+      val n = tilesAt(z)
+      val latR = radians(lat)
+      val y = (lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / math.Pi) / 2.0 * n
+      least(greatest(floor(y), lit(0.0)), lit((n - 1).toDouble)).cast(LongType)
+    }
+  }
+
+  /** Scala-side mirrors for partition-local tile code. */
+  def tileXScala(lon: Double, z: Int): Long = {
+    val n = tilesAt(z)
+    math.min(n - 1, math.max(0L, math.floor((lon + 180.0) / 360.0 * n).toLong))
+  }
+  def mercatorTileYScala(lat: Double, z: Int): Long = {
+    val n = tilesAt(z)
+    val latR = math.toRadians(lat)
+    val y = (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n
+    math.min(n - 1, math.max(0L, math.floor(y).toLong))
+  }
+}
