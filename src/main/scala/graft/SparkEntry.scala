@@ -302,6 +302,85 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- training-data ops: deduplication suite ------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exactCanonical(
+          Tables.documents(s, dir), col("text"), col("doc_id"), prefixTokens = 4)
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      operators.Dedup.minhashLshPairs(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+        .orderBy(col("ia"), col("ib"))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      operators.Dedup.jaccardPairs(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          shingleN = 3, threshold = 0.5, dfCap = 1000)
+        .orderBy(col("ia"), col("ib"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      operators.Dedup.simhashPairs(
+          Tables.documents(s, dir), col("text"), col("doc_id"), maxHamming = 8)
+        .orderBy(col("ia"), col("ib"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      operators.Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.45)
+        .orderBy(col("ia"), col("ib"))),
+
+    // ---- similarity search: exact cosine top-k baseline ----------------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- text analysis -------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val t = functions.TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("t", t)
+        .select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          size(array_distinct(col("t"))).as("n_distinct"),
+          (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
+            .cast(DoubleType) / size(col("t"))).as("mean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          functions.TextFunctions.qualityScore(
+            functions.TextFunctions.tokens(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("langid", functions.TextFunctions.langId(
+          functions.TextFunctions.tokens(col("text"))))
+        .groupBy(col("langid")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("langid"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          functions.TextFunctions.rollingFingerprint(
+            functions.TextFunctions.normalize(col("text"))).as("fp"),
+          md5(functions.TextFunctions.normalize(col("text"))).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- hashtag extraction (SURVEY §2.8 string; vectorpipe `hashtags`)
+    "q_f_hashtags" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("line",
+          concat(lit("doc #"), col("source"), lit(" #"), col("lang")))
+        .select(explode(hashtags(col("line"))).as("tag"))
+        .groupBy(col("tag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("tag"))),
+
     // ---- scalar functions: hashtags / day-key / math (SURVEY §2.8)
     "q_f_daykey" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -329,6 +408,29 @@ object SparkEntry {
     geo.CountryIndex.syntheticRects
       .map(r => s"('${r.code}',${r.minLon},${r.minLat},${r.maxLon},${r.maxLat})")
       .mkString(", ")
+
+  /** Shared oracle CTE fragments (token + shingle extraction, mirroring
+    * [[graft.functions.TextFunctions.tokens]] / `shingles(_, 3)`). */
+  private val toksSql: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val shSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(t[i:i+2], ' ')
+      |                   for i in range(1, greatest(len(t)-1, 1))]) AS s
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** Cosine similarity mirroring [[operators.Similarity.cosine]]:
+    * dot / sqrt(na*nb), sequential sums over 64 dims. */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] for i in range(1,65)]) / " +
+      s"sqrt(list_sum([$a[i]*$a[i] for i in range(1,65)]) * " +
+      s"list_sum([$b[i]*$b[i] for i in range(1,65)]))"
 
   /** Haversine distance in meters, formulated token-for-token like
     * [[geo.Geodesy.haversineMeters]] so both engines compute on the same
@@ -523,6 +625,161 @@ object SparkEntry {
         |            % 2 = 0 THEN 'even' ELSE 'odd' END) AS cat
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(array_to_string(t[1:4], ' ')))
+        |    AS canonical_id
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $toksSql, $shSql,
+         |bb AS (
+         |  SELECT doc_id, band, md5(mh0 || '|' || mh1 || '|' || mh2) AS bucket
+         |  FROM (
+         |    SELECT doc_id, b AS band,
+         |      list_min([md5((b*3+0) || ':' || x) for x in s]) AS mh0,
+         |      list_min([md5((b*3+1) || ':' || x) for x in s]) AS mh1,
+         |      list_min([md5((b*3+2) || ':' || x) for x in s]) AS mh2
+         |    FROM sh, range(0,4) r(b)) z),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |jv AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib)
+         |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $toksSql, $shSql,
+         |jv AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.s, b.s))) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) for x in t] AS h
+        |  FROM toks),
+        |sims AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN list_sum([CASE WHEN ((hh >> b) & 1) = 1
+        |                            THEN 1 ELSE -1 END for hh in h]) > 0
+        |        THEN (1::BIGINT << b) ELSE 0 END) AS sim
+        |  FROM hs, range(0,60) r(b) GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sim, b AS band, (sim >> (15*b)) & 32767 AS bv
+        |  FROM sims, range(0,4) r(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |         a.sim AS sim_a, b.sim AS sim_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT ia, ib, bit_count(xor(sim_a, sim_b)) AS hamming FROM pairs) t
+        |WHERE hamming <= 8 ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    floor((${cosSql("a.v", "b.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.45
+         |ORDER BY ia, ib""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q_id, e.vec_id AS n_id,
+         |    floor((${cosSql("qv", "e.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM e JOIN q ON q.q_id <> e.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_r DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos_r, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH $toksSql
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  len(list_distinct(t)) AS n_distinct,
+         |  CAST(list_sum([CAST(length(x) AS BIGINT) for x in t]) AS DOUBLE)
+         |    / len(t) AS mean_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH $toksSql
+         |SELECT doc_id,
+         |  0.3 * least(len(t)/50.0, 1.0) +
+         |  0.4 * (1.0 - len(list_filter(t,
+         |    x -> x IN ('the','a','of','and','to','in'))) / len(t)) +
+         |  0.3 * (len(list_distinct(t)) / len(t)) AS quality
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH $toksSql,
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> x IN ('group','merge','row'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('the','data','table'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('filter','window','sort'))) AS s_es,
+         |    len(list_filter(t, x -> x IN ('join','stream','query'))) AS s_fr
+         |  FROM toks),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |         ELSE 'und' END AS langid
+         |  FROM scores)
+         |SELECT langid, count(*) AS cnt FROM lid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      [CAST(ascii(c) AS BIGINT) for c in string_split(nt, '')]),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fp,
+        |  md5(nt) AS fp_md5
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "q_f_hashtags" ->
+      """SELECT tag, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(
+        |    lower('doc #' || source || ' #' || lang), '#(\w+)', 1)) AS tag
+        |  FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_f_daykey" ->

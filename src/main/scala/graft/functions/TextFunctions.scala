@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  *
+  * All deterministic and (except the two documented UDFs) pure Column
+  * compositions. The md5-derived hash foundation keeps every signature
+  * reproducible in any engine — the property the oracle gate checks.
+  */
+object TextFunctions {
+
+  /** Lowercase word tokens ([a-z0-9]+ runs). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles over a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** Normalized text: lowercase, strip non-alphanumerics, collapse runs
+    * of spaces, trim. Basis of exact-dedup fingerprints. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stopword list used by quality scoring / language ID (fixed, tiny). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Composite quality score in [0,1]:
+    * 0.3·min(ntok/50,1) + 0.4·(1−stopword_ratio) + 0.3·distinct_ratio.
+    * Integer-derived doubles and fixed-order IEEE ops — deterministic. */
+  def qualityScore(toks: Column): Column = {
+    val ntok = size(toks).cast(DoubleType)
+    val nsw = size(filter(toks, t => t.isInCollection(Stopwords))).cast(DoubleType)
+    val ndis = size(array_distinct(toks)).cast(DoubleType)
+    lit(0.3) * least(ntok / 50.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - nsw / ntok) +
+      lit(0.3) * (ndis / ntok)
+  }
+
+  /** Signature-token profiles for the n-gram-heuristic language ID. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("group", "merge", "row"),
+    "en" -> Seq("the", "data", "table"),
+    "es" -> Seq("filter", "window", "sort"),
+    "fr" -> Seq("join", "stream", "query"))
+
+  /** Heuristic language ID: argmax profile-hit count, ties broken by
+    * lexicographically smallest code (profiles evaluated in code order). */
+  def langId(toks: Column): Column = {
+    val scores = LangProfiles.map { case (code, words) =>
+      code -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((code, sc), acc) =>
+      when(sc === best, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count (cheap proxy, no array materialization). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** 60-bit SimHash over distinct tokens: per bit, majority vote of the
+    * tokens' stableHash64 bits (+1/−1), reproducible cross-engine. A UDF
+    * (single md5 pass per token) rather than a 60-way column explode;
+    * the per-row cost is what dominates at scale, not codegen. */
+  val simhash60: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => {
+      val counts = new Array[Int](60)
+      toks.distinct.foreach { t =>
+        val h = stableHash64Scala(t)
+        var b = 0
+        while (b < 60) {
+          counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
+        }
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 60) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+      sim
+    })
+
+  /** Rolling polynomial fingerprint over the normalized text's bytes:
+    * fold acc = (acc*31 + chr) mod 1e9+7, seed 7. */
+  val rollingFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      var acc = 7L
+      if (s != null) s.foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+      acc
+    })
+
+  /** Scala mirror of [[graft.functions.stableHash64]] (first 15 md5 hex
+    * chars as a base-16 long). */
+  def stableHash64Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication at training-data scale: exact (fingerprint),
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Nothing here is O(n²) over the corpus. Candidate generation goes
+  *    through LSH band buckets (minhash) or 15-bit signature bands
+  *    (simhash): a shuffle keyed by bucket, pairs enumerated only within
+  *    buckets. Exact Jaccard runs only on candidates.
+  *  - Signatures are md5-based ([[graft.functions.stableHash64]]) so runs
+  *    are reproducible across engines and cluster sizes — no
+  *    partitioning-dependent randomness.
+  *  - The per-document signature computation is a single narrow pass
+  *    (map-side, no shuffle); only the tiny (doc_id, bucket) pairs
+  *    shuffle.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact/normalized dedup: canonical id = min doc id per fingerprint.
+    * One hash-shuffle on the fingerprint; at scale the window is a
+    * partial agg + broadcast-back; here expressed as a window min. */
+  def exactCanonical(df: DataFrame, textCol: Column, idCol: Column,
+                     prefixTokens: Int = 0): DataFrame = {
+    val toks = tokens(textCol)
+    val basis =
+      if (prefixTokens > 0) concat_ws(" ", slice(toks, 1, prefixTokens))
+      else normalize(textCol)
+    val fp = md5(basis)
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("fp", fp)
+      .withColumn("canonical_id",
+        min(idCol).over(Window.partitionBy(col("fp"))))
+      .select(idCol.as("doc_id"), col("canonical_id"))
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  /** Per-salt minhash: lexicographic min of md5("salt:" + shingle) — the
+    * min of fixed-width lowercase hex strings equals the min of the
+    * underlying numbers, and any engine's md5 agrees. */
+  private def minhash(sh: Column, salt: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$salt:"), x))))
+
+  /** (doc_id, band, bucket) LSH bucket assignments: k = bands·rowsPerBand
+    * salted minhashes; bucket = md5 of the "|"-joined band signature. */
+  def minhashBuckets(df: DataFrame, textCol: Column, idCol: Column,
+                     shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingles(tokens(textCol), shingleN)
+    val withSh = df.select(idCol.as("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandCols = (0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map(r => minhash(col("sh"), b * rowsPerBand + r))
+      struct(lit(b).as("band"), md5(concat_ws("|", mins: _*)).as("bucket"))
+    }
+    withSh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs (ia < ib) sharing at least one LSH bucket. */
+  def minhashCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("ia"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("ib"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets, joined onto a pair table.
+    * Runs only on candidates — the LSH invariant that keeps the whole
+    * operator sub-quadratic. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: Column,
+                    idCol: Column, shingleN: Int): DataFrame = {
+    val sh = df.select(idCol.as("doc_id"), shingles(tokens(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))))
+      .select(col("ia"), col("ib"), col("jac"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+  def minhashLshPairs(df: DataFrame, textCol: Column, idCol: Column,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(
+      minhashBuckets(df, textCol, idCol, shingleN, bands, rowsPerBand))
+    jaccardVerify(cands, df, textCol, idCol, shingleN)
+      .filter(col("jac") >= threshold)
+  }
+
+  // ------------------------------------------------------------ jaccard
+
+  /** Exact n-gram Jaccard pairs WITHOUT LSH: candidates = doc pairs
+    * sharing ≥1 shingle whose document frequency is ≤ dfCap. The df cap
+    * bounds the per-shingle pair blow-up (skew guard); for thresholds
+    * ≥ 0.5 a qualifying pair shares many shingles, so the cap only
+    * excludes pairs glued together by ultra-common shingles. */
+  def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
+                   shingleN: Int = 3, threshold: Double = 0.5,
+                   dfCap: Int = 1000): DataFrame = {
+    val sh = df.select(idCol.as("doc_id"), explode(shingles(tokens(textCol), shingleN)).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val rareSh = sh.join(rare, Seq("s"))
+    val cands = rareSh.select(col("s"), col("doc_id").as("ia"))
+      .join(rareSh.select(col("s"), col("doc_id").as("ib")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    jaccardVerify(cands, df, textCol, idCol, shingleN)
+      .filter(col("jac") >= threshold)
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** (doc_id, simhash) signatures. */
+  def simhashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), simhash60(tokens(textCol)).as("sim"))
+
+  /** SimHash near-dup pairs: candidates share one of four 15-bit bands;
+    * verified by Hamming distance ≤ maxHamming on the full signature. */
+  def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
+                   maxHamming: Int = 8): DataFrame = {
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("sim"), 15 * b).bitwiseAND(0x7FFFL)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("ia"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("ib"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.stableHash64Scala
+import graft.geo.Geodesy.stableRound
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the small-query-set
+  *    baseline. The query side is broadcast (a few thousand rows); the
+  *    corpus streams through codegen once; per-query top-k via window
+  *    rank over the rounded score. No corpus self-shuffle.
+  *  - [[signLshBuckets]] / [[lshTopK]]: random-hyperplane (sign) LSH with
+  *    md5-seeded deterministic Rademacher planes — candidates only from
+  *    matching buckets, turning top-k into a bucket-local problem. This
+  *    is the scale path: corpus shuffles once by bucket id.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns, computed as
+    * dot / sqrt(na*nb) with sequential left-fold sums. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Exact top-k neighbors for each query vector (queries small =>
+    * broadcast). Scores rounded to 1e-6 before ranking so ordering is
+    * reproducible; ties broken by neighbor id. Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos_r", stableRound(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
+  }
+
+  /** All embedding pairs (ia<ib) with rounded cosine ≥ threshold —
+    * embedding-space near-duplicate detection. Exact (quadratic in the
+    * corpus): use [[signLshBuckets]] candidates at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("ia"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("ib"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("cos_r", stableRound(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_r") >= threshold)
+      .select(col("ia"), col("ib"), col("cos_r"))
+  }
+
+  // ------------------------------------------------------------ sign-LSH
+
+  /** Deterministic Rademacher hyperplanes: component (p, d) is ±1 from
+    * the parity of stableHash64("seed:p:d"). Reproducible everywhere. */
+  def planes(nPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, d) =>
+      if ((stableHash64Scala(s"$seed:$p:$d") & 1L) == 1L) 1.0 else -1.0)
+
+  /** Bucket id = sign bits of the vector against nPlanes hyperplanes. */
+  def signLshBuckets(corpus: DataFrame, nPlanes: Int, dim: Int, seed: Int = 42,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ps = planes(nPlanes, dim, seed)
+    val bucket = udf((v: Seq[Float]) => {
+      var bits = 0L
+      var p = 0
+      while (p < ps.length) {
+        var s = 0.0
+        var d = 0
+        while (d < v.length && d < ps(p).length) { s += v(d) * ps(p)(d); d += 1 }
+        if (s > 0) bits |= (1L << p)
+        p += 1
+      }
+      bits
+    })
+    corpus.withColumn("bucket", bucket(col(vecCol)))
+  }
+
+  /** Approximate top-k: exact cosine rank *within* each query's LSH
+    * bucket. One shuffle by bucket; quality tunable via nPlanes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int, dim: Int, seed: Int = 42,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = signLshBuckets(corpus, nPlanes, dim, seed, idCol, vecCol)
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"), col("bucket"))
+    val q = signLshBuckets(queries, nPlanes, dim, seed, idCol, vecCol)
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_r", stableRound(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
+  }
+}
