@@ -317,7 +317,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       operators.Dedup.jaccardPairs(
           Tables.documents(s, dir), col("text"), col("doc_id"),
-          shingleN = 3, threshold = 0.5, dfCap = 1000)
+          shingleN = 3, threshold = 0.5, dfCap = 64)
         .orderBy(col("ia"), col("ib"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -338,17 +338,14 @@ object SparkEntry {
     }),
 
     // ---- text analysis -------------------------------------------------
-    "q_text_stats" -> ((s, dir) => {
-      val t = functions.TextFunctions.tokens(col("text"))
+    "q_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("t", t)
+        .withColumn("st", functions.TextFunctions.textStatsUdf(col("text")))
         .select(col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          size(array_distinct(col("t"))).as("n_distinct"),
-          (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x))
-            .cast(DoubleType) / size(col("t"))).as("mean_len"))
-        .orderBy(col("doc_id"))
-    }),
+          col("st._1").as("n_tokens"),
+          col("st._2").as("n_distinct"),
+          col("st._3").as("mean_len"))
+        .orderBy(col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -640,14 +637,20 @@ object SparkEntry {
 
     "q_dedup_minhash" ->
       s"""WITH $toksSql, $shSql,
+         |hb AS (
+         |  SELECT doc_id,
+         |    [(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) % 2147483647
+         |     for x in s] AS bases
+         |  FROM sh),
          |bb AS (
-         |  SELECT doc_id, band, md5(mh0 || '|' || mh1 || '|' || mh2) AS bucket
-         |  FROM (
-         |    SELECT doc_id, b AS band,
-         |      list_min([md5((b*3+0) || ':' || x) for x in s]) AS mh0,
-         |      list_min([md5((b*3+1) || ':' || x) for x in s]) AS mh1,
-         |      list_min([md5((b*3+2) || ':' || x) for x in s]) AS mh2
-         |    FROM sh, range(0,4) r(b)) z),
+         |  SELECT doc_id, b AS band,
+         |    list_min([(h*(2*(b*3+0)+1) + (7919*(b*3+0)+13)) % 2147483647
+         |              for h in bases]) || '|' ||
+         |    list_min([(h*(2*(b*3+1)+1) + (7919*(b*3+1)+13)) % 2147483647
+         |              for h in bases]) || '|' ||
+         |    list_min([(h*(2*(b*3+2)+1) + (7919*(b*3+2)+13)) % 2147483647
+         |              for h in bases]) AS bucket
+         |  FROM hb, range(0,4) r(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM bb a JOIN bb b
@@ -662,11 +665,18 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       s"""WITH $toksSql, $shSql,
+         |shx AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |rare AS (SELECT sng FROM shx GROUP BY sng HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM shx a JOIN rare ON a.sng = rare.sng
+         |             JOIN shx b ON a.sng = b.sng AND a.doc_id < b.doc_id),
          |jv AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.s, b.s))) AS jac
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib)
          |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
 
     "q_dedup_simhash" ->

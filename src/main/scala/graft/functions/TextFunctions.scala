@@ -70,21 +70,27 @@ object TextFunctions {
     * tokens' stableHash64 bits (+1/−1), reproducible cross-engine. A UDF
     * (single md5 pass per token) rather than a 60-way column explode;
     * the per-row cost is what dominates at scale, not codegen. */
-  val simhash60: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((toks: Seq[String]) => {
-      val counts = new Array[Int](60)
-      toks.distinct.foreach { t =>
-        val h = stableHash64Scala(t)
-        var b = 0
-        while (b < 60) {
-          counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
-        }
-      }
-      var sim = 0L
+  def simhashFromTokens(toks: Seq[String]): Long = {
+    val counts = new Array[Int](60)
+    toks.distinct.foreach { t =>
+      val h = stableHash64Scala(t)
       var b = 0
-      while (b < 60) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
-      sim
-    })
+      while (b < 60) {
+        counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  val simhash60: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) => simhashFromTokens(toks))
+
+  /** UDF: text -> 60-bit SimHash in one compiled pass. */
+  val simhash60Text: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => simhashFromTokens(tokensScala(s).toSeq))
 
   /** Rolling polynomial fingerprint over the normalized text's bytes:
     * fold acc = (acc*31 + chr) mod 1e9+7, seed 7. */
@@ -102,5 +108,54 @@ object TextFunctions {
     val d = md.digest(s.getBytes("UTF-8"))
     val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  // ---------------------------------------------------- compiled hot path
+
+  /** Scala mirrors of [[tokens]]/[[shingles]] for the dedup hot path: the
+    * composable HOF chain (split → transform → concat_ws → distinct) costs
+    * an interpreted lambda dispatch per element; these are single compiled
+    * passes with identical output. */
+  def tokensScala(s: String): Array[String] =
+    if (s == null) Array.empty
+    else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  def shinglesScala(toks: Array[String], n: Int): Array[String] =
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+
+  /** UDF: text -> distinct word n-gram shingles (one pass). */
+  def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => shinglesScala(tokensScala(s), n))
+
+  /** UDF: text -> (n_tokens, n_distinct, mean_len) in one compiled pass
+    * (the Column formulation re-evaluates the token array once per
+    * referencing expression after CollapseProject inlines the alias). */
+  val textStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      val t = tokensScala(s)
+      val sumLen = t.foldLeft(0L)((acc, x) => acc + x.length)
+      (t.length, t.distinct.length, sumLen.toDouble / t.length)
+    })
+
+  /** UDF: shingle array -> k minhashes of the linear rehash family
+    * h_i = ((2i+1)·(stableHash64 mod P) + 7919i+13) mod P, P = 2^31−1.
+    * One md5 per shingle, k integer mult-adds — the whole signature in a
+    * single compiled pass. */
+  def minhashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val P = 2147483647L
+    udf((sh: Seq[String]) => {
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { x =>
+        val base = stableHash64Scala(x) % P
+        var i = 0
+        while (i < k) {
+          val h = (base * (2 * i + 1) + (7919L * i + 13)) % P
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    })
   }
 }

@@ -45,24 +45,36 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** Per-salt minhash: lexicographic min of md5("salt:" + shingle) — the
-    * min of fixed-width lowercase hex strings equals the min of the
-    * underlying numbers, and any engine's md5 agrees. */
-  private def minhash(sh: Column, salt: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$salt:"), x))))
+  /** Prime modulus for the linear rehash family (2^31 − 1). */
+  val MinhashP: Long = 2147483647L
 
-  /** (doc_id, band, bucket) LSH bucket assignments: k = bands·rowsPerBand
-    * salted minhashes; bucket = md5 of the "|"-joined band signature. */
-  def minhashBuckets(df: DataFrame, textCol: Column, idCol: Column,
-                     shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sh = shingles(tokens(textCol), shingleN)
-    val withSh = df.select(idCol.as("doc_id"), sh.as("sh"))
+  /** (doc_id, sh) distinct-shingle projection, computed by a single
+    * compiled UDF pass (the HOF chain costs interpreted lambda dispatch
+    * per token and, reused across pipeline stages, dominated the whole
+    * operator's runtime). */
+  def shingleSets(df: DataFrame, textCol: Column, idCol: Column,
+                  shingleN: Int): DataFrame =
+    df.select(idCol.as("doc_id"), shinglesUdf(shingleN)(textCol).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** (doc_id, band, bucket) LSH band signatures from a one-pass minhash
+    * signature: minhash_i = min over shingles of ((2i+1)·(stableHash64
+    * mod P) + 7919i+13) mod P; bucket key = "|"-joined band minhashes. */
+  def minhashBuckets(df: DataFrame, textCol: Column, idCol: Column,
+                     shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashBucketsFromShingles(
+      shingleSets(df, textCol, idCol, shingleN), bands, rowsPerBand)
+
+  def minhashBucketsFromShingles(sh: DataFrame, bands: Int,
+                                 rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = sh.withColumn("sig", minhashSigUdf(k)(col("sh")))
     val bandCols = (0 until bands).map { b =>
-      val mins = (0 until rowsPerBand).map(r => minhash(col("sh"), b * rowsPerBand + r))
-      struct(lit(b).as("band"), md5(concat_ws("|", mins: _*)).as("bucket"))
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bucket"))
     }
-    withSh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    withSig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
@@ -79,9 +91,7 @@ object Dedup {
   /** Exact Jaccard over distinct shingle sets, joined onto a pair table.
     * Runs only on candidates — the LSH invariant that keeps the whole
     * operator sub-quadratic. */
-  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: Column,
-                    idCol: Column, shingleN: Int): DataFrame = {
-    val sh = df.select(idCol.as("doc_id"), shingles(tokens(textCol), shingleN).as("sh"))
+  def jaccardVerifyFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
       .join(sh.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
       .join(sh.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
@@ -89,15 +99,22 @@ object Dedup {
         size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           size(array_union(col("sa"), col("sb"))))
       .select(col("ia"), col("ib"), col("jac"))
-  }
 
-  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: Column,
+                    idCol: Column, shingleN: Int): DataFrame =
+    jaccardVerifyFromShingles(pairs, shingleSets(df, textCol, idCol, shingleN))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * The shingle projection is computed once and persisted across the
+    * bucket and verify stages (it feeds three plan branches). */
   def minhashLshPairs(df: DataFrame, textCol: Column, idCol: Column,
                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSets(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(
-      minhashBuckets(df, textCol, idCol, shingleN, bands, rowsPerBand))
-    jaccardVerify(cands, df, textCol, idCol, shingleN)
+      minhashBucketsFromShingles(sh, bands, rowsPerBand))
+    jaccardVerifyFromShingles(cands, sh)
       .filter(col("jac") >= threshold)
   }
 
@@ -111,15 +128,17 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                    shingleN: Int = 3, threshold: Double = 0.5,
                    dfCap: Int = 1000): DataFrame = {
-    val sh = df.select(idCol.as("doc_id"), explode(shingles(tokens(textCol), shingleN)).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sh = shingleSets(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shx = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = shx.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
-    val rareSh = sh.join(rare, Seq("s"))
+    val rareSh = shx.join(rare, Seq("s"))
     val cands = rareSh.select(col("s"), col("doc_id").as("ia"))
       .join(rareSh.select(col("s"), col("doc_id").as("ib")), Seq("s"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
-    jaccardVerify(cands, df, textCol, idCol, shingleN)
+    jaccardVerifyFromShingles(cands, sh)
       .filter(col("jac") >= threshold)
   }
 
@@ -127,7 +146,7 @@ object Dedup {
 
   /** (doc_id, simhash) signatures. */
   def simhashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("doc_id"), simhash60(tokens(textCol)).as("sim"))
+    df.select(idCol.as("doc_id"), simhash60Text(textCol).as("sim"))
 
   /** SimHash near-dup pairs: candidates share one of four 15-bit bands;
     * verified by Hamming distance ≤ maxHamming on the full signature. */

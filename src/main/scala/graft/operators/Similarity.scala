@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.stableHash64Scala
 import graft.geo.Geodesy.stableRound
+import graft.plans.ArrayExpressions
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -19,11 +20,16 @@ import graft.geo.Geodesy.stableRound
   *    md5-seeded deterministic Rademacher planes — candidates only from
   *    matching buckets, turning top-k into a bucket-local problem. This
   *    is the scale path: corpus shuffles once by bucket id.
+  *
+  * Hot-path numerics go through the native codegen'd
+  * [[graft.plans.DotProduct]] expression; per-vector norms are computed
+  * once, not per pair. cos(a,b) = dot(a,b)/sqrt(na*nb), scores rounded
+  * at 1e-6 so rank order is reproducible.
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns, computed as
-    * dot / sqrt(na*nb) with sequential left-fold sums. */
+  /** Cosine similarity between two double-array columns (norms computed
+    * inline — use the precomputed-norm pipelines below for pair loops). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -32,15 +38,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** (id, v, n) projection with the squared norm computed once. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vAs: String, nAs: String): DataFrame = {
+    ArrayExpressions.register(df.sparkSession)
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vAs))
+      .withColumn(nAs, expr(s"dot_prod($vAs, $vAs)"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries small =>
     * broadcast). Scores rounded to 1e-6 before ranking so ordering is
     * reproducible; ties broken by neighbor id. Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"))
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val c = withNorm(corpus, idCol, vecCol, "n_id", "nv", "nn")
+    val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "nq")
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos_r", stableRound(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos_r", stableRound(
+        expr("dot_prod(qv, nv)") / sqrt(col("nq") * col("nn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -53,10 +68,11 @@ object Similarity {
     * corpus): use [[signLshBuckets]] candidates at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("ia"), asDouble(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("ib"), asDouble(col(vecCol)).as("vb"))
+    val a = withNorm(corpus, idCol, vecCol, "ia", "va", "na")
+    val b = withNorm(corpus, idCol, vecCol, "ib", "vb", "nb")
     a.join(b, col("ia") < col("ib"))
-      .withColumn("cos_r", stableRound(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_r", stableRound(
+        expr("dot_prod(va, vb)") / sqrt(col("na") * col("nb")), 6))
       .filter(col("cos_r") >= threshold)
       .select(col("ia"), col("ib"), col("cos_r"))
   }
@@ -93,13 +109,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int, dim: Int, seed: Int = 42,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    ArrayExpressions.register(corpus.sparkSession)
     val c = signLshBuckets(corpus, nPlanes, dim, seed, idCol, vecCol)
       .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"), col("bucket"))
+      .withColumn("nn", expr("dot_prod(nv, nv)"))
     val q = signLshBuckets(queries, nPlanes, dim, seed, idCol, vecCol)
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
+      .withColumn("nq", expr("dot_prod(qv, qv)"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos_r", stableRound(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos_r", stableRound(
+        expr("dot_prod(qv, nv)") / sqrt(col("nq") * col("nn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))

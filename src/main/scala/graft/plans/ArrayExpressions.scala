@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The composable alternative (`aggregate(zip_with(a,b,(x,y)=>x*y),...)`)
+  * is a HigherOrderFunction chain: interpreted lambda dispatch per
+  * element, no whole-stage codegen. For similarity search the dot product
+  * sits inside an O(pairs·dim) loop, so it gets a real expression with
+  * `doGenCode` — a tight primitive loop over `ArrayData`, keeping the
+  * whole pair pipeline inside WholeStageCodegen.
+  *
+  * Summation is a sequential left fold — bit-identical to the reference
+  * formulation and to the DuckDB oracle's list comprehension sum.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements() < $b.numElements()
+         |    ? $a.numElements() : $b.numElements();
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayExpressions {
+  /** Register `dot_prod(a, b)` for use via `expr("dot_prod(...)")` /
+    * SQL. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_prod", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+}
