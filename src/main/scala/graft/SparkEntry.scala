@@ -302,6 +302,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- tile pipeline: rasterize -> downsample -> merge -> pyramid
+    //      (SURVEY §2.10; summary checkable per level because the
+    //      equirect floor arithmetic nests exactly)
+    "q_tile_pyramid" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+      operators.Tiles.pyramidSummary(
+          operators.Tiles.pyramid(pts, "event_type", "lon", "lat",
+            baseZoom = 6, minZoom = 4, cells = 16))
+        .orderBy(col("zoom"), col("x"), col("y"))
+    }),
+
     // ---- training-data ops: deduplication suite ------------------------
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exactCanonical(
@@ -623,6 +636,22 @@ object SparkEntry {
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tile_pyramid" ->
+      s"""WITH pts AS (
+         |  SELECT event_type, ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |lv(zoom) AS (VALUES (6), (5), (4)),
+         |g AS (
+         |  SELECT zoom, event_type,
+         |    CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gx,
+         |    CAST(LEAST(GREATEST(floor((90.0 - lat)/180.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gy
+         |  FROM pts, lv)
+         |SELECT zoom, gx//16 AS x, gy//16 AS y, count(*) AS total,
+         |       count(DISTINCT (event_type, gx, gy)) AS n_cells
+         |FROM g GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH toks AS (

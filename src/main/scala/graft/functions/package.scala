@@ -40,9 +40,12 @@ package object functions {
   def splitDelimitedValues(c: Column): Column =
     transform(split(c, ";"), v => trim(v))
 
-  /** True when a ";"-delimited tag value contains `v`. */
+  /** True when a ";"-delimited tag value contains `v` (false, not null,
+    * when the key is absent). */
   def tagContains(tags: Column, key: String, v: String): Column =
-    array_contains(splitDelimitedValues(lower(tags.getItem(key))), v)
+    coalesce(
+      array_contains(splitDelimitedValues(lower(tags.getItem(key))), v),
+      lit(false))
 
   /** Element has any tag at all (reference: vectorpipe `isTagged`). */
   def isTagged(tags: Column): Column = size(map_keys(tags)) > 0

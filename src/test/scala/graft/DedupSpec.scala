@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bend"), // near-dup of 0
+    (2L, "completely different words about database systems and query planning"),
+    (3L, "the quick brown fox jumps over the lazy dog near the old river bank"), // exact dup of 0
+    (4L, "spark catalyst optimizer rewrites logical plans into physical plans")
+  ).toDF("doc_id", "text")
+
+  test("exactCanonical groups identical normalized texts") {
+    val got = Dedup.exactCanonical(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    got(0L) shouldBe 0L
+    got(3L) shouldBe 0L // exact dup canonicalized to min id
+    got(1L) shouldBe 1L // near-dup is NOT an exact dup
+    got(2L) shouldBe 2L
+  }
+
+  test("minhash LSH finds planted near-dup pairs and verifies jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"),
+      shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    ids should contain((0L, 3L)) // exact dup: jaccard 1.0
+    pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 shouldBe 1.0
+    ids should contain((0L, 1L)) // near-dup
+    ids should not contain ((0L, 2L))
+  }
+
+  test("exact jaccardPairs agrees with LSH on high-threshold pairs") {
+    val lsh = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"),
+      threshold = 0.5).select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+      threshold = 0.5).select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    lsh shouldBe exact // full recall on this corpus
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups small; unrelated large") {
+    val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) shouldBe 0
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) should be <= 8
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) should be > 8
+    val pairs = Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 8)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 3L))
+    pairs should not contain ((0L, 2L))
+  }
+
+  test("minhash signature UDF matches per-shingle brute force") {
+    import graft.functions.TextFunctions._
+    val sh = shinglesScala(tokensScala(
+      "the quick brown fox jumps over the lazy dog"), 3)
+    val P = 2147483647L
+    val expected = Array.tabulate(12) { i =>
+      sh.map { x =>
+        (stableHash64Scala(x) % P * (2 * i + 1) + (7919L * i + 13)) % P
+      }.min
+    }
+    val got = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(minhashSigUdf(12)(shinglesUdf(3)(col("text"))))
+      .as[Seq[Long]].head
+    got.toArray shouldBe expected
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cents/sumMoney is exact on 2-decimal doubles") {
+    val df = Seq(0.01, 0.02, 0.03, 100.10, 2.675, 204.5).toDF("x")
+    val got = df.agg(sumMoney(col("x")).as("s")).head.getDouble(0)
+    got shouldBe 307.34 +- 1e-9 // 2.675*100 == 267.5 exactly in IEEE, rounds away
+    // order independence: value exact regardless of partitioning
+    val shuffled = df.repartition(4)
+    shuffled.agg(sumMoney(col("x"))).head.getDouble(0) shouldBe got
+  }
+
+  test("hashtags extracts lowercase tags") {
+    val df = Seq("Fix #HOTosm and #missingMaps today", "none here").toDF("c")
+    val got = df.select(hashtags(col("c"))).as[Seq[String]].collect()
+    got(0) shouldBe Seq("hotosm", "missingmaps")
+    got(1) shouldBe Seq.empty
+  }
+
+  test("tag predicates: building/road/delimited values") {
+    val df = Seq(
+      Map("building" -> "yes"),
+      Map("building" -> "no"),
+      Map("highway" -> "residential"),
+      Map("natural" -> "water;coastline"),
+      Map.empty[String, String]).toDF("tags")
+    df.select(isBuilding(col("tags"))).collect().map(_.getBoolean(0)) shouldBe
+      Array(true, false, false, false, false)
+    df.select(isRoad(col("tags"))).collect().map(_.getBoolean(0)) shouldBe
+      Array(false, false, true, false, false)
+    df.select(isCoastline(col("tags"))).collect().map(_.getBoolean(0)) shouldBe
+      Array(false, false, false, true, false)
+    df.select(isTagged(col("tags"))).collect().map(_.getBoolean(0)) shouldBe
+      Array(true, true, true, true, false)
+  }
+
+  test("isNew: first major version with no minor version") {
+    val df = Seq((1, Some(0)), (1, Some(2)), (2, Some(0)), (1, None))
+      .toDF("version", "minorVersion")
+    df.select(isNew(col("version"), col("minorVersion"))).collect()
+      .map(_.getBoolean(0)) shouldBe Array(true, false, false, true)
+  }
+
+  test("sequence<->timestamp roundtrip is minutely-exact") {
+    val df = Seq("2020-01-01 00:00:30", "2012-09-12 08:15:00")
+      .toDF("t").select(to_timestamp(col("t")).as("ts"))
+    val seqs = df.select(timestampToSequence(col("ts"))).as[Long].collect()
+    seqs(1) shouldBe 0L
+    val back = df.select(sequenceToTimestamp(timestampToSequence(col("ts"))))
+      .collect().map(_.getTimestamp(0).getTime)
+    back(1) shouldBe 1347437700L * 1000
+    back(0) % 60000 shouldBe 0L // truncated to minute boundary
+  }
+
+  test("map algebra: simplify/sumMapValues/countValues") {
+    val df = Seq(Map("a" -> 1, "b" -> 0, "c" -> 2)).toDF("m")
+    df.select(simplifyMap(col("m"))).as[Map[String, Int]].head shouldBe
+      Map("a" -> 1, "c" -> 2)
+    df.select(sumMapValues(col("m"))).as[Long].head shouldBe 3L
+    val arr = Seq(Seq("x", "y", "x", "x")).toDF("a")
+    arr.select(countValues(col("a"))).as[Map[String, Int]].head shouldBe
+      Map("x" -> 3, "y" -> 1)
+  }
+
+  test("MapAggregators.sumCounts merges key-wise (matches manual rollup)") {
+    val df = Seq(
+      ("u1", Map("a" -> 1L, "b" -> 2L)),
+      ("u1", Map("b" -> 3L)),
+      ("u2", Map("c" -> 5L))).toDF("k", "m")
+    val got = df.groupBy(col("k"))
+      .agg(functions.MapAggregators.sumCounts(col("m")).as("s"))
+      .as[(String, Map[String, Long])].collect().toMap
+    got("u1") shouldBe Map("a" -> 1L, "b" -> 5L)
+    got("u2") shouldBe Map("c" -> 5L)
+  }
+
+  test("MapAggregators.reduceTags joins conflicting values with ;") {
+    val df = Seq(
+      ("w1", Map("highway" -> "residential")),
+      ("w1", Map("highway" -> "primary", "name" -> "x"))).toDF("k", "m")
+    val got = df.groupBy(col("k"))
+      .agg(functions.MapAggregators.reduceTags(col("m")).as("s"))
+      .as[(String, Map[String, String])].head._2
+    got("highway").split(";").toSet shouldBe Set("residential", "primary")
+    got("name") shouldBe "x"
+  }
+
+  test("stableHash64 matches the Scala mirror") {
+    val df = Seq("hello", "world").toDF("s")
+    val viaCol = df.select(stableHash64(col("s"))).as[Long].collect()
+    val viaScala = Array("hello", "world")
+      .map(functions.TextFunctions.stableHash64Scala)
+    viaCol shouldBe viaScala
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo._
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("haversine matches known distances") {
+    // London (-0.1278, 51.5074) to Paris (2.3522, 48.8566) ≈ 343.5 km
+    val df = Seq((-0.1278, 51.5074, 2.3522, 48.8566)).toDF("lon1", "lat1", "lon2", "lat2")
+    val km = df.select(Geodesy.haversineMeters(
+      col("lon1"), col("lat1"), col("lon2"), col("lat2")) / 1000.0)
+      .as[Double].head
+    km shouldBe 343.5 +- 1.5
+    // zero distance
+    val z = Seq((10.0, 20.0)).toDF("lon", "lat")
+      .select(Geodesy.haversineMeters(col("lon"), col("lat"), col("lon"), col("lat")))
+      .as[Double].head
+    z shouldBe 0.0 +- 1e-9
+  }
+
+  test("equirect and webMercator tile keys agree with Scala mirrors") {
+    val pts = Seq((-180.0, 89.9), (0.0, 0.0), (179.99, -89.9), (13.4, 52.5))
+    val df = pts.toDF("lon", "lat")
+    for (z <- Seq(0, 3, 10)) {
+      val xs = df.select(GridLayout.equirect.tileX(col("lon"), z)).as[Long].collect()
+      xs shouldBe pts.map(p => GridLayout.tileXScala(p._1, z)).toArray
+      val ys = df.select(GridLayout.webMercator.tileY(col("lat"), z)).as[Long].collect()
+      ys shouldBe pts.map(p => GridLayout.mercatorTileYScala(p._2, z)).toArray
+    }
+  }
+
+  test("webMercator tile of Berlin at z=10 matches the public slippy value") {
+    GridLayout.tileXScala(13.4, 10) shouldBe 550L
+    GridLayout.mercatorTileYScala(52.5, 10) shouldBe 335L
+  }
+
+  test("CountryIndex: indexed lookup equals brute-force oracle (random points)") {
+    val idx = CountryIndex.synthetic()
+    val rects = CountryIndex.syntheticRects
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      val brute = rects.filter(r =>
+        lon >= r.minLon && lon <= r.maxLon &&
+          lat >= r.minLat && lat <= r.maxLat).map(_.code).sorted
+      idx.lookup(lon, lat) shouldBe brute
+    }
+  }
+
+  test("CountryIndex survives serialization (broadcast path)") {
+    val idx = CountryIndex.synthetic()
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(idx)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[CountryIndex]
+    back.lookupFirst(-150.0, -60.0) shouldBe idx.lookupFirst(-150.0, -60.0)
+    back.lookupFirst(0.0, 0.0) shouldBe idx.lookupFirst(0.0, 0.0)
+  }
+
+  test("geocode UDF over a DataFrame") {
+    val geocode = CountryIndex.geocodeFirst(spark, CountryIndex.synthetic())
+    val df = Seq((-150.0, -60.0), (-178.0, 0.0)).toDF("lon", "lat")
+    val got = df.select(geocode(col("lon"), col("lat"))).collect().map(_.getString(0))
+    got(0) shouldBe "C00"
+    got(1) shouldBe null // in the 5-degree ocean margin
+  }
+
+  test("stableRound is floor-based (no shortest-repr double surprises)") {
+    val xs = Seq(2.0495, 1.0004999, 267.49999999999997)
+    val df = xs.toDF("x")
+    val got = df.select(Geodesy.stableRound(col("x"), 3)).as[Double].collect()
+    // exactly the floor-based Scala mirror, element for element
+    got shouldBe xs.map(x => math.floor(x * 1000 + 0.5) / 1000).toArray
+  }
+}

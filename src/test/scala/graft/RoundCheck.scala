@@ -1,0 +1,13 @@
+package graft
+import org.apache.spark.sql.functions._
+object RoundCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(2.675, 100.10, 204.5).toDF("x")
+    df.select(col("x"), (col("x")*100).as("x100"), round(col("x")*100).as("r")).show(false)
+    val tags = Seq(Map("building" -> "yes"), Map("building" -> "no"), Map("highway" -> "x"), Map("natural" -> "water;coastline"), Map.empty[String,String]).toDF("tags")
+    tags.select(graft.functions.isBuilding(col("tags")).as("b")).show(false)
+    spark.stop()
+  }
+}

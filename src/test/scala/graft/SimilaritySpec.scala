@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f))    // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("DotProduct expression computes a left-fold dot product") {
+    graft.plans.ArrayExpressions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    df.select(expr("dot_prod(a, b)")).as[Double].head shouldBe 32.0
+    // null propagation
+    val dfn = Seq((Option.empty[Array[Double]], Option(Array(1.0)))).toDF("a", "b")
+    dfn.select(expr("dot_prod(a, b)")).collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("bruteForceTopK ranks identical > close > orthogonal > opposite") {
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), 4)
+      .orderBy(col("rnk")).as[(Long, Long, Double, Int)].collect()
+    topk.map(_._2) shouldBe Array(4L, 1L, 2L, 3L)
+    topk(0)._3 shouldBe 1.0
+    topk(2)._3 shouldBe 0.0 +- 1e-9
+    topk(3)._3 shouldBe -1.0
+  }
+
+  test("nearDupPairs finds the identical pair at high threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, 0.995) // cos(v1,v4)=0.9939 stays below
+      .as[(Long, Long, Double)].collect().toSeq
+    pairs.map(p => (p._1, p._2)) should contain((0L, 4L))
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+
+  test("sign-LSH buckets identical vectors together; lshTopK finds them") {
+    val bucketed = Similarity.signLshBuckets(vecs, nPlanes = 8, dim = 3)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    bucketed(0L) shouldBe bucketed(4L) // identical vectors, same bucket
+    bucketed(0L) should not be bucketed(3L) // opposite vectors differ
+    val got = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      k = 3, nPlanes = 8, dim = 3)
+      .orderBy(col("rnk")).as[(Long, Long, Double, Int)].collect()
+    got.head._2 shouldBe 4L // the identical vector is found in-bucket
+  }
+}

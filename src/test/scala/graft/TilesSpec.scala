@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tiles
+
+class TilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts(rows: (String, Double, Double)*) =
+    rows.toSeq.toDF("key", "lon", "lat")
+
+  test("rasterize puts a single point in the right tile and cell") {
+    val r = Tiles.rasterize(pts(("k", 0.0, 0.0)), "key", "lon", "lat",
+      zoom = 2, cells = 4).collect()
+    r.length shouldBe 1
+    // lon 0 -> gx = (0+180)/360 * 16 = 8; lat 0 -> gy = 8 => tile (2,2), cell (0,0)
+    r.head.x shouldBe 2L
+    r.head.y shouldBe 2L
+    r.head.values shouldBe Map(0L -> 1)
+  }
+
+  test("pyramid conserves mass at every level") {
+    val df = pts(
+      ("a", -170.0, 80.0), ("a", -170.01, 80.01), ("a", 10.0, -45.0),
+      ("b", 10.0, -45.0), ("b", 100.0, 30.0), ("b", 100.2, 30.2),
+      ("b", 179.9, -89.9))
+    val pyr = Tiles.pyramid(df, "key", "lon", "lat",
+      baseZoom = 5, minZoom = 0, cells = 8)
+    val totals = pyr
+      .map(r => (r.zoom, r.values.values.sum.toLong))
+      .toDF("zoom", "t").groupBy(col("zoom")).agg(sum(col("t")).as("total"))
+      .as[(Int, Long)].collect().toMap
+    totals.keySet shouldBe (0 to 5).toSet
+    totals.values.toSet shouldBe Set(7L) // every level sums to the input count
+  }
+
+  test("downsample parents aggregate their children's cells") {
+    // two points in adjacent base tiles that share a parent
+    val df = pts(("k", -180.0, 89.99), ("k", -179.0, 89.99))
+    val base = Tiles.rasterize(df, "key", "lon", "lat", zoom = 3, cells = 2)
+    base.collect().length shouldBe 1 // same tile at z3 actually
+    val z2 = Tiles.downsampleMerge(base).collect()
+    z2.length shouldBe 1
+    z2.head.zoom shouldBe 2
+    z2.head.values.values.sum shouldBe 2
+  }
+
+  test("vectorize emits cell centers that re-rasterize to the same cells") {
+    val df = pts(("k", 12.34, 56.78), ("k", -120.0, -33.0))
+    val base = Tiles.rasterize(df, "key", "lon", "lat", zoom = 4, cells = 8)
+    val features = Tiles.vectorize(base)
+    val back = Tiles.rasterize(
+      features.toDF().select(col("key"), col("lon"), col("lat")),
+      "key", "lon", "lat", zoom = 4, cells = 8)
+    val a = base.collect().map(r => (r.x, r.y, r.values)).toSet
+    val b = back.collect().map(r => (r.x, r.y, r.values)).toSet
+    a shouldBe b
+  }
+}
