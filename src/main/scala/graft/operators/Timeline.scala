@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Element-history timeline semantics: validity windows, previous-version
+  * values, minor versions, and the temporal-validity join.
+  *
+  * This is the reference's `ProcessOSM.preprocessNodes/preprocessWays`
+  * contract re-derived (SURVEY.md §1.2): each element version gains
+  * `valid_until` (timestamp of the next version, null while current), a
+  * `prev_*` column via lag (reference `withPrevGeom`,
+  * analytics/.../stats/package.scala:62-68), and reconstructed geometries
+  * gain `minor_version` — a version whose content changed without a new
+  * major version (reference minor-version numbering at
+  * apps/.../batch/FacetedEditHistogramTileCreator.scala:115-131).
+  *
+  * Scale notes: all three are window functions over (id) — one shuffle
+  * by element id, which is also the natural partitioning for the
+  * temporal join probe side. The temporal join itself is an equi-join on
+  * id with a range residual; Catalyst plans SMJ with a post-filter, the
+  * same shape the reference relies on (SURVEY.md §2.3 J4).
+  */
+object Timeline {
+
+  /** Add `valid_until` = next version's timestamp (null while current).
+    * Reference: vectorpipe preprocessNodes/Ways' validUntil column; usage
+    * contract at apps/.../batch/FacetedEditHistogramTileCreator.scala:60-76. */
+  def withValidUntil(df: DataFrame, idCols: Seq[String], tsCol: String,
+                     tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn("valid_until", lead(col(tsCol), 1).over(w))
+  }
+
+  /** Add `prev_<name>` via lag over the version timeline. */
+  def withPrev(df: DataFrame, idCols: Seq[String], tsCol: String,
+               valueCol: String, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn(s"prev_$valueCol", lag(col(valueCol), 1).over(w))
+  }
+
+  /** Add `minor_version`: 0-based ordinal of content updates within one
+    * major version. */
+  def withMinorVersion(df: DataFrame, idCols: Seq[String], versionCol: String,
+                       tsCol: String, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy((idCols :+ versionCol).map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn("minor_version", row_number().over(w) - 1)
+  }
+
+  /** Temporal-validity join: each probe row matches the version row (same
+    * key) whose [tsCol, valid_until) window contains the probe timestamp
+    * — `'timestamp <= 'updated and 'updated < coalesce('validUntil,
+    * current_timestamp)` in the reference (J4). Versions must already
+    * carry `valid_until` ([[withValidUntil]]). */
+  def temporalJoin(probe: DataFrame, versions: DataFrame, keys: Seq[String],
+                   probeTs: String, versionTs: String,
+                   joinType: String = "inner"): DataFrame = {
+    val cond = keys.map(k => probe(k) === versions(k)).reduce(_ && _) &&
+      versions(versionTs) <= probe(probeTs) &&
+      (versions("valid_until").isNull || probe(probeTs) < versions("valid_until"))
+    probe.join(versions, cond, joinType)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** A sequence-numbered micro-batch source, the engine's analog of the
+  * reference's replication-polling streaming sources (changes /
+  * changesets / augmented diffs; SURVEY.md §2.1 S3-S5, reference call
+  * sites apps/.../streaming/ChangeStreamProcessor.scala:78-96).
+  *
+  * Semantics mirrored from the reference:
+  *  - offsets ARE replication sequence numbers (resume = start from a
+  *    sequence; Spark's offset log persists them, and `StartSequence` /
+  *    `EndSequence` options bound the feed like the reference's options);
+  *  - each micro-batch covers a half-open sequence range; every sequence
+  *    yields a deterministic batch of element-change rows (in production
+  *    the per-sequence fetch would be network I/O executed on executors —
+  *    here rows are synthesized deterministically so the machinery is
+  *    fully testable offline);
+  *  - the same table supports batch reads over a sequence range (the
+  *    reference reuses streaming sources in batch mode, e.g.
+  *    apps/.../batch/MergeChangesets.scala:89-95).
+  *
+  * Scale: one InputPartition per sequence — each executor fetches and
+  * parses its own sequences; no driver-side row materialization.
+  *
+  * Options: `startSequence` (default 0), `endSequence` (inclusive;
+  * batch default 9), `rowsPerSequence` (default 10), `sequencesPerBatch`
+  * (streaming rate cap, default 5).
+  */
+class SequenceSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SequenceSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SequenceTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SequenceSource {
+  val schema: StructType = StructType(Seq(
+    StructField("sequence", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("element_type", StringType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("visible", BooleanType, nullable = false),
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false)))
+
+  val SequenceEpochSeconds: Long = graft.functions.SequenceEpochSeconds
+
+  /** Deterministic rows for one sequence (what a replication fetch would
+    * return). */
+  def rowsFor(seq: Long, rowsPerSequence: Int): Seq[InternalRow] =
+    (0 until rowsPerSequence).map { i =>
+      val id = seq * 1000 + i
+      val h = id * 2654435761L % 4294967296L
+      InternalRow(
+        seq,
+        (SequenceEpochSeconds + seq * 60) * 1000000L, // micros
+        id,
+        UTF8String.fromString(if (h % 4 == 0) "way" else "node"),
+        seq * 10 + (h % 7),
+        h % 100,
+        h % 11 != 0,
+        (h % 36000).toDouble / 100.0 - 180.0,
+        ((h / 7) % 18000).toDouble / 100.0 - 90.0)
+    }
+}
+
+class SequenceTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_sequence_source"
+  override def schema(): StructType = SequenceSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava)
+    () => new SequenceScan(merged)
+  }
+}
+
+case class SequenceOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val start = options.getLong("startSequence", 0L)
+  private val end = options.getLong("endSequence", 9L)
+  private val rowsPer = options.getInt("rowsPerSequence", 10)
+  private val perBatch = options.getLong("sequencesPerBatch", 5L)
+
+  override def readSchema(): StructType = SequenceSource.schema
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      (start to end).map(s => SequencePartition(s, rowsPer): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      SequenceReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+      // offset N = "sequences < N consumed". Admission control caps each
+      // micro-batch at sequencesPerBatch relative to its START offset
+      // (stateless — correct across restarts), like the reference's
+      // BatchSize option; in production latest would poll the
+      // replication endpoint's state file instead of the endSequence
+      // bound. Trigger.AvailableNow drains batch-by-batch up to the
+      // offset captured at prepare time.
+      @volatile private var availableNowTarget: Long = end + 1
+
+      override def initialOffset(): Offset = SequenceOffset(start)
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableNowTarget = end + 1
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+        val lo = startOffset.asInstanceOf[SequenceOffset].seq
+        SequenceOffset(math.min(lo + perBatch, math.min(availableNowTarget, end + 1)))
+      }
+      override def reportLatestOffset(): Offset = SequenceOffset(end + 1)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+      override def deserializeOffset(json: String): Offset =
+        SequenceOffset(json.toLong)
+      override def commit(offset: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
+        val lo = s.asInstanceOf[SequenceOffset].seq
+        val hi = e.asInstanceOf[SequenceOffset].seq
+        (lo until hi).map(q => SequencePartition(q, rowsPer): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        SequenceReaderFactory
+    }
+}
+
+case class SequencePartition(seq: Long, rowsPer: Int) extends InputPartition
+
+object SequenceReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SequencePartition]
+    new PartitionReader[InternalRow] {
+      private val it = SequenceSource.rowsFor(p.seq, p.rowsPer).iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

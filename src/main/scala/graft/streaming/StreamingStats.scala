@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Streaming stat pipelines mirroring the reference's semantics
+  * (SURVEY.md §2.9):
+  *
+  *  - per-sequence changeset rollup with a 0-second watermark — sequences
+  *    arrive in order, so the aggregate for sequence N finalizes when
+  *    N+1 arrives (reference note at
+  *    apps/.../streaming/StreamingChangesetStatsUpdater.scala:110-117);
+  *  - stream-stream enrichment join with a 25-hour watermark on the
+  *    changeset-metadata side (open-changeset lifetime + slack, reference
+  *    MergedChangesetStreamProcessor.scala:149-168).
+  *
+  * Both work identically on batch DataFrames (withWatermark is a no-op in
+  * batch), which is how the specs assert streaming-vs-batch equivalence.
+  */
+object StreamingStats {
+
+  /** Watermarked per-(sequence, changeset, uid) edit rollup (A10 shape).
+    * Input: SequenceSource-schema rows. Output appends once the
+    * watermark passes each sequence. */
+  def changesetStats(changes: DataFrame, watermarked: Boolean = true): DataFrame = {
+    val base = changes
+      .withColumn("event_ts", sequenceToTimestamp(col("sequence")))
+    val wm = if (watermarked) base.withWatermark("event_ts", "0 seconds") else base
+    wm.groupBy(col("event_ts"), col("sequence"), col("changeset"), col("uid"))
+      .agg(
+        count(lit(1)).as("total_edits"),
+        sum(when(col("element_type") === "node", 1L).otherwise(0L)).as("nodes"),
+        sum(when(col("element_type") === "way", 1L).otherwise(0L)).as("ways"),
+        sum(when(!col("visible"), 1L).otherwise(0L)).as("deletes"))
+      .select(col("sequence"), col("changeset"), col("uid"),
+        col("total_edits"), col("nodes"), col("ways"), col("deletes"))
+  }
+
+  /** Stream-stream inner join of element changes to changeset metadata on
+    * `changeset`, 25 h watermark on the metadata side, 0 s on changes
+    * (J5). `metadata` needs (changeset, created_at, meta_user). */
+  def enrichWithChangesets(changes: DataFrame, metadata: DataFrame): DataFrame = {
+    val c = changes
+      .withColumn("event_ts", sequenceToTimestamp(col("sequence")))
+      .withWatermark("event_ts", "0 seconds")
+    val m = metadata.withWatermark("created_at", "25 hours")
+    c.join(m, Seq("changeset"), "inner")
+      .filter(col("created_at") <= col("event_ts") &&
+        col("event_ts") <= col("created_at") + expr("INTERVAL 25 HOURS"))
+      .select(col("sequence"), col("changeset"), col("id"),
+        col("element_type"), col("meta_user"))
+  }
+}
