@@ -1,0 +1,329 @@
+package graft.sinks
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable
+
+/** Hand-written Mapbox-Vector-Tile (MVT) encoder/decoder + the
+  * sequence-layer commit protocol.
+  *
+  * Wire format from the public MVT 2.1 spec (protobuf): a Tile message is
+  * repeated Layer (field 3); Layer has version=2 (15), name (1), features
+  * (2), keys (3), values (4), extent (5); Feature has id (1), packed tags
+  * (2), type (3), packed zigzag geometry commands (4). The reference
+  * builds tiles via geotrellis `StrictLayer` and gzips them to S3
+  * (reference analytics/.../updater/package.scala:130-180,325-340); here
+  * the encoding is self-contained.
+  *
+  * Exactly-once protocol (reference VectorGrid.scala:33-60,
+  * EditHistogram.scala:286-305): every tile embeds a `__sequences__`
+  * layer listing committed sequence ids (capped at the most recent 1000).
+  * An update re-writing a tile first filters sequences already committed
+  * — replays of the same micro-batch become no-ops, which together with
+  * the store-side dedup guard (UpsertSink) gives end-to-end idempotence.
+  */
+object Mvt {
+
+  sealed trait MValue
+  case class MString(v: String) extends MValue
+  case class MLong(v: Long) extends MValue
+  case class MDouble(v: Double) extends MValue
+
+  /** geomType: 1=POINT, 2=LINESTRING, 3=POLYGON (spec). `geometry` is the
+    * raw command/parameter integer sequence (already zigzagged params are
+    * NOT expected — encode() zigzags parameters; commands stay raw). */
+  case class Feature(id: Long, geomType: Int, commands: Seq[GeomCommand],
+                     tags: Map[String, MValue])
+  sealed trait GeomCommand
+  case class MoveTo(dxs: Seq[(Int, Int)]) extends GeomCommand
+  case class LineTo(dxs: Seq[(Int, Int)]) extends GeomCommand
+  case object ClosePath extends GeomCommand
+
+  case class Layer(name: String, extent: Int, features: Seq[Feature])
+
+  // ------------------------------------------------------------ protobuf
+
+  private def writeVarint(out: ByteArrayOutputStream, value0: Long): Unit = {
+    var value = value0
+    while ((value & ~0x7FL) != 0) {
+      out.write(((value & 0x7F) | 0x80).toInt)
+      value >>>= 7
+    }
+    out.write(value.toInt)
+  }
+  private def zigzag(n: Int): Long = ((n << 1) ^ (n >> 31)).toLong & 0xFFFFFFFFL
+  private def unzigzag(n: Long): Int = ((n >>> 1) ^ -(n & 1)).toInt
+
+  private def writeTag(out: ByteArrayOutputStream, field: Int, wireType: Int): Unit =
+    writeVarint(out, (field << 3) | wireType)
+  private def writeBytes(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+    writeTag(out, field, 2); writeVarint(out, b.length); out.write(b)
+  }
+  private def writeString(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+    writeBytes(out, field, s.getBytes("UTF-8"))
+
+  private def encodeValue(v: MValue): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    v match {
+      case MString(s) => writeString(out, 1, s)
+      case MDouble(d) =>
+        writeTag(out, 3, 1)
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xFF).toInt))
+      case MLong(l) => writeTag(out, 4, 0); writeVarint(out, l)
+    }
+    out.toByteArray
+  }
+
+  private def encodeGeometry(commands: Seq[GeomCommand]): Seq[Long] = {
+    val buf = mutable.ArrayBuffer.empty[Long]
+    commands.foreach {
+      case MoveTo(ds) =>
+        buf += ((ds.length.toLong << 3) | 1)
+        ds.foreach { case (dx, dy) => buf += zigzag(dx); buf += zigzag(dy) }
+      case LineTo(ds) =>
+        buf += ((ds.length.toLong << 3) | 2)
+        ds.foreach { case (dx, dy) => buf += zigzag(dx); buf += zigzag(dy) }
+      case ClosePath => buf += ((1L << 3) | 7)
+    }
+    buf.toSeq
+  }
+
+  private def encodeFeature(f: Feature, keyIdx: Map[String, Int],
+                            valIdx: Map[MValue, Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeTag(out, 1, 0); writeVarint(out, f.id)
+    // packed tags: k,v index pairs
+    val tagsOut = new ByteArrayOutputStream()
+    f.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      writeVarint(tagsOut, keyIdx(k)); writeVarint(tagsOut, valIdx(v))
+    }
+    writeBytes(out, 2, tagsOut.toByteArray)
+    writeTag(out, 3, 0); writeVarint(out, f.geomType)
+    val geomOut = new ByteArrayOutputStream()
+    encodeGeometry(f.commands).foreach(writeVarint(geomOut, _))
+    writeBytes(out, 4, geomOut.toByteArray)
+    out.toByteArray
+  }
+
+  private def encodeLayer(layer: Layer): Array[Byte] = {
+    val keys = layer.features.flatMap(_.tags.keys).distinct.sorted
+    val vals = layer.features.flatMap(_.tags.values).distinct
+    val keyIdx = keys.zipWithIndex.toMap
+    val valIdx = vals.zipWithIndex.toMap
+    val out = new ByteArrayOutputStream()
+    writeTag(out, 15, 0); writeVarint(out, 2) // version
+    writeString(out, 1, layer.name)
+    layer.features.foreach(f => writeBytes(out, 2, encodeFeature(f, keyIdx, valIdx)))
+    keys.foreach(writeString(out, 3, _))
+    vals.foreach(v => writeBytes(out, 4, encodeValue(v)))
+    writeTag(out, 5, 0); writeVarint(out, layer.extent)
+    out.toByteArray
+  }
+
+  def encode(layers: Seq[Layer]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    layers.foreach(l => writeBytes(out, 3, encodeLayer(l)))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  private class Reader(b: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < b.length
+    def varint(): Long = {
+      var shift = 0; var result = 0L
+      var byte = 0
+      do {
+        byte = b(pos) & 0xFF; pos += 1
+        result |= (byte & 0x7FL) << shift; shift += 7
+      } while ((byte & 0x80) != 0)
+      result
+    }
+    def bytes(): Array[Byte] = {
+      val len = varint().toInt
+      val r = java.util.Arrays.copyOfRange(b, pos, pos + len); pos += len; r
+    }
+    def fixed64(): Long = {
+      var v = 0L
+      (0 until 8).foreach(i => { v |= (b(pos + i) & 0xFFL) << (8 * i) })
+      pos += 8; v
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => bytes()
+      case 5 => pos += 4
+    }
+  }
+
+  def decode(tile: Array[Byte]): Seq[Layer] = {
+    val r = new Reader(tile)
+    val layers = mutable.ArrayBuffer.empty[Layer]
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag >> 3) == 3 && (tag & 7) == 2) layers += decodeLayer(r.bytes())
+      else r.skip((tag & 7).toInt)
+    }
+    layers.toSeq
+  }
+
+  private def decodeLayer(b: Array[Byte]): Layer = {
+    val r = new Reader(b)
+    var name = ""; var extent = 4096
+    val featureBytes = mutable.ArrayBuffer.empty[Array[Byte]]
+    val keys = mutable.ArrayBuffer.empty[String]
+    val vals = mutable.ArrayBuffer.empty[MValue]
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => name = new String(r.bytes(), "UTF-8")
+        case (2, 2) => featureBytes += r.bytes()
+        case (3, 2) => keys += new String(r.bytes(), "UTF-8")
+        case (4, 2) => vals += decodeValue(r.bytes())
+        case (5, 0) => extent = r.varint().toInt
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    val features = featureBytes.map(decodeFeature(_, keys.toSeq, vals.toSeq))
+    Layer(name, extent, features.toSeq)
+  }
+
+  private def decodeValue(b: Array[Byte]): MValue = {
+    val r = new Reader(b)
+    var v: MValue = MString("")
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => v = MString(new String(r.bytes(), "UTF-8"))
+        case (3, 1) => v = MDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (4, 0) => v = MLong(r.varint())
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    v
+  }
+
+  private def decodeFeature(b: Array[Byte], keys: Seq[String],
+                            vals: Seq[MValue]): Feature = {
+    val r = new Reader(b)
+    var id = 0L; var geomType = 0
+    var tags = Map.empty[String, MValue]
+    var commands = Seq.empty[GeomCommand]
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 0) => id = r.varint()
+        case (2, 2) =>
+          val tr = new Reader(r.bytes())
+          val m = mutable.Map.empty[String, MValue]
+          while (tr.hasMore) {
+            val k = tr.varint().toInt; val v = tr.varint().toInt
+            m.update(keys(k), vals(v))
+          }
+          tags = m.toMap
+        case (3, 0) => geomType = r.varint().toInt
+        case (4, 2) =>
+          val gr = new Reader(r.bytes())
+          val cmds = mutable.ArrayBuffer.empty[GeomCommand]
+          while (gr.hasMore) {
+            val ci = gr.varint()
+            val cid = (ci & 7).toInt; val count = (ci >> 3).toInt
+            cid match {
+              case 1 =>
+                cmds += MoveTo((0 until count).map(_ =>
+                  (unzigzag(gr.varint()), unzigzag(gr.varint()))))
+              case 2 =>
+                cmds += LineTo((0 until count).map(_ =>
+                  (unzigzag(gr.varint()), unzigzag(gr.varint()))))
+              case 7 => cmds += ClosePath
+            }
+          }
+          commands = cmds.toSeq
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    Feature(id, geomType, commands, tags)
+  }
+
+  // ------------------------------------------------------ tile store
+
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes()
+  }
+
+  def tilePath(dir: String, z: Int, x: Long, y: Long): Path =
+    Paths.get(dir, z.toString, x.toString, s"$y.mvt")
+
+  def writeTile(dir: String, z: Int, x: Long, y: Long, layers: Seq[Layer]): Unit = {
+    val p = tilePath(dir, z, x, y)
+    Files.createDirectories(p.getParent)
+    Files.write(p, gzip(encode(layers)))
+  }
+
+  def readTile(dir: String, z: Int, x: Long, y: Long): Option[Seq[Layer]] = {
+    val p = tilePath(dir, z, x, y)
+    if (Files.exists(p)) Some(decode(gunzip(Files.readAllBytes(p)))) else None
+  }
+
+  // ------------------------------------------------- commit protocol
+
+  val SequencesLayerName = "__sequences__"
+  val MaxTrackedSequences = 1000
+
+  private def sequencesOf(layers: Seq[Layer]): Set[Long] =
+    layers.find(_.name == SequencesLayerName).toSeq
+      .flatMap(_.features.flatMap(_.tags.get("sequence")))
+      .collect { case MLong(s) => s }.toSet
+
+  /** Idempotent read-modify-write: merge `features` into layer `layer` of
+    * tile (z,x,y) under `sequence`. A replay of an already-committed
+    * sequence is a no-op. Feature merge: same-id features' MLong tag
+    * values are summed (the reference's density-sum replacement schema,
+    * EditHistogram.scala:101-127). */
+  def commitTile(dir: String, z: Int, x: Long, y: Long, layer: String,
+                 features: Seq[Feature], sequence: Long,
+                 extent: Int = 4096): Boolean = {
+    val existing = readTile(dir, z, x, y).getOrElse(Seq.empty)
+    val committed = sequencesOf(existing)
+    if (committed.contains(sequence)) return false // already applied
+    val existingLayer = existing.find(_.name == layer)
+    val byId = mutable.LinkedHashMap.empty[Long, Feature]
+    existingLayer.toSeq.flatMap(_.features).foreach(f => byId.update(f.id, f))
+    features.foreach { f =>
+      byId.get(f.id) match {
+        case None => byId.update(f.id, f)
+        case Some(old) =>
+          val mergedTags = (old.tags.keySet ++ f.tags.keySet).map { k =>
+            val merged = (old.tags.get(k), f.tags.get(k)) match {
+              case (Some(MLong(a)), Some(MLong(b))) => MLong(a + b)
+              case (_, Some(v)) => v
+              case (Some(v), _) => v
+              case _ => MString("")
+            }
+            k -> merged
+          }.toMap
+          byId.update(f.id, Feature(old.id, old.geomType, old.commands, mergedTags))
+      }
+    }
+    val newSeqs = (committed + sequence).toSeq.sorted.takeRight(MaxTrackedSequences)
+    val seqLayer = Layer(SequencesLayerName, extent,
+      newSeqs.zipWithIndex.map { case (s, i) =>
+        Feature(i + 1, 1, Seq(MoveTo(Seq((0, 0)))), Map("sequence" -> MLong(s)))
+      })
+    val others = existing.filterNot(l =>
+      l.name == layer || l.name == SequencesLayerName)
+    writeTile(dir, z, x, y,
+      others :+ Layer(layer, extent, byId.values.toSeq) :+ seqLayer)
+    true
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sinks
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.spark.sql.Dataset
+
+import graft.operators.Tiles.Raster
+
+/** Writes sparse-raster tiles as gzipped MVT files via partition-local
+  * I/O with a bounded upload pool — the reference's sink shape
+  * (mapPartitions + ForkJoinTaskSupport, 8 concurrent uploads/partition:
+  * reference analytics/.../EditHistogram.scala:54-64, VectorGrid.scala:30).
+  * The driver never touches tile bytes; each task writes its own tiles
+  * (to file:// here, s3:// in production — same pattern).
+  */
+object TileSink {
+
+  /** Commit every raster under `sequence`; returns tiles written (tiles
+    * whose sequence was already committed are skipped — idempotent). */
+  def writeRasters(tiles: Dataset[Raster], dir: String, layer: String,
+                   sequence: Long, concurrency: Int = 8): Long = {
+    import tiles.sparkSession.implicits._
+    tiles.mapPartitions { rs =>
+      val pool = Executors.newFixedThreadPool(concurrency)
+      try {
+        val futures = rs.map { r =>
+          pool.submit(new Callable[Long] {
+            override def call(): Long = {
+              val features = r.values.toSeq.sortBy(_._1).map { case (cell, v) =>
+                val px = (cell % r.cells) * (4096 / r.cells)
+                val py = (cell / r.cells) * (4096 / r.cells)
+                Mvt.Feature(cell + 1, 1,
+                  Seq(Mvt.MoveTo(Seq((px.toInt, py.toInt)))),
+                  Map("density" -> Mvt.MLong(v.toLong)))
+              }
+              if (Mvt.commitTile(dir, r.zoom, r.x, r.y, layer, features, sequence))
+                1L else 0L
+            }
+          })
+        }.toList // materialize: submit all before awaiting
+        val written = futures.map(_.get(120, TimeUnit.SECONDS)).sum
+        Iterator.single(written)
+      } finally pool.shutdown()
+    }.reduce(_ + _)
+  }
+}

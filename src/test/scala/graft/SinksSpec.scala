@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.{Mvt, TileSink, UpsertSink}
+import graft.sinks.UpsertSink.{StatsRow, InMemoryUpsertStore}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert merges key-wise on conflict") {
+    val store = new InMemoryUpsertStore
+    UpsertSink.writeBatch(Seq(
+      StatsRow(1L, 10L, Map("roads" -> 2L), Map("km" -> 1.5), 2L, Set(100L)),
+      StatsRow(1L, 10L, Map("roads" -> 1L, "buildings" -> 4L), Map("km" -> 0.5), 5L, Set(101L))),
+      store)
+    val got = store.get(1L).get
+    got.counts shouldBe Map("roads" -> 3L, "buildings" -> 4L)
+    got.measurements shouldBe Map("km" -> 2.0)
+    got.totalEdits shouldBe 7L
+    got.sequences shouldBe Set(100L, 101L)
+  }
+
+  test("dedup guard: replaying an overlapping sequence is a no-op") {
+    val store = new InMemoryUpsertStore
+    val row = StatsRow(2L, 10L, Map("roads" -> 2L), Map.empty, 2L, Set(100L))
+    UpsertSink.writeBatch(Seq(row), store)
+    UpsertSink.writeBatch(Seq(row), store) // at-least-once replay
+    store.get(2L).get.counts shouldBe Map("roads" -> 2L)
+    store.get(2L).get.totalEdits shouldBe 2L
+    // a NEW sequence for the same changeset still merges
+    UpsertSink.writeBatch(Seq(row.copy(sequences = Set(101L))), store)
+    store.get(2L).get.totalEdits shouldBe 4L
+  }
+
+  test("checkpoint table keeps the high-water mark") {
+    val store = new InMemoryUpsertStore
+    store.saveCheckpoint("augdiff-stream", 42L)
+    store.saveCheckpoint("augdiff-stream", 40L) // stale write doesn't regress
+    store.checkpoint("augdiff-stream") shouldBe Some(42L)
+    store.checkpoint("other") shouldBe None
+  }
+
+  test("MVT encode/decode round-trip") {
+    val layer = Mvt.Layer("edits", 4096, Seq(
+      Mvt.Feature(1L, 1, Seq(Mvt.MoveTo(Seq((100, 200)))),
+        Map("density" -> Mvt.MLong(7), "name" -> Mvt.MString("x"),
+          "score" -> Mvt.MDouble(1.25))),
+      Mvt.Feature(2L, 2, Seq(Mvt.MoveTo(Seq((0, 0))), Mvt.LineTo(Seq((10, -5), (3, 4)))),
+        Map("density" -> Mvt.MLong(1)))))
+    val back = Mvt.decode(Mvt.encode(Seq(layer)))
+    back shouldBe Seq(layer)
+    // gzip framing round-trips too
+    Mvt.gunzip(Mvt.gzip(Mvt.encode(Seq(layer)))) shouldBe Mvt.encode(Seq(layer))
+  }
+
+  test("commit protocol: sequence replay is a no-op, new sequences merge") {
+    val dir = Files.createTempDirectory("graft-tiles").toString
+    val f = Seq(Mvt.Feature(5L, 1, Seq(Mvt.MoveTo(Seq((64, 64)))),
+      Map("density" -> Mvt.MLong(3))))
+    Mvt.commitTile(dir, 4, 7, 5, "edits", f, sequence = 1L) shouldBe true
+    Mvt.commitTile(dir, 4, 7, 5, "edits", f, sequence = 1L) shouldBe false // replay
+    var tile = Mvt.readTile(dir, 4, 7, 5).get
+    tile.find(_.name == "edits").get.features.head.tags("density") shouldBe Mvt.MLong(3)
+    // a new sequence sums same-id long tags
+    Mvt.commitTile(dir, 4, 7, 5, "edits", f, sequence = 2L) shouldBe true
+    tile = Mvt.readTile(dir, 4, 7, 5).get
+    tile.find(_.name == "edits").get.features.head.tags("density") shouldBe Mvt.MLong(6)
+    // __sequences__ layer records both commits
+    val seqs = tile.find(_.name == Mvt.SequencesLayerName).get.features
+      .map(_.tags("sequence"))
+    seqs should contain theSameElementsAs Seq(Mvt.MLong(1), Mvt.MLong(2))
+  }
+
+  test("TileSink writes a pyramid level end-to-end and is idempotent") {
+    val dir = Files.createTempDirectory("graft-tiles2").toString
+    val pts = Seq(("k", 10.0, 20.0), ("k", 10.1, 20.1), ("k", -60.0, -30.0))
+      .toDF("key", "lon", "lat")
+    val rasters = graft.operators.Tiles.rasterize(pts, "key", "lon", "lat",
+      zoom = 3, cells = 16)
+    val written = TileSink.writeRasters(rasters, dir, "edits", sequence = 1L)
+    written should be >= 1L
+    val again = TileSink.writeRasters(rasters, dir, "edits", sequence = 1L)
+    again shouldBe 0L // all tiles already committed under this sequence
+  }
+}
