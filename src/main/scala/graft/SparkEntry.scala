@@ -302,6 +302,27 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
+    "q_a7_boolor" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          (max((col("event_type") === "purchase").cast(IntegerType)) === 1)
+            .as("has_purchase"),
+          sum((col("value") > 4.0).cast(LongType)).as("n_high"))
+        .orderBy(col("user_id"))),
+
+    // ---- J8: spatial pairwise match via neighbor-duplicated grid cells
+    //      (SURVEY §2.3 J8 — tile-duplication instead of the reference's
+    //      lossy quad-tree partitioner)
+    "q_j8_spatial_pairs" -> ((s, dir) =>
+      geo.SpatialJoin.pairsWithin(
+          Tables.events(s, dir)
+            .withColumn("lon", synthLon(col("event_id")))
+            .withColumn("lat", synthLat(col("event_id"))),
+          "event_id", "lon", "lat", epsMeters = 150000.0)
+        .orderBy(col("ia"), col("ib"))),
+
     // ---- tile pipeline: rasterize -> downsample -> merge -> pyramid
     //      (SURVEY §2.10; summary checkable per level because the
     //      equirect floor arithmetic nests exactly)
@@ -636,6 +657,37 @@ object SparkEntry {
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a7_boolor" ->
+      """SELECT user_id,
+        |  max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) = 1
+        |    AS has_purchase,
+        |  sum(CASE WHEN value > 4.0 THEN 1 ELSE 0 END) AS n_high
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j8_spatial_pairs" ->
+      s"""WITH pts AS (
+         |  SELECT event_id AS pid, ${synthLonSql("event_id")} AS plon,
+         |         ${synthLatSql("event_id")} AS plat FROM events),
+         |band AS (
+         |  SELECT pid, plon, plat,
+         |    CAST(floor(plon/(150000.0/55500.0)) AS BIGINT) AS cx,
+         |    CAST(floor(plat/(150000.0/111000.0)) AS BIGINT) AS cy
+         |  FROM pts WHERE abs(plat) <= 60.0),
+         |b AS (
+         |  SELECT pid AS ib, plon AS lon_b, plat AS lat_b,
+         |         cx + ox AS cx, cy + oy AS cy
+         |  FROM band, (VALUES (-1),(0),(1)) ox(ox), (VALUES (-1),(0),(1)) oy(oy)),
+         |cand AS (
+         |  SELECT DISTINCT a.pid AS ia, b.ib, a.plon AS lon_a, a.plat AS lat_a,
+         |         lon_b, lat_b
+         |  FROM band a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.pid < b.ib)
+         |SELECT ia, ib, dist_cm FROM (
+         |  SELECT ia, ib,
+         |    CAST(floor(${haversineSql("lon_a", "lat_a", "lon_b", "lat_b")}
+         |      * 100 + 0.5) AS BIGINT) AS dist_cm
+         |  FROM cand) t
+         |WHERE dist_cm <= 15000000 ORDER BY ia, ib""".stripMargin,
 
     "q_tile_pyramid" ->
       s"""WITH pts AS (

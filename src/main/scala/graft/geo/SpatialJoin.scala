@@ -1,0 +1,60 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Spatial pairwise matching via grid cells with neighbor duplication.
+  *
+  * Reference: the building-matcher partitions by a quad tree and matches
+  * O(n²) per partition, acknowledging in-code that it "misses possible
+  * matches in ancestral quad tree boxes" (reference
+  * bm/BuildingMatching.scala:162-331, flaw noted at :165). Per the survey
+  * recommendation (SURVEY.md §2.3 J8), this implementation
+  * tile-DUPLICATES instead: one side is replicated into its 3×3 cell
+  * neighborhood, the join is a plain equi-join on cell id, and the exact
+  * distance predicate verifies candidates — no missed pairs within the
+  * supported latitude band, one shuffle, no custom partitioner.
+  *
+  * Cell sizing guarantees any pair within `epsMeters` shares a
+  * neighborhood cell for |lat| ≤ 60° (lon degree length ≥ 111 km·cos 60°).
+  */
+object SpatialJoin {
+
+  val MetersPerDegreeLat = 111000.0
+  val MetersPerDegreeLonAt60 = 55500.0
+
+  /** All pairs (ia < ib) within epsMeters (great-circle), |lat| ≤ 60.
+    * Distance compared on integer centimeters for reproducibility. */
+  def pairsWithin(df: DataFrame, idCol: String, lonCol: String, latCol: String,
+                  epsMeters: Double): DataFrame = {
+    val dLat = epsMeters / MetersPerDegreeLat
+    val dLon = epsMeters / MetersPerDegreeLonAt60
+    val pts = df.select(col(idCol).as("pid"), col(lonCol).as("plon"),
+      col(latCol).as("plat"))
+      .filter(abs(col("plat")) <= 60.0)
+      .withColumn("cx", floor(col("plon") / dLon).cast(LongType))
+      .withColumn("cy", floor(col("plat") / dLat).cast(LongType))
+    val a = pts.select(col("pid").as("ia"), col("plon").as("lon_a"),
+      col("plat").as("lat_a"), col("cx"), col("cy"))
+    // duplicate the b side into its 3x3 neighborhood
+    val offsets = for (ox <- -1 to 1; oy <- -1 to 1) yield (ox, oy)
+    val dup = explode(array(offsets.map { case (ox, oy) =>
+      struct(lit(ox).as("ox"), lit(oy).as("oy"))
+    }: _*))
+    val b = pts.withColumn("o", dup)
+      .select(col("pid").as("ib"), col("plon").as("lon_b"),
+        col("plat").as("lat_b"),
+        (col("cx") + col("o.ox")).as("cx"),
+        (col("cy") + col("o.oy")).as("cy"))
+    val epsCm = math.round(epsMeters * 100)
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("dist_cm",
+        floor(Geodesy.haversineMeters(col("lon_a"), col("lat_a"),
+          col("lon_b"), col("lat_b")) * 100 + 0.5).cast(LongType))
+      .filter(col("dist_cm") <= epsCm)
+      .select(col("ia"), col("ib"), col("dist_cm"))
+      .distinct()
+  }
+}

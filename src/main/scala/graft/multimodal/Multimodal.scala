@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines:
+  * opaque `BINARY` payloads + typed metadata, with decode / feature
+  * extraction as batched partition-local transforms.
+  *
+  * The Spark-side plumbing — schema, partitioning, batched invocation
+  * shape (the Scala analog of `mapInPandas` batches) — is real and
+  * tested. The actual media decode is STUBBED ([[decodeStub]]): the
+  * container has no image/audio codecs, so the stub derives a
+  * deterministic feature vector from the payload bytes; swapping in a
+  * real decoder (JavaCV / TwelveMonkeys / ffmpeg-cli) only changes that
+  * one function.
+  *
+  * Scale notes: payloads never shuffle — feature extraction is a narrow
+  * mapPartitions; only the (id, features) projection flows downstream.
+  * Batching (default 64 rows) is what a vectorized decoder needs to
+  * amortize model/codec setup per batch rather than per row.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("format", StringType)))),
+  ))
+
+  /** Deterministic synthetic assets (payload bytes derived from id). */
+  def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
+      val meta = kind match {
+        case "image" => Row(64, 48, null, null, "png")
+        case "audio" => Row(null, null, 16000, null, "wav")
+        case _       => Row(64, 48, null, 30, "mp4")
+      }
+      Row(i.toLong, kind, payload, meta)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), assetSchema)
+  }
+
+  /** STUB decode: a real implementation would decode the media and run a
+    * feature extractor; this derives 8 deterministic floats from payload
+    * bytes so the pipeline shape is testable end-to-end. */
+  def decodeStub(kind: String, payload: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      f(i % 8) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    val norm = kind match {
+      case "image" => 1.0f
+      case "audio" => 2.0f
+      case _       => 3.0f
+    }
+    f.map(_ / (payload.length / 8.0f) / norm)
+  }
+
+  /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>).
+    * Partition-local, batch-at-a-time — the mapInPandas shape. */
+  def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup happens HERE in a real decoder (codec/model init)
+          batch.map { case (id, kind, payload) =>
+            (id, kind, decodeStub(kind, payload))
+          }
+        }
+      }
+      .toDF("asset_id", "kind", "features")
+  }
+
+  /** Resize stub for images: returns the payload annotated with the new
+    * dimensions (a real impl transforms pixels; the metadata contract is
+    * what downstream code depends on). */
+  def resizeImages(assets: DataFrame, w: Int, h: Int): DataFrame =
+    assets.withColumn("meta",
+      when(col("kind") === "image",
+        struct(lit(w).as("width"), lit(h).as("height"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.format").as("format")))
+        .otherwise(col("meta")))
+
+  /** Frame-sampling stub for videos: every `stride`-th frame index. */
+  def sampleFrameIndexes(assets: DataFrame, stride: Int): DataFrame =
+    assets.withColumn("frame_indexes",
+      when(col("kind") === "video" && col("meta.n_frames").isNotNull,
+        sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
+        .otherwise(lit(null).cast(ArrayType(IntegerType))))
+}
