@@ -15,9 +15,12 @@ import graft.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * changeset-stats composite pipeline (A2 -> J7 -> A1 -> J1). */
   def entry(spark: SparkSession): DataFrame =
-    q1Agg(spark, "/root/testdata/sf0.001")
+    operators.Stats.exploded(
+      operators.Stats.changesetStats(
+        spark, Tables.events(spark, "/root/testdata/sf0.001")))
 
   // -------------------------------------------------------------- queries
 
@@ -301,6 +304,13 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type"))
     }),
+
+    // ---- flagship composite: the reference's changeset-stats dataflow
+    //      end-to-end (A2 -> J7 -> A1 -> J1; SURVEY §3.1)
+    "q_stats_e2e" -> ((s, dir) =>
+      operators.Stats.exploded(
+          operators.Stats.changesetStats(s, Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("kind"), col("key"))),
 
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
     "q_a7_boolor" -> ((s, dir) =>
@@ -657,6 +667,46 @@ object SparkEntry {
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stats_e2e" ->
+      s"""WITH rects(code, minlon, minlat, maxlon, maxlat) AS (
+         |  VALUES $rectsValuesSql),
+         |g AS (
+         |  SELECT user_id, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS cents_v,
+         |    COALESCE(code, 'NONE') AS country
+         |  FROM (
+         |    SELECT user_id, event_type, value,
+         |      ${synthLonSql("event_id")} AS lon,
+         |      ${synthLatSql("event_id")} AS lat
+         |    FROM events
+         |    WHERE event_type IN ('click','view','purchase')) p
+         |  LEFT JOIN rects
+         |    ON lon >= minlon AND lon <= maxlon
+         |   AND lat >= minlat AND lat <= maxlat)
+         |SELECT user_id, kind, key, val FROM (
+         |  SELECT user_id, 'count' AS kind, 'clicks' AS key, count(*) AS val
+         |  FROM g WHERE event_type = 'click' GROUP BY user_id
+         |  UNION ALL
+         |  SELECT user_id, 'count', 'views', count(*)
+         |  FROM g WHERE event_type = 'view' GROUP BY user_id
+         |  UNION ALL
+         |  SELECT user_id, 'count', 'purchases', count(*)
+         |  FROM g WHERE event_type = 'purchase' GROUP BY user_id
+         |  UNION ALL
+         |  SELECT user_id, 'measurement', 'interaction_value',
+         |         SUM(COALESCE(cents_v, 0))
+         |  FROM g WHERE event_type IN ('click','view') GROUP BY user_id
+         |  HAVING SUM(CASE WHEN COALESCE(cents_v,0) <> 0 THEN 1 ELSE 0 END) > 0
+         |  UNION ALL
+         |  SELECT user_id, 'measurement', 'spend', SUM(COALESCE(cents_v, 0))
+         |  FROM g WHERE event_type = 'purchase' GROUP BY user_id
+         |  HAVING SUM(CASE WHEN COALESCE(cents_v,0) <> 0 THEN 1 ELSE 0 END) > 0
+         |  UNION ALL
+         |  SELECT user_id, 'country', country, count(*) FROM g GROUP BY 1, 3
+         |  UNION ALL
+         |  SELECT user_id, 'total', 'edits', count(*) FROM g GROUP BY 1) t
+         |ORDER BY user_id, kind, key""".stripMargin,
 
     "q_a7_boolor" ->
       """SELECT user_id,

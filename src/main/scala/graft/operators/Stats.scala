@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.geo.CountryIndex
+
+/** The flagship composite pipeline — the reference's changeset-stats
+  * dataflow end to end (reference
+  * apps/.../batch/ChangesetStatsCreator.scala:86-163; SURVEY.md §3.1):
+  *
+  *   pre-filter → per-row measurement/count map projection (A2) →
+  *   broadcast geocode (J7) → per-group map-merge rollup (A1) →
+  *   full-outer merge of two branches (J1) → total edits.
+  *
+  * Here "changeset" ≈ user_id over the synthetic events table; the
+  * "way"/"point" branches are interaction vs purchase events. All money
+  * flows through exact integer cents; country counts come from the
+  * broadcast STRtree geocoder. Every step keeps the reference's scale
+  * shape: cheap filters before wide ops, maps merged by Aggregator (no
+  * collect_list materialization), geocode broadcast-not-shuffled, one
+  * shuffle per rollup + one for the final merge.
+  */
+object Stats {
+
+  /** Full pipeline: (user_id, counts, measurements, countries,
+    * total_edits). */
+  def changesetStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    val geocode = CountryIndex.geocodeFirst(spark, CountryIndex.synthetic())
+
+    val geocoded = events
+      .withColumn("lon", synthLon(col("event_id")))
+      .withColumn("lat", synthLat(col("event_id")))
+      .withColumn("country", coalesce(geocode(col("lon"), col("lat")), lit("NONE")))
+
+    // branch A: interaction events (the "way stats" analog)
+    val interactions = geocoded
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("counts", simplifyMap(map(
+        lit("clicks"), (col("event_type") === "click").cast(LongType),
+        lit("views"), (col("event_type") === "view").cast(LongType))))
+      .withColumn("measurements", simplifyMap(map(
+        lit("interaction_value"),
+        coalesce(cents(col("value")), lit(0L)))))
+      .withColumn("countries", map(col("country"), lit(1L)))
+      .groupBy(col("user_id"))
+      .agg(
+        MapAggregators.sumCounts(col("counts")).as("counts_a"),
+        MapAggregators.sumCounts(col("measurements")).as("meas_a"),
+        MapAggregators.sumCounts(col("countries")).as("countries_a"),
+        count(lit(1)).as("edits_a"))
+
+    // branch B: purchase events (the "point stats" analog)
+    val purchases = geocoded
+      .filter(col("event_type") === "purchase")
+      .withColumn("counts", map(lit("purchases"), lit(1L)))
+      .withColumn("measurements", simplifyMap(map(
+        lit("spend"), coalesce(cents(col("value")), lit(0L)))))
+      .withColumn("countries", map(col("country"), lit(1L)))
+      .groupBy(col("user_id"))
+      .agg(
+        MapAggregators.sumCounts(col("counts")).as("counts_b"),
+        MapAggregators.sumCounts(col("measurements")).as("meas_b"),
+        MapAggregators.sumCounts(col("countries")).as("countries_b"),
+        count(lit(1)).as("edits_b"))
+
+    // full-outer merge (J1): key-wise concat of the two branches' maps
+    def mergedMaps(a: String, b: String): Column = {
+      val ea = coalesce(map_entries(col(a)), array())
+      val eb = coalesce(map_entries(col(b)), array())
+      // branches produce disjoint count/measurement keys; countries
+      // overlap and must SUM key-wise
+      map_from_entries(
+        transform(
+          array_distinct(concat(transform(ea, e => e.getField("key")),
+            transform(eb, e => e.getField("key")))),
+          k => struct(k.as("key"),
+            (coalesce(element_at(col(a), k), lit(0L)) +
+              coalesce(element_at(col(b), k), lit(0L))).as("value"))))
+    }
+
+    interactions.join(purchases, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        mergedMaps("counts_a", "counts_b").as("counts"),
+        mergedMaps("meas_a", "meas_b").as("measurements"),
+        mergedMaps("countries_a", "countries_b").as("countries"),
+        (coalesce(col("edits_a"), lit(0L)) + coalesce(col("edits_b"), lit(0L)))
+          .as("total_edits"))
+  }
+
+  /** Oracle-comparable projection: one row per (user_id, kind, key). */
+  def exploded(stats: DataFrame): DataFrame = {
+    def part(kind: String, m: String) =
+      stats.select(col("user_id"), lit(kind).as("kind"),
+        explode(col(m)).as(Seq("key", "val")))
+    part("count", "counts")
+      .unionByName(part("measurement", "measurements"))
+      .unionByName(part("country", "countries"))
+      .unionByName(stats.select(col("user_id"), lit("total").as("kind"),
+        lit("edits").as("key"), col("total_edits").as("val")))
+  }
+}
