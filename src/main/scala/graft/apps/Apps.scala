@@ -1,0 +1,79 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Thin CLI mains over the library — the engine's analog of the
+  * reference's batch/streaming command apps (reference
+  * apps/src/main/scala/osmesa/apps/batch and streaming; SURVEY.md §3).
+  * Arg parsing is plain (no CLI-framework dependency available offline).
+  */
+object Apps {
+  def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Batch changeset stats: events parquet dir -> stats parquet
+  * (reference ChangesetStatsCreator). Usage: <sfDir> <outDir> */
+object ChangesetStatsApp {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = Apps.session("changeset-stats")
+    graft.operators.Stats.exploded(
+        graft.operators.Stats.changesetStats(
+          spark, graft.Tables.events(spark, sfDir)))
+      .write.mode("overwrite").parquet(outDir)
+    spark.stop()
+  }
+}
+
+/** Streaming changeset stats from the sequence source into the
+  * idempotent store (reference StreamingChangesetStatsUpdater).
+  * Usage: <startSeq> <endSeq> <checkpointDir> */
+object StreamingStatsApp {
+  def main(args: Array[String]): Unit = {
+    val Array(startSeq, endSeq, ckpt) = args.take(3)
+    val spark = Apps.session("streaming-stats")
+    val stream = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("startSequence", startSeq).option("endSequence", endSeq)
+      .load()
+    val q = graft.streaming.StreamingStats.changesetStats(stream)
+      .writeStream.format("console").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.stop()
+  }
+}
+
+/** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
+  * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
+object TilePyramidApp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val tileDir = args(1)
+    val baseZoom = if (args.length > 2) args(2).toInt else 6
+    val sequence = if (args.length > 3) args(3).toLong else 0L
+    val spark = Apps.session("tile-pyramid")
+    import org.apache.spark.sql.functions._
+    val pts = graft.Tables.events(spark, sfDir)
+      .withColumn("lon", graft.functions.synthLon(col("event_id")))
+      .withColumn("lat", graft.functions.synthLat(col("event_id")))
+    val pyr = graft.operators.Tiles.pyramid(
+      pts, "event_type", "lon", "lat", baseZoom, 0, cells = 16)
+    val n = graft.sinks.TileSink.writeRasters(pyr, tileDir, "edits", sequence)
+    println(s"wrote $n tiles under $tileDir")
+    spark.stop()
+  }
+}

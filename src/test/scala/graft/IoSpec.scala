@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink formats from SURVEY §2.1 not exercised elsewhere:
+  * CSV-with-options scan (S2), text read (S12), snappy ORC write (S13). */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S2: CSV scan with header/quote/escape options") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val csv = dir.resolve("data.csv")
+    Files.writeString(csv,
+      "id,name,comment\n1,alpha,\"says \"\"hi\"\", ok\"\n2,beta,plain\n")
+    val df = spark.read
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("comment", StringType))))
+      .csv(csv.toString)
+    df.count() shouldBe 2
+    df.filter(col("id") === 1).select(col("comment")).as[String].head shouldBe
+      "says \"hi\", ok"
+  }
+
+  test("S12: text read") {
+    val dir = Files.createTempDirectory("graft-txt")
+    Files.writeString(dir.resolve("tags.txt"), "#hotosm\n#missingmaps\n")
+    val lines = spark.read.text(dir.toString).as[String].collect().sorted
+    lines shouldBe Array("#hotosm", "#missingmaps")
+  }
+
+  test("S13: snappy ORC write/read round-trip") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
+    df.coalesce(1).write.option("compression", "snappy").orc(dir)
+    val back = spark.read.orc(dir)
+    back.orderBy(col("id")).collect() shouldBe df.orderBy(col("id")).collect()
+    // file really is snappy-compressed ORC
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    files.exists(_.endsWith(".snappy.orc")) shouldBe true
+  }
+}
