@@ -104,18 +104,15 @@ object SparkEntry {
     //      click events join to the purchase whose window contains them.
     "q_j4_temporal" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val versions = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-        .withColumn("valid_until", lead(col("ts_us"), 1).over(w))
-        .select(col("user_id").as("v_user"), col("ts_us").as("valid_from"),
-          col("valid_until"), col("event_id").as("purchase_id"))
+      val versions = operators.Timeline.withValidUntil(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id")),
+          Seq("user_id"), "ts_us", tieBreak = Seq("purchase_id"))
       val probes = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us").as("click_ts"), col("event_id").as("click_id"))
-      probes.join(versions,
-          probes("user_id") === versions("v_user") &&
-            col("valid_from") <= col("click_ts") &&
-            (col("valid_until").isNull || col("click_ts") < col("valid_until")))
+        .select(col("user_id"), col("ts_us").as("click_ts"),
+          col("event_id").as("click_id"))
+      operators.Timeline.temporalJoin(
+          probes, versions, Seq("user_id"), "click_ts", "ts_us")
         .select(col("click_id"), col("purchase_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),

@@ -64,4 +64,86 @@ object Timeline {
       (versions("valid_until").isNull || probe(probeTs) < versions("valid_until"))
     probe.join(versions, cond, joinType)
   }
+
+  /** Composite-geometry reconstruction with minor versions — the
+    * reference's `reconstructWayGeometries` contract (SURVEY.md §1.2 and
+    * hard-part #1): a way version's geometry changes either because the
+    * way itself changed (a new major version) or because a member node
+    * moved while the way version was current (a new MINOR version, no
+    * new way version).
+    *
+    * Inputs:
+    *  - `ways(way_id, version, ts, nds ARRAY<BIGINT>)` — one row per way
+    *    major version;
+    *  - `nodes(node_id, ts, lon, lat)` — one row per node version.
+    *
+    * Output: one row per (way_id, version, minor_version, updated) with
+    * `geometry` = array of (lon, lat) structs ordered by the way's nds
+    * order, evaluated as-of `updated`.
+    *
+    * Dataflow (all shuffles keyed by way or node id):
+    *  1. ways gain valid_until (lead over version timeline);
+    *  2. explode nds with position — membership rows;
+    *  3. membership ⋈ node versions overlapping the way-version window →
+    *     candidate `updated` timestamps (way's own ts + each node change
+    *     strictly inside the window);
+    *  4. for each (way version, updated): as-of join each member to its
+    *     node version valid at `updated`; collect positions in nds order;
+    *  5. minor_version = row_number over (way_id, version ORDER BY
+    *     updated) − 1 (reference numbering, W2). */
+  def reconstructWays(ways: DataFrame, nodes: DataFrame): DataFrame = {
+    val w = withValidUntil(ways, Seq("way_id"), "ts", Seq("version"))
+      .select(col("way_id"), col("version"), col("ts").as("way_ts"),
+        col("valid_until").as("way_valid_until"), col("nds"))
+
+    val membership = w.select(col("way_id"), col("version"), col("way_ts"),
+      col("way_valid_until"),
+      posexplode(col("nds")).as(Seq("nd_idx", "node_id")))
+
+    val nodeVersions = withValidUntil(
+      nodes.select(col("node_id"), col("ts"), col("lon"), col("lat")),
+      Seq("node_id"), "ts")
+      .select(col("node_id").as("nv_id"), col("ts").as("node_ts"),
+        col("valid_until").as("node_valid_until"), col("lon"), col("lat"))
+
+    // candidate updated timestamps: the way version's own ts, plus every
+    // member-node change strictly inside the way version's window
+    val nodeChanges = membership.join(nodeVersions,
+        membership("node_id") === nodeVersions("nv_id") &&
+          nodeVersions("node_ts") > membership("way_ts") &&
+          (membership("way_valid_until").isNull ||
+            nodeVersions("node_ts") < membership("way_valid_until")))
+      .select(col("way_id"), col("version"), col("node_ts").as("updated"))
+    val candidates = w.select(col("way_id"), col("version"),
+        col("way_ts").as("updated"))
+      .unionByName(nodeChanges)
+      .distinct()
+      .join(w, Seq("way_id", "version"))
+
+    // as-of join each member to the node version valid at `updated`
+    val members = candidates
+      .select(col("way_id"), col("version"), col("updated"),
+        posexplode(col("nds")).as(Seq("nd_idx", "node_id")))
+    val resolved = members.join(nodeVersions,
+        members("node_id") === nodeVersions("nv_id") &&
+          nodeVersions("node_ts") <= members("updated") &&
+          (nodeVersions("node_valid_until").isNull ||
+            members("updated") < nodeVersions("node_valid_until")),
+        "left")
+
+    val assembled = resolved
+      .groupBy(col("way_id"), col("version"), col("updated"))
+      .agg(array_sort(collect_list(struct(
+        col("nd_idx"), col("lon"), col("lat")))).as("pts"))
+      .withColumn("geometry",
+        expr("transform(pts, p -> struct(p.lon as lon, p.lat as lat))"))
+      .drop("pts")
+
+    val mv = Window.partitionBy(col("way_id"), col("version"))
+      .orderBy(col("updated"))
+    assembled
+      .withColumn("minor_version", row_number().over(mv) - 1)
+      .select(col("way_id"), col("version"), col("minor_version"),
+        col("updated"), col("geometry"))
+  }
 }

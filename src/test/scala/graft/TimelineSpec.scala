@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Timeline
+
+class TimelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withValidUntil: next version's ts, null while current") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("id", "ts")
+    val got = Timeline.withValidUntil(df, Seq("id"), "ts")
+      .orderBy(col("id"), col("ts"))
+      .select(col("id"), col("ts"), col("valid_until"))
+      .as[(Long, Long, Option[Long])].collect()
+    got shouldBe Array((1L, 10L, Some(20L)), (1L, 20L, None), (2L, 5L, None))
+  }
+
+  test("temporalJoin matches the version current at the probe time") {
+    val versions = Timeline.withValidUntil(
+      Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("id", "vts", "tag"),
+      Seq("id"), "vts")
+    val probes = Seq((1L, 10L), (1L, 15L), (1L, 20L), (1L, 99L), (2L, 10L))
+      .toDF("id", "pts")
+    val got = Timeline.temporalJoin(probes, versions, Seq("id"), "pts", "vts")
+      .select(probes("id"), col("pts"), col("tag"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // boundary: probe at exactly vts matches that version (<=); probe at
+    // the next version's start matches the NEW version (exclusive end)
+    got shouldBe Array((1L, 10L, "v1"), (1L, 15L, "v1"), (1L, 20L, "v2"),
+      (1L, 99L, "v2"))
+  }
+
+  test("reconstructWays: node movement creates a minor version; way edit a major one") {
+    // way 7: v1 at t=100 refs (n1, n2); v2 at t=300 refs (n1, n2, n3)
+    val ways = Seq(
+      (7L, 1, 100L, Seq(1L, 2L)),
+      (7L, 2, 300L, Seq(1L, 2L, 3L))).toDF("way_id", "version", "ts", "nds")
+    // n2 moves at t=200 (inside v1's window); n3 exists from t=250
+    val nodes = Seq(
+      (1L, 50L, 0.0, 0.0),
+      (2L, 50L, 1.0, 0.0),
+      (2L, 200L, 1.0, 5.0), // the minor-version trigger
+      (3L, 250L, 2.0, 0.0)).toDF("node_id", "ts", "lon", "lat")
+
+    val got = Timeline.reconstructWays(ways, nodes)
+      .orderBy(col("version"), col("minor_version"))
+      .select(col("version"), col("minor_version"), col("updated"), col("geometry"))
+      .as[(Int, Int, Long, Seq[(Double, Double)])].collect()
+
+    got.length shouldBe 3
+    // v1 minor 0 at t=100: original positions
+    got(0) shouldBe ((1, 0, 100L, Seq((0.0, 0.0), (1.0, 0.0))))
+    // v1 minor 1 at t=200: n2 moved, NO new way version
+    got(1) shouldBe ((1, 1, 200L, Seq((0.0, 0.0), (1.0, 5.0))))
+    // v2 minor 0 at t=300: new member list, n3 resolved as-of 300
+    got(2) shouldBe ((2, 0, 300L, Seq((0.0, 0.0), (1.0, 5.0), (2.0, 0.0))))
+
+    // isNew classification drives added-vs-modified (reference semantics)
+    val flags = Timeline.reconstructWays(ways, nodes)
+      .select(col("version"), col("minor_version"),
+        graft.functions.isNew(col("version"), col("minor_version")).as("n"))
+      .orderBy(col("version"), col("minor_version"))
+      .as[(Int, Int, Boolean)].collect()
+    flags.map(_._3) shouldBe Array(true, false, false)
+  }
+
+  test("reconstructWays: member node change outside the window is ignored") {
+    val ways = Seq((7L, 1, 100L, Seq(1L))).toDF("way_id", "version", "ts", "nds")
+    val nodes = Seq(
+      (1L, 50L, 0.0, 0.0),
+      (1L, 80L, 9.0, 9.0)) // before the way existed: shapes v1's base, no extra minor
+      .toDF("node_id", "ts", "lon", "lat")
+    val got = Timeline.reconstructWays(ways, nodes)
+      .select(col("version"), col("minor_version"), col("geometry"))
+      .as[(Int, Int, Seq[(Double, Double)])].collect()
+    got shouldBe Array((1, 0, Seq((9.0, 9.0))))
+  }
+}
