@@ -1,0 +1,156 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter}
+
+/** Geometry column convention + the `st_*` function pack (SURVEY.md §2.8
+  * spatial; reference relies on geomesa-spark-jts's `withJTS` UDT — here
+  * geometry travels as WKB `BINARY` columns, the explicit-schema
+  * decision from SURVEY §1.4, and the functions are self-contained JTS
+  * UDFs).
+  *
+  * Measurement semantics preserved from the reference
+  * (analytics/.../stats/package.scala:37-60):
+  *  - LENGTH is geodesic — haversine sum over vertices ("length on
+  *    sphere", cf. the reference's MetresBench haversine loop);
+  *  - AREA is planar in the feature's own UTM zone (zone from the
+  *    centroid, standard Snyder forward transverse-mercator, shoelace on
+  *    projected vertices) — the reference's `transformLatLngToUtm` UDF
+  *    followed by `st_area`.
+  */
+object GeoFunctions {
+
+  private def factory = new GeometryFactory()
+
+  // --------------------------------------------------------------- WKB
+
+  def readWkb(b: Array[Byte]): Geometry = new WKBReader().read(b)
+  def writeWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
+
+  /** st_point(lon, lat) -> WKB POINT. */
+  val stPoint: UserDefinedFunction = udf((lon: Double, lat: Double) =>
+    writeWkb(factory.createPoint(new Coordinate(lon, lat))))
+
+  /** st_makeLine over an ordered array of (lon, lat) structs -> WKB. */
+  val stMakeLine: UserDefinedFunction = udf((pts: Seq[Row2]) =>
+    writeWkb(factory.createLineString(
+      pts.map(p => new Coordinate(p.lon, p.lat)).toArray)))
+  case class Row2(lon: Double, lat: Double)
+
+  /** st_makePolygon from an (unclosed OK) outer ring of (lon,lat). */
+  val stMakePolygon: UserDefinedFunction = udf((pts: Seq[Row2]) => {
+    val cs = pts.map(p => new Coordinate(p.lon, p.lat))
+    val closed = if (cs.nonEmpty && cs.head.equals2D(cs.last)) cs
+                 else cs :+ new Coordinate(cs.head)
+    writeWkb(factory.createPolygon(closed.toArray))
+  })
+
+  val stX: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    readWkb(wkb).getCoordinate.x)
+  val stY: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    readWkb(wkb).getCoordinate.y)
+  val stGeometryType: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    readWkb(wkb).getGeometryType)
+  val stIsValid: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    readWkb(wkb).isValid)
+  val stNumPoints: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    readWkb(wkb).getNumPoints)
+
+  // ------------------------------------------------------ measurements
+
+  /** Spherical (haversine-sum) length in meters of any lineal geometry. */
+  def lengthSphereMeters(g: Geometry): Double = {
+    val cs = g.getCoordinates
+    var s = 0.0
+    var i = 1
+    while (i < cs.length) {
+      s += haversine(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+      i += 1
+    }
+    s
+  }
+
+  def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2.0 * Geodesy.EarthRadiusMeters * math.asin(math.sqrt(a))
+  }
+
+  /** st_lengthSphere over a WKB column (meters); 0 for points; null-safe
+    * (lag-produced prev geometries are null on first versions). */
+  val stLengthSphere: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    Option(wkb).map(b => lengthSphereMeters(readWkb(b))))
+
+  // WGS84 / UTM forward projection (Snyder's standard series)
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2 - F)
+  private val Ep2 = E2 / (1 - E2)
+  private val K0 = 0.9996
+
+  def utmZone(lon: Double): Int =
+    math.min(60, math.max(1, ((lon + 180.0) / 6.0).toInt + 1))
+
+  /** Forward UTM projection of (lon, lat) in the given zone -> (x, y) m. */
+  def toUtm(lon: Double, lat: Double, zone: Int): (Double, Double) = {
+    val lambda0 = math.toRadians((zone - 1) * 6 - 180 + 3)
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+    val n = A / math.sqrt(1 - E2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = Ep2 * cosP * cosP
+    val a0 = (lam - lambda0) * cosP
+    val e4 = E2 * E2; val e6 = e4 * E2
+    val m = A * ((1 - E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+      (3 * E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+      (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+      (35 * e6 / 3072) * math.sin(6 * phi))
+    val x = K0 * n * (a0 + (1 - t + c) * math.pow(a0, 3) / 6 +
+      (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a0, 5) / 120) + 500000.0
+    val y = K0 * (m + n * tanP * (a0 * a0 / 2 +
+      (5 - t + 9 * c + 4 * c * c) * math.pow(a0, 4) / 24 +
+      (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a0, 6) / 720))
+    (x, y)
+  }
+
+  /** Planar area (m²) of a polygon projected to its centroid's UTM zone
+    * (reference semantics: per-feature UTM projection then st_area). */
+  def areaUtm(g: Geometry): Double = {
+    if (g.isEmpty || g.getNumPoints < 3) return 0.0
+    val zone = utmZone(g.getCentroid.getX)
+    val cs = g.getCoordinates.map(c => toUtm(c.x, c.y, zone))
+    // shoelace (ring is closed: first == last)
+    var s = 0.0
+    var i = 1
+    while (i < cs.length) {
+      s += cs(i - 1)._1 * cs(i)._2 - cs(i)._1 * cs(i - 1)._2
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  val stAreaUtm: UserDefinedFunction = udf((wkb: Array[Byte]) =>
+    Option(wkb).map(b => areaUtm(readWkb(b))))
+
+  // --------------------------------------------------------- deltas
+
+  /** Linear delta in km between a geometry and its previous version
+    * (reference withLinearDelta: abs difference of spherical lengths,
+    * analytics/.../stats/package.scala:37-47; /1000 scaling per :123-141). */
+  def withLinearDeltaKm(geom: Column, prevGeom: Column): Column =
+    abs(stLengthSphere(geom) -
+      coalesce(stLengthSphere(prevGeom), lit(0.0))) / 1000.0
+
+  /** Area delta in km² against the previous version (reference
+    * withAreaDelta, stats/package.scala:49-60). */
+  def withAreaDeltaKm2(geom: Column, prevGeom: Column): Column =
+    abs(stAreaUtm(geom) -
+      coalesce(stAreaUtm(prevGeom), lit(0.0))) / 1e6
+}

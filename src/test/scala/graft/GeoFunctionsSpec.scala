@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoFunctions
+
+class GeoFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WKB point round-trip via st_point/st_x/st_y") {
+    val df = Seq((13.4, 52.5)).toDF("lon", "lat")
+      .withColumn("g", GeoFunctions.stPoint(col("lon"), col("lat")))
+    df.select(GeoFunctions.stX(col("g"))).as[Double].head shouldBe 13.4
+    df.select(GeoFunctions.stY(col("g"))).as[Double].head shouldBe 52.5
+    df.select(GeoFunctions.stGeometryType(col("g"))).as[String].head shouldBe "Point"
+    df.select(GeoFunctions.stIsValid(col("g"))).as[Boolean].head shouldBe true
+  }
+
+  test("st_lengthSphere of a 2-point line equals the haversine distance") {
+    val line = Seq(Seq(GeoFunctions.Row2(-0.1278, 51.5074),
+      GeoFunctions.Row2(2.3522, 48.8566))).toDF("pts")
+      .withColumn("g", GeoFunctions.stMakeLine(col("pts")))
+    val m = line.select(GeoFunctions.stLengthSphere(col("g"))).as[Double].head
+    m / 1000.0 shouldBe 343.5 +- 1.5
+    // multi-segment length sums segments
+    val line3 = Seq(Seq(GeoFunctions.Row2(0, 0), GeoFunctions.Row2(0, 1),
+      GeoFunctions.Row2(0, 2))).toDF("pts")
+      .withColumn("g", GeoFunctions.stMakeLine(col("pts")))
+    val m3 = line3.select(GeoFunctions.stLengthSphere(col("g"))).as[Double].head
+    m3 shouldBe (2 * 111195.0) +- 200.0 // 1 degree of latitude ≈ 111.195 km
+  }
+
+  test("UTM projection: known Berlin coordinates (zone 33)") {
+    GeoFunctions.utmZone(13.4) shouldBe 33
+    val (x, y) = GeoFunctions.toUtm(13.4, 52.5, 33)
+    // published UTM for (52.5N, 13.4E): ~ 391000 E, 5818000 N (±100 m)
+    x shouldBe 391000.0 +- 500.0
+    y shouldBe 5818000.0 +- 500.0
+  }
+
+  test("st_areaUtm of a small square near the equator matches planar math") {
+    // 0.01° x 0.01° at (10, 0): ~1112.0 m x 1105.7 m
+    val ring = Seq(Seq(
+      GeoFunctions.Row2(10.0, 0.0), GeoFunctions.Row2(10.01, 0.0),
+      GeoFunctions.Row2(10.01, 0.01), GeoFunctions.Row2(10.0, 0.01)))
+      .toDF("pts").withColumn("g", GeoFunctions.stMakePolygon(col("pts")))
+    val a = ring.select(GeoFunctions.stAreaUtm(col("g"))).as[Double].head
+    a shouldBe 1.229e6 +- 0.01e6
+  }
+
+  test("bowtie polygon is invalid") {
+    val bowtie = Seq(Seq(
+      GeoFunctions.Row2(0, 0), GeoFunctions.Row2(1, 1),
+      GeoFunctions.Row2(1, 0), GeoFunctions.Row2(0, 1)))
+      .toDF("pts").withColumn("g", GeoFunctions.stMakePolygon(col("pts")))
+    bowtie.select(GeoFunctions.stIsValid(col("g"))).as[Boolean].head shouldBe false
+  }
+
+  test("linear delta: way timeline measurement (reference withLinearDelta)") {
+    // v1: 1-degree line; v2: 2-degree line => delta ≈ 111.2 km
+    val v1 = Seq(GeoFunctions.Row2(0, 0), GeoFunctions.Row2(0, 1))
+    val v2 = Seq(GeoFunctions.Row2(0, 0), GeoFunctions.Row2(0, 2))
+    val df = Seq((v2, Option(v1)), (v1, Option.empty[Seq[GeoFunctions.Row2]]))
+      .toDF("cur", "prev")
+      .withColumn("g", GeoFunctions.stMakeLine(col("cur")))
+      .withColumn("pg", when(col("prev").isNotNull,
+        GeoFunctions.stMakeLine(col("prev"))))
+    val deltas = df.select(
+      GeoFunctions.withLinearDeltaKm(col("g"), col("pg"))).as[Double].collect()
+    deltas(0) shouldBe 111.195 +- 0.2 // v2 vs v1
+    deltas(1) shouldBe 111.195 +- 0.2 // v1 vs nothing: full length
+  }
+}
