@@ -343,6 +343,20 @@ object SparkEntry {
         .orderBy(col("zoom"), col("x"), col("y"))
     }),
 
+    // ---- faceted tile pipeline: per-cell day-key facet maps (the
+    //      EditHistogram product; SURVEY §2.10 + A7 facet merge)
+    "q_tile_faceted" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .withColumn("key", lit("all"))
+        .withColumn("facet", dayKey(col("ts")).cast(StringType))
+      operators.FacetedTiles.facetSummary(
+          operators.FacetedTiles.pyramidFaceted(pts, "key", "lon", "lat",
+            "facet", baseZoom = 5, minZoom = 4, cells = 16))
+        .orderBy(col("zoom"), col("x"), col("y"), col("facet"))
+    }),
+
     // ---- training-data ops: deduplication suite ------------------------
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exactCanonical(
@@ -751,6 +765,22 @@ object SparkEntry {
          |SELECT zoom, gx//16 AS x, gy//16 AS y, count(*) AS total,
          |       count(DISTINCT (event_type, gx, gy)) AS n_cells
          |FROM g GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "q_tile_faceted" ->
+      s"""WITH pts AS (
+         |  SELECT CAST(year(ts)*1000 + dayofyear(ts) AS VARCHAR) AS facet,
+         |         ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |lv(zoom) AS (VALUES (5), (4)),
+         |g AS (
+         |  SELECT zoom, facet,
+         |    CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gx,
+         |    CAST(LEAST(GREATEST(floor((90.0 - lat)/180.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gy
+         |  FROM pts, lv)
+         |SELECT zoom, gx//16 AS x, gy//16 AS y, facet, count(*) AS cnt
+         |FROM g GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH toks AS (

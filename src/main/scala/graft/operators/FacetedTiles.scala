@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Faceted tile pipeline — the EditHistogram/Footprints product shape
+  * (reference analytics/.../EditHistogram.scala:21-66 with
+  * PointWithKeyAndFacets, vectorgrid/package.scala:12; faceted updater
+  * apps/.../streaming/StreamingFacetedEditHistogramTileUpdater.scala):
+  * every cell carries a Map[facet → count] (facets are day-keys and/or
+  * feature classes), merged key-wise through the pyramid, vectorized
+  * with the reference's per-feature summary props (`__total`,
+  * `__lastEdit`; EditHistogram.scala:181-212).
+  *
+  * Same scale shape as [[Tiles]]: sparse per-cell maps (occupancy-
+  * proportional memory), one keyed shuffle per pyramid step, partial
+  * merge inside mapGroups.
+  */
+object FacetedTiles {
+
+  case class FacetedRaster(key: String, zoom: Int, x: Long, y: Long,
+                           cells: Int, values: Map[Long, Map[String, Int]])
+
+  case class FacetedFeature(key: String, zoom: Int, x: Long, y: Long,
+                            cell: Long, lon: Double, lat: Double,
+                            facets: Map[String, Int], total: Long,
+                            lastEdit: String)
+
+  private def mergeFacets(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
+
+  /** Rasterize points with a facet column into per-cell facet maps. */
+  def rasterizeFaceted(df: DataFrame, keyCol: String, lonCol: String,
+                       latCol: String, facetCol: String,
+                       zoom: Int, cells: Int): Dataset[FacetedRaster] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = (1L << zoom) * cells
+    val gx = least(greatest(
+      floor((col(lonCol) + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble))
+      .cast(LongType)
+    val gy = least(greatest(
+      floor((lit(90.0) - col(latCol)) / 180.0 * n), lit(0.0)), lit((n - 1).toDouble))
+      .cast(LongType)
+    df.select(col(keyCol).as("key"), gx.as("gx"), gy.as("gy"),
+        col(facetCol).cast("string").as("facet"))
+      .as[(String, Long, Long, String)]
+      .groupByKey { case (k, gxx, gyy, _) => (k, gxx / cells, gyy / cells) }
+      .mapGroups { (gk, rows) =>
+        val (k, tx, ty) = gk
+        val m = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+        rows.foreach { case (_, gxx, gyy, facet) =>
+          val cell = (gyy % cells) * cells + (gxx % cells)
+          val fm = m.getOrElse(cell, Map.empty)
+          m.update(cell, fm.updated(facet, fm.getOrElse(facet, 0) + 1))
+        }
+        FacetedRaster(k, zoom, tx, ty, cells, m.toMap)
+      }
+  }
+
+  /** One zoom-out step with key-wise facet-map merging. */
+  def downsampleMergeFaceted(tiles: Dataset[FacetedRaster]): Dataset[FacetedRaster] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .map { r =>
+        val cells = r.cells
+        val m = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+        r.values.foreach { case (cell, fm) =>
+          val gpx = (r.x * cells + cell % cells) >> 1
+          val gpy = (r.y * cells + cell / cells) >> 1
+          val pcell = (gpy % cells) * cells + (gpx % cells)
+          m.update(pcell, mergeFacets(m.getOrElse(pcell, Map.empty), fm))
+        }
+        FacetedRaster(r.key, r.zoom - 1, r.x >> 1, r.y >> 1, cells, m.toMap)
+      }
+      .groupByKey(r => (r.key, r.zoom, r.x, r.y))
+      .mapGroups { (gk, rs) =>
+        val (k, z, x, y) = gk
+        val m = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+        var cells = 0
+        rs.foreach { r =>
+          cells = r.cells
+          r.values.foreach { case (c, fm) =>
+            m.update(c, mergeFacets(m.getOrElse(c, Map.empty), fm))
+          }
+        }
+        FacetedRaster(k, z, x, y, cells, m.toMap)
+      }
+  }
+
+  /** Full pyramid baseZoom..minZoom. */
+  def pyramidFaceted(df: DataFrame, keyCol: String, lonCol: String,
+                     latCol: String, facetCol: String,
+                     baseZoom: Int, minZoom: Int, cells: Int): Dataset[FacetedRaster] = {
+    val base = rasterizeFaceted(df, keyCol, lonCol, latCol, facetCol, baseZoom, cells)
+    Iterator.iterate(base)(downsampleMergeFaceted)
+      .take(baseZoom - minZoom + 1).toSeq.reduce(_ union _)
+  }
+
+  /** Vectorize with the reference's summary props: per-cell `total` (sum
+    * of facet counts) and `lastEdit` (max facet key — the latest day-key
+    * when facets are day-keys). */
+  def vectorizeFaceted(tiles: Dataset[FacetedRaster]): Dataset[FacetedFeature] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { r =>
+      val n = (1L << r.zoom) * r.cells
+      r.values.toSeq.sortBy(_._1).map { case (cell, fm) =>
+        val gpx = r.x * r.cells + cell % r.cells
+        val gpy = r.y * r.cells + cell / r.cells
+        FacetedFeature(r.key, r.zoom, r.x, r.y, cell,
+          (gpx + 0.5) / n * 360.0 - 180.0,
+          90.0 - (gpy + 0.5) / n * 180.0,
+          fm, fm.values.foldLeft(0L)(_ + _), fm.keys.max)
+      }
+    }
+  }
+
+  /** Oracle-checkable projection: per (zoom, x, y, facet) totals. */
+  def facetSummary(tiles: Dataset[FacetedRaster]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .flatMap(r => r.values.valuesIterator.flatten
+        .map { case (f, c) => (r.zoom, r.x, r.y, f, c.toLong) })
+      .toDF("zoom", "x", "y", "facet", "c")
+      .groupBy(col("zoom"), col("x"), col("y"), col("facet"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+}

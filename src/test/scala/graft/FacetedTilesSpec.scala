@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FacetedTiles
+
+class FacetedTilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts = Seq(
+    ("k", 10.0, 20.0, "2024001"), ("k", 10.001, 20.001, "2024002"),
+    ("k", 10.0, 20.0, "2024002"), ("k", -100.0, -50.0, "2024001"))
+    .toDF("key", "lon", "lat", "facet")
+
+  test("faceted pyramid conserves per-facet mass at every level") {
+    val pyr = FacetedTiles.pyramidFaceted(pts, "key", "lon", "lat", "facet",
+      baseZoom = 6, minZoom = 0, cells = 8)
+    val perLevel = pyr
+      .flatMap(r => r.values.valuesIterator.flatten
+        .map { case (f, c) => (r.zoom, f, c.toLong) })
+      .toDF("zoom", "facet", "c")
+      .groupBy(col("zoom"), col("facet")).agg(sum(col("c")).as("total"))
+      .as[(Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    (0 to 6).foreach { z =>
+      perLevel(z) shouldBe Map("2024001" -> 2L, "2024002" -> 2L)
+    }
+  }
+
+  test("vectorize computes __total and __lastEdit per cell") {
+    val base = FacetedTiles.rasterizeFaceted(
+      pts.filter(col("lon") > 0), "key", "lon", "lat", "facet",
+      zoom = 2, cells = 2) // coarse: all 3 points share one cell
+    val feats = FacetedTiles.vectorizeFaceted(base).collect()
+    feats.length shouldBe 1
+    feats.head.total shouldBe 3L
+    feats.head.lastEdit shouldBe "2024002"
+    feats.head.facets shouldBe Map("2024001" -> 1, "2024002" -> 2)
+  }
+}
