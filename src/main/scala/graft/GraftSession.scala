@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session construction for the engine.
+  *
+  * [[GraftExtensions]] is a `SparkSessionExtensions` injector (set
+  * `spark.sql.extensions=graft.GraftExtensions`) that registers the
+  * engine's native Catalyst expressions into the function registry, so
+  * `dot_prod(...)` works from SQL strings and `expr()` in ANY session —
+  * the mechanism the reference approximates with geomesa's `withJTS`
+  * UDF registration (reference analytics/.../Analytics.scala:27), done
+  * the Spark-3+ native way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_prod"),
+      new ExpressionInfo(classOf[plans.DotProduct].getName, "dot_prod"),
+      (exprs: Seq[Expression]) => plans.DotProduct(exprs.head, exprs(1))))
+  }
+}
+
+object GraftSession {
+
+  /** Tuned local session: engine extensions, AQE, UTC, sane shuffle
+    * parallelism (reference conf pins per Analytics.sparkSession —
+    * pushdown flags are Spark-4 defaults and stay on). */
+  def builder(appName: String,
+              master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ErrorChannel
+
+class SessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftExtensions injects a working dot_prod builder; SQL resolves it") {
+    // the injector populates a SparkSessionExtensions without error and
+    // its builder constructs the native expression
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    // end-to-end through the function registry + SQL string
+    graft.plans.ArrayExpressions.register(spark)
+    val got = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("dot_prod(a, b)").as[Double].head
+    got shouldBe 11.0
+  }
+
+  test("ErrorChannel routes malformed rows to the dead-letter side") {
+    val df = Seq(
+      (Some(1L), 10.0, 20.0, "node"),
+      (None: Option[Long], 10.0, 20.0, "node"), // null id
+      (Some(3L), 500.0, 20.0, "node"),          // bad lon
+      (Some(4L), 10.0, 20.0, "asteroid"))       // bad type
+      .toDF("id", "lon", "lat", "element_type")
+    val (clean, dead) = ErrorChannel.split(df, ErrorChannel.elementChecks)
+    clean.count() shouldBe 1
+    clean.select(col("id")).as[Long].head shouldBe 1L
+    val reasons = dead.select(col("id"), col("error_reason"))
+      .as[(Option[Long], String)].collect().toMap
+    reasons(None) shouldBe "null_id"
+    reasons(Some(3L)) shouldBe "bad_lon"
+    reasons(Some(4L)) shouldBe "bad_type"
+    // total conservation: nothing silently dropped
+    clean.count() + dead.count() shouldBe df.count()
+  }
+}
