@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Changeset-metadata assembly and incremental merge — the reference's
+  * ChangesetMetadataCreator + MergeChangesets apps (reference
+  * apps/.../batch/ChangesetMetadataCreator.scala:107-186 and
+  * MergeChangesets.scala:84-118; SURVEY.md §2.1 S2/S13, §2.3 J2, §2.4 A4).
+  */
+object Metadata {
+
+  /** Assemble changeset metadata from OSM-DB-style CSV dumps:
+    *  - `changesets(id, user_id, created_at, closed_at, num_changes,
+    *    min_lat..max_lon as 1e-7-scaled ints)`
+    *  - `tags(changeset_id, k, v)` — re-zipped to a map (A4)
+    *  - `users(id, name)` — left-joined (J2)
+    * Lat/lon are divided out of the 1e-7 fixed-point encoding exactly as
+    * the reference does (ChangesetMetadataCreator.scala:165-168);
+    * hashtags come from the assembled tag map's comment field. */
+  def assemble(changesets: DataFrame, tags: DataFrame, users: DataFrame): DataFrame = {
+    val tagMaps = tags.groupBy(col("changeset_id"))
+      .agg(map_from_arrays(collect_list(col("k")), collect_list(col("v")))
+        .as("tags"))
+    changesets
+      .join(users.select(col("id").as("user_id"), col("name").as("user")),
+        Seq("user_id"), "left")
+      .join(tagMaps, changesets("id") === tagMaps("changeset_id"), "left")
+      .select(
+        col("id"), col("user_id"), col("user"),
+        col("created_at"), col("closed_at"), col("num_changes"),
+        (col("min_lat") / 1e7).as("min_lat"),
+        (col("max_lat") / 1e7).as("max_lat"),
+        (col("min_lon") / 1e7).as("min_lon"),
+        (col("max_lon") / 1e7).as("max_lon"),
+        coalesce(col("tags"), map()).as("tags"),
+        hashtags(coalesce(
+          col("tags").getItem("comment"),
+          col("tags").getItem("hashtags"), lit(""))).as("hashtags"))
+  }
+
+  /** Incremental merge of freshly-fetched changesets over an existing
+    * snapshot: column-aligned union (the reference fixes column-order
+    * sensitivity with an explicit select; unionByName here), newest row
+    * per id wins by (coalesce(closed_at, created_at)) recency
+    * (reference MergeChangesets.scala:84,99-115). */
+  def mergeChangesets(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val all = existing.unionByName(fresh, allowMissingColumns = false)
+    val recency = coalesce(col("closed_at"), col("created_at"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(recency.desc, col("num_changes").desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

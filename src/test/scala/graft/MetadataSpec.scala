@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Metadata
+
+class MetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assemble: CSV dumps -> joined metadata with tag maps + hashtags") {
+    val dir = Files.createTempDirectory("graft-meta")
+    Files.writeString(dir.resolve("changesets.csv"),
+      "id,user_id,created_at,closed_at,num_changes,min_lat,max_lat,min_lon,max_lon\n" +
+        "100,7,2024-01-01 10:00:00,2024-01-01 11:00:00,5,525000000,526000000,134000000,135000000\n" +
+        "101,8,2024-01-02 10:00:00,,2,-100000000,-99000000,100000000,101000000\n")
+    Files.writeString(dir.resolve("tags.csv"),
+      "changeset_id,k,v\n100,comment,Mapping roads #hotosm #roads2024\n100,created_by,JOSM\n")
+    Files.writeString(dir.resolve("users.csv"),
+      "id,name\n7,alice\n")
+
+    val changesets = spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("user_id", LongType),
+        StructField("created_at", TimestampType),
+        StructField("closed_at", TimestampType),
+        StructField("num_changes", IntegerType),
+        StructField("min_lat", LongType), StructField("max_lat", LongType),
+        StructField("min_lon", LongType), StructField("max_lon", LongType))))
+      .csv(dir.resolve("changesets.csv").toString)
+    val tags = spark.read.option("header", "true").csv(dir.resolve("tags.csv").toString)
+      .withColumnRenamed("changeset_id", "changeset_id")
+      .withColumn("changeset_id", col("changeset_id").cast(LongType))
+    val users = spark.read.option("header", "true").csv(dir.resolve("users.csv").toString)
+      .withColumn("id", col("id").cast(LongType))
+
+    val meta = Metadata.assemble(changesets, tags, users)
+      .orderBy(col("id")).collect()
+
+    meta.length shouldBe 2
+    val r0 = meta(0)
+    r0.getAs[String]("user") shouldBe "alice"
+    r0.getAs[Double]("min_lat") shouldBe 52.5
+    r0.getAs[Double]("max_lon") shouldBe 13.5
+    r0.getAs[Map[String, String]]("tags")("created_by") shouldBe "JOSM"
+    r0.getAs[Seq[String]]("hashtags") shouldBe Seq("hotosm", "roads2024")
+    val r1 = meta(1)
+    r1.getAs[String]("user") shouldBe null // no user row -> left join null
+    r1.getAs[Map[String, String]]("tags") shouldBe Map.empty
+    r1.getAs[Seq[String]]("hashtags") shouldBe Seq.empty
+  }
+
+  test("mergeChangesets: newest version per id wins, union by name") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val existing = Seq(
+      (100L, t("2024-01-01 10:00:00"), Option(t("2024-01-01 11:00:00")), 5),
+      (101L, t("2024-01-02 10:00:00"), Option.empty[java.sql.Timestamp], 2))
+      .toDF("id", "created_at", "closed_at", "num_changes")
+    // fresh re-fetch: 101 now closed (more changes); column order differs
+    val fresh = Seq(
+      (Option(t("2024-01-02 12:00:00")), 101L, 7, t("2024-01-02 10:00:00")))
+      .toDF("closed_at", "id", "num_changes", "created_at")
+    val merged = Metadata.mergeChangesets(existing, fresh)
+      .orderBy(col("id")).collect()
+    merged.length shouldBe 2
+    merged(1).getAs[Int]("num_changes") shouldBe 7 // fresh row won
+    merged(0).getAs[Int]("num_changes") shouldBe 5
+  }
+}
