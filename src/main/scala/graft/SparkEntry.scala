@@ -409,6 +409,12 @@ object SparkEntry {
             functions.TextFunctions.tokens(col("text"))).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_tokens_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          functions.TextFunctions.bpeTokenEstimate(col("text")).as("est_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("langid", functions.TextFunctions.langId(
@@ -909,6 +915,15 @@ object SparkEntry {
          |    x -> x IN ('the','a','of','and','to','in'))) / len(t)) +
          |  0.3 * (len(list_distinct(t)) / len(t)) AS quality
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  list_sum(list_prepend(0::BIGINT,
+        |    [CAST(ceil(length(w)/4.0) AS BIGINT)
+        |     for w in regexp_extract_all(lower(text), '[a-z]+', 0)]))
+        |  + len(regexp_extract_all(text, '[0-9]+', 0))
+        |  + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]', 0)) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH $toksSql,

@@ -66,6 +66,19 @@ object TextFunctions {
   /** Whitespace token count (cheap proxy, no array materialization). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish LLM-token estimate without a tokenizer model: count
+    * subword-shaped pieces (letter runs chunked to ≤4 chars, digit runs,
+    * individual punctuation). The standard ~4-chars-per-token heuristic,
+    * deterministic and SQL-expressible. */
+  def bpeTokenEstimate(c: Column): Column = {
+    val letters = regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+    val digits = regexp_extract_all(c, lit("[0-9]+"), lit(0))
+    val punct = regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0))
+    val letterPieces = aggregate(letters, lit(0L),
+      (acc, w) => acc + ceil(length(w) / 4.0).cast(LongType))
+    letterPieces + size(digits) + size(punct)
+  }
+
   /** 60-bit SimHash over distinct tokens: per bit, majority vote of the
     * tokens' stableHash64 bits (+1/−1), reproducible cross-engine. A UDF
     * (single md5 pass per token) rather than a 60-way column explode;

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+
+import graft.geo.GeoFunctions
+
+/** Cross-dataset building matching — the reference's `bm` subproject
+  * re-grounded (reference bm/BuildingMatching.scala:162-331,
+  * bm/VolumeMatching.scala:9-24; SURVEY.md §2.10 building-match scoring).
+  *
+  * Candidate generation uses [[graft.geo.SpatialJoin]]'s
+  * neighbor-duplicated grid (the survey's fix for the reference
+  * quad-tree partitioner's missed-pairs flaw). Scoring keeps the
+  * area-overlap component of the reference's probability model:
+  * `score = |A ∩ B| / max(|A|, |B|)` over UTM-projected areas (JTS
+  * intersection on lon/lat ring coordinates, areas via the engine's UTM
+  * shoelace — the reference's VolumeMatching area-ratio term). The
+  * homography-DLT vertex term (jblas SVD in the reference) is
+  * deliberately out: it needs a dense linear-algebra kernel; the
+  * pipeline seam where it plugs in is `scorePair`.
+  */
+object BuildingMatch {
+
+  /** Overlap score in [0,1] for two polygons given as (lon,lat) rings. */
+  def scorePair(a: Geometry, b: Geometry): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
+    val inter = try a.intersection(b) catch { case _: Exception => return 0.0 }
+    if (inter.isEmpty) return 0.0
+    val ia = GeoFunctions.areaUtm(inter)
+    val aa = GeoFunctions.areaUtm(a)
+    val ab = GeoFunctions.areaUtm(b)
+    if (math.max(aa, ab) == 0.0) 0.0 else ia / math.max(aa, ab)
+  }
+
+  private val scoreUdf = udf((wa: Array[Byte], wb: Array[Byte]) =>
+    scorePair(GeoFunctions.readWkb(wa), GeoFunctions.readWkb(wb)))
+
+  /** Match candidate building pairs across two polygon sets.
+    * Inputs need (id, wkb, lon, lat) with lon/lat a representative point
+    * (centroid). Pairs come from the grid join within `epsMeters`;
+    * output keeps pairs with overlap score ≥ threshold. */
+  def matchBuildings(left: DataFrame, right: DataFrame, epsMeters: Double,
+                     threshold: Double): DataFrame = {
+    val l = left.select(col("id").as("ia"), col("wkb").as("wa"),
+      col("lon"), col("lat"))
+    val r = right.select(col("id").as("ib"), col("wkb").as("wb"),
+      col("lon").as("lon_r"), col("lat").as("lat_r"))
+    // candidates: representative points within eps of each other
+    val both = l.select(col("ia").as("pid"), col("lon"), col("lat"))
+      .withColumn("side", lit("L"))
+      .unionByName(r.select(col("ib").as("pid"), col("lon_r").as("lon"),
+        col("lat_r").as("lat")).withColumn("side", lit("R")))
+    val pairs = graft.geo.SpatialJoin.pairsWithin(
+        both.withColumn("gid",
+          when(col("side") === "L", col("pid") * 2).otherwise(col("pid") * 2 + 1)),
+        "gid", "lon", "lat", epsMeters)
+      // keep only cross-side pairs, recover original ids
+      .filter((col("ia") % 2) =!= (col("ib") % 2))
+      .select(
+        (when(col("ia") % 2 === 0, col("ia")).otherwise(col("ib")) / 2)
+          .cast("long").as("ia"),
+        (when(col("ia") % 2 === 0, col("ib")).otherwise(col("ia")) / 2)
+          .cast("long").as("ib"))
+      .distinct()
+    pairs
+      .join(l.select(col("ia"), col("wa")), Seq("ia"))
+      .join(r.select(col("ib"), col("wb")), Seq("ib"))
+      .withColumn("score", scoreUdf(col("wa"), col("wb")))
+      .filter(col("score") >= threshold)
+      .select(col("ia"), col("ib"), col("score"))
+  }
+}

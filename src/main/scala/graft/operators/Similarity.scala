@@ -104,6 +104,67 @@ object Similarity {
     corpus.withColumn("bucket", bucket(col(vecCol)))
   }
 
+  // ------------------------------------------------------------ IVF
+
+  /** IVF-style coarse quantization: per-cluster centroids (computed once,
+    * driver-collected — they are tiny), assignments by nearest centroid,
+    * then exact search over the nProbe nearest inverted lists only.
+    *
+    * Clustering here seeds centroids from an existing coarse label
+    * column (deterministic; a k-means refinement would slot in the same
+    * place). The scale property is what matters: the corpus shuffles
+    * ONCE by list id; each query touches nProbe lists instead of the
+    * whole corpus — the standard IVF trade (recall vs probes).
+    */
+  def ivfCentroids(corpus: DataFrame, listCol: String,
+                   vecCol: String = "embedding"): Array[(Int, Array[Double])] =
+    corpus.select(col(listCol).cast("int"), asDouble(col(vecCol)))
+      .as[(Int, Array[Double])](org.apache.spark.sql.Encoders.product[(Int, Array[Double])])
+      .collect()
+      .groupBy(_._1)
+      .map { case (list, rows) =>
+        val dim = rows.head._2.length
+        val c = new Array[Double](dim)
+        rows.foreach(r => { var d = 0; while (d < dim) { c(d) += r._2(d); d += 1 } })
+        (list, c.map(_ / rows.length))
+      }.toArray.sortBy(_._1)
+
+  /** Exact cosine top-k within each query's nProbe nearest IVF lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+              listCol: String = "label", idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    ArrayExpressions.register(spark)
+    val cents = ivfCentroids(corpus, listCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeLists = udf((v: Seq[Double]) => {
+      def cos(a: Seq[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        dp / math.sqrt(na * nb)
+      }
+      bc.value.map { case (list, c) => (list, cos(v, c)) }
+        .sortBy { case (list, s) => (-s, list) }.take(nProbe).map(_._1)
+    })
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"),
+        col(listCol).cast("int").as("list"))
+      .withColumn("nn", expr("dot_prod(nv, nv)"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", expr("dot_prod(qv, qv)"))
+      .withColumn("list", explode(probeLists(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_r", stableRound(
+        expr("dot_prod(qv, nv)") / sqrt(col("nq") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
+  }
+
   /** Approximate top-k: exact cosine rank *within* each query's LSH
     * bucket. One shuffle by bucket; quality tunable via nPlanes. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoFunctions
+import graft.operators.BuildingMatch
+
+class BuildingMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def square(lon: Double, lat: Double, d: Double) = {
+    val f = Seq(
+      GeoFunctions.Row2(lon, lat), GeoFunctions.Row2(lon + d, lat),
+      GeoFunctions.Row2(lon + d, lat + d), GeoFunctions.Row2(lon, lat + d))
+    f
+  }
+
+  test("scorePair: identical 1.0, half overlap ~0.5, disjoint 0") {
+    def poly(pts: Seq[GeoFunctions.Row2]) = {
+      val f = new org.locationtech.jts.geom.GeometryFactory()
+      val cs = pts.map(p => new org.locationtech.jts.geom.Coordinate(p.lon, p.lat))
+      f.createPolygon((cs :+ cs.head).toArray)
+    }
+    val a = poly(square(10, 10, 0.001))
+    BuildingMatch.scorePair(a, a) shouldBe 1.0 +- 1e-9
+    val shifted = poly(square(10.0005, 10, 0.001)) // half-overlapping
+    BuildingMatch.scorePair(a, shifted) shouldBe 0.5 +- 0.01
+    val far = poly(square(11, 11, 0.001))
+    BuildingMatch.scorePair(a, far) shouldBe 0.0
+  }
+
+  test("matchBuildings pairs overlapping buildings across two sets") {
+    def df(rows: Seq[(Long, Double, Double, Double)]) =
+      rows.toDF("id", "lon0", "lat0", "d")
+        .withColumn("pts", expr(
+          "array(struct(lon0 as lon, lat0 as lat)," +
+            "struct(lon0+d as lon, lat0 as lat)," +
+            "struct(lon0+d as lon, lat0+d as lat)," +
+            "struct(lon0 as lon, lat0+d as lat))"))
+        .withColumn("wkb", GeoFunctions.stMakePolygon(col("pts")))
+        .withColumn("lon", col("lon0") + col("d") / 2)
+        .withColumn("lat", col("lat0") + col("d") / 2)
+        .select(col("id"), col("wkb"), col("lon"), col("lat"))
+
+    val left = df(Seq((1L, 10.0, 10.0, 0.001), (2L, 20.0, 20.0, 0.001)))
+    val right = df(Seq(
+      (1L, 10.0002, 10.0, 0.001), // overlaps left 1
+      (2L, 30.0, 30.0, 0.001)))   // overlaps nothing
+    val got = BuildingMatch.matchBuildings(left, right,
+      epsMeters = 1000.0, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe 1
+    got.head._1 shouldBe 1L
+    got.head._2 shouldBe 1L
+    got.head._3 shouldBe 0.8 +- 0.05 // 80% overlap
+  }
+}

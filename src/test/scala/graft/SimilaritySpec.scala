@@ -40,6 +40,22 @@ class SimilaritySpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
   }
 
+  test("ivfTopK recalls brute-force results on the label-clustered corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, queries, 3)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.Similarity.ivfTopK(emb, queries, k = 3, nProbe = 4)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    // with 4 of 10 lists probed, recall should be substantial
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    recall should be >= 0.3 // labels are weak clusters in this corpus (max pair cos 0.48)
+    // probing ALL lists recovers brute force exactly
+    val full = graft.operators.Similarity.ivfTopK(emb, queries, k = 3, nProbe = 10)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    full shouldBe exact
+  }
+
   test("sign-LSH buckets identical vectors together; lshTopK finds them") {
     val bucketed = Similarity.signLshBuckets(vecs, nPlanes = 8, dim = 3)
       .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
