@@ -309,6 +309,13 @@ object SparkEntry {
           operators.Stats.changesetStats(s, Tables.events(s, dir)))
         .orderBy(col("user_id"), col("kind"), col("key"))),
 
+    // ---- A12: user_statistics view (rank-gated top-k breakdown over
+    //      the stats rollup; reference materialized views)
+    "q_stats_user_view" -> ((s, dir) =>
+      operators.Stats.userStatistics(
+          operators.Stats.changesetStats(s, Tables.events(s, dir)), topK = 2)
+        .orderBy(col("user_id"), col("rnk"), col("country"))),
+
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
     "q_a7_boolor" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -724,6 +731,32 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT user_id, 'total', 'edits', count(*) FROM g GROUP BY 1) t
          |ORDER BY user_id, kind, key""".stripMargin,
+
+    "q_stats_user_view" ->
+      s"""WITH rects(code, minlon, minlat, maxlon, maxlat) AS (
+         |  VALUES $rectsValuesSql),
+         |g AS (
+         |  SELECT user_id, COALESCE(code, 'NONE') AS country
+         |  FROM (
+         |    SELECT user_id,
+         |      ${synthLonSql("event_id")} AS lon,
+         |      ${synthLatSql("event_id")} AS lat
+         |    FROM events
+         |    WHERE event_type IN ('click','view','purchase')) p
+         |  LEFT JOIN rects
+         |    ON lon >= minlon AND lon <= maxlon
+         |   AND lat >= minlat AND lat <= maxlat),
+         |totals AS (SELECT user_id, count(*) AS total_edits FROM g GROUP BY 1),
+         |cc AS (SELECT user_id, country, count(*) AS cnt FROM g GROUP BY 1,2),
+         |ranked AS (
+         |  SELECT user_id, country, cnt,
+         |    rank() OVER (PARTITION BY user_id
+         |                 ORDER BY cnt DESC, country) AS rnk
+         |  FROM cc)
+         |SELECT t.user_id, total_edits, country, cnt, rnk
+         |FROM totals t LEFT JOIN ranked r
+         |  ON t.user_id = r.user_id AND rnk <= 2
+         |ORDER BY t.user_id, rnk, country""".stripMargin,
 
     "q_a7_boolor" ->
       """SELECT user_id,

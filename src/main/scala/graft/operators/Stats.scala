@@ -91,6 +91,26 @@ object Stats {
           .as("total_edits"))
   }
 
+  /** The reference's `user_statistics` materialized-view shape as a
+    * Spark view (reference deployment/sql/materialized_views/
+    * user_statistics.sql; SURVEY.md §2.4 A12): per-user rollup totals
+    * plus RANK-gated top-k country breakdown (the view's top-10 editors /
+    * top-50 hashtags pattern). */
+  def userStatistics(stats: DataFrame, topK: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = stats.select(col("user_id"), col("total_edits"))
+    val countryCounts = stats
+      .select(col("user_id"), explode(col("countries")).as(Seq("country", "cnt")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("country"))
+    val top = countryCounts
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= topK)
+    totals.join(top, Seq("user_id"), "left")
+      .select(col("user_id"), col("total_edits"),
+        col("country"), col("cnt"), col("rnk"))
+  }
+
   /** Oracle-comparable projection: one row per (user_id, kind, key). */
   def exploded(stats: DataFrame): DataFrame = {
     def part(kind: String, m: String) =
