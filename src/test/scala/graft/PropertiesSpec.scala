@@ -1,0 +1,111 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.sinks.{Mvt, UpsertSink}
+import graft.functions.TextFunctions
+
+/** Property tests (ScalaCheck driven directly — scalatestplus bridge is
+  * not in the offline cache) over the pure implementation functions:
+  * MVT wire-format round-trip, upsert merge laws, layout monotonicity,
+  * signature monotonicity. */
+class PropertiesSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genValue: Gen[Mvt.MValue] = Gen.oneOf(
+    Gen.alphaNumStr.map(Mvt.MString),
+    Gen.chooseNum(-1000000L, 1000000L).map(Mvt.MLong),
+    Gen.chooseNum(-1e6, 1e6).map(Mvt.MDouble))
+
+  private val genFeature: Gen[Mvt.Feature] = for {
+    id <- Gen.chooseNum(0L, 1L << 40)
+    gt <- Gen.oneOf(1, 2, 3)
+    nPts <- Gen.chooseNum(1, 5)
+    pts <- Gen.listOfN(nPts, Gen.zip(
+      Gen.chooseNum(-4096, 4096), Gen.chooseNum(-4096, 4096)))
+    nTags <- Gen.chooseNum(0, 4)
+    tags <- Gen.mapOfN(nTags, Gen.zip(Gen.identifier, genValue))
+  } yield Mvt.Feature(id, gt, Seq(Mvt.MoveTo(pts)), tags)
+
+  test("MVT encode/decode round-trips arbitrary layers") {
+    val genLayer = for {
+      name <- Gen.identifier
+      n <- Gen.chooseNum(0, 6)
+      fs <- Gen.listOfN(n, genFeature)
+    } yield Mvt.Layer(name, 4096, fs)
+    check(Prop.forAll(Gen.listOfN(3, genLayer)) { layers =>
+      Mvt.decode(Mvt.encode(layers)) == layers
+    })
+  }
+
+  test("upsert mergeRow laws: guard idempotence + disjoint commutativity") {
+    val genRow = for {
+      cs <- Gen.chooseNum(1L, 50L)
+      uid <- Gen.chooseNum(1L, 10L)
+      counts <- Gen.mapOf(Gen.zip(Gen.oneOf("roads", "bldg", "water"),
+        Gen.chooseNum(1L, 100L)))
+      edits <- Gen.chooseNum(1L, 100L)
+      seqs <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 20L)).map(_.toSet)
+    } yield UpsertSink.StatsRow(cs, uid, counts, Map.empty, edits, seqs)
+
+    check(Prop.forAll(genRow) { r =>
+      // replaying a row against its own merge result is always a no-op
+      val first = UpsertSink.mergeRow(None, r)
+      UpsertSink.mergeRow(first, r).isEmpty
+    })
+    check(Prop.forAll(genRow, genRow) { (a0, b0) =>
+      val a = a0.copy(changeset = 1L)
+      val b = b0.copy(changeset = 1L,
+        sequences = b0.sequences.map(_ + 100)) // force disjoint
+      // disjoint-sequence merges commute on counts and totals
+      val ab = UpsertSink.mergeRow(UpsertSink.mergeRow(None, a), b).get
+      val ba = UpsertSink.mergeRow(UpsertSink.mergeRow(None, b), a).get
+      ab.counts == ba.counts && ab.totalEdits == ba.totalEdits &&
+        ab.sequences == ba.sequences
+    })
+  }
+
+  test("tile x/y are monotonic in lon/lat and always in range") {
+    import graft.geo.GridLayout
+    val genLon = Gen.chooseNum(-180.0, 179.999)
+    val genLat = Gen.chooseNum(-85.0, 85.0)
+    check(Prop.forAll(genLon, genLon) { (a, b) =>
+      val z = 8
+      val (lo, hi) = if (a < b) (a, b) else (b, a)
+      GridLayout.tileXScala(lo, z) <= GridLayout.tileXScala(hi, z)
+    })
+    check(Prop.forAll(genLon, genLat) { (lon, lat) =>
+      val z = 8
+      val x = GridLayout.tileXScala(lon, z)
+      val y = GridLayout.mercatorTileYScala(lat, z)
+      x >= 0 && x < (1 << z) && y >= 0 && y < (1 << z)
+    })
+  }
+
+  test("minhash signature of a superset is component-wise <= the subset's") {
+    val genShingles = Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)
+    val P = 2147483647L
+    def sig(sh: Seq[String]): Array[Long] =
+      Array.tabulate(4) { i =>
+        sh.map(x => (TextFunctions.stableHash64Scala(x) % P * (2 * i + 1) +
+          (7919L * i + 13)) % P).min
+      }
+    check(Prop.forAll(genShingles, genShingles) { (a, extra) =>
+      val superset = (a ++ extra).distinct
+      sig(superset).zip(sig(a)).forall { case (s, t) => s <= t }
+    })
+  }
+
+  test("tokenize/shingle counts: |shingles| <= max(|tokens|-n+1, 0)") {
+    check(Prop.forAll(Gen.listOf(Gen.identifier)) { words =>
+      val text = words.mkString(" ")
+      val toks = TextFunctions.tokensScala(text)
+      val sh = TextFunctions.shinglesScala(toks, 3)
+      sh.length <= math.max(toks.length - 2, 0)
+    })
+  }
+}
