@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew salting and bucketed co-located joins
+  * (SURVEY.md §4 — the reference handles skew with blind repartitions
+  * and keyed repartition; these are the Spark-native equivalents the
+  * engine standardizes on).
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    * (key, salt) — spreading one hot key over `buckets` reducers —
+    * stage 2 combines the partials per key. Result is identical to a
+    * direct groupBy-sum (addition is associative); the win is that no
+    * single reducer sees a hot key's full row stream.
+    *
+    * AQE's skew handling covers sort-merge JOINS; a skewed AGGREGATION
+    * key still funnels to one reducer without salting. */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                resultCol: String, buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(valueCol), monotonically_increasing_id()), lit(buckets)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as(resultCol))
+  }
+
+  /** Write a DataFrame bucketed+sorted by join keys so subsequent joins
+    * between co-bucketed tables are exchange-free (bucket-local SMJ).
+    * Spark requires the table path: bucketBy is a catalog-table feature. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum equals direct groupBy sum on skewed data") {
+    // one hot key with 10k rows, many cold keys
+    val skewed = (1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"cold$i", i.toLong))
+    val df = skewed.toDF("k", "v").repartition(8)
+    val direct = df.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedSum(df, Seq("k"), "v", "s", buckets = 16)
+      .as[(String, Long)].collect().toMap
+    salted shouldBe direct
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "vb")
+    Scale.writeBucketed(a, "bk_a", Seq("id"), 4)
+    Scale.writeBucketed(b, "bk_b", Seq("id"), 4)
+    val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket-local join: no shuffle exchange on either side
+    plan should not include "ShuffleExchange"
+    plan should not include "Exchange hashpartitioning"
+    joined.count() shouldBe 1000L
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+  }
+}
