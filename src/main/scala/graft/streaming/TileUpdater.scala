@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Tiles
+import graft.sinks.TileSink
+
+/** Streaming tile updater: per micro-batch, rasterize the batch's
+  * element changes and commit them to the MVT store under their
+  * replication sequence ids (reference
+  * apps/.../streaming/StreamingFacetedEditHistogramTileUpdater.scala and
+  * the update path EditHistogram.scala:219-278).
+  *
+  * Exactly-once comes from composing the two protocols:
+  *  - Spark's offset log makes each sequence processed at-least-once;
+  *  - `Mvt.commitTile`'s `__sequences__` guard makes the re-application
+  *    of an already-committed sequence a no-op.
+  * So a crash/restart between offset-commit and tile-write replays the
+  * batch and the store deduplicates — the reference's design, verbatim
+  * (SURVEY.md §2.9 exactly-once).
+  *
+  * Each micro-batch groups rows per sequence (a batch may span several)
+  * and commits each sequence's rasters independently, so partial batch
+  * replays converge.
+  */
+object TileUpdater {
+
+  /** Start the updater over a SequenceSource-schema stream. */
+  def start(changes: DataFrame, tileDir: String, layer: String,
+            zoom: Int, cells: Int, checkpoint: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val writer = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seqs = batch.select(col("sequence")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        seqs.foreach { s =>
+          val pts = batch.filter(col("sequence") === s)
+            .withColumn("key", lit(layer))
+          val rasters = Tiles.rasterize(pts, "key", "lon", "lat", zoom, cells)
+          TileSink.writeRasters(rasters, tileDir, layer, s)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

@@ -83,6 +83,46 @@ class StreamingSpec extends SparkSpec {
     got.toSeq shouldBe expected.toSeq
   }
 
+  test("TileUpdater: streaming tiles are exactly-once under replay") {
+    val tiles1 = Files.createTempDirectory("graft-stream-tiles").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-tiles").toString
+
+    def run(dir: String, cp: String): Unit = {
+      val stream = spark.readStream.format(sourceName)
+        .option("startSequence", 0).option("endSequence", 4)
+        .option("rowsPerSequence", 20).option("sequencesPerBatch", 2)
+        .load()
+      val q = graft.streaming.TileUpdater.start(
+        stream, dir, "edits", zoom = 3, cells = 8, checkpoint = cp)
+      q.awaitTermination(120000)
+    }
+    run(tiles1, ckpt)
+    def totalDensity(dir: String): Long = {
+      val root = java.nio.file.Paths.get(dir, "3")
+      if (!java.nio.file.Files.exists(root)) return 0L
+      val files = java.nio.file.Files.walk(root).toArray.toSeq
+        .map(_.toString).filter(_.endsWith(".mvt"))
+      files.map { f =>
+        val parts = f.split("/")
+        val y = parts.last.stripSuffix(".mvt").toLong
+        val x = parts(parts.length - 2).toLong
+        graft.sinks.Mvt.readTile(dir, 3, x, y).get
+          .find(_.name == "edits").toSeq
+          .flatMap(_.features.flatMap(_.tags.get("density")))
+          .collect { case graft.sinks.Mvt.MLong(v) => v }.sum
+      }.sum
+    }
+    totalDensity(tiles1) shouldBe 100L // 5 sequences x 20 rows
+    // restart from the same checkpoint: offsets exhausted, nothing re-applied
+    run(tiles1, ckpt)
+    totalDensity(tiles1) shouldBe 100L
+    // fresh checkpoint against the SAME tile dir: full replay of every
+    // sequence — the __sequences__ guard must make it a no-op
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-tiles2").toString
+    run(tiles1, ckpt2)
+    totalDensity(tiles1) shouldBe 100L
+  }
+
   test("stream-stream join with watermarks (J5 shape)") {
     val changes = MemoryStream[(Long, Long, Long, String)](spark)
     val meta = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
