@@ -142,6 +142,47 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  // ------------------------------------------------- cluster collapse
+
+  /** Collapse a near-duplicate pair graph into canonical clusters: every
+    * doc maps to the minimum doc id reachable through pair edges
+    * (connected components via iterative min-label propagation — the
+    * step that turns pair detection into an actionable keep/drop list).
+    *
+    * Each iteration is one join + aggregation over the edge list
+    * (undirected edges propagated both ways); iteration count is the
+    * graph diameter, which for dedup clusters (near-cliques produced by
+    * LSH) is tiny. Converges by fixpoint check with a hard cap. */
+  def canonicalizeClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("canonical_id", col("doc_id"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b_id"),
+          edges("b") === col("b_id"))
+        .select(col("a").as("doc_id"), col("canonical_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("canonical_id")).as("canonical_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val diff = next.join(labels.withColumnRenamed("canonical_id", "old"),
+          Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      changed = diff > 0
+      iter += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** (doc_id, simhash) signatures. */

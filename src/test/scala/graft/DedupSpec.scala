@@ -55,6 +55,31 @@ class DedupSpec extends SparkSpec {
     pairs should not contain ((0L, 2L))
   }
 
+  test("canonicalizeClusters collapses transitive chains to min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L))
+      .toDF("ia", "ib")
+    val got = graft.operators.Dedup.canonicalizeClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 1L
+    got(2L) shouldBe 1L
+    got(3L) shouldBe 1L // via 2
+    got(5L) shouldBe 1L // via 3 -> 2 -> 1 (two hops)
+    got(10L) shouldBe 10L
+    got(11L) shouldBe 10L
+  }
+
+  test("end-to-end: LSH pairs -> clusters -> keep list drops only dups") {
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+      docs, col("text"), col("doc_id"), threshold = 0.5)
+    val clusters = graft.operators.Dedup.canonicalizeClusters(
+      pairs.select(col("ia"), col("ib")))
+      .as[(Long, Long)].collect().toMap
+    // 0, 1, 3 form one near-dup cluster; keep = canonical only
+    clusters(3L) shouldBe 0L
+    clusters(1L) shouldBe 0L
+    clusters.get(2L) shouldBe None // unique docs never enter the pair graph
+  }
+
   test("minhash signature UDF matches per-shingle brute force") {
     import graft.functions.TextFunctions._
     val sh = shinglesScala(tokensScala(
