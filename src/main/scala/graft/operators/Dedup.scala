@@ -130,16 +130,27 @@ object Dedup {
                    dfCap: Int = 1000): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     val shx = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = shx.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val rareSh = shx.join(rare, Seq("s"))
-    val cands = rareSh.select(col("s"), col("doc_id").as("ia"))
+    // count-based: shingle sets are distinct, so the per-pair join-row
+    // count IS the intersection size over cap-eligible shingles; with
+    // dfCap >= max document frequency this equals the exact Jaccard —
+    // no per-pair array joins needed (was the operator's dominant cost)
+    val inter = rareSh.select(col("s"), col("doc_id").as("ia"))
       .join(rareSh.select(col("s"), col("doc_id").as("ib")), Seq("s"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
-    jaccardVerifyFromShingles(cands, sh)
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sza")), Seq("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("szb")), Seq("ib"))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= threshold)
+      .select(col("ia"), col("ib"), col("jac"))
   }
 
   // ------------------------------------------------- cluster collapse
