@@ -316,6 +316,15 @@ object SparkEntry {
           operators.Stats.changesetStats(s, Tables.events(s, dir)), topK = 2)
         .orderBy(col("user_id"), col("rnk"), col("country"))),
 
+    // ---- skew-salted aggregation (SURVEY §4 skew handling): two-stage
+    //      salted sum, oracle-checked equal to the direct rollup
+    "q_salted_agg" -> ((s, dir) =>
+      operators.Scale.saltedSum(
+          Tables.events(s, dir)
+            .withColumn("cents_v", coalesce(cents(col("value")), lit(0L))),
+          Seq("event_type"), "cents_v", "total_cents", buckets = 16)
+        .orderBy(col("event_type"))),
+
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
     "q_a7_boolor" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -757,6 +766,11 @@ object SparkEntry {
          |FROM totals t LEFT JOIN ranked r
          |  ON t.user_id = r.user_id AND rnk <= 2
          |ORDER BY t.user_id, rnk, country""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0)) AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a7_boolor" ->
       """SELECT user_id,

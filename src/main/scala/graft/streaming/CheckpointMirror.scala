@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import graft.sinks.UpsertSink.UpsertStore
+
+/** Mirrors streaming progress into the operational checkpoint table —
+  * the reference persists `(proc_name, sequence)` high-water marks to
+  * PostgreSQL alongside Spark's own offset log so operators can observe
+  * and pre-seed stream positions (reference apps/DbUtils.scala:23-43,
+  * option wiring at
+  * apps/.../streaming/StreamingChangesetStatsUpdater.scala:92-96;
+  * SURVEY.md §2.9 checkpoint/restart). Spark's offset log remains the
+  * source of truth for resume; the mirror is ops parity.
+  *
+  * Listens for query progress, parses the SequenceSource end offset
+  * (plain sequence number) and upserts the max per process name. */
+class CheckpointMirror(store: UpsertStore, procName: String)
+    extends StreamingQueryListener {
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    event.progress.sources.foreach { s =>
+      parseSeq(s.endOffset).foreach(store.saveCheckpoint(procName, _))
+    }
+
+  private def parseSeq(offsetJson: String): Option[Long] =
+    Option(offsetJson).flatMap(o => scala.util.Try(o.trim.toLong).toOption)
+}

@@ -123,6 +123,54 @@ class StreamingSpec extends SparkSpec {
     totalDensity(tiles1) shouldBe 100L
   }
 
+  test("composite-key stream-stream self-join (J6 shape: ways x nodes on (sequence, ref))") {
+    val ways = MemoryStream[(Long, Long, Long)](spark) // (sequence, way_id, ref)
+    val nodes = MemoryStream[(Long, Long, Double, Double)](spark) // (sequence, node_id, lon, lat)
+    val w = ways.toDF().toDF("sequence", "way_id", "ref")
+      .withColumn("event_ts", graft.functions.sequenceToTimestamp(col("sequence")))
+      .withWatermark("event_ts", "0 seconds")
+    val n = nodes.toDF().toDF("sequence", "node_id", "lon", "lat")
+      .withColumn("n_ts", graft.functions.sequenceToTimestamp(col("sequence")))
+      .withWatermark("n_ts", "0 seconds")
+    // same-microbatch join on the composite (sequence, ref=node_id) key
+    val joined = w.join(n,
+      w("sequence") === n("sequence") && col("ref") === col("node_id"))
+      .select(w("sequence"), col("way_id"), col("ref"), col("lon"), col("lat"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-j6").toString
+    val q = joined.writeStream.format("memory").queryName("j6")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    ways.addData((1L, 100L, 7L), (1L, 100L, 8L))
+    nodes.addData((1L, 7L, 10.0, 20.0), (1L, 8L, 11.0, 21.0), (1L, 9L, 0.0, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("j6").as[(Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._3)
+    got.length shouldBe 2
+    got.map(_._3) shouldBe Array(7L, 8L) // node 9 unreferenced
+    q.stop()
+  }
+
+  test("CheckpointMirror records the high-water sequence during streaming") {
+    val store = new graft.sinks.UpsertSink.InMemoryUpsertStore
+    val listener = new graft.streaming.CheckpointMirror(store, "seq-proc")
+    spark.streams.addListener(listener)
+    try {
+      val ckpt = Files.createTempDirectory("graft-ckpt-mirror").toString
+      val stream = spark.readStream.format(sourceName)
+        .option("startSequence", 0).option("endSequence", 6)
+        .option("rowsPerSequence", 2).option("sequencesPerBatch", 3)
+        .load()
+      val q = stream.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener delivery is async; progress events may lag termination
+      val deadline = System.currentTimeMillis() + 20000
+      while (store.checkpoint("seq-proc").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      store.checkpoint("seq-proc") shouldBe Some(7L) // end offset = endSeq + 1
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream-stream join with watermarks (J5 shape)") {
     val changes = MemoryStream[(Long, Long, Long, String)](spark)
     val meta = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
