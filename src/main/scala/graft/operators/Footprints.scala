@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.FacetedTiles.FacetedRaster
+
+/** User/hashtag footprint pipeline — the reference's FootprintCreator /
+  * HashtagFootprintUpdater composition (reference
+  * apps/.../batch/FootprintCreator.scala:61-151; SURVEY.md §3, J3):
+  *
+  *   allowlist/blocklist filters (P3, S12) → distinct target set →
+  *   inner-join-after-distinct (J3 — the target key IS carried, so a
+  *   left_semi would lose it) → per-target faceted tile pyramid.
+  *
+  * The reference renders footprints at base zoom 14 with 512-cell tiles;
+  * grid constants are parameters here.
+  */
+object Footprints {
+
+  /** Build per-target footprint rasters.
+    * @param points    rows with (targetCol, lonCol, latCol, facetCol)
+    * @param targets   optional allowlist of target keys (driver-side,
+    *                  broadcast — the reference loads it from S3 text)
+    * @param blocklist target keys to exclude (reference uid blacklist)
+    */
+  def create(points: DataFrame, targetCol: String, lonCol: String,
+             latCol: String, facetCol: String,
+             targets: Option[Seq[String]] = None,
+             blocklist: Seq[String] = Seq.empty,
+             baseZoom: Int = 6, minZoom: Int = 0,
+             cells: Int = 16): Dataset[FacetedRaster] = {
+    var filtered = points
+    targets.foreach(t => filtered = filtered.filter(col(targetCol).isin(t: _*)))
+    if (blocklist.nonEmpty)
+      filtered = filtered.filter(!col(targetCol).isin(blocklist: _*))
+    // distinct target set + inner join: keeps the target key on every row
+    // (J3 shape — reference FootprintCreator.scala:96-109)
+    val targetSet = filtered.select(col(targetCol)).distinct()
+    val joined = filtered.join(targetSet, Seq(targetCol))
+    FacetedTiles.pyramidFaceted(joined, targetCol, lonCol, latCol, facetCol,
+      baseZoom, minZoom, cells)
+  }
+}

@@ -285,14 +285,26 @@ object Mvt {
       .flatMap(_.features.flatMap(_.tags.get("sequence")))
       .collect { case MLong(s) => s }.toSet
 
+  /** Pluggable same-id feature-merge strategies — the reference's tile
+    * update schemas (reference updater/schemas/: Snapshot replaces,
+    * History/default sums date/density maps, Urchn tracks authors —
+    * Snapshot.scala:7-58, History.scala:11-137, Urchn.scala:8-113;
+    * registry schemas/package.scala:4-8). */
+  sealed trait MergeSchema
+  /** Sum same-id MLong tags (History/EditHistogram density semantics). */
+  case object SumSchema extends MergeSchema
+  /** New feature replaces the old one wholesale (Snapshot semantics). */
+  case object SnapshotSchema extends MergeSchema
+
   /** Idempotent read-modify-write: merge `features` into layer `layer` of
     * tile (z,x,y) under `sequence`. A replay of an already-committed
-    * sequence is a no-op. Feature merge: same-id features' MLong tag
-    * values are summed (the reference's density-sum replacement schema,
+    * sequence is a no-op. Feature merge per `schema` (default: same-id
+    * MLong tag values summed — the reference's density-sum replacement,
     * EditHistogram.scala:101-127). */
   def commitTile(dir: String, z: Int, x: Long, y: Long, layer: String,
                  features: Seq[Feature], sequence: Long,
-                 extent: Int = 4096): Boolean = {
+                 extent: Int = 4096,
+                 schema: MergeSchema = SumSchema): Boolean = {
     val existing = readTile(dir, z, x, y).getOrElse(Seq.empty)
     val committed = sequencesOf(existing)
     if (committed.contains(sequence)) return false // already applied
@@ -300,9 +312,10 @@ object Mvt {
     val byId = mutable.LinkedHashMap.empty[Long, Feature]
     existingLayer.toSeq.flatMap(_.features).foreach(f => byId.update(f.id, f))
     features.foreach { f =>
-      byId.get(f.id) match {
-        case None => byId.update(f.id, f)
-        case Some(old) =>
+      (byId.get(f.id), schema) match {
+        case (None, _) => byId.update(f.id, f)
+        case (Some(_), SnapshotSchema) => byId.update(f.id, f)
+        case (Some(old), SumSchema) =>
           val mergedTags = (old.tags.keySet ++ f.tags.keySet).map { k =>
             val merged = (old.tags.get(k), f.tags.get(k)) match {
               case (Some(MLong(a)), Some(MLong(b))) => MLong(a + b)

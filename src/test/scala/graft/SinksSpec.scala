@@ -72,6 +72,38 @@ class SinksSpec extends SparkSpec {
     seqs should contain theSameElementsAs Seq(Mvt.MLong(1), Mvt.MLong(2))
   }
 
+  test("SnapshotSchema replaces same-id features instead of summing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val f1 = Seq(Mvt.Feature(5L, 1, Seq(Mvt.MoveTo(Seq((1, 1)))),
+      Map("density" -> Mvt.MLong(3))))
+    val f2 = Seq(Mvt.Feature(5L, 1, Seq(Mvt.MoveTo(Seq((2, 2)))),
+      Map("density" -> Mvt.MLong(9))))
+    Mvt.commitTile(dir, 1, 0, 0, "snap", f1, 1L,
+      schema = Mvt.SnapshotSchema) shouldBe true
+    Mvt.commitTile(dir, 1, 0, 0, "snap", f2, 2L,
+      schema = Mvt.SnapshotSchema) shouldBe true
+    val tile = Mvt.readTile(dir, 1, 0, 0).get
+    val feat = tile.find(_.name == "snap").get.features.head
+    feat.tags("density") shouldBe Mvt.MLong(9) // replaced, not 12
+    feat.commands shouldBe Seq(Mvt.MoveTo(Seq((2, 2))))
+  }
+
+  test("Footprints: allowlist + blocklist + per-target pyramids") {
+    val pts = Seq(
+      ("alice", 10.0, 10.0, "d1"), ("alice", 10.0, 10.0, "d2"),
+      ("bob", 20.0, 20.0, "d1"), ("carol", 30.0, 30.0, "d1"),
+      ("spammer", 40.0, 40.0, "d1"))
+      .toDF("user", "lon", "lat", "day")
+    val fp = graft.operators.Footprints.create(pts, "user", "lon", "lat", "day",
+      targets = Some(Seq("alice", "bob", "spammer")),
+      blocklist = Seq("spammer"), baseZoom = 3, minZoom = 3, cells = 4)
+    val keys = fp.collect().map(_.key).toSet
+    keys shouldBe Set("alice", "bob") // carol not targeted, spammer blocked
+    val aliceTotal = fp.collect().filter(_.key == "alice")
+      .flatMap(_.values.values).map(_.values.sum).sum
+    aliceTotal shouldBe 2
+  }
+
   test("TileSink writes a pyramid level end-to-end and is idempotent") {
     val dir = Files.createTempDirectory("graft-tiles2").toString
     val pts = Seq(("k", 10.0, 20.0), ("k", 10.1, 20.1), ("k", -60.0, -30.0))
