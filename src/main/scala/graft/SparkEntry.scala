@@ -455,6 +455,33 @@ object SparkEntry {
         .groupBy(col("tag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("tag"))),
 
+    // ---- merge_sets: distinct union of hashtag arrays (SURVEY §2.8
+    //      string family; reference merge_sets(hashtags(..),hashtags(..)))
+    "q_f_merge_sets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("tags", mergeSets(
+          hashtags(concat(lit("#"), col("source"))),
+          hashtags(concat(lit("#"), col("lang"), lit(" #"), col("source")))))
+        .select(explode(col("tags")).as("tag"))
+        .groupBy(col("tag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("tag"))),
+
+    // ---- count_values over flatten(collect_list(..)) — the reference
+    //      A1 country-path idiom (ChangesetStatsCreator.scala:129)
+    "q_f_countvalues" -> ((s, dir) => {
+      val geocode = geo.CountryIndex.geocodeFirst(s, geo.CountryIndex.synthetic())
+      Tables.events(s, dir)
+        .withColumn("country", coalesce(
+          geocode(synthLon(col("event_id")), synthLat(col("event_id"))),
+          lit("NONE")))
+        .groupBy(col("user_id"))
+        .agg(countValues(flatten(collect_list(array(col("country")))))
+          .as("country_counts"))
+        .select(col("user_id"),
+          explode(col("country_counts")).as(Seq("country", "n")))
+        .orderBy(col("user_id"), col("country"))
+    }),
+
     // ---- scalar functions: hashtags / day-key / math (SURVEY §2.8)
     "q_f_daykey" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1012,6 +1039,29 @@ object SparkEntry {
         |    lower('doc #' || source || ' #' || lang), '#(\w+)', 1)) AS tag
         |  FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_f_merge_sets" ->
+      """SELECT tag, count(*) AS cnt FROM (
+        |  SELECT unnest(list_distinct(list_concat(
+        |    regexp_extract_all(lower('#' || source), '#(\w+)', 1),
+        |    regexp_extract_all(lower('#' || lang || ' #' || source),
+        |                       '#(\w+)', 1)))) AS tag
+        |  FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_f_countvalues" ->
+      s"""WITH rects(code, minlon, minlat, maxlon, maxlat) AS (
+         |  VALUES $rectsValuesSql),
+         |g AS (
+         |  SELECT user_id, COALESCE(code, 'NONE') AS country
+         |  FROM (
+         |    SELECT user_id, ${synthLonSql("event_id")} AS lon,
+         |           ${synthLatSql("event_id")} AS lat FROM events) p
+         |  LEFT JOIN rects
+         |    ON lon >= minlon AND lon <= maxlon
+         |   AND lat >= minlat AND lat <= maxlat)
+         |SELECT user_id, country, count(*) AS n
+         |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q_f_daykey" ->
       """SELECT o_orderkey,

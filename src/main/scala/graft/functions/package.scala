@@ -121,8 +121,8 @@ package object functions {
     map_from_entries(
       transform(array_distinct(arr), k =>
         struct(k.as("key"),
-          aggregate(arr, lit(0), (acc, x) =>
-            acc + when(x === k, 1).otherwise(0)).as("value"))))
+          aggregate(arr, lit(0L), (acc, x) =>
+            acc + when(x === k, 1L).otherwise(0L)).as("value"))))
 
   // ---------------------------------------------------------------- hashing
 

@@ -65,8 +65,8 @@ class FunctionsSpec extends SparkSpec {
       Map("a" -> 1, "c" -> 2)
     df.select(sumMapValues(col("m"))).as[Long].head shouldBe 3L
     val arr = Seq(Seq("x", "y", "x", "x")).toDF("a")
-    arr.select(countValues(col("a"))).as[Map[String, Int]].head shouldBe
-      Map("x" -> 3, "y" -> 1)
+    arr.select(countValues(col("a"))).as[Map[String, Long]].head shouldBe
+      Map("x" -> 3L, "y" -> 1L)
   }
 
   test("MapAggregators.sumCounts merges key-wise (matches manual rollup)") {
