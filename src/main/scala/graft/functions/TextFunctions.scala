@@ -115,12 +115,22 @@ object TextFunctions {
     })
 
   /** Scala mirror of [[graft.functions.stableHash64]] (first 15 md5 hex
-    * chars as a base-16 long). */
+    * chars as a base-16 long — i.e. digest bytes 0..6 plus the high
+    * nibble of byte 7). Thread-local digest + direct byte assembly: this
+    * runs ~once per shingle across the dedup suite. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def stableHash64Scala(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    (h << 4) | ((d(7) & 0xF0L) >> 4)
   }
 
   // ---------------------------------------------------- compiled hot path
@@ -129,9 +139,11 @@ object TextFunctions {
     * composable HOF chain (split → transform → concat_ws → distinct) costs
     * an interpreted lambda dispatch per element; these are single compiled
     * passes with identical output. */
+  private val TokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def tokensScala(s: String): Array[String] =
     if (s == null) Array.empty
-    else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    else TokenPattern.split(s.toLowerCase).filter(_.nonEmpty)
 
   def shinglesScala(toks: Array[String], n: Int): Array[String] =
     if (toks.length < n) Array.empty

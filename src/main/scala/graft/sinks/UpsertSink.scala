@@ -67,11 +67,24 @@ object UpsertSink {
           e.totalEdits + row.totalEdits, e.sequences ++ row.sequences))
     }
 
-  /** JVM-local store (tests / local mode). Atomicity via a global lock —
-    * the production JDBC store gets it from the database transaction. */
+  /** JVM-local store (tests / local mode). The instance is a serializable
+    * HANDLE: task-deserialized copies carry the same id and resolve to
+    * one shared backing map in this JVM (like a connection pool resolves
+    * to one database) — so `foreachPartition` closures reach the same
+    * state. Atomicity via a global lock; the production JDBC store gets
+    * it from the database transaction. */
+  object InMemoryUpsertStore {
+    private val tables =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        (mutable.Map[Long, StoredStats], mutable.Map[String, Long])]()
+    private def resolve(id: String) =
+      tables.computeIfAbsent(id, _ => (mutable.Map.empty, mutable.Map.empty))
+  }
+
   class InMemoryUpsertStore extends UpsertStore {
-    private val data = mutable.Map.empty[Long, StoredStats]
-    private val checkpoints = mutable.Map.empty[String, Long]
+    private val id = java.util.UUID.randomUUID().toString
+    private def data = InMemoryUpsertStore.resolve(id)._1
+    private def checkpoints = InMemoryUpsertStore.resolve(id)._2
     override def applyBatch(rows: Seq[StatsRow]): Unit = data.synchronized {
       // fold sequentially: later rows in the batch see earlier rows'
       // staged merges, like consecutive statements in one transaction
@@ -138,4 +151,19 @@ object UpsertSink {
     rows.foreach(w.add)
     w.flush()
   }
+
+  /** Distributed batch path: `repartition(maxConnections)` bounds the
+    * number of concurrent store connections exactly like the reference
+    * (ChangesetStatsCreator.scala:60-67,201 — "a partition per
+    * connection"); each executor partition runs its own BatchedWriter
+    * lifecycle. The Dataset must be of StatsRow. */
+  def writeStats(rows: org.apache.spark.sql.Dataset[StatsRow],
+                 store: UpsertStore, maxConnections: Int = 8,
+                 batchSize: Int = 1000): Unit =
+    rows.repartition(maxConnections).foreachPartition {
+      (it: Iterator[StatsRow]) =>
+        val w = new BatchedWriter(store, batchSize)
+        it.foreach(w.add)
+        w.flush()
+    }
 }

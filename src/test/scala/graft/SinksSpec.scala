@@ -41,6 +41,29 @@ class SinksSpec extends SparkSpec {
     store.checkpoint("other") shouldBe None
   }
 
+  test("writeStats: distributed upsert path (repartition-bounded)") {
+    val store = new InMemoryUpsertStore
+    val rows = (1L to 500L).map(i =>
+      StatsRow(i % 50, i % 7, Map("e" -> 1L), Map.empty, 1L, Set(i)))
+    import spark.implicits._
+    UpsertSink.writeStats(rows.toDS(), store, maxConnections = 4,
+      batchSize = 100)
+    store.size shouldBe 50
+    (0L until 50L).foreach { cs =>
+      store.get(cs).get.totalEdits shouldBe 10L // 500 rows over 50 changesets
+    }
+  }
+
+  test("stableHash64Scala fast path equals the hex-string definition") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("", "a", "hello world", "shingle one two", "ünïcode").foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"$b%02x").mkString
+      val ref = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      graft.functions.TextFunctions.stableHash64Scala(t) shouldBe ref
+    }
+  }
+
   test("MVT encode/decode round-trip") {
     val layer = Mvt.Layer("edits", 4096, Seq(
       Mvt.Feature(1L, 1, Seq(Mvt.MoveTo(Seq((100, 200)))),
