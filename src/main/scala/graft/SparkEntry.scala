@@ -316,6 +316,17 @@ object SparkEntry {
           operators.Stats.changesetStats(s, Tables.events(s, dir)), topK = 2)
         .orderBy(col("user_id"), col("rnk"), col("country"))),
 
+    // ---- sessionization: inactivity-gap sessions via lag + running-sum
+    //      frame (training-data event pipelines; frame-spec coverage)
+    "q_sessionize" -> ((s, dir) =>
+      operators.Timeline.sessionize(
+          Tables.events(s, dir), Seq("user_id"), "ts_us",
+          gapUs = 3600L * 1000000L, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
     // ---- skew-salted aggregation (SURVEY §4 skew handling): two-stage
     //      salted sum, oracle-checked equal to the direct rollup
     "q_salted_agg" -> ((s, dir) =>
@@ -793,6 +804,24 @@ object SparkEntry {
          |FROM totals t LEFT JOIN ranked r
          |  ON t.user_id = r.user_id AND rnk <= 2
          |ORDER BY t.user_id, rnk, country""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,

@@ -65,6 +65,26 @@ object Timeline {
     probe.join(versions, cond, joinType)
   }
 
+  /** Sessionization: split each key's event timeline into sessions at
+    * inactivity gaps > `gapUs` (the standard running-sum-of-new-session-
+    * flags formulation: lag for the gap, then a cumulative sum over an
+    * explicit rows frame — the engine's one frame-spec use; the
+    * reference needs none, SURVEY.md §2.5). Returns the input plus
+    * `session_idx` (0-based per key). */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gapUs: Long, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val cum = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          col(tsCol) - col("__prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new_session")).over(cum) - 1)
+      .drop("__prev_ts", "__new_session")
+  }
+
   /** Composite-geometry reconstruction with minor versions — the
     * reference's `reconstructWayGeometries` contract (SURVEY.md §1.2 and
     * hard-part #1): a way version's geometry changes either because the
