@@ -151,10 +151,13 @@ object Timeline {
             members("updated") < nodeVersions("node_valid_until")),
         "left")
 
+    // members with no node version valid at `updated` (node created
+    // later / data gap) are skipped — collect_list drops the nulls; a
+    // candidate whose members are all unresolved keeps an empty geometry
     val assembled = resolved
       .groupBy(col("way_id"), col("version"), col("updated"))
-      .agg(array_sort(collect_list(struct(
-        col("nd_idx"), col("lon"), col("lat")))).as("pts"))
+      .agg(array_sort(collect_list(when(col("nv_id").isNotNull, struct(
+        col("nd_idx"), col("lon"), col("lat"))))).as("pts"))
       .withColumn("geometry",
         expr("transform(pts, p -> struct(p.lon as lon, p.lat as lat))"))
       .drop("pts")

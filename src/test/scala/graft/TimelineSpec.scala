@@ -65,6 +65,25 @@ class TimelineSpec extends SparkSpec {
     flags.map(_._3) shouldBe Array(true, false, false)
   }
 
+  test("reconstructWays: unresolved members are skipped, not null-filled") {
+    // way references n1 (exists) and n99 (created AFTER the way version)
+    val ways = Seq((7L, 1, 100L, Seq(1L, 99L))).toDF("way_id", "version", "ts", "nds")
+    val nodes = Seq(
+      (1L, 50L, 0.0, 0.0),
+      (99L, 500L, 8.0, 8.0)) // not valid at t=100
+      .toDF("node_id", "ts", "lon", "lat")
+    val got = Timeline.reconstructWays(ways, nodes)
+      .orderBy(col("minor_version"))
+      .select(col("minor_version"), col("updated"), col("geometry"))
+      .as[(Int, Long, Seq[(Double, Double)])].collect()
+    // t=100: only n1 resolved; t=500 is OUTSIDE v1's window? v1 has no
+    // valid_until (current) so n99's creation at 500 triggers a minor
+    // version where both members resolve
+    got.length shouldBe 2
+    got(0) shouldBe ((0, 100L, Seq((0.0, 0.0))))
+    got(1) shouldBe ((1, 500L, Seq((0.0, 0.0), (8.0, 8.0))))
+  }
+
   test("reconstructWays: member node change outside the window is ignored") {
     val ways = Seq((7L, 1, 100L, Seq(1L))).toDF("way_id", "version", "ts", "nds")
     val nodes = Seq(
