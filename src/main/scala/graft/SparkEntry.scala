@@ -265,7 +265,7 @@ object SparkEntry {
           Seq(lit(t), (col("event_type") === t).cast(LongType))): _*))
       ev.withColumn("counts", countsMap)
         .groupBy(col("user_id"))
-        .agg(functions.MapAggregators.sumCounts(col("counts")).as("summed"))
+        .agg(plans.MapMergeAgg.sumCountsNative(col("counts")).as("summed"))
         .select(col("user_id"), explode(col("summed")).as(Seq("key", "cnt")))
         .orderBy(col("user_id"), col("key"))
     }),
@@ -281,7 +281,7 @@ object SparkEntry {
       Tables.orders(s, dir)
         .withColumn("m", mmap)
         .groupBy(col("o_custkey"))
-        .agg(functions.MapAggregators.sumCounts(col("m")).as("summed"))
+        .agg(plans.MapMergeAgg.sumCountsNative(col("m")).as("summed"))
         .select(col("o_custkey"), explode(col("summed")).as(Seq("key", "cents_v")))
         .select(col("o_custkey"), col("key"), (col("cents_v") / 100.0).as("amount"))
         .orderBy(col("o_custkey"), col("key"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.geo.CountryIndex
+import graft.plans
 
 /** The flagship composite pipeline — the reference's changeset-stats
   * dataflow end to end (reference
@@ -47,9 +48,9 @@ object Stats {
       .withColumn("countries", map(col("country"), lit(1L)))
       .groupBy(col("user_id"))
       .agg(
-        MapAggregators.sumCounts(col("counts")).as("counts_a"),
-        MapAggregators.sumCounts(col("measurements")).as("meas_a"),
-        MapAggregators.sumCounts(col("countries")).as("countries_a"),
+        plans.MapMergeAgg.sumCountsNative(col("counts")).as("counts_a"),
+        plans.MapMergeAgg.sumCountsNative(col("measurements")).as("meas_a"),
+        plans.MapMergeAgg.sumCountsNative(col("countries")).as("countries_a"),
         count(lit(1)).as("edits_a"))
 
     // branch B: purchase events (the "point stats" analog)
@@ -61,9 +62,9 @@ object Stats {
       .withColumn("countries", map(col("country"), lit(1L)))
       .groupBy(col("user_id"))
       .agg(
-        MapAggregators.sumCounts(col("counts")).as("counts_b"),
-        MapAggregators.sumCounts(col("measurements")).as("meas_b"),
-        MapAggregators.sumCounts(col("countries")).as("countries_b"),
+        plans.MapMergeAgg.sumCountsNative(col("counts")).as("counts_b"),
+        plans.MapMergeAgg.sumCountsNative(col("measurements")).as("meas_b"),
+        plans.MapMergeAgg.sumCountsNative(col("countries")).as("countries_b"),
         count(lit(1)).as("edits_b"))
 
     // full-outer merge (J1): key-wise concat of the two branches' maps

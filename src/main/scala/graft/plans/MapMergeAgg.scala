@@ -1,0 +1,109 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Native key-wise MAP<STRING,BIGINT> sum aggregate — the survey's named
+  * optional Catalyst work (SURVEY.md §4: "a TypedImperativeAggregate for
+  * map-merge aggregation", replacing the reference's
+  * collect_list-then-UDF idiom and improving on the udaf(Aggregator)
+  * path: the buffer is a plain JVM HashMap serialized with a compact
+  * length-prefixed encoding instead of kryo, and merge cost is bounded
+  * by key cardinality, never row count).
+  *
+  * Registered as SQL function `sum_counts_native(map)`.
+  */
+case class MapMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = v.asInstanceOf[MapData]
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        val k = keys.getUTF8String(i).toString
+        val value = vals.getLong(i)
+        buf.update(k, buf.getOrElse(k, 0L) + value)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toSeq.sortBy(_._1)
+    ArrayBasedMapData(
+      sorted.map(e => UTF8String.fromString(e._1)).toArray,
+      sorted.map(_._2).toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MapMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MapMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MapMergeAgg =
+    copy(child = newChildren.head)
+}
+
+object MapMergeAgg {
+  /** Register `sum_counts_native` on the session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sum_counts_native", exprs => MapMergeAgg(exprs.head).toAggregateExpression(),
+      "scala_udf")
+
+  /** Column-level entry point (no registry needed). */
+  def sumCountsNative(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      MapMergeAgg(GraftShims.expression(c)).toAggregateExpression())
+  }
+}

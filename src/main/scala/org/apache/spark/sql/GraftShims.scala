@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Column<->Expression conversions — the
+  * standard extension-library shim (Spark 4 moved Column internals to
+  * ColumnNode; libraries building typed Columns from custom Catalyst
+  * expressions go through `classic.ExpressionUtils`). */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -92,6 +92,24 @@ class FunctionsSpec extends SparkSpec {
     got("name") shouldBe "x"
   }
 
+  test("native MapMergeAgg equals the Aggregator path and direct rollup") {
+    graft.plans.MapMergeAgg.register(spark)
+    val df = Seq(
+      ("u1", Map("a" -> 1L, "b" -> 2L)),
+      ("u1", Map("b" -> 3L, "c" -> 1L)),
+      ("u2", Map("c" -> 5L)),
+      ("u2", Map.empty[String, Long])).toDF("k", "m").repartition(4)
+    val native = df.groupBy(col("k"))
+      .agg(expr("sum_counts_native(m)").as("s"))
+      .as[(String, Map[String, Long])].collect().toMap
+    val viaAggregator = df.groupBy(col("k"))
+      .agg(functions.MapAggregators.sumCounts(col("m")).as("s"))
+      .as[(String, Map[String, Long])].collect().toMap
+    native shouldBe viaAggregator
+    native("u1") shouldBe Map("a" -> 1L, "b" -> 5L, "c" -> 1L)
+    native("u2") shouldBe Map("c" -> 5L)
+  }
+
   test("stableHash64 matches the Scala mirror") {
     val df = Seq("hello", "world").toDF("s")
     val viaCol = df.select(stableHash64(col("s"))).as[Long].collect()
