@@ -33,6 +33,24 @@ class IoSpec extends SparkSpec {
     lines shouldBe Array("#hotosm", "#missingmaps")
   }
 
+  test("partition pruning: partitioned parquet scan reads only matching partitions") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("isnotnull(event_type")
+    // only the click partition's files are scanned
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    scanned.sum shouldBe 1
+    q.count() shouldBe Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click").count()
+  }
+
   test("S13: snappy ORC write/read round-trip") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/out"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "k", "v")
