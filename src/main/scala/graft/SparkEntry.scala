@@ -151,6 +151,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ---- W4: range-frame window (trailing 1h event count per user)
+    "q_w4_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("trailing_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- OLAP rollup: subtotals + grand total (ANSI ROLLUP)
+    "q_olap_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- pivot: event types to columns
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // ---- A3: first/ignoreNulls as deterministic window (SURVEY §2.4 A3)
     "q_a3_first_nonnull" -> ((s, dir) => {
       val nonNull = Tables.events(s, dir)
@@ -636,6 +665,29 @@ object SparkEntry {
         |                      ORDER BY cnt DESC, event_type) AS rnk
         |  FROM counts) t
         |WHERE rnk <= 2 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_w4_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_olap_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${moneySql("l_extendedprice")} AS revenue, count(*) AS cnt
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a3_first_nonnull" ->
       """SELECT user_id, value AS first_purchase FROM (
