@@ -161,6 +161,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- exact distributed median per group (sort-position formulation
+    //      over integer cents — deterministic, unlike interpolated
+    //      double medians)
+    "q_stats_median" -> ((s, dir) => {
+      val cents_v = cents(col("o_totalprice"))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cv"), col("o_orderkey"))
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents_v.as("cv"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderpriority"))))
+      ranked
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("cv")) / count(lit(1)) / 100.0).as("median_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- OLAP rollup: subtotals + grand total (ANSI ROLLUP)
     "q_olap_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -672,6 +691,21 @@ object SparkEntry {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |    AS trailing_1h
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stats_median" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cv,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  SUM(cv) / count(*) / 100.0 AS median_price
+        |FROM ranked
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_olap_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
