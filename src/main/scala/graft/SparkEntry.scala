@@ -98,6 +98,41 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- anti-join (NOT EXISTS): customers with no orders
+    "q_j_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- set ops: intersect / except (§2.7 completion)
+    "q_set_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      clickers.intersect(buyers).orderBy(col("user_id"))
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val viewers = ev.filter(col("event_type") === "view")
+        .select(col("user_id"))
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      viewers.except(buyers).orderBy(col("user_id"))
+    }),
+
+    // ---- CUBE: all grouping combinations
+    "q_olap_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- J4: temporal-validity range join (SURVEY §2.3 J4; reference
     //      FacetedEditHistogramTileCreator.scala:69-77). Purchase events
     //      define validity windows per user (validUntil = next purchase);
@@ -645,6 +680,29 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_olap_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_j4_temporal" ->
       """WITH versions AS (
