@@ -582,6 +582,38 @@ object SparkEntry {
         .select(col("o_orderkey"), dayKey(col("o_orderdate")).as("day_key"))
         .orderBy(col("o_orderkey"))),
 
+    // ---- string function family (§2.8)
+    "q_f_strings" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_type")).as("type_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_u"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- math function family (§2.8) — integer-derived, exact
+    "q_f_math" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          abs(col("p_size") - 25).as("size_dev"),
+          pmod(col("p_partkey"), lit(7L)).as("pk_mod7"),
+          (col("p_size") * col("p_size")).as("size_sq"),
+          greatest(col("p_size"), lit(10)).as("size_floor10"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- array function family (§2.8)
+    "q_f_arrays" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("words", split(col("p_type"), " "))
+        .select(col("p_partkey"),
+          size(col("words")).as("n_words"),
+          array_join(array_sort(col("words")), ",").as("sorted_words"),
+          element_at(col("words"), 1).as("first_word"),
+          array_contains(col("words"), "BRUSHED").as("has_brushed"))
+        .orderBy(col("p_partkey"))),
+
     "q_f_seq_roundtrip" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -1240,6 +1272,28 @@ object SparkEntry {
       """SELECT o_orderkey,
         |year(o_orderdate)*1000 + dayofyear(o_orderdate) AS day_key
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f_strings" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |substring(p_name, 1, 8) AS name8, length(p_type) AS type_len,
+        |p_brand || '/' || p_type AS brand_type,
+        |replace(p_name, ' ', '_') AS name_u
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_f_math" ->
+      """SELECT p_partkey, abs(p_size - 25) AS size_dev,
+        |p_partkey % 7 AS pk_mod7, p_size * p_size AS size_sq,
+        |greatest(p_size, 10) AS size_floor10
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_f_arrays" ->
+      """SELECT p_partkey,
+        |len(string_split(p_type, ' ')) AS n_words,
+        |array_to_string(list_sort(string_split(p_type, ' ')), ',')
+        |  AS sorted_words,
+        |string_split(p_type, ' ')[1] AS first_word,
+        |list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_f_seq_roundtrip" ->
       """SELECT event_id,
