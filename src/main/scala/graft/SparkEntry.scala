@@ -502,6 +502,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- similarity search: approximate paths (oracle mirrors the
+    // deterministic md5-seeded constructions, so results are exact by
+    // construction even though recall vs brute force is tunable) -------
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      operators.Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
+          threshold = 0.45, nBands = 8, bitsPerBand = 4, dim = 64)
+        .orderBy(col("ia"), col("ib"))),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+          nPlanes = 8, dim = 64)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nProbe = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- text analysis -------------------------------------------------
     "q_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -658,6 +681,23 @@ object SparkEntry {
     s"list_sum([$a[i]*$b[i] for i in range(1,65)]) / " +
       s"sqrt(list_sum([$a[i]*$a[i] for i in range(1,65)]) * " +
       s"list_sum([$b[i]*$b[i] for i in range(1,65)]))"
+
+  /** Rademacher plane weight mirroring [[operators.Similarity.planes]]:
+    * ±1.0 from the parity of stableHash64("seed:p:d"). `p`/`d` are SQL
+    * expressions for the plane / dimension index. */
+  private def lshWSql(p: String, d: String, seed: Int = 42): String =
+    s"(CASE WHEN (CAST('0x' || substr(md5('$seed:' || $p || ':' || $d), 1, 15)" +
+      s" AS BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END)"
+
+  /** Per-(vector, plane) signed projection CTE fragment: `sv` is the
+    * sequential sum over dims of v[d+1]·w(p,d) — the same left fold the
+    * Scala UDF computes, so the sign bit matches bit-for-bit. */
+  private def lshSumsSql(nPlanes: Int): String =
+    s"""s AS (
+       |  SELECT vec_id, p,
+       |    list_sum([v[d+1] * ${lshWSql("p", "d")}
+       |              for d in range(0, 64)]) AS sv
+       |  FROM e, range(0, $nPlanes) r(p))""".stripMargin
 
   /** Haversine distance in meters, formulated token-for-token like
     * [[geo.Geodesy.haversineMeters]] so both engines compute on the same
@@ -931,7 +971,7 @@ object SparkEntry {
          |  LEFT JOIN rects
          |    ON lon >= minlon AND lon <= maxlon
          |   AND lat >= minlat AND lat <= maxlat)
-         |SELECT user_id, kind, key, val FROM (
+         |SELECT user_id, kind, key, CAST(val AS BIGINT) AS val FROM (
          |  SELECT user_id, 'count' AS kind, 'clicks' AS key, count(*) AS val
          |  FROM g WHERE event_type = 'click' GROUP BY user_id
          |  UNION ALL
@@ -991,9 +1031,9 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sess AS (
         |  SELECT user_id, ts_us,
-        |    SUM(new_session) OVER (PARTITION BY user_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
         |      ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -1001,14 +1041,15 @@ object SparkEntry {
 
     "q_salted_agg" ->
       """SELECT event_type,
-        |  SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0)) AS total_cents
+        |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0))
+        |       AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a7_boolor" ->
       """SELECT user_id,
         |  max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) = 1
         |    AS has_purchase,
-        |  sum(CASE WHEN value > 4.0 THEN 1 ELSE 0 END) AS n_high
+        |  CAST(sum(CASE WHEN value > 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_j8_spatial_pairs" ->
@@ -1179,6 +1220,86 @@ object SparkEntry {
          |SELECT q_id, n_id, cos_r, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
 
+    "q_dedup_embedding_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |${lshSumsSql(32)},
+         |bk AS (
+         |  SELECT vec_id, p // 4 AS band,
+         |    CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << (p % 4))
+         |             ELSE 0 END) AS BIGINT) AS bits
+         |  FROM s GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT ia, ib,
+         |    floor((${cosSql("x.v", "y.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM cand JOIN e x ON x.vec_id = cand.ia
+         |            JOIN e y ON y.vec_id = cand.ib)
+         |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.45
+         |ORDER BY ia, ib""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |${lshSumsSql(8)},
+         |bk AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << p)
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY 1),
+         |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb
+         |      WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q_id, eb.vec_id AS n_id,
+         |    floor((${cosSql("qv", "eb.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM eb JOIN q ON q.bucket = eb.bucket AND q.q_id <> eb.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_r DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos_r, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, d,
+         |    floor(avg(v[d+1]) * 1000000 + 0.5)/1000000 AS c
+         |  FROM e, range(0, 64) ds(d) GROUP BY 1, 2),
+         |cl AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pr AS (
+         |  SELECT q_id, label,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cs DESC, label) AS prn
+         |  FROM (
+         |    SELECT q_id, cl.label,
+         |      floor((${cosSql("qv", "cv")}) * 1000000 + 0.5)/1000000 AS cs
+         |    FROM q, cl) t),
+         |probes AS (SELECT q_id, label FROM pr WHERE prn <= 3),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    floor((${cosSql("qv", "e.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM probes JOIN e ON e.label = probes.label
+         |              JOIN q ON q.q_id = probes.q_id
+         |  WHERE q.q_id <> e.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_r DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, cos_r, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH $toksSql
          |SELECT doc_id, len(t) AS n_tokens,
@@ -1198,11 +1319,12 @@ object SparkEntry {
 
     "q_text_tokens_bpe" ->
       """SELECT doc_id,
-        |  list_sum(list_prepend(0::BIGINT,
+        |  CAST(list_sum(list_prepend(0::BIGINT,
         |    [CAST(ceil(length(w)/4.0) AS BIGINT)
         |     for w in regexp_extract_all(lower(text), '[a-z]+', 0)]))
         |  + len(regexp_extract_all(text, '[0-9]+', 0))
-        |  + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]', 0)) AS est_tokens
+        |  + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]', 0))
+        |  AS BIGINT) AS est_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
