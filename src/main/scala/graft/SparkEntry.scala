@@ -467,6 +467,58 @@ object SparkEntry {
         .orderBy(col("zoom"), col("x"), col("y"), col("facet"))
     }),
 
+    // ---- line/polygon tile geometry (SURVEY §2.10 non-point tiling):
+    //      axis-aligned L-paths between consecutive per-user event
+    //      cells, rasterized via grid traversal; rectangles via
+    //      center-in scanline fill. Cell anchors derived in pure
+    //      integer arithmetic so both engines enumerate identical
+    //      cells.
+    "q_tile_lines" -> ((s, dir) => {
+      val z = 3; val cells = 16; val n = (1L << z) * cells
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (col("event_id") * 7919L % n).as("gx"),
+          (col("event_id") * 104729L % n).as("gy"))
+        .withColumn("pgx", lag(col("gx"), 1).over(w))
+        .withColumn("pgy", lag(col("gy"), 1).over(w))
+        .filter(col("pgx").isNotNull)
+      val horiz = ev.select(lit("lines").as("key"),
+        (col("pgx") + 0.5).as("x0"), (col("pgy") + 0.5).as("y0"),
+        (col("gx") + 0.5).as("x1"), (col("pgy") + 0.5).as("y1"))
+      val vert = ev.select(lit("lines").as("key"),
+        (col("gx") + 0.5).as("x0"), (col("pgy") + 0.5).as("y0"),
+        (col("gx") + 0.5).as("x1"), (col("gy") + 0.5).as("y1"))
+      operators.Tiles.pyramidSummary(
+          operators.GeomTiles.rasterizeSegments(horiz.unionByName(vert), z, cells))
+        .orderBy(col("x"), col("y"))
+    }),
+
+    "q_tile_polys" -> ((s, dir) => {
+      val z = 3; val cells = 16; val n = (1L << z) * cells
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val anchor = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (col("event_id") * 7919L % n).as("gx"),
+          (col("event_id") * 104729L % n).as("gy"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val rect = anchor.select(col("user_id"),
+          (col("user_id") % 8 + 1L).as("rw"),
+          (expr("user_id DIV 8") % 8 + 1L).as("rh"),
+          col("gx"), col("gy"))
+        .withColumn("ax", least(col("gx"), lit(n) - col("rw")).cast("double"))
+        .withColumn("ay", least(col("gy"), lit(n) - col("rh")).cast("double"))
+      val polys = rect.select(lit("polys").as("key"),
+        array(col("ax"), col("ax") + col("rw"),
+          col("ax") + col("rw"), col("ax")).as("xs"),
+        array(col("ay"), col("ay"),
+          col("ay") + col("rh"), col("ay") + col("rh")).as("ys"))
+      operators.Tiles.pyramidSummary(
+          operators.GeomTiles.rasterizePolygons(polys, z, cells))
+        .orderBy(col("x"), col("y"))
+    }),
+
     // ---- training-data ops: deduplication suite ------------------------
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exactCanonical(
@@ -1107,6 +1159,52 @@ object SparkEntry {
          |  FROM pts, lv)
          |SELECT zoom, gx//16 AS x, gy//16 AS y, facet, count(*) AS cnt
          |FROM g GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin,
+
+    "q_tile_lines" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (event_id * 7919) % 128 AS gx,
+        |    (event_id * 104729) % 128 AS gy
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, gx, gy,
+        |    lag(gx) OVER (PARTITION BY user_id ORDER BY event_id) AS pgx,
+        |    lag(gy) OVER (PARTITION BY user_id ORDER BY event_id) AS pgy
+        |  FROM ev),
+        |ss AS (SELECT pgx, pgy, gx, gy FROM seg WHERE pgx IS NOT NULL),
+        |hc AS (SELECT unnest(range(least(pgx, gx), greatest(pgx, gx) + 1))
+        |         AS cx, pgy AS cy FROM ss),
+        |vc AS (SELECT gx AS cx,
+        |         unnest(range(least(pgy, gy), greatest(pgy, gy) + 1)) AS cy
+        |       FROM ss),
+        |ac AS (SELECT cx, cy FROM hc UNION ALL SELECT cx, cy FROM vc)
+        |SELECT 3 AS zoom, cx // 16 AS x, cy // 16 AS y,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(DISTINCT cx * 128 + cy) AS BIGINT) AS n_cells
+        |FROM ac GROUP BY x, y ORDER BY x, y""".stripMargin,
+
+    "q_tile_polys" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    (event_id * 7919) % 128 AS gx,
+        |    (event_id * 104729) % 128 AS gy
+        |  FROM events),
+        |rn AS (
+        |  SELECT user_id, gx, gy,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM ev),
+        |anchor AS (SELECT user_id, gx, gy FROM rn WHERE rn = 1),
+        |rect AS (
+        |  SELECT least(gx, 128 - (user_id % 8 + 1)) AS ax,
+        |         least(gy, 128 - ((user_id // 8) % 8 + 1)) AS ay,
+        |         user_id % 8 + 1 AS rw, (user_id // 8) % 8 + 1 AS rh
+        |  FROM anchor),
+        |cx_ AS (SELECT unnest(range(ax, ax + rw)) AS cx, ay, rh FROM rect),
+        |ac AS (SELECT cx, unnest(range(ay, ay + rh)) AS cy FROM cx_)
+        |SELECT 3 AS zoom, cx // 16 AS x, cy // 16 AS y,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(DISTINCT cx * 128 + cy) AS BIGINT) AS n_cells
+        |FROM ac GROUP BY x, y ORDER BY x, y""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH toks AS (

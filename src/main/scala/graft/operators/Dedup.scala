@@ -27,20 +27,22 @@ object Dedup {
   // ------------------------------------------------------------ exact
 
   /** Exact/normalized dedup: canonical id = min doc id per fingerprint.
-    * One hash-shuffle on the fingerprint; at scale the window is a
-    * partial agg + broadcast-back; here expressed as a window min. */
+    * groupBy-min (map-side partial agg, no per-partition sort) + join
+    * back on the fingerprint — two exchanges of the narrow (fp, id)
+    * projection instead of a window min, which would force a full sort
+    * of every fp partition. At scale the min side is tiny relative to
+    * the corpus and AQE broadcasts it. */
   def exactCanonical(df: DataFrame, textCol: Column, idCol: Column,
                      prefixTokens: Int = 0): DataFrame = {
     val toks = tokens(textCol)
     val basis =
       if (prefixTokens > 0) concat_ws(" ", slice(toks, 1, prefixTokens))
       else normalize(textCol)
-    val fp = md5(basis)
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("fp", fp)
-      .withColumn("canonical_id",
-        min(idCol).over(Window.partitionBy(col("fp"))))
-      .select(idCol.as("doc_id"), col("canonical_id"))
+    val withFp = df.select(idCol.as("doc_id"), md5(basis).as("fp"))
+    val mins = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    withFp.join(mins, "fp")
+      .select(col("doc_id"), col("canonical_id"))
   }
 
   // ------------------------------------------------------------ minhash
@@ -156,42 +158,70 @@ object Dedup {
   // ------------------------------------------------- cluster collapse
 
   /** Collapse a near-duplicate pair graph into canonical clusters: every
-    * doc maps to the minimum doc id reachable through pair edges
-    * (connected components via iterative min-label propagation — the
-    * step that turns pair detection into an actionable keep/drop list).
+    * doc maps to the minimum doc id reachable through pair edges —
+    * the step that turns pair detection into an actionable keep/drop
+    * list.
     *
-    * Each iteration is one join + aggregation over the edge list
-    * (undirected edges propagated both ways); iteration count is the
-    * graph diameter, which for dedup clusters (near-cliques produced by
-    * LSH) is tiny. Converges by fixpoint check with a hard cap. */
-  def canonicalizeClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
-      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
-      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("doc_id"))
-      .distinct()
-      .withColumn("canonical_id", col("doc_id"))
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "b_id"),
-          edges("b") === col("b_id"))
-        .select(col("a").as("doc_id"), col("canonical_id"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("doc_id"))
-        .agg(min(col("canonical_id")).as("canonical_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val diff = next.join(labels.withColumnRenamed("canonical_id", "old"),
-          Seq("doc_id"))
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels = next
-      changed = diff > 0
-      iter += 1
+    * Connected components via alternating large-star / small-star
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm):
+    *   - large-star: every node attaches its larger neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node attaches its smaller-or-equal
+    *     neighbors (and itself) to the minimum of those.
+    * Each round is two shuffles over the edge list, no driver action;
+    * the edge set converges to per-component stars centered at the
+    * minimum id in O(log n) rounds — LSH dedup clusters are
+    * near-cliques, so one large-star pass stars them and `rounds = 3`
+    * carries a wide safety margin. The round-1 fixpoint variant cost a
+    * `count()` action (2 jobs) per iteration and leaked persisted
+    * intermediates; this runs a fixed budget with each round's edges
+    * persisted and the previous round's unpersisted. */
+  def canonicalizeClusters(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // Eager localCheckpoint per round: iterative self-joins otherwise
+    // compound the lazy plan exponentially (every round references its
+    // input twice), and the input pair pipeline (LSH etc.) would be
+    // re-executed once per reference. One materialization job per
+    // round, lineage truncated — no fixpoint count() actions.
+    val init = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var edges = init
+    var i = 0
+    while (i < rounds) {
+      // large-star: per node u over ALL neighbors, m = min(N(u) ∪ {u});
+      // emit (v, m) for v > u.
+      val n1 = bothDirs(edges)
+      val m1 = n1.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      val large = n1.join(m1, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: orient edges (u = max, v = min); per u,
+      // m = min(smaller neighbors); emit (v, m) for v ≠ m plus (u, m).
+      val o = large.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val m2 = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      edges = o.join(m2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      i += 1
     }
-    labels
+    // After convergence each component is a star centered at its min
+    // id: label = min over (self ∪ neighbors). The self branch (from
+    // the checkpointed initial edge set) keeps centers and both
+    // endpoints of every original pair in the output.
+    bothDirs(edges)
+      .unionByName(bothDirs(init).select(col("a"), col("a").as("b")))
+      .groupBy(col("a"))
+      .agg(min(col("b")).as("canonical_id"))
+      .select(col("a").as("doc_id"), col("canonical_id"))
   }
 
   // ------------------------------------------------------------ simhash

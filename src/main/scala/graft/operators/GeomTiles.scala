@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Line/polygon tile geometry: key enumeration, clip-to-tile, and
+  * rasterization for non-point geometries — the reference tiles
+  * arbitrary geometries by enumerating intersecting tile keys and
+  * clipping to each tile extent (reference
+  * analytics/.../Implicits.scala:57-140), then rasterizing the clipped
+  * geometry per tile (`g.foreach(rasterExtent)` visiting covered cells,
+  * reference Implicits.scala:351-408).
+  *
+  * Spark-first restatement: instead of shuffling clipped *geometries*
+  * and rasterizing tile-locally, segments/polygons rasterize directly to
+  * (key, global-cell) incidences in a flatMap — no geometry objects
+  * cross a shuffle, only longs — then one keyed shuffle groups cells
+  * into the same sparse [[Tiles.Raster]] rows the point pipeline uses,
+  * so downsample/merge/pyramid/vectorize compose unchanged. The
+  * explicit clip functions ([[clipSegmentToTile]],
+  * [[clipPolygonToTile]], [[tileKeysForSegment]]) cover the
+  * read-modify-write tile path where per-tile geometry is genuinely
+  * needed; the identity "union of per-tile clipped rasterizations ==
+  * global rasterization" is spec-enforced.
+  *
+  * Coordinates are *global cell* coordinates at a given (zoom, cells):
+  * n = 2^zoom·cells cells per side; cell (cx, cy) owns the half-open
+  * square [cx, cx+1)×[cy, cy+1); its center is (cx+0.5, cy+0.5). All
+  * fill rules are half-open so results are exact (and DuckDB-mirrorable)
+  * when vertices lie on cell centers or corners.
+  */
+object GeomTiles {
+
+  /** Cells traversed by the segment (x0,y0)→(x1,y1) in global cell
+    * coords — Amanatides–Woo grid traversal (public algorithm: "A Fast
+    * Voxel Traversal Algorithm for Ray Tracing", 1987): every cell whose
+    * interior the segment passes through, start and end cells included,
+    * each cell exactly once per segment. Clamped to [0, n)². */
+  def segmentCellsScala(x0: Double, y0: Double, x1: Double, y1: Double,
+                        n: Long): Seq[(Long, Long)] = {
+    def clamp(v: Long): Long = math.min(n - 1, math.max(0L, v))
+    var cx = clamp(math.floor(x0).toLong)
+    var cy = clamp(math.floor(y0).toLong)
+    val ex = clamp(math.floor(x1).toLong)
+    val ey = clamp(math.floor(y1).toLong)
+    val dx = x1 - x0
+    val dy = y1 - y0
+    val stepX = if (dx > 0) 1L else -1L
+    val stepY = if (dy > 0) 1L else -1L
+    var tMaxX = if (dx == 0) Double.PositiveInfinity
+      else ((if (dx > 0) cx + 1 else cx).toDouble - x0) / dx
+    var tMaxY = if (dy == 0) Double.PositiveInfinity
+      else ((if (dy > 0) cy + 1 else cy).toDouble - y0) / dy
+    val tDeltaX = if (dx == 0) Double.PositiveInfinity else math.abs(1.0 / dx)
+    val tDeltaY = if (dy == 0) Double.PositiveInfinity else math.abs(1.0 / dy)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]((cx, cy))
+    val maxSteps = math.abs(ex - cx) + math.abs(ey - cy)
+    var steps = 0L
+    while ((cx != ex || cy != ey) && steps < maxSteps) {
+      if (tMaxX < tMaxY) { cx += stepX; tMaxX += tDeltaX }
+      else { cy += stepY; tMaxY += tDeltaY }
+      out += ((clamp(cx), clamp(cy)))
+      steps += 1
+    }
+    out.toSeq
+  }
+
+  /** Cells whose *centers* fall inside the polygon, even-odd rule with
+    * half-open boundaries (a center exactly on a left/bottom edge is in,
+    * on a right/top edge is out) — scanline over cell-center rows.
+    * Vertices in global cell coords, ring closed implicitly. */
+  def polygonCellsScala(xs: Array[Double], ys: Array[Double],
+                       n: Long): Seq[(Long, Long)] = {
+    require(xs.length == ys.length && xs.length >= 3)
+    val m = xs.length
+    val minY = math.max(0L, math.floor(ys.min).toLong)
+    val maxY = math.min(n - 1, math.ceil(ys.max).toLong)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var r = minY
+    while (r <= maxY) {
+      val yc = r + 0.5
+      // crossings of the scanline with non-horizontal edges, half-open
+      // at the upper vertex: counted when min(y) <= yc < max(y)
+      val crossings = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < m) {
+        val j = (i + 1) % m
+        val yi = ys(i); val yj = ys(j)
+        if (yi != yj && math.min(yi, yj) <= yc && yc < math.max(yi, yj)) {
+          crossings += xs(i) + (yc - yi) * (xs(j) - xs(i)) / (yj - yi)
+        }
+        i += 1
+      }
+      val sorted = crossings.sorted
+      var k = 0
+      while (k + 1 < sorted.length) {
+        val xa = sorted(k); val xb = sorted(k + 1)
+        // fill centers cx+0.5 in [xa, xb)
+        var cx = math.max(0L, math.ceil(xa - 0.5).toLong)
+        val cxEnd = math.min(n - 1, math.ceil(xb - 0.5).toLong - 1)
+        while (cx <= cxEnd) { out += ((cx, r)); cx += 1 }
+        k += 2
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  // -------------------------------------------------- clip-to-tile ops
+
+  /** Tile keys (tx, ty) the segment passes through at (zoom, cells) —
+    * the key-enumeration step of the reference's tile() for lines. */
+  def tileKeysForSegment(x0: Double, y0: Double, x1: Double, y1: Double,
+                         zoom: Int, cells: Int): Seq[(Long, Long)] = {
+    val nTiles = 1L << zoom
+    // traverse at TILE granularity (coords scaled down by `cells`)
+    segmentCellsScala(x0 / cells, y0 / cells, x1 / cells, y1 / cells, nTiles)
+  }
+
+  /** Liang–Barsky clip of a segment to tile (tx, ty)'s extent
+    * [tx·cells, (tx+1)·cells) × [ty·cells, (ty+1)·cells). Returns the
+    * clipped segment or None when disjoint. */
+  def clipSegmentToTile(x0: Double, y0: Double, x1: Double, y1: Double,
+                        tx: Long, ty: Long, cells: Int): Option[(Double, Double, Double, Double)] = {
+    val xmin = tx.toDouble * cells; val xmax = xmin + cells
+    val ymin = ty.toDouble * cells; val ymax = ymin + cells
+    val dx = x1 - x0; val dy = y1 - y0
+    var t0 = 0.0; var t1 = 1.0
+    def clip(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+        true
+      }
+    }
+    if (clip(-dx, x0 - xmin) && clip(dx, xmax - x0) &&
+        clip(-dy, y0 - ymin) && clip(dy, ymax - y0) && t0 <= t1)
+      Some((x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy))
+    else None
+  }
+
+  /** Sutherland–Hodgman clip of a polygon ring to tile (tx, ty)'s
+    * extent. Returns the clipped ring (possibly empty). */
+  def clipPolygonToTile(xs: Array[Double], ys: Array[Double],
+                        tx: Long, ty: Long, cells: Int): (Array[Double], Array[Double]) = {
+    val xmin = tx.toDouble * cells; val xmax = xmin + cells
+    val ymin = ty.toDouble * cells; val ymax = ymin + cells
+    // inside tests for the four half-planes
+    val tests: Seq[(Double, Double) => Boolean] = Seq(
+      (x, _) => x >= xmin, (x, _) => x <= xmax,
+      (_, y) => y >= ymin, (_, y) => y <= ymax)
+    // intersection of edge (a→b) with each boundary
+    def inter(test: Int, ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = test match {
+      case 0 => (xmin, ay + (by - ay) * (xmin - ax) / (bx - ax))
+      case 1 => (xmax, ay + (by - ay) * (xmax - ax) / (bx - ax))
+      case 2 => (ax + (bx - ax) * (ymin - ay) / (by - ay), ymin)
+      case _ => (ax + (bx - ax) * (ymax - ay) / (by - ay), ymax)
+    }
+    var cxs = xs.toVector; var cys = ys.toVector
+    var t = 0
+    while (t < 4 && cxs.nonEmpty) {
+      val inside = tests(t)
+      val nxs = Vector.newBuilder[Double]; val nys = Vector.newBuilder[Double]
+      var i = 0
+      while (i < cxs.length) {
+        val j = (i + 1) % cxs.length
+        val (ax, ay) = (cxs(i), cys(i)); val (bx, by) = (cxs(j), cys(j))
+        val aIn = inside(ax, ay); val bIn = inside(bx, by)
+        if (aIn) { nxs += ax; nys += ay }
+        if (aIn != bIn) {
+          val (ix, iy) = inter(t, ax, ay, bx, by)
+          nxs += ix; nys += iy
+        }
+        i += 1
+      }
+      cxs = nxs.result(); cys = nys.result()
+      t += 1
+    }
+    (cxs.toArray, cys.toArray)
+  }
+
+  // ---------------------------------------------------- rasterization
+
+  private def cellsToRasters(cellRows: Dataset[(String, Long, Long)],
+                             zoom: Int, cells: Int): Dataset[Tiles.Raster] = {
+    val spark = cellRows.sparkSession
+    import spark.implicits._
+    cellRows
+      .groupByKey { case (k, cx, cy) => (k, cx / cells, cy / cells) }
+      .mapGroups { (key, rows) =>
+        val (k, tx, ty) = key
+        val m = scala.collection.mutable.LongMap.empty[Int]
+        rows.foreach { case (_, cx, cy) =>
+          val cell = (cy % cells) * cells + (cx % cells)
+          m.update(cell, m.getOrElse(cell, 0) + 1)
+        }
+        Tiles.Raster(k, zoom, tx, ty, cells, m.toMap.map { case (c, v) => (c: Long, v) })
+      }
+  }
+
+  /** Rasterize segments: input rows (key, x0, y0, x1, y1) in global cell
+    * coords at (zoom, cells); every traversed cell gets +1 per segment.
+    * One flatMap (no geometry shuffle) + one keyed shuffle into sparse
+    * rasters. */
+  def rasterizeSegments(segs: DataFrame, zoom: Int, cells: Int): Dataset[Tiles.Raster] = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val n = (1L << zoom) * cells
+    val cellRows = segs
+      .select(col("key").cast("string"), col("x0").cast("double"),
+        col("y0").cast("double"), col("x1").cast("double"), col("y1").cast("double"))
+      .as[(String, Double, Double, Double, Double)]
+      .flatMap { case (k, x0, y0, x1, y1) =>
+        segmentCellsScala(x0, y0, x1, y1, n).map { case (cx, cy) => (k, cx, cy) }
+      }
+    cellsToRasters(cellRows, zoom, cells)
+  }
+
+  /** Rasterize polygons: input rows (key, xs array, ys array) in global
+    * cell coords; every cell whose center is inside gets +1 per
+    * polygon (even-odd, half-open boundaries). */
+  def rasterizePolygons(polys: DataFrame, zoom: Int, cells: Int): Dataset[Tiles.Raster] = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val n = (1L << zoom) * cells
+    val cellRows = polys
+      .select(col("key").cast("string"), col("xs").cast("array<double>"),
+        col("ys").cast("array<double>"))
+      .as[(String, Seq[Double], Seq[Double])]
+      .flatMap { case (k, xs, ys) =>
+        polygonCellsScala(xs.toArray, ys.toArray, n)
+          .map { case (cx, cy) => (k, cx, cy) }
+      }
+    cellsToRasters(cellRows, zoom, cells)
+  }
+}

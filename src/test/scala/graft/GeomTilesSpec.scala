@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GeomTiles, Tiles}
+
+class GeomTilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ cell enumeration
+
+  test("segmentCells: horizontal center-to-center covers inclusive range") {
+    GeomTiles.segmentCellsScala(2.5, 3.5, 6.5, 3.5, 64) shouldBe
+      Seq((2L, 3L), (3L, 3L), (4L, 3L), (5L, 3L), (6L, 3L))
+    GeomTiles.segmentCellsScala(6.5, 3.5, 2.5, 3.5, 64).toSet shouldBe
+      Set((2L, 3L), (3L, 3L), (4L, 3L), (5L, 3L), (6L, 3L))
+  }
+
+  test("segmentCells: degenerate segment is its single cell") {
+    GeomTiles.segmentCellsScala(4.5, 4.5, 4.5, 4.5, 64) shouldBe Seq((4L, 4L))
+  }
+
+  test("segmentCells: diagonal visits a connected path of cells") {
+    val cells = GeomTiles.segmentCellsScala(0.5, 0.5, 5.5, 3.5, 64)
+    cells.head shouldBe (0L, 0L)
+    cells.last shouldBe (5L, 3L)
+    // consecutive cells are 4-adjacent (traversal never jumps)
+    cells.sliding(2).foreach { case Seq((x0, y0), (x1, y1)) =>
+      (math.abs(x1 - x0) + math.abs(y1 - y0)) shouldBe 1L
+    }
+    // every cell the closed-form line y(x) passes through is present
+    cells.toSet.size shouldBe cells.length
+  }
+
+  test("polygonCells: rectangle with corner vertices fills half-open box") {
+    val got = GeomTiles.polygonCellsScala(
+      Array(2.0, 5.0, 5.0, 2.0), Array(1.0, 1.0, 4.0, 4.0), 64).toSet
+    got shouldBe (for (x <- 2L until 5L; y <- 1L until 4L) yield (x, y)).toSet
+  }
+
+  test("polygonCells: triangle mass matches brute-force center-in test") {
+    val xs = Array(1.0, 9.0, 1.0)
+    val ys = Array(1.0, 1.0, 9.0)
+    val got = GeomTiles.polygonCellsScala(xs, ys, 64).toSet
+    def inside(px: Double, py: Double): Boolean = {
+      // even-odd ray cast to the right, half-open like the scanline
+      var c = false
+      var i = 0
+      while (i < 3) {
+        val j = (i + 1) % 3
+        if ((ys(i) <= py) != (ys(j) <= py)) {
+          val xc = xs(i) + (py - ys(i)) * (xs(j) - xs(i)) / (ys(j) - ys(i))
+          if (px < xc) c = !c
+        }
+        i += 1
+      }
+      c
+    }
+    val brute = (for (x <- 0L until 16L; y <- 0L until 16L
+                      if inside(x + 0.5, y + 0.5)) yield (x, y)).toSet
+    got shouldBe brute
+  }
+
+  // ------------------------------------------------ clip-to-tile ops
+
+  test("tileKeysForSegment matches tiles of traversed cells") {
+    val (zoom, cells) = (3, 16)
+    val n = (1L << zoom) * cells
+    val segs = Seq((3.5, 4.5, 100.2, 77.9), (120.0, 3.0, 2.0, 90.0))
+    segs.foreach { case (x0, y0, x1, y1) =>
+      val fromCells = GeomTiles.segmentCellsScala(x0, y0, x1, y1, n)
+        .map { case (cx, cy) => (cx / cells, cy / cells) }.toSet
+      val keys = GeomTiles.tileKeysForSegment(x0, y0, x1, y1, zoom, cells).toSet
+      // tile-level traversal may include corner-grazed tiles the
+      // cell-level walk skipped, but never misses one
+      fromCells.subsetOf(keys) shouldBe true
+    }
+  }
+
+  test("clipSegmentToTile: inside endpoints preserved, outside clipped to edge") {
+    val Some((x0, y0, x1, y1)) =
+      GeomTiles.clipSegmentToTile(8.0, 8.0, 40.0, 8.0, tx = 0, ty = 0, cells = 16)
+    (x0, y0) shouldBe (8.0, 8.0)
+    (x1, y1) shouldBe (16.0, 8.0)
+    GeomTiles.clipSegmentToTile(40.0, 40.0, 50.0, 50.0, 0, 0, 16) shouldBe None
+  }
+
+  test("clipPolygonToTile: rectangle clipped to tile is the intersection box") {
+    val (xs, ys) = GeomTiles.clipPolygonToTile(
+      Array(8.0, 40.0, 40.0, 8.0), Array(8.0, 8.0, 24.0, 24.0), 0, 0, 16)
+    xs.zip(ys).toSet shouldBe Set((8.0, 8.0), (16.0, 8.0), (16.0, 16.0), (8.0, 16.0))
+  }
+
+  test("per-tile clipped rasterization equals global rasterization (lines)") {
+    val (zoom, cells) = (2, 8)
+    val n = (1L << zoom) * cells
+    val seg = (1.5, 2.5, 29.5, 17.5) // crosses several tiles
+    val global = GeomTiles.segmentCellsScala(seg._1, seg._2, seg._3, seg._4, n)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val perTile = GeomTiles
+      .tileKeysForSegment(seg._1, seg._2, seg._3, seg._4, zoom, cells)
+      .flatMap { case (tx, ty) =>
+        GeomTiles.clipSegmentToTile(seg._1, seg._2, seg._3, seg._4, tx, ty, cells)
+          .toSeq.flatMap { case (cx0, cy0, cx1, cy1) =>
+            GeomTiles.segmentCellsScala(cx0, cy0, cx1, cy1, n)
+              .filter { case (cx, cy) => cx / cells == tx && cy / cells == ty }
+          }
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    perTile shouldBe global
+  }
+
+  // ------------------------------------------------ Dataset operators
+
+  test("rasterizeSegments + pyramid conserves mass across zoom levels") {
+    val segs = Seq(
+      ("k", 2.5, 3.5, 60.5, 3.5),
+      ("k", 10.5, 0.5, 10.5, 50.5),
+      ("k", 0.5, 0.5, 63.5, 63.5)).toDF("key", "x0", "y0", "x1", "y1")
+    val base = GeomTiles.rasterizeSegments(segs, zoom = 2, cells = 16)
+    val baseTotal = Tiles.pyramidSummary(base)
+      .agg(sum("total")).as[Long].head()
+    val down = Tiles.downsampleMerge(base)
+    Tiles.pyramidSummary(down).agg(sum("total")).as[Long].head() shouldBe baseTotal
+    down.collect().foreach(_.zoom shouldBe 1)
+  }
+
+  test("rasterizePolygons counts cell-center incidences per rectangle") {
+    val polys = Seq(
+      ("p", Seq(2.0, 6.0, 6.0, 2.0), Seq(1.0, 1.0, 5.0, 5.0)),
+      ("p", Seq(4.0, 8.0, 8.0, 4.0), Seq(3.0, 3.0, 7.0, 7.0)))
+      .toDF("key", "xs", "ys")
+    val r = GeomTiles.rasterizePolygons(polys, zoom = 0, cells = 16)
+    val total = Tiles.pyramidSummary(r).agg(sum("total")).as[Long].head()
+    total shouldBe (4L * 4 + 4L * 4) // two 4x4 rects (overlap counted twice)
+    // overlapping cells hold value 2
+    val vals = r.collect().head.values
+    vals((4L * 16) + 4) shouldBe 2
+  }
+}
