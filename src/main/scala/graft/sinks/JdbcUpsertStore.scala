@@ -1,0 +1,277 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sinks.UpsertSink.{StatsRow, StoredStats, UpsertStore}
+
+/** JDBC-backed [[UpsertStore]] — the production counterpart of
+  * [[UpsertSink.InMemoryUpsertStore]], carrying the reference's
+  * battle-hardened conflict semantics to a real database (reference
+  * statement at analytics/.../stats/ChangesetStatsForeachWriter.scala:17-130;
+  * result schema per deployment/sql/06-changesets.sql,
+  * 02-checkpoints.sql).
+  *
+  * Two dialect paths:
+  *  - [[JdbcUpsertStore.PostgresSql]]: the generated ON-CONFLICT
+  *    statement family for PostgreSQL — single-statement atomic merge
+  *    with the jsonb key-wise sum and the `&&` sequence-overlap dedup
+  *    guard, parameterized identically to the reference.
+  *  - portable read-merge-write (used below, runs on Derby/H2/any
+  *    ANSI JDBC): each `applyBatch` is ONE serializable transaction —
+  *    SELECT current row, apply [[UpsertSink.mergeRow]] (the single
+  *    source of truth for merge-or-skip), INSERT or UPDATE, commit.
+  *    At-least-once delivery is made exactly-once by the same
+  *    sequence-overlap guard, now enforced transactionally by the
+  *    database instead of a JVM lock.
+  *
+  * The instance is a serializable handle (url string); connections are
+  * opened per batch on the executor — `writeStats`'s
+  * `repartition(maxConnections)` bounds concurrency exactly like the
+  * reference's partition-per-connection rule.
+  */
+class JdbcUpsertStore(url: String) extends UpsertStore {
+
+  import JdbcUpsertStore._
+
+  private def withConn[T](f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+      ensureTables(conn)
+      f(conn)
+    } finally conn.close()
+  }
+
+  private def withTxn[T](f: Connection => T): T = withConn { conn =>
+    conn.setAutoCommit(false)
+    try {
+      val r = f(conn)
+      conn.commit()
+      r
+    } catch {
+      case t: Throwable =>
+        try conn.rollback() catch { case _: SQLException => () }
+        throw t
+    }
+  }
+
+  override def applyBatch(rows: Seq[StatsRow]): Unit = withTxn { conn =>
+    // Per changeset, rows apply in input order (merge order matters
+    // within a key); across changesets, ascending-id processing gives
+    // every transaction the same lock-acquisition order, and the
+    // FOR UPDATE read takes update locks up front — both standard
+    // deadlock-avoidance measures for concurrent writers. All merges
+    // commit together (same contract as the in-memory store).
+    val staged = scala.collection.mutable.Map.empty[Long, (StoredStats, Boolean)]
+    rows.groupBy(_.changeset).toSeq.sortBy(_._1).foreach { case (cs, csRows) =>
+      csRows.foreach { r =>
+        val existing = staged.get(cs).map(_._1)
+          .orElse(select(conn, cs, forUpdate = true))
+        val existedInDb = staged.get(cs).map(_._2)
+          .getOrElse(existing.isDefined)
+        UpsertSink.mergeRow(existing, r).foreach(v =>
+          staged.update(cs, (v, existedInDb)))
+      }
+    }
+    staged.toSeq.sortBy(_._1).foreach { case (_, (v, existed)) =>
+      upsert(conn, v, existed)
+    }
+  }
+
+  override def get(changeset: Long): Option[StoredStats] =
+    withConn(select(_, changeset, forUpdate = false))
+
+  override def saveCheckpoint(procName: String, sequence: Long): Unit =
+    withTxn { conn =>
+      val cur = {
+        val ps = conn.prepareStatement(
+          "SELECT seq FROM checkpoints WHERE proc_name = ?")
+        ps.setString(1, procName)
+        val rs = ps.executeQuery()
+        val r = if (rs.next()) Some(rs.getLong(1)) else None
+        ps.close(); r
+      }
+      cur match {
+        case Some(s) if s >= sequence => ()
+        case Some(_) =>
+          val ps = conn.prepareStatement(
+            "UPDATE checkpoints SET seq = ? WHERE proc_name = ?")
+          ps.setLong(1, sequence); ps.setString(2, procName)
+          ps.executeUpdate(); ps.close()
+        case None =>
+          val ps = conn.prepareStatement(
+            "INSERT INTO checkpoints (proc_name, seq) VALUES (?, ?)")
+          ps.setString(1, procName); ps.setLong(2, sequence)
+          ps.executeUpdate(); ps.close()
+      }
+    }
+
+  override def checkpoint(procName: String): Option[Long] = withConn { conn =>
+    val ps = conn.prepareStatement(
+      "SELECT seq FROM checkpoints WHERE proc_name = ?")
+    ps.setString(1, procName)
+    val rs = ps.executeQuery()
+    val r = if (rs.next()) Some(rs.getLong(1)) else None
+    ps.close(); r
+  }
+
+  def size: Int = withConn { conn =>
+    val rs = conn.createStatement().executeQuery(
+      "SELECT count(*) FROM changesets")
+    rs.next(); rs.getInt(1)
+  }
+
+  private def select(conn: Connection, changeset: Long,
+                     forUpdate: Boolean): Option[StoredStats] = {
+    val ps = conn.prepareStatement(
+      "SELECT id, user_id, counts, measurements, total_edits, sequences " +
+        "FROM changesets WHERE id = ?" +
+        (if (forUpdate) " FOR UPDATE" else ""))
+    ps.setLong(1, changeset)
+    val rs = ps.executeQuery()
+    val r =
+      if (rs.next())
+        Some(StoredStats(rs.getLong(1), rs.getLong(2),
+          decodeLongMap(rs.getString(3)), decodeDoubleMap(rs.getString(4)),
+          rs.getLong(5), decodeLongSet(rs.getString(6))))
+      else None
+    ps.close()
+    r
+  }
+
+  private def upsert(conn: Connection, v: StoredStats, existed: Boolean): Unit = {
+    val sql =
+      if (existed)
+        "UPDATE changesets SET user_id = ?, counts = ?, measurements = ?, " +
+          "total_edits = ?, sequences = ?, updated_at = CURRENT_TIMESTAMP " +
+          "WHERE id = ?"
+      else
+        "INSERT INTO changesets " +
+          "(user_id, counts, measurements, total_edits, sequences, updated_at, id) " +
+          "VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP, ?)"
+    val ps = conn.prepareStatement(sql)
+    ps.setLong(1, v.uid)
+    ps.setString(2, encode(v.counts))
+    ps.setString(3, encode(v.measurements))
+    ps.setLong(4, v.totalEdits)
+    ps.setString(5, encodeSet(v.sequences))
+    ps.setLong(6, v.changeset)
+    ps.executeUpdate()
+    ps.close()
+  }
+}
+
+object JdbcUpsertStore {
+
+  private val mapper = new ObjectMapper()
+
+  private[sinks] def encode(m: Map[String, _]): String = {
+    val jm = new java.util.TreeMap[String, Any]()
+    m.foreach { case (k, v) => jm.put(k, v) }
+    mapper.writeValueAsString(jm)
+  }
+
+  private[sinks] def encodeSet(s: Set[Long]): String =
+    s.toSeq.sorted.mkString("[", ",", "]")
+
+  private[sinks] def decodeLongMap(s: String): Map[String, Long] = {
+    val n = mapper.readTree(s)
+    val b = Map.newBuilder[String, Long]
+    n.properties().forEach(e => b += (e.getKey -> e.getValue.asLong()))
+    b.result()
+  }
+
+  private[sinks] def decodeDoubleMap(s: String): Map[String, Double] = {
+    val n = mapper.readTree(s)
+    val b = Map.newBuilder[String, Double]
+    n.properties().forEach(e => b += (e.getKey -> e.getValue.asDouble()))
+    b.result()
+  }
+
+  private[sinks] def decodeLongSet(s: String): Set[Long] = {
+    val body = s.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) Set.empty
+    else body.split(",").map(_.trim.toLong).toSet
+  }
+
+  private def ensureTables(conn: Connection): Unit = {
+    def createIfMissing(ddl: String): Unit =
+      try { conn.createStatement().executeUpdate(ddl); () }
+      catch {
+        // Derby X0Y32 = object already exists; Postgres/H2 support
+        // IF NOT EXISTS natively but Derby does not.
+        case e: SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    createIfMissing(
+      """CREATE TABLE changesets (
+        |  id BIGINT PRIMARY KEY,
+        |  user_id BIGINT,
+        |  counts CLOB,
+        |  measurements CLOB,
+        |  total_edits BIGINT,
+        |  sequences CLOB,
+        |  updated_at TIMESTAMP)""".stripMargin)
+    createIfMissing(
+      """CREATE TABLE checkpoints (
+        |  proc_name VARCHAR(255) PRIMARY KEY,
+        |  seq BIGINT)""".stripMargin)
+  }
+
+  /** The PostgreSQL single-statement merge family, generated from the
+    * [[StatsRow]] column shape — structurally the reference's
+    * UpdateChangesetsQuery (ChangesetStatsForeachWriter.scala:17-71):
+    * CTE-shaped parameters, jsonb key-wise SUM merge of both map
+    * columns, additive total_edits, array-concat of sequence ids, and
+    * the `&&` overlap dedup guard that makes replays no-ops. */
+  object PostgresSql {
+
+    private def jsonbKeywiseSum(column: String): String =
+      s"""  $column = (
+         |    SELECT jsonb_object_agg(key, value)
+         |    FROM (
+         |      SELECT key, sum((value->>0)::numeric) AS value
+         |      FROM (
+         |        SELECT * FROM jsonb_each(c.$column)
+         |        UNION ALL
+         |        SELECT * FROM jsonb_each(EXCLUDED.$column)
+         |      ) AS _
+         |      WHERE key IS NOT NULL
+         |      GROUP BY key
+         |    ) AS _
+         |  )""".stripMargin
+
+    val upsertChangesets: String =
+      s"""WITH data AS (
+         |  SELECT
+         |    ? AS id,
+         |    ? AS user_id,
+         |    ?::jsonb AS counts,
+         |    ?::jsonb AS measurements,
+         |    ? AS total_edits,
+         |    ?::bigint[] AS sequences,
+         |    current_timestamp AS updated_at
+         |)
+         |INSERT INTO changesets AS c (
+         |  id, user_id, counts, measurements, total_edits, sequences, updated_at
+         |) SELECT * FROM data
+         |ON CONFLICT (id) DO UPDATE
+         |SET
+         |  user_id = coalesce(EXCLUDED.user_id, c.user_id),
+         |${jsonbKeywiseSum("counts")},
+         |${jsonbKeywiseSum("measurements")},
+         |  total_edits = coalesce(c.total_edits, 0) + coalesce(EXCLUDED.total_edits, 0),
+         |  sequences = coalesce(c.sequences, ARRAY[]::bigint[]) || EXCLUDED.sequences,
+         |  updated_at = current_timestamp
+         |WHERE c.id = EXCLUDED.id
+         |  AND NOT coalesce(c.sequences, ARRAY[]::bigint[]) && EXCLUDED.sequences""".stripMargin
+
+    val upsertCheckpoint: String =
+      """INSERT INTO checkpoints AS k (proc_name, sequence)
+        |VALUES (?, ?)
+        |ON CONFLICT (proc_name) DO UPDATE
+        |SET sequence = EXCLUDED.sequence
+        |WHERE k.sequence < EXCLUDED.sequence""".stripMargin
+  }
+}

@@ -30,3 +30,16 @@ class CheckpointMirror(store: UpsertStore, procName: String)
   private def parseSeq(offsetJson: String): Option[Long] =
     Option(offsetJson).flatMap(o => scala.util.Try(o.trim.toLong).toOption)
 }
+
+object CheckpointMirror {
+
+  /** Store-seeded restore (reference DbUtils.scala:23-43: sources
+    * resolve StartSequence from the checkpoints table when the option
+    * is absent): the next `startSequence` for a fresh stream of
+    * `procName` is one past the stored high-water mark, or `default`
+    * when the process has never run. Pass the result into the source:
+    * `.option("startSequence", startSequenceFrom(store, name))`. */
+  def startSequenceFrom(store: UpsertStore, procName: String,
+                        default: Long = 0L): Long =
+    store.checkpoint(procName).map(_ + 1L).getOrElse(default)
+}

@@ -40,7 +40,7 @@ import scala.jdk.CollectionConverters._
   */
 class SequenceSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SequenceSource.schema
+    SequenceSource.schemaFor(options.get("format"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SequenceTable(new CaseInsensitiveStringMap(properties))
@@ -57,6 +57,66 @@ object SequenceSource {
     StructField("visible", BooleanType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("lat", DoubleType, nullable = false)))
+
+  private val tagsType = MapType(StringType, StringType, valueContainsNull = false)
+
+  /** osmChange element rows (format=osmchange). */
+  val osmChangeSchema: StructType = StructType(Seq(
+    StructField("sequence", LongType, nullable = false),
+    StructField("action", StringType, nullable = false),
+    StructField("element_type", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("user", StringType, nullable = false),
+    StructField("visible", BooleanType, nullable = false),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("nds", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("tags", tagsType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  /** Changeset-metadata rows (format=changesets). */
+  val changesetSchema: StructType = StructType(Seq(
+    StructField("sequence", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("closed_at", TimestampType, nullable = true),
+    StructField("open", BooleanType, nullable = false),
+    StructField("user", StringType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("min_lat", DoubleType, nullable = true),
+    StructField("max_lat", DoubleType, nullable = true),
+    StructField("min_lon", DoubleType, nullable = true),
+    StructField("max_lon", DoubleType, nullable = true),
+    StructField("num_changes", LongType, nullable = false),
+    StructField("comments_count", LongType, nullable = false),
+    StructField("tags", tagsType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  /** Augmented-diff rows (format=augdiff). */
+  val augDiffSchema: StructType = StructType(Seq(
+    StructField("sequence", LongType, nullable = false),
+    StructField("element_type", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("minor_version", LongType, nullable = false),
+    StructField("updated", TimestampType, nullable = false),
+    StructField("visible", BooleanType, nullable = false),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("tags", tagsType, nullable = false),
+    StructField("prev_tags", tagsType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  def schemaFor(format: String): StructType = format match {
+    case "osmchange"  => osmChangeSchema
+    case "changesets" => changesetSchema
+    case "augdiff"    => augDiffSchema
+    case _            => schema
+  }
 
   val SequenceEpochSeconds: Long = graft.functions.SequenceEpochSeconds
 
@@ -81,7 +141,7 @@ object SequenceSource {
 
 class SequenceTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   override def name(): String = "graft_sequence_source"
-  override def schema(): StructType = SequenceSource.schema
+  override def schema(): StructType = SequenceSource.schemaFor(options.get("format"))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
@@ -100,12 +160,17 @@ class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
   private val end = options.getLong("endSequence", 9L)
   private val rowsPer = options.getInt("rowsPerSequence", 10)
   private val perBatch = options.getLong("sequencesPerBatch", 5L)
+  private val format = Option(options.get("format")).getOrElse("synthetic")
+  private val payloadDir = Option(options.get("payloadDir")).getOrElse("")
 
-  override def readSchema(): StructType = SequenceSource.schema
+  override def readSchema(): StructType = SequenceSource.schemaFor(format)
+
+  private def partitionFor(s: Long): InputPartition =
+    SequencePartition(s, rowsPer, format, payloadDir)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      (start to end).map(s => SequencePartition(s, rowsPer): InputPartition).toArray
+      (start to end).map(partitionFor).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       SequenceReaderFactory
   }
@@ -144,20 +209,91 @@ class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
       override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
         val lo = s.asInstanceOf[SequenceOffset].seq
         val hi = e.asInstanceOf[SequenceOffset].seq
-        (lo until hi).map(q => SequencePartition(q, rowsPer): InputPartition).toArray
+        (lo until hi).map(partitionFor).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         SequenceReaderFactory
     }
 }
 
-case class SequencePartition(seq: Long, rowsPer: Int) extends InputPartition
+case class SequencePartition(seq: Long, rowsPer: Int,
+                             format: String = "synthetic",
+                             payloadDir: String = "") extends InputPartition
 
+/** Executor-side fetch + parse: each partition owns one sequence and
+  * reads its payload (`payloadDir/<seq>.xml|json` — the file:// analog
+  * of the reference's per-sequence replication fetch) locally, decodes
+  * via [[WireFormats]], and emits rows; malformed payloads/elements
+  * surface as `error` rows for [[ErrorChannel]], never as task
+  * failures. */
 object SequenceReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def tagsMap(m: Map[String, String]): ArrayBasedMapData =
+    ArrayBasedMapData(m, (k: Any) => utf8(k.asInstanceOf[String]),
+      (v: Any) => utf8(v.asInstanceOf[String])).asInstanceOf[ArrayBasedMapData]
+
+  private def payloadRows(p: SequencePartition): Seq[InternalRow] = {
+    val ext = if (p.format == "augdiff") "json" else "xml"
+    val path = java.nio.file.Paths.get(p.payloadDir, s"${p.seq}.$ext")
+    val text =
+      try new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch {
+        case e: java.io.IOException =>
+          return Seq(missingPayloadRow(p, s"payload_read: ${e.getMessage}"))
+      }
+    p.format match {
+      case "osmchange" =>
+        WireFormats.parseOsmChange(p.seq, text).map { r =>
+          InternalRow(r.sequence, utf8(r.action), utf8(r.elementType), r.id,
+            r.version, r.tsMicros, r.changeset, r.uid, utf8(r.user), r.visible,
+            r.lon.map(Double.box).orNull, r.lat.map(Double.box).orNull,
+            new GenericArrayData(r.nds.toArray), tagsMap(r.tags),
+            r.error.map(utf8).orNull)
+        }
+      case "changesets" =>
+        WireFormats.parseChangesets(p.seq, text).map { r =>
+          InternalRow(r.sequence, r.id, r.createdAtMicros,
+            r.closedAtMicros.map(Long.box).orNull, r.open, utf8(r.user), r.uid,
+            r.minLat.map(Double.box).orNull, r.maxLat.map(Double.box).orNull,
+            r.minLon.map(Double.box).orNull, r.maxLon.map(Double.box).orNull,
+            r.numChanges, r.commentsCount, tagsMap(r.tags),
+            r.error.map(utf8).orNull)
+        }
+      case "augdiff" =>
+        WireFormats.parseAugmentedDiff(p.seq, text).map { r =>
+          InternalRow(r.sequence, utf8(r.elementType), r.id, r.version,
+            r.minorVersion, r.updatedMicros, r.visible,
+            r.lon.map(Double.box).orNull, r.lat.map(Double.box).orNull,
+            tagsMap(r.tags), tagsMap(r.prevTags), r.error.map(utf8).orNull)
+        }
+      case other =>
+        Seq(missingPayloadRow(p, s"unknown_format: $other"))
+    }
+  }
+
+  private def missingPayloadRow(p: SequencePartition, reason: String): InternalRow =
+    p.format match {
+      case "changesets" =>
+        InternalRow(p.seq, -1L, 0L, null, false, utf8(""), -1L,
+          null, null, null, null, -1L, -1L, tagsMap(Map.empty), utf8(reason))
+      case "augdiff" =>
+        InternalRow(p.seq, utf8(""), -1L, -1L, -1L, 0L, false, null, null,
+          tagsMap(Map.empty), tagsMap(Map.empty), utf8(reason))
+      case _ =>
+        InternalRow(p.seq, utf8(""), utf8(""), -1L, -1L, 0L, -1L, -1L,
+          utf8(""), false, null, null, new GenericArrayData(Array.empty[Long]),
+          tagsMap(Map.empty), utf8(reason))
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SequencePartition]
     new PartitionReader[InternalRow] {
-      private val it = SequenceSource.rowsFor(p.seq, p.rowsPer).iterator
+      private val it =
+        (if (p.format == "synthetic") SequenceSource.rowsFor(p.seq, p.rowsPer)
+         else payloadRows(p)).iterator
       private var cur: InternalRow = _
       override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
       override def get(): InternalRow = cur

@@ -1,0 +1,201 @@
+package graft.streaming
+
+import java.time.Instant
+
+import scala.util.Try
+import scala.util.control.NonFatal
+
+/** Replication wire-format parsers: minutely-change XML (osmChange),
+  * changeset-metadata XML, and augmented-diff GeoJSON lines — the real
+  * decode step behind [[SequenceSource]] (the reference polls and
+  * parses these in its sources: change XML via vectorpipe at
+  * apps/.../streaming/ChangeStreamProcessor.scala:93-100, augmented
+  * diff feature-collection-map JSON at
+  * analytics/.../updater/package.scala:117-128; formats themselves are
+  * public OSM replication formats).
+  *
+  * Parsing is partition-local (each executor parses its own sequence
+  * payloads) and per-element tolerant: a malformed element yields a row
+  * carrying `error` + the raw snippet instead of killing the batch —
+  * [[ErrorChannel.split]] on `error IS NULL` routes these to the
+  * dead-letter table, mirroring the reference's
+  * AugmentedDiffSourceErrorHandler semantics.
+  *
+  * Pure String → case-class functions, unit-testable without Spark.
+  */
+object WireFormats {
+
+  /** One element change from an osmChange document. */
+  case class ChangeRow(sequence: Long, action: String, elementType: String,
+                       id: Long, version: Long, tsMicros: Long,
+                       changeset: Long, uid: Long, user: String,
+                       visible: Boolean, lon: Option[Double], lat: Option[Double],
+                       nds: Seq[Long], tags: Map[String, String],
+                       error: Option[String] = None)
+
+  /** One changeset-metadata record. */
+  case class ChangesetRow(sequence: Long, id: Long, createdAtMicros: Long,
+                          closedAtMicros: Option[Long], open: Boolean,
+                          user: String, uid: Long,
+                          minLat: Option[Double], maxLat: Option[Double],
+                          minLon: Option[Double], maxLon: Option[Double],
+                          numChanges: Long, commentsCount: Long,
+                          tags: Map[String, String],
+                          error: Option[String] = None)
+
+  /** One augmented-diff element with both generations. */
+  case class DiffRow(sequence: Long, elementType: String, id: Long,
+                     version: Long, minorVersion: Long, updatedMicros: Long,
+                     visible: Boolean, lon: Option[Double], lat: Option[Double],
+                     tags: Map[String, String], prevTags: Map[String, String],
+                     error: Option[String] = None)
+
+  private def micros(isoTs: String): Long = {
+    val i = Instant.parse(isoTs)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def errRow(seq: Long, reason: String): ChangeRow =
+    ChangeRow(seq, "", "", -1L, -1L, 0L, -1L, -1L, "", visible = false,
+      None, None, Nil, Map.empty, Some(reason))
+
+  /** Parse an osmChange XML document (`<osmChange>` with
+    * `<create>/<modify>/<delete>` sections holding
+    * `<node>`/`<way>`/`<relation>` elements). Whole-document XML
+    * failures produce a single error row; per-element attribute
+    * failures produce per-element error rows. */
+  def parseOsmChange(seq: Long, xmlText: String): Seq[ChangeRow] = {
+    val root =
+      try scala.xml.XML.loadString(xmlText)
+      catch {
+        case NonFatal(e) =>
+          return Seq(errRow(seq, s"xml_parse: ${e.getMessage}"))
+      }
+    for {
+      section <- (root \ "_").toSeq
+      action = section.label
+      if Seq("create", "modify", "delete").contains(action)
+      el <- section \ "_"
+      if Seq("node", "way", "relation").contains(el.label)
+    } yield {
+      try {
+        val attrs = el.attributes.asAttrMap
+        def attr(n: String): String = attrs.getOrElse(n,
+          throw new IllegalArgumentException(s"missing attribute '$n'"))
+        ChangeRow(
+          sequence = seq,
+          action = action,
+          elementType = el.label,
+          id = attr("id").toLong,
+          version = attr("version").toLong,
+          tsMicros = micros(attr("timestamp")),
+          changeset = attr("changeset").toLong,
+          uid = attrs.get("uid").map(_.toLong).getOrElse(-1L),
+          user = attrs.getOrElse("user", ""),
+          visible = attrs.get("visible").forall(_.toBoolean),
+          lon = attrs.get("lon").map(_.toDouble),
+          lat = attrs.get("lat").map(_.toDouble),
+          nds = (el \ "nd").map(nd => (nd \@ "ref").toLong).toSeq,
+          tags = (el \ "tag").map(t => (t \@ "k") -> (t \@ "v")).toMap)
+      } catch {
+        case NonFatal(e) =>
+          errRow(seq, s"element_parse(${el.label}): ${e.getMessage}")
+            .copy(elementType = el.label, action = action)
+      }
+    }
+  }
+
+  /** Parse a changeset-metadata XML document (`<osm>` holding
+    * `<changeset>` elements with `<tag>` children — column set per
+    * reference MergeChangesets.scala:101-114). */
+  def parseChangesets(seq: Long, xmlText: String): Seq[ChangesetRow] = {
+    def errCs(reason: String): ChangesetRow =
+      ChangesetRow(seq, -1L, 0L, None, open = false, "", -1L,
+        None, None, None, None, -1L, -1L, Map.empty, Some(reason))
+    val root =
+      try scala.xml.XML.loadString(xmlText)
+      catch { case NonFatal(e) => return Seq(errCs(s"xml_parse: ${e.getMessage}")) }
+    (root \ "changeset").toSeq.map { el =>
+      try {
+        val attrs = el.attributes.asAttrMap
+        def attr(n: String): String = attrs.getOrElse(n,
+          throw new IllegalArgumentException(s"missing attribute '$n'"))
+        ChangesetRow(
+          sequence = seq,
+          id = attr("id").toLong,
+          createdAtMicros = micros(attr("created_at")),
+          closedAtMicros = attrs.get("closed_at").map(micros),
+          open = attrs.get("open").forall(_.toBoolean),
+          user = attrs.getOrElse("user", ""),
+          uid = attrs.get("uid").map(_.toLong).getOrElse(-1L),
+          minLat = attrs.get("min_lat").map(_.toDouble),
+          maxLat = attrs.get("max_lat").map(_.toDouble),
+          minLon = attrs.get("min_lon").map(_.toDouble),
+          maxLon = attrs.get("max_lon").map(_.toDouble),
+          numChanges = attrs.get("num_changes").map(_.toLong).getOrElse(0L),
+          commentsCount = attrs.get("comments_count").map(_.toLong).getOrElse(0L),
+          tags = (el \ "tag").map(t => (t \@ "k") -> (t \@ "v")).toMap)
+      } catch {
+        case NonFatal(e) => errCs(s"changeset_parse: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Parse augmented-diff GeoJSON: one JSON object per line, each a
+    * feature-collection-map with "old"/"new" feature keys (reference
+    * wire form at analytics/.../updater/package.scala:117-128; U+001E
+    * record separators stripped like the reference). The "new"
+    * generation drives the row; "old" contributes prevTags. */
+  def parseAugmentedDiff(seq: Long, text: String): Seq[DiffRow] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    def errDiff(reason: String): DiffRow =
+      DiffRow(seq, "", -1L, -1L, -1L, 0L, visible = false, None, None,
+        Map.empty, Map.empty, Some(reason))
+    text.replace("\u001e", "").linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+      .map { line =>
+        try {
+          val node = mapper.readTree(line)
+          def feature(key: String): Option[JsonNode] = Option(node.get(key))
+          val nw = feature("new").getOrElse(
+            throw new IllegalArgumentException("missing 'new' feature"))
+          val props = Option(nw.get("properties")).getOrElse(
+            throw new IllegalArgumentException("missing properties"))
+          def tagsOf(f: JsonNode): Map[String, String] =
+            Option(f.get("properties")).flatMap(p => Option(p.get("tags"))).map { t =>
+              val b = Map.newBuilder[String, String]
+              t.properties().forEach(e => b += (e.getKey -> e.getValue.asText()))
+              b.result()
+            }.getOrElse(Map.empty)
+          val geom = Option(nw.get("geometry"))
+          val coords = geom.filter(g =>
+            Option(g.get("type")).exists(_.asText() == "Point"))
+            .flatMap(g => Option(g.get("coordinates")))
+          def reqLong(n: String): Long = Option(props.get(n)).map(_.asLong())
+            .getOrElse(throw new IllegalArgumentException(s"missing property '$n'"))
+          DiffRow(
+            sequence = seq,
+            elementType = Option(props.get("type")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("missing property 'type'")),
+            id = reqLong("id"),
+            version = reqLong("version"),
+            minorVersion = Option(props.get("minorVersion")).map(_.asLong()).getOrElse(0L),
+            updatedMicros = micros(Option(props.get("updated")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("missing property 'updated'"))),
+            visible = Option(props.get("visible")).forall(_.asBoolean()),
+            lon = coords.map(_.get(0).asDouble()),
+            lat = coords.map(_.get(1).asDouble()),
+            tags = tagsOf(nw),
+            prevTags = feature("old").map(tagsOf).getOrElse(Map.empty))
+        } catch {
+          case NonFatal(e) => errDiff(s"json_parse: ${e.getMessage}")
+        }
+      }
+  }
+
+  /** Best-effort sequence number from a payload file name
+    * (`<seq>.<ext>`). */
+  def sequenceFromFileName(name: String): Option[Long] =
+    Try(name.takeWhile(_.isDigit).toLong).toOption
+}

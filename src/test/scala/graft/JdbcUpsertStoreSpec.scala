@@ -1,0 +1,100 @@
+package graft
+
+import graft.sinks.{JdbcUpsertStore, UpsertSink}
+import graft.sinks.UpsertSink.StatsRow
+
+/** The same replay/idempotence suite SinksSpec runs against the
+  * in-memory store, executed against the JDBC store on embedded Derby
+  * (in-memory database, one per test) — transactionality and the
+  * sequence-overlap guard enforced by the database. */
+class JdbcUpsertStoreSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshStore(): JdbcUpsertStore = {
+    n += 1
+    new JdbcUpsertStore(
+      s"jdbc:derby:memory:graftdb${System.nanoTime()}_$n;create=true")
+  }
+
+  test("jdbc: upsert merges key-wise on conflict") {
+    val store = freshStore()
+    UpsertSink.writeBatch(Seq(
+      StatsRow(1L, 10L, Map("roads" -> 2L), Map("km" -> 1.5), 2L, Set(100L)),
+      StatsRow(1L, 10L, Map("roads" -> 1L, "buildings" -> 4L), Map("km" -> 0.5), 5L, Set(101L))),
+      store)
+    val got = store.get(1L).get
+    got.counts shouldBe Map("roads" -> 3L, "buildings" -> 4L)
+    got.measurements shouldBe Map("km" -> 2.0)
+    got.totalEdits shouldBe 7L
+    got.sequences shouldBe Set(100L, 101L)
+  }
+
+  test("jdbc: dedup guard makes at-least-once replays exactly-once") {
+    val store = freshStore()
+    val row = StatsRow(2L, 10L, Map("roads" -> 2L), Map.empty, 2L, Set(100L))
+    UpsertSink.writeBatch(Seq(row), store)
+    UpsertSink.writeBatch(Seq(row), store) // replay
+    store.get(2L).get.counts shouldBe Map("roads" -> 2L)
+    store.get(2L).get.totalEdits shouldBe 2L
+    UpsertSink.writeBatch(Seq(row.copy(sequences = Set(101L))), store)
+    store.get(2L).get.totalEdits shouldBe 4L
+  }
+
+  test("jdbc: batch is transactional — a poisoned batch leaves no partial state") {
+    val store = freshStore()
+    UpsertSink.writeBatch(Seq(
+      StatsRow(5L, 1L, Map("e" -> 1L), Map.empty, 1L, Set(1L))), store)
+    // second batch: one good row then a row that will blow up encoding
+    // (null map triggers NPE inside the transaction)
+    intercept[Throwable] {
+      store.applyBatch(Seq(
+        StatsRow(6L, 1L, Map("e" -> 1L), Map.empty, 1L, Set(2L)),
+        StatsRow(7L, 1L, null, Map.empty, 1L, Set(3L))))
+    }
+    store.get(6L) shouldBe None // rolled back with the failing row
+    store.get(5L).isDefined shouldBe true
+  }
+
+  test("jdbc: checkpoint table keeps the high-water mark") {
+    val store = freshStore()
+    store.saveCheckpoint("augdiff-stream", 42L)
+    store.saveCheckpoint("augdiff-stream", 40L)
+    store.checkpoint("augdiff-stream") shouldBe Some(42L)
+    store.checkpoint("other") shouldBe None
+  }
+
+  test("jdbc: distributed writeStats path against one shared database") {
+    // file-backed Derby so every executor thread's connection sees the
+    // same store (memory: databases are also JVM-shared; local[*] runs
+    // in-process either way)
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val store = new JdbcUpsertStore(
+      s"jdbc:derby:${dir.toString}/db;create=true")
+    import spark.implicits._
+    val rows = (1L to 200L).map(i =>
+      StatsRow(i % 20, i % 7, Map("e" -> 1L), Map.empty, 1L, Set(i)))
+    UpsertSink.writeStats(rows.toDS(), store, maxConnections = 4,
+      batchSize = 50)
+    store.size shouldBe 20
+    (0L until 20L).foreach { cs =>
+      store.get(cs).get.totalEdits shouldBe 10L
+    }
+  }
+
+  test("generated PostgreSQL statement carries the reference merge semantics") {
+    val sql = JdbcUpsertStore.PostgresSql.upsertChangesets
+    sql should include("ON CONFLICT (id) DO UPDATE")
+    sql should include("jsonb_object_agg")
+    // key-wise sum applied to BOTH map columns
+    sql.sliding("jsonb_each(c.counts)".length).count(
+      _ == "jsonb_each(c.counts)") shouldBe 1
+    sql should include("jsonb_each(c.measurements)")
+    sql should include(
+      "total_edits = coalesce(c.total_edits, 0) + coalesce(EXCLUDED.total_edits, 0)")
+    // the dedup guard: overlap check must gate the update
+    sql should include(
+      "NOT coalesce(c.sequences, ARRAY[]::bigint[]) && EXCLUDED.sequences")
+    JdbcUpsertStore.PostgresSql.upsertCheckpoint should include(
+      "k.sequence < EXCLUDED.sequence")
+  }
+}
