@@ -1,0 +1,207 @@
+package graft.geo
+
+import org.locationtech.jts.algorithm.Orientation
+import org.locationtech.jts.geom.{Coordinate, Geometry}
+
+/** Homography estimation + vertex matching for building-footprint
+  * comparison — the reference bm's jblas SVD stack
+  * (bm/Homography.scala:10-43, bm/VertexMatching.scala:10-93)
+  * re-implemented on a dependency-free Jacobi eigensolver.
+  *
+  * DLT: for matched vertex pairs (aᵢ ↔ bᵢ), normalized around the
+  * source centroid with the reference's 1e-5 degree scale, each pair
+  * contributes two rows to the 2n×9 design matrix A; the homography is
+  * the null-ish vector of A — the right-singular vector for the
+  * smallest singular value, equivalently the eigenvector of the 9×9
+  * normal matrix AᵀA for its smallest eigenvalue (computed by cyclic
+  * Jacobi rotations — public textbook algorithm).
+  *
+  * The distortion score sums deviations of the recovered h from the
+  * identity's first two COLUMNS (translation deliberately unpunished,
+  * matching the reference's column-major indexing of h):
+  * Δ = |h00−1| + |h10| + |h20| + |h01| + |h11−1| + |h21|, taken as the
+  * min over the absolute and the centroid-aligned ("relative") vertex
+  * matchings exactly like `VertexMatching.score`.
+  */
+object Homography {
+
+  /** Eigenvector of symmetric matrix `a` (destroyed) for the smallest
+    * eigenvalue, via cyclic Jacobi. */
+  def smallestEigenvector(a: Array[Array[Double]]): Array[Double] = {
+    val n = a.length
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var converged = false
+    while (sweep < 64 && !converged) {
+      var off = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      if (off < 1e-26) converged = true
+      else {
+        var p = 0
+        while (p < n) {
+          var q = p + 1
+          while (q < n) {
+            if (math.abs(a(p)(q)) > 1e-300) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+              val t = math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val s = t * c
+              var k = 0
+              while (k < n) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq
+                a(k)(q) = s * akp + c * akq
+                k += 1
+              }
+              k = 0
+              while (k < n) {
+                val apk = a(p)(k); val aqk = a(q)(k)
+                a(p)(k) = c * apk - s * aqk
+                a(q)(k) = s * apk + c * aqk
+                k += 1
+              }
+              k = 0
+              while (k < n) {
+                val vkp = v(k)(p); val vkq = v(k)(q)
+                v(k)(p) = c * vkp - s * vkq
+                v(k)(q) = s * vkp + c * vkq
+                k += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    var best = 0
+    var i = 1
+    while (i < n) { if (a(i)(i) < a(best)(best)) best = i; i += 1 }
+    Array.tabulate(n)(k => v(k)(best))
+  }
+
+  /** DLT homography from vertex pairs, row-major 9-array normalized so
+    * h22 = 1. Normalization mirrors the reference: coordinates centered
+    * at (cx, cy) and divided by 1e-5 (reference
+    * Homography.scala:12-26 pairToRows with maxabs = 1e-5). */
+  def dlt(pairs: Seq[((Double, Double), (Double, Double))],
+          cx: Double, cy: Double): Array[Double] = {
+    val scale = 1e-5
+    val rows = pairs.flatMap { case ((ax, ay), (bx, by)) =>
+      val x = (ax - cx) / scale; val y = (ay - cy) / scale
+      val u = (bx - cx) / scale; val v = (by - cy) / scale
+      Seq(
+        Array(-x, -y, -1.0, 0.0, 0.0, 0.0, u * x, u * y, u),
+        Array(0.0, 0.0, 0.0, -x, -y, -1.0, v * x, v * y, v))
+    }
+    val ata = Array.ofDim[Double](9, 9)
+    rows.foreach { r =>
+      var i = 0
+      while (i < 9) {
+        var j = 0
+        while (j < 9) { ata(i)(j) += r(i) * r(j); j += 1 }
+        i += 1
+      }
+    }
+    val h = smallestEigenvector(ata)
+    val h22 = h(8)
+    if (math.abs(h22) < 1e-300) h else h.map(_ / h22)
+  }
+
+  // ------------------------------------------------ vertex matching
+
+  private def ccwShell(g: Geometry): Array[(Double, Double)] = {
+    val coords: Array[Coordinate] = g.getCoordinates
+    val oriented = if (Orientation.isCCW(coords)) coords else coords.reverse
+    oriented.dropRight(1).map(c => (c.x, c.y))
+  }
+
+  private def argmin(p: (Double, Double), ps: Array[(Double, Double)],
+                     ox: Double, oy: Double): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < ps.length) {
+      val dx = ps(i)._1 - ox - p._1
+      val dy = ps(i)._2 - oy - p._2
+      val d = dx * dx + dy * dy
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Greedy monotone vertex pairing (reference
+    * VertexMatching.matcher:12-27): walk p1's vertices, match each to
+    * the nearest not-yet-passed p2 vertex. */
+  private def greedyPairs(p1: Array[(Double, Double)],
+                          p2: Array[(Double, Double)],
+                          ox: Double, oy: Double): List[((Double, Double), (Double, Double))] = {
+    var i2 = 0
+    val out = List.newBuilder[((Double, Double), (Double, Double))]
+    var i1 = 0
+    while (i1 < p1.length && i2 < p2.length) {
+      val rest = p2.drop(i2)
+      val j = argmin(p1(i1), rest, ox, oy)
+      out += ((p1(i1), rest(j)))
+      i2 += j + 1
+      i1 += 1
+    }
+    out.result()
+  }
+
+  private def centroidOf(g: Geometry): (Double, Double) = {
+    val c = org.locationtech.jts.algorithm.Centroid.getCentroid(g)
+    (c.x, c.y)
+  }
+
+  /** Homography between two polygons under absolute or centroid-aligned
+    * vertex matching (reference polygonToPolygon:44-86). */
+  def polygonHomography(g1: Geometry, g2: Geometry,
+                        relative: Boolean): Array[Double] = {
+    val (pa, pb) =
+      if (g1.getNumPoints < g2.getNumPoints) (g1, g2) else (g2, g1)
+    val (cx, cy) = centroidOf(pa)
+    val (ox, oy) =
+      if (relative) {
+        val (c2x, c2y) = centroidOf(pb)
+        (c2x - cx, c2y - cy)
+      } else (0.0, 0.0)
+    val points1 = ccwShell(pa)
+    val points2 = {
+      val pts = ccwShell(pb)
+      val i = argmin(points1.head, pts, ox, oy)
+      pts.drop(i) ++ pts.take(i)
+    }
+    val pairs = greedyPairs(points1, points2, ox, oy)
+    dlt(
+      if (pairs.length >= 4) pairs
+      else points1.zip(points2).take(4).toList,
+      cx, cy)
+  }
+
+  /** Distortion of h from identity over the first two columns
+    * (translation-invariant; reference score:88-96 with jblas
+    * column-major indexing). h is row-major. */
+  def distortion(h: Array[Double]): Double =
+    math.abs(h(0) - 1.0) + math.abs(h(3)) + math.abs(h(6)) +
+      math.abs(h(1)) + math.abs(h(4) - 1.0) + math.abs(h(7))
+
+  /** The reference's vertex-matching score: min over absolute and
+    * centroid-aligned matchings; 0 = shapes related by pure
+    * translation, grows with shear/rotation/projective distortion. */
+  def vertexScore(g1: Geometry, g2: Geometry): Double = {
+    if (g1 == null || g2 == null || g1.isEmpty || g2.isEmpty ||
+        g1.getNumPoints < 4 || g2.getNumPoints < 4) return Double.MaxValue
+    val d1 = distortion(polygonHomography(g1, g2, relative = false))
+    val d2 = distortion(polygonHomography(g1, g2, relative = true))
+    math.min(d1, d2)
+  }
+}

@@ -12,14 +12,15 @@ import graft.geo.GeoFunctions
   *
   * Candidate generation uses [[graft.geo.SpatialJoin]]'s
   * neighbor-duplicated grid (the survey's fix for the reference
-  * quad-tree partitioner's missed-pairs flaw). Scoring keeps the
-  * area-overlap component of the reference's probability model:
-  * `score = |A ∩ B| / max(|A|, |B|)` over UTM-projected areas (JTS
-  * intersection on lon/lat ring coordinates, areas via the engine's UTM
-  * shoelace — the reference's VolumeMatching area-ratio term). The
-  * homography-DLT vertex term (jblas SVD in the reference) is
-  * deliberately out: it needs a dense linear-algebra kernel; the
-  * pipeline seam where it plugs in is `scorePair`.
+  * quad-tree partitioner's missed-pairs flaw). Scoring combines both
+  * components of the reference's model:
+  *  - area overlap `|A ∩ B| / max(|A|, |B|)` over UTM-projected areas
+  *    (JTS intersection on lon/lat rings, UTM shoelace areas — the
+  *    VolumeMatching area-ratio term);
+  *  - the homography-DLT vertex term ([[graft.geo.Homography]] — the
+  *    reference's jblas SVD stack on a pure-JVM Jacobi eigensolver):
+  *    `vertex_delta`, 0 for translation-equivalent outlines, growing
+  *    with shear/rotation/projective distortion.
   */
 object BuildingMatch {
 
@@ -34,8 +35,16 @@ object BuildingMatch {
     if (math.max(aa, ab) == 0.0) 0.0 else ia / math.max(aa, ab)
   }
 
+  /** Homography distortion between two building outlines (lower =
+    * better match; 0 = same shape up to translation). */
+  def vertexDelta(a: Geometry, b: Geometry): Double =
+    graft.geo.Homography.vertexScore(a, b)
+
   private val scoreUdf = udf((wa: Array[Byte], wb: Array[Byte]) =>
     scorePair(GeoFunctions.readWkb(wa), GeoFunctions.readWkb(wb)))
+
+  private val vertexUdf = udf((wa: Array[Byte], wb: Array[Byte]) =>
+    vertexDelta(GeoFunctions.readWkb(wa), GeoFunctions.readWkb(wb)))
 
   /** Match candidate building pairs across two polygon sets.
     * Inputs need (id, wkb, lon, lat) with lon/lat a representative point
@@ -69,6 +78,7 @@ object BuildingMatch {
       .join(r.select(col("ib"), col("wb")), Seq("ib"))
       .withColumn("score", scoreUdf(col("wa"), col("wb")))
       .filter(col("score") >= threshold)
-      .select(col("ia"), col("ib"), col("score"))
+      .withColumn("vertex_delta", vertexUdf(col("wa"), col("wb")))
+      .select(col("ia"), col("ib"), col("score"), col("vertex_delta"))
   }
 }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.LongType
   */
 object FacetedTiles {
 
+  /** Reference grid constants (VectorGrid.scala:19-32 — WebMercator
+    * ZoomedLayoutScheme, base zoom 10, 128 cells; Footprints overrides
+    * to base zoom 14 with 4×=512 base cells, Footprints.scala:24-25). */
+  val DefaultBaseZoom: Int = 10
+  val DefaultCells: Int = 128
+  val FootprintBaseZoom: Int = 14
+  val FootprintBaseCells: Int = DefaultCells * 4
+
   case class FacetedRaster(key: String, zoom: Int, x: Long, y: Long,
                            cells: Int, values: Map[Long, Map[String, Int]])
 
@@ -31,18 +39,32 @@ object FacetedTiles {
     (a.keySet ++ b.keySet).map(k =>
       k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
 
-  /** Rasterize points with a facet column into per-cell facet maps. */
+  /** Rasterize points with a facet column into per-cell facet maps.
+    * `layout`: "equirect" (exact integer arithmetic, oracle-checked) or
+    * "webmercator" (the reference's product projection — spherical-
+    * mercator global pixel rows, same formula as
+    * [[graft.geo.GridLayout.webMercator]] at pixel resolution). All
+    * downstream pyramid steps are layout-independent integer pixel
+    * math, so the two layouts share every operator after this one. */
   def rasterizeFaceted(df: DataFrame, keyCol: String, lonCol: String,
                        latCol: String, facetCol: String,
-                       zoom: Int, cells: Int): Dataset[FacetedRaster] = {
+                       zoom: Int, cells: Int,
+                       layout: String = "equirect"): Dataset[FacetedRaster] = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = (1L << zoom) * cells
     val gx = least(greatest(
       floor((col(lonCol) + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble))
       .cast(LongType)
-    val gy = least(greatest(
-      floor((lit(90.0) - col(latCol)) / 180.0 * n), lit(0.0)), lit((n - 1).toDouble))
+    val gyRaw = layout match {
+      case "webmercator" =>
+        val latR = radians(col(latCol))
+        floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / math.Pi)
+          / 2.0 * n)
+      case _ =>
+        floor((lit(90.0) - col(latCol)) / 180.0 * n)
+    }
+    val gy = least(greatest(gyRaw, lit(0.0)), lit((n - 1).toDouble))
       .cast(LongType)
     df.select(col(keyCol).as("key"), gx.as("gx"), gy.as("gy"),
         col(facetCol).cast("string").as("facet"))
@@ -94,8 +116,10 @@ object FacetedTiles {
   /** Full pyramid baseZoom..minZoom. */
   def pyramidFaceted(df: DataFrame, keyCol: String, lonCol: String,
                      latCol: String, facetCol: String,
-                     baseZoom: Int, minZoom: Int, cells: Int): Dataset[FacetedRaster] = {
-    val base = rasterizeFaceted(df, keyCol, lonCol, latCol, facetCol, baseZoom, cells)
+                     baseZoom: Int, minZoom: Int, cells: Int,
+                     layout: String = "equirect"): Dataset[FacetedRaster] = {
+    val base = rasterizeFaceted(df, keyCol, lonCol, latCol, facetCol,
+      baseZoom, cells, layout)
     Iterator.iterate(base)(downsampleMergeFaceted)
       .take(baseZoom - minZoom + 1).toSeq.reduce(_ union _)
   }

@@ -291,10 +291,80 @@ object Mvt {
     * Snapshot.scala:7-58, History.scala:11-137, Urchn.scala:8-113;
     * registry schemas/package.scala:4-8). */
   sealed trait MergeSchema
-  /** Sum same-id MLong tags (History/EditHistogram density semantics). */
+  /** Sum same-id MLong tags (EditHistogram density semantics). */
   case object SumSchema extends MergeSchema
   /** New feature replaces the old one wholesale (Snapshot semantics). */
   case object SnapshotSchema extends MergeSchema
+  /** Full-history retention with `__validUntil` retirement (reference
+    * History.scala:49-84): every element generation stays in the tile;
+    * a newer generation of an element sets the currently-valid
+    * generation's `__validUntil` to its own `__updated` and joins the
+    * layer with `__validUntil = 0`. Element identity = `__id` tag
+    * (falls back to the feature id). Stale generations (not newer than
+    * the stored latest) are ignored. */
+  case object HistorySchema extends MergeSchema
+  /** One feature per element with accumulated provenance (reference
+    * Urchn.scala:8-113): `__authors` is the growing comma-joined author
+    * set, `__creation` is preserved from the first generation,
+    * `__lastAuthor`/tags/geometry come from the newest generation.
+    * Older-or-equal generations are ignored. */
+  case object UrchnSchema extends MergeSchema
+
+  private def tagLong(f: Feature, k: String, default: Long = 0L): Long =
+    f.tags.get(k) match { case Some(MLong(v)) => v; case _ => default }
+  private def tagStr(f: Feature, k: String, default: String = ""): String =
+    f.tags.get(k) match { case Some(MString(v)) => v; case _ => default }
+  private def elemKey(f: Feature): String = {
+    val k = tagStr(f, "__id")
+    if (k.nonEmpty) k else f.id.toString
+  }
+
+  /** History merge: append newer generations, retire the previously
+    * valid one (set `__validUntil` = newcomer's `__updated`). */
+  private def mergeHistory(existing: Seq[Feature],
+                           incoming: Seq[Feature]): Seq[Feature] = {
+    val out = mutable.ArrayBuffer[Feature](existing: _*)
+    var nextId = (0L +: out.map(_.id)).max + 1
+    incoming.foreach { f =>
+      val key = elemKey(f)
+      val gens = out.filter(g => elemKey(g) == key)
+      val lastUpdated = if (gens.isEmpty) Long.MinValue
+        else gens.map(tagLong(_, "__updated")).max
+      val fUpdated = tagLong(f, "__updated")
+      if (fUpdated > lastUpdated) {
+        var i = 0
+        while (i < out.length) {
+          val g = out(i)
+          if (elemKey(g) == key && tagLong(g, "__validUntil") == 0L)
+            out(i) = g.copy(tags = g.tags + ("__validUntil" -> MLong(fUpdated)))
+          i += 1
+        }
+        val id = if (out.exists(_.id == f.id)) { val v = nextId; nextId += 1; v }
+          else f.id
+        out += f.copy(id = id,
+          tags = f.tags + ("__validUntil" -> MLong(0L)))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Urchn merge: newest generation wins, provenance accumulates. */
+  private def mergeUrchn(old: Feature, f: Feature): Feature = {
+    if (tagLong(f, "__updated") <= tagLong(old, "__updated")) old
+    else {
+      val authors = (tagStr(old, "__authors").split(",").filter(_.nonEmpty) ++
+        tagStr(f, "__authors").split(",").filter(_.nonEmpty) :+
+        tagStr(f, "__lastAuthor")).filter(_.nonEmpty).distinct.sorted
+      val creation = (tagLong(old, "__creation", Long.MaxValue) min
+        tagLong(f, "__creation", Long.MaxValue)) match {
+        case Long.MaxValue => tagLong(f, "__updated")
+        case c => c
+      }
+      Feature(old.id, f.geomType, f.commands,
+        f.tags + ("__authors" -> MString(authors.mkString(",")))
+          + ("__creation" -> MLong(creation)))
+    }
+  }
 
   /** Idempotent read-modify-write: merge `features` into layer `layer` of
     * tile (z,x,y) under `sequence`. A replay of an already-committed
@@ -309,24 +379,49 @@ object Mvt {
     val committed = sequencesOf(existing)
     if (committed.contains(sequence)) return false // already applied
     val existingLayer = existing.find(_.name == layer)
-    val byId = mutable.LinkedHashMap.empty[Long, Feature]
-    existingLayer.toSeq.flatMap(_.features).foreach(f => byId.update(f.id, f))
-    features.foreach { f =>
-      (byId.get(f.id), schema) match {
-        case (None, _) => byId.update(f.id, f)
-        case (Some(_), SnapshotSchema) => byId.update(f.id, f)
-        case (Some(old), SumSchema) =>
-          val mergedTags = (old.tags.keySet ++ f.tags.keySet).map { k =>
-            val merged = (old.tags.get(k), f.tags.get(k)) match {
-              case (Some(MLong(a)), Some(MLong(b))) => MLong(a + b)
-              case (_, Some(v)) => v
-              case (Some(v), _) => v
-              case _ => MString("")
-            }
-            k -> merged
-          }.toMap
-          byId.update(f.id, Feature(old.id, old.geomType, old.commands, mergedTags))
-      }
+    val existingFeatures = existingLayer.toSeq.flatMap(_.features)
+    val mergedFeatures: Seq[Feature] = schema match {
+      case HistorySchema => mergeHistory(existingFeatures, features)
+      case UrchnSchema =>
+        val byKey = mutable.LinkedHashMap.empty[String, Feature]
+        existingFeatures.foreach(f => byKey.update(elemKey(f), f))
+        features.foreach { f =>
+          val k = elemKey(f)
+          // first generation seeds provenance from itself
+          val init = f.copy(tags = f.tags
+            + ("__authors" -> MString(
+                (tagStr(f, "__authors").split(",").filter(_.nonEmpty) :+
+                  tagStr(f, "__lastAuthor")).filter(_.nonEmpty)
+                  .distinct.sorted.mkString(",")))
+            + ("__creation" -> MLong(
+                tagLong(f, "__creation", tagLong(f, "__updated")))))
+          byKey.get(k) match {
+            case None => byKey.update(k, init)
+            case Some(old) => byKey.update(k, mergeUrchn(old, init))
+          }
+        }
+        byKey.values.toSeq
+      case _ =>
+        val byId = mutable.LinkedHashMap.empty[Long, Feature]
+        existingFeatures.foreach(f => byId.update(f.id, f))
+        features.foreach { f =>
+          (byId.get(f.id), schema) match {
+            case (None, _) => byId.update(f.id, f)
+            case (Some(_), _) if schema != SumSchema => byId.update(f.id, f)
+            case (Some(old), _) =>
+              val mergedTags = (old.tags.keySet ++ f.tags.keySet).map { k =>
+                val merged = (old.tags.get(k), f.tags.get(k)) match {
+                  case (Some(MLong(a)), Some(MLong(b))) => MLong(a + b)
+                  case (_, Some(v)) => v
+                  case (Some(v), _) => v
+                  case _ => MString("")
+                }
+                k -> merged
+              }.toMap
+              byId.update(f.id, Feature(old.id, old.geomType, old.commands, mergedTags))
+          }
+        }
+        byId.values.toSeq
     }
     val newSeqs = (committed + sequence).toSeq.sorted.takeRight(MaxTrackedSequences)
     val seqLayer = Layer(SequencesLayerName, extent,
@@ -336,7 +431,7 @@ object Mvt {
     val others = existing.filterNot(l =>
       l.name == layer || l.name == SequencesLayerName)
     writeTile(dir, z, x, y,
-      others :+ Layer(layer, extent, byId.values.toSeq) :+ seqLayer)
+      others :+ Layer(layer, extent, mergedFeatures) :+ seqLayer)
     true
   }
 }

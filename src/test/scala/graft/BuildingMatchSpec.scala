@@ -48,10 +48,67 @@ class BuildingMatchSpec extends SparkSpec {
       (2L, 30.0, 30.0, 0.001)))   // overlaps nothing
     val got = BuildingMatch.matchBuildings(left, right,
       epsMeters = 1000.0, threshold = 0.2)
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Long, Double, Double)].collect()
     got.length shouldBe 1
     got.head._1 shouldBe 1L
     got.head._2 shouldBe 1L
     got.head._3 shouldBe 0.8 +- 0.05 // 80% overlap
+    got.head._4 shouldBe 0.0 +- 1e-3 // translated copy: no distortion
+  }
+
+  private def jtsPoly(pts: Seq[(Double, Double)]) = {
+    val f = new org.locationtech.jts.geom.GeometryFactory()
+    val cs = pts.map(p => new org.locationtech.jts.geom.Coordinate(p._1, p._2))
+    f.createPolygon((cs :+ cs.head).toArray)
+  }
+
+  test("Homography DLT recovers identity for identical polygons") {
+    val a = jtsPoly(Seq((10.0, 10.0), (10.001, 10.0),
+      (10.001, 10.001), (10.0, 10.001)))
+    val h = graft.geo.Homography.polygonHomography(a, a, relative = false)
+    h(0) shouldBe 1.0 +- 1e-6
+    h(4) shouldBe 1.0 +- 1e-6
+    h(8) shouldBe 1.0 +- 1e-9
+    h(1) shouldBe 0.0 +- 1e-6
+    h(3) shouldBe 0.0 +- 1e-6
+    graft.geo.Homography.vertexScore(a, a) shouldBe 0.0 +- 1e-6
+  }
+
+  test("vertex score ordering: translation < shear < unrelated shape") {
+    val base = Seq((10.0, 10.0), (10.001, 10.0), (10.001, 10.001), (10.0, 10.001))
+    val a = jtsPoly(base)
+    // pure translation: score ~0 (translation deliberately unpunished)
+    val translated = jtsPoly(base.map { case (x, y) => (x + 0.0005, y + 0.0002) })
+    val sTrans = graft.geo.Homography.vertexScore(a, translated)
+    // sheared copy: x' = x + 0.3*y
+    val sheared = jtsPoly(base.map { case (x, y) =>
+      (10.0 + (x - 10.0) + 0.3 * (y - 10.0), y) })
+    val sShear = graft.geo.Homography.vertexScore(a, sheared)
+    // very different outline (long sliver, extra vertices)
+    val sliver = jtsPoly(Seq((10.0, 10.0), (10.004, 10.0), (10.004, 10.0001),
+      (10.002, 10.00015), (10.0, 10.0001)))
+    val sOther = graft.geo.Homography.vertexScore(a, sliver)
+    sTrans shouldBe 0.0 +- 1e-3
+    sTrans should be < sShear
+    sShear should be < sOther
+    sShear shouldBe 0.3 +- 0.05 // shear magnitude recovered in h01
+  }
+
+  test("vertex score is symmetric-ish under centroid alignment and scale") {
+    val base = Seq((10.0, 10.0), (10.001, 10.0), (10.001, 10.001), (10.0, 10.001))
+    val a = jtsPoly(base)
+    // 2x scaled square: affine diag(2,2) -> |2-1|+|2-1| = ~2 distortion
+    val scaled = jtsPoly(base.map { case (x, y) =>
+      (10.0 + 2 * (x - 10.0), 10.0 + 2 * (y - 10.0)) })
+    // equal vertex counts: the pair order flips to (g2, g1) like the
+    // reference's polygonToPolygon, so this estimates scaled -> a,
+    // i.e. scale 0.5: |0.5-1| * 2 = 1
+    val s = graft.geo.Homography.vertexScore(a, scaled)
+    s shouldBe 1.0 +- 0.1
+    // argument order swaps the direction: a -> scaled, scale 2 -> 2.0
+    val s2 = graft.geo.Homography.vertexScore(scaled, a)
+    s2 shouldBe 2.0 +- 0.2
+    // both well above a pure translation's 0
+    s should be > 0.4
   }
 }

@@ -111,6 +111,75 @@ class SinksSpec extends SparkSpec {
     feat.commands shouldBe Seq(Mvt.MoveTo(Seq((2, 2))))
   }
 
+  test("HistorySchema: newer generation retires the valid one via __validUntil") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    def gen(fid: Long, version: Long, updated: Long) =
+      Seq(Mvt.Feature(fid, 1, Seq(Mvt.MoveTo(Seq((1, 1)))), Map(
+        "__id" -> Mvt.MString("w42"),
+        "__version" -> Mvt.MLong(version),
+        "__updated" -> Mvt.MLong(updated))))
+    Mvt.commitTile(dir, 2, 1, 1, "history", gen(1L, 1L, 1000L), 1L,
+      schema = Mvt.HistorySchema) shouldBe true
+    Mvt.commitTile(dir, 2, 1, 1, "history", gen(2L, 2L, 2000L), 2L,
+      schema = Mvt.HistorySchema) shouldBe true
+    val feats = Mvt.readTile(dir, 2, 1, 1).get
+      .find(_.name == "history").get.features
+    feats.length shouldBe 2 // both generations retained
+    val v1 = feats.find(_.tags("__version") == Mvt.MLong(1)).get
+    val v2 = feats.find(_.tags("__version") == Mvt.MLong(2)).get
+    v1.tags("__validUntil") shouldBe Mvt.MLong(2000L) // retired at v2's updated
+    v2.tags("__validUntil") shouldBe Mvt.MLong(0L)    // currently valid
+    // replaying sequence 2 is a no-op; a STALE generation (older
+    // timestamp, new sequence) is ignored by the schema
+    Mvt.commitTile(dir, 2, 1, 1, "history", gen(2L, 2L, 2000L), 2L,
+      schema = Mvt.HistorySchema) shouldBe false
+    Mvt.commitTile(dir, 2, 1, 1, "history", gen(3L, 1L, 500L), 3L,
+      schema = Mvt.HistorySchema) shouldBe true
+    Mvt.readTile(dir, 2, 1, 1).get.find(_.name == "history").get
+      .features.length shouldBe 2
+    // a different element gets its own generation chain
+    val other = Seq(Mvt.Feature(9L, 1, Seq(Mvt.MoveTo(Seq((2, 2)))), Map(
+      "__id" -> Mvt.MString("n7"),
+      "__version" -> Mvt.MLong(1), "__updated" -> Mvt.MLong(1500L))))
+    Mvt.commitTile(dir, 2, 1, 1, "history", other, 4L,
+      schema = Mvt.HistorySchema) shouldBe true
+    val all = Mvt.readTile(dir, 2, 1, 1).get.find(_.name == "history").get.features
+    all.length shouldBe 3
+    all.find(f => f.tags("__id") == Mvt.MString("n7")).get
+      .tags("__validUntil") shouldBe Mvt.MLong(0L)
+  }
+
+  test("UrchnSchema: author sets accumulate, creation is preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-urchn").toString
+    def gen(updated: Long, author: String, density: Long) =
+      Seq(Mvt.Feature(5L, 1, Seq(Mvt.MoveTo(Seq((1, 1)))), Map(
+        "__id" -> Mvt.MString("w42"),
+        "__updated" -> Mvt.MLong(updated),
+        "__lastAuthor" -> Mvt.MString(author),
+        "density" -> Mvt.MLong(density))))
+    Mvt.commitTile(dir, 3, 2, 2, "urchn", gen(1000L, "alice", 1L), 1L,
+      schema = Mvt.UrchnSchema) shouldBe true
+    Mvt.commitTile(dir, 3, 2, 2, "urchn", gen(2000L, "bob", 7L), 2L,
+      schema = Mvt.UrchnSchema) shouldBe true
+    Mvt.commitTile(dir, 3, 2, 2, "urchn", gen(3000L, "alice", 9L), 3L,
+      schema = Mvt.UrchnSchema) shouldBe true
+    val feats = Mvt.readTile(dir, 3, 2, 2).get
+      .find(_.name == "urchn").get.features
+    feats.length shouldBe 1 // one feature per element
+    val f = feats.head
+    f.tags("__authors") shouldBe Mvt.MString("alice,bob")
+    f.tags("__creation") shouldBe Mvt.MLong(1000L)   // first generation's time
+    f.tags("__lastAuthor") shouldBe Mvt.MString("alice")
+    f.tags("density") shouldBe Mvt.MLong(9L)          // newest wins, not summed
+    // stale update (older timestamp) leaves the feature untouched
+    Mvt.commitTile(dir, 3, 2, 2, "urchn", gen(500L, "carol", 2L), 4L,
+      schema = Mvt.UrchnSchema) shouldBe true
+    val f2 = Mvt.readTile(dir, 3, 2, 2).get
+      .find(_.name == "urchn").get.features.head
+    f2.tags("__lastAuthor") shouldBe Mvt.MString("alice")
+    f2.tags("__authors") shouldBe Mvt.MString("alice,bob")
+  }
+
   test("Footprints: allowlist + blocklist + per-target pyramids") {
     val pts = Seq(
       ("alice", 10.0, 10.0, "d1"), ("alice", 10.0, 10.0, "d2"),

@@ -57,4 +57,52 @@ class TilesSpec extends SparkSpec {
     val b = back.collect().map(r => (r.x, r.y, r.values)).toSet
     a shouldBe b
   }
+
+  test("WebMercator faceted pyramid: reference row mapping, mass conserved") {
+    import graft.operators.FacetedTiles
+    // reference grid constants preserved
+    FacetedTiles.DefaultBaseZoom shouldBe 10
+    FacetedTiles.DefaultCells shouldBe 128
+    FacetedTiles.FootprintBaseZoom shouldBe 14
+    FacetedTiles.FootprintBaseCells shouldBe 512
+    val df = Seq(
+      ("k", 0.0, 0.0, "d1"),     // equator -> middle row
+      ("k", 0.0, 66.51, "d1"),   // web-mercator y ~ n/4 boundary region
+      ("k", 13.4, 52.52, "d2"),  // Berlin
+      ("k", -73.99, 40.73, "d2"),// NYC
+      ("k", 151.2, -33.87, "d1") // Sydney (southern hemisphere)
+    ).toDF("key", "lon", "lat", "facet")
+    val pyr = FacetedTiles.pyramidFaceted(df, "key", "lon", "lat", "facet",
+      baseZoom = 5, minZoom = 2, cells = 16, layout = "webmercator")
+    val summary = FacetedTiles.facetSummary(pyr).collect()
+    // mass conservation per level
+    (2 to 5).foreach { z =>
+      summary.filter(_.getInt(0) == z).map(_.getLong(4)).sum shouldBe 5L
+    }
+    // web-mercator row mapping at base zoom: equator point sits exactly
+    // at the n/2 row boundary; Berlin's row must differ from equirect's
+    val base = pyr.filter(_.zoom == 5).collect()
+    val n = (1L << 5) * 16
+    def mercRow(lat: Double): Long = {
+      val latR = math.toRadians(lat)
+      math.min(n - 1, math.max(0L, math.floor(
+        (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi)
+          / 2.0 * n).toLong))
+    }
+    val berlinGy = mercRow(52.52)
+    val equirectBerlinGy = math.floor((90.0 - 52.52) / 180.0 * n).toLong
+    berlinGy should not be equirectBerlinGy
+    val berlinTile = base.find { r =>
+      r.values.exists { case (cell, fm) =>
+        fm.contains("d2") &&
+          r.y * 16 + cell / 16 == berlinGy &&
+          r.x * 16 + cell % 16 ==
+            math.floor((13.4 + 180.0) / 360.0 * n).toLong
+      }
+    }
+    berlinTile.isDefined shouldBe true
+    // southern-hemisphere point lands in the lower half of the grid
+    val sydneyGy = mercRow(-33.87)
+    sydneyGy should be > (n / 2)
+  }
 }
