@@ -399,6 +399,21 @@ object SparkEntry {
           operators.Stats.changesetStats(s, Tables.events(s, dir)), topK = 2)
         .orderBy(col("user_id"), col("rnk"), col("country"))),
 
+    // ---- remaining materialized-view analogs (reference
+    //      deployment/sql/materialized_views/: hashtag_statistics,
+    //      hashtag_user_statistics, country_statistics)
+    "q_stats_hashtag_view" -> ((s, dir) =>
+      operators.Stats.hashtagStatistics(Tables.events(s, dir), topK = 2)
+        .orderBy(col("hashtag"), col("rnk"), col("user_id"))),
+
+    "q_stats_hashtag_user_view" -> ((s, dir) =>
+      operators.Stats.hashtagUserStatistics(Tables.events(s, dir))
+        .orderBy(col("hashtag"), col("user_id"))),
+
+    "q_stats_country_view" -> ((s, dir) =>
+      operators.Stats.countryStatistics(s, Tables.events(s, dir))
+        .orderBy(col("country"))),
+
     // ---- sessionization: inactivity-gap sessions via lag + running-sum
     //      frame (training-data event pipelines; frame-spec coverage)
     "q_sessionize" -> ((s, dir) =>
@@ -1072,6 +1087,58 @@ object SparkEntry {
          |FROM totals t LEFT JOIN ranked r
          |  ON t.user_id = r.user_id AND rnk <= 2
          |ORDER BY t.user_id, rnk, country""".stripMargin,
+
+    "q_stats_hashtag_view" ->
+      """WITH base AS (
+        |  SELECT 'tag' || CAST(CAST(json_extract_string(props, '$.k')
+        |           AS BIGINT) % 5 AS VARCHAR) AS hashtag,
+        |         event_id // 100 AS cs_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |totals AS (
+        |  SELECT hashtag, count(DISTINCT cs_id) AS n_changesets,
+        |         count(*) AS edit_count, max(ts_us) AS last_edit_us
+        |  FROM base GROUP BY 1),
+        |pu AS (SELECT hashtag, user_id, count(*) AS user_edits
+        |       FROM base GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT hashtag, user_id, user_edits,
+        |    rank() OVER (PARTITION BY hashtag
+        |                 ORDER BY user_edits DESC, user_id) AS rnk
+        |  FROM pu)
+        |SELECT t.hashtag, n_changesets, edit_count, last_edit_us,
+        |       user_id, user_edits, rnk
+        |FROM totals t JOIN ranked r ON t.hashtag = r.hashtag AND rnk <= 2
+        |ORDER BY t.hashtag, rnk, user_id""".stripMargin,
+
+    "q_stats_hashtag_user_view" ->
+      """WITH base AS (
+        |  SELECT 'tag' || CAST(CAST(json_extract_string(props, '$.k')
+        |           AS BIGINT) % 5 AS VARCHAR) AS hashtag,
+        |         event_id // 100 AS cs_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events)
+        |SELECT hashtag, user_id, count(DISTINCT cs_id) AS n_changesets,
+        |       count(*) AS edit_count, max(ts_us) AS last_edit_us
+        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stats_country_view" ->
+      s"""WITH rects(code, minlon, minlat, maxlon, maxlat) AS (
+         |  VALUES $rectsValuesSql),
+         |base AS (
+         |  SELECT event_id // 100 AS cs_id, user_id,
+         |         epoch_us(ts) AS ts_us, COALESCE(code, 'NONE') AS country
+         |  FROM (
+         |    SELECT event_id, user_id, ts,
+         |      ${synthLonSql("event_id")} AS lon,
+         |      ${synthLatSql("event_id")} AS lat
+         |    FROM events
+         |    WHERE event_type IN ('click','view','purchase')) p
+         |  LEFT JOIN rects
+         |    ON lon >= minlon AND lon <= maxlon
+         |   AND lat >= minlat AND lat <= maxlat)
+         |SELECT country, count(DISTINCT cs_id) AS n_changesets,
+         |       count(DISTINCT user_id) AS n_users,
+         |       count(*) AS edit_count, max(ts_us) AS last_edit_us
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

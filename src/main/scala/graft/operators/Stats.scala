@@ -112,6 +112,64 @@ object Stats {
         col("country"), col("cnt"), col("rnk"))
   }
 
+  /** Hashtag + changeset assignment for the materialized-view analogs:
+    * hashtag = "tag" + (props.k mod 5) (the synthetic stand-in for
+    * comment hashtags), changeset = event_id block of 100 (events
+    * arrive in changeset-sized groups like OSM edits do). */
+  def withHashtagChangeset(events: DataFrame): DataFrame =
+    events
+      .withColumn("hashtag", concat(lit("tag"),
+        (get_json_object(col("props"), "$.k").cast(LongType) % 5)
+          .cast(StringType)))
+      .withColumn("cs_id", expr("event_id DIV 100"))
+
+  /** Reference `hashtag_statistics` view analog (deployment/sql/
+    * materialized_views/hashtag_statistics.sql): per-hashtag rollup
+    * totals + RANK-gated top-k editors (the view's top-10 user
+    * breakdown, emitted as rows instead of a jsonb object). */
+  def hashtagStatistics(events: DataFrame, topK: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withHashtagChangeset(events)
+    val totals = base.groupBy(col("hashtag"))
+      .agg(countDistinct(col("cs_id")).as("n_changesets"),
+        count(lit(1)).as("edit_count"),
+        max(col("ts_us")).as("last_edit_us"))
+    val perUser = base.groupBy(col("hashtag"), col("user_id"))
+      .agg(count(lit(1)).as("user_edits"))
+    val w = Window.partitionBy(col("hashtag"))
+      .orderBy(col("user_edits").desc, col("user_id"))
+    val top = perUser.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= topK)
+    totals.join(top, Seq("hashtag"))
+      .select(col("hashtag"), col("n_changesets"), col("edit_count"),
+        col("last_edit_us"), col("user_id"), col("user_edits"), col("rnk"))
+  }
+
+  /** Reference `hashtag_user_statistics` view analog: per (hashtag,
+    * user) changeset/edit totals + last edit time. */
+  def hashtagUserStatistics(events: DataFrame): DataFrame =
+    withHashtagChangeset(events)
+      .groupBy(col("hashtag"), col("user_id"))
+      .agg(countDistinct(col("cs_id")).as("n_changesets"),
+        count(lit(1)).as("edit_count"),
+        max(col("ts_us")).as("last_edit_us"))
+
+  /** Reference `country_statistics` view analog: per-country changeset,
+    * editor, and edit totals over geocoded events. */
+  def countryStatistics(spark: SparkSession, events: DataFrame): DataFrame = {
+    val geocode = CountryIndex.geocodeFirst(spark, CountryIndex.synthetic())
+    withHashtagChangeset(events)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("lon", synthLon(col("event_id")))
+      .withColumn("lat", synthLat(col("event_id")))
+      .withColumn("country", coalesce(geocode(col("lon"), col("lat")), lit("NONE")))
+      .groupBy(col("country"))
+      .agg(countDistinct(col("cs_id")).as("n_changesets"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("edit_count"),
+        max(col("ts_us")).as("last_edit_us"))
+  }
+
   /** Oracle-comparable projection: one row per (user_id, kind, key). */
   def exploded(stats: DataFrame): DataFrame = {
     def part(kind: String, m: String) =
