@@ -25,7 +25,18 @@ object SpatialJoin {
   val MetersPerDegreeLonAt60 = 55500.0
 
   /** All pairs (ia < ib) within epsMeters (great-circle), |lat| ≤ 60.
-    * Distance compared on integer centimeters for reproducibility. */
+    * Distance compared on integer centimeters for reproducibility.
+    *
+    * Replication is HALVED by symmetry: the duplicated side emits only
+    * the 5-cell half-neighborhood {self, E, NE, N, NW}. For any pair in
+    * adjacent cells, the cell difference or its negation lies in that
+    * half-plane, so with both roles drawn from the same input every
+    * unordered pair still collides in exactly one direction — 5/9 the
+    * shuffle volume of full 3×3 duplication (round-1 plan shipped the
+    * full 9× and left the planner free to broadcast the NINE-fold
+    * side). Pair identity is (least, greatest) + distinct, and the
+    * haversine is bit-symmetric in its arguments, so output is
+    * unchanged. */
   def pairsWithin(df: DataFrame, idCol: String, lonCol: String, latCol: String,
                   epsMeters: Double): DataFrame = {
     val dLat = epsMeters / MetersPerDegreeLat
@@ -37,8 +48,8 @@ object SpatialJoin {
       .withColumn("cy", floor(col("plat") / dLat).cast(LongType))
     val a = pts.select(col("pid").as("ia"), col("plon").as("lon_a"),
       col("plat").as("lat_a"), col("cx"), col("cy"))
-    // duplicate the b side into its 3x3 neighborhood
-    val offsets = for (ox <- -1 to 1; oy <- -1 to 1) yield (ox, oy)
+    // duplicate the b side into the half neighborhood only
+    val offsets = Seq((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
     val dup = explode(array(offsets.map { case (ox, oy) =>
       struct(lit(ox).as("ox"), lit(oy).as("oy"))
     }: _*))
@@ -49,12 +60,13 @@ object SpatialJoin {
         (col("cy") + col("o.oy")).as("cy"))
     val epsCm = math.round(epsMeters * 100)
     a.join(b, Seq("cx", "cy"))
-      .filter(col("ia") < col("ib"))
+      .filter(col("ia") =!= col("ib"))
       .withColumn("dist_cm",
         floor(Geodesy.haversineMeters(col("lon_a"), col("lat_a"),
           col("lon_b"), col("lat_b")) * 100 + 0.5).cast(LongType))
       .filter(col("dist_cm") <= epsCm)
-      .select(col("ia"), col("ib"), col("dist_cm"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"), col("dist_cm"))
       .distinct()
   }
 }

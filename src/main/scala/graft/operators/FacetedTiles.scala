@@ -66,17 +66,21 @@ object FacetedTiles {
     }
     val gy = least(greatest(gyRaw, lit(0.0)), lit((n - 1).toDouble))
       .cast(LongType)
+    // map-side combine on (key, cell, facet) before the shuffle; the
+    // typed mapGroups assembles already-counted facet entries
     df.select(col(keyCol).as("key"), gx.as("gx"), gy.as("gy"),
         col(facetCol).cast("string").as("facet"))
-      .as[(String, Long, Long, String)]
-      .groupByKey { case (k, gxx, gyy, _) => (k, gxx / cells, gyy / cells) }
+      .groupBy(col("key"), col("gx"), col("gy"), col("facet"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .as[(String, Long, Long, String, Int)]
+      .groupByKey { case (k, gxx, gyy, _, _) => (k, gxx / cells, gyy / cells) }
       .mapGroups { (gk, rows) =>
         val (k, tx, ty) = gk
         val m = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
-        rows.foreach { case (_, gxx, gyy, facet) =>
+        rows.foreach { case (_, gxx, gyy, facet, n) =>
           val cell = (gyy % cells) * cells + (gxx % cells)
           val fm = m.getOrElse(cell, Map.empty)
-          m.update(cell, fm.updated(facet, fm.getOrElse(facet, 0) + 1))
+          m.update(cell, fm.updated(facet, fm.getOrElse(facet, 0) + n))
         }
         FacetedRaster(k, zoom, tx, ty, cells, m.toMap)
       }

@@ -187,14 +187,23 @@ object GeomTiles {
                              zoom: Int, cells: Int): Dataset[Tiles.Raster] = {
     val spark = cellRows.sparkSession
     import spark.implicits._
+    // Pre-aggregate (key, cell) incidence counts with a codegen'd
+    // hash aggregate FIRST: the map-side partial combine collapses the
+    // raw per-segment cell stream (∝ total traversed length) down to
+    // distinct occupied cells before anything shuffles; the raster
+    // assembly then groups the already-counted cells per tile.
     cellRows
-      .groupByKey { case (k, cx, cy) => (k, cx / cells, cy / cells) }
+      .toDF("key", "cx", "cy")
+      .groupBy(col("key"), col("cx"), col("cy"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey { case (k, cx, cy, _) => (k, cx / cells, cy / cells) }
       .mapGroups { (key, rows) =>
         val (k, tx, ty) = key
         val m = scala.collection.mutable.LongMap.empty[Int]
-        rows.foreach { case (_, cx, cy) =>
+        rows.foreach { case (_, cx, cy, n) =>
           val cell = (cy % cells) * cells + (cx % cells)
-          m.update(cell, m.getOrElse(cell, 0) + 1)
+          m.update(cell, m.getOrElse(cell, 0) + n)
         }
         Tiles.Raster(k, zoom, tx, ty, cells, m.toMap.map { case (c, v) => (c: Long, v) })
       }

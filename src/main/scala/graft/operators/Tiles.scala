@@ -47,15 +47,20 @@ object Tiles {
     val gy = least(greatest(
       floor((lit(90.0) - col(latCol)) / 180.0 * n), lit(0.0)), lit((n - 1).toDouble))
       .cast(LongType)
+    // Codegen'd hash aggregate first: map-side combine collapses the
+    // point stream to distinct occupied cells before the shuffle; the
+    // typed mapGroups then only assembles counted cells into rasters.
     df.select(col(keyCol).as("key"), gx.as("gx"), gy.as("gy"))
-      .as[(String, Long, Long)]
-      .groupByKey { case (k, gxx, gyy) => (k, gxx / cells, gyy / cells) }
+      .groupBy(col("key"), col("gx"), col("gy"))
+      .agg(count(lit(1)).cast("int").as("n"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey { case (k, gxx, gyy, _) => (k, gxx / cells, gyy / cells) }
       .mapGroups { (key, rows) =>
         val (k, tx, ty) = key
         val m = scala.collection.mutable.LongMap.empty[Int]
-        rows.foreach { case (_, gxx, gyy) =>
+        rows.foreach { case (_, gxx, gyy, n) =>
           val cell = (gyy % cells) * cells + (gxx % cells)
-          m.update(cell, m.getOrElse(cell, 0) + 1)
+          m.update(cell, m.getOrElse(cell, 0) + n)
         }
         Raster(k, zoom, tx, ty, cells, m.toMap.map { case (c, v) => (c: Long, v) })
       }
