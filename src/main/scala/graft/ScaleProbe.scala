@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale probe (not part of the driver contract): replicate the
+  * sf0.1 documents corpus 20× (~100k docs, every text duplicated 20×),
+  * run LSH pair detection + cluster collapse, print wall times. Used to
+  * record DEVNOTES scale numbers round over round. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"), col("text"))
+      .persist()
+    val n = docs.count()
+    var t0 = System.nanoTime()
+    val pairs = operators.Dedup.minhashLshPairs(
+      docs, col("text"), col("doc_id"), threshold = 0.5).persist()
+    val nPairs = pairs.count()
+    val tPairs = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val labels = operators.Dedup.canonicalizeClusters(
+      pairs.select(col("ia"), col("ib")))
+    val nLabeled = labels.count()
+    val tClusters = (System.nanoTime() - t0) / 1e9
+    println(f"docs=$n pairs=$nPairs pairs_sec=$tPairs%.1f " +
+      f"labeled=$nLabeled clusters_sec=$tClusters%.1f")
+    spark.stop()
+  }
+}

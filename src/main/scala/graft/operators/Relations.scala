@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Relation (multipolygon) geometry reconstruction — the remaining
+  * piece of the reference's element-assembly chain (ways+nodes are
+  * [[Timeline.reconstructWays]]; relations live in vectorpipe's
+  * ProcessOSM, imported by the reference at
+  * apps/.../batch/ChangesetStatsCreator.scala:15-19). Semantics follow
+  * the public OSM multipolygon model: a relation's member ways carry
+  * `outer`/`inner` roles; member ways are stitched end-to-end into
+  * closed rings (reversing segments as needed), outers wound CCW and
+  * inners CW.
+  *
+  * Scale shape: membership explode + one equi-join way_id → geometry
+  * (both shuffles on ids), then ONE keyed shuffle groups each
+  * relation's members; stitching is per-relation imperative work inside
+  * mapGroups — bounded by member count, no driver involvement, no
+  * cross-relation state.
+  */
+object Relations {
+
+  /** One assembled ring. `closed` is false when the member ways do not
+    * chain into a cycle (broken data — reported, not dropped). */
+  case class Ring(relation_id: Long, ring_idx: Int, role: String,
+                  closed: Boolean, ring: Seq[(Double, Double)])
+
+  /** Stitch way polylines (each a sequence of points) into rings:
+    * repeatedly extend the current chain with an unused way that shares
+    * an endpoint (reversed if needed) until it closes or no extension
+    * exists. Pure function, unit-testable. */
+  def stitchRings(ways: Seq[Seq[(Double, Double)]]): Seq[(Boolean, Seq[(Double, Double)])] = {
+    val unused = scala.collection.mutable.ArrayBuffer[Seq[(Double, Double)]](
+      ways.filter(_.length >= 2): _*)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Seq[(Double, Double)])]
+    while (unused.nonEmpty) {
+      var chain = unused.remove(0).toVector
+      var extended = true
+      while (extended && chain.head != chain.last) {
+        extended = false
+        val end = chain.last
+        val i = unused.indexWhere(w => w.head == end || w.last == end)
+        if (i >= 0) {
+          val w = unused.remove(i)
+          val seg = if (w.head == end) w else w.reverse
+          chain = chain ++ seg.drop(1)
+          extended = true
+        }
+      }
+      rings += ((chain.head == chain.last && chain.length >= 4, chain))
+    }
+    rings.toSeq
+  }
+
+  /** Signed shoelace area: > 0 for CCW rings. */
+  def signedArea(ring: Seq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n - 1) {
+      s += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+      i += 1
+    }
+    s / 2.0
+  }
+
+  private def normalize(role: String, ring: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val ccw = signedArea(ring) > 0
+    role match {
+      case "outer" => if (ccw) ring else ring.reverse
+      case "inner" => if (ccw) ring.reverse else ring
+      case _ => ring
+    }
+  }
+
+  /** Assemble multipolygon rings for each relation.
+    *
+    * `relations`: (relation_id, members: array<struct<way_id, role>>).
+    * `wayGeoms`: (way_id, geometry: array<struct<lon, lat>>) — e.g. the
+    * latest generation of [[Timeline.reconstructWays]].
+    * Output: one row per assembled ring with normalized winding. */
+  def assembleMultipolygons(relations: DataFrame, wayGeoms: DataFrame): Dataset[Ring] = {
+    val spark = relations.sparkSession
+    val members = relations.select(col("relation_id"),
+        posexplode(col("members")).as(Seq("m_idx", "m")))
+      .select(col("relation_id"), col("m_idx"),
+        col("m.way_id").as("way_id"), col("m.role").as("role"))
+    val joined = members.join(wayGeoms.select(col("way_id"), col("geometry")),
+      Seq("way_id"))
+    implicit val enc = Encoders.product[Ring]
+    joined
+      .select(col("relation_id"), col("m_idx"), col("role"), col("geometry"))
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (rid, rows) =>
+        val byRole = rows.toSeq
+          .sortBy(_.getInt(1))
+          .groupBy(_.getString(2))
+        byRole.toSeq.sortBy(_._1).iterator.flatMap { case (role, rs) =>
+          val ways = rs.map(_.getSeq[Row](3).map(p =>
+            (p.getDouble(0), p.getDouble(1))))
+          stitchRings(ways).zipWithIndex.map { case ((closed, ring), i) =>
+            Ring(rid, i, role, closed,
+              if (closed) normalize(role, ring) else ring)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relations
+
+class RelationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stitchRings: chains reversed/unordered ways into a closed ring") {
+    // square (0,0)-(2,0)-(2,2)-(0,2) split into three ways, one reversed
+    val ways = Seq(
+      Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0)), // bottom + right
+      Seq((0.0, 2.0), (2.0, 2.0)),             // top, REVERSED direction
+      Seq((0.0, 0.0), (0.0, 2.0)))             // left
+    val rings = Relations.stitchRings(ways)
+    rings.length shouldBe 1
+    val (closed, ring) = rings.head
+    closed shouldBe true
+    ring.head shouldBe ring.last
+    ring.toSet shouldBe Set((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+  }
+
+  test("stitchRings: broken chain is reported unclosed, not dropped") {
+    val rings = Relations.stitchRings(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0)),
+      Seq((5.0, 5.0), (6.0, 5.0)))) // disconnected
+    rings.length shouldBe 2
+    rings.forall(!_._1) shouldBe true
+  }
+
+  test("signedArea sign encodes winding") {
+    val ccw = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0))
+    Relations.signedArea(ccw) shouldBe 1.0 +- 1e-12
+    Relations.signedArea(ccw.reverse) shouldBe -1.0 +- 1e-12
+  }
+
+  test("assembleMultipolygons: outer CCW, inner CW, roles separated") {
+    val relations = Seq(
+      (100L, Seq((10L, "outer"), (11L, "outer"), (12L, "inner"), (13L, "inner")))
+    ).toDF("relation_id", "ms")
+      .withColumn("members", expr(
+        "transform(ms, m -> struct(m._1 as way_id, m._2 as role))"))
+      .select(col("relation_id"), col("members"))
+    def geom(pts: (Double, Double)*) = pts.map { case (x, y) => (x, y) }
+    val wayGeoms = Seq(
+      // outer square 0..4 split in two ways (second reversed)
+      (10L, geom((0.0, 0.0), (4.0, 0.0), (4.0, 4.0))),
+      (11L, geom((0.0, 0.0), (0.0, 4.0), (4.0, 4.0))),
+      // inner square 1..2 split in two ways
+      (12L, geom((1.0, 1.0), (2.0, 1.0), (2.0, 2.0))),
+      (13L, geom((2.0, 2.0), (1.0, 2.0), (1.0, 1.0))))
+      .toDF("way_id", "g")
+      .withColumn("geometry", expr(
+        "transform(g, p -> struct(p._1 as lon, p._2 as lat))"))
+      .select(col("way_id"), col("geometry"))
+    val rings = Relations.assembleMultipolygons(relations, wayGeoms).collect()
+    rings.length shouldBe 2
+    val outer = rings.find(_.role == "outer").get
+    val inner = rings.find(_.role == "inner").get
+    outer.closed shouldBe true
+    inner.closed shouldBe true
+    Relations.signedArea(outer.ring) should be > 0.0  // CCW
+    Relations.signedArea(inner.ring) should be < 0.0  // CW
+    math.abs(Relations.signedArea(outer.ring)) shouldBe 16.0 +- 1e-9
+    math.abs(Relations.signedArea(inner.ring)) shouldBe 1.0 +- 1e-9
+  }
+}
