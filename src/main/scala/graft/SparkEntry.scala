@@ -1314,19 +1314,18 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       s"""WITH $toksSql, $shSql,
-         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
          |shx AS (SELECT doc_id, unnest(s) AS sng FROM sh),
          |rare AS (SELECT sng FROM shx GROUP BY sng HAVING count(*) <= 64),
-         |inter AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM shx a JOIN rare ON a.sng = rare.sng
-         |             JOIN shx b ON a.sng = b.sng AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |             JOIN shx b ON a.sng = b.sng AND a.doc_id < b.doc_id),
          |jv AS (
          |  SELECT ia, ib,
-         |    CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jac
-         |  FROM inter JOIN sizes x ON x.doc_id = inter.ia
-         |             JOIN sizes y ON y.doc_id = inter.ib)
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib)
          |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
 
     "q_dedup_simhash" ->

@@ -87,6 +87,66 @@ object Multimodal {
       .toDF("asset_id", "kind", "features")
   }
 
+  /** REAL (decode-free) byte-level features — computable without any
+    * media codec, so this path is not a stub: per-payload byte entropy,
+    * mean, distinct-byte count, and container sniffing from magic
+    * numbers (PNG/JPEG/RIFF-WAV/MP4 ftyp/GIF — public file-format
+    * signatures). At 100 TB this is the cheap first pass that catches
+    * corrupt/mislabeled assets before the expensive decode stage. */
+  def byteStats(payload: Array[Byte]): (Double, Double, Int) = {
+    val counts = new Array[Long](256)
+    var sum = 0.0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      counts(b) += 1
+      sum += b
+      i += 1
+    }
+    val n = payload.length.toDouble
+    var h = 0.0
+    var distinct = 0
+    var j = 0
+    while (j < 256) {
+      if (counts(j) > 0) {
+        distinct += 1
+        val p = counts(j) / n
+        h -= p * math.log(p) / math.log(2.0)
+      }
+      j += 1
+    }
+    (h, if (n == 0) 0.0 else sum / n, distinct)
+  }
+
+  /** Container format from magic numbers; "unknown" when unrecognized. */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xFF else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else "unknown"
+  }
+
+  /** Asset-quality pass over payload bytes: entropy/mean/distinct +
+    * sniffed vs declared format agreement. Narrow (no shuffle); the
+    * payload column is dropped from the output projection. */
+  def assetQuality(assets: DataFrame): DataFrame = {
+    val statsUdf = udf((payload: Array[Byte]) => byteStats(payload))
+    val sniffUdf = udf((payload: Array[Byte]) => sniffFormat(payload))
+    assets
+      .withColumn("bs", statsUdf(col("payload")))
+      .withColumn("sniffed", sniffUdf(col("payload")))
+      .select(col("asset_id"), col("kind"),
+        col("bs._1").as("byte_entropy"),
+        col("bs._2").as("byte_mean"),
+        col("bs._3").as("distinct_bytes"),
+        col("sniffed"),
+        (col("sniffed") === col("meta.format")).as("format_matches"))
+  }
+
   /** Resize stub for images: returns the payload annotated with the new
     * dimensions (a real impl transforms pixels; the metadata contract is
     * what downstream code depends on). */

@@ -122,11 +122,21 @@ object Dedup {
 
   // ------------------------------------------------------------ jaccard
 
-  /** Exact n-gram Jaccard pairs WITHOUT LSH: candidates = doc pairs
-    * sharing ≥1 shingle whose document frequency is ≤ dfCap. The df cap
-    * bounds the per-shingle pair blow-up (skew guard); for thresholds
-    * ≥ 0.5 a qualifying pair shares many shingles, so the cap only
-    * excludes pairs glued together by ultra-common shingles. */
+  /** N-gram Jaccard pairs WITHOUT LSH: candidates = doc pairs sharing
+    * ≥1 shingle whose document frequency is ≤ dfCap (the cap bounds the
+    * per-shingle pair blow-up — the skew guard); reported Jaccard
+    * values are ALWAYS exact (per-pair set intersection on surviving
+    * candidates), independent of the cap. What the cap governs is
+    * candidate completeness only: a qualifying pair is missed iff every
+    * shingle it shares is more common than dfCap — impossible when
+    * dfCap ≥ the corpus's max document frequency, and for thresholds
+    * ≥ 0.5 such pairs are glued together purely by ultra-common
+    * shingles. (Round 1 computed values FROM the capped counts, which
+    * coupled value-exactness to the cap; round 2 decouples them.)
+    *
+    * Shape: rare-shingle equi-join → per-pair LOWER-bound counts with
+    * a capped-shingle UPPER bound pruning non-qualifying pairs, exact
+    * array intersection only on the survivors. */
   def jaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                    shingleN: Int = 3, threshold: Double = 0.5,
                    dfCap: Int = 1000): DataFrame = {
@@ -137,20 +147,36 @@ object Dedup {
     val rare = shx.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val rareSh = shx.join(rare, Seq("s"))
-    // count-based: shingle sets are distinct, so the per-pair join-row
-    // count IS the intersection size over cap-eligible shingles; with
-    // dfCap >= max document frequency this equals the exact Jaccard —
-    // no per-pair array joins needed (was the operator's dominant cost)
-    val inter = rareSh.select(col("s"), col("doc_id").as("ia"))
+    // per-doc rare-shingle count -> capped count = sz - rare count
+    val rareSz = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("szr"))
+    val caps = sizes.join(rareSz, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("szr"), lit(0L))).as("cap"))
+    // lower bound: join-row count over rare shingles (sets are distinct)
+    val interRare = rareSh.select(col("s"), col("doc_id").as("ia"))
       .join(rareSh.select(col("s"), col("doc_id").as("ib")), Seq("s"))
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sza")), Seq("ia"))
-      .join(sizes.select(col("doc_id").as("ib"), col("sz").as("szb")), Seq("ib"))
+      .agg(count(lit(1)).as("inter_lo"))
+    // upper bound prune: true intersection <= inter_lo + min(capA, capB)
+    // (extra overlap can only come from capped shingles); jac is
+    // monotone in the intersection, so pruning on the bound is safe
+    val pruned = interRare
+      .join(caps.select(col("doc_id").as("ia"), col("sz").as("sza"),
+        col("cap").as("capa")), Seq("ia"))
+      .join(caps.select(col("doc_id").as("ib"), col("sz").as("szb"),
+        col("cap").as("capb")), Seq("ib"))
+      .withColumn("inter_hi", col("inter_lo") + least(col("capa"), col("capb")))
+      .filter(col("inter_hi").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter_hi")) >= threshold)
+      .select(col("ia"), col("ib"))
+    // exact verification on survivors only
+    pruned
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast(DoubleType) /
-        (col("sza") + col("szb") - col("inter")))
+        (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("ia"), col("ib"), col("jac"))
   }

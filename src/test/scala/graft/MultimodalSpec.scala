@@ -48,4 +48,41 @@ class MultimodalSpec extends SparkSpec {
     sampled.filter(col("kind") === "image")
       .select(col("frame_indexes")).collect().head.isNullAt(0) shouldBe true
   }
+
+  test("byteStats: entropy/mean/distinct computed exactly") {
+    // constant payload: entropy 0, one distinct byte
+    val (h0, m0, d0) = Multimodal.byteStats(Array.fill[Byte](100)(7))
+    h0 shouldBe 0.0 +- 1e-12
+    m0 shouldBe 7.0 +- 1e-12
+    d0 shouldBe 1
+    // uniform over all 256 values: entropy 8 bits
+    val (h1, _, d1) = Multimodal.byteStats(
+      Array.tabulate[Byte](256)(i => i.toByte))
+    h1 shouldBe 8.0 +- 1e-12
+    d1 shouldBe 256
+  }
+
+  test("sniffFormat recognizes public magic numbers") {
+    Multimodal.sniffFormat(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) shouldBe "png"
+    Multimodal.sniffFormat(
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)) shouldBe "jpeg"
+    Multimodal.sniffFormat(
+      ("RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        "WAVE".getBytes("ISO-8859-1"))) shouldBe "wav"
+    Multimodal.sniffFormat(
+      Array[Byte](0, 0, 0, 24) ++ "ftypmp42".getBytes("ISO-8859-1")) shouldBe "mp4"
+    Multimodal.sniffFormat(Array[Byte](1, 2, 3)) shouldBe "unknown"
+  }
+
+  test("assetQuality flags format mismatches over synthetic payloads") {
+    val assets = Multimodal.syntheticAssets(spark, 9)
+    val q = Multimodal.assetQuality(assets)
+    q.count() shouldBe 9
+    // synthetic payloads are raw byte ramps, never valid containers ->
+    // sniffed 'unknown' disagrees with declared png/wav/mp4
+    q.filter(col("format_matches")).count() shouldBe 0
+    q.filter(col("sniffed") === "unknown").count() shouldBe 9
+    q.select(min(col("distinct_bytes"))).as[Int].head should be > 1
+  }
 }
