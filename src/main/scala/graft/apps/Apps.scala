@@ -58,6 +58,82 @@ object StreamingStatsApp {
   }
 }
 
+/** The full production topology in one callable unit (reference
+  * StreamingChangesetStatsUpdater end to end): augmented-diff payload
+  * files → executor-side JSON parse ([[graft.streaming.WireFormats]])
+  * → dead-letter split ([[graft.streaming.ErrorChannel]]) →
+  * per-changeset rollup → idempotent upsert store
+  * ([[graft.sinks.UpsertSink]], e.g. the Derby/PostgreSQL
+  * [[graft.sinks.JdbcUpsertStore]]), with progress mirrored to the
+  * store's checkpoint table and the start sequence seeded FROM that
+  * table ([[graft.streaming.CheckpointMirror]]).
+  *
+  * Exactly-once comes from two independent layers, both exercised by
+  * the spec: Spark's offset log (same checkpoint dir → no batch
+  * replays) and the store's sequence-overlap guard (fresh checkpoint
+  * dir + store-seeded restart → replayed sequences are no-ops). */
+object AugDiffStatsPipeline {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** One micro-batch's transform: split off malformed rows, roll up
+    * clean rows per (sequence, changeset, uid) into StatsRows. */
+  def rollup(batch: DataFrame): (org.apache.spark.sql.Dataset[graft.sinks.UpsertSink.StatsRow], DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (clean, dead) = graft.streaming.ErrorChannel.split(batch, Seq(
+      "parse_error" -> col("error").isNull,
+      "bad_type" -> col("element_type").isin("node", "way", "relation"),
+      "bad_changeset" -> (col("changeset") >= 0)))
+    val stats = clean
+      .groupBy(col("sequence"), col("changeset"), col("uid"))
+      .agg(
+        count(lit(1)).as("total_edits"),
+        sum(when(col("element_type") === "node", 1L).otherwise(0L)).as("nodes"),
+        sum(when(col("element_type") === "way", 1L).otherwise(0L)).as("ways"),
+        sum(when(!col("visible"), 1L).otherwise(0L)).as("deletes"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .map { case (seq, cs, uid, total, nodes, ways, deletes) =>
+        graft.sinks.UpsertSink.StatsRow(cs, uid,
+          Map("nodes" -> nodes, "ways" -> ways, "deletes" -> deletes)
+            .filter(_._2 > 0),
+          Map.empty, total, Set(seq))
+      }
+    (stats, dead)
+  }
+
+  /** Run the stream to completion (AvailableNow). Returns the number of
+    * dead-lettered rows written under `deadDir`. */
+  def run(spark: SparkSession, payloadDir: String, endSequence: Long,
+          store: graft.sinks.UpsertSink.UpsertStore, procName: String,
+          checkpointDir: String, deadDir: String,
+          maxConnections: Int = 4): Unit = {
+    val mirror = new graft.streaming.CheckpointMirror(store, procName)
+    spark.streams.addListener(mirror)
+    try {
+      val start = graft.streaming.CheckpointMirror
+        .startSequenceFrom(store, procName)
+      val stream = spark.readStream
+        .format("graft.streaming.SequenceSource")
+        .option("format", "augdiff").option("payloadDir", payloadDir)
+        .option("startSequence", start).option("endSequence", endSequence)
+        .load()
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (stats, dead) = rollup(batch)
+          dead.write.mode("append").parquet(deadDir)
+          graft.sinks.UpsertSink.writeStats(stats, store, maxConnections)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      ()
+    } finally spark.streams.removeListener(mirror)
+  }
+}
+
 /** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
   * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
 object TilePyramidApp {

@@ -24,7 +24,11 @@ class CheckpointMirror(store: UpsertStore, procName: String)
 
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     event.progress.sources.foreach { s =>
-      parseSeq(s.endOffset).foreach(store.saveCheckpoint(procName, _))
+      // Spark's end offset is EXCLUSIVE ("sequences < N consumed");
+      // the checkpoint table stores the last PROCESSED sequence like
+      // the reference's, so restart = checkpoint + 1 is lossless.
+      parseSeq(s.endOffset).filter(_ > 0)
+        .foreach(n => store.saveCheckpoint(procName, n - 1))
     }
 
   private def parseSeq(offsetJson: String): Option[Long] =

@@ -105,6 +105,9 @@ object SequenceSource {
     StructField("minor_version", LongType, nullable = false),
     StructField("updated", TimestampType, nullable = false),
     StructField("visible", BooleanType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("user", StringType, nullable = false),
     StructField("lon", DoubleType, nullable = true),
     StructField("lat", DoubleType, nullable = true),
     StructField("tags", tagsType, nullable = false),
@@ -266,6 +269,7 @@ object SequenceReaderFactory extends PartitionReaderFactory {
         WireFormats.parseAugmentedDiff(p.seq, text).map { r =>
           InternalRow(r.sequence, utf8(r.elementType), r.id, r.version,
             r.minorVersion, r.updatedMicros, r.visible,
+            r.changeset, r.uid, utf8(r.user),
             r.lon.map(Double.box).orNull, r.lat.map(Double.box).orNull,
             tagsMap(r.tags), tagsMap(r.prevTags), r.error.map(utf8).orNull)
         }
@@ -280,7 +284,8 @@ object SequenceReaderFactory extends PartitionReaderFactory {
         InternalRow(p.seq, -1L, 0L, null, false, utf8(""), -1L,
           null, null, null, null, -1L, -1L, tagsMap(Map.empty), utf8(reason))
       case "augdiff" =>
-        InternalRow(p.seq, utf8(""), -1L, -1L, -1L, 0L, false, null, null,
+        InternalRow(p.seq, utf8(""), -1L, -1L, -1L, 0L, false, -1L, -1L,
+          utf8(""), null, null,
           tagsMap(Map.empty), tagsMap(Map.empty), utf8(reason))
       case _ =>
         InternalRow(p.seq, utf8(""), utf8(""), -1L, -1L, 0L, -1L, -1L,

@@ -43,10 +43,15 @@ object WireFormats {
                           tags: Map[String, String],
                           error: Option[String] = None)
 
-  /** One augmented-diff element with both generations. */
+  /** One augmented-diff element with both generations (property set per
+    * the reference projection: type, id, version, minorVersion,
+    * updated, visible, changeset, uid, user, tags/prevTags, geometry —
+    * StreamingChangesetStatsUpdater.scala:113-129). */
   case class DiffRow(sequence: Long, elementType: String, id: Long,
                      version: Long, minorVersion: Long, updatedMicros: Long,
-                     visible: Boolean, lon: Option[Double], lat: Option[Double],
+                     visible: Boolean, changeset: Long, uid: Long,
+                     user: String,
+                     lon: Option[Double], lat: Option[Double],
                      tags: Map[String, String], prevTags: Map[String, String],
                      error: Option[String] = None)
 
@@ -150,8 +155,8 @@ object WireFormats {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     val mapper = new ObjectMapper()
     def errDiff(reason: String): DiffRow =
-      DiffRow(seq, "", -1L, -1L, -1L, 0L, visible = false, None, None,
-        Map.empty, Map.empty, Some(reason))
+      DiffRow(seq, "", -1L, -1L, -1L, 0L, visible = false, -1L, -1L, "",
+        None, None, Map.empty, Map.empty, Some(reason))
     text.replace("\u001e", "").linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
       .map { line =>
@@ -184,6 +189,9 @@ object WireFormats {
             updatedMicros = micros(Option(props.get("updated")).map(_.asText()).getOrElse(
               throw new IllegalArgumentException("missing property 'updated'"))),
             visible = Option(props.get("visible")).forall(_.asBoolean()),
+            changeset = Option(props.get("changeset")).map(_.asLong()).getOrElse(-1L),
+            uid = Option(props.get("uid")).map(_.asLong()).getOrElse(-1L),
+            user = Option(props.get("user")).map(_.asText()).getOrElse(""),
             lon = coords.map(_.get(0).asDouble()),
             lat = coords.map(_.get(1).asDouble()),
             tags = tagsOf(nw),

@@ -167,14 +167,14 @@ class StreamingSpec extends SparkSpec {
       val deadline = System.currentTimeMillis() + 20000
       while (store.checkpoint("seq-proc").isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
-      store.checkpoint("seq-proc") shouldBe Some(7L) // end offset = endSeq + 1
+      store.checkpoint("seq-proc") shouldBe Some(6L) // last consumed seq
 
       // store-seeded restore (reference DbUtils.scala:23-43): a FRESH
       // stream (new Spark checkpoint dir) resumes one past the stored
       // high-water mark instead of re-reading from zero
       val resumeFrom = graft.streaming.CheckpointMirror
         .startSequenceFrom(store, "seq-proc")
-      resumeFrom shouldBe 8L
+      resumeFrom shouldBe 7L
       val out2 = Files.createTempDirectory("graft-restore-out").toString
       val q2 = spark.readStream.format(sourceName)
         .option("startSequence", resumeFrom).option("endSequence", 9)
@@ -185,8 +185,8 @@ class StreamingSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q2.awaitTermination(120000)
       val resumed = spark.read.parquet(out2)
-      resumed.select(min(col("sequence"))).as[Long].head() shouldBe 8L
-      resumed.count() shouldBe 4 // sequences 8..9 x 2 rows
+      resumed.select(min(col("sequence"))).as[Long].head() shouldBe 7L
+      resumed.count() shouldBe 6 // sequences 7..9 x 2 rows — no gap
       graft.streaming.CheckpointMirror
         .startSequenceFrom(store, "never-ran", default = 5L) shouldBe 5L
     } finally spark.streams.removeListener(listener)
