@@ -609,6 +609,16 @@ object SparkEntry {
             functions.TextFunctions.tokens(col("text"))).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_gopher" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("g", functions.TextFunctions.gopherUdf(col("text")))
+        .select(col("doc_id"),
+          col("g._1").as("frac_dup_bigrams"),
+          col("g._2").as("top_word_ratio"),
+          col("g._3").as("frac_alpha"),
+          col("g._4").as("passes"))
+        .orderBy(col("doc_id"))),
+
     "q_text_tokens_bpe" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1480,6 +1490,36 @@ object SparkEntry {
          |    x -> x IN ('the','a','of','and','to','in'))) / len(t)) +
          |  0.3 * (len(list_distinct(t)) / len(t)) AS quality
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, t,
+         |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g
+         |  FROM toks),
+         |wc AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |top AS (
+         |  SELECT doc_id, max(c) AS mx FROM (
+         |    SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |m AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN len(b.t) < 2 THEN 0.0 ELSE
+         |      CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+         |    END AS frac_dup_bigrams,
+         |    CASE WHEN len(b.t) < 2 THEN 0.0 ELSE
+         |      CAST(top.mx AS DOUBLE) / len(b.t)
+         |    END AS top_word_ratio,
+         |    CASE WHEN len(b.t) < 2 THEN 0.0 ELSE
+         |      CAST(len(list_filter(b.t,
+         |        x -> regexp_matches(x, '^[a-z]+$$'))) AS DOUBLE) / len(b.t)
+         |    END AS frac_alpha,
+         |    len(b.t) >= 2 AS enough
+         |  FROM bg b JOIN top ON b.doc_id = top.doc_id)
+         |SELECT doc_id, frac_dup_bigrams, top_word_ratio, frac_alpha,
+         |  enough AND frac_dup_bigrams <= 0.2 AND top_word_ratio <= 0.2
+         |    AND frac_alpha >= 0.8 AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens_bpe" ->
       """SELECT doc_id,

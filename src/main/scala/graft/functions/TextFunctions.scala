@@ -163,6 +163,52 @@ object TextFunctions {
       (t.length, t.distinct.length, sumLen.toDouble / t.length)
     })
 
+  /** Gopher/C4-style repetition + composition filters (public
+    * heuristics: Rae et al. 2021 "Scaling Language Models" §A1.1 and
+    * the C4 cleaning rules), adapted to the corpus's token model. One
+    * compiled pass computing:
+    *  - frac_dup_bigrams: duplicated-bigram fraction
+    *    (1 − distinct/total) — repetition detector;
+    *  - top_word_ratio: most frequent word's share of all words;
+    *  - frac_alpha: fraction of purely alphabetic words;
+    *  - passes: frac_dup_bigrams ≤ 0.2 ∧ top_word_ratio ≤ 0.2 ∧
+    *    frac_alpha ≥ 0.8 (Gopher-like thresholds).
+    * All ratios are int/int IEEE divisions — deterministic and
+    * oracle-mirrorable. */
+  def gopherScala(s: String): (Double, Double, Double, Boolean) = {
+    val t = tokensScala(s)
+    if (t.length < 2) return (0.0, 0.0, 0.0, false)
+    val nBigrams = t.length - 1
+    val bigrams = new java.util.HashSet[String]()
+    var i = 0
+    while (i < nBigrams) { bigrams.add(t(i) + " " + t(i + 1)); i += 1 }
+    val fracDup = (nBigrams - bigrams.size).toDouble / nBigrams
+    val counts = new java.util.HashMap[String, Int]()
+    var maxC = 0
+    var alpha = 0
+    i = 0
+    while (i < t.length) {
+      val c = counts.merge(t(i), 1, Integer.sum)
+      if (c > maxC) maxC = c
+      var j = 0
+      var isAlpha = true
+      while (j < t(i).length) {
+        val ch = t(i).charAt(j)
+        if (ch < 'a' || ch > 'z') isAlpha = false
+        j += 1
+      }
+      if (isAlpha) alpha += 1
+      i += 1
+    }
+    val topRatio = maxC.toDouble / t.length
+    val fracAlpha = alpha.toDouble / t.length
+    (fracDup, topRatio, fracAlpha,
+      fracDup <= 0.2 && topRatio <= 0.2 && fracAlpha >= 0.8)
+  }
+
+  val gopherUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => gopherScala(s))
+
   /** UDF: shingle array -> k minhashes of the linear rehash family
     * h_i = ((2i+1)·(stableHash64 mod P) + 7919i+13) mod P, P = 2^31−1.
     * One md5 per shingle, k integer mult-adds — the whole signature in a

@@ -117,4 +117,30 @@ class FunctionsSpec extends SparkSpec {
       .map(functions.TextFunctions.stableHash64Scala)
     viaCol shouldBe viaScala
   }
+
+  test("gopher filters: repetition, top-word share, alpha fraction") {
+    import functions.TextFunctions.gopherScala
+    // clean prose-like text: low repetition, all-alpha -> passes
+    val (d1, t1, a1, p1) = gopherScala(
+      "quick brown fox jumps over lazy dog near quiet river bank today")
+    d1 shouldBe 0.0
+    t1 shouldBe (1.0 / 12) +- 1e-12
+    a1 shouldBe 1.0
+    p1 shouldBe true
+    // heavy bigram repetition -> fails
+    val (d2, _, _, p2) = gopherScala("spam ham " * 20)
+    d2 should be > 0.8
+    p2 shouldBe false
+    // one dominant word -> fails on top-word ratio
+    val (_, t3, _, p3) = gopherScala(
+      "value value value value value value value other words here")
+    t3 shouldBe 0.7 +- 1e-12
+    p3 shouldBe false
+    // numeric tokens lower the alpha fraction
+    val (_, _, a4, _) = gopherScala("one 2 three 4 five 6 seven 8")
+    a4 shouldBe 0.5
+    // degenerate input
+    gopherScala("word")._4 shouldBe false
+    gopherScala("")._4 shouldBe false
+  }
 }
