@@ -150,12 +150,65 @@ class SequenceTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava)
-    () => new SequenceScan(merged)
+    new SequenceScanBuilder(merged)
   }
 }
 
 case class SequenceOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
+}
+
+/** ScanBuilder with `sequence` range-filter pushdown: predicates like
+  * `sequence >= N` / `sequence <= M` / `sequence = K` narrow the
+  * planned partition range instead of being evaluated over every
+  * fetched row — the partition-pruning analog for a sequence-numbered
+  * source (each partition IS a sequence, so a pushed range skips whole
+  * fetches, which at scale means skipped network I/O, not just skipped
+  * rows). Pushed filters are also RETAINED (returned as residuals) so
+  * Spark still post-filters — pushing here is an optimization, never a
+  * correctness dependency. */
+class SequenceScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var lo = options.getLong("startSequence", 0L)
+  private var hi = options.getLong("endSequence", 9L)
+  private var pushed: Array[Filter] = Array.empty
+
+  private def asNum(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case EqualTo("sequence", v) =>
+        asNum(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n); true }
+      case GreaterThan("sequence", v) =>
+        asNum(v).exists { n => lo = math.max(lo, n + 1); true }
+      case GreaterThanOrEqual("sequence", v) =>
+        asNum(v).exists { n => lo = math.max(lo, n); true }
+      case LessThan("sequence", v) =>
+        asNum(v).exists { n => hi = math.min(hi, n - 1); true }
+      case LessThanOrEqual("sequence", v) =>
+        asNum(v).exists { n => hi = math.min(hi, n); true }
+      case _ => false
+    }
+    pushed = accepted
+    // all filters are retained as residuals: pruning is an optimization
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val narrowed = new java.util.HashMap[String, String](options)
+    narrowed.put("startSequence", lo.toString)
+    narrowed.put("endSequence", hi.toString)
+    new SequenceScan(new CaseInsensitiveStringMap(narrowed))
+  }
 }
 
 class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {

@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 50
   }
 
+  test("sequence filter pushdown prunes partitions (batch read)") {
+    val df = spark.read.format(sourceName)
+      .option("startSequence", 0).option("endSequence", 99)
+      .option("rowsPerSequence", 2).load()
+    val filtered = df.filter(col("sequence") >= 40 && col("sequence") < 45)
+    filtered.count() shouldBe 10 // 5 sequences x 2 rows
+    // the scan itself narrowed: physical partition count == 5 pruned
+    // sequences, not 100 (each partition is one sequence fetch)
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+    scanned.inputPartitions.length shouldBe 5
+    // pushed filters visible on the scan + residual still applied
+    scanned.scan.description()
+    val eq = df.filter(col("sequence") === 7)
+    eq.count() shouldBe 2
+    eq.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.length shouldBe 1
+    // contradictory range -> zero partitions, zero rows, no failure
+    df.filter(col("sequence") > 50 && col("sequence") < 10).count() shouldBe 0
+  }
+
   test("streaming changesetStats equals the batch rollup (watermark append)") {
     val batchDf = spark.read.format(sourceName)
       .option("startSequence", 0).option("endSequence", 5)
