@@ -147,6 +147,17 @@ object FacetedTiles {
     }
   }
 
+  /** Reference per-feature summary props (EditHistogram.scala:181-212):
+    * `__total`, `__lastEdit`, and flattened per-facet `__total:f`
+    * entries — the map a vector-tile sink writes as feature
+    * properties. */
+  def featureProps(f: FacetedFeature): Map[String, Long] = {
+    val base: Map[String, Long] = Map("__total" -> f.total) ++
+      scala.util.Try(f.lastEdit.toLong).toOption
+        .map(v => "__lastEdit" -> v).toMap
+    base ++ f.facets.map { case (k, v) => s"__total:$k" -> v.toLong }
+  }
+
   /** Oracle-checkable projection: per (zoom, x, y, facet) totals. */
   def facetSummary(tiles: Dataset[FacetedRaster]): DataFrame = {
     val spark = tiles.sparkSession

@@ -29,9 +29,28 @@ object Tiles {
   case class Raster(key: String, zoom: Int, x: Long, y: Long, cells: Int,
                     values: Map[Long, Int])
 
-  /** One vectorized cell feature (cell-center coordinates). */
+  /** One vectorized cell feature (cell-center coordinates). `z_index`
+    * is the Morton (Z-order) code of the cell within its tile — the
+    * reference's per-feature `__id` (ZSpatialKeyIndex at
+    * Implicits.scala:333-343), giving features a locality-preserving
+    * stable id. */
   case class CellFeature(key: String, zoom: Int, x: Long, y: Long,
-                         lon: Double, lat: Double, value: Int)
+                         lon: Double, lat: Double, value: Int,
+                         z_index: Long)
+
+  /** Morton (Z-order) interleave of two 16-bit cell coordinates —
+    * public bit-twiddling construction. */
+  def mortonIndex(cx: Long, cy: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      x = (x | (x << 1)) & 0x55555555L
+      x
+    }
+    spread(cx) | (spread(cy) << 1)
+  }
 
   /** Assign global pixel coordinates at `zoom` with `cells`-per-side
     * tiles (equirect), then rasterize: one shuffle by tile key, sparse
@@ -119,11 +138,13 @@ object Tiles {
     tiles.flatMap { r =>
       val n = (1L << r.zoom) * r.cells
       r.values.toSeq.sortBy(_._1).map { case (cell, v) =>
-        val gpx = r.x * r.cells + cell % r.cells
-        val gpy = r.y * r.cells + cell / r.cells
+        val cx = cell % r.cells
+        val cy = cell / r.cells
+        val gpx = r.x * r.cells + cx
+        val gpy = r.y * r.cells + cy
         val lon = (gpx + 0.5) / n * 360.0 - 180.0
         val lat = 90.0 - (gpy + 0.5) / n * 180.0
-        CellFeature(r.key, r.zoom, r.x, r.y, lon, lat, v)
+        CellFeature(r.key, r.zoom, r.x, r.y, lon, lat, v, mortonIndex(cx, cy))
       }
     }
   }

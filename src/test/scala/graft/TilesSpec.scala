@@ -58,6 +58,30 @@ class TilesSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("vectorize carries Morton z_index; featureProps flattens facets") {
+    // Morton interleave basics
+    Tiles.mortonIndex(0, 0) shouldBe 0L
+    Tiles.mortonIndex(1, 0) shouldBe 1L
+    Tiles.mortonIndex(0, 1) shouldBe 2L
+    Tiles.mortonIndex(1, 1) shouldBe 3L
+    Tiles.mortonIndex(2, 2) shouldBe 12L
+    // locality: all cells of a 2x2 block share the id >> 2 prefix
+    (for (x <- 4L to 5L; y <- 6L to 7L) yield Tiles.mortonIndex(x, y) >> 2)
+      .toSet.size shouldBe 1
+    val base = Tiles.rasterize(pts(("k", 0.0, 0.0)), "key", "lon", "lat",
+      zoom = 2, cells = 4)
+    val feat = Tiles.vectorize(base).collect().head
+    feat.z_index shouldBe Tiles.mortonIndex(0, 0)
+    import graft.operators.FacetedTiles
+    val props = FacetedTiles.featureProps(FacetedTiles.FacetedFeature(
+      "k", 2, 1, 1, 0, 0.0, 0.0,
+      Map("2024005" -> 3, "2024006" -> 4), 7L, "2024006"))
+    props("__total") shouldBe 7L
+    props("__lastEdit") shouldBe 2024006L
+    props("__total:2024005") shouldBe 3L
+    props("__total:2024006") shouldBe 4L
+  }
+
   test("WebMercator faceted pyramid: reference row mapping, mass conserved") {
     import graft.operators.FacetedTiles
     // reference grid constants preserved
