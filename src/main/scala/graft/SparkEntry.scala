@@ -534,6 +534,51 @@ object SparkEntry {
         .orderBy(col("x"), col("y"))
     }),
 
+    // ---- way-geometry reconstruction over synthetic element history
+    //      (SURVEY §1.2 preprocess contract + minor versions; the
+    //      flagship Timeline operator, previously spec-only)
+    "q_reconstruct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val nodes = ev.select((col("event_id") % 311).as("node_id"),
+        col("ts_us").as("ts"),
+        synthLon(col("event_id")).as("lon"),
+        synthLat(col("event_id")).as("lat"))
+      val w = Window.partitionBy(col("way_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ways = ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") % 97).as("way_id"),
+          col("ts_us").as("ts"), col("event_id"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("nds", array((0 to 2).map(i =>
+          (col("way_id") * 3 + i) % 311): _*))
+        .drop("event_id")
+      operators.Timeline.reconstructWays(ways, nodes)
+        .select(col("way_id"), col("version"), col("minor_version"),
+          col("updated"),
+          size(col("geometry")).as("n_pts"),
+          try_element_at(col("geometry"), lit(1)).getField("lon").as("lon_first"),
+          try_element_at(col("geometry"), lit(1)).getField("lat").as("lat_first"),
+          try_element_at(col("geometry"), lit(-1)).getField("lon").as("lon_last"),
+          try_element_at(col("geometry"), lit(-1)).getField("lat").as("lat_last"))
+        .orderBy(col("way_id"), col("version"), col("minor_version"))
+    }),
+
+    // ---- footprints: per-target faceted pyramids with blocklist
+    //      (reference FootprintCreator composition; SURVEY §3)
+    "q_footprints" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .withColumn("target",
+          concat(lit("u"), (col("user_id") % 10).cast(StringType)))
+        .withColumn("facet", col("event_type"))
+      operators.FacetedTiles.facetSummaryKeyed(
+          operators.Footprints.create(pts, "target", "lon", "lat", "facet",
+            targets = None, blocklist = Seq("u7"),
+            baseZoom = 4, minZoom = 3, cells = 16))
+        .orderBy(col("key"), col("zoom"), col("x"), col("y"), col("facet"))
+    }),
+
     // ---- training-data ops: deduplication suite ------------------------
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exactCanonical(
@@ -1236,6 +1281,85 @@ object SparkEntry {
          |  FROM pts, lv)
          |SELECT zoom, gx//16 AS x, gy//16 AS y, facet, count(*) AS cnt
          |FROM g GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin,
+
+    "q_reconstruct" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |nodes AS (
+         |  SELECT event_id % 311 AS node_id, ts_us AS ts,
+         |    ${synthLonSql("event_id")} AS lon,
+         |    ${synthLatSql("event_id")} AS lat
+         |  FROM ev),
+         |nv AS (
+         |  SELECT node_id, ts, lon, lat,
+         |    lead(ts) OVER (PARTITION BY node_id ORDER BY ts) AS valid_until
+         |  FROM nodes),
+         |ways AS (
+         |  SELECT event_id % 97 AS way_id, ts_us AS ts,
+         |    row_number() OVER (PARTITION BY event_id % 97
+         |                       ORDER BY ts_us, event_id) AS version
+         |  FROM ev WHERE event_type = 'purchase'),
+         |wv AS (
+         |  SELECT way_id, version, ts AS way_ts,
+         |    lead(ts) OVER (PARTITION BY way_id ORDER BY version)
+         |      AS way_valid_until
+         |  FROM ways),
+         |memb AS (
+         |  SELECT way_id, version, way_ts, way_valid_until, i AS nd_idx,
+         |    (way_id * 3 + i) % 311 AS node_id
+         |  FROM wv, range(0, 3) r(i)),
+         |cand AS (
+         |  SELECT DISTINCT way_id, version, updated FROM (
+         |    SELECT way_id, version, way_ts AS updated FROM wv
+         |    UNION ALL
+         |    SELECT m.way_id, m.version, n.ts AS updated
+         |    FROM memb m JOIN nv n ON n.node_id = m.node_id
+         |     AND n.ts > m.way_ts
+         |     AND (m.way_valid_until IS NULL OR n.ts < m.way_valid_until))),
+         |res AS (
+         |  SELECT c.way_id, c.version, c.updated, m.nd_idx,
+         |         n.lon, n.lat
+         |  FROM cand c
+         |  JOIN memb m ON m.way_id = c.way_id AND m.version = c.version
+         |  LEFT JOIN nv n ON n.node_id = m.node_id AND n.ts <= c.updated
+         |   AND (n.valid_until IS NULL OR c.updated < n.valid_until)),
+         |asm AS (
+         |  SELECT way_id, version, updated,
+         |    count(lon) AS n_pts,
+         |    list(lon ORDER BY nd_idx) FILTER (lon IS NOT NULL) AS lons,
+         |    list(lat ORDER BY nd_idx) FILTER (lat IS NOT NULL) AS lats
+         |  FROM res GROUP BY 1, 2, 3),
+         |mv AS (
+         |  SELECT way_id, version,
+         |    row_number() OVER (PARTITION BY way_id, version
+         |                       ORDER BY updated) - 1 AS minor_version,
+         |    updated, n_pts, lons, lats
+         |  FROM asm)
+         |SELECT way_id, version, minor_version, updated,
+         |  CAST(n_pts AS INTEGER) AS n_pts,
+         |  lons[1] AS lon_first, lats[1] AS lat_first,
+         |  lons[-1] AS lon_last, lats[-1] AS lat_last
+         |FROM mv ORDER BY way_id, version, minor_version""".stripMargin,
+
+    "q_footprints" ->
+      s"""WITH pts AS (
+         |  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) AS key,
+         |         event_type AS facet,
+         |         ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat
+         |  FROM events),
+         |f AS (SELECT * FROM pts WHERE key <> 'u7'),
+         |lv(zoom) AS (VALUES (4), (3)),
+         |g AS (
+         |  SELECT key, zoom, facet,
+         |    CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gx,
+         |    CAST(LEAST(GREATEST(floor((90.0 - lat)/180.0*((1<<zoom)*16)),
+         |      0.0), CAST((1<<zoom)*16 - 1 AS DOUBLE)) AS BIGINT) AS gy
+         |  FROM f, lv)
+         |SELECT key, zoom, gx//16 AS x, gy//16 AS y, facet,
+         |       count(*) AS cnt
+         |FROM g GROUP BY 1,2,3,4,5 ORDER BY 1,2,3,4,5""".stripMargin,
 
     "q_tile_lines" ->
       """WITH ev AS (

@@ -169,4 +169,17 @@ object FacetedTiles {
       .groupBy(col("zoom"), col("x"), col("y"), col("facet"))
       .agg(sum(col("c")).as("cnt"))
   }
+
+  /** Keyed variant for per-target pipelines (footprints): per
+    * (key, zoom, x, y, facet) totals. */
+  def facetSummaryKeyed(tiles: Dataset[FacetedRaster]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .flatMap(r => r.values.valuesIterator.flatten
+        .map { case (f, c) => (r.key, r.zoom, r.x, r.y, f, c.toLong) })
+      .toDF("key", "zoom", "x", "y", "facet", "c")
+      .groupBy(col("key"), col("zoom"), col("x"), col("y"), col("facet"))
+      .agg(sum(col("c")).as("cnt"))
+  }
 }
