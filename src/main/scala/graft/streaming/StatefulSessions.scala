@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+
+/** Custom streaming state via `flatMapGroupsWithState` — sessionization
+  * of an unbounded per-key event stream (the capability SURVEY §2.9
+  * notes the reference never needed; a training-data ingest pipeline
+  * does: user/session grouping over clickstream-shaped feeds).
+  *
+  * Semantics match the batch [[graft.operators.Timeline.sessionize]]:
+  * events more than `gapUs` micros apart open a new 0-based session per
+  * key. A session is EMITTED once the event-time watermark passes its
+  * end + gap (it can no longer grow), and its state is dropped via
+  * event-time timeout — state size is O(active keys), not O(stream).
+  *
+  * Scale shape: one shuffle by key (the groupByKey), state per key is a
+  * constant-size summary (current session bounds + count), and output
+  * is append-mode finalized sessions — the exactly-once story composes
+  * with the idempotent sinks exactly like the watermarked aggregations.
+  */
+object StatefulSessions {
+
+  /** Finalized session. */
+  case class Session(key: Long, session_idx: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+
+  /** Per-key open-session state. */
+  case class SessState(nextIdx: Long, curIdx: Long, n: Long,
+                       startUs: Long, endUs: Long)
+
+  /** Sessionize (key, ts) rows. `events` needs columns (key LONG,
+    * ts TIMESTAMP event-time, ts_us LONG micros). Works on streaming
+    * DataFrames (append mode, requires a watermark upstream) — the
+    * event-time timeout finalizes sessions `gapUs` past their end. */
+  def sessionize(events: DataFrame, gapUs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val stEnc = Encoders.product[SessState]
+    events.select(col("key").cast("long"), col("ts"),
+        col("ts_us").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed: the open session can no longer grow
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.curIdx, s.n, s.startUs, s.endUs))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._2.getTime))
+            var st = state.getOption.getOrElse(
+              SessState(0L, -1L, 0L, 0L, 0L))
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { case (_, _, tsUs) =>
+              if (st.curIdx < 0) {
+                st = SessState(st.nextIdx + 1, st.nextIdx, 1L, tsUs, tsUs)
+              } else if (tsUs - st.endUs > gapUs) {
+                out += Session(key, st.curIdx, st.n, st.startUs, st.endUs)
+                st = SessState(st.nextIdx + 1, st.nextIdx, 1L, tsUs, tsUs)
+              } else {
+                st = st.copy(n = st.n + 1, endUs = math.max(st.endUs, tsUs))
+              }
+            }
+            state.update(st)
+            // finalize via event-time timeout once the watermark passes
+            // the session's maximum possible extension
+            state.setTimeoutTimestamp(st.endUs / 1000L + gapUs / 1000L + 1L)
+            out.result().iterator
+          }
+      }
+  }
+}

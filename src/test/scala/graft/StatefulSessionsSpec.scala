@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StatefulSessions
+
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessionization matches the batch rollup") {
+    val mem = MemoryStream[(Long, Long)](spark)
+    val events = mem.toDF().toDF("key", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+    val q = StatefulSessions.sessionize(events, gapUs = 1000000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      val B = 3600000000L // base offset: keep everything past watermark 0
+      val real = Seq(
+        (1L, B), (1L, B + 500000L),             // key 1, session 0
+        (1L, B + 3000000L), (1L, B + 3200000L), // key 1, session 1
+        (2L, B + 10000000L))                    // key 2, session 0
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      // sentinel events push the watermark far past every real session
+      mem.addData((1L, B + 100000000L), (2L, B + 100000000L))
+      q.processAllAvailable()
+      mem.addData((1L, B + 200000000L), (2L, B + 200000000L))
+      q.processAllAvailable()
+
+      val got = spark.table("sess")
+        .filter(col("start_us") < 3650000000L) // exclude sentinel sessions
+        .as[StatefulSessions.Session].collect()
+        .map(s => (s.key, s.session_idx, s.n_events, s.start_us, s.end_us))
+        .toSet
+
+      // batch truth from the SAME rows via Timeline.sessionize
+      val batch = graft.operators.Timeline.sessionize(
+          real.toDF("key", "ts_us"), Seq("key"), "ts_us", gapUs = 1000000L)
+        .groupBy(col("key"), col("session_idx"))
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("s"),
+          max(col("ts_us")).as("e"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      got shouldBe batch
+      got should contain((1L, 0L, 2L, B, B + 500000L))
+      got should contain((1L, 1L, 2L, B + 3000000L, B + 3200000L))
+      got should contain((2L, 0L, 1L, B + 10000000L, B + 10000000L))
+    } finally q.stop()
+  }
+}
