@@ -270,15 +270,54 @@ object Similarity {
       }.toArray.sortBy(_._1)
   }
 
+  /** Distributed Lloyd (k-means) refinement of IVF centroids: each
+    * round assigns every vector to its nearest current centroid
+    * (broadcast k·dim doubles, one codegen-friendly pass over the
+    * corpus) and recomputes centroids as per-dimension means
+    * (posexplode → groupBy(list, dim) avg with map-side combine —
+    * only k·dim rows ever reach the driver). Seeded from an existing
+    * coarse label column; `rounds` fixed (no convergence action).
+    * Returns refined (list, centroid) pairs, stable-rounded. */
+  def kmeansCentroids(corpus: DataFrame, listCol: String,
+                      vecCol: String = "embedding",
+                      rounds: Int = 3): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    var cents = ivfCentroids(corpus, listCol, vecCol)
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf((v: Seq[Double]) => {
+        var best = -1
+        var bestD = Double.MaxValue
+        bc.value.foreach { case (list, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < c.length && i < v.length) {
+            val t = v(i) - c(i); d += t * t; i += 1
+          }
+          if (d < bestD || (d == bestD && list < best)) { bestD = d; best = list }
+        }
+        best
+      })
+      val reassigned = corpus
+        .withColumn("__list", assign(asDouble(col(vecCol))))
+      cents = ivfCentroids(reassigned, "__list", vecCol)
+      r += 1
+    }
+    cents
+  }
+
   /** Exact cosine top-k within each query's nProbe nearest IVF lists.
     * Probe scores are stable-rounded (1e-6) with list-id tie-break so
     * probe selection is deterministic. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
               listCol: String = "label", idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", kmeansRounds: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     ArrayExpressions.register(spark)
-    val cents = ivfCentroids(corpus, listCol, vecCol)
+    val cents =
+      if (kmeansRounds > 0) kmeansCentroids(corpus, listCol, vecCol, kmeansRounds)
+      else ivfCentroids(corpus, listCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
     val probeLists = udf((v: Seq[Double]) => {
       def cos(a: Seq[Double], b: Array[Double]): Double = {
@@ -291,8 +330,26 @@ object Similarity {
       bc.value.map { case (list, c) => (list, stableRoundD(cos(v, c), 6)) }
         .sortBy { case (list, s) => (-s, list) }.take(nProbe).map(_._1)
     })
+    // inverted lists must match the probed centroid set: with k-means
+    // refinement the corpus re-assigns to its nearest refined centroid
+    val assignNearest = udf((v: Seq[Double]) => {
+      var best = Int.MaxValue
+      var bestD = Double.MaxValue
+      bc.value.foreach { case (list, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < cv.length && i < v.length) {
+          val t = v(i) - cv(i); d += t * t; i += 1
+        }
+        if (d < bestD || (d == bestD && list < best)) { bestD = d; best = list }
+      }
+      best
+    })
+    val listAssignment =
+      if (kmeansRounds > 0) assignNearest(asDouble(col(vecCol)))
+      else col(listCol).cast("int")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"),
-        col(listCol).cast("int").as("list"))
+        listAssignment.as("list"))
       .withColumn("nn", expr("dot_prod(nv, nv)"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("nq", expr("dot_prod(qv, qv)"))

@@ -56,6 +56,37 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("kmeansCentroids: Lloyd rounds reduce within-cluster distortion") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def distortion(cents: Array[(Int, Array[Double])]): Double = {
+      val rows = emb.select(col("embedding")).as[Array[Float]].collect()
+      rows.map { v =>
+        cents.map { case (_, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < c.length && i < v.length) {
+            val t = v(i) - c(i); d += t * t; i += 1
+          }
+          d
+        }.min
+      }.sum / rows.length
+    }
+    val seeded = Similarity.ivfCentroids(emb, "label")
+    val refined = Similarity.kmeansCentroids(emb, "label", rounds = 3)
+    refined.length shouldBe seeded.length
+    // Lloyd iterations never increase mean min-distance distortion
+    distortion(refined) should be <= distortion(seeded)
+    distortion(refined) should be < distortion(seeded) * 0.999
+    // refined-centroid ivfTopK with all lists probed still == brute force
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(emb, queries, k = 3, nProbe = 10,
+        kmeansRounds = 2)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    full shouldBe exact
+  }
+
   test("sign-LSH buckets identical vectors together; lshTopK finds them") {
     val bucketed = Similarity.signLshBuckets(vecs, nPlanes = 8, dim = 3)
       .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
