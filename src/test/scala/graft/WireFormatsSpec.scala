@@ -137,6 +137,55 @@ class WireFormatsSpec extends SparkSpec {
     df.select(col("sequence")).distinct().count() shouldBe 2
   }
 
+  test("two wire-format sources compose through the J5 enrichment join") {
+    // the MergedChangesetStreamProcessor shape: augdiff elements joined
+    // stream-stream to changeset metadata, BOTH decoded from real wire
+    // formats by SequenceSource partitions
+    def diffLine(id: Long, cs: Long, user: String): String =
+      s"""{"new": {"type": "Feature", "properties": {"type": "node",
+         | "id": $id, "version": 1, "updated": "2012-09-12T08:20:00Z",
+         | "visible": true, "changeset": $cs, "uid": 1, "user": "$user",
+         | "tags": {}}}}""".stripMargin.replace("\n", "")
+    val diffDir = Files.createTempDirectory("graft-j5-diff").toString
+    Files.writeString(Paths.get(diffDir, "0.json"),
+      Seq(diffLine(1, 900, "alice"), diffLine(2, 900, "alice")).mkString("\n"))
+    Files.writeString(Paths.get(diffDir, "1.json"), diffLine(3, 901, "bob"))
+    val csDir = Files.createTempDirectory("graft-j5-cs").toString
+    Files.writeString(Paths.get(csDir, "0.xml"),
+      """<osm><changeset id="900" created_at="2012-09-12T08:10:00Z"
+        | open="false" user="alice" uid="7"/></osm>""".stripMargin)
+    Files.writeString(Paths.get(csDir, "1.xml"),
+      """<osm><changeset id="901" created_at="2012-09-12T08:14:00Z"
+        | open="true" user="bob" uid="8"/></osm>""".stripMargin)
+
+    val changes = spark.readStream.format(sourceName)
+      .option("format", "augdiff").option("payloadDir", diffDir)
+      .option("startSequence", 0).option("endSequence", 1).load()
+      .select(col("sequence"), col("changeset"), col("id"),
+        col("element_type"))
+    val meta = spark.readStream.format(sourceName)
+      .option("format", "changesets").option("payloadDir", csDir)
+      .option("startSequence", 0).option("endSequence", 1).load()
+      .select(col("id").as("changeset"), col("created_at"),
+        col("user").as("meta_user"))
+    val out = Files.createTempDirectory("graft-j5-out").toString
+    val q = graft.streaming.StreamingStats
+      .enrichWithChangesets(changes, meta)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-j5-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val joined = spark.read.parquet(out)
+    joined.count() shouldBe 3
+    joined.filter(col("changeset") === 900L)
+      .select(col("meta_user")).distinct().as[String].collect() shouldBe
+      Array("alice")
+    joined.filter(col("changeset") === 901L)
+      .select(col("meta_user")).as[String].head() shouldBe "bob"
+  }
+
   test("SequenceSource format=augdiff streaming: corrupt payloads land in the dead-letter table") {
     val dir = Files.createTempDirectory("graft-wire-json").toString
     Files.writeString(Paths.get(dir, "0.json"), augDiffJson)
