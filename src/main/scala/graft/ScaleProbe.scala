@@ -34,6 +34,22 @@ object ScaleProbe {
     val tClusters = (System.nanoTime() - t0) / 1e9
     println(f"docs=$n pairs=$nPairs pairs_sec=$tPairs%.1f " +
       f"labeled=$nLabeled clusters_sec=$tClusters%.1f")
+
+    // blocked exact near-dup scan throughput: 10x-replicated embeddings
+    // (~20k vectors -> ~200M pair dot products at dim 64)
+    val emb = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("vec_id") * 10 + col("rep")).as("vec_id"),
+        col("embedding"))
+      .persist()
+    val nv = emb.count()
+    t0 = System.nanoTime()
+    val nd = operators.Similarity.nearDupPairs(emb, 0.45, nBlocks = 64)
+      .count()
+    val tBlocked = (System.nanoTime() - t0) / 1e9
+    val gflops = nv * nv / 2.0 * 64 * 2 / tBlocked / 1e9
+    println(f"vectors=$nv blocked_pairs=$nd blocked_sec=$tBlocked%.1f " +
+      f"approx_gflops=$gflops%.1f")
     spark.stop()
   }
 }
