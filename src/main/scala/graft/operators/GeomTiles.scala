@@ -181,6 +181,46 @@ object GeomTiles {
     (cxs.toArray, cys.toArray)
   }
 
+  // ------------------------------------------------- MVT feature glue
+
+  /** Quantize a global-cell coordinate into tile-local MVT grid units
+    * (tile spans `cells` global cells → `extent` MVT units). */
+  private def quantize(v: Double, tileOrigin: Double, cells: Int,
+                       extent: Int): Int =
+    math.round((v - tileOrigin) / cells * extent).toInt
+
+  /** Encode a clipped polyline (global cell coords, already clipped to
+    * tile (tx, ty)) as an MVT LINESTRING feature — MoveTo(first) +
+    * LineTo(deltas), coordinates quantized to the tile extent. Together
+    * with [[clipSegmentToTile]] this is the road/waterway vector-tile
+    * path the reference drives through vectorpipe. */
+  def mvtLineFeature(id: Long, pts: Seq[(Double, Double)],
+                     tx: Long, ty: Long, cells: Int,
+                     tags: Map[String, graft.sinks.Mvt.MValue] = Map.empty,
+                     extent: Int = 4096): graft.sinks.Mvt.Feature = {
+    import graft.sinks.Mvt._
+    val ox = tx.toDouble * cells; val oy = ty.toDouble * cells
+    val q = pts.map { case (x, y) =>
+      (quantize(x, ox, cells, extent), quantize(y, oy, cells, extent)) }
+    val deltas = q.zip(q.head +: q).map { case ((x, y), (px, py)) =>
+      (x - px, y - py) }
+    Feature(id, 2,
+      Seq(MoveTo(Seq(q.head)), LineTo(deltas.drop(1))), tags)
+  }
+
+  /** Encode a clipped ring as an MVT POLYGON feature (MoveTo + LineTo +
+    * ClosePath; the closing vertex is implicit per the MVT spec). */
+  def mvtPolygonFeature(id: Long, ring: Seq[(Double, Double)],
+                        tx: Long, ty: Long, cells: Int,
+                        tags: Map[String, graft.sinks.Mvt.MValue] = Map.empty,
+                        extent: Int = 4096): graft.sinks.Mvt.Feature = {
+    import graft.sinks.Mvt._
+    val open = if (ring.length > 1 && ring.head == ring.last)
+      ring.dropRight(1) else ring
+    val base = mvtLineFeature(id, open, tx, ty, cells, tags, extent)
+    base.copy(geomType = 3, commands = base.commands :+ ClosePath)
+  }
+
   // ---------------------------------------------------- rasterization
 
   private def cellsToRasters(cellRows: Dataset[(String, Long, Long)],

@@ -110,6 +110,39 @@ class GeomTilesSpec extends SparkSpec {
     perTile shouldBe global
   }
 
+  test("clip -> MVT line/polygon encode -> commit -> decode round-trips") {
+    import graft.sinks.Mvt
+    val cells = 16
+    // segment crossing tile (0,0): clip, encode, commit, read back
+    val Some((x0, y0, x1, y1)) =
+      GeomTiles.clipSegmentToTile(2.0, 4.0, 40.0, 12.0, 0, 0, cells)
+    val line = GeomTiles.mvtLineFeature(7L, Seq((x0, y0), (x1, y1)),
+      0, 0, cells, Map("highway" -> Mvt.MString("residential")))
+    line.geomType shouldBe 2
+    val (rxs, rys) = GeomTiles.clipPolygonToTile(
+      Array(4.0, 12.0, 12.0, 4.0), Array(4.0, 4.0, 12.0, 12.0), 0, 0, cells)
+    val poly = GeomTiles.mvtPolygonFeature(8L, rxs.zip(rys).toSeq,
+      0, 0, cells, Map("building" -> Mvt.MString("yes")))
+    poly.geomType shouldBe 3
+    poly.commands.last shouldBe Mvt.ClosePath
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvt-geom").toString
+    Mvt.commitTile(dir, 4, 0, 0, "roads", Seq(line, poly), sequence = 1L,
+      schema = Mvt.SnapshotSchema) shouldBe true
+    val decoded = Mvt.readTile(dir, 4, 0, 0).get
+      .find(_.name == "roads").get.features
+    decoded.length shouldBe 2
+    val dLine = decoded.find(_.id == 7L).get
+    dLine.geomType shouldBe 2
+    dLine.tags("highway") shouldBe Mvt.MString("residential")
+    // quantized geometry round-trips exactly: MoveTo at (2/16, 4/16) of
+    // the 4096 extent = (512, 1024); end clipped at x=16 -> (4096, ...)
+    dLine.commands.head shouldBe Mvt.MoveTo(Seq((512, 1024)))
+    val dPoly = decoded.find(_.id == 8L).get
+    dPoly.commands.last shouldBe Mvt.ClosePath
+    dPoly.tags("building") shouldBe Mvt.MString("yes")
+  }
+
   // ------------------------------------------------ Dataset operators
 
   test("rasterizeSegments + pyramid conserves mass across zoom levels") {
