@@ -137,6 +137,50 @@ class WireFormatsSpec extends SparkSpec {
     df.select(col("sequence")).distinct().count() shouldBe 2
   }
 
+  test("osmchange source drives the streaming tile updater (UserFootprintUpdater shape)") {
+    def nodeXml(seq: Long, ids: Seq[Long]): String = {
+      val nodes = ids.map(i =>
+        s"""<node id="$i" version="1" timestamp="2026-01-01T00:0$seq:00Z"
+           | changeset="9" uid="1" user="u" lat="${10.0 + i}" lon="${20.0 + i}"/>"""
+          .stripMargin.replace("\n", "")).mkString("\n")
+      s"<osmChange><create>\n$nodes\n</create></osmChange>"
+    }
+    val dir = Files.createTempDirectory("graft-fp-payload").toString
+    Files.writeString(Paths.get(dir, "0.xml"), nodeXml(0, Seq(1, 2, 3)))
+    Files.writeString(Paths.get(dir, "1.xml"), nodeXml(1, Seq(4, 5)))
+    val tiles = Files.createTempDirectory("graft-fp-tiles").toString
+
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.format(sourceName)
+        .option("format", "osmchange").option("payloadDir", dir)
+        .option("startSequence", 0).option("endSequence", 1).load()
+        .filter(col("element_type") === "node" && col("lon").isNotNull)
+        .select(col("sequence"), col("lon"), col("lat"))
+      val q = graft.streaming.TileUpdater.start(
+        stream, tiles, "footprint", zoom = 2, cells = 8, checkpoint = ckpt)
+      q.awaitTermination(120000)
+    }
+    def density(): Long = {
+      val root = java.nio.file.Paths.get(tiles, "2")
+      if (!java.nio.file.Files.exists(root)) return 0L
+      java.nio.file.Files.walk(root).toArray.toSeq.map(_.toString)
+        .filter(_.endsWith(".mvt")).map { f =>
+          val parts = f.split("/")
+          val y = parts.last.stripSuffix(".mvt").toLong
+          val x = parts(parts.length - 2).toLong
+          graft.sinks.Mvt.readTile(tiles, 2, x, y).get
+            .find(_.name == "footprint").toSeq
+            .flatMap(_.features.flatMap(_.tags.get("density")))
+            .collect { case graft.sinks.Mvt.MLong(v) => v }.sum
+        }.sum
+    }
+    run(Files.createTempDirectory("graft-fp-ckpt1").toString)
+    density() shouldBe 5L // 5 parsed nodes rasterized
+    // fresh checkpoint -> full XML re-read; __sequences__ guard no-ops
+    run(Files.createTempDirectory("graft-fp-ckpt2").toString)
+    density() shouldBe 5L
+  }
+
   test("two wire-format sources compose through the J5 enrichment join") {
     // the MergedChangesetStreamProcessor shape: augdiff elements joined
     // stream-stream to changeset metadata, BOTH decoded from real wire
