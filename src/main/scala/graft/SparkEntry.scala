@@ -306,6 +306,22 @@ object SparkEntry {
         .orderBy(col("country"))
     }),
 
+    // ---- J7 over GeoJSON-loaded polygons: the reference's packaged
+    //      countries.geojson path (Countries.scala:17-67) — triangle/
+    //      trapezoid/pentagon/holed/multipolygon fixture, broadcast
+    //      STRtree lookup, containment oracle-checked via exact integer
+    //      edge-sign tests (CountryFixtures determinism notes).
+    "q_j7_geojson" -> ((s, dir) => {
+      val geocode = geo.CountryIndex.geocodeFirst(s,
+        geo.CountryIndex.fromGeoJson(geo.CountryFixtures.geojson))
+      Tables.events(s, dir)
+        .withColumn("lon", synthLon(col("event_id")))
+        .withColumn("lat", synthLat(col("event_id")))
+        .withColumn("country", coalesce(geocode(col("lon"), col("lat")), lit("NONE")))
+        .groupBy(col("country")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("country"))
+    }),
+
     // ---- geodesic length (SURVEY §2.8 spatial; reference st_lengthSphere)
     "q_geo_haversine" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -775,7 +791,44 @@ object SparkEntry {
           expr(s"(ts_us div 1000000 - ${SequenceEpochSeconds}) div 60").as("seq"),
           sequenceToTimestamp(
             expr(s"(ts_us div 1000000 - ${SequenceEpochSeconds}) div 60")).as("seq_ts"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ---- S2/S7: changeset-metadata assembly (Metadata.assemble — CSV-dump
+    //      re-zip + user join + 1e-7 fixed-point lat/lon + hashtag
+    //      extraction; reference ChangesetMetadataCreator.scala:107-186).
+    //      Inputs synthesized deterministically from orders/customer so
+    //      the full projection is oracle-checkable.
+    "q_metadata" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val changesets = o.select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("created_at"),
+        expr("o_orderdate + INTERVAL 1 HOUR").as("closed_at"),
+        (col("o_orderkey") % 100 + 1).as("num_changes"),
+        ((col("o_orderkey") % 1700 - 850) * 100000L).as("min_lat"),
+        ((col("o_orderkey") % 1700 - 850) * 100000L + 10000000L).as("max_lat"),
+        ((col("o_orderkey") % 3500 - 1750) * 100000L).as("min_lon"),
+        ((col("o_orderkey") % 3500 - 1750) * 100000L + 10000000L).as("max_lon"))
+      val tags = o.select(
+          col("o_orderkey").as("changeset_id"), lit("comment").as("k"),
+          concat(lit("edit #p"), col("o_orderkey") % 7, lit(" #"),
+            lower(col("o_orderstatus"))).as("v"))
+        .unionByName(o.select(
+          col("o_orderkey").as("changeset_id"), lit("created_by").as("k"),
+          concat(lit("editor_v"), col("o_orderkey") % 3).as("v")))
+      val users = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      operators.Metadata.assemble(changesets, tags, users)
+        .select(col("id"), col("user_id"), col("user"),
+          unix_micros(col("created_at")).as("created_us"),
+          unix_micros(col("closed_at")).as("closed_us"),
+          col("num_changes"), col("min_lat"), col("max_lat"),
+          col("min_lon"), col("max_lon"),
+          col("tags").getItem("created_by").as("editor"),
+          explode(col("hashtags")).as("hashtag"))
+        .orderBy(col("id"), col("hashtag"))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -1242,17 +1295,15 @@ object SparkEntry {
          |         ${synthLatSql("event_id")} AS plat FROM events),
          |band AS (
          |  SELECT pid, plon, plat,
-         |    CAST(floor(plon/(150000.0/55500.0)) AS BIGINT) AS cx,
-         |    CAST(floor(plat/(150000.0/111000.0)) AS BIGINT) AS cy
-         |  FROM pts WHERE abs(plat) <= 60.0),
+         |    CAST(floor(plat/(150000.0/110500.0)) AS BIGINT) AS cy
+         |  FROM pts),
          |b AS (
-         |  SELECT pid AS ib, plon AS lon_b, plat AS lat_b,
-         |         cx + ox AS cx, cy + oy AS cy
-         |  FROM band, (VALUES (-1),(0),(1)) ox(ox), (VALUES (-1),(0),(1)) oy(oy)),
+         |  SELECT pid AS ib, plon AS lon_b, plat AS lat_b, cy + oy AS cy
+         |  FROM band, (VALUES (-1),(0),(1)) oy(oy)),
          |cand AS (
          |  SELECT DISTINCT a.pid AS ia, b.ib, a.plon AS lon_a, a.plat AS lat_a,
          |         lon_b, lat_b
-         |  FROM band a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.pid < b.ib)
+         |  FROM band a JOIN b ON a.cy = b.cy AND a.pid < b.ib)
          |SELECT ia, ib, dist_cm FROM (
          |  SELECT ia, ib,
          |    CAST(floor(${haversineSql("lon_a", "lat_a", "lon_b", "lat_b")}
@@ -1798,6 +1849,55 @@ object SparkEntry {
         |make_timestamp((1347437700 +
         |  ((epoch_us(ts)//1000000 - 1347437700)//60) * 60)
         |  * 1000000) AS seq_ts
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_j7_geojson" ->
+      s"""WITH pts AS (
+         |  SELECT event_id,
+         |    CAST(2*((event_id*7919)%36000) - 36000 AS BIGINT) AS px,
+         |    CAST(2*((event_id*104729)%18000) - 18000 AS BIGINT) AS py
+         |  FROM events),
+         |edges(code, ring, x1, y1, x2, y2) AS (
+         |  VALUES ${geo.CountryFixtures.edgesSql}),
+         |ringhit AS (
+         |  SELECT event_id, code, ring,
+         |    bool_and((x2-x1)*(py-y1) - (y2-y1)*(px-x1) >= 0) AS inside
+         |  FROM pts CROSS JOIN edges GROUP BY 1,2,3),
+         |hit AS (
+         |  SELECT event_id, code FROM (
+         |    SELECT event_id, code,
+         |      bool_or(ring LIKE 'shell%' AND inside) AS in_shell,
+         |      bool_or(ring = 'hole' AND inside) AS in_hole
+         |    FROM ringhit GROUP BY 1,2) t
+         |  WHERE in_shell AND NOT in_hole),
+         |best AS (SELECT event_id, min(code) AS country FROM hit GROUP BY 1)
+         |SELECT COALESCE(country, 'NONE') AS country, count(*) AS cnt
+         |FROM pts LEFT JOIN best USING (event_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_metadata" ->
+      """WITH cs AS (
+        |  SELECT o_orderkey AS id, o_custkey AS user_id,
+        |    o_orderdate AS created_at,
+        |    o_orderdate + INTERVAL 1 HOUR AS closed_at,
+        |    CAST(o_orderkey % 100 + 1 AS BIGINT) AS num_changes,
+        |    CAST((o_orderkey % 1700 - 850) * 100000 AS BIGINT) AS min_lat_r,
+        |    CAST((o_orderkey % 3500 - 1750) * 100000 AS BIGINT) AS min_lon_r,
+        |    'edit #p' || CAST(o_orderkey % 7 AS VARCHAR) || ' #'
+        |      || lower(o_orderstatus) AS comment_v,
+        |    'editor_v' || CAST(o_orderkey % 3 AS VARCHAR) AS editor
+        |  FROM orders)
+        |SELECT id, user_id, cu.c_name AS "user",
+        |  epoch_us(created_at) AS created_us,
+        |  epoch_us(closed_at) AS closed_us,
+        |  num_changes,
+        |  min_lat_r / 1e7 AS min_lat, (min_lat_r + 10000000) / 1e7 AS max_lat,
+        |  min_lon_r / 1e7 AS min_lon, (min_lon_r + 10000000) / 1e7 AS max_lon,
+        |  editor, t.hashtag
+        |FROM cs
+        |LEFT JOIN customer cu ON cu.c_custkey = cs.user_id,
+        |  unnest(regexp_extract_all(lower(comment_v), '#(\w+)', 1))
+        |    AS t(hashtag)
+        |ORDER BY id, hashtag""".stripMargin
   )
 }

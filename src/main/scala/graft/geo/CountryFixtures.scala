@@ -1,0 +1,82 @@
+package graft.geo
+
+/** Non-rectangular country fixture for the GeoJSON geocode path — the
+  * stand-in for the reference's packaged `countries.geojson` (reference
+  * analytics/.../Countries.scala:17-33). One source of truth: vertex
+  * lists in integer 1/200-degree units generate BOTH the GeoJSON
+  * document (doubles, v/200) and the DuckDB oracle's integer
+  * edge-sign containment test.
+  *
+  * Determinism design (same idea as the synthetic rect grid): the
+  * oracle-checked polygons are CONVEX, so containment is expressible in
+  * SQL as "non-negative cross product for every CCW edge" over exact
+  * integers. Vertices sit on the 1/200° lattice with both coordinates
+  * ODD, while synthetic points sit on the 1/100° lattice (even 1/200
+  * units); every edge's direction vector has g-reduced components not
+  * both odd. Together those guarantee no synthetic point ever lies
+  * exactly on a polygon edge, so the JTS double-precision `covers` and
+  * the oracle's integer sign test can never disagree at a boundary. */
+object CountryFixtures {
+
+  /** Convex oracle-checked polygons: code -> CCW vertices in 1/200°. */
+  val convex: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "TRI" -> Seq((4001L, 2001L), (4801L, 2401L), (4001L, 2801L)),
+    "TRAP" -> Seq((-11999L, -5999L), (-10399L, -5999L),
+      (-10799L, -4399L), (-11599L, -4399L)),
+    "PENT" -> Seq((20001L, -9999L), (22001L, -9199L), (21601L, -7599L),
+      (20401L, -7599L), (19601L, -8999L)))
+
+  /** Spec-only shapes (not SQL-expressible as convex sign tests): a
+    * polygon with a hole and a two-part multipolygon. */
+  val holedShell: Seq[(Long, Long)] =
+    Seq((-30399L, 11601L), (-28399L, 11601L), (-28399L, 13601L), (-30399L, 13601L))
+  val holedHole: Seq[(Long, Long)] =
+    Seq((-29799L, 12201L), (-28999L, 12201L), (-28999L, 13001L), (-29799L, 13001L))
+  val multiParts: Seq[Seq[(Long, Long)]] = Seq(
+    Seq((29601L, -12399L), (30401L, -12399L), (30401L, -11599L), (29601L, -11599L)),
+    Seq((30801L, -12399L), (31601L, -12399L), (31601L, -11599L), (30801L, -11599L)))
+
+  private def coord(v: (Long, Long)): String =
+    s"[${v._1 / 200.0},${v._2 / 200.0}]"
+
+  private def ringJson(vs: Seq[(Long, Long)]): String =
+    (vs :+ vs.head).map(coord).mkString("[", ",", "]")
+
+  private def feature(code: String, geomJson: String): String =
+    s"""{"type":"Feature","properties":{"code":"$code","name":"$code land"},"geometry":$geomJson}"""
+
+  /** The complete FeatureCollection: three convex polygons, a holed
+    * polygon, a multipolygon, and one non-polygonal feature (skipped by
+    * the loader, like the reference's polygon-only accessors). */
+  def geojson: String = {
+    val convexFeats = convex.map { case (code, vs) =>
+      feature(code,
+        s"""{"type":"Polygon","coordinates":[${ringJson(vs)}]}""")
+    }
+    val holed = feature("HOLY",
+      s"""{"type":"Polygon","coordinates":[${ringJson(holedShell)},${ringJson(holedHole)}]}""")
+    val multi = feature("TWIN",
+      s"""{"type":"MultiPolygon","coordinates":[${multiParts.map(p => s"[${ringJson(p)}]").mkString(",")}]}""")
+    val point =
+      """{"type":"Feature","properties":{"code":"PT"},"geometry":{"type":"Point","coordinates":[0,0]}}"""
+    (convexFeats :+ holed :+ multi :+ point)
+      .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
+
+  /** All fixture rings as (code, ring-role, CCW vertices). Every ring is
+    * convex, so each is one SQL sign test; composition handles holes
+    * (shell AND NOT hole) and multipolygon parts (shell OR shell). */
+  def rings: Seq[(String, String, Seq[(Long, Long)])] =
+    convex.map { case (code, vs) => (code, "shell0", vs) } ++
+      Seq(("HOLY", "shell0", holedShell), ("HOLY", "hole", holedHole)) ++
+      multiParts.zipWithIndex.map { case (p, i) => ("TWIN", s"shell$i", p) }
+
+  /** Oracle-side VALUES list of CCW edges of every fixture ring, in
+    * integer 1/200° units: (code, ring, x1, y1, x2, y2). */
+  def edgesSql: String =
+    rings.flatMap { case (code, ring, vs) =>
+      (vs :+ vs.head).sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        s"('$code', '$ring', $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(", ")
+}

@@ -75,6 +75,13 @@ object CountryIndex {
     })
   }
 
+  /** Build the index from a GeoJSON FeatureCollection of (Multi)Polygon
+    * features — the reference's packaged-countries path
+    * (analytics/.../Countries.scala:17-67 via geotrellis; here via
+    * [[GeoJson.polygonFeatures]]). */
+  def fromGeoJson(json: String, codeProp: String = "code"): CountryIndex =
+    new CountryIndex(GeoJson.polygonFeatures(json, codeProp))
+
   /** Register a broadcast geocode UDF over (lon, lat) -> first country. */
   def geocodeFirst(spark: SparkSession, index: CountryIndex): (Column, Column) => Column = {
     val bc = spark.sparkContext.broadcast(index)

@@ -1,0 +1,65 @@
+package graft.geo
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearRing, Polygon}
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal GeoJSON FeatureCollection reader for (Multi)Polygon country
+  * features — the loader the reference gets from geotrellis's
+  * `parseGeoJson[JsonFeatureCollection]` (reference
+  * analytics/.../Countries.scala:17-33: packaged countries.geojson of
+  * Polygon + MultiPolygon features with a per-feature id property).
+  * Only the subset the country index needs is implemented: polygon
+  * shells, holes, and multipolygon parts (GeoJSON RFC 7946 geometry
+  * layout). Non-polygonal features are skipped, like the reference's
+  * getAllPolygonFeatures/getAllMultiPolygonFeatures pair. */
+object GeoJson {
+
+  private val mapper = new ObjectMapper()
+  private val factory = new GeometryFactory()
+
+  private def ring(node: JsonNode): LinearRing = {
+    val coords = node.elements().asScala.map { pt =>
+      new Coordinate(pt.get(0).asDouble(), pt.get(1).asDouble())
+    }.toArray
+    // GeoJSON rings must be closed; tolerate unclosed input by closing
+    val closed =
+      if (coords.nonEmpty && coords.head != coords.last) coords :+ coords.head
+      else coords
+    factory.createLinearRing(closed)
+  }
+
+  private def polygon(coordinates: JsonNode): Polygon = {
+    val rings = coordinates.elements().asScala.toSeq
+    if (rings.isEmpty) factory.createPolygon()
+    else factory.createPolygon(ring(rings.head),
+      rings.tail.map(ring).toArray)
+  }
+
+  private def geometry(node: JsonNode): Option[Geometry] =
+    Option(node).flatMap(g => Option(g.get("type")).map(_.asText()) match {
+      case Some("Polygon") => Some(polygon(g.get("coordinates")))
+      case Some("MultiPolygon") =>
+        val parts = g.get("coordinates").elements().asScala
+          .map(polygon).toArray
+        Some(factory.createMultiPolygon(parts))
+      case _ => None // point/line/etc features are not countries
+    })
+
+  /** Parse a FeatureCollection into (codeProperty, geometry) entries,
+    * in feature order. Features without the code property or without a
+    * polygonal geometry are skipped. */
+  def polygonFeatures(json: String,
+                      codeProp: String = "code"): Seq[(String, Geometry)] = {
+    val root = mapper.readTree(json)
+    val feats = Option(root.get("features"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    feats.flatMap { f =>
+      val code = Option(f.get("properties"))
+        .flatMap(p => Option(p.get(codeProp))).map(_.asText())
+      val geom = geometry(f.get("geometry"))
+      for (c <- code; g <- geom) yield (c, g)
+    }
+  }
+}

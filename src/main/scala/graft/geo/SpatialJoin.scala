@@ -4,60 +4,104 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Spatial pairwise matching via grid cells with neighbor duplication.
+/** Spatial pairwise matching via latitude-banded grid cells with
+  * neighbor duplication.
   *
   * Reference: the building-matcher partitions by a quad tree and matches
   * O(n²) per partition, acknowledging in-code that it "misses possible
   * matches in ancestral quad tree boxes" (reference
   * bm/BuildingMatching.scala:162-331, flaw noted at :165). Per the survey
   * recommendation (SURVEY.md §2.3 J8), this implementation
-  * tile-DUPLICATES instead: one side is replicated into its 3×3 cell
-  * neighborhood, the join is a plain equi-join on cell id, and the exact
-  * distance predicate verifies candidates — no missed pairs within the
-  * supported latitude band, one shuffle, no custom partitioner.
+  * tile-DUPLICATES instead: one side is replicated into its neighbor
+  * cells, the join is a plain equi-join on cell id, and the exact
+  * distance predicate verifies candidates — one shuffle, no custom
+  * partitioner, and (since round 3) no missed pairs at ANY latitude:
   *
-  * Cell sizing guarantees any pair within `epsMeters` shares a
-  * neighborhood cell for |lat| ≤ 60° (lon degree length ≥ 111 km·cos 60°).
+  *  - rows of fixed angular height `dLat`; each band gets its own lon
+  *    cell count sized by `cos` of the band's most-poleward latitude
+  *    plus one band of margin, so within-band AND band-adjacent pairs
+  *    within `epsMeters` always differ by ≤1 cell index. Bands close
+  *    enough to a pole collapse to a single cell (the polar cap —
+  *    `cos → 0` makes the required cell wider than 360°), which is also
+  *    what makes pole-straddling pairs collide;
+  *  - lon cell indices are taken modulo the band's cell count, so pairs
+  *    straddling the ±180° antimeridian collide too (the round-2
+  *    version silently dropped |lat| > 60° and ignored wrap);
+  *  - the conservative 110500 m/degree constant under-sizes nothing:
+  *    a degree of latitude is ≥ 110574 m and a degree of longitude is
+  *    ≥ 111320·cos(lat) m, so cells are always at least eps wide/tall.
+  *
+  * Replication is HALVED by role symmetry: every point appears on both
+  * sides of the self-join, so the duplicated side emits only the 5-cell
+  * half-neighborhood {self, E (mod n), and W/self/E in the band toward
+  * the pole}; a pair whose offset points the other way collides with the
+  * roles swapped. Pair identity is (least, greatest) + distinct and the
+  * haversine is bit-symmetric, so output is unchanged — 5/9 the shuffle
+  * volume of full 3×3 duplication.
   */
 object SpatialJoin {
 
-  val MetersPerDegreeLat = 111000.0
-  val MetersPerDegreeLonAt60 = 55500.0
+  /** Lower bound on meters per degree of latitude, and per degree of
+    * longitude divided by cos(lat) — conservative so cell height/width
+    * can never be smaller than eps. */
+  val MetersPerDegreeFloor = 110500.0
 
-  /** All pairs (ia < ib) within epsMeters (great-circle), |lat| ≤ 60.
-    * Distance compared on integer centimeters for reproducibility.
-    *
-    * Replication is HALVED by symmetry: the duplicated side emits only
-    * the 5-cell half-neighborhood {self, E, NE, N, NW}. For any pair in
-    * adjacent cells, the cell difference or its negation lies in that
-    * half-plane, so with both roles drawn from the same input every
-    * unordered pair still collides in exactly one direction — 5/9 the
-    * shuffle volume of full 3×3 duplication (round-1 plan shipped the
-    * full 9× and left the planner free to broadcast the NINE-fold
-    * side). Pair identity is (least, greatest) + distinct, and the
-    * haversine is bit-symmetric in its arguments, so output is
-    * unchanged. */
+  /** All pairs (ia < ib) within epsMeters (great-circle), any latitude.
+    * Distance compared on integer centimeters for reproducibility. */
   def pairsWithin(df: DataFrame, idCol: String, lonCol: String, latCol: String,
                   epsMeters: Double): DataFrame = {
-    val dLat = epsMeters / MetersPerDegreeLat
-    val dLon = epsMeters / MetersPerDegreeLonAt60
+    val dLat = epsMeters / MetersPerDegreeFloor // cell height, degrees
+
+    // most-poleward |lat| reachable by a pair with one member in band cy:
+    // the band's far edge plus one full band of margin (the partner may
+    // sit one band toward the pole)
+    def bandMargin(cy: Column): Column =
+      (greatest(abs(cy), abs(cy + 1)) + 1) * dLat
+
+    // lon cells in band cy: wide enough that eps meters spans ≤1 cell at
+    // any latitude the band (plus margin) can reach; 1 near the poles
+    def nCells(cy: Column): Column =
+      when(bandMargin(cy) >= 89.9, lit(1L)).otherwise(
+        greatest(lit(1L),
+          floor(lit(360.0 * MetersPerDegreeFloor / epsMeters) *
+            cos(radians(bandMargin(cy)))).cast(LongType)))
+
+    // lon cell index of a point in band cy's indexing (clamped: lon=180)
+    def cxIn(lon: Column, cy: Column): Column = {
+      val n = nCells(cy)
+      least(floor((lon + 180.0) / 360.0 * n).cast(LongType), n - 1)
+    }
+
     val pts = df.select(col(idCol).as("pid"), col(lonCol).as("plon"),
-      col(latCol).as("plat"))
-      .filter(abs(col("plat")) <= 60.0)
-      .withColumn("cx", floor(col("plon") / dLon).cast(LongType))
+        col(latCol).as("plat"))
       .withColumn("cy", floor(col("plat") / dLat).cast(LongType))
-    val a = pts.select(col("pid").as("ia"), col("plon").as("lon_a"),
-      col("plat").as("lat_a"), col("cx"), col("cy"))
-    // duplicate the b side into the half neighborhood only
-    val offsets = Seq((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1))
-    val dup = explode(array(offsets.map { case (ox, oy) =>
-      struct(lit(ox).as("ox"), lit(oy).as("oy"))
-    }: _*))
-    val b = pts.withColumn("o", dup)
+
+    val a = pts
+      .withColumn("cx", cxIn(col("plon"), col("cy")))
+      .select(col("pid").as("ia"), col("plon").as("lon_a"),
+        col("plat").as("lat_a"), col("cx"), col("cy"))
+
+    // duplicated side: half neighborhood in banded indexing — {self, E}
+    // within the band, {W, self, E} in the band toward the north pole;
+    // cross-band entries are indexed in the TARGET band's cell widths
+    val up = col("cy") + 1
+    val cells = array(
+      struct(col("cy").as("cy"),
+        cxIn(col("plon"), col("cy")).as("cx")),
+      struct(col("cy").as("cy"),
+        pmod(cxIn(col("plon"), col("cy")) + 1, nCells(col("cy"))).as("cx")),
+      struct(up.as("cy"),
+        pmod(cxIn(col("plon"), up) - 1, nCells(up)).as("cx")),
+      struct(up.as("cy"),
+        cxIn(col("plon"), up).as("cx")),
+      struct(up.as("cy"),
+        pmod(cxIn(col("plon"), up) + 1, nCells(up)).as("cx")))
+    val b = pts
       .select(col("pid").as("ib"), col("plon").as("lon_b"),
-        col("plat").as("lat_b"),
-        (col("cx") + col("o.ox")).as("cx"),
-        (col("cy") + col("o.oy")).as("cy"))
+        col("plat").as("lat_b"), explode(cells).as("cell"))
+      .select(col("ib"), col("lon_b"), col("lat_b"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+
     val epsCm = math.round(epsMeters * 100)
     a.join(b, Seq("cx", "cy"))
       .filter(col("ia") =!= col("ib"))

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/** Pluggable per-sequence payload transport for [[SequenceSource]] — the
+  * seam the reference fills with replication-endpoint HTTP polling
+  * (reference apps/.../streaming/ChangeStreamProcessor.scala:38,78-96:
+  * poll `<base>/state.txt` for the newest sequence, fetch
+  * `<base>/<seq>.<ext>` per micro-batch partition).
+  *
+  * Two implementations:
+  *  - [[FileSequenceFetcher]]: `dir/<seq>.<ext>` — the offline/file://
+  *    analog used by tests and local replays;
+  *  - [[HttpSequenceFetcher]]: GET with bounded retry + exponential
+  *    backoff on transient failures (IO errors, 5xx). A 404 is
+  *    PERMANENT-per-poll (the sequence isn't published yet / was pruned)
+  *    and surfaces as an error row, never a task failure, matching the
+  *    source's malformed-payload contract.
+  *
+  * Both discover the newest published sequence from a state file
+  * (`state.txt`, `sequenceNumber=N` line or a bare number — the public
+  * OSM replication state format), which drives streaming admission
+  * control (`latestOffset`).
+  */
+trait SequenceFetcher extends Serializable {
+  /** Payload text for one sequence, or Left(reason) when unavailable. */
+  def fetch(seq: Long, ext: String): Either[String, String]
+  /** Newest published sequence per the transport's state file. */
+  def latestSequence(): Option[Long]
+}
+
+object SequenceFetcher {
+  /** Parse replication state content: `sequenceNumber=N` (state.txt
+    * convention) or a bare integer. */
+  def parseState(text: String): Option[Long] = {
+    val lines = text.linesIterator.map(_.trim).toSeq
+    lines.collectFirst {
+      case l if l.startsWith("sequenceNumber=") =>
+        l.stripPrefix("sequenceNumber=").trim.toLong
+    }.orElse(lines.find(_.nonEmpty).flatMap(_.toLongOption))
+  }
+
+  def forPartition(transport: String, location: String,
+                   maxAttempts: Int, backoffMs: Long): SequenceFetcher =
+    transport match {
+      case "http" => new HttpSequenceFetcher(location, maxAttempts, backoffMs)
+      case _      => new FileSequenceFetcher(location)
+    }
+}
+
+/** file:// transport: payloads in a directory, state in `dir/state.txt`. */
+class FileSequenceFetcher(dir: String) extends SequenceFetcher {
+  override def fetch(seq: Long, ext: String): Either[String, String] =
+    try Right(new String(
+      Files.readAllBytes(Paths.get(dir, s"$seq.$ext")), UTF_8))
+    catch {
+      case e: IOException => Left(s"payload_read: ${e.getMessage}")
+    }
+
+  override def latestSequence(): Option[Long] =
+    try SequenceFetcher.parseState(new String(
+      Files.readAllBytes(Paths.get(dir, "state.txt")), UTF_8))
+    catch { case _: IOException => None }
+}
+
+/** HTTP transport with bounded retry + exponential backoff. The handle is
+  * a URL string — serializable, one connection per fetch on the executor
+  * (replication payloads are one-shot small files; connection reuse
+  * buys nothing against a CDN and a pool would pin sockets per task). */
+class HttpSequenceFetcher(baseUrl: String, maxAttempts: Int = 3,
+                          backoffMs: Long = 100L) extends SequenceFetcher {
+
+  private def get(url: String): Either[(Boolean, String), String] = {
+    var conn: HttpURLConnection = null
+    try {
+      conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      if (code == 200)
+        Right(new String(conn.getInputStream.readAllBytes(), UTF_8))
+      else if (code >= 500) Left((true, s"http_$code"))   // transient
+      else Left((false, s"http_$code"))                   // 404 etc: permanent
+    } catch {
+      case e: IOException => Left((true, s"http_io: ${e.getMessage}"))
+    } finally {
+      if (conn != null) conn.disconnect()
+    }
+  }
+
+  /** GET with ≤ maxAttempts tries; backoff doubles per retry. */
+  private def getWithRetry(url: String): Either[String, String] = {
+    var attempt = 0
+    var lastErr = ""
+    while (attempt < maxAttempts) {
+      get(url) match {
+        case Right(body) => return Right(body)
+        case Left((retryable, msg)) =>
+          lastErr = msg
+          if (!retryable) return Left(msg)
+          attempt += 1
+          if (attempt < maxAttempts)
+            Thread.sleep(backoffMs << (attempt - 1))
+      }
+    }
+    Left(lastErr)
+  }
+
+  override def fetch(seq: Long, ext: String): Either[String, String] =
+    getWithRetry(s"$baseUrl/$seq.$ext")
+
+  override def latestSequence(): Option[Long] =
+    getWithRetry(s"$baseUrl/state.txt").toOption
+      .flatMap(SequenceFetcher.parseState)
+}

@@ -173,7 +173,11 @@ class SequenceScanBuilder(options: CaseInsensitiveStringMap)
   import org.apache.spark.sql.sources._
 
   private var lo = options.getLong("startSequence", 0L)
-  private var hi = options.getLong("endSequence", 9L)
+  // hi stays ABSENT unless the option was given or a filter narrows it —
+  // an absent bound lets the scan fall back to state-file discovery
+  private val hiExplicit = options.containsKey("endSequence")
+  private var hi = options.getLong("endSequence", Long.MaxValue / 2)
+  private var hiNarrowed = false
   private var pushed: Array[Filter] = Array.empty
 
   private def asNum(v: Any): Option[Long] = v match {
@@ -185,15 +189,16 @@ class SequenceScanBuilder(options: CaseInsensitiveStringMap)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
       case EqualTo("sequence", v) =>
-        asNum(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n); true }
+        asNum(v).exists { n =>
+          lo = math.max(lo, n); hi = math.min(hi, n); hiNarrowed = true; true }
       case GreaterThan("sequence", v) =>
         asNum(v).exists { n => lo = math.max(lo, n + 1); true }
       case GreaterThanOrEqual("sequence", v) =>
         asNum(v).exists { n => lo = math.max(lo, n); true }
       case LessThan("sequence", v) =>
-        asNum(v).exists { n => hi = math.min(hi, n - 1); true }
+        asNum(v).exists { n => hi = math.min(hi, n - 1); hiNarrowed = true; true }
       case LessThanOrEqual("sequence", v) =>
-        asNum(v).exists { n => hi = math.min(hi, n); true }
+        asNum(v).exists { n => hi = math.min(hi, n); hiNarrowed = true; true }
       case _ => false
     }
     pushed = accepted
@@ -206,27 +211,51 @@ class SequenceScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val narrowed = new java.util.HashMap[String, String](options)
     narrowed.put("startSequence", lo.toString)
-    narrowed.put("endSequence", hi.toString)
+    if (hiExplicit || hiNarrowed) narrowed.put("endSequence", hi.toString)
     new SequenceScan(new CaseInsensitiveStringMap(narrowed))
   }
 }
 
 class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
   private val start = options.getLong("startSequence", 0L)
-  private val end = options.getLong("endSequence", 9L)
   private val rowsPer = options.getInt("rowsPerSequence", 10)
   private val perBatch = options.getLong("sequencesPerBatch", 5L)
   private val format = Option(options.get("format")).getOrElse("synthetic")
   private val payloadDir = Option(options.get("payloadDir")).getOrElse("")
+  private val baseUrl = Option(options.get("baseUrl")).getOrElse("")
+  // transport defaults to http when a baseUrl is given, file otherwise
+  private val transport = Option(options.get("transport"))
+    .getOrElse(if (baseUrl.nonEmpty) "http" else "file")
+  private val location = if (transport == "http") baseUrl else payloadDir
+  private val attempts = options.getInt("fetchAttempts", 3)
+  private val backoffMs = options.getLong("fetchBackoffMs", 100L)
+  // With state-file discovery available (http, or a file-dir state.txt),
+  // endSequence becomes an OPTIONAL cap: absent means "whatever the
+  // state file publishes" (reference: the replication endpoint's state
+  // is the horizon, ChangeStreamProcessor.scala:78-96).
+  private val endOpt: Option[Long] =
+    Option(options.get("endSequence")).map(_.toLong)
+  private val end = endOpt.getOrElse(9L)
+
+  private def fetcher: SequenceFetcher =
+    SequenceFetcher.forPartition(transport, location, attempts, backoffMs)
+
+  /** endSequence bound for planning: explicit option wins; otherwise the
+    * transport's state file; otherwise the legacy default. */
+  private def discoveredEnd(): Long = endOpt.getOrElse {
+    if (format == "synthetic") end
+    else fetcher.latestSequence().getOrElse(end)
+  }
 
   override def readSchema(): StructType = SequenceSource.schemaFor(format)
 
   private def partitionFor(s: Long): InputPartition =
-    SequencePartition(s, rowsPer, format, payloadDir)
+    SequencePartition(s, rowsPer, format, location, transport,
+      attempts, backoffMs)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      (start to end).map(partitionFor).toArray
+      (start to discoveredEnd()).map(partitionFor).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       SequenceReaderFactory
   }
@@ -240,21 +269,25 @@ class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
       // offset N = "sequences < N consumed". Admission control caps each
       // micro-batch at sequencesPerBatch relative to its START offset
       // (stateless — correct across restarts), like the reference's
-      // BatchSize option; in production latest would poll the
-      // replication endpoint's state file instead of the endSequence
-      // bound. Trigger.AvailableNow drains batch-by-batch up to the
-      // offset captured at prepare time.
-      @volatile private var availableNowTarget: Long = end + 1
+      // BatchSize option. The horizon is re-discovered from the
+      // transport's state file on every latestOffset poll (the
+      // reference's replication state-file polling); an explicit
+      // endSequence option caps it. Trigger.AvailableNow drains
+      // batch-by-batch up to the horizon captured at prepare time.
+      @volatile private var availableNowTarget: Long = Long.MaxValue
+
+      private def horizon(): Long = discoveredEnd() + 1
 
       override def initialOffset(): Offset = SequenceOffset(start)
       override def prepareForTriggerAvailableNow(): Unit =
-        availableNowTarget = end + 1
+        availableNowTarget = horizon()
       override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
       override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
         val lo = startOffset.asInstanceOf[SequenceOffset].seq
-        SequenceOffset(math.min(lo + perBatch, math.min(availableNowTarget, end + 1)))
+        val cap = math.min(availableNowTarget, horizon())
+        SequenceOffset(math.max(lo, math.min(lo + perBatch, cap)))
       }
-      override def reportLatestOffset(): Offset = SequenceOffset(end + 1)
+      override def reportLatestOffset(): Offset = SequenceOffset(horizon())
       override def latestOffset(): Offset =
         throw new UnsupportedOperationException(
           "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
@@ -274,7 +307,10 @@ class SequenceScan(options: CaseInsensitiveStringMap) extends Scan {
 
 case class SequencePartition(seq: Long, rowsPer: Int,
                              format: String = "synthetic",
-                             payloadDir: String = "") extends InputPartition
+                             location: String = "",
+                             transport: String = "file",
+                             fetchAttempts: Int = 3,
+                             fetchBackoffMs: Long = 100L) extends InputPartition
 
 /** Executor-side fetch + parse: each partition owns one sequence and
   * reads its payload (`payloadDir/<seq>.xml|json` — the file:// analog
@@ -292,14 +328,12 @@ object SequenceReaderFactory extends PartitionReaderFactory {
 
   private def payloadRows(p: SequencePartition): Seq[InternalRow] = {
     val ext = if (p.format == "augdiff") "json" else "xml"
-    val path = java.nio.file.Paths.get(p.payloadDir, s"${p.seq}.$ext")
-    val text =
-      try new String(java.nio.file.Files.readAllBytes(path),
-        java.nio.charset.StandardCharsets.UTF_8)
-      catch {
-        case e: java.io.IOException =>
-          return Seq(missingPayloadRow(p, s"payload_read: ${e.getMessage}"))
-      }
+    val fetcher = SequenceFetcher.forPartition(
+      p.transport, p.location, p.fetchAttempts, p.fetchBackoffMs)
+    val text = fetcher.fetch(p.seq, ext) match {
+      case Right(t)     => t
+      case Left(reason) => return Seq(missingPayloadRow(p, reason))
+    }
     p.format match {
       case "osmchange" =>
         WireFormats.parseOsmChange(p.seq, text).map { r =>

@@ -1,0 +1,58 @@
+package graft
+
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+
+import graft.geo.{CountryFixtures, CountryIndex, GeoJson}
+
+/** GeoJSON country loading (reference Countries.scala:17-67): parse the
+  * non-rectangular fixture, index it, and check the indexed lookup
+  * against brute-force covers over a deterministic point sweep. */
+class GeoJsonSpec extends SparkSpec {
+
+  test("polygonFeatures parses polygons, holes, multipolygons; skips points") {
+    val feats = GeoJson.polygonFeatures(CountryFixtures.geojson)
+    feats.map(_._1) shouldBe Seq("TRI", "TRAP", "PENT", "HOLY", "TWIN")
+    val byCode = feats.toMap
+    byCode("TRI").getGeometryType shouldBe "Polygon"
+    byCode("TRI").getNumPoints shouldBe 4 // closed triangle ring
+    byCode("HOLY").getGeometryType shouldBe "Polygon"
+    byCode("HOLY").asInstanceOf[org.locationtech.jts.geom.Polygon]
+      .getNumInteriorRing shouldBe 1
+    byCode("TWIN").getGeometryType shouldBe "MultiPolygon"
+    byCode("TWIN").getNumGeometries shouldBe 2
+  }
+
+  test("holes and multipolygon parts resolve correctly") {
+    val idx = CountryIndex.fromGeoJson(CountryFixtures.geojson)
+    // center of HOLY's hole: inside shell, inside hole -> no country
+    idx.lookupFirst(-147.0, 63.0) shouldBe null
+    // inside HOLY's shell, outside the hole
+    idx.lookupFirst(-151.0, 58.5) shouldBe "HOLY"
+    // both TWIN parts hit; the gap between them does not
+    idx.lookupFirst(150.0, -60.0) shouldBe "TWIN"
+    idx.lookupFirst(156.0, -60.0) shouldBe "TWIN"
+    idx.lookupFirst(152.75, -60.0) shouldBe null
+    // convex shapes
+    idx.lookupFirst(21.0, 12.0) shouldBe "TRI"
+    idx.lookupFirst(-57.0, -27.0) shouldBe "TRAP"
+    idx.lookupFirst(105.0, -43.0) shouldBe "PENT"
+  }
+
+  test("indexed lookup equals brute-force covers over a deterministic sweep") {
+    val feats = GeoJson.polygonFeatures(CountryFixtures.geojson)
+    val idx = new CountryIndex(feats)
+    val f = new GeometryFactory()
+    // sweep the fixture bounding regions on a coarse grid
+    val pts = for {
+      lonC <- -170 to 170 by 2
+      latC <- -80 to 80 by 2
+    } yield (lonC + 0.37, latC + 0.53)
+    pts.foreach { case (lon, lat) =>
+      val p = f.createPoint(new Coordinate(lon, lat))
+      val brute = feats.collect {
+        case (code, g) if g.covers(p) => code
+      }.sorted.headOption.orNull
+      idx.lookupFirst(lon, lat) shouldBe brute
+    }
+  }
+}

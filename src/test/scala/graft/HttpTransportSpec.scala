@@ -1,0 +1,138 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{HttpSequenceFetcher, SequenceFetcher}
+
+/** HTTP replication transport (SURVEY §2.1 S3; reference
+  * ChangeStreamProcessor polls the replication endpoint + state file):
+  * the SequenceSource driven end-to-end through a local in-process HTTP
+  * server, including state-file discovery, transient-failure retry, and
+  * 404-as-error-row. */
+class HttpTransportSpec extends SparkSpec {
+
+  private val sourceName = "graft.streaming.SequenceSource"
+
+  private val oscXml =
+    """<osmChange version="0.6" generator="test">
+      |  <create>
+      |    <node id="101" version="1" timestamp="2026-01-01T00:00:30Z"
+      |          changeset="900" uid="7" user="alice" lat="51.5" lon="-0.1"/>
+      |  </create>
+      |</osmChange>""".stripMargin
+
+  /** One-route test server; returns (server, baseUrl). */
+  private def serve(routes: Map[String, HttpExchange => Unit]): (HttpServer, String) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        try handler(ex) finally ex.close()
+      })
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      try ex.sendResponseHeaders(404, -1) finally ex.close()
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  private def ok(ex: HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  test("state-file parser: sequenceNumber line and bare number") {
+    SequenceFetcher.parseState("#ts\nsequenceNumber=4711\n") shouldBe Some(4711L)
+    SequenceFetcher.parseState("  42 \n") shouldBe Some(42L)
+    SequenceFetcher.parseState("garbage") shouldBe None
+  }
+
+  test("http batch read: state-file discovery bounds the scan, payloads parse") {
+    val (server, base) = serve(Map(
+      "/state.txt" -> (ex => ok(ex, "sequenceNumber=1\n")),
+      "/0.xml" -> (ex => ok(ex, oscXml)),
+      "/1.xml" -> (ex => ok(ex, oscXml.replace("101", "111")))))
+    try {
+      val df = spark.read.format(sourceName)
+        .option("format", "osmchange").option("baseUrl", base)
+        .option("startSequence", 0).load() // NO endSequence: state file rules
+      df.count() shouldBe 2
+      df.filter(col("error").isNotNull).count() shouldBe 0
+      df.select(col("sequence")).distinct().count() shouldBe 2
+    } finally server.stop(0)
+  }
+
+  test("http fetch retries transient 500s with backoff, then succeeds") {
+    val failures = new AtomicInteger(2) // first two attempts 500
+    val (server, base) = serve(Map(
+      "/7.xml" -> { ex =>
+        if (failures.getAndDecrement() > 0) ex.sendResponseHeaders(500, -1)
+        else ok(ex, oscXml)
+      }))
+    try {
+      val fetcher = new HttpSequenceFetcher(base, maxAttempts = 3, backoffMs = 1)
+      fetcher.fetch(7L, "xml").isRight shouldBe true
+      // exhausted retries -> Left
+      failures.set(99)
+      fetcher.fetch(7L, "xml") shouldBe Left("http_500")
+    } finally server.stop(0)
+  }
+
+  test("http 404 is permanent: no retry, surfaces as an error row") {
+    val hits = new AtomicInteger(0)
+    val (server, base) = serve(Map(
+      "/state.txt" -> (ex => ok(ex, "sequenceNumber=1\n")),
+      "/0.xml" -> (ex => ok(ex, oscXml)),
+      "/1.xml" -> { ex => hits.incrementAndGet(); ex.sendResponseHeaders(404, -1) }))
+    try {
+      val df = spark.read.format(sourceName)
+        .option("format", "osmchange").option("baseUrl", base)
+        .option("startSequence", 0).load()
+      val errs = df.filter(col("error").isNotNull)
+        .select(col("sequence"), col("error")).collect()
+      errs.length shouldBe 1
+      errs.head.getLong(0) shouldBe 1L
+      errs.head.getString(1) shouldBe "http_404"
+      hits.get() shouldBe 1 // permanent: exactly one attempt
+      df.filter(col("error").isNull).count() shouldBe 1 // sequence 0 fine
+    } finally server.stop(0)
+  }
+
+  test("http streaming: latestOffset follows the state file as it advances") {
+    val horizon = new AtomicInteger(0) // sequences 0..horizon published
+    val payloads = (0 to 3).map(s =>
+      s"/$s.xml" -> ((ex: HttpExchange) =>
+        ok(ex, oscXml.replace("101", (200 + s).toString)))).toMap
+    val (server, base) = serve(payloads + (
+      "/state.txt" -> ((ex: HttpExchange) =>
+        ok(ex, s"sequenceNumber=${horizon.get()}\n"))))
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-http-ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-http-out").toString
+      val stream = spark.readStream.format(sourceName)
+        .option("format", "osmchange").option("baseUrl", base)
+        .option("startSequence", 0).option("sequencesPerBatch", 2).load()
+      def drain(): Unit = {
+        val q = stream.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000) shouldBe true
+      }
+      // drain what's published now (sequence 0 only)
+      drain()
+      spark.read.parquet(out).select("sequence").distinct().count() shouldBe 1
+      // publish 3 more; a restarted drain resumes from the offset log and
+      // picks up exactly the new sequences
+      horizon.set(3)
+      drain()
+      spark.read.parquet(out).select("sequence").distinct().count() shouldBe 4
+    } finally server.stop(0)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.{JdbcUpsertStore, UpsertSink}
+import graft.sinks.{JdbcUpsertStore, MetadataUpsert, UpsertSink}
 import graft.sinks.UpsertSink.StatsRow
 
 /** The same replay/idempotence suite SinksSpec runs against the
@@ -79,6 +79,149 @@ class JdbcUpsertStoreSpec extends SparkSpec {
     (0L until 20L).foreach { cs =>
       store.get(cs).get.totalEdits shouldBe 10L
     }
+  }
+
+  // ------------------------------------------------------- S7 metadata
+
+  import graft.sinks.MetadataUpsert.{CountryEditRow, MetadataRow}
+
+  private def mrow(id: Long, uid: Long, user: String, tags: Seq[String],
+                   editor: String = "iD 2.0"): MetadataRow =
+    MetadataRow(id, Option(editor), uid, Option(user),
+      Some(1000000L * id), Some(1000000L * id + 60000000L), tags)
+
+  test("s7: metadata upsert fills dictionaries and join table") {
+    val store = freshStore()
+    store.applyMetadataBatch(Seq(
+      mrow(1L, 10L, "alice", Seq("hotosm", "mapping")),
+      mrow(2L, 11L, "bob", Seq("mapping"))))
+    store.metadata(1L).get.editor shouldBe Some("iD 2.0")
+    store.metadata(1L).get.createdAtUs shouldBe Some(1000000L)
+    store.userName(10L) shouldBe Some("alice")
+    store.userName(11L) shouldBe Some("bob")
+    // dictionary: same tag resolves to one id across changesets
+    store.hashtagId("mapping").isDefined shouldBe true
+    store.hashtagId("hotosm").get should not be store.hashtagId("mapping").get
+    store.hashtagsOf(1L) shouldBe Seq("hotosm", "mapping")
+    store.hashtagsOf(2L) shouldBe Seq("mapping")
+  }
+
+  test("s7: replay of a metadata batch is idempotent") {
+    val store = freshStore()
+    val batch = Seq(mrow(5L, 20L, "carol", Seq("a", "b")))
+    store.applyMetadataBatch(batch)
+    val idA = store.hashtagId("a").get
+    store.applyMetadataBatch(batch) // at-least-once replay
+    store.hashtagId("a") shouldBe Some(idA) // no duplicate dictionary row
+    store.hashtagsOf(5L) shouldBe Seq("a", "b") // join table deduped
+    store.userName(20L) shouldBe Some("carol")
+  }
+
+  test("s7: usernames rewrite only when updateUsernames is set") {
+    val store = freshStore()
+    store.applyMetadataBatch(Seq(mrow(7L, 30L, "old_name", Nil)))
+    store.applyMetadataBatch(Seq(mrow(7L, 30L, "new_name", Nil)))
+    store.userName(30L) shouldBe Some("old_name") // DO NOTHING default
+    store.applyMetadataBatch(Seq(mrow(7L, 30L, "new_name", Nil)),
+      updateUsernames = true)
+    store.userName(30L) shouldBe Some("new_name")
+  }
+
+  test("s7: descriptive columns are last-write-wins, stats stay additive") {
+    val store = freshStore()
+    // stats first, then metadata on the same changeset row
+    UpsertSink.writeBatch(Seq(
+      StatsRow(9L, 40L, Map("roads" -> 2L), Map("km" -> 1.0), 2L, Set(100L))),
+      store)
+    store.applyMetadataBatch(Seq(mrow(9L, 40L, "dave", Seq("x"))))
+    store.metadata(9L).get.editor shouldBe Some("iD 2.0")
+    store.get(9L).get.counts shouldBe Map("roads" -> 2L) // stats untouched
+    // second metadata write replaces descriptive columns
+    store.applyMetadataBatch(Seq(
+      mrow(9L, 40L, "dave", Nil, editor = "JOSM")))
+    store.metadata(9L).get.editor shouldBe Some("JOSM")
+    // stats merge on a metadata-first row must start from empty maps
+    store.applyMetadataBatch(Seq(mrow(12L, 40L, "dave", Nil)))
+    UpsertSink.writeBatch(Seq(
+      StatsRow(12L, 40L, Map("b" -> 1L), Map.empty, 1L, Set(101L))), store)
+    store.get(12L).get.counts shouldBe Map("b" -> 1L)
+    store.metadata(12L).get.editor shouldBe Some("iD 2.0")
+  }
+
+  test("s7: country rollup merges additively under the sequence guard") {
+    val store = freshStore()
+    store.seedCountries(Seq(("Atlantis", "ATL"), ("Lemuria", "LEM")))
+    store.applyCountryBatch(Seq(
+      CountryEditRow(1L, "ATL", 5L, Set(100L)),
+      CountryEditRow(1L, "LEM", 2L, Set(100L))))
+    store.countriesOf(1L) shouldBe Map("ATL" -> 5L, "LEM" -> 2L)
+    // replay with overlapping sequence: guard rejects
+    store.applyCountryBatch(Seq(CountryEditRow(1L, "ATL", 5L, Set(100L))))
+    store.countriesOf(1L) shouldBe Map("ATL" -> 5L, "LEM" -> 2L)
+    // new sequence: additive merge
+    store.applyCountryBatch(Seq(CountryEditRow(1L, "ATL", 3L, Set(101L))))
+    store.countriesOf(1L) shouldBe Map("ATL" -> 8L, "LEM" -> 2L)
+    // unknown code inserts nothing (reference WHERE code = ? shape)
+    store.applyCountryBatch(Seq(CountryEditRow(1L, "NOPE", 9L, Set(102L))))
+    store.countriesOf(1L) shouldBe Map("ATL" -> 8L, "LEM" -> 2L)
+    // reseeding an existing code keeps its id
+    store.seedCountries(Seq(("Atlantis Again", "ATL")))
+    store.countriesOf(1L) shouldBe Map("ATL" -> 8L, "LEM" -> 2L)
+  }
+
+  test("s7: distributed writeMetadata path through Metadata.assemble") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby-meta")
+    val store = new JdbcUpsertStore(
+      s"jdbc:derby:${dir.toString}/db;create=true")
+    val changesets = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 5L,
+        -450000000L, 450000000L, -900000000L, 900000000L),
+      (2L, 11L, "2024-01-02 00:00:00", "2024-01-02 01:00:00", 3L,
+        0L, 100000000L, 0L, 200000000L))
+      .toDF("id", "user_id", "created_at", "closed_at", "num_changes",
+        "min_lat", "max_lat", "min_lon", "max_lon")
+      .withColumn("created_at", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("created_at")))
+      .withColumn("closed_at", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("closed_at")))
+    val tags = Seq(
+      (1L, "comment", "fixing #roads near #home"),
+      (1L, "created_by", "iD 2.0"),
+      (2L, "comment", "#roads again"),
+      (2L, "created_by", "JOSM"))
+      .toDF("changeset_id", "k", "v")
+    val users = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
+    val assembled = operators.Metadata.assemble(changesets, tags, users)
+    MetadataUpsert.writeMetadata(
+      MetadataUpsert.toMetadataRows(assembled), store, maxConnections = 2)
+    store.userName(10L) shouldBe Some("alice")
+    store.metadata(1L).get.editor shouldBe Some("iD 2.0")
+    store.metadata(2L).get.editor shouldBe Some("JOSM")
+    store.hashtagsOf(1L) shouldBe Seq("home", "roads")
+    store.hashtagsOf(2L) shouldBe Seq("roads")
+    // one dictionary id for the tag shared across changesets
+    store.hashtagId("roads").isDefined shouldBe true
+  }
+
+  test("s7: generated PostgreSQL metadata statements carry reference semantics") {
+    val meta = JdbcUpsertStore.PostgresSql.upsertChangesetMetadata
+    meta should include("ON CONFLICT (id) DO UPDATE")
+    meta should include("editor = EXCLUDED.editor") // replace, not merge
+    JdbcUpsertStore.PostgresSql.insertUser should include(
+      "ON CONFLICT (id) DO NOTHING")
+    JdbcUpsertStore.PostgresSql.updateUsername should include(
+      "u.name != data.name")
+    val ht = JdbcUpsertStore.PostgresSql.upsertChangesetHashtag
+    ht should include("RETURNING id") // insert-returning dictionary
+    ht should include("UNION ALL") // ...or the pre-existing id
+    ht should include("ON CONFLICT DO NOTHING")
+    val cc = JdbcUpsertStore.PostgresSql.upsertChangesetCountry
+    cc should include("FROM countries")
+    cc should include("WHERE code = ?")
+    cc should include("edit_count = cc.edit_count + EXCLUDED.edit_count")
+    cc should include(
+      "NOT coalesce(cc.sequences, ARRAY[]::bigint[]) && EXCLUDED.sequences")
   }
 
   test("generated PostgreSQL statement carries the reference merge semantics") {

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{Geodesy, SpatialJoin}
+
+/** Completeness property for the banded spatial pair join (J8): against
+  * a brute-force O(n²) oracle, no pair within eps is missed at ANY
+  * latitude — including the polar caps and the ±180° antimeridian, the
+  * two regions the round-2 grid silently dropped. */
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random points concentrated where the grid is
+    * hardest: high latitudes, poles, and the antimeridian. */
+  private def points(n: Int): Seq[(Long, Double, Double)] =
+    (0 until n).map { i =>
+      val h = i.toLong * 2654435761L % 4294967296L
+      val lon = (h % 36000).toDouble / 100.0 - 180.0
+      val lat = i % 4 match {
+        case 0 => 55.0 + ((h / 7) % 3500).toDouble / 100.0   // 55..90
+        case 1 => -55.0 - ((h / 7) % 3500).toDouble / 100.0  // -90..-55
+        case 2 => 80.0 + ((h / 7) % 1000).toDouble / 100.0   // 80..90
+        case _ => ((h / 7) % 18000).toDouble / 100.0 - 90.0  // anywhere
+      }
+      (i.toLong, lon, math.min(lat, 90.0) max -90.0)
+    }
+
+  private def bruteForcePairs(pts: Seq[(Long, Double, Double)],
+                              epsMeters: Double): Set[(Long, Long)] = {
+    val epsCm = math.round(epsMeters * 100)
+    val df = pts.toDF("pid", "lon", "lat")
+    val a = df.select(col("pid").as("ia"), col("lon").as("lon_a"), col("lat").as("lat_a"))
+    val b = df.select(col("pid").as("ib"), col("lon").as("lon_b"), col("lat").as("lat_b"))
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("dist_cm",
+        floor(Geodesy.haversineMeters(col("lon_a"), col("lat_a"),
+          col("lon_b"), col("lat_b")) * 100 + 0.5).cast("long"))
+      .filter(col("dist_cm") <= epsCm)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+  }
+
+  test("banded join finds exactly the brute-force pairs at high latitudes") {
+    val pts = points(600)
+    val eps = 150000.0
+    val got = SpatialJoin.pairsWithin(pts.toDF("pid", "lon", "lat"),
+      "pid", "lon", "lat", eps)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val want = bruteForcePairs(pts, eps)
+    (want -- got) shouldBe Set.empty // completeness: nothing missed
+    (got -- want) shouldBe Set.empty // exactness: distance filter holds
+    want.nonEmpty shouldBe true      // the fixture actually exercises pairs
+    // the fixture must cover the previously-dropped regions
+    pts.count(p => math.abs(p._3) > 85.0) should be > 10
+  }
+
+  test("pole-straddling and antimeridian pairs collide") {
+    val pts = Seq(
+      (1L, 0.0, 89.9), (2L, 180.0, 89.95),     // across the north pole
+      (3L, -179.99, 0.0), (4L, 179.99, 0.0),   // across the antimeridian
+      (5L, 10.0, -89.9), (6L, -170.0, -89.92), // across the south pole
+      (7L, 0.0, 0.0))                          // far from everything
+    val got = SpatialJoin.pairsWithin(pts.toDF("pid", "lon", "lat"),
+      "pid", "lon", "lat", epsMeters = 50000.0)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    got should contain allOf ((1L, 2L), (3L, 4L), (5L, 6L))
+    got.exists(p => p._1 == 7L || p._2 == 7L) shouldBe false
+  }
+}
