@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -792,6 +792,49 @@ object SparkEntry {
           sequenceToTimestamp(
             expr(s"(ts_us div 1000000 - ${SequenceEpochSeconds}) div 60")).as("seq_ts"))
         .orderBy(col("event_id"))),
+
+    // ---- multipolygon assembly (Relations.assembleMultipolygons —
+    //      member-way ring stitching with reversal, winding
+    //      normalization, and broken-chain reporting; reference relation
+    //      handling via vectorpipe ProcessOSM). Inputs synthesized from
+    //      orders: outer ring split across two ways (second stored
+    //      reversed, so stitching must flip it), a closed inner way, and
+    //      every 7th relation a dangling way that cannot close. The
+    //      oracle states the expected rings analytically, with shoelace
+    //      terms in the exact left-associated order of the Scala loop.
+    "q_relations" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val x0 = (col("k") % 300) / 10.0
+      val y0 = (col("k") % 170) / 10.0 - 8.5
+      def pt(x: Column, y: Column) = struct(x.as("lon"), y.as("lat"))
+      val w1 = o.select((col("k") * 10 + 1).as("way_id"),
+        array(pt(x0, y0), pt(x0 + 1, y0), pt(x0 + 1, y0 + 1)).as("geometry"))
+      val w2 = o.select((col("k") * 10 + 2).as("way_id"),
+        array(pt(x0, y0), pt(x0, y0 + 1), pt(x0 + 1, y0 + 1)).as("geometry"))
+      val w3 = o.select((col("k") * 10 + 3).as("way_id"),
+        array(pt(x0 + 0.25, y0 + 0.25), pt(x0 + 0.75, y0 + 0.25),
+          pt(x0 + 0.75, y0 + 0.75), pt(x0 + 0.25, y0 + 0.75),
+          pt(x0 + 0.25, y0 + 0.25)).as("geometry"))
+      val w4 = o.filter(col("k") % 7 === 0)
+        .select((col("k") * 10 + 4).as("way_id"),
+          array(pt(x0 + 5, y0), pt(x0 + 5, y0 + 0.5)).as("geometry"))
+      val wayGeoms = w1.unionByName(w2).unionByName(w3).unionByName(w4)
+      def m(wid: Column, role: String) =
+        struct(wid.as("way_id"), lit(role).as("role"))
+      val base = Seq(m(col("k") * 10 + 1, "outer"),
+        m(col("k") * 10 + 2, "outer"), m(col("k") * 10 + 3, "inner"))
+      val members = o.select(col("k").as("relation_id"),
+        when(col("k") % 7 === 0,
+          array(base :+ m(col("k") * 10 + 4, "outer"): _*))
+          .otherwise(array(base: _*)).as("members"))
+      operators.Relations.assembleMultipolygons(members, wayGeoms)
+        .map(r => (r.relation_id, r.ring_idx.toLong, r.role, r.closed,
+          r.ring.length.toLong, operators.Relations.signedArea(r.ring)))
+        .toDF("relation_id", "ring_idx", "role", "closed", "n_pts",
+          "signed_area")
+        .orderBy(col("relation_id"), col("role"), col("ring_idx"))
+    }),
 
     // ---- S2/S7: changeset-metadata assembly (Metadata.assemble — CSV-dump
     //      re-zip + user join + 1e-7 fixed-point lat/lon + hashtag
@@ -1850,6 +1893,40 @@ object SparkEntry {
         |  ((epoch_us(ts)//1000000 - 1347437700)//60) * 60)
         |  * 1000000) AS seq_ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_relations" ->
+      """WITH r AS (
+        |  SELECT o_orderkey AS k,
+        |         (o_orderkey % 300)/10.0 AS x0,
+        |         (o_orderkey % 170)/10.0 - 8.5 AS y0
+        |  FROM orders),
+        |inner_rows AS (
+        |  SELECT k AS relation_id, CAST(0 AS BIGINT) AS ring_idx,
+        |    'inner' AS role, TRUE AS closed, CAST(5 AS BIGINT) AS n_pts,
+        |    (((((x0+0.25)*(y0+0.75) - (x0+0.25)*(y0+0.25))
+        |      + ((x0+0.25)*(y0+0.75) - (x0+0.75)*(y0+0.75)))
+        |      + ((x0+0.75)*(y0+0.25) - (x0+0.75)*(y0+0.75)))
+        |      + ((x0+0.75)*(y0+0.25) - (x0+0.25)*(y0+0.25))) / 2.0
+        |      AS signed_area
+        |  FROM r),
+        |outer_rows AS (
+        |  SELECT k AS relation_id, CAST(0 AS BIGINT) AS ring_idx,
+        |    'outer' AS role, TRUE AS closed, CAST(5 AS BIGINT) AS n_pts,
+        |    ((((x0*y0 - (x0+1)*y0)
+        |      + ((x0+1)*(y0+1) - (x0+1)*y0))
+        |      + ((x0+1)*(y0+1) - x0*(y0+1)))
+        |      + (x0*y0 - x0*(y0+1))) / 2.0 AS signed_area
+        |  FROM r),
+        |dangling_rows AS (
+        |  SELECT k AS relation_id, CAST(1 AS BIGINT) AS ring_idx,
+        |    'outer' AS role, FALSE AS closed, CAST(2 AS BIGINT) AS n_pts,
+        |    ((x0+5)*(y0+0.5) - (x0+5)*y0) / 2.0 AS signed_area
+        |  FROM r WHERE k % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM inner_rows
+        |  UNION ALL SELECT * FROM outer_rows
+        |  UNION ALL SELECT * FROM dangling_rows)
+        |ORDER BY relation_id, role, ring_idx""".stripMargin,
 
     "q_j7_geojson" ->
       s"""WITH pts AS (

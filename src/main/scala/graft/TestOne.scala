@@ -9,6 +9,14 @@ object TestOne {
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.show(5)
     println("rows=" + df.count())
+    // optional 3rd arg: timed repeats (local perf iteration)
+    if (args.length > 2) {
+      (1 to args(2).toInt).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(args(0))(spark, args(1)).count()
+        println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -52,8 +52,9 @@ object GeoFunctions {
     readWkb(wkb).getCoordinate.x)
   val stY: UserDefinedFunction = udf((wkb: Array[Byte]) =>
     readWkb(wkb).getCoordinate.y)
+  // null-safe: versioned timelines lag-join null prev geometries
   val stGeometryType: UserDefinedFunction = udf((wkb: Array[Byte]) =>
-    readWkb(wkb).getGeometryType)
+    Option(wkb).map(b => readWkb(b).getGeometryType))
   val stIsValid: UserDefinedFunction = udf((wkb: Array[Byte]) =>
     readWkb(wkb).isValid)
   val stNumPoints: UserDefinedFunction = udf((wkb: Array[Byte]) =>
@@ -86,6 +87,25 @@ object GeoFunctions {
     * (lag-produced prev geometries are null on first versions). */
   val stLengthSphere: UserDefinedFunction = udf((wkb: Array[Byte]) =>
     Option(wkb).map(b => lengthSphereMeters(readWkb(b))))
+
+  /** Type-gated length: LineStrings measure, everything else contributes
+    * 0 — the reference's dispatch guard for mixed-geometry columns
+    * (analytics/.../stats/package.scala:40-47:
+    * `when(st_geometryType === 'LineString', st_lengthSphere(...))`,
+    * else 0). Without the gate a polygon's perimeter would be counted
+    * as road length. */
+  def typedLengthSphere(geom: Column): Column =
+    coalesce(
+      when(stGeometryType(geom) === "LineString", stLengthSphere(geom)),
+      lit(0.0))
+
+  /** Type-gated area: only polygonal geometries measure (reference
+    * stats/package.scala:49-60). */
+  def typedAreaUtm(geom: Column): Column =
+    coalesce(
+      when(stGeometryType(geom).isin("Polygon", "MultiPolygon"),
+        stAreaUtm(geom)),
+      lit(0.0))
 
   // WGS84 / UTM forward projection (Snyder's standard series)
   private val A = 6378137.0
@@ -142,15 +162,16 @@ object GeoFunctions {
   // --------------------------------------------------------- deltas
 
   /** Linear delta in km between a geometry and its previous version
-    * (reference withLinearDelta: abs difference of spherical lengths,
-    * analytics/.../stats/package.scala:37-47; /1000 scaling per :123-141). */
+    * (reference withLinearDelta: abs difference of TYPE-GATED spherical
+    * lengths, analytics/.../stats/package.scala:37-47; /1000 scaling per
+    * :123-141). The gate makes mixed-geometry columns safe: a version
+    * that changed type (way became an area) contributes its lineal
+    * length only while it IS lineal. */
   def withLinearDeltaKm(geom: Column, prevGeom: Column): Column =
-    abs(stLengthSphere(geom) -
-      coalesce(stLengthSphere(prevGeom), lit(0.0))) / 1000.0
+    abs(typedLengthSphere(geom) - typedLengthSphere(prevGeom)) / 1000.0
 
   /** Area delta in km² against the previous version (reference
-    * withAreaDelta, stats/package.scala:49-60). */
+    * withAreaDelta, stats/package.scala:49-60 — same type gate). */
   def withAreaDeltaKm2(geom: Column, prevGeom: Column): Column =
-    abs(stAreaUtm(geom) -
-      coalesce(stAreaUtm(prevGeom), lit(0.0))) / 1e6
+    abs(typedAreaUtm(geom) - typedAreaUtm(prevGeom)) / 1e6
 }

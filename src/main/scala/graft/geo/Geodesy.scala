@@ -19,11 +19,21 @@ object Geodesy {
 
   /** Great-circle distance in meters between two lon/lat points (deg). */
   def haversineMeters(lon1: Column, lat1: Column,
-                      lon2: Column, lat2: Column): Column = {
+                      lon2: Column, lat2: Column): Column =
+    haversineWithCos(lon1, lat1, cos(radians(lat1)),
+      lon2, lat2, cos(radians(lat2)))
+
+  /** Haversine with the per-point `cos(radians(lat))` factors supplied —
+    * the pairwise-join hot path precomputes them once per POINT before
+    * the shuffle instead of twice per candidate PAIR (same ops on the
+    * same values, so results are bit-identical to [[haversineMeters]];
+    * only the trig count per pair changes). */
+  def haversineWithCos(lon1: Column, lat1: Column, cosLat1: Column,
+                       lon2: Column, lat2: Column, cosLat2: Column): Column = {
     val dLat = radians(lat2 - lat1)
     val dLon = radians(lon2 - lon1)
     val a = pow(sin(dLat / 2), 2) +
-      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+      cosLat1 * cosLat2 * pow(sin(dLon / 2), 2)
     lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
   }
 

@@ -72,14 +72,18 @@ object SpatialJoin {
       least(floor((lon + 180.0) / 360.0 * n).cast(LongType), n - 1)
     }
 
+    // cos(lat) precomputed per POINT: the join shuffle materializes it,
+    // so each candidate pair pays 2 sin instead of 2 sin + 2 cos
     val pts = df.select(col(idCol).as("pid"), col(lonCol).as("plon"),
         col(latCol).as("plat"))
       .withColumn("cy", floor(col("plat") / dLat).cast(LongType))
+      .withColumn("pcos", cos(radians(col("plat"))))
 
     val a = pts
       .withColumn("cx", cxIn(col("plon"), col("cy")))
       .select(col("pid").as("ia"), col("plon").as("lon_a"),
-        col("plat").as("lat_a"), col("cx"), col("cy"))
+        col("plat").as("lat_a"), col("pcos").as("cos_a"),
+        col("cx"), col("cy"))
 
     // duplicated side: half neighborhood in banded indexing — {self, E}
     // within the band, {W, self, E} in the band toward the north pole;
@@ -98,16 +102,20 @@ object SpatialJoin {
         pmod(cxIn(col("plon"), up) + 1, nCells(up)).as("cx")))
     val b = pts
       .select(col("pid").as("ib"), col("plon").as("lon_b"),
-        col("plat").as("lat_b"), explode(cells).as("cell"))
-      .select(col("ib"), col("lon_b"), col("lat_b"),
+        col("plat").as("lat_b"), col("pcos").as("cos_b"),
+        explode(cells).as("cell"))
+      .select(col("ib"), col("lon_b"), col("lat_b"), col("cos_b"),
         col("cell.cx").as("cx"), col("cell.cy").as("cy"))
 
     val epsCm = math.round(epsMeters * 100)
     a.join(b, Seq("cx", "cy"))
       .filter(col("ia") =!= col("ib"))
+      // trig-free prune: a degree of latitude is > 110500 m, so a pair
+      // spanning more than dLat degrees of latitude cannot be within eps
+      .filter(abs(col("lat_a") - col("lat_b")) <= dLat)
       .withColumn("dist_cm",
-        floor(Geodesy.haversineMeters(col("lon_a"), col("lat_a"),
-          col("lon_b"), col("lat_b")) * 100 + 0.5).cast(LongType))
+        floor(Geodesy.haversineWithCos(col("lon_a"), col("lat_a"), col("cos_a"),
+          col("lon_b"), col("lat_b"), col("cos_b")) * 100 + 0.5).cast(LongType))
       .filter(col("dist_cm") <= epsCm)
       .select(least(col("ia"), col("ib")).as("ia"),
         greatest(col("ia"), col("ib")).as("ib"), col("dist_cm"))

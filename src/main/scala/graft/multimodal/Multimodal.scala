@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partitioning, batched invocation
   * shape (the Scala analog of `mapInPandas` batches) — is real and
-  * tested. The actual media decode is STUBBED ([[decodeStub]]): the
-  * container has no image/audio codecs, so the stub derives a
-  * deterministic feature vector from the payload bytes; swapping in a
-  * real decoder (JavaCV / TwelveMonkeys / ffmpeg-cli) only changes that
-  * one function.
+  * tested. IMAGE decode is real too ([[decodeImage]]: JDK-builtin
+  * ImageIO, pixel-stat features). Audio/video decode remains STUBBED
+  * ([[decodeStub]]): no audio/video codec ships in the JRE, so the stub
+  * derives a deterministic feature vector from payload bytes; swapping
+  * in a real decoder (JavaCV / ffmpeg-cli) only changes that one
+  * function.
   *
   * Scale notes: payloads never shuffle — feature extraction is a narrow
   * mapPartitions; only the (id, features) projection flows downstream.
@@ -35,11 +36,16 @@ object Multimodal {
       StructField("format", StringType)))),
   ))
 
-  /** Deterministic synthetic assets (payload bytes derived from id). */
+  /** Deterministic synthetic assets. Image payloads are REAL PNGs
+    * (rendered + encoded via the JDK's ImageIO, so the decode path runs
+    * for real); audio/video payloads stay deterministic byte ramps
+    * (those decoders are the remaining stub). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val payload = Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
+      val payload =
+        if (kind == "image") renderPng(i.toLong)
+        else Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
       val meta = kind match {
         case "image" => Row(64, 48, null, null, "png")
         case "audio" => Row(null, null, 16000, null, "wav")
@@ -50,6 +56,69 @@ object Multimodal {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), assetSchema)
   }
+
+  /** Render a deterministic gradient image and encode it as PNG bytes
+    * (JDK-builtin codec, no external dependency). */
+  def renderPng(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + seed * 31) % 256).toInt
+        val g = ((y * 11 + seed * 17) % 256).toInt
+        val b = (((x + y) * 3 + seed) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via JDK-builtin ImageIO (PNG/GIF/BMP/JPEG need no
+    * external codec in the JRE). Returns 8 pixel-stat features —
+    * [width, height, meanR, meanG, meanB, lumaMean, lumaStd, aspect] —
+    * or None when the payload does not decode (corrupt/foreign format).
+    * This replaces the round-2 stub for images; audio/video decode
+    * remains stubbed ([[decodeStub]]) as no codec ships in the JRE. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = (w.toLong * h).toDouble
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var sl = 0.0; var sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sr += r; sg += g; sb += b
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val lm = sl / n
+        val lv = math.max(0.0, sl2 / n - lm * lm)
+        Some(Array(w.toFloat, h.toFloat,
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+          (sb / n / 255.0).toFloat, (lm / 255.0).toFloat,
+          (math.sqrt(lv) / 255.0).toFloat, w.toFloat / h.toFloat))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload
@@ -69,8 +138,11 @@ object Multimodal {
     f.map(_ / (payload.length / 8.0f) / norm)
   }
 
-  /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>).
-    * Partition-local, batch-at-a-time — the mapInPandas shape. */
+  /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>,
+    * decoded BOOLEAN). Partition-local, batch-at-a-time — the
+    * mapInPandas shape. Images run the REAL ImageIO decode (pixel
+    * stats); a corrupt image (or any audio/video payload) falls back to
+    * the byte-derived stub with `decoded = false`. */
   def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -80,11 +152,14 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch setup happens HERE in a real decoder (codec/model init)
           batch.map { case (id, kind, payload) =>
-            (id, kind, decodeStub(kind, payload))
+            val decoded =
+              if (kind == "image") decodeImage(payload) else None
+            (id, kind, decoded.getOrElse(decodeStub(kind, payload)),
+              decoded.isDefined)
           }
         }
       }
-      .toDF("asset_id", "kind", "features")
+      .toDF("asset_id", "kind", "features", "decoded")
   }
 
   /** REAL (decode-free) byte-level features — computable without any
@@ -136,6 +211,10 @@ object Multimodal {
   def assetQuality(assets: DataFrame): DataFrame = {
     val statsUdf = udf((payload: Array[Byte]) => byteStats(payload))
     val sniffUdf = udf((payload: Array[Byte]) => sniffFormat(payload))
+    // deep check for images: does the payload actually decode? (catches
+    // corrupt files whose magic numbers still sniff correctly)
+    val decodesUdf = udf((kind: String, payload: Array[Byte]) =>
+      kind == "image" && decodeImage(payload).isDefined)
     assets
       .withColumn("bs", statsUdf(col("payload")))
       .withColumn("sniffed", sniffUdf(col("payload")))
@@ -144,7 +223,8 @@ object Multimodal {
         col("bs._2").as("byte_mean"),
         col("bs._3").as("distinct_bytes"),
         col("sniffed"),
-        (col("sniffed") === col("meta.format")).as("format_matches"))
+        (col("sniffed") === col("meta.format")).as("format_matches"),
+        decodesUdf(col("kind"), col("payload")).as("decodes"))
   }
 
   /** Resize stub for images: returns the payload annotated with the new

@@ -18,6 +18,11 @@ import graft.operators.FacetedTiles.FacetedRaster
   */
 object Footprints {
 
+  /** Load an allow/blocklist from the object store — one key per line
+    * (S12; the reference reads these from S3 text via S3Utils). */
+  def loadList(store: graft.sinks.ObjectStore, key: String): Seq[String] =
+    store.readLines(key)
+
   /** Build per-target footprint rasters.
     * @param points    rows with (targetCol, lonCol, latCol, facetCol)
     * @param targets   optional allowlist of target keys (driver-side,

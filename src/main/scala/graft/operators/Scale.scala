@@ -20,8 +20,12 @@ object Scale {
     * key still funnels to one reducer without salting. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 resultCol: String, buckets: Int = 16): DataFrame = {
+    // deterministic salt (hash of the row's own columns, not
+    // monotonically_increasing_id): stage-1 partials land in the same
+    // bucket under task retry / AQE re-planning, so replays are stable
+    // — not just the final associative sum
     val salted = df.withColumn("__salt",
-      pmod(hash(col(valueCol), monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

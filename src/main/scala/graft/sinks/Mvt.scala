@@ -264,16 +264,22 @@ object Mvt {
   def tilePath(dir: String, z: Int, x: Long, y: Long): Path =
     Paths.get(dir, z.toString, x.toString, s"$y.mvt")
 
-  def writeTile(dir: String, z: Int, x: Long, y: Long, layers: Seq[Layer]): Unit = {
-    val p = tilePath(dir, z, x, y)
-    Files.createDirectories(p.getParent)
-    Files.write(p, gzip(encode(layers)))
-  }
+  /** Object-store key of a tile — the S3/filesystem layout the reference
+    * uses (`<z>/<x>/<y>.mvt`). */
+  def tileKey(z: Int, x: Long, y: Long): String = s"$z/$x/$y.mvt"
 
-  def readTile(dir: String, z: Int, x: Long, y: Long): Option[Seq[Layer]] = {
-    val p = tilePath(dir, z, x, y)
-    if (Files.exists(p)) Some(decode(gunzip(Files.readAllBytes(p)))) else None
-  }
+  def writeTile(store: ObjectStore, z: Int, x: Long, y: Long,
+                layers: Seq[Layer]): Unit =
+    store.put(tileKey(z, x, y), gzip(encode(layers)))
+
+  def readTile(store: ObjectStore, z: Int, x: Long, y: Long): Option[Seq[Layer]] =
+    store.get(tileKey(z, x, y)).map(b => decode(gunzip(b)))
+
+  def writeTile(dir: String, z: Int, x: Long, y: Long, layers: Seq[Layer]): Unit =
+    writeTile(new LocalFsStore(dir), z, x, y, layers)
+
+  def readTile(dir: String, z: Int, x: Long, y: Long): Option[Seq[Layer]] =
+    readTile(new LocalFsStore(dir), z, x, y)
 
   // ------------------------------------------------- commit protocol
 
@@ -374,8 +380,17 @@ object Mvt {
   def commitTile(dir: String, z: Int, x: Long, y: Long, layer: String,
                  features: Seq[Feature], sequence: Long,
                  extent: Int = 4096,
-                 schema: MergeSchema = SumSchema): Boolean = {
-    val existing = readTile(dir, z, x, y).getOrElse(Seq.empty)
+                 schema: MergeSchema = SumSchema): Boolean =
+    commitTile(new LocalFsStore(dir), z, x, y, layer, features, sequence,
+      extent, schema)
+
+  /** Store-agnostic commit core: same read-modify-write against any
+    * [[ObjectStore]] (s3:// in the reference, file:// or in-memory
+    * here). */
+  def commitTile(store: ObjectStore, z: Int, x: Long, y: Long, layer: String,
+                 features: Seq[Feature], sequence: Long,
+                 extent: Int, schema: MergeSchema): Boolean = {
+    val existing = readTile(store, z, x, y).getOrElse(Seq.empty)
     val committed = sequencesOf(existing)
     if (committed.contains(sequence)) return false // already applied
     val existingLayer = existing.find(_.name == layer)
@@ -430,7 +445,7 @@ object Mvt {
       })
     val others = existing.filterNot(l =>
       l.name == layer || l.name == SequencesLayerName)
-    writeTile(dir, z, x, y,
+    writeTile(store, z, x, y,
       others :+ Layer(layer, extent, mergedFeatures) :+ seqLayer)
     true
   }

@@ -1,0 +1,97 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Object-store seam (SURVEY.md §2.1 S8/S12): the byte-level get/put/list
+  * contract the tile sink and allowlist loaders program against. The
+  * reference talks to S3 directly (reference S3Utils.scala;
+  * updater/package.scala:130-180 read-modify-writes s3:// tiles;
+  * FootprintCreator loads allow/blocklists from S3 text) — here that
+  * dependency is inverted: everything IO-facing takes an [[ObjectStore]],
+  * and the S3 implementation is a thin adapter over any S3 client (this
+  * container has no egress or SDK, so [[LocalFsStore]] and
+  * [[InMemoryObjectStore]] are the shipped implementations; the contract,
+  * key layout, and atomic-visibility rule are what production code
+  * depends on).
+  *
+  * Contract notes for implementors:
+  *  - `put` must be all-or-nothing per key (readers never observe a
+  *    partial object) — S3 PUT gives this natively; the local impl
+  *    writes a temp file and atomically moves it into place;
+  *  - keys are `/`-separated relative paths (`z/x/y.mvt`), mapping 1:1
+  *    to S3 keys and filesystem paths;
+  *  - instances are serializable HANDLES (url/root/id), safe to close
+  *    over in executor-side tasks.
+  */
+trait ObjectStore extends Serializable {
+  def put(key: String, bytes: Array[Byte]): Unit
+  def get(key: String): Option[Array[Byte]]
+  /** Keys under prefix, sorted. */
+  def list(prefix: String): Seq[String]
+  def putText(key: String, text: String): Unit = put(key, text.getBytes(UTF_8))
+  def getText(key: String): Option[String] = get(key).map(new String(_, UTF_8))
+  /** Allowlist convention: one entry per line, blanks dropped
+    * (reference S3Utils.readText → FootprintCreator target lists). */
+  def readLines(key: String): Seq[String] =
+    getText(key).toSeq.flatMap(_.linesIterator).map(_.trim).filter(_.nonEmpty)
+}
+
+/** Filesystem-backed store rooted at `root`. Writes are atomic: temp
+  * file in the target directory, then ATOMIC_MOVE — a crashed writer
+  * leaves no torn tiles, concurrent readers see old or new bytes. */
+class LocalFsStore(root: String) extends ObjectStore {
+  private def resolve(key: String): Path = Paths.get(root, key.split("/"): _*)
+
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    val p = resolve(key)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, s".${p.getFileName}", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def get(key: String): Option[Array[Byte]] = {
+    val p = resolve(key)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    Files.walk(rootPath).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => rootPath.relativize(p).iterator().asScala.mkString("/"))
+      .filter(k => k.startsWith(prefix) && !k.endsWith(".tmp"))
+      .toSeq.sorted
+  }
+}
+
+/** JVM-shared in-memory store (tests / the seam proof that nothing
+  * below the tile layer assumes a filesystem). Serializable handle →
+  * one shared map per id in this JVM, like InMemoryUpsertStore. */
+object InMemoryObjectStore {
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, mutable.Map[String, Array[Byte]]]()
+  private[sinks] def resolve(id: String): mutable.Map[String, Array[Byte]] =
+    stores.computeIfAbsent(id, _ => mutable.Map.empty)
+  private[sinks] def evict(id: String): Unit = { stores.remove(id); () }
+}
+
+class InMemoryObjectStore extends ObjectStore {
+  private val id = java.util.UUID.randomUUID().toString
+  private def data = InMemoryObjectStore.resolve(id)
+  override def put(key: String, bytes: Array[Byte]): Unit =
+    data.synchronized { data.update(key, bytes.clone()); () }
+  override def get(key: String): Option[Array[Byte]] =
+    data.synchronized(data.get(key).map(_.clone()))
+  override def list(prefix: String): Seq[String] =
+    data.synchronized(data.keys.filter(_.startsWith(prefix)).toSeq.sorted)
+  def close(): Unit = InMemoryObjectStore.evict(id)
+}

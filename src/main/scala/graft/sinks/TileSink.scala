@@ -18,7 +18,57 @@ object TileSink {
   /** Commit every raster under `sequence`; returns tiles written (tiles
     * whose sequence was already committed are skipped — idempotent). */
   def writeRasters(tiles: Dataset[Raster], dir: String, layer: String,
-                   sequence: Long, concurrency: Int = 8): Long = {
+                   sequence: Long, concurrency: Int = 8): Long =
+    writeRasters(tiles, new LocalFsStore(dir): ObjectStore, layer,
+      sequence, concurrency)
+
+  /** Store-seam variant: same sink against any [[ObjectStore]] (the
+    * reference writes s3://; the store handle serializes to tasks). */
+  def writeRasters(tiles: Dataset[Raster], store: ObjectStore, layer: String,
+                   sequence: Long, concurrency: Int): Long =
+    write(tiles, store, concurrency, r => (layer, sequence))
+
+  /** Single-pass streaming path: each raster's `key` encodes
+    * `<sequence>:<layer>`, so ONE job commits every (sequence, tile) in
+    * a micro-batch — instead of one filtered rasterize+write job per
+    * sequence. Rasters are shuffled BY TILE first so exactly one task
+    * owns each tile and applies its sequences in ascending order:
+    * `commitTile` is read-modify-write with no cross-writer lock, so
+    * tile ownership is the concurrency control (same reason the
+    * reference keys its updater partitions by tile). Commits stay
+    * per-(tile, sequence), so replays that batch differently still
+    * deduplicate at sequence granularity. */
+  def writeSequencedRasters(tiles: Dataset[Raster], dir: String): Long =
+    writeSequencedRasters(tiles, new LocalFsStore(dir): ObjectStore)
+
+  def writeSequencedRasters(tiles: Dataset[Raster], store: ObjectStore): Long = {
+    import tiles.sparkSession.implicits._
+    tiles.groupByKey(r => (r.zoom, r.x, r.y))
+      .mapGroups { (tile: (Int, Long, Long), rs: Iterator[Raster]) =>
+        val (z, x, y) = tile
+        rs.toSeq.map { r =>
+          val Array(seq, layer) = r.key.split(":", 2)
+          (seq.toLong, layer, r)
+        }.sortBy(_._1).map { case (seq, layer, r) =>
+          if (Mvt.commitTile(store, z, x, y, layer, featuresOf(r), seq,
+            4096, Mvt.SumSchema)) 1L
+          else 0L
+        }.sum
+      }.reduce(_ + _)
+  }
+
+  private def featuresOf(r: Raster): Seq[Mvt.Feature] =
+    r.values.toSeq.sortBy(_._1).map { case (cell, v) =>
+      val px = (cell % r.cells) * (4096 / r.cells)
+      val py = (cell / r.cells) * (4096 / r.cells)
+      Mvt.Feature(cell + 1, 1,
+        Seq(Mvt.MoveTo(Seq((px.toInt, py.toInt)))),
+        Map("density" -> Mvt.MLong(v.toLong)))
+    }
+
+  private def write(tiles: Dataset[Raster], store: ObjectStore,
+                    concurrency: Int,
+                    target: Raster => (String, Long)): Long = {
     import tiles.sparkSession.implicits._
     tiles.mapPartitions { rs =>
       val pool = Executors.newFixedThreadPool(concurrency)
@@ -26,15 +76,10 @@ object TileSink {
         val futures = rs.map { r =>
           pool.submit(new Callable[Long] {
             override def call(): Long = {
-              val features = r.values.toSeq.sortBy(_._1).map { case (cell, v) =>
-                val px = (cell % r.cells) * (4096 / r.cells)
-                val py = (cell / r.cells) * (4096 / r.cells)
-                Mvt.Feature(cell + 1, 1,
-                  Seq(Mvt.MoveTo(Seq((px.toInt, py.toInt)))),
-                  Map("density" -> Mvt.MLong(v.toLong)))
-              }
-              if (Mvt.commitTile(dir, r.zoom, r.x, r.y, layer, features, sequence))
-                1L else 0L
+              val (layer, sequence) = target(r)
+              if (Mvt.commitTile(store, r.zoom, r.x, r.y, layer,
+                featuresOf(r), sequence, 4096, Mvt.SumSchema)) 1L
+              else 0L
             }
           })
         }.toList // materialize: submit all before awaiting

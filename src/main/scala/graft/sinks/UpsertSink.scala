@@ -79,6 +79,7 @@ object UpsertSink {
         (mutable.Map[Long, StoredStats], mutable.Map[String, Long])]()
     private def resolve(id: String) =
       tables.computeIfAbsent(id, _ => (mutable.Map.empty, mutable.Map.empty))
+    private def evict(id: String): Unit = { tables.remove(id); () }
   }
 
   class InMemoryUpsertStore extends UpsertStore {
@@ -105,6 +106,9 @@ object UpsertSink {
     override def checkpoint(procName: String): Option[Long] =
       checkpoints.synchronized(checkpoints.get(procName))
     def size: Int = data.synchronized(data.size)
+    /** Release this store's backing maps from the process-global
+      * registry (long test sessions otherwise accumulate stores). */
+    def close(): Unit = InMemoryUpsertStore.evict(id)
   }
 
   /** Batched, bounded-retry writer core shared by the streaming

@@ -21,9 +21,13 @@ import graft.sinks.TileSink
   * batch and the store deduplicates — the reference's design, verbatim
   * (SURVEY.md §2.9 exactly-once).
   *
-  * Each micro-batch groups rows per sequence (a batch may span several)
-  * and commits each sequence's rasters independently, so partial batch
-  * replays converge.
+  * Each micro-batch is ONE pass: rasterization keys carry the sequence
+  * (`<sequence>:<layer>`), so a batch spanning several sequences still
+  * rasterizes and commits in a single job — each (sequence, tile)
+  * commits independently under its own guard, so partial batch replays
+  * converge. (The round-2 version collected the distinct sequence list
+  * and re-filtered the whole batch once per sequence: k sequences =
+  * k+1 passes over the same data.)
   */
 object TileUpdater {
 
@@ -33,14 +37,10 @@ object TileUpdater {
             availableNow: Boolean = true): StreamingQuery = {
     val writer = changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val seqs = batch.select(col("sequence")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        seqs.foreach { s =>
-          val pts = batch.filter(col("sequence") === s)
-            .withColumn("key", lit(layer))
-          val rasters = Tiles.rasterize(pts, "key", "lon", "lat", zoom, cells)
-          TileSink.writeRasters(rasters, tileDir, layer, s)
-        }
+        val pts = batch.withColumn("key",
+          concat(col("sequence").cast("string"), lit(":"), lit(layer)))
+        val rasters = Tiles.rasterize(pts, "key", "lon", "lat", zoom, cells)
+        TileSink.writeSequencedRasters(rasters, tileDir)
         ()
       }
       .option("checkpointLocation", checkpoint)

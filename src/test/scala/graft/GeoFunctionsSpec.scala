@@ -56,6 +56,36 @@ class GeoFunctionsSpec extends SparkSpec {
     bowtie.select(GeoFunctions.stIsValid(col("g"))).as[Boolean].head shouldBe false
   }
 
+  test("typed dispatch: mixed-geometry columns measure only their own kind") {
+    // a point, a line, and a polygon in ONE column (reference
+    // stats/package.scala:40-60 type gates)
+    val line = Seq(GeoFunctions.Row2(0, 0), GeoFunctions.Row2(0, 1))
+    val ring = Seq(GeoFunctions.Row2(10.0, 0.0), GeoFunctions.Row2(10.01, 0.0),
+      GeoFunctions.Row2(10.01, 0.01), GeoFunctions.Row2(10.0, 0.01))
+    val df = Seq(
+      ("pt", Seq(GeoFunctions.Row2(5, 5)), "point"),
+      ("ln", line, "line"),
+      ("pg", ring, "poly")).toDF("id", "pts", "shape")
+      .withColumn("g",
+        when(col("shape") === "point",
+          GeoFunctions.stPoint(col("pts").getItem(0).getField("lon"),
+            col("pts").getItem(0).getField("lat")))
+          .when(col("shape") === "line", GeoFunctions.stMakeLine(col("pts")))
+          .otherwise(GeoFunctions.stMakePolygon(col("pts"))))
+    val out = df.select(col("id"),
+      GeoFunctions.typedLengthSphere(col("g")).as("len"),
+      GeoFunctions.typedAreaUtm(col("g")).as("area"))
+      .orderBy(col("id")).collect()
+    // ln: length only; pg: area only (its perimeter must NOT count as
+    // length); pt: neither
+    out(0).getDouble(1) shouldBe 111195.0 +- 200.0 // ln length
+    out(0).getDouble(2) shouldBe 0.0
+    out(1).getDouble(1) shouldBe 0.0 // pg perimeter gated out
+    out(1).getDouble(2) shouldBe 1.229e6 +- 0.01e6
+    out(2).getDouble(1) shouldBe 0.0 // pt
+    out(2).getDouble(2) shouldBe 0.0
+  }
+
   test("linear delta: way timeline measurement (reference withLinearDelta)") {
     // v1: 1-degree line; v2: 2-degree line => delta ≈ 111.2 km
     val v1 = Seq(GeoFunctions.Row2(0, 0), GeoFunctions.Row2(0, 1))

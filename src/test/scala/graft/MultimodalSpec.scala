@@ -15,8 +15,9 @@ class MultimodalSpec extends SparkSpec {
     val img = assets.filter(col("kind") === "image").select(col("meta.width"))
       .as[Int].head
     img shouldBe 64
-    val payloadLen = assets.select(expr("length(payload)")).as[Int].head
-    payloadLen shouldBe 256
+    val audioLen = assets.filter(col("kind") === "audio")
+      .select(expr("length(payload)")).as[Int].head
+    audioLen shouldBe 256
   }
 
   test("extractFeatures is deterministic, batched, and keeps every row") {
@@ -25,13 +26,69 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(assets, batchSize = 64)
     f1.count() shouldBe 100
     // batch size must not affect values (vectorization is an impl detail)
-    val a = f1.orderBy(col("asset_id")).as[(Long, String, Seq[Float])].collect()
-    val b = f2.orderBy(col("asset_id")).as[(Long, String, Seq[Float])].collect()
+    val a = f1.orderBy(col("asset_id"))
+      .as[(Long, String, Seq[Float], Boolean)].collect()
+    val b = f2.orderBy(col("asset_id"))
+      .as[(Long, String, Seq[Float], Boolean)].collect()
     a shouldBe b
     a.head._3.length shouldBe 8
-    // matches the stub called directly (plumbing adds nothing)
-    val payload = Array.tabulate[Byte](256)(j => ((0 * 31 + j * 7) % 256).toByte)
-    a.head._3.toArray shouldBe Multimodal.decodeStub("image", payload)
+    // images went through the REAL decoder; audio/video are the stub
+    a.filter(_._2 == "image").forall(_._4) shouldBe true
+    a.filterNot(_._2 == "image").exists(_._4) shouldBe false
+    // stub path matches the stub called directly (plumbing adds nothing)
+    val audioPayload =
+      Array.tabulate[Byte](256)(j => ((1 * 31 + j * 7) % 256).toByte)
+    a(1)._3.toArray shouldBe Multimodal.decodeStub("audio", audioPayload)
+  }
+
+  test("decodeImage: real PNG round-trip yields exact pixel stats") {
+    // solid-color 4x2 image: means are exact, luma variance is 0
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 4).foreach(x =>
+      img.setRGB(x, y, (255 << 16) | (0 << 8) | 0))) // pure red
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(bos.toByteArray).get
+    f(0) shouldBe 4.0f // width
+    f(1) shouldBe 2.0f // height
+    f(2) shouldBe 1.0f // meanR
+    f(3) shouldBe 0.0f // meanG
+    f(4) shouldBe 0.0f // meanB
+    f(6) shouldBe 0.0f +- 1e-6f // solid color: zero luma std
+    f(7) shouldBe 2.0f // aspect
+    // the rendered synthetic PNG decodes back to its declared dims
+    val g = Multimodal.decodeImage(Multimodal.renderPng(3L)).get
+    g(0) shouldBe 64.0f
+    g(1) shouldBe 48.0f
+  }
+
+  test("corrupt image payloads fall back to the stub and are flagged") {
+    // valid PNG magic, garbage body: sniffs as png but cannot decode
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    Multimodal.decodeImage(corrupt) shouldBe None
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "image", corrupt,
+          org.apache.spark.sql.Row(64, 48, null, null, "png")),
+        org.apache.spark.sql.Row(1L, "image", Multimodal.renderPng(1L),
+          org.apache.spark.sql.Row(64, 48, null, null, "png"))), 2),
+      Multimodal.assetSchema)
+    val feats = Multimodal.extractFeatures(assets)
+      .orderBy(col("asset_id"))
+      .as[(Long, String, Seq[Float], Boolean)].collect()
+    feats(0)._4 shouldBe false // corrupt: stub fallback
+    feats(0)._3.toArray shouldBe Multimodal.decodeStub("image", corrupt)
+    feats(1)._4 shouldBe true
+    // assetQuality: magic sniffs fine, the deep decode check flags it
+    val q = Multimodal.assetQuality(assets).orderBy(col("asset_id"))
+      .select(col("sniffed"), col("format_matches"), col("decodes"))
+      .collect()
+    q(0).getString(0) shouldBe "png"
+    q(0).getBoolean(1) shouldBe true  // shallow check fooled
+    q(0).getBoolean(2) shouldBe false // deep check catches it
+    q(1).getBoolean(2) shouldBe true
   }
 
   test("resize updates image metadata only; frame sampling hits videos only") {
@@ -79,10 +136,13 @@ class MultimodalSpec extends SparkSpec {
     val assets = Multimodal.syntheticAssets(spark, 9)
     val q = Multimodal.assetQuality(assets)
     q.count() shouldBe 9
-    // synthetic payloads are raw byte ramps, never valid containers ->
-    // sniffed 'unknown' disagrees with declared png/wav/mp4
-    q.filter(col("format_matches")).count() shouldBe 0
-    q.filter(col("sniffed") === "unknown").count() shouldBe 9
+    // images are now real PNGs: sniffed format agrees and decodes;
+    // audio/video byte ramps are not valid containers
+    q.filter(col("kind") === "image" && col("format_matches")).count() shouldBe 3
+    q.filter(col("kind") === "image" && col("decodes")).count() shouldBe 3
+    q.filter(col("kind") =!= "image" && col("format_matches")).count() shouldBe 0
+    q.filter(col("kind") =!= "image" && col("sniffed") === "unknown")
+      .count() shouldBe 6
     q.select(min(col("distinct_bytes"))).as[Int].head should be > 1
   }
 }

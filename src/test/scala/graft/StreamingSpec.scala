@@ -118,7 +118,27 @@ class StreamingSpec extends SparkSpec {
         stream, dir, "edits", zoom = 3, cells = 8, checkpoint = cp)
       q.awaitTermination(120000)
     }
-    run(tiles1, ckpt)
+    // single-pass check: 5 sequences over 3 micro-batches must run ONE
+    // Spark job per micro-batch (round-2 ran one job per sequence plus
+    // a distinct-collect per batch)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // 1 action = 1 job
+    try {
+      run(tiles1, ckpt)
+      Thread.sleep(2000) // let the listener bus drain
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+    jobs.get() shouldBe 3
     def totalDensity(dir: String): Long = {
       val root = java.nio.file.Paths.get(dir, "3")
       if (!java.nio.file.Files.exists(root)) return 0L

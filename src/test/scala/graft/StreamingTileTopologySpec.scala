@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.dayKey
+import graft.operators.FacetedTiles
+import graft.operators.FacetedTiles.FacetedRaster
+import graft.sinks.Mvt
+
+/** End-to-end streaming tile topology (reference
+  * StreamingFacetedEditHistogramTileUpdater): augdiff wire fixtures →
+  * SequenceSource → faceted rasterize → Mvt.commitTile under the
+  * History schema → kill + restart mid-stream → byte-identical tiles.
+  * Proves the two idempotence layers (Spark offset log, `__sequences__`
+  * commit guard) COMPOSE under restart, not just work in isolation. */
+class StreamingTileTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sourceName = "graft.streaming.SequenceSource"
+
+  private def diffLine(id: Long, version: Long, lon: Double, lat: Double,
+                       updated: String): String =
+    s"""{"new": {"type": "Feature", "geometry": {"type": "Point", "coordinates": [$lon, $lat]}, """ +
+      s""""properties": {"type": "node", "id": $id, "version": $version, "minorVersion": 0, """ +
+      s""""updated": "$updated", "visible": true, "tags": {}}}}"""
+
+  /** 4 sequences; node 101 edited again in seq 2 (same cell, newer day)
+    * so the History schema must retire the first generation. */
+  private def writeFixtures(dir: String): Unit = {
+    Files.writeString(Paths.get(dir, "0.json"),
+      diffLine(101, 1, -0.1, 51.5, "2026-01-01T00:02:00Z") + "\n" +
+        diffLine(102, 1, 10.0, 40.0, "2026-01-01T01:00:00Z"))
+    Files.writeString(Paths.get(dir, "1.json"),
+      diffLine(103, 1, -75.0, -30.0, "2026-01-02T00:00:00Z"))
+    Files.writeString(Paths.get(dir, "2.json"),
+      diffLine(101, 2, -0.1, 51.5, "2026-01-03T00:00:00Z"))
+    Files.writeString(Paths.get(dir, "3.json"),
+      diffLine(104, 1, 140.0, -5.0, "2026-01-04T00:00:00Z"))
+  }
+
+  /** Drain the topology up to endSeq against (tileDir, ckpt). */
+  private def drain(payloadDir: String, tileDir: String, ckpt: String,
+                    endSeq: Long): Unit = {
+    val stream = spark.readStream.format(sourceName)
+      .option("format", "augdiff").option("payloadDir", payloadDir)
+      .option("startSequence", 0).option("endSequence", endSeq)
+      .option("sequencesPerBatch", 1).load()
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch
+          .filter(col("error").isNull && col("lon").isNotNull)
+          .withColumn("key",
+            concat(col("sequence").cast("string"), lit(":edits")))
+          .withColumn("facet", dayKey(col("updated")))
+        val rasters = FacetedTiles.rasterizeFaceted(
+          pts, "key", "lon", "lat", "facet", zoom = 4, cells = 16)
+        // one committer per tile; sequences applied in ascending order
+        val dir = tileDir
+        rasters.groupByKey(r => (r.x, r.y))
+          .mapGroups { (_, rs) =>
+            rs.toSeq.map(r => (r.key.split(":")(0).toLong, r))
+              .sortBy(_._1)
+              .map { case (seq, r) =>
+                if (Mvt.commitTile(dir, r.zoom, r.x, r.y, "edits",
+                  StreamingTileTopologySpec.mvtFeatures(r, seq), seq,
+                  schema = Mvt.HistorySchema)) 1L
+                else 0L
+              }.sum
+          }.reduce(_ + _)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+  }
+
+  private def tileBytes(dir: String): Map[String, Seq[Byte]] = {
+    val root = Paths.get(dir)
+    val files = Files.walk(root).toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(p => p.toString.endsWith(".mvt"))
+    files.map(p =>
+      root.relativize(p).toString -> Files.readAllBytes(p).toSeq).toMap
+  }
+
+  test("augdiff -> faceted rasters -> History tiles survive a mid-stream restart byte-identically") {
+    val payloadDir = Files.createTempDirectory("graft-topo-wire").toString
+    writeFixtures(payloadDir)
+
+    // reference run: all 4 sequences in one uninterrupted drain
+    val dirA = Files.createTempDirectory("graft-topo-a").toString
+    drain(payloadDir, dirA,
+      Files.createTempDirectory("graft-topo-ckpt-a").toString, endSeq = 3)
+
+    // killed run: stop after sequences 0-1, then restart the SAME
+    // checkpoint to finish — the offset log resumes mid-stream
+    val dirB = Files.createTempDirectory("graft-topo-b").toString
+    val ckptB = Files.createTempDirectory("graft-topo-ckpt-b").toString
+    drain(payloadDir, dirB, ckptB, endSeq = 1)
+    drain(payloadDir, dirB, ckptB, endSeq = 3)
+
+    val a = tileBytes(dirA)
+    val b = tileBytes(dirB)
+    a.keySet shouldBe b.keySet
+    a.keySet.foreach(k => assert(a(k) == b(k), s"tile $k differs"))
+    a.nonEmpty shouldBe true
+
+    // full replay with a FRESH checkpoint over the same tile dir: the
+    // __sequences__ guard must make every commit a no-op
+    drain(payloadDir, dirB,
+      Files.createTempDirectory("graft-topo-ckpt-b2").toString, endSeq = 3)
+    tileBytes(dirB).foreach { case (k, bytes) => bytes shouldBe a(k) }
+
+    // History semantics across the restart: node 101's cell carries two
+    // generations, the older retired at the newer generation's day key
+    val n = 256 // (1 << 4) * 16 global pixels
+    val gx = math.floor((-0.1 + 180.0) / 360.0 * n).toLong
+    val gy = math.floor((90.0 - 51.5) / 180.0 * n).toLong
+    val cell = (gy % 16) * 16 + (gx % 16)
+    val feats = Mvt.readTile(dirB, 4, gx / 16, gy / 16).get
+      .find(_.name == "edits").get.features
+      .filter(_.tags.get("__id").contains(Mvt.MString(s"c$cell")))
+    feats.length shouldBe 2
+    val day1 = 2026001L
+    val day3 = 2026003L
+    feats.find(f => f.tags("__updated") == Mvt.MLong(day1)).get
+      .tags("__validUntil") shouldBe Mvt.MLong(day3) // retired
+    feats.find(f => f.tags("__updated") == Mvt.MLong(day3)).get
+      .tags("__validUntil") shouldBe Mvt.MLong(0L) // current
+  }
+}
+
+/** Executor-side helpers (kept off the spec class: test-framework
+  * internals are not serializable). */
+object StreamingTileTopologySpec {
+  def mvtFeatures(r: FacetedRaster, seq: Long): Seq[Mvt.Feature] =
+    r.values.toSeq.sortBy(_._1).map { case (cell, fm) =>
+      val px = (cell % r.cells).toInt * (4096 / r.cells)
+      val py = (cell / r.cells).toInt * (4096 / r.cells)
+      Mvt.Feature(cell + 1, 1, Seq(Mvt.MoveTo(Seq((px, py)))),
+        Map("__id" -> Mvt.MString(s"c$cell"),
+          "__version" -> Mvt.MLong(seq),
+          "__updated" -> Mvt.MLong(fm.keys.map(_.toLong).max),
+          "__total" -> Mvt.MLong(fm.values.foldLeft(0L)(_ + _))) ++
+          fm.map { case (k, v) => s"__total:$k" -> (Mvt.MLong(v.toLong): Mvt.MValue) })
+    }
+}
