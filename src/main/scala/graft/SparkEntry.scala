@@ -703,6 +703,39 @@ object SparkEntry {
         .groupBy(col("langid")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("langid"))),
 
+    // ---- PII scrubbing: typed-placeholder redaction + audit counts
+    //      (training-data pre-processing; codegen regexp chain). PII is
+    //      synthesized deterministically from customer so the redaction
+    //      is oracle-checkable.
+    "q_text_redact" -> ((s, dir) => {
+      val text = concat(
+        lit("user "), col("c_name"),
+        lit(" mail "), lower(regexp_replace(col("c_name"), " ", ".")),
+        lit("@corp"), col("c_custkey") % 7, lit(".io ip 10."),
+        col("c_custkey") % 250, lit(".3."), (col("c_custkey") * 7) % 250,
+        lit(" tel +19"),
+        lpad((col("c_custkey") * 37 % 10000000).cast(StringType), 8, "0"))
+      val (ne, ni, np) = functions.TextFunctions.piiCounts(col("text"))
+      Tables.customer(s, dir)
+        .withColumn("text", text)
+        .select(col("c_custkey"),
+          functions.TextFunctions.redactPii(col("text")).as("red"),
+          ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- train-test contamination: corpus docs sharing 3-gram shingles
+    //      with a benchmark subset (broadcast probe — the 100 TB shape)
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), col("text"), col("doc_id"),
+          shingleN = 3, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1893,6 +1926,45 @@ object SparkEntry {
         |  ((epoch_us(ts)//1000000 - 1347437700)//60) * 60)
         |  * 1000000) AS seq_ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'user ' || c_name || ' mail '
+        |      || lower(replace(c_name, ' ', '.'))
+        |      || '@corp' || CAST(c_custkey % 7 AS VARCHAR)
+        |      || '.io ip 10.' || CAST(c_custkey % 250 AS VARCHAR)
+        |      || '.3.' || CAST((c_custkey * 7) % 250 AS VARCHAR)
+        |      || ' tel +19'
+        |      || lpad(CAST(c_custkey * 37 % 10000000 AS VARCHAR), 8, '0')
+        |      AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d ]{8,}\d', '<PHONE>', 'g') AS red,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+\d[\d ]{8,}\d')) AS INTEGER) AS n_phone
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $toksSql, $shSql,
+         |docsh AS (
+         |  SELECT doc_id, unnest(s) AS sng FROM sh WHERE doc_id % 97 <> 0),
+         |bsh AS (
+         |  SELECT DISTINCT doc_id AS bench_id, unnest(s) AS sng
+         |  FROM sh WHERE doc_id % 97 = 0)
+         |SELECT d.doc_id, count(DISTINCT d.sng) AS n_shared,
+         |       min(b.bench_id) AS contaminated_by
+         |FROM docsh d JOIN bsh b ON d.sng = b.sng
+         |GROUP BY d.doc_id HAVING count(DISTINCT d.sng) >= 2
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_relations" ->
       """WITH r AS (

@@ -134,6 +134,69 @@ object AugDiffStatsPipeline {
   }
 }
 
+/** Streaming changeset-METADATA updater (reference
+  * ChangesetMetadataUpdater + ChangesetMetadataForeachWriter):
+  * changesets wire payloads → metadata rows (editor = created_by tag,
+  * hashtags from the comment tag) → the dictionary/join-table upsert
+  * store (users, hashtags insert-returning, changesets_hashtags), with
+  * progress mirrored to the store's checkpoint table. Replay safety:
+  * every statement in the store's metadata batch is
+  * insert-if-absent/last-write-wins, so re-delivered sequences
+  * converge. */
+object ChangesetMetadataPipeline {
+  import org.apache.spark.sql.{DataFrame, Dataset}
+  import org.apache.spark.sql.functions._
+
+  import graft.sinks.MetadataUpsert
+
+  /** One micro-batch's transform: wire rows → sink rows. */
+  def toRows(batch: DataFrame): Dataset[MetadataUpsert.MetadataRow] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.filter(col("error").isNull)
+      .select(col("id"),
+        col("tags").getItem("created_by").as("editor"),
+        col("uid"),
+        col("user"),
+        unix_micros(col("created_at")).as("createdAtUs"),
+        unix_micros(col("closed_at")).as("closedAtUs"),
+        graft.functions.hashtags(
+          coalesce(col("tags").getItem("comment"), lit("")))
+          .as("hashtags"))
+      .as[MetadataUpsert.MetadataRow]
+  }
+
+  def run(spark: SparkSession, payloadDir: String, endSequence: Long,
+          store: graft.sinks.MetadataUpsert.MetadataStore with graft.sinks.UpsertSink.UpsertStore,
+          procName: String, checkpointDir: String,
+          updateUsernames: Boolean = false,
+          maxConnections: Int = 4): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val mirror = new graft.streaming.CheckpointMirror(store, procName)
+    spark.streams.addListener(mirror)
+    try {
+      val start = graft.streaming.CheckpointMirror
+        .startSequenceFrom(store, procName)
+      val stream = spark.readStream
+        .format("graft.streaming.SequenceSource")
+        .option("format", "changesets").option("payloadDir", payloadDir)
+        .option("startSequence", start).option("endSequence", endSequence)
+        .load()
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          MetadataUpsert.writeMetadata(toRows(batch), store,
+            maxConnections, updateUsernames = updateUsernames)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      ()
+    } finally spark.streams.removeListener(mirror)
+  }
+}
+
 /** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
   * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
 object TilePyramidApp {

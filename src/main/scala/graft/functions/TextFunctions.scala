@@ -209,6 +209,34 @@ object TextFunctions {
   val gopherUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => gopherScala(s))
 
+  // ------------------------------------------------------ PII scrubbing
+
+  /** Public-format PII patterns, dialect-portable (plain character
+    * classes and bounded repetition — identical semantics under Java
+    * regex and RE2, which is what lets the redaction be oracle-checked
+    * in DuckDB). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\+\\d[\\d ]{8,}\\d"
+
+  /** Redact emails, IPv4 addresses, and +-prefixed phone numbers with
+    * typed placeholder tokens — the standard pre-training PII scrub
+    * pass. Order matters and is fixed (email first: its domain would
+    * otherwise feed the IP/phone patterns). Pure codegen
+    * `regexp_replace` chain, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Counts of each PII kind in a text column (audit projection). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(c, lit(Ipv4Re), lit(0))),
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0))))
+
   /** UDF: shingle array -> k minhashes of the linear rehash family
     * h_i = ((2i+1)·(stableHash64 mod P) + 7919i+13) mod P, P = 2^31−1.
     * One md5 per shingle, k integer mult-adds — the whole signature in a

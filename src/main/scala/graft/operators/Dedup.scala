@@ -106,6 +106,31 @@ object Dedup {
                     idCol: Column, shingleN: Int): DataFrame =
     jaccardVerifyFromShingles(pairs, shingleSets(df, textCol, idCol, shingleN))
 
+  /** Train-test contamination check: corpus documents sharing ≥
+    * `minShared` distinct word shingles with any benchmark document,
+    * with the count and the lowest contaminating benchmark id.
+    *
+    * Scale shape: the BENCHMARK side is exploded, deduplicated, and
+    * BROADCAST — eval sets are thousands of documents regardless of
+    * corpus size, so at 100 TB the corpus streams through one
+    * broadcast-hash probe with no shuffle of document shingles at all;
+    * only the (rare) contaminated hits reach the final aggregation. */
+  def contamination(docs: DataFrame, bench: DataFrame,
+                    textCol: Column, idCol: Column,
+                    benchTextCol: Column, benchIdCol: Column,
+                    shingleN: Int = 3, minShared: Int = 1): DataFrame = {
+    val docSh = shingleSets(docs, textCol, idCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+    val benchSh = shingleSets(bench, benchTextCol, benchIdCol, shingleN)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("sng"))
+      .distinct()
+    docSh.join(broadcast(benchSh), Seq("sng"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sng")).as("n_shared"),
+        min(col("bench_id")).as("contaminated_by"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * The shingle projection is computed once and persisted across the
     * bucket and verify stages (it feeds three plan branches). */

@@ -204,6 +204,46 @@ class JdbcUpsertStoreSpec extends SparkSpec {
     store.hashtagId("roads").isDefined shouldBe true
   }
 
+  test("s7: streaming changesets wire -> metadata dictionary store topology") {
+    import java.nio.file.{Files, Paths}
+    val payloadDir = Files.createTempDirectory("graft-meta-wire").toString
+    def csXml(seq: Long, id: Long, uid: Long, user: String,
+              comment: String): String =
+      s"""<osm version="0.6" generator="test">
+         |  <changeset id="$id" created_at="2026-01-0${seq + 1}T00:00:00Z"
+         |             closed_at="2026-01-0${seq + 1}T01:00:00Z" open="false"
+         |             user="$user" uid="$uid" num_changes="2"
+         |             comments_count="0">
+         |    <tag k="comment" v="$comment"/>
+         |    <tag k="created_by" v="editor/$seq"/>
+         |  </changeset>
+         |</osm>""".stripMargin
+    Files.writeString(Paths.get(payloadDir, "0.xml"),
+      csXml(0, 900L, 7L, "alice", "mapping #hotosm #roads"))
+    Files.writeString(Paths.get(payloadDir, "1.xml"),
+      csXml(1, 901L, 8L, "bob", "more #roads"))
+    val dir = Files.createTempDirectory("graft-derby-meta-stream")
+    val store = new JdbcUpsertStore(
+      s"jdbc:derby:${dir.toString}/db;create=true")
+    val ckpt = Files.createTempDirectory("graft-meta-ckpt").toString
+    apps.ChangesetMetadataPipeline.run(
+      spark, payloadDir, endSequence = 1L, store, "meta-stream", ckpt)
+    store.metadata(900L).get.editor shouldBe Some("editor/0")
+    store.userName(7L) shouldBe Some("alice")
+    store.userName(8L) shouldBe Some("bob")
+    store.hashtagsOf(900L) shouldBe Seq("hotosm", "roads")
+    store.hashtagsOf(901L) shouldBe Seq("roads")
+    val roadsId = store.hashtagId("roads")
+    store.checkpoint("meta-stream") shouldBe Some(1L)
+    // full replay with a fresh checkpoint: dictionary unchanged
+    apps.ChangesetMetadataPipeline.run(
+      spark, payloadDir, endSequence = 1L, store, "meta-replay",
+      Files.createTempDirectory("graft-meta-ckpt2").toString)
+    store.hashtagId("roads") shouldBe roadsId
+    store.hashtagsOf(900L) shouldBe Seq("hotosm", "roads")
+    store.userName(7L) shouldBe Some("alice")
+  }
+
   test("s7: generated PostgreSQL metadata statements carry reference semantics") {
     val meta = JdbcUpsertStore.PostgresSql.upsertChangesetMetadata
     meta should include("ON CONFLICT (id) DO UPDATE")
