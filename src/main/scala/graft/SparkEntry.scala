@@ -869,6 +869,52 @@ object SparkEntry {
         .orderBy(col("relation_id"), col("role"), col("ring_idx"))
     }),
 
+    // ---- incremental changeset merge (Metadata.mergeChangesets —
+    //      newest row per id by closed/created recency; reference
+    //      MergeChangesets.scala:84-118)
+    "q_merge_changesets" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def snap(closedHours: Int, extra: Int) = o.select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("created_at"),
+        expr(s"o_orderdate + INTERVAL $closedHours HOUR").as("closed_at"),
+        (col("o_orderkey") % 100 + 1 + extra).as("num_changes"))
+      val existing = snap(1, 0).filter(col("id") % 3 =!= 0)
+      val fresh = snap(2, 5).filter(col("id") % 2 === 0)
+      operators.Metadata.mergeChangesets(existing, fresh)
+        .select(col("id"), col("user_id"),
+          unix_micros(col("created_at")).as("created_us"),
+          unix_micros(col("closed_at")).as("closed_us"),
+          col("num_changes"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- int8 embedding quantization (storage/serving compression;
+    //      summary projection keeps the oracle relational)
+    "q_embed_quantize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("q", operators.Similarity.quantizeInt8Udf(col("embedding")))
+        .select(col("vec_id"),
+          aggregate(col("q._1"), lit(0L), (a, x) => a + x).as("sum_code"),
+          array_min(col("q._1")).as("min_code"),
+          array_max(col("q._1")).as("max_code"),
+          size(filter(col("q._1"), x => x =!= 0)).as("n_nonzero"))
+        .orderBy(col("vec_id"))),
+
+    // ---- deterministic stratified sampling (training-data domain
+    //      mixing; hash-bucket keep/drop, reproducible across runs and
+    //      partitionings)
+    "q_sample_stratified" -> ((s, dir) => {
+      val sampled = operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25),
+        default = 0.1, salt = "mix1")
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- S2/S7: changeset-metadata assembly (Metadata.assemble — CSV-dump
     //      re-zip + user join + 1e-7 fixed-point lat/lon + hashtag
     //      extraction; reference ChangesetMetadataCreator.scala:107-186).
@@ -1926,6 +1972,63 @@ object SparkEntry {
         |  ((epoch_us(ts)//1000000 - 1347437700)//60) * 60)
         |  * 1000000) AS seq_ts
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_merge_changesets" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey AS id, o_custkey AS user_id,
+        |         o_orderdate AS created_at,
+        |         o_orderdate + INTERVAL 1 HOUR AS closed_at,
+        |         CAST(o_orderkey % 100 + 1 AS BIGINT) AS num_changes
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |fresh AS (
+        |  SELECT o_orderkey AS id, o_custkey AS user_id,
+        |         o_orderdate AS created_at,
+        |         o_orderdate + INTERVAL 2 HOUR AS closed_at,
+        |         CAST(o_orderkey % 100 + 6 AS BIGINT) AS num_changes
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |all_rows AS (
+        |  SELECT * FROM existing UNION ALL SELECT * FROM fresh),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id
+        |    ORDER BY coalesce(closed_at, created_at) DESC,
+        |             num_changes DESC) AS rn
+        |  FROM all_rows)
+        |SELECT id, user_id, epoch_us(created_at) AS created_us,
+        |       epoch_us(closed_at) AS closed_us, num_changes
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS ma,
+        |    embedding AS e
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN [CAST(0 AS BIGINT) for x in e]
+        |         ELSE [CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+        |                    AS BIGINT) for x in e]
+        |    END AS codes
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  CAST(list_min(codes) AS INTEGER) AS min_code,
+        |  CAST(list_max(codes) AS INTEGER) AS max_code,
+        |  CAST(len(list_filter(codes, x -> x <> 0)) AS INTEGER) AS n_nonzero
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 10000 AS bucket,
+        |    CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+        |              WHEN 'fr' THEN 0.25 ELSE 0.1 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+        |FROM b WHERE bucket < CAST(floor(rate * 10000) AS BIGINT)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_redact" ->
       """WITH t AS (

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.stableHash64
+
+/** Deterministic sampling for training-data mixes.
+  *
+  * A 100 TB pipeline samples by DOMAIN WEIGHT (web 0.6, code 0.25,
+  * books 0.15, ...) and must be reproducible run-over-run and across
+  * partitionings — `df.sample`'s per-partition RNG is neither. Here the
+  * keep/drop decision is a pure function of (salt, row id): rows hash
+  * into 10,000 deterministic buckets and a stratum keeps its first
+  * `rate·10000` buckets. Changing the salt draws an independent sample;
+  * keeping it fixed makes the sample stable under retries, AQE
+  * re-planning, and incremental re-runs (a row's fate never changes).
+  * md5-derived hashing (stableHash64) keeps it oracle-checkable.
+  */
+object Sampling {
+
+  val Buckets = 10000L
+
+  /** The row's deterministic bucket in [0, 10000). */
+  def sampleBucket(idCol: Column, salt: String): Column =
+    pmod(stableHash64(concat_ws(":", lit(salt), idCol.cast("string"))),
+      lit(Buckets))
+
+  /** Keep rows whose stratum's rate admits their bucket. Strata missing
+    * from `rates` fall back to `default`. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+                       rates: Map[String, Double], default: Double = 0.0,
+                       salt: String = "graft"): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(default)) { case (acc, (k, r)) =>
+        when(stratumCol === k, lit(r)).otherwise(acc)
+      }
+    df.filter(sampleBucket(idCol, salt) <
+      floor(rateCol * Buckets).cast(LongType))
+  }
+}

@@ -387,4 +387,25 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
   }
+
+  // ------------------------------------------------------- quantization
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|v|,
+    * code_i = floor(v_i·scale + 0.5) — the standard storage/serving
+    * compression for embedding columns (4× smaller than float32, dot
+    * products stay rank-faithful). A zero vector quantizes to zero
+    * codes. One compiled pass per row (no interpreted HOF chain); all
+    * arithmetic is exact-deterministic given the input floats, so the
+    * operator is oracle-checkable. Returns (codes ARRAY<INT>, scale
+    * DOUBLE) — dequantize as code/scale. */
+  val quantizeInt8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      var m = 0.0
+      v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+      if (m == 0.0) (v.map(_ => 0), 0.0)
+      else {
+        val scale = 127.0 / m
+        (v.map(x => math.floor(x.toDouble * scale + 0.5).toInt), scale)
+      }
+    })
 }

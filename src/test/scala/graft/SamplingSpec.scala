@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic stratified sampling: the keep/drop decision is a pure
+  * function of (salt, id) — stable across partitionings and reruns,
+  * rate-accurate per stratum, and independent across salts. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 10000L).map(i =>
+    (i, Seq("en", "de", "fr", "pt")((i % 4).toInt)))
+    .toDF("doc_id", "lang")
+
+  test("sample is identical across partitionings and reruns") {
+    val rates = Map("en" -> 0.5, "de" -> 0.2)
+    def ids(parts: Int): Set[Long] =
+      Sampling.stratifiedSample(corpus.repartition(parts),
+        col("lang"), col("doc_id"), rates, default = 0.1, salt = "s1")
+        .select(col("doc_id")).as[Long].collect().toSet
+    val a = ids(2)
+    a shouldBe ids(17)
+    a shouldBe ids(2) // rerun
+  }
+
+  test("per-stratum rates are honored within hash-bucket tolerance") {
+    val kept = Sampling.stratifiedSample(corpus, col("lang"), col("doc_id"),
+        Map("en" -> 0.8, "de" -> 0.25), default = 0.0, salt = "s2")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // 2500 docs per stratum; md5 buckets are uniform to a few percent
+    kept("en").toDouble / 2500 shouldBe 0.8 +- 0.05
+    kept("de").toDouble / 2500 shouldBe 0.25 +- 0.05
+    kept.contains("fr") shouldBe false // default 0.0 drops whole strata
+  }
+
+  test("different salts draw (near-)independent samples") {
+    def ids(salt: String): Set[Long] =
+      Sampling.stratifiedSample(corpus, col("lang"), col("doc_id"),
+        Map.empty, default = 0.5, salt = salt)
+        .select(col("doc_id")).as[Long].collect().toSet
+    val a = ids("saltA")
+    val b = ids("saltB")
+    a should not be b
+    // overlap of two independent 50% samples ≈ 25% of the corpus
+    (a intersect b).size.toDouble / 10000 shouldBe 0.25 +- 0.05
+  }
+
+  test("int8 quantization: codes bounded, round-trip error within half a step") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Seq(3.5f, -7.0f, 1.75f, 0.875f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs
+      .withColumn("q", operators.Similarity.quantizeInt8Udf(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("q._1").as("codes"),
+        col("q._2").as("scale"))
+      .as[(Long, Seq[Float], Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // max-magnitude element maps to ±127 exactly
+    q(1L)._3 shouldBe Seq(64, -127, 32, 0)
+    q(3L)._3 shouldBe Seq(64, -127, 32, 16)
+    q(2L)._3 shouldBe Seq(0, 0, 0, 0)
+    q(2L)._4 shouldBe 0.0
+    // dequantized round-trip within half a quantization step
+    q.values.filter(_._4 != 0.0).foreach { case (_, orig, codes, scale) =>
+      orig.zip(codes).foreach { case (x, c) =>
+        math.abs(x.toDouble - c / scale) should be <= (0.5 / scale + 1e-12)
+      }
+    }
+  }
+}
