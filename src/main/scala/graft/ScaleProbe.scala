@@ -50,6 +50,33 @@ object ScaleProbe {
     val gflops = nv * nv / 2.0 * 64 * 2 / tBlocked / 1e9
     println(f"vectors=$nv blocked_pairs=$nd blocked_sec=$tBlocked%.1f " +
       f"approx_gflops=$gflops%.1f")
+
+    // round 3: contamination probe — 100k-doc corpus vs a small
+    // benchmark set; the benchmark side broadcasts, the corpus streams
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    t0 = System.nanoTime()
+    val nContam = operators.Dedup.contamination(
+      docs, bench, col("text"), col("doc_id"), col("text"), col("doc_id"),
+      shingleN = 3, minShared = 2).count()
+    val tContam = (System.nanoTime() - t0) / 1e9
+    println(f"contaminated=$nContam of $n docs contam_sec=$tContam%.1f")
+
+    // round 3: banded spatial pair join — 3x-replicated events (~300k
+    // points, all latitudes incl. polar caps), eps 50 km
+    val pts = Tables.events(spark, sfDir)
+      .crossJoin(spark.range(3).select(col("id").as("rep")))
+      .select((col("event_id") * 3 + col("rep")).as("pid"),
+        graft.functions.synthLon(col("event_id") + col("rep") * 7).as("lon"),
+        graft.functions.synthLat(col("event_id") + col("rep") * 13).as("lat"))
+      .persist()
+    val np = pts.count()
+    t0 = System.nanoTime()
+    val nSpatial = geo.SpatialJoin.pairsWithin(
+      pts, "pid", "lon", "lat", epsMeters = 50000.0).count()
+    val tSpatial = (System.nanoTime() - t0) / 1e9
+    println(f"points=$np spatial_pairs=$nSpatial spatial_sec=$tSpatial%.1f")
     spark.stop()
   }
 }

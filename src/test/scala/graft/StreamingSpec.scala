@@ -105,6 +105,40 @@ class StreamingSpec extends SparkSpec {
     got.toSeq shouldBe expected.toSeq
   }
 
+  test("streaming dedup within watermark removes cross-sequence re-deliveries") {
+    // replication feeds re-deliver elements across diffs: the same
+    // (id, version) appears in two sequences. State-bounded streaming
+    // dedup (dropDuplicatesWithinWatermark) keeps the first delivery;
+    // state evicts past the watermark instead of growing forever.
+    val dir = Files.createTempDirectory("graft-dedup-wire").toString
+    def nodeXml(ids: Seq[Long]): String = {
+      val nodes = ids.map(i =>
+        s"""<node id="$i" version="1" timestamp="2026-01-01T00:00:00Z"
+           | changeset="9" uid="1" user="u" lat="1.0" lon="2.0"/>"""
+          .stripMargin.replace("\n", "")).mkString("\n")
+      s"<osmChange><create>\n$nodes\n</create></osmChange>"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "0.xml"), nodeXml(Seq(1, 2, 3)))
+    java.nio.file.Files.writeString( // 2 and 3 re-delivered in seq 1
+      java.nio.file.Paths.get(dir, "1.xml"), nodeXml(Seq(2, 3, 4)))
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val stream = spark.readStream.format(sourceName)
+      .option("format", "osmchange").option("payloadDir", dir)
+      .option("startSequence", 0).option("endSequence", 1)
+      .option("sequencesPerBatch", 1).load()
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id", "version")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+    val ids = spark.sql("SELECT id FROM dedup_stream")
+      .collect().map(_.getLong(0)).sorted
+    ids shouldBe Array(1L, 2L, 3L, 4L) // each element exactly once
+  }
+
   test("TileUpdater: streaming tiles are exactly-once under replay") {
     val tiles1 = Files.createTempDirectory("graft-stream-tiles").toString
     val ckpt = Files.createTempDirectory("graft-ckpt-tiles").toString
