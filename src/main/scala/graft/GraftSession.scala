@@ -37,6 +37,12 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit (Spark-4 defaults, pinned so a cluster-side override
+      // can't silently drop them): runtime skew-join splitting and
+      // partition coalescing are the plan-level guards the 100 TB
+      // deployment relies on alongside the explicit salting path
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 }

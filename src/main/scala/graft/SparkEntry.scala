@@ -902,6 +902,14 @@ object SparkEntry {
           size(filter(col("q._1"), x => x =!= 0)).as("n_nonzero"))
         .orderBy(col("vec_id"))),
 
+    // ---- sequence packing: documents -> fixed-budget context windows
+    //      (pack-with-split; sharded cumsum so the window parallelizes)
+    "q_pack_sequences" -> ((s, dir) =>
+      operators.Sampling.packSequences(
+          Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+          budget = 4096L, shardSize = 100L)
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
     //      partitionings)
@@ -2017,6 +2025,18 @@ object SparkEntry {
         |  CAST(list_max(codes) AS INTEGER) AS max_code,
         |  CAST(len(list_filter(codes, x -> x <> 0)) AS INTEGER) AS n_nonzero
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 100 AS shard, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY doc_id // 100
+        |                       ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT doc_id, shard, n_chars AS cost,
+        |  (cum - n_chars) // 4096 AS first_bin,
+        |  (cum - 1) // 4096 AS last_bin,
+        |  (cum - n_chars) % 4096 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

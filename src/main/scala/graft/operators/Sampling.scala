@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -38,5 +39,34 @@ object Sampling {
       }
     df.filter(sampleBucket(idCol, salt) <
       floor(rateCol * Buckets).cast(LongType))
+  }
+
+  /** Sequence packing for pretraining batches: lay documents out as one
+    * contiguous token stream and cut it into fixed-`budget` context
+    * windows ("bins"), documents straddling bin boundaries (the
+    * pack-with-split regime every large pretraining run uses — no
+    * padding waste, deterministic layout). Emits per document its
+    * stream placement: `first_bin`, `last_bin`, and `bin_offset` (start
+    * position inside the first bin).
+    *
+    * Scale shape: a single global running sum would serialize into one
+    * window task, so the id space is cut into `shardSize`-document
+    * SHARDS that pack independently — the window partitions by shard,
+    * every shard's cumsum runs in parallel, and only the final bin of
+    * each shard is underfilled (the same tail waste any sharded packer
+    * accepts). Bin ids are per-shard; (shard, bin) is the global key.
+    * Costs must be ≥ 1 (zero-cost rows would alias positions). */
+  def packSequences(df: DataFrame, idCol: Column, costCol: Column,
+                    budget: Long, shardSize: Long = 10000L): DataFrame = {
+    val shard = floor(idCol / shardSize).cast(LongType)
+    val w = Window.partitionBy(col("__shard")).orderBy(idCol)
+    df.withColumn("__shard", shard)
+      .withColumn("__cum", sum(costCol).over(w))
+      .select(idCol.as("doc_id"), col("__shard").as("shard"),
+        costCol.cast(LongType).as("cost"),
+        floor((col("__cum") - costCol) / budget).cast(LongType)
+          .as("first_bin"),
+        floor((col("__cum") - 1) / budget).cast(LongType).as("last_bin"),
+        ((col("__cum") - costCol) % budget).cast(LongType).as("bin_offset"))
   }
 }

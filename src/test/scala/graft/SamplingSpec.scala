@@ -48,6 +48,53 @@ class SamplingSpec extends SparkSpec {
     (a intersect b).size.toDouble / 10000 shouldBe 0.25 +- 0.05
   }
 
+  test("sequence packing: contiguous stream layout, exact bin arithmetic") {
+    val docs = Seq(
+      (0L, 1000L), (1L, 3000L), (2L, 500L), (3L, 2000L), // shard 0
+      (100L, 4096L), (101L, 1L))                         // shard 1
+      .toDF("doc_id", "n_tok")
+    val out = Sampling.packSequences(docs, col("doc_id"), col("n_tok"),
+        budget = 4096L, shardSize = 100L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // shard 0 stream: [0,1000) [1000,4000) [4000,4500) [4500,6500)
+    out(0) shouldBe ((0L, 0L, 1000L, 0L, 0L, 0L))
+    out(1) shouldBe ((1L, 0L, 3000L, 0L, 0L, 1000L))
+    out(2) shouldBe ((2L, 0L, 500L, 0L, 1L, 4000L)) // straddles bins 0-1
+    out(3) shouldBe ((3L, 0L, 2000L, 1L, 1L, 404L))
+    // shard 1 packs independently: exact-budget doc fills bin 0 alone
+    out(4) shouldBe ((100L, 1L, 4096L, 0L, 0L, 0L))
+    out(5) shouldBe ((101L, 1L, 1L, 1L, 1L, 0L))
+    // layout is identical however the input is partitioned
+    val re = Sampling.packSequences(docs.repartition(7), col("doc_id"),
+        col("n_tok"), budget = 4096L, shardSize = 100L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    re shouldBe out
+  }
+
+  test("sequence packing conserves the token stream per shard") {
+    val docs = (0L until 1000L).map(i => (i, 1 + (i * 37) % 800))
+      .toDF("doc_id", "n_tok")
+    val out = Sampling.packSequences(docs, col("doc_id"), col("n_tok"),
+        budget = 2048L, shardSize = 250L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      // every position accounted for exactly once: the last doc's span
+      // ends at the stream total, bins cover [0, ceil(total/2048))
+      val maxBin = rows.map(_._5).max
+      maxBin shouldBe (total - 1) / 2048
+      // offsets are consistent: sorted docs tile the stream
+      val sorted = rows.sortBy(_._1)
+      sorted.foldLeft(0L) { case (pos, (_, _, cost, fb, _, off)) =>
+        fb shouldBe pos / 2048
+        off shouldBe pos % 2048
+        pos + cost
+      } shouldBe total
+    }
+  }
+
   test("int8 quantization: codes bounded, round-trip error within half a step") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
