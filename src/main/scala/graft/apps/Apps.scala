@@ -197,6 +197,66 @@ object ChangesetMetadataPipeline {
   }
 }
 
+/** Streaming hashtag-footprint updater (reference
+  * HashtagFootprintUpdater): augmented-diff geometries stream-stream
+  * joined to changeset metadata under the reference watermarks (0 s on
+  * diffs, 25 h on changesets — open-changeset lifetime), hashtags
+  * extracted from the changeset comment, every point attributed to each
+  * of its hashtags, and per-hashtag density rasters committed to the
+  * tile store under (sequence, hashtag) — the hashtag IS the MVT layer
+  * name, so one tile file carries every campaign's footprint and each
+  * (tile, sequence) commit stays idempotent under replay. */
+object HashtagFootprintPipeline {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  import graft.functions.sequenceToTimestamp
+
+  def run(spark: SparkSession, diffDir: String, csDir: String,
+          endSequence: Long, tileDir: String, checkpointDir: String,
+          zoom: Int = 3, cells: Int = 8): Unit = {
+    val changes = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "augdiff").option("payloadDir", diffDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+      .filter(col("error").isNull && col("lon").isNotNull &&
+        col("lat").isNotNull)
+      .select(col("sequence"), col("changeset"), col("lon"), col("lat"))
+      .withColumn("event_ts", sequenceToTimestamp(col("sequence")))
+      .withWatermark("event_ts", "0 seconds")
+    val meta = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "changesets").option("payloadDir", csDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+      .filter(col("error").isNull)
+      .select(col("id").as("changeset"), col("created_at"),
+        graft.functions.hashtags(coalesce(
+          col("tags").getItem("comment"), lit(""))).as("hashtags"))
+      .withWatermark("created_at", "25 hours")
+    val joined = changes.join(meta, Seq("changeset"), "inner")
+      .filter(col("created_at") <= col("event_ts") &&
+        col("event_ts") <= col("created_at") + expr("INTERVAL 25 HOURS"))
+      .select(col("sequence"), col("lon"), col("lat"),
+        explode(col("hashtags")).as("hashtag"))
+    val q = joined.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch.withColumn("key",
+          concat(col("sequence").cast("string"), lit(":"), col("hashtag")))
+        val rasters = graft.operators.Tiles.rasterize(
+          pts, "key", "lon", "lat", zoom, cells)
+        graft.sinks.TileSink.writeSequencedRasters(rasters, tileDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+}
+
 /** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
   * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
 object TilePyramidApp {

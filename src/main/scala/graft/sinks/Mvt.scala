@@ -389,13 +389,47 @@ object Mvt {
     * here). */
   def commitTile(store: ObjectStore, z: Int, x: Long, y: Long, layer: String,
                  features: Seq[Feature], sequence: Long,
-                 extent: Int, schema: MergeSchema): Boolean = {
+                 extent: Int, schema: MergeSchema): Boolean =
+    commitTileLayers(store, z, x, y, Seq(layer -> features), sequence,
+      extent, schema)
+
+  /** Multi-layer commit: every layer a sequence touches merges in ONE
+    * read-modify-write under one `__sequences__` mark. The guard is
+    * per-TILE, so a sequence carrying several layers (e.g. one footprint
+    * layer per hashtag) must land atomically — committing them as
+    * separate calls would mark the sequence on the first layer and
+    * silently no-op the rest. */
+  def commitTileLayers(store: ObjectStore, z: Int, x: Long, y: Long,
+                       layerFeatures: Seq[(String, Seq[Feature])],
+                       sequence: Long, extent: Int = 4096,
+                       schema: MergeSchema = SumSchema): Boolean = {
     val existing = readTile(store, z, x, y).getOrElse(Seq.empty)
     val committed = sequencesOf(existing)
     if (committed.contains(sequence)) return false // already applied
-    val existingLayer = existing.find(_.name == layer)
-    val existingFeatures = existingLayer.toSeq.flatMap(_.features)
-    val mergedFeatures: Seq[Feature] = schema match {
+    val touched = layerFeatures.map(_._1).toSet
+    val mergedLayers = layerFeatures.map { case (layer, features) =>
+      val existingFeatures =
+        existing.find(_.name == layer).toSeq.flatMap(_.features)
+      Layer(layer, extent, mergeLayer(existingFeatures, features, schema))
+    }
+    val newSeqs = (committed + sequence).toSeq.sorted.takeRight(MaxTrackedSequences)
+    val seqLayer = Layer(SequencesLayerName, extent,
+      newSeqs.zipWithIndex.map { case (s, i) =>
+        Feature(i + 1, 1, Seq(MoveTo(Seq((0, 0)))), Map("sequence" -> MLong(s)))
+      })
+    val others = existing.filterNot(l =>
+      touched.contains(l.name) || l.name == SequencesLayerName)
+    writeTile(store, z, x, y, (others ++ mergedLayers) :+ seqLayer)
+    true
+  }
+
+  /** Same-id feature merge for one layer per `schema` (default: MLong
+    * tags summed — the reference's density-sum replacement,
+    * EditHistogram.scala:101-127). */
+  private def mergeLayer(existingFeatures: Seq[Feature],
+                         features: Seq[Feature],
+                         schema: MergeSchema): Seq[Feature] =
+    schema match {
       case HistorySchema => mergeHistory(existingFeatures, features)
       case UrchnSchema =>
         val byKey = mutable.LinkedHashMap.empty[String, Feature]
@@ -438,15 +472,5 @@ object Mvt {
         }
         byId.values.toSeq
     }
-    val newSeqs = (committed + sequence).toSeq.sorted.takeRight(MaxTrackedSequences)
-    val seqLayer = Layer(SequencesLayerName, extent,
-      newSeqs.zipWithIndex.map { case (s, i) =>
-        Feature(i + 1, 1, Seq(MoveTo(Seq((0, 0)))), Map("sequence" -> MLong(s)))
-      })
-    val others = existing.filterNot(l =>
-      l.name == layer || l.name == SequencesLayerName)
-    writeTile(store, z, x, y,
-      others :+ Layer(layer, extent, mergedFeatures) :+ seqLayer)
-    true
-  }
+
 }

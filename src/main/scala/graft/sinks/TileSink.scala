@@ -46,15 +46,22 @@ object TileSink {
     tiles.groupByKey(r => (r.zoom, r.x, r.y))
       .mapGroups { (tile: (Int, Long, Long), rs: Iterator[Raster]) =>
         val (z, x, y) = tile
+        // ALL of a sequence's layers commit in one read-modify-write:
+        // the __sequences__ guard is per tile, so per-layer calls would
+        // mark the sequence on the first layer and no-op the rest
         rs.toSeq.map { r =>
           val Array(seq, layer) = r.key.split(":", 2)
           (seq.toLong, layer, r)
-        }.sortBy(_._1).map { case (seq, layer, r) =>
-          if (Mvt.commitTile(store, z, x, y, layer, featuresOf(r), seq,
-            4096, Mvt.SumSchema)) 1L
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (seq, group) =>
+          val layerFeatures = group.sortBy(_._2)
+            .map { case (_, layer, r) => layer -> featuresOf(r) }
+          if (Mvt.commitTileLayers(store, z, x, y, layerFeatures, seq)) 1L
           else 0L
         }.sum
-      }.reduce(_ + _)
+      }.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("value"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0) // agg, not reduce: an empty micro-batch is 0 tiles
   }
 
   private def featuresOf(r: Raster): Seq[Mvt.Feature] =
@@ -86,6 +93,9 @@ object TileSink {
         val written = futures.map(_.get(120, TimeUnit.SECONDS)).sum
         Iterator.single(written)
       } finally pool.shutdown()
-    }.reduce(_ + _)
+    }.agg(org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.sum("value"),
+      org.apache.spark.sql.functions.lit(0L)))
+    .head().getLong(0) // agg, not reduce: empty input is 0 tiles
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.Mvt
+
+/** Streaming hashtag footprints end to end (reference
+  * HashtagFootprintUpdater): augdiff + changesets wire fixtures →
+  * stream-stream join → hashtag explode → per-hashtag tile layers,
+  * idempotent under full replay. */
+class HashtagFootprintSpec extends SparkSpec {
+
+  private def diffLine(id: Long, cs: Long, lon: Double, lat: Double): String =
+    s"""{"new": {"type": "Feature", "geometry": {"type": "Point", "coordinates": [$lon, $lat]}, """ +
+      s""""properties": {"type": "node", "id": $id, "version": 1, "updated": "2012-09-12T08:20:00Z", """ +
+      s""""visible": true, "changeset": $cs, "uid": 1, "user": "u", "tags": {}}}}"""
+
+  private def csXml(id: Long, comment: String): String =
+    s"""<osm><changeset id="$id" created_at="2012-09-12T08:10:00Z"
+       | open="false" user="u" uid="1">
+       |  <tag k="comment" v="$comment"/>
+       |</changeset></osm>""".stripMargin
+
+  test("hashtag footprints: join, explode, per-hashtag layers, replay no-op") {
+    val diffDir = Files.createTempDirectory("graft-hf-diff").toString
+    val csDir = Files.createTempDirectory("graft-hf-cs").toString
+    // seq 0: two nodes in changeset 900 (#mapA #mapB), one in 901 (#mapA)
+    Files.writeString(Paths.get(diffDir, "0.json"),
+      Seq(diffLine(1, 900, 20.0, 10.0), diffLine(2, 900, 20.0, 10.0),
+        diffLine(3, 901, 20.0, 10.0)).mkString("\n"))
+    Files.writeString(Paths.get(csDir, "0.xml"),
+      csXml(900, "drive #mapA #mapB") + "\n")
+    // seq 1: one more 901 node at the same cell
+    Files.writeString(Paths.get(diffDir, "1.json"), diffLine(4, 901, 20.0, 10.0))
+    Files.writeString(Paths.get(csDir, "1.xml"), csXml(901, "only #mapA"))
+
+    val tiles = Files.createTempDirectory("graft-hf-tiles").toString
+    def run(ckpt: String): Unit = apps.HashtagFootprintPipeline.run(
+      spark, diffDir, csDir, endSequence = 1L, tiles, ckpt)
+    run(Files.createTempDirectory("graft-hf-ckpt").toString)
+
+    // point (20, 10) at zoom 3 / 8 cells: global pixel (35, 28)
+    val layers = Mvt.readTile(tiles, 3, 4, 3).get
+    def density(layer: String): Long =
+      layers.find(_.name == layer).toSeq
+        .flatMap(_.features.flatMap(_.tags.get("density")))
+        .collect { case Mvt.MLong(v) => v }.sum
+    // mapA: 2 (cs900) + 1 (cs901 seq0) + 1 (cs901 seq1); mapB: cs900 only
+    density("mapa") shouldBe 4L
+    density("mapb") shouldBe 2L
+
+    // full replay with a fresh checkpoint: both sequences re-deliver,
+    // every (tile, sequence) commit no-ops
+    run(Files.createTempDirectory("graft-hf-ckpt2").toString)
+    val again = Mvt.readTile(tiles, 3, 4, 3).get
+    again.find(_.name == "mapa").get.features
+      .flatMap(_.tags.get("density")) shouldBe
+      layers.find(_.name == "mapa").get.features
+        .flatMap(_.tags.get("density"))
+    density("mapa") shouldBe 4L
+  }
+}

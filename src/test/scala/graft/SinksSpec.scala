@@ -111,6 +111,35 @@ class SinksSpec extends SparkSpec {
     feat.commands shouldBe Seq(Mvt.MoveTo(Seq((2, 2))))
   }
 
+  test("commitTileLayers: one sequence's layers land atomically under one mark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-multilayer").toString
+    def f(v: Long) = Seq(Mvt.Feature(1L, 1,
+      Seq(Mvt.MoveTo(Seq((1, 1)))), Map("density" -> Mvt.MLong(v))))
+    val store = new graft.sinks.LocalFsStore(dir)
+    Mvt.commitTileLayers(store, 2, 1, 1,
+      Seq("alpha" -> f(3), "beta" -> f(5)), sequence = 1L) shouldBe true
+    def density(layer: String): Long =
+      Mvt.readTile(dir, 2, 1, 1).get.find(_.name == layer).get
+        .features.flatMap(_.tags.get("density"))
+        .collect { case Mvt.MLong(v) => v }.sum
+    density("alpha") shouldBe 3L
+    density("beta") shouldBe 5L
+    // replay: whole multi-layer commit is one no-op
+    Mvt.commitTileLayers(store, 2, 1, 1,
+      Seq("alpha" -> f(3), "beta" -> f(5)), sequence = 1L) shouldBe false
+    density("alpha") shouldBe 3L
+    // a later sequence touching ONE of the layers merges it, leaves the
+    // other untouched
+    Mvt.commitTileLayers(store, 2, 1, 1,
+      Seq("alpha" -> f(2)), sequence = 2L) shouldBe true
+    density("alpha") shouldBe 5L
+    density("beta") shouldBe 5L
+    // the per-layer single call (commitTile) would have no-opped the
+    // second layer of sequence 1 — the bug this API exists to prevent:
+    Mvt.commitTile(dir, 2, 2, 2, "alpha", f(3), 1L) shouldBe true
+    Mvt.commitTile(dir, 2, 2, 2, "beta", f(5), 1L) shouldBe false
+  }
+
   test("HistorySchema: newer generation retires the valid one via __validUntil") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
     def gen(fid: Long, version: Long, updated: Long) =
