@@ -663,6 +663,16 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- hard-negative mining: top-k cross-label near-misses per query
+    //      (contrastive-training prep; broadcast queries, label gate
+    //      before ranking)
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Similarity.hardNegatives(
+          emb, emb.filter(col("vec_id") % 100 === 0), k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- text analysis -------------------------------------------------
     "q_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1728,6 +1738,25 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.45
          |ORDER BY ia, ib""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |      FROM e WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+         |    floor((${cosSql("qv", "e.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM e JOIN q ON q.q_id <> e.vec_id AND q.q_label <> e.label),
+         |ranked AS (
+         |  SELECT q_id, q_label, n_id, n_label, cos_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_r DESC, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, q_label, n_id, n_label, cos_r, rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH e AS (

@@ -83,6 +83,35 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k highest-cosine corpus neighbors carrying a DIFFERENT label —
+    * the near-misses a contrastive loss learns the most from. Same
+    * broadcast-query / streaming-corpus shape as [[bruteForceTopK]]
+    * (the label filter drops candidates before ranking, so the window
+    * state is per-query top-k only); at retrieval scale substitute the
+    * IVF/LSH candidate generators for the dense scan — the label gate
+    * composes unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "n_id", "nv", "nn")
+      .join(corpus.select(col(idCol).as("n_id"),
+        col(labelCol).as("n_label")), Seq("n_id"))
+    val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "nq")
+      .join(queries.select(col(idCol).as("q_id"),
+        col(labelCol).as("q_label")), Seq("q_id"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos_r", stableRound(
+        expr("dot_prod(qv, nv)") / sqrt(col("nq") * col("nn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"),
+        col("n_label"), col("cos_r"), col("rnk"))
+  }
+
   /** floor-based stable rounding, token-identical to
     * [[graft.geo.Geodesy.stableRound]] and the oracle SQL. */
   private def stableRoundD(x: Double, k: Int): Double = {
