@@ -427,14 +427,16 @@ object Similarity {
     * arithmetic is exact-deterministic given the input floats, so the
     * operator is oracle-checkable. Returns (codes ARRAY<INT>, scale
     * DOUBLE) — dequantize as code/scale. */
+  def quantizeInt8(v: Seq[Float]): (Seq[Int], Double) = {
+    var m = 0.0
+    v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+    if (m == 0.0) (v.map(_ => 0), 0.0)
+    else {
+      val scale = 127.0 / m
+      (v.map(x => math.floor(x.toDouble * scale + 0.5).toInt), scale)
+    }
+  }
+
   val quantizeInt8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Float]) => {
-      var m = 0.0
-      v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
-      if (m == 0.0) (v.map(_ => 0), 0.0)
-      else {
-        val scale = 127.0 / m
-        (v.map(x => math.floor(x.toDouble * scale + 0.5).toInt), scale)
-      }
-    })
+    udf(quantizeInt8 _)
 }

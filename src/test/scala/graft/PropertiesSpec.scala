@@ -2,8 +2,10 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
+import graft.operators.Similarity
 import graft.sinks.{Mvt, UpsertSink}
 import graft.functions.TextFunctions
+import graft.streaming.SequenceFetcher
 
 /** Property tests (ScalaCheck driven directly — scalatestplus bridge is
   * not in the offline cache) over the pure implementation functions:
@@ -106,6 +108,35 @@ class PropertiesSpec extends SparkSpec {
       val toks = TextFunctions.tokensScala(text)
       val sh = TextFunctions.shinglesScala(toks, 3)
       sh.length <= math.max(toks.length - 2, 0)
+    })
+  }
+
+  test("int8 quantization laws: bounded codes, signs kept, max hits ±127, round-trip") {
+    val genVec = Gen.nonEmptyListOf(
+      Gen.chooseNum(-1e6f, 1e6f).suchThat(f => !f.isNaN))
+    check(Prop.forAll(genVec) { v =>
+      val (codes, scale) = Similarity.quantizeInt8(v)
+      val m = v.map(x => math.abs(x.toDouble)).max
+      if (m == 0.0) codes.forall(_ == 0) && scale == 0.0
+      else {
+        codes.forall(c => c >= -127 && c <= 127) &&
+          v.zip(codes).forall { case (x, c) =>
+            (c == 0 || (c > 0) == (x > 0)) &&       // sign preserved
+              math.abs(x.toDouble - c / scale) <= 0.5 / scale + 1e-9
+          } &&
+          codes.map(math.abs).max == 127            // max magnitude saturates
+      }
+    })
+  }
+
+  test("replication state parser never throws and accepts both formats") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { junk =>
+      SequenceFetcher.parseState(junk) // total on arbitrary input
+      true
+    })
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { n =>
+      SequenceFetcher.parseState(s"#ts\nsequenceNumber=$n\n") == Some(n) &&
+        SequenceFetcher.parseState(s" $n \n") == Some(n)
     })
   }
 }
