@@ -2061,10 +2061,10 @@ object SparkEntry {
         |    sum(n_chars) OVER (PARTITION BY doc_id // 100
         |                       ORDER BY doc_id) AS cum
         |  FROM documents)
-        |SELECT doc_id, shard, n_chars AS cost,
-        |  (cum - n_chars) // 4096 AS first_bin,
-        |  (cum - 1) // 4096 AS last_bin,
-        |  (cum - n_chars) % 4096 AS bin_offset
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_chars AS cost,
+        |  CAST((cum - n_chars) // 4096 AS BIGINT) AS first_bin,
+        |  CAST((cum - 1) // 4096 AS BIGINT) AS last_bin,
+        |  CAST((cum - n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
@@ -2075,7 +2075,7 @@ object SparkEntry {
         |    CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
         |              WHEN 'fr' THEN 0.25 ELSE 0.1 END AS rate
         |  FROM documents)
-        |SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM b WHERE bucket < CAST(floor(rate * 10000) AS BIGINT)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 

@@ -199,13 +199,17 @@ object ChangesetMetadataPipeline {
 
 /** Streaming hashtag-footprint updater (reference
   * HashtagFootprintUpdater): augmented-diff geometries stream-stream
-  * joined to changeset metadata under the reference watermarks (0 s on
-  * diffs, 25 h on changesets — open-changeset lifetime), hashtags
-  * extracted from the changeset comment, every point attributed to each
-  * of its hashtags, and per-hashtag density rasters committed to the
-  * tile store under (sequence, hashtag) — the hashtag IS the MVT layer
-  * name, so one tile file carries every campaign's footprint and each
-  * (tile, sequence) commit stays idempotent under replay. */
+  * joined to changeset metadata. The reference watermarks BOTH streams
+  * at 25 hours (HashtagFootprintUpdater.scala:176,185); here the diff
+  * side is watermarked at 0 s — a deliberate deviation: diff events
+  * carry the sequence-derived timestamp, which never arrives late, so
+  * the tighter bound drops join state sooner without losing rows.
+  * Hashtags are merged from the changeset comment AND the `hashtags`
+  * tag (reference merges both via merge_sets), every point attributed
+  * to each of its hashtags, and per-hashtag density rasters committed
+  * to the tile store under (sequence, hashtag) — the hashtag IS the MVT
+  * layer name, so one tile file carries every campaign's footprint and
+  * each (tile, sequence) commit stays idempotent under replay. */
 object HashtagFootprintPipeline {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
@@ -232,8 +236,11 @@ object HashtagFootprintPipeline {
       .load()
       .filter(col("error").isNull)
       .select(col("id").as("changeset"), col("created_at"),
-        graft.functions.hashtags(coalesce(
-          col("tags").getItem("comment"), lit(""))).as("hashtags"))
+        graft.functions.mergeSets(
+          graft.functions.hashtags(coalesce(
+            col("tags").getItem("comment"), lit(""))),
+          graft.functions.hashtags(coalesce(
+            col("tags").getItem("hashtags"), lit("")))).as("hashtags"))
       .withWatermark("created_at", "25 hours")
     val joined = changes.join(meta, Seq("changeset"), "inner")
       .filter(col("created_at") <= col("event_ts") &&

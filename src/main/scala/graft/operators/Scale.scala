@@ -20,12 +20,16 @@ object Scale {
     * key still funnels to one reducer without salting. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 resultCol: String, buckets: Int = 16): DataFrame = {
-    // deterministic salt (hash of the row's own columns, not
-    // monotonically_increasing_id): stage-1 partials land in the same
-    // bucket under task retry / AQE re-planning, so replays are stable
-    // — not just the final associative sum
+    // salt = per-partition row counter (low bits of
+    // monotonically_increasing_id), NOT a hash of the row's columns:
+    // fully-identical rows — the duplicate-heavy hot-key shape salting
+    // exists for — must spread round-robin instead of collapsing back
+    // into one bucket, and hashing every column would also reject
+    // MapType schemas. Replay stability comes from the final associative
+    // sum: whatever buckets a retried task picks, stage 2 adds the same
+    // multiset of values per key.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

@@ -270,7 +270,11 @@ class JdbcUpsertStore(url: String) extends UpsertStore with MetadataStore {
           "INSERT INTO users (id, name) VALUES (?, ?)")
         ins.setLong(1, id); ins.setString(2, name)
         ins.executeUpdate(); ins.close()
-      case Some(old) if updateUsernames && old != Option(name) =>
+      // name != null: an incoming row with no username must never erase
+      // a known one — the PG-dialect predicate (u.name != data.name)
+      // never fires on NULL, and the live store must agree with it
+      case Some(old) if updateUsernames && name != null
+          && old != Option(name) =>
         val upd = conn.prepareStatement(
           "UPDATE users SET name = ? WHERE id = ?")
         upd.setString(1, name); upd.setLong(2, id)

@@ -65,11 +65,14 @@ class LocalFsStore(root: String) extends ObjectStore {
   override def list(prefix: String): Seq[String] = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
-    Files.walk(rootPath).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => rootPath.relativize(p).iterator().asScala.mkString("/"))
-      .filter(k => k.startsWith(prefix) && !k.endsWith(".tmp"))
-      .toSeq.sorted
+    val walk = Files.walk(rootPath) // must be closed, per Files.walk javadoc
+    try {
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => rootPath.relativize(p).iterator().asScala.mkString("/"))
+        .filter(k => k.startsWith(prefix) && !k.endsWith(".tmp"))
+        .toVector.sorted
+    } finally walk.close()
   }
 }
 

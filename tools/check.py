@@ -14,6 +14,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_type(t):
+    """Normalize a DuckDB type string to the driver's sensitivity.
+
+    The driver's hash tolerates signed-int WIDTH drift (Spark INT vs
+    DuckDB BIGINT both hash as the same int value) but NOT HUGEINT —
+    int128 leaves the int64 value domain (round-3 lesson: a windowed
+    sum() typed HUGEINT with bit-identical values failed the driver).
+    So widths within int64 collapse; HUGEINT and everything else stay
+    distinct. Applied recursively inside LIST/STRUCT type strings.
+    """
+    out = t
+    for w in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        out = out.replace(w, "INT64")
+    return out
+
+
 def canon(rows):
     out = []
     for r in rows:
@@ -47,18 +63,30 @@ def main():
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got_rel.columns)
-            got = con.sql(
-                f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall()
+            got_proj = con.sql(f"SELECT {', '.join(got_cols)} FROM got_rel")
+            got_types = [canon_type(str(t)) for t in got_proj.types]
+            got = got_proj.fetchall()
             exp_rel = con.sql(sql)
             exp_cols = sorted(exp_rel.columns)
-            exp = con.sql(
-                f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall()
+            exp_proj = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp_rel")
+            exp_types = [canon_type(str(t)) for t in exp_proj.types]
+            exp = exp_proj.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive (round-3 lesson: DuckDB
+        # HUGEINT vs Spark BIGINT fails it with identical values), so the
+        # local gate must be at least as strict: compare DuckDB-inferred
+        # column types, not just stringified values.
+        if got_types != exp_types:
+            diffs = [(c, g, e) for c, g, e
+                     in zip(got_cols, got_types, exp_types) if g != e]
+            print(f"FAIL {name}: type mismatch {diffs}")
             n_fail += 1
             continue
         if len(got) != len(exp):
