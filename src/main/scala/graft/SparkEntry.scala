@@ -920,6 +920,14 @@ object SparkEntry {
           budget = 4096L, shardSize = 100L)
         .orderBy(col("doc_id"))),
 
+    // ---- same layout with globally contiguous bin ids (two-pass:
+    //      per-shard bin counts -> prefix sum -> broadcast offset join)
+    "q_pack_sequences_global" -> ((s, dir) =>
+      operators.Sampling.packSequencesGlobal(
+          Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+          budget = 4096L, shardSize = 100L)
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
     //      partitionings)
@@ -2066,6 +2074,29 @@ object SparkEntry {
         |  CAST((cum - 1) // 4096 AS BIGINT) AS last_bin,
         |  CAST((cum - n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences_global" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 100 AS shard, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY doc_id // 100
+        |                       ORDER BY doc_id) AS cum
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, max((cum - 1) // 4096) + 1 AS n_bins
+        |  FROM c GROUP BY shard),
+        |o AS (
+        |  SELECT shard,
+        |    coalesce(sum(n_bins) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_start
+        |  FROM b)
+        |SELECT c.doc_id, CAST(c.shard AS BIGINT) AS shard,
+        |  c.n_chars AS cost,
+        |  CAST((c.cum - c.n_chars) // 4096 + o.bin_start AS BIGINT)
+        |    AS first_bin,
+        |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
+        |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
+        |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

@@ -69,4 +69,36 @@ object Sampling {
         floor((col("__cum") - 1) / budget).cast(LongType).as("last_bin"),
         ((col("__cum") - costCol) % budget).cast(LongType).as("bin_offset"))
   }
+
+  /** [[packSequences]] with GLOBALLY contiguous bin ids: a second,
+    * cheap pass turns the per-shard bin space into one global space so
+    * consumers key batches by a single `bin` id instead of
+    * (shard, bin).
+    *
+    * Pass 2 aggregates one row PER SHARD (id-space/shardSize rows, not
+    * per-document), prefix-sums those bin counts with a single-partition
+    * window — safe precisely because its input is already tiny — and
+    * broadcast-joins the per-shard `bin_start` offset back onto the
+    * per-document layout. No global per-document serial window ever
+    * runs; shards still pack independently, so each shard's final bin
+    * stays underfilled (the usual sharded-packer tail waste) but bin
+    * ids are dense: shard s owns [bin_start(s), bin_start(s)+n_bins(s)).
+    */
+  def packSequencesGlobal(df: DataFrame, idCol: Column, costCol: Column,
+                          budget: Long,
+                          shardSize: Long = 10000L): DataFrame = {
+    val local = packSequences(df, idCol, costCol, budget, shardSize)
+    val counts = local.groupBy(col("shard"))
+      .agg((max(col("last_bin")) + 1L).as("__n_bins"))
+    val wPrefix = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("shard"),
+      coalesce(sum(col("__n_bins")).over(wPrefix), lit(0L))
+        .cast(LongType).as("__bin_start"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"), col("cost"),
+        (col("first_bin") + col("__bin_start")).as("first_bin"),
+        (col("last_bin") + col("__bin_start")).as("last_bin"),
+        col("bin_offset"))
+  }
 }

@@ -95,6 +95,57 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("global packing equals the single-window layout when one shard holds all") {
+    val docs = (0L until 500L).map(i => (i, 1 + (i * 41) % 900))
+      .toDF("doc_id", "n_tok")
+    // one shard covering the whole id space: the sharded two-pass layout
+    // must equal a genuinely global single-window cumsum
+    val global = Sampling.packSequencesGlobal(docs, col("doc_id"),
+        col("n_tok"), budget = 2048L, shardSize = 1000000L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val single = Sampling.packSequences(docs, col("doc_id"), col("n_tok"),
+        budget = 2048L, shardSize = 1000000L)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    global shouldBe single
+  }
+
+  test("global packing: bin ids are dense and shards own disjoint ranges") {
+    val docs = (0L until 1000L).map(i => (i, 1 + (i * 37) % 800))
+      .toDF("doc_id", "n_tok")
+    val local = Sampling.packSequences(docs, col("doc_id"), col("n_tok"),
+        budget = 2048L, shardSize = 250L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val global = Sampling.packSequencesGlobal(docs, col("doc_id"),
+        col("n_tok"), budget = 2048L, shardSize = 250L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // dense global bin space: every id in [0, maxBin] is some doc's bin
+    val allBins = global.flatMap(r => r._4 to r._5).toSet
+    allBins shouldBe (0L to global.map(_._5).max).toSet
+    // within a shard the layout is the local one, rigidly shifted
+    val localByShard = local.groupBy(_._2)
+    val shardStarts = global.groupBy(_._2).map { case (shard, rows) =>
+      val shift = rows.map(_._4).min - localByShard(shard).map(_._4).min
+      rows.sortBy(_._1).map(r => (r._1, r._3, r._4 - shift, r._5 - shift,
+        r._6)) shouldBe
+        localByShard(shard).sortBy(_._1)
+          .map(r => (r._1, r._3, r._4, r._5, r._6))
+      shard -> (rows.map(_._4).min, rows.map(_._5).max)
+    }
+    // shard ranges are disjoint and ordered by shard id
+    shardStarts.toSeq.sortBy(_._1).map(_._2)
+      .sliding(2).foreach {
+        case Seq((_, hiPrev), (loNext, _)) => loNext shouldBe hiPrev + 1
+        case _ => ()
+      }
+    // partitioning-invariant like the local layout
+    val re = Sampling.packSequencesGlobal(docs.repartition(13),
+        col("doc_id"), col("n_tok"), budget = 2048L, shardSize = 250L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    re.sortBy(_._1) shouldBe global.sortBy(_._1)
+  }
+
   test("int8 quantization: codes bounded, round-trip error within half a step") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
