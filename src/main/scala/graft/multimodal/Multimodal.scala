@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partitioning, batched invocation
   * shape (the Scala analog of `mapInPandas` batches) — is real and
-  * tested. IMAGE decode is real too ([[decodeImage]]: JDK-builtin
-  * ImageIO, pixel-stat features). Audio/video decode remains STUBBED
-  * ([[decodeStub]]): no audio/video codec ships in the JRE, so the stub
-  * derives a deterministic feature vector from payload bytes; swapping
-  * in a real decoder (JavaCV / ffmpeg-cli) only changes that one
-  * function.
+  * tested. IMAGE decode is real ([[decodeImage]]: JDK-builtin ImageIO,
+  * pixel-stat features) and so is WAV/PCM AUDIO decode ([[decodeAudio]]:
+  * JDK-builtin `javax.sound.sampled`, sample-stat features). Only
+  * VIDEO and compressed-audio decode remain STUBBED ([[decodeStub]]):
+  * no such codec ships in the JRE, so the stub derives a deterministic
+  * feature vector from payload bytes; swapping in a real decoder
+  * (JavaCV / ffmpeg-cli) only changes that one function.
   *
   * Scale notes: payloads never shuffle — feature extraction is a narrow
   * mapPartitions; only the (id, features) projection flows downstream.
@@ -37,15 +38,19 @@ object Multimodal {
   ))
 
   /** Deterministic synthetic assets. Image payloads are REAL PNGs
-    * (rendered + encoded via the JDK's ImageIO, so the decode path runs
-    * for real); audio/video payloads stay deterministic byte ramps
-    * (those decoders are the remaining stub). */
+    * (rendered + encoded via the JDK's ImageIO) and audio payloads are
+    * REAL WAVs (16-bit PCM sine via javax.sound.sampled), so both
+    * decode paths run for real; video payloads stay deterministic byte
+    * ramps (that decoder is the remaining stub). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val payload =
-        if (kind == "image") renderPng(i.toLong)
-        else Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
+      val payload = kind match {
+        case "image" => renderPng(i.toLong)
+        case "audio" => renderWav(i.toLong)
+        case _ =>
+          Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
+      }
       val meta = kind match {
         case "image" => Row(64, 48, null, null, "png")
         case "audio" => Row(null, null, 16000, null, "wav")
@@ -120,6 +125,83 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Render a deterministic sine tone and encode it as a WAV payload
+    * (16-bit signed PCM mono, little-endian — JDK-builtin encoder, no
+    * external dependency). `amp` in [0,1]; seeds pick the frequency. */
+  def renderWav(seed: Long, sampleRate: Int = 16000, nFrames: Int = 1600,
+                amp: Double = 0.5): Array[Byte] = {
+    val freq = 220.0 + (seed % 8).toDouble * 110.0
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = math.rint(
+        amp * math.sin(2 * math.Pi * freq * i / sampleRate) * 32767.0).toInt
+      val c = math.max(-32768, math.min(32767, s))
+      data(2 * i) = (c & 0xFF).toByte
+      data(2 * i + 1) = ((c >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode for WAV/PCM via JDK-builtin `javax.sound.sampled`
+    * (no external codec needed for RIFF-WAVE carrying 16-bit signed
+    * PCM). Returns 8 sample-stat features —
+    * [duration_s, sample_rate, channels, rms, peak, clip_rate,
+    * zero_cross_rate, mean_abs] (amplitudes normalized to [0,1]) —
+    * or None when the payload is not decodable PCM (corrupt container,
+    * compressed codec, or non-16-bit encoding → caller falls back to
+    * [[decodeStub]], mirroring the image path's corrupt handling). */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val channels = fmt.getChannels
+          val nSamples = bytes.length / 2
+          var i = 0
+          var sum2 = 0.0; var sumAbs = 0.0; var peak = 0.0
+          var clips = 0L; var zc = 0L; var prevSign = 0
+          while (i + 1 < bytes.length) {
+            val s: Int =
+              if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort.toInt
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort.toInt
+            val x = s / 32768.0
+            val ax = math.abs(x)
+            sum2 += x * x; sumAbs += ax
+            if (ax > peak) peak = ax
+            if (s == Short.MaxValue.toInt || s == Short.MinValue.toInt)
+              clips += 1
+            val sign = Integer.signum(s)
+            if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+            if (sign != 0) prevSign = sign
+            i += 2
+          }
+          val n = math.max(1, nSamples).toDouble
+          val frames = nSamples.toDouble / channels
+          Some(Array(
+            (frames / fmt.getSampleRate).toFloat, fmt.getSampleRate,
+            channels.toFloat, math.sqrt(sum2 / n).toFloat, peak.toFloat,
+            (clips / n).toFloat, (zc / n).toFloat, (sumAbs / n).toFloat))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload
     * bytes so the pipeline shape is testable end-to-end. */
@@ -141,8 +223,9 @@ object Multimodal {
   /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>,
     * decoded BOOLEAN). Partition-local, batch-at-a-time — the
     * mapInPandas shape. Images run the REAL ImageIO decode (pixel
-    * stats); a corrupt image (or any audio/video payload) falls back to
-    * the byte-derived stub with `decoded = false`. */
+    * stats) and audio runs the REAL WAV/PCM decode (sample stats); a
+    * corrupt/undecodable payload (or any video) falls back to the
+    * byte-derived stub with `decoded = false`. */
   def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -152,8 +235,11 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch setup happens HERE in a real decoder (codec/model init)
           batch.map { case (id, kind, payload) =>
-            val decoded =
-              if (kind == "image") decodeImage(payload) else None
+            val decoded = kind match {
+              case "image" => decodeImage(payload)
+              case "audio" => decodeAudio(payload)
+              case _       => None
+            }
             (id, kind, decoded.getOrElse(decodeStub(kind, payload)),
               decoded.isDefined)
           }
@@ -211,10 +297,13 @@ object Multimodal {
   def assetQuality(assets: DataFrame): DataFrame = {
     val statsUdf = udf((payload: Array[Byte]) => byteStats(payload))
     val sniffUdf = udf((payload: Array[Byte]) => sniffFormat(payload))
-    // deep check for images: does the payload actually decode? (catches
-    // corrupt files whose magic numbers still sniff correctly)
-    val decodesUdf = udf((kind: String, payload: Array[Byte]) =>
-      kind == "image" && decodeImage(payload).isDefined)
+    // deep check for images + audio: does the payload actually decode?
+    // (catches corrupt files whose magic numbers still sniff correctly)
+    val decodesUdf = udf((kind: String, payload: Array[Byte]) => kind match {
+      case "image" => decodeImage(payload).isDefined
+      case "audio" => decodeAudio(payload).isDefined
+      case _       => false
+    })
     assets
       .withColumn("bs", statsUdf(col("payload")))
       .withColumn("sniffed", sniffUdf(col("payload")))

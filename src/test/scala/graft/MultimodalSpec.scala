@@ -15,9 +15,10 @@ class MultimodalSpec extends SparkSpec {
     val img = assets.filter(col("kind") === "image").select(col("meta.width"))
       .as[Int].head
     img shouldBe 64
-    val audioLen = assets.filter(col("kind") === "audio")
-      .select(expr("length(payload)")).as[Int].head
-    audioLen shouldBe 256
+    // audio payloads are REAL WAV containers now
+    val audioBytes = assets.filter(col("kind") === "audio")
+      .select(col("payload")).as[Array[Byte]].head
+    Multimodal.sniffFormat(audioBytes) shouldBe "wav"
   }
 
   test("extractFeatures is deterministic, batched, and keeps every row") {
@@ -32,13 +33,14 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String, Seq[Float], Boolean)].collect()
     a shouldBe b
     a.head._3.length shouldBe 8
-    // images went through the REAL decoder; audio/video are the stub
+    // images AND audio went through their REAL decoders; video is the stub
     a.filter(_._2 == "image").forall(_._4) shouldBe true
-    a.filterNot(_._2 == "image").exists(_._4) shouldBe false
+    a.filter(_._2 == "audio").forall(_._4) shouldBe true
+    a.filter(_._2 == "video").exists(_._4) shouldBe false
     // stub path matches the stub called directly (plumbing adds nothing)
-    val audioPayload =
-      Array.tabulate[Byte](256)(j => ((1 * 31 + j * 7) % 256).toByte)
-    a(1)._3.toArray shouldBe Multimodal.decodeStub("audio", audioPayload)
+    val videoPayload =
+      Array.tabulate[Byte](256)(j => ((2 * 31 + j * 7) % 256).toByte)
+    a(2)._3.toArray shouldBe Multimodal.decodeStub("video", videoPayload)
   }
 
   test("decodeImage: real PNG round-trip yields exact pixel stats") {
@@ -91,6 +93,55 @@ class MultimodalSpec extends SparkSpec {
     q(1).getBoolean(2) shouldBe true
   }
 
+  test("decodeAudio: real WAV round-trip yields sample-derived features") {
+    // half-amplitude sine: rms = amp/sqrt(2), peak = amp, no clipping
+    val wav = Multimodal.renderWav(0L, sampleRate = 16000, nFrames = 1600,
+      amp = 0.5)
+    val f = Multimodal.decodeAudio(wav).get
+    f(0) shouldBe 0.1f +- 1e-4f      // duration: 1600 frames / 16 kHz
+    f(1) shouldBe 16000.0f           // sample rate
+    f(2) shouldBe 1.0f               // mono
+    f(3) shouldBe (0.5f / math.sqrt(2.0).toFloat) +- 0.01f // rms
+    f(4) shouldBe 0.5f +- 0.01f      // peak
+    f(5) shouldBe 0.0f               // no clipped samples
+    // 220 Hz over 0.1 s ≈ 44 zero crossings / 1600 samples
+    f(6) shouldBe (44.0f / 1600) +- 0.005f
+    // full-scale amplitude drives samples onto the clip rails
+    val hot = Multimodal.renderWav(0L, amp = 1.0)
+    val g = Multimodal.decodeAudio(hot).get
+    g(4) shouldBe 1.0f +- 1e-3f
+    g(5) should be > 0.0f
+  }
+
+  test("corrupt audio payloads fall back to the stub and are flagged") {
+    // valid RIFF/WAVE magic, garbage body: sniffs as wav, cannot decode
+    val corrupt = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes("ISO-8859-1") ++
+      Array.tabulate[Byte](64)(i => (i * 53).toByte)
+    Multimodal.sniffFormat(corrupt) shouldBe "wav"
+    Multimodal.decodeAudio(corrupt) shouldBe None
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "audio", corrupt,
+          org.apache.spark.sql.Row(null, null, 16000, null, "wav")),
+        org.apache.spark.sql.Row(1L, "audio", Multimodal.renderWav(1L),
+          org.apache.spark.sql.Row(null, null, 16000, null, "wav"))), 2),
+      Multimodal.assetSchema)
+    val feats = Multimodal.extractFeatures(assets)
+      .orderBy(col("asset_id"))
+      .as[(Long, String, Seq[Float], Boolean)].collect()
+    feats(0)._4 shouldBe false // corrupt: stub fallback
+    feats(0)._3.toArray shouldBe Multimodal.decodeStub("audio", corrupt)
+    feats(1)._4 shouldBe true
+    val q = Multimodal.assetQuality(assets).orderBy(col("asset_id"))
+      .select(col("sniffed"), col("format_matches"), col("decodes"))
+      .collect()
+    q(0).getString(0) shouldBe "wav"
+    q(0).getBoolean(1) shouldBe true  // shallow check fooled
+    q(0).getBoolean(2) shouldBe false // deep check catches it
+    q(1).getBoolean(2) shouldBe true
+  }
+
   test("resize updates image metadata only; frame sampling hits videos only") {
     val assets = Multimodal.syntheticAssets(spark, 9)
     val resized = Multimodal.resizeImages(assets, 32, 32)
@@ -136,13 +187,16 @@ class MultimodalSpec extends SparkSpec {
     val assets = Multimodal.syntheticAssets(spark, 9)
     val q = Multimodal.assetQuality(assets)
     q.count() shouldBe 9
-    // images are now real PNGs: sniffed format agrees and decodes;
-    // audio/video byte ramps are not valid containers
+    // images are real PNGs and audio real WAVs: sniffed format agrees
+    // and the deep decode succeeds; video byte ramps are not valid
+    // containers
     q.filter(col("kind") === "image" && col("format_matches")).count() shouldBe 3
     q.filter(col("kind") === "image" && col("decodes")).count() shouldBe 3
-    q.filter(col("kind") =!= "image" && col("format_matches")).count() shouldBe 0
-    q.filter(col("kind") =!= "image" && col("sniffed") === "unknown")
-      .count() shouldBe 6
+    q.filter(col("kind") === "audio" && col("format_matches")).count() shouldBe 3
+    q.filter(col("kind") === "audio" && col("decodes")).count() shouldBe 3
+    q.filter(col("kind") === "video" && col("format_matches")).count() shouldBe 0
+    q.filter(col("kind") === "video" && col("sniffed") === "unknown")
+      .count() shouldBe 3
     q.select(min(col("distinct_bytes"))).as[Int].head should be > 1
   }
 }
