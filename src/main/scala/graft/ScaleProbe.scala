@@ -77,6 +77,42 @@ object ScaleProbe {
       pts, "pid", "lon", "lat", epsMeters = 50000.0).count()
     val tSpatial = (System.nanoTime() - t0) / 1e9
     println(f"points=$np spatial_pairs=$nSpatial spatial_sec=$tSpatial%.1f")
+
+    // round 4: k-means/IVF assign-pass throughput — codegen
+    // NearestCentroid vs the round-3 boxed Seq[Double] UDF it replaced,
+    // same 20k-vector corpus, same centroid matrix
+    val cents = operators.Similarity.ivfCentroids(
+      emb.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int")),
+      "label")
+    def asDouble = transform(col("embedding"), x => x.cast("double"))
+    val boxedAssign = udf((v: Seq[Double]) => {
+      var best = -1
+      var bestD = Double.MaxValue
+      cents.foreach { case (list, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length && i < v.length) {
+          val t = v(i) - c(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = list }
+      }
+      best
+    })
+    def timeAssign(assignCol: org.apache.spark.sql.Column): Double = {
+      val reps = 5
+      val s = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        emb.select(sum(assignCol)).collect()
+        r += 1
+      }
+      (System.nanoTime() - s) / 1e9 / reps
+    }
+    timeAssign(plans.ArrayExpressions.nearestCentroid(asDouble, cents)) // warm
+    val tUdf = timeAssign(boxedAssign(asDouble))
+    val tGen = timeAssign(plans.ArrayExpressions.nearestCentroid(asDouble, cents))
+    println(f"assign_pass vectors=$nv udf_sec=$tUdf%.3f " +
+      f"codegen_sec=$tGen%.3f speedup=${tUdf / tGen}%.2fx")
     spark.stop()
   }
 }

@@ -310,26 +310,14 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, listCol: String,
                       vecCol: String = "embedding",
                       rounds: Int = 3): Array[(Int, Array[Double])] = {
-    val spark = corpus.sparkSession
     var cents = ivfCentroids(corpus, listCol, vecCol)
     var r = 0
     while (r < rounds) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf((v: Seq[Double]) => {
-        var best = -1
-        var bestD = Double.MaxValue
-        bc.value.foreach { case (list, c) =>
-          var d = 0.0
-          var i = 0
-          while (i < c.length && i < v.length) {
-            val t = v(i) - c(i); d += t * t; i += 1
-          }
-          if (d < bestD || (d == bestD && list < best)) { bestD = d; best = list }
-        }
-        best
-      })
-      val reassigned = corpus
-        .withColumn("__list", assign(asDouble(col(vecCol))))
+      // corpus-side hot loop: native codegen expression (primitive
+      // double loop inside WholeStageCodegen), not a boxed Seq UDF —
+      // the k·dim matrix rides along as a codegen reference object
+      val reassigned = corpus.withColumn("__list",
+        ArrayExpressions.nearestCentroid(asDouble(col(vecCol)), cents))
       cents = ivfCentroids(reassigned, "__list", vecCol)
       r += 1
     }
@@ -361,21 +349,10 @@ object Similarity {
     })
     // inverted lists must match the probed centroid set: with k-means
     // refinement the corpus re-assigns to its nearest refined centroid
-    val assignNearest = udf((v: Seq[Double]) => {
-      var best = Int.MaxValue
-      var bestD = Double.MaxValue
-      bc.value.foreach { case (list, cv) =>
-        var d = 0.0
-        var i = 0
-        while (i < cv.length && i < v.length) {
-          val t = v(i) - cv(i); d += t * t; i += 1
-        }
-        if (d < bestD || (d == bestD && list < best)) { bestD = d; best = list }
-      }
-      best
-    })
+    // (codegen expression — this runs once per corpus row)
     val listAssignment =
-      if (kmeansRounds > 0) assignNearest(asDouble(col(vecCol)))
+      if (kmeansRounds > 0)
+        ArrayExpressions.nearestCentroid(asDouble(col(vecCol)), cents)
       else col(listCol).cast("int")
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("nv"),
         listAssignment.as("list"))

@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.{Column, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -51,10 +51,88 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment over a fixed k×dim centroid matrix —
+  * the k-means / IVF corpus-side hot loop (evaluated once per row per
+  * Lloyd round). A `Seq[Double]` UDF here boxes every element of every
+  * vector; this expression keeps the scan inside WholeStageCodegen with
+  * a primitive double loop. The matrix rides along as a codegen
+  * reference object (k·dim doubles — small), flattened row-major;
+  * `lists` carries the centroid ids in ascending order so a strict `<`
+  * comparison reproduces the smallest-id tie-break. Returns the
+  * nearest centroid's list id by squared euclidean distance (-1 for an
+  * empty centroid set). */
+case class NearestCentroid(child: Expression, lists: Array[Int],
+                           flat: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var best = -1
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < lists.length) {
+      val off = k * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val t = v.getDouble(i) - flat(off + i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = lists(k) }
+      k += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val listsRef = ctx.addReferenceObj("centroidLists", lists, "int[]")
+      val flatRef = ctx.addReferenceObj("centroidFlat", flat, "double[]")
+      s"""
+         |int n = $v.numElements() < $dim ? $v.numElements() : $dim;
+         |int best = -1;
+         |double bestD = Double.MAX_VALUE;
+         |for (int k = 0; k < $listsRef.length; k++) {
+         |  int off = k * $dim;
+         |  double d = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double t = $v.getDouble(i) - $flatRef[off + i];
+         |    d += t * t;
+         |  }
+         |  if (d < bestD) { bestD = d; best = $listsRef[k]; }
+         |}
+         |${ev.value} = best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
 object ArrayExpressions {
   /** Register `dot_prod(a, b)` for use via `expr("dot_prod(...)")` /
     * SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_prod", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+
+  /** Column builder for [[NearestCentroid]]: `vec` must evaluate to
+    * ARRAY<DOUBLE>; `cents` is the (listId, centroid) set, flattened
+    * here in ascending-id order. */
+  def nearestCentroid(vec: Column,
+                      cents: Array[(Int, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val dim = if (sorted.isEmpty) 0 else sorted.map(_._2.length).max
+    val lists = sorted.map(_._1)
+    val flat = new Array[Double](sorted.length * dim)
+    var k = 0
+    while (k < sorted.length) {
+      System.arraycopy(sorted(k)._2, 0, flat, k * dim, sorted(k)._2.length)
+      k += 1
+    }
+    GraftShims.column(
+      NearestCentroid(GraftShims.expression(vec), lists, flat, dim))
+  }
 }
