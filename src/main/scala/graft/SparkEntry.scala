@@ -746,6 +746,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- capstone: the full pretraining data pipeline (exact dedup ->
+    //      LSH near-dup collapse -> contamination filter -> stratified
+    //      sample), a deterministic composition of the stage operators
+    //      above; the oracle mirrors it stage by stage
+    "q_pretrain_kept" -> ((s, dir) => {
+      val (corpus, bench) =
+        apps.PretrainDataPipeline.splitBench(Tables.documents(s, dir))
+      apps.PretrainDataPipeline.kept(corpus, bench)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -2148,6 +2160,91 @@ object SparkEntry {
          |FROM docsh d JOIN bsh b ON d.sng = b.sng
          |GROUP BY d.doc_id HAVING count(DISTINCT d.sng) >= 2
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pretrain_kept" ->
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |keep1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      min(doc_id) OVER (PARTITION BY md5(array_to_string(t[1:4], ' ')))
+        |        AS canon
+        |    FROM toks WHERE doc_id % 97 <> 0)
+        |  WHERE doc_id = canon),
+        |sh1 AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(t)-1, 1))]) AS s
+        |  FROM toks WHERE len(t) >= 3
+        |    AND doc_id IN (SELECT doc_id FROM keep1)),
+        |hb AS (
+        |  SELECT doc_id,
+        |    [(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) % 2147483647
+        |     for x in s] AS bases
+        |  FROM sh1),
+        |bb AS (
+        |  SELECT doc_id, b AS band,
+        |    list_min([(h*(2*(b*3+0)+1) + (7919*(b*3+0)+13)) % 2147483647
+        |              for h in bases]) || '|' ||
+        |    list_min([(h*(2*(b*3+1)+1) + (7919*(b*3+1)+13)) % 2147483647
+        |              for h in bases]) || '|' ||
+        |    list_min([(h*(2*(b*3+2)+1) + (7919*(b*3+2)+13)) % 2147483647
+        |              for h in bases]) AS bucket
+        |  FROM hb, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bb a JOIN bb b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id),
+        |jv AS (
+        |  SELECT ia, ib,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+        |  FROM cand JOIN sh1 x ON x.doc_id = cand.ia
+        |            JOIN sh1 y ON y.doc_id = cand.ib),
+        |edges AS (
+        |  SELECT ia AS a, ib AS b FROM jv WHERE jac >= 0.5
+        |  UNION
+        |  SELECT ib AS a, ia AS b FROM jv WHERE jac >= 0.5),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |keep2 AS (
+        |  SELECT doc_id FROM keep1
+        |  WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM labels WHERE canonical_id <> doc_id)),
+        |sh2 AS (
+        |  SELECT doc_id, unnest(s) AS sng FROM sh1
+        |  WHERE doc_id IN (SELECT doc_id FROM keep2)),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id, sng FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |        for i in range(1, greatest(len(t)-1, 1))])) AS sng
+        |    FROM toks WHERE len(t) >= 3 AND doc_id % 97 = 0)),
+        |contam AS (
+        |  SELECT d.doc_id FROM sh2 d JOIN bsh b ON d.sng = b.sng
+        |  GROUP BY d.doc_id HAVING count(DISTINCT d.sng) >= 2),
+        |keep3 AS (
+        |  SELECT doc_id FROM keep2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |keep4 AS (
+        |  SELECT k.doc_id FROM keep3 k JOIN documents d ON k.doc_id = d.doc_id
+        |  WHERE CAST('0x' || substr(md5('mix1:' || CAST(k.doc_id AS VARCHAR)),
+        |          1, 15) AS BIGINT) % 10000
+        |    < CAST(floor(CASE d.lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+        |                 WHEN 'fr' THEN 0.25 ELSE 0.1 END * 10000) AS BIGINT))
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM keep4 k JOIN documents d ON k.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_relations" ->
       """WITH r AS (

@@ -1,0 +1,156 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+/** LLM-pretraining data-pipeline capstone: the composition every real
+  * pretraining run executes, chained from already-oracle-checked
+  * operators —
+  *
+  *   exact dedup → LSH near-dup collapse → benchmark-contamination
+  *   filter → stratified domain sampling → sequence packing
+  *
+  * with a per-stage manifest of drop reasons (stage, reason, n_in,
+  * n_dropped, n_out) — the artifact a data run ships alongside its
+  * output so every dropped document is accounted for.
+  *
+  * Scale shape: every stage is a narrow filter or an already-bucketed
+  * operator (no new shuffles beyond what each operator needs);
+  * survivors flow via semi/anti joins on doc_id, which AQE plans as
+  * broadcast joins once the drop sets are small. Counts in [[run]] are
+  * per-stage actions — at 100 TB you'd take them from the stage
+  * outputs' write metrics instead; the lazy [[kept]] composition is
+  * identical either way.
+  */
+object PretrainDataPipeline {
+
+  /** Tuning knobs, defaulted to the values the stage-level oracle
+    * queries (q_dedup_exact, q_dedup_minhash/cluster, q_contamination,
+    * q_sample_stratified, q_pack_sequences_global) pin down. */
+  final case class Config(
+      prefixTokens: Int = 4,
+      shingleN: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      nearDupThreshold: Double = 0.5,
+      contamMinShared: Int = 2,
+      rates: Map[String, Double] =
+        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25),
+      defaultRate: Double = 0.1,
+      salt: String = "mix1",
+      packBudget: Long = 4096L,
+      packShardSize: Long = 100L)
+
+  /** Stage 1: exact dedup — keep each fingerprint's min-id canonical. */
+  def afterExactDedup(corpus: DataFrame, cfg: Config): DataFrame = {
+    val canon = Dedup.exactCanonical(
+      corpus, col("text"), col("doc_id"), cfg.prefixTokens)
+    corpus.join(
+      canon.filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 2: near-dup collapse — LSH candidate pairs, exact-Jaccard
+    * verify, cluster collapse; only each cluster's min-id survives. */
+  def afterNearDedup(survivors: DataFrame, cfg: Config): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(survivors, col("text"), col("doc_id"),
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.nearDupThreshold)
+    val dropped = Dedup.canonicalizeClusters(pairs.select(col("ia"), col("ib")))
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select("doc_id")
+    survivors.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 3: contamination — drop docs sharing >= minShared n-gram
+    * shingles with any benchmark doc (benchmark side broadcasts). */
+  def afterDecontamination(survivors: DataFrame, bench: DataFrame,
+                           cfg: Config): DataFrame = {
+    val contaminated = Dedup.contamination(survivors, bench,
+        col("text"), col("doc_id"), col("text"), col("doc_id"),
+        cfg.shingleN, cfg.contamMinShared)
+      .select("doc_id")
+    survivors.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: deterministic stratified sampling by language. */
+  def afterSampling(survivors: DataFrame, cfg: Config): DataFrame =
+    Sampling.stratifiedSample(survivors, col("lang"), col("doc_id"),
+      cfg.rates, cfg.defaultRate, cfg.salt)
+
+  /** The full lazy filter composition: corpus in, kept documents out.
+    * No actions — this is the oracle-checked query shape. */
+  def kept(corpus: DataFrame, bench: DataFrame,
+           cfg: Config = Config()): DataFrame =
+    afterSampling(
+      afterDecontamination(afterNearDedup(afterExactDedup(corpus, cfg), cfg),
+        bench, cfg), cfg)
+
+  /** Convention used by the oracle queries: docs whose id is divisible
+    * by `benchModulus` act as the held-out benchmark/eval set, the rest
+    * are the training corpus. */
+  def splitBench(docs: DataFrame,
+                 benchModulus: Long = 97L): (DataFrame, DataFrame) =
+    (docs.filter(col("doc_id") % benchModulus =!= 0),
+      docs.filter(col("doc_id") % benchModulus === 0))
+
+  final case class StageRow(stage: String, reason: String,
+                            n_in: Long, n_dropped: Long, n_out: Long)
+
+  final case class Result(kept: DataFrame, packed: DataFrame,
+                          manifest: Seq[StageRow])
+
+  /** Materializing run: executes the chain stage by stage, counting
+    * drops per stage, packs the kept set, and (optionally) writes
+    * kept/packed parquet plus `manifest.json` under `outDir`. */
+  def run(docs: DataFrame, cfg: Config = Config(),
+          benchModulus: Long = 97L,
+          outDir: Option[String] = None): Result = {
+    val (corpus, bench) = splitBench(docs, benchModulus)
+    val s0 = corpus.persist()
+    val n0 = s0.count()
+    val s1 = afterExactDedup(s0, cfg).persist()
+    val n1 = s1.count()
+    val s2 = afterNearDedup(s1, cfg).persist()
+    val n2 = s2.count()
+    val s3 = afterDecontamination(s2, bench, cfg).persist()
+    val n3 = s3.count()
+    val s4 = afterSampling(s3, cfg).persist()
+    val n4 = s4.count()
+    val packed = Sampling.packSequencesGlobal(s4, col("doc_id"),
+      col("n_chars"), cfg.packBudget, cfg.packShardSize)
+    val manifest = Seq(
+      StageRow("exact_dedup", "exact_dup", n0, n0 - n1, n1),
+      StageRow("near_dedup", "near_dup", n1, n1 - n2, n2),
+      StageRow("decontamination", "contaminated", n2, n2 - n3, n3),
+      StageRow("stratified_sample", "sample_out", n3, n3 - n4, n4),
+      StageRow("pack_sequences", "none", n4, 0L, n4))
+    outDir.foreach { dir =>
+      s4.write.mode("overwrite").parquet(s"$dir/kept.parquet")
+      packed.write.mode("overwrite").parquet(s"$dir/packed.parquet")
+      val json = manifest.map(r =>
+        s"""{"stage":"${r.stage}","reason":"${r.reason}","n_in":${r.n_in},""" +
+          s""""n_dropped":${r.n_dropped},"n_out":${r.n_out}}""")
+        .mkString("[", ",", "]")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/manifest.json"), json)
+    }
+    Seq(s0, s1, s2, s3).foreach(_.unpersist())
+    Result(s4, packed, manifest)
+  }
+
+  /** CLI: <sfDir> <outDir>. */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("pretrain-data-pipeline")
+    try {
+      val docs = graft.Tables.documents(spark, args(0))
+      val res = run(docs, outDir = Some(args(1)))
+      res.manifest.foreach(r => println(
+        f"${r.stage}%-18s in=${r.n_in}%7d dropped=${r.n_dropped}%7d " +
+          f"out=${r.n_out}%7d (${r.reason})"))
+    } finally spark.stop()
+  }
+}

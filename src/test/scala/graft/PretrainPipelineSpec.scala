@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.PretrainDataPipeline
+
+/** End-to-end pretraining data pipeline on the sf0.001 corpus: stage
+  * accounting must balance, every stage must be reachable (actually
+  * drop something on this corpus), the kept set must equal the lazy
+  * composition, and the manifest must land on disk. */
+class PretrainPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("pipeline stages account for every document") {
+    val docs = Tables.documents(spark, sfDir)
+    val outDir = Files.createTempDirectory("pretrain").toString
+    val res = PretrainDataPipeline.run(docs, outDir = Some(outDir))
+    val m = res.manifest
+    m.map(_.stage) shouldBe Seq("exact_dedup", "near_dedup",
+      "decontamination", "stratified_sample", "pack_sequences")
+    // chain balance: each stage consumes exactly the previous output
+    m.sliding(2).foreach {
+      case Seq(prev, next) => next.n_in shouldBe prev.n_out
+      case _ => ()
+    }
+    m.foreach(r => r.n_out shouldBe r.n_in - r.n_dropped)
+    // the corpus split: everything except the benchmark docs enters
+    val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+    m.head.n_in shouldBe corpus.count()
+    m.head.n_in + bench.count() shouldBe docs.count()
+    // every filter stage is exercised by this corpus (planted dups,
+    // near-dups, contamination, and sub-1.0 sample rates all bite)
+    m.take(4).foreach(r => r.n_dropped should be > 0L)
+    m.last.n_out shouldBe res.kept.count()
+    res.packed.count() shouldBe res.kept.count()
+
+    // lazy composition == materialized run
+    val lazyKept = PretrainDataPipeline.kept(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted
+    res.kept.select("doc_id").as[Long].collect().sorted shouldBe lazyKept
+
+    // artifacts on disk: kept + packed parquet, manifest json
+    val kept = spark.read.parquet(s"$outDir/kept.parquet")
+    kept.count() shouldBe m.last.n_out
+    val packed = spark.read.parquet(s"$outDir/packed.parquet")
+    packed.columns.toSet shouldBe Set("doc_id", "shard", "cost",
+      "first_bin", "last_bin", "bin_offset")
+    val manifestJson =
+      Files.readString(java.nio.file.Paths.get(s"$outDir/manifest.json"))
+    manifestJson should include ("\"reason\":\"exact_dup\"")
+    manifestJson should include ("\"reason\":\"contaminated\"")
+  }
+
+  test("kept set is deterministic across partitionings") {
+    val docs = Tables.documents(spark, sfDir)
+    val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+    def ids(parts: Int): Seq[Long] =
+      PretrainDataPipeline.kept(corpus.repartition(parts), bench)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    ids(3) shouldBe ids(11)
+  }
+
+  test("packed kept-set bins are globally dense") {
+    val docs = Tables.documents(spark, sfDir)
+    val res = PretrainDataPipeline.run(docs)
+    val bins = res.packed
+      .select(col("first_bin"), col("last_bin"))
+      .as[(Long, Long)].collect()
+    val covered = bins.flatMap(r => r._1 to r._2).toSet
+    covered shouldBe (0L to bins.map(_._2).max).toSet
+  }
+}
