@@ -2171,9 +2171,10 @@ object SparkEntry {
         |keep1 AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id,
-        |      min(doc_id) OVER (PARTITION BY md5(array_to_string(t[1:4], ' ')))
-        |        AS canon
-        |    FROM toks WHERE doc_id % 97 <> 0)
+        |      min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+        |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |        ' +', ' ', 'g')))) AS canon
+        |    FROM documents WHERE doc_id % 97 <> 0)
         |  WHERE doc_id = canon),
         |sh1 AS (
         |  SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.apps
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Sampling}
@@ -20,19 +20,23 @@ import graft.operators.{Dedup, Sampling}
   *
   * Scale shape: every stage is a narrow filter or an already-bucketed
   * operator (no new shuffles beyond what each operator needs);
-  * survivors flow via semi/anti joins on doc_id, which AQE plans as
-  * broadcast joins once the drop sets are small. Counts in [[run]] are
-  * per-stage actions — at 100 TB you'd take them from the stage
-  * outputs' write metrics instead; the lazy [[kept]] composition is
-  * identical either way.
+  * survivors flow via anti joins on small drop sets, which AQE plans
+  * as broadcast joins. [[run]] materializes the manifest with ONE
+  * action: each document is tagged with the first stage that drops it
+  * (`observe()` aggregates on the tagging spine count every reason in
+  * the same pass that materializes the kept set) — no per-stage count
+  * jobs, which is also the 100 TB shape.
   */
 object PretrainDataPipeline {
 
   /** Tuning knobs, defaulted to the values the stage-level oracle
-    * queries (q_dedup_exact, q_dedup_minhash/cluster, q_contamination,
-    * q_sample_stratified, q_pack_sequences_global) pin down. */
+    * queries (q_dedup_minhash/cluster, q_contamination,
+    * q_sample_stratified, q_pack_sequences_global) pin down.
+    * `prefixTokens = 0` means stage-1 exact dedup fingerprints the FULL
+    * normalized text — a prefix fingerprint is a recall heuristic, not
+    * exact dedup, and would silently swallow the near-dup stage. */
   final case class Config(
-      prefixTokens: Int = 4,
+      prefixTokens: Int = 0,
       shingleN: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 3,
@@ -45,41 +49,55 @@ object PretrainDataPipeline {
       packBudget: Long = 4096L,
       packShardSize: Long = 100L)
 
-  /** Stage 1: exact dedup — keep each fingerprint's min-id canonical. */
-  def afterExactDedup(corpus: DataFrame, cfg: Config): DataFrame = {
-    val canon = Dedup.exactCanonical(
-      corpus, col("text"), col("doc_id"), cfg.prefixTokens)
-    corpus.join(
-      canon.filter(col("doc_id") === col("canonical_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-  }
+  /** Stage-1 drop set: every non-canonical id under the exact
+    * (full-normalized-text by default) fingerprint. */
+  def droppedByExactDedup(corpus: DataFrame, cfg: Config): DataFrame =
+    Dedup.exactCanonical(corpus, col("text"), col("doc_id"), cfg.prefixTokens)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
 
-  /** Stage 2: near-dup collapse — LSH candidate pairs, exact-Jaccard
-    * verify, cluster collapse; only each cluster's min-id survives. */
-  def afterNearDedup(survivors: DataFrame, cfg: Config): DataFrame = {
+  /** Stage 1: exact dedup — keep each fingerprint's min-id canonical. */
+  def afterExactDedup(corpus: DataFrame, cfg: Config): DataFrame =
+    corpus.join(droppedByExactDedup(corpus, cfg), Seq("doc_id"), "left_anti")
+
+  /** Stage-2 drop set: LSH candidate pairs, exact-Jaccard verify,
+    * cluster collapse; everything but each cluster's min id. */
+  def droppedByNearDedup(survivors: DataFrame, cfg: Config): DataFrame = {
     val pairs = Dedup.minhashLshPairs(survivors, col("text"), col("doc_id"),
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.nearDupThreshold)
-    val dropped = Dedup.canonicalizeClusters(pairs.select(col("ia"), col("ib")))
+    Dedup.canonicalizeClusters(pairs.select(col("ia"), col("ib")))
       .filter(col("canonical_id") =!= col("doc_id"))
       .select("doc_id")
-    survivors.join(dropped, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 3: contamination — drop docs sharing >= minShared n-gram
-    * shingles with any benchmark doc (benchmark side broadcasts). */
-  def afterDecontamination(survivors: DataFrame, bench: DataFrame,
-                           cfg: Config): DataFrame = {
-    val contaminated = Dedup.contamination(survivors, bench,
+  /** Stage 2: near-dup collapse — only each cluster's min-id survives. */
+  def afterNearDedup(survivors: DataFrame, cfg: Config): DataFrame =
+    survivors.join(droppedByNearDedup(survivors, cfg),
+      Seq("doc_id"), "left_anti")
+
+  /** Stage-3 drop set: docs sharing >= minShared n-gram shingles with
+    * any benchmark doc (benchmark side broadcasts). */
+  def droppedByContamination(survivors: DataFrame, bench: DataFrame,
+                             cfg: Config): DataFrame =
+    Dedup.contamination(survivors, bench,
         col("text"), col("doc_id"), col("text"), col("doc_id"),
         cfg.shingleN, cfg.contamMinShared)
       .select("doc_id")
-    survivors.join(contaminated, Seq("doc_id"), "left_anti")
-  }
+
+  /** Stage 3: contamination filter. */
+  def afterDecontamination(survivors: DataFrame, bench: DataFrame,
+                           cfg: Config): DataFrame =
+    survivors.join(droppedByContamination(survivors, bench, cfg),
+      Seq("doc_id"), "left_anti")
+
+  /** Stage-4 keep predicate (pure, row-local, deterministic). */
+  def sampleKeep(cfg: Config): Column =
+    Sampling.keepPredicate(col("lang"), col("doc_id"),
+      cfg.rates, cfg.defaultRate, cfg.salt)
 
   /** Stage 4: deterministic stratified sampling by language. */
   def afterSampling(survivors: DataFrame, cfg: Config): DataFrame =
-    Sampling.stratifiedSample(survivors, col("lang"), col("doc_id"),
-      cfg.rates, cfg.defaultRate, cfg.salt)
+    survivors.filter(sampleKeep(cfg))
 
   /** The full lazy filter composition: corpus in, kept documents out.
     * No actions — this is the oracle-checked query shape. */
@@ -103,33 +121,67 @@ object PretrainDataPipeline {
   final case class Result(kept: DataFrame, packed: DataFrame,
                           manifest: Seq[StageRow])
 
-  /** Materializing run: executes the chain stage by stage, counting
-    * drops per stage, packs the kept set, and (optionally) writes
-    * kept/packed parquet plus `manifest.json` under `outDir`. */
+  /** Materializing run: tags every corpus document with the FIRST stage
+    * that drops it, materializes the kept set, and reads the full
+    * manifest from `observe()` metrics on that single action. The tiny
+    * per-stage drop sets are the only persisted intermediates; the
+    * corpus streams through the tagging spine once.
+    *
+    * Optionally writes kept/packed parquet plus `manifest.json` under
+    * `outDir`. */
   def run(docs: DataFrame, cfg: Config = Config(),
           benchModulus: Long = 97L,
           outDir: Option[String] = None): Result = {
     val (corpus, bench) = splitBench(docs, benchModulus)
-    val s0 = corpus.persist()
-    val n0 = s0.count()
-    val s1 = afterExactDedup(s0, cfg).persist()
-    val n1 = s1.count()
-    val s2 = afterNearDedup(s1, cfg).persist()
-    val n2 = s2.count()
-    val s3 = afterDecontamination(s2, bench, cfg).persist()
-    val n3 = s3.count()
-    val s4 = afterSampling(s3, cfg).persist()
-    val n4 = s4.count()
-    val packed = Sampling.packSequencesGlobal(s4, col("doc_id"),
+    // Drop sets chain exactly like the lazy composition: each stage's
+    // operator runs over the survivors of the previous stages.
+    val d1 = droppedByExactDedup(corpus, cfg).persist()
+    val s1 = corpus.join(d1, Seq("doc_id"), "left_anti")
+    val d2 = droppedByNearDedup(s1, cfg).persist()
+    val s2 = s1.join(d2, Seq("doc_id"), "left_anti")
+    val d3 = droppedByContamination(s2, bench, cfg).persist()
+    val tagged = corpus
+      .join(d1.withColumn("__d1", lit(true)), Seq("doc_id"), "left")
+      .join(d2.withColumn("__d2", lit(true)), Seq("doc_id"), "left")
+      .join(d3.withColumn("__d3", lit(true)), Seq("doc_id"), "left")
+      .withColumn("__stage",
+        when(col("__d1"), "exact_dup")
+          .when(col("__d2"), "near_dup")
+          .when(col("__d3"), "contaminated")
+          .when(not(sampleKeep(cfg)), "sample_out")
+          .otherwise("kept"))
+    val obs = Observation("pretrain_manifest")
+    val observed = tagged.observe(obs,
+      count(lit(1)).as("n0"),
+      sum(when(col("__stage") === "exact_dup", 1L).otherwise(0L))
+        .as("d_exact"),
+      sum(when(col("__stage") === "near_dup", 1L).otherwise(0L))
+        .as("d_near"),
+      sum(when(col("__stage") === "contaminated", 1L).otherwise(0L))
+        .as("d_contam"),
+      sum(when(col("__stage") === "sample_out", 1L).otherwise(0L))
+        .as("d_sample"))
+    val keptDf = observed.filter(col("__stage") === "kept")
+      .drop("__d1", "__d2", "__d3", "__stage")
+      .persist()
+    keptDf.count() // the ONE manifest action: fills cache + fires observe
+    val m = obs.get
+    def metric(name: String): Long = m(name).asInstanceOf[Long]
+    val n0 = metric("n0")
+    val (dE, dN, dC, dS) = (metric("d_exact"), metric("d_near"),
+      metric("d_contam"), metric("d_sample"))
+    val (n1, n2, n3) = (n0 - dE, n0 - dE - dN, n0 - dE - dN - dC)
+    val n4 = n3 - dS
+    val packed = Sampling.packSequencesGlobal(keptDf, col("doc_id"),
       col("n_chars"), cfg.packBudget, cfg.packShardSize)
     val manifest = Seq(
-      StageRow("exact_dedup", "exact_dup", n0, n0 - n1, n1),
-      StageRow("near_dedup", "near_dup", n1, n1 - n2, n2),
-      StageRow("decontamination", "contaminated", n2, n2 - n3, n3),
-      StageRow("stratified_sample", "sample_out", n3, n3 - n4, n4),
+      StageRow("exact_dedup", "exact_dup", n0, dE, n1),
+      StageRow("near_dedup", "near_dup", n1, dN, n2),
+      StageRow("decontamination", "contaminated", n2, dC, n3),
+      StageRow("stratified_sample", "sample_out", n3, dS, n4),
       StageRow("pack_sequences", "none", n4, 0L, n4))
     outDir.foreach { dir =>
-      s4.write.mode("overwrite").parquet(s"$dir/kept.parquet")
+      keptDf.write.mode("overwrite").parquet(s"$dir/kept.parquet")
       packed.write.mode("overwrite").parquet(s"$dir/packed.parquet")
       val json = manifest.map(r =>
         s"""{"stage":"${r.stage}","reason":"${r.reason}","n_in":${r.n_in},""" +
@@ -138,8 +190,8 @@ object PretrainDataPipeline {
       Files.createDirectories(Paths.get(dir))
       Files.writeString(Paths.get(s"$dir/manifest.json"), json)
     }
-    Seq(s0, s1, s2, s3).foreach(_.unpersist())
-    Result(s4, packed, manifest)
+    Seq(d1, d2, d3).foreach(_.unpersist())
+    Result(keptDf, packed, manifest)
   }
 
   /** CLI: <sfDir> <outDir>. */

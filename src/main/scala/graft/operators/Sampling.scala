@@ -28,18 +28,25 @@ object Sampling {
     pmod(stableHash64(concat_ws(":", lit(salt), idCol.cast("string"))),
       lit(Buckets))
 
-  /** Keep rows whose stratum's rate admits their bucket. Strata missing
-    * from `rates` fall back to `default`. */
-  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
-                       rates: Map[String, Double], default: Double = 0.0,
-                       salt: String = "graft"): DataFrame = {
+  /** The keep/drop decision as a pure Column predicate, so callers that
+    * tag rows (rather than filter them) can reuse the exact same
+    * semantics — e.g. a single-pass pipeline manifest. */
+  def keepPredicate(stratumCol: Column, idCol: Column,
+                    rates: Map[String, Double], default: Double = 0.0,
+                    salt: String = "graft"): Column = {
     val rateCol = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(default)) { case (acc, (k, r)) =>
         when(stratumCol === k, lit(r)).otherwise(acc)
       }
-    df.filter(sampleBucket(idCol, salt) <
-      floor(rateCol * Buckets).cast(LongType))
+    sampleBucket(idCol, salt) < floor(rateCol * Buckets).cast(LongType)
   }
+
+  /** Keep rows whose stratum's rate admits their bucket. Strata missing
+    * from `rates` fall back to `default`. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+                       rates: Map[String, Double], default: Double = 0.0,
+                       salt: String = "graft"): DataFrame =
+    df.filter(keepPredicate(stratumCol, idCol, rates, default, salt))
 
   /** Sequence packing for pretraining batches: lay documents out as one
     * contiguous token stream and cut it into fixed-`budget` context
