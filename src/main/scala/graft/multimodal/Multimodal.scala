@@ -175,8 +175,14 @@ object Multimodal {
           val channels = fmt.getChannels
           val nSamples = bytes.length / 2
           var i = 0
+          var sample = 0
           var sum2 = 0.0; var sumAbs = 0.0; var peak = 0.0
-          var clips = 0L; var zc = 0L; var prevSign = 0
+          var clips = 0L; var zc = 0L
+          // rms/peak/clip/mean_abs are interleaving-order-independent,
+          // but zero crossings must compare consecutive samples of the
+          // SAME channel — track previous sign per channel so
+          // multichannel WAVs don't count channel-to-channel flips
+          val prevSign = new Array[Int](math.max(1, channels))
           while (i + 1 < bytes.length) {
             val s: Int =
               if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort.toInt
@@ -187,9 +193,11 @@ object Multimodal {
             if (ax > peak) peak = ax
             if (s == Short.MaxValue.toInt || s == Short.MinValue.toInt)
               clips += 1
+            val ch = sample % prevSign.length
             val sign = Integer.signum(s)
-            if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-            if (sign != 0) prevSign = sign
+            if (sign != 0 && prevSign(ch) != 0 && sign != prevSign(ch)) zc += 1
+            if (sign != 0) prevSign(ch) = sign
+            sample += 1
             i += 2
           }
           val n = math.max(1, nSamples).toDouble

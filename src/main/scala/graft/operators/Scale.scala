@@ -25,11 +25,16 @@ object Scale {
     // fully-identical rows — the duplicate-heavy hot-key shape salting
     // exists for — must spread round-robin instead of collapsing back
     // into one bucket, and hashing every column would also reject
-    // MapType schemas. Replay stability comes from the final associative
-    // sum: whatever buckets a retried task picks, stage 2 adds the same
-    // multiset of values per key.
+    // MapType schemas. The counter is order-dependent, so downstream of
+    // a shuffle a fetch-failure retry could re-salt rows differently
+    // while other reducers hold old-attempt partials (Spark does not
+    // mark this stage INDETERMINATE). localCheckpoint pins the salted
+    // blocks: retries fetch stored blocks instead of recomputing, and a
+    // lost checkpoint block fails the job loudly rather than silently
+    // double-counting. Lazy, so the function stays action-free.
     val salted = df.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      .localCheckpoint(false)
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

@@ -120,11 +120,16 @@ object ArrayExpressions {
 
   /** Column builder for [[NearestCentroid]]: `vec` must evaluate to
     * ARRAY<DOUBLE>; `cents` is the (listId, centroid) set, flattened
-    * here in ascending-id order. */
+    * here in ascending-id order. All centroids must share one
+    * dimension: the flattened layout zero-pads shorter rows, which
+    * would silently add v_i² terms to their distances. */
   def nearestCentroid(vec: Column,
                       cents: Array[(Int, Array[Double])]): Column = {
     val sorted = cents.sortBy(_._1)
-    val dim = if (sorted.isEmpty) 0 else sorted.map(_._2.length).max
+    val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      s"nearestCentroid requires equal-dimension centroids; got lengths " +
+        sorted.map(_._2.length).distinct.mkString(", "))
     val lists = sorted.map(_._1)
     val flat = new Array[Double](sorted.length * dim)
     var k = 0

@@ -15,8 +15,23 @@ class PretrainPipelineSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** The sf0.001 corpus has no verbatim duplicates (full-text exact
+    * dedup drops 0 there), so plant some: verbatim copies of 5
+    * corpus-side docs under fresh doc_ids. Adding a multiple of 97
+    * above max(doc_id) keeps the copies (a) above every original, so
+    * the originals stay canonical, and (b) out of the benchmark split
+    * (id % 97 unchanged and nonzero). */
+  private def plantExactDups(docs: org.apache.spark.sql.DataFrame) = {
+    val maxId = docs.agg(max("doc_id")).as[Long].head()
+    val shift = (maxId / 97 + 1) * 97
+    val copies = docs.filter(col("doc_id") % 97 =!= 0)
+      .orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(shift))
+    docs.union(copies)
+  }
+
   test("pipeline stages account for every document") {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = plantExactDups(Tables.documents(spark, sfDir))
     val outDir = Files.createTempDirectory("pretrain").toString
     val res = PretrainDataPipeline.run(docs, outDir = Some(outDir))
     val m = res.manifest

@@ -6,6 +6,7 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
@@ -21,13 +22,15 @@ def canon_type(t):
     DuckDB BIGINT both hash as the same int value) but NOT HUGEINT —
     int128 leaves the int64 value domain (round-3 lesson: a windowed
     sum() typed HUGEINT with bit-identical values failed the driver).
-    So widths within int64 collapse; HUGEINT and everything else stay
-    distinct. Applied recursively inside LIST/STRUCT type strings.
+    So widths within int64 collapse; HUGEINT, UBIGINT (uint64 also
+    leaves the int64 domain) and everything else stay distinct.
+    Word-boundary match so STRUCT field names containing a type word
+    are untouched; unsigned sub-int64 widths (UTINYINT/USMALLINT/
+    UINTEGER) keep their U prefix and stay distinct from signed.
+    Applied recursively inside LIST/STRUCT type strings.
     """
-    out = t
-    for w in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-        out = out.replace(w, "INT64")
-    return out
+    return re.sub(r"(?<![A-Z0-9_])(TINYINT|SMALLINT|INTEGER|BIGINT)\b",
+                  "INT64", t)
 
 
 def canon(rows):
