@@ -1,0 +1,296 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM media *container* probing: ISO BMFF (MP4) box walking and
+  * Matroska/WebM EBML walking, extracting duration, track count and
+  * codec ids from the header structures alone — no codec required.
+  * This shrinks the video "stub" honestly: frame DECODE still needs a
+  * codec the JRE does not ship, but container METADATA (the part a
+  * 100 TB curation pass filters on: junk/truncated files, codec
+  * allow-lists, duration histograms) is parsed for real, with the same
+  * corrupt-input discipline as the image/audio paths (truncated or
+  * malformed headers → None, caller falls back to the stub).
+  *
+  * Both formats are public specifications: ISO/IEC 14496-12 box layout
+  * (size+fourcc headers, `moov/mvhd/trak/.../stsd`) and the Matroska
+  * EBML element grammar (vint ids/sizes, `Segment/Info/Tracks`).
+  */
+object Containers {
+
+  /** Probed container-level metadata. `codecs` are the raw sample-entry
+    * fourccs (MP4) or CodecID strings (Matroska) in track order. */
+  final case class ContainerMeta(
+      format: String,       // "mp4" | "matroska"
+      durationS: Double,    // from mvhd / Segment Info; 0 when absent
+      nTracks: Int,
+      codecs: Seq[String])
+
+  /** Dispatch on magic: MP4 `ftyp` at offset 4, EBML 0x1A45DFA3 at 0.
+    * None = not a recognized container OR recognized but malformed /
+    * truncated (the distinction callers need is "trustworthy metadata
+    * or not", same as decodeImage/decodeAudio). */
+  def probe(payload: Array[Byte]): Option[ContainerMeta] =
+    if (isMp4(payload)) probeMp4(payload)
+    else if (isEbml(payload)) probeMatroska(payload)
+    else None
+
+  def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  def isEbml(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xFF) == 0x1A && (p(1) & 0xFF) == 0x45 &&
+      (p(2) & 0xFF) == 0xDF && (p(3) & 0xFF) == 0xA3
+
+  // ---------------------------------------------------------------- MP4
+
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+
+  private def fourcc(p: Array[Byte], i: Int): String =
+    new String(p, i, 4, "ISO-8859-1")
+
+  /** Box types whose payload is itself a sequence of boxes. */
+  private val mp4Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts", "mvex", "udta")
+
+  private final class Mp4State {
+    var timescale = 0L
+    var duration = 0L
+    var haveMvhd = false
+    var nTracks = 0
+    val codecs = ArrayBuffer.empty[String]
+  }
+
+  /** Walk boxes in p[from,limit); returns false on any structural
+    * corruption (undersized box, box overrunning its parent — which is
+    * exactly what truncation produces). */
+  private def walkMp4(p: Array[Byte], from: Int, limit: Int,
+                      st: Mp4State): Boolean = {
+    var off = from
+    while (off < limit) {
+      if (limit - off < 8) return false // dangling partial header
+      var size = be32(p, off)
+      var hdr = 8
+      val typ = fourcc(p, off + 4)
+      if (size == 0L) size = (limit - off).toLong // box extends to end
+      else if (size == 1L) {                      // 64-bit largesize
+        if (limit - off < 16) return false
+        size = be64(p, off + 8)
+        hdr = 16
+      }
+      if (size < hdr || off + size > limit) return false
+      val end = off + size.toInt
+      typ match {
+        case "mvhd" =>
+          val b = off + hdr
+          if (end - b < 4) return false
+          val version = p(b) & 0xFF
+          if (version == 1) { // 64-bit creation/modification times
+            if (end - b < 32) return false
+            st.timescale = be32(p, b + 20)
+            st.duration = be64(p, b + 24)
+          } else {
+            if (end - b < 20) return false
+            st.timescale = be32(p, b + 12)
+            st.duration = be32(p, b + 16)
+          }
+          st.haveMvhd = true
+        case "trak" =>
+          st.nTracks += 1
+          if (!walkMp4(p, off + hdr, end, st)) return false
+        case "stsd" =>
+          // ver/flags (4) + entry_count (4), then sample entries, each
+          // a box whose fourcc is the codec id
+          val b = off + hdr
+          if (end - b < 8) return false
+          val n = be32(p, b + 4).toInt
+          var eoff = b + 8
+          var k = 0
+          while (k < n) {
+            if (end - eoff < 8) return false
+            val esize = be32(p, eoff)
+            if (esize < 8 || eoff + esize > end) return false
+            st.codecs += fourcc(p, eoff + 4)
+            eoff += esize.toInt
+            k += 1
+          }
+        case t if mp4Containers(t) =>
+          if (!walkMp4(p, off + hdr, end, st)) return false
+        case _ => () // leaf box we don't interpret (ftyp, mdat, ...)
+      }
+      off = end
+    }
+    true
+  }
+
+  def probeMp4(payload: Array[Byte]): Option[ContainerMeta] = {
+    val st = new Mp4State
+    if (!walkMp4(payload, 0, payload.length, st) || !st.haveMvhd) None
+    else Some(ContainerMeta("mp4",
+      if (st.timescale > 0) st.duration.toDouble / st.timescale else 0.0,
+      st.nTracks, st.codecs.toSeq))
+  }
+
+  // ----------------------------------------------------------- Matroska
+
+  /** EBML vint: leading-zero count of the first byte gives the width.
+    * Returns (value, width) or null on truncation/invalid marker; for
+    * ids the marker bit is kept (spec convention), for sizes stripped. */
+  private def vint(p: Array[Byte], off: Int, limit: Int,
+                   keepMarker: Boolean): (Long, Int) = {
+    if (off >= limit) return null
+    val b0 = p(off) & 0xFF
+    if (b0 == 0) return null
+    val width = Integer.numberOfLeadingZeros(b0) - 24 + 1
+    if (off + width > limit) return null
+    var v: Long =
+      if (keepMarker) b0.toLong else (b0 & (0xFF >>> width)).toLong
+    var k = 1
+    while (k < width) {
+      v = (v << 8) | (p(off + k) & 0xFFL)
+      k += 1
+    }
+    (v, width)
+  }
+
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdCodecId = 0x86L
+
+  private final class MkvState {
+    var timescaleNs = 1000000L // Matroska default: 1 ms
+    var durationTicks = 0.0
+    var nTracks = 0
+    val codecs = ArrayBuffer.empty[String]
+  }
+
+  private def beUint(p: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < len) { v = (v << 8) | (p(off + k) & 0xFFL); k += 1 }
+    v
+  }
+
+  private def walkMkv(p: Array[Byte], from: Int, limit: Int,
+                      st: MkvState): Boolean = {
+    var off = from
+    while (off < limit) {
+      val id = vint(p, off, limit, keepMarker = true)
+      if (id == null) return false
+      val sz = vint(p, off + id._2, limit, keepMarker = false)
+      if (sz == null) return false
+      val body = off + id._2 + sz._2
+      if (sz._1 < 0 || body.toLong + sz._1 > limit)
+        return false // truncated element
+      val end = body + sz._1.toInt
+      id._1 match {
+        case IdSegment | IdInfo | IdTracks =>
+          if (!walkMkv(p, body, end, st)) return false
+        case IdTrackEntry =>
+          st.nTracks += 1
+          if (!walkMkv(p, body, end, st)) return false
+        case IdTimestampScale =>
+          st.timescaleNs = beUint(p, body, (end - body).min(8))
+        case IdDuration =>
+          val len = end - body
+          if (len == 8)
+            st.durationTicks =
+              java.lang.Double.longBitsToDouble(be64(p, body))
+          else if (len == 4)
+            st.durationTicks =
+              java.lang.Float.intBitsToFloat(be32(p, body).toInt).toDouble
+          else return false
+        case IdCodecId =>
+          st.codecs += new String(p, body, end - body, "ISO-8859-1")
+        case _ => () // skip unknown leaf (EBML header contents, ...)
+      }
+      off = end
+    }
+    true
+  }
+
+  def probeMatroska(payload: Array[Byte]): Option[ContainerMeta] = {
+    val st = new MkvState
+    if (!walkMkv(payload, 0, payload.length, st)) None
+    else Some(ContainerMeta("matroska",
+      st.durationTicks * st.timescaleNs / 1e9, st.nTracks, st.codecs.toSeq))
+  }
+
+  // ---------------------------------------------------- test generators
+
+  /** Minimal but structurally valid MP4: ftyp + moov(mvhd, trak(mdia(
+    * minf(stbl(stsd(entry))))) per codec) + empty mdat. Deterministic
+    * in `seed` only through duration jitter so payloads differ. */
+  def renderMp4(seed: Long, timescale: Int = 1000,
+                durationTicks: Int = 30000,
+                codecs: Seq[String] = Seq("avc1")): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val sz = out.length
+      out(0) = (sz >>> 24).toByte; out(1) = (sz >>> 16).toByte
+      out(2) = (sz >>> 8).toByte; out(3) = sz.toByte
+      typ.getBytes("ISO-8859-1").copyToArray(out, 4)
+      payload.copyToArray(out, 8)
+      out
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val dur = durationTicks + (seed % 7).toInt * timescale
+    val ftyp = box("ftyp",
+      "mp42".getBytes("ISO-8859-1") ++ u32(0) ++
+        "mp42isom".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved, reserved x2, matrix (identity), predefined
+    // x6, next_track_id
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale.toLong) ++ u32(dur.toLong) ++
+        u32(0x00010000L) ++ u32(0x01000000L) ++ u32(0) ++ u32(0) ++
+        (u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x00010000L) ++
+          u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)) ++
+        Array.fill(6)(u32(0)).flatten.toArray ++ u32(codecs.length + 1L))
+    val traks = codecs.map { c =>
+      val entry = box(c, Array.fill[Byte](8)(0)) // 6 reserved + ref idx
+      val stsd = box("stsd", u32(0) ++ u32(1) ++ entry)
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov ++ box("mdat", Array.emptyByteArray)
+  }
+
+  /** Minimal Matroska: EBML header + Segment(Info(TimestampScale,
+    * Duration), Tracks(TrackEntry(CodecID)...)). */
+  def renderMkv(seed: Long, durationMs: Double = 30000.0,
+                codecs: Seq[String] = Seq("V_VP9")): Array[Byte] = {
+    def id(v: Long): Array[Byte] = { // ids are emitted verbatim
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+      Array.tabulate[Byte](n)(k => (v >>> (8 * (n - 1 - k))).toByte)
+    }
+    def size(v: Int): Array[Byte] = { // 2-byte vint: 0x4000 | v
+      require(v < 0x4000); Array((0x40 | (v >>> 8)).toByte, v.toByte)
+    }
+    def elem(eid: Long, body: Array[Byte]): Array[Byte] =
+      id(eid) ++ size(body.length) ++ body
+    val dur = durationMs + (seed % 5).toDouble * 1000.0
+    val ebml = elem(0x1A45DFA3L,
+      elem(0x4282L, "matroska".getBytes("ISO-8859-1"))) // DocType
+    val info = elem(IdInfo,
+      elem(IdTimestampScale, Array[Byte](0x0F, 0x42, 0x40)) ++ // 1e6 ns
+        elem(IdDuration, {
+          val bits = java.lang.Double.doubleToLongBits(dur)
+          Array.tabulate[Byte](8)(k => (bits >>> (8 * (7 - k))).toByte)
+        }))
+    val tracks = elem(IdTracks,
+      codecs.map(c => elem(IdTrackEntry,
+        elem(IdCodecId, c.getBytes("ISO-8859-1")))).reduce(_ ++ _))
+    ebml ++ elem(IdSegment, info ++ tracks)
+  }
+}

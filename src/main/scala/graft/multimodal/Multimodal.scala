@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * shape (the Scala analog of `mapInPandas` batches) — is real and
   * tested. IMAGE decode is real ([[decodeImage]]: JDK-builtin ImageIO,
   * pixel-stat features) and so is WAV/PCM AUDIO decode ([[decodeAudio]]:
-  * JDK-builtin `javax.sound.sampled`, sample-stat features). Only
-  * VIDEO and compressed-audio decode remain STUBBED ([[decodeStub]]):
-  * no such codec ships in the JRE, so the stub derives a deterministic
-  * feature vector from payload bytes; swapping in a real decoder
-  * (JavaCV / ffmpeg-cli) only changes that one function.
+  * JDK-builtin `javax.sound.sampled`, sample-stat features). VIDEO
+  * container METADATA is real too ([[Containers.probe]]: MP4 box /
+  * Matroska EBML walk → duration, tracks, codec ids, truncation
+  * detection); only video FRAME decode and compressed-audio decode
+  * remain STUBBED ([[decodeStub]]): no such codec ships in the JRE, so
+  * the stub derives a deterministic feature vector from payload bytes;
+  * swapping in a real decoder (JavaCV / ffmpeg-cli) only changes that
+  * one function.
   *
   * Scale notes: payloads never shuffle — feature extraction is a narrow
   * mapPartitions; only the (id, features) projection flows downstream.
@@ -38,18 +41,18 @@ object Multimodal {
   ))
 
   /** Deterministic synthetic assets. Image payloads are REAL PNGs
-    * (rendered + encoded via the JDK's ImageIO) and audio payloads are
-    * REAL WAVs (16-bit PCM sine via javax.sound.sampled), so both
-    * decode paths run for real; video payloads stay deterministic byte
-    * ramps (that decoder is the remaining stub). */
+    * (rendered + encoded via the JDK's ImageIO), audio payloads are
+    * REAL WAVs (16-bit PCM sine via javax.sound.sampled), and video
+    * payloads are REAL minimal MP4 containers ([[Containers.renderMp4]]
+    * — parseable box structure with mvhd/trak/stsd, no frame data:
+    * frame DECODE is the remaining stub, container metadata is not). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val payload = kind match {
         case "image" => renderPng(i.toLong)
         case "audio" => renderWav(i.toLong)
-        case _ =>
-          Array.tabulate[Byte](256)(j => ((i * 31 + j * 7) % 256).toByte)
+        case _       => Containers.renderMp4(i.toLong)
       }
       val meta = kind match {
         case "image" => Row(64, 48, null, null, "png")
@@ -296,6 +299,8 @@ object Multimodal {
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 0x1A && at(1) == 0x45 && at(2) == 0xDF && at(3) == 0xA3)
+      "mkv"
     else "unknown"
   }
 
@@ -305,11 +310,13 @@ object Multimodal {
   def assetQuality(assets: DataFrame): DataFrame = {
     val statsUdf = udf((payload: Array[Byte]) => byteStats(payload))
     val sniffUdf = udf((payload: Array[Byte]) => sniffFormat(payload))
-    // deep check for images + audio: does the payload actually decode?
-    // (catches corrupt files whose magic numbers still sniff correctly)
+    // deep check: does the payload actually decode (images/audio) or
+    // carry a structurally valid container (video)? Catches corrupt
+    // files whose magic numbers still sniff correctly.
     val decodesUdf = udf((kind: String, payload: Array[Byte]) => kind match {
       case "image" => decodeImage(payload).isDefined
       case "audio" => decodeAudio(payload).isDefined
+      case "video" => Containers.probe(payload).isDefined
       case _       => false
     })
     assets

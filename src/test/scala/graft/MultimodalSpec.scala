@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Containers, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -33,13 +33,13 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String, Seq[Float], Boolean)].collect()
     a shouldBe b
     a.head._3.length shouldBe 8
-    // images AND audio went through their REAL decoders; video is the stub
+    // images AND audio went through their REAL decoders; video FRAME
+    // decode is still the stub (container metadata is probed separately)
     a.filter(_._2 == "image").forall(_._4) shouldBe true
     a.filter(_._2 == "audio").forall(_._4) shouldBe true
     a.filter(_._2 == "video").exists(_._4) shouldBe false
     // stub path matches the stub called directly (plumbing adds nothing)
-    val videoPayload =
-      Array.tabulate[Byte](256)(j => ((2 * 31 + j * 7) % 256).toByte)
+    val videoPayload = Containers.renderMp4(2L)
     a(2)._3.toArray shouldBe Multimodal.decodeStub("video", videoPayload)
   }
 
@@ -187,16 +187,49 @@ class MultimodalSpec extends SparkSpec {
     val assets = Multimodal.syntheticAssets(spark, 9)
     val q = Multimodal.assetQuality(assets)
     q.count() shouldBe 9
-    // images are real PNGs and audio real WAVs: sniffed format agrees
-    // and the deep decode succeeds; video byte ramps are not valid
-    // containers
+    // images are real PNGs, audio real WAVs, video real MP4 containers:
+    // sniffed format agrees and the deep check (decode for image/audio,
+    // container-structure probe for video) succeeds on all of them
     q.filter(col("kind") === "image" && col("format_matches")).count() shouldBe 3
     q.filter(col("kind") === "image" && col("decodes")).count() shouldBe 3
     q.filter(col("kind") === "audio" && col("format_matches")).count() shouldBe 3
     q.filter(col("kind") === "audio" && col("decodes")).count() shouldBe 3
-    q.filter(col("kind") === "video" && col("format_matches")).count() shouldBe 0
-    q.filter(col("kind") === "video" && col("sniffed") === "unknown")
+    q.filter(col("kind") === "video" && col("format_matches")).count() shouldBe 3
+    q.filter(col("kind") === "video" && col("sniffed") === "mp4")
       .count() shouldBe 3
+    q.filter(col("kind") === "video" && col("decodes")).count() shouldBe 3
     q.select(min(col("distinct_bytes"))).as[Int].head should be > 1
+  }
+
+  test("container probe: MP4 boxes and Matroska EBML parse; truncation flagged") {
+    // MP4: duration = (30000 + seed%7 * 1000) ticks at timescale 1000
+    val mp4 = Containers.renderMp4(3L, codecs = Seq("avc1", "mp4a"))
+    Multimodal.sniffFormat(mp4) shouldBe "mp4"
+    val m = Containers.probe(mp4).get
+    m.format shouldBe "mp4"
+    m.durationS shouldBe 33.0 +- 1e-9
+    m.nTracks shouldBe 2
+    m.codecs shouldBe Seq("avc1", "mp4a")
+    // 64-bit-time mvhd (version 1) parses through the other branch
+    // of the walker via a hand-built moov? covered by renderMp4's v0;
+    // truncation: cutting the payload mid-moov must NOT yield metadata
+    Containers.probe(mp4.take(mp4.length - 40)) shouldBe None
+    // a size field pointing past the end is corrupt, not "shorter"
+    val overrun = mp4.clone()
+    overrun(0) = 0x7F // ftyp box claims a giant size
+    Containers.probe(overrun) shouldBe None
+
+    // Matroska: duration = (30000 + seed%5 * 1000) ms
+    val mkv = Containers.renderMkv(7L, codecs = Seq("V_VP9", "A_OPUS"))
+    Multimodal.sniffFormat(mkv) shouldBe "mkv"
+    val k = Containers.probe(mkv).get
+    k.format shouldBe "matroska"
+    k.durationS shouldBe 32.0 +- 1e-9
+    k.nTracks shouldBe 2
+    k.codecs shouldBe Seq("V_VP9", "A_OPUS")
+    Containers.probe(mkv.take(mkv.length - 10)) shouldBe None
+
+    // neither container: no metadata invented
+    Containers.probe(Array.tabulate[Byte](64)(_.toByte)) shouldBe None
   }
 }
