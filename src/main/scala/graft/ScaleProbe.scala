@@ -78,6 +78,33 @@ object ScaleProbe {
     val tSpatial = (System.nanoTime() - t0) / 1e9
     println(f"points=$np spatial_pairs=$nSpatial spatial_sec=$tSpatial%.1f")
 
+    // round 6: polar-cap skew — a pole-dense cloud (20k of 25k points
+    // above 89.9°, where every band collapses to a single cell) funnels
+    // its whole candidate set through a handful of cell keys; capSalt
+    // spreads each over k reducers. Counts must agree (salting is
+    // plan-only); times show the skew cost.
+    val polar = spark.range(25000).select(
+      col("id").as("pid"),
+      (pmod(col("id") * 37, lit(360000)) / 1000.0 - 180.0).as("lon"),
+      when(col("id") % 5 === 0,
+        lit(90.0) - pmod(col("id") * 13, lit(30000)) / 1000.0) // 60-90
+        .otherwise(lit(89.9) + pmod(col("id") * 7, lit(999)) / 10000.0)
+        .as("lat"))
+      .persist()
+    polar.count()
+    def timeCap(salt: Int): (Long, Double) = {
+      val s = System.nanoTime()
+      val c = geo.SpatialJoin.pairsWithin(
+        polar, "pid", "lon", "lat", epsMeters = 5000.0, capSalt = salt)
+        .count()
+      (c, (System.nanoTime() - s) / 1e9)
+    }
+    val (cap1, tCap1) = timeCap(1)
+    val (cap8, tCap8) = timeCap(8)
+    require(cap1 == cap8, s"capSalt changed the result: $cap1 vs $cap8")
+    println(f"polar_pairs=$cap1 salt1_sec=$tCap1%.1f salt8_sec=$tCap8%.1f " +
+      f"speedup=${tCap1 / tCap8}%.2fx")
+
     // round 4: k-means/IVF assign-pass throughput — codegen
     // NearestCentroid vs the round-3 boxed Seq[Double] UDF it replaced,
     // same 20k-vector corpus, same centroid matrix

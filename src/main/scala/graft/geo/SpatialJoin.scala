@@ -47,9 +47,22 @@ object SpatialJoin {
   val MetersPerDegreeFloor = 110500.0
 
   /** All pairs (ia < ib) within epsMeters (great-circle), any latitude.
-    * Distance compared on integer centimeters for reproducibility. */
+    * Distance compared on integer centimeters for reproducibility.
+    *
+    * `capSalt` guards the one residual skew: every polar-cap band
+    * collapses to a SINGLE cell (by construction — `cos → 0` forces the
+    * cell wider than 360°), so a pole-dense cloud funnels its whole
+    * O(n²) candidate set through one join key / one reducer. With
+    * capSalt = k > 1, rows landing in single-cell bands get a
+    * deterministic salt in [0, k) on the probe side while the
+    * duplicated side replicates across all k salts — the cap's pair
+    * work spreads over k reducers for k× duplication of cap rows only
+    * (non-cap cells keep salt 0 / no replication). Output is identical
+    * for any k: every cap pair still collides on exactly the salts the
+    * probe row carries, and `distinct()` already guards duplication. */
   def pairsWithin(df: DataFrame, idCol: String, lonCol: String, latCol: String,
-                  epsMeters: Double): DataFrame = {
+                  epsMeters: Double, capSalt: Int = 1): DataFrame = {
+    require(capSalt >= 1, s"capSalt must be >= 1, got $capSalt")
     val dLat = epsMeters / MetersPerDegreeFloor // cell height, degrees
 
     // most-poleward |lat| reachable by a pair with one member in band cy:
@@ -79,11 +92,17 @@ object SpatialJoin {
       .withColumn("cy", floor(col("plat") / dLat).cast(LongType))
       .withColumn("pcos", cos(radians(col("plat"))))
 
+    // a cap cell is any band whose lon indexing collapsed to one cell
+    def isCap(cy: Column): Column = nCells(cy) === 1L
+
     val a = pts
       .withColumn("cx", cxIn(col("plon"), col("cy")))
+      .withColumn("salt",
+        when(isCap(col("cy")), pmod(hash(col("pid")), lit(capSalt)))
+          .otherwise(lit(0)).cast(LongType))
       .select(col("pid").as("ia"), col("plon").as("lon_a"),
         col("plat").as("lat_a"), col("pcos").as("cos_a"),
-        col("cx"), col("cy"))
+        col("cx"), col("cy"), col("salt"))
 
     // duplicated side: half neighborhood in banded indexing — {self, E}
     // within the band, {W, self, E} in the band toward the north pole;
@@ -106,9 +125,15 @@ object SpatialJoin {
         explode(cells).as("cell"))
       .select(col("ib"), col("lon_b"), col("lat_b"), col("cos_b"),
         col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+      // duplicated side fans out over every salt of a cap TARGET cell so
+      // it meets the probe row whichever salt that row hashed to
+      .withColumn("salt", explode(
+        when(isCap(col("cy")),
+          sequence(lit(0L), lit(capSalt.toLong - 1)))
+          .otherwise(array(lit(0L)))))
 
     val epsCm = math.round(epsMeters * 100)
-    a.join(b, Seq("cx", "cy"))
+    a.join(b, Seq("cx", "cy", "salt"))
       .filter(col("ia") =!= col("ib"))
       // trig-free prune: a degree of latitude is > 110500 m, so a pair
       // spanning more than dLat degrees of latitude cannot be within eps

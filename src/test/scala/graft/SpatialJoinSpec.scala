@@ -54,6 +54,22 @@ class SpatialJoinSpec extends SparkSpec {
     pts.count(p => math.abs(p._3) > 85.0) should be > 10
   }
 
+  test("capSalt spreads polar-cap cells without changing the result") {
+    val pts = points(600)
+    val eps = 150000.0
+    val base = SpatialJoin.pairsWithin(pts.toDF("pid", "lon", "lat"),
+      "pid", "lon", "lat", eps)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    // salting is plan-only: any k yields the identical pair set, and the
+    // fixture's dense >85° population guarantees cap cells are exercised
+    for (k <- Seq(2, 8)) {
+      val salted = SpatialJoin.pairsWithin(pts.toDF("pid", "lon", "lat"),
+        "pid", "lon", "lat", eps, capSalt = k)
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+      salted shouldBe base
+    }
+  }
+
   test("pole-straddling and antimeridian pairs collide") {
     val pts = Seq(
       (1L, 0.0, 89.9), (2L, 180.0, 89.95),     // across the north pole
