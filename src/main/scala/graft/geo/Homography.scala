@@ -141,7 +141,7 @@ object Homography {
   /** Greedy monotone vertex pairing (reference
     * VertexMatching.matcher:12-27): walk p1's vertices, match each to
     * the nearest not-yet-passed p2 vertex. */
-  private def greedyPairs(p1: Array[(Double, Double)],
+  private[graft] def greedyPairs(p1: Array[(Double, Double)],
                           p2: Array[(Double, Double)],
                           ox: Double, oy: Double): List[((Double, Double), (Double, Double))] = {
     var i2 = 0
@@ -157,15 +157,101 @@ object Homography {
     out.result()
   }
 
+  /** Min-cost assignment via the shortest-augmenting-path Hungarian
+    * algorithm with row/column potentials — the public-textbook O(n²m)
+    * formulation. `cost` is n×m with n ≤ m; returns the column assigned
+    * to each row. Indices are 1-based internally (row/col 0 is the
+    * virtual source), the classic presentation. */
+  private[graft] def hungarian(cost: Array[Array[Double]]): Array[Int] = {
+    val n = cost.length
+    val m = cost(0).length
+    require(n <= m, s"hungarian needs rows <= cols, got $n x $m")
+    val u = new Array[Double](n + 1)
+    val v = new Array[Double](m + 1)
+    val p = new Array[Int](m + 1)   // p(j): row currently matched to col j
+    val way = new Array[Int](m + 1) // predecessor col on the shortest path
+    var i = 1
+    while (i <= n) {
+      p(0) = i
+      var j0 = 0
+      val minv = Array.fill(m + 1)(Double.MaxValue)
+      val used = new Array[Boolean](m + 1)
+      var open = true
+      while (open) {
+        used(j0) = true
+        val i0 = p(j0)
+        var delta = Double.MaxValue
+        var j1 = 0
+        var j = 1
+        while (j <= m) {
+          if (!used(j)) {
+            val cur = cost(i0 - 1)(j - 1) - u(i0) - v(j)
+            if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
+            if (minv(j) < delta) { delta = minv(j); j1 = j }
+          }
+          j += 1
+        }
+        j = 0
+        while (j <= m) {
+          if (used(j)) { u(p(j)) += delta; v(j) -= delta }
+          else minv(j) -= delta
+          j += 1
+        }
+        j0 = j1
+        open = p(j0) != 0
+      }
+      while (j0 != 0) { val j1 = way(j0); p(j0) = p(j1); j0 = j1 }
+      i += 1
+    }
+    val ans = new Array[Int](n)
+    var j = 1
+    while (j <= m) { if (p(j) > 0) ans(p(j) - 1) = j - 1; j += 1 }
+    ans
+  }
+
+  /** Globally optimal vertex pairing: minimizes the TOTAL squared
+    * vertex-to-vertex distance over all injective assignments — the
+    * greedy monotone walk can be arbitrarily worse when an early vertex
+    * grabs the partner a later vertex needed. O(n²m) vs greedy's O(nm);
+    * building shells are tens of vertices, so cost is irrelevant —
+    * greedy stays the default only for reference parity. */
+  private[graft] def optimalPairs(p1: Array[(Double, Double)],
+                          p2: Array[(Double, Double)],
+                          ox: Double, oy: Double): List[((Double, Double), (Double, Double))] = {
+    if (p1.isEmpty || p2.isEmpty || p1.length > p2.length)
+      return greedyPairs(p1, p2, ox, oy)
+    val cost = Array.tabulate(p1.length, p2.length) { (i, j) =>
+      val dx = p2(j)._1 - ox - p1(i)._1
+      val dy = p2(j)._2 - oy - p1(i)._2
+      dx * dx + dy * dy
+    }
+    val assign = hungarian(cost)
+    p1.indices.map(i => (p1(i), p2(assign(i)))).toList
+  }
+
+  /** Total squared pairing distance in p1's frame (p2 shifted by
+    * (ox, oy)) — the objective [[optimalPairs]] minimizes. */
+  private[graft] def pairingCost(
+      pairs: List[((Double, Double), (Double, Double))],
+      ox: Double, oy: Double): Double =
+    pairs.map { case ((ax, ay), (bx, by)) =>
+      val dx = bx - ox - ax
+      val dy = by - oy - ay
+      dx * dx + dy * dy
+    }.sum
+
   private def centroidOf(g: Geometry): (Double, Double) = {
     val c = org.locationtech.jts.algorithm.Centroid.getCentroid(g)
     (c.x, c.y)
   }
 
   /** Homography between two polygons under absolute or centroid-aligned
-    * vertex matching (reference polygonToPolygon:44-86). */
+    * vertex matching (reference polygonToPolygon:44-86). `optimal`
+    * switches the vertex pairing from the reference's greedy monotone
+    * walk to the Hungarian minimum-total-distance assignment. */
   def polygonHomography(g1: Geometry, g2: Geometry,
-                        relative: Boolean): Array[Double] = {
+                        relative: Boolean,
+                        optimal: Boolean = false): Array[Double] = {
     val (pa, pb) =
       if (g1.getNumPoints < g2.getNumPoints) (g1, g2) else (g2, g1)
     val (cx, cy) = centroidOf(pa)
@@ -180,7 +266,9 @@ object Homography {
       val i = argmin(points1.head, pts, ox, oy)
       pts.drop(i) ++ pts.take(i)
     }
-    val pairs = greedyPairs(points1, points2, ox, oy)
+    val pairs =
+      if (optimal) optimalPairs(points1, points2, ox, oy)
+      else greedyPairs(points1, points2, ox, oy)
     dlt(
       if (pairs.length >= 4) pairs
       else points1.zip(points2).take(4).toList,
@@ -196,12 +284,15 @@ object Homography {
 
   /** The reference's vertex-matching score: min over absolute and
     * centroid-aligned matchings; 0 = shapes related by pure
-    * translation, grows with shear/rotation/projective distortion. */
-  def vertexScore(g1: Geometry, g2: Geometry): Double = {
+    * translation, grows with shear/rotation/projective distortion.
+    * `optimal = true` uses Hungarian vertex assignment (never a worse
+    * pairing than greedy; greedy default for reference parity). */
+  def vertexScore(g1: Geometry, g2: Geometry,
+                  optimal: Boolean = false): Double = {
     if (g1 == null || g2 == null || g1.isEmpty || g2.isEmpty ||
         g1.getNumPoints < 4 || g2.getNumPoints < 4) return Double.MaxValue
-    val d1 = distortion(polygonHomography(g1, g2, relative = false))
-    val d2 = distortion(polygonHomography(g1, g2, relative = true))
+    val d1 = distortion(polygonHomography(g1, g2, relative = false, optimal))
+    val d2 = distortion(polygonHomography(g1, g2, relative = true, optimal))
     math.min(d1, d2)
   }
 }

@@ -94,6 +94,70 @@ class BuildingMatchSpec extends SparkSpec {
     sShear shouldBe 0.3 +- 0.05 // shear magnitude recovered in h01
   }
 
+  test("Hungarian assignment is optimal and never beaten by greedy") {
+    import graft.geo.Homography
+    // deterministic pseudo-random point clouds; p1 smaller than p2 like
+    // the oriented polygonHomography call
+    def cloud(seed: Long, n: Int): Array[(Double, Double)] =
+      Array.tabulate(n) { i =>
+        val h = (seed * 6364136223846793005L + i * 1442695040888963407L)
+        (((h >>> 16) % 1000).toDouble / 100.0,
+          ((h >>> 40) % 1000).toDouble / 100.0)
+      }
+    var fullGreedyRuns = 0
+    for (seed <- 1L to 30L) {
+      val p1 = cloud(seed, 5)
+      val p2 = cloud(seed + 100, 7)
+      val greedyPairs = Homography.greedyPairs(p1, p2, 0.0, 0.0)
+      val optPairs = Homography.optimalPairs(p1, p2, 0.0, 0.0)
+      // optimal always pairs every p1 vertex; greedy can exhaust p2
+      // early and strand later vertices (part of why it's inferior)
+      optPairs.length shouldBe p1.length
+      val opt = Homography.pairingCost(optPairs, 0.0, 0.0)
+      if (greedyPairs.length == p1.length) {
+        // greedy's complete pairing is one of the injective assignments
+        // Hungarian minimizes over: optimal is never worse
+        fullGreedyRuns += 1
+        opt should be <= Homography.pairingCost(greedyPairs, 0.0, 0.0) + 1e-9
+      }
+      // true optimality: brute-force over all injective assignments
+      val brute = p2.indices.combinations(p1.length)
+        .flatMap(_.permutations)
+        .map(perm => p1.indices.map { i =>
+          val (ax, ay) = p1(i); val (bx, by) = p2(perm(i))
+          val dx = bx - ax; val dy = by - ay
+          dx * dx + dy * dy
+        }.sum)
+        .min
+      opt shouldBe brute +- 1e-9
+    }
+    // ring-ordered fixtures (the real polygon-shell shape): greedy walks
+    // in order and completes, so the cost comparison actually runs
+    for (seed <- 1L to 10L) {
+      val jit = (i: Int) => ((seed * 31 + i * 17) % 7).toDouble / 100.0
+      val p1 = Array.tabulate(6) { i =>
+        val t = 2 * math.Pi * i / 6
+        (10 + math.cos(t), 10 + math.sin(t))
+      }
+      val p2 = Array.tabulate(8) { i =>
+        val t = 2 * math.Pi * i / 8
+        (10 + math.cos(t) + jit(i), 10 + math.sin(t) + jit(i + 3))
+      }
+      val greedyPairs = Homography.greedyPairs(p1, p2, 0.0, 0.0)
+      if (greedyPairs.length == p1.length) {
+        fullGreedyRuns += 1
+        Homography.pairingCost(Homography.optimalPairs(p1, p2, 0.0, 0.0),
+          0.0, 0.0) should be <=
+          Homography.pairingCost(greedyPairs, 0.0, 0.0) + 1e-9
+      }
+    }
+    fullGreedyRuns should be > 5 // the comparison actually ran
+    // end-to-end: the optimal score exists and identity still scores 0
+    val a = jtsPoly(Seq((10.0, 10.0), (10.001, 10.0),
+      (10.001, 10.001), (10.0, 10.001)))
+    Homography.vertexScore(a, a, optimal = true) shouldBe 0.0 +- 1e-6
+  }
+
   test("vertex score is symmetric-ish under centroid alignment and scale") {
     val base = Seq((10.0, 10.0), (10.001, 10.0), (10.001, 10.001), (10.0, 10.001))
     val a = jtsPoly(base)
