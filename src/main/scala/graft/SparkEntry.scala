@@ -713,6 +713,32 @@ object SparkEntry {
         .groupBy(col("langid")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("langid"))),
 
+    // ---- corpus bigram LM: train counts in one pass, score every doc
+    //      by add-one-smoothed bigram likelihood (integer micro-probs so
+    //      partial-agg order can't drift the sum)
+    "q_text_lm_score" -> ((s, dir) =>
+      operators.LanguageModel.scoreDocs(
+          Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // ---- corpus n-gram statistics: top-25 bigrams with occurrence +
+    //      doc-frequency counts (boilerplate / contamination triage)
+    "q_corpus_ngrams" -> ((s, dir) =>
+      operators.LanguageModel.topBigrams(
+          Tables.documents(s, dir), col("text"), col("doc_id"), topK = 25)),
+
+    // ---- line-level dedup (CCNet/RefinedWeb boilerplate pass): docs
+    //      synthesized with a shared header line (doc_id % 7 → ~71 docs
+    //      share each) + two unique lines; the shared line is dropped
+    "q_dedup_lines" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nhdr "), col("doc_id") % 7,
+          lit("\nsig "), col("doc_id")).as("text"))
+      operators.Dedup.dedupLines(docs, col("text"), col("doc_id"),
+          maxDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII scrubbing: typed-placeholder redaction + audit counts
     //      (training-data pre-processing; codegen regexp chain). PII is
     //      synthesized deterministically from customer so the redaction
@@ -1950,6 +1976,72 @@ object SparkEntry {
          |         ELSE 'und' END AS langid
          |  FROM scores)
          |SELECT langid, count(*) AS cnt FROM lid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_lm_score" ->
+      s"""WITH $toksSql,
+         |oc0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |oc AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM oc0),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM oc GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM oc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(t) AS w FROM toks)),
+         |sc AS (
+         |  SELECT oc.doc_id,
+         |    CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v) * 1e9)
+         |      AS BIGINT) AS micro
+         |  FROM oc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(micro) AS BIGINT) AS sum_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_ngrams" ->
+      s"""WITH $toksSql,
+         |oc0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |oc AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram FROM oc0)
+         |SELECT bigram, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM oc GROUP BY 1
+         |ORDER BY n_occurrences DESC, n_docs DESC, bigram
+         |LIMIT 25""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || chr(10) || 'hdr ' || (doc_id % 7) ||
+        |    chr(10) || 'sig ' || doc_id AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls
+        |       FROM l0),
+        |ln AS (
+        |  SELECT doc_id, pos, ls[pos] AS line,
+        |    CASE WHEN trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> ''
+        |      THEN md5(trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |    END AS lfp
+        |  FROM l1),
+        |freq AS (
+        |  SELECT lfp, count(*) AS ndocs FROM (
+        |    SELECT DISTINCT lfp, doc_id FROM ln WHERE lfp IS NOT NULL)
+        |  GROUP BY 1),
+        |kept AS (
+        |  SELECT ln.* FROM ln LEFT JOIN freq USING (lfp)
+        |  WHERE coalesce(freq.ndocs, 0) <= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1),
+        |ka AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  t.n_lines - coalesce(ka.n_kept, 0) AS n_dropped
+        |FROM totals t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH norm AS (

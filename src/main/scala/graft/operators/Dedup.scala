@@ -45,6 +45,52 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"))
   }
 
+  // ------------------------------------------------------------ lines
+
+  /** Line-level dedup (the CCNet/RefinedWeb boilerplate pass): drop
+    * every line whose normalized fingerprint occurs in more than
+    * `maxDocFreq` distinct documents, reassemble the survivors in
+    * original order. Lines that normalize to empty (pure whitespace /
+    * punctuation) are structural and always kept.
+    *
+    * Emits one row per input document:
+    * (doc_id, clean_text, n_kept, n_dropped) — documents whose every
+    * line is boilerplate survive with clean_text = '' so the caller's
+    * accounting always balances.
+    *
+    * Scale: the line-frequency table is keyed by distinct line
+    * fingerprints — vocabulary-sized, far below the corpus — and is
+    * built with a map-side-combinable distinct+count; the tag-back
+    * join broadcasts it under AQE. Reassembly is a per-document
+    * collect_list/array_sort whose size is bounded by a single
+    * document, never the partition. */
+  def dedupLines(df: DataFrame, textCol: Column, idCol: Column,
+                 maxDocFreq: Int = 1): DataFrame = {
+    val lines = df
+      .select(idCol.as("doc_id"),
+        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+      .withColumn("lfp",
+        when(normalize(col("line")) =!= "", md5(normalize(col("line")))))
+    val freq = lines.filter(col("lfp").isNotNull)
+      .select(col("lfp"), col("doc_id")).distinct()
+      .groupBy(col("lfp")).agg(count(lit(1)).as("ndocs"))
+    // null lfp (structural line) never matches the join key → kept
+    val kept = lines.join(freq, Seq("lfp"), "left")
+      .filter(coalesce(col("ndocs"), lit(0L)) <= maxDocFreq)
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   /** Prime modulus for the linear rehash family (2^31 − 1). */

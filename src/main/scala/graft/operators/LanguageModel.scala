@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-level n-gram language modeling for training-data quality
+  * filtering: train bigram counts over the corpus in one aggregation
+  * pass, then score every document by its add-one-smoothed bigram
+  * likelihood (the CCNet/KenLM-style "does this read like the corpus"
+  * signal, here with the corpus itself as the model).
+  *
+  * Scale design:
+  *  - The model is two aggregations over the exploded bigram stream —
+  *    both map-side combinable, keyed by vocabulary-sized keys
+  *    (distinct bigrams / distinct tokens), which is orders of
+  *    magnitude smaller than the corpus at 100 TB.
+  *  - Scoring joins the occurrence stream to the model tables; the
+  *    model side is the small side and AQE broadcasts it. The corpus
+  *    stream is touched exactly twice (once to count, once to score).
+  *  - Per-bigram probabilities are single IEEE divisions of exact
+  *    integers, floored to integer micro-probabilities (×1e9) BEFORE
+  *    the per-document sum, so partial-aggregation order can never
+  *    change the result — the property the cross-engine oracle checks.
+  */
+object LanguageModel {
+
+  /** One row per adjacent token pair, duplicates and document order
+    * preserved: (doc_id, w1, w2). Documents with fewer than two tokens
+    * contribute no rows. */
+  def bigramOccurrences(df: DataFrame, textCol: Column,
+                        idCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), tokens(textCol).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+
+  /** Add-one-smoothed bigram likelihood per document.
+    *
+    * For each bigram occurrence (w1, w2):
+    *   p = (count(w1,w2) + 1) / (count(w1·) + V)
+    * where count(w1·) is w1's occurrence count as a bigram history and
+    * V the corpus distinct-token count. Emits per document:
+    * (doc_id, n_bigrams, sum_micro) with micro = floor(p · 1e9) —
+    * integer micro-probabilities summed exactly, so higher sum_micro /
+    * n_bigrams means more corpus-typical text. Documents with < 2
+    * tokens are not scored. */
+  def scoreDocs(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val occ = bigramOccurrences(df, textCol, idCol)
+    val c2 = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = df.select(explode(tokens(textCol)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    occ.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("micro",
+        floor((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double") * 1e9).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
+  }
+
+  /** Corpus bigram statistics: the `topK` most frequent bigrams with
+    * occurrence and document-frequency counts — the standard corpus
+    * health report (boilerplate detection, contamination triage).
+    * Total order (count desc, n_docs desc, bigram asc) makes the cut
+    * deterministic. One shuffle on the bigram key, map-side combined;
+    * the top-k is a tiny global sort of the already-aggregated
+    * vocabulary-sized table. */
+  def topBigrams(df: DataFrame, textCol: Column, idCol: Column,
+                 topK: Int): DataFrame =
+    bigramOccurrences(df, textCol, idCol)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("bigram"))
+      .limit(topK)
+}

@@ -95,4 +95,29 @@ class DedupSpec extends SparkSpec {
       .as[Seq[Long]].head
     got.toArray shouldBe expected
   }
+
+  private val lineDocs = Seq(
+    (10L, "unique one\nSHARED LINE\nunique two"),
+    (11L, "SHARED line!\nonly here"), // normalizes to the same fingerprint
+    (12L, "shared line\n\ntail"), // includes an empty structural line
+    (13L, "shared line") // nothing but boilerplate
+  ).toDF("doc_id", "text")
+
+  test("dedupLines drops cross-doc boilerplate, keeps order and structure") {
+    val got = Dedup.dedupLines(lineDocs, col("text"), col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array(
+      (10L, "unique one\nunique two", 2L, 1L),
+      (11L, "only here", 1L, 1L),
+      (12L, "\ntail", 2L, 1L), // empty line survives: structural
+      (13L, "", 0L, 1L)) // fully-boilerplate doc still accounted for
+  }
+
+  test("dedupLines maxDocFreq above the fan-out keeps everything") {
+    val got = Dedup.dedupLines(lineDocs, col("text"), col("doc_id"),
+      maxDocFreq = 4).as[(Long, String, Long, Long)].collect()
+    got.map(_._4).sum shouldBe 0L
+    got.sortBy(_._1).map(_._2) shouldBe
+      lineDocs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+  }
 }

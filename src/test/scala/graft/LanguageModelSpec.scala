@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // bigrams: (a,b)x3 (b,a)x1 (b,c)x1; histories a:3 b:2; vocab {a,b,c}
+  private val docs = Seq(
+    (0L, "a b a b"),
+    (1L, "a b c"),
+    (2L, "c") // single token: no bigrams, not scored
+  ).toDF("doc_id", "text")
+
+  test("scoreDocs computes add-one-smoothed integer micro-probabilities") {
+    val got = LanguageModel.scoreDocs(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // p(a,b) = 4/6 -> floor(0.666.. * 1e9) = 666666666
+    // p(b,a) = p(b,c) = 2/5 -> 400000000
+    got shouldBe Array(
+      (0L, 3L, 666666666L * 2 + 400000000L),
+      (1L, 2L, 666666666L + 400000000L))
+  }
+
+  test("corpus-typical text outscores rare text per bigram") {
+    val scores = LanguageModel.scoreDocs(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3.toDouble / r._2).toMap
+    scores(0L) should be > scores(1L) // doc 0 repeats the dominant bigram
+  }
+
+  test("topBigrams orders by count desc with deterministic tie-break") {
+    val got = LanguageModel
+      .topBigrams(docs, col("text"), col("doc_id"), topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    got shouldBe Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L))
+  }
+
+  test("topBigrams honors the k cut after the total order") {
+    val got = LanguageModel
+      .topBigrams(docs, col("text"), col("doc_id"), topK = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    got shouldBe Seq(("a b", 3L, 2L))
+  }
+}
