@@ -663,6 +663,17 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- PQ ANN: hash-seeded per-subspace codebooks (m=4 × 16 dims,
+    //      8 codes), asymmetric-distance top-k over the encoded corpus —
+    //      the candidate scan reads m small codes per vector, never the
+    //      float vector
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Similarity.pqTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- hard-negative mining: top-k cross-label near-misses per query
     //      (contrastive-training prep; broadcast queries, label gate
     //      before ranking)
@@ -1899,6 +1910,54 @@ object SparkEntry {
          |                       ORDER BY cos_r DESC, n_id) AS rnk
          |  FROM scored)
          |SELECT q_id, n_id, cos_r, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT s,
+         |    CAST('0x' || substr(md5(e.vec_id || ':' || s), 1, 15)
+         |      AS BIGINT) % 8 AS code,
+         |    j, floor(avg(v[s*16 + j + 1]) * 1000000 + 0.5)/1000000 AS c
+         |  FROM e, range(0, 4) ss(s), range(0, 16) js(j)
+         |  GROUP BY 1, 2, 3),
+         |cl AS (SELECT s, code, list(c ORDER BY j) AS cv
+         |       FROM cent GROUP BY 1, 2),
+         |enc0 AS (
+         |  SELECT e.vec_id, cl.s, cl.code,
+         |    floor(list_sum([(v[cl.s*16 + j + 1] - cv[j+1]) *
+         |                    (v[cl.s*16 + j + 1] - cv[j+1])
+         |                    for j in range(0, 16)]) * 1000000 + 0.5)/1000000
+         |      AS d
+         |  FROM e, cl),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d, code) AS rn
+         |    FROM enc0) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |tab AS (
+         |  SELECT q_id, cl.s, cl.code,
+         |    floor(list_sum([(qv[cl.s*16 + j + 1] - cv[j+1]) *
+         |                    (qv[cl.s*16 + j + 1] - cv[j+1])
+         |                    for j in range(0, 16)]) * 1000000 + 0.5)/1000000
+         |      AS d
+         |  FROM q, cl),
+         |scored AS (
+         |  SELECT t.q_id, enc.vec_id AS n_id,
+         |    floor(sum(t.d) * 1000000 + 0.5)/1000000 AS dist_r
+         |  FROM enc JOIN tab t ON t.s = enc.s AND t.code = enc.code
+         |  WHERE t.q_id <> enc.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, n_id, dist_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY dist_r, n_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, n_id, dist_r, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin,
 
     "q_text_stats" ->

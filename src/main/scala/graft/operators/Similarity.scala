@@ -416,4 +416,136 @@ object Similarity {
 
   val quantizeInt8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(quantizeInt8 _)
+
+  // -------------------------------------------- product quantization
+
+  /** Per-subspace PQ codebooks: (code, centroid) pairs for each of the
+    * `m` contiguous `dim/m`-wide subspaces.
+    *
+    * `rounds = 0` seeds code assignments from a stable hash of
+    * (vec_id, subspace) and takes per-dimension means — fully
+    * relational and oracle-expressible, the same trick as
+    * [[ivfCentroids]]. `rounds > 0` runs per-subspace Lloyd
+    * refinement: re-encode with the current books (one narrow UDF pass
+    * over the corpus), re-average. Either way the corpus is only ever
+    * streamed; exactly m·k·(dim/m) averaged rows reach the driver, and
+    * centroid components are floor-rounded at 1e-6 so downstream
+    * ranking is reproducible across engines and summation orders. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  rounds: Int = 0): Array[Array[(Int, Array[Double])]] = {
+    val subDim = dim / m
+    require(subDim * m == dim, s"dim $dim not divisible into $m subspaces")
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+
+    def booksOf(perDim: DataFrame): Array[Array[(Int, Array[Double])]] = {
+      val rows = perDim.groupBy(col("s"), col("code"), col("j"))
+        .agg(avg(col("x")).as("c")).collect()
+      val bySub = rows.groupBy(_.getInt(0))
+      Array.tabulate(m) { s =>
+        bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(r => r.getLong(1).toInt)
+          .map { case (code, rs) =>
+            val cent = new Array[Double](subDim)
+            rs.foreach(r => cent(r.getInt(2)) = stableRoundD(r.getDouble(3), 6))
+            (code, cent)
+          }.toArray.sortBy(_._1)
+      }
+    }
+
+    val seeded = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("s", (col("d") / subDim).cast("int"))
+      .withColumn("j", (col("d") % subDim).cast("int"))
+      .withColumn("code",
+        graft.functions.stableHash64(
+          concat(col("vec_id"), lit(":"), col("s"))) % k)
+    var books = booksOf(seeded)
+    var r = 0
+    while (r < rounds) {
+      val enc = e.withColumn("codes", pqEncodeUdf(books, subDim)(col("v")))
+      val reassigned = enc
+        .select(col("codes"), posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("s", (col("d") / subDim).cast("int"))
+        .withColumn("j", (col("d") % subDim).cast("int"))
+        .withColumn("code",
+          element_at(col("codes"), col("s") + 1).cast("long"))
+      books = booksOf(reassigned)
+      r += 1
+    }
+    books
+  }
+
+  /** Squared L2 between a subvector and a codebook centroid, summed in
+    * dimension order and stable-rounded — the single arithmetic shape
+    * both encode and ADC share (and the oracle mirrors). */
+  private def subDist(v: Seq[Double], off: Int, cent: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < cent.length) {
+      val dd = v(off + j) - cent(j)
+      acc += dd * dd
+      j += 1
+    }
+    stableRoundD(acc, 6)
+  }
+
+  /** Encode a vector to its per-subspace nearest-centroid codes
+    * (ties to the smallest code). m codes per vector — at dim 64
+    * float32 → m=4 bytes-worth, a 64× storage cut for the candidate
+    * scan. */
+  def pqEncodeUdf(books: Array[Array[(Int, Array[Double])]],
+                  subDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { v: Seq[Double] =>
+      Array.tabulate(books.length) { s =>
+        var bestCode = -1
+        var bestD = Double.MaxValue
+        books(s).foreach { case (code, cent) =>
+          val d = subDist(v, s * subDim, cent)
+          if (d < bestD || (d == bestD && code < bestCode)) {
+            bestD = d; bestCode = code
+          }
+        }
+        bestCode
+      }
+    }
+
+  /** PQ approximate top-k by asymmetric distance computation: the
+    * corpus is scanned as m small int codes per vector, each query
+    * precomputes its m·k table of subspace distances once, and the
+    * per-candidate distance is m table lookups — no float vector is
+    * read after encode. Queries broadcast (same contract as
+    * [[bruteForceTopK]]); distances stable-rounded with id tie-break;
+    * self-matches excluded. Emits (q_id, n_id, dist_r, rnk). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             codesPerSub: Int = 8, dim: Int = 64, rounds: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(corpus, m, codesPerSub, dim, idCol, vecCol, rounds)
+    val enc = corpus.select(col(idCol).cast("long").as("n_id"),
+      pqEncodeUdf(books, subDim)(asDouble(col(vecCol))).as("codes"))
+    val tableUdf = udf { qv: Seq[Double] =>
+      books.zipWithIndex.map { case (sub, s) =>
+        sub.map { case (code, cent) => code -> subDist(qv, s * subDim, cent) }
+          .toMap
+      }
+    }
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("tab", tableUdf(col("qv")))
+    val distUdf = udf { (codes: Seq[Int], tab: Seq[Map[Int, Double]]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += tab(s)(codes(s)); s += 1 }
+      stableRoundD(acc, 6)
+    }
+    val scored = enc.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dist_r", distUdf(col("codes"), col("tab")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist_r"), col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("dist_r"), col("rnk"))
+  }
 }

@@ -87,6 +87,76 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  // two well-separated clusters in R^4 (m=2 subspaces of 2 dims)
+  private def pqVecs = (0 to 5).map(i =>
+      (i.toLong, Array(1.0f + i * 0.01f, 0.0f, 1.0f, 0.0f))) ++
+    (10 to 15).map(i =>
+      (i.toLong, Array(0.0f, 1.0f + i * 0.01f, 0.0f, 1.0f)))
+
+  private def rd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("pqEncode gives identical codes to identical vectors, in range") {
+    val df = (pqVecs :+ (99L, pqVecs.head._2)).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 2, k = 2, dim = 4)
+    val codes = df
+      .select(col("vec_id"), Similarity.pqEncodeUdf(books, 2)(
+        col("embedding").cast("array<double>")).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    codes(99L) shouldBe codes(0L)
+    codes.values.foreach { c =>
+      c should have length 2
+      c.foreach(code => books.head.map(_._1) ++ books(1).map(_._1)
+        should contain(code))
+    }
+  }
+
+  test("pqTopK ADC distance equals reconstruction distance exactly") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 2, k = 2, dim = 4, rounds = 1)
+    val byId = pqVecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val codes = df
+      .select(col("vec_id"), Similarity.pqEncodeUdf(books, 2)(
+        col("embedding").cast("array<double>")).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val got = Similarity.pqTopK(df, df.filter(col("vec_id") === 0L),
+        k = 11, m = 2, codesPerSub = 2, dim = 4, rounds = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    got.foreach { case (qId, nId, distR, _) =>
+      val qv = byId(qId)
+      val expected = rd6((0 until 2).map { s =>
+        val cent = books(s).find(_._1 == codes(nId)(s)).get._2
+        rd6((0 until 2).map(j =>
+          math.pow(qv(s * 2 + j) - cent(j), 2)).sum)
+      }.sum)
+      distR shouldBe expected
+    }
+  }
+
+  test("Lloyd rounds do not increase quantization distortion") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    def distortion(rounds: Int): Double = {
+      val books = Similarity.pqCodebooks(df, m = 2, k = 2, dim = 4,
+        rounds = rounds)
+      pqVecs.map { case (_, v) =>
+        (0 until 2).map { s =>
+          books(s).map { case (_, cent) =>
+            (0 until 2).map(j =>
+              math.pow(v(s * 2 + j).toDouble - cent(j), 2)).sum
+          }.min
+        }.sum
+      }.sum
+    }
+    distortion(2) should be <= distortion(0)
+  }
+
+  test("pqTopK with refinement keeps the query's cluster on top") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(df, df.filter(col("vec_id") === 0L),
+        k = 5, m = 2, codesPerSub = 2, dim = 4, rounds = 2)
+      .orderBy(col("rnk")).as[(Long, Long, Double, Int)].collect()
+    top.head._2 should be <= 5L // nearest neighbor is a cluster-A member
+  }
+
   test("sign-LSH buckets identical vectors together; lshTopK finds them") {
     val bucketed = Similarity.signLshBuckets(vecs, nPlanes = 8, dim = 3)
       .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
