@@ -990,6 +990,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- temperature-scaled source mixing (p_s ∝ n_s^α): skewed
+    //      60/30/10 strata derived from doc_id; α=0.5 upweights the
+    //      rare stratum; deterministic hash-bucket keep
+    "q_mix_temperature" -> ((s, dir) => {
+      val src = when(col("doc_id") % 10 < 6, "a")
+        .when(col("doc_id") % 10 < 9, "b").otherwise("c")
+      operators.Sampling.temperatureMix(
+          Tables.documents(s, dir).withColumn("src", src),
+          col("src"), col("doc_id"),
+          targetTotal = 250, alpha = 0.5, salt = "temp1")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("src"))
+    }),
+
+    // ---- embedding-space outlier filtering: squared L2 to the label
+    //      centroid, fully relational (no driver collect), top-decile
+    //      threshold flags off-manifold vectors
+    "q_embed_outliers" -> ((s, dir) =>
+      operators.Similarity.labelOutliers(
+          Tables.embeddings(s, dir), threshold = 1.02)
+        .orderBy(col("vec_id"))),
+
     // ---- S2/S7: changeset-metadata assembly (Metadata.assemble — CSV-dump
     //      re-zip + user join + 1e-7 fixed-point lat/lon + hashtag
     //      extraction; reference ChangesetMetadataCreator.scala:107-186).
@@ -2260,6 +2283,44 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'a'
+        |                      WHEN doc_id % 10 < 9 THEN 'b'
+        |                      ELSE 'c' END AS src
+        |  FROM documents),
+        |c AS (SELECT src, count(*) AS n FROM d GROUP BY 1),
+        |s AS (SELECT sum(pow(n, 0.5)) AS st FROM c),
+        |r AS (
+        |  SELECT src, least(1.0,
+        |    floor(250.0 * pow(n, 0.5) / st / n * 1000000 + 0.5)/1000000)
+        |    AS rate
+        |  FROM c, s),
+        |k AS (
+        |  SELECT d.doc_id, d.src FROM d JOIN r USING (src)
+        |  WHERE CAST('0x' || substr(md5('temp1:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+        |    < CAST(floor(rate * 10000) AS BIGINT))
+        |SELECT src, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, d, floor(avg(v[d+1]) * 1000000 + 0.5)/1000000 AS c
+        |  FROM e, range(0, 64) ds(d) GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |dist AS (
+        |  SELECT vec_id, e.label,
+        |    floor(list_sum([(v[j+1]-cv[j+1])*(v[j+1]-cv[j+1])
+        |                    for j in range(0, 64)]) * 1000000 + 0.5)/1000000
+        |      AS dist_r
+        |  FROM e JOIN cl ON e.label = cl.label)
+        |SELECT vec_id, label, dist_r, dist_r > 1.02 AS is_outlier
+        |FROM dist ORDER BY vec_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

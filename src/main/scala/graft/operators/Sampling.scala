@@ -48,6 +48,37 @@ object Sampling {
                        salt: String = "graft"): DataFrame =
     df.filter(keepPredicate(stratumCol, idCol, rates, default, salt))
 
+  /** Temperature-scaled source mixing — the multilingual-pretraining
+    * reweighting p_s ∝ n_s^α (α < 1 upweights rare sources, α = 1 is
+    * proportional, α = 0 uniform). Each source keeps rows with
+    * probability min(1, T·w_s/n_s) where w_s = n_s^α / Σ n_t^α and T
+    * is the target corpus size, decided by the same deterministic
+    * hash-bucket machinery as [[stratifiedSample]] — reproducible
+    * across runs, retries and partitionings.
+    *
+    * Rates are stable-rounded at 1e-6 AFTER the transcendental pow so
+    * the bucket threshold is engine-identical (ulp differences in
+    * pow/Σ recenter away). Scale: the rate table is one row per
+    * source — a broadcast join; the corpus is touched once to count
+    * and once to filter. */
+  def temperatureMix(df: DataFrame, sourceCol: Column, idCol: Column,
+                     targetTotal: Long, alpha: Double = 0.5,
+                     salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(pow(col("__n"), alpha)).as("__S"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        floor(lit(targetTotal.toDouble) * pow(col("__n"), alpha) /
+          col("__S") / col("__n") * 1e6 + lit(0.5)) / 1e6))
+      .select(col("__src"), col("__rate"))
+    df.withColumn("__src", sourceCol)
+      .join(broadcast(rates), "__src")
+      .filter(sampleBucket(idCol, salt) <
+        floor(col("__rate") * Buckets).cast(LongType))
+      .drop("__src", "__rate")
+  }
+
   /** Sequence packing for pretraining batches: lay documents out as one
     * contiguous token stream and cut it into fixed-`budget` context
     * windows ("bins"), documents straddling bin boundaries (the

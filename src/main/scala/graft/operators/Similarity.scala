@@ -417,6 +417,39 @@ object Similarity {
   val quantizeInt8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(quantizeInt8 _)
 
+  /** Embedding-space quality filtering: squared L2 distance of every
+    * vector to its label's centroid, with an outlier flag — the
+    * standard "drop mislabeled / off-manifold embeddings before
+    * training" pass.
+    *
+    * Fully relational, no driver collect: centroids come from a
+    * groupBy(label, dim) average (map-side combinable; label·dim rows
+    * total), are re-zipped into ordered arrays, and broadcast back —
+    * so the shape survives any corpus size as long as label·dim is
+    * bounded. Centroid components and distances are stable-rounded at
+    * 1e-6; the distance fold is left-to-right over dimensions, so the
+    * result is engine-reproducible. */
+  def labelOutliers(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("int").as("label"), asDouble(col(vecCol)).as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(avg(col("x")).as("c0"))
+      .withColumn("c", floor(col("c0") * 1e6 + lit(0.5)) / 1e6)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("dist_r",
+        floor(aggregate(zip_with(col("v"), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * 1e6 + lit(0.5)) / 1e6)
+      .select(col("vec_id"), col("label"), col("dist_r"),
+        (col("dist_r") > threshold).as("is_outlier"))
+  }
+
   // -------------------------------------------- product quantization
 
   /** Per-subspace PQ codebooks: (code, centroid) pairs for each of the

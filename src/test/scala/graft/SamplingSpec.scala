@@ -170,4 +170,44 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperatureMix: alpha<1 upweights rare sources toward target") {
+    // skewed corpus: a=6000, b=3000, c=1000
+    val skewed = (0L until 10000L).map(i =>
+      (i, if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"))
+      .toDF("doc_id", "src")
+    val kept = Sampling.temperatureMix(skewed, col("src"), col("doc_id"),
+        targetTotal = 5000, alpha = 0.5, salt = "t1")
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // expected keep rates: T*sqrt(n_s)/S/n_s -> a .394, b .557, c .965
+    val total = kept.values.sum
+    kept("c").toDouble shouldBe 965.0 +- 40.0
+    // rare source keeps a larger FRACTION than the dominant one
+    (kept("c").toDouble / 1000) should be > (kept("b").toDouble / 3000)
+    (kept("b").toDouble / 3000) should be > (kept("a").toDouble / 6000)
+    total.toDouble shouldBe 5000.0 +- 300.0 // hash-bucket tolerance
+  }
+
+  test("temperatureMix alpha=1 reduces to proportional subsampling") {
+    val skewed = (0L until 10000L).map(i =>
+      (i, if (i % 10 < 6) "a" else "b")).toDF("doc_id", "src")
+    val kept = Sampling.temperatureMix(skewed, col("src"), col("doc_id"),
+        targetTotal = 5000, alpha = 1.0, salt = "t2")
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // w_s = n_s/N -> every source keeps the same rate T/N = 0.5
+    (kept("a").toDouble / 6000) shouldBe 0.5 +- 0.05
+    (kept("b").toDouble / 4000) shouldBe 0.5 +- 0.05
+  }
+
+  test("temperatureMix is stable across partitionings") {
+    val skewed = (0L until 2000L).map(i =>
+      (i, if (i % 10 < 6) "a" else "b")).toDF("doc_id", "src")
+    def ids(parts: Int): Set[Long] =
+      Sampling.temperatureMix(skewed.repartition(parts), col("src"),
+          col("doc_id"), targetTotal = 800, alpha = 0.5, salt = "t3")
+        .select(col("doc_id")).as[Long].collect().toSet
+    ids(2) shouldBe ids(13)
+  }
 }

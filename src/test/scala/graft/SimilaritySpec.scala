@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("labelOutliers flags the off-manifold vector, not the cluster") {
+    val data = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.1f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.0f)), (3L, 0, Array(1.0f, 0.1f)),
+      (4L, 0, Array(5.0f, 5.0f)), // planted outlier in label 0
+      (5L, 1, Array(0.0f, 2.0f)), (6L, 1, Array(0.0f, 2.2f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(data, threshold = 2.0)
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    got(4L)._4 shouldBe true
+    Seq(0L, 1L, 2L, 3L, 5L, 6L).foreach(id => got(id)._4 shouldBe false)
+    // distances are exact against a hand centroid: label-1 centroid
+    // (0, 2.1) -> each member is 0.1 away in one dim = 0.01 squared
+    got(5L)._3 shouldBe 0.01 +- 1e-6
+    got(6L)._3 shouldBe 0.01 +- 1e-6
+  }
+
   // two well-separated clusters in R^4 (m=2 subspaces of 2 dims)
   private def pqVecs = (0 to 5).map(i =>
       (i.toLong, Array(1.0f + i * 0.01f, 0.0f, 1.0f, 0.0f))) ++
