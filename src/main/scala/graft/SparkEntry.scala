@@ -750,6 +750,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-doc TF-IDF top terms (exact rational idf tf·N/df: one
+    //      IEEE division of exact ints, so ranking can't drift)
+    "q_tfidf_topterms" -> ((s, dir) =>
+      operators.LanguageModel.tfIdfTopTerms(
+          Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // ---- winnowing fingerprints (MOSS local-fingerprint selection:
+    //      3-gram hashes, window 4, rightmost-min tie-break)
+    "q_text_winnow" -> ((s, dir) =>
+      operators.Dedup.winnowFingerprints(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          k = 3, window = 4)
+        .orderBy(col("doc_id"), col("gram_pos"), col("fp_hash"))),
+
     // ---- PII scrubbing: typed-placeholder redaction + audit counts
     //      (training-data pre-processing; codegen regexp chain). PII is
     //      synthesized deterministically from customer so the redaction
@@ -2124,6 +2139,49 @@ object SparkEntry {
         |  t.n_lines - coalesce(ka.n_kept, 0) AS n_dropped
         |FROM totals t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS n_docs_term FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, term, tf, n_docs_term,
+         |    CAST(tf * n_docs AS DOUBLE) / n_docs_term AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, tf, n_docs_term, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, term, tf, n_docs_term, score, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_text_winnow" ->
+      s"""WITH $toksSql,
+         |g0 AS (
+         |  SELECT doc_id, unnest(range(0, greatest(len(t) - 2, 0))) AS pos, t
+         |  FROM toks WHERE len(t) >= 3),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    CAST('0x' || substr(md5(array_to_string(t[pos+1:pos+3], ' ')),
+         |      1, 15) AS BIGINT) AS h
+         |  FROM g0),
+         |wm AS (
+         |  SELECT doc_id, pos AS p,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM g),
+         |wf AS (SELECT * FROM wm WHERE p <= ng - 4),
+         |sel AS (
+         |  SELECT wf.doc_id, wf.mh AS fp_hash, max(g.pos) AS gram_pos
+         |  FROM wf JOIN g ON g.doc_id = wf.doc_id
+         |    AND g.pos BETWEEN wf.p AND wf.p + 3 AND g.h = wf.mh
+         |  GROUP BY wf.doc_id, wf.p, wf.mh)
+         |SELECT DISTINCT doc_id, fp_hash, gram_pos FROM sel
+         |ORDER BY doc_id, gram_pos, fp_hash""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH norm AS (

@@ -45,6 +45,57 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"))
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * scheme): hash every word k-gram, slide a window of `window`
+    * consecutive hashes, select each window's minimum hash breaking
+    * ties to the RIGHTMOST minimum, emit the distinct selected
+    * (hash, gram position) set per document. Every substring match of
+    * length ≥ window+k−1 tokens is guaranteed to share a fingerprint,
+    * at ~2/(window+1) selection density — the local-similarity basis
+    * that complements the corpus-level MinHash pass (which can only
+    * see whole-document similarity).
+    *
+    * One compiled UDF pass per document — a nested-HOF Column version
+    * of the sliding argmin makes Catalyst's optimizer re-traverse the
+    * inlined gram/hash tree per lambda and stalls planning, the same
+    * lesson as [[shingleSets]] — no shuffle; downstream
+    * plagiarism/overlap joins bucket on the small selected set, never
+    * the gram stream. */
+  def winnowFingerprints(df: DataFrame, textCol: Column, idCol: Column,
+                         k: Int, window: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(winnowUdf(k, window)(textCol)).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("fp_hash"),
+        col("fp._2").as("gram_pos"))
+
+  /** Scala core of [[winnowFingerprints]]: k-gram hashes, sliding
+    * window argmin with rightmost-min tie-break, distinct selections
+    * in first-selection order. */
+  def winnowScala(toks: Array[String], k: Int, window: Int): Seq[(Long, Int)] = {
+    if (toks.length < k) return Nil
+    val hs = toks.sliding(k).map(g => stableHash64Scala(g.mkString(" "))).toArray
+    if (hs.length < window) return Nil
+    val sel = scala.collection.mutable.LinkedHashSet.empty[(Long, Int)]
+    var p = 0
+    while (p <= hs.length - window) {
+      var bh = Long.MaxValue
+      var bp = -1
+      var i = p
+      while (i < p + window) {
+        if (hs(i) <= bh) { bh = hs(i); bp = i }
+        i += 1
+      }
+      sel += ((bh, bp))
+      p += 1
+    }
+    sel.toSeq
+  }
+
+  def winnowUdf(k: Int, window: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => winnowScala(tokensScala(text), k, window))
+
   // ------------------------------------------------------------ lines
 
   /** Line-level dedup (the CCNet/RefinedWeb boilerplate pass): drop

@@ -65,6 +65,36 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
   }
 
+  /** Per-document top-k TF-IDF terms with an exact rational idf
+    * (tf·N/df): the score is ONE IEEE division of exact integers, so
+    * it is bit-identical in any engine and the ranking can never
+    * drift — the reason this uses N/df rather than the log variant
+    * (ln is engine-dependent in the last ulp; the ranking it induces
+    * over (tf, df) pairs is the same monotone order).
+    *
+    * Scale: tf is a map-side-combinable groupBy(doc, term); df
+    * aggregates the tf table (vocabulary-sized) and broadcasts back;
+    * the top-k window partitions by document, so no global sort. */
+  def tfIdfTopTerms(df: DataFrame, textCol: Column, idCol: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("term"))
+    val tf = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("n_docs_term"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("n_docs_term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("n_docs_term"),
+        col("score"), col("rnk"))
+  }
+
   /** Corpus bigram statistics: the `topK` most frequent bigrams with
     * occurrence and document-frequency counts — the standard corpus
     * health report (boilerplate detection, contamination triage).

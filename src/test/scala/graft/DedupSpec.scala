@@ -113,6 +113,45 @@ class DedupSpec extends SparkSpec {
       (13L, "", 0L, 1L)) // fully-boilerplate doc still accounted for
   }
 
+  test("winnowing guarantees shared fingerprints for long shared runs") {
+    // docs share a 9-token run >= window+k-1 = 6 tokens, so the
+    // winnowing coverage guarantee applies
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      (0L, s"prefix one two $shared suffix here now"),
+      (1L, s"$shared totally different tail words go on"),
+      (2L, "unrelated content with no overlap at all whatsoever right"),
+      (3L, "tiny") // under k tokens: no fingerprints, no error
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, col("text"), col("doc_id"),
+        k = 3, window = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (fps(0L) intersect fps(1L)) should not be empty
+    (fps(0L) intersect fps(2L)) shouldBe empty
+    fps.get(3L) shouldBe None
+  }
+
+  test("winnowing matches a brute-force reference on one doc") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val toks = graft.functions.TextFunctions.tokensScala(text)
+    val hs = toks.sliding(3)
+      .map(g => graft.functions.TextFunctions.stableHash64Scala(g.mkString(" ")))
+      .toArray
+    val expected = (0 to hs.length - 4).map { p =>
+      // rightmost min in window [p, p+4)
+      val w = (p until p + 4).map(i => (hs(i), i))
+      w.minBy { case (h, i) => (h, -i) }
+    }.distinct
+    val got = Dedup.winnowFingerprints(
+        Seq((7L, text)).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), k = 3, window = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._2, r._3)).toSeq
+    got.toSet shouldBe expected.toSet
+    // density: far fewer selections than grams
+    got.length should be < hs.length
+  }
+
   test("dedupLines maxDocFreq above the fan-out keeps everything") {
     val got = Dedup.dedupLines(lineDocs, col("text"), col("doc_id"),
       maxDocFreq = 4).as[(Long, String, Long, Long)].collect()

@@ -31,6 +31,25 @@ class LanguageModelSpec extends SparkSpec {
     scores(0L) should be > scores(1L) // doc 0 repeats the dominant bigram
   }
 
+  test("tfIdfTopTerms ranks rare-but-frequent terms on top, exactly") {
+    // 4 docs; "rare" only in doc 0 (tf 2), "common" in all docs
+    val d = Seq(
+      (0L, "rare rare common alpha"),
+      (1L, "common beta beta"),
+      (2L, "common gamma"),
+      (3L, "common delta")
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.tfIdfTopTerms(d, col("text"), col("doc_id"), 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6)).toMap
+    // doc 0: rare tf=2 df=1 -> 2*4/1 = 8.0; alpha 1*4/1 = 4.0;
+    //        common 1*4/4 = 1.0 loses
+    got(0L).map(r => (r._2, r._5)) shouldBe Array(("rare", 8.0), ("alpha", 4.0))
+    // doc 1: beta tf=2 df=1 -> 8.0 beats common 1.0
+    got(1L).head._2 shouldBe "beta"
+    got(1L).head._5 shouldBe 8.0
+  }
+
   test("topBigrams orders by count desc with deterministic tie-break") {
     val got = LanguageModel
       .topBigrams(docs, col("text"), col("doc_id"), topK = 10)
