@@ -750,6 +750,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicated-gram fraction (RefinedWeb/Dolma "fraction of
+    //      n-grams appearing elsewhere" quality filter; 5-grams)
+    "q_text_dupfrac" -> ((s, dir) =>
+      operators.Dedup.duplicatedGramFraction(
+          Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- per-doc TF-IDF top terms (exact rational idf tf·N/df: one
     //      IEEE division of exact ints, so ranking can't drift)
     "q_tfidf_topterms" -> ((s, dir) =>
@@ -2139,6 +2146,25 @@ object SparkEntry {
         |  t.n_lines - coalesce(ka.n_kept, 0) AS n_dropped
         |FROM totals t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_text_dupfrac" ->
+      s"""WITH $toksSql,
+         |sh5 AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(t[i:i+4], ' ')
+         |                   for i in range(1, greatest(len(t)-3, 1))]) AS s
+         |  FROM toks WHERE len(t) >= 5),
+         |occ AS (SELECT doc_id, unnest(s) AS g FROM sh5),
+         |gc AS (SELECT g, count(*) AS nd FROM occ GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM occ JOIN gc USING (g) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_dup,
+         |  CAST(n_dup AS DOUBLE) / n_grams AS frac_dup,
+         |  CAST(n_dup AS DOUBLE) / n_grams > 0.3 AS flagged
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_topterms" ->
       s"""WITH $toksSql,

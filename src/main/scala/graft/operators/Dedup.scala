@@ -142,6 +142,34 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  // ------------------------------------------------- duplicated-gram frac
+
+  /** Duplicated-text-fraction quality signal (the RefinedWeb/Dolma
+    * "fraction of n-grams appearing elsewhere in the corpus" filter):
+    * for each document, the share of its distinct word `shingleN`-grams
+    * that occur in at least `minDocs` distinct documents. Emits
+    * (doc_id, n_grams, n_dup, frac_dup, flagged) with
+    * frac_dup = n_dup/n_grams as one exact-integer IEEE division.
+    *
+    * Scale: the gram→doc-count table is distinct-gram-sized (bounded by
+    * content, not corpus rows) and map-side combinable; the tag-back
+    * join streams the per-doc gram projection once. Documents shorter
+    * than the shingle width have no grams and are not scored. */
+  def duplicatedGramFraction(df: DataFrame, textCol: Column, idCol: Column,
+                             shingleN: Int = 5, minDocs: Int = 2,
+                             threshold: Double = 0.3): DataFrame = {
+    val occ = shingleSets(df, textCol, idCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    // shingle sets are distinct per doc, so count(*) counts documents
+    val gc = occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    occ.join(gc, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("frac_dup", col("n_dup").cast("double") / col("n_grams"))
+      .withColumn("flagged", col("frac_dup") > threshold)
+  }
+
   // ------------------------------------------------------------ minhash
 
   /** Prime modulus for the linear rehash family (2^31 − 1). */

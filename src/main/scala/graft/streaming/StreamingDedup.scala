@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Streaming exact deduplication — the ingest-time twin of the batch
+  * [[graft.operators.Dedup.exactCanonical]]: a document is emitted only
+  * the FIRST time its normalized-text fingerprint is seen across the
+  * life of the stream (ties inside one micro-batch go to the smallest
+  * doc id, so replays are deterministic).
+  *
+  * Scale shape: one shuffle keyed by fingerprint (the groupByKey), then
+  * per-key state is a single boolean — O(distinct fingerprints), the
+  * streaming-state minimum for exact first-seen semantics. At 100 TB
+  * ingest you bound that state by sharding the stream on fingerprint
+  * prefix (state scales per executor) or by fronting it with an
+  * approximate pre-filter; the exact operator stays as the
+  * per-shard core. Output is append-mode, so the exactly-once story
+  * composes with the idempotent sinks like every other streaming op
+  * here.
+  */
+object StreamingDedup {
+
+  /** First-seen document per fingerprint. */
+  case class Kept(doc_id: Long, fp: String)
+
+  /** Keep the first document per normalized-text fingerprint. `docs`
+    * needs (doc_id LONG, text STRING); works on streaming frames in
+    * append mode (no watermark needed — state never expires by
+    * design; see scaladoc for the bounding strategies). */
+  def firstSeen(docs: DataFrame): Dataset[Kept] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val keptEnc = Encoders.product[Kept]
+    docs.select(col("doc_id").cast("long"),
+        md5(TextFunctions.normalize(col("text"))).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, Kept](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(Kept(rows.minBy(_._1)._1, fp))
+          }
+      }
+  }
+}

@@ -113,6 +113,25 @@ class DedupSpec extends SparkSpec {
       (13L, "", 0L, 1L)) // fully-boilerplate doc still accounted for
   }
 
+  test("duplicatedGramFraction scores shared 5-gram share per doc") {
+    val d = Seq(
+      (0L, "one two three four five unique tail a"),
+      (1L, "one two three four five other ending b"),  // shares 1 5-gram
+      (2L, "totally fresh words nothing shared here c"),
+      (3L, "tiny doc") // < 5 tokens: not scored
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicatedGramFraction(
+        d, col("text"), col("doc_id"), shingleN = 5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    got(0L)._2 shouldBe 4L // 8 tokens -> 4 distinct 5-grams
+    got(0L)._3 shouldBe 1L // exactly the shared prefix gram
+    got(0L)._4 shouldBe 0.25
+    got(2L)._3 shouldBe 0L
+    got(2L)._5 shouldBe false
+    got.get(3L) shouldBe None
+  }
+
   test("winnowing guarantees shared fingerprints for long shared runs") {
     // docs share a 9-token run >= window+k-1 = 6 tokens, so the
     // winnowing coverage guarantee applies

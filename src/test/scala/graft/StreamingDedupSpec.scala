@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstSeen keeps one doc per fingerprint across micro-batches") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.firstSeen(docs)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: 1 and 2 normalize to the same fingerprint; min id wins
+      mem.addData((2L, "Hello, world!"), (1L, "hello world"),
+        (3L, "different text"))
+      q.processAllAvailable()
+      // batch 2: 4 replays a seen fingerprint; 5 is new
+      mem.addData((4L, "HELLO  world"), (5L, "brand new content"))
+      q.processAllAvailable()
+
+      val kept = spark.table("dedup").as[StreamingDedup.Kept]
+        .collect().map(_.doc_id).toSet
+      kept shouldBe Set(1L, 3L, 5L)
+
+      // matches the batch operator's canonical choice on the same rows
+      val batch = graft.operators.Dedup.exactCanonical(
+          Seq((1L, "hello world"), (2L, "Hello, world!"),
+            (3L, "different text"), (4L, "HELLO  world"),
+            (5L, "brand new content")).toDF("doc_id", "text"),
+          col("text"), col("doc_id"))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id")).as[Long].collect().toSet
+      kept shouldBe batch
+    } finally q.stop()
+  }
+
+  test("replaying the same batch emits nothing new") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.firstSeen(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup2")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta"), (11L, "gamma delta"))
+      q.processAllAvailable()
+      mem.addData((12L, "alpha  BETA"), (13L, "gamma, delta"))
+      q.processAllAvailable()
+      spark.table("dedup2").count() shouldBe 2L
+    } finally q.stop()
+  }
+}
