@@ -140,6 +140,24 @@ object ScaleProbe {
     val tGen = timeAssign(plans.ArrayExpressions.nearestCentroid(asDouble, cents))
     println(f"assign_pass vectors=$nv udf_sec=$tUdf%.3f " +
       f"codegen_sec=$tGen%.3f speedup=${tUdf / tGen}%.2fx")
+
+    // round 6: corpus-analytics passes over the 20x-replicated corpus —
+    // LM train+score (two corpus passes + model joins), duplicated-gram
+    // fraction (gram-table tag-back), winnowing (one UDF pass)
+    t0 = System.nanoTime()
+    val nScored = operators.LanguageModel.scoreDocs(
+      docs, col("text"), col("doc_id")).count()
+    val tLm = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nFrac = operators.Dedup.duplicatedGramFraction(
+      docs, col("text"), col("doc_id")).filter(col("flagged")).count()
+    val tFrac = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nFp = operators.Dedup.winnowFingerprints(
+      docs, col("text"), col("doc_id"), k = 3, window = 4).count()
+    val tFp = (System.nanoTime() - t0) / 1e9
+    println(f"lm_scored=$nScored lm_sec=$tLm%.1f flagged=$nFrac " +
+      f"dupfrac_sec=$tFrac%.1f winnow_fps=$nFp winnow_sec=$tFp%.1f")
     spark.stop()
   }
 }
