@@ -732,6 +732,22 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- corpus vocabulary report: top-25 tokens with doc frequency
+    //      and cumulative token-stream coverage (tokenizer design)
+    "q_corpus_vocab" -> ((s, dir) =>
+      operators.LanguageModel.vocabulary(
+          Tables.documents(s, dir), col("text"), col("doc_id"), topK = 25)
+        .orderBy(col("rnk"))),
+
+    // ---- deterministic global shuffle order (sharded cumsum — no
+    //      single-task global window; exactly the (hash, id) permutation)
+    "q_shuffle_order" -> ((s, dir) =>
+      operators.Sampling.shuffleOrder(
+          Tables.documents(s, dir).select(col("doc_id")),
+          col("doc_id"), salt = "shuf1")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))),
+
     // ---- corpus n-gram statistics: top-25 bigrams with occurrence +
     //      doc-frequency counts (boilerplate / contamination triage)
     "q_corpus_ngrams" -> ((s, dir) =>
@@ -2099,6 +2115,37 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  CAST(sum(micro) AS BIGINT) AS sum_micro
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_vocab" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tot AS (SELECT count(*) AS n_total FROM occ),
+         |cnt AS (
+         |  SELECT term, count(*) AS n_occurrences,
+         |    count(DISTINCT doc_id) AS n_docs
+         |  FROM occ GROUP BY 1),
+         |top AS (SELECT * FROM cnt
+         |        ORDER BY n_occurrences DESC, term LIMIT 25),
+         |r AS (
+         |  SELECT term, n_occurrences, n_docs,
+         |    row_number() OVER (ORDER BY n_occurrences DESC, term) AS rnk,
+         |    CAST(sum(n_occurrences) OVER (
+         |      ORDER BY n_occurrences DESC, term
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM top)
+         |SELECT term, n_occurrences, n_docs, rnk,
+         |  CAST(cum AS DOUBLE) / n_total AS cum_frac
+         |FROM r, tot ORDER BY rnk""".stripMargin,
+
+    "q_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY hv, doc_id) - 1 AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_corpus_ngrams" ->
       s"""WITH $toksSql,

@@ -17,8 +17,10 @@ import graft.functions.TextFunctions._
   *    (distinct bigrams / distinct tokens), which is orders of
   *    magnitude smaller than the corpus at 100 TB.
   *  - Scoring joins the occurrence stream to the model tables; the
-  *    model side is the small side and AQE broadcasts it. The corpus
-  *    stream is touched exactly twice (once to count, once to score).
+  *    model side is the small side and AQE broadcasts it. The bigram
+  *    stream is touched twice (count, score) plus one token pass for
+  *    the vocabulary size; history counts roll up from the bigram
+  *    table, never a separate corpus pass.
   *  - Per-bigram probabilities are single IEEE divisions of exact
   *    integers, floored to integer micro-probabilities (×1e9) BEFORE
   *    the per-document sum, so partial-aggregation order can never
@@ -52,7 +54,10 @@ object LanguageModel {
   def scoreDocs(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val occ = bigramOccurrences(df, textCol, idCol)
     val c2 = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // history counts roll up from the bigram table (Σ_w2 c2 = count of
+    // w1 as history) — a vocabulary-sized aggregation instead of a
+    // third pass over the corpus occurrence stream
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = df.select(explode(tokens(textCol)).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     occ.join(c2, Seq("w1", "w2"))
@@ -93,6 +98,37 @@ object LanguageModel {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("n_docs_term"),
         col("score"), col("rnk"))
+  }
+
+  /** Corpus vocabulary report: the `topK` most frequent tokens with
+    * occurrence count, document frequency, and cumulative coverage of
+    * the token stream (the "how much of the corpus do the top-k words
+    * explain" tokenizer-design number).
+    *
+    * Scale: one map-side-combinable count over the token stream, then
+    * a TakeOrdered top-k (parallel, never a global sort of the
+    * vocabulary); the rank/cumsum window runs over the ≤ topK
+    * surviving rows only. Coverage is an exact-integer cumsum with one
+    * final IEEE division. */
+  def vocabulary(df: DataFrame, textCol: Column, idCol: Column,
+                 topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("term"))
+    val tot = occ.agg(count(lit(1)).as("n_total"))
+    val top = occ.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(topK)
+    val w = Window.orderBy(col("n_occurrences").desc, col("term"))
+    top
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("n_occurrences"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_occurrences"), col("n_docs"), col("rnk"),
+        (col("cum").cast("double") / col("n_total")).as("cum_frac"))
   }
 
   /** Corpus bigram statistics: the `topK` most frequent bigrams with

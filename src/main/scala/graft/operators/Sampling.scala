@@ -79,6 +79,42 @@ object Sampling {
       .drop("__src", "__rate")
   }
 
+  /** Deterministic global shuffle order for training: position every
+    * row by the md5-derived hash of (salt, id) with an id tie-break —
+    * the "shuffle the corpus before packing" step, reproducible across
+    * runs, partitionings, and engines (no RNG). A different salt draws
+    * an independent permutation. Emits the input columns plus
+    * `shuffle_pos` (0-based).
+    *
+    * Scale: a single global row_number would serialize into one window
+    * task, so positions come from the same sharded-cumsum shape as
+    * [[packSequencesGlobal]]: rank within a hash-prefix shard
+    * (parallel windows), then add broadcast per-shard offsets — the
+    * only single-task window runs over one row per shard. */
+  def shuffleOrder(df: DataFrame, idCol: Column, salt: String = "graft",
+                   shardBits: Int = 10): DataFrame = {
+    val h = stableHash64(concat_ws(":", lit(salt), idCol.cast("string")))
+    // shard = top shardBits of the 60-bit hash, so shard order IS hash
+    // order and within-shard order refines it: the result is exactly
+    // the global (hash, id) permutation
+    val withShard = df.withColumn("__h", h)
+      .withColumn("__shard", shiftright(col("__h"), 60 - shardBits))
+    val wLocal = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), idCol)
+    val local = withShard
+      .withColumn("__local", row_number().over(wLocal).cast(LongType) - 1L)
+    val counts = local.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+    val wPrefix = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("__shard"),
+      coalesce(sum(col("__n")).over(wPrefix), lit(0L))
+        .cast(LongType).as("__start"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("shuffle_pos", col("__start") + col("__local"))
+      .drop("__h", "__shard", "__local", "__start", "__n")
+  }
+
   /** Sequence packing for pretraining batches: lay documents out as one
     * contiguous token stream and cut it into fixed-`budget` context
     * windows ("bins"), documents straddling bin boundaries (the

@@ -57,6 +57,16 @@ class LanguageModelSpec extends SparkSpec {
     got shouldBe Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L))
   }
 
+  test("vocabulary reports exact counts and cumulative coverage") {
+    // stream: a x4 (docs 0,1), b x3 (docs 0,1), c x1 (doc 2) -> 8 tokens
+    val d = Seq((0L, "a b a b a"), (1L, "b a"), (2L, "c")).toDF("doc_id", "text")
+    val got = LanguageModel.vocabulary(d, col("text"), col("doc_id"), 3)
+      .as[(String, Long, Long, Int, Double)].collect().sortBy(_._4)
+    got.map(r => (r._1, r._2, r._3, r._4)) shouldBe
+      Array(("a", 4L, 2L, 1), ("b", 3L, 2L, 2), ("c", 1L, 1L, 3))
+    got.map(_._5) shouldBe Array(4.0 / 8, 7.0 / 8, 1.0)
+  }
+
   test("topBigrams honors the k cut after the total order") {
     val got = LanguageModel
       .topBigrams(docs, col("text"), col("doc_id"), topK = 1)

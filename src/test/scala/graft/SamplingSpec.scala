@@ -171,6 +171,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shuffleOrder is the exact (hash, id) permutation, shard-stable") {
+    val ids = (0L until 3000L).toDF("doc_id")
+    val got = Sampling.shuffleOrder(ids, col("doc_id"), salt = "p1")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .as[(Long, Long)].collect().toMap
+    // bijection onto 0..n-1
+    got.values.toSet shouldBe (0L until 3000L).toSet
+    // matches a driver-side rank by (stableHash64, id)
+    val expected = (0L until 3000L)
+      .sortBy(id => (graft.functions.TextFunctions
+        .stableHash64Scala(s"p1:$id"), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    got shouldBe expected
+    // stable under repartitioning and shard-count changes
+    Sampling.shuffleOrder(ids.repartition(13), col("doc_id"), salt = "p1",
+        shardBits = 4)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .as[(Long, Long)].collect().toMap shouldBe got
+    // a different salt draws a different permutation
+    Sampling.shuffleOrder(ids, col("doc_id"), salt = "p2")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .as[(Long, Long)].collect().toMap should not be got
+  }
+
   test("temperatureMix: alpha<1 upweights rare sources toward target") {
     // skewed corpus: a=6000, b=3000, c=1000
     val skewed = (0L until 10000L).map(i =>
