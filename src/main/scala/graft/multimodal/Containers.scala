@@ -26,13 +26,15 @@ object Containers {
       nTracks: Int,
       codecs: Seq[String])
 
-  /** Dispatch on magic: MP4 `ftyp` at offset 4, EBML 0x1A45DFA3 at 0.
+  /** Dispatch on magic: MP4 `ftyp` at offset 4, EBML 0x1A45DFA3 at 0,
+    * MP3 frame sync (optionally behind an ID3v2 tag).
     * None = not a recognized container OR recognized but malformed /
     * truncated (the distinction callers need is "trustworthy metadata
     * or not", same as decodeImage/decodeAudio). */
   def probe(payload: Array[Byte]): Option[ContainerMeta] =
     if (isMp4(payload)) probeMp4(payload)
     else if (isEbml(payload)) probeMatroska(payload)
+    else if (isMp3(payload)) probeMp3(payload)
     else None
 
   def isMp4(p: Array[Byte]): Boolean =
@@ -292,5 +294,85 @@ object Containers {
       codecs.map(c => elem(IdTrackEntry,
         elem(IdCodecId, c.getBytes("ISO-8859-1")))).reduce(_ ++ _))
     ebml ++ elem(IdSegment, info ++ tracks)
+  }
+
+  // ---------------------------------------------------------------- MP3
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1-14. */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0)
+
+  /** MPEG-1 sample-rate table, index 0-2. */
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  def isMp3(p: Array[Byte]): Boolean = {
+    val off = id3Size(p)
+    p.length >= off + 2 && (p(off) & 0xFF) == 0xFF &&
+      (p(off + 1) & 0xE0) == 0xE0
+  }
+
+  /** ID3v2 tag length (0 if absent): 'ID3' + 7 bytes, syncsafe size. */
+  private def id3Size(p: Array[Byte]): Int =
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3')
+      10 + (((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+        ((p(8) & 0x7F) << 7) | (p(9) & 0x7F))
+    else 0
+
+  /** MP3 stream probe (MPEG-1 Layer III, the overwhelmingly common
+    * case; other versions/layers → None — an honest subset, like the
+    * 16-bit-PCM-only WAV decode): skip an ID3v2 tag, then walk frame
+    * headers end-to-end. Every frame must be complete and agree on
+    * sample rate; trailing garbage or a truncated final frame → None.
+    * Duration = frames · 1152 / rate; "codec" reports the first
+    * frame's bitrate (e.g. `mp3@128kbps`). */
+  def probeMp3(payload: Array[Byte]): Option[ContainerMeta] = {
+    var off = id3Size(payload)
+    if (off >= payload.length) return None
+    var frames = 0
+    var rate = 0
+    var firstKbps = -1
+    while (off < payload.length) {
+      if (off + 4 > payload.length) return None // truncated header
+      val b1 = payload(off) & 0xFF
+      val b2 = payload(off + 1) & 0xFF
+      // sync + MPEG-1 (bits 4-3 = 11) + Layer III (bits 2-1 = 01)
+      if (b1 != 0xFF || (b2 & 0xFE) != 0xFA) return None
+      val bIdx = (payload(off + 2) & 0xF0) >>> 4
+      val rIdx = (payload(off + 2) & 0x0C) >>> 2
+      val pad = (payload(off + 2) & 0x02) >>> 1
+      val kbps = Mp3Bitrates(bIdx)
+      val sr = Mp3Rates(rIdx)
+      if (kbps == 0 || sr == 0) return None // free/bad bitrate, bad rate
+      if (rate == 0) { rate = sr; firstKbps = kbps }
+      else if (sr != rate) return None // rate switch mid-stream
+      val frameLen = 144 * kbps * 1000 / sr + pad
+      if (off + frameLen > payload.length) return None // truncated frame
+      off += frameLen
+      frames += 1
+    }
+    if (frames == 0) None
+    else Some(ContainerMeta("mp3", frames * 1152.0 / rate, 1,
+      Seq(s"mp3@${firstKbps}kbps")))
+  }
+
+  /** Minimal REAL MP3 stream: `nFrames` valid MPEG-1 Layer III frame
+    * headers (128 kbps, 44.1 kHz, alternating padding bit) with
+    * deterministic filler bytes — parseable frame walk, no audio data
+    * (frame DECODE stays the stub, stream metadata does not). */
+  def renderMp3(seed: Long, nFrames: Int = 5): Array[Byte] = {
+    val out = Array.newBuilder[Byte]
+    var i = 0
+    while (i < nFrames) {
+      val pad = (seed + i) % 2
+      val len = 144 * 128000 / 44100 + pad.toInt
+      out += 0xFF.toByte
+      out += 0xFB.toByte // MPEG-1 Layer III, no CRC
+      out += (0x90 | (pad << 1)).toByte // bitrate idx 9=128k, 44.1k
+      out += 0x00.toByte
+      var j = 4
+      while (j < len) { out += ((seed + i * 31 + j) % 251).toByte; j += 1 }
+      i += 1
+    }
+    out.result()
   }
 }

@@ -301,6 +301,7 @@ object Multimodal {
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
     else if (at(0) == 0x1A && at(1) == 0x45 && at(2) == 0xDF && at(3) == 0xA3)
       "mkv"
+    else if (Containers.isMp3(payload)) "mp3"
     else "unknown"
   }
 
@@ -315,7 +316,11 @@ object Multimodal {
     // files whose magic numbers still sniff correctly.
     val decodesUdf = udf((kind: String, payload: Array[Byte]) => kind match {
       case "image" => decodeImage(payload).isDefined
-      case "audio" => decodeAudio(payload).isDefined
+      // PCM decodes outright; compressed audio (MP3) passes when its
+      // frame walk is structurally sound — metadata-trustworthy, same
+      // bar as video containers
+      case "audio" => decodeAudio(payload).isDefined ||
+        Containers.probe(payload).exists(_.format == "mp3")
       case "video" => Containers.probe(payload).isDefined
       case _       => false
     })

@@ -232,4 +232,24 @@ class MultimodalSpec extends SparkSpec {
     // neither container: no metadata invented
     Containers.probe(Array.tabulate[Byte](64)(_.toByte)) shouldBe None
   }
+
+  test("MP3 frame walk: duration/bitrate from headers, truncation -> None") {
+    val mp3 = Containers.renderMp3(5L, nFrames = 8)
+    Multimodal.sniffFormat(mp3) shouldBe "mp3"
+    val m = Containers.probe(mp3).get
+    m.format shouldBe "mp3"
+    m.nTracks shouldBe 1
+    m.codecs shouldBe Seq("mp3@128kbps")
+    m.durationS shouldBe (8 * 1152.0 / 44100) +- 1e-9
+    // behind an ID3v2 tag (syncsafe size 16)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 16) ++
+      Array.fill[Byte](16)(0) ++ mp3
+    Containers.probe(id3).get.durationS shouldBe m.durationS
+    // truncated final frame / trailing garbage: not trustworthy
+    Containers.probe(mp3.take(mp3.length - 7)) shouldBe None
+    Containers.probe(mp3 ++ Array[Byte](1, 2, 3)) shouldBe None
+    // free-bitrate (index 0) frames are refused, not guessed at
+    val free = mp3.clone(); free(2) = 0x00
+    Containers.probe(free) shouldBe None
+  }
 }
