@@ -57,6 +57,36 @@ class LanguageModelSpec extends SparkSpec {
     got shouldBe Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L))
   }
 
+  test("trainBpe learns the Sennrich example merges deterministically") {
+    // low:5 lower:2 newest:6 widest:3 — (e,s)/(s,t)/(t,</w>) all tie
+    // at 9; lex tie-break picks (e,s), then (es,t), then (est,</w>)
+    val corpus = Seq(
+      (0L, ("low " * 5 + "lower " * 2).trim),
+      (1L, ("newest " * 6 + "widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = LanguageModel.trainBpe(corpus, col("text"), merges = 10)
+    merges.take(3) shouldBe Seq(("e", "s"), ("es", "t"), ("est", "</w>"))
+    merges.size shouldBe 10
+    // stable under repartitioning
+    LanguageModel.trainBpe(corpus.repartition(7), col("text"), 10) shouldBe
+      merges
+    // encoding uses the learned subwords: "newest" ends in est</w>
+    val enc = LanguageModel.bpeEncodeUdf(merges)
+    val toks = corpus.select(enc(lit("newest")).as("t"))
+      .as[Seq[String]].head
+    toks.last should endWith("est</w>")
+    // unseen characters degrade to char-level symbols, never crash
+    val unseen = corpus.select(enc(lit("zzq")).as("t")).as[Seq[String]].head
+    unseen.mkString shouldBe "zzq</w>"
+  }
+
+  test("bpeEncodeWord merges all occurrences of the chosen pair") {
+    val ranks = Map(("a", "b") -> 0, ("ab", "ab") -> 1)
+    LanguageModel.bpeEncodeWord("abab", ranks) shouldBe Seq("abab", "</w>")
+    LanguageModel.mergePairScala(Seq("a", "b", "a", "b"), "a", "b") shouldBe
+      Seq("ab", "ab")
+  }
+
   test("vocabulary reports exact counts and cumulative coverage") {
     // stream: a x4 (docs 0,1), b x3 (docs 0,1), c x1 (doc 2) -> 8 tokens
     val d = Seq((0L, "a b a b a"), (1L, "b a"), (2L, "c")).toDF("doc_id", "text")
