@@ -766,6 +766,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental-ingest dedup: the doc_id%5==0 slice arrives as a
+    //      fresh batch and dedups against the rest of the corpus
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.dedupAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- duplicated-gram fraction (RefinedWeb/Dolma "fraction of
     //      n-grams appearing elsewhere" quality filter; 5-grams)
     "q_text_dupfrac" -> ((s, dir) =>
@@ -2193,6 +2204,19 @@ object SparkEntry {
         |  t.n_lines - coalesce(ka.n_kept, 0) AS n_dropped
         |FROM totals t LEFT JOIN ka ON t.doc_id = ka.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |fresh AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+        |unseen AS (
+        |  SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM seen))
+        |SELECT min(doc_id) AS doc_id, fp FROM unseen GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_dupfrac" ->
       s"""WITH $toksSql,

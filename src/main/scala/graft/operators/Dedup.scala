@@ -142,6 +142,30 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Incremental-ingest dedup: keep only the rows of `fresh` whose
+    * normalized-text fingerprint is absent from `existing` AND not
+    * claimed by an earlier fresh row (smallest id wins inside the
+    * batch) — the daily-crawl-versus-corpus shape.
+    *
+    * Scale: the existing side reduces to its distinct fingerprint set
+    * before the anti-join (a map-side-combinable dedup of the narrow
+    * (fp) projection); the in-batch winner is the same groupBy-min
+    * shape as [[exactCanonical]]. The fresh batch is typically orders
+    * of magnitude smaller than the corpus, so the anti-join probes
+    * with the batch side while the corpus fingerprints stream —
+    * at 100 TB neither side is ever collected or broadcast by us;
+    * AQE picks the build side from runtime sizes. */
+  def dedupAgainst(fresh: DataFrame, existing: DataFrame,
+                   textCol: Column, idCol: Column): DataFrame = {
+    val freshFp = fresh.select(idCol.as("doc_id"),
+      md5(normalize(textCol)).as("fp"))
+    val seen = existing.select(md5(normalize(textCol)).as("fp")).distinct()
+    val unseen = freshFp.join(seen, Seq("fp"), "left_anti")
+    val winners = unseen.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    winners.select(col("doc_id"), col("fp"))
+  }
+
   // ------------------------------------------------- duplicated-gram frac
 
   /** Duplicated-text-fraction quality signal (the RefinedWeb/Dolma

@@ -113,6 +113,20 @@ class DedupSpec extends SparkSpec {
       (13L, "", 0L, 1L)) // fully-boilerplate doc still accounted for
   }
 
+  test("dedupAgainst keeps only fingerprints new to the corpus") {
+    val existing = Seq((100L, "seen before text"), (101L, "also old"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "Seen BEFORE text!"), // normalizes to an existing fp
+      (2L, "genuinely new content"),
+      (3L, "genuinely NEW content"), // in-batch dup of 2: min id wins
+      (4L, "another novel doc")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(fresh, existing, col("text"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    kept shouldBe Set(2L, 4L)
+  }
+
   test("duplicatedGramFraction scores shared 5-gram share per doc") {
     val d = Seq(
       (0L, "one two three four five unique tail a"),
