@@ -732,6 +732,17 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- Stupid Backoff held-out scoring: model on doc_id%7!=0,
+    //      score the held-out slice (backoff fires on unseen bigrams)
+    "q_text_lm_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.LanguageModel.scoreDocsBackoff(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus vocabulary report: top-25 tokens with doc frequency
     //      and cumulative token-stream coverage (tokenizer design)
     "q_corpus_vocab" -> ((s, dir) =>
@@ -2125,6 +2136,42 @@ object SparkEntry {
          |  FROM oc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, count(*) AS n_bigrams,
          |  CAST(sum(micro) AS BIGINT) AS sum_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_lm_backoff" ->
+      s"""WITH $toksSql,
+         |tr AS (SELECT * FROM toks WHERE doc_id % 7 <> 0),
+         |ev AS (SELECT * FROM toks WHERE doc_id % 7 = 0),
+         |occt0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM tr WHERE len(t) >= 2),
+         |occt AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM occt0),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM occt GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |uni AS (
+         |  SELECT w AS w2, count(*) AS cu
+         |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+         |occe0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM ev WHERE len(t) >= 2),
+         |occe AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM occe0),
+         |sc AS (
+         |  SELECT o.doc_id, c2.c2,
+         |    CAST(floor(CASE WHEN c2.c2 IS NOT NULL
+         |      THEN CAST(c2.c2 AS DOUBLE) / c1.c1
+         |      ELSE 0.4 * (CAST(coalesce(uni.cu, 0) AS DOUBLE) / tot.t)
+         |      END * 1e9) AS BIGINT) AS micro
+         |  FROM occe o
+         |  LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN uni USING (w2)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(micro) AS BIGINT) AS sum_micro,
+         |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_corpus_vocab" ->

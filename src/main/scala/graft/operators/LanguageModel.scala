@@ -70,6 +70,43 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"))
   }
 
+  /** Stupid Backoff bigram scoring (Brants et al. 2007) of an EVAL set
+    * against a model trained on a separate corpus — the
+    * held-out-perplexity shape where backoff actually fires:
+    *   s(w2|w1) = c2/c1 when the bigram was seen in training,
+    *              α · cU(w2)/T otherwise (α = 0.4, the paper constant;
+    *              an unseen unigram scores 0).
+    * Emits (doc_id, n_bigrams, sum_micro, n_backoff) with micro =
+    * floor(s · 1e9) — exact-integer sums as in [[scoreDocs]], plus the
+    * count of backed-off bigrams as the out-of-domain diagnostic.
+    *
+    * Scale: identical to [[scoreDocs]] — model tables are
+    * vocabulary-sized and broadcast; the eval stream joins them once;
+    * history counts roll up from the bigram table. */
+  def scoreDocsBackoff(train: DataFrame, eval: DataFrame, textCol: Column,
+                       idCol: Column, alpha: Double = 0.4): DataFrame = {
+    val occT = bigramOccurrences(train, textCol, idCol)
+    val c2 = occT.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = train.select(explode(tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("t"))
+    bigramOccurrences(eval, textCol, idCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("micro", floor(
+        when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("cu"), lit(0L)).cast("double") / col("t")))
+          * 1e9).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("sum_micro"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"))
+  }
+
   /** Per-document top-k TF-IDF terms with an exact rational idf
     * (tf·N/df): the score is ONE IEEE division of exact integers, so
     * it is bit-identical in any engine and the ranking can never

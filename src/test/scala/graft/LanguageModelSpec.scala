@@ -57,6 +57,18 @@ class LanguageModelSpec extends SparkSpec {
     got shouldBe Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L))
   }
 
+  test("scoreDocsBackoff: seen bigrams use c2/c1, unseen back off") {
+    val train = Seq((0L, "a b"), (1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d"), (101L, "c a")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocsBackoff(
+        train, eval, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // (a,b): 2/2 = 1e9; (b,c): 1/1 = 1e9; (c,d): unseen, cu(d)=0 -> 0
+    got(0) shouldBe ((100L, 3L, 2000000000L, 1L))
+    // (c,a): unseen -> 0.4 * cu(a)/T = 0.4 * 2/6 -> 133333333
+    got(1) shouldBe ((101L, 1L, 133333333L, 1L))
+  }
+
   test("trainBpe learns the Sennrich example merges deterministically") {
     // low:5 lower:2 newest:6 widest:3 — (e,s)/(s,t)/(t,</w>) all tie
     // at 9; lex tie-break picks (e,s), then (es,t), then (est,</w>)

@@ -129,6 +129,54 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("winnowing laws: coverage guarantee, density, determinism") {
+    val genWord = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val genDoc = Gen.listOfN(30, genWord).map(_.toArray)
+    val k = 3
+    val w = 4
+    check(Prop.forAll(genDoc) { toks =>
+      val fps = graft.operators.Dedup.winnowScala(toks, k, w)
+      val nGrams = math.max(toks.length - k + 1, 0)
+      if (nGrams < w) fps.isEmpty
+      else {
+        // every window of w grams contains >= 1 selected position
+        val positions = fps.map(_._2).toSet
+        val covered = (0 to nGrams - w).forall(p =>
+          (p until p + w).exists(positions.contains))
+        // each selected fp is a real (hash, pos) of this doc
+        val hs = toks.sliding(k)
+          .map(g => TextFunctions.stableHash64Scala(g.mkString(" "))).toArray
+        val sound = fps.forall { case (h, pos) => hs(pos) == h }
+        covered && sound && fps.nonEmpty &&
+          fps == graft.operators.Dedup.winnowScala(toks, k, w) // determinism
+      }
+    })
+  }
+
+  test("BPE merge/encode laws: concatenation invariant, idempotent tail") {
+    val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar)
+      .map(_.mkString.take(8)).suchThat(_.nonEmpty)
+    check(Prop.forAll(genWord) { word =>
+      // encoding with no merges is the char sequence + terminal
+      val none = graft.operators.LanguageModel.bpeEncodeWord(word, Map.empty)
+      val charsOk = none.mkString == word + "</w>"
+      // any merge table: tokens always concatenate back to the word
+      val ranks = Map(("a", "b") -> 0, ("c", "d") -> 1, ("ab", "c") -> 2)
+      val enc = graft.operators.LanguageModel.bpeEncodeWord(word, ranks)
+      charsOk && enc.mkString == word + "</w>"
+    })
+  }
+
+  test("shuffleOrder hash is total on ids; mergePairScala preserves content") {
+    val genSyms = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "c"))
+    check(Prop.forAll(genSyms) { syms =>
+      val merged = graft.operators.LanguageModel
+        .mergePairScala(syms, "a", "b")
+      merged.mkString == syms.mkString && // content preserved
+        merged.length <= syms.length
+    })
+  }
+
   test("replication state parser never throws and accepts both formats") {
     check(Prop.forAll(Gen.asciiPrintableStr) { junk =>
       SequenceFetcher.parseState(junk) // total on arbitrary input
