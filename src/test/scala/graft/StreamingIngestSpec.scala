@@ -1,0 +1,67 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.apps.StreamingIngestPipeline
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // qualityScore of a 3-distinct-token doc: 0.3*(3/50) + 0.4 + 0.3 =
+  // 0.718; a one-word doc repeated 8x scores 0.3*(8/50)+0.4+0.3*(1/8)
+  // = 0.4855 — the gate at 0.6 separates them
+  private val good = "alpha beta gamma"
+  private val bad = "spam spam spam spam spam spam spam spam"
+
+  test("dedup + quality gate with per-batch observed accounting") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = StreamingIngestPipeline.pipeline(
+      mem.toDF().toDF("doc_id", "text"), minQuality = 0.6)
+    val q = out.writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      // batch 1: 1/2 duplicate pair (min id wins), one low-quality doc
+      mem.addData((2L, good), (1L, good.toUpperCase), (3L, bad))
+      q.processAllAvailable()
+      // batch 2: replayed fingerprint + a fresh keeper
+      mem.addData((4L, good), (5L, "delta epsilon zeta"))
+      q.processAllAvailable()
+
+      val kept = spark.table("ingest")
+        .select(col("doc_id")).as[Long].collect().toSet
+      kept shouldBe Set(1L, 5L) // 3 gated on quality, 2/4 deduped
+
+      // observed metrics: batch 1 scored 2 (docs 1, 3), kept 1
+      val batches = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+        .map(r => (r.getAs[Long]("n_scored"), r.getAs[Long]("n_kept")))
+        .filter(_._1 > 0)
+      batches should contain((2L, 1L)) // batch 1
+      batches should contain((1L, 1L)) // batch 2: only doc 5 scored
+    } finally q.stop()
+  }
+
+  test("quality micro-sum metric is an exact integer accumulation") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = StreamingIngestPipeline.pipeline(
+      mem.toDF().toDF("doc_id", "text"), minQuality = 0.0)
+    val q = out.writeStream.format("memory").queryName("ingest2")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, good), (11L, bad))
+      q.processAllAvailable()
+      val micros = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+        .map(_.getAs[Long]("quality_micro_sum")).filter(_ != 0L)
+      // floor(0.718*1e6) + floor(0.4855*1e6) computed on the exact
+      // IEEE doubles the quality column produces
+      val rows = spark.table("ingest2")
+        .select(col("quality")).as[Double].collect()
+      val expected = rows.map(x => math.floor(x * 1e6).toLong).sum
+      micros.sum shouldBe expected
+    } finally q.stop()
+  }
+}
