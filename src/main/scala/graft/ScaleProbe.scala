@@ -158,6 +158,23 @@ object ScaleProbe {
     val tFp = (System.nanoTime() - t0) / 1e9
     println(f"lm_scored=$nScored lm_sec=$tLm%.1f flagged=$nFrac " +
       f"dupfrac_sec=$tFrac%.1f winnow_fps=$nFp winnow_sec=$tFp%.1f")
+
+    // round 6: PQ ADC vs brute-force top-k on the 20k-vector corpus —
+    // the candidate scan reads 4 int codes instead of 64 floats
+    val queries = emb.filter(col("vec_id") % 1000 === 0)
+    t0 = System.nanoTime()
+    val nBrute = operators.Similarity.bruteForceTopK(emb, queries, 5).count()
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val books = operators.Similarity.pqCodebooks(emb, m = 4, k = 8,
+      rounds = 1)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nPq = operators.Similarity.pqTopK(emb, queries, 5,
+      precomputed = Some(books)).count()
+    val tPq = (System.nanoTime() - t0) / 1e9
+    println(f"ann_rows brute=$nBrute pq=$nPq brute_sec=$tBrute%.1f " +
+      f"pq_train_sec=$tTrain%.1f pq_scan_sec=$tPq%.1f")
     spark.stop()
   }
 }

@@ -497,7 +497,7 @@ object Similarity {
     var books = booksOf(seeded)
     var r = 0
     while (r < rounds) {
-      val enc = e.withColumn("codes", pqEncodeUdf(books, subDim)(col("v")))
+      val enc = e.withColumn("codes", pqEncodeExpr(books, subDim, col("v")))
       val reassigned = enc
         .select(col("codes"), posexplode(col("v")).as(Seq("d", "x")))
         .withColumn("s", (col("d") / subDim).cast("int"))
@@ -524,10 +524,24 @@ object Similarity {
     stableRoundD(acc, 6)
   }
 
+  /** Codegen PQ encode: per-subspace rounded nearest-centroid over
+    * array slices — primitive double loops inside WholeStageCodegen,
+    * replacing the boxed UDF on the corpus-wide encode pass. Semantics
+    * are identical to [[pqEncodeUdf]]: distances floor-rounded at 1e-6
+    * BEFORE the argmin (the cross-engine oracle's comparison), ties to
+    * the smallest code. */
+  def pqEncodeExpr(books: Array[Array[(Int, Array[Double])]], subDim: Int,
+                   vec: Column): Column =
+    array(books.zipWithIndex.map { case (sub, s) =>
+      ArrayExpressions.nearestCentroid(
+        slice(vec, s * subDim + 1, subDim), sub, round6 = true)
+    }: _*)
+
   /** Encode a vector to its per-subspace nearest-centroid codes
     * (ties to the smallest code). m codes per vector — at dim 64
     * float32 → m=4 bytes-worth, a 64× storage cut for the candidate
-    * scan. */
+    * scan. Scala-core twin of [[pqEncodeExpr]] (property-tested
+    * equal). */
   def pqEncodeUdf(books: Array[Array[(Int, Array[Double])]],
                   subDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { v: Seq[Double] =>
@@ -553,21 +567,31 @@ object Similarity {
     * self-matches excluded. Emits (q_id, n_id, dist_r, rnk). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              codesPerSub: Int = 8, dim: Int = 64, rounds: Int = 0,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             precomputed: Option[Array[Array[(Int, Array[Double])]]] = None): DataFrame = {
     val subDim = dim / m
-    val books = pqCodebooks(corpus, m, codesPerSub, dim, idCol, vecCol, rounds)
+    // codebooks are trained once per corpus in practice and reused
+    // across query batches — pass them in to amortize
+    val books = precomputed.getOrElse(
+      pqCodebooks(corpus, m, codesPerSub, dim, idCol, vecCol, rounds))
     val enc = corpus.select(col(idCol).cast("long").as("n_id"),
-      pqEncodeUdf(books, subDim)(asDouble(col(vecCol))).as("codes"))
+      pqEncodeExpr(books, subDim, asDouble(col(vecCol))).as("codes"))
+    // dense code-indexed distance tables (codes are small ints): array
+    // indexing keeps the per-candidate cost to m loads, no Map boxing
     val tableUdf = udf { qv: Seq[Double] =>
       books.zipWithIndex.map { case (sub, s) =>
-        sub.map { case (code, cent) => code -> subDist(qv, s * subDim, cent) }
-          .toMap
-      }
+        val width = if (sub.isEmpty) 0 else sub.map(_._1).max + 1
+        val row = Array.fill(width)(Double.MaxValue)
+        sub.foreach { case (code, cent) =>
+          row(code) = subDist(qv, s * subDim, cent)
+        }
+        row.toSeq
+      }.toSeq
     }
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("tab", tableUdf(col("qv")))
-    val distUdf = udf { (codes: Seq[Int], tab: Seq[Map[Int, Double]]) =>
+    val distUdf = udf { (codes: Seq[Int], tab: Seq[Seq[Double]]) =>
       var acc = 0.0
       var s = 0
       while (s < codes.length) { acc += tab(s)(codes(s)); s += 1 }

@@ -62,7 +62,8 @@ case class DotProduct(left: Expression, right: Expression)
   * nearest centroid's list id by squared euclidean distance (-1 for an
   * empty centroid set). */
 case class NearestCentroid(child: Expression, lists: Array[Int],
-                           flat: Array[Double], dim: Int)
+                           flat: Array[Double], dim: Int,
+                           round6: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -80,6 +81,9 @@ case class NearestCentroid(child: Expression, lists: Array[Int],
       while (i < n) {
         val t = v.getDouble(i) - flat(off + i); d += t * t; i += 1
       }
+      // floor-based 1e-6 rounding pre-argmin: PQ encode must match the
+      // cross-engine oracle's rounded comparison (see Similarity)
+      if (round6) d = math.floor(d * 1e6 + 0.5) / 1e6
       if (d < bestD) { bestD = d; best = lists(k) }
       k += 1
     }
@@ -101,6 +105,7 @@ case class NearestCentroid(child: Expression, lists: Array[Int],
          |    double t = $v.getDouble(i) - $flatRef[off + i];
          |    d += t * t;
          |  }
+         |  ${if (round6) "d = Math.floor(d * 1.0E6 + 0.5) / 1.0E6;" else ""}
          |  if (d < bestD) { bestD = d; best = $listsRef[k]; }
          |}
          |${ev.value} = best;
@@ -124,7 +129,8 @@ object ArrayExpressions {
     * dimension: the flattened layout zero-pads shorter rows, which
     * would silently add v_i² terms to their distances. */
   def nearestCentroid(vec: Column,
-                      cents: Array[(Int, Array[Double])]): Column = {
+                      cents: Array[(Int, Array[Double])],
+                      round6: Boolean = false): Column = {
     val sorted = cents.sortBy(_._1)
     val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
     require(sorted.forall(_._2.length == dim),
@@ -138,6 +144,6 @@ object ArrayExpressions {
       k += 1
     }
     GraftShims.column(
-      NearestCentroid(GraftShims.expression(vec), lists, flat, dim))
+      NearestCentroid(GraftShims.expression(vec), lists, flat, dim, round6))
   }
 }

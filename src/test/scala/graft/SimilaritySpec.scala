@@ -150,6 +150,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen pqEncodeExpr equals the Scala-core UDF on every vector") {
+    val df = (pqVecs :+ (99L, pqVecs.head._2)).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 2, k = 2, dim = 4, rounds = 1)
+    val both = df.select(col("vec_id"),
+        Similarity.pqEncodeExpr(books, 2,
+          col("embedding").cast("array<double>")).as("ce"),
+        Similarity.pqEncodeUdf(books, 2)(
+          col("embedding").cast("array<double>")).as("cu"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    both.foreach { case (id, ce, cu) =>
+      withClue(s"vec $id:") { ce shouldBe cu }
+    }
+  }
+
   test("Lloyd rounds do not increase quantization distortion") {
     val df = pqVecs.toDF("vec_id", "embedding")
     def distortion(rounds: Int): Double = {
