@@ -19,15 +19,15 @@ object Bench {
     // conflates scheduler/IO contention with operator cost; the min is
     // the reproducible number
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { attempt =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case _: Throwable =>
-            if (attempt == 1) failed += name
-            None
-        }
+        catch { case _: Throwable => None }
       }
+      // failed = no successful attempt at all; a query with one good
+      // pass reports that pass (a flaky second attempt must not put a
+      // query in BOTH the failed list and the totals)
+      if (times.isEmpty) failed += name
       name -> (if (times.nonEmpty) times.min else 0.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

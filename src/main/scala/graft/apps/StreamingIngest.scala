@@ -1,21 +1,20 @@
 package graft.apps
 
-import org.apache.spark.sql.{DataFrame, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.streaming.StreamingDedup
 
 /** Streaming twin of the batch pretraining pipeline's front half:
   * first-seen exact dedup → quality gate, as one continuous ingest
   * topology with per-micro-batch accounting.
   *
   * Shape notes (the 100 TB ingest story):
-  *  - Dedup state is one compact record per distinct fingerprint
-  *    (the [[graft.streaming.StreamingDedup]] core, here carrying the
-  *    winning document through so the gate never re-joins the stream
-  *    to recover text — state stays O(distinct fingerprints), the
-  *    payload is emitted once and dropped).
+  *  - Dedup is [[StreamingDedup.firstSeenDocs]]: boolean state per
+  *    distinct fingerprint, the winning document emitted once in its
+  *    arrival batch and never retained in state — the gate receives
+  *    the text without re-joining the stream.
   *  - The quality gate is a narrow compiled column — no shuffle after
   *    the dedup exchange.
   *  - Accounting uses `observe()` on the streaming frame: per-batch
@@ -27,34 +26,12 @@ import graft.functions.TextFunctions
   */
 object StreamingIngestPipeline {
 
-  /** First-seen winner per fingerprint, payload attached. */
-  case class FirstDoc(doc_id: Long, text: String)
-
   /** Dedup (first-seen per normalized-text fingerprint, smallest id
     * inside a batch) then gate on [[TextFunctions.qualityScore]] ≥
     * `minQuality`. Emits (doc_id, text, quality); observation
     * "ingest" carries per-batch n_scored / n_kept / quality_micro_sum. */
-  def pipeline(docs: DataFrame, minQuality: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    implicit val enc = Encoders.product[FirstDoc]
-    val deduped = docs
-      .select(col("doc_id").cast("long"), col("text"),
-        md5(TextFunctions.normalize(col("text"))).as("fp"))
-      .as[(Long, String, String)]
-      .groupByKey(_._3)
-      .flatMapGroupsWithState[FirstDoc, FirstDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (fp, rows, state: GroupState[FirstDoc]) =>
-          if (state.exists) Iterator.empty
-          else {
-            val first = rows.minBy(_._1)
-            val doc = FirstDoc(first._1, first._2)
-            state.update(doc)
-            Iterator.single(doc)
-          }
-      }
-    deduped.toDF()
+  def pipeline(docs: DataFrame, minQuality: Double): DataFrame =
+    StreamingDedup.firstSeenDocs(docs).toDF()
       .withColumn("quality",
         TextFunctions.qualityScore(TextFunctions.tokens(col("text"))))
       .observe("ingest",
@@ -64,5 +41,4 @@ object StreamingIngestPipeline {
         sum(floor(col("quality") * 1e6).cast("long"))
           .as("quality_micro_sum"))
       .filter(col("quality") >= minQuality)
-  }
 }

@@ -191,15 +191,21 @@ object Containers {
       val sz = vint(p, off + id._2, limit, keepMarker = false)
       if (sz == null) return false
       val body = off + id._2 + sz._2
-      if (sz._1 < 0 || body.toLong + sz._1 > limit)
+      // EBML "unknown size": every value bit set (live-muxed WebM
+      // writes Segment this way) — the element extends to the end of
+      // the enclosing scope; legal for master elements only
+      val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+      if (!unknown && (sz._1 < 0 || body.toLong + sz._1 > limit))
         return false // truncated element
-      val end = body + sz._1.toInt
+      val end = if (unknown) limit else body + sz._1.toInt
       id._1 match {
         case IdSegment | IdInfo | IdTracks =>
           if (!walkMkv(p, body, end, st)) return false
         case IdTrackEntry =>
           st.nTracks += 1
           if (!walkMkv(p, body, end, st)) return false
+        case _ if unknown =>
+          return false // unknown size on a leaf: malformed
         case IdTimestampScale =>
           st.timescaleNs = beUint(p, body, (end - body).min(8))
         case IdDuration =>

@@ -117,9 +117,13 @@ object Dedup {
     * document, never the partition. */
   def dedupLines(df: DataFrame, textCol: Column, idCol: Column,
                  maxDocFreq: Int = 1): DataFrame = {
+    // NULL text splits to NULL and posexplode would drop the document
+    // entirely, breaking the one-row-per-doc accounting contract —
+    // treat it as a single empty (structural, always-kept) line
     val lines = df
       .select(idCol.as("doc_id"),
-        posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(textCol, lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("lfp",
         when(normalize(col("line")) =!= "", md5(normalize(col("line")))))
     val freq = lines.filter(col("lfp").isNotNull)

@@ -115,8 +115,11 @@ object LanguageModel {
     * over (tf, df) pairs is the same monotone order).
     *
     * Scale: tf is a map-side-combinable groupBy(doc, term); df
-    * aggregates the tf table (vocabulary-sized) and broadcasts back;
-    * the top-k window partitions by document, so no global sort. */
+    * aggregates the tf table and joins back WITHOUT a forced broadcast
+    * — the distinct-term table scales with corpus content (billions of
+    * junk tokens on web text), so AQE decides broadcast-vs-shuffle
+    * from its runtime size; the top-k window partitions by document,
+    * so no global sort. */
   def tfIdfTopTerms(df: DataFrame, textCol: Column, idCol: Column,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -127,7 +130,7 @@ object LanguageModel {
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("n_docs_term"))

@@ -72,11 +72,13 @@ object Sampling {
         floor(lit(targetTotal.toDouble) * pow(col("__n"), alpha) /
           col("__S") / col("__n") * 1e6 + lit(0.5)) / 1e6))
       .select(col("__src"), col("__rate"))
-    df.withColumn("__src", sourceCol)
-      .join(broadcast(rates), "__src")
+    // null-safe equality so a NULL source forms its own stratum
+    // instead of silently dropping in the equi-join
+    df.withColumn("__srcRow", sourceCol)
+      .join(broadcast(rates), col("__srcRow") <=> col("__src"))
       .filter(sampleBucket(idCol, salt) <
         floor(col("__rate") * Buckets).cast(LongType))
-      .drop("__src", "__rate")
+      .drop("__srcRow", "__src", "__rate")
   }
 
   /** Deterministic global shuffle order for training: position every

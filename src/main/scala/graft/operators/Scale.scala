@@ -19,7 +19,8 @@ object Scale {
     * AQE's skew handling covers sort-merge JOINS; a skewed AGGREGATION
     * key still funnels to one reducer without salting. */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                resultCol: String, buckets: Int = 16): DataFrame = {
+                resultCol: String, buckets: Int = 16,
+                pinSalt: Boolean = true): DataFrame = {
     // salt = per-partition row counter (low bits of
     // monotonically_increasing_id), NOT a hash of the row's columns:
     // fully-identical rows — the duplicate-heavy hot-key shape salting
@@ -31,10 +32,14 @@ object Scale {
     // mark this stage INDETERMINATE). localCheckpoint pins the salted
     // blocks: retries fetch stored blocks instead of recomputing, and a
     // lost checkpoint block fails the job loudly rather than silently
-    // double-counting. Lazy, so the function stays action-free.
-    val salted = df.withColumn("__salt",
+    // double-counting. Lazy, so the function stays action-free. The
+    // pin materializes a full copy of the input in block storage for
+    // the plan's lifetime — callers whose input is already
+    // replay-deterministic (e.g. a direct file scan, no upstream
+    // shuffle) can pass pinSalt = false to skip it.
+    val withSalt = df.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
-      .localCheckpoint(false)
+    val salted = if (pinSalt) withSalt.localCheckpoint(false) else withSalt
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.functions._
 
@@ -14,10 +14,11 @@ import graft.functions.TextFunctions
   *
   * Scale shape: one shuffle keyed by fingerprint (the groupByKey), then
   * per-key state is a single boolean — O(distinct fingerprints), the
-  * streaming-state minimum for exact first-seen semantics. At 100 TB
-  * ingest you bound that state by sharding the stream on fingerprint
-  * prefix (state scales per executor) or by fronting it with an
-  * approximate pre-filter; the exact operator stays as the
+  * streaming-state minimum for exact first-seen semantics; the winning
+  * document is emitted in its arrival batch and never retained. At
+  * 100 TB ingest you bound that state by sharding the stream on
+  * fingerprint prefix (state scales per executor) or by fronting it
+  * with an approximate pre-filter; the exact operator stays as the
   * per-shard core. Output is append-mode, so the exactly-once story
   * composes with the idempotent sinks like every other streaming op
   * here.
@@ -27,26 +28,45 @@ object StreamingDedup {
   /** First-seen document per fingerprint. */
   case class Kept(doc_id: Long, fp: String)
 
-  /** Keep the first document per normalized-text fingerprint. `docs`
-    * needs (doc_id LONG, text STRING); works on streaming frames in
-    * append mode (no watermark needed — state never expires by
-    * design; see scaladoc for the bounding strategies). */
-  def firstSeen(docs: DataFrame): Dataset[Kept] = {
+  /** First-seen document per fingerprint, payload attached. */
+  case class FirstDoc(doc_id: Long, text: String)
+
+  /** Shared first-seen core: boolean state per fingerprint, smallest
+    * in-batch id wins, `emit(doc_id, text, fp)` shapes the output. */
+  private def firstSeenCore[O: Encoder](docs: DataFrame,
+      emit: (Long, String, String) => O): Dataset[O] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    implicit val keptEnc = Encoders.product[Kept]
-    docs.select(col("doc_id").cast("long"),
+    docs.select(col("doc_id").cast("long"), col("text"),
         md5(TextFunctions.normalize(col("text"))).as("fp"))
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Boolean, Kept](
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, O](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (fp, rows, state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            Iterator.single(Kept(rows.minBy(_._1)._1, fp))
+            val first = rows.minBy(_._1)
+            Iterator.single(emit(first._1, first._2, fp))
           }
       }
+  }
+
+  /** Keep the first document per normalized-text fingerprint. `docs`
+    * needs (doc_id LONG, text STRING); works on streaming frames in
+    * append mode (no watermark needed — state never expires by
+    * design; see scaladoc for the bounding strategies). */
+  def firstSeen(docs: DataFrame): Dataset[Kept] = {
+    implicit val keptEnc: Encoder[Kept] = Encoders.product[Kept]
+    firstSeenCore(docs, (id, _, fp) => Kept(id, fp))
+  }
+
+  /** [[firstSeen]] carrying the document text through, for pipelines
+    * that keep processing the winner (e.g. a downstream quality gate)
+    * without re-joining the stream. Same boolean state. */
+  def firstSeenDocs(docs: DataFrame): Dataset[FirstDoc] = {
+    implicit val docEnc: Encoder[FirstDoc] = Encoders.product[FirstDoc]
+    firstSeenCore(docs, (id, text, _) => FirstDoc(id, text))
   }
 }

@@ -185,6 +185,15 @@ class DedupSpec extends SparkSpec {
     got.length should be < hs.length
   }
 
+  test("dedupLines accounts for NULL-text docs instead of dropping them") {
+    val withNull = Seq((20L, Some("real line")), (21L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(withNull, col("text"), col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    got.map(_._1) shouldBe Array(20L, 21L) // both docs present
+    got(1) shouldBe ((21L, "", 1L, 0L)) // one structural empty line, kept
+  }
+
   test("dedupLines maxDocFreq above the fan-out keeps everything") {
     val got = Dedup.dedupLines(lineDocs, col("text"), col("doc_id"),
       maxDocFreq = 4).as[(Long, String, Long, Long)].collect()

@@ -233,6 +233,28 @@ class MultimodalSpec extends SparkSpec {
     Containers.probe(Array.tabulate[Byte](64)(_.toByte)) shouldBe None
   }
 
+  test("Matroska unknown-size Segment (live-muxed WebM) parses; unknown-size leaf does not") {
+    val mkv = Containers.renderMkv(3L, codecs = Seq("V_VP9"))
+    val segIdx = mkv.indexOfSlice(
+      Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    segIdx should be > 0
+    // replace the Segment's 2-byte definite size with the 1-byte
+    // unknown-size vint 0xFF: element then extends to end-of-stream
+    val unknown = mkv.take(segIdx + 4) ++ Array(0xFF.toByte) ++
+      mkv.drop(segIdx + 6)
+    val m = Containers.probe(unknown).get
+    m.format shouldBe "matroska"
+    m.nTracks shouldBe 1
+    m.codecs shouldBe Seq("V_VP9")
+    m.durationS shouldBe Containers.probe(mkv).get.durationS
+    // but an unknown-size LEAF (Duration) is malformed, not guessed at
+    val durIdx = unknown.indexOfSlice(Seq(0x44, 0x89).map(_.toByte))
+    durIdx should be > 0
+    val badLeaf = unknown.take(durIdx + 2) ++ Array(0xFF.toByte) ++
+      unknown.drop(durIdx + 4)
+    Containers.probe(badLeaf) shouldBe None
+  }
+
   test("MP3 frame walk: duration/bitrate from headers, truncation -> None") {
     val mp3 = Containers.renderMp3(5L, nFrames = 8)
     Multimodal.sniffFormat(mp3) shouldBe "mp3"

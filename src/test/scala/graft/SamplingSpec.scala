@@ -213,6 +213,19 @@ class SamplingSpec extends SparkSpec {
     total.toDouble shouldBe 5000.0 +- 300.0 // hash-bucket tolerance
   }
 
+  test("temperatureMix keeps NULL-source rows as their own stratum") {
+    val withNulls = (0L until 3000L).map(i =>
+        (i, if (i % 3 == 0) None else Some("a")))
+      .toDF("doc_id", "src")
+    val kept = Sampling.temperatureMix(withNulls, col("src"), col("doc_id"),
+        targetTotal = 2000, alpha = 0.5, salt = "tn")
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null stratum (1000 rows) participates instead of vanishing
+    kept.keySet should contain(None)
+    kept(None) should be > 0L
+  }
+
   test("temperatureMix alpha=1 reduces to proportional subsampling") {
     val skewed = (0L until 10000L).map(i =>
       (i, if (i % 10 < 6) "a" else "b")).toDF("doc_id", "src")
