@@ -1050,6 +1050,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- per-language exact percentile cutoffs (p10/p50/p90 of doc
+    //      length — the "drop the bottom decile per language" prep)
+    "q_quality_cutoffs" -> ((s, dir) =>
+      operators.Sampling.percentileCutoffs(
+          Tables.documents(s, dir), col("lang"), col("n_chars"),
+          col("doc_id"), ps = Seq(0.1, 0.5, 0.9))
+        .orderBy(col("grp"), col("p"))),
+
     // ---- temperature-scaled source mixing (p_s ∝ n_s^α): skewed
     //      60/30/10 strata derived from doc_id; α=0.5 upweights the
     //      rare stratum; deterministic hash-bucket keep
@@ -2485,6 +2493,19 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_quality_cutoffs" ->
+      """WITH ranked AS (
+        |  SELECT lang AS grp, n_chars AS s, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |px AS (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS p)
+        |SELECT grp, p, s AS cutoff
+        |FROM ranked, px
+        |WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |ORDER BY grp, p""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH d AS (

@@ -81,6 +81,28 @@ object Sampling {
       .drop("__srcRow", "__src", "__rate")
   }
 
+  /** Per-group exact percentile thresholds for quality-cutoff
+    * filtering ("drop the bottom decile per language"):
+    * percentile_disc semantics — the group value at 1-based rank
+    * max(1, ceil(p·n)) under the (score, id) total order, so the
+    * cutoff is an actual data value and the pick is deterministic in
+    * any engine. Emits (grp, p, cutoff) for every requested p.
+    *
+    * Scale: one partitioned sort per group (parallel across groups, no
+    * global window); the rank filter keeps |groups|·|ps| rows. */
+  def percentileCutoffs(df: DataFrame, groupCol: Column, scoreCol: Column,
+                        idCol: Column, ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"), col("__id"))
+    df.select(groupCol.as("__g"), scoreCol.as("__s"), idCol.as("__id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .select(col("__g"), col("__s"), col("rn"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("rn") ===
+        greatest(lit(1L), ceil(col("p") * col("n"))))
+      .select(col("__g").as("grp"), col("p"), col("__s").as("cutoff"))
+  }
+
   /** Deterministic global shuffle order for training: position every
     * row by the md5-derived hash of (salt, id) with an id tie-break —
     * the "shuffle the corpus before packing" step, reproducible across

@@ -171,6 +171,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("percentileCutoffs picks exact percentile_disc values per group") {
+    // group a: scores 10,20,30,40,50 -> p10@rank1=10, p50@rank3=30,
+    // p90@rank5=50; group b: 5,15 -> ranks ceil(.1*2)=1, ceil(.5*2)=1,
+    // ceil(.9*2)=2
+    val d = (Seq((1L, "a", 30L), (2L, "a", 10L), (3L, "a", 50L),
+      (4L, "a", 20L), (5L, "a", 40L), (6L, "b", 15L), (7L, "b", 5L)))
+      .toDF("doc_id", "grp0", "score")
+    val got = Sampling.percentileCutoffs(d, col("grp0"), col("score"),
+        col("doc_id"), Seq(0.1, 0.5, 0.9))
+      .as[(String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got(("a", 0.1)) shouldBe 10L
+    got(("a", 0.5)) shouldBe 30L
+    got(("a", 0.9)) shouldBe 50L
+    got(("b", 0.1)) shouldBe 5L
+    got(("b", 0.5)) shouldBe 5L
+    got(("b", 0.9)) shouldBe 15L
+  }
+
   test("shuffleOrder is the exact (hash, id) permutation, shard-stable") {
     val ids = (0L until 3000L).toDF("doc_id")
     val got = Sampling.shuffleOrder(ids, col("doc_id"), salt = "p1")
