@@ -1050,6 +1050,13 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- pairwise source similarity (exact-integer dot products over
+    //      unigram count vectors — domain-redundancy curation signal)
+    "q_source_similarity" -> ((s, dir) =>
+      operators.LanguageModel.sourceSimilarity(
+          Tables.documents(s, dir), col("source"), col("text"))
+        .orderBy(col("src_a"), col("src_b"))),
+
     // ---- per-language exact percentile cutoffs (p10/p50/p90 of doc
     //      length — the "drop the bottom decile per language" prep)
     "q_quality_cutoffs" -> ((s, dir) =>
@@ -2493,6 +2500,30 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_source_similarity" ->
+      """WITH prof AS (
+        |  SELECT src, w, count(*) AS c FROM (
+        |    SELECT source AS src,
+        |      unnest(list_filter(
+        |        string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT src, CAST(sum(c*c) AS BIGINT) AS n2
+        |          FROM prof GROUP BY 1),
+        |d AS (
+        |  SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM prof a JOIN prof b ON a.w = b.w AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  floor(CAST(dot AS DOUBLE) /
+        |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+        |    * 1000000 + 0.5)/1000000 AS cos_r
+        |FROM d JOIN norms na ON na.src = d.src_a
+        |       JOIN norms nb ON nb.src = d.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_quality_cutoffs" ->
       """WITH ranked AS (

@@ -140,6 +140,42 @@ object LanguageModel {
         col("score"), col("rnk"))
   }
 
+  /** Pairwise source similarity over unigram count vectors — the
+    * "which domains are redundant" curation analytic that feeds
+    * mixture design. cos(a, b) = Σc_a·c_b / √(Σc_a²·Σc_b²) with the
+    * three sums accumulated as EXACT integers (products of counts) and
+    * only the final sqrt/division in floating point, stable-rounded —
+    * so the matrix is engine-reproducible despite vocabulary-sized
+    * unordered sums. Emits (src_a, src_b, cos_r) for src_a < src_b;
+    * pairs sharing no term have cos 0 and are omitted (the term join
+    * produces no rows for them).
+    *
+    * Scale: the (source, term, count) profile table is
+    * |sources|·vocabulary-sized; the pair join is keyed by term (one
+    * shuffle), and per-pair partial products combine map-side. The
+    * |sources|² output is tiny. */
+  def sourceSimilarity(df: DataFrame, sourceCol: Column,
+                       textCol: Column): DataFrame = {
+    val prof = df.select(sourceCol.as("src"), explode(tokens(textCol)).as("w"))
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+    val norms = prof.groupBy(col("src"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val a = prof.select(col("src").as("src_a"), col("w"), col("c").as("ca"))
+    val b = prof.select(col("src").as("src_b"), col("w"), col("c").as("cb"))
+    a.join(b, Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col("src").as("src_a"), col("n2").as("na")),
+        Seq("src_a"))
+      .join(norms.select(col("src").as("src_b"), col("n2").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (floor(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))
+          * 1e6 + lit(0.5)) / 1e6).as("cos_r"))
+  }
+
   // ------------------------------------------------------------- BPE
 
   /** Learn byte-pair-encoding merges from the corpus (Sennrich et al.

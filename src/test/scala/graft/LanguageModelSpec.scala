@@ -57,6 +57,20 @@ class LanguageModelSpec extends SparkSpec {
     got shouldBe Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L))
   }
 
+  test("sourceSimilarity: identical sources cos 1, disjoint cos 0") {
+    val d = Seq(
+      (0L, "x", "alpha beta gamma"), (1L, "y", "alpha beta gamma"),
+      (2L, "z", "delta epsilon")
+    ).toDF("doc_id", "src", "text")
+    val got = LanguageModel.sourceSimilarity(d, col("src"), col("text"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got(("x", "y")) shouldBe 1.0
+    // disjoint vocab pairs share no term rows -> absent from output
+    got.get(("x", "z")) shouldBe None
+    got.get(("y", "z")) shouldBe None
+  }
+
   test("scoreDocsBackoff: seen bigrams use c2/c1, unseen back off") {
     val train = Seq((0L, "a b"), (1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val eval = Seq((100L, "a b c d"), (101L, "c a")).toDF("doc_id", "text")
