@@ -27,7 +27,11 @@ object Homography {
 
   /** Eigenvector of symmetric matrix `a` (destroyed) for the smallest
     * eigenvalue, via cyclic Jacobi. */
-  def smallestEigenvector(a: Array[Array[Double]]): Array[Double] = {
+  /** Full symmetric eigendecomposition by cyclic Jacobi sweeps:
+    * returns (eigenvalues, eigenvectors-as-columns). Destroys `a`.
+    * Shared by the DLT null-space solve below and the embedding PCA in
+    * [[graft.operators.Similarity]]. */
+  def eigenSymmetric(a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val n = a.length
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
@@ -81,9 +85,15 @@ object Homography {
         sweep += 1
       }
     }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  def smallestEigenvector(a: Array[Array[Double]]): Array[Double] = {
+    val (vals, v) = eigenSymmetric(a)
+    val n = vals.length
     var best = 0
     var i = 1
-    while (i < n) { if (a(i)(i) < a(best)(best)) best = i; i += 1 }
+    while (i < n) { if (vals(i) < vals(best)) best = i; i += 1 }
     Array.tabulate(n)(k => v(k)(best))
   }
 

@@ -450,6 +450,114 @@ object Similarity {
         (col("dist_r") > threshold).as("is_outlier"))
   }
 
+  // ------------------------------------------------------------- PCA
+
+  /** Fitted PCA basis: per-dimension mean, top-k components (k×d,
+    * unit-norm, sign-normalized so each component's
+    * largest-magnitude coordinate is positive), and their variances. */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            variances: Array[Double])
+
+  /** Distributed PCA over the embedding column — the
+    * whitening/compression step before clustering or ANN.
+    *
+    * Scale shape: one `mapPartitions` pass accumulates each
+    * partition's count, per-dimension sum, and upper-triangular gram
+    * matrix in primitive arrays — only numPartitions·(d + d(d+1)/2)
+    * doubles ever cross to the driver, never a vector. The dense d×d
+    * eigensolve runs on the driver with the pure-JVM Jacobi solver
+    * shared with the homography DLT ([[graft.geo.Homography]]).
+    * Population covariance; components ordered by variance descending.
+    * NOT bit-deterministic across partitionings (float sum order) —
+    * callers needing a frozen basis persist the model, same as any
+    * trained artifact. */
+  def pcaFit(corpus: DataFrame, k: Int,
+             vecCol: String = "embedding"): PcaModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val parts = corpus.select(asDouble(col(vecCol)).as("v"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        var sum: Array[Double] = null
+        var gram: Array[Double] = null // upper triangle, row-major
+        it.foreach { v =>
+          val d = v.length
+          if (sum == null) {
+            sum = new Array[Double](d)
+            gram = new Array[Double](d * (d + 1) / 2)
+          }
+          var i = 0
+          var g = 0
+          while (i < d) {
+            val vi = v(i)
+            sum(i) += vi
+            var j = i
+            while (j < d) { gram(g) += vi * v(j); j += 1; g += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sum.toSeq, gram.toSeq))
+      }.collect()
+    require(parts.nonEmpty, "pcaFit: empty corpus")
+    val d = parts.head._2.length
+    val n = parts.map(_._1).sum.toDouble
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * (d + 1) / 2)
+    parts.foreach { case (_, s, g) =>
+      var i = 0
+      while (i < d) { sum(i) += s(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += g(i); i += 1 }
+    }
+    val mean = sum.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var g = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = gram(g) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        j += 1; g += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = graft.geo.Homography.eigenSymmetric(cov)
+    val order = vals.indices.sortBy(idx => -vals(idx)).take(k)
+    val comps = order.map { idx =>
+      val c = Array.tabulate(d)(r => vecs(r)(idx))
+      // sign normalization: largest-|coord| positive
+      var big = 0
+      var r = 1
+      while (r < d) { if (math.abs(c(r)) > math.abs(c(big))) big = r; r += 1 }
+      if (c(big) < 0) c.map(x => -x) else c
+    }.toArray
+    PcaModel(mean, comps, order.map(vals(_)).toArray)
+  }
+
+  /** Project vectors onto the fitted basis (center, then k dot
+    * products per row — one compiled pass, model broadcast with the
+    * closure). */
+  def pcaProjectUdf(model: PcaModel): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { v: Seq[Double] =>
+      val d = model.mean.length
+      Array.tabulate(model.components.length) { c =>
+        val comp = model.components(c)
+        var acc = 0.0
+        var i = 0
+        while (i < d && i < v.length) {
+          acc += (v(i) - model.mean(i)) * comp(i)
+          i += 1
+        }
+        acc
+      }.toSeq
+    }
+
   // -------------------------------------------- product quantization
 
   /** Per-subspace PQ codebooks: (code, centroid) pairs for each of the

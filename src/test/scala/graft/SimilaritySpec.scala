@@ -87,6 +87,38 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("pcaFit recovers the dominant axis; projection preserves it") {
+    // points along the (1,1,0,0)/sqrt(2) axis + small noise on (0,0,1,0)
+    val data = (0 until 200).map { i =>
+      val t = (i - 100) * 0.1
+      val noise = (i % 7 - 3) * 0.01
+      (i.toLong, Array((t + 5).toFloat, (t - 2).toFloat,
+        noise.toFloat, 0.0f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, k = 2)
+    // component 1 is the diagonal axis, sign-normalized
+    val c0 = m.components(0)
+    math.abs(c0(0) - math.sqrt(0.5)) should be < 1e-6
+    math.abs(c0(1) - math.sqrt(0.5)) should be < 1e-6
+    math.abs(c0(2)) should be < 1e-3
+    m.variances(0) should be > (100.0 * m.variances(1))
+    // projection: coord 1 carries the spread, reconstruction of the
+    // first point is close
+    val proj = df.withColumn("p", Similarity.pcaProjectUdf(m)(
+        col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("p")).as[(Long, Seq[Double])]
+      .collect().toMap
+    val spread0 = proj.values.map(_.head).max - proj.values.map(_.head).min
+    val spread1 = proj.values.map(_(1)).max - proj.values.map(_(1)).min
+    spread0 should be > (10.0 * spread1)
+    // partitioning stability within float tolerance
+    val m2 = Similarity.pcaFit(df.repartition(7), k = 2)
+    m.components(0).zip(m2.components(0)).foreach { case (x, y) =>
+      math.abs(x - y) should be < 1e-8
+    }
+  }
+
   test("labelOutliers flags the off-manifold vector, not the cluster") {
     val data = Seq(
       (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.1f, 0.0f)),
