@@ -1,0 +1,132 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Misra-Gries heavy-hitters sketch as a native
+  * TypedImperativeAggregate: a bounded summary of at most `k` counters
+  * over an unbounded string stream, with the classic guarantees —
+  * every item with true frequency > n/(k+1) is PRESENT in the summary,
+  * and each reported estimate e satisfies true − n/(k+1) ≤ e ≤ true —
+  * independent of partitioning and merge order (the guarantee is
+  * order-free even though exact counter values are not; do NOT
+  * oracle-hash this operator).
+  *
+  * This is the "find frequent terms without a full groupBy" shape: at
+  * 100 TB a vocabulary-sized exact count is itself huge, while this
+  * buffer is k counters per partial — constant memory, one streaming
+  * pass, map-side combinable like any aggregate. Merge is the
+  * Agarwal et al. (PODS 2012) mergeable-summaries rule: add counters
+  * pointwise, then subtract the (k+1)-th largest count and drop
+  * non-positive counters.
+  *
+  * Registered as SQL function `heavy_hitters(expr, k)`.
+  */
+case class HeavyHittersAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Decrement all counters by the amount that restores |buf| ≤ k,
+    * dropping non-positive ones (one MG "deletion" round, batched). */
+  private def shrink(buf: mutable.HashMap[String, Long]): Unit =
+    if (buf.size > k) {
+      // (k+1)-th largest count is the decrement that leaves ≤ k alive
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val dec = counts(counts.length - (k + 1))
+      // snapshot the entries: removing while iterating a mutable map
+      // is undefined
+      buf.toArray.foreach { case (key, c) =>
+        val nc = c - dec
+        if (nc <= 0) buf.remove(key) else buf.update(key, nc)
+      }
+    }
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buf.update(key, buf.getOrElse(key, 0L) + 1L)
+      shrink(buf)
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+    shrink(a)
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toSeq.sortBy { case (key, c) => (-c, key) }
+    ArrayBasedMapData(
+      sorted.map(e => UTF8String.fromString(e._1)).toArray,
+      sorted.map(_._2).toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersAgg =
+    copy(child = newChildren.head)
+}
+
+object HeavyHittersAgg {
+  /** Register `heavy_hitters(expr, k)` on the session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      exprs => HeavyHittersAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+
+  /** Column-level entry point (no registry needed). */
+  def heavyHitters(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      HeavyHittersAgg(GraftShims.expression(c), k).toAggregateExpression())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.HeavyHittersAgg
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot x5000, warm x1000, 4000 unique tail -> n = 10000, n/(k+1) = 909
+  private def stream = ((1 to 5000).map(_ => "hot") ++
+    (1 to 1000).map(_ => "warm") ++
+    (1 to 4000).map(i => s"tail$i")).zipWithIndex
+    .map { case (w, i) => (i.toLong, w) }
+    .toDF("row_id", "term")
+
+  private val truth = Map("hot" -> 5000L, "warm" -> 1000L)
+
+  private def assertGuarantees(got: Map[String, Long], n: Long, k: Int): Unit = {
+    val slack = n / (k + 1)
+    // every true heavy hitter (freq > n/(k+1)) is present
+    truth.filter(_._2 > slack).keys.foreach(h => got.keySet should contain(h))
+    // each estimate is an undercount by at most the slack
+    got.foreach { case (term, est) =>
+      val t = truth.getOrElse(term, 1L)
+      est should be <= t
+      est should be >= (t - slack)
+    }
+    got.size should be <= k
+  }
+
+  test("Misra-Gries guarantees hold regardless of partitioning") {
+    val k = 10
+    Seq(1, 7, 32).foreach { parts =>
+      val got = stream.repartition(parts)
+        .agg(HeavyHittersAgg.heavyHitters(col("term"), k).as("hh"))
+        .as[Map[String, Long]].head
+      withClue(s"parts=$parts:") { assertGuarantees(got, 10000L, k) }
+    }
+  }
+
+  test("grouped sketches: per-group summaries stay k-bounded") {
+    val grouped = stream
+      .withColumn("g", col("row_id") % 2)
+      .groupBy(col("g"))
+      .agg(HeavyHittersAgg.heavyHitters(col("term"), 5).as("hh"))
+      .as[(Long, Map[String, Long])].collect().toMap
+    grouped.values.foreach { m =>
+      m.size should be <= 5
+      m.keySet should contain("hot") // 2500 per group >> n_g/(k+1)
+    }
+  }
+
+  test("SQL registration: heavy_hitters(term, k)") {
+    HeavyHittersAgg.register(spark)
+    stream.createOrReplaceTempView("hh_stream")
+    val got = spark.sql(
+        "SELECT heavy_hitters(term, 10) AS hh FROM hh_stream")
+      .as[Map[String, Long]].head
+    assertGuarantees(got, 10000L, 10)
+  }
+}
