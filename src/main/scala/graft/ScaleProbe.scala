@@ -175,6 +175,22 @@ object ScaleProbe {
     val tPq = (System.nanoTime() - t0) / 1e9
     println(f"ann_rows brute=$nBrute pq=$nPq brute_sec=$tBrute%.1f " +
       f"pq_train_sec=$tTrain%.1f pq_scan_sec=$tPq%.1f")
+
+    // round 6: heavy-hitters sketch vs exact token count over the
+    // 100k-doc corpus — k counters per partial vs a vocabulary-sized
+    // exact groupBy
+    val toks = docs.select(explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    t0 = System.nanoTime()
+    val exact = toks.groupBy(col("term")).count()
+      .orderBy(col("count").desc).limit(10).count()
+    val tExact = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val sketch = toks.agg(
+      plans.HeavyHittersAgg.heavyHitters(col("term"), 10).as("hh")).count()
+    val tSketch = (System.nanoTime() - t0) / 1e9
+    println(f"hh exact_top10_sec=$tExact%.1f sketch_sec=$tSketch%.1f " +
+      f"(exact=$exact sketch_rows=$sketch)")
     spark.stop()
   }
 }
