@@ -1050,6 +1050,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- KMV distinct sketch: deterministic bottom-k cardinality
+    //      estimate per language next to the exact count — the only
+    //      sketch family member an oracle can hash (md5 hashes, no RNG)
+    "q_distinct_kmv" -> ((s, dir) => {
+      val occ = Tables.documents(s, dir).select(col("lang"),
+        explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      occ.groupBy(col("lang")).agg(
+          plans.KmvDistinctAgg.distinctKmv(col("w"), 16)
+            .as("n_distinct_est"),
+          countDistinct(col("w")).as("n_distinct_exact"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- pairwise source similarity (exact-integer dot products over
     //      unigram count vectors — domain-redundancy curation signal)
     "q_source_similarity" -> ((s, dir) =>
@@ -2500,6 +2513,32 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_distinct_kmv" ->
+      """WITH o AS (
+        |  SELECT lang,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+        |      FROM o),
+        |r AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h),
+        |est AS (
+        |  SELECT lang,
+        |    CASE WHEN nd < 16 THEN nd
+        |      ELSE CAST(floor(15 * 1152921504606846976.0 / hv) AS BIGINT)
+        |    END AS n_distinct_est
+        |  FROM r WHERE rn = least(nd, 16)),
+        |ex AS (SELECT lang, count(DISTINCT w) AS n_distinct_exact
+        |       FROM o GROUP BY 1)
+        |SELECT lang, n_distinct_est, n_distinct_exact
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
 
     "q_source_similarity" ->
       """WITH prof AS (

@@ -1,0 +1,119 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values, "bottom-k") distinct-count sketch as a
+  * native TypedImperativeAggregate — approximate COUNT(DISTINCT) in a
+  * k-bounded buffer, ~1/√k relative error (Bar-Yossef et al. 2002).
+  *
+  * Unlike RNG-seeded sketches this one is fully DETERMINISTIC: values
+  * hash through the md5-derived [[graft.functions.TextFunctions
+  * .stableHash64Scala]] into [0, 2^60), the buffer keeps the k
+  * smallest DISTINCT hashes (an order-free function of the input SET),
+  * and the estimate is
+  *   n̂ = floor((k−1) · 2^60 / h_k)        when ≥ k distinct hashes
+  *   n̂ = exact distinct count             otherwise
+  * so the result is reproducible across partitionings, retries, AND
+  * engines — the sketch is oracle-hashable, which no HLL is. The
+  * (k−1)·2^60 product is computed in double (exactly representable:
+  * 8 significant bits shifted) to stay inside int64 outputs.
+  *
+  * Merge is set-union-then-truncate; buffers never exceed k longs.
+  * Registered as SQL function `distinct_kmv(expr, k)`.
+  */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, s"distinct_kmv needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
+    if (buf.size < k) buf.add(h)
+    else if (h < buf.last) {
+      if (buf.add(h)) buf.remove(buf.last)
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[Long],
+                      input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      add(buf, graft.functions.TextFunctions.stableHash64Scala(
+        v.asInstanceOf[UTF8String].toString))
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[Long],
+                     b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else math.floor((k - 1).toDouble * 1152921504606846976.0 /
+      buf.last.toDouble).toLong
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val s = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < n) { s.add(in.readLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren.head)
+}
+
+object KmvDistinctAgg {
+  /** Register `distinct_kmv(expr, k)` on the session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_kmv",
+      exprs => KmvDistinctAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+
+  /** Column-level entry point (no registry needed). */
+  def distinctKmv(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      KmvDistinctAgg(GraftShims.expression(c), k).toAggregateExpression())
+  }
+}

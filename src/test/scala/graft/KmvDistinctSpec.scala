@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.KmvDistinctAgg
+
+class KmvDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k the sketch degrades to the exact distinct count") {
+    val df = (0 until 100).map(i => s"v${i % 10}").toDF("v")
+    df.agg(KmvDistinctAgg.distinctKmv(col("v"), 16))
+      .as[Long].head shouldBe 10L
+  }
+
+  test("estimate is within KMV error bounds and fully deterministic") {
+    val df = (0 until 20000).map(i => s"item$i").toDF("v") // 20k distinct
+    val est = df.agg(KmvDistinctAgg.distinctKmv(col("v"), 256))
+      .as[Long].head
+    // ~1/sqrt(256) ≈ 6.25% relative error; allow 4 sigma
+    est.toDouble shouldBe 20000.0 +- 5000.0
+    // bottom-k of a set is order-free: bit-identical across partitionings
+    Seq(1, 7, 32).foreach { p =>
+      df.repartition(p).agg(KmvDistinctAgg.distinctKmv(col("v"), 256))
+        .as[Long].head shouldBe est
+    }
+  }
+
+  test("grouped sketches and SQL registration") {
+    KmvDistinctAgg.register(spark)
+    val df = (0 until 5000).map(i => (s"g${i % 2}", s"t${i % 500}"))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("kmv_in")
+    val got = spark.sql(
+        "SELECT g, distinct_kmv(v, 64) AS est FROM kmv_in GROUP BY g")
+      .as[(String, Long)].collect().toMap
+    // each group sees 250 distinct values
+    got.values.foreach(e => e.toDouble shouldBe 250.0 +- 80.0)
+  }
+}
