@@ -182,15 +182,19 @@ object ScaleProbe {
     val toks = docs.select(explode(
       graft.functions.TextFunctions.tokens(col("text"))).as("term"))
     t0 = System.nanoTime()
+    // collect(), NOT count(): count()'s outer Aggregate references no
+    // columns, so ColumnPruning would drop the inner aggregate
+    // expressions and the timed plan would never evaluate the operator
     val exact = toks.groupBy(col("term")).count()
-      .orderBy(col("count").desc).limit(10).count()
+      .orderBy(col("count").desc).limit(10).collect().length
     val tExact = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
     val sketch = toks.agg(
-      plans.HeavyHittersAgg.heavyHitters(col("term"), 10).as("hh")).count()
+        plans.HeavyHittersAgg.heavyHitters(col("term"), 10).as("hh"))
+      .collect().head.getMap[String, Long](0).size
     val tSketch = (System.nanoTime() - t0) / 1e9
     println(f"hh exact_top10_sec=$tExact%.1f sketch_sec=$tSketch%.1f " +
-      f"(exact=$exact sketch_rows=$sketch)")
+      f"(exact=$exact sketch_counters=$sketch)")
     spark.stop()
   }
 }

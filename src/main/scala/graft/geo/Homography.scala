@@ -25,8 +25,6 @@ import org.locationtech.jts.geom.{Coordinate, Geometry}
   */
 object Homography {
 
-  /** Eigenvector of symmetric matrix `a` (destroyed) for the smallest
-    * eigenvalue, via cyclic Jacobi. */
   /** Full symmetric eigendecomposition by cyclic Jacobi sweeps:
     * returns (eigenvalues, eigenvectors-as-columns). Destroys `a`.
     * Shared by the DLT null-space solve below and the embedding PCA in
@@ -88,6 +86,8 @@ object Homography {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
+  /** Eigenvector of symmetric matrix `a` (destroyed) for the smallest
+    * eigenvalue — the DLT null-space solve. */
   def smallestEigenvector(a: Array[Array[Double]]): Array[Double] = {
     val (vals, v) = eigenSymmetric(a)
     val n = vals.length

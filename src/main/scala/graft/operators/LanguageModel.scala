@@ -143,10 +143,14 @@ object LanguageModel {
   /** Pairwise source similarity over unigram count vectors — the
     * "which domains are redundant" curation analytic that feeds
     * mixture design. cos(a, b) = Σc_a·c_b / √(Σc_a²·Σc_b²) with the
-    * three sums accumulated as EXACT integers (products of counts) and
+    * three sums accumulated as EXACT int64 (products of counts) and
     * only the final sqrt/division in floating point, stable-rounded —
     * so the matrix is engine-reproducible despite vocabulary-sized
-    * unordered sums. Emits (src_a, src_b, cos_r) for src_a < src_b;
+    * unordered sums. Exactness holds while per-(source, term) counts
+    * stay ≤ ~3·10⁹ and the summed products inside int64; beyond that
+    * (extreme single-term skew) cap or log-bucket counts upstream —
+    * int64 sums would wrap silently here while a HUGEINT oracle
+    * errors. Emits (src_a, src_b, cos_r) for src_a < src_b;
     * pairs sharing no term have cos 0 and are omitted (the term join
     * produces no rows for them).
     *

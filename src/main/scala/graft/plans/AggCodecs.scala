@@ -1,0 +1,30 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+/** Shared compact buffer codec for the native aggregates: one
+  * length-prefixed (writeUTF key, writeLong value) stream — the single
+  * place the wire format of String→Long aggregate buffers lives
+  * ([[MapMergeAgg]], [[HeavyHittersAgg]]). */
+private[plans] object AggCodecs {
+
+  def writeStringLongMap(m: collection.Map[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def readStringLongMap(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+}

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -38,6 +36,8 @@ case class HeavyHittersAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  require(k >= 1, s"heavy_hitters needs k >= 1, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =
@@ -50,10 +50,17 @@ case class HeavyHittersAgg(
     * dropping non-positive ones (one MG "deletion" round, batched). */
   private def shrink(buf: mutable.HashMap[String, Long]): Unit =
     if (buf.size > k) {
-      // (k+1)-th largest count is the decrement that leaves ≤ k alive
-      val counts = buf.values.toArray
-      java.util.Arrays.sort(counts)
-      val dec = counts(counts.length - (k + 1))
+      // (k+1)-th largest count is the decrement that leaves ≤ k alive.
+      // On the update path |buf| is exactly k+1, so that is simply the
+      // MIN — one allocation-free O(k) scan per tail insertion; the
+      // sort only runs for merges (|buf| up to 2k)
+      val dec =
+        if (buf.size == k + 1) buf.valuesIterator.min
+        else {
+          val counts = buf.values.toArray
+          java.util.Arrays.sort(counts)
+          counts(counts.length - (k + 1))
+        }
       // snapshot the entries: removing while iterating a mutable map
       // is undefined
       buf.toArray.foreach { case (key, c) =>
@@ -87,23 +94,11 @@ case class HeavyHittersAgg(
       sorted.map(_._2).toArray)
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    AggCodecs.writeStringLongMap(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val m = mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
-    m
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    AggCodecs.readStringLongMap(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
     copy(mutableAggBufferOffset = newOffset)

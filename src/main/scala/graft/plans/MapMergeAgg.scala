@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -66,23 +64,11 @@ case class MapMergeAgg(
       sorted.map(_._2).toArray)
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    AggCodecs.writeStringLongMap(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val m = mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
-    m
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    AggCodecs.readStringLongMap(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MapMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

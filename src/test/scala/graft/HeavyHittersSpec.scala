@@ -51,6 +51,31 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("sketches aggregate in Structured Streaming (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("row_id", "term")
+      .groupBy()
+      .agg(HeavyHittersAgg.heavyHitters(col("term"), 5).as("hh"),
+        graft.plans.KmvDistinctAgg.distinctKmv(col("term"), 64).as("nd"))
+      .writeStream.format("memory").queryName("hh_stream_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 300).map(i => (i.toLong, "hot")): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 100).map(i => (300L + i, s"tail$i")): _*)
+      q.processAllAvailable()
+      val row = spark.table("hh_stream_agg")
+        .as[(Map[String, Long], Long)].head
+      // the sketch state merged across micro-batches: "hot" (300 of
+      // 400 rows) must survive with estimate within n/(k+1)
+      row._1.keySet should contain("hot")
+      row._1("hot") should be >= (300L - 400L / 6)
+      // KMV is deterministic: 101 distinct terms, k=64 -> estimator path
+      row._2.toDouble shouldBe 101.0 +- 40.0
+    } finally q.stop()
+  }
+
   test("SQL registration: heavy_hitters(term, k)") {
     HeavyHittersAgg.register(spark)
     stream.createOrReplaceTempView("hh_stream")
