@@ -788,6 +788,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- consecutive-token stutter collapse (OCR/scrape artifact
+    //      cleanup; pure compiled pass, no shuffle)
+    "q_text_collapse" -> ((s, dir) => {
+      val toks = functions.TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          concat_ws(" ", functions.TextFunctions
+            .collapseRepeatedTokens(col("t"))).as("clean_text"),
+          size(col("t")).as("n_before"),
+          size(functions.TextFunctions.collapseRepeatedTokens(col("t")))
+            .as("n_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- duplicated-gram fraction (RefinedWeb/Dolma "fraction of
     //      n-grams appearing elsewhere" quality filter; 5-grams)
     "q_text_dupfrac" -> ((s, dir) =>
@@ -2292,6 +2307,16 @@ object SparkEntry {
         |  SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM seen))
         |SELECT min(doc_id) AS doc_id, fp FROM unseen GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_collapse" ->
+      s"""WITH $toksSql,
+         |c AS (
+         |  SELECT doc_id, t,
+         |    list_filter(t, (x, i) -> i = 1 OR x <> t[i-1]) AS ct
+         |  FROM toks)
+         |SELECT doc_id, array_to_string(ct, ' ') AS clean_text,
+         |  len(t) AS n_before, len(ct) AS n_after
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_dupfrac" ->
       s"""WITH $toksSql,

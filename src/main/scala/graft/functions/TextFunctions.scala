@@ -66,6 +66,13 @@ object TextFunctions {
   /** Whitespace token count (cheap proxy, no array materialization). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Collapse runs of consecutive identical tokens to a single
+    * occurrence ("the the the" → "the") — the OCR/scrape stutter
+    * cleanup pass. Pure compiled column over the token array (keep
+    * element i iff it differs from element i−1); no shuffle. */
+  def collapseRepeatedTokens(toks: Column): Column =
+    filter(toks, (x, i) => i === 0 || x =!= element_at(toks, i))
+
   /** BPE-ish LLM-token estimate without a tokenizer model: count
     * subword-shaped pieces (letter runs chunked to ≤4 chars, digit runs,
     * individual punctuation). The standard ~4-chars-per-token heuristic,

@@ -143,4 +143,15 @@ class FunctionsSpec extends SparkSpec {
     gopherScala("word")._4 shouldBe false
     gopherScala("")._4 shouldBe false
   }
+  test("collapseRepeatedTokens removes stutter runs only") {
+    import graft.functions.TextFunctions._
+    val got = Seq((1L, "the the the quick quick fox the fox fox"))
+      .toDF("id", "text")
+      .select(concat_ws(" ", collapseRepeatedTokens(tokens(col("text")))))
+      .as[String].head
+    got shouldBe "the quick fox the fox" // non-adjacent repeats survive
+    Seq((2L, "")).toDF("id", "text")
+      .select(collapseRepeatedTokens(tokens(col("text"))))
+      .as[Seq[String]].head shouldBe Seq.empty
+  }
 }
