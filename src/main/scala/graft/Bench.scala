@@ -14,22 +14,32 @@ object Bench {
     // index, shuffle infra) so per-query numbers reflect the operators
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // min of two passes per query: a single pass on a shared machine
-    // conflates scheduler/IO contention with operator cost; the min is
-    // the reproducible number
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    // min of two INTERLEAVED passes per query: pass 1 over all queries,
+    // then pass 2 over all queries, per-query min. Back-to-back repeats
+    // of one query land both attempts inside the same transient
+    // contention window (GC pause, competing process, page-cache
+    // eviction), so a machine-wide blip fabricates a 3-10x "regression"
+    // for whichever queries it overlaps. Separating the attempts by a
+    // full sweep (~30s+) makes the two samples independent, so the min
+    // is the reproducible operator cost.
+    val names = SparkEntry.queries.keys.toSeq
+    val timed = (1 to 2).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      // failed = no successful attempt at all; a query with one good
-      // pass reports that pass (a flaky second attempt must not put a
-      // query in BOTH the failed list and the totals)
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+              name -> Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => name -> None }
+      }.toMap
+    }
+    // failed = no successful attempt in either pass; a query with one
+    // good pass reports that pass (a flaky second attempt must not put
+    // a query in BOTH the failed list and the totals)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = names.map { name =>
+      val times = timed.flatMap(_(name))
       if (times.isEmpty) failed += name
       name -> (if (times.nonEmpty) times.min else 0.0)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

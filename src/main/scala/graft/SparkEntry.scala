@@ -442,12 +442,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))),
 
     // ---- skew-salted aggregation (SURVEY §4 skew handling): two-stage
-    //      salted sum, oracle-checked equal to the direct rollup
+    //      salted sum, oracle-checked equal to the direct rollup.
+    //      pinSalt = false: the input is a direct file scan + projection
+    //      (no upstream shuffle), so task replay is deterministic and
+    //      the localCheckpoint pin — a full input copy at 100 TB — is
+    //      unnecessary (rule in Scale.saltedSum scaladoc)
     "q_salted_agg" -> ((s, dir) =>
       operators.Scale.saltedSum(
           Tables.events(s, dir)
             .withColumn("cents_v", coalesce(cents(col("value")), lit(0L))),
-          Seq("event_type"), "cents_v", "total_cents", buckets = 16)
+          Seq("event_type"), "cents_v", "total_cents", buckets = 16,
+          pinSalt = false)
         .orderBy(col("event_type"))),
 
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
