@@ -875,6 +875,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- capstone v2: the full modern pretraining recipe (exact dedup
+    //      -> line dedup -> LSH near-dup collapse -> dup-gram gate ->
+    //      Gopher gate -> decontamination -> per-lang LM percentile
+    //      cutoff -> temperature mix -> shuffle order -> packing), one
+    //      oracle row checking the composed keep set AND the final
+    //      layout. A shared boilerplate header line ("hdr <doc_id%7>",
+    //      ~71 docs each) is synthesized so the line-dedup pass is
+    //      observable, as in q_dedup_lines.
+    "q_pretrain_v2_kept" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (corpus0, bench) = apps.PretrainDataPipeline.splitBench(docs)
+      val corpus = corpus0.withColumn("text",
+        concat(col("text"), lit("\nhdr "), col("doc_id") % 7))
+      apps.PretrainDataPipeline.keptV2Packed(corpus, bench)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1081,6 +1098,30 @@ object SparkEntry {
             .as("n_distinct_est"),
           countDistinct(col("w")).as("n_distinct_exact"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- Misra-Gries heavy-hitters GUARANTEE projection: pass 1 is
+    //      the bounded MG sketch (k=30 over 31 distinct tokens, so
+    //      eviction fires); pass 2 exactly recounts only the ≤ k
+    //      candidate keys (broadcast) and keeps true freq > n/(k+1).
+    //      MG guarantees every such key is among the candidates, so
+    //      this two-pass shape equals the exact answer — DuckDB-checkable
+    //      even though raw counter values are merge-order-dependent.
+    "q_heavy_hitters_guarantee" -> ((s, dir) => {
+      val k = 30
+      val toks = Tables.documents(s, dir).select(
+        explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      val sketch = toks.agg(
+        plans.HeavyHittersAgg.heavyHitters(col("w"), k).as("hh"),
+        count(lit(1)).as("n"))
+      val cand = sketch.select(explode(map_keys(col("hh"))).as("w"),
+        col("n"))
+      toks.join(broadcast(cand), Seq("w"))
+        .groupBy(col("w"), col("n"))
+        .agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") * (k + 1) > col("n"))
+        .select(col("w"), col("n_true"))
+        .orderBy(col("w"))
     }),
 
     // ---- pairwise source similarity (exact-integer dot products over
@@ -2570,6 +2611,15 @@ object SparkEntry {
         |SELECT lang, n_distinct_est, n_distinct_exact
         |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
 
+    "q_heavy_hitters_guarantee" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT unnest(t) AS w FROM toks),
+         |n AS (SELECT count(*) AS n FROM occ)
+         |SELECT w, count(*) AS n_true
+         |FROM occ, n GROUP BY w, n.n
+         |HAVING count(*) * 31 > n.n
+         |ORDER BY w""".stripMargin,
+
     "q_source_similarity" ->
       """WITH prof AS (
         |  SELECT src, w, count(*) AS c FROM (
@@ -2781,6 +2831,250 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM keep4 k JOIN documents d ON k.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors keptV2Packed stage by stage. MATERIALIZED hints keep
+    // DuckDB from inlining the deep shared CTE chain (each stage
+    // references its predecessor several times; inlined, the plan is
+    // exponential in the stage count).
+    "q_pretrain_v2_kept" ->
+      """WITH RECURSIVE
+        |d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'hdr ' || CAST(doc_id % 7 AS VARCHAR) AS text,
+        |    lang, source
+        |  FROM documents),
+        |corpus AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 <> 0),
+        |keep1 AS MATERIALIZED (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+        |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |        ' +', ' ', 'g')))) AS canon
+        |    FROM corpus)
+        |  WHERE doc_id = canon),
+        |l1 AS MATERIALIZED (
+        |  SELECT c.doc_id,
+        |    unnest(range(1, len(string_split(c.text, chr(10))) + 1)) AS pos,
+        |    string_split(c.text, chr(10)) AS ls
+        |  FROM corpus c JOIN keep1 k ON c.doc_id = k.doc_id),
+        |ln AS MATERIALIZED (
+        |  SELECT doc_id, pos, ls[pos] AS line,
+        |    CASE WHEN trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> ''
+        |      THEN md5(trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |    END AS lfp
+        |  FROM l1),
+        |lfreq AS MATERIALIZED (
+        |  SELECT lfp, count(*) AS ndocs FROM (
+        |    SELECT DISTINCT lfp, doc_id FROM ln WHERE lfp IS NOT NULL)
+        |  GROUP BY 1),
+        |lkept AS MATERIALIZED (
+        |  SELECT ln.* FROM ln LEFT JOIN lfreq USING (lfp)
+        |  WHERE coalesce(lfreq.ndocs, 0) <= 2),
+        |clean AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM lkept GROUP BY 1),
+        |keep2 AS MATERIALIZED (
+        |  SELECT k.doc_id, coalesce(c.clean_text, '') AS clean_text
+        |  FROM keep1 k LEFT JOIN clean c ON k.doc_id = c.doc_id
+        |  WHERE coalesce(c.n_kept, 0) > 0),
+        |toks2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(clean_text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS t
+        |  FROM keep2),
+        |sh1 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(t)-1, 1))]) AS s
+        |  FROM toks2 WHERE len(t) >= 3),
+        |hb AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    [(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) % 2147483647
+        |     for x in s] AS bases
+        |  FROM sh1),
+        |bb AS MATERIALIZED (
+        |  SELECT doc_id, b AS band,
+        |    list_min([(h*(2*(b*3+0)+1) + (7919*(b*3+0)+13)) % 2147483647
+        |              for h in bases]) || '|' ||
+        |    list_min([(h*(2*(b*3+1)+1) + (7919*(b*3+1)+13)) % 2147483647
+        |              for h in bases]) || '|' ||
+        |    list_min([(h*(2*(b*3+2)+1) + (7919*(b*3+2)+13)) % 2147483647
+        |              for h in bases]) AS bucket
+        |  FROM hb, range(0,4) r(b)),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bb a JOIN bb b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id),
+        |jv AS MATERIALIZED (
+        |  SELECT ia, ib,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+        |  FROM cand JOIN sh1 x ON x.doc_id = cand.ia
+        |            JOIN sh1 y ON y.doc_id = cand.ib),
+        |edges AS MATERIALIZED (
+        |  SELECT ia AS a, ib AS b FROM jv WHERE jac >= 0.5
+        |  UNION
+        |  SELECT ib AS a, ia AS b FROM jv WHERE jac >= 0.5),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS MATERIALIZED (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |keep3 AS MATERIALIZED (
+        |  SELECT doc_id, clean_text FROM keep2
+        |  WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM labels WHERE canonical_id <> doc_id)),
+        |toks3 AS MATERIALIZED (
+        |  SELECT k.doc_id, t FROM toks2 t0 JOIN keep3 k ON t0.doc_id = k.doc_id),
+        |sh5 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+4], ' ')
+        |                   for i in range(1, greatest(len(t)-3, 1))]) AS s
+        |  FROM toks3 WHERE len(t) >= 5),
+        |occ5 AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh5),
+        |gc5 AS MATERIALIZED (SELECT g, count(*) AS nd FROM occ5 GROUP BY 1),
+        |dupfrac AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM occ5 JOIN gc5 USING (g) GROUP BY 1),
+        |keep4 AS MATERIALIZED (
+        |  SELECT doc_id, clean_text FROM keep3
+        |  WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM dupfrac
+        |    WHERE CAST(n_dup AS DOUBLE) / n_grams > 0.3)),
+        |gtoks AS MATERIALIZED (
+        |  SELECT k.doc_id, t FROM toks2 t0 JOIN keep4 k ON t0.doc_id = k.doc_id),
+        |gbg AS MATERIALIZED (
+        |  SELECT doc_id, t,
+        |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g
+        |  FROM gtoks),
+        |gwc AS MATERIALIZED (SELECT doc_id, unnest(t) AS w FROM gtoks),
+        |gtop AS MATERIALIZED (
+        |  SELECT doc_id, max(c) AS mx FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM gwc GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gm AS MATERIALIZED (
+        |  SELECT b.doc_id,
+        |    CASE WHEN len(b.t) < 2 THEN FALSE ELSE
+        |      CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) <= 0.2
+        |      AND CAST(gtop.mx AS DOUBLE) / len(b.t) <= 0.2
+        |      AND CAST(len(list_filter(b.t,
+        |        x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE) / len(b.t)
+        |        >= 0.8
+        |    END AS passes
+        |  FROM gbg b LEFT JOIN gtop ON b.doc_id = gtop.doc_id),
+        |keep5 AS MATERIALIZED (
+        |  SELECT doc_id, clean_text FROM keep4
+        |  WHERE doc_id IN (SELECT doc_id FROM gm WHERE passes)),
+        |dsh AS MATERIALIZED (
+        |  SELECT t0.doc_id, unnest(
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(t)-1, 1))])) AS sng
+        |  FROM (SELECT k.doc_id, t
+        |        FROM toks2 t0 JOIN keep5 k ON t0.doc_id = k.doc_id
+        |        WHERE len(t) >= 3) t0),
+        |btoks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS bench_id, unnest(
+        |    list_distinct([array_to_string(t[i:i+2], ' ')
+        |                   for i in range(1, greatest(len(t)-1, 1))])) AS sng
+        |  FROM btoks WHERE len(t) >= 3),
+        |contam AS MATERIALIZED (
+        |  SELECT d.doc_id FROM dsh d JOIN bsh b ON d.sng = b.sng
+        |  GROUP BY d.doc_id HAVING count(DISTINCT d.sng) >= 2),
+        |keep6 AS MATERIALIZED (
+        |  SELECT doc_id, clean_text FROM keep5
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ltoks AS MATERIALIZED (
+        |  SELECT k.doc_id, t FROM toks2 t0 JOIN keep6 k ON t0.doc_id = k.doc_id),
+        |loc0 AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+        |  FROM ltoks WHERE len(t) >= 2),
+        |loc AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM loc0),
+        |lc2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM loc GROUP BY 1, 2),
+        |lc1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        |                     FROM lc2 GROUP BY 1),
+        |lv AS MATERIALIZED (SELECT count(DISTINCT w) AS v
+        |       FROM (SELECT unnest(t) AS w FROM ltoks)),
+        |lsc AS MATERIALIZED (
+        |  SELECT loc.doc_id,
+        |    CAST(floor(CAST(lc2.c2 + 1 AS DOUBLE) / (lc1.c1 + lv.v) * 1e9)
+        |      AS BIGINT) AS micro
+        |  FROM loc JOIN lc2 USING (w1, w2) JOIN lc1 USING (w1) CROSS JOIN lv),
+        |scored AS MATERIALIZED (
+        |  SELECT s.doc_id, d.lang,
+        |    CAST(sum(micro) AS DOUBLE) / count(*) AS score
+        |  FROM lsc s JOIN documents d ON s.doc_id = d.doc_id
+        |  GROUP BY 1, 2),
+        |cuts AS MATERIALIZED (
+        |  SELECT lang, score AS cutoff FROM (
+        |    SELECT lang, score,
+        |      row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n
+        |    FROM scored)
+        |  WHERE rn = greatest(1, CAST(ceil(0.1 * n) AS BIGINT))),
+        |keep7 AS MATERIALIZED (
+        |  SELECT k.doc_id, k.clean_text FROM keep6 k
+        |  JOIN scored s ON k.doc_id = s.doc_id
+        |  JOIN cuts c ON s.lang = c.lang
+        |  WHERE s.score >= c.cutoff),
+        |mixd AS MATERIALIZED (
+        |  SELECT k.doc_id, k.clean_text, d.lang, d.source
+        |  FROM keep7 k JOIN documents d ON k.doc_id = d.doc_id),
+        |mc AS MATERIALIZED (SELECT source, count(*) AS n FROM mixd GROUP BY 1),
+        |ms AS MATERIALIZED (SELECT sum(pow(n, 0.5)) AS st FROM mc),
+        |mr AS MATERIALIZED (
+        |  SELECT source, least(1.0,
+        |    floor(200.0 * pow(n, 0.5) / st / n * 1000000 + 0.5)/1000000)
+        |    AS rate
+        |  FROM mc, ms),
+        |keep8 AS MATERIALIZED (
+        |  SELECT m.doc_id, m.clean_text, m.lang, m.source
+        |  FROM mixd m JOIN mr USING (source)
+        |  WHERE CAST('0x' || substr(md5('v2mix:' ||
+        |      CAST(m.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+        |    < CAST(floor(rate * 10000) AS BIGINT)),
+        |shuf AS MATERIALIZED (
+        |  SELECT doc_id, clean_text, lang, source,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5('v2shuf:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15) AS BIGINT), doc_id) - 1 AS shuffle_pos
+        |  FROM keep8),
+        |pc AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, shuffle_pos,
+        |    shuffle_pos // 100 AS shard,
+        |    greatest(length(clean_text), 1) AS cost,
+        |    sum(greatest(length(clean_text), 1)) OVER (
+        |      PARTITION BY shuffle_pos // 100 ORDER BY shuffle_pos) AS cum
+        |  FROM shuf),
+        |pb AS MATERIALIZED (
+        |  SELECT shard, max((cum - 1) // 4096) + 1 AS n_bins
+        |  FROM pc GROUP BY shard),
+        |po AS MATERIALIZED (
+        |  SELECT shard,
+        |    coalesce(sum(n_bins) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_start
+        |  FROM pb)
+        |SELECT pc.doc_id, pc.lang, pc.source, pc.shuffle_pos,
+        |  CAST(pc.cost AS BIGINT) AS cost,
+        |  CAST((pc.cum - pc.cost) // 4096 + po.bin_start AS BIGINT)
+        |    AS first_bin,
+        |  CAST((pc.cum - 1) // 4096 + po.bin_start AS BIGINT) AS last_bin,
+        |  CAST((pc.cum - pc.cost) % 4096 AS BIGINT) AS bin_offset
+        |FROM pc JOIN po ON pc.shard = po.shard ORDER BY pc.doc_id""".stripMargin,
 
     "q_relations" ->
       """WITH r AS (

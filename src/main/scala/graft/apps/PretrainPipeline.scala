@@ -4,8 +4,11 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, LanguageModel, Sampling}
+import graft.functions.TextFunctions
 
 /** LLM-pretraining data-pipeline capstone: the composition every real
   * pretraining run executes, chained from already-oracle-checked
@@ -194,12 +197,257 @@ object PretrainDataPipeline {
     Result(keptDf, packed, manifest)
   }
 
-  /** CLI: <sfDir> <outDir>. */
+  // ================================================================ v2
+  // The full modern pretraining recipe, composed from the same
+  // oracle-checked stage operators:
+  //   exact dedup → line-level dedup (boilerplate) → MinHash-LSH
+  //   near-dup collapse → duplicated-gram gate → Gopher gate →
+  //   decontamination → per-language LM-score percentile cutoff →
+  //   temperature mix → deterministic shuffle order → sequence packing.
+  // Every gate after line dedup runs on the CLEANED text (the line pass
+  // rewrites documents; scoring boilerplate would score text the model
+  // never trains on). The bench side stays raw — the eval set is not
+  // cleaned.
+
+  /** v2 knobs. Gate thresholds are the published heuristics (Gopher
+    * thresholds inside [[TextFunctions.gopherScala]]; RefinedWeb-style
+    * dup-gram 0.3); the LM gate drops each language's bottom
+    * `lmCutoffP` quantile instead of a fixed score. */
+  final case class ConfigV2(
+      lineMaxDocFreq: Int = 2,
+      shingleN: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      nearDupThreshold: Double = 0.5,
+      dupGramN: Int = 5,
+      dupGramMinDocs: Int = 2,
+      dupGramThreshold: Double = 0.3,
+      contamMinShared: Int = 2,
+      lmCutoffP: Double = 0.1,
+      mixTarget: Long = 200L,
+      mixAlpha: Double = 0.5,
+      mixSalt: String = "v2mix",
+      shuffleSalt: String = "v2shuf",
+      packBudget: Long = 4096L,
+      packShardSize: Long = 100L)
+
+  /** Stage 2 core: line dedup over stage-1 survivors, keeping the
+    * cleaned text alongside the carried columns. One row per input doc
+    * (n_kept = 0 marks an all-boilerplate document). */
+  def v2LineClean(s1: DataFrame, cfg: ConfigV2): DataFrame =
+    s1.join(
+      Dedup.dedupLines(s1, col("text"), col("doc_id"), cfg.lineMaxDocFreq)
+        .select(col("doc_id"), col("clean_text"), col("n_kept")),
+      Seq("doc_id"))
+
+  /** Stage-3 drop set: LSH near-dup cluster collapse on cleaned text. */
+  def v2DroppedByNearDedup(s2: DataFrame, cfg: ConfigV2): DataFrame =
+    Dedup.canonicalizeClusters(
+        Dedup.minhashLshPairs(s2, col("clean_text"), col("doc_id"),
+          cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.nearDupThreshold)
+          .select(col("ia"), col("ib")))
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select("doc_id")
+
+  /** Stage-4 drop set: documents whose duplicated-`dupGramN`-gram
+    * fraction exceeds the threshold (docs too short to have grams are
+    * unscored and survive). */
+  def v2DroppedByDupGrams(s3: DataFrame, cfg: ConfigV2): DataFrame =
+    Dedup.duplicatedGramFraction(s3, col("clean_text"), col("doc_id"),
+        cfg.dupGramN, cfg.dupGramMinDocs, cfg.dupGramThreshold)
+      .filter(col("flagged"))
+      .select("doc_id")
+
+  /** Stage-5 keep predicate: Gopher repetition/composition gate on the
+    * cleaned text (documents under 2 tokens fail). */
+  def v2GopherPasses: Column =
+    TextFunctions.gopherUdf(col("clean_text")).getField("_4")
+
+  /** Stage-6 drop set: ≥ contamMinShared shared shingles with the RAW
+    * bench text (the eval set is not line-cleaned). */
+  def v2DroppedByContamination(s5: DataFrame, bench: DataFrame,
+                               cfg: ConfigV2): DataFrame =
+    Dedup.contamination(s5, bench,
+        col("clean_text"), col("doc_id"), col("text"), col("doc_id"),
+        cfg.shingleN, cfg.contamMinShared)
+      .select("doc_id")
+
+  /** Stage-7 keep set: corpus-LM bigram score (exact integer
+    * micro-probs), keep docs at or above their language's `lmCutoffP`
+    * percentile-disc cutoff. Every stage-6 survivor has ≥ 2 tokens
+    * (the Gopher gate dropped shorter docs), so all are scored. */
+  def v2LmKeepIds(s6: DataFrame, cfg: ConfigV2): DataFrame = {
+    val scored = LanguageModel
+      .scoreDocs(s6, col("clean_text"), col("doc_id"))
+      .join(s6.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("score",
+        col("sum_micro").cast("double") / col("n_bigrams"))
+    val cuts = Sampling.percentileCutoffs(scored, col("lang"),
+      col("score"), col("doc_id"), Seq(cfg.lmCutoffP))
+    scored.join(broadcast(cuts), scored("lang") === cuts("grp"))
+      .filter(col("score") >= col("cutoff"))
+      .select("doc_id")
+  }
+
+  /** Stage 9: deterministic shuffle order, then pack the shuffled
+    * stream into `packBudget`-sized bins (documents straddle bin
+    * boundaries; packing follows SHUFFLE order, not id order — the
+    * layout a training run actually consumes). Cost = cleaned length,
+    * clamped to ≥ 1 (packSequences forbids zero-cost rows). */
+  def v2ShuffleAndPack(s8: DataFrame, cfg: ConfigV2): DataFrame = {
+    val sh = Sampling.shuffleOrder(s8, col("doc_id"), cfg.shuffleSalt)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val packed = Sampling.packSequencesGlobal(
+        sh.select(col("shuffle_pos"),
+          greatest(length(col("clean_text")).cast(LongType), lit(1L))
+            .as("__cost")),
+        col("shuffle_pos"), col("__cost"),
+        cfg.packBudget, cfg.packShardSize)
+      .withColumnRenamed("doc_id", "shuffle_pos")
+    packed
+      .join(sh.select(col("doc_id"), col("lang"), col("source"),
+        col("shuffle_pos")), Seq("shuffle_pos"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("shuffle_pos"), col("cost"),
+        col("first_bin"), col("last_bin"), col("bin_offset"))
+  }
+
+  /** The full v2 composition, corpus in → packed layout out: one row
+    * per kept document with its shuffle position and bin placement.
+    * This is the oracle-checked query shape (`q_pretrain_v2_kept`).
+    *
+    * Each stage's survivor set is persisted MEMORY_AND_DISK: stages
+    * reference their input twice (gate computation + survivor join) and
+    * several gates (LSH, connected components) are expensive to
+    * recompute — the same stage-checkpoint discipline a 100 TB run uses
+    * (there, parquet between stages; here, block storage). */
+  def keptV2Packed(corpusRaw: DataFrame, bench: DataFrame,
+                   cfg: ConfigV2 = ConfigV2()): DataFrame = {
+    val corpus = corpusRaw.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    // Lazy localCheckpoint, not persist: stages reference their input
+    // several times AND the logical plan must be truncated per stage —
+    // nine chained self-referencing stages otherwise compound into a
+    // tree exponential in the stage count (plan stringification alone
+    // OOMs). Same stage-checkpoint discipline a 100 TB run uses
+    // (there, parquet between stages; here, block storage), paid only
+    // when an action runs.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    val s1 = pin(corpus.join(droppedByExactDedup(corpus,
+        Config(prefixTokens = 0)), Seq("doc_id"), "left_anti"))
+    val s2 = pin(v2LineClean(s1, cfg)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"), col("lang"), col("source")))
+    val s3 = pin(s2.join(v2DroppedByNearDedup(s2, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s4 = pin(s3.join(v2DroppedByDupGrams(s3, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s5 = pin(s4.filter(v2GopherPasses))
+    val s6 = pin(s5.join(v2DroppedByContamination(s5, bench, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s7 = pin(s6.join(v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_semi"))
+    val s8 = Sampling.temperatureMix(s7, col("source"), col("doc_id"),
+      cfg.mixTarget, cfg.mixAlpha, cfg.mixSalt)
+    v2ShuffleAndPack(s8, cfg)
+  }
+
+  /** Materializing v2 run: tags every corpus document with the FIRST
+    * stage that drops it and reads the 8-stage manifest from a single
+    * `observe()` action, then lays out the kept set (shuffle + pack).
+    * Same one-action manifest discipline as [[run]]. */
+  def runV2(docs: DataFrame, cfg: ConfigV2 = ConfigV2(),
+            benchModulus: Long = 97L,
+            outDir: Option[String] = None): Result = {
+    val (corpusAll, bench) = splitBench(docs, benchModulus)
+    val corpus = corpusAll.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    // Lazy localCheckpoint per stage — see [[keptV2Packed]]: truncates
+    // the otherwise-exponential chained plan and pins each stage's
+    // result for its multiple downstream references.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    val d1 = pin(droppedByExactDedup(corpus, Config(prefixTokens = 0)))
+    val s1 = corpus.join(d1, Seq("doc_id"), "left_anti")
+    val lined = pin(v2LineClean(s1, cfg))
+    val d2 = pin(lined.filter(col("n_kept") <= 0).select("doc_id"))
+    val s2 = pin(lined.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"), col("lang"), col("source")))
+    val d3 = pin(v2DroppedByNearDedup(s2, cfg))
+    val s3 = pin(s2.join(d3, Seq("doc_id"), "left_anti"))
+    val d4 = pin(v2DroppedByDupGrams(s3, cfg))
+    val s4 = pin(s3.join(d4, Seq("doc_id"), "left_anti"))
+    val d5 = pin(s4.filter(!v2GopherPasses).select("doc_id"))
+    val s5 = pin(s4.filter(v2GopherPasses))
+    val d6 = pin(v2DroppedByContamination(s5, bench, cfg))
+    val s6 = pin(s5.join(d6, Seq("doc_id"), "left_anti"))
+    val d7 = pin(s6.join(v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_anti")
+      .select("doc_id"))
+    val s7 = pin(s6.join(d7, Seq("doc_id"), "left_anti"))
+    val s8 = Sampling.temperatureMix(s7, col("source"), col("doc_id"),
+      cfg.mixTarget, cfg.mixAlpha, cfg.mixSalt)
+    val d8 = pin(s7.join(s8.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id"))
+    def tag(name: String) = col(s"__$name")
+    val dropSets = Seq("d1" -> d1.select("doc_id"), "d2" -> d2,
+      "d3" -> d3.select("doc_id"), "d4" -> d4, "d5" -> d5, "d6" -> d6,
+      "d7" -> d7, "d8" -> d8)
+    val taggedBase = dropSets.foldLeft(corpus) { case (acc, (name, d)) =>
+      acc.join(d.withColumn(s"__$name", lit(true)), Seq("doc_id"), "left")
+    }
+    val reasons = Seq("d1" -> "exact_dup", "d2" -> "boilerplate",
+      "d3" -> "near_dup", "d4" -> "dup_grams", "d5" -> "gopher",
+      "d6" -> "contaminated", "d7" -> "lm_low", "d8" -> "sample_out")
+    val stageCol = reasons.foldRight(lit("kept"): Column) {
+      case ((name, reason), acc) => when(tag(name), reason).otherwise(acc)
+    }
+    val obs = Observation("pretrain_v2_manifest")
+    val observed = taggedBase.withColumn("__stage", stageCol).observe(obs,
+      count(lit(1)).as("n0"),
+      reasons.map { case (_, r) =>
+        sum(when(col("__stage") === r, 1L).otherwise(0L)).as(r)
+      }: _*)
+    val keptDf = observed.filter(col("__stage") === "kept")
+      .drop(reasons.map(r => s"__${r._1}") :+ "__stage": _*)
+      .join(s2.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    keptDf.count() // the ONE manifest action
+    val m = obs.get
+    def metric(name: String): Long = m(name).asInstanceOf[Long]
+    val stageNames = Seq("exact_dedup" -> "exact_dup",
+      "line_dedup" -> "boilerplate", "near_dedup" -> "near_dup",
+      "dup_gram_gate" -> "dup_grams", "gopher_gate" -> "gopher",
+      "decontamination" -> "contaminated", "lm_score_gate" -> "lm_low",
+      "temperature_mix" -> "sample_out")
+    var nIn = metric("n0")
+    val stageRows = stageNames.map { case (stage, reason) =>
+      val dropped = metric(reason)
+      val row = StageRow(stage, reason, nIn, dropped, nIn - dropped)
+      nIn -= dropped
+      row
+    }
+    val packed = v2ShuffleAndPack(keptDf, cfg)
+    val manifest = stageRows :+
+      StageRow("shuffle_pack", "none", nIn, 0L, nIn)
+    outDir.foreach { dir =>
+      keptDf.write.mode("overwrite").parquet(s"$dir/kept.parquet")
+      packed.write.mode("overwrite").parquet(s"$dir/packed.parquet")
+      val json = manifest.map(r =>
+        s"""{"stage":"${r.stage}","reason":"${r.reason}","n_in":${r.n_in},""" +
+          s""""n_dropped":${r.n_dropped},"n_out":${r.n_out}}""")
+        .mkString("[", ",", "]")
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(s"$dir/manifest.json"), json)
+    }
+    Result(keptDf, packed, manifest)
+  }
+
+  /** CLI: <sfDir> <outDir> [v1|v2] (default v2). */
   def main(args: Array[String]): Unit = {
     val spark = Apps.session("pretrain-data-pipeline")
     try {
       val docs = graft.Tables.documents(spark, args(0))
-      val res = run(docs, outDir = Some(args(1)))
+      val res =
+        if (args.length > 2 && args(2) == "v1") run(docs, outDir = Some(args(1)))
+        else runV2(docs, outDir = Some(args(1)))
       res.manifest.foreach(r => println(
         f"${r.stage}%-18s in=${r.n_in}%7d dropped=${r.n_dropped}%7d " +
           f"out=${r.n_out}%7d (${r.reason})"))

@@ -88,4 +88,98 @@ class PretrainPipelineSpec extends SparkSpec {
     val covered = bins.flatMap(r => r._1 to r._2).toSet
     covered shouldBe (0L to bins.map(_._2).max).toSet
   }
+
+  // ---------------------------------------------------------------- v2
+
+  /** Fixture corpus for v2: the sf0.001 table (near-dups, benchmark
+    * overlap, and per-language LM-score spread occur naturally) plus
+    * planted documents that force the stages the natural corpus cannot
+    * reach. Planted ids sit above max(doc_id)=499 and avoid the
+    * benchmark residue except 582 = 6·97, the planted benchmark doc. */
+  private def v2Fixture = {
+    // 14-token shared phrase: 10 of each doc's 22 five-grams fall
+    // inside it (dup frac 0.45 > 0.3) but only 12 of 24 three-gram
+    // shingles are shared (Jaccard 1/3 < 0.5 — near-dup must NOT fire)
+    val p14 = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november"
+    val foxI = "the quick brown fox jumps over the lazy dog in the " +
+      "quiet park tonight"
+    val planted = Seq(
+      (501L, "common header line"),                      // all-boilerplate
+      (502L, "common header line\nbravo unique content line for doc b"),
+      (503L, "common header line\ncharlie unique material line for doc c"),
+      (504L, "common header line\ndelta unique writing line for doc d"),
+      (505L, foxI),                                      // near-dup canonical
+      (506L, foxI.replace("tonight", "today")),          // near-dup dropped
+      (507L, foxI),                                      // exact dup of 505
+      (508L, p14 + " oscar papa quebec romeo sierra tango uniform " +
+        "victor whiskey xray yankee zulu"),              // dup-gram flagged
+      (509L, p14 + " one two three four five six seven eight nine " +
+        "ten eleven twelve"),                            // dup-gram flagged
+      (510L, "original content words then zeta eta theta iota kappa " +
+        "appended here"),                                // contaminated
+      (511L, Seq.fill(30)("spam").mkString(" ")),        // gopher fail
+      (582L, "zeta eta theta iota kappa benchmark sequence")) // bench doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("source", lit("px"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    Tables.documents(spark, sfDir).unionByName(planted)
+  }
+
+  test("v2 manifest: every stage bites and accounting balances") {
+    val docs = v2Fixture
+    val outDir = Files.createTempDirectory("pretrain_v2").toString
+    val res = PretrainDataPipeline.runV2(docs, outDir = Some(outDir))
+    val m = res.manifest
+    m.map(_.stage) shouldBe Seq("exact_dedup", "line_dedup", "near_dedup",
+      "dup_gram_gate", "gopher_gate", "decontamination", "lm_score_gate",
+      "temperature_mix", "shuffle_pack")
+    m.sliding(2).foreach {
+      case Seq(prev, next) => next.n_in shouldBe prev.n_out
+      case _ => ()
+    }
+    m.foreach(r => r.n_out shouldBe r.n_in - r.n_dropped)
+    val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+    m.head.n_in shouldBe corpus.count()
+    m.head.n_in + bench.count() shouldBe docs.count()
+    // EVERY filter stage drops something on this fixture
+    val dropped = m.map(r => r.stage -> r.n_dropped).toMap
+    dropped("exact_dedup") should be >= 1L       // 507 == 505 verbatim
+    dropped("line_dedup") should be >= 1L        // 501 is pure boilerplate
+    dropped("near_dedup") should be >= 1L        // 506 ~ 505
+    dropped("dup_gram_gate") should be >= 2L     // 508, 509 share p14
+    dropped("gopher_gate") should be >= 1L       // 511 is one repeated word
+    dropped("decontamination") should be >= 1L   // 510 overlaps bench 582
+    dropped("lm_score_gate") should be >= 1L     // en bottom decile
+    dropped("temperature_mix") should be >= 1L   // target 200 < survivors
+    dropped("shuffle_pack") shouldBe 0L
+    // documents each stage exists to drop never reach the kept set
+    val keptIds = res.kept.select("doc_id").as[Long].collect().toSet
+    Seq(501L, 506L, 507L, 508L, 509L, 510L, 511L)
+      .foreach(id => keptIds should not contain id)
+    m.last.n_out shouldBe res.kept.count()
+    res.packed.count() shouldBe res.kept.count()
+    Files.readString(java.nio.file.Paths.get(s"$outDir/manifest.json"))
+      .should(include("\"reason\":\"lm_low\""))
+  }
+
+  test("v2 query composition equals the materialized v2 run") {
+    val docs = v2Fixture
+    val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+    val fromQuery = PretrainDataPipeline.keptV2Packed(corpus, bench)
+      .select("doc_id", "shuffle_pos", "first_bin", "last_bin", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val res = PretrainDataPipeline.runV2(docs)
+    val fromRun = res.packed
+      .select("doc_id", "shuffle_pos", "first_bin", "last_bin", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    fromRun shouldBe fromQuery
+    // packed layout is globally dense over bins
+    val bins = res.packed.select(col("first_bin"), col("last_bin"))
+      .as[(Long, Long)].collect()
+    bins.flatMap(r => r._1 to r._2).toSet shouldBe
+      (0L to bins.map(_._2).max).toSet
+  }
 }
