@@ -264,6 +264,140 @@ object HashtagFootprintPipeline {
   }
 }
 
+/** Streaming per-USER footprint updater (reference
+  * apps/streaming/UserFootprintUpdater.scala:106-113 and its
+  * StreamingUserFootprintTileUpdater sibling): changed nodes keyed
+  * DIRECTLY by uid — unlike the hashtag pipeline there is no
+  * changeset-metadata join, the uid rides on the diff row — rasterized
+  * into per-user density tiles committed under (sequence, user layer).
+  * The uid is the MVT layer name, so one tile file carries every
+  * user's footprint and each (tile, sequence) commit stays idempotent
+  * under replay (same exactly-once discipline as
+  * [[HashtagFootprintPipeline]]). */
+object UserFootprintPipeline {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def run(spark: SparkSession, diffDir: String, endSequence: Long,
+          tileDir: String, checkpointDir: String,
+          zoom: Int = 3, cells: Int = 8): Unit = {
+    val changes = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "augdiff").option("payloadDir", diffDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+      .filter(col("error").isNull && col("lon").isNotNull &&
+        col("lat").isNotNull && col("uid").isNotNull)
+      .select(col("sequence"), col("uid"), col("lon"), col("lat"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch.withColumn("key",
+          concat(col("sequence").cast("string"), lit(":user_"),
+            col("uid").cast("string")))
+        val rasters = graft.operators.Tiles.rasterize(
+          pts, "key", "lon", "lat", zoom, cells)
+        graft.sinks.TileSink.writeSequencedRasters(rasters, tileDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+
+  /** Usage: <diffDir> <endSeq> <tileDir> <checkpointDir> */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("user-footprint-updater")
+    try run(spark, args(0), args(1).toLong, args(2), args(3))
+    finally spark.stop()
+  }
+}
+
+/** Streaming edit-density tile updater (reference
+  * EditHistogramTileUpdater / StreamingEditHistogramTileUpdater): the
+  * unkeyed sibling of [[UserFootprintPipeline]] — every changed node
+  * lands in one "edits" layer per sequence, the whole-map edit
+  * heatmap. */
+object EditTileUpdaterPipeline {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def run(spark: SparkSession, diffDir: String, endSequence: Long,
+          tileDir: String, checkpointDir: String,
+          zoom: Int = 3, cells: Int = 8): Unit = {
+    val changes = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "augdiff").option("payloadDir", diffDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+      .filter(col("error").isNull && col("lon").isNotNull &&
+        col("lat").isNotNull)
+      .select(col("sequence"), col("lon"), col("lat"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch.withColumn("key",
+          concat(col("sequence").cast("string"), lit(":edits")))
+        val rasters = graft.operators.Tiles.rasterize(
+          pts, "key", "lon", "lat", zoom, cells)
+        graft.sinks.TileSink.writeSequencedRasters(rasters, tileDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+
+  /** Usage: <diffDir> <endSeq> <tileDir> <checkpointDir> */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("edit-tile-updater")
+    try run(spark, args(0), args(1).toLong, args(2), args(3))
+    finally spark.stop()
+  }
+}
+
+/** Batch per-user footprint creator (reference batch/FootprintCreator):
+  * events → optional allow/blocklist → per-user faceted tile pyramid →
+  * faceted summary parquet (the MVT commit path is exercised by the
+  * streaming updaters; batch output is the relational footprint table).
+  * Usage: <sfDir> <outDir> [baseZoom] [blockedUsersCsv] */
+object FootprintCreatorApp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = args(0); val outDir = args(1)
+    val baseZoom = if (args.length > 2) args(2).toInt else 4
+    val blocklist =
+      if (args.length > 3) args(3).split(",").toSeq else Seq.empty
+    val spark = Apps.session("footprint-creator")
+    val pts = graft.Tables.events(spark, sfDir)
+      .withColumn("lon", graft.functions.synthLon(col("event_id")))
+      .withColumn("lat", graft.functions.synthLat(col("event_id")))
+      .withColumn("user_key", concat(lit("user_"), col("user_id")))
+    graft.operators.FacetedTiles.facetSummaryKeyed(
+        graft.operators.Footprints.create(pts, "user_key", "lon", "lat",
+          "event_type", blocklist = blocklist,
+          baseZoom = baseZoom, minZoom = baseZoom))
+      .write.mode("overwrite").parquet(outDir)
+    spark.stop()
+  }
+}
+
+/** Batch changeset-snapshot merge (reference batch/MergeChangesets):
+  * union an existing snapshot with a fresh delta, latest closed_at
+  * wins per id. Usage: <existingParquet> <freshParquet> <outDir> */
+object MergeChangesetsApp {
+  def main(args: Array[String]): Unit = {
+    val Array(existingDir, freshDir, outDir) = args.take(3)
+    val spark = Apps.session("merge-changesets")
+    graft.operators.Metadata.mergeChangesets(
+        spark.read.parquet(existingDir), spark.read.parquet(freshDir))
+      .write.mode("overwrite").parquet(outDir)
+    spark.stop()
+  }
+}
+
 /** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
   * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
 object TilePyramidApp {

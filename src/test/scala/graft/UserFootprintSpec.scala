@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.Mvt
+
+/** Streaming per-user footprints (reference UserFootprintUpdater):
+  * uid-keyed diff stream — no metadata join — into per-user tile
+  * layers, idempotent under full replay; plus the unkeyed edit-density
+  * sibling on the same fixtures. */
+class UserFootprintSpec extends SparkSpec {
+
+  private def diffLine(id: Long, uid: Long, lon: Double, lat: Double): String =
+    s"""{"new": {"type": "Feature", "geometry": {"type": "Point", "coordinates": [$lon, $lat]}, """ +
+      s""""properties": {"type": "node", "id": $id, "version": 1, "updated": "2012-09-12T08:20:00Z", """ +
+      s""""visible": true, "changeset": 900, "uid": $uid, "user": "u$uid", "tags": {}}}}"""
+
+  private def writeFixtures(): String = {
+    val diffDir = Files.createTempDirectory("graft-uf-diff").toString
+    // seq 0: uid 1 edits twice, uid 2 once — same cell (20, 10)
+    Files.writeString(Paths.get(diffDir, "0.json"),
+      Seq(diffLine(1, 1, 20.0, 10.0), diffLine(2, 1, 20.0, 10.0),
+        diffLine(3, 2, 20.0, 10.0)).mkString("\n"))
+    // seq 1: uid 1 again at the same cell
+    Files.writeString(Paths.get(diffDir, "1.json"), diffLine(4, 1, 20.0, 10.0))
+    diffDir
+  }
+
+  private def density(layers: Seq[Mvt.Layer], layer: String): Long =
+    layers.find(_.name == layer).toSeq
+      .flatMap(_.features.flatMap(_.tags.get("density")))
+      .collect { case Mvt.MLong(v) => v }.sum
+
+  test("user footprints: uid-keyed layers accumulate, replay no-ops") {
+    val diffDir = writeFixtures()
+    val tiles = Files.createTempDirectory("graft-uf-tiles").toString
+    def run(ckpt: String): Unit = apps.UserFootprintPipeline.run(
+      spark, diffDir, endSequence = 1L, tiles, ckpt)
+    run(Files.createTempDirectory("graft-uf-ckpt").toString)
+
+    val layers = Mvt.readTile(tiles, 3, 4, 3).get
+    density(layers, "user_1") shouldBe 3L // 2 @ seq0 + 1 @ seq1
+    density(layers, "user_2") shouldBe 1L
+
+    // full replay with a fresh checkpoint: every (tile, sequence)
+    // commit no-ops — densities unchanged
+    run(Files.createTempDirectory("graft-uf-ckpt2").toString)
+    val again = Mvt.readTile(tiles, 3, 4, 3).get
+    density(again, "user_1") shouldBe 3L
+    density(again, "user_2") shouldBe 1L
+  }
+
+  test("edit-density tiles: one edits layer over all users") {
+    val diffDir = writeFixtures()
+    val tiles = Files.createTempDirectory("graft-et-tiles").toString
+    apps.EditTileUpdaterPipeline.run(spark, diffDir, endSequence = 1L,
+      tiles, Files.createTempDirectory("graft-et-ckpt").toString)
+    val layers = Mvt.readTile(tiles, 3, 4, 3).get
+    density(layers, "edits") shouldBe 4L
+  }
+}
