@@ -34,6 +34,7 @@ object Containers {
   def probe(payload: Array[Byte]): Option[ContainerMeta] =
     if (isMp4(payload)) probeMp4(payload)
     else if (isEbml(payload)) probeMatroska(payload)
+    else if (isRiffAvi(payload)) probeAvi(payload)
     else if (isMp3(payload)) probeMp3(payload)
     else None
 
@@ -380,5 +381,153 @@ object Containers {
       i += 1
     }
     out.result()
+  }
+
+  // ---------------------------------------------------------------- AVI
+
+  /** RIFF-AVI: "RIFF" at 0, "AVI " at 8 (Microsoft RIFF/AVI public
+    * spec; chunks are little-endian fourcc+size, word-aligned, LIST
+    * chunks carry a subtype and nest). */
+  def isRiffAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
+      p(11) == ' '
+
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+      ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+
+  private final class AviState {
+    var haveAvih = false
+    var usPerFrame = 0L
+    var totalFrames = 0L
+    var nStreams = 0L
+    val codecs = ArrayBuffer.empty[String]
+    val frames = ArrayBuffer.empty[(Int, Int)] // (offset, length) in movi
+  }
+
+  /** Walk RIFF chunks in p[from,limit); false on structural corruption
+    * (undersized chunk, chunk overrunning its parent — what truncation
+    * produces). `inMovi` records frame chunk positions. */
+  private def walkAvi(p: Array[Byte], from: Int, limit: Int,
+                      st: AviState, inMovi: Boolean): Boolean = {
+    var off = from
+    while (off < limit) {
+      if (off + 8 > limit) return false
+      val id = fourcc(p, off)
+      val size = le32(p, off + 4)
+      val body = off + 8
+      if (size < 0 || body + size > limit) return false
+      val end = (body + size).toInt
+      id match {
+        case "LIST" =>
+          if (size < 4) return false
+          val subtype = fourcc(p, body)
+          if (!walkAvi(p, body + 4, end, st, subtype == "movi")) return false
+        case "avih" =>
+          if (size < 28) return false
+          st.haveAvih = true
+          st.usPerFrame = le32(p, body)
+          st.totalFrames = le32(p, body + 16)
+          st.nStreams = le32(p, body + 24)
+        case "strh" =>
+          if (size < 8) return false
+          st.codecs += fourcc(p, body + 4) // fccHandler, e.g. MJPG
+        case _ =>
+          // frame chunks inside movi: '##dc' (compressed video) /
+          // '##db' (uncompressed) with a stream-number prefix
+          if (inMovi && id.length == 4 &&
+              Character.isDigit(id.charAt(0)) &&
+              Character.isDigit(id.charAt(1)) &&
+              (id.endsWith("dc") || id.endsWith("db")))
+            st.frames += ((body, size.toInt))
+      }
+      off = end + (size.toInt & 1) // chunks are word-aligned
+    }
+    true
+  }
+
+  private def aviWalkAll(payload: Array[Byte]): Option[AviState] = {
+    if (!isRiffAvi(payload)) return None
+    val riffEnd = 8 + le32(payload, 4)
+    if (riffEnd > payload.length) return None // truncated file
+    val st = new AviState
+    if (!walkAvi(payload, 12, riffEnd.toInt, st, inMovi = false)) None
+    else if (!st.haveAvih) None
+    else Some(st)
+  }
+
+  /** AVI container probe: duration from avih
+    * (microSecPerFrame · totalFrames), stream count, strh codec
+    * handlers. Truncated or structurally corrupt → None. */
+  def probeAvi(payload: Array[Byte]): Option[ContainerMeta] =
+    aviWalkAll(payload).map(st => ContainerMeta("avi",
+      st.usPerFrame * st.totalFrames / 1e6, st.nStreams.toInt,
+      st.codecs.toSeq))
+
+  /** Extract the raw video frame chunk payloads (movi '##dc'/'##db')
+    * in stream order. None on corrupt/truncated container or when no
+    * movi frames exist — the caller decides whether the bytes decode
+    * (MJPEG frames are plain JPEGs; [[graft.multimodal.Multimodal]]
+    * runs them through the JDK ImageIO decode). */
+  def extractAviFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    aviWalkAll(payload).flatMap { st =>
+      if (st.frames.isEmpty) None
+      else Some(st.frames.toSeq.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(payload, off, off + len)
+      })
+    }
+
+  /** Minimal REAL MJPEG-in-AVI: hdrl (avih + one vids strl with MJPG
+    * handler + BITMAPINFOHEADER strf) followed by a movi LIST of
+    * '00dc' chunks each holding a deterministic JDK-encoded JPEG
+    * frame. Fully parseable by [[probeAvi]]/[[extractAviFrames]] and
+    * by any standard AVI reader. */
+  def renderAvi(seed: Long, nFrames: Int = 2, w: Int = 32,
+                h: Int = 24): Array[Byte] = {
+    def le(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le(body.length) ++ body ++ pad
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(subtype) ++ body)
+    val usPerFrame = 33333L
+    val avih = le(usPerFrame) ++ le(0) ++ le(0) ++ le(0) ++
+      le(nFrames) ++ le(0) ++ le(1) ++ le(0) ++
+      le(w) ++ le(h) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le(0) ++ le(0) ++ le(0) ++
+      le(1) ++ le(30) ++ le(0) ++ le(nFrames) ++ le(0) ++ le(0) ++
+      le(0) ++ le(0) ++ le(0)
+    val strf = le(40) ++ le(w) ++ le(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+      le(w.toLong * h * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val frames = (0 until nFrames).flatMap { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + seed * 31 + f * 13) % 256).toInt
+          val g = ((y * 11 + seed * 17) % 256).toInt
+          val b = (((x + y) * 3 + seed + f) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      chunk("00dc", bos.toByteArray).toSeq
+    }.toArray
+    val body = cc("AVI ") ++
+      list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
+      list("movi", frames)
+    cc("RIFF") ++ le(body.length) ++ body
   }
 }

@@ -213,6 +213,31 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL video frame decode for MJPEG-in-AVI — the one video path the
+    * JRE can decode end-to-end (AVI is a plain RIFF walk, MJPEG frames
+    * are ordinary JPEGs for ImageIO). Returns per-frame image features
+    * (the [[decodeImage]] 8-vector) in stream order, or None when the
+    * container is corrupt/truncated, carries no frames, or ANY frame
+    * fails to decode — a video with undecodable frames is flagged, not
+    * silently shortened. Other codecs (H.264 etc.) have no JRE decoder
+    * and still fall back to [[decodeStub]]. */
+  def decodeVideoFrames(payload: Array[Byte]): Option[Seq[Array[Float]]] =
+    Containers.extractAviFrames(payload).flatMap { frames =>
+      val decoded = frames.map(decodeImage)
+      if (decoded.exists(_.isEmpty)) None else Some(decoded.map(_.get))
+    }
+
+  /** Whole-video summary features from [[decodeVideoFrames]]:
+    * [n_frames, width, height, meanR, meanG, meanB, lumaMean, lumaStd]
+    * with the color/luma stats averaged across frames. */
+  def decodeVideo(payload: Array[Byte]): Option[Array[Float]] =
+    decodeVideoFrames(payload).map { fs =>
+      val n = fs.length.toFloat
+      def avg(i: Int): Float = fs.map(_(i)).sum / n
+      Array(n, fs.head(0), fs.head(1),
+        avg(2), avg(3), avg(4), avg(5), avg(6))
+    }
+
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload
     * bytes so the pipeline shape is testable end-to-end. */
@@ -234,9 +259,11 @@ object Multimodal {
   /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>,
     * decoded BOOLEAN). Partition-local, batch-at-a-time — the
     * mapInPandas shape. Images run the REAL ImageIO decode (pixel
-    * stats) and audio runs the REAL WAV/PCM decode (sample stats); a
-    * corrupt/undecodable payload (or any video) falls back to the
-    * byte-derived stub with `decoded = false`. */
+    * stats), audio the REAL WAV/PCM decode (sample stats), and video
+    * the REAL MJPEG-in-AVI frame decode (per-frame ImageIO, averaged);
+    * a corrupt/undecodable payload (or a codec the JRE can't decode,
+    * e.g. H.264-in-MP4) falls back to the byte-derived stub with
+    * `decoded = false`. */
   def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -249,6 +276,7 @@ object Multimodal {
             val decoded = kind match {
               case "image" => decodeImage(payload)
               case "audio" => decodeAudio(payload)
+              case "video" => decodeVideo(payload)
               case _       => None
             }
             (id, kind, decoded.getOrElse(decodeStub(kind, payload)),
@@ -297,6 +325,8 @@ object Multimodal {
     else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
     else if (at(0) == 0x1A && at(1) == 0x45 && at(2) == 0xDF && at(3) == 0xA3)

@@ -274,4 +274,53 @@ class MultimodalSpec extends SparkSpec {
     val free = mp3.clone(); free(2) = 0x00
     Containers.probe(free) shouldBe None
   }
+
+  test("MJPEG-in-AVI: probe + real per-frame decode; corrupt/truncated -> None") {
+    val avi = Containers.renderAvi(7L, nFrames = 2, w = 32, h = 24)
+    Multimodal.sniffFormat(avi) shouldBe "avi"
+    val m = Containers.probe(avi).get
+    m.format shouldBe "avi"
+    m.nTracks shouldBe 1
+    m.codecs shouldBe Seq("MJPG")
+    m.durationS shouldBe (2 * 33333L / 1e6) +- 1e-9
+
+    // real frame decode: 2 JPEG frames, ImageIO pixel-stat features
+    val frames = Multimodal.decodeVideoFrames(avi).get
+    frames.length shouldBe 2
+    frames.foreach { f =>
+      f.length shouldBe 8
+      f(0) shouldBe 32f // width
+      f(1) shouldBe 24f // height
+    }
+    // frames differ (seeded gradient varies per frame index)
+    frames.head.toSeq should not be frames(1).toSeq
+    val summary = Multimodal.decodeVideo(avi).get
+    summary(0) shouldBe 2f
+    summary(1) shouldBe 32f
+
+    // truncated container: walk fails, nothing decodes
+    Containers.probe(avi.take(avi.length / 2)) shouldBe None
+    Multimodal.decodeVideoFrames(avi.take(avi.length / 2)) shouldBe None
+
+    // structurally intact container with a corrupted JPEG frame: the
+    // chunk walk still succeeds but the frame does not decode -> the
+    // video is flagged, not silently shortened
+    val corrupt = avi.clone()
+    val frameAt = corrupt.indexOfSlice("00dc".getBytes("ISO-8859-1"))
+    (frameAt + 8 until frameAt + 28).foreach(i => corrupt(i) = 0)
+    Containers.probe(corrupt) should not be None
+    Multimodal.decodeVideoFrames(corrupt) shouldBe None
+
+    // extractFeatures: AVI video rows now really decode; MP4 video
+    // rows (no JRE codec) still fall back to the stub
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "video", avi),
+      (2L, "video", Containers.renderMp4(3L))
+    ).toDF("asset_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(assets)
+      .select("asset_id", "decoded").as[(Long, Boolean)].collect().toMap
+    feats(1L) shouldBe true
+    feats(2L) shouldBe false
+  }
 }
