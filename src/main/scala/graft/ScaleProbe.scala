@@ -105,6 +105,30 @@ object ScaleProbe {
     println(f"polar_pairs=$cap1 salt1_sec=$tCap1%.1f salt8_sec=$tCap8%.1f " +
       f"speedup=${tCap1 / tCap8}%.2fx")
 
+    // round 8: J8 shuffle-path degrade — the same banded pair join with
+    // auto-broadcast disabled, forcing the exchange-both-sides path a
+    // 1000-executor run takes when neither cell-keyed side fits in a
+    // broadcast. Counts must agree (the plan changes, the semantics
+    // don't); the time delta prices the shuffle, and the executed-plan
+    // join node is recorded so the degrade is visible, not assumed.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t0 = System.nanoTime()
+    val smjDf = geo.SpatialJoin.pairsWithin(
+      pts, "pid", "lon", "lat", epsMeters = 50000.0)
+    val nSpatialSmj = smjDf.count()
+    val tSpatialSmj = (System.nanoTime() - t0) / 1e9
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    require(nSpatialSmj == nSpatial,
+      s"broadcast-off changed the result: $nSpatialSmj vs $nSpatial")
+    val planStr = smjDf.queryExecution.executedPlan.toString
+    val joinNode =
+      if (planStr.contains("SortMergeJoin")) "SortMergeJoin"
+      else if (planStr.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+      else if (planStr.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+      else "other"
+    println(f"spatial_noBroadcast pairs=$nSpatialSmj join=$joinNode " +
+      f"sec=$tSpatialSmj%.1f (broadcast path: $tSpatial%.1f)")
+
     // round 4: k-means/IVF assign-pass throughput — codegen
     // NearestCentroid vs the round-3 boxed Seq[Double] UDF it replaced,
     // same 20k-vector corpus, same centroid matrix
