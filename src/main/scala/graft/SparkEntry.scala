@@ -748,6 +748,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet head/middle/tail quality buckets: per-language exact
+    //      1/3 / 2/3 LM-score percentile cuts, deterministic labels
+    "q_text_ppl_buckets" -> ((s, dir) =>
+      operators.LanguageModel.scoreBuckets(
+          Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ---- corpus vocabulary report: top-25 tokens with doc frequency
     //      and cumulative token-stream coverage (tokenizer design)
     "q_corpus_vocab" -> ((s, dir) =>
@@ -779,6 +786,18 @@ object SparkEntry {
           lit("\nsig "), col("doc_id")).as("text"))
       operators.Dedup.dedupLines(docs, col("text"), col("doc_id"),
           maxDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- INTRA-doc line dedup (CCNet's other boilerplate half): docs
+    //      synthesized with a repeated line + a unique line; the
+    //      repeat's 2nd/3rd occurrences drop, first survives in place
+    "q_dedup_lines_within" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("dup line A\n"), col("text"),
+          lit("\ndup line A\nuniq "), col("doc_id"),
+          lit("\ndup line A")).as("text"))
+      operators.Dedup.dedupLinesWithin(docs, col("text"), col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1073,6 +1092,16 @@ object SparkEntry {
           Tables.documents(s, dir), col("doc_id"), col("n_chars"),
           budget = 4096L, shardSize = 100L)
         .orderBy(col("doc_id"))),
+
+    // ---- packing-utilization report: per-shard fill accounting over
+    //      the packed layout (only each shard's last bin underfills)
+    "q_pack_utilization" -> ((s, dir) =>
+      operators.Sampling.packUtilization(
+          operators.Sampling.packSequencesGlobal(
+            Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+            budget = 4096L, shardSize = 100L),
+          budget = 4096L)
+        .orderBy(col("shard"))),
 
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
@@ -2263,6 +2292,46 @@ object SparkEntry {
          |    AS n_backoff
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_text_ppl_buckets" ->
+      s"""WITH $toksSql,
+         |oc0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |oc AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM oc0),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM oc GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(t) AS w FROM toks)),
+         |sc AS (
+         |  SELECT oc.doc_id,
+         |    CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v) * 1e9)
+         |      AS BIGINT) AS micro
+         |  FROM oc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |scored AS (
+         |  SELECT sc.doc_id, d.lang AS grp,
+         |    CAST(sum(micro) AS DOUBLE) / count(*) AS score
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT grp, score,
+         |    row_number() OVER (PARTITION BY grp ORDER BY score, doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS n
+         |  FROM scored),
+         |px AS (SELECT CAST(unnest([1.0/3, 2.0/3]) AS DOUBLE) AS p),
+         |cuts AS (
+         |  SELECT grp, p, score AS cutoff FROM ranked, px
+         |  WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))),
+         |lo AS (SELECT grp, cutoff AS c_lo FROM cuts WHERE p < 0.5),
+         |hi AS (SELECT grp, cutoff AS c_hi FROM cuts WHERE p > 0.5)
+         |SELECT s.doc_id, s.grp, s.score,
+         |  CASE WHEN s.score >= hi.c_hi THEN 'head'
+         |       WHEN s.score >= lo.c_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s JOIN lo USING (grp) JOIN hi USING (grp)
+         |ORDER BY s.doc_id""".stripMargin,
+
     "q_corpus_vocab" ->
       s"""WITH $toksSql,
          |occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -2329,6 +2398,40 @@ object SparkEntry {
         |kept AS (
         |  SELECT ln.* FROM ln LEFT JOIN freq USING (lfp)
         |  WHERE coalesce(freq.ndocs, 0) <= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1),
+        |ka AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  t.n_lines - coalesce(ka.n_kept, 0) AS n_dropped
+        |FROM totals t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_dedup_lines_within" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'dup line A' || chr(10) || text || chr(10) ||
+        |    'dup line A' || chr(10) || 'uniq ' || doc_id || chr(10) ||
+        |    'dup line A' AS text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls
+        |       FROM l0),
+        |ln AS (
+        |  SELECT doc_id, pos, ls[pos] AS line,
+        |    CASE WHEN trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> ''
+        |      THEN md5(trim(regexp_replace(regexp_replace(lower(ls[pos]),
+        |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |    END AS lfp
+        |  FROM l1),
+        |rn AS (
+        |  SELECT doc_id, pos, line, lfp,
+        |    row_number() OVER (PARTITION BY doc_id, lfp ORDER BY pos) AS rn
+        |  FROM ln),
+        |kept AS (SELECT * FROM rn WHERE lfp IS NULL OR rn = 1),
         |totals AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1),
         |ka AS (
         |  SELECT doc_id,
@@ -2584,6 +2687,36 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_pack_utilization" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 100 AS shard, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY doc_id // 100
+        |                       ORDER BY doc_id) AS cum
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, max((cum - 1) // 4096) + 1 AS n_bins
+        |  FROM c GROUP BY shard),
+        |o AS (
+        |  SELECT shard,
+        |    coalesce(sum(n_bins) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_start
+        |  FROM b),
+        |g AS (
+        |  SELECT c.doc_id, c.shard, c.n_chars,
+        |    (c.cum - c.n_chars) // 4096 + o.bin_start AS first_bin,
+        |    (c.cum - 1) // 4096 + o.bin_start AS last_bin
+        |  FROM c JOIN o ON c.shard = o.shard)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(max(last_bin) - min(first_bin) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_cost,
+        |  CAST((max(last_bin) - min(first_bin) + 1) * 4096 AS BIGINT)
+        |    AS capacity,
+        |  CAST(sum(n_chars) AS DOUBLE) /
+        |    ((max(last_bin) - min(first_bin) + 1) * 4096) AS fill
+        |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_distinct_kmv" ->
       """WITH o AS (

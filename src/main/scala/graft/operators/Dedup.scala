@@ -146,6 +146,48 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** INTRA-document line dedup (the other half of the CCNet boilerplate
+    * pass — [[dedupLines]] drops lines repeated ACROSS documents, this
+    * drops repeats WITHIN one): keep each normalized line's first
+    * occurrence per document, reassemble survivors in original order.
+    * Structural lines (normalize to empty) are always kept. Same
+    * one-row-per-doc output contract as [[dedupLines]]:
+    * (doc_id, clean_text, n_kept, n_dropped).
+    *
+    * Scale: the only shuffle is the (doc_id, lfp) window — partitioned
+    * by document AND line fingerprint, so partitions are tiny and skew
+    * is bounded by one document's repetition of one line; no
+    * corpus-level frequency table at all (this pass is per-document). */
+  def dedupLinesWithin(df: DataFrame, textCol: Column,
+                       idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(idCol.as("doc_id"),
+        posexplode(split(coalesce(textCol, lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("lfp",
+        when(normalize(col("line")) =!= "", md5(normalize(col("line")))))
+    val w = Window.partitionBy(col("doc_id"), col("lfp"))
+      .orderBy(col("pos"))
+    // null lfp (structural) lines share one window partition per doc;
+    // they bypass the rank so every one of them survives
+    val kept = lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("lfp").isNull || col("rn") === 1)
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Incremental-ingest dedup: keep only the rows of `fresh` whose
     * normalized-text fingerprint is absent from `existing` AND not
     * claimed by an earlier fresh row (smallest id wins inside the

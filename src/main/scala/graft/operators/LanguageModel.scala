@@ -107,6 +107,39 @@ object LanguageModel {
         sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"))
   }
 
+  /** CCNet-style head/middle/tail quality buckets: score every document
+    * with the corpus bigram LM ([[scoreDocs]]; higher = more
+    * corpus-typical), then cut each `groupCol` stratum at its exact 1/3
+    * and 2/3 percentiles ([[Sampling.percentileCutoffs]] — percentile-
+    * disc, deterministic under the (score, id) total order) and label
+    * the top third "head", the middle "middle", the bottom "tail" —
+    * the bucketing CCNet feeds into its per-bucket sampling rates.
+    * Documents with < 2 tokens are unscored and not bucketed.
+    *
+    * Scale: scoring is the [[scoreDocs]] shape (vocabulary-sized model
+    * tables); the cutoff table is |groups|·2 rows and broadcasts. */
+  def scoreBuckets(df: DataFrame, textCol: Column, idCol: Column,
+                   groupCol: Column): DataFrame = {
+    val scored = scoreDocs(df, textCol, idCol)
+      .join(df.select(idCol.as("doc_id"), groupCol.as("grp")), Seq("doc_id"))
+      .withColumn("score",
+        col("sum_micro").cast("double") / col("n_bigrams"))
+    val cuts = graft.operators.Sampling.percentileCutoffs(scored,
+      col("grp"), col("score"), col("doc_id"), Seq(1.0 / 3, 2.0 / 3))
+    val lo = cuts.filter(col("p") < 0.5)
+      .select(col("grp"), col("cutoff").as("c_lo"))
+    val hi = cuts.filter(col("p") > 0.5)
+      .select(col("grp"), col("cutoff").as("c_hi"))
+    scored
+      .join(broadcast(lo), Seq("grp"))
+      .join(broadcast(hi), Seq("grp"))
+      .withColumn("bucket",
+        when(col("score") >= col("c_hi"), "head")
+          .when(col("score") >= col("c_lo"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("grp"), col("score"), col("bucket"))
+  }
+
   /** Per-document top-k TF-IDF terms with an exact rational idf
     * (tf·N/df): the score is ONE IEEE division of exact integers, so
     * it is bit-identical in any engine and the ranking can never

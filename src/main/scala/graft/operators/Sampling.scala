@@ -168,6 +168,21 @@ object Sampling {
         ((col("__cum") - costCol) % budget).cast(LongType).as("bin_offset"))
   }
 
+  /** Packing-utilization report over a [[packSequences]] /
+    * [[packSequencesGlobal]] layout: per shard, document count, bin
+    * count, packed cost, capacity (bins · budget) and fill fraction —
+    * the waste accounting a training run checks before committing to a
+    * layout (sharded packers underfill only each shard's final bin).
+    * One map-side-combinable aggregation over the layout table. */
+  def packUtilization(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("last_bin")) - min(col("first_bin")) + 1L).as("n_bins"),
+        sum(col("cost")).as("total_cost"))
+      .withColumn("capacity", col("n_bins") * budget)
+      .withColumn("fill",
+        col("total_cost").cast("double") / col("capacity"))
+
   /** [[packSequences]] with GLOBALLY contiguous bin ids: a second,
     * cheap pass turns the per-shard bin space into one global space so
     * consumers key batches by a single `bin` id instead of

@@ -201,4 +201,26 @@ class DedupSpec extends SparkSpec {
     got.sortBy(_._1).map(_._2) shouldBe
       lineDocs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
   }
+
+  test("dedupLinesWithin keeps first occurrence per doc, structure intact") {
+    val docs = Seq(
+      // repeated line: occurrences 2+3 drop, first stays in place;
+      // "A" vs "a!" normalize identically
+      (1L, "keep me\nunique one\nKEEP ME!\nunique two\nkeep me"),
+      // structural (empty/punct) lines always survive, even repeated
+      (2L, "x\n\n--\n\nx"),
+      // cross-doc repeats are NOT this operator's business: "keep me"
+      // also in doc 1 but doc 3's single copy survives
+      (3L, "keep me")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesWithin(docs, col("text"), col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    got(0) shouldBe ((1L, "keep me\nunique one\nunique two", 3L, 2L))
+    got(1) shouldBe ((2L, "x\n\n--\n", 4L, 1L)) // one dup 'x' dropped
+    got(2) shouldBe ((3L, "keep me", 1L, 0L))
+    // accounting always balances
+    got.foreach { case (_, _, kept, dropped) =>
+      kept + dropped should be > 0L
+    }
+  }
 }

@@ -129,4 +129,27 @@ class LanguageModelSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     got shouldBe Seq(("a b", 3L, 2L))
   }
+
+  test("scoreBuckets cuts each group at exact thirds of the LM score") {
+    // 9 docs in one group with strictly ordered scores -> ceil(9/3)=3
+    // land at/below the 1/3 cutoff value, etc.; repetition of "a b"
+    // raises corpus-typicality monotonically with doc index
+    val graded = (1 to 9).map(i =>
+      (i.toLong, "g", ("a b " * i) + s"x$i y$i")).toDF("doc_id", "lang0", "text")
+    val got = LanguageModel.scoreBuckets(graded, col("text"),
+        col("doc_id"), col("lang0"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    got.map(_._2).toSet shouldBe Set("g")
+    // scores strictly increase with repetition of the dominant bigram
+    got.map(_._3).sliding(2).foreach { case Array(a, b) => a should be < b
+                                       case _ => () }
+    // percentile-disc: c_lo = 3rd score (ceil(9/3)), c_hi = 6th score
+    // (ceil(18/3)); the cutoff VALUE belongs to the upper bucket, so
+    // strictly-below-c_lo docs (2 of them) are tail, docs 3-5 middle,
+    // docs >= c_hi (6-9) head
+    got.map(_._4).toSeq shouldBe Seq("tail", "tail", "middle",
+      "middle", "middle", "head", "head", "head", "head")
+    // buckets partition the scored set
+    got.length shouldBe 9
+  }
 }

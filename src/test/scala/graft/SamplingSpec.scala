@@ -266,4 +266,25 @@ class SamplingSpec extends SparkSpec {
         .select(col("doc_id")).as[Long].collect().toSet
     ids(2) shouldBe ids(13)
   }
+
+  test("packUtilization: exact fill accounting, only last bins underfill") {
+    // shard 0: docs 0..4 cost 100 each -> 500 of one 4096 bin;
+    // shard 1: docs 10..12 cost 3000 -> 9000 over ceil(9000/4096)=3 bins
+    val d = ((0L to 4L).map(i => (i, 100L)) ++
+      (10L to 12L).map(i => (i, 3000L))).toDF("doc_id", "cost0")
+    val packed = Sampling.packSequencesGlobal(d, col("doc_id"),
+      col("cost0"), budget = 4096L, shardSize = 10L)
+    val got = Sampling.packUtilization(packed, budget = 4096L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got(0L) shouldBe ((0L, 5L, 1L, 500L, 4096L, 500.0 / 4096))
+    got(1L) shouldBe ((1L, 3L, 3L, 9000L, 3L * 4096L, 9000.0 / (3 * 4096)))
+    // fill can exceed 1 - budget/bins never undercount the stream
+    got.values.foreach { case (_, _, nBins, total, cap, fill) =>
+      cap shouldBe nBins * 4096L
+      fill shouldBe total.toDouble / cap
+      total should be <= cap // stream fits the allocated bins
+      total should be > (nBins - 1) * 4096L // last bin is the only slack
+    }
+  }
 }
