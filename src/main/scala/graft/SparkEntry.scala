@@ -637,6 +637,14 @@ object SparkEntry {
       operators.Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.45)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- SemDeDup: cluster-scoped semantic dedup — cosine near-dups
+    //      WITHIN each label cluster collapse to the min-id
+    //      representative (pair cost bounded per cluster, never n²)
+    "q_dedup_semantic" -> ((s, dir) =>
+      operators.Similarity.semanticDedup(
+          Tables.embeddings(s, dir), threshold = 0.35)
+        .orderBy(col("vec_id"))),
+
     // ---- similarity search: exact cosine top-k baseline ----------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1182,6 +1190,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("src"))
     }),
+
+    // ---- source-epochs mixing plan: per-source n_s^α weight and
+    //      UNcapped epoch factor (epochs > 1 = source repeats) — the
+    //      table a pretraining mix is specified by
+    "q_mix_epochs" -> ((s, dir) =>
+      operators.Sampling.epochsPlan(
+          Tables.documents(s, dir), col("source"),
+          targetTotal = 2000, alpha = 0.5)
+        .orderBy(col("source"))),
 
     // ---- embedding-space outlier filtering: squared L2 to the label
     //      centroid, fully relational (no driver collect), top-decile
@@ -1996,6 +2013,38 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.45
          |ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE floor((${cosSql("a.v", "b.v")}) * 1000000 + 0.5)/1000000
+         |    >= 0.35),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM p
+         |  UNION SELECT ib AS a, ia AS b FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         |labels AS (
+         |  SELECT a AS vec_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a)
+         |SELECT e.vec_id, coalesce(l.canonical_id, e.vec_id) AS canonical_id
+         |FROM e LEFT JOIN labels l ON e.vec_id = l.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
+    "q_mix_epochs" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT sum(pow(n, 0.5)) AS st FROM c)
+        |SELECT source, n,
+        |  floor(pow(n, 0.5) / st * 1000000 + 0.5)/1000000 AS weight,
+        |  floor(2000.0 * pow(n, 0.5) / st / n * 1000000 + 0.5)/1000000
+        |    AS epochs
+        |FROM c, s ORDER BY source""".stripMargin,
 
     "q_hard_negatives" ->
       s"""WITH e AS (

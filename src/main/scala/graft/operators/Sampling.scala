@@ -81,6 +81,28 @@ object Sampling {
       .drop("__srcRow", "__src", "__rate")
   }
 
+  /** Source-epochs mixing plan — the report behind a temperature mix:
+    * per source, the p_s ∝ n_s^α weight and the UNcapped epoch factor
+    * epochs_s = T·w_s/n_s. Unlike [[temperatureMix]] (which keeps at
+    * most one copy, rate capped at 1), epochs > 1 states how many
+    * times a rare source must REPEAT to hit its share of the target —
+    * the "how many epochs of each subset" table a pretraining mix is
+    * specified by. Weights/epochs stable-rounded at 1e-6 after the
+    * transcendental pow. One aggregation; |sources| output rows. */
+  def epochsPlan(df: DataFrame, sourceCol: Column, targetTotal: Long,
+                 alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(pow(col("n"), alpha)).as("__S"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        floor(pow(col("n"), alpha) / col("__S") * 1e6 + lit(0.5)) / 1e6)
+      .withColumn("epochs",
+        floor(lit(targetTotal.toDouble) * pow(col("n"), alpha) /
+          col("__S") / col("n") * 1e6 + lit(0.5)) / 1e6)
+      .select(col("source"), col("n"), col("weight"), col("epochs"))
+  }
+
   /** Per-group exact percentile thresholds for quality-cutoff
     * filtering ("drop the bottom decile per language"):
     * percentile_disc semantics — the group value at 1-based rank

@@ -114,6 +114,55 @@ object Similarity {
 
   /** floor-based stable rounding, token-identical to
     * [[graft.geo.Geodesy.stableRound]] and the oracle SQL. */
+  /** SemDeDup (Abbas et al. 2023 — public method): semantic
+    * deduplication scoped to embedding CLUSTERS. Within each cluster,
+    * vectors whose pairwise cosine ≥ threshold collapse to one
+    * representative (minimum id, via the shared connected-components
+    * pass), so the quadratic pair cost is bounded per cluster — n²/k
+    * for balanced clusters — never corpus-wide. Clusters come from
+    * `listCol` (a precomputed assignment) or, with kmeansRounds > 0,
+    * from the distributed Lloyd refinement over that seed.
+    * Emits the full (vec_id, canonical_id) mapping — identity rows for
+    * uniques — the same actionable shape as exact text dedup.
+    *
+    * Scale: the pair join is keyed by cluster id with precomputed
+    * norms (one codegen dot per pair); skew equals the largest
+    * cluster, which is the method's own k knob — size k so clusters
+    * stay bounded. Cosines are stable-rounded at 1e-6 before the
+    * threshold so the collapse is engine-reproducible. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    listCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    kmeansRounds: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    ArrayExpressions.register(spark)
+    val assigned =
+      if (kmeansRounds > 0) {
+        val cents = kmeansCentroids(corpus, listCol, vecCol, kmeansRounds)
+        corpus.withColumn("__cl",
+          ArrayExpressions.nearestCentroid(asDouble(col(vecCol)), cents))
+      } else corpus.withColumn("__cl", col(listCol))
+    val e = assigned.select(col("__cl"),
+        col(idCol).cast("long").as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", expr("dot_prod(v, v)"))
+    val pairs = e.select(col("__cl"), col("vid").as("ia"),
+        col("v").as("va"), col("n").as("na"))
+      .join(e.select(col("__cl"), col("vid").as("ib"),
+        col("v").as("vb"), col("n").as("nb")), Seq("__cl"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos_r",
+        floor(expr("dot_prod(va, vb)") / sqrt(col("na") * col("nb"))
+          * 1e6 + lit(0.5)) / 1e6)
+      .filter(col("cos_r") >= threshold)
+      .select(col("ia"), col("ib"))
+    val labels = Dedup.canonicalizeClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    e.select(col("vid").as("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+  }
+
   private def stableRoundD(x: Double, k: Int): Double = {
     val m = math.pow(10, k)
     math.floor(x * m + 0.5) / m

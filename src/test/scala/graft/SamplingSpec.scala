@@ -267,6 +267,20 @@ class SamplingSpec extends SparkSpec {
     ids(2) shouldBe ids(13)
   }
 
+  test("epochsPlan: uncapped epochs, rare sources repeat more") {
+    // a=900, b=100; alpha=.5 -> S=sqrt(900)+sqrt(100)=40,
+    // w_a=.75 w_b=.25; T=2000 -> epochs_a=2000*.75/900=1.666667,
+    // epochs_b=2000*.25/100=5.0
+    val d = (0L until 1000L).map(i =>
+      (i, if (i < 900) "a" else "b")).toDF("doc_id", "src")
+    val got = Sampling.epochsPlan(d, col("src"), targetTotal = 2000,
+        alpha = 0.5)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got("a") shouldBe (("a", 900L, 0.75, 1.666667))
+    got("b") shouldBe (("b", 100L, 0.25, 5.0))
+  }
+
   test("packUtilization: exact fill accounting, only last bins underfill") {
     // shard 0: docs 0..4 cost 100 each -> 500 of one 4096 bin;
     // shard 1: docs 10..12 cost 3000 -> 9000 over ceil(9000/4096)=3 bins

@@ -231,4 +231,25 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(col("rnk")).as[(Long, Long, Double, Int)].collect()
     got.head._2 shouldBe 4L // the identical vector is found in-bucket
   }
+
+  test("semanticDedup collapses within clusters only, min-id canonical") {
+    // label 0: ids 1,2,3 all on the same ray (cos = 1) -> one cluster,
+    // canonical 1; id 4 orthogonal -> unique. label 1: id 5 on the SAME
+    // ray as 1-3 but in another cluster -> NOT collapsed (the scoping
+    // that makes SemDeDup sub-quadratic), id 6 near-parallel to 5.
+    val vecs = Seq(
+      (1L, 0, Array(1f, 0f, 0f)), (2L, 0, Array(2f, 0f, 0f)),
+      (3L, 0, Array(0.5f, 0f, 0f)), (4L, 0, Array(0f, 1f, 0f)),
+      (5L, 1, Array(3f, 0f, 0f)), (6L, 1, Array(1f, 0.01f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.9)
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 1L
+    got(2L) shouldBe 1L
+    got(3L) shouldBe 1L
+    got(4L) shouldBe 4L      // orthogonal: unique
+    got(5L) shouldBe 5L      // other cluster: 5-6 collapse to 5,
+    got(6L) shouldBe 5L      //   never to cross-cluster id 1
+    got.size shouldBe 6      // full mapping, identity rows included
+  }
 }
