@@ -756,6 +756,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- model-based quality classifier: hashed-bag-of-words integer
+    //      features, fixed-round batch perceptron (exact integer
+    //      gradients -> partitioning-independent weights), then score
+    //      every doc; label = is-English (proxy for a curated
+    //      good/bad label set)
+    "q_quality_classifier" -> ((s, dir) =>
+      operators.QualityClassifier.classify(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L),
+          dims = 8, rounds = 3)
+        .orderBy(col("doc_id"))),
+
     // ---- CCNet head/middle/tail quality buckets: per-language exact
     //      1/3 / 2/3 LM-score percentile cuts, deterministic labels
     "q_text_ppl_buckets" -> ((s, dir) =>
@@ -2340,6 +2352,59 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_backoff
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors QualityClassifier: round 1 starts from w = 0 (every doc
+    // misclassified), each round adds the exact integer gradient over
+    // docs with y·margin <= 0; 3 rounds, dims 8 + bias at d = 0.
+    "q_quality_classifier" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |fx AS (
+         |  SELECT doc_id,
+         |    CAST(1 + CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 8
+         |      AS INTEGER) AS d,
+         |    CAST(count(*) AS BIGINT) AS xv
+         |  FROM occ GROUP BY 1, 2),
+         |feat AS (
+         |  SELECT doc_id, d, xv FROM fx
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS d, CAST(1 AS BIGINT) AS xv FROM documents),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM documents),
+         |w1 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS wv
+         |  FROM feat JOIN lab USING (doc_id) GROUP BY d),
+         |m2 AS (
+         |  SELECT f.doc_id, CAST(sum(w1.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w1 USING (d) GROUP BY 1),
+         |g2 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
+         |  FROM feat JOIN lab USING (doc_id) JOIN m2 USING (doc_id)
+         |  WHERE y * margin <= 0 GROUP BY d),
+         |w2 AS (
+         |  SELECT w1.d, w1.wv + coalesce(g2.gv, 0) AS wv
+         |  FROM w1 LEFT JOIN g2 USING (d)),
+         |m3 AS (
+         |  SELECT f.doc_id, CAST(sum(w2.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w2 USING (d) GROUP BY 1),
+         |g3 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
+         |  FROM feat JOIN lab USING (doc_id) JOIN m3 USING (doc_id)
+         |  WHERE y * margin <= 0 GROUP BY d),
+         |w3 AS (
+         |  SELECT w2.d, w2.wv + coalesce(g3.gv, 0) AS wv
+         |  FROM w2 LEFT JOIN g3 USING (d)),
+         |m4 AS (
+         |  SELECT f.doc_id, CAST(sum(w3.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w3 USING (d) GROUP BY 1)
+         |SELECT lab.doc_id, lab.y, m4.margin AS score,
+         |  CAST(CASE WHEN m4.margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |    AS predicted,
+         |  (CASE WHEN m4.margin > 0 THEN 1 ELSE -1 END) = lab.y AS correct
+         |FROM lab JOIN m4 USING (doc_id)
+         |ORDER BY lab.doc_id""".stripMargin,
 
     "q_text_ppl_buckets" ->
       s"""WITH $toksSql,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{stableHash64Scala, tokensScala}
+
+/** Model-based quality classification — the fastText-style linear
+  * filter modern pretraining pipelines train on "good vs bad" document
+  * labels (public recipe: hashed bag-of-words features + a linear
+  * model; e.g. the quality classifiers described for GPT-3/LLaMA data
+  * curation and fastText's own hashing trick).
+  *
+  * Everything is INTEGER arithmetic so training is deterministic and
+  * cross-engine reproducible (the property the oracle gate checks —
+  * float SGD would be partial-aggregation-order dependent):
+  *  - features: token counts hashed into `dims` buckets (md5-derived
+  *    [[stableHash64Scala]] mod dims) plus a constant bias feature at
+  *    index 0 — an exact integer vector;
+  *  - training: fixed-round BATCH perceptron. Each round computes every
+  *    document's margin w·x under the broadcast weights, sums the
+  *    exact integer gradient Σ y·x over misclassified docs
+  *    (y·margin ≤ 0), and adds it to w. Integer sums are
+  *    order-independent, so the learned weights do not depend on
+  *    partitioning.
+  *
+  * Scale: one corpus pass per round (margins are a codegen
+  * zip_with/aggregate against a LITERAL weight array — no join); the
+  * gradient is a (dims+1)-row aggregation, map-side combinable; only
+  * dims+1 longs ever reach the driver per round. Weight magnitudes are
+  * bounded by rounds · Σ|x| — far inside int64 for any real corpus
+  * (token counts per doc ≤ ~1e6, rounds ≤ ~100).
+  */
+object QualityClassifier {
+
+  /** Exact integer feature vector: x(0) = 1 (bias),
+    * x(1 + hash(token) mod dims) += 1 per token occurrence. */
+  def featurizeScala(text: String, dims: Int): Array[Long] = {
+    val x = new Array[Long](dims + 1)
+    x(0) = 1L
+    tokensScala(text).foreach { t =>
+      val h = stableHash64Scala(t) % dims
+      x(1 + h.toInt) += 1L
+    }
+    x
+  }
+
+  def featurizeUdf(dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => featurizeScala(text, dims))
+
+  private def marginCol(x: Column, w: Array[Long]): Column =
+    aggregate(zip_with(x, array(w.map(lit): _*), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Fixed-round batch perceptron over (text, ±1 label) rows; returns
+    * the learned integer weights (length dims+1, bias first). */
+  def trainPerceptron(df: DataFrame, textCol: Column, labelCol: Column,
+                      dims: Int = 8, rounds: Int = 3): Array[Long] = {
+    val feat = df.select(labelCol.cast("long").as("y"),
+      featurizeUdf(dims)(textCol).as("x"))
+    var w = Array.fill(dims + 1)(0L)
+    var r = 0
+    while (r < rounds) {
+      val grad = feat
+        .filter(col("y") * marginCol(col("x"), w) <= 0)
+        .select(col("y"), posexplode(col("x")).as(Seq("d", "xv")))
+        .groupBy(col("d")).agg(sum(col("y") * col("xv")).as("g"))
+        .collect()
+        .map(row => row.getInt(0) -> row.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wv, i) => wv + grad.getOrElse(i, 0L) }
+      r += 1
+    }
+    w
+  }
+
+  /** Train on the corpus, then score every document: (doc_id, y,
+    * score, predicted, correct) with score = w·x (exact integer) and
+    * predicted = +1 iff score > 0. */
+  def classify(df: DataFrame, textCol: Column, idCol: Column,
+               labelCol: Column, dims: Int = 8,
+               rounds: Int = 3): DataFrame = {
+    val w = trainPerceptron(df, textCol, labelCol, dims, rounds)
+    df.select(idCol.as("doc_id"), labelCol.cast("long").as("y"),
+        featurizeUdf(dims)(textCol).as("x"))
+      .withColumn("score", marginCol(col("x"), w))
+      .withColumn("predicted",
+        when(col("score") > 0, 1L).otherwise(-1L))
+      .withColumn("correct", col("predicted") === col("y"))
+      .select(col("doc_id"), col("y"), col("score"),
+        col("predicted"), col("correct"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+
+/** Integer batch perceptron: exact featurization, separable toy
+  * problem learned to 100%, weights independent of partitioning. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toy = (0L until 40L).map { i =>
+    if (i % 2 == 0) (i, "good clean prose text here", 1L)
+    else (i, "spam junk noise garbage stuff", -1L)
+  }.toDF("doc_id", "text", "y")
+
+  test("featurize: bias first, token counts land in hashed buckets") {
+    val x = QualityClassifier.featurizeScala("a a b", dims = 8)
+    x.length shouldBe 9
+    x(0) shouldBe 1L // bias
+    x.sum shouldBe 1L + 3L // bias + three token occurrences
+    val ha = 1 + (graft.functions.TextFunctions.stableHash64Scala("a") % 8).toInt
+    x(ha) should be >= 2L // both 'a's hash to the same bucket
+    QualityClassifier.featurizeScala("", 8).toSeq shouldBe
+      (1L +: Seq.fill(8)(0L)) // empty text: bias only
+  }
+
+  test("perceptron separates a separable corpus and is partition-stable") {
+    val res = QualityClassifier.classify(toy, col("text"), col("doc_id"),
+      col("y"), dims = 8, rounds = 3)
+    val rows = res.as[(Long, Long, Long, Long, Boolean)].collect()
+    rows.length shouldBe 40
+    // fully separable vocabularies -> every doc correctly classified
+    rows.count(_._5) shouldBe 40
+    // weights (hence scores) identical under any partitioning
+    val w1 = QualityClassifier.trainPerceptron(toy, col("text"),
+      col("y"), dims = 8, rounds = 3)
+    val w2 = QualityClassifier.trainPerceptron(toy.repartition(13),
+      col("text"), col("y"), dims = 8, rounds = 3)
+    w1.toSeq shouldBe w2.toSeq
+  }
+
+  test("round 1 from zero weights is the full-corpus gradient") {
+    val w = QualityClassifier.trainPerceptron(toy, col("text"), col("y"),
+      dims = 8, rounds = 1)
+    // w[0] (bias) = sum of labels = 0 on the balanced toy set
+    w(0) shouldBe 0L
+    // gradient magnitude: 20 docs x 5 tokens each per class
+    w.map(math.abs).sum should be > 0L
+  }
+}
