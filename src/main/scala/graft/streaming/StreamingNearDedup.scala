@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+
+/** Streaming NEAR-duplicate filtering — the ingest-time twin of the
+  * batch MinHash+LSH pass: a document survives only if it is not a
+  * near-duplicate of anything previously emitted (across the life of
+  * the stream) nor of a smaller-id near-dup inside its own
+  * micro-batch.
+  *
+  * Two-tier decision, deliberately asymmetric:
+  *  - WITHIN a batch: full LSH candidates + exact-Jaccard verify +
+  *    connected-component collapse (the oracle-checked batch
+  *    operators) — min id survives, deterministic.
+  *  - AGAINST history: collision on any stored LSH band bucket drops
+  *    the document WITHOUT exact verification. State holds only
+  *    (band, bucket) keys — never text, never shingle sets — so state
+  *    size is O(emitted docs · bands) fixed-width rows and the store
+  *    stays privacy-clean (same discipline as
+  *    [[StreamingDedup]] — no payload in state). The price is
+  *    LSH-candidate-level precision on the history tier; tune
+  *    bands/rowsPerBand to put the candidate curve where the
+  *    threshold needs it.
+  *
+  * State lives in a plain parquet directory partitioned by batch id
+  * (`state/batch=N/`), written with per-batch OVERWRITE and read with
+  * `batch < currentBatchId` — so a replayed batch never sees its own
+  * (or any later) output and reproduces byte-identical survivors: the
+  * exactly-once story composes with checkpoint replay like every
+  * other sink here. At 100 TB the same layout holds on object
+  * storage; compact old partitions offline when the directory count
+  * grows.
+  */
+object StreamingNearDedup {
+
+  /** Read bucket state strictly OLDER than `batchId` (replay safety). */
+  private def readState(spark: SparkSession, stateDir: String,
+                        batchId: Long): DataFrame = {
+    val dir = new java.io.File(stateDir)
+    val hasBatches = dir.isDirectory &&
+      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (!hasBatches)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.StringType))))
+    else
+      spark.read.parquet(stateDir)
+        .filter(col("batch") < batchId)
+        .select(col("band"), col("bucket"))
+  }
+
+  /** One micro-batch: returns the surviving (doc_id, text) rows and
+    * persists their buckets under `stateDir/batch=<batchId>`. Pure
+    * function of (batch contents, state older than batchId) — safe
+    * under replay. */
+  def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                   shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).persist()
+    docs.count()
+    val buckets = Dedup.minhashBuckets(docs, col("text"), col("doc_id"),
+      shingleN, bands, rowsPerBand).persist()
+    // tier 1: drop anything colliding with history
+    val hit = buckets
+      .join(readState(spark, stateDir, batchId), Seq("band", "bucket"),
+        "left_semi")
+      .select("doc_id").distinct()
+    val fresh = docs.join(hit, Seq("doc_id"), "left_anti").persist()
+    // tier 2: exact-verified collapse inside the batch, min id wins
+    val pairs = Dedup.minhashLshPairs(fresh, col("text"), col("doc_id"),
+      shingleN, bands, rowsPerBand, threshold)
+    val dropped = Dedup.canonicalizeClusters(pairs.select(col("ia"), col("ib")))
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select("doc_id")
+    val survivors = fresh.join(dropped, Seq("doc_id"), "left_anti")
+    // persist the survivors' buckets, idempotent per batch id
+    buckets.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("band"), col("bucket")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    docs.unpersist(); buckets.unpersist()
+    survivors
+  }
+
+  /** Run the stream to completion (AvailableNow): survivors of each
+    * batch land under `outDir/batch=<batchId>` (overwrite — replay
+    * converges), bucket state under `stateDir`. `docs` needs
+    * (doc_id, text). */
+  def run(docs: DataFrame, stateDir: String, outDir: String,
+          checkpointDir: String, shingleN: Int = 3, bands: Int = 4,
+          rowsPerBand: Int = 3, threshold: Double = 0.5): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, stateDir, shingleN, bands,
+            rowsPerBand, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingNearDedup
+
+/** Streaming near-dup filter: in-batch exact-verified collapse,
+  * history decisions from the bucket store, replay convergence. */
+class StreamingNearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog in the quiet park tonight"
+  private val nearBase = base.replace("tonight", "today")
+  private val otherA = "completely unrelated words about database engines here"
+  private val otherB = "a second standalone document with its own vocabulary"
+
+  private def survivors(outDir: String, batch: Long): Set[Long] = {
+    val d = new java.io.File(s"$outDir/batch=$batch")
+    if (!d.isDirectory) Set.empty
+    else spark.read.parquet(d.toString)
+      .select("doc_id").as[Long].collect().toSet
+  }
+
+  private def drive(stateDir: String, outDir: String,
+                    ckpt: String): Unit = {
+    // two separate micro-batches, forced by processing between adds
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    mem.addData((2L, nearBase), (1L, base), (3L, otherA))
+    StreamingNearDedup.run(docs, stateDir, outDir, ckpt)
+    mem.addData((4L, base), (5L, otherB))
+    StreamingNearDedup.run(docs, stateDir, outDir, ckpt)
+  }
+
+  test("near-dups collapse in-batch and against history; replay converges") {
+    val stateDir = Files.createTempDirectory("graft-snd-state").toString
+    val outDir = Files.createTempDirectory("graft-snd-out").toString
+    val ckpt = Files.createTempDirectory("graft-snd-ckpt").toString
+    drive(stateDir, outDir, ckpt)
+
+    // batch 0: 2 is a near-dup of 1 (exact-verified, min id wins);
+    // 3 is unrelated
+    survivors(outDir, 0) shouldBe Set(1L, 3L)
+    // batch 1: 4 repeats doc 1's text -> collides with stored buckets
+    // and is dropped WITHOUT doc 1's text being anywhere in state
+    survivors(outDir, 1) shouldBe Set(5L)
+    // state holds only (band, bucket) keys — no text column
+    spark.read.parquet(stateDir).columns.toSet shouldBe
+      Set("band", "bucket", "batch")
+
+    // full replay with a fresh checkpoint: batches re-deliver, state
+    // partitions overwrite, outputs byte-identical
+    drive(stateDir, outDir,
+      Files.createTempDirectory("graft-snd-ckpt2").toString)
+    survivors(outDir, 0) shouldBe Set(1L, 3L)
+    survivors(outDir, 1) shouldBe Set(5L)
+  }
+
+  test("processBatch never sees its own or later state partitions") {
+    val stateDir = Files.createTempDirectory("graft-snd-state2").toString
+    val b0 = Seq((1L, base), (3L, otherA)).toDF("doc_id", "text")
+    StreamingNearDedup.processBatch(b0, 0L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    // re-running batch 0 after its state landed must NOT self-collide
+    StreamingNearDedup.processBatch(b0, 0L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    // but a LATER batch with the same text does collide
+    StreamingNearDedup.processBatch(
+        Seq((9L, base)).toDF("doc_id", "text"), 1L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set.empty
+  }
+}
