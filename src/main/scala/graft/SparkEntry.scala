@@ -441,6 +441,25 @@ object SparkEntry {
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // ---- AS-OF join (beyond-reference: the time-series lookup join
+    //      Spark lacks natively): every probe event matched to its
+    //      user's latest mark event at-or-before it — union-window
+    //      plan, one shuffle, no range-join blow-up. Marks are
+    //      pre-aggregated unique per (user, ts) per the contract.
+    "q_j_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val left = e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = e.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts_us").as("mark_ts"))
+        .agg(max(coalesce(cents(col("value")), lit(0L))).as("mark_v"))
+      operators.Timeline.asofJoin(left, right, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "mark_ts")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts"), col("mark_v"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- skew-salted aggregation (SURVEY §4 skew handling): two-stage
     //      salted sum, oracle-checked equal to the direct rollup.
     //      pinSalt = false: the input is a direct file scan + projection
@@ -1702,6 +1721,22 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_j_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    COALESCE(CAST(round(value*100) AS BIGINT), 0) AS cents
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_id % 5 <> 0),
+        |r AS (
+        |  SELECT user_id, ts_us AS mark_ts, max(cents) AS mark_v
+        |  FROM e WHERE event_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  r.mark_ts AS asof_ts, r.mark_v
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.mark_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,

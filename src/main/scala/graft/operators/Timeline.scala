@@ -65,6 +65,57 @@ object Timeline {
     probe.join(versions, cond, joinType)
   }
 
+  /** AS-OF join: enrich every left row with the single LATEST right row
+    * whose timestamp ≤ the left timestamp, per key — the time-series
+    * lookup join (trades→quotes, events→dimension snapshots) that
+    * neither Spark nor the reference ships natively. Left-join
+    * semantics: no preceding right row → null payload/`asof_ts`.
+    *
+    * UNION-WINDOW plan, not a range join: both sides are tagged and
+    * unioned, sorted per key by (ts, side) with right rows ordered
+    * before left rows at equal timestamps (so a right row AT the left
+    * timestamp matches), and the right payload carried forward with
+    * `last(_, ignoreNulls)` over an unbounded-preceding row frame.
+    * ONE shuffle on the key — no range-condition join blow-up, no
+    * per-row right-side scans; skew is bounded by a single key's own
+    * row count (salt upstream if one key dominates).
+    *
+    * Contract: right must be UNIQUE per (keys, rightTs) — pre-aggregate
+    * otherwise (ties inside one timestamp have no defined winner) —
+    * and right payload column names must not collide with left
+    * columns. Timestamps compare as longs. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val payload = right.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == rightTs)
+    val leftOnly = left.columns.toSeq.filterNot(keys.contains)
+    val lAug0 = left
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("long"))
+    val lAug = payload.foldLeft(lAug0)((df, p) =>
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
+    val rAug0 = right
+      .withColumn("__ts", col(rightTs).cast("long"))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(rightTs).cast("long"))
+      .drop(rightTs)
+    val rAug = leftOnly.foldLeft(rAug0)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val cols = (keys ++ leftOnly ++ payload ++
+      Seq("__ts", "__side", "__rts")).map(col)
+    val unioned = lAug.select(cols: _*).unionByName(rAug.select(cols: _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rts")
+  }
+
   /** Sessionization: split each key's event timeline into sessions at
     * inactivity gaps > `gapUs` (the standard running-sum-of-new-session-
     * flags formulation: lag for the gap, then a cumulative sum over an

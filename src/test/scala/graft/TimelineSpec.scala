@@ -95,4 +95,44 @@ class TimelineSpec extends SparkSpec {
       .as[(Int, Int, Seq[(Double, Double)])].collect()
     got shouldBe Array((1, 0, Seq((9.0, 9.0))))
   }
+
+  test("asofJoin matches the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, "k1", 5L), (2L, "k1", 10L), (3L, "k1", 99L),
+      (4L, "k2", 10L), // k2 has no mark at/below ts 10
+      (5L, "k2", 20L)
+    ).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("k1", 10L, 100L), ("k1", 50L, 500L), // mark AT ts 10 matches row 2
+      ("k2", 20L, 200L)
+    ).toDF("key", "mts", "v")
+    val got = Timeline.asofJoin(left, right, Seq("key"), "ts", "mts")
+      .select(col("event_id"), col("asof_ts"), col("v"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got(1L) shouldBe ((None, None))           // before any mark
+    got(2L) shouldBe ((Some(10L), Some(100L))) // equal ts matches
+    got(3L) shouldBe ((Some(50L), Some(500L))) // latest, not first
+    got(4L) shouldBe ((None, None))           // keys never cross
+    got(5L) shouldBe ((Some(20L), Some(200L)))
+    // agrees with the brute-force range definition on a random-ish mix
+    val bigL = (0L until 200L).map(i => (i, s"k${i % 7}", i * 13 % 101))
+      .toDF("event_id", "key", "ts")
+    val bigR = (0L until 50L).map(i => (s"k${i % 7}", i * 17 % 97, i))
+      .toDF("key", "mts", "v")
+      .groupBy("key", "mts").agg(max("v").as("v"))
+    val fast = Timeline.asofJoin(bigL, bigR, Seq("key"), "ts", "mts")
+      .select(col("event_id"), col("asof_ts"), col("v"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    val slow = bigL.as[(Long, String, Long)].collect().map { case (id, k, ts) =>
+      val cands = bigR.as[(String, Long, Long)].collect()
+        .filter(r => r._1 == k && r._2 <= ts)
+      if (cands.isEmpty) (id, None, None)
+      else {
+        val best = cands.maxBy(_._2)
+        (id, Some(best._2), Some(best._3))
+      }
+    }.sortBy(_._1)
+    fast shouldBe slow
+  }
 }
