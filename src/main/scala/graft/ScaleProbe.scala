@@ -129,6 +129,33 @@ object ScaleProbe {
     println(f"spatial_noBroadcast pairs=$nSpatialSmj join=$joinNode " +
       f"sec=$tSpatialSmj%.1f (broadcast path: $tSpatial%.1f)")
 
+    // round 8: PretrainPipeline v2 end-to-end on the 20x-replicated
+    // corpus (100k docs, 95% exact-dup by construction) — the 9-stage
+    // manifest from one observe() action; per-stage lazy
+    // localCheckpoints bound both plan size and recompute. The
+    // replicated corpus pushes the heavy work to stage 1 (exact dedup
+    // collapses 20 copies); survivors flow through line dedup, LSH,
+    // gates, LM cutoff, mix, shuffle+pack.
+    // benchModulus past max(doc_id): replica ids would otherwise place
+    // exact COPIES of corpus texts into the bench split and
+    // decontamination would (correctly) wipe the whole corpus — the
+    // probe measures throughput, so the bench side stays near-empty
+    t0 = System.nanoTime()
+    val v2 = graft.apps.PretrainDataPipeline.runV2(
+      docs.withColumn("lang",
+          element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+      graft.apps.PretrainDataPipeline.ConfigV2(mixTarget = 2000),
+      benchModulus = 999983L)
+    val tV2 = (System.nanoTime() - t0) / 1e9
+    val v2Drops = v2.manifest.map(r => s"${r.reason}=${r.n_dropped}")
+      .mkString(" ")
+    println(f"pretrain_v2 docs=$n kept=${v2.manifest.last.n_out} " +
+      f"sec=$tV2%.1f [$v2Drops]")
+    v2.kept.unpersist()
+
     // round 4: k-means/IVF assign-pass throughput — codegen
     // NearestCentroid vs the round-3 boxed Seq[Double] UDF it replaced,
     // same 20k-vector corpus, same centroid matrix

@@ -1132,6 +1132,15 @@ object SparkEntry {
           budget = 4096L, shardSize = 100L)
         .orderBy(col("doc_id"))),
 
+    // ---- long-document chunking: fixed 40-token windows, 8-token
+    //      overlap (stride 32) — the context-budget split ahead of
+    //      packing; exact integer window arithmetic
+    "q_text_chunks" -> ((s, dir) =>
+      operators.Sampling.chunkDocuments(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          chunkTokens = 40, overlapTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- packing-utilization report: per-shard fill accounting over
     //      the packed layout (only each shard's last bin underfills)
     "q_pack_utilization" -> ((s, dir) =>
@@ -2836,6 +2845,22 @@ object SparkEntry {
         |  CAST((c.cum - 1) // 4096 + o.bin_start AS BIGINT) AS last_bin,
         |  CAST((c.cum - c.n_chars) % 4096 AS BIGINT) AS bin_offset
         |FROM c JOIN o ON c.shard = o.shard ORDER BY c.doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH $toksSql,
+         |c AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= 40 THEN 1
+         |         ELSE 1 + (len(t) - 40 + 31) // 32 END AS nc
+         |  FROM toks),
+         |x AS (
+         |  SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * 32 AS BIGINT) AS tok_start,
+         |  CAST(least(i * 32 + 40, n) - i * 32 AS BIGINT) AS n_tokens,
+         |  array_to_string(t[i*32+1 : least(i*32+40, n)], ' ')
+         |    AS chunk_text
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pack_utilization" ->
       """WITH c AS (

@@ -161,6 +161,42 @@ object Sampling {
       .drop("__h", "__shard", "__local", "__start", "__n")
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * long-document preprocessing step ahead of packing (a doc longer
+    * than the context budget becomes stride-spaced chunks; overlap
+    * preserves cross-boundary context). stride = chunkTokens −
+    * overlapTokens (must be positive). Chunk i covers tokens
+    * [i·stride, min(i·stride + chunkTokens, n)); the final chunk may
+    * be short; a doc at or under the budget (including an empty doc)
+    * yields exactly one chunk, so accounting stays one-to-many total.
+    * Emits (doc_id, chunk_idx, tok_start, n_tokens, chunk_text).
+    *
+    * One narrow pass (tokenize → explode chunk indexes → slice); no
+    * shuffle. All arithmetic is exact integers. */
+  def chunkDocuments(df: DataFrame, textCol: Column, idCol: Column,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val n = size(toks).cast(LongType)
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(lit(1L) +
+        floor((n - chunkTokens + stride - 1) / lit(stride.toLong)))
+    df.select(idCol.as("doc_id"), toks.as("__t"), n.as("__n"),
+        nChunks.as("__nc"))
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("n_tokens",
+        least(col("tok_start") + chunkTokens, col("__n")) - col("tok_start"))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__t"), (col("tok_start") + 1).cast("int"),
+          col("n_tokens").cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("n_tokens"), col("chunk_text"))
+  }
+
   /** Sequence packing for pretraining batches: lay documents out as one
     * contiguous token stream and cut it into fixed-`budget` context
     * windows ("bins"), documents straddling bin boundaries (the

@@ -267,6 +267,33 @@ class SamplingSpec extends SparkSpec {
     ids(2) shouldBe ids(13)
   }
 
+  test("chunkDocuments: stride windows cover every token, tail short") {
+    // 10 tokens, chunk 4, overlap 1 (stride 3): chunks at 0,3,6 cover
+    // [0,4) [3,7) [6,10) — nc = 1 + ceil((10-4)/3) = 3
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),   // under budget: one chunk
+      (3L, ""))      // empty: one empty chunk, accounting holds
+      .toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(d, col("text"), col("doc_id"),
+        chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    got.filter(_._1 == 1L).map(r => (r._3, r._4, r._5)).toSeq shouldBe Seq(
+      (0L, 4L, "t0 t1 t2 t3"), (3L, 4L, "t3 t4 t5 t6"),
+      (6L, 4L, "t6 t7 t8 t9"))
+    got.filter(_._1 == 2L).map(r => (r._3, r._4, r._5)).toSeq shouldBe
+      Seq((0L, 2L, "a b"))
+    got.filter(_._1 == 3L).map(r => (r._3, r._4, r._5)).toSeq shouldBe
+      Seq((0L, 0L, ""))
+    // overlap: consecutive chunks share exactly overlapTokens tokens
+    // and the union covers 0..n-1 without gaps
+    val c1 = got.filter(_._1 == 1L)
+    c1.sliding(2).foreach { case Array(a, b) =>
+      (a._3 + a._4 - b._3) shouldBe 1L
+      case _ => ()
+    }
+  }
+
   test("epochsPlan: uncapped epochs, rare sources repeat more") {
     // a=900, b=100; alpha=.5 -> S=sqrt(900)+sqrt(100)=40,
     // w_a=.75 w_b=.25; T=2000 -> epochs_a=2000*.75/900=1.666667,
