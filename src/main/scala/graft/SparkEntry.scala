@@ -794,6 +794,15 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- CCNet bucket-rate sampling: head kept fully, middle half,
+    //      tail a tenth — deterministic hash-bucket keep per doc
+    "q_text_ccnet_sample" -> ((s, dir) =>
+      operators.LanguageModel.ccnetSample(
+          Tables.documents(s, dir), col("text"), col("doc_id"), col("lang"),
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+          salt = "ccnet1")
+        .orderBy(col("doc_id"))),
+
     // ---- corpus vocabulary report: top-25 tokens with doc frequency
     //      and cumulative token-stream coverage (tokenizer design)
     "q_corpus_vocab" -> ((s, dir) =>
@@ -2489,6 +2498,53 @@ object SparkEntry {
          |       ELSE 'tail' END AS bucket
          |FROM scored s JOIN lo USING (grp) JOIN hi USING (grp)
          |ORDER BY s.doc_id""".stripMargin,
+
+    "q_text_ccnet_sample" ->
+      s"""WITH $toksSql,
+         |oc0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |oc AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM oc0),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM oc GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(t) AS w FROM toks)),
+         |sc AS (
+         |  SELECT oc.doc_id,
+         |    CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v) * 1e9)
+         |      AS BIGINT) AS micro
+         |  FROM oc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |scored AS (
+         |  SELECT sc.doc_id, d.lang AS grp,
+         |    CAST(sum(micro) AS DOUBLE) / count(*) AS score
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT grp, score,
+         |    row_number() OVER (PARTITION BY grp ORDER BY score, doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS n
+         |  FROM scored),
+         |px AS (SELECT CAST(unnest([1.0/3, 2.0/3]) AS DOUBLE) AS p),
+         |cuts AS (
+         |  SELECT grp, p, score AS cutoff FROM ranked, px
+         |  WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))),
+         |lo AS (SELECT grp, cutoff AS c_lo FROM cuts WHERE p < 0.5),
+         |hi AS (SELECT grp, cutoff AS c_hi FROM cuts WHERE p > 0.5),
+         |b AS (
+         |  SELECT s.doc_id, s.grp,
+         |    CASE WHEN s.score >= hi.c_hi THEN 'head'
+         |         WHEN s.score >= lo.c_lo THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM scored s JOIN lo USING (grp) JOIN hi USING (grp))
+         |SELECT doc_id, grp, bucket FROM b
+         |WHERE CAST('0x' || substr(md5('ccnet1:' ||
+         |    CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+         |  < CAST(floor(CASE bucket WHEN 'head' THEN 1.0
+         |      WHEN 'middle' THEN 0.5 WHEN 'tail' THEN 0.1
+         |      ELSE 0.0 END * 10000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_vocab" ->
       s"""WITH $toksSql,

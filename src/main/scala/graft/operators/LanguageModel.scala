@@ -140,6 +140,20 @@ object LanguageModel {
       .select(col("doc_id"), col("grp"), col("score"), col("bucket"))
   }
 
+  /** The CCNet sampling step on top of [[scoreBuckets]]: keep each
+    * quality bucket at its own rate (canonically head 1.0 > middle >
+    * tail) with the deterministic hash-bucket keep of
+    * [[Sampling.keepPredicate]] — reproducible across runs, retries
+    * and partitionings, like every sampler here. Emits the kept
+    * (doc_id, grp, bucket) rows. */
+  def ccnetSample(df: DataFrame, textCol: Column, idCol: Column,
+                  groupCol: Column, rates: Map[String, Double],
+                  salt: String = "ccnet"): DataFrame =
+    scoreBuckets(df, textCol, idCol, groupCol)
+      .filter(graft.operators.Sampling.keepPredicate(
+        col("bucket"), col("doc_id"), rates, default = 0.0, salt = salt))
+      .select(col("doc_id"), col("grp"), col("bucket"))
+
   /** Per-document top-k TF-IDF terms with an exact rational idf
     * (tf·N/df): the score is ONE IEEE division of exact integers, so
     * it is bit-identical in any engine and the ranking can never
