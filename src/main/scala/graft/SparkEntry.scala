@@ -860,6 +860,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Bloom-prefiltered incremental dedup: definite-negatives
+    //      skip the anti-join; result PROVABLY equals q_dedup_incremental
+    //      (no false negatives), so it shares that oracle shape
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.dedupAgainstBloom(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          col("text"), col("doc_id"),
+          expectedItems = 10000L, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- consecutive-token stutter collapse (OCR/scrape artifact
     //      cleanup; pure compiled pass, no shuffle)
     "q_text_collapse" -> ((s, dir) => {
@@ -2659,6 +2672,22 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |fresh AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+        |unseen AS (
+        |  SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM seen))
+        |SELECT min(doc_id) AS doc_id, fp FROM unseen GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical result to q_dedup_incremental by construction (the
+    // Bloom pre-filter has no false negatives) — the oracle IS the
+    // exactness claim
+    "q_dedup_incremental_bloom" ->
       """WITH fp AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),

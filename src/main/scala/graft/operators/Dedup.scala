@@ -212,6 +212,41 @@ object Dedup {
     winners.select(col("doc_id"), col("fp"))
   }
 
+  /** [[dedupAgainst]] with a Bloom-filter pre-filter on the corpus
+    * fingerprint set — the ingest-gating shape for when the corpus
+    * side is enormous: rows whose fingerprint the filter has DEFINITELY
+    * never seen skip the anti-join entirely (no shuffle for them);
+    * only might-contain suspects — true hits plus the filter's false
+    * positives — pay the exact verification join. The result is
+    * IDENTICAL to [[dedupAgainst]] by construction (a Bloom filter has
+    * no false negatives), which is why this variant shares its oracle.
+    *
+    * Scale: the filter is built distributed (one aggregation over the
+    * corpus fingerprints; bits OR together, so the build is
+    * order-independent and deterministic) and broadcast —
+    * ~1.2 GB for 1e9 items at 1% fpp; size `expectedItems`/`fpp` to
+    * your executor memory and fall back to [[dedupAgainst]] beyond
+    * broadcastable scale. */
+  def dedupAgainstBloom(fresh: DataFrame, existing: DataFrame,
+                        textCol: Column, idCol: Column,
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val spark = fresh.sparkSession
+    val freshFp = fresh.select(idCol.as("doc_id"),
+      md5(normalize(textCol)).as("fp"))
+    val exFp = existing.select(md5(normalize(textCol)).as("fp"))
+    val bloom = exFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    val definitelyNew = freshFp.filter(!mightContain(col("fp")))
+    val suspects = freshFp.filter(mightContain(col("fp")))
+      .join(exFp.distinct(), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(suspects)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   // ------------------------------------------------- duplicated-gram frac
 
   /** Duplicated-text-fraction quality signal (the RefinedWeb/Dolma

@@ -202,6 +202,23 @@ class DedupSpec extends SparkSpec {
       lineDocs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
   }
 
+  test("dedupAgainstBloom equals dedupAgainst, even at brutal fpp") {
+    val corpus = (0L until 200L).map(i => (i, s"doc number ${i % 120}"))
+      .toDF("doc_id", "text") // 120 distinct texts, replicated
+    val fresh = corpus.filter(col("doc_id") % 3 === 0)
+    val existing = corpus.filter(col("doc_id") % 3 =!= 0)
+    val exact = Dedup.dedupAgainst(fresh, existing,
+        col("text"), col("doc_id"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // tight filter AND a tiny, collision-heavy one: false positives
+    // only cost verification work, never change the result
+    for ((items, fpp) <- Seq((10000L, 0.01), (5L, 0.5))) {
+      Dedup.dedupAgainstBloom(fresh, existing, col("text"), col("doc_id"),
+          expectedItems = items, fpp = fpp)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe exact
+    }
+  }
+
   test("dedupLinesWithin keeps first occurrence per doc, structure intact") {
     val docs = Seq(
       // repeated line: occurrences 2+3 drop, first stays in place;
