@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL (newline-delimited JSON) document-corpus I/O — the de-facto
+  * interchange format for text-corpus ingest — with the dead-letter
+  * discipline every other source here uses: malformed lines are never
+  * silently dropped, they land in a side channel carrying the raw
+  * line, so ingest accounting always balances (clean + dead = input
+  * lines).
+  *
+  * Scale: `spark.read.json` with an EXPLICIT schema (no inference
+  * pass — inference reads the whole input twice and samples
+  * nondeterministically), PERMISSIVE mode routing unparseable or
+  * wrong-typed lines into the corrupt-record column partition-locally.
+  * One narrow pass, no shuffle; the split is two filters over the
+  * same scan.
+  */
+object JsonlCorpus {
+
+  /** The documents-table schema, mirroring the driver's parquet. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  private val Corrupt = "__corrupt"
+
+  /** Read a JSONL corpus: (clean rows, dead-letter rows). A line is
+    * dead if it fails to parse under `docSchema` (bad JSON, wrong
+    * types) OR parses without the required `doc_id`. Dead rows carry
+    * (raw_line, reason). */
+  def read(spark: SparkSession, path: String,
+           docSchema: StructType = schema): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(
+      docSchema.fields :+ StructField(Corrupt, StringType))
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .json(path)
+      // Spark refuses a query that selects ONLY the corrupt column off
+      // a fresh json scan; caching the parsed frame is the documented
+      // escape hatch and also keeps the one-pass promise
+      .cache()
+    val clean = parsed
+      .filter(col(Corrupt).isNull && col("doc_id").isNotNull)
+      .drop(Corrupt)
+    val dead = parsed
+      .filter(col(Corrupt).isNotNull || col("doc_id").isNull)
+      .select(
+        coalesce(col(Corrupt), to_json(struct(
+          docSchema.fieldNames.map(col): _*))).as("raw_line"),
+        when(col(Corrupt).isNotNull, "parse_error")
+          .otherwise("missing_doc_id").as("reason"))
+    (clean, dead)
+  }
+
+  /** Write a corpus as JSONL (one JSON object per line). */
+  def write(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+}
