@@ -238,6 +238,99 @@ object Multimodal {
         avg(2), avg(3), avg(4), avg(5), avg(6))
     }
 
+  /** Perceptual difference-hash (dHash — public technique): decode the
+    * image, box-average luma onto a 9×8 grid, and emit 64 bits of
+    * "left cell brighter than right cell". Near-duplicate images
+    * (recompression, small edits, minor noise) land within a few bits
+    * of Hamming distance; unrelated images far apart.
+    *
+    * Determinism: the downscale is an exact INTEGER box filter over
+    * per-mille luma (299r+587g+114b) with floor-partitioned cell
+    * boundaries, and the brightness comparison cross-multiplies sums
+    * against cell pixel counts — no floating point, no AWT
+    * interpolation, so the hash is bit-identical on any JVM. None on
+    * undecodable payloads, same contract as [[decodeImage]]. */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < 1 || h < 1) return None
+        val cols = 9
+        val rows = 8
+        val sums = Array.ofDim[Long](rows, cols)
+        val counts = Array.ofDim[Long](rows, cols)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(rows - 1, y * rows / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(cols - 1, x * cols / w)
+            val rgb = img.getRGB(x, y)
+            val luma = 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            sums(cy)(cx) += luma
+            counts(cy)(cx) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var r = 0
+        while (r < rows) {
+          var c = 0
+          while (c < cols - 1) {
+            // mean(l) > mean(r) without division:
+            // sumL·nR > sumR·nL (exact integers)
+            val brighter =
+              sums(r)(c) * counts(r)(c + 1) > sums(r)(c + 1) * counts(r)(c)
+            if (brighter) bits |= 1L << (r * (cols - 1) + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  val dHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((payload: Array[Byte]) => dHash(payload))
+
+  /** Image near-duplicate pairs over an asset table: dHash per image,
+    * LSH-banded candidates (four 16-bit bands — two hashes within
+    * Hamming ≤ 3 of each other must agree on at least one band),
+    * verified by full-hash Hamming distance. Undecodable images are
+    * not paired. Same banding shape as text SimHash: candidates
+    * shuffle by (band, value) key only — no all-pairs. */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val hashed = assets
+      .select(col(idCol).cast("long").as("id"),
+        dHashUdf(col(payloadCol)).as("dh"))
+      .filter(col("dh").isNotNull)
+    val banded = hashed.select(col("id"), col("dh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dh"), 16 * b).bitwiseAND(0xFFFFL)
+              .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("dh"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("ia"), col("dh").as("dh_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("ib"), col("dh").as("dh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload
     * bytes so the pipeline shape is testable end-to-end. */

@@ -323,4 +323,35 @@ class MultimodalSpec extends SparkSpec {
     feats(1L) shouldBe true
     feats(2L) shouldBe false
   }
+
+  test("dHash: near-identical images pair, unrelated/corrupt do not") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 48): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = png((x, _) => gray(x * 4))             // left-to-right ramp
+    val near = png((x, y) =>                           // same ramp, a few
+      if (x == 10 && y < 3) gray(255) else gray(x * 4)) // pixels touched
+    val diff = png((x, _) => gray(255 - x * 4))        // reversed ramp
+    Multimodal.dHash(base).get shouldBe Multimodal.dHash(png((x, _) => gray(x * 4))).get
+    java.lang.Long.bitCount(
+      Multimodal.dHash(base).get ^ Multimodal.dHash(near).get) should be <= 3
+    java.lang.Long.bitCount(
+      Multimodal.dHash(base).get ^ Multimodal.dHash(diff).get) should be > 10
+    Multimodal.dHash(Array[Byte](1, 2, 3)) shouldBe None
+
+    val assets = Seq(
+      (1L, base), (2L, near), (3L, diff),
+      (4L, Array[Byte](9, 9, 9)) // undecodable: never paired
+    ).toDF("asset_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(assets)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    pairs shouldBe Set((1L, 2L))
+  }
 }
