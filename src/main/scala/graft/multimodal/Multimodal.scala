@@ -299,19 +299,13 @@ object Multimodal {
   val dHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((payload: Array[Byte]) => dHash(payload))
 
-  /** Image near-duplicate pairs over an asset table: dHash per image,
-    * LSH-banded candidates (four 16-bit bands — two hashes within
-    * Hamming ≤ 3 of each other must agree on at least one band),
-    * verified by full-hash Hamming distance. Undecodable images are
-    * not paired. Same banding shape as text SimHash: candidates
-    * shuffle by (band, value) key only — no all-pairs. */
-  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
-                        idCol: String = "asset_id",
-                        payloadCol: String = "payload"): DataFrame = {
-    val hashed = assets
-      .select(col(idCol).cast("long").as("id"),
-        dHashUdf(col(payloadCol)).as("dh"))
-      .filter(col("dh").isNotNull)
+  /** Banded Hamming pair join over a 64-bit perceptual hash column:
+    * four 16-bit bands (pigeonhole — two hashes within Hamming ≤ 3
+    * share at least one band), full-hash bit-distance verification on
+    * candidates. Candidates shuffle by (band, value) key only — no
+    * all-pairs, payloads never shuffle. */
+  private def bandedHammingPairs(hashed: DataFrame,
+                                 maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("id"), col("dh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -330,6 +324,82 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Image near-duplicate pairs over an asset table: dHash per image,
+    * then the [[bandedHammingPairs]] join. Undecodable images are not
+    * paired. */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame =
+    bandedHammingPairs(
+      assets.select(col(idCol).cast("long").as("id"),
+          dHashUdf(col(payloadCol)).as("dh"))
+        .filter(col("dh").isNotNull),
+      maxHamming)
+
+  /** Perceptual audio fingerprint: decode 16-bit PCM (same honest
+    * subset as [[decodeAudio]]), split the sample stream into 65
+    * floor-partitioned windows, sum |amplitude| per window as exact
+    * integers, and emit 64 bits of "window louder than the next" —
+    * the energy-envelope analog of [[dHash]]. Integer cross-multiplied
+    * comparisons, no floats, bit-identical on any JVM. None on
+    * undecodable / non-PCM payloads or empty streams. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val nSamples = bytes.length / 2
+          if (nSamples < 65) None
+          else {
+            val big = fmt.isBigEndian
+            val windows = 65
+            val sums = new Array[Long](windows)
+            val counts = new Array[Long](windows)
+            var i = 0
+            while (i < nSamples) {
+              val off = 2 * i
+              val s: Int =
+                if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort.toInt
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort.toInt
+              val w = math.min(windows - 1, (i.toLong * windows / nSamples).toInt)
+              sums(w) += math.abs(s.toLong)
+              counts(w) += 1L
+              i += 1
+            }
+            var bits = 0L
+            var w = 0
+            while (w < windows - 1) {
+              if (sums(w) * counts(w + 1) > sums(w + 1) * counts(w))
+                bits |= 1L << w
+              w += 1
+            }
+            Some(bits)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  val audioFingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((payload: Array[Byte]) => audioFingerprint(payload))
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] per asset, then
+    * the shared [[bandedHammingPairs]] join. */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame =
+    bandedHammingPairs(
+      assets.select(col(idCol).cast("long").as("id"),
+          audioFingerprintUdf(col(payloadCol)).as("dh"))
+        .filter(col("dh").isNotNull),
+      maxHamming)
 
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload

@@ -354,4 +354,44 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     pairs shouldBe Set((1L, 2L))
   }
+
+  test("audio fingerprint: envelope-near clips pair, reversed does not") {
+    import spark.implicits._
+    // 16-bit mono PCM with a shaped amplitude envelope
+    def wav(env: Int => Double, n: Int = 1600): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        // 4 kHz carrier: period 4 samples, so every ~25-sample window
+        // averages whole periods and the ENVELOPE drives window energy
+        val s = math.rint(env(i) *
+          math.sin(2 * math.Pi * 4000.0 * i / 16000) * 32767.0).toInt
+        val c = math.max(-32768, math.min(32767, s))
+        data(2 * i) = (c & 0xFF).toByte
+        data(2 * i + 1) = ((c >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rampUp = wav(i => i / 1600.0)
+    val rampUpTouched = wav(i => if (i == 800) 0.0 else i / 1600.0)
+    val rampDown = wav(i => 1.0 - i / 1600.0)
+    Multimodal.audioFingerprint(rampUp).get shouldBe
+      Multimodal.audioFingerprint(wav(i => i / 1600.0)).get
+    java.lang.Long.bitCount(Multimodal.audioFingerprint(rampUp).get ^
+      Multimodal.audioFingerprint(rampUpTouched).get) should be <= 3
+    java.lang.Long.bitCount(Multimodal.audioFingerprint(rampUp).get ^
+      Multimodal.audioFingerprint(rampDown).get) should be > 10
+    Multimodal.audioFingerprint(Array[Byte](1, 2)) shouldBe None
+
+    val assets = Seq((1L, rampUp), (2L, rampUpTouched), (3L, rampDown))
+      .toDF("asset_id", "payload")
+    Multimodal.audioNearDupPairs(assets)
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+  }
 }
