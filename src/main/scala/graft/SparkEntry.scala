@@ -1173,6 +1173,27 @@ object SparkEntry {
           budget = 4096L)
         .orderBy(col("shard"))),
 
+    // ---- deterministic train/val/test split: md5-bucket assignment,
+    //      stable under corpus growth (a row's split never changes)
+    "q_split3" -> ((s, dir) =>
+      operators.Sampling.split3(
+          Tables.documents(s, dir).select(col("doc_id")),
+          col("doc_id"), valFrac = 0.1, testFrac = 0.1, salt = "sp1")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))),
+
+    // ---- n-gram novelty vs a reference corpus (inverse contamination:
+    //      how much genuinely new text a doc adds)
+    "q_text_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Dedup.ngramNovelty(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), col("text"), shingleN = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
     //      partitionings)
@@ -3086,6 +3107,37 @@ object SparkEntry {
         |  FROM e JOIN cl ON e.label = cl.label)
         |SELECT vec_id, label, dist_r, dist_r > 1.02 AS is_outlier
         |FROM dist ORDER BY vec_id""".stripMargin,
+
+    "q_split3" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('sp1:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 10000 AS bkt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bkt < 1000 THEN 'val'
+        |         WHEN bkt < 2000 THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_novelty" ->
+      s"""WITH $toksSql, $shSql,
+         |d AS (
+         |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0),
+         |r AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(s) AS g FROM sh WHERE doc_id % 5 = 0)),
+         |agg AS (
+         |  SELECT d.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM d LEFT JOIN r ON d.g = r.g GROUP BY 1)
+         |SELECT doc_id, n_grams, n_novel,
+         |  CAST(n_novel AS DOUBLE) / n_grams AS frac_novel
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

@@ -361,6 +361,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** N-gram novelty score — the inverse of the contamination signal:
+    * for each document, the fraction of its distinct word shingles
+    * ABSENT from a reference corpus (e.g. the previous crawl snapshot,
+    * an already-trained-on corpus) — the "how much genuinely new text
+    * does this doc add" curation measure. Emits
+    * (doc_id, n_grams, n_novel, frac_novel).
+    *
+    * Scale: the reference reduces to its distinct-shingle set (content-
+    * bounded, map-side combinable); the doc side left-anti-ish tags via
+    * a left join and counts — one shuffle keyed by shingle. Unlike
+    * [[contamination]] the reference here may be corpus-sized, so it
+    * is NOT force-broadcast; AQE picks the build side. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame,
+                   textCol: Column, idCol: Column,
+                   refTextCol: Column, shingleN: Int = 3): DataFrame = {
+    val docSh = shingleSets(docs, textCol, idCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val refSh = reference
+      .select(explode(shinglesUdf(shingleN)(refTextCol)).as("g"))
+      .distinct()
+      .withColumn("__seen", lit(true))
+    docSh.join(refSh, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("frac_novel",
+        col("n_novel").cast(DoubleType) / col("n_grams"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * The shingle projection is computed once and persisted across the
     * bucket and verify stages (it feeds three plan branches). */

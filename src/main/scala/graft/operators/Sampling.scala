@@ -41,6 +41,26 @@ object Sampling {
     sampleBucket(idCol, salt) < floor(rateCol * Buckets).cast(LongType)
   }
 
+  /** Deterministic train/validation/test split: each row's md5 bucket
+    * (pure function of salt + id, like every sampler here) lands it in
+    * exactly one of three partitions with the requested fractions —
+    * reproducible across runs, partitionings and engines, and stable
+    * under incremental re-runs (a row's split never changes as the
+    * corpus grows — the property a random split lacks). Emits the
+    * input plus a `split` column ("train" | "val" | "test"). */
+  def split3(df: DataFrame, idCol: Column, valFrac: Double,
+             testFrac: Double, salt: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      s"need valFrac + testFrac < 1, got $valFrac + $testFrac")
+    val b = sampleBucket(idCol, salt)
+    val valCut = math.floor(valFrac * Buckets).toLong
+    val testCut = valCut + math.floor(testFrac * Buckets).toLong
+    df.withColumn("split",
+      when(b < valCut, "val")
+        .when(b < testCut, "test")
+        .otherwise("train"))
+  }
+
   /** Keep rows whose stratum's rate admits their bucket. Strata missing
     * from `rates` fall back to `default`. */
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,

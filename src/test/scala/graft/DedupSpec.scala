@@ -202,6 +202,23 @@ class DedupSpec extends SparkSpec {
       lineDocs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
   }
 
+  test("ngramNovelty: novel fraction exact against hand-counted shingles") {
+    val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: shingles {a b g, b g d} all in ref -> 0 novel;
+    // doc 2: {a b g, b g x} -> 1 of 2 novel; doc 3: all novel
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma x"),
+      (3L, "totally new words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, ref, col("text"), col("doc_id"),
+        col("text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    got(0) shouldBe ((1L, 2L, 0L, 0.0))
+    got(1) shouldBe ((2L, 2L, 1L, 0.5))
+    got(2) shouldBe ((3L, 2L, 2L, 1.0))
+  }
+
   test("dedupAgainstBloom equals dedupAgainst, even at brutal fpp") {
     val corpus = (0L until 200L).map(i => (i, s"doc number ${i % 120}"))
       .toDF("doc_id", "text") // 120 distinct texts, replicated

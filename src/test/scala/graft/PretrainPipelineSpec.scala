@@ -165,6 +165,15 @@ class PretrainPipelineSpec extends SparkSpec {
       .should(include("\"reason\":\"lm_low\""))
   }
 
+  test("v2 kept set is deterministic across partitionings") {
+    val docs = v2Fixture
+    val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+    def ids(parts: Int): Seq[Long] =
+      PretrainDataPipeline.keptV2Packed(corpus.repartition(parts), bench)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    ids(3) shouldBe ids(11)
+  }
+
   test("v2 query composition equals the materialized v2 run") {
     val docs = v2Fixture
     val (corpus, bench) = PretrainDataPipeline.splitBench(docs)

@@ -267,6 +267,23 @@ class SamplingSpec extends SparkSpec {
     ids(2) shouldBe ids(13)
   }
 
+  test("split3: exhaustive, disjoint, growth-stable assignment") {
+    val ids = (0L until 5000L).toDF("doc_id")
+    val got = Sampling.split3(ids, col("doc_id"), 0.1, 0.2, salt = "s3")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    got.values.sum shouldBe 5000L
+    got("val").toDouble shouldBe 500.0 +- 80.0
+    got("test").toDouble shouldBe 1000.0 +- 100.0
+    // growth stability: the first 2000 rows keep their split when the
+    // corpus doubles (random splits fail this)
+    def assign(n: Long): Map[Long, String] =
+      Sampling.split3((0L until n).toDF("doc_id"), col("doc_id"),
+          0.1, 0.2, salt = "s3")
+        .as[(Long, String)].collect().toMap
+    val small = assign(2000L)
+    assign(4000L).filter(_._1 < 2000L) shouldBe small
+  }
+
   test("chunkDocuments: stride windows cover every token, tail short") {
     // 10 tokens, chunk 4, overlap 1 (stride 3): chunks at 0,3,6 cover
     // [0,4) [3,7) [6,10) — nc = 1 + ceil((10-4)/3) = 3
