@@ -860,6 +860,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- repeated-span removal (ExactSubstr-style at 5-gram
+    //      granularity): tokens covered by any corpus-duplicated
+    //      5-gram are cut from every copy, survivors reassemble
+    "q_dedup_spans" -> ((s, dir) =>
+      operators.Dedup.removeRepeatedSpans(
+          Tables.documents(s, dir), col("text"), col("doc_id"), k = 5)
+        .orderBy(col("doc_id"))),
+
     // ---- Bloom-prefiltered incremental dedup: definite-negatives
     //      skip the anti-join; result PROVABLY equals q_dedup_incremental
     //      (no false negatives), so it shares that oracle shape
@@ -2704,6 +2712,40 @@ object SparkEntry {
         |  SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM seen))
         |SELECT min(doc_id) AS doc_id, fp FROM unseen GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH $toksSql,
+         |p AS (
+         |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos1, t
+         |  FROM toks),
+         |pos AS (SELECT doc_id, pos1 - 1 AS pos, t[pos1] AS w FROM p),
+         |g0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t) - 3)) AS i, t
+         |  FROM toks WHERE len(t) >= 5),
+         |gi AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i:i+4], ' ') AS g
+         |  FROM g0),
+         |dup AS (SELECT g FROM gi GROUP BY g HAVING count(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + d AS cpos
+         |  FROM gi JOIN dup USING (g), range(0, 5) r(d)),
+         |kept AS (
+         |  SELECT p2.doc_id, p2.pos, p2.w
+         |  FROM pos p2 LEFT JOIN cov
+         |    ON p2.doc_id = cov.doc_id AND p2.pos = cov.cpos
+         |  WHERE cov.cpos IS NULL),
+         |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+         |        FROM toks),
+         |ka AS (
+         |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  t.n_tokens,
+         |  t.n_tokens - coalesce(ka.n_kept, 0) AS n_removed
+         |FROM tot t LEFT JOIN ka USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // identical result to q_dedup_incremental by construction (the
     // Bloom pre-filter has no false negatives) — the oracle IS the

@@ -275,6 +275,61 @@ object Dedup {
       .withColumn("flagged", col("frac_dup") > threshold)
   }
 
+  // ------------------------------------------------- repeated spans
+
+  /** Remove REPEATED SPANS across the corpus (the ExactSubstr-style
+    * pass of Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better", public method — here at token-k-gram
+    * granularity instead of suffix arrays): a token is removed iff
+    * some k-gram covering it occurs more than once corpus-wide
+    * (including repeats inside one document); survivors reassemble in
+    * order. Every substring duplicated across ≥ k consecutive tokens
+    * is guaranteed gone from all copies; text shorter than k tokens
+    * is never touched. Emits (doc_id, clean_text, n_tokens,
+    * n_removed).
+    *
+    * Scale: the gram-frequency table is distinct-gram-sized (content-
+    * bounded, map-side combinable); coverage explodes k positions per
+    * DUPLICATED gram instance only; reassembly is a per-document sort
+    * bounded by one document. No all-pairs anything. */
+  def removeRepeatedSpans(df: DataFrame, textCol: Column, idCol: Column,
+                          k: Int = 5): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      graft.functions.TextFunctions.tokens(textCol).as("t"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("pos", "w")))
+    // gram instances with their start positions (0-based)
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct((i - 1).as("pos"),
+            concat_ws(" ", slice(col("t"), i, lit(k))).as("g")))).as("gi"))
+      .select(col("doc_id"), col("gi.pos").as("pos"), col("gi.g").as("g"))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("g"))
+    val covered = grams.join(dupGrams, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val totals = toks.select(col("doc_id"), size(col("t")).cast("long")
+      .as("n_tokens"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   /** Prime modulus for the linear rehash family (2^31 − 1). */

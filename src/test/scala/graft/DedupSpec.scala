@@ -202,6 +202,27 @@ class DedupSpec extends SparkSpec {
       lineDocs.orderBy("doc_id").as[(Long, String)].collect().map(_._2)
   }
 
+  test("removeRepeatedSpans cuts duplicated runs from every copy") {
+    // docs 1 and 2 share an 8-token run (> k=5): the whole run —
+    // every token covered by a duplicated 5-gram — is cut from BOTH;
+    // unique prefixes/suffixes survive; doc 3 is untouched; doc 4 is
+    // shorter than k and never touched even though its words repeat
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"unique alpha $shared tail1"),
+      (2L, s"$shared tail2 beta gamma"),
+      (3L, "completely different content here okay"),
+      (4L, "one two three")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"),
+        k = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    got(0) shouldBe ((1L, "unique alpha tail1", 11L, 8L))
+    got(1) shouldBe ((2L, "tail2 beta gamma", 11L, 8L))
+    got(2) shouldBe ((3L, "completely different content here okay", 5L, 0L))
+    got(3) shouldBe ((4L, "one two three", 3L, 0L))
+  }
+
   test("ngramNovelty: novel fraction exact against hand-counted shingles") {
     val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     // doc 1: shingles {a b g, b g d} all in ref -> 0 novel;
