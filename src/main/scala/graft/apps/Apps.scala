@@ -398,6 +398,108 @@ object MergeChangesetsApp {
   }
 }
 
+/** Raw change-stream processor (reference ChangeStreamProcessor): the
+  * osmchange sequence stream dumped to columnar storage with the
+  * standard dead-letter split — the "just land the replication feed"
+  * utility. Survivors go under `outDir/batch=<id>` (overwrite —
+  * replay converges), malformed rows append under `deadDir`. */
+object ChangeStreamApp {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def run(spark: SparkSession, payloadDir: String, endSequence: Long,
+          outDir: String, deadDir: String, checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "osmchange").option("payloadDir", payloadDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(col("error").isNotNull)
+          .write.mode("append").parquet(deadDir)
+        batch.filter(col("error").isNull).drop("error")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+
+  /** Usage: <payloadDir> <endSeq> <outDir> <deadDir> <checkpointDir> */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("change-stream")
+    try run(spark, args(0), args(1).toLong, args(2), args(3), args(4))
+    finally spark.stop()
+  }
+}
+
+/** Merged changeset-snapshot maintainer (reference
+  * MergedChangesetStreamProcessor): every changesets micro-batch merges
+  * into a maintained snapshot via [[graft.operators.Metadata
+  * .mergeChangesets]] (latest closed_at wins per id). Snapshot
+  * versions land under `snapshotDir/v=<batchId>`; each batch reads the
+  * newest version strictly OLDER than itself, so checkpoint replays
+  * rebuild byte-identical snapshots (same discipline as the
+  * streaming near-dedup state store). */
+object MergedChangesetStreamApp {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  private def latestBelow(spark: SparkSession, snapshotDir: String,
+                          batchId: Long): Option[DataFrame] = {
+    val dir = new java.io.File(snapshotDir)
+    val versions =
+      if (!dir.isDirectory) Seq.empty
+      else dir.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.stripPrefix("v=").toLong)
+        .filter(_ < batchId)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$snapshotDir/v=${versions.max}"))
+  }
+
+  def run(spark: SparkSession, payloadDir: String, endSequence: Long,
+          snapshotDir: String, checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "changesets").option("payloadDir", payloadDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = batch.filter(col("error").isNull)
+          .select(col("id"), col("uid").as("user_id"), col("created_at"),
+            col("closed_at"), col("num_changes"))
+        val merged = latestBelow(spark, snapshotDir, batchId) match {
+          case Some(existing) =>
+            graft.operators.Metadata.mergeChangesets(existing, fresh)
+          case None =>
+            graft.operators.Metadata.mergeChangesets(
+              fresh.limit(0), fresh)
+        }
+        merged.write.mode("overwrite")
+          .parquet(s"$snapshotDir/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    ()
+  }
+
+  /** Usage: <payloadDir> <endSeq> <snapshotDir> <checkpointDir> */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("merged-changeset-stream")
+    try run(spark, args(0), args(1).toLong, args(2), args(3))
+    finally spark.stop()
+  }
+}
+
 /** Tile pyramid -> MVT directory (reference EditHistogramTileCreator).
   * Usage: <sfDir> <tileDir> [baseZoom] [sequence] */
 object TilePyramidApp {

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Thin stream-processor apps on wire fixtures: raw change dump with
+  * dead letters, and the merged changeset snapshot maintainer. */
+class ChangeStreamAppsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ChangeStreamApp lands clean rows per batch, dead-letters the rest") {
+    val dir = Files.createTempDirectory("graft-csp-wire").toString
+    Files.writeString(Paths.get(dir, "0.xml"),
+      """<osmChange><create>
+        |<node id="1" version="1" timestamp="2026-01-01T00:00:00Z"
+        | changeset="9" uid="1" user="u" lat="1.0" lon="2.0"/>
+        |<node id="2" version="1" timestamp="2026-01-01T00:00:00Z"
+        | changeset="9" uid="1" user="u" lat="1.5" lon="2.5"/>
+        |</create></osmChange>""".stripMargin)
+    Files.writeString(Paths.get(dir, "1.xml"), "this is not xml <<<")
+    val out = Files.createTempDirectory("graft-csp-out").toString
+    val dead = Files.createTempDirectory("graft-csp-dead").toString
+    apps.ChangeStreamApp.run(spark, dir, endSequence = 1L, out, dead,
+      Files.createTempDirectory("graft-csp-ckpt").toString)
+    spark.read.parquet(s"$out/batch=0").count() shouldBe 2L
+    val deadRows = spark.read.parquet(dead)
+    deadRows.count() shouldBe 1L
+    deadRows.select("error").as[String].head() should include ("xml_parse")
+  }
+
+  test("MergedChangesetStreamApp maintains a latest-wins snapshot") {
+    def cs(id: Long, closed: String, n: Long): String =
+      s"""<changeset id="$id" created_at="2026-01-01T00:00:00Z"
+         | closed_at="$closed" open="false" user="u" uid="1"
+         | num_changes="$n"/>""".stripMargin.replace("\n", "")
+    val dir = Files.createTempDirectory("graft-mcs-wire").toString
+    // seq 0: changesets 1 and 2
+    Files.writeString(Paths.get(dir, "0.xml"),
+      s"<osm>${cs(1, "2026-01-01T01:00:00Z", 5)}${cs(2, "2026-01-01T01:00:00Z", 3)}</osm>")
+    // seq 1: changeset 2 re-closed LATER with more changes, 3 is new
+    Files.writeString(Paths.get(dir, "1.xml"),
+      s"<osm>${cs(2, "2026-01-01T02:00:00Z", 7)}${cs(3, "2026-01-01T02:00:00Z", 1)}</osm>")
+    val snap = Files.createTempDirectory("graft-mcs-snap").toString
+    def run(ckpt: String): Unit = apps.MergedChangesetStreamApp.run(
+      spark, dir, endSequence = 1L, snap, ckpt)
+    run(Files.createTempDirectory("graft-mcs-ckpt").toString)
+    val versions = new java.io.File(snap).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    val finalSnap = spark.read.parquet(s"$snap/${versions.last}")
+      .select("id", "num_changes").as[(Long, Long)].collect().toMap
+    finalSnap shouldBe Map(1L -> 5L, 2L -> 7L, 3L -> 1L)
+    // full replay with a fresh checkpoint rebuilds identical versions
+    run(Files.createTempDirectory("graft-mcs-ckpt2").toString)
+    spark.read.parquet(s"$snap/${versions.last}")
+      .select("id", "num_changes").as[(Long, Long)].collect()
+      .toMap shouldBe finalSnap
+  }
+}
