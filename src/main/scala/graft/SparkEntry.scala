@@ -474,6 +474,18 @@ object SparkEntry {
           pinSalt = false)
         .orderBy(col("event_type"))),
 
+    // ---- fixed-round integer PageRank over the supplier→part edge
+    //      graph (beyond-reference graph analytics; exact integer mass
+    //      flow — bit-identical across partitionings and engines)
+    "q_graph_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(
+          Tables.lineitem(s, dir)
+            .select(concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"))
+            .distinct(),
+          col("src"), col("dst"), rounds = 3)
+        .orderBy(col("node"))),
+
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
     "q_a7_boolor" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1781,6 +1793,41 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |         'p' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p0 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c1.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p1 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p2 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c2.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p2 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p3 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
 
     "q_j_asof" ->
       """WITH e AS (

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics on edge tables. Connected components
+  * live in [[Dedup.canonicalizeClusters]] (large-star/small-star);
+  * this adds the other fixed-point classic, with the same determinism
+  * discipline as the rest of the engine: INTEGER mass, exact integer
+  * division, fixed round budget — results are bit-identical across
+  * partitionings and engines, which float PageRank (order-dependent
+  * double sums) can never be.
+  */
+object Graph {
+
+  /** Fixed-round integer PageRank: every node starts with `scale`
+    * units of mass; each round a node sends
+    * floor(pr·dampNum / (dampDen·outdeg)) units along each out-edge
+    * (one exact integer division — rounding residue is dropped
+    * deterministically, as is dangling-node mass) and every node
+    * restarts from floor(scale·(dampDen−dampNum)/dampDen) plus its
+    * received mass. Emits (node, pr) after `rounds` rounds.
+    *
+    * Scale: each round is one groupBy(outdeg) + one edge join + one
+    * incoming-mass aggregation — all map-side combinable, shuffled by
+    * node key; no driver-side state at all. Skew equals the hottest
+    * node's in-degree (salt upstream if one hub dominates). */
+  def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
+               rounds: Int = 3, scale: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(srcCol.cast("string").as("src"),
+      dstCol.cast("string").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = nodes.withColumn("pr", lit(scale))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(pr * $dampNum) div ($dampDen * od)").as("c"))
+      val incoming = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("in"))
+      pr = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in"), lit(0L))).as("pr"))
+      r += 1
+    }
+    pr
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Integer PageRank: hand-computed fixed rounds, partition-stable. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches hand-computed integer rounds exactly") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+    // r1: A=150000, B=150000+425000, C=150000+425000+850000
+    // r2: A=150000, B=150000+63750,  C=150000+63750+488750
+    // r3: A=150000, B=213750,        C=150000+63750+181687
+    val got = Graph.pageRank(edges, col("s"), col("d"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("A" -> 150000L, "B" -> 213750L, "C" -> 395437L)
+    // sink C received the most mass; dangling residue dropped, so
+    // total mass shrinks monotonically below n*scale
+    got.values.sum should be < 3000000L
+  }
+
+  test("pageRank is identical under repartitioning") {
+    val edges = (0L until 2000L)
+      .map(i => (s"n${i % 97}", s"n${(i * 31 + 7) % 97}"))
+      .toDF("s", "d").distinct()
+    val a = Graph.pageRank(edges, col("s"), col("d"))
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRank(edges.repartition(17), col("s"), col("d"))
+      .as[(String, Long)].collect().toMap
+    a shouldBe b
+  }
+}
