@@ -664,6 +664,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- near-dup cluster-size histogram (the "how duplicated is
+    //      this corpus" report a dedup pass ships with)
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val pairs = operators.Dedup.minhashLshPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      operators.Dedup.canonicalizeClusters(pairs.select(col("ia"), col("ib")))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     "q_dedup_embedding" -> ((s, dir) =>
       operators.Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.45)
         .orderBy(col("ia"), col("ib"))),
@@ -2112,6 +2126,51 @@ object SparkEntry {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // same recursive cluster labels as q_dedup_cluster, rolled up into
+    // the cluster-size histogram (members + canonical per cluster)
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $toksSql, $shSql,
+         |hb AS (
+         |  SELECT doc_id,
+         |    [(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) % 2147483647
+         |     for x in s] AS bases
+         |  FROM sh),
+         |bb AS (
+         |  SELECT doc_id, b AS band,
+         |    list_min([(h*(2*(b*3+0)+1) + (7919*(b*3+0)+13)) % 2147483647
+         |              for h in bases]) || '|' ||
+         |    list_min([(h*(2*(b*3+1)+1) + (7919*(b*3+1)+13)) % 2147483647
+         |              for h in bases]) || '|' ||
+         |    list_min([(h*(2*(b*3+2)+1) + (7919*(b*3+2)+13)) % 2147483647
+         |              for h in bases]) AS bucket
+         |  FROM hb, range(0,4) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |jv AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib),
+         |edges AS (
+         |  SELECT ia AS a, ib AS b FROM jv WHERE jac >= 0.5
+         |  UNION
+         |  SELECT ib AS a, ia AS b FROM jv WHERE jac >= 0.5),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a),
+         |sizes AS (
+         |  SELECT canonical_id, count(*) AS cluster_size
+         |  FROM labels GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $toksSql, $shSql,

@@ -401,6 +401,22 @@ object Multimodal {
         .filter(col("dh").isNotNull),
       maxHamming)
 
+  /** Collapse perceptual near-dup pairs ([[imageNearDupPairs]] /
+    * [[audioNearDupPairs]]) into a canonical mapping via the shared
+    * connected-components pass — (asset_id, canonical_id) for every
+    * asset, identity rows for uniques: the multimodal analog of exact
+    * text dedup's actionable keep/drop list. */
+  def assetCanonical(assets: DataFrame, pairs: DataFrame,
+                     idCol: String = "asset_id"): DataFrame = {
+    val labels = graft.operators.Dedup
+      .canonicalizeClusters(pairs.select(col("ia"), col("ib")))
+      .withColumnRenamed("doc_id", "asset_id")
+    assets.select(col(idCol).cast("long").as("asset_id"))
+      .join(labels, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("canonical_id"), col("asset_id")).as("canonical_id"))
+  }
+
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives 8 deterministic floats from payload
     * bytes so the pipeline shape is testable end-to-end. */

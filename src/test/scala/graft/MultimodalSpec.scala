@@ -353,6 +353,11 @@ class MultimodalSpec extends SparkSpec {
     val pairs = Multimodal.imageNearDupPairs(assets)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
     pairs shouldBe Set((1L, 2L))
+
+    // canonical collapse: 2 maps to 1, everything else to itself
+    Multimodal.assetCanonical(assets, Multimodal.imageNearDupPairs(assets))
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L)
   }
 
   test("audio fingerprint: envelope-near clips pair, reversed does not") {
