@@ -264,4 +264,29 @@ object TextFunctions {
       sig
     })
   }
+
+  /** Compression-ratio junk signal (the "gzip test" used in web-corpus
+    * cleaning): deflate the UTF-8 text at a fixed level and report
+    * compressed/raw size. Highly repetitive boilerplate compresses far
+    * below natural prose (~0.3-0.6), random noise sits near/above 1.
+    * Deterministic for a given JVM's zlib (fixed level, no headers
+    * varying) but NOT cross-engine oracle-hashable — DuckDB has no
+    * deflate — so this is a spec-verified signal, like the multimodal
+    * decoders. Empty text reports 1.0. */
+  def deflateRatioScala(s: String, level: Int = 6): Double = {
+    if (s == null || s.isEmpty) return 1.0
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
+  val deflateRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => deflateRatioScala(s))
 }

@@ -154,4 +154,23 @@ class FunctionsSpec extends SparkSpec {
       .select(collapseRepeatedTokens(tokens(col("text"))))
       .as[Seq[String]].head shouldBe Seq.empty
   }
+
+  test("deflateRatio separates boilerplate from prose from noise") {
+    import graft.functions.TextFunctions
+    val spam = TextFunctions.deflateRatioScala("spam " * 500)
+    val prose = TextFunctions.deflateRatioScala(
+      ("the quick brown fox jumps over the lazy dog while seventeen " +
+        "violinists rehearse an entirely different melody outside ") * 20)
+    val noise = TextFunctions.deflateRatioScala(
+      (0 until 2000).map(i =>
+        (graft.functions.TextFunctions.stableHash64Scala(i.toString) % 94
+          + 33).toChar).mkString)
+    spam should be < 0.05
+    prose should be > spam
+    prose should be < 0.5
+    noise should be > 0.6
+    TextFunctions.deflateRatioScala("") shouldBe 1.0
+    // deterministic on repeat invocation
+    TextFunctions.deflateRatioScala("spam " * 500) shouldBe spam
+  }
 }
