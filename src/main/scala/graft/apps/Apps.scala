@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.Trigger
   * reference's batch/streaming command apps (reference
   * apps/src/main/scala/osmesa/apps/batch and streaming; SURVEY.md §3).
   * Arg parsing is plain (no CLI-framework dependency available offline).
+  *
+  * Every streaming pipeline takes a `trigger` knob defaulting to
+  * AvailableNow (drain-and-stop — the reference's one-shot updaters);
+  * pass `Trigger.ProcessingTime(...)` for the reference's `Streaming*`
+  * continuous variants — the topology, state and exactly-once
+  * discipline are identical either way.
   */
 object Apps {
   def session(name: String): SparkSession = {
@@ -107,7 +113,8 @@ object AugDiffStatsPipeline {
   def run(spark: SparkSession, payloadDir: String, endSequence: Long,
           store: graft.sinks.UpsertSink.UpsertStore, procName: String,
           checkpointDir: String, deadDir: String,
-          maxConnections: Int = 4): Unit = {
+          maxConnections: Int = 4,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val mirror = new graft.streaming.CheckpointMirror(store, procName)
     spark.streams.addListener(mirror)
     try {
@@ -126,7 +133,7 @@ object AugDiffStatsPipeline {
           ()
         }
         .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
+        .trigger(trigger)
         .start()
       q.awaitTermination(180000)
       ()
@@ -170,7 +177,8 @@ object ChangesetMetadataPipeline {
           store: graft.sinks.MetadataUpsert.MetadataStore with graft.sinks.UpsertSink.UpsertStore,
           procName: String, checkpointDir: String,
           updateUsernames: Boolean = false,
-          maxConnections: Int = 4): Unit = {
+          maxConnections: Int = 4,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     import org.apache.spark.sql.DataFrame
     val mirror = new graft.streaming.CheckpointMirror(store, procName)
     spark.streams.addListener(mirror)
@@ -189,7 +197,7 @@ object ChangesetMetadataPipeline {
           ()
         }
         .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
+        .trigger(trigger)
         .start()
       q.awaitTermination(180000)
       ()
@@ -218,7 +226,8 @@ object HashtagFootprintPipeline {
 
   def run(spark: SparkSession, diffDir: String, csDir: String,
           endSequence: Long, tileDir: String, checkpointDir: String,
-          zoom: Int = 3, cells: Int = 8): Unit = {
+          zoom: Int = 3, cells: Int = 8,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -257,7 +266,7 @@ object HashtagFootprintPipeline {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination(180000)
     ()
@@ -280,7 +289,8 @@ object UserFootprintPipeline {
 
   def run(spark: SparkSession, diffDir: String, endSequence: Long,
           tileDir: String, checkpointDir: String,
-          zoom: Int = 3, cells: Int = 8): Unit = {
+          zoom: Int = 3, cells: Int = 8,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -300,7 +310,7 @@ object UserFootprintPipeline {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination(180000)
     ()
@@ -325,7 +335,8 @@ object EditTileUpdaterPipeline {
 
   def run(spark: SparkSession, diffDir: String, endSequence: Long,
           tileDir: String, checkpointDir: String,
-          zoom: Int = 3, cells: Int = 8): Unit = {
+          zoom: Int = 3, cells: Int = 8,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -344,7 +355,7 @@ object EditTileUpdaterPipeline {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination(180000)
     ()
@@ -408,7 +419,8 @@ object ChangeStreamApp {
   import org.apache.spark.sql.functions._
 
   def run(spark: SparkSession, payloadDir: String, endSequence: Long,
-          outDir: String, deadDir: String, checkpointDir: String): Unit = {
+          outDir: String, deadDir: String, checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val stream = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "osmchange").option("payloadDir", payloadDir)
@@ -423,7 +435,7 @@ object ChangeStreamApp {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination(180000)
     ()
@@ -463,7 +475,8 @@ object MergedChangesetStreamApp {
   }
 
   def run(spark: SparkSession, payloadDir: String, endSequence: Long,
-          snapshotDir: String, checkpointDir: String): Unit = {
+          snapshotDir: String, checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val stream = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "changesets").option("payloadDir", payloadDir)
@@ -486,7 +499,7 @@ object MergedChangesetStreamApp {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination(180000)
     ()
@@ -497,6 +510,33 @@ object MergedChangesetStreamApp {
     val spark = Apps.session("merged-changeset-stream")
     try run(spark, args(0), args(1).toLong, args(2), args(3))
     finally spark.stop()
+  }
+}
+
+/** Batch FACETED edit-histogram tile creator (reference
+  * FacetedEditHistogramTileCreator): per-day-facet density pyramid
+  * over all events, written as the relational facet summary.
+  * Usage: <sfDir> <outDir> [baseZoom] [minZoom] */
+object FacetedTileCreatorApp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    val sfDir = args(0); val outDir = args(1)
+    val baseZoom = if (args.length > 2) args(2).toInt else 5
+    val minZoom = if (args.length > 3) args(3).toInt else 0
+    val spark = Apps.session("faceted-tile-creator")
+    val pts = graft.Tables.events(spark, sfDir)
+      .withColumn("lon", graft.functions.synthLon(col("event_id")))
+      .withColumn("lat", graft.functions.synthLat(col("event_id")))
+      .withColumn("key", lit("all"))
+      .withColumn("facet",
+        graft.functions.dayKey(col("ts")).cast(StringType))
+    graft.operators.FacetedTiles.facetSummary(
+        graft.operators.FacetedTiles.pyramidFaceted(pts, "key", "lon",
+          "lat", "facet", baseZoom = baseZoom, minZoom = minZoom,
+          cells = 16))
+      .write.mode("overwrite").parquet(outDir)
+    spark.stop()
   }
 }
 
