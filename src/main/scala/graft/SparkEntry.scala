@@ -1207,6 +1207,26 @@ object SparkEntry {
           budget = 4096L)
         .orderBy(col("shard"))),
 
+    // ---- exactly k docs per language (hash-ranked, deterministic):
+    //      the rate-free "k per domain" sample
+    "q_sample_exact_k" -> ((s, dir) =>
+      operators.Sampling.exactKPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), k = 10, salt = "ek1")
+        .orderBy(col("doc_id"))),
+
+    // ---- token-budgeted temperature mix: per-source cost sums drive
+    //      the n^alpha weights; kept cost tracks the budget
+    "q_mix_by_cost" -> ((s, dir) =>
+      operators.Sampling.temperatureMixByCost(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          col("n_chars"), targetCost = 100000L, alpha = 0.5,
+          salt = "mc1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("cost_kept"))
+        .orderBy(col("source"))),
+
     // ---- deterministic train/val/test split: md5-bucket assignment,
     //      stable under corpus growth (a row's split never changes)
     "q_split3" -> ((s, dir) =>
@@ -3255,6 +3275,36 @@ object SparkEntry {
         |  FROM e JOIN cl ON e.label = cl.label)
         |SELECT vec_id, label, dist_r, dist_r > 1.02 AS is_outlier
         |FROM dist ORDER BY vec_id""".stripMargin,
+
+    "q_sample_exact_k" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST('0x' || substr(md5('ek1:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_by_cost" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cst
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT sum(pow(cst, 0.5)) AS st FROM c),
+        |r AS (
+        |  SELECT source, least(1.0,
+        |    floor(100000.0 * pow(cst, 0.5) / st / cst * 1000000 + 0.5)
+        |      / 1000000) AS rate
+        |  FROM c, s),
+        |k AS (
+        |  SELECT d.source, d.doc_id, d.n_chars
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST('0x' || substr(md5('mc1:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+        |    < CAST(floor(rate * 10000) AS BIGINT))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS cost_kept
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_split3" ->
       """WITH b AS (

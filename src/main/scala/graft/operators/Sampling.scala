@@ -68,6 +68,46 @@ object Sampling {
                        salt: String = "graft"): DataFrame =
     df.filter(keepPredicate(stratumCol, idCol, rates, default, salt))
 
+  /** Exactly k rows per group, deterministically: rank by the salted
+    * md5 hash (id tie-break) inside each group and keep rank ≤ k —
+    * the "k docs per domain" primitive where a RATE-based sample
+    * ([[stratifiedSample]]) can't promise exact counts. Groups smaller
+    * than k keep everything. One window per group, parallel across
+    * groups. */
+  def exactKPerGroup(df: DataFrame, groupCol: Column, idCol: Column,
+                     k: Int, salt: String = "topk"): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(stableHash64(concat_ws(":", lit(salt),
+        idCol.cast("string"))), idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** [[temperatureMix]] weighted by a COST column (token counts)
+    * instead of row counts — the budget a mix is actually specified in.
+    * Per source s: w_s ∝ (Σ cost_s)^α; keep rows with probability
+    * min(1, T·w_s/Σcost_s) so each source contributes ≈ T·w_s of cost.
+    * Same deterministic hash-bucket keep and 1e-6 stable rounding. */
+  def temperatureMixByCost(df: DataFrame, sourceCol: Column, idCol: Column,
+                           costCol: Column, targetCost: Long,
+                           alpha: Double = 0.5,
+                           salt: String = "graft"): DataFrame = {
+    val costs = df.groupBy(sourceCol.as("__src"))
+      .agg(sum(costCol).as("__c"))
+    val tot = costs.agg(sum(pow(col("__c"), alpha)).as("__S"))
+    val rates = costs.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        floor(lit(targetCost.toDouble) * pow(col("__c"), alpha) /
+          col("__S") / col("__c") * 1e6 + lit(0.5)) / 1e6))
+      .select(col("__src"), col("__rate"))
+    df.withColumn("__srcRow", sourceCol)
+      .join(broadcast(rates), col("__srcRow") <=> col("__src"))
+      .filter(sampleBucket(idCol, salt) <
+        floor(col("__rate") * Buckets).cast(LongType))
+      .drop("__srcRow", "__src", "__rate")
+  }
+
   /** Temperature-scaled source mixing — the multilingual-pretraining
     * reweighting p_s ∝ n_s^α (α < 1 upweights rare sources, α = 1 is
     * proportional, α = 0 uniform). Each source keeps rows with

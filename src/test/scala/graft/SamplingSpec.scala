@@ -267,6 +267,36 @@ class SamplingSpec extends SparkSpec {
     ids(2) shouldBe ids(13)
   }
 
+  test("exactKPerGroup: exactly k (or all) per group, partition-stable") {
+    val d = (0L until 1000L).map(i => (i, s"g${i % 7}"))
+      .toDF("doc_id", "grp") // groups of ~143
+      .union(Seq((9999L, "tiny")).toDF("doc_id", "grp"))
+    def ids(parts: Int): Map[String, Set[Long]] =
+      Sampling.exactKPerGroup(d.repartition(parts), col("grp"),
+          col("doc_id"), k = 5, salt = "ek")
+        .as[(Long, String)].collect()
+        .groupBy(_._2).map { case (g, rs) => g -> rs.map(_._1).toSet }
+    val got = ids(3)
+    (0 until 7).foreach(g => got(s"g$g").size shouldBe 5)
+    got("tiny") shouldBe Set(9999L) // smaller than k: keep all
+    ids(13) shouldBe got
+  }
+
+  test("temperatureMixByCost: kept cost tracks the n^alpha budget") {
+    // source a: 900 docs x 10 cost; b: 100 docs x 90 cost (equal 9000
+    // totals -> equal weights, rate = min(1, T*w/total) same for both)
+    val d = (0L until 1000L).map(i =>
+      (i, if (i < 900) "a" else "b", if (i < 900) 10L else 90L))
+      .toDF("doc_id", "src", "cost")
+    val kept = Sampling.temperatureMixByCost(d, col("src"), col("doc_id"),
+        col("cost"), targetCost = 9000L, alpha = 0.5, salt = "tc")
+      .groupBy("src").agg(sum("cost").as("c"))
+      .as[(String, Long)].collect().toMap
+    // each source targets ~4500 of cost (9000 * 0.5)
+    kept("a").toDouble shouldBe 4500.0 +- 700.0
+    kept("b").toDouble shouldBe 4500.0 +- 900.0
+  }
+
   test("split3: exhaustive, disjoint, growth-stable assignment") {
     val ids = (0L until 5000L).toDF("doc_id")
     val got = Sampling.split3(ids, col("doc_id"), 0.1, 0.2, salt = "s3")
