@@ -1274,6 +1274,46 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Count-Min point-frequency sketch: one global depth×width
+    //      counter matrix (fixed-size, map-side combinable), then every
+    //      frequent token probed against it as a PROJECTION (codegen'd
+    //      element_at+least over the broadcast sketch row — no join).
+    //      Estimates are one-sided (est ≥ true); the md5-derived hash
+    //      family lets the oracle rebuild the exact counter matrix.
+    "q_sketch_cms" -> ((s, dir) => {
+      val d = 4; val w = 512
+      val toks = Tables.documents(s, dir).select(
+        explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      val sketch = toks.agg(
+        plans.CountMinSketchAgg.countMin(col("w"), d, w).as("sk"))
+      toks.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") >= 100)
+        .crossJoin(broadcast(sketch))
+        .select(col("w"), col("n_true"),
+          plans.CountMinSketchAgg.probe(col("sk"), col("w"), d, w)
+            .as("n_est"))
+        .orderBy(col("w"))
+    }),
+
+    // ---- sketch RE-AGGREGATION: per-language partial KMV sketches
+    //      (the shape you'd store per file/day at 100 TB) folded into
+    //      the global estimate without rescanning — and checked equal
+    //      to the direct one-pass global sketch (bottom-k union is
+    //      lossless, so merged == direct, bit-identical)
+    "q_sketch_reagg" -> ((s, dir) => {
+      val occ = Tables.documents(s, dir).select(col("lang"),
+        explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      val partials = occ.groupBy(col("lang"))
+        .agg(plans.KmvDistinctAgg.kmvSketch(col("w"), 16).as("sk"))
+      val merged = partials.agg(
+        plans.KmvDistinctAgg.kmvMergeEstimate(col("sk"), 16)
+          .as("n_est_merged"))
+      val direct = occ.agg(
+        plans.KmvDistinctAgg.distinctKmv(col("w"), 16).as("n_est_direct"))
+      merged.crossJoin(direct)
+        .select(col("n_est_merged"), col("n_est_direct"))
+    }),
+
     // ---- Misra-Gries heavy-hitters GUARANTEE projection: pass 1 is
     //      the bounded MG sketch (k=30 over 31 distinct tokens, so
     //      eviction fires); pass 2 exactly recounts only the ≤ k
@@ -3191,6 +3231,46 @@ object SparkEntry {
         |       FROM o GROUP BY 1)
         |SELECT lang, n_distinct_est, n_distinct_exact
         |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+
+    "q_sketch_cms" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT unnest(t) AS w FROM toks),
+         |cnt AS (SELECT w, count(*) AS n_true FROM occ GROUP BY w),
+         |base AS (
+         |  SELECT w, n_true,
+         |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 2147483647
+         |      AS b
+         |  FROM cnt),
+         |h AS (
+         |  SELECT w, n_true, r.i,
+         |    ((b * (2*r.i + 1) + 7919*r.i + 13) % 2147483647) % 512
+         |      AS bkt
+         |  FROM base CROSS JOIN range(4) r(i)),
+         |buckets AS (
+         |  SELECT i, bkt, sum(n_true) AS c FROM h GROUP BY i, bkt)
+         |SELECT w, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(min(c) AS BIGINT) AS n_est
+         |FROM h JOIN buckets USING (i, bkt)
+         |GROUP BY w, n_true HAVING n_true >= 100
+         |ORDER BY w""".stripMargin,
+
+    "q_sketch_reagg" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT unnest(t) AS w FROM toks),
+         |h AS (SELECT DISTINCT
+         |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+         |      FROM occ),
+         |r AS (
+         |  SELECT hv,
+         |    row_number() OVER (ORDER BY hv) AS rn,
+         |    count(*) OVER () AS nd
+         |  FROM h),
+         |est AS (
+         |  SELECT CASE WHEN nd < 16 THEN nd
+         |    ELSE CAST(floor(15 * 1152921504606846976.0 / hv) AS BIGINT)
+         |  END AS e
+         |  FROM r WHERE rn = least(nd, 16))
+         |SELECT e AS n_est_merged, e AS n_est_direct FROM est""".stripMargin,
 
     "q_heavy_hitters_guarantee" ->
       s"""WITH $toksSql,

@@ -1,0 +1,141 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a native
+  * TypedImperativeAggregate: a depth×width counter matrix answering
+  * point frequency queries with one-sided error (estimate ≥ true count,
+  * over by ≤ εn with probability 1−δ for width = ⌈e/ε⌉, depth =
+  * ⌈ln 1/δ⌉). Completes the mergeable-sketch triad next to
+  * [[KmvDistinctAgg]] (cardinality) and [[HeavyHittersAgg]] (top
+  * frequencies): fixed-size state, map-side combinable, element-wise
+  * mergeable — the shape that lets 100 TB pre-aggregate per file/day
+  * and fold partials without a second scan of the data.
+  *
+  * Like the KMV sketch this one is fully DETERMINISTIC and
+  * cross-engine reproducible: row i's hash is the same linear rehash
+  * family the minhash signature uses
+  * (`TextFunctions.minhashSigUdf`),
+  *   h_i(x) = ((2i+1)·(stableHash64(x) mod P) + 7919i + 13) mod P mod width,
+  * P = 2^31−1, so a SQL engine with md5 can rebuild the exact counter
+  * matrix and the oracle can hash-compare estimates (no RNG seeds, no
+  * platform-dependent iteration order — counters are sums, so the
+  * result is a pure function of the input multiset).
+  *
+  * eval returns the flattened row-major counter matrix
+  * (array<long>, length depth·width); probe with [[CountMinSketchAgg
+  * .probe]] — a pure built-in expression (element_at + least) that
+  * stays inside whole-stage codegen.
+  */
+case class CountMinSketchAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16,
+    s"count_min_sketch needs 1 <= depth <= 16, got $depth")
+  require(width >= 2, s"count_min_sketch needs width >= 2, got $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = graft.functions.TextFunctions.stableHash64Scala(
+        v.asInstanceOf[UTF8String].toString) % CountMinSketchAgg.P
+      var i = 0
+      while (i < depth) {
+        val h = (base * (2 * i + 1) + (7919L * i + 13)) % CountMinSketchAgg.P
+        buf(i * width + (h % width).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinSketchAgg =
+    copy(child = newChildren.head)
+}
+
+object CountMinSketchAgg {
+  private[plans] val P = 2147483647L // 2^31 − 1
+
+  /** Column-level entry point: aggregate a string column into the
+    * flattened depth×width counter matrix. */
+  def countMin(c: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      CountMinSketchAgg(GraftShims.expression(c), depth, width)
+        .toAggregateExpression())
+  }
+
+  /** Point-frequency estimate from a sketch column: min over rows of
+    * the counter each row hashes the key into. Pure built-ins
+    * (stableHash64 → element_at → least), so the probe is codegen'd
+    * and broadcast-friendly — probing N keys against one sketch is a
+    * projection, not a join. */
+  def probe(sketch: Column, key: Column, depth: Int, width: Int): Column = {
+    val base = graft.functions.stableHash64(key) % P
+    val perRow = (0 until depth).map { i =>
+      val bucket = (base * (2 * i + 1) + (7919L * i + 13)) % P % width
+      element_at(sketch, (lit(i * width) + bucket + 1).cast(IntegerType))
+    }
+    if (depth == 1) perRow.head else least(perRow: _*)
+  }
+
+  /** Register `count_min_sketch(expr, depth, width)`. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min_sketch",
+      exprs => CountMinSketchAgg(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+}

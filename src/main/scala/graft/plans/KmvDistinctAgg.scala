@@ -69,9 +69,7 @@ case class KmvDistinctAgg(
   }
 
   override def eval(buf: java.util.TreeSet[Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else math.floor((k - 1).toDouble * 1152921504606846976.0 /
-      buf.last.toDouble).toLong
+    KmvDistinctAgg.estimate(buf, k)
 
   override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -116,4 +114,131 @@ object KmvDistinctAgg {
     GraftShims.column(
       KmvDistinctAgg(GraftShims.expression(c), k).toAggregateExpression())
   }
+
+  /** Shared KMV estimate: bottom-k buffer -> cardinality estimate. */
+  private[plans] def estimate(buf: java.util.TreeSet[Long], k: Int): Long =
+    if (buf.size < k) buf.size.toLong
+    else math.floor((k - 1).toDouble * 1152921504606846976.0 /
+      buf.last.toDouble).toLong
+
+  /** Column entry for [[KmvSketchAgg]]. */
+  def kmvSketch(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      KmvSketchAgg(GraftShims.expression(c), k).toAggregateExpression())
+  }
+
+  /** Column entry for [[KmvMergeAgg]]. */
+  def kmvMergeEstimate(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      KmvMergeAgg(GraftShims.expression(c), k).toAggregateExpression())
+  }
+}
+
+/** The RE-AGGREGATION half of the KMV sketch: emit the raw bottom-k
+  * hash set (sorted array<long>) instead of the estimate, so partial
+  * sketches can be stored per group/partition/day and folded later
+  * with [[KmvMergeAgg]] WITHOUT rescanning the data — the
+  * pre-aggregate-then-merge pattern that turns a 100 TB global
+  * distinct count into a scan of yesterday's tiny sketch table plus
+  * today's delta. Union-then-truncate is lossless for bottom-k
+  * (min is distributive over union), so merged partials are
+  * bit-identical to a direct global sketch. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, s"kmv_sketch needs k >= 2, got $k")
+
+  private val inner = KmvDistinctAgg(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] =
+    inner.update(buf, input)
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    inner.merge(a, b)
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Folds stored partial KMV sketches (array<long> columns produced by
+  * [[KmvSketchAgg]]) into the global cardinality estimate. Input rows
+  * are sketches, not values — this is what runs over the sketch table
+  * in the pre-aggregate-then-merge pattern. */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, s"kmv_merge needs k >= 2, got $k")
+
+  private val inner = KmvDistinctAgg(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    inner.createAggregationBuffer()
+
+  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
+    if (buf.size < k) buf.add(h)
+    else if (h < buf.last) {
+      if (buf.add(h)) buf.remove(buf.last)
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { add(buf, arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    inner.merge(a, b)
+  override def eval(buf: java.util.TreeSet[Long]): Any =
+    KmvDistinctAgg.estimate(buf, k)
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = newChildren.head)
 }

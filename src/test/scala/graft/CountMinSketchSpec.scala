@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{CountMinSketchAgg, KmvDistinctAgg}
+
+class CountMinSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimates are one-sided and exact when width avoids collisions") {
+    // 8 distinct values, width 512: collision probability negligible for
+    // this fixed hash family — verified exact below, not assumed
+    val df = (0 until 800).map(i => s"v${i % 8}").toDF("v")
+    val sketch = df.agg(CountMinSketchAgg.countMin(col("v"), 4, 512).as("sk"))
+    val got = df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .crossJoin(sketch)
+      .select(col("v"), col("n"),
+        CountMinSketchAgg.probe(col("sk"), col("v"), 4, 512).as("est"))
+      .as[(String, Long, Long)].collect()
+    got should have size 8
+    got.foreach { case (_, n, est) => est shouldBe n }
+  }
+
+  test("sketch is deterministic across partitionings and over-counts under collision") {
+    val df = (0 until 5000).map(i => s"item${i % 1000}").toDF("v")
+    // width 16 << 1000 distinct: heavy collisions, so every estimate is
+    // >= true (one-sided) and most are strictly over
+    def run(p: Int) = df.repartition(p)
+      .agg(CountMinSketchAgg.countMin(col("v"), 4, 16).as("sk"))
+      .crossJoin(df.groupBy(col("v")).agg(count(lit(1)).as("n")))
+      .select(col("v"), col("n"),
+        CountMinSketchAgg.probe(col("sk"), col("v"), 4, 16).as("est"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val a = run(1)
+    a.foreach { case (_, n, est) => est should be >= n }
+    a.count { case (_, n, est) => est > n } should be > 0
+    run(13) shouldBe a // counters are sums: partition-order-free
+  }
+
+  test("SQL registration works") {
+    CountMinSketchAgg.register(spark)
+    val df = (0 until 100).map(i => s"k${i % 5}").toDF("v")
+    df.createOrReplaceTempView("cms_in")
+    val sk = spark.sql(
+      "SELECT count_min_sketch(v, 2, 64) AS sk FROM cms_in")
+    sk.select(org.apache.spark.sql.functions.size(col("sk")))
+      .as[Int].head shouldBe 128
+  }
+
+  test("merged per-group KMV partials equal the direct global sketch") {
+    val df = (0 until 8000).map(i => (s"g${i % 5}", s"t${i % 700}"))
+      .toDF("g", "v")
+    val direct = df.agg(KmvDistinctAgg.distinctKmv(col("v"), 32))
+      .as[Long].head
+    val merged = df.groupBy(col("g"))
+      .agg(KmvDistinctAgg.kmvSketch(col("v"), 32).as("sk"))
+      .agg(KmvDistinctAgg.kmvMergeEstimate(col("sk"), 32))
+      .as[Long].head
+    merged shouldBe direct // bottom-k union is lossless
+    // partial sketches are capped at k entries
+    df.groupBy(col("g")).agg(KmvDistinctAgg.kmvSketch(col("v"), 32).as("sk"))
+      .select(max(org.apache.spark.sql.functions.size(col("sk"))))
+      .as[Int].head should be <= 32
+  }
+}
