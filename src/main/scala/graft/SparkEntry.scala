@@ -474,6 +474,28 @@ object SparkEntry {
           pinSalt = false)
         .orderBy(col("event_type"))),
 
+    // ---- Z-order data layout (SURVEY §4): Morton-interleave the two
+    //      quantized synthetic coords into one clustering key, then
+    //      report each key-range bucket's min/max envelope on BOTH
+    //      dims — the per-file statistics a z-ordered parquet write
+    //      gives a 100 TB scan for file skipping on either predicate.
+    //      All-integer quantization, so the key is oracle-exact.
+    "q_layout_zorder" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("qx",
+          floor((col("event_id") * 7919L % 36000L) * 65536L / 36000L))
+        .withColumn("qy",
+          floor((col("event_id") * 104729L % 18000L) * 65536L / 18000L))
+      e.withColumn("z", operators.Scale.zorderKey(
+          Seq(col("qx"), col("qy")), 16))
+        .groupBy(shiftright(col("z"), 22).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("z")).as("zmin"), max(col("z")).as("zmax"),
+          min(col("qx")).as("xmin"), max(col("qx")).as("xmax"),
+          min(col("qy")).as("ymin"), max(col("qy")).as("ymax"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- fixed-round integer PageRank over the supplier→part edge
     //      graph (beyond-reference graph analytics; exact integer mass
     //      flow — bit-identical across partitionings and engines)
@@ -1924,6 +1946,24 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0))
         |       AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_layout_zorder" -> {
+      // Morton interleave mirrored bit-by-bit: bit b of qx -> 2b+1,
+      // bit b of qy -> 2b (zorderKey with dims = Seq(qx, qy), 16 bits)
+      val zSql = (0 until 16).flatMap(b => Seq(
+        s"(((qx >> $b) & 1) << ${2 * b + 1})",
+        s"(((qy >> $b) & 1) << ${2 * b})")).mkString(" | ")
+      s"""WITH q AS (
+         |  SELECT ((event_id * 7919) % 36000) * 65536 // 36000 AS qx,
+         |         ((event_id * 104729) % 18000) * 65536 // 18000 AS qy
+         |  FROM events),
+         |z AS (SELECT qx, qy, ($zSql) AS z FROM q)
+         |SELECT z >> 22 AS bucket, count(*) AS n,
+         |  min(z) AS zmin, max(z) AS zmax,
+         |  min(qx) AS xmin, max(qx) AS xmax,
+         |  min(qy) AS ymin, max(qy) AS ymax
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_a7_boolor" ->
       """SELECT user_id,

@@ -56,4 +56,30 @@ object Scale {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Z-order (Morton) interleave of n quantized dimension columns into
+    * one clustering key — the multi-dimensional data-LAYOUT story for
+    * file skipping at 100 TB: `df.repartitionByRange(N, zorderKey(...))
+    * .sortWithinPartitions(...)` before a parquet write gives every
+    * file a tight min/max envelope on EVERY dimension at once, so a
+    * predicate on any dim prunes most files from the scan (the same
+    * layout Delta/Iceberg OPTIMIZE ZORDER produces; see Morton 1966).
+    *
+    * Inputs must already be quantized to unsigned ints < 2^bits (the
+    * caller picks the grid; integer quantization keeps the key
+    * oracle-reproducible). Bit b of dims(i) lands at position
+    * b*n + (n-1-i), so dims(0) holds the most-significant bit of each
+    * group. Built entirely from shiftright/and/shiftleft/or — pure
+    * built-ins, codegen'd, no UDF. n*bits must fit in a long (<= 63). */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"zorderKey needs >= 2 dims, got $n")
+    require(n * bits <= 63, s"zorderKey: $n dims x $bits bits exceeds long")
+    val pieces = for {
+      b <- 0 until bits
+      (d, i) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)),
+      b * n + (n - 1 - i))
+    pieces.reduce(_ bitwiseOR _)
+  }
 }

@@ -33,4 +33,49 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bk_a")
     spark.sql("DROP TABLE IF EXISTS bk_b")
   }
+
+  test("zorderKey matches a reference Morton interleave and is bijective") {
+    def mortonRef(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits)
+        z |= (((x >> b) & 1L) << (2 * b + 1)) | (((y >> b) & 1L) << (2 * b))
+      z
+    }
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = pts.toDF("x", "y")
+      .withColumn("z", Scale.zorderKey(Seq(col("x"), col("y")), 6))
+    val got = df.as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => z shouldBe mortonRef(x, y, 6) }
+    // bijective on the grid: no two points share a key
+    got.map(_._3).distinct.length shouldBe pts.length
+  }
+
+  test("z-sorted range partitions have tighter per-dim envelopes than row order") {
+    // uniform 128x128 grid; compare sum of per-chunk bbox areas when the
+    // data is chunked in z order vs in raw row order (x-major). Tight
+    // envelopes == effective min/max file skipping on BOTH dims.
+    val n = 128L
+    val pts = (for (x <- 0L until n; y <- 0L until n) yield (x, y)).toArray
+    def mortonRef(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until 7)
+        z |= (((x >> b) & 1L) << (2 * b + 1)) | (((y >> b) & 1L) << (2 * b))
+      z
+    }
+    // per-chunk envelope of the WORST dimension: a row-major (x-major)
+    // sort gives stripes that are tight on x but span the full y
+    // domain, so a y predicate skips nothing; z-order tiles are
+    // balanced, so min/max skipping works on EITHER dim
+    def worstExtent(sorted: Array[(Long, Long)], chunks: Int): Long =
+      sorted.grouped(sorted.length / chunks).map { c =>
+        val xs = c.map(_._1); val ys = c.map(_._2)
+        math.max(xs.max - xs.min + 1, ys.max - ys.min + 1)
+      }.max
+    val zSorted = pts.sortBy { case (x, y) => mortonRef(x, y) }
+    val rowSorted = pts.sortBy { case (x, y) => x * n + y }
+    // 16 chunks of a 128x128 grid: z-order = 16 perfect 32x32 tiles;
+    // row order = 8-column full-height stripes (y extent 128)
+    worstExtent(zSorted, 16) shouldBe 32L
+    worstExtent(rowSorted, 16) shouldBe n
+  }
 }
