@@ -958,6 +958,21 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"), k = 3)
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // ---- inverted index (retrieval-side complement): 3-gram shingle
+    //      → sorted doc posting list, df-banded. minDf=2 keeps exactly
+    //      the shared-content entries (phrase search / plagiarism
+    //      retrieval); maxDf is the layout guard that bounds the
+    //      widest posting row against corpus-wide boilerplate
+    "q_text_inverted_index" -> ((s, dir) => {
+      val toks = functions.TextFunctions.tokens(col("text"))
+      operators.LanguageModel.invertedIndex(
+          Tables.documents(s, dir), col("doc_id"),
+          functions.TextFunctions.shingles(toks, 3),
+          minDf = 2L, maxDfFrac = 0.5)
+        .select(col("w"), col("n_docs"), col("postings_csv"))
+        .orderBy(col("w"))
+    }),
+
     // ---- winnowing fingerprints (MOSS local-fingerprint selection:
     //      3-gram hashes, window 4, rightmost-min tie-break)
     "q_text_winnow" -> ((s, dir) =>
@@ -3015,6 +3030,18 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, term, tf, n_docs_term, score, rnk FROM r
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_text_inverted_index" ->
+      s"""WITH $toksSql, $shSql,
+         |occ AS (SELECT doc_id, unnest(s) AS w FROM sh),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |p AS (
+         |  SELECT w, count(*) AS n_docs,
+         |    array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+         |  FROM occ GROUP BY w)
+         |SELECT w, n_docs, postings_csv FROM p, n
+         |WHERE n_docs >= 2 AND n_docs <= 0.5 * n.n_total
+         |ORDER BY w""".stripMargin,
 
     "q_text_winnow" ->
       s"""WITH $toksSql,

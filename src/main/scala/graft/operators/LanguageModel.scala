@@ -187,6 +187,36 @@ object LanguageModel {
         col("score"), col("rnk"))
   }
 
+  /** Inverted index: term -> sorted document posting list, the
+    * retrieval-side complement of the dedup/quality suite (keyword
+    * search, BM25 candidates, corpus audits of "which docs mention
+    * X"). Postings are emitted both as a sorted array and as the
+    * comma-joined string (oracle-hashable form).
+    *
+    * Scale: one explode + one groupBy (single shuffle, map-side
+    * distinct via array_distinct before the explode). The df-band
+    * filter is the layout guard — stopword terms with df above
+    * maxDfFrac·N produce corpus-sized posting rows that no retrieval
+    * engine stores (they rank nothing); cutting them here bounds the
+    * widest row at maxDfFrac·N ids, and minDf drops the hapax tail
+    * that bloats the term dictionary. */
+  def invertedIndex(df: DataFrame, idCol: Column, termsCol: Column,
+                    minDf: Long = 1L,
+                    maxDfFrac: Double = 1.0): DataFrame = {
+    val occ = df.select(idCol.as("doc_id"),
+      explode(array_distinct(termsCol)).as("w"))
+    val n = df.agg(count(lit(1)).as("n_total"))
+    occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_docs") >= minDf &&
+        col("n_docs") <= lit(maxDfFrac) * col("n_total"))
+      .select(col("w"), col("n_docs"),
+        col("postings"),
+        array_join(col("postings"), ",").as("postings_csv"))
+  }
+
   /** Pairwise source similarity over unigram count vectors — the
     * "which domains are redundant" curation analytic that feeds
     * mixture design. cos(a, b) = Σc_a·c_b / √(Σc_a²·Σc_b²) with the

@@ -152,4 +152,26 @@ class LanguageModelSpec extends SparkSpec {
     // buckets partition the scored set
     got.length shouldBe 9
   }
+
+  test("invertedIndex emits sorted postings inside the df band") {
+    val docs = Seq(
+      (1L, "shared phrase here plus alpha"),
+      (2L, "shared phrase here plus alpha beta"),
+      (3L, "unique content entirely different"),
+      (4L, "shared phrase here plus gamma")).toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val idx = LanguageModel.invertedIndex(docs, col("doc_id"), toks,
+        minDf = 2L, maxDfFrac = 1.0)
+      .select(col("w"), col("n_docs"), col("postings_csv"))
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    val m = idx.map(t => t._1 -> (t._2, t._3)).toMap
+    m("shared") shouldBe ((3L, "1,2,4")) // sorted ids
+    m("alpha") shouldBe ((2L, "1,2"))
+    m should not contain key("beta") // df 1 < minDf
+    // maxDfFrac = 0.5 of 4 docs: only the df-2 entries survive
+    val banded = LanguageModel.invertedIndex(docs, col("doc_id"), toks,
+        minDf = 2L, maxDfFrac = 0.5)
+      .select(col("w")).as[String].collect().toSet
+    banded shouldBe Set("alpha")
+  }
 }
