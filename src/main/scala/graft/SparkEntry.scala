@@ -676,6 +676,16 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"), maxHamming = 8)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- blocked fuzzy string match (entity resolution): distinct
+    //      part names (dictionary-sized even at 100 TB), blocked on
+    //      the last token, paired within levenshtein 3; occurrence
+    //      counts carried for canonical-spelling selection
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      operators.Dedup.fuzzyPairsBlocked(
+          Tables.part(s, dir), col("p_name"),
+          element_at(split(col("p_name"), " "), -1), maxDist = 3)
+        .orderBy(col("v_a"), col("v_b"))),
+
     // ---- cluster collapse: LSH pair graph -> connected components
     //      (large-star/small-star; oracle = recursive-CTE closure)
     "q_dedup_cluster" -> ((s, dir) => {
@@ -2302,6 +2312,17 @@ object SparkEntry {
          |  FROM cand JOIN sh x ON x.doc_id = cand.ia
          |            JOIN sh y ON y.doc_id = cand.ib)
          |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH vals AS (
+        |  SELECT p_name AS v, string_split(p_name, ' ')[-1] AS blk,
+        |    count(*) AS n
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.v AS v_a, b.v AS v_b, levenshtein(a.v, b.v) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM vals a JOIN vals b ON a.blk = b.blk AND a.v < b.v
+        |WHERE levenshtein(a.v, b.v) <= 3
+        |ORDER BY v_a, v_b""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH toks AS (

@@ -614,4 +614,31 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------- fuzzy match
+
+  /** Blocked fuzzy string match (entity resolution / catalog
+    * normalization): collapse to DISTINCT values first — the
+    * dictionary is vocabulary-sized even when the table is 100 TB —
+    * then pair values that share a caller-chosen blocking key and
+    * keep pairs within levenshtein `maxDist`. Blocking is the
+    * standard recall trade-off (a pair split across blocks is never
+    * compared; pick the key so near-matches share it, e.g. the last
+    * token, a phonetic code, or a length band) and is what keeps the
+    * compare count sub-quadratic: cost is Σ_block |block|², never
+    * |dictionary|². Emits (v_a, v_b, dist, n_a, n_b) with occurrence
+    * counts so callers can map the canonical choice back to rows by
+    * equi-join (the winner is usually the higher-n spelling). */
+  def fuzzyPairsBlocked(df: DataFrame, strCol: Column, blockCol: Column,
+                        maxDist: Int): DataFrame = {
+    val vals = df.select(strCol.as("v"), blockCol.as("blk"))
+      .groupBy(col("v"), col("blk")).agg(count(lit(1)).as("n"))
+    val a = vals.select(col("blk"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = vals.select(col("blk"), col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("v_a") < col("v_b"))
+      .withColumn("dist", levenshtein(col("v_a"), col("v_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("v_a"), col("v_b"), col("dist"), col("n_a"), col("n_b"))
+  }
 }

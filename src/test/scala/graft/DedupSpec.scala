@@ -278,4 +278,15 @@ class DedupSpec extends SparkSpec {
       kept + dropped should be > 0L
     }
   }
+
+  test("fuzzyPairsBlocked pairs within blocks and carries counts") {
+    val rows = Seq("acme bolt", "acme bolt", "acme bolt", // canonical x3
+      "acne bolt", // typo, dist 1, same block
+      "acme blot", // transposed noun -> DIFFERENT block, never compared
+      "zinc gear").toDF("name")
+    val got = Dedup.fuzzyPairsBlocked(rows, col("name"),
+        element_at(split(col("name"), " "), -1), maxDist = 2)
+      .as[(String, String, Int, Long, Long)].collect()
+    got.toSeq shouldBe Seq(("acme bolt", "acne bolt", 1, 3L, 1L))
+  }
 }
