@@ -133,6 +133,40 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // ---- single-pass column profiler (operators.Profiler): per-column
+    //      non-null / distinct / min / max in ONE aggregate over orders
+    "q_profile" -> ((s, dir) =>
+      operators.Profiler.profile(Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+        .orderBy(col("column_name"))),
+
+    // ---- GROUPING SETS: explicit grouping-set list (completes the
+    //      rollup/cube family; per-status and per-priority marginals plus
+    //      the grand total in one shuffle pass)
+    "q_olap_gsets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gsets")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders_gsets
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- unpivot/melt: wide metric columns back to long form (inverse
+    //      of q_pivot; Spark 3.4+ Dataset.unpivot = Expand, no shuffle
+    //      beyond the feeding aggregate)
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"),
+          sum(cents(col("l_extendedprice"))).as("price_c"),
+          sum(cents(col("l_discount"))).as("disc_c"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_c"), col("price_c"), col("disc_c")),
+          "metric", "value_cents")
+        .orderBy(col("l_returnflag"), col("metric"))),
+
     // ---- J4: temporal-validity range join (SURVEY §2.3 J4; reference
     //      FacetedEditHistogramTileCreator.scala:69-77). Purchase events
     //      define validity windows per user (validUntil = next purchase);
@@ -1599,6 +1633,55 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS column_name,
+        |    COUNT(o_orderstatus) AS n_nonnull,
+        |    COUNT(DISTINCT o_orderstatus) AS n_distinct,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR),
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS VARCHAR),
+        |    CAST(MAX(o_totalprice) AS VARCHAR) FROM orders)
+        |ORDER BY column_name""".stripMargin,
+
+    "q_olap_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |      AS qty_c,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS price_c,
+        |    CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+        |      AS disc_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value_cents
+        |FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'price_c', price_c FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'disc_c', disc_c FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_j4_temporal" ->
       """WITH versions AS (

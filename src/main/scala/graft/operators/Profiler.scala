@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass relational data profiler.
+  *
+  * Ingest-time schema monitoring (the operational counterpart of the
+  * reference's stats views — analytics/sql/changeset_stats.sql computes
+  * per-entity rollups; this computes per-COLUMN health): for each
+  * requested column, non-null count, distinct count, and min/max, in ONE
+  * aggregate over the table rather than one scan per column.
+  *
+  * Scale notes:
+  *  - All metrics ride a single `agg(...)` pass. Multiple DISTINCT
+  *    aggregates make Catalyst plan an Expand (row multiplied by the
+  *    number of distinct columns) feeding one shuffle — still one scan
+  *    of the input, and partial aggregation keeps the shuffle small for
+  *    low-cardinality columns.
+  *  - For very wide tables at 100 TB, set `exact = false`: distinct
+  *    counts switch to `approx_count_distinct` (HyperLogLog++), which
+  *    removes the Expand entirely — every metric becomes a plain
+  *    map-side-combinable aggregate and the shuffle carries one row.
+  *  - min/max are cast to string AFTER aggregation (casts run on one
+  *    row, not the corpus) so the long-form output has a uniform schema
+  *    across column types.
+  */
+object Profiler {
+
+  /** Long-form profile: one output row per profiled column with columns
+    * (column_name, n_nonnull, n_distinct, min_value, max_value). */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    def nDistinct(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c)
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      nDistinct(col(c)).as(s"${c}__d"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}__n").as("n_nonnull"),
+      col(s"${c}__d").as("n_distinct"),
+      col(s"${c}__min").as("min_value"),
+      col(s"${c}__max").as("max_value"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Profiler
+
+/** Single-pass profiler: exact metrics match per-column ground truth;
+  * the approx path keeps the same shape with HLL-accurate distincts. */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), 10.0),
+    (2L, Some("b"), 20.5),
+    (3L, None, 20.5),
+    (4L, Some("a"), -1.25)
+  ).toDF("id", "s", "v")
+
+  test("exact profile reports nulls, distincts, min/max per column") {
+    val p = Profiler.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    p("id") shouldBe ((4L, 4L, "1", "4"))
+    p("s") shouldBe ((3L, 2L, "a", "b"))
+    p("v") shouldBe ((4L, 3L, "-1.25", "20.5"))
+  }
+
+  test("one output row per requested column, order-stable") {
+    Profiler.profile(df, Seq("v", "id")).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("v", "id")
+  }
+
+  test("approx path matches exact on small cardinalities") {
+    val exact = Profiler.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Profiler.profile(df, Seq("id", "s"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    approx shouldBe exact // HLL is exact at these cardinalities
+  }
+}
