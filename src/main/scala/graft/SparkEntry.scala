@@ -1329,6 +1329,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- DSIR importance selection (operators.Dsir; Xie et al. 2023):
+    //      pick the 100 raw docs whose hashed-bigram distribution is
+    //      most target-like (target = src0/src1) by exact-integer
+    //      micro-nat log-likelihood-ratio score
+    "q_dsir_select" -> ((s, dir) =>
+      operators.Dsir.select(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          col("source").isin("src0", "src1"), buckets = 4096, k = 100)
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
     //      partitionings)
@@ -3587,6 +3597,42 @@ object SparkEntry {
          |SELECT doc_id, n_grams, n_novel,
          |  CAST(n_novel AS DOUBLE) / n_grams AS frac_novel
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH $toksSql,
+         |occ0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |occ AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+         |      AS BIGINT) % 4096 AS b
+         |  FROM occ0),
+         |flag AS (
+         |  SELECT doc_id, source IN ('src0', 'src1') AS is_t
+         |  FROM documents),
+         |oc2 AS (SELECT occ.doc_id, b, is_t FROM occ JOIN flag USING (doc_id)),
+         |rc AS (
+         |  SELECT b, count(*) AS cr,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM oc2 GROUP BY 1),
+         |tots AS (
+         |  SELECT count(*) AS tr,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt
+         |  FROM oc2),
+         |w AS (
+         |  SELECT b,
+         |    CAST(floor(ln((ct + 1.0) * (tr + 4096) /
+         |                  ((cr + 1.0) * (tt + 4096))) * 1e6)
+         |      AS BIGINT) AS lw
+         |  FROM rc CROSS JOIN tots),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(lw) AS BIGINT) AS score_micro
+         |  FROM occ JOIN w USING (b) GROUP BY 1),
+         |sel AS (SELECT * FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100)
+         |SELECT doc_id, n_bigrams, score_micro FROM sel
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{stableHash64Scala, tokensScala}
+
+/** Data Selection via Importance Resampling (DSIR) — pick raw documents
+  * whose hashed-n-gram distribution looks like a small target corpus
+  * (public recipe: Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling"; hashed bigram bag features, bucket-level
+  * log-likelihood ratio between target and raw unigram-of-bucket
+  * models, resample the raw corpus by importance weight).
+  *
+  * Determinism discipline (the oracle-gate property): the only
+  * transcendental is ONE `ln` per bucket, taken of an exactly-computed
+  * double ratio of integer counts, fixed-pointed to integer micro-nats
+  * (`floor(ln(r)·1e6)`). Per-document scores are then exact BIGINT sums
+  * of per-occurrence micro-nat weights — partial-aggregation order
+  * cannot drift them, and the greedy top-k selection is fully ordered
+  * by (score DESC, doc_id).
+  *
+  * Scale shape:
+  *  - featurize: one compiled UDF pass per document (no shuffle);
+  *  - bucket models: two groupBy-count aggregations over occurrence
+  *    rows, map-side combinable, output bounded by `buckets`;
+  *  - scoring join: the weight table is ≤ `buckets` rows — Catalyst
+  *    auto-broadcasts it, so scoring is a map-side hash join + one
+  *    doc-keyed aggregation;
+  *  - selection: `orderBy(...).limit(k)` plans TakeOrderedAndProject —
+  *    per-partition top-k then a k-row driver merge, never a global
+  *    sort of the corpus.
+  */
+object Dsir {
+
+  /** text -> hashed bigram bucket per occurrence (NOT distinct — DSIR
+    * features are occurrence counts), one compiled pass. */
+  def bigramBucketsUdf(buckets: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val t = tokensScala(text)
+      if (t.length < 2) Array.empty[Long]
+      else {
+        val out = new Array[Long](t.length - 1)
+        var i = 0
+        while (i < t.length - 1) {
+          out(i) = stableHash64Scala(t(i) + " " + t(i + 1)) % buckets
+          i += 1
+        }
+        out
+      }
+    })
+
+  /** Per-bucket importance weight in micro-nats:
+    * floor(ln((ct+1)·(totRaw+B) / ((cr+1)·(totTarget+B))) · 1e6)
+    * — add-one-smoothed target/raw probability log-ratio. Buckets are
+    * keyed off the RAW counts (the raw corpus contains every bucket a
+    * raw document can produce); target-only smoothing handles absent
+    * buckets via the LEFT join. Returns (b, lw). */
+  def bucketWeights(raw: DataFrame, isTarget: Column, textCol: Column,
+                    buckets: Int): DataFrame = {
+    val occ = raw.select(isTarget.as("is_t"),
+        explode(bigramBucketsUdf(buckets)(textCol)).as("b"))
+    val rc = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tots = occ.agg(
+      count(lit(1)).as("tr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tt"))
+    rc.crossJoin(broadcast(tots))
+      .select(col("b"),
+        floor(log(
+          ((col("ct") + lit(1.0)) * (col("tr") + lit(buckets))) /
+            ((col("cr") + lit(1.0)) * (col("tt") + lit(buckets)))) * lit(1e6))
+          .cast("long").as("lw"))
+  }
+
+  /** Score every document: exact integer sum of its occurrences'
+    * micro-nat weights. Documents with <2 tokens have no features and
+    * are unscoreable (dropped, as in the reference recipe). */
+  def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column,
+                weights: DataFrame, buckets: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        explode(bigramBucketsUdf(buckets)(textCol)).as("b"))
+      .join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lw")).as("score_micro"))
+
+  /** Deterministic top-k selection by importance weight (the greedy
+    * variant of DSIR's Gumbel resampling): the k docs most like the
+    * target, ties broken by doc_id. */
+  def select(docs: DataFrame, idCol: Column, textCol: Column,
+             isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    val w = bucketWeights(docs, isTarget, textCol, buckets)
+    scoreDocs(docs, idCol, textCol, w, buckets)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+/** DSIR importance selection: target-like documents outrank unlike
+  * ones, scores are partition-invariant (exact integer arithmetic),
+  * and the weight table is bounded by the bucket count. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies: "wiki-ish" vs "spam-ish"
+  private def corpus = ((0L until 40L).map { i =>
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val bad  = "buy cheap pills now click here win money fast casino bonus"
+    (i, if (i < 20) good + " " + i else bad + " " + i, i < 8)
+  }).toDF("doc_id", "text", "is_target")
+
+  test("selection prefers documents that look like the target") {
+    val kept = Dsir.select(corpus, col("doc_id"), col("text"),
+        col("is_target"), buckets = 512, k = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // targets are doc 0..7 (good vocab); all selected docs should be
+    // from the good-vocab half (0..19)
+    kept.size shouldBe 10
+    all(kept) should be < 20L
+  }
+
+  test("scores are invariant to input partitioning") {
+    def scores(parts: Int): Map[Long, Long] = {
+      val df = corpus.repartition(parts)
+      val w = Dsir.bucketWeights(df, col("is_target"), col("text"), 512)
+      Dsir.scoreDocs(df, col("doc_id"), col("text"), w, 512)
+        .select(col("doc_id"), col("score_micro"))
+        .as[(Long, Long)].collect().toMap
+    }
+    scores(1) shouldBe scores(13)
+  }
+
+  test("weight table has at most `buckets` rows") {
+    Dsir.bucketWeights(corpus, col("is_target"), col("text"), 64)
+      .count() should be <= 64L
+  }
+}
