@@ -1329,6 +1329,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BM25 retrieval (operators.Retrieval): top-50 docs for a
+    //      3-term query, Lucene-parameterized Okapi BM25 in exact
+    //      integer micro-units
+    "q_text_bm25" -> ((s, dir) =>
+      operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          query = Seq("spark", "join", "scan"), k = 50)
+        .orderBy(col("doc_id"))),
+
     // ---- DSIR importance selection (operators.Dsir; Xie et al. 2023):
     //      pick the 100 raw docs whose hashed-bigram distribution is
     //      most target-like (target = src0/src1) by exact-integer
@@ -3597,6 +3606,36 @@ object SparkEntry {
          |SELECT doc_id, n_grams, n_novel,
          |  CAST(n_novel AS DOUBLE) / n_grams AS frac_novel
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_bm25" ->
+      s"""WITH $toksSql,
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |tots AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+         |  FROM dl),
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf
+         |  FROM occ WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+         |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * (1.0 - 0.75 +
+         |         0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))) *
+         |      1e6) AS BIGINT) AS contrib
+         |  FROM tf JOIN dft USING (w) JOIN dl USING (doc_id)
+         |  CROSS JOIN tots),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_terms,
+         |    CAST(sum(contrib) AS BIGINT) AS bm25_micro
+         |  FROM sc GROUP BY 1),
+         |sel AS (
+         |  SELECT * FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_terms, bm25_micro FROM sel
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dsir_select" ->
       s"""WITH $toksSql,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25 full-text retrieval for a fixed (broadcast) query — the lexical
+  * ranking baseline every retrieval / RAG data pipeline needs next to
+  * the embedding ANN path (public formula: Robertson et al.'s Okapi
+  * BM25 in the Lucene parameterization, idf = ln(1 + (N−df+0.5)/(df+0.5))).
+  *
+  * Determinism discipline (oracle-gate property): per-(doc, term)
+  * contributions are fixed-pointed to integer micro-units —
+  * `floor(score·1e6)` — after a float expression whose operation ORDER
+  * is written identically in the DuckDB oracle (IEEE ops evaluate
+  * bit-identically when the tree shapes match; `ln` is the one
+  * transcendental). Per-document totals are then exact BIGINT sums.
+  *
+  * Scale shape:
+  *  - the query-term list is a literal `isin` pushed into the scan —
+  *    the exploded token stream is filtered before any shuffle;
+  *  - doc length rides the explode (groupBy max), so no corpus-wide
+  *    doc-length join is ever planned;
+  *  - df and corpus totals are term-count- and 1-row-sized broadcasts;
+  *  - final top-k is `orderBy().limit(k)` = TakeOrderedAndProject (no
+  *    global sort).
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 for the given query terms; returns
+    * (doc_id, n_terms, bm25_micro) with n_terms = how many distinct
+    * query terms the doc contains. */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val base = docs.select(idCol.as("doc_id"),
+      TextFunctions.tokens(textCol).as("t"))
+    val dl = base.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val tots = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl"))
+    val tf = base
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("w"))
+      .filter(col("w").isin(query: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val contrib = floor(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)) *
+        lit(1e6)).cast("long")
+    tf.join(broadcast(dft), "w")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}

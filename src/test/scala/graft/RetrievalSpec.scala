@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 ranking: frequency raises the score sublinearly, rarity beats
+  * commonness, and scores are partition-invariant integers. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark runs fast"),    // heavy on 'spark'
+    (2L, "spark runs and runs and runs"),   // one 'spark'
+    (3L, "rare gem in a plain sentence"),   // contains rare term
+    (4L, "plain sentence with no hits at all here today"),
+    (5L, "spark rare together in one doc")
+  ).toDF("doc_id", "text")
+
+  test("more query-term mass ranks higher; no-hit docs are absent") {
+    val r = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("spark"), k = 10)
+      .select(col("doc_id")).as[Long].collect()
+    r.head shouldBe 1L // tf=3 beats tf=1
+    r should not contain 3L
+    r should not contain 4L
+  }
+
+  test("a rare term outscores a common one at equal tf") {
+    // 'rare' appears in 2 docs, 'spark' in 3 → higher idf for 'rare'
+    val scores = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("spark", "rare"), k = 10)
+      .select(col("doc_id"), col("bm25_micro"))
+      .as[(Long, Long)].collect().toMap
+    // doc 5 has both terms → strictly more than doc 2 (one common term)
+    scores(5L) should be > scores(2L)
+    // doc 3 (one rare term) beats doc 2 (one common term, same tf=1,
+    // comparable length)
+    scores(3L) should be > scores(2L)
+  }
+
+  test("scores are invariant to input partitioning") {
+    def s(parts: Int) = Retrieval.bm25TopK(corpus.repartition(parts),
+        col("doc_id"), col("text"), Seq("spark", "rare"), k = 10)
+      .select(col("doc_id"), col("bm25_micro"))
+      .as[(Long, Long)].collect().toMap
+    s(1) shouldBe s(7)
+  }
+}
