@@ -466,6 +466,21 @@ object SparkEntry {
 
     // ---- sessionization: inactivity-gap sessions via lag + running-sum
     //      frame (training-data event pipelines; frame-spec coverage)
+    // ---- staged conversion funnel (operators.Funnel): users reaching
+    //      view -> click -> purchase in strict temporal order
+    "q_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelCounts(Tables.events(s, dir),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // ---- cohort retention (operators.Funnel): day-cohorts by first
+    //      event, retained = any activity at each day offset
+    "q_retention" -> ((s, dir) =>
+      operators.Funnel.retention(Tables.events(s, dir),
+          "user_id", "ts_us", periodUs = 86400000000L)
+        .orderBy(col("cohort_period"), col("period_offset"))),
+
     "q_sessionize" -> ((s, dir) =>
       operators.Timeline.sessionize(
           Tables.events(s, dir), Seq("user_id"), "ts_us",
@@ -1998,6 +2013,38 @@ object SparkEntry {
          |       count(DISTINCT user_id) AS n_users,
          |       count(*) AS edit_count, max(ts_us) AS last_edit_us
          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_us(ts) > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p
+        |  FROM events),
+        |f AS (SELECT u, min(p) AS p0 FROM d GROUP BY 1),
+        |a AS (SELECT DISTINCT u, p FROM d)
+        |SELECT p0 AS cohort_period, p - p0 AS period_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (u) GROUP BY 1, 2
+        |ORDER BY cohort_period, period_offset""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

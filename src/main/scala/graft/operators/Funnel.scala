@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream: staged conversion
+  * funnel and cohort retention. Together with `Timeline.sessionize`
+  * these cover the classic clickstream triple (sessions, funnels,
+  * cohorts) — the same shapes the reference's changeset-stats views
+  * compute for edit activity (analytics/sql/changeset_stats.sql), keyed
+  * on event semantics instead of edit semantics.
+  *
+  * Scale shape: every join and aggregation is keyed on the user column,
+  * so the whole chain reuses one hash partitioning (no partitioning
+  * change between stages); outputs are stage-/cohort-sized (tiny). The
+  * funnel's stage-N table feeds both stage N+1 and its own count —
+  * callers running MANY stages over a huge corpus should persist the
+  * per-stage tables; at the typical 3-5 stages the recompute is a
+  * filtered scan per stage.
+  */
+object Funnel {
+
+  /** Strictly-ordered conversion funnel: a user reaches stage i+1 via
+    * their first stages(i+1)-typed event strictly AFTER their stage-i
+    * completion time. Returns (stage_idx, stage, n_users), one row per
+    * stage. */
+  def funnelCounts(events: DataFrame, user: String, tsUs: String,
+                   eventType: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "empty funnel")
+    val stageTimes = stages.tail.scanLeft(
+      events.filter(col(eventType) === stages.head)
+        .groupBy(col(user)).agg(F.min(col(tsUs)).as("t"))
+    ) { (prev, st) =>
+      events.filter(col(eventType) === st).as("e")
+        .join(prev.as("p"),
+          col(s"e.$user") === col(s"p.$user") &&
+            col(s"e.$tsUs") > col("p.t"))
+        .groupBy(col(s"e.$user")).agg(F.min(col(s"e.$tsUs")).as("t"))
+    }
+    stageTimes.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention matrix: users are cohorted by the period of
+    * their first event; a cohort member counts as retained in every
+    * period they have any activity. Returns
+    * (cohort_period, period_offset, n_users). */
+  def retention(events: DataFrame, user: String, tsUs: String,
+                periodUs: Long): DataFrame = {
+    val d = events.select(col(user).as("u"),
+      expr(s"$tsUs div $periodUs").as("p"))
+    val first = d.groupBy(col("u")).agg(F.min(col("p")).as("p0"))
+    d.distinct()
+      .join(first, "u")
+      .groupBy(col("p0").as("cohort_period"),
+        (col("p") - col("p0")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

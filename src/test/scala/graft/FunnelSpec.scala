@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Funnel
+
+/** Funnel ordering semantics (strictly-after stage progression) and
+  * cohort retention counting, hand-verified on a tiny event log. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, ts_us, type). u1 completes the funnel in order; u2 clicks
+  // BEFORE viewing (must not count past stage 1); u3 views only.
+  private def ev = Seq(
+    (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+    (2L, 150L, "click"), (2L, 250L, "view"),
+    (3L, 120L, "view"),
+    (4L, 10L, "view"), (4L, 20L, "click")
+  ).toDF("user_id", "ts_us", "event_type")
+
+  test("strict ordering: out-of-order stages do not convert") {
+    val r = Funnel.funnelCounts(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    r(1) shouldBe 4L // all four users viewed
+    r(2) shouldBe 2L // u1, u4 clicked after viewing (u2's click was first)
+    r(3) shouldBe 1L // only u1 purchased after clicking
+  }
+
+  test("retention cohorts users by first period and counts activity") {
+    val acts = Seq(
+      (1L, 0L), (1L, 100L), (1L, 250L),  // cohort 0, active 0/1/2
+      (2L, 110L), (2L, 130L), (2L, 220L) // cohort 1, active 1/2 (dedup)
+    ).toDF("user_id", "ts_us")
+    val r = Funnel.retention(acts, "user_id", "ts_us", periodUs = 100L)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    r((0L, 0L)) shouldBe 1L
+    r((0L, 1L)) shouldBe 1L
+    r((0L, 2L)) shouldBe 1L
+    r((1L, 0L)) shouldBe 1L // u2's two period-1 events count once
+    r((1L, 1L)) shouldBe 1L
+    r.size shouldBe 5
+  }
+}
