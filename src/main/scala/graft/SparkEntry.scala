@@ -871,6 +871,14 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- PMI collocations: top adjacent word pairs by pointwise
+    //      mutual information (phrase mining / tokenizer merge seeding)
+    "q_text_pmi" -> ((s, dir) =>
+      operators.LanguageModel.pmiTopPairs(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          minCount = 5, k = 50)
+        .orderBy(col("w1"), col("w2"))),
+
     // ---- Stupid Backoff held-out scoring: model on doc_id%7!=0,
     //      score the held-out slice (backoff fires on unseen bigrams)
     "q_text_lm_backoff" -> ((s, dir) => {
@@ -2802,6 +2810,29 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  CAST(sum(micro) AS BIGINT) AS sum_micro
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_pmi" ->
+      s"""WITH $toksSql,
+         |oc0 AS (
+         |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+         |  FROM toks WHERE len(t) >= 2),
+         |oc AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM oc0),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM oc GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |cu AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cu
+         |       FROM c2 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS t_occ FROM c2),
+         |p AS (
+         |  SELECT w1, w2, c2,
+         |    CAST(floor(ln((CAST(c2 AS DOUBLE) * t_occ) /
+         |                  (CAST(c1 AS DOUBLE) * cu)) * 1e6)
+         |      AS BIGINT) AS pmi_micro
+         |  FROM c2 JOIN c1 USING (w1) JOIN cu USING (w2) CROSS JOIN tot
+         |  WHERE c2 >= 5),
+         |sel AS (SELECT * FROM p ORDER BY pmi_micro DESC, w1, w2 LIMIT 50)
+         |SELECT w1, w2, c2, pmi_micro FROM sel
+         |ORDER BY w1, w2""".stripMargin,
 
     "q_text_lm_backoff" ->
       s"""WITH $toksSql,

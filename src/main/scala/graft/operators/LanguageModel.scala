@@ -107,6 +107,38 @@ object LanguageModel {
         sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"))
   }
 
+  /** Pointwise mutual information of adjacent word pairs — the classic
+    * collocation detector (Church & Hanks 1990): for a bigram (w1, w2),
+    * pmi = ln(c2·T / (c1·cu)) with c2 = pair count, c1/cu = w1-as-left /
+    * w2-as-right marginals, T = total bigram occurrences. High-PMI
+    * pairs are phrases; pipelines use them for tokenizer merge seeding
+    * and boilerplate phrase mining.
+    *
+    * Determinism: fixed-point micro-nats (floor(ln·1e6)) of an exactly-
+    * computed double ratio; the min-count filter and the (pmi, w1, w2)
+    * total order make top-k selection unambiguous.
+    *
+    * Scale: marginals roll up from the bigram-count table (vocab-sized,
+    * NOT corpus-sized), so after the one exploded-occurrence
+    * aggregation everything is vocab-bounded; the two marginal joins
+    * AQE-broadcast; top-k is TakeOrderedAndProject. */
+  def pmiTopPairs(df: DataFrame, textCol: Column, idCol: Column,
+                  minCount: Long = 5, k: Int = 50): DataFrame = {
+    val c2 = bigramOccurrences(df, textCol, idCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val cu = c2.groupBy(col("w2")).agg(sum(col("c2")).as("cu"))
+    val tot = c2.agg(sum(col("c2")).as("t_occ"))
+    c2.filter(col("c2") >= minCount)
+      .join(c1, "w1").join(cu, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        floor(log((col("c2").cast("double") * col("t_occ")) /
+          (col("c1").cast("double") * col("cu"))) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** CCNet-style head/middle/tail quality buckets: score every document
     * with the corpus bigram LM ([[scoreDocs]]; higher = more
     * corpus-typical), then cut each `groupCol` stratum at its exact 1/3

@@ -174,4 +174,26 @@ class LanguageModelSpec extends SparkSpec {
       .select(col("w")).as[String].collect().toSet
     banded shouldBe Set("alpha")
   }
+
+  test("pmiTopPairs ranks a fixed collocation above free-mixing pairs") {
+    // "new york" always adjacent; filler tokens are unique per doc, so
+    // every other pair stays under the min-count support threshold
+    val docs = (0L until 20L).map { i =>
+      (i, s"new york f${i}a f${i}b f${i}c")
+    }.toDF("doc_id", "text")
+    val top = LanguageModel.pmiTopPairs(docs, col("text"), col("doc_id"),
+        minCount = 5, k = 3)
+      .select(col("w1"), col("w2")).as[(String, String)].collect()
+    top.toSeq shouldBe Seq(("new", "york"))
+  }
+
+  test("pmiTopPairs is partition-invariant") {
+    val docs = (0L until 30L).map(i =>
+      (i, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    def run(p: Int) = LanguageModel.pmiTopPairs(docs.repartition(p),
+        col("text"), col("doc_id"), minCount = 2, k = 10)
+      .select(col("w1"), col("w2"), col("pmi_micro"))
+      .as[(String, String, Long)].collect().toSeq
+    run(1) shouldBe run(11)
+  }
 }
