@@ -466,6 +466,26 @@ object SparkEntry {
 
     // ---- sessionization: inactivity-gap sessions via lag + running-sum
     //      frame (training-data event pipelines; frame-spec coverage)
+    // ---- daily active / new / cumulative users: distinct-per-day plus
+    //      first-seen rollup; the running total is a window over the
+    //      DAY-level table (tiny), never over raw events
+    "q_events_dau" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      val dau = d.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val newu = d.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      dau.join(newu, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
+    }),
+
     // ---- staged conversion funnel (operators.Funnel): users reaching
     //      view -> click -> purchase in strict temporal order
     "q_funnel" -> ((s, dir) =>
@@ -2021,6 +2041,22 @@ object SparkEntry {
          |       count(DISTINCT user_id) AS n_users,
          |       count(*) AS edit_count, max(ts_us) AS last_edit_us
          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_dau" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (
+        |  SELECT day, count(*) AS dau
+        |  FROM (SELECT DISTINCT user_id, day FROM d) GROUP BY 1),
+        |newu AS (
+        |  SELECT day, count(*) AS new_users
+        |  FROM (SELECT user_id, min(day) AS day FROM d GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT day, dau, COALESCE(new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN newu USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (
