@@ -443,6 +443,73 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos_r"), col("rnk"))
   }
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): greedily
+    * re-rank a candidate pool so each pick balances query relevance
+    * against redundancy with what is already selected:
+    *   mmr(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s).
+    *
+    * Two-phase shape for scale: the DISTRIBUTED phase is the existing
+    * broadcast-query brute-force top-`poolN` scan (swap in ivfTopK /
+    * lshTopK upstream at retrieval scale — the pool contract is the
+    * same); the greedy phase then runs driver-side on the POOL ONLY —
+    * bounded at queries·poolN·dim doubles collected and poolN² sims per
+    * query, never corpus-sized. Scores round to 1e-6 with id
+    * tie-breaks, so the selection sequence is deterministic. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, poolN: Int, k: Int,
+                lambda: Double = 0.7, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, queries, poolN, idCol, vecCol)
+    val cv = withNorm(corpus, idCol, vecCol, "nn_id", "nv", "nn")
+    val qrows = pool.select(col("q_id"), col("n_id"), col("cos_r"))
+      .join(cv, col("n_id") === col("nn_id"))
+      .select(col("q_id"), col("n_id"), col("cos_r"), col("nv"), col("nn"))
+      .collect()
+    val out = qrows.groupBy(_.getLong(0)).toSeq.flatMap { case (qId, rs) =>
+      val ids = rs.map(_.getLong(1))
+      val rel = rs.map(_.getDouble(2))
+      val vecs = rs.map(_.getSeq[Double](3).toArray)
+      val norms = rs.map(_.getDouble(4))
+      def sim(i: Int, j: Int): Double = {
+        var s = 0.0
+        var d = 0
+        while (d < vecs(i).length) { s += vecs(i)(d) * vecs(j)(d); d += 1 }
+        stableRoundD(s / math.sqrt(norms(i) * norms(j)), 6)
+      }
+      val n = ids.length
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val picked = new Array[Boolean](n)
+      var r = 0
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      while (r < math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val redundancy =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => sim(i, s)).max
+            val m = stableRoundD(
+              lambda * rel(i) - (1.0 - lambda) * redundancy, 6)
+            if (m > bestScore ||
+                (m == bestScore && best >= 0 && ids(i) < ids(best))) {
+              best = i; bestScore = m
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        selected += best
+        acc += ((qId, ids(best), bestScore, r + 1))
+        r += 1
+      }
+      acc
+    }
+    out.toDF("q_id", "n_id", "mmr_r", "rnk")
+  }
+
   // ------------------------------------------------------- quantization
 
   /** Symmetric per-vector int8 quantization: scale = 127 / max|v|,

@@ -252,4 +252,35 @@ class SimilaritySpec extends SparkSpec {
     got(6L) shouldBe 5L      //   never to cross-cluster id 1
     got.size shouldBe 6      // full mapping, identity rows included
   }
+
+  test("mmrRerank demotes a redundant near-duplicate of the top pick") {
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.10f, 0f, 0f)),  // most relevant
+      (2L, Array(0.99f, 0.11f, 0f, 0f)),  // near-dup of 1
+      (3L, Array(0.80f, 0f, 0.60f, 0f))   // less relevant but diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // pure cosine: 1, 2, 3
+    Similarity.bruteForceTopK(corpus, q, 3)
+      .orderBy(col("rnk")).select(col("n_id")).as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 3L)
+    // MMR at λ=0.5: redundancy of 2 with selected 1 (~1.0) outweighs
+    // its relevance edge over 3
+    Similarity.mmrRerank(corpus, q, poolN = 3, k = 3, lambda = 0.5)
+      .orderBy(col("rnk")).select(col("n_id")).as[Long].collect()
+      .toSeq shouldBe Seq(1L, 3L, 2L)
+  }
+
+  test("mmrRerank at λ=1 reproduces the relevance ranking") {
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0f)), (2L, Array(0.9f, 0.2f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(corpus, q, 4)
+      .orderBy(col("rnk")).select(col("n_id")).as[Long].collect().toSeq
+    val mmr = Similarity.mmrRerank(corpus, q, poolN = 4, k = 4, lambda = 1.0)
+      .orderBy(col("rnk")).select(col("n_id")).as[Long].collect().toSeq
+    mmr shouldBe brute
+  }
 }
