@@ -466,6 +466,31 @@ object SparkEntry {
 
     // ---- sessionization: inactivity-gap sessions via lag + running-sum
     //      frame (training-data event pipelines; frame-spec coverage)
+    // ---- CDC log compaction (operators.Cdc): latest change per key,
+    //      delete-op keys leave the snapshot
+    "q_cdc_apply" -> ((s, dir) =>
+      operators.Cdc.compact(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("event_type")),
+          keyCols = Seq("user_id"),
+          ops = Seq(col("ts_us"), col("event_id")),
+          opCol = col("event_type"), deleteOp = "error")
+        .orderBy(col("user_id"))),
+
+    // ---- declarative data-quality gate (operators.Checks): row-level
+    //      rules in ONE aggregate pass + an anti-join FK rule
+    "q_dq_checks" -> ((s, dir) =>
+      operators.Checks.run(Tables.orders(s, dir), Seq(
+          operators.Checks.notNull("o_custkey"),
+          operators.Checks.unique("o_orderkey"),
+          operators.Checks.satisfies("positive_total",
+            col("o_totalprice") > 0)))
+        .unionByName(operators.Checks.fkViolations("fk_orders_customer",
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy(col("rule"))),
+
     // ---- daily active / new / cumulative users: distinct-per-day plus
     //      first-seen rollup; the running total is a window over the
     //      DAY-level table (tiny), never over raw events
@@ -2041,6 +2066,33 @@ object SparkEntry {
          |       count(DISTINCT user_id) AS n_users,
          |       count(*) AS edit_count, max(ts_us) AS last_edit_us
          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us, event_type
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |    count(*) - count(o_custkey) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'positive_total',
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', count(*)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |ORDER BY rule""".stripMargin,
 
     "q_events_dau" ->
       """WITH d AS (

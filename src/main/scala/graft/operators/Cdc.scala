@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture log compaction: collapse an insert/update/delete
+  * change stream to the final snapshot state — the batch analog of the
+  * reference's element reconstruction (minor-version folding in
+  * analytics/.../ProcessOSM.scala) generalized to explicit CDC ops, and
+  * the compaction step any warehouse ingest of a Debezium-style feed
+  * needs before serving.
+  *
+  * Semantics: per key, order changes by (ordering cols, tie-break);
+  * keep the LATEST change; keys whose latest op is a delete leave the
+  * snapshot. Earlier history is irrelevant by construction, so the
+  * whole operator is one window + filter.
+  *
+  * Scale shape: one hash shuffle on the key columns; the row_number
+  * window degenerates to a per-key top-1, which Spark executes with
+  * WindowGroupLimit pushdown (rank <= 1 prunes sort state map-side) —
+  * no full per-key sort materialization. At 100 TB this is the minimal
+  * shape: you cannot compact with less than one key-shuffle.
+  */
+object Cdc {
+
+  /** @param ops       ordered ordering columns, most significant first
+    *                  (e.g. ts, then a log sequence number as tie-break)
+    * @param deleteOp  value of `opCol` marking a delete  */
+  def compact(changes: DataFrame, keyCols: Seq[String], ops: Seq[Column],
+              opCol: Column, deleteOp: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ops.map(_.desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && opCol =!= deleteOp)
+      .drop("__rn")
+  }
+}

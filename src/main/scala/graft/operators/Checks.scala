@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the Deequ-style
+  * pattern, public: Schelter et al., VLDB 2018): each rule is an
+  * aggregate expression counting VIOLATIONS, all rules evaluate in a
+  * single pass over the table, and the result is one (rule,
+  * violations) row per rule — a pipeline gates on `violations == 0`.
+  *
+  * Scale shape: row-level rules share ONE aggregate scan regardless of
+  * rule count (each rule is just another aggregate expression);
+  * uniqueness rides the same pass as count−countDistinct; referential
+  * integrity is the only rule needing a second relation — a left-anti
+  * join counted, broadcast when the parent key set is small.
+  */
+object Checks {
+
+  /** A named violation counter: `violations` must be an aggregate
+    * expression over the checked table. */
+  final case class Rule(name: String, violations: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", count(lit(1)) - count(col(c)))
+
+  def unique(c: String): Rule =
+    Rule(s"unique($c)", count(col(c)) - countDistinct(col(c)))
+
+  /** Rows where `cond` is false (null counts as a violation). */
+  def satisfies(name: String, cond: Column): Rule =
+    Rule(name, sum(when(cond, 0L).otherwise(1L)))
+
+  /** All row-level rules in one aggregate pass → (rule, violations). */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val one = df.agg(rules.head.violations.as("v0"),
+      rules.tail.zipWithIndex.map { case (r, i) =>
+        r.violations.as(s"v${i + 1}") }: _*)
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"),
+        col(s"v$i").cast("long").as("violations"))
+    }
+    one.select(explode(array(entries: _*)).as("r")).select("r.*")
+  }
+
+  /** Referential-integrity rule evaluated as its own (rule, violations)
+    * row: child rows whose `childKey` has no match in `parentKey`. */
+  def fkViolations(name: String, child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("rule"), col("violations"))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Checks}
+
+/** CDC compaction semantics and single-pass data-quality rules on
+  * hand-built fixtures. */
+class CdcChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdc compact keeps the latest change and drops deleted keys") {
+    val log = Seq(
+      (1L, 10L, "I", "a"), (1L, 20L, "U", "b"),          // live, final b
+      (2L, 10L, "I", "x"), (2L, 30L, "D", null),          // deleted
+      (3L, 5L, "I", "y"),                                 // live
+      (4L, 10L, "I", "z"), (4L, 40L, "D", null), (4L, 50L, "I", "z2")
+    ).toDF("k", "seq", "op", "v")
+    val snap = Cdc.compact(log, Seq("k"), Seq(col("seq")), col("op"), "D")
+      .select(col("k"), col("v")).as[(Long, String)].collect().toMap
+    snap shouldBe Map(1L -> "b", 3L -> "y", 4L -> "z2") // re-insert revives 4
+  }
+
+  test("cdc compact breaks ordering ties by the tie-break column") {
+    val log = Seq((1L, 10L, 1L, "old"), (1L, 10L, 2L, "new"))
+      .toDF("k", "ts", "lsn", "v")
+    Cdc.compact(log, Seq("k"), Seq(col("ts"), col("lsn")), col("v"), "D")
+      .select(col("v")).as[String].collect() shouldBe Array("new")
+  }
+
+  test("row-level rules count violations in one pass") {
+    val df = Seq(
+      (Some(1L), "a", 5.0), (Some(1L), "b", -2.0), (None, "c", 1.0)
+    ).toDF("id", "name", "amount")
+    val r = Checks.run(df, Seq(
+        Checks.notNull("id"),
+        Checks.unique("id"),
+        Checks.satisfies("positive_amount", col("amount") > 0)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r("not_null(id)") shouldBe 1L
+    r("unique(id)") shouldBe 1L // two non-null ids, one distinct
+    r("positive_amount") shouldBe 1L
+  }
+
+  test("fk rule counts orphan children") {
+    val child = Seq(1L, 2L, 9L).toDF("pid")
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val r = Checks.fkViolations("fk", child, "pid", parent, "id")
+      .collect().head
+    r.getString(0) shouldBe "fk"
+    r.getLong(1) shouldBe 1L
+  }
+}
