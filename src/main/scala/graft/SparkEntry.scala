@@ -466,6 +466,24 @@ object SparkEntry {
 
     // ---- sessionization: inactivity-gap sessions via lag + running-sum
     //      frame (training-data event pipelines; frame-spec coverage)
+    // ---- incremental aggregate maintenance (operators.Incremental):
+    //      fold a historical state table with a delta partition; the
+    //      oracle recomputes the union from scratch, proving
+    //      merge(state(A), state(B)) == state(A ∪ B)
+    "q_agg_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("v"))
+      val hist = operators.Incremental.stats(
+        ev.filter(col("day") < 15), Seq("event_type"), col("v"))
+      val delta = operators.Incremental.stats(
+        ev.filter(col("day") >= 15), Seq("event_type"), col("v"))
+      operators.Incremental.merge(hist, delta, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- CDC log compaction (operators.Cdc): latest change per key,
     //      delete-op keys leave the snapshot
     "q_cdc_apply" -> ((s, dir) =>
@@ -2066,6 +2084,14 @@ object SparkEntry {
          |       count(DISTINCT user_id) AS n_users,
          |       count(*) AS edit_count, max(ts_us) AS last_edit_us
          |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  min(CAST(round(value*100) AS BIGINT)) AS min_v,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_v
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH ranked AS (

