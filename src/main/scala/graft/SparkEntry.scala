@@ -268,6 +268,21 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // ---- W5: distribution windows — ntile / percent_rank / cume_dist
+    //      over each user's value-ordered purchase events (completes the
+    //      window family beside lag / row_number / rank / range-frame)
+    "q_w5_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- A3: first/ignoreNulls as deterministic window (SURVEY §2.4 A3)
     "q_a3_first_nonnull" -> ((s, dir) => {
       val nonNull = Tables.events(s, dir)
@@ -1434,6 +1449,14 @@ object SparkEntry {
           col("source").isin("src0", "src1"), buckets = 4096, k = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- Efraimidis-Spirakis weighted sample: 100 docs drawn without
+    //      replacement with probability ∝ n_chars, deterministically
+    "q_sample_weighted" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 100, salt = "ws1")
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic stratified sampling (training-data domain
     //      mixing; hash-bucket keep/drop, reproducible across runs and
     //      partitionings)
@@ -1833,6 +1856,28 @@ object SparkEntry {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |    AS trailing_1h
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w5_ntile" ->
+      """SELECT event_id, user_id,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(ln(((CAST('0x' ||
+        |      substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000000000) + 0.5) / 1e9) / n_chars * 1e9)
+        |      AS BIGINT) AS key_nano
+        |  FROM documents),
+        |sel AS (
+        |  SELECT * FROM keyed ORDER BY key_nano DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars, key_nano FROM sel
+        |ORDER BY doc_id""".stripMargin,
 
     "q_stats_median" ->
       """WITH ranked AS (

@@ -68,6 +68,30 @@ object Sampling {
                        salt: String = "graft"): DataFrame =
     df.filter(keepPredicate(stratumCol, idCol, rates, default, salt))
 
+  /** Efraimidis-Spirakis weighted sampling without replacement
+    * (Efraimidis & Spirakis 2006): each row draws a deterministic
+    * uniform u from its salted md5 bucket and ranks by u^(1/w) —
+    * equivalently ln(u)/w, which is what we fixed-point to integer
+    * nano-units so the ordering is oracle-hashable. The k largest keys
+    * win; heavier rows win proportionally more often, and the whole
+    * draw is a pure function of (salt, id, weight) — stable across
+    * partitionings and reruns like every sampler here.
+    *
+    * Scale: one compiled projection + `orderBy().limit(k)` =
+    * TakeOrderedAndProject (per-partition top-k, k-row driver merge).
+    * Weights must be positive. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+                     k: Int, salt: String = "graft"): DataFrame = {
+    val b = pmod(
+      stableHash64(concat_ws(":", lit(salt), idCol.cast("string"))),
+      lit(1000000000L))
+    val key = floor(log((b + lit(0.5)) / lit(1e9)) /
+      weightCol.cast("double") * lit(1e9)).cast("long")
+    df.withColumn("key_nano", key)
+      .orderBy(col("key_nano").desc, idCol)
+      .limit(k)
+  }
+
   /** Exactly k rows per group, deterministically: rank by the salted
     * md5 hash (id tie-break) inside each group and keep rank ≤ k —
     * the "k docs per domain" primitive where a RATE-based sample

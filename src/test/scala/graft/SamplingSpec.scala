@@ -375,4 +375,28 @@ class SamplingSpec extends SparkSpec {
       total should be > (nBins - 1) * 4096L // last bin is the only slack
     }
   }
+
+  test("weightedSample favors heavy rows and is partition-invariant") {
+    // 50 heavy (w=1000) + 950 light (w=1): a 100-draw E-S sample
+    // should keep nearly every heavy row
+    val rows = ((0L until 50L).map(i => (i, 1000L)) ++
+      (50L until 1000L).map(i => (i, 1L))).toDF("doc_id", "w")
+    def ids(parts: Int): Set[Long] =
+      Sampling.weightedSample(rows.repartition(parts), col("doc_id"),
+        col("w"), k = 100, salt = "es-test")
+        .select(col("doc_id")).as[Long].collect().toSet
+    val a = ids(3)
+    a.size shouldBe 100
+    a shouldBe ids(17) // deterministic under repartitioning
+    (a.count(_ < 50L) >= 45) shouldBe true // heavies nearly all survive
+  }
+
+  test("weightedSample draws change with the salt") {
+    val rows = (0L until 1000L).map(i => (i, 1L)).toDF("doc_id", "w")
+    def ids(s: String): Set[Long] =
+      Sampling.weightedSample(rows, col("doc_id"), col("w"), 100, s)
+        .select(col("doc_id")).as[Long].collect().toSet
+    val overlap = (ids("s1") intersect ids("s2")).size
+    overlap should be < 30 // ~10 expected for independent 10% draws
+  }
 }
