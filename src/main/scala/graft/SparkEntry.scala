@@ -133,6 +133,80 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // ---- TPC-H classics (multi-join OLAP shapes; SQL-API so Catalyst
+    //      does join reordering + dim broadcasts; revenue in exact
+    //      integer 1e-4 units). Q3: shipping-priority top orders.
+    "q_tpch_q3" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t_lineitem")
+      s.sql(
+        """SELECT l_orderkey, revenue_c4, o_orderdate, o_orderpriority
+          |FROM (
+          |  SELECT l_orderkey,
+          |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT)) AS BIGINT) AS revenue_c4,
+          |    o_orderdate, o_orderpriority
+          |  FROM t_customer JOIN t_orders ON c_custkey = o_custkey
+          |    JOIN t_lineitem ON l_orderkey = o_orderkey
+          |  WHERE c_mktsegment = 'BUILDING'
+          |    AND o_orderdate < TIMESTAMP '1998-06-01'
+          |    AND l_shipdate > TIMESTAMP '1998-06-01'
+          |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |  ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10)
+          |ORDER BY l_orderkey""".stripMargin)
+    }),
+
+    // ---- Q5: local-supplier volume by nation inside one region (the
+    //      6-table join chain with the c/s same-nation condition)
+    "q_tpch_q5" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("t_nation")
+      Tables.region(s, dir).createOrReplaceTempView("t_region")
+      s.sql(
+        """SELECT n_name,
+          |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |    AS BIGINT)) AS BIGINT) AS revenue_c4
+          |FROM t_customer JOIN t_orders ON c_custkey = o_custkey
+          |  JOIN t_lineitem ON l_orderkey = o_orderkey
+          |  JOIN t_supplier ON l_suppkey = s_suppkey
+          |    AND c_nationkey = s_nationkey
+          |  JOIN t_nation ON s_nationkey = n_nationkey
+          |  JOIN t_region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    }),
+
+    // ---- Q10: returned-item reporting (customer revenue loss top-20)
+    "q_tpch_q10" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t_lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("t_nation")
+      s.sql(
+        """SELECT c_custkey, c_name, revenue_c4, acctbal_c, n_name
+          |FROM (
+          |  SELECT c_custkey, c_name,
+          |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT)) AS BIGINT) AS revenue_c4,
+          |    CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name
+          |  FROM t_customer JOIN t_orders ON c_custkey = o_custkey
+          |    JOIN t_lineitem ON l_orderkey = o_orderkey
+          |    JOIN t_nation ON c_nationkey = n_nationkey
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1997-07-01'
+          |    AND l_returnflag = 'R'
+          |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |  ORDER BY revenue_c4 DESC, c_custkey LIMIT 20)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- single-pass column profiler (operators.Profiler): per-column
     //      non-null / distinct / min / max in ONE aggregate over orders
     "q_profile" -> ((s, dir) =>
@@ -1761,6 +1835,55 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, revenue_c4, o_orderdate, o_orderpriority
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |    o_orderdate, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c4
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, revenue_c4, acctbal_c, n_name
+        |FROM (
+        |  SELECT c_custkey, c_name,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |  ORDER BY revenue_c4 DESC, c_custkey LIMIT 20)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_profile" ->
       """SELECT * FROM (
