@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC upsert view — the ingest-time twin of the batch
+  * [[graft.operators.Cdc.compact]]: maintain the latest change per key
+  * as keyed state and emit a row whenever a key's current state
+  * ADVANCES (update semantics). Downstream, the emitted stream is the
+  * change feed of the materialized snapshot; replaying a batch emits
+  * nothing because stale sequence numbers never beat the stored one —
+  * the same monotone guard the JDBC upsert sinks use for exactly-once.
+  *
+  * Scale shape: one shuffle keyed by `k`; per-key state is a single
+  * (seq, value, live) triple — O(live keys), the floor for upsert
+  * semantics. Deletes keep a tombstone (live = false) so late
+  * out-of-order pre-delete changes cannot resurrect the key; bound
+  * tombstone state at real scale with a retention timeout sized to the
+  * source's max disorder.
+  *
+  * Input schema: (k LONG, seq LONG, op STRING, v STRING) with `seq` a
+  * per-key log sequence number; ties on seq break by (op, v) so replay
+  * is deterministic even on malformed duplicate LSNs.
+  */
+object StreamingCdc {
+
+  /** One snapshot-change event: key's new current state. */
+  case class UpsertRow(k: Long, seq: Long, v: String, live: Boolean)
+
+  def upsertView(changes: DataFrame,
+                 deleteOp: String = "D"): Dataset[UpsertRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col("k").cast("long"), col("seq").cast("long"),
+        col("op"), col("v"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Boolean), UpsertRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (k, rows, state: GroupState[(Long, String, Boolean)]) =>
+          val best = rows.maxBy(r =>
+            (r._2, r._3, Option(r._4).getOrElse("")))
+          val stored = state.getOption
+          if (stored.forall(_._1 < best._2)) {
+            val live = best._3 != deleteOp
+            state.update((best._2, best._4, live))
+            Iterator.single(UpsertRow(k, best._2, best._4, live))
+          } else Iterator.empty
+      }
+  }
+}

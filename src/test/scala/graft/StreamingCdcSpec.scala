@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingCdc
+
+/** Streaming upsert view: state advances monotonically by sequence
+  * number, deletes tombstone, stale/replayed changes emit nothing, and
+  * the final view matches the batch compaction of the full log. */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (k, seq, op, v)
+  private val batch1 = Seq(
+    (1L, 10L, "I", "a"), (2L, 10L, "I", "x"), (3L, 10L, "I", "y"))
+  private val batch2 = Seq(
+    (1L, 20L, "U", "b"),   // advance
+    (2L, 30L, "D", null.asInstanceOf[String]), // delete
+    (3L, 5L, "U", "stale") // out-of-order: must NOT regress
+  )
+
+  test("upsert view advances, tombstones, and ignores stale changes") {
+    val mem = MemoryStream[(Long, Long, String, String)](spark)
+    val q = StreamingCdc.upsertView(
+        mem.toDF().toDF("k", "seq", "op", "v"))
+      .writeStream.format("memory").queryName("cdcview")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*) // full replay: nothing new may emit
+      q.processAllAvailable()
+
+      val emitted = spark.table("cdcview").as[StreamingCdc.UpsertRow]
+        .collect()
+      // last emit per key is the current state
+      val current = emitted.groupBy(_.k).map { case (k, es) =>
+        k -> es.maxBy(_.seq) }
+      current(1L).v shouldBe "b"
+      current(1L).live shouldBe true
+      current(2L).live shouldBe false // tombstoned
+      current(3L).v shouldBe "y"      // stale change ignored
+      emitted.count(_.k == 3L) shouldBe 1 // only the original insert
+
+      // live view == batch compaction of the union of all batches
+      val live = current.collect { case (k, r) if r.live => k -> r.v }
+      val batch = graft.operators.Cdc.compact(
+          (batch1 ++ batch2).toDF("k", "seq", "op", "v"),
+          Seq("k"), Seq(col("seq")), col("op"), "D")
+        .select(col("k"), col("v")).as[(Long, String)].collect().toMap
+      live shouldBe batch
+    } finally q.stop()
+  }
+}
