@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan lint for pipeline governance: count the plan shapes
+  * that kill jobs at 100 TB and let callers gate on them — the
+  * programmatic form of the `.explain` discipline PLANS.md documents.
+  *
+  * Counting is string-based over the executed plan (the same surface
+  * PlanDump and the scale specs read, and the only one that works
+  * uniformly under AQE's adaptive wrapper). `CartesianProduct` is the
+  * true scale-killer: it only appears when BOTH join sides are
+  * unkeyed and non-broadcast. A `BroadcastNestedLoopJoin` with a
+  * one-row build side (the `crossJoin(broadcast(totals))` scalar
+  * pattern used throughout) is fine and NOT flagged by
+  * [[requireNoCartesian]].
+  */
+object PlanGuard {
+
+  final case class Audit(cartesians: Int, nestedLoops: Int,
+                         shuffles: Int, broadcasts: Int, scans: Int,
+                         codegenSpans: Int)
+
+  def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  def audit(df: DataFrame): Audit = {
+    val p = planString(df)
+    Audit(
+      cartesians = count(p, "CartesianProduct"),
+      nestedLoops = count(p, "BroadcastNestedLoopJoin"),
+      shuffles = count(p, "Exchange hashpartitioning") +
+        count(p, "Exchange rangepartitioning"),
+      broadcasts = count(p, "BroadcastExchange"),
+      scans = count(p, "FileScan") + count(p, "BatchScan"),
+      codegenSpans = count(p, "WholeStageCodegen"))
+  }
+
+  /** Throws (with the offending plan) if the query would execute an
+    * unkeyed, non-broadcast join — the O(n·m) shape that cannot
+    * survive a 100× scale-up. */
+  def requireNoCartesian(df: DataFrame, label: String = "query"): Unit = {
+    val a = audit(df)
+    if (a.cartesians > 0)
+      throw new IllegalStateException(
+        s"$label plans ${a.cartesians} CartesianProduct node(s):\n" +
+          planString(df).linesIterator.take(40).mkString("\n"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanGuard
+
+/** Plan lint: catches true cartesians, tolerates the broadcast-scalar
+  * pattern, and holds as a suite invariant over the join-family and
+  * composite registry queries. */
+class PlanGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags an unkeyed non-broadcast join, tolerates broadcast scalar") {
+    val a = (1 to 100).toDF("x")
+    val b = (1 to 100).toDF("y")
+    // force the true cartesian (disable auto-broadcast so Spark can't
+    // rescue the unkeyed join)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = a.crossJoin(b)
+      PlanGuard.audit(cart).cartesians should be > 0
+      an[IllegalStateException] should be thrownBy
+        PlanGuard.requireNoCartesian(cart, "cart")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // scalar-totals pattern: BNLJ with a 1-row build side is fine
+    val scalar = a.crossJoin(broadcast(b.agg(count(lit(1)).as("n"))))
+    PlanGuard.audit(scalar).cartesians shouldBe 0
+    noException should be thrownBy
+      PlanGuard.requireNoCartesian(scalar, "scalar")
+  }
+
+  test("join-family and composite registry queries plan zero cartesians") {
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q_j1_full_outer", "q_j2_left", "q_j3_semi",
+      "q_j4_temporal", "q_j7_geocode", "q_j_anti", "q_j_asof",
+      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_funnel", "q_retention",
+      "q_dq_checks", "q_cdc_apply", "q_agg_incremental", "q_dsir_select",
+      "q_text_bm25", "q_text_pmi")
+    names.foreach { n =>
+      PlanGuard.requireNoCartesian(SparkEntry.queries(n)(spark, dir), n)
+    }
+  }
+}
