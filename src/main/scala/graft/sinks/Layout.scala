@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Storage-layout toolkit — the write-side half of scale hygiene:
+  * HOW a 100 TB table is laid down decides which shuffles every later
+  * query pays.
+  *
+  *  - [[writeBucketed]]: hash-bucketed + bucket-sorted table. Two
+  *    tables bucketed the SAME way on the join key co-locate: Spark
+  *    plans their equi-join with ZERO Exchange (and zero sort when
+  *    one file per bucket) — the shuffle is paid once at write time,
+  *    then amortized over every join. This is the batch analog of the
+  *    reference pre-partitioning its tile RDDs by SpatialKey
+  *    (EditHistogram.scala) so pyramid levels never reshuffle.
+  *  - [[writeCompacted]]: range-repartitioned, within-file-sorted,
+  *    size-capped files — fixes the small-files problem (a 100 TB
+  *    table written from 10⁵ tasks otherwise lands 10⁵ tiny files
+  *    whose listing alone dominates scan planning) while the range
+  *    layout gives scans min/max-pruning on the sort key (the
+  *    single-dimension sibling of the Z-order clustering key in
+  *    `operators.Scale`).
+  *
+  * Complements `operators.Scale.zorderKey` (multi-dim clustering) and
+  * the partitioned tile sinks; kept catalog-based (saveAsTable) because
+  * bucket metadata lives in the table catalog, not the files.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, bucket-sorted catalog table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Rewrite `df` into `targetFiles` range-partitioned files, sorted
+    * within each file by `sortCols` (scan pruning + run-length-friendly
+    * encodings), capped at `maxRecordsPerFile`. */
+  def writeCompacted(df: DataFrame, path: String, targetFiles: Int,
+                     sortCols: Seq[String],
+                     maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+}

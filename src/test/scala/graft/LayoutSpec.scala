@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanGuard
+import graft.sinks.Layout
+
+/** Storage layout: bucketed tables join with zero shuffle exchanges,
+  * and compaction writes the requested file count sorted within files. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketing equi-join plans zero Exchange") {
+    val left = (0L until 5000L).map(i => (i % 500, s"l$i")).toDF("k", "lv")
+    val right = (0L until 2000L).map(i => (i % 500, s"r$i")).toDF("k", "rv")
+    Layout.writeBucketed(left, "b_left", "k", buckets = 8)
+    Layout.writeBucketed(right, "b_right", "k", buckets = 8)
+    try {
+      // disable auto-broadcast so the join can't dodge the question
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("b_left").join(spark.table("b_right"), "k")
+        PlanGuard.audit(j).shuffles shouldBe 0
+        j.count() shouldBe 5000L / 500 * (2000L / 500) * 500 // 10*4*500
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
+
+  test("compaction writes targetFiles sorted files") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/t"
+    val df = (0L until 10000L).map(i => ((i * 7919) % 10000, i))
+      .toDF("sortk", "payload")
+      .repartition(37) // simulate many-task small-file input
+    Layout.writeCompacted(df, dir, targetFiles = 4, sortCols = Seq("sortk"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files.length shouldBe 4
+    // each file internally sorted => per-file min/max ranges are tight
+    // and non-overlapping under range partitioning
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("sortk"))
+      .groupBy(col("f")).agg(min(col("sortk")).as("lo"),
+        max(col("sortk")).as("hi"))
+      .orderBy(col("lo"))
+      .as[(String, Long, Long)].collect()
+    back.length shouldBe 4
+    back.sliding(2).foreach { case Array(a, b) =>
+      a._3 should be < b._2 // disjoint ranges: file-skipping works
+    }
+    spark.read.parquet(dir).count() shouldBe 10000L
+  }
+}
