@@ -598,6 +598,33 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey"))
         .orderBy(col("rule"))),
 
+    // ---- time-series gap fill (Timeline.gapFill): daily last-value
+    //      series per user resampled to a dense day grid, forward-fill
+    "q_ts_fill" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("v"), col("ts_us"), col("event_id"))
+      val rn = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val daily = d.withColumn("rn", row_number().over(rn))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("v"))
+      operators.Timeline.gapFill(daily, "user_id", "day", col("v"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- equi-width value histogram: binned o_totalprice distribution
+    //      (integer-div binning on exact cents)
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(cents(col("o_totalprice")).as("c"))
+        .select(expr("c div 3000000").as("bin"), col("c"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"), min(col("c")).as("lo_c"),
+          max(col("c")).as("hi_c"))
+        .orderBy(col("bin"))),
+
     // ---- daily active / new / cumulative users: distinct-per-day plus
     //      first-seen rollup; the running total is a window over the
     //      DAY-level table (tiny), never over raw events
@@ -2287,6 +2314,38 @@ object SparkEntry {
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_custkey IS NULL)
         |ORDER BY rule""".stripMargin,
+
+    "q_ts_fill" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |daily AS (
+        |  SELECT user_id, day, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM d)
+        |  WHERE rn = 1),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |      FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM b),
+        |f AS (
+        |  SELECT g.user_id, g.day, daily.v,
+        |    last_value(daily.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS UNBOUNDED PRECEDING) AS v_filled
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.user_id = daily.user_id AND g.day = daily.day)
+        |SELECT user_id, day, v_filled, v IS NULL AS was_filled
+        |FROM f ORDER BY user_id, day""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT c // 3000000 AS bin, count(*) AS cnt,
+        |  min(c) AS lo_c, max(c) AS hi_c
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_events_dau" ->
       """WITH d AS (

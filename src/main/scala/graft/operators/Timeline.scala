@@ -162,6 +162,32 @@ object Timeline {
     *     node version valid at `updated`; collect positions in nds order;
     *  5. minor_version = row_number over (way_id, version ORDER BY
     *     updated) − 1 (reference numbering, W2). */
+  /** Time-series gap filling with forward fill — the resample-to-grid
+    * operator Spark lacks natively: for each key, materialize every
+    * tick in [min(tick), max(tick)] and carry the last observed value
+    * across the gaps. Input must be one row per (key, tick) (pre-fold
+    * duplicates with a last-per-tick window); `was_filled` marks
+    * synthesized rows.
+    *
+    * Scale shape: the grid comes from `sequence()` over the per-key
+    * bounds — generated rows are key-local (no shuffle to build), the
+    * left join back to observations and the forward-fill window both
+    * ride ONE key partitioning. Grid size is bounded by the key's tick
+    * span, not the corpus.  */
+  def gapFill(df: DataFrame, key: String, tick: String,
+              valueCol: Column): DataFrame = {
+    val obs = df.select(col(key), col(tick), valueCol.as("v"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col(tick)).as("d0"), max(col(tick)).as("d1"))
+      .select(col(key), explode(sequence(col("d0"), col("d1"))).as(tick))
+    val w = Window.partitionBy(col(key)).orderBy(col(tick))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, tick), "left")
+      .select(col(key), col(tick),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v").isNull.as("was_filled"))
+  }
+
   def reconstructWays(ways: DataFrame, nodes: DataFrame): DataFrame = {
     val w = withValidUntil(ways, Seq("way_id"), "ts", Seq("version"))
       .select(col("way_id"), col("version"), col("ts").as("way_ts"),

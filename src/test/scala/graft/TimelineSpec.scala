@@ -135,4 +135,22 @@ class TimelineSpec extends SparkSpec {
     }.sortBy(_._1)
     fast shouldBe slow
   }
+
+  test("gapFill densifies each key's range and forward-fills values") {
+    import org.apache.spark.sql.functions._
+    val obs = Seq(
+      (1L, 10L, 100L), (1L, 13L, 130L), // gap at 11, 12
+      (2L, 5L, 50L)                     // single tick: no gaps
+    ).toDF("k", "day", "v")
+    val got = graft.operators.Timeline.gapFill(obs, "k", "day", col("v"))
+      .orderBy(col("k"), col("day"))
+      .select(col("k"), col("day"), col("v_filled"), col("was_filled"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 10L, 100L, false),
+      (1L, 11L, 100L, true),  // carried forward
+      (1L, 12L, 100L, true),
+      (1L, 13L, 130L, false), // observation overrides the carry
+      (2L, 5L, 50L, false))
+  }
 }
