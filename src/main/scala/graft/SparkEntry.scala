@@ -598,6 +598,50 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey"))
         .orderBy(col("rule"))),
 
+    // ---- 3-sigma anomaly flags per user (exact integer moments; the
+    //      comparison runs in doubles of exact ints — IEEE ×/− only,
+    //      no transcendentals, so it hashes cross-engine)
+    "q_ts_anomaly" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("x"))
+      val st = d.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val dev = col("n").cast("double") * col("x") - col("sx")
+      val varN2 = col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      d.join(st, "user_id")
+        .filter(dev * dev > lit(9.0) * varN2)
+        .select(col("event_id"), col("user_id"), col("x"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- Pearson correlation per group in fixed-point micro units
+    //      (quantity vs price over lineitem; exact integer moments,
+    //      double-only outer arithmetic incl. IEEE-exact sqrt)
+    "q_stats_corr" -> ((s, dir) => {
+      val d = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          cents(col("l_quantity")).as("x"),
+          cents(col("l_extendedprice")).as("y"))
+      d.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"),
+          floor((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            sqrt((col("n").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+              (col("n").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy"))) * lit(1e6))
+            .cast("long").as("corr_micro"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- time-series gap fill (Timeline.gapFill): daily last-value
     //      series per user resampled to a dense day grid, forward-fill
     "q_ts_fill" -> ((s, dir) => {
@@ -2314,6 +2358,42 @@ object SparkEntry {
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_custkey IS NULL)
         |ORDER BY rule""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_id, user_id, x
+        |FROM d JOIN st USING (user_id)
+        |WHERE (CAST(n AS DOUBLE) * x - sx) * (CAST(n AS DOUBLE) * x - sx)
+        |      > 9.0 * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stats_corr" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM d GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) * 1e6)
+        |    AS BIGINT) AS corr_micro
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_ts_fill" ->
       """WITH d AS (
