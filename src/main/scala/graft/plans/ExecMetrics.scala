@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** Post-execution metrics reader — the programmatic counterpart of the
+  * Spark UI's SQL tab: after an action has run on a DataFrame, walk its
+  * executed plan and sum the SQLMetric accumulators (metric values are
+  * merged into the driver on task completion, so they are final once
+  * the action returns). Use for perf assertions in specs and for
+  * pipeline telemetry ("this stage shuffled 40 GB") without a UI.
+  *
+  * AQE note: under adaptive execution the plan mutates while running;
+  * `finalPlan` unwraps `AdaptiveSparkPlanExec.executedPlan` so the
+  * metrics read come from the plan that actually ran, not the initial
+  * sketch.
+  */
+object ExecMetrics {
+
+  def finalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  /** Sum of every SQLMetric across the executed plan, keyed by the
+    * metric's display name (e.g. "number of output rows", "shuffle
+    * records written", "number of files read"). */
+  def byName(df: DataFrame): Map[String, Long] = {
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    def walk(p: SparkPlan): Unit = {
+      p.metrics.values.foreach { m =>
+        // unset accumulators report Long.MinValue-ish zeros; guard
+        val v = m.value
+        val name = m.name.getOrElse("unnamed")
+        if (v > 0) acc(name) = acc.getOrElse(name, 0L) + v
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    acc.toMap
+  }
+
+  def shuffleRecordsWritten(df: DataFrame): Long =
+    byName(df).getOrElse("shuffle records written", 0L)
+
+  def shuffleBytesWritten(df: DataFrame): Long =
+    byName(df).getOrElse("shuffle bytes written", 0L)
+
+  /** Rows produced by the leaf scans (file sources). */
+  def scanOutputRows(df: DataFrame): Long = {
+    var total = 0L
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case leaf if leaf.children.isEmpty =>
+        leaf.metrics.get("numOutputRows").foreach { m =>
+          if (m.value > 0) total += m.value }
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    total
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ExecMetrics
+
+/** Executed-plan metrics: scan rows are exact, shuffle volume is
+  * bounded by the partial-aggregation contract. */
+class ExecMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scan rows exact; map-side combine bounds shuffle records") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    val rows = df.collect()
+    val total = Tables.lineitem(spark, dir).count()
+
+    ExecMetrics.scanOutputRows(df) shouldBe total
+    val shuffled = ExecMetrics.shuffleRecordsWritten(df)
+    // partial agg emits at most (partitions × keys), at least keys —
+    // and never the raw row count (that's what map-side combine is for)
+    val keys = rows.length.toLong
+    shuffled should be >= keys
+    shuffled should be < total
+    ExecMetrics.shuffleBytesWritten(df) should be > 0L
+  }
+
+  test("a scan-only query reports zero shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Tables.region(spark, dir).select(col("r_name"))
+    df.collect()
+    ExecMetrics.shuffleRecordsWritten(df) shouldBe 0L
+    ExecMetrics.scanOutputRows(df) shouldBe 5L
+  }
+}
