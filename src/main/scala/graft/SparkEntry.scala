@@ -931,6 +931,32 @@ object SparkEntry {
           Tables.documents(s, dir), col("text"), col("doc_id"), prefixTokens = 4)
         .orderBy(col("doc_id"))),
 
+    // ---- best-member canonical: among prefix-identical duplicates,
+    //      keep the most complete copy (max n_chars, tie -> min id)
+    "q_dedup_keep_best" -> ((s, dir) =>
+      operators.Dedup.exactCanonicalBest(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          col("n_chars"), prefixTokens = 4)
+        .orderBy(col("doc_id"))),
+
+    // ---- blocklist gate: per-doc blocked-term occurrence counts (the
+    //      keyword-filter stage every web pipeline runs before quality)
+    "q_text_blocklist" -> ((s, dir) => {
+      val bl = Seq("slow", "error", "stale")
+      val docs = Tables.documents(s, dir)
+      val hits = docs
+        .select(col("doc_id"),
+          explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").isin(bl: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      docs.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       operators.Dedup.minhashLshPairs(
           Tables.documents(s, dir), col("text"), col("doc_id"),
@@ -2764,6 +2790,32 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY md5(array_to_string(t[1:4], ' ')))
         |    AS canonical_id
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH $toksSql,
+         |f AS (
+         |  SELECT toks.doc_id, documents.n_chars,
+         |    md5(array_to_string(t[1:4], ' ')) AS fp
+         |  FROM toks JOIN documents ON toks.doc_id = documents.doc_id),
+         |best AS (
+         |  SELECT fp, doc_id AS canonical_id FROM (
+         |    SELECT fp, doc_id, row_number() OVER (PARTITION BY fp
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM f)
+         |  WHERE rn = 1)
+         |SELECT f.doc_id, best.canonical_id
+         |FROM f JOIN best USING (fp)
+         |ORDER BY f.doc_id""".stripMargin,
+
+    "q_text_blocklist" ->
+      s"""WITH $toksSql,
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits FROM occ
+         |  WHERE w IN ('slow', 'error', 'stale') GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) > 0 AS blocked
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $toksSql, $shSql,

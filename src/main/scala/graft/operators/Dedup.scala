@@ -45,6 +45,28 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"))
   }
 
+  /** Exact dedup keeping the BEST group member instead of the smallest
+    * id — the curation-grade canonical choice (e.g. merit = n_chars:
+    * among identical-prefix duplicates, keep the most complete copy).
+    * Deterministic via lexicographic (merit DESC, id ASC) struct-max —
+    * `max_by` alone leaves ties partitioning-dependent. Same two-
+    * exchange narrow-projection shape as [[exactCanonical]]. */
+  def exactCanonicalBest(df: DataFrame, textCol: Column, idCol: Column,
+                         meritCol: Column,
+                         prefixTokens: Int = 0): DataFrame = {
+    val toks = tokens(textCol)
+    val basis =
+      if (prefixTokens > 0) concat_ws(" ", slice(toks, 1, prefixTokens))
+      else normalize(textCol)
+    val withFp = df.select(idCol.as("doc_id"), meritCol.as("merit"),
+      md5(basis).as("fp"))
+    val best = withFp.groupBy(col("fp"))
+      .agg(max(struct(col("merit"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("fp"), (-col("b.nid")).as("canonical_id"))
+    withFp.join(best, "fp")
+      .select(col("doc_id"), col("canonical_id"))
+  }
+
   // ------------------------------------------------------------ winnowing
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS

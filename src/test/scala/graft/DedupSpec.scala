@@ -24,6 +24,22 @@ class DedupSpec extends SparkSpec {
     got(2L) shouldBe 2L
   }
 
+  test("exactCanonicalBest keeps max merit, breaking ties to min id") {
+    val d = Seq(
+      (1L, "group one text", 10L),
+      (2L, "group one text", 50L),   // best: most chars
+      (3L, "group one text", 50L),   // tie on merit -> 2 wins by id
+      (4L, "other group here", 7L)
+    ).toDF("doc_id", "text", "merit")
+    val got = graft.operators.Dedup.exactCanonicalBest(
+        d, col("text"), col("doc_id"), col("merit"))
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 2L
+    got(2L) shouldBe 2L
+    got(3L) shouldBe 2L
+    got(4L) shouldBe 4L
+  }
+
   test("minhash LSH finds planted near-dup pairs and verifies jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"),
       shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
