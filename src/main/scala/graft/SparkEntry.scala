@@ -642,6 +642,29 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- per-user OLS trend: slope of value-vs-day in fixed point
+    //      (exact integer moments, double-only outer arithmetic; the
+    //      per-key-regression primitive, fully relational)
+    "q_ts_trend" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("x"),
+          cents(col("value")).as("y"))
+      val den = col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")
+      d.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(den > 0)
+        .select(col("user_id"),
+          floor((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) / den * lit(1e6))
+            .cast("long").as("slope_micro"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- time-series gap fill (Timeline.gapFill): daily last-value
     //      series per user resampled to a dense day grid, forward-fill
     "q_ts_fill" -> ((s, dir) => {
@@ -2384,6 +2407,25 @@ object SparkEntry {
         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |  WHERE c.c_custkey IS NULL)
         |ORDER BY rule""".stripMargin,
+
+    "q_ts_trend" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM d GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1e6)
+        |    AS BIGINT) AS slope_micro
+        |FROM m
+        |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |ORDER BY user_id""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH d AS (
