@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Micro-bench for iterating on ONE query's shape without a full Bench
+  * sweep: warm session, 3 timed runs per named query at sf0.1, prints
+  * the min (the reproducible operator cost under transient contention).
+  * Usage: runMain graft.TimeOne q_name [q_name2 ...] */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
+    args.foreach { name =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: min ${times.min}%.2f s  runs ${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

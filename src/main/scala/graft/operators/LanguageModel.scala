@@ -231,7 +231,16 @@ object LanguageModel {
     * maxDfFrac·N produce corpus-sized posting rows that no retrieval
     * engine stores (they rank nothing); cutting them here bounds the
     * widest row at maxDfFrac·N ids, and minDf drops the hapax tail
-    * that bloats the term dictionary. */
+    * that bloats the term dictionary.
+    *
+    * Shape note (measured, sf0.1): a count-first/collect-second
+    * two-phase variant — df counts, band, then postings only for
+    * surviving terms — re-evaluates the term-extraction UDF twice and
+    * re-shuffles occurrences for the band join; with compiled shingle
+    * extraction dominating the cost it measured 5.96 s vs 4.14 s for
+    * this single-pass shape. Two-phase only wins when posting-array
+    * assembly dominates term extraction (e.g. pre-tokenized input
+    * with an extreme hapax tail); prefer this shape otherwise. */
   def invertedIndex(df: DataFrame, idCol: Column, termsCol: Column,
                     minDf: Long = 1L,
                     maxDfFrac: Double = 1.0): DataFrame = {
