@@ -246,6 +246,21 @@ object ScaleProbe {
     val tSketch = (System.nanoTime() - t0) / 1e9
     println(f"hh exact_top10_sec=$tExact%.1f sketch_sec=$tSketch%.1f " +
       f"(exact=$exact sketch_counters=$sketch)")
+
+    // round 8: DSIR + BM25 over the 100k-doc replicated corpus —
+    // both must stay linear in corpus size (weight/df tables are
+    // bucket-/term-bounded broadcasts, scoring is one scan)
+    val isTarget = col("doc_id") % 20 < 2 // ~10% of docs as target
+    t0 = System.nanoTime()
+    val nDsir = operators.Dsir.select(docs, col("doc_id"), col("text"),
+      isTarget, buckets = 4096, k = 1000).count()
+    val tDsir = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nBm25 = operators.Retrieval.bm25TopK(docs, col("doc_id"),
+      col("text"), Seq("spark", "join", "scan"), k = 1000).count()
+    val tBm25 = (System.nanoTime() - t0) / 1e9
+    println(f"dsir_sel=$nDsir dsir_sec=$tDsir%.1f " +
+      f"bm25_sel=$nBm25 bm25_sec=$tBm25%.1f")
     spark.stop()
   }
 }
