@@ -1823,6 +1823,50 @@ object SparkEntry {
           col("tags").getItem("created_by").as("editor"),
           explode(col("hashtags")).as("hashtag"))
         .orderBy(col("id"), col("hashtag"))
+    }),
+
+    // full ChangesetMetadataCreator shape incl. the comments table:
+    // comments (synthesized from lineitem — unique per-changeset dates
+    // by construction: whole-day ship dates + minute-scaled line
+    // numbers) are collected date-ascending per changeset; the
+    // projection reads count + first/last comment fields through the
+    // assembled array so the oracle checks ordering, not just counts
+    "q_metadata_comments" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val changesets = o.select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("created_at"),
+        expr("o_orderdate + INTERVAL 1 HOUR").as("closed_at"),
+        (col("o_orderkey") % 100 + 1).as("num_changes"),
+        ((col("o_orderkey") % 1700 - 850) * 100000L).as("min_lat"),
+        ((col("o_orderkey") % 1700 - 850) * 100000L + 10000000L).as("max_lat"),
+        ((col("o_orderkey") % 3500 - 1750) * 100000L).as("min_lon"),
+        ((col("o_orderkey") % 3500 - 1750) * 100000L + 10000000L).as("max_lon"))
+      val tags = o.select(
+        col("o_orderkey").as("changeset_id"), lit("comment").as("k"),
+        concat(lit("edit #p"), col("o_orderkey") % 7).as("v"))
+      val users = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      // partkey filter drops ALL comments for ~(1/3)^n of changesets,
+      // exercising the empty-comments (0, []) path end-to-end
+      val comments = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 3 > 0)
+        .select(col("l_orderkey").as("changeset_id"),
+          col("l_suppkey").cast("long").as("author_id"),
+          concat(lit("c"), col("l_linenumber"), lit("-"),
+            col("l_returnflag")).as("body"),
+          expr("cast(l_shipdate AS timestamp)" +
+            " + l_linenumber * INTERVAL '1' MINUTE").as("created_at"))
+      operators.Metadata.assemble(changesets, tags, users, comments)
+        .select(col("id"), col("comments_count"),
+          coalesce(try_element_at(col("comments"), lit(1)).getField("body"),
+            lit("")).as("first_body"),
+          coalesce(try_element_at(col("comments"), lit(-1)).getField("body"),
+            lit("")).as("last_body"),
+          coalesce(try_element_at(col("comments"), lit(1)).getField("uid"),
+            lit(-1L)).as("first_uid"))
+        .orderBy(col("id"))
     })
   )
 
@@ -4728,6 +4772,29 @@ object SparkEntry {
         |LEFT JOIN customer cu ON cu.c_custkey = cs.user_id,
         |  unnest(regexp_extract_all(lower(comment_v), '#(\w+)', 1))
         |    AS t(hashtag)
-        |ORDER BY id, hashtag""".stripMargin
+        |ORDER BY id, hashtag""".stripMargin,
+
+    "q_metadata_comments" ->
+      """WITH cm AS (
+        |  SELECT l_orderkey AS changeset_id,
+        |    CAST(l_suppkey AS BIGINT) AS uid,
+        |    'c' || CAST(l_linenumber AS VARCHAR) || '-' || l_returnflag
+        |      AS body,
+        |    CAST(l_shipdate AS TIMESTAMP)
+        |      + l_linenumber * INTERVAL 1 MINUTE AS created_at
+        |  FROM lineitem WHERE l_partkey % 3 > 0),
+        |agg AS (
+        |  SELECT changeset_id, count(*) AS comments_count,
+        |    first(body ORDER BY created_at, uid, body) AS first_body,
+        |    last(body ORDER BY created_at, uid, body) AS last_body,
+        |    first(uid ORDER BY created_at, uid, body) AS first_uid
+        |  FROM cm GROUP BY 1)
+        |SELECT o_orderkey AS id,
+        |  COALESCE(comments_count, 0) AS comments_count,
+        |  COALESCE(first_body, '') AS first_body,
+        |  COALESCE(last_body, '') AS last_body,
+        |  COALESCE(first_uid, -1) AS first_uid
+        |FROM orders LEFT JOIN agg ON agg.changeset_id = o_orderkey
+        |ORDER BY id""".stripMargin
   )
 }

@@ -395,6 +395,51 @@ object FootprintCreatorApp {
   }
 }
 
+/** Batch changeset-metadata creator (reference
+  * batch/ChangesetMetadataCreator): OSM-DB-style CSV dumps
+  * (changesets, changeset_tags, changeset_comments, users) assembled
+  * into one authoritative metadata table — tag k/v rows re-zipped to a
+  * map, comments collected date-ascending with author names joined in,
+  * 1e-7 fixed-point bbox coords divided out — written as parquet. The
+  * reference `repartition(1)`s the output; kept here only behind an
+  * explicit knob because a single output partition funnels the whole
+  * table through one task at scale.
+  * Usage: <changesetsCsv> <tagsCsv> <commentsCsv> <usersCsv> <outDir>
+  *        [singleFile] */
+object ChangesetMetadataCreatorApp {
+  def run(spark: SparkSession, changesetsCsv: String, tagsCsv: String,
+          commentsCsv: String, usersCsv: String, outDir: String,
+          singleFile: Boolean = false): Unit = {
+    // header + multiline + quote/escape match the reference's CSV
+    // options (ChangesetMetadataCreator.scala:110-116); schemas are
+    // declared, not inferred — inference is a second full read
+    def csv(path: String, ddl: String) =
+      spark.read.options(Map("header" -> "true", "multiline" -> "true",
+          "quote" -> "\"", "escape" -> "\""))
+        .schema(ddl).csv(path)
+    val changesets = csv(changesetsCsv,
+      "id LONG, user_id LONG, created_at TIMESTAMP, closed_at TIMESTAMP," +
+        " num_changes INT, min_lat LONG, max_lat LONG, min_lon LONG," +
+        " max_lon LONG")
+    val tags = csv(tagsCsv, "changeset_id LONG, k STRING, v STRING")
+    val comments = csv(commentsCsv,
+      "changeset_id LONG, author_id LONG, body STRING," +
+        " created_at TIMESTAMP")
+    val users = csv(usersCsv, "id LONG, name STRING")
+    val meta = graft.operators.Metadata
+      .assemble(changesets, tags, users, comments)
+    (if (singleFile) meta.coalesce(1) else meta)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("changeset-metadata-creator")
+    try run(spark, args(0), args(1), args(2), args(3), args(4),
+      singleFile = args.length > 5 && args(5).toBoolean)
+    finally spark.stop()
+  }
+}
+
 /** Batch changeset-snapshot merge (reference batch/MergeChangesets):
   * union an existing snapshot with a fresh delta, latest closed_at
   * wins per id. Usage: <existingParquet> <freshParquet> <outDir> */

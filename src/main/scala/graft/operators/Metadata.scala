@@ -43,6 +43,45 @@ object Metadata {
           col("tags").getItem("hashtags"), lit(""))).as("hashtags"))
   }
 
+  /** Associate changeset comments with their changesets (reference
+    * ChangesetMetadataCreator.scala:137-158): comments left-join users
+    * for the author display name, then one array-of-struct row per
+    * changeset, date-ascending. The reference zips four parallel
+    * collect_lists back together in a case-class map; a single
+    * sort_array(collect_list(struct(...))) keeps the fields aligned by
+    * construction and stays inside codegen. Struct puts `date` first so
+    * the lexicographic array sort IS the date sort (uid breaks ties). */
+  def assembleComments(comments: DataFrame, users: DataFrame): DataFrame =
+    comments
+      .join(users.select(col("id").as("author_id"), col("name")),
+        Seq("author_id"), "left")
+      .groupBy(col("changeset_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("created_at").as("date"), col("author_id").as("uid"),
+          col("name").as("user"), col("body")))).as("comments"),
+        count(lit(1)).as("comments_count"))
+
+  /** Full metadata assembly including the comments table — the complete
+    * ChangesetMetadataCreator shape (changesets + tags + users +
+    * comments → one row per changeset). */
+  def assemble(changesets: DataFrame, tags: DataFrame, users: DataFrame,
+               comments: DataFrame): DataFrame = {
+    val joined = assemble(changesets, tags, users)
+      .join(assembleComments(comments, users)
+          .withColumnRenamed("changeset_id", "id"),
+        Seq("id"), "left")
+    // comment-less changesets get (0, []) not (null, null); the empty
+    // array's element type is taken from the join output so uid/date
+    // input types never drift from the non-empty rows
+    joined
+      .withColumn("comments_count",
+        coalesce(col("comments_count"), lit(0L)))
+      .withColumn("comments",
+        coalesce(col("comments"),
+          array().cast(joined.schema("comments").dataType)))
+  }
+
   /** Incremental merge of freshly-fetched changesets over an existing
     * snapshot: column-aligned union (the reference fixes column-order
     * sensitivity with an explicit select; unionByName here), newest row

@@ -52,6 +52,63 @@ class MetadataSpec extends SparkSpec {
     r1.getAs[Seq[String]]("hashtags") shouldBe Seq.empty
   }
 
+  test("assemble with comments: date-ascending structs, empty for none") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val changesets = Seq(
+      (100L, 7L, t("2024-01-01 10:00:00"), Option(t("2024-01-01 11:00:00")),
+        5, 525000000L, 526000000L, 134000000L, 135000000L),
+      (101L, 8L, t("2024-01-02 10:00:00"), Option.empty[java.sql.Timestamp],
+        2, -100000000L, -99000000L, 100000000L, 101000000L))
+      .toDF("id", "user_id", "created_at", "closed_at", "num_changes",
+        "min_lat", "max_lat", "min_lon", "max_lon")
+    val tags = Seq((100L, "comment", "hi #x")).toDF("changeset_id", "k", "v")
+    val users = Seq((7L, "alice"), (9L, "bob")).toDF("id", "name")
+    // out-of-order input; author 8 has no users row -> null name
+    val comments = Seq(
+      (100L, 9L, "second", t("2024-01-01 10:30:00")),
+      (100L, 7L, "first", t("2024-01-01 10:05:00")),
+      (100L, 8L, "third", t("2024-01-01 10:45:00")))
+      .toDF("changeset_id", "author_id", "body", "created_at")
+
+    val meta = Metadata.assemble(changesets, tags, users, comments)
+      .orderBy(col("id")).collect()
+    meta.length shouldBe 2
+    val r0 = meta(0)
+    r0.getAs[Long]("comments_count") shouldBe 3L
+    val cs = r0.getAs[collection.Seq[org.apache.spark.sql.Row]]("comments")
+    cs.map(_.getAs[String]("body")).toSeq shouldBe Seq("first", "second", "third")
+    cs.map(_.getAs[String]("user")).toSeq shouldBe Seq("alice", "bob", null)
+    val r1 = meta(1)
+    r1.getAs[Long]("comments_count") shouldBe 0L
+    r1.getAs[collection.Seq[org.apache.spark.sql.Row]]("comments") shouldBe Seq.empty
+  }
+
+  test("ChangesetMetadataCreatorApp: CSV dumps round-trip to parquet") {
+    val dir = Files.createTempDirectory("graft-meta-app")
+    Files.writeString(dir.resolve("changesets.csv"),
+      "id,user_id,created_at,closed_at,num_changes,min_lat,max_lat,min_lon,max_lon\n" +
+        "100,7,2024-01-01 10:00:00,2024-01-01 11:00:00,5,525000000,526000000,134000000,135000000\n")
+    Files.writeString(dir.resolve("tags.csv"),
+      "changeset_id,k,v\n100,comment,\"multi\nline #tag\"\n")
+    Files.writeString(dir.resolve("comments.csv"),
+      "changeset_id,author_id,body,created_at\n" +
+        "100,7,\"a \"\"quoted\"\" comment\",2024-01-01 10:10:00\n")
+    Files.writeString(dir.resolve("users.csv"), "id,name\n7,alice\n")
+    val out = dir.resolve("out").toString
+    graft.apps.ChangesetMetadataCreatorApp.run(spark,
+      dir.resolve("changesets.csv").toString, dir.resolve("tags.csv").toString,
+      dir.resolve("comments.csv").toString, dir.resolve("users.csv").toString,
+      out, singleFile = true)
+    val back = spark.read.parquet(out).collect()
+    back.length shouldBe 1
+    val r = back(0)
+    r.getAs[String]("user") shouldBe "alice"
+    r.getAs[Seq[String]]("hashtags") shouldBe Seq("tag")
+    r.getAs[Long]("comments_count") shouldBe 1L
+    r.getAs[collection.Seq[org.apache.spark.sql.Row]]("comments")
+      .head.getAs[String]("body") shouldBe "a \"quoted\" comment"
+  }
+
   test("mergeChangesets: newest version per id wins, union by name") {
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
     val existing = Seq(
