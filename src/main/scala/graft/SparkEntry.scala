@@ -803,6 +803,17 @@ object SparkEntry {
           col("src"), col("dst"), rounds = 3)
         .orderBy(col("node"))),
 
+    // ---- per-node triangle counts over a mod-folded lineitem graph
+    //      (degree-oriented wedge enumeration — the shuffle-bounded
+    //      distributed form; beyond-reference graph analytics)
+    "q_graph_triangles" -> ((s, dir) =>
+      operators.Graph.triangleCounts(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 20000).as("u"),
+            (col("l_partkey") % 20000).as("v")),
+          col("u"), col("v"))
+        .orderBy(col("node"))),
+
     // ---- A7: boolean-or via max(cast) (SURVEY §2.4 A7)
     "q_a7_boolor" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2639,6 +2650,24 @@ object SparkEntry {
         |  SELECT n.node, CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS pr
         |  FROM n LEFT JOIN c3 USING (node))
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 20000 AS u, l_partkey % 20000 AS v
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+        |      FROM raw WHERE u <> v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS triangles
+        |FROM corners GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q_j_asof" ->
       """WITH e AS (

@@ -404,12 +404,15 @@ object FootprintCreatorApp {
   * reference `repartition(1)`s the output; kept here only behind an
   * explicit knob because a single output partition funnels the whole
   * table through one task at scale.
+  * The reference emits ORC; `format` accepts "orc" or "parquet" (both
+  * are columnar + predicate-pushdown-capable Spark built-ins — parquet
+  * is the engine default, ORC is the drop-in for reference parity).
   * Usage: <changesetsCsv> <tagsCsv> <commentsCsv> <usersCsv> <outDir>
-  *        [singleFile] */
+  *        [singleFile] [format] */
 object ChangesetMetadataCreatorApp {
   def run(spark: SparkSession, changesetsCsv: String, tagsCsv: String,
           commentsCsv: String, usersCsv: String, outDir: String,
-          singleFile: Boolean = false): Unit = {
+          singleFile: Boolean = false, format: String = "parquet"): Unit = {
     // header + multiline + quote/escape match the reference's CSV
     // options (ChangesetMetadataCreator.scala:110-116); schemas are
     // declared, not inferred — inference is a second full read
@@ -429,13 +432,14 @@ object ChangesetMetadataCreatorApp {
     val meta = graft.operators.Metadata
       .assemble(changesets, tags, users, comments)
     (if (singleFile) meta.coalesce(1) else meta)
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").format(format).save(outDir)
   }
 
   def main(args: Array[String]): Unit = {
     val spark = Apps.session("changeset-metadata-creator")
     try run(spark, args(0), args(1), args(2), args(3), args(4),
-      singleFile = args.length > 5 && args(5).toBoolean)
+      singleFile = args.length > 5 && args(5).toBoolean,
+      format = if (args.length > 6) args(6) else "parquet")
     finally spark.stop()
   }
 }

@@ -21,6 +21,40 @@ class GraphSpec extends SparkSpec {
     got.values.sum should be < 3000000L
   }
 
+  test("triangleCounts: K4 plus a triangle-free star, messy input") {
+    // K4 on 1..4 (4 triangles, 3 per node) + star at 5 (none);
+    // input has both directions, dupes, and a self-loop
+    val edges = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4),
+      (3, 4), (4, 3), (5, 1), (5, 6), (5, 7), (6, 6))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, col("s"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("triangleCounts matches brute force on a hub-heavy graph") {
+    // hub node 0 connects to everyone (max degree) so the
+    // degree-orientation path (closing edges stored against, not from,
+    // the hub) is actually exercised
+    val pairs = ((0 until 300).map(i => ((i * 7) % 23, (i * 13 + 5) % 23))
+      ++ (1 until 23).map(i => (0, i)))
+      .filter { case (u, v) => u != v }
+    val expected = {
+      val es = pairs.map { case (u, v) => (u.min(v), u.max(v)) }.toSet
+      val counts = scala.collection.mutable.Map.empty[Int, Long]
+      for {
+        a <- 0 until 23; b <- a + 1 until 23; c <- b + 1 until 23
+        if es((a, b)) && es((a, c)) && es((b, c))
+        n <- Seq(a, b, c)
+      } counts(n) = counts.getOrElse(n, 0L) + 1
+      counts.map { case (k, v) => (k.toLong, v) }.toMap
+    }
+    val got = Graph.triangleCounts(
+        pairs.toDF("s", "d").repartition(7), col("s"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
+
   test("pageRank is identical under repartitioning") {
     val edges = (0L until 2000L)
       .map(i => (s"n${i % 97}", s"n${(i * 31 + 7) % 97}"))

@@ -109,6 +109,28 @@ class MetadataSpec extends SparkSpec {
       .head.getAs[String]("body") shouldBe "a \"quoted\" comment"
   }
 
+  test("ChangesetMetadataCreatorApp: ORC output carries the nested schema") {
+    val dir = Files.createTempDirectory("graft-meta-orc")
+    Files.writeString(dir.resolve("changesets.csv"),
+      "id,user_id,created_at,closed_at,num_changes,min_lat,max_lat,min_lon,max_lon\n" +
+        "100,7,2024-01-01 10:00:00,2024-01-01 11:00:00,5,0,0,0,0\n")
+    Files.writeString(dir.resolve("tags.csv"), "changeset_id,k,v\n100,created_by,iD\n")
+    Files.writeString(dir.resolve("comments.csv"),
+      "changeset_id,author_id,body,created_at\n100,7,hello,2024-01-01 10:10:00\n")
+    Files.writeString(dir.resolve("users.csv"), "id,name\n7,alice\n")
+    val out = dir.resolve("out").toString
+    graft.apps.ChangesetMetadataCreatorApp.run(spark,
+      dir.resolve("changesets.csv").toString, dir.resolve("tags.csv").toString,
+      dir.resolve("comments.csv").toString, dir.resolve("users.csv").toString,
+      out, format = "orc")
+    val back = spark.read.orc(out)
+    back.count() shouldBe 1
+    val r = back.collect()(0)
+    r.getAs[Map[String, String]]("tags")("created_by") shouldBe "iD"
+    r.getAs[collection.Seq[org.apache.spark.sql.Row]]("comments")
+      .head.getAs[String]("user") shouldBe "alice"
+  }
+
   test("mergeChangesets: newest version per id wins, union by name") {
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
     val existing = Seq(
