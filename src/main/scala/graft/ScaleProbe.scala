@@ -261,6 +261,45 @@ object ScaleProbe {
     val tBm25 = (System.nanoTime() - t0) / 1e9
     println(f"dsir_sel=$nDsir dsir_sec=$tDsir%.1f " +
       f"bm25_sel=$nBm25 bm25_sec=$tBm25%.1f")
+
+    // round 8: triangle counting under a hub — the degree-orientation
+    // claim made concrete. Lineitem folded to 50k nodes (~600k edges)
+    // plus one artificial hub adjacent to EVERY node. Wedge count is
+    // the whole cost model (Σ C(outdeg,2) candidate pairs); orienting
+    // by raw id hands the hub (id -1, lowest) outdegree 50k ⇒ ~1.25e9
+    // wedges from one node, while (deg,id) orientation gives the hub
+    // outdegree 0 and bounds every node's outdegree near √m. Both
+    // wedge counts are computed as pure aggregates (no join), then the
+    // real operator runs end-to-end on the oriented path.
+    val li = Tables.lineitem(spark, sfDir)
+    val rawE = li.select((col("l_orderkey") % 50000).as("u"),
+        (col("l_partkey") % 50000).as("v"))
+      .unionByName(li.select(lit(-1L).as("u"),
+        (col("l_partkey") % 50000).as("v")).distinct())
+    val und = rawE.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("p"),
+        greatest(col("u"), col("v")).as("q")).distinct().persist()
+    val nEdges = und.count()
+    def wedgeSum(out: org.apache.spark.sql.DataFrame): Long =
+      out.groupBy(col("o")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) / 2"))).collect().head.getLong(0)
+    val wById = wedgeSum(und.select(col("p").as("o"))) // id asc: p is src
+    val degT = und.select(col("p").as("node"))
+      .union(und.select(col("q").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wByDeg = wedgeSum(und
+      .join(degT.select(col("node").as("p"), col("deg").as("dp")), Seq("p"))
+      .join(degT.select(col("node").as("q"), col("deg").as("dq")), Seq("q"))
+      .select(when(struct(col("dp"), col("p")) < struct(col("dq"), col("q")),
+        col("p")).otherwise(col("q")).as("o")))
+    t0 = System.nanoTime()
+    val nTriNodes = operators.Graph.triangleCounts(
+      rawE, col("u"), col("v")).count()
+    val tTri = (System.nanoTime() - t0) / 1e9
+    println(f"triangles edges=$nEdges wedges_id_orient=$wById " +
+      f"wedges_deg_orient=$wByDeg nodes_with_tri=$nTriNodes " +
+      f"count_sec=$tTri%.1f")
+    und.unpersist()
     spark.stop()
   }
 }

@@ -64,6 +64,52 @@ object TileSink {
       .head().getLong(0) // agg, not reduce: an empty micro-batch is 0 tiles
   }
 
+  /** Faceted sibling of [[writeSequencedRasters]] (reference
+    * StreamingFacetedEditHistogramTileUpdater → EditHistogram.scala
+    * faceted props): each cell's feature carries one MLong tag per
+    * facet plus `__total`, so SumSchema's key-wise MLong merge
+    * accumulates every facet independently across sequences while the
+    * per-(tile, sequence) guard keeps replays no-ops. */
+  def writeSequencedFacetedRasters(
+      tiles: Dataset[graft.operators.FacetedTiles.FacetedRaster],
+      dir: String): Long =
+    writeSequencedFacetedRasters(tiles, new LocalFsStore(dir): ObjectStore)
+
+  def writeSequencedFacetedRasters(
+      tiles: Dataset[graft.operators.FacetedTiles.FacetedRaster],
+      store: ObjectStore): Long = {
+    import tiles.sparkSession.implicits._
+    tiles.groupByKey(r => (r.zoom, r.x, r.y))
+      .mapGroups { (tile, rs) =>
+        val (z, x, y) = tile
+        rs.toSeq.map { r =>
+          val Array(seq, layer) = r.key.split(":", 2)
+          (seq.toLong, layer, r)
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (seq, group) =>
+          val layerFeatures = group.sortBy(_._2).map { case (_, layer, r) =>
+            layer -> facetedFeaturesOf(r)
+          }
+          if (Mvt.commitTileLayers(store, z, x, y, layerFeatures, seq)) 1L
+          else 0L
+        }.sum
+      }.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("value"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
+  }
+
+  private def facetedFeaturesOf(
+      r: graft.operators.FacetedTiles.FacetedRaster): Seq[Mvt.Feature] =
+    r.values.toSeq.sortBy(_._1).map { case (cell, facets) =>
+      val px = (cell % r.cells) * (4096 / r.cells)
+      val py = (cell / r.cells) * (4096 / r.cells)
+      val tags: Map[String, Mvt.MValue] =
+        facets.map { case (f, n) => f -> (Mvt.MLong(n.toLong): Mvt.MValue) } +
+          ("__total" -> Mvt.MLong(facets.values.map(_.toLong).sum))
+      Mvt.Feature(cell + 1, 1,
+        Seq(Mvt.MoveTo(Seq((px.toInt, py.toInt)))), tags)
+    }
+
   private def featuresOf(r: Raster): Seq[Mvt.Feature] =
     r.values.toSeq.sortBy(_._1).map { case (cell, v) =>
       val px = (cell % r.cells) * (4096 / r.cells)
