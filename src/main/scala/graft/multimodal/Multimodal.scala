@@ -300,17 +300,27 @@ object Multimodal {
     udf((payload: Array[Byte]) => dHash(payload))
 
   /** Banded Hamming pair join over a 64-bit perceptual hash column:
-    * four 16-bit bands (pigeonhole — two hashes within Hamming ≤ 3
-    * share at least one band), full-hash bit-distance verification on
-    * candidates. Candidates shuffle by (band, value) key only — no
-    * all-pairs, payloads never shuffle. */
-  private def bandedHammingPairs(hashed: DataFrame,
-                                 maxHamming: Int): DataFrame = {
+    * `maxHamming + 1` near-equal-width bands — pigeonhole: a pair
+    * within Hamming ≤ maxHamming differs in at most maxHamming bands,
+    * so at least one band matches exactly — then full-hash
+    * bit-distance verification on candidates. Candidates shuffle by
+    * (band, value) key only — no all-pairs, payloads never shuffle.
+    * maxHamming is capped at 15 (16 bands × 4 bits): narrower bands
+    * collide so often the bucket join degenerates toward all-pairs. */
+  private[graft] def bandedHammingPairs(hashed: DataFrame,
+                                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandCols = (0 until nBands).map { b =>
+      val start = b * 64 / nBands
+      val len = (b + 1) * 64 / nBands - start
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("dh"), start).bitwiseAND(lit(mask)).as("bv"))
+    }
     val banded = hashed.select(col("id"), col("dh"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dh"), 16 * b).bitwiseAND(0xFFFFL)
-              .as("bv"))): _*)).as("bb"))
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("dh"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = banded.select(col("band"), col("bv"),

@@ -48,9 +48,12 @@ object Dedup {
   /** Exact dedup keeping the BEST group member instead of the smallest
     * id — the curation-grade canonical choice (e.g. merit = n_chars:
     * among identical-prefix duplicates, keep the most complete copy).
-    * Deterministic via lexicographic (merit DESC, id ASC) struct-max —
-    * `max_by` alone leaves ties partitioning-dependent. Same two-
-    * exchange narrow-projection shape as [[exactCanonical]]. */
+    * Deterministic via max-merit-then-min-id — `max_by` alone leaves
+    * ties partitioning-dependent. Two narrow groupBys + a join instead
+    * of [[exactCanonical]]'s one: the obvious single-agg encoding
+    * `max(struct(merit, -id))` would require a NUMERIC id (string ids
+    * fail analysis; `Long.MinValue` overflows on negation), while this
+    * shape keeps the any-orderable-id contract of the sibling. */
   def exactCanonicalBest(df: DataFrame, textCol: Column, idCol: Column,
                          meritCol: Column,
                          prefixTokens: Int = 0): DataFrame = {
@@ -60,9 +63,13 @@ object Dedup {
       else normalize(textCol)
     val withFp = df.select(idCol.as("doc_id"), meritCol.as("merit"),
       md5(basis).as("fp"))
-    val best = withFp.groupBy(col("fp"))
-      .agg(max(struct(col("merit"), (-col("doc_id")).as("nid"))).as("b"))
-      .select(col("fp"), (-col("b.nid")).as("canonical_id"))
+    val bestMerit = withFp.groupBy(col("fp"))
+      .agg(max(col("merit")).as("best_merit"))
+    // null-safe merit match so an all-null-merit group still canonicalizes
+    val best = withFp.join(bestMerit, Seq("fp"))
+      .filter(col("merit") <=> col("best_merit"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
     withFp.join(best, "fp")
       .select(col("doc_id"), col("canonical_id"))
   }

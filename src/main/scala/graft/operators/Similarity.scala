@@ -71,8 +71,13 @@ object Similarity {
     * reproducible; ties broken by neighbor id. Self-matches excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Cosine is undefined for zero-norm vectors: under ANSI SQL the
+    // division errors outright (and pre-ANSI it produced NaN, which
+    // poisons downstream MMR selection). Exclude them from ranking.
     val c = withNorm(corpus, idCol, vecCol, "n_id", "nv", "nn")
+      .filter(col("nn") > 0)
     val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "nq")
+      .filter(col("nq") > 0)
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos_r", stableRound(
         expr("dot_prod(qv, nv)") / sqrt(col("nq") * col("nn")), 6))
@@ -491,10 +496,15 @@ object Similarity {
             val redundancy =
               if (selected.isEmpty) 0.0
               else selected.map(s => sim(i, s)).max
-            val m = stableRoundD(
+            // A zero-norm vector makes sim() 0/0 = NaN; NaN fails every
+            // comparison, so map it to -Infinity to keep it selectable
+            // (last) instead of leaving best = -1 and crashing below.
+            val m0 = stableRoundD(
               lambda * rel(i) - (1.0 - lambda) * redundancy, 6)
+            val m = if (m0.isNaN) Double.NegativeInfinity else m0
             if (m > bestScore ||
-                (m == bestScore && best >= 0 && ids(i) < ids(best))) {
+                (m == bestScore && best >= 0 && ids(i) < ids(best)) ||
+                best < 0) {
               best = i; bestScore = m
             }
           }

@@ -109,11 +109,21 @@ object Timeline {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    // Forward-fill ONE struct of (payload..., __rts) rather than each
+    // payload column independently: per-column last(ignoreNulls) would
+    // source a null-carrying field from an OLDER right row than its
+    // siblings, emitting a composite row matching no actual right
+    // record. The struct is non-null exactly on right rows, so every
+    // emitted payload field + asof_ts comes from the same right row.
+    val rs = when(col("__side") === 0,
+      struct(payload.map(col) :+ col("__rts"): _*)).otherwise(lit(null))
+    val filled0 = unioned
+      .withColumn("__rs", last(rs, ignoreNulls = true).over(w))
+    val filled = payload.foldLeft(filled0)((df, p) =>
+      df.withColumn(p, col("__rs").getField(p)))
+      .withColumn("asof_ts", col("__rs").getField("__rts"))
     filled.filter(col("__side") === 1)
-      .drop("__ts", "__side", "__rts")
+      .drop("__ts", "__side", "__rts", "__rs")
   }
 
   /** Sessionization: split each key's event timeline into sessions at

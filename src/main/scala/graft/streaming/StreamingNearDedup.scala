@@ -37,12 +37,21 @@ import graft.operators.Dedup
   */
 object StreamingNearDedup {
 
-  /** Read bucket state strictly OLDER than `batchId` (replay safety). */
+  /** Read bucket state strictly OLDER than `batchId` (replay safety).
+    *
+    * Existence is probed through Hadoop's `FileSystem` API — resolved
+    * from the path's own scheme — so the "no state yet" branch is
+    * taken only when the directory truly has no `batch=` partitions,
+    * on local disk AND on object stores (`s3a://`, `gs://`, ...). A
+    * `java.io.File` probe here would return false for every non-local
+    * URI and silently re-admit all historical near-duplicates. */
   private def readState(spark: SparkSession, stateDir: String,
                         batchId: Long): DataFrame = {
-    val dir = new java.io.File(stateDir)
-    val hasBatches = dir.isDirectory &&
-      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(path) &&
+      fs.listStatus(path).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasBatches)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     got(4L) shouldBe 4L
   }
 
+  test("exactCanonicalBest accepts non-numeric (string) doc ids") {
+    val d = Seq(
+      ("doc-a", "group one text", 10L),
+      ("doc-c", "group one text", 50L),
+      ("doc-b", "group one text", 50L),  // merit tie -> min id "doc-b"
+      ("doc-d", "other group here", 7L)
+    ).toDF("doc_id", "text", "merit")
+    val got = graft.operators.Dedup.exactCanonicalBest(
+        d, col("text"), col("doc_id"), col("merit"))
+      .as[(String, String)].collect().toMap
+    got("doc-a") shouldBe "doc-b"
+    got("doc-b") shouldBe "doc-b"
+    got("doc-c") shouldBe "doc-b"
+    got("doc-d") shouldBe "doc-d"
+  }
+
   test("minhash LSH finds planted near-dup pairs and verifies jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"),
       shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)

@@ -399,4 +399,22 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
       .map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
   }
+
+  test("bandedHammingPairs recall holds for maxHamming > 3") {
+    import spark.implicits._
+    // 4 differing bits packed inside ONE 16-bit span: the old fixed
+    // 4x16 banding had no clean band at maxHamming = 4 and missed the
+    // pair; maxHamming+1 = 5 bands pigeonhole-guarantee a match.
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ 0x000000000000F000L // bits 12-15 flipped
+    val hashed = Seq((1L, a), (2L, b)).toDF("id", "dh")
+    Multimodal.bandedHammingPairs(hashed, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSeq shouldBe Seq((1L, 2L, 4))
+    // below the cap nothing pairs at distance 4
+    Multimodal.bandedHammingPairs(hashed, maxHamming = 3)
+      .collect() shouldBe empty
+    // cap: bands narrower than 4 bits are refused
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.bandedHammingPairs(hashed, maxHamming = 16)
+  }
 }

@@ -283,4 +283,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(col("rnk")).select(col("n_id")).as[Long].collect().toSeq
     mmr shouldBe brute
   }
+
+  test("mmrRerank tolerates a zero-norm vector in the corpus") {
+    // Cosine against a zero-norm vector is 0/0 — an ANSI division
+    // error in the pool ranking and a NaN poisoning MMR selection.
+    // Zero-norm vectors are excluded from the candidate pool; the
+    // rerank must neither crash nor emit them.
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f)),  // zero norm
+      (3L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, q, poolN = 3, k = 3, lambda = 0.5)
+      .orderBy(col("rnk")).select(col("n_id")).as[Long].collect().toSeq
+    got shouldBe Seq(1L, 3L)
+  }
 }

@@ -136,6 +136,21 @@ class TimelineSpec extends SparkSpec {
     fast shouldBe slow
   }
 
+  test("asofJoin takes ALL payload fields from the same right row") {
+    // The latest preceding right row has a null in one payload column;
+    // per-column forward-fill would graft that field from the OLDER
+    // row, emitting a composite matching no actual right record.
+    val left = Seq((1L, "k", 25L)).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("k", 10L, Option(1L), Option.empty[Long]),
+      ("k", 20L, Option.empty[Long], Option(2L))
+    ).toDF("key", "mts", "a", "b")
+    val got = Timeline.asofJoin(left, right, Seq("key"), "ts", "mts")
+      .select(col("event_id"), col("asof_ts"), col("a"), col("b"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    got shouldBe Array((1L, Some(20L), None, Some(2L)))
+  }
+
   test("gapFill densifies each key's range and forward-fills values") {
     import org.apache.spark.sql.functions._
     val obs = Seq(
