@@ -227,7 +227,8 @@ object HashtagFootprintPipeline {
   def run(spark: SparkSession, diffDir: String, csDir: String,
           endSequence: Long, tileDir: String, checkpointDir: String,
           zoom: Int = 3, cells: Int = 8,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -268,7 +269,8 @@ object HashtagFootprintPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    q.awaitTermination(180000)
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
     ()
   }
 }
@@ -290,7 +292,8 @@ object UserFootprintPipeline {
   def run(spark: SparkSession, diffDir: String, endSequence: Long,
           tileDir: String, checkpointDir: String,
           zoom: Int = 3, cells: Int = 8,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -312,7 +315,8 @@ object UserFootprintPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    q.awaitTermination(180000)
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
     ()
   }
 
@@ -336,7 +340,8 @@ object EditTileUpdaterPipeline {
   def run(spark: SparkSession, diffDir: String, endSequence: Long,
           tileDir: String, checkpointDir: String,
           zoom: Int = 3, cells: Int = 8,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
     val changes = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "augdiff").option("payloadDir", diffDir)
@@ -357,7 +362,8 @@ object EditTileUpdaterPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    q.awaitTermination(180000)
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
     ()
   }
 
@@ -365,6 +371,158 @@ object EditTileUpdaterPipeline {
   def main(args: Array[String]): Unit = {
     val spark = Apps.session("edit-tile-updater")
     try run(spark, args(0), args(1).toLong, args(2), args(3))
+    finally spark.stop()
+  }
+}
+
+/** Streaming FACETED edit-histogram tile updater (reference
+  * apps/streaming/StreamingFacetedEditHistogramTileUpdater.scala and
+  * its one-shot FacetedEditHistogramTileUpdater sibling): each changed
+  * node is classified into the reference's facet set — building /
+  * road / waterway / poi / coastline from its effective tags
+  * (`visible ? tags : prevTags`, the reference's
+  * `when('visible, 'tags).otherwise('prevTags)` at
+  * StreamingFacetedEditHistogramTileUpdater.scala:129), plus the
+  * lifecycle facets created (version 1), modified (visible, version
+  * > 1) and deleted (!visible) — and rasterized into one density
+  * layer PER facet per sequence ("facet_<name>"), committed under the
+  * same (tile, sequence) idempotence guard as every updater here.
+  *
+  * Deviation, documented: the reference propagates WAY tags onto
+  * member nodes through a (sequence, ref) stream self-join before
+  * faceting; the augdiff wire rows here are already point-level and
+  * carry no `nds`, so facets come from the element's own tag
+  * generations. The way-tag-propagated form is the batch
+  * [[graft.operators.FacetedTiles]] path. */
+object FacetedEditTilePipeline {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Facet-name array for one row's effective tags — null entries
+    * compacted out so only held facets explode into points. */
+  private[apps] def facetArray(tags: Column, version: Column,
+                               visible: Column): Column = {
+    def f(cond: Column, name: String) = when(cond, lit(name))
+    filter(array(
+      f(graft.functions.isBuilding(tags), "building"),
+      f(graft.functions.isRoad(tags), "road"),
+      f(graft.functions.isWaterway(tags), "waterway"),
+      f(graft.functions.isPOI(tags), "poi"),
+      f(graft.functions.isCoastline(tags), "coastline"),
+      f(visible && version === 1, "created"),
+      f(visible && version > 1, "modified"),
+      f(!visible, "deleted")), c => c.isNotNull)
+  }
+
+  def run(spark: SparkSession, diffDir: String, endSequence: Long,
+          tileDir: String, checkpointDir: String,
+          zoom: Int = 3, cells: Int = 8,
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
+    val changes = spark.readStream
+      .format("graft.streaming.SequenceSource")
+      .option("format", "augdiff").option("payloadDir", diffDir)
+      .option("startSequence", 0).option("endSequence", endSequence)
+      .load()
+      .filter(col("error").isNull && col("lon").isNotNull &&
+        col("lat").isNotNull)
+      .select(col("sequence"), col("lon"), col("lat"),
+        explode(facetArray(
+          when(col("visible"), col("tags")).otherwise(col("prev_tags")),
+          col("version"), col("visible"))).as("facet"))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch.withColumn("key",
+          concat(col("sequence").cast("string"), lit(":facet_"),
+            col("facet")))
+        val rasters = graft.operators.Tiles.rasterize(
+          pts, "key", "lon", "lat", zoom, cells)
+        graft.sinks.TileSink.writeSequencedRasters(rasters, tileDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
+    ()
+  }
+
+  /** Usage: <diffDir> <endSeq> <tileDir> <checkpointDir> */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("faceted-edit-tile-updater")
+    try run(spark, args(0), args(1).toLong, args(2), args(3))
+    finally spark.stop()
+  }
+}
+
+/** The continuous (`Streaming*`) variants of the three tile updaters —
+  * the reference ships each updater twice, a one-shot drain
+  * (`EditHistogramTileUpdater`) and a run-forever micro-batch loop
+  * (`StreamingEditHistogramTileUpdater`); here the topology is ONE
+  * pipeline and the main picks the trigger: these mains run
+  * `Trigger.ProcessingTime(intervalMs)` until killed, polling the
+  * payload directory for sequences beyond what the offset log has
+  * committed. Everything else — state, rasterization, the
+  * (tile, sequence) idempotence guard — is byte-identical to the
+  * one-shot mains, which is the point: drain-mode specs prove the
+  * continuous path too. */
+object StreamingEditTileUpdaterApp {
+  /** Usage: <diffDir> <tileDir> <checkpointDir> [intervalMs] */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("streaming-edit-tile-updater")
+    val interval = if (args.length > 3) args(3).toLong else 15000L
+    try EditTileUpdaterPipeline.run(spark, args(0),
+      endSequence = Long.MaxValue, args(1), args(2),
+      trigger = Trigger.ProcessingTime(interval), awaitMs = -1L)
+    finally spark.stop()
+  }
+}
+
+/** See [[StreamingEditTileUpdaterApp]]. Reference
+  * StreamingFacetedEditHistogramTileUpdater.scala. */
+object StreamingFacetedEditTileUpdaterApp {
+  /** Usage: <diffDir> <tileDir> <checkpointDir> [intervalMs] */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("streaming-faceted-edit-tile-updater")
+    val interval = if (args.length > 3) args(3).toLong else 15000L
+    try FacetedEditTilePipeline.run(spark, args(0),
+      endSequence = Long.MaxValue, args(1), args(2),
+      trigger = Trigger.ProcessingTime(interval), awaitMs = -1L)
+    finally spark.stop()
+  }
+}
+
+/** See [[StreamingEditTileUpdaterApp]]. Reference
+  * StreamingUserFootprintTileUpdater.scala. */
+object StreamingUserFootprintTileUpdaterApp {
+  /** Usage: <diffDir> <tileDir> <checkpointDir> [intervalMs] */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("streaming-user-footprint-tile-updater")
+    val interval = if (args.length > 3) args(3).toLong else 15000L
+    try UserFootprintPipeline.run(spark, args(0),
+      endSequence = Long.MaxValue, args(1), args(2),
+      trigger = Trigger.ProcessingTime(interval), awaitMs = -1L)
+    finally spark.stop()
+  }
+}
+
+/** Batch-mode changeset-metadata updater main (reference
+  * apps/streaming/ChangesetMetadataUpdater.scala — the drain-and-stop
+  * variant of the metadata dictionary upsert): changesets wire
+  * payloads through [[ChangesetMetadataPipeline]] into a JDBC
+  * dictionary store, start sequence seeded from the store's
+  * checkpoint table. Pass a Derby or PostgreSQL JDBC URL; the store
+  * speaks both dialects. */
+object ChangesetMetadataUpdaterApp {
+  /** Usage: <payloadDir> <endSeq> <jdbcUrl> <checkpointDir>
+    *        [updateUsernames] */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("changeset-metadata-updater")
+    val store = new graft.sinks.JdbcUpsertStore(args(2))
+    try ChangesetMetadataPipeline.run(spark, args(0), args(1).toLong,
+      store, "changeset-metadata-updater", args(3),
+      updateUsernames = args.length > 4 && args(4).toBoolean)
     finally spark.stop()
   }
 }
@@ -469,7 +627,8 @@ object ChangeStreamApp {
 
   def run(spark: SparkSession, payloadDir: String, endSequence: Long,
           outDir: String, deadDir: String, checkpointDir: String,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
     val stream = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "osmchange").option("payloadDir", payloadDir)
@@ -486,7 +645,8 @@ object ChangeStreamApp {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    q.awaitTermination(180000)
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
     ()
   }
 
@@ -525,7 +685,8 @@ object MergedChangesetStreamApp {
 
   def run(spark: SparkSession, payloadDir: String, endSequence: Long,
           snapshotDir: String, checkpointDir: String,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          awaitMs: Long = 180000L): Unit = {
     val stream = spark.readStream
       .format("graft.streaming.SequenceSource")
       .option("format", "changesets").option("payloadDir", payloadDir)
@@ -550,7 +711,8 @@ object MergedChangesetStreamApp {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    q.awaitTermination(180000)
+    // awaitMs <= 0: run until killed (the continuous Streaming* mains)
+    if (awaitMs > 0) q.awaitTermination(awaitMs) else q.awaitTermination()
     ()
   }
 

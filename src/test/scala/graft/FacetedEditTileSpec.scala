@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.Mvt
+
+/** Streaming faceted edit-histogram tiles (reference
+  * StreamingFacetedEditHistogramTileUpdater): each changed node lands
+  * in one density layer per held facet, deleted elements facet from
+  * their PREVIOUS tag generation, and a full replay against a fresh
+  * checkpoint no-ops every (tile, sequence) commit. Also proves the
+  * continuous ProcessingTime trigger path (the `Streaming*` mains)
+  * produces the same tiles as the drain-mode run.
+  */
+class FacetedEditTileSpec extends SparkSpec {
+
+  private def diffLine(id: Long, version: Long, visible: Boolean,
+                       tags: String, prevTags: String,
+                       lon: Double, lat: Double): String = {
+    val old =
+      if (prevTags.isEmpty) ""
+      else
+        s""", "old": {"type": "Feature", "properties": {"type": "node", "id": $id, """ +
+          s""""version": ${version - 1}, "updated": "2012-09-11T08:20:00Z", "tags": $prevTags}}"""
+    s"""{"new": {"type": "Feature", "geometry": {"type": "Point", "coordinates": [$lon, $lat]}, """ +
+      s""""properties": {"type": "node", "id": $id, "version": $version, "updated": "2012-09-12T08:20:00Z", """ +
+      s""""visible": $visible, "changeset": 900, "uid": 1, "user": "u1", "tags": $tags}}$old}"""
+  }
+
+  private def writeFixtures(): String = {
+    val diffDir = Files.createTempDirectory("graft-facet-diff").toString
+    Files.writeString(Paths.get(diffDir, "0.json"), Seq(
+      // v1 building: facets building + created
+      diffLine(1, 1, visible = true, """{"building": "yes"}""", "", 20.0, 10.0),
+      // v2 road: facets road + modified
+      diffLine(2, 2, visible = true, """{"highway": "residential"}""",
+        """{"highway": "residential"}""", 20.0, 10.0),
+      // deleted building: facets from PREV tags -> building + deleted
+      diffLine(3, 3, visible = false, "{}", """{"building": "yes"}""",
+        20.0, 10.0)).mkString("\n"))
+    Files.writeString(Paths.get(diffDir, "1.json"),
+      // v1 cafe: facets poi + created
+      diffLine(4, 1, visible = true, """{"amenity": "cafe"}""", "", 20.0, 10.0))
+    diffDir
+  }
+
+  private def density(layers: Seq[Mvt.Layer], layer: String): Long =
+    layers.find(_.name == layer).toSeq
+      .flatMap(_.features.flatMap(_.tags.get("density")))
+      .collect { case Mvt.MLong(v) => v }.sum
+
+  private def assertDensities(tiles: String): Unit = {
+    val layers = Mvt.readTile(tiles, 3, 4, 3).get
+    density(layers, "facet_building") shouldBe 2L // live v1 + deleted prev
+    density(layers, "facet_road") shouldBe 1L
+    density(layers, "facet_poi") shouldBe 1L
+    density(layers, "facet_created") shouldBe 2L  // ids 1, 4
+    density(layers, "facet_modified") shouldBe 1L // id 2
+    density(layers, "facet_deleted") shouldBe 1L  // id 3
+    layers.map(_.name) should not contain "facet_waterway"
+    ()
+  }
+
+  test("faceted tiles: per-facet layers, prevTags for deletes, replay no-ops") {
+    val diffDir = writeFixtures()
+    val tiles = Files.createTempDirectory("graft-facet-tiles").toString
+    def run(ckpt: String): Unit = apps.FacetedEditTilePipeline.run(
+      spark, diffDir, endSequence = 1L, tiles, ckpt)
+    run(Files.createTempDirectory("graft-facet-ckpt").toString)
+    assertDensities(tiles)
+    // full replay, fresh checkpoint: every (tile, sequence) commit
+    // already recorded under __sequences__ -> densities unchanged
+    run(Files.createTempDirectory("graft-facet-ckpt2").toString)
+    assertDensities(tiles)
+  }
+
+  test("continuous ProcessingTime trigger produces the same tiles") {
+    import org.apache.spark.sql.streaming.Trigger
+    val diffDir = writeFixtures()
+    val tiles = Files.createTempDirectory("graft-facet-pt-tiles").toString
+    // The Streaming* mains' path: ProcessingTime polling loop. The
+    // query never self-terminates, so bound the await and stop it.
+    apps.FacetedEditTilePipeline.run(spark, diffDir, endSequence = 1L,
+      tiles, Files.createTempDirectory("graft-facet-pt-ckpt").toString,
+      trigger = Trigger.ProcessingTime(250L), awaitMs = 10000L)
+    spark.streams.active.foreach(_.stop())
+    assertDensities(tiles)
+  }
+}

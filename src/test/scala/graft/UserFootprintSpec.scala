@@ -57,5 +57,14 @@ class UserFootprintSpec extends SparkSpec {
       tiles, Files.createTempDirectory("graft-et-ckpt").toString)
     val layers = Mvt.readTile(tiles, 3, 4, 3).get
     density(layers, "edits") shouldBe 4L
+    // full replay with a fresh checkpoint, this time on the continuous
+    // ProcessingTime trigger (the StreamingEditTileUpdaterApp path):
+    // every (tile, sequence) commit no-ops — density unchanged
+    import org.apache.spark.sql.streaming.Trigger
+    apps.EditTileUpdaterPipeline.run(spark, diffDir, endSequence = 1L,
+      tiles, Files.createTempDirectory("graft-et-ckpt2").toString,
+      trigger = Trigger.ProcessingTime(250L), awaitMs = 10000L)
+    spark.streams.active.foreach(_.stop())
+    density(Mvt.readTile(tiles, 3, 4, 3).get, "edits") shouldBe 4L
   }
 }
