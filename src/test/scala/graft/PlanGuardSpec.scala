@@ -30,15 +30,18 @@ class PlanGuardSpec extends SparkSpec {
       PlanGuard.requireNoCartesian(scalar, "scalar")
   }
 
-  test("join-family and composite registry queries plan zero cartesians") {
+  test("EVERY registry query plans zero cartesians") {
+    // The registry-wide invariant: no query the driver verifies may
+    // execute an unkeyed, non-broadcast join. Building each DataFrame
+    // at sf0.001 forces full physical planning (some constructions also
+    // run their bounded fit jobs — centroids, codebooks — which is the
+    // point: the audited plan is the plan that ships).
     val dir = "/root/testdata/sf0.001"
-    val names = Seq("q_j1_full_outer", "q_j2_left", "q_j3_semi",
-      "q_j4_temporal", "q_j7_geocode", "q_j_anti", "q_j_asof",
-      "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_funnel", "q_retention",
-      "q_dq_checks", "q_cdc_apply", "q_agg_incremental", "q_dsir_select",
-      "q_text_bm25", "q_text_pmi")
-    names.foreach { n =>
-      PlanGuard.requireNoCartesian(SparkEntry.queries(n)(spark, dir), n)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, mk) =>
+        try { PlanGuard.requireNoCartesian(mk(spark, dir), name); None }
+        catch { case e: IllegalStateException => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
     }
+    withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
 }
