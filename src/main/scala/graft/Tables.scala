@@ -63,11 +63,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * micros TimestampType cannot read. We read it as raw nanos (legacy
-    * nanosAsLong) and expose BOTH `ts_ns` (exact, for ordering/arithmetic
-    * — nanosecond ties matter for deterministic windows) and a derived
-    * micros `ts` TimestampType column. */
+  /** events.parquet has shipped `ts` as either parquet TIMESTAMP(NANOS)
+    * (older generator runs; Spark's micros TimestampType cannot read it
+    * natively, so we read raw nanos via legacy nanosAsLong) or plain
+    * TIMESTAMP(MICROS). `events()` below detects which from the file
+    * footer and normalizes to the same surface either way: `ts_ns`
+    * (exact integer, for ordering/arithmetic — sub-micro ties matter
+    * for deterministic windows), `ts_us`, and a micros `ts`
+    * TimestampType column. */
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -109,10 +112,32 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    // Footer-sniff the physical type of `ts` (cheap: schema only, no scan)
+    // rather than pinning a schema that silently misreads the other
+    // encoding — a micros column read as "nanos long" shifts every
+    // timestamp 1000x and corrupts day/session/window boundaries.
+    val tsIsNanosLong =
+      s.read.parquet(s"$d/events.parquet").schema("ts").dataType == LongType
+    val base =
+      if (tsIsNanosLong)
+        load(s, d, "events")
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+      else {
+        // TIMESTAMP_NTZ wall-clock == DuckDB's epoch_us(ts) only when the
+        // NTZ->instant cast runs under UTC; every entry point already pins
+        // UTC, this re-pins for ad-hoc sessions.
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id").cast(LongType).as("event_id"),
+            unix_micros(col("ts").cast(TimestampType)).as("ts_us"),
+            col("user_id").cast(LongType).as("user_id"),
+            col("event_type").cast(StringType).as("event_type"),
+            col("value").cast(DoubleType).as("value"),
+            col("props").cast(StringType).as("props"))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+      }
+    base.withColumn("ts", timestamp_micros(col("ts_us")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
