@@ -692,6 +692,37 @@ object SparkEntry {
           max(col("c")).as("hi_c"))
         .orderBy(col("bin"))),
 
+    // ---- distribution drift (operators.Drift): PSI + KL per category
+    //      between the first 15 days (baseline) and the rest (current)
+    //      of the event stream — the drift gate before admitting a new
+    //      crawl/stream batch into a training mix
+    "q_drift_psi" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      val d0 = d.agg(min(col("day")).as("d0"))
+      val flagged = d.crossJoin(broadcast(d0))
+        .select(col("event_type"), (col("day") < col("d0") + 15).as("is_base"))
+      operators.Drift.categoryDrift(flagged, col("event_type"), col("is_base"))
+        .orderBy(col("category"))
+    }),
+
+    // ---- corpus snapshot diff (operators.Drift): added / removed /
+    //      changed / unchanged per doc by content fingerprint — the
+    //      incremental-crawl admission step; two synthetic snapshots
+    //      carved from `documents` (mod-7 vs mod-5 membership, mod-11
+    //      docs edited)
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text"))).as("fp"))
+      operators.Drift.snapshotDiff(prev, cur, "doc_id", "fp")
+        .orderBy(col("id"))
+    }),
+
     // ---- daily active / new / cumulative users: distinct-per-day plus
     //      first-seen rollup; the running total is a window over the
     //      DAY-level table (tiny), never over raw events
@@ -2549,6 +2580,54 @@ object SparkEntry {
         |SELECT c // 3000000 AS bin, count(*) AS cnt,
         |  min(c) AS lo_c, max(c) AS hi_c
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |m AS (SELECT min(day) AS d0 FROM d),
+        |s AS (
+        |  SELECT event_type,
+        |    CASE WHEN day < d0 + 15 THEN 1 ELSE 0 END AS is_base
+        |  FROM d, m),
+        |pc AS (
+        |  SELECT event_type AS category,
+        |    CAST(sum(is_base) AS BIGINT) AS n_base,
+        |    CAST(sum(1 - is_base) AS BIGINT) AS n_cur
+        |  FROM s GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM pc)
+        |SELECT category, n_base, n_cur,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    CAST(floor((CAST(n_cur AS DOUBLE) / t_cur -
+        |                CAST(n_base AS DOUBLE) / t_base) *
+        |      ln((CAST(n_cur AS DOUBLE) / t_cur) /
+        |         (CAST(n_base AS DOUBLE) / t_base)) * 1e6) AS BIGINT)
+        |  END AS psi_micro,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    CAST(floor((CAST(n_cur AS DOUBLE) / t_cur) *
+        |      ln((CAST(n_cur AS DOUBLE) / t_cur) /
+        |         (CAST(n_base AS DOUBLE) / t_base)) * 1e6) AS BIGINT)
+        |  END AS kl_micro
+        |FROM pc, t ORDER BY category""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id, md5(text) AS fp_old
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || '!' ELSE text END)
+        |      AS fp_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY id""".stripMargin,
 
     "q_events_dau" ->
       """WITH d AS (

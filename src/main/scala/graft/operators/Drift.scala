@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus/stream snapshots —
+  * the "did this crawl batch shift under me" gate a training-data
+  * pipeline runs before admitting new data. Same determinism
+  * discipline as the rest of the engine: counts are exact longs,
+  * shares/logs are computed in double (cross-engine-stable libm, same
+  * precedent as the sqrt in `Stats` correlation) and floored to
+  * integer micro-units so hashes are bit-stable.
+  */
+object Drift {
+
+  /** Per-category Population-Stability-Index and KL drift terms
+    * between a baseline slice and a current slice of the same frame.
+    *
+    * For each category with mass on BOTH sides: p = share in baseline,
+    * q = share in current, psi_micro = floor((q-p)·ln(q/p)·1e6),
+    * kl_micro = floor(q·ln(q/p)·1e6). Categories present on only one
+    * side are emitted with NULL drift terms (the standard
+    * epsilon-smoothing decision is the caller's; dropping them
+    * silently would hide exactly the novel-category signal drift
+    * monitoring exists to catch).
+    *
+    * Scale: one groupBy(category) over the input plus a 2-row global
+    * rollup broadcast back as scalars — map-side-combinable, no
+    * corpus-sized state anywhere. */
+  def categoryDrift(df: DataFrame, categoryCol: Column,
+                    isBaselineCol: Column): DataFrame = {
+    val slices = df.select(categoryCol.as("category"),
+      when(isBaselineCol, 1L).otherwise(0L).as("is_base"))
+    val perCat = slices.groupBy(col("category"))
+      .agg(sum(col("is_base")).as("n_base"),
+        sum(lit(1L) - col("is_base")).as("n_cur"))
+    // global totals: single row, broadcast-scalar pattern (PlanGuard
+    // distinguishes this 1-row BNLJ build from a true cartesian)
+    val totals = perCat.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"))
+    val p = col("n_base").cast("double") / col("t_base").cast("double")
+    val q = col("n_cur").cast("double") / col("t_cur").cast("double")
+    perCat.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          floor((q - p) * log(q / p) * lit(1e6)).cast("long"))
+          .as("psi_micro"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          floor(q * log(q / p) * lit(1e6)).cast("long"))
+          .as("kl_micro"))
+  }
+
+  /** Snapshot diff by content fingerprint: classify every id across
+    * two corpus snapshots as added / removed / changed / unchanged.
+    * This is the incremental-crawl admission step — downstream stages
+    * (dedup, quality, packing) re-run only on `added`+`changed`.
+    *
+    * Inputs need one row per id on each side (pre-aggregate upstream
+    * if not). Scale: a single full-outer equi-join shuffled on id;
+    * fingerprints travel instead of payloads, so the shuffle carries
+    * O(ids), not O(bytes). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, fpCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), col(fpCol).as("fp_old"))
+    val n = newDf.select(col(idCol).as("id"), col(fpCol).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("categoryDrift matches hand-computed PSI/KL micro terms") {
+    // baseline: a=6 b=3 c=1 (t=10); current: a=2 b=6 d=2 (t=10)
+    val rows =
+      Seq.fill(6)(("a", true)) ++ Seq.fill(3)(("b", true)) ++
+        Seq.fill(1)(("c", true)) ++ Seq.fill(2)(("a", false)) ++
+        Seq.fill(6)(("b", false)) ++ Seq.fill(2)(("d", false))
+    val df = rows.toDF("cat", "is_base")
+    val out = Drift.categoryDrift(df, col("cat"), col("is_base"))
+      .orderBy("category")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    def term(p: Double, q: Double) =
+      (math.floor((q - p) * math.log(q / p) * 1e6).toLong,
+        math.floor(q * math.log(q / p) * 1e6).toLong)
+    val (psiA, klA) = term(0.6, 0.2)
+    val (psiB, klB) = term(0.3, 0.6)
+    out shouldBe Array(
+      ("a", 6L, 2L, Some(psiA), Some(klA)),
+      ("b", 3L, 6L, Some(psiB), Some(klB)),
+      ("c", 1L, 0L, None, None), // one-sided: novel-category signal kept
+      ("d", 0L, 2L, None, None))
+    // identical distributions drift zero
+    val same = (Seq.fill(4)(("x", true)) ++ Seq.fill(2)(("y", true)) ++
+      Seq.fill(4)(("x", false)) ++ Seq.fill(2)(("y", false)))
+      .toDF("cat", "is_base")
+    Drift.categoryDrift(same, col("cat"), col("is_base"))
+      .agg(sum("psi_micro"), sum("kl_micro")).as[(Long, Long)]
+      .head() shouldBe ((0L, 0L))
+  }
+
+  test("categoryDrift is identical under repartitioning") {
+    val df = (1 to 500)
+      .map(i => (s"c${i % 7}", i % 3 == 0)).toDF("cat", "is_base")
+    val a = Drift.categoryDrift(df, col("cat"), col("is_base"))
+      .orderBy("category").collect()
+    val b = Drift.categoryDrift(df.repartition(13), col("cat"),
+        col("is_base"))
+      .orderBy("category").collect()
+    a shouldBe b
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "f1"), (2L, "f2"), (3L, "f3")).toDF("id", "fp")
+    val cur = Seq((2L, "f2"), (3L, "f3x"), (4L, "f4")).toDF("id", "fp")
+    val out = Drift.snapshotDiff(prev, cur, "id", "fp")
+      .orderBy("id").as[(Long, String)].collect()
+    out shouldBe Array((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"))
+  }
+}
