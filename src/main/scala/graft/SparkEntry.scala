@@ -1675,6 +1675,34 @@ object SparkEntry {
           query = Seq("spark", "join", "scan"), k = 50)
         .orderBy(col("doc_id"))),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the lexical
+    //      (BM25 top-50) and semantic (cosine top-50 for query vector
+    //      0) legs — exact integer RRF, doc_id ≡ vec_id
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          query = Seq("spark", "join", "scan"), k = 50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+      val emb = Tables.embeddings(s, dir)
+      val sem = operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      operators.Retrieval.rrfFuse(Seq(lex, sem), topK = 50,
+          idCol = "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    // ---- DDSketch-style quantile estimate (operators.Quantiles):
+    //      α=2% geometric buckets over order totals in cents; output is
+    //      integer-only (bucket index + rank + masses), the mergeable
+    //      per-shard quantile shape
+    "q_quantile_dd" -> ((s, dir) =>
+      operators.Quantiles.ddQuantiles(
+          Tables.orders(s, dir).select(cents(col("o_totalprice")).as("c")),
+          col("c"), qsPermille = Seq(500, 900, 990, 999), alpha = 0.02)
+        .orderBy(col("q_permille"))),
+
     // ---- DSIR importance selection (operators.Dsir; Xie et al. 2023):
     //      pick the 100 raw docs whose hashed-bigram distribution is
     //      most target-like (target = src0/src1) by exact-integer
@@ -1940,6 +1968,12 @@ object SparkEntry {
       |    list_distinct([array_to_string(t[i:i+2], ' ')
       |                   for i in range(1, greatest(len(t)-1, 1))]) AS s
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** DDSketch bucket scale 1/ln γ at α=2%, shared verbatim between the
+    * Spark plan and the oracle SQL (Double.toString round-trips, so
+    * DuckDB parses the identical double). */
+  private val ddScale: String =
+    operators.Quantiles.invLnGamma(0.02).toString
 
   /** Cosine similarity mirroring [[operators.Similarity.cosine]]:
     * dot / sqrt(na*nb), sequential sums over 64 dims. */
@@ -4381,6 +4415,87 @@ object SparkEntry {
          |  SELECT * FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_terms, bm25_micro FROM sel
          |ORDER BY doc_id""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""WITH $toksSql,
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |tots AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl
+         |  FROM dl),
+         |occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (
+         |  SELECT doc_id, w, count(*) AS tf
+         |  FROM occ WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+         |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * (1.0 - 0.75 +
+         |         0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs))) *
+         |      1e6) AS BIGINT) AS contrib
+         |  FROM tf JOIN dft USING (w) JOIN dl USING (doc_id)
+         |  CROSS JOIN tots),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_terms,
+         |    CAST(sum(contrib) AS BIGINT) AS bm25_micro
+         |  FROM sc GROUP BY 1),
+         |bsel AS (
+         |  SELECT * FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 50),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rnk
+         |  FROM bsel),
+         |e AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id AS id,
+         |    floor((${cosSql("qv", "e.v")}) * 1000000 + 0.5)/1000000 AS cos_r
+         |  FROM e JOIN q ON q.q_id <> e.vec_id),
+         |semr AS (
+         |  SELECT id, row_number() OVER (ORDER BY cos_r DESC, id) AS rnk
+         |  FROM scored),
+         |sem AS (SELECT id, rnk FROM semr WHERE rnk <= 50),
+         |legs AS (
+         |  SELECT id, 1000000 // (60 + rnk) AS contrib FROM lex
+         |  UNION ALL
+         |  SELECT id, 1000000 // (60 + rnk) AS contrib FROM sem),
+         |fused AS (
+         |  SELECT id, count(*) AS n_legs,
+         |    CAST(sum(contrib) AS BIGINT) AS rrf_micro
+         |  FROM legs GROUP BY 1),
+         |fsel AS (
+         |  SELECT * FROM fused ORDER BY rrf_micro DESC, id LIMIT 50)
+         |SELECT id, n_legs, rrf_micro FROM fsel ORDER BY id""".stripMargin,
+
+    "q_quantile_dd" ->
+      s"""WITH v AS (
+         |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+         |  FROM orders),
+         |b AS (
+         |  SELECT CAST(ceil(ln(CAST(c AS DOUBLE)) * $ddScale) AS BIGINT)
+         |    AS bucket
+         |  FROM v WHERE c > 0),
+         |h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+         |cm AS (
+         |  SELECT bucket, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM h),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |r AS (
+         |  SELECT CAST(q_permille AS BIGINT) AS q_permille,
+         |    CAST((q_permille * n + 999) // 1000 AS BIGINT) AS "rank"
+         |  FROM t CROSS JOIN
+         |    (SELECT unnest([500, 900, 990, 999]) AS q_permille)),
+         |ch AS (
+         |  SELECT q_permille, "rank", min(bucket) AS bucket
+         |  FROM r JOIN cm ON cm.cum >= r."rank" GROUP BY 1, 2)
+         |SELECT ch.q_permille, ch."rank" AS rank, ch.bucket, cm.cnt, cm.cum
+         |FROM ch JOIN cm USING (bucket) ORDER BY q_permille""".stripMargin,
 
     "q_dsir_select" ->
       s"""WITH $toksSql,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDSketch-style quantile estimation (Masson et al., VLDB 2019): values
+  * are binned into geometric buckets `ceil(ln(v)·(1/ln γ))` with
+  * γ = (1+α)/(1−α), which guarantees α relative error for any quantile.
+  * The "sketch" IS the bucket-count table — O(log(max/min)/α) rows
+  * (hundreds), built by an ordinary map-side-combinable groupBy, and
+  * mergeable across files/days/partitions by adding counts, which is
+  * what makes it the per-shard quantile shape at 100 TB (contrast exact
+  * percentile: a global sort).
+  *
+  * Determinism discipline: the ONLY float step is the per-row `ln(v)`;
+  * the 1/ln γ scale is a driver-side literal shared with the oracle
+  * SQL, and everything after binning — counts, cumulative ranks,
+  * `ceil(q·n)` as `(q‰·n+999) div 1000` — is exact integer arithmetic.
+  * Quantile rows report the chosen bucket, its count, and cumulative
+  * mass rather than a float estimate: a bucket index IS the estimate
+  * (value ∈ (γ^(b−1), γ^b]); [[bucketUpperBound]] converts when a
+  * human-facing number is wanted.
+  */
+object Quantiles {
+
+  def gamma(alpha: Double): Double = (1.0 + alpha) / (1.0 - alpha)
+
+  /** Driver-side scale constant; interpolate the SAME double into any
+    * oracle SQL so both engines compute ln(v)·scale identically. */
+  def invLnGamma(alpha: Double): Double = 1.0 / math.log(gamma(alpha))
+
+  /** Upper bound of bucket b (its canonical DDSketch estimate is within
+    * α of every value in the bucket). Driver-side helper, not part of
+    * the oracle-gated output. */
+  def bucketUpperBound(bucket: Long, alpha: Double): Double =
+    math.pow(gamma(alpha), bucket.toDouble)
+
+  /** The mergeable histogram: (bucket, cnt) for every positive value.
+    * Non-positive values are excluded (log-bucketing is defined on
+    * v > 0; route zeros/negatives to a side count upstream if they
+    * matter). */
+  def ddHistogram(df: DataFrame, valueCol: Column,
+                  alpha: Double = 0.01): DataFrame =
+    df.select(valueCol.cast("double").as("v"))
+      .filter(col("v") > 0)
+      .select(ceil(log(col("v")) * lit(invLnGamma(alpha)))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Quantile lookup over the histogram: for each requested permille q,
+    * rank = ceil(q·n/1000) and the first bucket whose cumulative count
+    * reaches it. Returns (q_permille, rank, bucket, cnt, cum). The
+    * window runs over the bucket table (hundreds of rows), never the
+    * data. */
+  def ddQuantiles(df: DataFrame, valueCol: Column,
+                  qsPermille: Seq[Int],
+                  alpha: Double = 0.01): DataFrame = {
+    require(qsPermille.nonEmpty, "no quantiles requested")
+    val h = ddHistogram(df, valueCol, alpha)
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = h.agg(sum(col("cnt")).as("n"))
+      .select(explode(array(qsPermille.map(q => lit(q.toLong)): _*))
+        .as("q_permille"), col("n"))
+      .select(col("q_permille"),
+        expr("(q_permille * n + 999) div 1000").as("rank"))
+    val chosen = broadcast(ranks)
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy(col("q_permille"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+    chosen.join(cum, Seq("bucket"))
+      .select(col("q_permille"), col("rank"), col("bucket"),
+        col("cnt"), col("cum"))
+  }
+}

@@ -63,4 +63,31 @@ object Retrieval {
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several ranked
+    * candidate lists — the standard hybrid-retrieval merge of a
+    * lexical (BM25) and a semantic (ANN) leg. Each leg contributes
+    * `1000000 div (k0 + rank)` to its candidates: EXACT integer
+    * arithmetic end-to-end, so fused scores are engine- and
+    * partitioning-independent (no float rank blending to drift).
+    *
+    * Inputs are (idCol, rankCol) frames, rank 1-based and already
+    * truncated to each leg's candidate depth. Scale: legs are
+    * top-k-sized (not corpus-sized) by construction; union + one
+    * groupBy on id, then a TakeOrderedAndProject for the fused top-k —
+    * nothing here ever re-touches the corpus. */
+  def rrfFuse(legs: Seq[DataFrame], topK: Int, k0: Int = 60,
+              idCol: String = "id", rankCol: String = "rnk"): DataFrame = {
+    require(legs.nonEmpty, "no ranked legs")
+    val contribs = legs.map { df =>
+      df.select(col(idCol).cast("long").as("id"),
+        expr(s"1000000L div (${k0}L + CAST($rankCol AS BIGINT))")
+          .as("contrib"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_legs"), sum(col("contrib")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(topK)
+  }
 }

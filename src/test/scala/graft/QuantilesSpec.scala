@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/** DDSketch quantiles: the bucket estimate carries the promised α
+  * relative-error bound against exact quantiles, the histogram merges
+  * by count addition, and everything is partition-invariant. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val alpha = 0.02
+
+  test("quantile buckets bracket the exact quantile within alpha") {
+    val vals = (1 to 10000).map(i => (i.toDouble * i))
+    val df = vals.toDF("v")
+    val out = Quantiles.ddQuantiles(df, col("v"),
+        qsPermille = Seq(500, 900, 990), alpha = alpha)
+      .select(col("q_permille"), col("bucket"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    out.length shouldBe 3
+    val sorted = vals.sorted
+    out.foreach { case (qp, bucket, rank) =>
+      val exact = sorted(((qp * vals.size + 999) / 1000 - 1).toInt)
+      val hi = Quantiles.bucketUpperBound(bucket, alpha)
+      val lo = Quantiles.bucketUpperBound(bucket - 1, alpha)
+      assert(exact > lo * (1 - alpha) && exact <= hi * (1 + alpha),
+        s"q=$qp exact=$exact outside bucket ($lo, $hi]")
+      rank shouldBe (qp * vals.size + 999) / 1000
+    }
+  }
+
+  test("histograms merge by adding counts") {
+    val a = (1 to 5000).map(_.toDouble).toDF("v")
+    val b = (2500 to 9000).map(_.toDouble).toDF("v")
+    val merged = Quantiles.ddHistogram(a.union(b), col("v"), alpha)
+      .orderBy("bucket").as[(Long, Long)].collect()
+    val summed = Quantiles.ddHistogram(a, col("v"), alpha)
+      .unionByName(Quantiles.ddHistogram(b, col("v"), alpha))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .orderBy("bucket").as[(Long, Long)].collect()
+    merged shouldBe summed
+  }
+
+  test("non-positive values are excluded; partition-invariant") {
+    val df = Seq(-5.0, 0.0, 1.0, 10.0, 100.0).toDF("v")
+    Quantiles.ddHistogram(df, col("v"), alpha)
+      .agg(sum("cnt")).as[Long].head() shouldBe 3L
+    val big = (1 to 3000).map(i => ((i * 2654435761L) % 100000 + 1).toDouble)
+    val x = Quantiles.ddQuantiles(big.toDF("v"), col("v"),
+      Seq(500, 999), alpha).orderBy("q_permille").collect()
+    val y = Quantiles.ddQuantiles(big.toDF("v").repartition(11), col("v"),
+      Seq(500, 999), alpha).orderBy("q_permille").collect()
+    x shouldBe y
+  }
+}

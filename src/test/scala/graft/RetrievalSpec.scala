@@ -46,4 +46,27 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     s(1) shouldBe s(7)
   }
+
+  test("rrfFuse: both-leg docs beat single-leg docs at equal ranks") {
+    // leg A ranks 1,2,3 -> docs 10,11,12 ; leg B ranks 1,2,3 -> 11,12,13
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rnk")
+    val b = Seq((11L, 1), (12L, 2), (13L, 3)).toDF("id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(a, b), topK = 10)
+      .as[(Long, Long, Long)].collect()
+    def c(r: Int) = 1000000L / (60L + r)
+    out shouldBe Array(
+      (11L, 2L, c(2) + c(1)), // best combined mass first
+      (12L, 2L, c(3) + c(2)),
+      (10L, 1L, c(1)),
+      (13L, 1L, c(3)))
+  }
+
+  test("rrfFuse is exact-integer and partition-invariant") {
+    val a = (1 to 200).map(i => (i.toLong, i)).toDF("id", "rnk")
+    val b = (1 to 200).map(i => (201L - i, i)).toDF("id", "rnk")
+    val x = Retrieval.rrfFuse(Seq(a, b), topK = 50).collect()
+    val y = Retrieval.rrfFuse(Seq(a.repartition(7), b.repartition(3)),
+      topK = 50).collect()
+    x shouldBe y
+  }
 }
