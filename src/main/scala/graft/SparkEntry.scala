@@ -1858,6 +1858,13 @@ object SparkEntry {
           Tables.embeddings(s, dir), threshold = 1.02)
         .orderBy(col("vec_id"))),
 
+    // ---- nearest-centroid label confusion (operators.Similarity):
+    //      label-noise triage — off-diagonal (label, pred) mass marks
+    //      overlapping or mislabeled classes
+    "q_embed_confusion" -> ((s, dir) =>
+      operators.Similarity.labelConfusion(Tables.embeddings(s, dir))
+        .orderBy(col("label"), col("pred"))),
+
     // ---- S2/S7: changeset-metadata assembly (Metadata.assemble — CSV-dump
     //      re-zip + user join + 1e-7 fixed-point lat/lon + hashtag
     //      extraction; reference ChangesetMetadataCreator.scala:107-186).
@@ -4324,6 +4331,30 @@ object SparkEntry {
         |  FROM e JOIN cl ON e.label = cl.label)
         |SELECT vec_id, label, dist_r, dist_r > 1.02 AS is_outlier
         |FROM dist ORDER BY vec_id""".stripMargin,
+
+    "q_embed_confusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cand, d,
+        |    floor(avg(v[d+1]) * 1000000 + 0.5)/1000000 AS c
+        |  FROM e, range(0, 64) ds(d) GROUP BY 1, 2),
+        |cl AS (SELECT cand, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |dist AS (
+        |  SELECT vec_id, e.label, cand,
+        |    floor(list_sum([(v[j+1]-cv[j+1])*(v[j+1]-cv[j+1])
+        |                    for j in range(0, 64)]) * 1000000 + 0.5)/1000000
+        |      AS dist_r
+        |  FROM e CROSS JOIN cl),
+        |best AS (
+        |  SELECT vec_id, label, cand,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY dist_r, cand) AS rn
+        |  FROM dist)
+        |SELECT label, cand AS pred, count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2
+        |ORDER BY label, pred""".stripMargin,
 
     "q_sample_exact_k" ->
       """WITH r AS (

@@ -555,6 +555,44 @@ object Similarity {
     * bounded. Centroid components and distances are stable-rounded at
     * 1e-6; the distance fold is left-to-right over dimensions, so the
     * result is engine-reproducible. */
+  /** Nearest-centroid confusion matrix — the label-quality eval over
+    * an embedding table: each vector is assigned to its closest label
+    * centroid and the (true label, predicted label) pairs are counted.
+    * Off-diagonal mass localizes label noise / overlapping classes
+    * before the data reaches training.
+    *
+    * Same determinism discipline as [[labelOutliers]] (1e-6
+    * stable-rounded centroids and distances, left-to-right folds,
+    * (dist, label) argmin tie-break). Scale: the assignment is the
+    * standard n·k broadcast shape — a k-row centroid build side under
+    * a BroadcastNestedLoopJoin (PlanGuard-accepted), one window over
+    * per-vector k rows, and a k²-row output. */
+  def labelConfusion(corpus: DataFrame, idCol: String = "vec_id",
+                     labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).cast("int").as("label"), asDouble(col(vecCol)).as("v"))
+    val cent = e
+      .select(col("label").as("cand"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cand"), col("d")).agg(avg(col("x")).as("c0"))
+      .withColumn("c", floor(col("c0") * 1e6 + lit(0.5)) / 1e6)
+      .groupBy(col("cand"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("dist_r",
+        floor(aggregate(zip_with(col("v"), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * 1e6 + lit(0.5)) / 1e6)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_r"), col("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("cand"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("cand").as("pred"), col("n"))
+  }
+
   def labelOutliers(corpus: DataFrame, threshold: Double,
                     idCol: String = "vec_id", labelCol: String = "label",
                     vecCol: String = "embedding"): DataFrame = {

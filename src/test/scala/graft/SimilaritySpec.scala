@@ -299,4 +299,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy(col("rnk")).select(col("n_id")).as[Long].collect().toSeq
     got shouldBe Seq(1L, 3L)
   }
+
+  test("labelConfusion: clean clusters are diagonal, a mislabeled " +
+      "point lands off-diagonal") {
+    // label 0 clusters at x-axis, label 1 at y-axis; vec 5 carries
+    // label 0 but sits in label 1's cluster
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0f)), (1L, 0, Array(0.9f, 0f, 0.1f)),
+      (2L, 0, Array(1.1f, 0f, 0f)),
+      (3L, 1, Array(0f, 1.0f, 0.1f)), (4L, 1, Array(0.1f, 0.9f, 0f)),
+      (5L, 0, Array(0f, 1.1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val m = Similarity.labelConfusion(e)
+      .orderBy(col("label"), col("pred"))
+      .as[(Int, Int, Long)].collect()
+    m shouldBe Array((0, 0, 3L), (0, 1, 1L), (1, 1, 2L))
+  }
 }
