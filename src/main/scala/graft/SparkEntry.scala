@@ -792,6 +792,15 @@ object SparkEntry {
     //      (no upstream shuffle), so task replay is deterministic and
     //      the localCheckpoint pin — a full input copy at 100 TB — is
     //      unnecessary (rule in Scale.saltedSum scaladoc)
+    // ---- key-skew diagnostic (operators.Scale): the pre-flight
+    //      measurement for salting decisions — top suppliers by
+    //      lineitem row share with exact-integer salt recommendation
+    "q_skew_report" -> ((s, dir) =>
+      operators.Scale.keySkewReport(
+          Tables.lineitem(s, dir), col("l_suppkey"), topK = 10,
+          parallelism = 32)
+        .orderBy(col("key"))),
+
     "q_salted_agg" -> ((s, dir) =>
       operators.Scale.saltedSum(
           Tables.events(s, dir)
@@ -2810,6 +2819,22 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0))
         |       AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_keys FROM c),
+        |sel AS (
+        |  SELECT key, cnt, n_keys,
+        |    CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |    CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_rec
+        |  FROM c CROSS JOIN t
+        |  ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT key, cnt, n_keys, share_ppm, salt_rec
+        |FROM sel ORDER BY key""".stripMargin,
 
     "q_layout_zorder" -> {
       // Morton interleave mirrored bit-by-bit: bit b of qx -> 2b+1,

@@ -312,7 +312,16 @@ object LanguageModel {
     * top-1), never the corpus again. Lineage is cut with a
     * localCheckpoint every few rounds so round r doesn't replay rounds
     * 0..r-1. Only the single winning pair crosses to the driver per
-    * round. */
+    * round.
+    *
+    * Merges budget: one Spark job per merge is inherent to global BPE
+    * (each round's winner depends on the last), so wall-clock is
+    * merges × (seconds per vocab-table job) — budget ~1-2 s/merge on a
+    * busy cluster and train the production 30k-100k-merge vocabularies
+    * with this operator on a SAMPLED word-frequency table (frequency
+    * tables converge fast: a 1% sample of a 100 TB corpus still sees
+    * every pair that matters), or import externally-trained merges
+    * into [[bpeEncodeUdf]], which is corpus-scale regardless. */
   def trainBpe(df: DataFrame, textCol: Column,
                merges: Int): Seq[(String, String)] = {
     val sep = "\u0000"

@@ -47,6 +47,32 @@ object Scale {
       .agg(sum(col("__partial")).as(resultCol))
   }
 
+  /** Key-skew diagnostic — the measurement that decides whether a
+    * join/agg key needs [[saltedSum]]-style salting or AQE skew
+    * handling before the job runs at scale. Reports the topK heaviest
+    * keys with exact-integer shares and the salt factor that would
+    * level each onto `parallelism` reducers:
+    * (key, cnt, share_ppm = cnt·1e6 div total,
+    *  salt_rec = ceil(cnt·parallelism / total), i.e. 1 = not skewed).
+    *
+    * Scale: one map-side-combinable groupBy(key) plus a 1-row totals
+    * broadcast and a TakeOrderedAndProject for the topK — the report
+    * never materializes more than the per-key count table. */
+  def keySkewReport(df: DataFrame, keyCol: Column, topK: Int = 10,
+                    parallelism: Int = 32): DataFrame = {
+    val counts = df.select(keyCol.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"), col("n_keys"),
+        expr("cnt * 1000000L div total").as("share_ppm"),
+        expr(s"(cnt * ${parallelism}L + total - 1L) div total")
+          .as("salt_rec"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
   /** Write a DataFrame bucketed+sorted by join keys so subsequent joins
     * between co-bucketed tables are exchange-free (bucket-local SMJ).
     * Spark requires the table path: bucketBy is a catalog-table feature. */

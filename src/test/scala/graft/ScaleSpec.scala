@@ -78,4 +78,20 @@ class ScaleSpec extends SparkSpec {
     worstExtent(zSorted, 16) shouldBe 32L
     worstExtent(rowSorted, 16) shouldBe n
   }
+
+  test("keySkewReport surfaces the hot key with the right salt factor") {
+    import spark.implicits._
+    // key 'hot' holds 640 of 680 rows -> share 941176 ppm, and with
+    // parallelism 32: ceil(640*32/680) = ceil(30.1) = 31 salt buckets
+    val df = (Seq.fill(640)("hot") ++ (1 to 40).map(i => s"k$i"))
+      .toDF("k")
+    val r = Scale.keySkewReport(df, col("k"), topK = 3, parallelism = 32)
+      .orderBy(col("cnt").desc, col("key"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    r.length shouldBe 3
+    r.head shouldBe (("hot", 640L, 41L, 640L * 1000000L / 680L,
+      (640L * 32L + 679L) / 680L))
+    r(1)._2 shouldBe 1L   // every other key is singleton
+    r(1)._5 shouldBe 1L   // ... and needs no salting
+  }
 }
