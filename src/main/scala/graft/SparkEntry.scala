@@ -792,6 +792,16 @@ object SparkEntry {
     //      (no upstream shuffle), so task replay is deterministic and
     //      the localCheckpoint pin — a full input copy at 100 TB — is
     //      unnecessary (rule in Scale.saltedSum scaladoc)
+    // ---- water-filling budget caps (operators.Sampling): level L with
+    //      sum(min(n_s, L)) filling a 140k-char budget — small sources
+    //      keep everything, large ones shave to the common cap
+    "q_mix_waterfill" -> ((s, dir) =>
+      operators.Sampling.waterFillCaps(
+          Tables.documents(s, dir).groupBy(col("source"))
+            .agg(sum(col("n_chars")).as("n")),
+          col("source"), col("n"), budget = 140000L)
+        .orderBy(col("source"))),
+
     // ---- key-skew diagnostic (operators.Scale): the pre-flight
     //      measurement for salting decisions — top suppliers by
     //      lineitem row share with exact-integer salt recommendation
@@ -2819,6 +2829,26 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(CAST(round(value*100) AS BIGINT), 0))
         |       AS BIGINT) AS total_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mix_waterfill" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS rn,
+        |    CAST(SUM(n) OVER (ORDER BY n, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+        |    CAST(count(*) OVER () AS BIGINT) AS s
+        |  FROM c),
+        |p AS (
+        |  SELECT CAST(min(level) AS BIGINT) AS level FROM (
+        |    SELECT (140000 - (prefix - n)) // (s - rn + 1) AS level
+        |    FROM r WHERE prefix - n + (s - rn + 1) * n >= 140000
+        |    ORDER BY rn LIMIT 1))
+        |SELECT source, n, least(n, COALESCE(level, n)) AS kept,
+        |  n > COALESCE(level, n) AS capped, level
+        |FROM r CROSS JOIN p ORDER BY source""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (

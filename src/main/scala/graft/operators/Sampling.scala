@@ -356,4 +356,53 @@ object Sampling {
         (col("last_bin") + col("__bin_start")).as("last_bin"),
         col("bin_offset"))
   }
+
+  /** Water-filling token-budget allocation across sources: find the
+    * level L such that Σ min(n_s, L) fills `budget`, i.e. small
+    * sources keep everything and the surplus of large sources is
+    * shaved to a common cap — the fair-cap alternative to
+    * proportional/temperature mixing when one source dwarfs the rest.
+    *
+    * Exact integers throughout. Sources sort ascending by (n, source);
+    * the pivot is the first row where granting every remaining source
+    * its own n meets the budget (feasibility is monotone along that
+    * order), and L = (budget − prefix_below) div (sources_remaining).
+    * Floor semantics: Σ kept can undershoot budget by at most
+    * (sources_remaining − 1); the remainder is deliberately NOT
+    * redistributed (determinism beats the last few tokens). If total
+    * supply ≤ budget, every source keeps its full n and `level` is
+    * NULL. Emits (source, n, kept, capped, level).
+    *
+    * Scale: the input here is the per-SOURCE rollup (one row per
+    * source), so the windows run over a sources-sized table; the
+    * corpus-sized work is the upstream groupBy that produced it. */
+  def waterFillCaps(perSource: DataFrame, sourceCol: Column, nCol: Column,
+                    budget: Long): DataFrame = {
+    val base = perSource.select(sourceCol.as("source"),
+      nCol.cast(LongType).as("n"))
+    val w = Window.orderBy(col("n"), col("source"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .withColumn("__prefix",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__s", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val pivot = ranked
+      .filter(col("__prefix") - col("n") +
+        (col("__s") - col("__rn") + 1L) * col("n") >= budget)
+      .orderBy(col("__rn")).limit(1)
+      .select(expr(s"(${budget}L - (__prefix - n)) div (__s - __rn + 1L)")
+        .as("level"))
+      // min-of-one-or-zero-rows: always exactly one row, NULL level
+      // when supply <= budget (an empty frame under crossJoin would
+      // otherwise wipe the output)
+      .agg(min(col("level")).as("level"))
+    ranked.crossJoin(broadcast(pivot))
+      .select(col("source"), col("n"),
+        least(col("n"), coalesce(col("level"), col("n"))).as("kept"),
+        (col("n") > coalesce(col("level"), col("n"))).as("capped"),
+        col("level"))
+  }
 }

@@ -399,4 +399,31 @@ class SamplingSpec extends SparkSpec {
     val overlap = (ids("s1") intersect ids("s2")).size
     overlap should be < 30 // ~10 expected for independent 10% draws
   }
+
+  test("waterFillCaps: level fills the budget, small sources uncapped") {
+    import spark.implicits._
+    val src = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 100L))
+      .toDF("source", "n")
+    val r = Sampling.waterFillCaps(src, col("source"), col("n"), 90L)
+      .orderBy("source")
+      .as[(String, Long, Long, Boolean, Option[Long])].collect()
+    // pivot at c: L = (90 - 30) div 2 = 30; kept = 10+20+30+30 = 90
+    r shouldBe Array(
+      ("a", 10L, 10L, false, Some(30L)),
+      ("b", 20L, 20L, false, Some(30L)),
+      ("c", 30L, 30L, false, Some(30L)),
+      ("d", 100L, 30L, true, Some(30L)))
+    // supply under budget: nothing capped, NULL level
+    val free = Sampling.waterFillCaps(src, col("source"), col("n"), 200L)
+      .orderBy("source")
+      .as[(String, Long, Long, Boolean, Option[Long])].collect()
+    free.map(_._3) shouldBe Array(10L, 20L, 30L, 100L)
+    free.forall(x => !x._4 && x._5.isEmpty) shouldBe true
+    // budget 91: pivot moves past c (30+2*30=90 < 91), L=(91-60) div 1
+    // = 31 -> kept sums to exactly 91; floor undershoot is < sources
+    // remaining at the pivot, never an overshoot
+    val near = Sampling.waterFillCaps(src, col("source"), col("n"), 91L)
+      .agg(sum("kept")).as[Long].head()
+    near shouldBe 91L
+  }
 }
