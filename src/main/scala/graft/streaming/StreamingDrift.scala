@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift monitoring — the continuous twin of
+  * [[graft.operators.Drift.categoryDrift]]: watermarked tumbling
+  * windows roll up per-category counts as data arrives, and each
+  * finalized window is scored against a static baseline distribution.
+  * This is the "alert when today's crawl stops looking like the
+  * reference mix" loop, running on the stream instead of a nightly
+  * batch.
+  *
+  * Topology split: [[windowCategoryCounts]] is the streaming stateful
+  * piece (watermark + windowed agg, append mode — each (window,
+  * category) row is emitted exactly once when the watermark passes, so
+  * it composes with the idempotent sinks); [[driftVsBaseline]] is the
+  * stateless scoring arithmetic, applied per finalized window inside
+  * `foreachBatch` or over the sink table. Keeping the scoring out of
+  * the stateful graph means no second stateful operator and identical
+  * math batch-vs-stream (the spec asserts it).
+  *
+  * Scale: streaming state is O(open windows × categories); the
+  * baseline is a broadcast category table.
+  */
+object StreamingDrift {
+
+  /** Watermarked tumbling-window category counts in append mode:
+    * (window_start TIMESTAMP, category, cnt), one finalized row per
+    * window+category. */
+  def windowCategoryCounts(events: DataFrame, tsCol: Column,
+                           catCol: Column, windowDur: String,
+                           watermarkDelay: String): DataFrame =
+    events.select(tsCol.as("ts"), catCol.as("category"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("category"),
+        col("cnt"))
+
+  /** Per-window PSI/KL terms against a static baseline of (category,
+    * n_base) counts, in [[graft.operators.Drift]]'s floored
+    * micro-units. Every (finalized window × baseline category) pair is
+    * emitted — a baseline category with zero mass in a window is the
+    * vanished-category signal — plus rows for novel categories the
+    * baseline lacks; both one-sided cases carry NULL terms exactly
+    * like the batch operator. */
+  def driftVsBaseline(windowCounts: DataFrame,
+                      baseline: DataFrame): DataFrame = {
+    val bTot = baseline.agg(sum(col("n_base")).as("t_base"))
+    // the skeleton and the totals both derive from windowCounts, so
+    // every join below is a self-join: qualified aliases keep the
+    // attribute references distinct (using-column joins trip Spark's
+    // conflicting-reference check under the full_outer + cross shape)
+    val wTot = windowCounts.groupBy(col("window_start"))
+      .agg(sum(col("cnt")).as("t_cur"))
+    val skeleton = wTot.select(col("window_start"))
+      .crossJoin(broadcast(baseline))
+    // re-aliasing every column mints fresh attribute ids, which is
+    // what actually disambiguates the self-join (subquery aliases keep
+    // the underlying ids and stay ambiguous)
+    val wc = windowCounts.select(
+      col("window_start").as("wc_window_start"),
+      col("category").as("wc_category"), col("cnt").as("wc_cnt"))
+    val full = skeleton
+      .join(wc,
+        col("window_start") === col("wc_window_start") &&
+          col("category") === col("wc_category"), "full_outer")
+      .select(
+        coalesce(col("window_start"), col("wc_window_start"))
+          .as("window_start"),
+        coalesce(col("category"), col("wc_category")).as("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("wc_cnt"), lit(0L)).as("n_cur"))
+    val p = col("n_base").cast("double") / col("t_base").cast("double")
+    val q = col("n_cur").cast("double") / col("t_cur").cast("double")
+    val wt = wTot.select(col("window_start").as("wt_window_start"),
+      col("t_cur"))
+    full
+      .join(broadcast(wt), col("window_start") === col("wt_window_start"))
+      .drop("wt_window_start")
+      .crossJoin(broadcast(bTot))
+      .select(col("window_start"), col("category"), col("n_base"),
+        col("n_cur"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          floor((q - p) * log(q / p) * lit(1e6)).cast("long"))
+          .as("psi_micro"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          floor(q * log(q / p) * lit(1e6)).cast("long"))
+          .as("kl_micro"))
+  }
+}

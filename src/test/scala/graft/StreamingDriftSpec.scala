@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+import graft.streaming.StreamingDrift
+
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("windowed counts finalize once and drift math matches batch") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val counts = StreamingDrift.windowCategoryCounts(
+      mem.toDF().toDF("ts", "cat"),
+      col("ts"), col("cat"), windowDur = "10 minutes",
+      watermarkDelay = "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("drift_counts")
+      .outputMode("append").start()
+    try {
+      // window [0,10): a-heavy; window [10,20): b-heavy
+      mem.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "a"), (ts(4), "b"))
+      q.processAllAvailable()
+      mem.addData((ts(11), "b"), (ts(12), "b"), (ts(13), "a"),
+        (ts(14), "c"))
+      q.processAllAvailable()
+      mem.addData((ts(25), "a")) // advance watermark past both windows
+      q.processAllAvailable()
+
+      val got = spark.table("drift_counts")
+        .as[(Timestamp, String, Long)].collect().toSet
+      got shouldBe Set(
+        (ts(0), "a", 3L), (ts(0), "b", 1L),
+        (ts(10), "a", 1L), (ts(10), "b", 2L), (ts(10), "c", 1L))
+
+      // score finalized windows against baseline a=2,b=2 and check the
+      // per-window terms against the batch operator on equivalent rows
+      val baseline = Seq(("a", 2L), ("b", 2L)).toDF("category", "n_base")
+      val drift = StreamingDrift.driftVsBaseline(
+          spark.table("drift_counts"), baseline)
+        .filter(col("window_start") === ts(10))
+        .orderBy("category")
+        .as[(Timestamp, String, Long, Long, Option[Long], Option[Long])]
+        .collect()
+      val batchRows =
+        Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("b", true)) ++
+          Seq(("a", false), ("b", false), ("b", false), ("c", false))
+      val expect = Drift.categoryDrift(batchRows.toDF("cat", "is_base"),
+          col("cat"), col("is_base"))
+        .orderBy("category")
+        .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      drift.map(d => (d._2, d._3, d._4, d._5, d._6)) shouldBe expect
+    } finally q.stop()
+  }
+
+  test("vanished baseline category appears with zero mass, NULL terms") {
+    val counts = Seq((ts(0), "x", 5L))
+      .toDF("window_start", "category", "cnt")
+    val baseline = Seq(("x", 3L), ("gone", 7L)).toDF("category", "n_base")
+    val r = StreamingDrift.driftVsBaseline(counts, baseline)
+      .orderBy("category")
+      .as[(Timestamp, String, Long, Long, Option[Long], Option[Long])]
+      .collect()
+    r.map(x => (x._2, x._3, x._4)) shouldBe
+      Array(("gone", 7L, 0L), ("x", 3L, 5L))
+    r.head._5 shouldBe None // vanished -> NULL psi
+  }
+}
