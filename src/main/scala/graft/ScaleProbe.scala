@@ -282,7 +282,7 @@ object ScaleProbe {
     val nEdges = und.count()
     def wedgeSum(out: org.apache.spark.sql.DataFrame): Long =
       out.groupBy(col("o")).agg(count(lit(1)).as("d"))
-        .agg(sum(expr("d * (d - 1) / 2"))).collect().head.getLong(0)
+        .agg(sum(expr("d * (d - 1) div 2"))).collect().head.getLong(0)
     val wById = wedgeSum(und.select(col("p").as("o"))) // id asc: p is src
     val degT = und.select(col("p").as("node"))
       .union(und.select(col("q").as("node")))
@@ -300,6 +300,36 @@ object ScaleProbe {
       f"wedges_deg_orient=$wByDeg nodes_with_tri=$nTriNodes " +
       f"count_sec=$tTri%.1f")
     und.unpersist()
+
+    // round 11: new-operator probes at inflated row counts.
+    // (a) DDSketch histogram over 6M values (10x lineitem prices):
+    //     sketch size must stay a few hundred buckets no matter n.
+    val prices = li.crossJoin(spark.range(10))
+      .select((col("l_extendedprice") * (col("id") + 1)).as("v"))
+    t0 = System.nanoTime()
+    val hist = operators.Quantiles.ddHistogram(prices, col("v"), 0.02)
+      .persist()
+    val nBuckets = hist.count()
+    val nVals = prices.count()
+    val tDd = (System.nanoTime() - t0) / 1e9
+    hist.unpersist()
+    // (b) skew report over the same 6M rows / 50k keys: one combinable
+    //     groupBy + top-k, sub-second at any key cardinality.
+    t0 = System.nanoTime()
+    val skew = operators.Scale.keySkewReport(
+      li.crossJoin(spark.range(10)),
+      col("l_partkey") % 50000, topK = 10).collect()
+    val tSkew = (System.nanoTime() - t0) / 1e9
+    // (c) drift over 1M events (10x): two groupBys, category-sized out.
+    val ev10 = Tables.events(spark, sfDir).crossJoin(spark.range(10))
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("is_base"))
+    t0 = System.nanoTime()
+    val nDrift = operators.Drift.categoryDrift(
+      ev10, col("event_type"), col("is_base")).count()
+    val tDrift = (System.nanoTime() - t0) / 1e9
+    println(f"r11 ddsketch n=$nVals buckets=$nBuckets sec=$tDd%.1f | " +
+      f"skew top=${skew.length} sec=$tSkew%.1f | " +
+      f"drift cats=$nDrift sec=$tDrift%.1f")
     spark.stop()
   }
 }
