@@ -1832,6 +1832,14 @@ object SparkEntry {
 
     // ---- pairwise source similarity (exact-integer dot products over
     //      unigram count vectors — domain-redundancy curation signal)
+    // ---- per-source lexical diversity (LanguageModel.sourceDiversity):
+    //      fixed-point Shannon entropy + type-token ratio, the
+    //      templated-boilerplate triage signal
+    "q_text_diversity" -> ((s, dir) =>
+      operators.LanguageModel.sourceDiversity(
+          Tables.documents(s, dir), col("source"), col("text"))
+        .orderBy(col("source"))),
+
     "q_source_similarity" -> ((s, dir) =>
       operators.LanguageModel.sourceSimilarity(
           Tables.documents(s, dir), col("source"), col("text"))
@@ -4311,6 +4319,25 @@ object SparkEntry {
          |FROM occ, n GROUP BY w, n.n
          |HAVING count(*) * 31 > n.n
          |ORDER BY w""".stripMargin,
+
+    "q_text_diversity" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) *
+        |      ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - s // n_tokens AS BIGINT) AS entropy_micro
+        |FROM r ORDER BY source""".stripMargin,
 
     "q_source_similarity" ->
       """WITH prof AS (

@@ -298,6 +298,39 @@ object LanguageModel {
           * 1e6 + lit(0.5)) / 1e6).as("cos_r"))
   }
 
+  /** Per-source lexical diversity: token/type counts, type-token ratio
+    * (ppm) and Shannon token entropy — the "is this source templated
+    * boilerplate or genuinely varied text" triage signal next to the
+    * Gopher gates.
+    *
+    * Entropy is computed in FIXED POINT so it hash-matches across
+    * engines: H = ln n − (Σ c·ln c)/n becomes
+    * floor(ln(n)·1e6) − (Σ floor(c·ln(c)·1e6)) div n — each per-term
+    * float contribution is floored to integer micro-nats BEFORE the
+    * sum, making the total independent of summation order (a raw
+    * double Σ c·ln c would differ run-to-run and engine-to-engine).
+    * The ≤1 micro-nat-per-term quantization is far below any
+    * triage-relevant difference.
+    *
+    * Scale: one explode → groupBy(source, token) with map-side
+    * combine, then a sources-sized rollup. */
+  def sourceDiversity(df: DataFrame, sourceCol: Column,
+                      textCol: Column): DataFrame = {
+    val counts = df
+      .select(sourceCol.as("source"), explode(tokens(textCol)).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6)).cast("long")).as("__s"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        (floor(log(col("n_tokens").cast("double")) * lit(1e6))
+          .cast("long") -
+          expr("__s div n_tokens")).as("entropy_micro"))
+  }
+
   // ------------------------------------------------------------- BPE
 
   /** Learn byte-pair-encoding merges from the corpus (Sennrich et al.

@@ -196,4 +196,34 @@ class LanguageModelSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     run(1) shouldBe run(11)
   }
+
+  test("sourceDiversity: uniform text maxes entropy, repetition kills it") {
+    val docs = Seq(
+      ("varied", "one two three four"),       // 4 distinct: H = ln 4
+      ("looped", "spam spam spam spam"),      // 1 token: H = 0
+      ("mixed", "a a a b")                    // H = ln4 - (3 ln3)/4
+    ).toDF("source", "text")
+    val r = LanguageModel.sourceDiversity(docs, col("source"), col("text"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    def h(terms: Seq[Long], n: Long): Long =
+      math.floor(math.log(n.toDouble) * 1e6).toLong -
+        terms.map(c => math.floor(c * math.log(c.toDouble) * 1e6).toLong)
+          .sum / n
+    r shouldBe Array(
+      ("looped", 4L, 1L, 250000L, h(Seq(4L), 4L)),       // entropy 0
+      ("mixed", 4L, 2L, 500000L, h(Seq(3L, 1L), 4L)),
+      ("varied", 4L, 4L, 1000000L, h(Seq(1L, 1L, 1L, 1L), 4L)))
+    r(0)._5 shouldBe 0L
+    // partition invariance of the fixed-point sum
+    val big = (1 to 400)
+      .map(i => ("s" + i % 3, s"w${i % 17} w${i % 5} w${i % 29}"))
+      .toDF("source", "text")
+    val x = LanguageModel.sourceDiversity(big, col("source"), col("text"))
+      .orderBy("source").collect()
+    val y = LanguageModel.sourceDiversity(big.repartition(13),
+        col("source"), col("text"))
+      .orderBy("source").collect()
+    x shouldBe y
+  }
 }
