@@ -770,3 +770,37 @@ object TilePyramidApp {
     spark.stop()
   }
 }
+
+/** Drift gate between two corpus snapshots: per-category PSI/KL over
+  * a grouping column plus the fingerprint-level add/remove/change
+  * report, written as two parquet tables; exits nonzero when any
+  * category's PSI exceeds the gate (the CI-style "don't admit this
+  * crawl" hook). Usage: <baseDir> <curDir> <outDir> [psiGateMicro]
+  * (dirs are documents.parquet parents; gate default 250000 = 0.25). */
+object DriftGateApp {
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, curDir, outDir) = args.take(3)
+    val gate = if (args.length > 3) args(3).toLong else 250000L
+    val spark = Apps.session("drift-gate")
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.documents(spark, baseDir)
+    val cur = graft.Tables.documents(spark, curDir)
+    val flagged = base.select(col("source"), lit(true).as("is_base"))
+      .unionByName(cur.select(col("source"), lit(false).as("is_base")))
+    val drift = graft.operators.Drift.categoryDrift(
+      flagged, col("source"), col("is_base"))
+    drift.write.mode("overwrite").parquet(s"$outDir/drift")
+    graft.operators.Drift.snapshotDiff(
+        base.select(col("doc_id"), md5(col("text")).as("fp")),
+        cur.select(col("doc_id"), md5(col("text")).as("fp")),
+        "doc_id", "fp")
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$outDir/diff")
+    val worst = drift.agg(max(abs(col("psi_micro")))).collect()
+      .head.get(0)
+    val worstPsi = if (worst == null) 0L else worst.asInstanceOf[Long]
+    println(s"max |psi_micro| = $worstPsi (gate $gate)")
+    spark.stop()
+    if (worstPsi > gate) sys.exit(1)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class DriftGateAppSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots gate clean: zero drift, all unchanged") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("driftgate").toString
+    // same dir on both sides -> PSI 0 everywhere, main returns (no exit)
+    apps.DriftGateApp.main(Array(sfDir, sfDir, out))
+    val drift = spark.read.parquet(s"$out/drift")
+    drift.filter(col("psi_micro") =!= 0L).count() shouldBe 0L
+    drift.count() should be > 0L
+    val diff = spark.read.parquet(s"$out/diff")
+      .as[(String, Long)].collect().toMap
+    diff.keySet shouldBe Set("unchanged")
+  }
+
+  test("a shifted mix trips the PSI gate threshold") {
+    // reuse the operator directly (main would sys.exit on breach):
+    // baseline 50/50, current 90/10 -> PSI far above 0.25
+    val rows =
+      Seq.fill(50)(("a", true)) ++ Seq.fill(50)(("b", true)) ++
+        Seq.fill(90)(("a", false)) ++ Seq.fill(10)(("b", false))
+    val worst = operators.Drift.categoryDrift(
+        rows.toDF("cat", "is_base"), col("cat"), col("is_base"))
+      .agg(max(abs(col("psi_micro")))).as[Long].head()
+    worst should be > 250000L
+  }
+}
