@@ -706,6 +706,27 @@ object SparkEntry {
         .orderBy(col("category"))
     }),
 
+    // ---- per-window drift vs baseline (streaming.StreamingDrift's
+    //      scoring arithmetic, batch path): first 15 days = baseline,
+    //      each later day scored as its own window, including
+    //      vanished- and novel-category NULL-term rows
+    "q_drift_windows" -> ((s, dir) => {
+      val d = Tables.events(s, dir).select(
+        col("event_type").as("category"),
+        expr("ts_us div 86400000000").as("day"))
+      val d0 = d.agg(min(col("day")).as("d0"))
+      val rel = d.crossJoin(broadcast(d0))
+        .select(col("category"), (col("day") - col("d0")).as("rel"))
+      val baseline = rel.filter(col("rel") < 15)
+        .groupBy(col("category")).agg(count(lit(1)).as("n_base"))
+      val wc = rel.filter(col("rel") >= 15)
+        .groupBy(col("rel"), col("category"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("rel", "window_start")
+      streaming.StreamingDrift.driftVsBaseline(wc, baseline)
+        .orderBy(col("window_start"), col("category"))
+    }),
+
     // ---- corpus snapshot diff (operators.Drift): added / removed /
     //      changed / unchanged per doc by content fingerprint — the
     //      incremental-crawl admission step; two synthetic snapshots
@@ -2679,6 +2700,50 @@ object SparkEntry {
         |         (CAST(n_base AS DOUBLE) / t_base)) * 1e6) AS BIGINT)
         |  END AS kl_micro
         |FROM pc, t ORDER BY category""".stripMargin,
+
+    "q_drift_windows" ->
+      """WITH d AS (
+        |  SELECT event_type AS category,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |m AS (SELECT min(day) AS d0 FROM d),
+        |rel AS (SELECT category, day - d0 AS rel FROM d, m),
+        |b AS (
+        |  SELECT category, count(*) AS n_base
+        |  FROM rel WHERE rel < 15 GROUP BY 1),
+        |bt AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base FROM b),
+        |wc AS (
+        |  SELECT rel AS window_start, category, count(*) AS cnt
+        |  FROM rel WHERE rel >= 15 GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT window_start, CAST(sum(cnt) AS BIGINT) AS t_cur
+        |  FROM wc GROUP BY 1),
+        |sk AS (
+        |  SELECT wt.window_start, b.category, b.n_base
+        |  FROM wt CROSS JOIN b),
+        |f AS (
+        |  SELECT COALESCE(sk.window_start, wc.window_start)
+        |      AS window_start,
+        |    COALESCE(sk.category, wc.category) AS category,
+        |    CAST(COALESCE(sk.n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(COALESCE(wc.cnt, 0) AS BIGINT) AS n_cur
+        |  FROM sk FULL OUTER JOIN wc
+        |    ON sk.window_start = wc.window_start
+        |   AND sk.category = wc.category)
+        |SELECT f.window_start, f.category, n_base, n_cur,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    CAST(floor((CAST(n_cur AS DOUBLE) / t_cur -
+        |                CAST(n_base AS DOUBLE) / t_base) *
+        |      ln((CAST(n_cur AS DOUBLE) / t_cur) /
+        |         (CAST(n_base AS DOUBLE) / t_base)) * 1e6) AS BIGINT)
+        |  END AS psi_micro,
+        |  CASE WHEN n_base > 0 AND n_cur > 0 THEN
+        |    CAST(floor((CAST(n_cur AS DOUBLE) / t_cur) *
+        |      ln((CAST(n_cur AS DOUBLE) / t_cur) /
+        |         (CAST(n_base AS DOUBLE) / t_base)) * 1e6) AS BIGINT)
+        |  END AS kl_micro
+        |FROM f JOIN wt ON f.window_start = wt.window_start
+        |CROSS JOIN bt
+        |ORDER BY f.window_start, f.category""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (
