@@ -823,6 +823,17 @@ object SparkEntry {
           col("source"), col("n"), budget = 140000L)
         .orderBy(col("source"))),
 
+    // ---- jump-consistent-hash sharding (plans.JumpHash codegen
+    //      expression): minimal-movement serving-layer shard per event
+    //      id; the DuckDB oracle replays the Lamping-Veach loop as a
+    //      recursive CTE, so the bit-exact per-key assignment is gated
+    "q_shard_jump" -> ((s, dir) =>
+      operators.Scale.shardAssignment(
+          Tables.events(s, dir).select(col("event_id")),
+          col("event_id"), numShards = 32)
+        .select(col("event_id"), col("shard"))
+        .orderBy(col("event_id"))),
+
     // ---- key-skew diagnostic (operators.Scale): the pre-flight
     //      measurement for salting decisions — top suppliers by
     //      lineitem row share with exact-integer salt recommendation
@@ -2922,6 +2933,24 @@ object SparkEntry {
         |SELECT source, n, least(n, COALESCE(level, n)) AS kept,
         |  n > COALESCE(level, n) AS capped, level
         |FROM r CROSS JOIN p ORDER BY source""".stripMargin,
+
+    "q_shard_jump" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT event_id,
+        |    CAST(event_id AS HUGEINT) AS k,
+        |    CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |    (k * 2862933555777941757 + 1) % 18446744073709551616 AS k2,
+        |    j AS b,
+        |    CAST(trunc((j + 1) * (2147483648.0 /
+        |      CAST((((k * 2862933555777941757 + 1) %
+        |             18446744073709551616) // 8589934592) + 1
+        |           AS DOUBLE))) AS BIGINT) AS j2
+        |  FROM it WHERE j < 32)
+        |SELECT event_id, CAST(b AS INTEGER) AS shard
+        |FROM it WHERE j >= 32 ORDER BY event_id""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (

@@ -73,6 +73,16 @@ object Scale {
       .limit(topK)
   }
 
+  /** Minimal-movement shard assignment via jump consistent hash
+    * ([[graft.plans.JumpHash]]): adds `shard` INT in [0, numShards).
+    * Use for serving-layer corpus sharding where shard counts grow
+    * over time — unlike `pmod(hash, n)`, going n → n+1 relocates only
+    * the keys that land in the new shard. */
+  def shardAssignment(df: DataFrame, keyCol: Column,
+                      numShards: Int): DataFrame =
+    df.withColumn("shard",
+      graft.plans.JumpHash.jumpShard(keyCol.cast("long"), numShards))
+
   /** Write a DataFrame bucketed+sorted by join keys so subsequent joins
     * between co-bucketed tables are exchange-free (bucket-local SMJ).
     * Spark requires the table path: bucketBy is a catalog-table feature. */

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Jump consistent hash (Lamping & Veach 2014, arXiv:1406.2294):
+  * maps a 64-bit key to one of `buckets` shards such that growing the
+  * shard count from N to N+1 moves exactly the ~1/(N+1) fraction of
+  * keys that land in the NEW shard — every other key stays put. That
+  * minimal-movement property is what makes it the serving-layer
+  * sharding function: re-sharding a corpus from N to N+1 shards
+  * rewrites one new shard instead of reshuffling ~all keys the way
+  * `hash(key) % N` does.
+  *
+  * Expected cost is O(ln buckets) iterations of integer+double
+  * arithmetic per row; stateless (no ring, no lookup table), so it
+  * runs as a native codegen expression inside the scan's
+  * WholeStageCodegen span. The double divide/multiply/truncate
+  * sequence is IEEE-correctly-rounded everywhere, so results are
+  * bit-identical across engines (the DuckDB oracle replays the loop
+  * as a recursive CTE). */
+case class JumpHash(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    var k = input.asInstanceOf[Long]
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      k = k * 2862933555777941757L + 1L
+      j = ((b + 1) *
+        ((1L << 31).toDouble / ((k >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |long k = $c;
+         |long b = -1L, j = 0L;
+         |while (j < $buckets) {
+         |  b = j;
+         |  k = k * 2862933555777941757L + 1L;
+         |  j = (long) ((b + 1) *
+         |      ((double) (1L << 31) / (double) ((k >>> 33) + 1)));
+         |}
+         |${ev.value} = (int) b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JumpHash = copy(child = newChild)
+}
+
+object JumpHash {
+  /** Column builder: `key` must evaluate to BIGINT. */
+  def jumpShard(key: Column, buckets: Int): Column =
+    GraftShims.column(JumpHash(GraftShims.expression(key), buckets))
+}

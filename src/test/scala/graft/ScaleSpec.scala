@@ -79,6 +79,29 @@ class ScaleSpec extends SparkSpec {
     worstExtent(rowSorted, 16) shouldBe n
   }
 
+  test("shardAssignment: in-range, deterministic, minimal movement") {
+    import spark.implicits._
+    val keys = (1L to 20000L).toDF("k")
+    def shards(n: Int): Map[Long, Int] =
+      Scale.shardAssignment(keys, col("k"), n)
+        .as[(Long, Int)].collect().toMap
+    val s32 = shards(32)
+    s32.values.min should be >= 0
+    s32.values.max shouldBe 31
+    // every shard populated, roughly evenly (expected 625/shard)
+    val sizes = s32.values.groupBy(identity).view.mapValues(_.size)
+    sizes.size shouldBe 32
+    all(sizes.values) should be > 400
+    // growing 32 -> 33: movers ONLY land in the new shard 32, and the
+    // moved fraction is ~1/33 of keys (binomial around 606)
+    val s33 = shards(33)
+    val moved = s32.keys.filter(k => s32(k) != s33(k)).toSeq
+    moved.map(s33) shouldBe Seq.fill(moved.size)(32)
+    moved.size should be > 400
+    moved.size should be < 850
+    shards(32) shouldBe s32 // stateless determinism
+  }
+
   test("keySkewReport surfaces the hot key with the right salt factor") {
     import spark.implicits._
     // key 'hot' holds 640 of 680 rows -> share 941176 ppm, and with
