@@ -1407,6 +1407,15 @@ object SparkEntry {
 
     // ---- winnowing fingerprints (MOSS local-fingerprint selection:
     //      3-gram hashes, window 4, rightmost-min tie-break)
+    // ---- content-defined chunking (Dedup.contentChunks): rsync/LBFS
+    //      boundaries at token-gram hash ≡ 0 (mod 16); chunk hashes are
+    //      the delta-dedup unit for evolving corpora
+    "q_text_cdc_chunks" -> ((s, dir) =>
+      operators.Dedup.contentChunks(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          k = 3, divisor = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "q_text_winnow" -> ((s, dir) =>
       operators.Dedup.winnowFingerprints(
           Tables.documents(s, dir), col("text"), col("doc_id"),
@@ -4108,6 +4117,34 @@ object SparkEntry {
          |SELECT w, n_docs, postings_csv FROM p, n
          |WHERE n_docs >= 2 AND n_docs <= 0.5 * n.n_total
          |ORDER BY w""".stripMargin,
+
+    "q_text_cdc_chunks" ->
+      s"""WITH $toksSql,
+         |p0 AS (
+         |  SELECT doc_id, t, unnest(range(0, len(t))) AS pos
+         |  FROM toks WHERE len(t) > 0),
+         |f AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > 0 AND pos <= len(t) - 3 AND
+         |      CAST('0x' || substr(md5(array_to_string(
+         |        t[pos+1:pos+3], ' ')), 1, 15) AS BIGINT) % 16 = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM p0),
+         |c AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_idx
+         |  FROM f),
+         |g AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(min(pos) AS BIGINT) AS tok_start,
+         |    count(*) AS n_tokens
+         |  FROM c GROUP BY 1, 2)
+         |SELECT g.doc_id, g.chunk_idx, g.tok_start, g.n_tokens,
+         |  md5(array_to_string(
+         |    t[g.tok_start+1 : g.tok_start+g.n_tokens], ' ')) AS chunk_hash
+         |FROM g JOIN toks ON g.doc_id = toks.doc_id
+         |ORDER BY g.doc_id, g.chunk_idx""".stripMargin,
 
     "q_text_winnow" ->
       s"""WITH $toksSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,6 +99,44 @@ object Dedup {
         explode(winnowUdf(k, window)(textCol)).as("fp"))
       .select(col("doc_id"), col("fp._1").as("fp_hash"),
         col("fp._2").as("gram_pos"))
+
+  /** Content-defined chunking: split each document at token positions
+    * whose k-gram hash ≡ 0 (mod divisor) — boundaries are a function
+    * of local CONTENT, not offsets, so an insertion early in a
+    * document shifts only its own chunk while offset-based chunking
+    * would re-chunk (and re-fingerprint) everything downstream. This
+    * is the rsync/LBFS trick applied at token granularity: chunk
+    * hashes become the dedup/delta unit for evolving corpora.
+    * Expected chunk length ≈ divisor tokens.
+    *
+    * Emits (doc_id, chunk_idx, tok_start, n_tokens, chunk_hash).
+    * Scale: one explode + per-doc window + groupBy — all partitioned
+    * by doc; no cross-document state. */
+  def contentChunks(df: DataFrame, textCol: Column, idCol: Column,
+                    k: Int = 3, divisor: Int = 16): DataFrame = {
+    val base = df.select(idCol.as("doc_id"),
+        TextFunctions.tokens(textCol).as("t"))
+      .filter(size(col("t")) > 0)
+    val gram = concat_ws(" ", slice(col("t"), col("pos") + 1, lit(k)))
+    // boundary only where a FULL k-gram starts (tail positions keep
+    // extending the last chunk) and never at 0 (no empty first chunk)
+    val flagged = base
+      .select(col("doc_id"), col("t"),
+        posexplode(col("t")).as(Seq("pos", "w")))
+      .withColumn("b",
+        when(col("pos") > 0 && col("pos") <= size(col("t")) - k &&
+          graft.functions.stableHash64(gram) % divisor === 0, 1L)
+          .otherwise(0L))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged.withColumn("chunk_idx", sum(col("b")).over(wPos))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("tok_start"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("chunk_hash"))
+  }
 
   /** Scala core of [[winnowFingerprints]]: k-gram hashes, sliding
     * window argmin with rightmost-min tie-break, distinct selections

@@ -321,4 +321,29 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Int, Long, Long)].collect()
     got.toSeq shouldBe Seq(("acme bolt", "acne bolt", 1, 3L, 1L))
   }
+
+  test("contentChunks: boundaries survive a prefix edit (the CDC point)") {
+    val body = (1 to 120).map(i => s"tok${i * 7 % 61}").mkString(" ")
+    val docs = Seq((1L, body), (2L, "PREFIX INSERTED " + body))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.contentChunks(docs, col("text"), col("doc_id"),
+        k = 3, divisor = 8)
+      .select(col("doc_id"), col("chunk_hash"), col("n_tokens"))
+      .as[(Long, String, Long)].collect()
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // all but the first chunk(s) of the edited doc re-align: the vast
+    // majority of chunk hashes are shared despite the offset shift
+    val shared = (h1 intersect h2).size
+    shared.toDouble / h1.size should be > 0.6
+    // accounting: chunk token counts tile the doc exactly
+    chunks.filter(_._1 == 1L).map(_._3).sum shouldBe 120L
+    // determinism under repartitioning
+    val again = Dedup.contentChunks(docs.repartition(7), col("text"),
+        col("doc_id"), k = 3, divisor = 8)
+      .select(col("doc_id"), col("chunk_hash"), col("n_tokens"))
+      .as[(Long, String, Long)].collect()
+    again.sortBy(r => (r._1, r._2)) shouldBe
+      chunks.sortBy(r => (r._1, r._2))
+  }
 }
