@@ -778,10 +778,10 @@ object TilePyramidApp {
   * crawl" hook). Usage: <baseDir> <curDir> <outDir> [psiGateMicro]
   * (dirs are documents.parquet parents; gate default 250000 = 0.25). */
 object DriftGateApp {
-  def main(args: Array[String]): Unit = {
-    val Array(baseDir, curDir, outDir) = args.take(3)
-    val gate = if (args.length > 3) args(3).toLong else 250000L
-    val spark = Apps.session("drift-gate")
+  /** Core (session-agnostic, spec-callable): writes drift + diff
+    * parquet and returns the worst |psi_micro|. */
+  def run(spark: SparkSession, baseDir: String, curDir: String,
+          outDir: String): Long = {
     import org.apache.spark.sql.functions._
     val base = graft.Tables.documents(spark, baseDir)
     val cur = graft.Tables.documents(spark, curDir)
@@ -798,7 +798,14 @@ object DriftGateApp {
       .write.mode("overwrite").parquet(s"$outDir/diff")
     val worst = drift.agg(max(abs(col("psi_micro")))).collect()
       .head.get(0)
-    val worstPsi = if (worst == null) 0L else worst.asInstanceOf[Long]
+    if (worst == null) 0L else worst.asInstanceOf[Long]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, curDir, outDir) = args.take(3)
+    val gate = if (args.length > 3) args(3).toLong else 250000L
+    val spark = Apps.session("drift-gate")
+    val worstPsi = run(spark, baseDir, curDir, outDir)
     println(s"max |psi_micro| = $worstPsi (gate $gate)")
     spark.stop()
     if (worstPsi > gate) sys.exit(1)

@@ -10,8 +10,10 @@ class DriftGateAppSpec extends SparkSpec {
   test("identical snapshots gate clean: zero drift, all unchanged") {
     val sfDir = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("driftgate").toString
-    // same dir on both sides -> PSI 0 everywhere, main returns (no exit)
-    apps.DriftGateApp.main(Array(sfDir, sfDir, out))
+    // same dir on both sides -> PSI 0 everywhere (run core: main would
+    // stop the shared session / sys.exit on breach)
+    val worst = apps.DriftGateApp.run(spark, sfDir, sfDir, out)
+    worst shouldBe 0L
     val drift = spark.read.parquet(s"$out/drift")
     drift.filter(col("psi_micro") =!= 0L).count() shouldBe 0L
     drift.count() should be > 0L
