@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_prod"),
       new ExpressionInfo(classOf[plans.DotProduct].getName, "dot_prod"),
       (exprs: Seq[Expression]) => plans.DotProduct(exprs.head, exprs(1))))
+    // materialized-view routing (no-op until an MV is registered)
+    e.injectOptimizerRule(_ => plans.MvRewriteRule)
   }
 }
 

@@ -2012,6 +2012,40 @@ object SparkEntry {
           coalesce(try_element_at(col("comments"), lit(1)).getField("uid"),
             lit(-1L)).as("first_uid"))
         .orderBy(col("id"))
+    }),
+
+    // ---- materialized-view rewrite: the aggregate below is written
+    // against the BASE fact table; plans.MvRewriteRule must re-root it
+    // onto the registered summary parquet (hard-asserted on the
+    // optimized plan), and the oracle computes from raw lineitem — row
+    // equality proves the rewrite semantics-preserving.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+      val mvPath = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_mv_lineitem").getAbsolutePath
+      val defn = base
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          count(lit(1)).as("cnt"),
+          max(cents(col("l_quantity"))).as("max_qty_c"))
+      defn.write.mode("overwrite").parquet(mvPath)
+      plans.MvRewrite.clear()
+      plans.MvRewrite.register("lineitem_by_supp_flag", defn,
+        s.read.parquet(mvPath))
+      plans.MvRewrite.install(s)
+      val q = base
+        .filter(col("l_returnflag") =!= "R")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          count(lit(1)).as("cnt"),
+          max(cents(col("l_quantity"))).as("max_qty_c"))
+        .orderBy(col("l_returnflag"))
+      val leaves = plans.MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
+      if (!leaves.exists(_.contains("graft_mv_lineitem")) ||
+          leaves.exists(_.contains("lineitem.parquet")))
+        throw new IllegalStateException(
+          s"MV rewrite did not fire; scans=${leaves.mkString(", ")}")
+      q
     })
   )
 
@@ -5262,6 +5296,16 @@ object SparkEntry {
         |  COALESCE(last_body, '') AS last_body,
         |  COALESCE(first_uid, -1) AS first_uid
         |FROM orders LEFT JOIN agg ON agg.changeset_id = o_orderkey
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c,
+        |  count(*) AS cnt,
+        |  CAST(max(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS max_qty_c
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,232 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view rewrite: serve aggregates over a huge base table
+  * from a pre-aggregated summary table, transparently.
+  *
+  * This is the OLAP-cube serving path at 100 TB — the reference keeps
+  * hand-maintained rollup tables (its four stats "materialized views",
+  * reference analytics/sql/create_views.sql) and requires every consumer
+  * to KNOW to query the rollup. Here the engine does the routing: a
+  * registered MV is picked up by a Catalyst `Rule[LogicalPlan]`
+  * ([[MvRewriteRule]]) that matches an `Aggregate` over the base
+  * relation whose grouping keys are a subset of the MV's keys, whose
+  * filters touch only MV keys, and whose aggregate expressions are
+  * derivable from the MV's (sum→sum-of-sums, count→sum-of-counts,
+  * min/max→min/max-of-min/max), and re-roots the aggregation onto the
+  * MV scan. A query that scans 100 TB of fact rows becomes a scan of
+  * the (keys-cardinality-sized) summary parquet — the same answer,
+  * orders of magnitude less I/O.
+  *
+  * Matching is by the file-scan root paths of the leaf relation (two
+  * independent `spark.read.parquet(p)` plans of the same path get fresh
+  * exprIds, so attribute identity can't be used); expression matching
+  * normalizes `AttributeReference`s to their column NAMES, which is
+  * sound because both sides resolve against the identical parquet
+  * schema. Rewrites that cannot be proven sound (a non-key filter, an
+  * unknown aggregate, a distinct aggregate, an expression with no MV
+  * counterpart) abort and leave the plan untouched.
+  *
+  * Install session-wide via `spark.sql.extensions=graft.GraftExtensions`
+  * or per-session with [[MvRewrite.install]] (experimental optimizer
+  * hook — runs in the fixed-point "User Provided Optimizers" batch;
+  * idempotent because a rewritten plan's leaf is the MV path, which is
+  * not a registered base).
+  */
+object MvRewrite {
+
+  /** A registered summary table.
+    *
+    * @param keys    base-table column names the MV groups by (the MV
+    *                parquet stores them under the same names)
+    * @param aggs    MV output column name → name-normalized aggregate
+    *                function from the MV's definition
+    * @param mvRead  analyzed plan of the stored MV (parquet read)
+    */
+  final case class MvDef(name: String, basePaths: Set[String],
+                         keys: Seq[String],
+                         aggs: Seq[(String, AggregateFunction)],
+                         mvRead: LogicalPlan)
+
+  private val defs = new ConcurrentHashMap[String, MvDef]()
+
+  def isEmpty: Boolean = defs.isEmpty
+  def clear(): Unit = defs.clear()
+  def registered: Seq[MvDef] = defs.values.asScala.toSeq
+
+  /** Normalize an expression so trees from two independent reads of the
+    * same parquet compare structurally: attribute refs become bare
+    * name tokens (schemas are identical on both sides, so name ↔
+    * column). */
+  private[plans] def nameNormalize(e: Expression): Expression =
+    e.transformUp { case a: AttributeReference => UnresolvedAttribute(Seq(a.name)) }
+
+  /** Root paths of a plan's single file-scan leaf, if that is what it is. */
+  private[plans] def leafPaths(p: LogicalPlan): Option[Set[String]] =
+    p.collectLeaves() match {
+      case Seq(LogicalRelation(h: HadoopFsRelation, _, _, _, _)) =>
+        Some(h.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+
+  /** All file-scan root paths under a plan (for asserting which table a
+    * query actually reads — leaf `toString` omits the path). */
+  def scanPaths(p: LogicalPlan): Set[String] =
+    p.collectLeaves().flatMap {
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+        h.location.rootPaths.map(_.toString)
+      case _ => Nil
+    }.toSet
+
+  /** Register a summary table.
+    *
+    * @param definition the UNMATERIALIZED definition query:
+    *                   `base.groupBy(keys).agg(...)` — group keys must
+    *                   be plain base columns, aggregates must be
+    *                   aliased sum/count/min/max, and the child must be
+    *                   a pure projection over a single file scan
+    * @param stored     the materialized result read back (e.g.
+    *                   `spark.read.parquet(mvPath)`); must expose the
+    *                   keys and aggregate aliases under the same names
+    */
+  def register(name: String, definition: DataFrame, stored: DataFrame): MvDef = {
+    // extract from the OPTIMIZED definition plan: the rule matches
+    // user plans post-optimization, so both sides must be normalized
+    // by the same batches (constant folding in particular — an
+    // analyzed `x * 100` is `Multiply(x, Cast(100))`, an optimized
+    // one is `Multiply(x, 100.0)`; structural match needs like forms)
+    val plan = definition.queryExecution.optimizedPlan
+    val agg = plan match {
+      case a: Aggregate => a
+      case other => throw new IllegalArgumentException(
+        s"MV definition must be a plain aggregate, got ${other.nodeName}")
+    }
+    val keys = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case other => throw new IllegalArgumentException(
+        s"MV group key must be a plain column, got $other")
+    }
+    val aggs = agg.aggregateExpressions.collect {
+      case Alias(ae: AggregateExpression, n) if !ae.isDistinct =>
+        n -> nameNormalize(ae.aggregateFunction).asInstanceOf[AggregateFunction]
+    }
+    if (aggs.isEmpty) throw new IllegalArgumentException(
+      "MV definition has no aliased aggregate columns")
+    val paths = leafPaths(agg.child).getOrElse(throw new IllegalArgumentException(
+      "MV definition must aggregate directly over a single file scan"))
+    val storedCols = stored.columns.toSet
+    val missing = (keys ++ aggs.map(_._1)).filterNot(storedCols)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"stored MV is missing columns: ${missing.mkString(", ")}")
+    val d = MvDef(name, paths, keys, aggs, stored.queryExecution.analyzed)
+    defs.put(name, d)
+    d
+  }
+
+  /** Install the rewrite into this session's optimizer (no-op if
+    * already installed). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq MvRewriteRule))
+      spark.experimental.extraOptimizations = cur :+ MvRewriteRule
+  }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewrite.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Peel attribute-only Projects / SubqueryAliases and collect Filter
+    * conditions down to the leaf. */
+  private def strip(p: LogicalPlan,
+                    conds: List[Expression]): Option[(List[Expression], LogicalPlan)] =
+    p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c, conds)
+      case Filter(cond, c) => strip(c, cond :: conds)
+      case s: SubqueryAlias => strip(s.child, conds)
+      case leaf: LogicalRelation => Some((conds, leaf))
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (conds, leaf) <- strip(agg.child, Nil)
+      paths <- leafPaths(leaf)
+      mv <- MvRewrite.registered.find(_.basePaths == paths)
+      rewritten <- rewriteWith(agg, conds, mv)
+    } yield rewritten
+  }
+
+  private def rewriteWith(agg: Aggregate, conds: List[Expression],
+                          mv: MvDef): Option[LogicalPlan] = {
+    // fresh attr ids per graft so two rewrites in one query tree can't
+    // collide on the stored plan's exprIds
+    val mvRead = mv.mvRead.transformUp {
+      case lr: LogicalRelation => lr.newInstance()
+    }
+    val mvAttr: Map[String, Attribute] =
+      mvRead.output.map(a => a.name -> a).toMap
+    val keySet = mv.keys.toSet
+
+    // every filter may reference MV keys only (then it commutes with
+    // the MV's aggregation and can run against the summary rows)
+    val condsOk = conds.forall(_.references.forall(a => keySet.contains(a.name)))
+    // every grouping expression must be a plain MV-key column
+    val gOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => keySet.contains(a.name)
+      case _ => false
+    }
+    if (!condsOk || !gOk) return None
+
+    // name-normalized MV aggregate bodies, for structural lookup
+    def findMv(f: AggregateFunction): Option[(String, AggregateFunction)] = {
+      val n = nameNormalize(f)
+      mv.aggs.find { case (_, mf) => mf == n }
+    }
+
+    def derive(f: AggregateFunction): Option[AggregateFunction] = f match {
+      case s: Sum => findMv(s).map { case (c, _) => Sum(mvAttr(c)) }
+      case c: Count => findMv(c).map { case (col, _) => Sum(mvAttr(col)) }
+      case m: Min => findMv(m).map { case (c, _) => Min(mvAttr(c)) }
+      case m: Max => findMv(m).map { case (c, _) => Max(mvAttr(c)) }
+      case _ => None
+    }
+
+    val rewrittenResult: Seq[Option[NamedExpression]] =
+      agg.aggregateExpressions.map {
+        case a: AttributeReference if keySet.contains(a.name) =>
+          Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
+          derive(ae.aggregateFunction).map { nf =>
+            Alias(AggregateExpression(nf, Complete, isDistinct = false),
+              name)(exprId = al.exprId)
+          }
+        case _ => None
+      }
+    if (rewrittenResult.exists(_.isEmpty)) return None
+
+    val remap: Expression => Expression = _.transformUp {
+      case a: AttributeReference => mvAttr(a.name)
+    }
+    val newChild = conds.foldLeft(mvRead)((p, c) => Filter(remap(c), p))
+    val newGrouping = agg.groupingExpressions.map(remap)
+    Some(Aggregate(newGrouping, rewrittenResult.map(_.get), newChild))
+  }
+}

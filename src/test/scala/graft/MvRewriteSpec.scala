@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.plans.MvRewrite
+
+/** Materialized-view rewrite: the rule must re-root provably-derivable
+  * aggregates onto the summary scan and must LEAVE every non-derivable
+  * shape untouched. */
+class MvRewriteSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def leafStrings(df: DataFrame): Seq[String] =
+    MvRewrite.scanPaths(df.queryExecution.optimizedPlan).toSeq
+
+  private def usesMv(df: DataFrame): Boolean = {
+    val ls = leafStrings(df)
+    ls.exists(_.contains("graft_mvspec")) &&
+      !ls.exists(_.contains("lineitem.parquet"))
+  }
+
+  private def setup(): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+    val mvPath = Files.createTempDirectory("graft_mvspec").toString
+    val defn = base
+      .groupBy(col("l_suppkey"), col("l_returnflag"))
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        count(lit(1)).as("cnt"),
+        min(cents(col("l_quantity"))).as("min_qty_c"))
+    defn.write.mode("overwrite").parquet(mvPath)
+    MvRewrite.clear()
+    MvRewrite.register("spec_mv", defn, spark.read.parquet(mvPath))
+    MvRewrite.install(spark)
+    base
+  }
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("rewrites a subset-key rollup and matches the base answer") {
+    val base = setup()
+    try {
+      def q(src: DataFrame) = src
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          count(lit(1)).as("cnt"),
+          min(cents(col("l_quantity"))).as("min_qty_c"))
+      val viaMv = q(base)
+      assert(usesMv(viaMv), s"expected MV scan:\n${leafStrings(viaMv)}")
+      // ground truth computed with the rule bypassed (no registered MV
+      // matches a fresh read under a cleared catalog)
+      val answer = sorted(viaMv)
+      MvRewrite.clear()
+      sorted(q(Tables.lineitem(spark, dir))) shouldBe answer
+    } finally MvRewrite.clear()
+  }
+
+  test("rewrites a key-only filter; keeps a non-key filter on the base") {
+    val base = setup()
+    try {
+      def agg(src: DataFrame) = src
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+      val keyFiltered = agg(base.filter(col("l_returnflag") =!= "R"))
+      assert(usesMv(keyFiltered))
+      val nonKeyFiltered =
+        agg(base.filter(col("l_quantity") > 10))
+      assert(!usesMv(nonKeyFiltered),
+        "a filter on a non-key column must abort the rewrite")
+      val viaMv = sorted(keyFiltered)
+      MvRewrite.clear()
+      sorted(agg(Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") =!= "R"))) shouldBe viaMv
+    } finally MvRewrite.clear()
+  }
+
+  test("aborts on aggregates the MV cannot derive") {
+    val base = setup()
+    try {
+      // avg: not registered
+      val avgQ = base.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("a"))
+      assert(!usesMv(avgQ))
+      // distinct: never derivable from a sum/count rollup
+      val distinctQ = base.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("d"))
+      assert(!usesMv(distinctQ))
+      // max over a column the MV only has min of
+      val maxQ = base.groupBy(col("l_returnflag"))
+        .agg(max(cents(col("l_quantity"))).as("m"))
+      assert(!usesMv(maxQ))
+      // grouping by a non-key column
+      val badKey = base.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!usesMv(badKey))
+    } finally MvRewrite.clear()
+  }
+}
