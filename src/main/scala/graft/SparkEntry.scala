@@ -2046,6 +2046,28 @@ object SparkEntry {
         throw new IllegalStateException(
           s"MV rewrite did not fire; scans=${leaves.mkString(", ")}")
       q
+    }),
+
+    // ---- entity resolution: deterministic dirty mentions derived from
+    // part names (truncation / suffix noise / token swap), linked back
+    // to the canonical name catalog by token blocking + broadcast
+    // argmin-levenshtein. Swapped-token mentions mostly exceed maxDist
+    // and exercise the unresolved path.
+    "q_entity_resolve" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val catalog = p.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("entity_id"))
+        .select(col("entity_id"), col("p_name").as("name"))
+      val t1 = element_at(split(col("p_name"), " "), 1)
+      val t2 = element_at(split(col("p_name"), " "), 2)
+      val k = col("p_partkey") % 4
+      val mentions = p.select(col("p_partkey").as("id"),
+        when(k === 1, expr("substring(p_name, 1, length(p_name)-1)"))
+          .when(k === 2, concat(col("p_name"), lit("x")))
+          .when(k === 3, concat(t2, lit(" "), t1))
+          .otherwise(col("p_name")).as("text"))
+      operators.EntityResolution.resolveMentions(mentions, catalog, maxDist = 3)
+        .orderBy(col("id"))
     })
   )
 
@@ -5306,6 +5328,38 @@ object SparkEntry {
         |  CAST(max(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
         |    AS max_qty_c
         |FROM lineitem WHERE l_returnflag <> 'R'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_entity_resolve" ->
+      """WITH cat AS (
+        |  SELECT min(p_partkey) AS entity_id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |m AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 4 = 1
+        |           THEN substr(p_name, 1, length(p_name)-1)
+        |         WHEN p_partkey % 4 = 2 THEN p_name || 'x'
+        |         WHEN p_partkey % 4 = 3 THEN
+        |           split_part(p_name, ' ', 2) || ' '
+        |             || split_part(p_name, ' ', 1)
+        |         ELSE p_name END AS text
+        |  FROM part),
+        |ct AS (SELECT entity_id, name,
+        |         unnest(list_distinct(string_split(name, ' '))) AS tok
+        |       FROM cat),
+        |mt AS (SELECT id, text,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |       FROM m),
+        |sc AS (
+        |  SELECT DISTINCT mt.id, ct.entity_id,
+        |    levenshtein(mt.text, ct.name) AS dist
+        |  FROM mt JOIN ct ON mt.tok = ct.tok
+        |  WHERE levenshtein(mt.text, ct.name) <= 3),
+        |best AS (SELECT id, min(dist) AS best_dist FROM sc GROUP BY id)
+        |SELECT sc.id, best.best_dist,
+        |  CAST(min(sc.entity_id) AS BIGINT) AS entity_id
+        |FROM sc JOIN best ON sc.id = best.id AND sc.dist = best.best_dist
+        |GROUP BY sc.id, best.best_dist
+        |ORDER BY sc.id""".stripMargin
   )
 }

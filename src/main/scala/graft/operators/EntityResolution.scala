@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: link free-text mentions to a canonical entity
+  * catalog (record linkage — the many-to-one sibling of the dedup
+  * stack's many-to-many near-dup collapse).
+  *
+  * Shape: token blocking → broadcast candidate join → edit-distance
+  * score → per-mention argmin with a deterministic entity-id
+  * tie-break. The catalog side is small by definition (the entity
+  * vocabulary), so candidates come from a BROADCAST hash join on the
+  * blocking token and the mention side never shuffles except for the
+  * per-mention argmin (map-side combinable). A blocking token shared
+  * by too many catalog entries produces useless mega-blocks; `dfCap`
+  * drops those tokens from blocking (the standard stop-token guard —
+  * at 100 TB of mentions a single "inc"-style token would otherwise
+  * multiply the mention stream by the catalog hit count).
+  *
+  * Unresolvable mentions (no candidate within `maxDist`) are absent
+  * from the output — the caller left-joins if it needs them.
+  */
+object EntityResolution {
+
+  /** @param mentions (`id` long, `text` string)
+    * @param catalog  (`entity_id` long, `name` string); must fit in a
+    *                 broadcast (entity vocabularies do)
+    * @param maxDist  maximum Levenshtein distance to accept a link
+    * @param dfCap    drop blocking tokens appearing in more than this
+    *                 many catalog names
+    * @return (`id`, `best_dist`, `entity_id`) — the closest catalog
+    *         entity per mention; smallest `entity_id` wins ties
+    */
+  def resolveMentions(mentions: DataFrame, catalog: DataFrame,
+                      maxDist: Int, dfCap: Int = Int.MaxValue): DataFrame = {
+    val catTok = catalog
+      .select(col("entity_id"), col("name"),
+        explode(array_distinct(split(col("name"), " "))).as("tok"))
+    val keepTok = catTok.groupBy(col("tok"))
+      .agg(countDistinct(col("entity_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("tok"))
+    val blocked = broadcast(catTok.join(keepTok, "tok"))
+    val cand = mentions
+      .select(col("id"), col("text"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .join(blocked, "tok")
+      // no distinct: a pair sharing several tokens yields duplicate
+      // candidate rows, and min(struct) is insensitive to duplicates —
+      // cheaper than a dedup shuffle of the full candidate stream
+      .select(col("id"), col("text"), col("entity_id"), col("name"))
+      .withColumn("dist", levenshtein(col("text"), col("name")))
+      .filter(col("dist") <= maxDist)
+    cand
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("entity_id"))).as("b"))
+      .select(col("id"), col("b.dist").as("best_dist"),
+        col("b.entity_id").as("entity_id"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+/** Record linkage: token-blocked broadcast argmin-levenshtein. */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val catalog = Seq(
+    (1L, "small ring"), (2L, "red widget"), (3L, "blue bolt"),
+    (4L, "hot gear"), (5L, "large plate")).toDF("entity_id", "name")
+
+  test("clean, truncated and suffixed mentions resolve to the true entity") {
+    val mentions = Seq(
+      (10L, "small ring"),   // exact
+      (11L, "small rin"),    // truncated, dist 1
+      (12L, "red widgetx"),  // suffixed, dist 1
+      (13L, "hot gea"),      // truncated, dist 1
+      (14L, "zzz qqq")       // no shared token -> unresolved
+    ).toDF("id", "text")
+    val r = EntityResolution.resolveMentions(mentions, catalog, maxDist = 3)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    r(10L) shouldBe (0, 1L)
+    r(11L) shouldBe (1, 1L)
+    r(12L) shouldBe (1, 2L)
+    r(13L) shouldBe (1, 4L)
+    r.contains(14L) shouldBe false
+  }
+
+  test("ties break to the smallest entity_id") {
+    val cat2 = Seq((7L, "acme co"), (3L, "acme corp")).toDF("entity_id", "name")
+    val r = EntityResolution
+      .resolveMentions(Seq((1L, "acme cor")).toDF("id", "text"), cat2, 4)
+      .collect()
+    // dist(acme cor, acme co)=1, dist(acme cor, acme corp)=1: tie -> id 3
+    r.head.getLong(2) shouldBe 3L
+    r.head.getInt(1) shouldBe 1
+  }
+
+  test("dfCap drops mega-block tokens from blocking") {
+    // every name shares 'acme'; with dfCap=1 the token is unusable and
+    // only the distinctive second token can block
+    val cat2 = Seq((1L, "acme ring"), (2L, "acme bolt"), (3L, "acme gear"))
+      .toDF("entity_id", "name")
+    val m = Seq((1L, "acme rinx")).toDF("id", "text")
+    val capped = EntityResolution.resolveMentions(m, cat2, 3, dfCap = 1)
+    capped.count() shouldBe 0L          // 'rinx' matches no kept token
+    val m2 = Seq((1L, "acme ring")).toDF("id", "text")
+    EntityResolution.resolveMentions(m2, cat2, 3, dfCap = 1)
+      .collect().head.getLong(2) shouldBe 1L   // blocked via 'ring'
+  }
+
+  test("resolution is invariant under repartitioning") {
+    val p = Tables.part(spark, "/root/testdata/sf0.001")
+    val cat = p.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+      .select(col("entity_id"), col("p_name").as("name"))
+    val mentions = p.select(col("p_partkey").as("id"),
+      concat(col("p_name"), lit("x")).as("text"))
+    val a = EntityResolution.resolveMentions(mentions, cat, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = EntityResolution
+      .resolveMentions(mentions.repartition(7), cat.repartition(3), 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+  }
+}
