@@ -2068,6 +2068,21 @@ object SparkEntry {
           .otherwise(col("p_name")).as("text"))
       operators.EntityResolution.resolveMentions(mentions, catalog, maxDist = 3)
         .orderBy(col("id"))
+    }),
+
+    // ---- leakage-free split: train/val/test assigned per near-dup
+    // CLUSTER (not per doc), so no near-duplicate pair straddles the
+    // eval boundary — the oracle recomputes clusters AND assignment
+    "q_split_leakfree" -> ((s, dir) => {
+      val pairs = operators.Dedup.minhashLshPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      val clusters = operators.Dedup.canonicalizeClusters(
+        pairs.select(col("ia"), col("ib")))
+      operators.Sampling.leakSafeSplit(
+          Tables.documents(s, dir).select(col("doc_id")), col("doc_id"),
+          clusters, valFrac = 0.1, testFrac = 0.1, salt = "lf1")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2099,6 +2114,46 @@ object SparkEntry {
       |    list_distinct([array_to_string(t[i:i+2], ' ')
       |                   for i in range(1, greatest(len(t)-1, 1))]) AS s
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** LSH banding → verified-Jaccard edges → recursive reachability:
+    * the CTE chain mirroring `Dedup.minhashLshPairs` (4 bands × 3
+    * rows, threshold 0.5) + `canonicalizeClusters`. Expects
+    * `$toksSql, $shSql` to precede it (inside WITH RECURSIVE) and
+    * yields `reach(a, b)`. Same text as the inline chains in
+    * q_dedup_cluster / q_dedup_cluster_sizes. */
+  private val lshReachSql: String =
+    """hb AS (
+      |  SELECT doc_id,
+      |    [(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) % 2147483647
+      |     for x in s] AS bases
+      |  FROM sh),
+      |bb AS (
+      |  SELECT doc_id, b AS band,
+      |    list_min([(h*(2*(b*3+0)+1) + (7919*(b*3+0)+13)) % 2147483647
+      |              for h in bases]) || '|' ||
+      |    list_min([(h*(2*(b*3+1)+1) + (7919*(b*3+1)+13)) % 2147483647
+      |              for h in bases]) || '|' ||
+      |    list_min([(h*(2*(b*3+2)+1) + (7919*(b*3+2)+13)) % 2147483647
+      |              for h in bases]) AS bucket
+      |  FROM hb, range(0,4) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bb a JOIN bb b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |jv AS (
+      |  SELECT ia, ib,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.s, y.s))) AS jac
+      |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+      |            JOIN sh y ON y.doc_id = cand.ib),
+      |edges AS (
+      |  SELECT ia AS a, ib AS b FROM jv WHERE jac >= 0.5
+      |  UNION
+      |  SELECT ib AS a, ia AS b FROM jv WHERE jac >= 0.5),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
 
   /** DDSketch bucket scale 1/ln γ at α=2%, shared verbatim between the
     * Spark plan and the oracle SQL (Double.toString round-trips, so
@@ -5360,6 +5415,28 @@ object SparkEntry {
         |  CAST(min(sc.entity_id) AS BIGINT) AS entity_id
         |FROM sc JOIN best ON sc.id = best.id AND sc.dist = best.best_dist
         |GROUP BY sc.id, best.best_dist
-        |ORDER BY sc.id""".stripMargin
+        |ORDER BY sc.id""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $toksSql, $shSql,
+         |$lshReachSql,
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id)
+         |    AS canonical_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |b AS (
+         |  SELECT doc_id, canonical_id,
+         |    CAST('0x' || substr(md5('lf1:'
+         |      || CAST(canonical_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS bkt
+         |  FROM lab)
+         |SELECT doc_id, canonical_id,
+         |  CASE WHEN bkt < 1000 THEN 'val'
+         |       WHEN bkt < 2000 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -61,6 +61,26 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Cluster-aware (leakage-free) split: assignment is a pure function
+    * of the near-dup CLUSTER id, not the row id, so no two
+    * near-duplicate documents can straddle train/test — the
+    * eval-contamination guard a row-level split cannot give (a test
+    * doc whose near-duplicate sits in train leaks the answer).
+    * `clusters` is (doc_id, canonical_id) as produced by
+    * [[Dedup.canonicalizeClusters]]; docs absent from it are their own
+    * singleton cluster. One left join against the (small) cluster
+    * labels, then the same pure-hash assignment as [[split3]]. */
+  def leakSafeSplit(docs: DataFrame, docId: Column, clusters: DataFrame,
+                    valFrac: Double, testFrac: Double,
+                    salt: String = "split"): DataFrame = {
+    val lab = docs.join(
+        clusters.select(col("doc_id").as("__cdoc"), col("canonical_id")),
+        docId === col("__cdoc"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), docId))
+      .drop("__cdoc")
+    split3(lab, col("canonical_id"), valFrac, testFrac, salt)
+  }
+
   /** Keep rows whose stratum's rate admits their bucket. Strata missing
     * from `rates` fall back to `default`. */
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,

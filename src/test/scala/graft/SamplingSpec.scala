@@ -426,4 +426,34 @@ class SamplingSpec extends SparkSpec {
       .agg(sum("kept")).as[Long].head()
     near shouldBe 91L
   }
+
+  test("leakSafeSplit: no cluster straddles splits; covers every doc; " +
+    "singleton assignment matches split3") {
+    val docs = (0L until 500L).toDF("doc_id")
+    // clusters: {0..9} -> 0, {10..14} -> 10; rest singleton (absent)
+    val clusters = ((0L until 10L).map(_ -> 0L) ++
+      (10L until 15L).map(_ -> 10L)).toDF("doc_id", "canonical_id")
+    val r = Sampling.leakSafeSplit(docs, col("doc_id"), clusters,
+      valFrac = 0.2, testFrac = 0.2, salt = "lkS")
+    r.count() shouldBe 500L
+    // each cluster lands in exactly one split
+    r.groupBy("canonical_id").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() shouldBe 0L
+    // the whole 0-cluster moved together
+    r.filter(col("doc_id") < 10L).select("split").distinct().count() shouldBe 1L
+    // a singleton doc's split equals its row-level split3 assignment
+    // (same hash of the same id)
+    val single = r.filter(col("doc_id") === 499L)
+      .select("split").as[String].head()
+    val direct = Sampling.split3(
+        Seq(499L).toDF("doc_id"), col("doc_id"), 0.2, 0.2, salt = "lkS")
+      .select("split").as[String].head()
+    single shouldBe direct
+    // growth stability: with more docs added, existing assignments hold
+    val grown = Sampling.leakSafeSplit((0L until 800L).toDF("doc_id"),
+      col("doc_id"), clusters, 0.2, 0.2, salt = "lkS")
+    grown.filter(col("doc_id") < 500L).orderBy("doc_id")
+      .collect().map(_.toSeq) shouldBe
+      r.orderBy("doc_id").collect().map(_.toSeq)
+  }
 }
