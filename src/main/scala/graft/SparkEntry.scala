@@ -2083,8 +2083,54 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id")), col("doc_id"),
           clusters, valFrac = 0.1, testFrac = 0.1, salt = "lf1")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- URL normalization: deterministic dirty URLs derived from the
+    // documents table (uppercase scheme/host, trailing slash, utm_*
+    // params, fragments), canonicalized by pure codegen'd string ops
+    "q_url_normalize" -> ((s, dir) => {
+      val d = urlCorpus(Tables.documents(s, dir))
+      d.select(col("doc_id"),
+          functions.Urls.normalizeUrl(col("url")).as("url_norm"),
+          functions.Urls.urlHost(col("url")).as("host"),
+          functions.Urls.registeredDomain(
+            functions.Urls.urlHost(col("url"))).as("reg_domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- registered-domain rollup (the crawl-curation grain: quality
+    // stats and blocklists live at eTLD+1, not per page or per TLD)
+    "q_url_domains" -> ((s, dir) => {
+      val d = urlCorpus(Tables.documents(s, dir))
+      d.select(col("n_chars"),
+          functions.Urls.urlHost(col("url")).as("host"))
+        .withColumn("reg_domain",
+          functions.Urls.registeredDomain(col("host")))
+        .groupBy(col("reg_domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("reg_domain"))
     })
   )
+
+  /** Deterministic dirty-URL corpus derived from `documents`: mixed
+    * case, three suffix families (one multi-part: co.uk), trailing
+    * slashes on every 5th path, utm_* noise on even ids, fragments
+    * everywhere. */
+  private def urlCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val sfx = when(id % 3 === 0, lit(".Example.COM"))
+      .when(id % 3 === 1, lit(".shop.co.uk"))
+      .otherwise(lit(".blog.org"))
+    val slash = when(id % 5 === 0, lit("/")).otherwise(lit(""))
+    val q = when(id % 2 === 0,
+        concat(lit("?utm_source=x&id="), id, lit("&utm_campaign=c")))
+      .otherwise(concat(lit("?id="), id))
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(lit("HTTPS://"), col("source"), sfx, lit("/p/"), id,
+        slash, q, lit("#frag")).as("url"))
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -2154,6 +2200,36 @@ object SparkEntry {
       |  SELECT a, b FROM edges
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
+  /** Dirty-URL corpus CTE mirroring [[urlCorpus]]. */
+  private val urlCorpusSql: String =
+    """u AS (
+      |  SELECT doc_id, n_chars,
+      |    'HTTPS://' || source ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+      |         WHEN doc_id % 3 = 1 THEN '.shop.co.uk'
+      |         ELSE '.blog.org' END ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ||
+      |             '&utm_campaign=c'
+      |      ELSE '?id=' || CAST(doc_id AS VARCHAR) END ||
+      |    '#frag' AS url
+      |  FROM documents)""".stripMargin
+
+  /** eTLD+1 fold mirroring [[graft.functions.Urls.registeredDomain]];
+    * expects `host` and `sp` (= string_split(host, '.')) in scope.
+    * Suffix list shared with the Scala side (single source of truth). */
+  private def regDomainSql: String = {
+    val sfx = functions.Urls.MultiPartSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""CASE WHEN len(sp) <= 2 THEN host
+       |  WHEN len(sp) >= 3 AND list_contains($sfx,
+       |      sp[-2] || '.' || sp[-1])
+       |    THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1]
+       |  ELSE sp[-2] || '.' || sp[-1] END""".stripMargin
+  }
 
   /** DDSketch bucket scale 1/ln γ at α=2%, shared verbatim between the
     * Spark plan and the oracle SQL (Double.toString round-trips, so
@@ -5437,6 +5513,46 @@ object SparkEntry {
          |  CASE WHEN bkt < 1000 THEN 'val'
          |       WHEN bkt < 2000 THEN 'test'
          |       ELSE 'train' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      s"""WITH $urlCorpusSql,
+         |x AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+         |    lower(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |    regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS qry
+         |  FROM u),
+         |y AS (
+         |  SELECT doc_id, sch, host,
+         |    string_split(host, '.') AS sp,
+         |    regexp_replace(pth, '/$$', '') AS pth2,
+         |    regexp_replace(regexp_replace(qry,
+         |      'utm_[a-z]+=[^&]*(&|$$)', '', 'g'), '&$$', '') AS q1
+         |  FROM x)
+         |SELECT doc_id,
+         |  sch || '://' || host || pth2 ||
+         |    CASE WHEN q1 = '' THEN '' ELSE '?' || q1 END AS url_norm,
+         |  host,
+         |  $regDomainSql AS reg_domain
+         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_url_domains" ->
+      s"""WITH $urlCorpusSql,
+         |x AS (
+         |  SELECT n_chars,
+         |    lower(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+         |  FROM u),
+         |y AS (SELECT n_chars, host, string_split(host, '.') AS sp FROM x),
+         |z AS (SELECT n_chars, host, $regDomainSql AS reg_domain FROM y)
+         |SELECT reg_domain, count(*) AS n_urls,
+         |  count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

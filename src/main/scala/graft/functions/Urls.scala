@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-scale corpus curation: parse, normalize, and
+  * fold hosts to registered domains — the key grain for crawl
+  * dedup/blocklists/quality rollups (per-PAGE stats are too fine,
+  * per-TLD too coarse; eTLD+1 is where "the same site" lives).
+  *
+  * Everything here is a pure `Column` expression (codegen'd regexp /
+  * string ops — no UDF), deliberately restricted to regex features
+  * with identical semantics in Java regex and RE2 (no backreferences,
+  * no lookaround) so a DuckDB oracle can run the same patterns
+  * token-for-token.
+  *
+  * [[registeredDomain]] uses an embedded multi-part-suffix table
+  * rather than the full Mozilla public-suffix list (thousands of
+  * entries — a production deployment broadcasts the real list and
+  * joins it; same plan shape, bigger dictionary).
+  */
+object Urls {
+
+  /** Lowercased scheme, e.g. "https". */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  /** Lowercased authority (host[:port]). */
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+  /** Path component (may be empty), fragment/query excluded. */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+
+  /** Query string without '?' (may be empty), fragment excluded. */
+  def urlQuery(u: Column): Column =
+    regexp_extract(u, "\\?([^#]*)", 1)
+
+  /** Canonical form: lowercased scheme+host, path with a trailing
+    * slash trimmed, tracking params (utm_*) dropped, fragment dropped.
+    * Empty query drops its '?'. */
+  def normalizeUrl(u: Column): Column = {
+    val path = regexp_replace(urlPath(u), "/$", "")
+    val q0 = regexp_replace(urlQuery(u), "utm_[a-z]+=[^&]*(&|$)", "")
+    val q = regexp_replace(q0, "&$", "")
+    concat(urlScheme(u), lit("://"), urlHost(u), path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Multi-part public suffixes the heuristic recognizes (top
+    * country-code second-level registries; extend or replace with the
+    * full PSL via a broadcast join in production). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za")
+
+  /** eTLD+1 of a lowercased host: the last two labels, or the last
+    * three when the last two form a known multi-part suffix. Hosts
+    * with fewer labels fold to themselves. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    val isMulti = MultiPartSuffixes
+      .foldLeft(lit(false))((acc, s) => acc || (last2 === s))
+    when(n <= 2, host)
+      .when(isMulti && n >= 3, last3)
+      .otherwise(last2)
+  }
+}

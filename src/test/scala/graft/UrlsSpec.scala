@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+
+/** URL parse/normalize/eTLD+1 — pure codegen'd Column expressions. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(u: String, c: org.apache.spark.sql.Column): String =
+    Seq(u).toDF("url").select(c.as("r")).as[String].head()
+
+  test("component extraction") {
+    val u = "HTTPS://WWW.Example.COM:8080/a/b?x=1&y=2#frag"
+    one(u, Urls.urlScheme(col("url"))) shouldBe "https"
+    one(u, Urls.urlHost(col("url"))) shouldBe "www.example.com:8080"
+    one(u, Urls.urlPath(col("url"))) shouldBe "/a/b"
+    one(u, Urls.urlQuery(col("url"))) shouldBe "x=1&y=2"
+    one("https://h.io", Urls.urlPath(col("url"))) shouldBe ""
+    one("https://h.io/p", Urls.urlQuery(col("url"))) shouldBe ""
+  }
+
+  test("normalizeUrl: case, trailing slash, utm params, fragment") {
+    one("HTTP://A.B/p/", Urls.normalizeUrl(col("url"))) shouldBe "http://a.b/p"
+    one("https://a.b/p?utm_source=x&id=7&utm_campaign=c#f",
+      Urls.normalizeUrl(col("url"))) shouldBe "https://a.b/p?id=7"
+    // all-tracking query drops its '?'
+    one("https://a.b/p?utm_source=x&utm_medium=y",
+      Urls.normalizeUrl(col("url"))) shouldBe "https://a.b/p"
+    // already-clean URL is a fixpoint
+    one("https://a.b/p?id=7", Urls.normalizeUrl(col("url"))) shouldBe
+      "https://a.b/p?id=7"
+  }
+
+  test("registeredDomain folds to eTLD+1 with multi-part suffixes") {
+    def rd(h: String): String =
+      Seq(h).toDF("h").select(Urls.registeredDomain(col("h")).as("r"))
+        .as[String].head()
+    rd("www.example.com") shouldBe "example.com"
+    rd("a.b.c.example.com") shouldBe "example.com"
+    rd("shop.megacorp.co.uk") shouldBe "megacorp.co.uk"
+    rd("x.y.site.com.au") shouldBe "site.com.au"
+    rd("example.org") shouldBe "example.org"
+    rd("localhost") shouldBe "localhost"
+  }
+}
