@@ -2038,7 +2038,10 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
           count(lit(1)).as("cnt"),
-          max(cents(col("l_quantity"))).as("max_qty_c"))
+          max(cents(col("l_quantity"))).as("max_qty_c"),
+          // avg derives as sum-of-sums / sum-of-counts (exact integer
+          // sums, one IEEE division — bit-stable on both engines)
+          avg(cents(col("l_extendedprice"))).as("avg_price_c"))
         .orderBy(col("l_returnflag"))
       val leaves = plans.MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
       if (!leaves.exists(_.contains("graft_mv_lineitem")) ||
@@ -5457,7 +5460,9 @@ object SparkEntry {
         |    AS sum_price_c,
         |  count(*) AS cnt,
         |  CAST(max(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
-        |    AS max_qty_c
+        |    AS max_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) AS avg_price_c
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

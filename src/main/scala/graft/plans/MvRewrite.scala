@@ -201,11 +201,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       mv.aggs.find { case (_, mf) => mf == n }
     }
 
-    def derive(f: AggregateFunction): Option[AggregateFunction] = f match {
-      case s: Sum => findMv(s).map { case (c, _) => Sum(mvAttr(c)) }
-      case c: Count => findMv(c).map { case (col, _) => Sum(mvAttr(col)) }
-      case m: Min => findMv(m).map { case (c, _) => Min(mvAttr(c)) }
-      case m: Max => findMv(m).map { case (c, _) => Max(mvAttr(c)) }
+    def agg1(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+
+    /** Derived replacement for one aggregate call, as a full expression
+      * over the MV scan (avg needs a composite: exact sum-of-sums over
+      * sum-of-counts — same value as Average's internal double sum as
+      * long as partial sums stay under 2^53, which integer-cents
+      * columns do by orders of magnitude). */
+    def derive(f: AggregateFunction): Option[Expression] = f match {
+      case s: Sum => findMv(s).map { case (c, _) => agg1(Sum(mvAttr(c))) }
+      case c: Count => findMv(c).map { case (col, _) => agg1(Sum(mvAttr(col))) }
+      case m: Min => findMv(m).map { case (c, _) => agg1(Min(mvAttr(c))) }
+      case m: Max => findMv(m).map { case (c, _) => agg1(Max(mvAttr(c))) }
+      case a: Average =>
+        for {
+          (sc, _) <- findMv(Sum(a.child))
+          (cc, _) <- mv.aggs.find(_._2.isInstanceOf[Count])
+        } yield Divide(
+          Cast(agg1(Sum(mvAttr(sc))), org.apache.spark.sql.types.DoubleType),
+          Cast(agg1(Sum(mvAttr(cc))), org.apache.spark.sql.types.DoubleType))
       case _ => None
     }
 
@@ -213,11 +228,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       agg.aggregateExpressions.map {
         case a: AttributeReference if keySet.contains(a.name) =>
           Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
-        case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
-          derive(ae.aggregateFunction).map { nf =>
-            Alias(AggregateExpression(nf, Complete, isDistinct = false),
-              name)(exprId = al.exprId)
+        case al @ Alias(e, name)
+            if e.exists(_.isInstanceOf[AggregateExpression]) =>
+          var ok = true
+          val ne = e.transformUp {
+            case ae: AggregateExpression =>
+              if (ae.isDistinct) { ok = false; ae }
+              else derive(ae.aggregateFunction).getOrElse { ok = false; ae }
           }
+          if (ok) Some(Alias(ne, name)(exprId = al.exprId)) else None
+        case al @ Alias(e, name)
+            if e.references.forall(a => keySet.contains(a.name)) =>
+          Some(Alias(e.transformUp {
+            case a: AttributeReference => mvAttr(a.name)
+          }, name)(exprId = al.exprId))
         case _ => None
       }
     if (rewrittenResult.exists(_.isEmpty)) return None

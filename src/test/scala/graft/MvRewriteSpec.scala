@@ -79,10 +79,23 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("derives avg as sum-of-sums over sum-of-counts") {
+    val base = setup()
+    try {
+      def q(src: DataFrame) = src.groupBy(col("l_returnflag"))
+        .agg(avg(cents(col("l_extendedprice"))).as("a"))
+      val viaMv = q(base)
+      assert(usesMv(viaMv))
+      val answer = sorted(viaMv)
+      MvRewrite.clear()
+      sorted(q(Tables.lineitem(spark, dir))) shouldBe answer
+    } finally MvRewrite.clear()
+  }
+
   test("aborts on aggregates the MV cannot derive") {
     val base = setup()
     try {
-      // avg: not registered
+      // avg over a column the MV has no sum of
       val avgQ = base.groupBy(col("l_returnflag"))
         .agg(avg(col("l_extendedprice")).as("a"))
       assert(!usesMv(avgQ))
