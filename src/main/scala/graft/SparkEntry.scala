@@ -2114,6 +2114,17 @@ object SparkEntry {
           countDistinct(col("host")).as("n_hosts"),
           sum(col("n_chars")).as("chars_sum"))
         .orderBy(col("reg_domain"))
+    }),
+
+    // ---- c-TF-IDF cluster summarization: the human-triage labels for
+    // opaque cluster ids (cluster = the embeddings label column)
+    "q_cluster_topterms" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).join(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      operators.ClusterSummary
+        .cTfIdfTopTerms(d, col("text"), col("label"), topK = 5)
+        .orderBy(col("cluster"), col("rn"))
     })
   )
 
@@ -5558,6 +5569,33 @@ object SparkEntry {
          |SELECT reg_domain, count(*) AS n_urls,
          |  count(DISTINCT host) AS n_hosts,
          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cluster_topterms" ->
+      s"""WITH $toksSql,
+         |t2 AS (
+         |  SELECT e.label AS cluster, unnest(d.t) AS term
+         |  FROM toks d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |tf AS (SELECT cluster, term, count(*) AS tf
+         |       FROM t2 GROUP BY 1, 2),
+         |ftt AS (
+         |  SELECT cluster, term, tf,
+         |    CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS ft
+         |  FROM tf),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+         |          count(DISTINCT cluster) AS k
+         |        FROM tf),
+         |sc AS (
+         |  SELECT cluster, term, tf,
+         |    CAST(floor(tf * ln(1.0 + (CAST(total AS DOUBLE) / k) / ft)
+         |      * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM ftt, tot),
+         |rn AS (
+         |  SELECT cluster, term, tf, score_micro,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY score_micro DESC, term) AS rn
+         |  FROM sc)
+         |SELECT cluster, rn, term, tf, score_micro FROM rn
+         |WHERE rn <= 5 ORDER BY cluster, rn""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Cluster summarization: label each document cluster by its most
+  * characteristic terms via class-based TF-IDF (the BERTopic scoring,
+  * Grootendorst 2022) — the step that turns an opaque near-dup / topic
+  * cluster id into something a human can triage ("what IS this blob of
+  * 40k documents?").
+  *
+  * score(t, c) = tf(t, c) · ln(1 + A / f_t), with tf the term count
+  * inside the cluster, f_t the corpus-wide term count, and A the
+  * average token mass per cluster. Frequent-inside + rare-overall
+  * terms win.
+  *
+  * Determinism: counts are exact integers; the ONE transcendental per
+  * (cluster, term) is ln of a ratio computed from exact integers by a
+  * float-op tree written token-identically in the oracle SQL, then
+  * floored to integer micro-units (DEVNOTES fixed-point discipline).
+  *
+  * Scale shape: tokens → one (cluster, term) count aggregation; the
+  * corpus frequency comes from a window sum over the SAME grouped
+  * table (one shuffle by term, no join); corpus totals ride the
+  * broadcast-scalar pattern; top-k is a per-cluster window rank over
+  * term-cardinality-sized data, not corpus-sized.
+  */
+object ClusterSummary {
+
+  /** Top `topK` characteristic terms per cluster, ranked by c-TF-IDF
+    * (ties break alphabetically). Output: cluster, rn, term, tf,
+    * score_micro. */
+  def cTfIdfTopTerms(docs: DataFrame, textCol: Column, clusterCol: Column,
+                     topK: Int): DataFrame = {
+    val toks = docs.select(clusterCol.as("cluster"),
+      explode(TextFunctions.tokens(textCol)).as("term"))
+    val tf = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withFt = tf.withColumn("ft",
+      sum(col("tf")).over(Window.partitionBy(col("term"))))
+    val totals = tf.agg(sum(col("tf")).as("total"),
+      countDistinct(col("cluster")).as("k"))
+    val scored = withFt.crossJoin(broadcast(totals))
+      .withColumn("score_micro",
+        floor(col("tf") * log(lit(1.0) +
+            (col("total").cast("double") / col("k")) / col("ft")) *
+          lit(1e6)).cast("long"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rn") <= topK)
+      .select(col("cluster"), col("rn"), col("term"), col("tf"),
+        col("score_micro"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClusterSummary
+
+/** c-TF-IDF cluster labeling. */
+class ClusterSummarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "cat cat cat common", 1L),
+    (1L, "cat kitten common", 1L),
+    (2L, "dog dog common", 2L),
+    (3L, "dog puppy puppy common", 2L)
+  ).toDF("doc_id", "text", "cluster")
+
+  test("distinctive terms outrank corpus-wide terms") {
+    val r = ClusterSummary
+      .cTfIdfTopTerms(docs, col("text"), col("cluster"), topK = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getString(2))
+      .toMap
+    r((1L, 1)) shouldBe "cat"      // tf 4, rare outside
+    r((2L, 1)) shouldBe "dog"      // tf 3, rare outside
+    // 'common' appears everywhere -> never the top term
+    r.values.count(_ == "common") shouldBe 0
+  }
+
+  test("scores are deterministic under repartitioning") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("cluster", col("doc_id") % 4)
+    val a = ClusterSummary.cTfIdfTopTerms(d, col("text"), col("cluster"), 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = ClusterSummary
+      .cTfIdfTopTerms(d.repartition(13), col("text"), col("cluster"), 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+  }
+}
