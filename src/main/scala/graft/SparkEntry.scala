@@ -2125,7 +2125,25 @@ object SparkEntry {
       operators.ClusterSummary
         .cTfIdfTopTerms(d, col("text"), col("label"), topK = 5)
         .orderBy(col("cluster"), col("rn"))
-    })
+    }),
+
+    // ---- robust stats: 5%-trimmed mean + winsorized sum per flag
+    // (rank-derived values are deterministic despite tie order)
+    "q_robust_stats" -> ((s, dir) =>
+      operators.RobustStats.trimmedStats(Tables.lineitem(s, dir),
+          col("l_returnflag"), cents(col("l_extendedprice")),
+          trimFrac = 0.05)
+        .orderBy(col("grp"))),
+
+    // ---- pivot (wide rollup): linestatus columns per returnflag
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_quantity"))))
+        .select(col("l_returnflag"), col("F").as("ls_f"),
+          col("O").as("ls_o"))
+        .orderBy(col("l_returnflag")))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -5596,6 +5614,49 @@ object SparkEntry {
          |      ORDER BY score_micro DESC, term) AS rn
          |  FROM sc)
          |SELECT cluster, rn, term, tf, score_micro FROM rn
-         |WHERE rn <= 5 ORDER BY cluster, rn""".stripMargin
+         |WHERE rn <= 5 ORDER BY cluster, rn""".stripMargin,
+
+    "q_robust_stats" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM t),
+        |b AS (
+        |  SELECT grp, v, rn, n,
+        |    CAST(floor(0.05 * n) + 1 AS BIGINT) AS loR,
+        |    CAST(n - floor(0.05 * n) AS BIGINT) AS hiR
+        |  FROM r),
+        |c AS (
+        |  SELECT grp, v, rn, n, loR, hiR,
+        |    max(CASE WHEN rn = loR THEN v END)
+        |      OVER (PARTITION BY grp) AS lo_v,
+        |    max(CASE WHEN rn = hiR THEN v END)
+        |      OVER (PARTITION BY grp) AS hi_v
+        |  FROM b)
+        |SELECT grp, max(n) AS n, max(lo_v) AS lo_c, max(hi_v) AS hi_c,
+        |  count(CASE WHEN rn BETWEEN loR AND hiR THEN 1 END) AS n_trim,
+        |  CAST(sum(CASE WHEN rn BETWEEN loR AND hiR THEN v END)
+        |    AS BIGINT) AS sum_trim_c,
+        |  CAST(sum(CASE WHEN rn BETWEEN loR AND hiR THEN v END)
+        |    AS BIGINT) // count(CASE WHEN rn BETWEEN loR AND hiR
+        |    THEN 1 END) AS trim_mean_c,
+        |  CAST(sum(greatest(least(v, hi_v), lo_v)) AS BIGINT)
+        |    AS winsor_sum_c
+        |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_quantity*100) AS BIGINT) END)
+        |    AS BIGINT) AS ls_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_quantity*100) AS BIGINT) END)
+        |    AS BIGINT) AS ls_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

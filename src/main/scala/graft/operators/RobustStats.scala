@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics over an integer-valued column: trimmed
+  * mean (drop the top/bottom `trimFrac` of rows) and winsorized sum
+  * (clamp instead of drop) — the outlier-resistant aggregates a
+  * quality dashboard wants when a handful of degenerate rows would
+  * otherwise dominate a plain mean.
+  *
+  * Rank boundaries come from `row_number` over the value order; ties
+  * are interchangeable, so every rank-derived VALUE (boundary values,
+  * kept multiset, clamped sum) is deterministic even though the tie
+  * order is not. All arithmetic is exact integer; the trimmed mean is
+  * an integer division at the value's own resolution.
+  *
+  * Scale: two window passes over the same (group, value) sort — the
+  * standard percentile shape; group cardinality bounds the output.
+  */
+object RobustStats {
+
+  /** @param valCol integer-valued (cents-style) column
+    * @return group, n, lo_c, hi_c, n_trim, sum_trim_c, trim_mean_c,
+    *         winsor_sum_c */
+  def trimmedStats(df: DataFrame, keyCol: Column, valCol: Column,
+                   trimFrac: Double): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("grp"))
+    val t = df.select(keyCol.as("grp"), valCol.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("loR",
+        (floor(lit(trimFrac) * col("n")) + 1).cast("long"))
+      .withColumn("hiR",
+        (col("n") - floor(lit(trimFrac) * col("n"))).cast("long"))
+      .withColumn("lo_v",
+        max(when(col("rn") === col("loR"), col("v"))).over(wAll))
+      .withColumn("hi_v",
+        max(when(col("rn") === col("hiR"), col("v"))).over(wAll))
+    t.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo_v")).as("lo_c"),
+        max(col("hi_v")).as("hi_c"),
+        count(when(col("rn").between(col("loR"), col("hiR")), lit(1)))
+          .as("n_trim"),
+        sum(when(col("rn").between(col("loR"), col("hiR")), col("v")))
+          .as("sum_trim_c"),
+        sum(greatest(least(col("v"), col("hi_v")), col("lo_v")))
+          .as("winsor_sum_c"))
+      .withColumn("trim_mean_c",
+        expr("sum_trim_c DIV n_trim"))
+  }
+}

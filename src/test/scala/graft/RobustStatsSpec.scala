@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RobustStats
+
+/** Trimmed / winsorized stats: outlier resistance + determinism. */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trims exactly the rank tails and clamps the winsorized sum") {
+    // 20 rows: values 1..19 plus one huge outlier
+    val df = ((1L to 19L) :+ 1000000L).map(("g", _)).toDF("k", "v")
+    val r = RobustStats.trimmedStats(df, col("k"), col("v"), 0.05)
+      .collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames.toSeq)
+    m("n") shouldBe 20L
+    // floor(0.05*20)=1 -> ranks 2..19 kept: drops value 1 and the outlier
+    m("n_trim") shouldBe 18L
+    m("sum_trim_c") shouldBe (2L to 19L).sum
+    m("trim_mean_c") shouldBe (2L to 19L).sum / 18L
+    m("lo_c") shouldBe 2L     // boundary = rank-2 value
+    m("hi_c") shouldBe 19L
+    // winsorize: 1 -> clamped up to 2, outlier -> down to 19
+    m("winsor_sum_c") shouldBe ((2L to 19L).sum + 2L + 19L)
+    // a plain mean would be dominated by the outlier; trimmed is not
+    (m("trim_mean_c").asInstanceOf[Long] < 100L) shouldBe true
+  }
+
+  test("deterministic under repartitioning and heavy ties") {
+    val df = (1L to 997L).map(i => (s"g${i % 3}", i % 7)).toDF("k", "v")
+    val a = RobustStats.trimmedStats(df, col("k"), col("v"), 0.1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = RobustStats.trimmedStats(df.repartition(11), col("k"), col("v"), 0.1)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+  }
+}
