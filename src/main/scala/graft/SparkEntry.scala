@@ -2143,7 +2143,38 @@ object SparkEntry {
         .agg(sum(cents(col("l_quantity"))))
         .select(col("l_returnflag"), col("F").as("ls_f"),
           col("O").as("ls_o"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- exact interpolated percentiles over integer cents (both
+    // engines: pos = p*(n-1), linear interpolation — identical floats)
+    "q_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("c"), lit(0.5)).as("p50"),
+          percentile(col("c"), lit(0.9)).as("p90"),
+          percentile(col("c"), lit(0.99)).as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- plan-digest result cache: the second, independently built
+    // copy of the rollup is served from the materialized result of the
+    // first (hard-asserted); row equality vs the raw-table oracle
+    // proves the cache transparent
+    "q_result_cache" -> ((s, dir) => {
+      def rollup = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          count(lit(1)).as("cnt"))
+      plans.ResultCache.clear()
+      plans.ResultCache.withCache(s, rollup).count()   // populate
+      val h0 = plans.ResultCache.hits
+      val served = plans.ResultCache.withCache(s, rollup)
+      if (plans.ResultCache.hits != h0 + 1)
+        throw new IllegalStateException(
+          s"result cache did not hit (hits=${plans.ResultCache.hits})")
+      served.orderBy(col("l_suppkey"))
+    })
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -5657,6 +5688,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(round(l_quantity*100) AS BIGINT) END)
         |    AS BIGINT) AS ls_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
+        |    0.5) AS p50,
+        |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
+        |    0.9) AS p90,
+        |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
+        |    0.99) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_result_cache" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

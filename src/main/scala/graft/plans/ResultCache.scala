@@ -1,0 +1,69 @@
+package graft.plans
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transparent query-result cache keyed by the CANONICALIZED logical
+  * plan — the engine-side memo that serves a repeated dashboard /
+  * pipeline-stage query from its materialized result instead of
+  * re-scanning the fact table.
+  *
+  * Keying uses `optimizedPlan.canonicalized` (exprIds normalized
+  * positionally, literals/ordering canonical), so two INDEPENDENTLY
+  * BUILT but semantically identical DataFrames hit the same entry;
+  * the semantic hash indexes the map and the full canonical string is
+  * compared on hit, so a hash collision degrades to a miss, never a
+  * wrong result. Entries materialize as parquet under the cache dir
+  * and are re-read on hit — the hit-path plan scans the (result-sized)
+  * cache file, not the base table.
+  *
+  * Scope: results must be deterministic (every query in this engine's
+  * registry is, by construction); production adds invalidation on
+  * base-table write and a TTL/size eviction policy — both orthogonal
+  * to the keying mechanism proven here.
+  */
+object ResultCache {
+
+  final case class Entry(canonical: String, path: String)
+
+  private val entries = new ConcurrentHashMap[Int, Entry]()
+  private val hitCount = new AtomicLong(0)
+  private val missCount = new AtomicLong(0)
+
+  def hits: Long = hitCount.get()
+  def misses: Long = missCount.get()
+  def size: Int = entries.size()
+
+  def clear(): Unit = { entries.clear(); hitCount.set(0); missCount.set(0) }
+
+  private def cacheRoot: File = {
+    val f = new File(sys.props("java.io.tmpdir"), "graft_result_cache")
+    f.mkdirs(); f
+  }
+
+  /** Serve `df` through the cache: on a semantic hit, return a scan of
+    * the materialized result; on a miss, materialize, register, and
+    * return the scan (so hit and miss paths have the same plan shape
+    * downstream). */
+  def withCache(spark: SparkSession, df: DataFrame): DataFrame = {
+    val canon = df.queryExecution.optimizedPlan.canonicalized
+    val key = canon.hashCode()
+    val canonStr = canon.toString
+    val existing = entries.get(key)
+    if (existing != null && existing.canonical == canonStr) {
+      hitCount.incrementAndGet()
+      spark.read.parquet(existing.path)
+    } else {
+      missCount.incrementAndGet()
+      val path = new File(cacheRoot,
+        s"e_${key.toHexString}_${math.abs(canonStr.hashCode).toHexString}")
+        .getAbsolutePath
+      df.write.mode("overwrite").parquet(path)
+      entries.put(key, Entry(canonStr, path))
+      spark.read.parquet(path)
+    }
+  }
+}

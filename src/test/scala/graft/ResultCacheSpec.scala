@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{MvRewrite, ResultCache}
+
+/** Plan-digest result cache: semantic hits, conservative misses,
+  * transparent results. */
+class ResultCacheSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rollup(flag: String) =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === flag)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+
+  test("independently built identical plans hit; different plans miss") {
+    ResultCache.clear()
+    val first = ResultCache.withCache(spark, rollup("A"))
+    ResultCache.misses shouldBe 1L
+    ResultCache.hits shouldBe 0L
+    // a NEW DataFrame object, same semantics -> hit
+    val second = ResultCache.withCache(spark, rollup("A"))
+    ResultCache.hits shouldBe 1L
+    ResultCache.misses shouldBe 1L
+    // different literal -> different canonical plan -> miss
+    ResultCache.withCache(spark, rollup("R"))
+    ResultCache.misses shouldBe 2L
+    // served rows identical to the uncached computation
+    val direct = rollup("A").collect().map(_.toSeq).sortBy(_.toString)
+    second.collect().map(_.toSeq).sortBy(_.toString) shouldBe direct
+    first.collect().map(_.toSeq).sortBy(_.toString) shouldBe direct
+    ResultCache.clear()
+  }
+
+  test("the hit-path plan scans the cache file, not the base table") {
+    ResultCache.clear()
+    ResultCache.withCache(spark, rollup("N")).count()
+    val served = ResultCache.withCache(spark, rollup("N"))
+    val scans = MvRewrite.scanPaths(served.queryExecution.optimizedPlan)
+    assert(scans.exists(_.contains("graft_result_cache")), scans)
+    assert(!scans.exists(_.contains("lineitem.parquet")), scans)
+    ResultCache.clear()
+  }
+}
