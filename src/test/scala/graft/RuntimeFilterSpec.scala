@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runtime Bloom-filter join pruning (Spark's InjectRuntimeFilter):
+  * a selective predicate on the dimension side of a shuffle join
+  * builds a Bloom filter at runtime and applies it to the fact scan,
+  * so the fact side ships only rows that can possibly join — the
+  * mechanism that keeps a 100 TB fact × filtered-dim shuffle join from
+  * shuffling the full fact table. The production defaults
+  * (creationSideThreshold 10 MB, applicationSideScanSizeThreshold
+  * 10 GB) target exactly that scale; the spec lowers them to fire at
+  * test scale and asserts BOTH the injected plan node and result
+  * equality with the filter disabled. */
+class RuntimeFilterSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("selective dim predicate injects bloom_filter_might_contain " +
+    "on the fact side; results unchanged") {
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    // force the shuffle join: bloom pruning targets non-broadcast joins
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("s"))
+      val withFilter = q
+      val plan = withFilter.queryExecution.optimizedPlan.toString
+      // the injected shape: a might_contain(bloom_filter_agg(dim keys))
+      // filter on the fact scan, fed by a scalar subquery
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+      val a = withFilter.collect().map(_.toSeq)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val b = q.collect().map(_.toSeq)
+      a shouldBe b
+    } finally {
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
