@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Column-level lineage: for every output column of a query, the set
+  * of SOURCE table columns it derives from — the governance surface
+  * ("which raw fields feed this served metric?") that a 100 TB
+  * platform needs for audits, PII impact analysis, and safe schema
+  * evolution, extracted directly from the analyzed Catalyst plan so it
+  * can never drift from what actually executes.
+  *
+  * Derivation walks bottom-up: scan leaves seed each attribute with
+  * `table.column` (table = scan root path basename); every Alias
+  * produced anywhere above (projections, aggregates, windows) maps its
+  * new attribute to the union of its referenced attributes' sources;
+  * Generate (explode) maps generator outputs to the generator's
+  * inputs; Union merges positionally. Filter/sort/limit/join pass
+  * attributes through unchanged. Expression-level detail (WHICH
+  * function combined the sources) is deliberately out of scope — the
+  * column-set answer is what audits consume.
+  */
+object Lineage {
+
+  private def tableId(lr: LogicalRelation): String = lr.relation match {
+    case h: HadoopFsRelation =>
+      val base = h.location.rootPaths.headOption
+        .map(_.getName).getOrElse("unknown")
+      base.replaceAll("\\.[A-Za-z0-9]+$", "")
+    case _ => "relation"
+  }
+
+  private def refs(e: Expression,
+                   below: Map[ExprId, Set[String]]): Set[String] =
+    e.references.iterator
+      .flatMap(a => below.getOrElse(a.exprId, Set.empty[String])).toSet
+
+  private def attrSources(plan: LogicalPlan): Map[ExprId, Set[String]] =
+    plan match {
+      case lr: LogicalRelation =>
+        val t = tableId(lr)
+        lr.output.map(a => a.exprId -> Set(s"$t.${a.name}")).toMap
+      case lo: LocalRelation =>
+        lo.output.map(a => a.exprId -> Set(s"inline.${a.name}")).toMap
+      case u: Union =>
+        val childMaps = u.children.map(attrSources)
+        val merged = childMaps.reduce(_ ++ _)
+        val positional = u.output.indices.map { i =>
+          u.output(i).exprId -> u.children.zip(childMaps).flatMap {
+            case (c, m) => m.getOrElse(c.output(i).exprId, Set.empty)
+          }.toSet
+        }.toMap
+        merged ++ positional
+      case p =>
+        val below = p.children.map(attrSources)
+          .foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
+        val aliased: Map[ExprId, Set[String]] =
+          p.expressions.flatMap(_.collect {
+            case al: Alias => al.exprId -> refs(al.child, below)
+          }).toMap
+        val generated: Map[ExprId, Set[String]] = p match {
+          case g: Generate =>
+            val src = refs(g.generator, below)
+            g.generatorOutput.map(a => a.exprId -> src).toMap
+          case _ => Map.empty
+        }
+        below ++ aliased ++ generated
+    }
+
+  /** Output column name → source columns (`table.column`). Computed
+    * from the analyzed plan (pre-optimization, so pruned-away inputs
+    * still show as sources of the columns that referenced them). */
+  def columnLineage(df: DataFrame): Map[String, Set[String]] = {
+    val plan = df.queryExecution.analyzed
+    val m = attrSources(plan)
+    plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty)).toMap
+  }
+
+  /** Flat (output, source) edge list, deterministic order — the shape
+    * a governance catalog ingests. */
+  def lineageEdges(df: DataFrame): Seq[(String, String)] =
+    columnLineage(df).toSeq
+      .flatMap { case (o, ss) => ss.map(o -> _) }
+      .sortBy(identity)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.plans.Lineage
+
+/** Column lineage from the analyzed plan. */
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join + aggregate lineage tracks through aliases to both tables") {
+    val q = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("cnt"))
+    val lin = Lineage.columnLineage(q)
+    lin("revenue") shouldBe Set("lineitem.l_extendedprice")
+    lin("o_orderpriority") shouldBe Set("orders.o_orderpriority")
+    lin("cnt") shouldBe Set.empty
+  }
+
+  test("derived expressions union their inputs; explode maps to the " +
+    "generator input; union merges positionally") {
+    val q = Tables.lineitem(spark, dir)
+      .select((cents(col("l_extendedprice")) * (lit(100) -
+        cents(col("l_discount")))).as("disc_price"))
+    Lineage.columnLineage(q)("disc_price") shouldBe
+      Set("lineitem.l_extendedprice", "lineitem.l_discount")
+
+    val ex = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    Lineage.columnLineage(ex)("tok") shouldBe Set("documents.text")
+
+    val un = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"))
+      .union(Tables.orders(spark, dir).select(col("o_orderkey").as("k")))
+    Lineage.columnLineage(un)("k") shouldBe
+      Set("lineitem.l_orderkey", "orders.o_orderkey")
+  }
+
+  test("inline data and edge list shape") {
+    // toDF() renames via aliases over LocalRelation(_1, _2); lineage
+    // traces THROUGH the rename to the true source fields
+    val q = Seq((1L, "a")).toDF("id", "s")
+      .select(concat(col("s"), col("id")).as("tag"))
+    Lineage.lineageEdges(q) shouldBe
+      Seq("tag" -> "inline._1", "tag" -> "inline._2")
+  }
+}
