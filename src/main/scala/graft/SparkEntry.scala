@@ -2088,6 +2088,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cluster-balanced sampling: near-dup clusters contribute
+    // ~cap docs in expectation; unique docs all survive
+    "q_sample_balanced" -> ((s, dir) => {
+      val pairs = operators.Dedup.minhashLshPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      val clusters = operators.Dedup.canonicalizeClusters(
+        pairs.select(col("ia"), col("ib")))
+      operators.Sampling.clusterBalancedSample(
+          Tables.documents(s, dir).select(col("doc_id")), col("doc_id"),
+          clusters, capPerCluster = 2.0, salt = "bal1")
+        .select(col("doc_id"), col("canonical_id"), col("csize"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- URL normalization: deterministic dirty URLs derived from the
     // documents table (uppercase scheme/host, trailing slash, utm_*
     // params, fragments), canonicalized by pure codegen'd string ops
@@ -5579,6 +5594,29 @@ object SparkEntry {
          |       WHEN bkt < 2000 THEN 'test'
          |       ELSE 'train' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_sample_balanced" ->
+      s"""WITH RECURSIVE $toksSql, $shSql,
+         |$lshReachSql,
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id)
+         |    AS canonical_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |sz AS (SELECT canonical_id, count(*) AS csize
+         |       FROM lab GROUP BY 1),
+         |j AS (
+         |  SELECT lab.doc_id, lab.canonical_id, sz.csize,
+         |    CAST('0x' || substr(md5('bal1:'
+         |      || CAST(lab.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS bkt
+         |  FROM lab JOIN sz ON lab.canonical_id = sz.canonical_id)
+         |SELECT doc_id, canonical_id, csize FROM j
+         |WHERE bkt < CAST(floor(least(1.0, 2.0 / csize) * 10000)
+         |  AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_url_normalize" ->
       s"""WITH $urlCorpusSql,

@@ -72,13 +72,38 @@ object Sampling {
     * labels, then the same pure-hash assignment as [[split3]]. */
   def leakSafeSplit(docs: DataFrame, docId: Column, clusters: DataFrame,
                     valFrac: Double, testFrac: Double,
-                    salt: String = "split"): DataFrame = {
-    val lab = docs.join(
+                    salt: String = "split"): DataFrame =
+    split3(labelClusters(docs, docId, clusters), col("canonical_id"),
+      valFrac, testFrac, salt)
+
+  /** Attach `canonical_id` to every doc; docs absent from `clusters`
+    * become their own singleton cluster. */
+  private def labelClusters(docs: DataFrame, docId: Column,
+                            clusters: DataFrame): DataFrame =
+    docs.join(
         clusters.select(col("doc_id").as("__cdoc"), col("canonical_id")),
         docId === col("__cdoc"), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), docId))
       .drop("__cdoc")
-    split3(lab, col("canonical_id"), valFrac, testFrac, salt)
+
+  /** Cluster-balanced sampling: flatten near-dup mass by keeping each
+    * doc with probability min(1, cap / |its cluster|) — a cluster of
+    * 10,000 near-identical pages contributes ~cap docs in expectation
+    * instead of 10,000, while unique docs all survive. The keep
+    * decision hashes the DOC id (deterministic, partition-invariant);
+    * no per-cluster sort or state, so it scales as one label join +
+    * one size join + a filter. Output: the kept docs with
+    * `canonical_id` and `csize` attached. */
+  def clusterBalancedSample(docs: DataFrame, docId: Column,
+                            clusters: DataFrame, capPerCluster: Double,
+                            salt: String = "bal"): DataFrame = {
+    val lab = labelClusters(docs, docId, clusters)
+    val sizes = lab.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "canonical_id")
+      .filter(sampleBucket(docId, salt) <
+        floor(least(lit(1.0), lit(capPerCluster) / col("csize")) *
+          lit(10000)).cast(LongType))
   }
 
   /** Keep rows whose stratum's rate admits their bucket. Strata missing

@@ -456,4 +456,24 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq) shouldBe
       r.orderBy("doc_id").collect().map(_.toSeq)
   }
+
+  test("clusterBalancedSample flattens big clusters, keeps singletons") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    // one mega-cluster: docs 0..999 all map to canonical 0
+    val clusters = (0L until 1000L).map(_ -> 0L)
+      .toDF("doc_id", "canonical_id")
+    val r = Sampling.clusterBalancedSample(docs, col("doc_id"), clusters,
+      capPerCluster = 10.0, salt = "bspec")
+    // every singleton survives (rate 1.0)
+    r.filter(col("doc_id") >= 1000L).count() shouldBe 1000L
+    // the mega-cluster is flattened to ~cap in expectation (rate 1%);
+    // tolerate 5x
+    val kept = r.filter(col("doc_id") < 1000L).count()
+    assert(kept <= 50L, s"mega-cluster kept $kept docs")
+    // deterministic under repartitioning
+    val again = Sampling.clusterBalancedSample(docs.repartition(7),
+      col("doc_id"), clusters.repartition(3), 10.0, "bspec")
+    again.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      r.select("doc_id").collect().map(_.getLong(0)).sorted
+  }
 }
