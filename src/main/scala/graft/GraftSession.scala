@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => plans.DotProduct(exprs.head, exprs(1))))
     // materialized-view routing (no-op until an MV is registered)
     e.injectOptimizerRule(_ => plans.MvRewriteRule)
+    // native as-of join physical operator
+    e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }
 

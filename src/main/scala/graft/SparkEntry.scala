@@ -2172,6 +2172,26 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- native as-of join (custom LogicalPlan + SparkStrategy +
+    // sort-merge SparkPlan): same semantics as q_j_asof's
+    // compositional form, executed by graft's own physical operator
+    "q_j_asof_native" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val left = e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = e.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id").as("ruid"), col("ts_us").as("mark_ts"))
+        .agg(max(coalesce(cents(col("value")), lit(0L))).as("mark_v"))
+      val q = plans.AsOfNative.asofJoin(left, right,
+        keys = Seq("user_id" -> "ruid"),
+        leftTs = "ts_us", rightTs = "mark_ts")
+      if (!q.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+        throw new IllegalStateException("AsOfJoinExec not planned")
+      q.select(col("event_id"), col("user_id"), col("ts_us"),
+          col("mark_ts").as("asof_ts"), col("mark_v"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- plan-digest result cache: the second, independently built
     // copy of the rollup is served from the materialized result of the
     // first (hard-asserted); row equality vs the raw-table oracle
@@ -5737,6 +5757,22 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    COALESCE(CAST(round(value*100) AS BIGINT), 0) AS cents
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_id % 5 <> 0),
+        |r AS (
+        |  SELECT user_id, ts_us AS mark_ts, max(cents) AS mark_v
+        |  FROM e WHERE event_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  r.mark_ts AS asof_ts, r.mark_v
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.mark_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_result_cache" ->
       """SELECT l_suppkey,

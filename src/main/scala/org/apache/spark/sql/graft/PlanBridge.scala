@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge into Spark's `private[sql]` plan-to-DataFrame constructor —
+  * the standard extension escape hatch (the same move Delta Lake and
+  * other Spark-native libraries make): a custom LogicalPlan built by
+  * engine code becomes a first-class DataFrame, flowing through the
+  * analyzer/optimizer/planner like any built-in node. This is the ONLY
+  * member of the engine living outside the `graft` namespace. */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfNative
+
+/** Native sort-merge as-of join: correctness against a brute-force
+  * reference, plan shape, and parity with the compositional operator. */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the latest right row at-or-before each left time") {
+    val quotes = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("b", 15L, 9.0)).toDF("rsym", "rts", "px")
+    val trades = Seq(
+      ("a", 5L), ("a", 10L), ("a", 25L), ("a", 99L),
+      ("b", 14L), ("b", 16L), ("c", 50L)).toDF("sym", "ts")
+    val r = AsOfNative.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "rsym"), leftTs = "ts", rightTs = "rts")
+      .select(col("sym"), col("ts"), col("rts"), col("px"))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2),
+        if (x.isNullAt(3)) -1.0 else x.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    r shouldBe Array(
+      ("a", 5L, -1L, -1.0),        // before any quote
+      ("a", 10L, 10L, 1.0),        // exact-time match included
+      ("a", 25L, 20L, 2.0),
+      ("a", 99L, 30L, 3.0),
+      ("b", 14L, -1L, -1.0),
+      ("b", 16L, 15L, 9.0),
+      ("c", 50L, -1L, -1.0))       // key with no right rows at all
+  }
+
+  test("plans the custom AsOfJoinExec node") {
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq(("a", 1L, 5L)).toDF("rk", "rt", "v")
+    val q = AsOfNative.asofJoin(l, r, Seq("k" -> "rk"), "t", "rt")
+    assert(q.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      q.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("agrees with the compositional Timeline.asofJoin on real data " +
+    "and under repartitioning") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val leftDf = e.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val rightDf = e.filter(col("event_id") % 5 === 0)
+      .groupBy(col("user_id").as("ruid"), col("ts_us").as("mark_ts"))
+      .agg(max(coalesce(col("value").cast("long"), lit(0L))).as("mark_v"))
+    val native = AsOfNative.asofJoin(leftDf, rightDf,
+        Seq("user_id" -> "ruid"), "ts_us", "mark_ts")
+      .select(col("event_id"), col("mark_ts"), col("mark_v"))
+    val composed = operators.Timeline.asofJoin(
+        leftDf,
+        rightDf.withColumnRenamed("ruid", "user_id"),
+        Seq("user_id"), leftTs = "ts_us", rightTs = "mark_ts")
+      .select(col("event_id"), col("asof_ts").as("mark_ts"), col("mark_v"))
+    val a = native.collect().map(_.toSeq).sortBy(_.toString)
+    val b = composed.collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+    val nativeRep = AsOfNative.asofJoin(leftDf.repartition(7),
+        rightDf.repartition(3), Seq("user_id" -> "ruid"),
+        "ts_us", "mark_ts")
+      .select(col("event_id"), col("mark_ts"), col("mark_v"))
+    nativeRep.collect().map(_.toSeq).sortBy(_.toString) shouldBe a
+  }
+}
