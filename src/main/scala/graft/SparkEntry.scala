@@ -2172,6 +2172,19 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- native session_window batch aggregation (same gap semantics
+    // as Timeline.sessionize: a row at exactly prev + gap opens a NEW
+    // session — session_window ends are exclusive)
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // ---- native as-of join (custom LogicalPlan + SparkStrategy +
     // sort-merge SparkPlan): same semantics as q_j_asof's
     // compositional form, executed by graft's own physical operator
@@ -5757,6 +5770,25 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 3600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) + 3600000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_j_asof_native" ->
       """WITH e AS (
