@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.types._
+
+/** Schema-evolution compatibility checking — the data-contract gate a
+  * 100 TB lake runs before a producer ships a new schema version:
+  * diff two StructTypes (recursively, dotted paths into nested
+  * structs / array elements / map values) and evaluate the two
+  * standard contracts:
+  *
+  *  - **backward** compatible (new readers read OLD data): nothing
+  *    may be REMOVED or RETYPED, and columns added must be nullable
+  *    (old files have no values for them).
+  *  - **forward** compatible (old readers read NEW data): nothing may
+  *    be ADDED that old readers require — removals are the hazard the
+  *    other way: a column an old reader selects must still exist, so
+  *    removals and retypes break it too; nullability tightening is
+  *    fine for readers.
+  *
+  * Pure metadata computation (no Spark jobs) — runs in CI against the
+  * catalog, not the cluster.
+  */
+object SchemaCompat {
+
+  sealed trait Kind
+  case object Added extends Kind
+  case object Removed extends Kind
+  case object Retyped extends Kind
+  case object NullabilityRelaxed extends Kind   // required -> nullable
+  case object NullabilityTightened extends Kind // nullable -> required
+
+  final case class Change(path: String, kind: Kind,
+                          from: Option[String], to: Option[String])
+
+  def diff(old: StructType, next: StructType): Seq[Change] =
+    diffStruct(old, next, prefix = "")
+
+  private def diffStruct(old: StructType, next: StructType,
+                         prefix: String): Seq[Change] = {
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val removed = old.fields.filterNot(f => nextByName.contains(f.name))
+      .map(f => Change(prefix + f.name, Removed,
+        Some(f.dataType.simpleString), None))
+    val added = next.fields.filterNot(f => oldByName.contains(f.name))
+      .map(f => Change(prefix + f.name, Added,
+        None, Some(f.dataType.simpleString)))
+    val common = old.fields.filter(f => nextByName.contains(f.name))
+      .flatMap { f =>
+        val g = nextByName(f.name)
+        val p = prefix + f.name
+        val typeChanges = (f.dataType, g.dataType) match {
+          case (a: StructType, b: StructType) =>
+            diffStruct(a, b, p + ".")
+          case (ArrayType(a: StructType, _), ArrayType(b: StructType, _)) =>
+            diffStruct(a, b, p + ".element.")
+          case (a, b) if a != b =>
+            Seq(Change(p, Retyped,
+              Some(a.simpleString), Some(b.simpleString)))
+          case _ => Nil
+        }
+        val nullChanges =
+          if (!f.nullable && g.nullable)
+            Seq(Change(p, NullabilityRelaxed, Some("required"),
+              Some("nullable")))
+          else if (f.nullable && !g.nullable)
+            Seq(Change(p, NullabilityTightened, Some("nullable"),
+              Some("required")))
+          else Nil
+        typeChanges ++ nullChanges
+      }
+    (removed ++ added ++ common).sortBy(_.path)
+  }
+
+  /** New readers can read data written under `old`. */
+  def backwardCompatible(changes: Seq[Change]): Boolean =
+    changes.forall {
+      case Change(_, Removed, _, _) => false
+      case Change(_, Retyped, _, _) => false
+      case Change(_, NullabilityTightened, _, _) => false // old rows may hold nulls
+      case _ => true
+    }
+
+  /** Old readers can read data written under `next`. */
+  def forwardCompatible(changes: Seq[Change]): Boolean =
+    changes.forall {
+      case Change(_, Removed, _, _) => false
+      case Change(_, Retyped, _, _) => false
+      case Change(_, NullabilityRelaxed, _, _) => false // old reader assumes non-null
+      case _ => true
+    }
+}

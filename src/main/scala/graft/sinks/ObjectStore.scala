@@ -32,6 +32,8 @@ trait ObjectStore extends Serializable {
   def get(key: String): Option[Array[Byte]]
   /** Keys under prefix, sorted. */
   def list(prefix: String): Seq[String]
+  /** Idempotent delete (absent key is a no-op) — S3 DELETE semantics. */
+  def delete(key: String): Unit
   def putText(key: String, text: String): Unit = put(key, text.getBytes(UTF_8))
   def getText(key: String): Option[String] = get(key).map(new String(_, UTF_8))
   /** Allowlist convention: one entry per line, blanks dropped
@@ -60,6 +62,10 @@ class LocalFsStore(root: String) extends ObjectStore {
   override def get(key: String): Option[Array[Byte]] = {
     val p = resolve(key)
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  override def delete(key: String): Unit = {
+    Files.deleteIfExists(resolve(key)); ()
   }
 
   override def list(prefix: String): Seq[String] = {
@@ -96,5 +102,30 @@ class InMemoryObjectStore extends ObjectStore {
     data.synchronized(data.get(key).map(_.clone()))
   override def list(prefix: String): Seq[String] =
     data.synchronized(data.keys.filter(_.startsWith(prefix)).toSeq.sorted)
+  override def delete(key: String): Unit =
+    data.synchronized { data.remove(key); () }
   def close(): Unit = InMemoryObjectStore.evict(id)
+}
+
+/** Retention / vacuum over an object store: delete objects under a
+  * prefix whose key-derived version (sequence number, date partition,
+  * snapshot id — whatever `versionOf` parses) falls strictly below the
+  * watermark. The lakehouse hygiene pass that keeps a tile tree /
+  * snapshot dir from growing without bound; idempotent (re-running
+  * with the same watermark deletes nothing new) and safe against
+  * concurrent writers of NEWER versions by construction. Keys whose
+  * version cannot be parsed are always kept (fail-open: an unparseable
+  * key is somebody's data, not garbage). */
+object Retention {
+  final case class VacuumReport(kept: Seq[String], deleted: Seq[String])
+
+  def vacuum(store: ObjectStore, prefix: String,
+             versionOf: String => Option[Long],
+             keepFrom: Long): VacuumReport = {
+    val keys = store.list(prefix)
+    val (drop, keep) = keys.partition(k =>
+      versionOf(k).exists(_ < keepFrom))
+    drop.foreach(store.delete)
+    VacuumReport(keep, drop)
+  }
 }

@@ -65,4 +65,29 @@ class ObjectStoreSpec extends SparkSpec {
     Footprints.loadList(store, "config/missing.txt") shouldBe Seq.empty
     store.close()
   }
+
+  test("delete is idempotent and vacuum retains by version watermark " +
+    "on both stores") {
+    val fsRoot = Files.createTempDirectory("graft-vac").toString
+    for (store <- Seq(new LocalFsStore(fsRoot),
+        new InMemoryObjectStore: graft.sinks.ObjectStore)) {
+      store.put("snap/3/a.bin", Array[Byte](1))
+      store.put("snap/5/a.bin", Array[Byte](2))
+      store.put("snap/7/a.bin", Array[Byte](3))
+      store.put("snap/MANIFEST", Array[Byte](9))    // unparseable: kept
+      store.delete("snap/none.bin")                 // absent: no-op
+      val seqOf = (k: String) =>
+        "snap/([0-9]+)/".r.findFirstMatchIn(k).map(_.group(1).toLong)
+      val rep = graft.sinks.Retention.vacuum(store, "snap/", seqOf,
+        keepFrom = 5L)
+      rep.deleted shouldBe Seq("snap/3/a.bin")
+      rep.kept.toSet shouldBe
+        Set("snap/5/a.bin", "snap/7/a.bin", "snap/MANIFEST")
+      store.get("snap/3/a.bin") shouldBe None
+      store.get("snap/5/a.bin").get.toSeq shouldBe Seq[Byte](2)
+      // idempotent re-run
+      graft.sinks.Retention.vacuum(store, "snap/", seqOf, 5L)
+        .deleted shouldBe Seq.empty
+    }
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.SchemaCompat
+import graft.operators.SchemaCompat._
+
+/** Data-contract gate: schema diff + backward/forward verdicts.
+  * Pure metadata — no Spark session needed. */
+class SchemaCompatSpec extends AnyFunSuite with Matchers {
+
+  private val v1 = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("lang", StringType),
+      StructField("score", IntegerType))))))
+
+  test("identical schemas: no changes, both directions compatible") {
+    val d = SchemaCompat.diff(v1, v1)
+    d shouldBe Seq.empty
+    backwardCompatible(d) shouldBe true
+    forwardCompatible(d) shouldBe true
+  }
+
+  test("nullable column addition is compatible both ways") {
+    val v2 = v1.add(StructField("added", StringType, nullable = true))
+    val d = SchemaCompat.diff(v1, v2)
+    d shouldBe Seq(Change("added", Added, None, Some("string")))
+    backwardCompatible(d) shouldBe true
+    forwardCompatible(d) shouldBe true  // readers ignore unknown columns
+  }
+
+  test("removal and retype break both directions; nested paths dotted") {
+    val v2 = StructType(Seq(
+      StructField("id", StringType, nullable = false),   // retyped
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType))))))             // name + meta.score removed
+    val d = SchemaCompat.diff(v1, v2)
+    d.map(c => (c.path, c.kind)) shouldBe Seq(
+      ("id", Retyped), ("meta.score", Removed), ("name", Removed))
+    backwardCompatible(d) shouldBe false
+    forwardCompatible(d) shouldBe false
+  }
+
+  test("nullability direction matters") {
+    val relaxed = StructType(v1.fields.map {
+      case f if f.name == "id" => f.copy(nullable = true)
+      case f => f
+    })
+    val dRelax = SchemaCompat.diff(v1, relaxed)
+    dRelax shouldBe Seq(Change("id", NullabilityRelaxed,
+      Some("required"), Some("nullable")))
+    backwardCompatible(dRelax) shouldBe true   // old data was non-null anyway
+    forwardCompatible(dRelax) shouldBe false   // old reader assumes non-null
+    val dTighten = SchemaCompat.diff(relaxed, v1)
+    backwardCompatible(dTighten) shouldBe false // old rows may hold nulls
+    forwardCompatible(dTighten) shouldBe true
+  }
+
+  test("array-of-struct elements recurse") {
+    val a1 = StructType(Seq(StructField("xs",
+      ArrayType(StructType(Seq(StructField("a", LongType)))))))
+    val a2 = StructType(Seq(StructField("xs",
+      ArrayType(StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType)))))))
+    SchemaCompat.diff(a1, a2) shouldBe
+      Seq(Change("xs.element.b", Added, None, Some("string")))
+  }
+}
