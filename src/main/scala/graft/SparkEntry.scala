@@ -2172,6 +2172,18 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- fixed-point embedding pooling: per-cluster centroid sums in
+    // exact integer micro-units (order-invariant, unlike float sums) —
+    // the deterministic form of mean-pooling / centroid computation
+    "q_embed_pool" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e6)).cast("long"))
+            .as("sum_micro"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim"))),
+
     // ---- native session_window batch aggregation (same gap semantics
     // as Timeline.sessionize: a row at exactly prev + gap opens a NEW
     // session — session_window ends are exclusive)
@@ -5770,6 +5782,14 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_pool" ->
+      """SELECT label, i - 1 AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_micro,
+        |  count(*) AS n
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parquet aggregate pushdown (DSv2): MIN/MAX/COUNT answered from
+  * footer statistics instead of scanning rows — at 100 TB the
+  * difference between reading metadata and reading the table. The
+  * engine's default path is v1 (which plans partial aggregates over
+  * the scan); this spec proves the v2 escape hatch works when a
+  * stats-only rollup is the whole query. */
+class AggPushdownSpec extends SparkSpec {
+
+  test("v2 scan answers MIN/MAX/COUNT from footer stats; values match " +
+    "the row-scan path") {
+    val conf = spark.conf
+    def q = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+        count(lit(1)).as("n"))
+    val viaRows = q.collect().map(_.toSeq)        // default v1 path
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val pushed = q
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(l_orderkey), " +
+        "MAX(l_orderkey), COUNT(*)]"),
+        s"aggregate not pushed:\n${plan.take(1500)}")
+      pushed.collect().map(_.toSeq) shouldBe viaRows
+    } finally {
+      conf.unset("spark.sql.parquet.aggregatePushdown")
+      conf.unset("spark.sql.sources.useV1SourceList")
+    }
+  }
+}
