@@ -2172,6 +2172,69 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
+    // ship year (two nation joins off one fact scan)
+    "q_tpch_q7" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t7_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t7_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t7_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t7_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("t7_nation")
+      s.sql(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  year(l_shipdate) AS l_year,
+          |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |    AS BIGINT)) AS BIGINT) AS volume_c4
+          |FROM t7_lineitem
+          |  JOIN t7_orders ON l_orderkey = o_orderkey
+          |  JOIN t7_customer ON o_custkey = c_custkey
+          |  JOIN t7_supplier ON l_suppkey = s_suppkey
+          |  JOIN t7_nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN t7_nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE n1.n_nationkey <> n2.n_nationkey
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    }),
+
+    // ---- TPC-H Q14 shape: promo revenue share as an exact integer
+    // ratio in micro-units (no float aggregation)
+    "q_tpch_q14" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t14_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("t14_part")
+      s.sql(
+        """SELECT
+          |  CAST(floor(
+          |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+          |      THEN CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |        AS BIGINT) ELSE 0 END) AS DOUBLE) /
+          |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT)) AS DOUBLE) * 1000000.0)
+          |    AS BIGINT) AS promo_share_micro,
+          |  COUNT(*) AS n
+          |FROM t14_lineitem JOIN t14_part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin)
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-attribute predicate
+    // (brand x size x quantity bands) — the OR-of-ANDs pushdown case
+    "q_tpch_q19" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t19_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("t19_part")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |    AS BIGINT)) AS BIGINT) AS revenue_c4,
+          |  COUNT(*) AS n
+          |FROM t19_lineitem JOIN t19_part ON l_partkey = p_partkey
+          |WHERE
+          |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |    AND l_quantity >= 1 AND l_quantity <= 20)
+          |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+          |    AND l_quantity >= 10 AND l_quantity <= 35)
+          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)
+    }),
+
     // ---- fixed-point embedding pooling: per-cluster centroid sums in
     // exact integer micro-units (order-invariant, unlike float sums) —
     // the deterministic form of mean-pooling / centroid computation
@@ -5782,6 +5845,48 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS BIGINT) AS volume_c4
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_nationkey <> n2.n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT
+        |  CAST(floor(
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |        AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT)) AS DOUBLE) * 1000000.0)
+        |    AS BIGINT) AS promo_share_micro,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity >= 1 AND l_quantity <= 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity >= 10 AND l_quantity <= 35)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
 
     "q_embed_pool" ->
       """SELECT label, i - 1 AS dim,
