@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Streaming materialized-view maintenance: fold each micro-batch into
+  * a mergeable summary table (count/sum/min/max monoid — the same
+  * algebra as [[graft.operators.Incremental]]), so the MV a dashboard
+  * serves — transparently, via [[graft.plans.MvRewrite]] — stays
+  * seconds behind the stream while the fact history never gets
+  * rescanned.
+  *
+  * Commit protocol: each batch writes a COMPLETE new snapshot under
+  * `mvPath/v=<batchId>` and then atomically flips `mvPath/_CURRENT`
+  * (write-temp + ATOMIC_MOVE) to point at it. Readers resolve
+  * `_CURRENT` and only ever see a whole snapshot. Replay safety comes
+  * from batchId determinism: re-processing batch N rebuilds `v=N`
+  * from the same previous snapshot and flips the pointer to the same
+  * content — the idempotent-commit discipline of the tile sink
+  * (reference `__sequences__` layer) applied to a summary table.
+  * Snapshots are key-cardinality-sized, so a full rewrite per batch
+  * is O(keys), not O(history); old versions are retention-vacuumed
+  * ([[graft.sinks.Retention]] handles exactly this layout).
+  *
+  * @param valueCol integer-valued column (cents discipline)
+  */
+object StreamingMv {
+
+  final case class Target(mvPath: String, keys: Seq[String],
+                          valueCol: String)
+
+  def currentVersion(mvPath: String): Option[Long] = {
+    val p = Paths.get(mvPath, "_CURRENT")
+    if (Files.exists(p)) Some(new String(
+      Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** The served summary table (empty schema-less read refused — callers
+    * check [[currentVersion]] first). */
+  def readCurrent(spark: SparkSession, mvPath: String): DataFrame = {
+    val v = currentVersion(mvPath).getOrElse(
+      throw new IllegalStateException(s"no committed MV under $mvPath"))
+    spark.read.parquet(s"$mvPath/v=$v")
+  }
+
+  /** Collapse raw rows to mergeable per-key state. */
+  private def rollup(df: DataFrame, t: Target): DataFrame =
+    df.groupBy(t.keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(t.valueCol)).as("sum_v"),
+        min(col(t.valueCol)).as("min_v"), max(col(t.valueCol)).as("max_v"))
+
+  private def mergeStates(a: DataFrame, b: DataFrame, t: Target): DataFrame =
+    a.unionByName(b)
+      .groupBy(t.keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Process one micro-batch (exposed for batch-mode tests and for
+    * foreachBatch). */
+  def processBatch(t: Target)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = rollup(batch, t)
+    val merged = currentVersion(t.mvPath) match {
+      case Some(v) if v != batchId =>
+        mergeStates(spark.read.parquet(s"${t.mvPath}/v=$v"), delta, t)
+      case Some(_) =>
+        // replay of the exact batch we last committed: rebuild from the
+        // PREVIOUS snapshot if present, else the delta alone
+        val prev = previousVersion(t.mvPath, batchId)
+        prev.map(p => mergeStates(
+          spark.read.parquet(s"${t.mvPath}/v=$p"), delta, t)).getOrElse(delta)
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"${t.mvPath}/v=$batchId")
+    flipPointer(t.mvPath, batchId)
+  }
+
+  private def previousVersion(mvPath: String, beforeId: Long): Option[Long] = {
+    val dir = Paths.get(mvPath)
+    if (!Files.exists(dir)) return None
+    val vs = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (vs.hasNext) {
+      val n = vs.next().getFileName.toString
+      if (n.startsWith("v=")) {
+        val v = n.drop(2).toLong
+        if (v < beforeId) out += v
+      }
+    }
+    out.sorted.lastOption
+  }
+
+  private def flipPointer(mvPath: String, v: Long): Unit = {
+    val dir = Paths.get(mvPath)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "._CURRENT", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Wire a stream into the maintenance sink. */
+  def writer(stream: DataFrame, t: Target,
+             checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(t)(b, id))
+
+  def start(stream: DataFrame, t: Target, checkpoint: String): StreamingQuery =
+    writer(stream, t, checkpoint).start()
+}
