@@ -330,6 +330,31 @@ object ScaleProbe {
     println(f"r11 ddsketch n=$nVals buckets=$nBuckets sec=$tDd%.1f | " +
       f"skew top=${skew.length} sec=$tSkew%.1f | " +
       f"drift cats=$nDrift sec=$tDrift%.1f")
+
+    // (d) native vs compositional AS-OF at 10x events (1M rows):
+    //     the native exec shuffles each side once and streams a
+    //     forward-only merge; the compositional form unions both
+    //     sides and runs a window over the combined stream. Probes
+    //     the claimed advantage instead of asserting it.
+    val ev10b = Tables.events(spark, sfDir).crossJoin(
+        spark.range(10).select(col("id").as("rep")))
+      .select((col("event_id") * 10 + col("rep")).as("event_id"),
+        (col("user_id") * 10 + col("rep")).as("user_id"), col("ts_us"))
+    val probeL = ev10b.filter(col("event_id") % 5 =!= 0)
+    val probeR = ev10b.filter(col("event_id") % 5 === 0)
+      .groupBy(col("user_id").as("ruid"), col("ts_us").as("mark_ts"))
+      .agg(count(lit(1)).as("mark_n"))
+    t0 = System.nanoTime()
+    val nNative = plans.AsOfNative.asofJoin(probeL, probeR,
+      Seq("user_id" -> "ruid"), "ts_us", "mark_ts").count()
+    val tNative = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nComposed = operators.Timeline.asofJoin(probeL,
+      probeR.withColumnRenamed("ruid", "user_id"),
+      Seq("user_id"), leftTs = "ts_us", rightTs = "mark_ts").count()
+    val tComposed = (System.nanoTime() - t0) / 1e9
+    println(f"r11b asof 1M rows: native n=$nNative sec=$tNative%.1f | " +
+      f"composed n=$nComposed sec=$tComposed%.1f")
     spark.stop()
   }
 }

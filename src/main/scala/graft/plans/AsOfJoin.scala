@@ -19,15 +19,20 @@ import org.apache.spark.sql.types.LongType
   * within the same key; unmatched left rows keep nulls (left outer).
   *
   * Why a physical operator: the compositional form
-  * ([[graft.operators.Timeline.asofJoin]]) unions both sides and
-  * forward-fills through a window — it shuffles left+right TOGETHER
-  * and materializes window state. This operator requires only
-  * co-clustering by key with (key, time) intra-partition order —
-  * exactly the SMJ layout — then streams BOTH sides through one
-  * forward-only merge: O(1) state (the last candidate right row), zero
-  * buffering of time ranges, no union doubling. At 100 TB that is the
-  * difference between "one extra full-corpus window" and "a merge over
-  * already-sorted shuffle output".
+  * ([[graft.operators.Timeline.asofJoin]]) unions both sides (padding
+  * each with the other's null columns) and forward-fills through a
+  * window. This operator requires only co-clustering by key with
+  * (key, time) intra-partition order — exactly the SMJ layout — then
+  * streams BOTH sides through one forward-only merge with O(1) state
+  * and no union doubling. MEASURED (ScaleProbe, 1M events, local[32]):
+  * the window form is currently FASTER wall-clock (0.3 s vs 1.2 s) —
+  * its single sort + codegen'd window beats this exec's two sorts +
+  * interpreted per-row projections. The native operator's real edge is
+  * shape, not constant factor: no doubled shuffle volume from the
+  * union, no null-padded wide rows, and per-row state that cannot grow
+  * with key cardinality — plus it is the extension-point template
+  * (logical node → strategy → exec). Codegen for the merge loop is the
+  * known next step if this path becomes hot.
   *
   * Determinism: when several right rows share the maximal (key, time),
   * the one last in shuffle order wins — callers needing bit-stable
