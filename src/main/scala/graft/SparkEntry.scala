@@ -2172,6 +2172,16 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- classifier scorecard: language-ID predictions scored
+    // against the gold lang column (one-vs-rest P/R/F1 in micro units)
+    "q_eval_langid" -> ((s, dir) =>
+      operators.Eval.classMetrics(
+          Tables.documents(s, dir).withColumn("langid",
+            functions.TextFunctions.langId(
+              functions.TextFunctions.tokens(col("text")))),
+          goldCol = col("lang"), predCol = col("langid"))
+        .orderBy(col("cls"))),
+
     // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
     // ship year (two nation joins off one fact scan)
     "q_tpch_q7" -> ((s, dir) => {
@@ -5845,6 +5855,61 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_eval_langid" ->
+      s"""WITH $toksSql,
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> x IN ('group','merge','row'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('the','data','table'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('filter','window','sort'))) AS s_es,
+         |    len(list_filter(t, x -> x IN ('join','stream','query'))) AS s_fr
+         |  FROM toks),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |         ELSE 'und' END AS langid
+         |  FROM scores),
+         |pairs AS (
+         |  SELECT d.lang AS gold, lid.langid AS pred
+         |  FROM documents d JOIN lid ON d.doc_id = lid.doc_id),
+         |cm AS (SELECT gold, pred, count(*) AS n FROM pairs GROUP BY 1, 2),
+         |bg AS (SELECT gold, CAST(sum(n) AS BIGINT) AS gold_n
+         |       FROM cm GROUP BY 1),
+         |bp AS (SELECT pred, CAST(sum(n) AS BIGINT) AS pred_n
+         |       FROM cm GROUP BY 1),
+         |diag AS (SELECT gold AS cls, n AS tp FROM cm WHERE gold = pred),
+         |cls AS (SELECT gold AS cls FROM bg
+         |        UNION SELECT pred AS cls FROM bp),
+         |m AS (
+         |  SELECT c.cls,
+         |    CAST(COALESCE(diag.tp, 0) AS BIGINT) AS tp,
+         |    CAST(COALESCE(bp.pred_n, 0) - COALESCE(diag.tp, 0)
+         |      AS BIGINT) AS fp,
+         |    CAST(COALESCE(bg.gold_n, 0) - COALESCE(diag.tp, 0)
+         |      AS BIGINT) AS fn
+         |  FROM cls c
+         |  LEFT JOIN diag ON diag.cls = c.cls
+         |  LEFT JOIN bg ON bg.gold = c.cls
+         |  LEFT JOIN bp ON bp.pred = c.cls),
+         |p AS (
+         |  SELECT cls, tp, fp, fn,
+         |    CAST(CASE WHEN tp + fp = 0 THEN 0
+         |      ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+         |      AS precision_micro,
+         |    CAST(CASE WHEN tp + fn = 0 THEN 0
+         |      ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+         |      AS recall_micro
+         |  FROM m)
+         |SELECT cls, tp, fp, fn, precision_micro, recall_micro,
+         |  CAST(CASE WHEN precision_micro + recall_micro = 0 THEN 0
+         |    ELSE 2 * precision_micro * recall_micro
+         |      // (precision_micro + recall_micro) END AS BIGINT)
+         |    AS f1_micro
+         |FROM p ORDER BY cls""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

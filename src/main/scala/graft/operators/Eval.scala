@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-quality evaluation over labeled data: one-vs-rest confusion
+  * counts and precision/recall/F1 per class — the scorecard a
+  * data-curation pipeline keeps for its classifiers (language ID,
+  * quality gates, toxicity filters) against a gold set.
+  *
+  * Everything is exact integer arithmetic: counts, then fixed-point
+  * micro-unit ratios by integer division (counts are ≤ corpus size,
+  * so tp·10^6 stays far inside int64; F1's cross-product of two
+  * micro values stays under 2·10^12). Undefined ratios (empty
+  * denominator) are 0 by convention.
+  *
+  * Scale shape: one (gold, pred) count aggregation — output is
+  * |classes|², tiny — then class-level joins on that tiny table.
+  */
+object Eval {
+
+  /** Per-class metrics. Output: class, tp, fp, fn,
+    * precision_micro, recall_micro, f1_micro (sorted by class). */
+  def classMetrics(df: DataFrame, goldCol: Column,
+                   predCol: Column): DataFrame = {
+    val cm = df.select(goldCol.as("gold"), predCol.as("pred"))
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+    val byGold = cm.groupBy(col("gold")).agg(sum(col("n")).as("gold_n"))
+    val byPred = cm.groupBy(col("pred")).agg(sum(col("n")).as("pred_n"))
+    val diag = cm.filter(col("gold") === col("pred"))
+      .select(col("gold").as("cls"), col("n").as("tp"))
+    val classes = byGold.select(col("gold").as("cls"))
+      .unionByName(byPred.select(col("pred").as("cls"))).distinct()
+    val j = classes
+      .join(diag, Seq("cls"), "left")
+      .join(byGold.withColumnRenamed("gold", "cls"), Seq("cls"), "left")
+      .join(byPred.withColumnRenamed("pred", "cls"), Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("gold_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+    j.withColumn("precision_micro",
+        when(col("tp") + col("fp") === 0, lit(0L))
+          .otherwise(expr("tp * 1000000 DIV (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("tp * 1000000 DIV (tp + fn)")))
+      .withColumn("f1_micro",
+        when(col("precision_micro") + col("recall_micro") === 0, lit(0L))
+          .otherwise(expr(
+            "2 * precision_micro * recall_micro DIV " +
+              "(precision_micro + recall_micro)")))
+  }
+}
