@@ -2172,6 +2172,22 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- equi-depth histogram (CBO-style column histogram / feature
+    // binning): deciles per flag with per-bin count and boundary
+    // values — rank-derived, so deterministic despite value ties
+    "q_hist_eqdepth" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          cents(col("l_extendedprice")).as("v"))
+        .withColumn("b", ntile(10).over(w))
+        .groupBy(col("grp"), col("b"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo_c"),
+          max(col("v")).as("hi_c"))
+        .orderBy(col("grp"), col("b"))
+    }),
+
     // ---- classifier scorecard: language-ID predictions scored
     // against the gold lang column (one-vs-rest P/R/F1 in micro units)
     "q_eval_langid" -> ((s, dir) =>
@@ -5855,6 +5871,18 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hist_eqdepth" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem)
+        |SELECT grp, b, count(*) AS n,
+        |  CAST(min(v) AS BIGINT) AS lo_c, CAST(max(v) AS BIGINT) AS hi_c
+        |FROM (SELECT grp, v,
+        |        ntile(10) OVER (PARTITION BY grp ORDER BY v) AS b
+        |      FROM t)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_eval_langid" ->
       s"""WITH $toksSql,

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+/** One-vs-rest classifier metrics in exact micro units. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed confusion: metrics match") {
+    // gold:  a a a b b c
+    // pred:  a a b b a c
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "a"), ("c", "c")).toDF("g", "p")
+    val m = Eval.classMetrics(df, col("g"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // a: tp=2 fp=1 fn=1 -> P = R = 2/3, F1 = 2/3
+    m("a") shouldBe ((2L, 1L, 1L, 666666L, 666666L, 666666L))
+    // b: tp=1 fp=1 fn=1 -> 1/2 everywhere
+    m("b") shouldBe ((1L, 1L, 1L, 500000L, 500000L, 500000L))
+    // c: perfect singleton
+    m("c") shouldBe ((1L, 0L, 0L, 1000000L, 1000000L, 1000000L))
+  }
+
+  test("a predicted-only class appears with zero recall denominator") {
+    val df = Seq(("x", "x"), ("x", "ghost")).toDF("g", "p")
+    val m = Eval.classMetrics(df, col("g"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    m("ghost") shouldBe ((0L, 1L, 0L, 0L, 0L))  // never in gold
+    m("x") shouldBe ((1L, 0L, 1L, 1000000L, 500000L))
+  }
+}
