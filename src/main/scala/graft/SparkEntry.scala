@@ -2172,6 +2172,26 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- embedding-space drift: per-dimension centroid shift between
+    // two cohorts, exact integer sums + ONE float division pair per
+    // dim (the embedding sibling of the categorical PSI monitor)
+    "q_drift_embedding" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select((col("vec_id") % 2 === 0).as("in_a"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xm", floor(col("x").cast("double") * lit(1e6))
+          .cast("long"))
+        .groupBy(col("dim"))
+        .agg(sum(when(col("in_a"), col("xm"))).as("sum_a"),
+          count(when(col("in_a"), lit(1))).as("n_a"),
+          sum(when(!col("in_a"), col("xm"))).as("sum_b"),
+          count(when(!col("in_a"), lit(1))).as("n_b"))
+        .withColumn("shift_micro",
+          floor(col("sum_a").cast("double") / col("n_a").cast("double") -
+            col("sum_b").cast("double") / col("n_b").cast("double"))
+            .cast("long"))
+        .orderBy(col("dim"))),
+
     // ---- equi-depth histogram (CBO-style column histogram / feature
     // binning): deciles per flag with per-bin count and boundary
     // values — rank-derived, so deterministic despite value ties
@@ -5871,6 +5891,25 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_drift_embedding" ->
+      """WITH x AS (
+        |  SELECT vec_id % 2 = 0 AS in_a, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS xm
+        |  FROM embeddings, range(1, 65) r(i)),
+        |g AS (
+        |  SELECT dim,
+        |    CAST(sum(CASE WHEN in_a THEN xm END) AS BIGINT) AS sum_a,
+        |    count(CASE WHEN in_a THEN 1 END) AS n_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN xm END) AS BIGINT) AS sum_b,
+        |    count(CASE WHEN NOT in_a THEN 1 END) AS n_b
+        |  FROM x GROUP BY 1)
+        |SELECT dim, sum_a, n_a, sum_b, n_b,
+        |  CAST(floor(CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS BIGINT)
+        |    AS shift_micro
+        |FROM g ORDER BY dim""".stripMargin,
 
     "q_hist_eqdepth" ->
       """WITH t AS (
