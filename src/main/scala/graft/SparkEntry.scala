@@ -2172,6 +2172,54 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- join-preserving PII masking: keys tokenized by salted md5
+    // (same salt -> joins still line up, raw ids never leave), free
+    // text partially redacted — the governance transform for sharing
+    // analytics tables without identifiers
+    "q_mask_join" -> ((s, dir) => {
+      def tok(c: Column) = substring(md5(concat(lit("mask1:"),
+        c.cast("string"))), 1, 16)
+      val ev = Tables.events(s, dir)
+        .select(tok(col("user_id")).as("uid_tok"),
+          col("event_type"), coalesce(cents(col("value")), lit(0L)).as("v"))
+      val cust = Tables.customer(s, dir)
+        .select(tok(col("c_custkey")).as("uid_tok"),
+          col("c_mktsegment"))
+      ev.join(cust, "uid_tok")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+          countDistinct(col("uid_tok")).as("n_users"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    // ---- exact-sums correlation: Pearson r from integer power sums
+    // cast to double in one shared float tree (Spark's corr() builtin
+    // accumulates incrementally and is order-sensitive — never oracle
+    // that)
+    "q_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        // whole units, not cents: correlation is scale-invariant and
+        // the y^2 power sum must stay inside int64 at large SFs
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr_micro", floor(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))) *
+          lit(1e6)).cast("long"))
+        .select(col("grp"), col("n"), col("corr_micro"))
+        .orderBy(col("grp"))),
+
     // ---- embedding-space drift: per-dimension centroid shift between
     // two cohorts, exact integer sums + ONE float division pair per
     // dim (the embedding sibling of the categorical PSI monitor)
@@ -5891,6 +5939,48 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mask_join" ->
+      """WITH ev AS (
+        |  SELECT substr(md5('mask1:' || CAST(user_id AS VARCHAR)),
+        |      1, 16) AS uid_tok,
+        |    event_type,
+        |    COALESCE(CAST(round(value*100) AS BIGINT), 0) AS v
+        |  FROM events),
+        |cust AS (
+        |  SELECT substr(md5('mask1:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 16) AS uid_tok,
+        |    c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS v_sum,
+        |  count(DISTINCT uid_tok) AS n_users
+        |FROM ev JOIN cust USING (uid_tok)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT grp, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT grp, n,
+        |  CAST(floor(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS corr_micro
+        |FROM g ORDER BY grp""".stripMargin,
 
     "q_drift_embedding" ->
       """WITH x AS (
