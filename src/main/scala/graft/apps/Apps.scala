@@ -811,3 +811,38 @@ object DriftGateApp {
     if (worstPsi > gate) sys.exit(1)
   }
 }
+
+/** Streaming MV maintenance main: fold a parquet drop-directory stream
+  * into the versioned summary snapshot ([[graft.streaming.StreamingMv]])
+  * that [[graft.plans.MvRewrite]] can then serve — the "keep the
+  * dashboard rollup seconds behind the fact stream" deployment shape. */
+object StreamingMvApp {
+  import org.apache.spark.sql.streaming.StreamingQuery
+  import graft.streaming.StreamingMv
+
+  /** Schema comes from a committed sample file (file streams need one
+    * up front). `awaitMs` < 0 blocks forever (service mode). */
+  def run(spark: SparkSession, inDir: String, sampleParquet: String,
+          keys: Seq[String], valueCol: String, mvPath: String,
+          checkpoint: String, trigger: Trigger,
+          awaitMs: Long): StreamingQuery = {
+    val schema = spark.read.parquet(sampleParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = StreamingMv.writer(stream,
+        StreamingMv.Target(mvPath, keys, valueCol), checkpoint)
+      .trigger(trigger).start()
+    if (awaitMs >= 0) { q.awaitTermination(awaitMs); q.stop() }
+    else q.awaitTermination()
+    q
+  }
+
+  /** Usage: <inDir> <sampleParquet> <keysCsv> <valueCol> <mvPath>
+    *        <checkpointDir> [intervalMs] */
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("streaming-mv")
+    val interval = if (args.length > 6) args(6).toLong else 15000L
+    try run(spark, args(0), args(1), args(2).split(",").toSeq, args(3),
+      args(4), args(5), Trigger.ProcessingTime(interval), awaitMs = -1L)
+    finally spark.stop()
+  }
+}

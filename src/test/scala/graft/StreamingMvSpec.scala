@@ -50,6 +50,18 @@ class StreamingMvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingMvApp folds a parquet drop directory (AvailableNow)") {
+    val in = Files.createTempDirectory("graft-smva-in").toString
+    val mvPath = Files.createTempDirectory("graft-smva-mv").toString
+    val ckpt = Files.createTempDirectory("graft-smva-ck").toString
+    val rows = Seq(("a", 5L), ("a", 7L), ("b", 1L), ("c", 9L))
+    rows.toDF("k", "v").write.mode("append").parquet(in)
+    apps.StreamingMvApp.run(spark, in, in, Seq("k"), "v", mvPath, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), awaitMs = 30000L)
+    StreamingMv.readCurrent(spark, mvPath).collect()
+      .map(_.toSeq).sortBy(_.toString) shouldBe fullRollup(rows)
+  }
+
   test("the maintained MV serves base-table aggregates via MvRewrite") {
     val mvPath = Files.createTempDirectory("graft-smv2").toString
     val t = Target(mvPath, Seq("k"), "v")
