@@ -2172,6 +2172,21 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- KMV join-size estimation: |A∩B| by inclusion-exclusion over
+    // three k-min sketches (the pre-join cardinality a planner wants),
+    // plus the exact intersection for reference
+    "q_sketch_join_est" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "click")
+      val b = ev.filter(col("event_type") === "view")
+      val est = operators.Scale.kmvJoinEstimate(
+        a, col("user_id"), b, col("user_id"), k = 16)
+      val exact = a.select(col("user_id")).distinct()
+        .join(b.select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_inter"))
+      est.crossJoin(broadcast(exact))
+    }),
+
     // ---- join-preserving PII masking: keys tokenized by salted md5
     // (same salt -> joins still line up, raw ids never leave), free
     // text partially redacted — the governance transform for sharing
@@ -5939,6 +5954,41 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sketch_join_est" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv,
+        |    user_id
+        |  FROM events),
+        |a AS (SELECT DISTINCT hv FROM ev WHERE event_type = 'click'),
+        |b AS (SELECT DISTINCT hv FROM ev WHERE event_type = 'view'),
+        |u AS (SELECT hv FROM a UNION SELECT hv FROM b),
+        |ka AS (SELECT max(hv) AS hk, count(*) AS kn
+        |       FROM (SELECT hv FROM a ORDER BY hv LIMIT 16)),
+        |kb AS (SELECT max(hv) AS hk, count(*) AS kn
+        |       FROM (SELECT hv FROM b ORDER BY hv LIMIT 16)),
+        |ku AS (SELECT max(hv) AS hk, count(*) AS kn
+        |       FROM (SELECT hv FROM u ORDER BY hv LIMIT 16)),
+        |ea AS (SELECT CAST(CASE WHEN kn < 16 THEN kn
+        |         ELSE floor(15 * 1152921504606846976.0 / hk) END
+        |         AS BIGINT) AS est_a FROM ka),
+        |eb AS (SELECT CAST(CASE WHEN kn < 16 THEN kn
+        |         ELSE floor(15 * 1152921504606846976.0 / hk) END
+        |         AS BIGINT) AS est_b FROM kb),
+        |eu AS (SELECT CAST(CASE WHEN kn < 16 THEN kn
+        |         ELSE floor(15 * 1152921504606846976.0 / hk) END
+        |         AS BIGINT) AS est_u FROM ku),
+        |ex AS (
+        |  SELECT count(*) AS exact_inter FROM (
+        |    SELECT DISTINCT user_id FROM ev WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'))
+        |SELECT est_a, est_b, est_u,
+        |  greatest(0, est_a + est_b - est_u) AS est_intersection,
+        |  exact_inter
+        |FROM ea, eb, eu, ex""".stripMargin,
 
     "q_mask_join" ->
       """WITH ev AS (

@@ -118,4 +118,34 @@ object Scale {
       b * n + (n - 1 - i))
     pieces.reduce(_ bitwiseOR _)
   }
+
+  /** Sketch-algebra join-size estimation: estimate |A|, |B|, |A∪B| by
+    * KMV and derive |A∩B| by inclusion–exclusion — the cardinality a
+    * cost-based planner wants BEFORE running an equi-join, at the cost
+    * of two key scans and k-row sketches (mergeable per-partition, so
+    * at 100 TB each side's sketch is a map-side top-k, not a distinct
+    * shuffle of the key universe). Estimates are clamped at 0; the
+    * estimator error is the standard KMV ~1/√(k−1) per term.
+    *
+    * Output (one row): est_a, est_b, est_u, est_intersection. */
+  def kmvJoinEstimate(a: DataFrame, aKey: Column,
+                      b: DataFrame, bKey: Column, k: Int): DataFrame = {
+    import graft.functions.stableHash64
+    def hvs(df: DataFrame, c: Column): DataFrame =
+      df.select(stableHash64(c.cast("string")).as("hv")).distinct()
+    def est(hv: DataFrame, outName: String): DataFrame =
+      hv.orderBy(col("hv")).limit(k)
+        .agg(max(col("hv")).as("hk"), count(lit(1)).as("kn"))
+        .select(when(col("kn") < k, col("kn"))
+          .otherwise(floor(lit(k - 1) * lit(1152921504606846976.0) /
+            col("hk")).cast("long")).as(outName))
+    val ha = hvs(a, aKey)
+    val hb = hvs(b, bKey)
+    val hu = ha.unionByName(hb).distinct()
+    est(ha, "est_a")
+      .crossJoin(broadcast(est(hb, "est_b")))
+      .crossJoin(broadcast(est(hu, "est_u")))
+      .withColumn("est_intersection",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_u")))
+  }
 }
