@@ -2172,6 +2172,19 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- market-basket co-occurrence: brand pairs over-represented
+    // within orders, ranked by integer-fixed-point lift
+    "q_item_cooccur" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      operators.Cooccurrence.itemPairs(baskets,
+          col("l_orderkey"), col("p_brand"), minCount = 2L)
+        .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }),
+
     // ---- KMV join-size estimation: |A∩B| by inclusion-exclusion over
     // three k-min sketches (the pre-join cardinality a planner wants),
     // plus the exact intersection for reference
@@ -5954,6 +5967,24 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_item_cooccur" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT bk) AS n_total FROM b),
+        |itn AS (SELECT it, count(*) AS n_it FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(a.n_it AS BIGINT) AS n_a, CAST(c.n_it AS BIGINT) AS n_b,
+        |  CAST(n_ab * n_total * 1000000 // (a.n_it * c.n_it) AS BIGINT)
+        |    AS lift_micro
+        |FROM p JOIN itn a ON a.it = item_a
+        |       JOIN itn c ON c.it = item_b, nb
+        |ORDER BY lift_micro DESC, item_a, item_b LIMIT 50""".stripMargin,
 
     "q_sketch_join_est" ->
       """WITH ev AS (

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: which items appear together in
+  * the same basket more often than chance — the item-item signal
+  * behind "frequently bought together", retrieval expansion, and
+  * co-citation analysis.
+  *
+  * Pair generation is blocked BY BASKET: a self-join on the basket id
+  * yields ΣC(|basket|,2) pairs, bounded by the (small, bounded)
+  * basket size — never all-pairs over the catalog. Lift is the
+  * pure-integer fixed point `n_ab · N · 10^6 / (n_a · n_b)` (integer
+  * division; magnitudes stay inside int64 for any realistic basket
+  * corpus since n_ab ≤ n_a ≤ N).
+  *
+  * Scale shape: one exploded self-join co-clustered on basket id, one
+  * (item, item) count aggregation, two broadcast-sized item-count
+  * joins. minCount prunes the pair tail before the lift join.
+  */
+object Cooccurrence {
+
+  /** @param baskets  (basket, item) rows, one per occurrence —
+    *                 duplicates within a basket are collapsed
+    * @return item_a < item_b pairs with n_ab, n_a, n_b, lift_micro */
+  def itemPairs(baskets: DataFrame, basketCol: Column, itemCol: Column,
+                minCount: Long = 1L): DataFrame = {
+    val b = baskets.select(basketCol.as("bk"), itemCol.as("it")).distinct()
+    val nBaskets = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val itemN = b.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(itemN.select(col("it").as("item_a"), col("n_it").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("it").as("item_b"), col("n_it").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift_micro",
+        expr("n_ab * n_total * 1000000 DIV (n_a * n_b)"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("lift_micro"))
+  }
+}
