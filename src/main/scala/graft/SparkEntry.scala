@@ -2172,6 +2172,23 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- clickstream path mining: most common 3-step event-type
+    // paths per user timeline (lag windows, no sequence explosion)
+    "q_event_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("e1", lag(col("event_type"), 2).over(w))
+        .withColumn("e2", lag(col("event_type"), 1).over(w))
+        .filter(col("e1").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("event_type"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
     // ---- market-basket co-occurrence: brand pairs over-represented
     // within orders, ranked by integer-fixed-point lift
     "q_item_cooccur" -> ((s, dir) => {
@@ -5967,6 +5984,21 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER w AS e1,
+        |    lag(event_type, 1) OVER w AS e2,
+        |    event_type AS e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM t WHERE e1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_item_cooccur" ->
       """WITH b AS (

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cooccurrence
+
+/** Basket-blocked co-occurrence with integer lift. */
+class CooccurrenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed lift; within-basket duplicates collapse") {
+    // baskets: 1:{x,y} 2:{x,y} 3:{x,z} 4:{y} — and a dup x in basket 1
+    val b = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("bk", "it")
+    val r = Cooccurrence.itemPairs(b, col("bk"), col("it"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // N=4; n_x=3 n_y=3 n_z=1; xy together twice: lift = 2*4/(3*3)
+    r(("x", "y")) shouldBe ((2L, 3L, 3L, 2L * 4L * 1000000L / 9L))
+    // xz once: lift = 1*4/(3*1)
+    r(("x", "z")) shouldBe ((1L, 3L, 1L, 4000000L / 3L))
+    r.contains(("y", "z")) shouldBe false    // never co-occur
+  }
+
+  test("minCount prunes the tail; invariant under repartitioning") {
+    val b = (1L to 200L).flatMap(i =>
+      Seq((i, s"a${i % 3}"), (i, s"b${i % 5}"))).toDF("bk", "it")
+    val r1 = Cooccurrence.itemPairs(b, col("bk"), col("it"), minCount = 5L)
+    r1.filter(col("n_ab") < 5).count() shouldBe 0L
+    val r2 = Cooccurrence.itemPairs(b.repartition(7), col("bk"), col("it"),
+      minCount = 5L)
+    r2.collect().map(_.toSeq).sortBy(_.toString) shouldBe
+      r1.collect().map(_.toSeq).sortBy(_.toString)
+  }
+}
