@@ -2172,6 +2172,20 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- pipeline freshness: per-source staleness lag vs the global
+    // high-water mark (the SLO row every ingestion dashboard leads with)
+    "q_freshness" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val hwm = e.agg(max(col("ts_us")).as("hwm_us"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts_us")).as("latest_us"))
+        .crossJoin(broadcast(hwm))
+        .withColumn("lag_us", col("hwm_us") - col("latest_us"))
+        .select(col("event_type"), col("n"), col("latest_us"),
+          col("lag_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- clickstream path mining: most common 3-step event-type
     // paths per user timeline (lag windows, no sequence explosion)
     "q_event_paths" -> ((s, dir) => {
@@ -5984,6 +5998,15 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_freshness" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |h AS (SELECT max(ts_us) AS hwm FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(max(ts_us) AS BIGINT) AS latest_us,
+        |  CAST(h.hwm - max(ts_us) AS BIGINT) AS lag_us
+        |FROM e, h GROUP BY event_type, h.hwm
+        |ORDER BY event_type""".stripMargin,
 
     "q_event_paths" ->
       """WITH e AS (
