@@ -2172,6 +2172,29 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- hive-style partition pruning: year-partitioned layout, a
+    // partition-key predicate, and a hard assertion that the scan
+    // carries PartitionFilters (reads one directory, not the table)
+    "q_partition_prune" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_part_orders").getAbsolutePath
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(p)
+      val q = s.read.parquet(p)
+        .filter(col("o_year") === 1997)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("price_sum_c"))
+        .orderBy(col("o_orderstatus"))
+      val scan = q.queryExecution.executedPlan.toString
+      if (!scan.contains("PartitionFilters: [isnotnull(o_year") &&
+          !scan.contains("PartitionFilters: [(o_year"))
+        throw new IllegalStateException(
+          "partition filter not pushed:\n" + scan.take(1200))
+      q
+    }),
+
     // ---- pipeline freshness: per-source staleness lag vs the global
     // high-water mark (the SLO row every ingestion dashboard leads with)
     "q_freshness" -> ((s, dir) => {
@@ -5998,6 +6021,13 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_sum_c
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_freshness" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
