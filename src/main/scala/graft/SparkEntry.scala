@@ -2172,6 +2172,37 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- asymmetric containment dedup: small-doc-inside-big-doc
+    // pairs Jaccard misses (quote pages, boilerplate wrappers)
+    "q_dedup_containment" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          shingleN = 3, threshold = 0.8, dfCap = 64)
+        .orderBy(col("src"), col("dst"))),
+
+    // ---- GDPR delete propagation: anti-join purge across the event
+    // and order stores with tombstone accounting (post-purge matches
+    // provably zero)
+    "q_gdpr_purge" -> ((s, dir) => {
+      val deletes = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("del_id"))
+      val ev = Tables.events(s, dir)
+      val ord = Tables.orders(s, dir)
+      val evAfter = ev.join(deletes, col("user_id") === col("del_id"),
+        "left_anti")
+      val ordAfter = ord.join(deletes, col("o_custkey") === col("del_id"),
+        "left_anti")
+      val leak = evAfter.join(deletes, col("user_id") === col("del_id"))
+        .agg(count(lit(1)).as("residual_rows"))
+      ev.agg(count(lit(1)).as("events_before"))
+        .crossJoin(broadcast(evAfter.agg(count(lit(1)).as("events_after"))))
+        .crossJoin(broadcast(ord.agg(count(lit(1)).as("orders_before"))))
+        .crossJoin(broadcast(ordAfter.agg(count(lit(1)).as("orders_after"))))
+        .crossJoin(broadcast(deletes.agg(count(lit(1)).as("n_deletes"))))
+        .crossJoin(broadcast(leak))
+    }),
+
     // ---- hive-style partition pruning: year-partitioned layout, a
     // partition-key predicate, and a hard assertion that the scan
     // carries PartitionFilters (reads one directory, not the table)
@@ -6021,6 +6052,44 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $toksSql, $shSql,
+         |shx AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |rare AS (SELECT sng FROM shx GROUP BY sng HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM shx a JOIN rare ON a.sng = rare.sng
+         |             JOIN shx b ON a.sng = b.sng AND a.doc_id < b.doc_id),
+         |cv AS (
+         |  SELECT ia, ib, len(list_intersect(x.s, y.s)) AS inter,
+         |    len(x.s) AS sza, len(y.s) AS szb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib),
+         |d AS (
+         |  SELECT ia AS src, ib AS dst,
+         |    CAST(inter AS DOUBLE) / sza AS containment
+         |  FROM cv WHERE CAST(inter AS DOUBLE) / sza >= 0.8
+         |  UNION ALL
+         |  SELECT ib AS src, ia AS dst,
+         |    CAST(inter AS DOUBLE) / szb AS containment
+         |  FROM cv WHERE CAST(inter AS DOUBLE) / szb >= 0.8)
+         |SELECT src, dst, containment FROM d ORDER BY src, dst""".stripMargin,
+
+    "q_gdpr_purge" ->
+      """WITH del AS (SELECT c_custkey AS del_id FROM customer
+        |             WHERE c_custkey % 97 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM events) AS events_before,
+        |  (SELECT count(*) FROM events
+        |   WHERE user_id NOT IN (SELECT del_id FROM del))
+        |    AS events_after,
+        |  (SELECT count(*) FROM orders) AS orders_before,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT del_id FROM del))
+        |    AS orders_after,
+        |  (SELECT count(*) FROM del) AS n_deletes,
+        |  0 AS residual_rows""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n,

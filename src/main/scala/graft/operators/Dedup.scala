@@ -588,6 +588,59 @@ object Dedup {
       .select(col("ia"), col("ib"), col("jac"))
   }
 
+  /** Asymmetric near-dup detection by shingle CONTAINMENT
+    * C(A→B) = |A∩B| / |A| — the signal Jaccard misses when a small
+    * document is wholly embedded in a big one (quote pages, scraped
+    * aggregations, boilerplate wrappers): Jaccard divides by the
+    * union and stays low, containment hits 1.0. Same df-capped
+    * rare-shingle candidate machinery as [[jaccardPairs]]; the prune
+    * bound `inter_hi / min(szA, szB)` dominates both directions, so
+    * no qualifying ordered pair is lost. Emits ORDERED (src, dst)
+    * rows: src's content is contained in dst at ≥ threshold. */
+  def containmentPairs(df: DataFrame, textCol: Column, idCol: Column,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       dfCap: Int = 1000): DataFrame = {
+    val sh = shingleSets(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val shx = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = shx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val rareSh = shx.join(rare, Seq("s"))
+    val rareSz = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("szr"))
+    val caps = sizes.join(rareSz, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        (col("sz") - coalesce(col("szr"), lit(0L))).as("cap"))
+    val interRare = rareSh.select(col("s"), col("doc_id").as("ia"))
+      .join(rareSh.select(col("s"), col("doc_id").as("ib")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter_lo"))
+    val pruned = interRare
+      .join(caps.select(col("doc_id").as("ia"), col("sz").as("sza"),
+        col("cap").as("capa")), Seq("ia"))
+      .join(caps.select(col("doc_id").as("ib"), col("sz").as("szb"),
+        col("cap").as("capb")), Seq("ib"))
+      .withColumn("inter_hi",
+        col("inter_lo") + least(col("capa"), col("capb")))
+      .filter(col("inter_hi").cast(DoubleType) /
+        least(col("sza"), col("szb")) >= threshold)
+      .select(col("ia"), col("ib"))
+    val verified = pruned
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("c_ab",
+        col("inter").cast(DoubleType) / size(col("sa")))
+      .withColumn("c_ba",
+        col("inter").cast(DoubleType) / size(col("sb")))
+    verified.filter(col("c_ab") >= threshold)
+      .select(col("ia").as("src"), col("ib").as("dst"),
+        col("c_ab").as("containment"))
+      .unionByName(verified.filter(col("c_ba") >= threshold)
+        .select(col("ib").as("src"), col("ia").as("dst"),
+          col("c_ba").as("containment")))
+  }
+
   // ------------------------------------------------- cluster collapse
 
   /** Collapse a near-duplicate pair graph into canonical clusters: every
