@@ -346,4 +346,25 @@ class DedupSpec extends SparkSpec {
     again.sortBy(r => (r._1, r._2)) shouldBe
       chunks.sortBy(r => (r._1, r._2))
   }
+
+  test("containmentPairs: embedded doc found where Jaccard misses it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"tok$i word$i item$i").mkString(" ")
+    val small = (1 to 40).map(i => s"tok$i word$i item$i")
+      .take(8).mkString(" ")                       // prefix of big
+    val docs = Seq((1L, big), (2L, small), (3L, "completely different " +
+      "content with nothing shared here at all ok")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, col("text"), col("doc_id"),
+        shingleN = 3, threshold = 0.8, dfCap = 100)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the small doc is fully contained in big: (2 -> 1) at 1.0
+    pairs.exists(p => p._1 == 2L && p._2 == 1L && p._3 >= 0.99) shouldBe true
+    // big is NOT contained in small; doc 3 matches nothing
+    pairs.exists(_._1 == 1L) shouldBe false
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+    // Jaccard at 0.5 misses the asymmetric pair entirely
+    Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+      shingleN = 3, threshold = 0.5, dfCap = 100).count() shouldBe 0L
+  }
 }
