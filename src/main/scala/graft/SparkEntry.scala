@@ -2172,6 +2172,52 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- weighted median: smallest value whose cumulative weight
+    // reaches half the group's total (weights = quantity units) —
+    // rank-based, deterministic under value ties
+    "q_weighted_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"),
+          cents(col("l_extendedprice")).as("v"),
+          round(col("l_quantity")).cast("long").as("wt"))
+        .withColumn("cw", sum(col("wt")).over(w))
+        .withColumn("tw", sum(col("wt")).over(wAll))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("grp"))
+        .agg(min(col("v")).as("wmedian_c"),
+          max(col("tw")).as("total_weight"))
+        .orderBy(col("grp"))
+    }),
+
+    // ---- time-weighted average (TWAP): per event-type mean of value
+    // weighted by how long it was "current" — exact integer products,
+    // one IEEE division
+    "q_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"),
+          coalesce(cents(col("value")), lit(0L)).as("v"))
+        .withColumn("dt_ms",
+          expr("(lead(ts_us, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts_us, event_id) - ts_us) DIV 1000"))
+        .filter(col("dt_ms").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(col("v") * col("dt_ms")).as("vw_sum"),
+          sum(col("dt_ms")).as("w_sum"))
+        .withColumn("twap_micro",
+          floor(col("vw_sum").cast("double") / col("w_sum").cast("double")
+            * lit(1e6)).cast("long"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- asymmetric containment dedup: small-doc-inside-big-doc
     // pairs Jaccard misses (quote pages, boilerplate wrappers)
     "q_dedup_containment" -> ((s, dir) =>
@@ -6052,6 +6098,43 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT grp, v,
+        |    sum(wt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(wt) OVER (PARTITION BY grp) AS tw
+        |  FROM t)
+        |SELECT grp, CAST(min(v) AS BIGINT) AS wmedian_c,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    COALESCE(CAST(round(value*100) AS BIGINT), 0) AS v
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, v,
+        |    (lead(ts_us, 1) OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id) - ts_us) // 1000 AS dt_ms
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(sum(v * dt_ms) AS BIGINT) AS vw_sum,
+        |    CAST(sum(dt_ms) AS BIGINT) AS w_sum
+        |  FROM d WHERE dt_ms IS NOT NULL GROUP BY 1)
+        |SELECT event_type, vw_sum, w_sum,
+        |  CAST(floor(CAST(vw_sum AS DOUBLE) / CAST(w_sum AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS twap_micro
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "q_dedup_containment" ->
       s"""WITH $toksSql, $shSql,
