@@ -2172,6 +2172,15 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- fixed-round k-core peeling (dense-subgraph filter)
+    "q_graph_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 2000).as("u"),
+            (col("l_partkey") % 2000).as("v")),
+          col("u"), col("v"), k = 50, rounds = 3)
+        .orderBy(col("node"))),
+
     // ---- weighted median: smallest value whose cumulative weight
     // reaches half the group's total (weights = quantity units) —
     // rank-based, deterministic under value ties
@@ -6098,6 +6107,34 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_graph_kcore" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 2000 AS u, l_partkey % 2000 AS v
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+        |       FROM raw WHERE u <> v),
+        |k1 AS (SELECT n FROM (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1) WHERE d >= 50),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+        |k2 AS (SELECT n FROM (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+        |  GROUP BY 1) WHERE d >= 50),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+        |k3 AS (SELECT n FROM (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+        |  GROUP BY 1) WHERE d >= 50),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3))
+        |SELECT n AS node, count(*) AS deg FROM (
+        |  SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_weighted_median" ->
       """WITH t AS (

@@ -108,4 +108,37 @@ object Graph {
     endpointCredit.union(memberCredit)
       .groupBy(col("node")).agg(sum(col("n")).as("triangles"))
   }
+
+  /** Fixed-round k-core peeling: repeatedly drop nodes of degree < k
+    * (and their edges), `rounds` times — the dense-subgraph filter
+    * behind spam-farm detection and community seeding. A fixed budget
+    * instead of a convergence loop, same discipline as
+    * [[pageRank]] / [[Dedup.canonicalizeClusters]]: no driver-side
+    * fixpoint actions, deterministic output at every budget (the
+    * true k-core is the fixpoint; each extra round only removes more
+    * non-core nodes — callers size rounds to expected peel depth).
+    * Per-round lineage is truncated with an eager localCheckpoint so
+    * the iterative self-reference cannot compound the plan.
+    *
+    * Emits the surviving (node, deg) rows. */
+  def kCore(edges: DataFrame, uCol: Column, vCol: Column,
+            k: Int, rounds: Int = 3): DataFrame = {
+    var e = edges.select(least(uCol, vCol).as("a"),
+        greatest(uCol, vCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    def ends(d: DataFrame): DataFrame =
+      d.select(col("a").as("n")).unionAll(d.select(col("b").as("n")))
+    var i = 0
+    while (i < rounds) {
+      val keep = ends(e).groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), "a")
+        .join(keep.select(col("n").as("b")), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ends(e).groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }
