@@ -2172,6 +2172,49 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- longest same-type streak per user (gaps-and-islands via the
+    // rn-difference trick; deterministic with the event_id tie-break)
+    "q_streaks" -> ((s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("grp_id",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("grp_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"))
+        .groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("max_streak"))
+    }),
+
+    // ---- Benford first-digit screen: observed vs expected
+    // log10(1+1/d) shares in micro units (fraud/data-entry smell test)
+    "q_benford" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(substring(cents(col("l_extendedprice")).cast("string"),
+          1, 1).cast("int").as("d"))
+        .filter(col("d") >= 1)
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(Tables.lineitem(s, dir)
+          .agg(count(lit(1)).as("total"))))
+        .withColumn("obs_micro",
+          floor(col("n").cast("double") / col("total").cast("double")
+            * lit(1e6)).cast("long"))
+        .withColumn("exp_micro",
+          floor(log(lit(1.0) + lit(1.0) / col("d").cast("double")) /
+            log(lit(10.0)) * lit(1e6)).cast("long"))
+        .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+        .select(col("d"), col("n"), col("obs_micro"), col("exp_micro"),
+          col("dev_micro"))
+        .orderBy(col("d"))),
+
     // ---- fixed-round k-core peeling (dense-subgraph filter)
     "q_graph_kcore" -> ((s, dir) =>
       operators.Graph.kCore(
@@ -6107,6 +6150,42 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_streaks" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS grp_id
+        |  FROM e),
+        |s AS (SELECT user_id, event_type, grp_id, count(*) AS len
+        |      FROM t GROUP BY 1, 2, 3),
+        |m AS (SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+        |      FROM s GROUP BY 1)
+        |SELECT max_streak, count(*) AS n_users FROM m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice*100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+        |  FROM lineitem),
+        |tot AS (SELECT count(*) AS total FROM lineitem),
+        |g AS (SELECT d, count(*) AS n FROM c WHERE d >= 1 GROUP BY 1)
+        |SELECT d, n,
+        |  CAST(floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS obs_micro,
+        |  CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0)
+        |    * 1000000.0) AS BIGINT) AS exp_micro,
+        |  CAST(floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1000000.0) AS BIGINT)
+        |  - CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0)
+        |    * 1000000.0) AS BIGINT) AS dev_micro
+        |FROM g, tot ORDER BY d""".stripMargin,
 
     "q_graph_kcore" ->
       """WITH raw AS (
