@@ -2172,6 +2172,60 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- chi-square independence screen: is event mix independent of
+    // customer segment? (o-e)^2/e over exact integer counts, one
+    // float tree — the significance cousin of the PSI drift monitor
+    "q_chi2" -> ((s, dir) => {
+      val joined = Tables.events(s, dir)
+        .join(Tables.customer(s, dir),
+          col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("event_type").as("et"))
+      val cells = joined.groupBy(col("seg"), col("et"))
+        .agg(count(lit(1)).as("o"))
+      val rowN = joined.groupBy(col("seg")).agg(count(lit(1)).as("rn"))
+      val colN = joined.groupBy(col("et")).agg(count(lit(1)).as("cn"))
+      val tot = joined.agg(count(lit(1)).as("n"))
+      cells.join(rowN, "seg").join(colN, "et")
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          col("rn").cast("double") * col("cn").cast("double") /
+            col("n").cast("double"))
+        .withColumn("cell_chi2_micro",
+          floor((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e") * lit(1e6))
+            .cast("long"))
+        .select(col("seg"), col("et"), col("o"), col("cell_chi2_micro"))
+        .orderBy(col("seg"), col("et"))
+    }),
+
+    // ---- sorted-neighborhood entity resolution: the OTHER classic
+    // blocking strategy (sort by key, compare within a sliding window
+    // of w) — complements q_entity_resolve's token blocking
+    // (the rank-range self-join rides a BUCKETED equi-join — rn DIV
+    // (w+1), probe side duplicated into its two candidate buckets —
+    // never a nested-loop range join; the residual range filter
+    // restores exact window semantics. The global-order window itself
+    // is catalog-sized; production SNM over a big table
+    // range-partitions the sort key with window-width overlap)
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val ranked = Tables.part(s, dir)
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("nm"), col("id"))))
+      val xs = ranked
+        .withColumn("bk", explode(array(expr("CAST(rn DIV 4 AS BIGINT)"),
+          expr("CAST(rn DIV 4 AS BIGINT) + 1"))))
+      val ys = ranked.withColumn("bk", expr("CAST(rn DIV 4 AS BIGINT)"))
+      xs.as("x").join(ys.as("y"), Seq("bk"))
+        .filter(col("y.rn") > col("x.rn") &&
+          col("y.rn") <= col("x.rn") + 3)
+        .select(col("x.id").as("ia"), col("y.id").as("ib"),
+          levenshtein(col("x.nm"), col("y.nm")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // ---- longest same-type streak per user (gaps-and-islands via the
     // rn-difference trick; deterministic with the event_id tie-break)
     "q_streaks" -> ((s, dir) => {
@@ -6150,6 +6204,36 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chi2" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, event_type AS et
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |cells AS (SELECT seg, et, count(*) AS o FROM j GROUP BY 1, 2),
+        |r AS (SELECT seg, count(*) AS rn FROM j GROUP BY 1),
+        |cc AS (SELECT et, count(*) AS cn FROM j GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM j)
+        |SELECT seg, et, o,
+        |  CAST(floor(
+        |    (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) *
+        |    (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) /
+        |    (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS cell_chi2_micro
+        |FROM cells JOIN r USING (seg) JOIN cc USING (et), t
+        |ORDER BY seg, et""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT x.id AS ia, y.id AS ib, levenshtein(x.nm, y.nm) AS dist
+        |FROM ranked x JOIN ranked y
+        |  ON y.rn > x.rn AND y.rn <= x.rn + 3
+        |WHERE levenshtein(x.nm, y.nm) <= 2
+        |ORDER BY ia, ib""".stripMargin,
 
     "q_streaks" ->
       """WITH e AS (
