@@ -2172,6 +2172,59 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- A/B experiment readout: per-cohort conversion (any
+    // 'purchase') and the pooled two-proportion z statistic — exact
+    // integer counts, one shared float tree in micro units
+    "q_ab_test" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .groupBy((col("user_id") % 2 === 0).as("in_a"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 90, 1L)
+          .otherwise(0L)).as("converted"))
+      val g = conv.groupBy(col("in_a"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      val a = g.filter(col("in_a")).select(col("n").as("n_a"),
+        col("x").as("x_a"))
+      val b = g.filter(!col("in_a")).select(col("n").as("n_b"),
+        col("x").as("x_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("rate_a_micro", floor(col("x_a").cast("double") /
+          col("n_a").cast("double") * lit(1e6)).cast("long"))
+        .withColumn("rate_b_micro", floor(col("x_b").cast("double") /
+          col("n_b").cast("double") * lit(1e6)).cast("long"))
+        .withColumn("p_pool", (col("x_a") + col("x_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("z_milli", floor(
+          (col("x_a").cast("double") / col("n_a").cast("double") -
+            col("x_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))) * lit(1000.0))
+          .cast("long"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("rate_a_micro"), col("rate_b_micro"), col("z_milli"))
+    }),
+
+    // ---- per-source quantile normalization: rank() (tie-stable) maps
+    // each doc's length to its within-source quantile in micro units —
+    // the cross-source score calibration step before mixing
+    "q_quantile_norm" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("r", rank().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // BIGINT rank before the multiply: int32 overflows at SF >= 1
+        .withColumn("q_micro",
+          expr("(CAST(r AS BIGINT) - 1) * 1000000 DIV n"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("q_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- chi-square independence screen: is event mix independent of
     // customer segment? (o-e)^2/e over exact integer counts, one
     // float tree — the significance cousin of the PSI drift monitor
@@ -6204,6 +6257,40 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH conv AS (
+        |  SELECT user_id % 2 = 0 AS in_a, user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 90
+        |        THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT in_a, count(*) AS n, CAST(sum(converted) AS BIGINT)
+        |        AS x
+        |      FROM conv GROUP BY 1),
+        |a AS (SELECT n AS n_a, x AS x_a FROM g WHERE in_a),
+        |b AS (SELECT n AS n_b, x AS x_b FROM g WHERE NOT in_a)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(floor(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS rate_a_micro,
+        |  CAST(floor(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS rate_b_micro,
+        |  CAST(floor(
+        |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) AS z_milli
+        |FROM a, b""".stripMargin,
+
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  (rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+        |    * 1000000
+        |    // (count(*) OVER (PARTITION BY source)) AS q_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_chi2" ->
       """WITH j AS (
