@@ -2172,6 +2172,60 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- DBSCAN-lite spatial clustering: dense grid cells (>= minPts
+    // synthetic points) collapsed over 8-neighbor adjacency with the
+    // same large-star/small-star CC as the dedup stack
+    "q_geo_dbscan" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(
+        synthLon(col("event_id")).as("lon"),
+        synthLat(col("event_id")).as("lat"))
+      val cells = pts.select(
+          floor(col("lon") / lit(10.0)).cast("long").as("cx"),
+          floor(col("lat") / lit(10.0)).cast("long").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("npts"))
+        .filter(col("npts") >= 17)
+      def enc(x: Column, y: Column) =
+        (x + lit(200L)) * lit(100000L) + y + lit(200L)
+      val deltas = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+        yield struct((col("cx") + lit(dx)).as("nx"),
+          (col("cy") + lit(dy)).as("ny"))
+      val edges = cells
+        .select(col("cx"), col("cy"), explode(array(deltas: _*)).as("nb"))
+        .select(col("cx"), col("cy"),
+          col("nb.nx").as("nx"), col("nb.ny").as("ny"))
+        .join(cells.select(col("cx").as("nx"), col("cy").as("ny")),
+          Seq("nx", "ny"))
+        .select(enc(col("cx"), col("cy")).as("ia"),
+          enc(col("nx"), col("ny")).as("ib"))
+        .filter(col("ia") < col("ib"))
+      // grid components have diameter ~35 (worst case for
+      // star-contraction, unlike near-clique text clusters): budget
+      // log2(diameter)+margin rounds
+      val labels = operators.Dedup.canonicalizeClusters(edges, rounds = 8)
+        .withColumnRenamed("doc_id", "cid")
+      cells.withColumn("cid", enc(col("cx"), col("cy")))
+        .join(labels, Seq("cid"), "left")
+        .withColumn("cluster", coalesce(col("canonical_id"), col("cid")))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("npts")).as("n_points"))
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- 7-day moving average over the DAY rollup (pure-integer day
+    // index from micros — zero calendar-semantics risk)
+    "q_moving_avg" -> ((s, dir) => {
+      val day = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("d_idx"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d_idx")).rowsBetween(-6, 0)
+      day.withColumn("sum7", sum(col("n")).over(w))
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .withColumn("ma7_milli", expr("sum7 * 1000 DIV cnt7"))
+        .select(col("d_idx"), col("n"), col("ma7_milli"))
+        .orderBy(col("d_idx"))
+    }),
+
     // ---- A/B experiment readout: per-cohort conversion (any
     // 'purchase') and the pooled two-proportion z statistic — exact
     // integer counts, one shared float tree in micro units
@@ -6257,6 +6311,47 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_geo_dbscan" ->
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |cells AS (
+         |  SELECT CAST(floor(lon/10.0) AS BIGINT) AS cx,
+         |    CAST(floor(lat/10.0) AS BIGINT) AS cy, count(*) AS npts
+         |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 17),
+         |ed AS (
+         |  SELECT (a.cx+200)*100000 + a.cy+200 AS ia,
+         |         (b.cx+200)*100000 + b.cy+200 AS ib
+         |  FROM cells a JOIN cells b
+         |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         |   AND (a.cx+200)*100000 + a.cy+200
+         |     < (b.cx+200)*100000 + b.cy+200),
+         |edges AS (SELECT ia AS a, ib AS b FROM ed
+         |          UNION SELECT ib AS a, ia AS b FROM ed),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS cid, least(a, min(b)) AS canonical_id
+         |           FROM reach GROUP BY a),
+         |wc AS (SELECT (cx+200)*100000 + cy+200 AS cid, npts FROM cells)
+         |SELECT coalesce(l.canonical_id, wc.cid) AS cluster,
+         |  count(*) AS n_cells, CAST(sum(npts) AS BIGINT) AS n_points
+         |FROM wc LEFT JOIN labels l ON wc.cid = l.cid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d_idx, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT d_idx, n,
+        |  CAST(sum(n) OVER (ORDER BY d_idx
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  * 1000
+        |  // count(*) OVER (ORDER BY d_idx
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_milli
+        |FROM day ORDER BY d_idx""".stripMargin,
 
     "q_ab_test" ->
       """WITH conv AS (
