@@ -2172,6 +2172,47 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- exact spatial kNN for a query sample (verification-grade
+    // ground truth for spatial-ANN recall): broadcast sample x corpus,
+    // per-query top-3 by haversine with id tie-break
+    "q_spatial_knn" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(col("event_id").as("pid"),
+        synthLon(col("event_id")).as("lon"),
+        synthLat(col("event_id")).as("lat"))
+      val queries = pts.filter(col("pid") % 2000 === 0)
+        .select(col("pid").as("qid"), col("lon").as("qlon"),
+          col("lat").as("qlat"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist_cm"), col("pid"))
+      pts.crossJoin(broadcast(queries))
+        .filter(col("pid") =!= col("qid"))
+        .withColumn("dist_cm", floor(geo.Geodesy.haversineMeters(
+          col("qlon"), col("qlat"), col("lon"), col("lat")) * lit(100.0)
+          + lit(0.5)).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("pid"), col("dist_cm"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- period-over-period: daily counts vs 7 days earlier (lag on
+    // the integer day index; pct change in micro via one division)
+    "q_pop_change" -> ((s, dir) => {
+      val day = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("d_idx"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d_idx"))
+      day.withColumn("n_prev", lag(col("n"), 7).over(w))
+        .filter(col("n_prev").isNotNull)
+        .withColumn("delta", col("n") - col("n_prev"))
+        .withColumn("pct_micro",
+          floor((col("n") - col("n_prev")).cast("double") /
+            col("n_prev").cast("double") * lit(1e6)).cast("long"))
+        .select(col("d_idx"), col("n"), col("n_prev"), col("delta"),
+          col("pct_micro"))
+        .orderBy(col("d_idx"))
+    }),
+
     // ---- DBSCAN-lite spatial clustering: dense grid cells (>= minPts
     // synthetic points) collapsed over 8-neighbor adjacency with the
     // same large-star/small-star CC as the dedup stack
@@ -6311,6 +6352,38 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_spatial_knn" ->
+      s"""WITH pts AS (
+         |  SELECT event_id AS pid, ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat FROM events),
+         |q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat
+         |      FROM pts WHERE pid % 2000 = 0),
+         |d AS (
+         |  SELECT q.qid, p.pid,
+         |    CAST(floor(
+         |      ${haversineSql("q.qlon", "q.qlat", "p.lon", "p.lat")}
+         |      * 100.0 + 0.5) AS BIGINT) AS dist_cm
+         |  FROM pts p, q WHERE p.pid <> q.qid),
+         |r AS (
+         |  SELECT qid, pid, dist_cm,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist_cm, pid) AS rn
+         |  FROM d)
+         |SELECT qid, rn, pid, dist_cm FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+
+    "q_pop_change" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d_idx, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT d_idx, n,
+        |        lag(n, 7) OVER (ORDER BY d_idx) AS n_prev
+        |      FROM day)
+        |SELECT d_idx, n, n_prev, n - n_prev AS delta,
+        |  CAST(floor(CAST(n - n_prev AS DOUBLE) / CAST(n_prev AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS pct_micro
+        |FROM l WHERE n_prev IS NOT NULL ORDER BY d_idx""".stripMargin,
 
     "q_geo_dbscan" ->
       s"""WITH RECURSIVE pts AS (
