@@ -2172,6 +2172,29 @@ object SparkEntry {
           percentile(col("c"), lit(0.99)).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- gate-threshold sweep: the keep-rate curve for choosing a
+    // length cutoff (one pass per NOTHING — thresholds ride a
+    // broadcast values frame against the aggregated length histogram)
+    "q_threshold_sweep" -> ((s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      val thresholds = (100L to 900L by 100L)
+      val t = thresholds.foldLeft(
+        Option.empty[org.apache.spark.sql.DataFrame]) { (acc, th) =>
+          val one = hist.sparkSession.range(th, th + 1)
+            .select(col("id").as("threshold"))
+          Some(acc.map(_.unionByName(one)).getOrElse(one))
+        }.get
+      hist.crossJoin(broadcast(t))
+        .groupBy(col("threshold"))
+        .agg(sum(when(col("n_chars") >= col("threshold"), col("cnt"))
+            .otherwise(0L)).as("kept"),
+          sum(col("cnt")).as("total"))
+        .withColumn("keep_rate_micro",
+          expr("kept * 1000000 DIV total"))
+        .orderBy(col("threshold"))
+    }),
+
     // ---- exact spatial kNN for a query sample (verification-grade
     // ground truth for spatial-ANN recall): broadcast sample x corpus,
     // per-query top-3 by haversine with id tie-break
@@ -6352,6 +6375,19 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.99) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_threshold_sweep" ->
+      """WITH h AS (SELECT n_chars, count(*) AS cnt
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT unnest(range(100, 1000, 100)) AS threshold)
+        |SELECT threshold,
+        |  CAST(sum(CASE WHEN n_chars >= threshold THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS kept,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN n_chars >= threshold THEN cnt ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // CAST(sum(cnt) AS BIGINT) AS keep_rate_micro
+        |FROM h, t GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     "q_spatial_knn" ->
       s"""WITH pts AS (
