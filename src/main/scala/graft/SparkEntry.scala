@@ -2827,7 +2827,21 @@ object SparkEntry {
         throw new IllegalStateException(
           s"result cache did not hit (hits=${plans.ResultCache.hits})")
       served.orderBy(col("l_suppkey"))
-    })
+    }),
+
+    // ---- distributed BPE tokenizer-vocab training: one corpus-wide
+    //      shuffle to the word-frequency table, then 8 merge rounds on
+    //      the vocab only (corpus-size-independent per-round cost)
+    "q_bpe_train" -> ((s, dir) =>
+      operators.BpeTrain.trainMerges(Tables.documents(s, dir), "text", 8)
+        .orderBy(col("merge_idx"))),
+
+    // ---- per-doc token counts under the learned merges (the cost
+    //      estimator a mix/packing plan consumes)
+    "q_bpe_tokens" -> ((s, dir) =>
+      operators.BpeTrain.tokenCounts(Tables.documents(s, dir),
+          "doc_id", "text", 8)
+        .orderBy(col("doc_id")))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -6967,6 +6981,68 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
         |    AS sum_qty_c,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bpe_train" -> (bpeCtesSql(8) + "\n" +
+      (1 to 8).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_idx,
+           |    (SELECT ex FROM exp${i - 1} WHERE ch = substr(b.pair,1,1))
+           |      AS left_sym,
+           |    (SELECT ex FROM exp${i - 1} WHERE ch = substr(b.pair,2,1))
+           |      AS right_sym,
+           |    b.cnt AS pair_cnt FROM b$i b""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\n  UNION ALL ", ") ORDER BY merge_idx")),
+
+    "q_bpe_tokens" -> (bpeCtesSql(8) +
+      """
+        |SELECT d.doc_id, CAST(sum(length(v.word)) AS BIGINT) AS bpe_tokens,
+        |  count(*) AS n_words
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word0
+        |      FROM documents) d
+        |JOIN w8 v ON d.word0 = v.word0
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
   )
+
+  /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i
+    * computes overlapping adjacent-char pair counts (p_i), the argmax
+    * merge (b_i, tie-break cnt DESC then binary-UTF8 pair ASC), the
+    * re-encoded vocab via literal left-to-right replace (w_i, merged
+    * symbol = the 1-char U+E000+i-1), and the symbol-expansion table
+    * (exp_i). MATERIALIZED is load-bearing: inlined, the
+    * self-referencing chain plans exponentially (same lesson as
+    * q_pretrain_v2). */
+  private def bpeCtesSql(n: Int): String = {
+    val head = Seq(
+      """w0 AS MATERIALIZED (
+        |  SELECT word AS word0, word, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word)""".stripMargin,
+      """exp0 AS MATERIALIZED (
+        |  SELECT chr(x::INT)::VARCHAR AS ch, chr(x::INT)::VARCHAR AS ex
+        |  FROM (SELECT unnest(list_concat(range(65,91), range(97,123)))
+        |        AS x) t)""".stripMargin)
+    val rounds = (1 to n).flatMap { i =>
+      val m = operators.BpeTrain.MergeCharBase + i - 1
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(
+           |      generate_series(1, length(word)-1),
+           |      i -> substr(word, i, 2))) AS pair
+           |    FROM w${i - 1} WHERE length(word) > 1) t GROUP BY pair)""".stripMargin,
+        s"""b$i AS MATERIALIZED (
+           |  SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin,
+        s"""w$i AS MATERIALIZED (
+           |  SELECT word0, replace(word, (SELECT pair FROM b$i), chr($m))
+           |    AS word, freq FROM w${i - 1})""".stripMargin,
+        s"""exp$i AS MATERIALIZED (
+           |  SELECT * FROM exp${i - 1} UNION ALL
+           |  SELECT chr($m),
+           |    (SELECT ex FROM exp${i - 1} WHERE ch = substr(b.pair,1,1)) ||
+           |    (SELECT ex FROM exp${i - 1} WHERE ch = substr(b.pair,2,1))
+           |  FROM b$i b)""".stripMargin)
+    }
+    (head ++ rounds).mkString("WITH ", ",\n", "")
+  }
 }

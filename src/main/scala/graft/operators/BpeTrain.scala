@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-rule training (the tokenizer-vocab step of a
+  * pretraining pipeline; cf. Sennrich et al. 2016 "Neural Machine
+  * Translation of Rare Words with Subword Units").
+  *
+  * Scale design: ONE corpus-wide shuffle builds the word-frequency
+  * table; every merge round after that runs on the vocab table only
+  * (~1e6-1e7 rows at 100 TB corpus scale, kilobytes per row), so the
+  * per-round cost is independent of corpus size. The vocab table is
+  * localCheckpointed so the rounds don't re-derive it from the corpus
+  * scan, and the per-round argmax collects exactly ONE row to the
+  * driver (the merge decision is inherently sequential — this is the
+  * textbook structure, not a driver-side loop over data).
+  *
+  * Symbol representation: every symbol is exactly ONE character —
+  * initial symbols are the word's letters, and merge i mints the
+  * private-use-area char U+E000+i. This makes the two BPE primitives
+  * exact string operations with identical semantics in Spark and
+  * DuckDB:
+  *   - pair stats = the word's adjacent char bigrams (overlapping,
+  *     per Sennrich's get_stats), weighted by word frequency;
+  *   - applying a merge = literal left-to-right non-overlapping
+  *     `replace(word, left+right, merged)` — with 1-char symbols the
+  *     scan-and-skip replace IS the classic merge loop, and no
+  *     delimiter/boundary false matches can occur.
+  * Words are restricted to /^[A-Za-z]+$/ (standard pre-tokenization
+  * simplification; also keeps the PUA alphabet collision-free).
+  *
+  * Tie-break: highest count, then lexicographically smallest pair
+  * string (binary UTF-8 compare — identical in Spark and DuckDB).
+  */
+object BpeTrain {
+
+  val MergeCharBase = 0xE000
+
+  /** (word, freq) over whitespace-split letters-only tokens. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** One row per learned merge: (merge_idx 1-based, left_sym,
+    * right_sym, pair_cnt) with symbols expanded back to letter
+    * strings.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    train(docs, textCol, nMerges)._1
+
+  /** The vocab after training: (word0 original, word encoded — one
+    * char per token, freq).
+    */
+  def encodedVocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    train(docs, textCol, nMerges)._2
+
+  def train(docs: DataFrame, textCol: String, nMerges: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // vocab: word0 = original word (join key for encoding), word = the
+    // evolving symbol string. localCheckpoint: the merge rounds must
+    // not re-run the corpus scan + shuffle per round.
+    var vocab = wordFreq(docs, textCol)
+      .select(col("word").as("word0"), col("word"), col("freq"))
+      .localCheckpoint()
+    val expansion = scala.collection.mutable.Map.empty[Char, String]
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // overlapping adjacent bigrams weighted by freq; 1-char words
+      // contribute nothing (guarded: Spark's sequence(1,0) would
+      // otherwise count DOWN and fabricate single-char "pairs")
+      val best = vocab
+        .filter(length(col("word")) > 1)
+        .select(col("freq"),
+          explode(expr(
+            "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+            .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val (l, r) = (pair.charAt(0), pair.charAt(1))
+        val merged = (MergeCharBase + round).toChar
+        def expand(c: Char): String =
+          expansion.getOrElse(c, c.toString)
+        expansion(merged) = expand(l) + expand(r)
+        merges += ((round + 1L, expand(l), expand(r), cnt))
+        vocab = vocab
+          .withColumn("word",
+            expr(s"replace(word, '${l}${r}', '${merged}')"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    val mergesDf = merges.toSeq
+      .toDF("merge_idx", "left_sym", "right_sym", "pair_cnt")
+    (mergesDf, vocab)
+  }
+
+  /** Per-doc token counts under the learned merges: with 1-char
+    * symbols the token count of a word is simply its encoded length.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val vocab = encodedVocab(docs, textCol, nMerges)
+      .select(col("word0"), length(col("word")).cast("long").as("word_tokens"))
+    docs
+      .select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("word0"))
+      .filter(col("word0").rlike("^[A-Za-z]+$"))
+      .join(vocab, Seq("word0"))
+      .groupBy(col(idCol))
+      .agg(sum(col("word_tokens")).as("bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrain
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // classic Sennrich fixture: freq(low)=5, freq(lower)=2, freq(newest)=6,
+  // freq(widest)=3 — realized as repeated words in docs
+  private val docs = Seq(
+    (0L, "low low low low low"),
+    (1L, "lower lower"),
+    (2L, "newest newest newest newest newest newest"),
+    (3L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("trainMerges learns the hand-computed merge sequence") {
+    val merges = BpeTrain.trainMerges(docs, "text", 4)
+      .orderBy(col("merge_idx"))
+      .as[(Long, String, String, Long)].collect()
+    // pair counts round 1: es 6+3=9, st 9, ne 6, ew 6, we 6+2=8, id 3...
+    // tie es/st at 9 -> lexicographic: "es" < "st"
+    merges(0) shouldBe ((1L, "e", "s", 9L))
+    // round 2: st broken into (es,t)=9 via "es t"? no — symbols now
+    // [n e w es t]: pairs (n,e)=6 (e,w)=6 (w,es)=6+3(wid..no)=...
+    // recompute: newest -> n e w es t ; widest -> w i d es t ;
+    // lower -> l o w e r ; low -> l o w
+    // (es,t) = 6+3 = 9 -> wins round 2
+    merges(1)._2 + merges(1)._3 shouldBe "est"
+    merges(1)._4 shouldBe 9L
+    // round 3: low/lower give (l,o)=7, (o,w)=7; newest gives (n,e)=6,
+    // (e,w)=6, (w,est)=6; widest (w,i)=3,(i,d)=3,(d,est)=3... wait
+    // (w,est) only in newest=6; tie (l,o)/(o,w) at 7 -> "lo" < "ow"
+    merges(2) shouldBe ((3L, "l", "o", 7L))
+    merges(3) shouldBe ((4L, "lo", "w", 7L))
+  }
+
+  test("merge application is left-to-right non-overlapping") {
+    // aaaa with top pair (a,a) must become (aa)(aa), not three merges
+    val d = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val vocab = BpeTrain.encodedVocab(d, "text", 1)
+      .select(col("word0"),
+        org.apache.spark.sql.functions.length(col("word")).as("len"))
+      .as[(String, Int)].collect().toMap
+    vocab("aaaa") shouldBe 2
+  }
+
+  test("tokenCounts sums encoded word lengths per doc") {
+    val counts = BpeTrain.tokenCounts(docs, "doc_id", "text", 4)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    // after 4 merges: low -> [low] (1); lower -> [low e r] (3);
+    // newest -> [n e w est] (4); widest -> [w i d est] (4)
+    counts(0) shouldBe ((0L, 5L, 5L))   // 5 * low
+    counts(1) shouldBe ((1L, 6L, 2L))   // 2 * lower
+    counts(2) shouldBe ((2L, 24L, 6L))  // 6 * newest
+    counts(3) shouldBe ((3L, 12L, 3L))  // 3 * widest
+  }
+
+  test("non-letter tokens are excluded from training") {
+    val d = Seq((0L, "ab ab 12 a|b ab")).toDF("doc_id", "text")
+    val merges = BpeTrain.trainMerges(d, "text", 1)
+      .as[(Long, String, String, Long)].collect()
+    merges.length shouldBe 1
+    merges(0) shouldBe ((1L, "a", "b", 3L))
+  }
+}
