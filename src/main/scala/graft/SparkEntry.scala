@@ -2841,7 +2841,35 @@ object SparkEntry {
     "q_bpe_tokens" -> ((s, dir) =>
       operators.BpeTrain.tokenCounts(Tables.documents(s, dir),
           "doc_id", "text", 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- file-level data skipping (sources.StatsManifest): write the
+    //      table range-clustered into 16 files, build the per-file
+    //      min/max manifest, and answer a key-range aggregate reading
+    //      ONLY the intersecting files — hard-asserted to prune >half
+    //      the files. One level finer than hive partition pruning.
+    "q_data_skipping" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_skip_lineitem").getAbsolutePath
+      Tables.lineitem(s, dir)
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(p)
+      val manifest = sources.StatsManifest
+        .build(s.read.parquet(p), Seq("l_orderkey"))
+        .localCheckpoint()
+      val (lo, hi) = (1000L, 2000L)
+      val total = s.read.parquet(p).inputFiles.length
+      val kept = sources.StatsManifest
+        .prunedFiles(manifest, "l_orderkey", lo, hi)
+      if (kept.length * 2 >= total)
+        throw new IllegalStateException(
+          s"data skipping ineffective: kept ${kept.length}/$total files")
+      sources.StatsManifest.readPruned(s, manifest, "l_orderkey", lo, hi)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_sum_c"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7000,7 +7028,14 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word0
         |      FROM documents) d
         |JOIN w8 v ON d.word0 = v.word0
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    "q_data_skipping" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_sum_c
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping: a per-file min/max manifest plus
+  * planning-time file pruning — the Delta/Iceberg-style skipping layer
+  * for plain parquet directories, one level finer than hive partition
+  * pruning (q_partition_prune).
+  *
+  * Scale design: the manifest is ONE aggregation over the table
+  * grouped by `_metadata.file_path` (a scan-local group-by — every
+  * file's rows are colocated in its own split, so the partial
+  * aggregation is already final and the shuffle moves one row per
+  * file). At 100 TB / ~100k files the manifest is ~100k tiny rows —
+  * driver-resident, like Delta's log checkpoint. Pruning is a
+  * driver-side interval test over those rows; the executors never see
+  * the skipped files at all (they are absent from the read plan, which
+  * is strictly stronger than a pushed filter that still opens every
+  * footer).
+  *
+  * Null discipline: per-column min/max ignore NULLs (Spark agg
+  * semantics). A range predicate can never select a NULL, so a file
+  * whose non-null [min,max] misses the interval is safe to drop even
+  * if it holds NULLs; an all-NULL file (min IS NULL) is kept
+  * conservatively.
+  */
+object StatsManifest {
+
+  /** Long manifest: one row per (file, column): file_path, n_rows,
+    * col, min_v, max_v. Stat columns must be integral (cast dates /
+    * timestamps to unix micros first).
+    */
+  def build(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val perFile = df
+      .select(col("_metadata.file_path").as("file_path") +:
+        statCols.map(c => col(c).cast("long").as(c)): _*)
+      .groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+    val stacked = statCols.map { c =>
+      perFile.select(col("file_path"), col("n_rows"), lit(c).as("col"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))
+    }.reduce(_ unionAll _)
+    stacked
+  }
+
+  /** Files whose [min,max] for `statCol` intersects [lo,hi] — plus
+    * all-NULL-stat files, kept conservatively. Driver-side: the
+    * manifest has one row per (file, column).
+    */
+  def prunedFiles(manifest: DataFrame, statCol: String,
+      lo: Long, hi: Long): Seq[String] =
+    manifest
+      .filter(col("col") === statCol)
+      .filter(col("min_v").isNull ||
+        (col("min_v") <= hi && col("max_v") >= lo))
+      .select(col("file_path"))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Read only the files that can contain `statCol` ∈ [lo,hi]; the
+    * residual exact filter still applies (skipping is file-granular,
+    * not row-granular).
+    */
+  def readPruned(spark: SparkSession, manifest: DataFrame,
+      statCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(manifest, statCol, lo, hi)
+    require(files.nonEmpty, "all files pruned — read an empty relation explicitly")
+    spark.read.parquet(files: _*)
+      .filter(col(statCol).cast("long").between(lo, hi))
+  }
+}

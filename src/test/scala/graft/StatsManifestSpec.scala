@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.StatsManifest
+
+class StatsManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), name)
+    d.getAbsolutePath
+  }
+
+  test("manifest records per-file min/max and pruning drops disjoint files") {
+    val p = tmpDir("graft_manifest_spec")
+    (0L until 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val manifest = StatsManifest.build(df, Seq("k"))
+    val rows = manifest.as[(String, Long, String, Long, Long)].collect()
+    rows.length shouldBe 4
+    rows.map(_._2).sum shouldBe 400L
+    // files cover disjoint ranges; global envelope is [0, 399]
+    rows.map(_._4).min shouldBe 0L
+    rows.map(_._5).max shouldBe 399L
+    all(rows.map(r => r._5 - r._4).toSeq) should be < 400L
+
+    // a range inside one file's span keeps only that file
+    val kept = StatsManifest.prunedFiles(manifest, "k", 10, 20)
+    kept.length shouldBe 1
+    // a range spanning everything keeps all files
+    StatsManifest.prunedFiles(manifest, "k", 0, 399).length shouldBe 4
+    // an empty range keeps nothing
+    StatsManifest.prunedFiles(manifest, "k", 1000, 2000) shouldBe empty
+  }
+
+  test("readPruned equals the full-scan filter") {
+    val p = tmpDir("graft_manifest_spec2")
+    (0L until 500L).map(i => (i, i % 7)).toDF("k", "g")
+      .repartitionByRange(5, col("k"))
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val manifest = StatsManifest.build(df, Seq("k"))
+    val got = StatsManifest.readPruned(spark, manifest, "k", 123, 321)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .orderBy(col("g"))
+      .as[(Long, Long, Long)].collect()
+    val want = df.filter(col("k").between(123, 321))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .orderBy(col("g"))
+      .as[(Long, Long, Long)].collect()
+    got shouldBe want
+  }
+
+  test("all-NULL-stat files are kept conservatively") {
+    val p = tmpDir("graft_manifest_spec3")
+    val withNulls = Seq[(java.lang.Long, String)](
+      (null, "a"), (null, "b")).toDF("k", "v")
+    val dense = (0L until 100L).map(i => (i: java.lang.Long, s"v$i"))
+      .toDF("k", "v")
+    withNulls.coalesce(1).write.mode("overwrite").parquet(p)
+    dense.coalesce(1).write.mode("append").parquet(p)
+    val manifest = StatsManifest.build(spark.read.parquet(p), Seq("k"))
+    // disjoint range: the dense file is pruned, the all-null file kept
+    val kept = StatsManifest.prunedFiles(manifest, "k", 5000, 6000)
+    kept.length shouldBe 1
+    // and the residual filter still yields zero rows (NULL never matches)
+    StatsManifest.readPruned(spark, manifest, "k", 5000, 6000)
+      .count() shouldBe 0L
+  }
+}
