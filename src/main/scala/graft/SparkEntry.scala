@@ -2869,7 +2869,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(cents(col("l_quantity"))).as("qty_sum_c"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    // ---- deterministic DP-style noised release (operators.Privacy):
+    //      per-event-type count + clipped-sum with seeded Laplace
+    //      noise — reproducible across retries, replays, and engines
+    "q_dp_release" -> ((s, dir) =>
+      operators.Privacy.noisedRelease(Tables.events(s, dir),
+          col("event_type"), cents(col("value")), clipCents = 5000L,
+          eps = 1.0, seed = 7)
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type")))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7035,7 +7045,28 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
         |    AS qty_sum_c
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dp_release" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    CAST(sum(LEAST(GREATEST(
+        |      COALESCE(CAST(round(value*100) AS BIGINT), 0), 0), 5000))
+        |      AS BIGINT) AS s_c
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT *,
+        |    (('0x'||substr(md5(event_type||chr(1)||'7'),1,13))::BIGINT
+        |      + 0.5) / 4503599627370496.0 AS u_n,
+        |    (('0x'||substr(md5(event_type||chr(1)||'8'),1,13))::BIGINT
+        |      + 0.5) / 4503599627370496.0 AS u_s
+        |  FROM g)
+        |SELECT event_type,
+        |  CAST(floor((n + (-1.0)*sign(u_n-0.5)*ln(1-2*abs(u_n-0.5)))
+        |    * 1e6) AS BIGINT) AS n_noised_micro,
+        |  CAST(floor((s_c + (-5000.0)*sign(u_s-0.5)*ln(1-2*abs(u_s-0.5)))
+        |    * 1e3) AS BIGINT) AS sum_noised_milli
+        |FROM u ORDER BY event_type""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

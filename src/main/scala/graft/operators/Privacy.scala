@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differential-privacy-style noised aggregate release with
+  * DETERMINISTIC seeded noise (Laplace mechanism; Dwork et al. 2006).
+  *
+  * Real DP draws fresh randomness per release; a distributed engine
+  * additionally wants the release to be REPRODUCIBLE across retries,
+  * stage replays, and engines — so the noise here is a pure function
+  * of (group key, seed): md5 → 52-bit uniform → inverse-CDF Laplace.
+  * Re-running the job (or running the DuckDB oracle) yields the same
+  * release bit-for-bit; rotating the seed yields a fresh draw.
+  *
+  * Float discipline (hash-match contract): every step is exact double
+  * arithmetic on exactly-representable inputs except ONE ln() per
+  * group, and the result is floored to integer micro/milli units —
+  * the same pattern as DSIR's LLR scoring (operators/Dsir.scala).
+  *
+  * Count release: sensitivity 1, scale 1/eps. Sum release: values are
+  * clipped to [0, clip] in integer cents first (bounding sensitivity
+  * — the clip IS what makes the sum releasable), scale clip/eps.
+  */
+object Privacy {
+
+  private val Two52 = 4503599627370496.0 // 2^52, exact in double
+
+  /** 52-bit uniform in (0,1), a pure function of (key, seed); md5 is
+    * byte-identical across engines, and 13 hex chars (52 bits) stay
+    * exact in double.
+    */
+  def uniform52(key: Column, seed: Int): Column = {
+    val h = md5(concat_ws("\u0001", key, lit(seed.toString)))
+    val v = conv(substring(h, 1, 13), 16, 10).cast("long")
+    (v.cast("double") + lit(0.5)) / lit(Two52)
+  }
+
+  /** Inverse-CDF Laplace(0, scale): -scale·sign(u-½)·ln(1-2|u-½|).
+    * u ∈ (0,1) and u ≠ ½ by construction (v+0.5 is never an integer),
+    * so the ln argument is in (0, 1].
+    */
+  def laplace(u: Column, scale: Double): Column = {
+    val d = u - lit(0.5)
+    lit(-scale) * signum(d) * log(lit(1.0) - lit(2.0) * abs(d))
+  }
+
+  /** Per-group noised count and clipped noised sum:
+    * (key, n_noised_micro, sum_noised_milli). Counts release at scale
+    * 1/eps in micro-units; cent sums clip to [0, clipCents] and
+    * release at scale clipCents/eps in milli-cent units.
+    */
+  def noisedRelease(df: DataFrame, key: Column, valueCents: Column,
+      clipCents: Long, eps: Double, seed: Int): DataFrame = {
+    val clipped = least(greatest(coalesce(valueCents, lit(0L)), lit(0L)),
+      lit(clipCents))
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), sum(clipped).as("s_c"))
+      .select(col("key"),
+        floor((col("n") + laplace(uniform52(col("key"), seed), 1.0 / eps))
+          * lit(1e6)).cast("long").as("n_noised_micro"),
+        floor((col("s_c") +
+            laplace(uniform52(col("key"), seed + 1), clipCents / eps))
+          * lit(1e3)).cast("long").as("sum_noised_milli"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = Seq(
+    ("a", 10.0), ("a", 20.0), ("a", 999.0), // 999 clips to 50.00
+    ("b", 5.0), ("b", 5.0)
+  ).toDF("k", "v")
+
+  test("release is deterministic for a seed and changes with the seed") {
+    def rel(seed: Int) = Privacy.noisedRelease(d, col("k"),
+        graft.functions.cents(col("v")), 5000L, 1.0, seed)
+      .orderBy(col("key")).as[(String, Long, Long)].collect().toSeq
+    rel(7) shouldBe rel(7)
+    rel(7) should not be rel(8)
+  }
+
+  test("noise is bounded-ish and centered: count release near true count") {
+    val r = Privacy.noisedRelease(d, col("k"),
+        graft.functions.cents(col("v")), 5000L, 1.0, 7)
+      .orderBy(col("key")).as[(String, Long, Long)].collect()
+    // true counts: a=3, b=2; eps=1 Laplace rarely exceeds |10|
+    math.abs(r(0)._2 - 3000000L) should be < 15000000L
+    math.abs(r(1)._2 - 2000000L) should be < 15000000L
+  }
+
+  test("sum sensitivity is bounded by the clip") {
+    // the 999.00 value must contribute exactly clip (5000 cents), so the
+    // true clipped sum for a is 1000+2000+5000 = 8000 cents
+    val withBig = Privacy.noisedRelease(d, col("k"),
+        graft.functions.cents(col("v")), 5000L, 1.0, 7)
+      .filter(col("key") === "a").as[(String, Long, Long)].head()
+    val noBig = Privacy.noisedRelease(
+        d.filter(col("v") < 900).union(Seq(("a", 50.0)).toDF("k", "v")),
+        col("k"), graft.functions.cents(col("v")), 5000L, 1.0, 7)
+      .filter(col("key") === "a").as[(String, Long, Long)].head()
+    // replacing the huge value by exactly clip/100 dollars is a no-op
+    withBig shouldBe noBig
+  }
+
+  test("uniform52 lands strictly inside (0,1)") {
+    val us = (0 until 50).map(i =>
+      Seq(s"k$i").toDF("k")
+        .select(Privacy.uniform52(col("k"), 1).as("u"))
+        .as[Double].head())
+    all(us) should be > 0.0
+    all(us) should be < 1.0
+  }
+}
