@@ -2880,6 +2880,20 @@ object SparkEntry {
           eps = 1.0, seed = 7)
         .withColumnRenamed("key", "event_type")
         .orderBy(col("event_type")))
+,
+    // ---- bounded-depth BFS shortest paths (Graph.bfsHops): frontier
+    //      join per round over the thinned supplier-part graph —
+    //      relational unit-weight Bellman-Ford, work bounded by
+    //      frontier-adjacent edges per round
+    "q_graph_bfs" -> ((s, dir) =>
+      operators.Graph.bfsHops(
+          Tables.lineitem(s, dir)
+            .filter(col("l_orderkey") % 13 === 0)
+            .select(concat(lit("s"), col("l_suppkey")).as("u"),
+              concat(lit("p"), col("l_partkey")).as("v"))
+            .distinct(),
+          col("u"), col("v"), source = "s1", maxHops = 6)
+        .orderBy(col("dist"), col("node")))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7066,7 +7080,22 @@ object SparkEntry {
         |    * 1e6) AS BIGINT) AS n_noised_micro,
         |  CAST(floor((s_c + (-5000.0)*sign(u_s-0.5)*ln(1-2*abs(u_s-0.5)))
         |    * 1e3) AS BIGINT) AS sum_noised_milli
-        |FROM u ORDER BY event_type""".stripMargin
+        |FROM u ORDER BY event_type""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT 's'||l_suppkey AS u, 'p'||l_partkey AS v
+        |  FROM lineitem WHERE l_orderkey % 13 = 0
+        |  UNION
+        |  SELECT 'p'||l_partkey, 's'||l_suppkey
+        |  FROM lineitem WHERE l_orderkey % 13 = 0),
+        |walk(node, d) AS (
+        |  SELECT 's1', 0
+        |  UNION
+        |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+        |  WHERE w.d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

@@ -141,4 +141,42 @@ object Graph {
     }
     ends(e).groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Bounded-depth BFS shortest paths from one source over the
+    * undirected graph: (node, dist) for every node within `maxHops`.
+    *
+    * Each round joins the CURRENT FRONTIER ONLY (nodes first reached
+    * last round) against the edge table, then folds new nodes into
+    * the distance table with a min-merge — so total work is
+    * O(Σ frontier-adjacent edges), the relational Bellman-Ford
+    * specialization for unit weights. The symmetrized edge table is
+    * localCheckpointed once and reused by every round; the distance
+    * table is checkpointed per round to keep the iterative lineage
+    * flat (same discipline as kCore above). Frontiers are usually a
+    * small fraction of the graph, so the per-round join is
+    * broadcast-eligible — left to AQE rather than forced. */
+  def bfsHops(edges: DataFrame, uCol: Column, vCol: Column,
+              source: String, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(uCol.as("u"), vCol.as("v"))
+      .unionAll(edges.select(vCol.as("u"), uCol.as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+      .localCheckpoint(true)
+    var h = 1L
+    var frontierEmpty = false
+    while (h <= maxHops && !frontierEmpty) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val next = frontier.join(sym, col("node") === col("u"))
+        .select(col("v").as("node"), lit(h).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      frontierEmpty = dist.filter(col("dist") === h).isEmpty
+      h += 1
+    }
+    dist
+  }
 }

@@ -65,4 +65,29 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     a shouldBe b
   }
+
+  test("bfsHops: hand-computed distances on a chain with a branch") {
+    // a-b-c-d chain, branch b-e, isolated pair x-y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"),
+      ("x", "y")).toDF("u", "v")
+    val got = Graph.bfsHops(edges, col("u"), col("v"), "a", 6)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "e" -> 2L,
+      "d" -> 3L)
+    // direction must not matter (symmetrized)
+    Graph.bfsHops(edges, col("v"), col("u"), "a", 6)
+      .as[(String, Long)].collect().toMap shouldBe got
+  }
+
+  test("bfsHops honors the hop budget and stops on an empty frontier") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    val cut = Graph.bfsHops(chain, col("u"), col("v"), "a", 2)
+      .as[(String, Long)].collect().toMap
+    cut shouldBe Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    // budget larger than the eccentricity: terminates early, full cover
+    val full = Graph.bfsHops(chain, col("u"), col("v"), "a", 50)
+      .as[(String, Long)].collect().toMap
+    full.values.max shouldBe 4L
+  }
 }
