@@ -355,6 +355,49 @@ object ScaleProbe {
     val tComposed = (System.nanoTime() - t0) / 1e9
     println(f"r11b asof 1M rows: native n=$nNative sec=$tNative%.1f | " +
       f"composed n=$nComposed sec=$tComposed%.1f")
+
+    // round 11c: (e) BPE training at 50x docs (25k docs): after the
+    //     single word-frequency shuffle, each of the 8 merge rounds
+    //     runs on the vocab table only — per-round cost must be flat
+    //     in corpus size (the vocab here is tiny, so rounds are
+    //     dominated by fixed job overhead; the probe records both).
+    val docs50 = Tables.documents(spark, sfDir).crossJoin(
+        spark.range(5).select(col("id").as("rep")))
+      .select((col("doc_id") * 5 + col("rep")).as("doc_id"), col("text"))
+    t0 = System.nanoTime()
+    val wf = operators.BpeTrain.wordFreq(docs50, "text").count()
+    val tWf = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nMerges = operators.BpeTrain
+      .trainMerges(docs50, "text", 8).count()
+    val tBpe = (System.nanoTime() - t0) / 1e9
+    // (f) data-skipping manifest on 6M rows / 64 files: manifest build
+    //     is one scan-local groupBy (64 rows shuffled); the pruned
+    //     read must touch ~2/64 files for a narrow key range.
+    val skipDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_probe_skip").getAbsolutePath
+    li.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .withColumn("k", col("l_orderkey") * 10 + col("rep"))
+      .repartitionByRange(64, col("k"))
+      .write.mode("overwrite").parquet(skipDir)
+    t0 = System.nanoTime()
+    val man = sources.StatsManifest
+      .build(spark.read.parquet(skipDir), Seq("k")).localCheckpoint()
+    val nFilesAll = man.count()
+    val tMan = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val keptF = sources.StatsManifest.prunedFiles(man, "k", 5000, 15000)
+    val nPruned = sources.StatsManifest
+      .readPruned(spark, man, "k", 5000, 15000).count()
+    val tPruned = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nFull = spark.read.parquet(skipDir)
+      .filter(col("k").between(5000, 15000)).count()
+    val tFull = (System.nanoTime() - t0) / 1e9
+    println(f"r11c bpe 25k docs: vocab=$wf freq_sec=$tWf%.1f " +
+      f"merges=$nMerges train_sec=$tBpe%.1f | skipping 6M rows: " +
+      f"files=$nFilesAll manifest_sec=$tMan%.1f kept=${keptF.length} " +
+      f"pruned_read n=$nPruned sec=$tPruned%.1f full_scan sec=$tFull%.1f")
     spark.stop()
   }
 }
