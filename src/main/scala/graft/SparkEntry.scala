@@ -2893,7 +2893,32 @@ object SparkEntry {
               concat(lit("p"), col("l_partkey")).as("v"))
             .distinct(),
           col("u"), col("v"), source = "s1", maxHops = 6)
-        .orderBy(col("dist"), col("node")))
+        .orderBy(col("dist"), col("node"))),
+
+    // ---- Datasketches HLL re-aggregation: per-(flag,status) sketches
+    //      merged to flag level with hll_union_agg — the mergeable-
+    //      sketch contract that lets a 100 TB distinct-count roll up
+    //      from per-partition partials. The estimate is hard-asserted
+    //      within 5% of exact; the RETURNED row is the exact count
+    //      (sketch estimates are engine-specific, so the oracle pins
+    //      the exact value and the assert pins the sketch).
+    "q_sketch_hll" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perFine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      val merged = perFine.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"))
+      exact.join(merged, "l_returnflag").collect().foreach { r =>
+        val (nd, est) = (r.getAs[Long]("nd_parts"), r.getAs[Long]("est"))
+        if (math.abs(est - nd).toDouble / nd > 0.05)
+          throw new IllegalStateException(
+            s"HLL estimate off by >5%: exact=$nd est=$est")
+      }
+      exact.orderBy(col("l_returnflag"))
+    })
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7095,7 +7120,12 @@ object SparkEntry {
         |  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
         |  WHERE w.d < 6)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
-        |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin
+        |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin,
+
+    "q_sketch_hll" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i
