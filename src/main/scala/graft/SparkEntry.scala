@@ -2918,6 +2918,29 @@ object SparkEntry {
             s"HLL estimate off by >5%: exact=$nd est=$est")
       }
       exact.orderBy(col("l_returnflag"))
+    }),
+
+    // ---- incremental join maintenance (Incremental.joinDelta):
+    //      (A∪ΔA)⋈(B∪ΔB) rebuilt from the materialized base join plus
+    //      three delta-sized (broadcast) joins — never rejoining the
+    //      bases. The oracle recomputes the full join from scratch, so
+    //      equality IS the delta-rule proof.
+    "q_ivm_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val (oBase, oDelta) = (o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0))
+      val (cBase, cDelta) = (c.filter(col("c_custkey") % 7 =!= 0),
+        c.filter(col("c_custkey") % 7 === 0))
+      val materialized = oBase.join(cBase, "c_custkey")
+      operators.Incremental.joinDelta(materialized,
+          oBase, oDelta, cBase, cDelta, "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -7125,7 +7148,14 @@ object SparkEntry {
     "q_sketch_hll" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ivm_join" ->
+      """SELECT c.c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

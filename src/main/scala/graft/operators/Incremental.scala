@@ -36,4 +36,24 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Incremental JOIN maintenance (insert-only delta rules): given the
+    * materialized join A⋈B and append deltas ΔA, ΔB, the new state is
+    *
+    *   (A∪ΔA) ⋈ (B∪ΔB)  =  A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    *
+    * computed WITHOUT touching A⋈B's inputs again: three delta-sized
+    * joins instead of one history-sized one. At 100 TB the deltas and
+    * the (key-partitioned) base sides are orders of magnitude apart,
+    * and ΔA⋈B / A⋈ΔB broadcast the delta side — cost is O(|Δ|·fanout),
+    * not O(|A⋈B|). Bag semantics: inputs must be duplicate-free per
+    * join key occurrence (or carry multiplicities upstream).
+    */
+  def joinDelta(joined: DataFrame, baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame, key: String): DataFrame = {
+    val incr = deltaA.join(broadcast(deltaB), key)
+      .unionByName(broadcast(deltaA).join(baseB, key))
+      .unionByName(baseA.join(broadcast(deltaB), key))
+    joined.unionByName(incr)
+  }
 }

@@ -37,4 +37,29 @@ class IncrementalSpec extends SparkSpec {
     m("only_a") shouldBe ((1L, 1L, 1L, 1L))
     m("only_b") shouldBe ((2L, 12L, 5L, 7L))
   }
+
+  test("joinDelta equals the from-scratch join of the unioned inputs") {
+    val baseA = (0L until 200L).map(i => (i % 40, i, i * 3))
+      .toDF("k", "aid", "av")
+    val deltaA = (200L until 230L).map(i => (i % 40, i, i * 3))
+      .toDF("k", "aid", "av")
+    val baseB = (0L until 35L).map(i => (i, s"b$i")).toDF("k", "bv")
+    val deltaB = (35L until 40L).map(i => (i, s"b$i")).toDF("k", "bv")
+    val materialized = baseA.join(baseB, "k")
+    val got = Incremental.joinDelta(materialized,
+        baseA, deltaA, baseB, deltaB, "k")
+      .orderBy(col("aid"), col("bv"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val want = baseA.unionByName(deltaA)
+      .join(baseB.unionByName(deltaB), "k")
+      .orderBy(col("aid"), col("bv"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    got shouldBe want
+
+    // the delta legs must be broadcast, never shuffling the base
+    val plan = Incremental.joinDelta(materialized,
+        baseA, deltaA, baseB, deltaB, "k")
+      .queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+  }
 }
