@@ -2941,6 +2941,19 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- exact two-sample KS statistic (Drift.ksStatistic): value
+    //      distribution of the first 15 days vs the rest, all-integer
+    //      ecdf comparison over the distinct-value support
+    "q_drift_ks" -> ((s, dir) => {
+      val d = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(cents(col("value")).as("v_c"),
+          expr("ts_us div 86400000000").as("day"))
+      val d0 = d.agg(min(col("day")).as("d0"))
+      val flagged = d.crossJoin(broadcast(d0))
+        .select(col("v_c"), (col("day") < col("d0") + 15).as("is_base"))
+      operators.Drift.ksStatistic(flagged, col("v_c"), col("is_base"))
     })
   )
 
@@ -7155,7 +7168,32 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_c
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_drift_ks" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT min(day) AS d0 FROM e),
+        |f AS (SELECT v, (day < d0 + 15) AS is_a FROM e, m),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM f GROUP BY v),
+        |cum AS (
+        |  SELECT CAST(sum(c_a) OVER w AS BIGINT) AS cum_a,
+        |    CAST(sum(c_b) OVER w AS BIGINT) AS cum_b
+        |  FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (
+        |  SELECT CAST(max(cum_a) AS BIGINT) AS n_a,
+        |    CAST(max(cum_b) AS BIGINT) AS n_b FROM cum)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cum_a*n_b - cum_b*n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum_a*n_b - cum_b*n_a)) * 1000000 // (n_a*n_b)
+        |    AS BIGINT) AS ks_micro
+        |FROM cum, t GROUP BY n_a, n_b""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

@@ -57,4 +57,28 @@ class DriftSpec extends SparkSpec {
     out shouldBe Array((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added"))
   }
+
+  test("ksStatistic: hand-computed D on disjoint, identical, interleaved") {
+    def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) =
+      Drift.ksStatistic(
+        (a.map((_, true)) ++ b.map((_, false))).toDF("v", "is_a"),
+        col("v"), col("is_a"))
+        .as[(Long, Long, Long, Long)].head()
+    // fully separated: D = 1
+    ks(Seq(1, 2, 3), Seq(4, 5, 6)) shouldBe ((3L, 3L, 9L, 1000000L))
+    // identical: D = 0
+    ks(Seq(1, 2), Seq(1, 2)) shouldBe ((2L, 2L, 0L, 0L))
+    // interleaved 1,3 vs 2,4: max |F_a - F_b| = 1/2
+    ks(Seq(1, 3), Seq(2, 4)) shouldBe ((2L, 2L, 2L, 500000L))
+  }
+
+  test("ksStatistic is invariant under repartitioning") {
+    val df = (0L until 5000L)
+      .map(i => ((i * 37) % 211, i % 3 == 0)).toDF("v", "is_a")
+    val a = Drift.ksStatistic(df, col("v"), col("is_a"))
+      .as[(Long, Long, Long, Long)].head()
+    val b = Drift.ksStatistic(df.repartition(17), col("v"), col("is_a"))
+      .as[(Long, Long, Long, Long)].head()
+    a shouldBe b
+  }
 }
