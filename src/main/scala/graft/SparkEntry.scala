@@ -2954,7 +2954,31 @@ object SparkEntry {
       val flagged = d.crossJoin(broadcast(d0))
         .select(col("v_c"), (col("day") < col("d0") + 15).as("is_base"))
       operators.Drift.ksStatistic(flagged, col("v_c"), col("is_base"))
-    })
+    }),
+
+    // ---- sorted compaction planning (sources.Compaction): per-day
+    //      event "files" grouped into ~8000-row bins by next-fit over
+    //      the key order — contiguous key ranges per bin, so the
+    //      rewritten files stay manifest-skippable
+    "q_compaction_plan" -> ((s, dir) => {
+      val meta = Tables.events(s, dir)
+        .groupBy(expr("ts_us DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      sources.Compaction.planSortedBins(meta, "day", "n_rows", 8000L)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("rows_total"),
+          min(col("day")).as("day_lo"), max(col("day")).as("day_hi"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- order-independent table checksum (Checks.tableChecksum):
+    //      replication/migration audit — md5-row-fingerprint folded
+    //      with bit_xor, invariant to row order / partitioning / file
+    //      layout, map-side combinable
+    "q_table_checksum" -> ((s, dir) =>
+      operators.Checks.tableChecksum(Tables.lineitem(s, dir),
+        Seq(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_quantity")), col("l_returnflag"))))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7193,7 +7217,30 @@ object SparkEntry {
         |  CAST(max(abs(cum_a*n_b - cum_b*n_a)) AS BIGINT) AS d_num,
         |  CAST(max(abs(cum_a*n_b - cum_b*n_a)) * 1000000 // (n_a*n_b)
         |    AS BIGINT) AS ks_micro
-        |FROM cum, t GROUP BY n_a, n_b""".stripMargin
+        |FROM cum, t GROUP BY n_a, n_b""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH meta AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM events GROUP BY 1),
+        |planned AS (
+        |  SELECT day, n_rows,
+        |    (CAST(sum(n_rows) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) - n_rows) // 8000 AS bin
+        |  FROM meta)
+        |SELECT bin, count(*) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  min(day) AS day_lo, max(day) AS day_hi
+        |FROM planned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT bit_xor(('0x'||substr(md5(
+        |    l_orderkey || chr(31) || l_linenumber || chr(31) ||
+        |    CAST(round(l_quantity*100) AS BIGINT) || chr(31) ||
+        |    l_returnflag), 1, 15))::BIGINT) AS checksum,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

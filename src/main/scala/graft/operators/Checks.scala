@@ -53,4 +53,22 @@ object Checks {
         "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("rule"), col("violations"))
+
+  /** Order-independent table fingerprint — the replication /
+    * migration audit: two copies of a table match iff (checksum, n)
+    * match, regardless of row order, partitioning, or file layout.
+    * Per-row fingerprint = 60 bits of md5 over the \u001f-joined
+    * column renderings, folded with bit_xor (commutative, so the
+    * aggregation is map-side combinable and shuffle-order-proof).
+    *
+    * Callers must pass INTEGER-rendered columns (cents for money,
+    * unix micros for time): float/date string renderings differ
+    * across engines, integers do not. */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val fp = expr("bit_xor(fp)")
+    df.select(conv(substring(md5(
+          concat_ws("\u001f", cols.map(_.cast("string")): _*)), 1, 15),
+        16, 10).cast("long").as("fp"))
+      .agg(fp.as("checksum"), count(lit(1)).as("n"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sorted small-file compaction planning — the maintenance job that
+  * keeps a StatsManifest-skippable table healthy: many small files
+  * (streaming commits, per-day partitions) are grouped into
+  * ~target-size bins WITHOUT breaking the sort-key clustering that
+  * data skipping depends on.
+  *
+  * Policy is next-fit over the KEY-ORDERED file list: bin(i) =
+  * floor(cumsum_rows(before i) / target). Unlike first-fit-decreasing
+  * (tighter packing, arbitrary ordering), next-fit preserves the key
+  * order, so every output bin covers a contiguous key range and the
+  * rewritten files stay skippable — for compaction, clustering beats
+  * the last few percent of packing efficiency. It is also a pure
+  * window cumsum: planable at any metadata scale with one tiny
+  * single-partition window (file-count rows, not data rows).
+  */
+object Compaction {
+
+  /** Assign each metadata row (a file / partition / commit) to a
+    * compaction bin. `orderCol` is the clustering key (e.g. the
+    * manifest's min_v), `weightCol` the row count or byte size.
+    * Emits the input columns plus `bin`.
+    */
+  def planSortedBins(meta: DataFrame, orderCol: String, weightCol: String,
+      target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    meta
+      .withColumn("cum_w", sum(col(weightCol)).over(w))
+      .withColumn("bin",
+        expr(s"(cum_w - $weightCol) DIV $target"))
+      .drop("cum_w")
+  }
+
+  /** Execute a plan over parquet files: read each bin's files and
+    * rewrite them as one sorted file per bin. `plan` must carry
+    * (file_path, bin) as produced by [[planSortedBins]] over a
+    * [[StatsManifest]] table.
+    */
+  def compactFiles(spark: SparkSession, plan: DataFrame, sortCol: String,
+      outDir: String): Unit = {
+    val bins = plan.select(col("file_path"), col("bin"))
+      .collect().groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+    bins.foreach { case (bin, rows) =>
+      spark.read.parquet(rows.map(_.getString(0)).toSeq: _*)
+        .sort(col(sortCol))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(f"$outDir/bin=$bin%05d")
+    }
+  }
+}

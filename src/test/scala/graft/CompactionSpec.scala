@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Compaction, StatsManifest}
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planSortedBins: next-fit over key order, contiguous ranges") {
+    val meta = Seq((0L, 300L), (1L, 300L), (2L, 300L), (3L, 500L),
+      (4L, 900L), (5L, 100L)).toDF("day", "n_rows")
+    val plan = Compaction.planSortedBins(meta, "day", "n_rows", 1000L)
+      .select(col("day"), col("bin"))
+      .as[(Long, Long)].collect().toMap
+    // cumsum-before: 0,300,600,900,1400,2300 -> DIV 1000: 0,0,0,0,1,2
+    plan shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 2L)
+    // bins cover contiguous, non-overlapping day ranges by construction
+  }
+
+  test("compactFiles rewrites bins preserving data and reducing files") {
+    val src = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_compact_src").getAbsolutePath
+    val dst = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_compact_dst").getAbsolutePath
+    (0L until 1000L).map(i => (i, i % 13)).toDF("k", "g")
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(src)
+    val manifest = StatsManifest.build(spark.read.parquet(src), Seq("k"))
+    val plan = Compaction.planSortedBins(
+      manifest.withColumnRenamed("min_v", "lo"), "lo", "n_rows", 500L)
+    Compaction.compactFiles(spark, plan, "k", dst)
+    val before = spark.read.parquet(src)
+    val after = spark.read.parquet(dst)
+    after.count() shouldBe before.count()
+    after.agg(sum(col("k")), sum(col("g"))).head() shouldBe
+      before.agg(sum(col("k")), sum(col("g"))).head()
+    // 10 source files -> 2 bins (1000 rows / 500 target)
+    after.inputFiles.length should be < before.inputFiles.length
+    after.inputFiles.length shouldBe 2
+  }
+
+  test("tableChecksum is order- and partitioning-invariant, data-sensitive") {
+    val d = (0L until 500L).map(i => (i, s"s$i")).toDF("a", "b")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Checks.tableChecksum(df, Seq(col("a"), col("b")))
+        .as[(Long, Long)].head()
+    val base = ck(d)
+    ck(d.repartition(17)) shouldBe base
+    ck(d.orderBy(col("a").desc)) shouldBe base
+    // flipping one value changes the checksum but not n
+    val tampered = ck(d.withColumn("b",
+      when(col("a") === 250, lit("sX")).otherwise(col("b"))))
+    tampered._2 shouldBe base._2
+    tampered._1 should not be base._1
+  }
+}
