@@ -2978,7 +2978,30 @@ object SparkEntry {
     "q_table_checksum" -> ((s, dir) =>
       operators.Checks.tableChecksum(Tables.lineitem(s, dir),
         Seq(col("l_orderkey"), col("l_linenumber"),
-          cents(col("l_quantity")), col("l_returnflag"))))
+          cents(col("l_quantity")), col("l_returnflag")))),
+
+    // ---- SQL-standard MERGE INTO (operators.Merge): one full-outer
+    //      join drives update / conditional-delete / insert branches —
+    //      the lakehouse upsert primitive (compose with StatsManifest
+    //      pruning to narrow the rewrite at scale)
+    "q_merge_upsert" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+      val upd = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("c_custkey") % 9 === 0, lit(-1L))
+            .otherwise(col("bal_c") + 100000L).as("bal_c"))
+      val news = c.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_nationkey"), lit(777L).as("bal_c"))
+      val merged = operators.Merge.mergeInto(c, upd.unionByName(news),
+        "c_custkey",
+        updateOnMatch = Seq("bal_c" -> operators.Merge.src("bal_c")),
+        deleteOnMatch = operators.Merge.src("bal_c") < 0)
+      merged.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("bal_sum_c"))
+        .orderBy(col("c_nationkey"))
+    })
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7240,7 +7263,29 @@ object SparkEntry {
         |    CAST(round(l_quantity*100) AS BIGINT) || chr(31) ||
         |    l_returnflag), 1, 15))::BIGINT) AS checksum,
         |  count(*) AS n
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 9 = 0 THEN -1
+        |         ELSE bal_c + 100000 END AS new_bal
+        |  FROM c WHERE c_custkey % 3 = 0),
+        |survivors AS (
+        |  SELECT t.c_nationkey, COALESCE(u.new_bal, t.bal_c) AS bal
+        |  FROM c t LEFT JOIN upd u USING (c_custkey)
+        |  WHERE u.new_bal IS NULL OR u.new_bal >= 0),
+        |inserted AS (
+        |  SELECT c_nationkey, 777 AS bal FROM c WHERE c_custkey % 5 = 0),
+        |final AS (
+        |  SELECT * FROM survivors UNION ALL SELECT * FROM inserted)
+        |SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(bal) AS BIGINT) AS bal_sum_c
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SQL-standard MERGE INTO as a relational transform: one full-outer
+  * join on the key drives all three branches —
+  *
+  *   WHEN MATCHED [AND cond] THEN DELETE
+  *   WHEN MATCHED            THEN UPDATE SET col = expr, ...
+  *   WHEN NOT MATCHED        THEN INSERT
+  *
+  * (target rows with no source match pass through unchanged.)
+  *
+  * The lakehouse engines (Delta/Iceberg/Hudi) implement exactly this
+  * shape and then narrow the rewrite to touched files; composed with
+  * [[graft.sources.StatsManifest]] pruning, the same narrowing applies
+  * here — join only the files whose key ranges intersect the source.
+  *
+  * Scale: ONE shuffle of each side on the merge key (or a broadcast
+  * when the source delta is small — left to AQE). Update expressions
+  * reference target columns by name and source columns as
+  * `src("col")`. The source must be key-unique (standard MERGE
+  * cardinality rule; violators raise on conflicting updates in real
+  * engines — here the caller pre-aggregates).
+  */
+object Merge {
+
+  val SrcPrefix = "__src_"
+
+  /** Reference a source column inside an update expression. */
+  def src(c: String): Column = col(SrcPrefix + c)
+
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+      updateOnMatch: Seq[(String, Column)],
+      deleteOnMatch: Column = lit(false),
+      insertOnNoMatch: Boolean = true): DataFrame = {
+    val tCols = target.columns.toSeq
+    val prefixed = source.columns.foldLeft(source) { (d, c) =>
+      d.withColumnRenamed(c, SrcPrefix + c)
+    }
+    val joined = target.join(prefixed,
+      col(key) === col(SrcPrefix + key), "full_outer")
+    val matched = col(key).isNotNull && col(SrcPrefix + key).isNotNull
+    val srcOnly = col(key).isNull
+    val updates = updateOnMatch.toMap
+    val out = joined
+      // WHEN MATCHED AND deleteCond THEN DELETE
+      .filter(!(matched && deleteOnMatch))
+      // drop source-only rows unless inserting
+      .filter(if (insertOnNoMatch) lit(true) else !srcOnly)
+    out.select(tCols.map { c =>
+      val updated = updates.get(c)
+        .map(e => when(matched, e).otherwise(col(c)))
+        .getOrElse(col(c))
+      when(srcOnly, col(SrcPrefix + c))         // INSERT branch
+        .otherwise(updated).as(c)
+    }: _*)
+  }
+}

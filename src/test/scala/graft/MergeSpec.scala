@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+import graft.operators.Merge.src
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L), (4L, "d", 400L)
+  ).toDF("k", "name", "bal")
+
+  private val source = Seq(
+    (2L, "b2", 25L),   // matched -> update
+    (3L, "c", -1L),    // matched + delete condition
+    (9L, "i", 900L)    // not matched -> insert
+  ).toDF("k", "name", "bal")
+
+  test("three-branch merge: update, delete, insert, passthrough") {
+    val got = Merge.mergeInto(target, source, "k",
+        updateOnMatch = Seq(
+          "name" -> src("name"),
+          "bal" -> (col("bal") + src("bal"))),
+        deleteOnMatch = src("bal") < 0)
+      .orderBy(col("k")).as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "a", 100L),    // untouched
+      (2L, "b2", 225L),   // updated: name replaced, bal summed
+      (4L, "d", 400L),    // untouched; 3 deleted
+      (9L, "i", 900L))    // inserted
+  }
+
+  test("insertOnNoMatch=false makes it a pure upsert-update") {
+    val got = Merge.mergeInto(target, source, "k",
+        updateOnMatch = Seq("bal" -> src("bal")),
+        insertOnNoMatch = false)
+      .orderBy(col("k")).as[(Long, String, Long)].collect().toSeq
+    got.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+    got(1)._3 shouldBe 25L
+    got(2)._3 shouldBe -1L
+  }
+
+  test("merge is idempotent when updates are absolute") {
+    val once = Merge.mergeInto(target, source, "k",
+      updateOnMatch = Seq("bal" -> src("bal")))
+    val twice = Merge.mergeInto(once, source, "k",
+      updateOnMatch = Seq("bal" -> src("bal")))
+    twice.orderBy(col("k")).as[(Long, String, Long)].collect() shouldBe
+      once.orderBy(col("k")).as[(Long, String, Long)].collect()
+  }
+}
