@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level data skipping: a per-file min/max manifest plus
@@ -31,9 +31,16 @@ object StatsManifest {
     * col, min_v, max_v. Stat columns must be integral (cast dates /
     * timestamps to unix micros first).
     */
-  def build(df: DataFrame, statCols: Seq[String]): DataFrame = {
+  def build(df: DataFrame, statCols: Seq[String]): DataFrame =
+    buildFrom(df, col("_metadata.file_path"), statCols)
+
+  /** As [[build]], with an explicit file column — for streaming
+    * micro-batches that pre-selected `_metadata.file_path` before the
+    * sink boundary. */
+  def buildFrom(df: DataFrame, fileCol: Column,
+      statCols: Seq[String]): DataFrame = {
     val perFile = df
-      .select(col("_metadata.file_path").as("file_path") +:
+      .select(fileCol.as("file_path") +:
         statCols.map(c => col(c).cast("long").as(c)): _*)
       .groupBy(col("file_path"))
       .agg(count(lit(1)).as("n_rows"),

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.StatsManifest
+
+/** Streaming maintenance of the data-skipping manifest: as files land
+  * in a parquet drop directory, each micro-batch computes per-file
+  * min/max stats for the NEW files only and folds them into the
+  * manifest snapshot — so [[graft.sources.StatsManifest]] pruning
+  * stays current without ever rescanning the table (the batch-build
+  * over 100 TB is exactly the scan the manifest exists to avoid).
+  *
+  * Idempotence: parquet files are immutable once visible, so manifest
+  * rows are keyed by (file_path, col) and a batch replay re-derives
+  * byte-identical rows; the fold dedups on that key (arbitrary-side
+  * `max` — both sides equal), making commit + replay convergent. The
+  * snapshot/commit protocol is [[StreamingMv]]'s: complete snapshot
+  * under `v=<batchId>`, then an atomic `_CURRENT` flip.
+  */
+object StreamingManifest {
+
+  final case class Target(manifestPath: String, statCols: Seq[String])
+
+  def currentVersion(p: String): Option[Long] = {
+    val f = Paths.get(p, "_CURRENT")
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+    else None
+  }
+
+  def readCurrent(spark: SparkSession, p: String): DataFrame = {
+    val v = currentVersion(p).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $p"))
+    spark.read.parquet(s"$p/v=$v")
+  }
+
+  /** The micro-batch fold (exposed for batch-mode tests). The batch
+    * must carry a `__file` column (see [[stream]]). */
+  def processBatch(t: Target)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = StatsManifest.buildFrom(batch, col("__file"), t.statCols)
+    val merged = currentVersion(t.manifestPath) match {
+      case Some(v) =>
+        spark.read.parquet(s"${t.manifestPath}/v=$v")
+          .unionByName(delta)
+          .groupBy(col("file_path"), col("col"))
+          // immutable files: duplicate keys carry identical stats, so
+          // any deterministic pick merges a replay away
+          .agg(max(col("n_rows")).as("n_rows"),
+            max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+          .select(col("file_path"), col("n_rows"), col("col"),
+            col("min_v"), col("max_v"))
+      case None => delta
+    }
+    merged.write.mode("overwrite")
+      .parquet(s"${t.manifestPath}/v=$batchId")
+    flipPointer(t.manifestPath, batchId)
+  }
+
+  private def flipPointer(p: String, v: Long): Unit = {
+    val dir = Paths.get(p)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "._CURRENT", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** File stream over the table directory with the provenance column
+    * the fold needs. */
+  def stream(spark: SparkSession, tableDir: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(tableDir)
+      .select(col("*"), col("_metadata.file_path").as("__file"))
+
+  def writer(stream: DataFrame, t: Target, checkpoint: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(t)(b, id))
+
+  def start(stream: DataFrame, t: Target,
+      checkpoint: String): StreamingQuery =
+    writer(stream, t, checkpoint).start()
+}

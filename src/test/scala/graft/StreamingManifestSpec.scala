@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.StatsManifest
+import graft.streaming.StreamingManifest
+import graft.streaming.StreamingManifest.Target
+
+/** Streaming data-skipping-manifest maintenance: new files fold their
+  * per-file stats into a versioned snapshot; the maintained manifest
+  * equals a from-scratch batch build and keeps pruning correct. */
+class StreamingManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.toString)
+
+  test("maintained manifest equals the batch build and prunes correctly") {
+    val table = Files.createTempDirectory("graft-smani-t").toString
+    val mani = Files.createTempDirectory("graft-smani-m").toString
+    val ckpt = Files.createTempDirectory("graft-smani-c").toString
+    val t = Target(mani, Seq("k"))
+
+    (0L until 300L).map(i => (i, i % 5)).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(table)
+    val schema = spark.read.parquet(table).schema
+
+    def drain(): Unit = {
+      val q = StreamingManifest.start(
+        StreamingManifest.stream(spark, table, schema), t, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val m1 = StreamingManifest.readCurrent(spark, mani)
+    canon(m1) shouldBe canon(
+      StatsManifest.build(spark.read.parquet(table), Seq("k")))
+
+    // second file lands; restart drains only the new file, and the
+    // manifest still equals the batch build over everything
+    (1000L until 1200L).map(i => (i, i % 5)).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(table)
+    drain()
+    val m2 = StreamingManifest.readCurrent(spark, mani)
+    canon(m2) shouldBe canon(
+      StatsManifest.build(spark.read.parquet(table), Seq("k")))
+
+    // pruning through the maintained manifest: only the new file can
+    // hold k >= 1000
+    val kept = StatsManifest.prunedFiles(m2, "k", 1100, 1150)
+    kept.length shouldBe 1
+    StatsManifest.readPruned(spark, m2, "k", 1100, 1150)
+      .count() shouldBe 51L
+  }
+
+  test("batch replay converges (immutable files, keyed fold)") {
+    val mani = Files.createTempDirectory("graft-smani-r").toString
+    val t = Target(mani, Seq("k"))
+    val rows = (0L until 100L).map(i => (i, s"f"))
+      .toDF("k", "v").withColumn("__file", lit("fileA"))
+    StreamingManifest.processBatch(t)(rows, 0L)
+    val v0 = canon(StreamingManifest.readCurrent(spark, mani))
+    StreamingManifest.processBatch(t)(rows, 1L) // replayed content
+    canon(StreamingManifest.readCurrent(spark, mani)) shouldBe v0
+  }
+}
