@@ -3001,7 +3001,16 @@ object SparkEntry {
       merged.groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("bal_sum_c"))
         .orderBy(col("c_nationkey"))
-    })
+    }),
+
+    // ---- WordPiece greedy longest-match tokenization over the BPE-
+    //      learned vocab (BpeTrain.wordpieceTokenCounts): segments the
+    //      distinct-word table only; oracle replays the greedy loop as
+    //      a recursive CTE over the same exp8 piece set
+    "q_wordpiece_tokens" -> ((s, dir) =>
+      operators.BpeTrain.wordpieceTokenCounts(Tables.documents(s, dir),
+          "doc_id", "text", 8)
+        .orderBy(col("doc_id")))
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7285,7 +7294,42 @@ object SparkEntry {
         |  SELECT * FROM survivors UNION ALL SELECT * FROM inserted)
         |SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(bal) AS BIGINT) AS bal_sum_c
-        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // greedy loop UNROLLED to 24 fixed steps (greedy consumes >=1 char
+    // per step, and the synthetic vocab's words are far shorter): a
+    // recursive CTE downstream of the >10-CTE materialized merge chain
+    // silently yields zero recursion rows on DuckDB 1.0.0, while the
+    // identical recursion over a short chain works — unrolling
+    // sidesteps the executor entirely. Finished words pass through
+    // each step unchanged; unfinished-after-24 are dropped (none at
+    // any tested SF).
+    "q_wordpiece_tokens" -> (bpeCtesSql(8) +
+      """,
+        |pieces AS MATERIALIZED (SELECT ex AS piece FROM exp8),
+        |s0 AS MATERIALIZED (SELECT word0, word0 AS rest, 0 AS ntok FROM w0),
+        |""".stripMargin +
+      (1 to 24).map(k =>
+        s"""s$k AS MATERIALIZED (
+           |  SELECT word0,
+           |    CASE WHEN length(rest) = 0 THEN rest
+           |         ELSE substr(rest, ml + 1) END AS rest,
+           |    CASE WHEN length(rest) = 0 THEN ntok ELSE ntok + 1 END
+           |      AS ntok
+           |  FROM (SELECT word0, rest, ntok,
+           |      (SELECT max(length(p.piece)) FROM pieces p
+           |       WHERE starts_with(rest, p.piece)) AS ml
+           |    FROM s${k - 1}) t)""".stripMargin).mkString(",\n") +
+      """,
+        |wp AS (SELECT word0, ntok FROM s24 WHERE length(rest) = 0),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+'))
+        |    AS word0
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(sum(w.ntok) AS BIGINT) AS wp_tokens,
+        |  count(*) AS n_words
+        |FROM docw d JOIN wp w USING (word0)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

@@ -110,6 +110,47 @@ object BpeTrain {
     (mergesDf, vocab)
   }
 
+  /** WordPiece-style GREEDY longest-match-first segmentation over the
+    * BPE-learned piece vocab (letters + merged pieces) — the BERT
+    * tokenizer's strategy, vs [[tokenCounts]]'s merge-order encoding;
+    * the two genuinely differ (greedy grabs the longest piece at each
+    * position regardless of merge rank). Segmentation runs on the
+    * DISTINCT-WORD table only and joins back to the corpus, so the
+    * sequential per-word loop touches vocab-cardinality rows. The
+    * piece set is a driver-side Set captured by a compiled UDF (the
+    * HOF-Column form of a data-dependent loop stalls Catalyst —
+    * winnowing lesson, DEVNOTES round 6). Greedy always consumes ≥1
+    * char because every letter is in the vocab.
+    * Emits (idCol, wp_tokens, n_words) per doc.
+    */
+  def wordpieceTokenCounts(docs: DataFrame, idCol: String,
+      textCol: String, nMerges: Int): DataFrame = {
+    val merges = trainMerges(docs, textCol, nMerges).collect()
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).map(_.toString)
+    val pieces: Set[String] = letters.toSet ++
+      merges.map(r => r.getString(1) + r.getString(2))
+    val maxLen = pieces.map(_.length).max
+    val nTok = udf { (word: String) =>
+      var i = 0
+      var n = 0L
+      while (i < word.length) {
+        var l = math.min(maxLen, word.length - i)
+        while (l > 1 && !pieces.contains(word.substring(i, i + l))) l -= 1
+        i += l
+        n += 1
+      }
+      n
+    }
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word0"))
+      .filter(col("word0").rlike("^[A-Za-z]+$"))
+    val counted = words.select(col("word0")).distinct()
+      .withColumn("wtok", nTok(col("word0")))
+    words.join(counted, Seq("word0"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wtok")).as("wp_tokens"), count(lit(1)).as("n_words"))
+  }
+
   /** Per-doc token counts under the learned merges: with 1-char
     * symbols the token count of a word is simply its encoded length.
     */

@@ -59,6 +59,22 @@ class BpeTrainSpec extends SparkSpec {
     counts(3) shouldBe ((3L, 12L, 3L))  // 3 * widest
   }
 
+  test("wordpieceTokenCounts: greedy longest-match over the learned vocab") {
+    // vocab after 4 merges: letters + {es, est, lo, low}
+    val withExtra = docs.union(Seq((4L, "lowest lowest")).toDF("doc_id", "text"))
+    val counts = graft.operators.BpeTrain
+      .wordpieceTokenCounts(withExtra, "doc_id", "text", 4)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    // greedy: low->1; lower->low,e,r=3; newest->n,e,w,est=4;
+    // widest->w,i,d,est=4; lowest->low,est=2
+    counts(0) shouldBe ((0L, 5L, 5L))
+    counts(1) shouldBe ((1L, 6L, 2L))
+    counts(2) shouldBe ((2L, 24L, 6L))
+    counts(3) shouldBe ((3L, 12L, 3L))
+    counts(4) shouldBe ((4L, 4L, 2L))
+  }
+
   test("non-letter tokens are excluded from training") {
     val d = Seq((0L, "ab ab 12 a|b ab")).toDF("doc_id", "text")
     val merges = BpeTrain.trainMerges(d, "text", 1)
