@@ -3010,7 +3010,17 @@ object SparkEntry {
     "q_wordpiece_tokens" -> ((s, dir) =>
       operators.BpeTrain.wordpieceTokenCounts(Tables.documents(s, dir),
           "doc_id", "text", 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- optimal (min-token) Viterbi segmentation over the same BPE
+    //      vocab — the DP objective unigram tokenizers optimize; the
+    //      greedy/optimal delta is the tokenizer-quality signal
+    "q_tokenize_optimal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.BpeTrain.optimalTokenCounts(docs, "doc_id", "text",
+          operators.BpeTrain.pieceVocab(docs, "text", 8))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
@@ -7329,6 +7339,38 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(sum(w.ntok) AS BIGINT) AS wp_tokens,
         |  count(*) AS n_words
         |FROM docw d JOIN wp w USING (word0)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // min-token DP unrolled over positions (same rationale as the
+    // q_wordpiece_tokens unroll): d_k carries dp costs for prefixes of
+    // length <= k; cost(k) = min over pieces ending at k
+    "q_tokenize_optimal" -> (bpeCtesSql(8) +
+      """,
+        |pieces AS MATERIALIZED (SELECT ex AS piece FROM exp8),
+        |d0 AS MATERIALIZED (SELECT word0, 0 AS pos, 0 AS cost FROM w0),
+        |""".stripMargin +
+      (1 to 24).map(k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT * FROM d${k - 1} UNION ALL
+           |  SELECT w.word0, $k,
+           |    (SELECT min(d.cost + 1) FROM d${k - 1} d, pieces p
+           |     WHERE d.word0 = w.word0
+           |       AND d.pos = $k - length(p.piece)
+           |       AND substr(w.word0, d.pos + 1, length(p.piece))
+           |           = p.piece)
+           |  FROM w0 w WHERE length(w.word0) >= $k)""".stripMargin)
+        .mkString(",\n") +
+      """,
+        |opt AS (
+        |  SELECT word0, cost AS ntok FROM d24
+        |  WHERE pos = length(word0)),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+'))
+        |    AS word0
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(sum(w.ntok) AS BIGINT) AS opt_tokens,
+        |  count(*) AS n_words
+        |FROM docw d JOIN opt w USING (word0)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
   )
 

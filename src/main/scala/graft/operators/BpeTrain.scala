@@ -151,6 +151,54 @@ object BpeTrain {
       .agg(sum(col("wtok")).as("wp_tokens"), count(lit(1)).as("n_words"))
   }
 
+  /** The learned piece vocabulary: all letters plus each merge's
+    * concatenated expansion. */
+  def pieceVocab(docs: DataFrame, textCol: String, nMerges: Int)
+      : Set[String] = {
+    val merges = trainMerges(docs, textCol, nMerges).collect()
+    (('a' to 'z') ++ ('A' to 'Z')).map(_.toString).toSet ++
+      merges.map(r => r.getString(1) + r.getString(2))
+  }
+
+  /** OPTIMAL (minimum-token) segmentation over an explicit piece
+    * vocab — the Viterbi/DP objective unigram tokenizers optimize,
+    * and the yardstick greedy WordPiece is measured against (greedy
+    * is suboptimal whenever a long early piece blocks a better split,
+    * e.g. pieces {ab,bcd}: greedy ab|c|d = 3, optimal a|bcd = 2).
+    * dp[i] = min over pieces ending at i of dp[i-|p|]+1; same
+    * distinct-word discipline as the greedy path.
+    * Emits (idCol, opt_tokens, n_words).
+    */
+  def optimalTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Set[String]): DataFrame = {
+    val maxLen = pieces.map(_.length).max
+    val minTok = udf { (word: String) =>
+      val n = word.length
+      val dp = Array.fill(n + 1)(Int.MaxValue / 2)
+      dp(0) = 0
+      var i = 1
+      while (i <= n) {
+        var l = 1
+        while (l <= math.min(maxLen, i)) {
+          if (dp(i - l) + 1 < dp(i) &&
+              pieces.contains(word.substring(i - l, i)))
+            dp(i) = dp(i - l) + 1
+          l += 1
+        }
+        i += 1
+      }
+      dp(n).toLong
+    }
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word0"))
+      .filter(col("word0").rlike("^[A-Za-z]+$"))
+    val counted = words.select(col("word0")).distinct()
+      .withColumn("wtok", minTok(col("word0")))
+    words.join(counted, Seq("word0"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wtok")).as("opt_tokens"), count(lit(1)).as("n_words"))
+  }
+
   /** Per-doc token counts under the learned merges: with 1-char
     * symbols the token count of a word is simply its encoded length.
     */

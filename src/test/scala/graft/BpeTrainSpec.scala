@@ -75,6 +75,31 @@ class BpeTrainSpec extends SparkSpec {
     counts(4) shouldBe ((4L, 4L, 2L))
   }
 
+  test("optimalTokenCounts beats greedy on the classic trap vocab") {
+    val letters = ('a' to 'z').map(_.toString).toSet
+    val pieces = letters ++ Set("ab", "bcd")
+    val d = Seq((0L, "abcd abcd")).toDF("doc_id", "text")
+    val opt = graft.operators.BpeTrain
+      .optimalTokenCounts(d, "doc_id", "text", pieces)
+      .as[(Long, Long, Long)].head()
+    // optimal: a|bcd = 2 per word; greedy would take ab|c|d = 3
+    opt shouldBe ((0L, 4L, 2L))
+  }
+
+  test("optimal never exceeds greedy over the learned vocab") {
+    val opt = graft.operators.BpeTrain
+      .optimalTokenCounts(docs, "doc_id", "text",
+        graft.operators.BpeTrain.pieceVocab(docs, "text", 4))
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect()
+    val greedy = graft.operators.BpeTrain
+      .wordpieceTokenCounts(docs, "doc_id", "text", 4)
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect()
+    opt.zip(greedy).foreach { case (o, g) =>
+      o._1 shouldBe g._1
+      o._2 should be <= g._2
+    }
+  }
+
   test("non-letter tokens are excluded from training") {
     val d = Seq((0L, "ab ab 12 a|b ab")).toDF("doc_id", "text")
     val merges = BpeTrain.trainMerges(d, "text", 1)
