@@ -3020,6 +3020,31 @@ object SparkEntry {
       operators.BpeTrain.optimalTokenCounts(docs, "doc_id", "text",
           operators.BpeTrain.pieceVocab(docs, "text", 8))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- approx_percentile cross-check (same contract as
+    //      q_sketch_hll): the mergeable quantile sketch is
+    //      hard-asserted within 1% of exact per group; the RETURNED
+    //      rows are the exact percentiles (sketch internals are
+    //      engine-specific, the tolerance is the testable claim)
+    "q_approx_quantile" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+      val exact = base.groupBy(col("l_returnflag"))
+        .agg(percentile(col("c"), lit(0.5)).as("p50"),
+          percentile(col("c"), lit(0.9)).as("p90"))
+      val approx = base.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(c, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(c, 0.9, 10000)").as("a90"))
+      exact.join(approx, "l_returnflag").collect().foreach { r =>
+        Seq(("p50", "a50"), ("p90", "a90")).foreach { case (e, a) =>
+          val (ev, av) = (r.getAs[Double](e), r.getAs[Long](a).toDouble)
+          if (math.abs(av - ev) / ev > 0.01)
+            throw new IllegalStateException(
+              s"approx_percentile off >1%: $e=$ev $a=$av")
+        }
+      }
+      exact.orderBy(col("l_returnflag"))
     })
   )
 
@@ -7371,7 +7396,15 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(sum(w.ntok) AS BIGINT) AS opt_tokens,
         |  count(*) AS n_words
         |FROM docw d JOIN opt w USING (word0)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
+        |    0.5) AS p50,
+        |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
+        |    0.9) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i
