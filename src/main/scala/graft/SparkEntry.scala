@@ -3045,6 +3045,30 @@ object SparkEntry {
         }
       }
       exact.orderBy(col("l_returnflag"))
+    }),
+
+    // ---- classifier calibration curve (reliability diagram): scores
+    //      from the integer perceptron cut into equi-depth deciles
+    //      (rank tie-break doc_id), per-bin observed positive rate in
+    //      integer micro — the "does score X mean P(quality)?" readout
+    //      a filtering threshold is chosen from
+    "q_calibration" -> ((s, dir) => {
+      val scored = operators.QualityClassifier.classify(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L),
+          dims = 8, rounds = 3)
+        .select(col("doc_id"), col("y"), col("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      scored.withColumn("bin", ntile(10).over(w))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+          min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 1000000 DIV n").as("pos_rate_micro"),
+          col("score_lo"), col("score_hi"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -3204,6 +3228,53 @@ object SparkEntry {
       s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
       s"cos(radians($lat1)) * cos(radians($lat2)) * " +
       s"pow(sin(radians($lon2 - $lon1) / 2), 2)))"
+
+  /** Shared perceptron CTE chain (features, labels in `lab`, three
+    * update rounds, per-doc margin in `m4`) — reused by
+    * q_quality_classifier and q_calibration. */
+  private val classifierChainSql: String =
+      s"""$toksSql,
+         |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |fx AS (
+         |  SELECT doc_id,
+         |    CAST(1 + CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 8
+         |      AS INTEGER) AS d,
+         |    CAST(count(*) AS BIGINT) AS xv
+         |  FROM occ GROUP BY 1, 2),
+         |feat AS (
+         |  SELECT doc_id, d, xv FROM fx
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS d, CAST(1 AS BIGINT) AS xv FROM documents),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM documents),
+         |w1 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS wv
+         |  FROM feat JOIN lab USING (doc_id) GROUP BY d),
+         |m2 AS (
+         |  SELECT f.doc_id, CAST(sum(w1.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w1 USING (d) GROUP BY 1),
+         |g2 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
+         |  FROM feat JOIN lab USING (doc_id) JOIN m2 USING (doc_id)
+         |  WHERE y * margin <= 0 GROUP BY d),
+         |w2 AS (
+         |  SELECT w1.d, w1.wv + coalesce(g2.gv, 0) AS wv
+         |  FROM w1 LEFT JOIN g2 USING (d)),
+         |m3 AS (
+         |  SELECT f.doc_id, CAST(sum(w2.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w2 USING (d) GROUP BY 1),
+         |g3 AS (
+         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
+         |  FROM feat JOIN lab USING (doc_id) JOIN m3 USING (doc_id)
+         |  WHERE y * margin <= 0 GROUP BY d),
+         |w3 AS (
+         |  SELECT w2.d, w2.wv + coalesce(g3.gv, 0) AS wv
+         |  FROM w2 LEFT JOIN g3 USING (d)),
+         |m4 AS (
+         |  SELECT f.doc_id, CAST(sum(w3.wv * f.xv) AS BIGINT) AS margin
+         |  FROM feat f JOIN w3 USING (d) GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_scan" ->
@@ -4869,48 +4940,7 @@ object SparkEntry {
     // misclassified), each round adds the exact integer gradient over
     // docs with y·margin <= 0; 3 rounds, dims 8 + bias at d = 0.
     "q_quality_classifier" ->
-      s"""WITH $toksSql,
-         |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |fx AS (
-         |  SELECT doc_id,
-         |    CAST(1 + CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 8
-         |      AS INTEGER) AS d,
-         |    CAST(count(*) AS BIGINT) AS xv
-         |  FROM occ GROUP BY 1, 2),
-         |feat AS (
-         |  SELECT doc_id, d, xv FROM fx
-         |  UNION ALL
-         |  SELECT doc_id, 0 AS d, CAST(1 AS BIGINT) AS xv FROM documents),
-         |lab AS (
-         |  SELECT doc_id,
-         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
-         |  FROM documents),
-         |w1 AS (
-         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS wv
-         |  FROM feat JOIN lab USING (doc_id) GROUP BY d),
-         |m2 AS (
-         |  SELECT f.doc_id, CAST(sum(w1.wv * f.xv) AS BIGINT) AS margin
-         |  FROM feat f JOIN w1 USING (d) GROUP BY 1),
-         |g2 AS (
-         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
-         |  FROM feat JOIN lab USING (doc_id) JOIN m2 USING (doc_id)
-         |  WHERE y * margin <= 0 GROUP BY d),
-         |w2 AS (
-         |  SELECT w1.d, w1.wv + coalesce(g2.gv, 0) AS wv
-         |  FROM w1 LEFT JOIN g2 USING (d)),
-         |m3 AS (
-         |  SELECT f.doc_id, CAST(sum(w2.wv * f.xv) AS BIGINT) AS margin
-         |  FROM feat f JOIN w2 USING (d) GROUP BY 1),
-         |g3 AS (
-         |  SELECT d, CAST(sum(y * xv) AS BIGINT) AS gv
-         |  FROM feat JOIN lab USING (doc_id) JOIN m3 USING (doc_id)
-         |  WHERE y * margin <= 0 GROUP BY d),
-         |w3 AS (
-         |  SELECT w2.d, w2.wv + coalesce(g3.gv, 0) AS wv
-         |  FROM w2 LEFT JOIN g3 USING (d)),
-         |m4 AS (
-         |  SELECT f.doc_id, CAST(sum(w3.wv * f.xv) AS BIGINT) AS margin
-         |  FROM feat f JOIN w3 USING (d) GROUP BY 1)
+      s"""WITH $classifierChainSql
          |SELECT lab.doc_id, lab.y, m4.margin AS score,
          |  CAST(CASE WHEN m4.margin > 0 THEN 1 ELSE -1 END AS BIGINT)
          |    AS predicted,
@@ -7404,7 +7434,23 @@ object SparkEntry {
         |    0.5) AS p50,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.9) AS p90
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_calibration" ->
+      s"""WITH $classifierChainSql,
+         |scored AS (
+         |  SELECT lab.doc_id, lab.y, m4.margin AS score
+         |  FROM lab JOIN m4 USING (doc_id)),
+         |binned AS (
+         |  SELECT y, score,
+         |    ntile(10) OVER (ORDER BY score, doc_id) AS bin
+         |  FROM scored)
+         |SELECT bin, count(*) AS n,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS pos_rate_micro,
+         |  min(score) AS score_lo, max(score) AS score_hi
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i
