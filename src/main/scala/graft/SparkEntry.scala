@@ -3069,6 +3069,42 @@ object SparkEntry {
           expr("pos * 1000000 DIV n").as("pos_rate_micro"),
           col("score_lo"), col("score_hi"))
         .orderBy(col("bin"))
+    }),
+
+    // ---- SQL-side function registry (functions.Registry): the VP /
+    //      st_* scalar family installed as SQL-BODIED temp functions
+    //      (parsed into the same Catalyst exprs as the Column API — no
+    //      closure-UDF optimization barrier); exercised end-to-end
+    //      through spark.sql over temp views
+    "q_sql_registry" -> ((s, dir) => {
+      functions.Registry.install(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH t AS (
+          SELECT lang,
+            graft_merge_sets(
+              graft_hashtags(concat(text, ' #t',
+                CAST(doc_id % 3 AS STRING))),
+              graft_split_values('alpha;beta')) AS tags
+          FROM documents_v),
+        e AS (
+          SELECT
+            CAST(count(DISTINCT graft_day_key(ts)) AS BIGINT)
+              AS n_day_keys,
+            CAST(sum(CASE WHEN graft_ts_to_seq(graft_seq_to_ts(event_id))
+                            = event_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS seq_roundtrip_ok,
+            CAST(sum(CAST(floor(st_distance_sphere(0.0D, 0.0D,
+                CAST(user_id % 90 AS DOUBLE), 45.0D) * 100.0D)
+              AS BIGINT)) AS BIGINT) AS dist_cm_sum
+          FROM events_v)
+        SELECT lang, count(*) AS n,
+          CAST(sum(size(tags)) AS BIGINT) AS tag_slots,
+          (SELECT n_day_keys FROM e) AS n_day_keys,
+          (SELECT seq_roundtrip_ok FROM e) AS seq_roundtrip_ok,
+          (SELECT dist_cm_sum FROM e) AS dist_cm_sum
+        FROM t GROUP BY lang ORDER BY lang""")
     })
   )
 
@@ -7450,7 +7486,31 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    * 1000000 // count(*) AS pos_rate_micro,
          |  min(score) AS score_lo, max(score) AS score_hi
-         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_sql_registry" ->
+      (s"""WITH t AS (
+         |  SELECT lang,
+         |    len(list_distinct(list_concat(
+         |      regexp_extract_all(lower(text || ' #t' ||
+         |        CAST(doc_id % 3 AS VARCHAR)), '#(\\w+)', 1),
+         |      ['alpha', 'beta']))) AS sz
+         |  FROM documents),
+         |e AS (
+         |  SELECT
+         |    CAST(count(DISTINCT year(ts) * 1000 + dayofyear(ts))
+         |      AS BIGINT) AS n_day_keys,
+         |    CAST(count(*) AS BIGINT) AS seq_roundtrip_ok,
+         |    CAST(sum(CAST(floor((""".stripMargin +
+        haversineSql("0.0", "0.0", "CAST(user_id % 90 AS DOUBLE)", "45.0") +
+        """) * 100.0) AS BIGINT)) AS BIGINT) AS dist_cm_sum
+          |  FROM events)
+          |SELECT lang, count(*) AS n,
+          |  CAST(sum(sz) AS BIGINT) AS tag_slots,
+          |  (SELECT n_day_keys FROM e) AS n_day_keys,
+          |  (SELECT seq_roundtrip_ok FROM e) AS seq_roundtrip_ok,
+          |  (SELECT dist_cm_sum FROM e) AS dist_cm_sum
+          |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
   )
 
   /** Chained-CTE DuckDB mirror of [[operators.BpeTrain]]: round i

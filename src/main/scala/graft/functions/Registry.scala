@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-side function registry (SURVEY §2.11): the engine's scalar
+  * family installed as SQL-bodied temporary functions, so `spark.sql`
+  * users get the same surface the Column API exposes — the analog of
+  * the reference's `withJTS` + vectorpipe UDF registration
+  * (reference analytics/.../Analytics.scala:27,
+  * stats/functions/package.scala:12-36).
+  *
+  * SQL UDFs (`CREATE FUNCTION ... RETURN <expr>`) rather than Scala
+  * closures: the body is parsed into the SAME Catalyst expressions as
+  * the Column API (codegen, pushdown, constant folding all apply) —
+  * a closure UDF would be an optimization barrier at every call site.
+  * Each body mirrors its Column twin in graft.functions / geo.Geodesy
+  * operation-for-operation (float discipline: st_distance_sphere must
+  * stay bit-identical to Geodesy.haversineMeters).
+  */
+object Registry {
+
+  val definitions: Seq[String] = Seq(
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_hashtags(s STRING)
+      |RETURNS ARRAY<STRING>
+      |RETURN regexp_extract_all(lower(s), '#(\\w+)', 1)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_merge_sets(
+      |  a ARRAY<STRING>, b ARRAY<STRING>)
+      |RETURNS ARRAY<STRING>
+      |RETURN array_union(coalesce(a, array()), coalesce(b, array()))""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_split_values(s STRING)
+      |RETURNS ARRAY<STRING>
+      |RETURN transform(split(s, ';'), v -> trim(v))""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_day_key(t TIMESTAMP)
+      |RETURNS INT
+      |RETURN year(t) * 1000 + dayofyear(t)""".stripMargin,
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_seq_to_ts(seq BIGINT)
+       |RETURNS TIMESTAMP
+       |RETURN timestamp_seconds(${SequenceEpochSeconds} + seq * 60)""".stripMargin,
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_ts_to_seq(t TIMESTAMP)
+       |RETURNS BIGINT
+       |RETURN CAST(floor((unix_timestamp(t) - ${SequenceEpochSeconds})
+       |  / 60) AS BIGINT)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_distance_sphere(
+      |  lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)
+      |RETURNS DOUBLE
+      |RETURN 2.0 * 6371008.8 * asin(sqrt(
+      |  pow(sin(radians(lat2 - lat1) / 2), 2) +
+      |  cos(radians(lat1)) * cos(radians(lat2)) *
+      |  pow(sin(radians(lon2 - lon1) / 2), 2)))""".stripMargin)
+
+  def install(spark: SparkSession): Unit =
+    definitions.foreach(spark.sql(_))
+}

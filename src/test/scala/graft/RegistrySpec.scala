@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Registry
+
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL-bodied functions equal their Column twins bit-for-bit") {
+    Registry.install(spark)
+    val d = Seq(
+      ("Check #Spark and #catalyst_2 out", 12.5, -33.2, 151.2, 40.7),
+      ("no tags here", -1.0, 2.0, 3.0, 4.0)
+    ).toDF("s", "lon1", "lat1", "lon2", "lat2")
+    d.createOrReplaceTempView("reg_v")
+
+    val viaSql = spark.sql(
+      """SELECT graft_hashtags(s) AS tags,
+        |  st_distance_sphere(lon1, lat1, lon2, lat2) AS dist
+        |FROM reg_v""".stripMargin)
+      .as[(Seq[String], Double)].collect()
+    val viaCol = d.select(
+        graft.functions.hashtags(col("s")).as("tags"),
+        geo.Geodesy.haversineMeters(col("lon1"), col("lat1"),
+          col("lon2"), col("lat2")).as("dist"))
+      .as[(Seq[String], Double)].collect()
+    viaSql shouldBe viaCol
+    viaSql(0)._1 shouldBe Seq("spark", "catalyst_2")
+  }
+
+  test("sequence/timestamp SQL functions invert each other") {
+    Registry.install(spark)
+    val bad = spark.sql(
+      """SELECT count(*) FROM (SELECT id FROM range(0, 5000)
+        |WHERE graft_ts_to_seq(graft_seq_to_ts(id)) <> id)""".stripMargin)
+      .as[Long].head()
+    bad shouldBe 0L
+  }
+
+  test("merge_sets and split_values compose null-safely in SQL") {
+    Registry.install(spark)
+    val r = spark.sql(
+      """SELECT graft_merge_sets(NULL, graft_split_values('a; b;c'))""")
+      .as[Seq[String]].head()
+    r shouldBe Seq("a", "b", "c")
+  }
+}
