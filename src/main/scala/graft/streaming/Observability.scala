@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming ops surface: per-batch progress capture + in-plan
+  * observed metrics — the monitoring half of running the reference's
+  * streaming apps in production (sequences/sec against the ≥1-per-
+  * minute floor, watermark lag, state growth; BASELINE.md row 1).
+  *
+  * [[ProgressLog]] is a [[StreamingQueryListener]] that keeps a
+  * bounded in-memory log of (query, batch, rows, rows/sec, watermark,
+  * state rows) — queryable as a DataFrame for dashboards or asserted
+  * in tests. [[observedCounts]] rides Spark's `observe` API: the
+  * metrics are computed INSIDE the query plan (no second pass, no
+  * extra action), surfaced through the listener's progress events.
+  */
+object Observability {
+
+  final case class BatchProgress(queryName: String, batchId: Long,
+      numInputRows: Long, inputRowsPerSecond: Double,
+      watermark: String, stateRows: Long)
+
+  final class ProgressLog(maxEntries: Int = 1024)
+      extends StreamingQueryListener {
+    private val buf = new ConcurrentLinkedQueue[BatchProgress]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val state = p.stateOperators
+      buf.add(BatchProgress(
+        Option(p.name).getOrElse(p.id.toString), p.batchId,
+        p.numInputRows, p.inputRowsPerSecond,
+        Option(p.eventTime.get("watermark")).getOrElse(""),
+        if (state.isEmpty) 0L else state.map(_.numRowsTotal).sum))
+      while (buf.size > maxEntries) buf.poll()
+    }
+
+    def entries: Seq[BatchProgress] = buf.asScala.toSeq
+
+    def snapshot(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      entries.toDF()
+    }
+  }
+
+  /** Register a progress log on the session (remove with
+    * `spark.streams.removeListener`). */
+  def install(spark: SparkSession, maxEntries: Int = 1024): ProgressLog = {
+    val log = new ProgressLog(maxEntries)
+    spark.streams.addListener(log)
+    log
+  }
+
+  /** Attach in-plan observed metrics to a (streaming or batch)
+    * DataFrame: row count plus min/max of an event-time column.
+    * Values arrive per batch in `progress.observedMetrics(name)`. */
+  def observedCounts(df: DataFrame, name: String,
+      eventTimeCol: String): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"),
+      min(col(eventTimeCol)).as("min_event_time"),
+      max(col(eventTimeCol)).as("max_event_time"))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Observability
+
+class ObservabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ProgressLog captures per-batch rows, state size, and watermark") {
+    val log = Observability.install(spark)
+    try {
+      val mem = MemoryStream[(Long, Long)](spark)
+      val agg = Observability.observedCounts(
+          mem.toDF().toDF("k", "ts_us")
+            .withColumn("ts", timestamp_micros(col("ts_us"))),
+          "obs_in", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("k"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("noop")
+        .outputMode("update")
+        .queryName("obs_q")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-obs").toString)
+        .start()
+      try {
+        mem.addData((1L, 1000000L), (1L, 2000000L), (2L, 3000000L))
+        q.processAllAvailable()
+        mem.addData((1L, 7200000000L)) // 2h -> advances watermark
+        q.processAllAvailable()
+      } finally q.stop()
+      val entries = log.entries.filter(_.queryName == "obs_q")
+      entries.map(_.numInputRows).sum shouldBe 4L
+      entries.map(_.stateRows).max should be >= 3L
+      // watermark advanced past epoch once the 2h event was processed
+      entries.last.watermark should not be ""
+      val snap = log.snapshot(spark)
+      snap.count() shouldBe entries.length.toLong
+    } finally spark.streams.removeListener(log)
+  }
+}
