@@ -398,6 +398,47 @@ object ScaleProbe {
       f"merges=$nMerges train_sec=$tBpe%.1f | skipping 6M rows: " +
       f"files=$nFilesAll manifest_sec=$tMan%.1f kept=${keptF.length} " +
       f"pruned_read n=$nPruned sec=$tPruned%.1f full_scan sec=$tFull%.1f")
+
+    // round 11d: (g) MERGE INTO at 1.5M target rows / 150k-row source
+    //     delta: one full-outer shuffle of each side on the key.
+    val ord = Tables.orders(spark, sfDir)
+    val tgt = ord.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("o_orderkey") * 10 + col("rep")).as("k"),
+        col("o_custkey"), col("o_totalprice"))
+    val srcDelta = tgt.filter(col("k") % 10 === 0)
+      .select(col("k"), col("o_custkey"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"))
+    t0 = System.nanoTime()
+    val nMerged = operators.Merge.mergeInto(tgt, srcDelta, "k",
+      updateOnMatch = Seq(
+        "o_totalprice" -> operators.Merge.src("o_totalprice"))).count()
+    val tMerge = (System.nanoTime() - t0) / 1e9
+    // (h) incremental join maintenance at the same scale: three
+    //     broadcast delta joins vs rejoining history.
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val oBase = tgt.filter(col("k") % 10 =!= 0)
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val oDelta = tgt.filter(col("k") % 10 === 0)
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val mat = oBase.join(cust, "c_custkey").localCheckpoint()
+    t0 = System.nanoTime()
+    val nIvm = operators.Incremental.joinDelta(mat, oBase, oDelta,
+      cust, cust.limit(0), "c_custkey").count()
+    val tIvm = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nFullJoin = oBase.unionByName(oDelta).join(cust, "c_custkey").count()
+    val tFullJoin = (System.nanoTime() - t0) / 1e9
+    // (i) table checksum over 6M rows: map-side-combinable bit_xor.
+    t0 = System.nanoTime()
+    val ck = operators.Checks.tableChecksum(
+      li.crossJoin(spark.range(10)),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("id"))).collect()
+    val tCk = (System.nanoTime() - t0) / 1e9
+    println(f"r11d merge 1.5M n=$nMerged sec=$tMerge%.1f | " +
+      f"ivm n=$nIvm sec=$tIvm%.1f vs full-rejoin n=$nFullJoin " +
+      f"sec=$tFullJoin%.1f | checksum 6M rows n=${ck(0).getLong(1)} " +
+      f"sec=$tCk%.1f")
     spark.stop()
   }
 }
