@@ -2199,18 +2199,24 @@ object SparkEntry {
     // ground truth for spatial-ANN recall): broadcast sample x corpus,
     // per-query top-3 by haversine with id tie-break
     "q_spatial_knn" -> ((s, dir) => {
+      // per-POINT cos(lat) hoisted before the crossJoin
+      // (haversineWithCos): same float op tree on the same values as
+      // haversineMeters — bit-identical, one cos per point instead of
+      // two per candidate pair
       val pts = Tables.events(s, dir).select(col("event_id").as("pid"),
-        synthLon(col("event_id")).as("lon"),
-        synthLat(col("event_id")).as("lat"))
+          synthLon(col("event_id")).as("lon"),
+          synthLat(col("event_id")).as("lat"))
+        .withColumn("coslat", cos(radians(col("lat"))))
       val queries = pts.filter(col("pid") % 2000 === 0)
         .select(col("pid").as("qid"), col("lon").as("qlon"),
-          col("lat").as("qlat"))
+          col("lat").as("qlat"), col("coslat").as("qcoslat"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("dist_cm"), col("pid"))
       pts.crossJoin(broadcast(queries))
         .filter(col("pid") =!= col("qid"))
-        .withColumn("dist_cm", floor(geo.Geodesy.haversineMeters(
-          col("qlon"), col("qlat"), col("lon"), col("lat")) * lit(100.0)
+        .withColumn("dist_cm", floor(geo.Geodesy.haversineWithCos(
+          col("qlon"), col("qlat"), col("qcoslat"),
+          col("lon"), col("lat"), col("coslat")) * lit(100.0)
           + lit(0.5)).cast("long"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
