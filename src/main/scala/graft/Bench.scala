@@ -42,7 +42,11 @@ object Bench {
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid
+    // JSON ("1,234") through f-interpolation
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(v))
     // The driver records only the LAST 2000 chars of this process's
     // output (BENCH_r*.json "tail"), and sbt appends a ~90-char
     // "[success] Total time" footer after our line. A full 200-query

@@ -356,7 +356,7 @@ object ScaleProbe {
     println(f"r11b asof 1M rows: native n=$nNative sec=$tNative%.1f | " +
       f"composed n=$nComposed sec=$tComposed%.1f")
 
-    // round 11c: (e) BPE training at 50x docs (25k docs): after the
+    // round 11c: (e) BPE training at 5x docs (25k docs at sf0.1): after the
     //     single word-frequency shuffle, each of the 8 merge rounds
     //     runs on the vocab table only — per-round cost must be flat
     //     in corpus size (the vocab here is tiny, so rounds are

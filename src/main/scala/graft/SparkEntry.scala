@@ -3013,16 +3013,19 @@ object SparkEntry {
     //      learned vocab (BpeTrain.wordpieceTokenCounts): segments the
     //      distinct-word table only; oracle replays the greedy loop as
     //      a recursive CTE over the same exp8 piece set
-    "q_wordpiece_tokens" -> ((s, dir) =>
+    "q_wordpiece_tokens" -> ((s, dir) => {
+      assertMaxWordLen(Tables.documents(s, dir), 24)
       operators.BpeTrain.wordpieceTokenCounts(Tables.documents(s, dir),
           "doc_id", "text", 8)
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- optimal (min-token) Viterbi segmentation over the same BPE
     //      vocab — the DP objective unigram tokenizers optimize; the
     //      greedy/optimal delta is the tokenizer-quality signal
     "q_tokenize_optimal" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      assertMaxWordLen(docs, 24)
       operators.BpeTrain.optimalTokenCounts(docs, "doc_id", "text",
           operators.BpeTrain.pieceVocab(docs, "text", 8))
         .orderBy(col("doc_id"))
@@ -3113,6 +3116,21 @@ object SparkEntry {
         FROM t GROUP BY lang ORDER BY lang""")
     })
   )
+
+  /** The tokenizer oracles unroll their per-word loops to a FIXED 24
+    * steps (greedy/DP consume >=1 letter per step); a corpus word
+    * longer than that would be silently dropped by the oracle while
+    * the Spark UDF counts it — turn that silent divergence into a
+    * loud failure. */
+  private def assertMaxWordLen(docs: DataFrame, cap: Int): Unit = {
+    val maxW = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[A-Za-z]+$"))
+      .agg(max(length(col("w"))).as("m")).head().getInt(0)
+    if (maxW > cap)
+      throw new IllegalStateException(
+        s"corpus word length $maxW exceeds the $cap-step oracle unroll")
+  }
 
   /** Deterministic dirty-URL corpus derived from `documents`: mixed
     * case, three suffix families (one multi-part: co.uk), trailing

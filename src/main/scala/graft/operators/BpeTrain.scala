@@ -125,10 +125,7 @@ object BpeTrain {
     */
   def wordpieceTokenCounts(docs: DataFrame, idCol: String,
       textCol: String, nMerges: Int): DataFrame = {
-    val merges = trainMerges(docs, textCol, nMerges).collect()
-    val letters = (('a' to 'z') ++ ('A' to 'Z')).map(_.toString)
-    val pieces: Set[String] = letters.toSet ++
-      merges.map(r => r.getString(1) + r.getString(2))
+    val pieces = pieceVocab(docs, textCol, nMerges)
     val maxLen = pieces.map(_.length).max
     val nTok = udf { (word: String) =>
       var i = 0

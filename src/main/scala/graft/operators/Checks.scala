@@ -66,8 +66,13 @@ object Checks {
     * across engines, integers do not. */
   def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     val fp = expr("bit_xor(fp)")
+    // NULLs render as an explicit U+0002 sentinel: concat_ws silently
+    // SKIPS nulls, which would make ("a",NULL,"b") and ("a","b",NULL)
+    // collide -- exactly the column-shift corruption the audit exists
+    // to catch. Oracle mirror: coalesce(CAST(x AS VARCHAR), chr(2)).
+    val rendered = cols.map(c => coalesce(c.cast("string"), lit("\u0002")))
     df.select(conv(substring(md5(
-          concat_ws("\u001f", cols.map(_.cast("string")): _*)), 1, 15),
+          concat_ws("\u001f", rendered: _*)), 1, 15),
         16, 10).cast("long").as("fp"))
       .agg(fp.as("checksum"), count(lit(1)).as("n"))
   }

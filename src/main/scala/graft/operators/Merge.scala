@@ -42,11 +42,15 @@ object Merge {
     val joined = target.join(prefixed,
       col(key) === col(SrcPrefix + key), "full_outer")
     val matched = col(key).isNotNull && col(SrcPrefix + key).isNotNull
-    val srcOnly = col(key).isNull
+    // a target row with a NULL key never joins; it must pass through,
+    // not be mistaken for a source-only INSERT row
+    val srcOnly = col(key).isNull && col(SrcPrefix + key).isNotNull
     val updates = updateOnMatch.toMap
     val out = joined
-      // WHEN MATCHED AND deleteCond THEN DELETE
-      .filter(!(matched && deleteOnMatch))
+      // WHEN MATCHED AND deleteCond THEN DELETE; SQL MERGE semantics:
+      // a NULL condition is NOT satisfied (falls through to update),
+      // so null-safe the condition before negating
+      .filter(!(matched && coalesce(deleteOnMatch, lit(false))))
       // drop source-only rows unless inserting
       .filter(if (insertOnNoMatch) lit(true) else !srcOnly)
     out.select(tCols.map { c =>

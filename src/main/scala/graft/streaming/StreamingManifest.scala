@@ -45,7 +45,16 @@ object StreamingManifest {
   def processBatch(t: Target)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val delta = StatsManifest.buildFrom(batch, col("__file"), t.statCols)
-    val merged = currentVersion(t.manifestPath) match {
+    // replay of the exact batch we last committed (crash between the
+    // pointer flip and the checkpoint commit): rebuild from the
+    // PREVIOUS snapshot — lazily reading v=batchId while overwriting
+    // it would corrupt the snapshot mid-write (same protocol as
+    // StreamingMv.processBatch)
+    val base = currentVersion(t.manifestPath) match {
+      case Some(v) if v == batchId => previousVersion(t.manifestPath, batchId)
+      case other => other
+    }
+    val merged = base match {
       case Some(v) =>
         spark.read.parquet(s"${t.manifestPath}/v=$v")
           .unionByName(delta)
@@ -61,6 +70,21 @@ object StreamingManifest {
     merged.write.mode("overwrite")
       .parquet(s"${t.manifestPath}/v=$batchId")
     flipPointer(t.manifestPath, batchId)
+  }
+
+  private def previousVersion(p: String, beforeId: Long): Option[Long] = {
+    val dir = Paths.get(p)
+    if (!Files.exists(dir)) return None
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.startsWith("v=")) {
+        val v = n.drop(2).toLong
+        if (v < beforeId) out += v
+      }
+    }
+    out.sorted.lastOption
   }
 
   private def flipPointer(p: String, v: Long): Unit = {

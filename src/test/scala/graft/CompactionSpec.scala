@@ -55,4 +55,21 @@ class CompactionSpec extends SparkSpec {
     tampered._2 shouldBe base._2
     tampered._1 should not be base._1
   }
+
+  test("tableChecksum distinguishes NULL column positions") {
+    // ("a", NULL, "b") vs ("a", "b", NULL): a naive concat_ws render
+    // skips NULLs and collides — the exact column-shift corruption the
+    // audit exists to catch
+    val d1 = Seq((Some("a"), Option.empty[String], Some("b")))
+      .toDF("x", "y", "z")
+    val d2 = Seq((Some("a"), Some("b"), Option.empty[String]))
+      .toDF("x", "y", "z")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Checks.tableChecksum(df,
+        Seq(col("x"), col("y"), col("z")))
+        .as[(Long, Long)].head()
+    ck(d1)._1 should not be ck(d2)._1
+    // and a NULL-bearing row still counts and fingerprints
+    ck(d1)._2 shouldBe 1L
+  }
 }

@@ -42,6 +42,34 @@ class MergeSpec extends SparkSpec {
     got(2)._3 shouldBe -1L
   }
 
+  test("NULL delete condition is NOT satisfied (SQL MERGE semantics)") {
+    val srcNull = Seq((2L, "b2", Option.empty[Long]))
+      .toDF("k", "name", "bal")
+    val got = Merge.mergeInto(target, srcNull, "k",
+        updateOnMatch = Seq("name" -> src("name")),
+        deleteOnMatch = src("bal") < 0)   // NULL < 0 => NULL, not TRUE
+      .orderBy(col("k")).as[(Long, String, Long)].collect().toSeq
+    // row 2 must be UPDATED, not deleted
+    got.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+    got(1)._2 shouldBe "b2"
+  }
+
+  test("a target row with a NULL merge key passes through unchanged") {
+    val t = Seq((Some(1L), "a", 10L), (None, "ghost", 77L))
+      .toDF("k", "name", "bal")
+    val got = Merge.mergeInto(t, source, "k",
+        updateOnMatch = Seq("bal" -> src("bal")))
+      .orderBy(col("name")).as[(Option[Long], String, Long)]
+      .collect().toSeq
+    got should contain ((None, "ghost", 77L))
+    // and with inserts disabled it is still retained
+    val noIns = Merge.mergeInto(t, source, "k",
+        updateOnMatch = Seq("bal" -> src("bal")),
+        insertOnNoMatch = false)
+      .as[(Option[Long], String, Long)].collect().toSeq
+    noIns should contain ((None, "ghost", 77L))
+  }
+
   test("merge is idempotent when updates are absolute") {
     val once = Merge.mergeInto(target, source, "k",
       updateOnMatch = Seq("bal" -> src("bal")))

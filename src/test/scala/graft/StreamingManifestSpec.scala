@@ -65,4 +65,22 @@ class StreamingManifestSpec extends SparkSpec {
     StreamingManifest.processBatch(t)(rows, 1L) // replayed content
     canon(StreamingManifest.readCurrent(spark, mani)) shouldBe v0
   }
+
+  test("replay of the SAME committed batchId rebuilds without self-read") {
+    // crash between pointer flip and checkpoint commit: foreachBatch
+    // re-delivers the same batchId; the fold must rebuild from the
+    // previous snapshot, never lazily read the v= path it overwrites
+    val mani = Files.createTempDirectory("graft-smani-s").toString
+    val t = Target(mani, Seq("k"))
+    val b0 = (0L until 50L).map(i => (i, "x"))
+      .toDF("k", "v").withColumn("__file", lit("fileA"))
+    val b1 = (100L until 150L).map(i => (i, "x"))
+      .toDF("k", "v").withColumn("__file", lit("fileB"))
+    StreamingManifest.processBatch(t)(b0, 0L)
+    StreamingManifest.processBatch(t)(b1, 1L)
+    val committed = canon(StreamingManifest.readCurrent(spark, mani))
+    StreamingManifest.processBatch(t)(b1, 1L) // same id, same data
+    StreamingManifest.currentVersion(mani) shouldBe Some(1L)
+    canon(StreamingManifest.readCurrent(spark, mani)) shouldBe committed
+  }
 }
