@@ -3080,6 +3080,47 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ---- sliding 7-day distinct users per day: the window range-join
+    //      runs over the DAY-LEVEL distinct (day,user) table — the
+    //      raw event stream collapses once, then every window reuses
+    //      the same daily partials (never 7 rescans of the stream)
+    "q_sliding_dau" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      broadcast(days)
+        .join(du, col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .select(col("d").as("day"), col("users_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- time-bounded funnel: first view -> first click within 24h
+    //      of it -> first purchase within 7d of that click; per-user
+    //      firsts via three tiny aggregations, no event-level joins
+    "q_funnel_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v0 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v0"))
+      val c0 = e.filter(col("event_type") === "click")
+        .join(broadcast(v0), Seq("user_id"))
+        .filter(col("ts_us") >= col("v0") &&
+          col("ts_us") <= col("v0") + expr("86400000000"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
+      val p0 = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c0), Seq("user_id"))
+        .filter(col("ts_us") >= col("c0") &&
+          col("ts_us") <= col("c0") + expr("7 * 86400000000"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("p0"))
+      val s1 = v0.count(); val s2 = c0.count(); val s3 = p0.count()
+      val spark = s
+      import spark.implicits._
+      Seq((s1, s2, s3)).toDF("n_view", "n_click_24h", "n_purchase_7d")
+    }),
+
     // ---- SQL-side function registry (functions.Registry): the VP /
     //      st_* scalar family installed as SQL-BODIED temp functions
     //      (parsed into the same Catalyst exprs as the Column API — no
@@ -7495,6 +7536,38 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.9) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sliding_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d.d AS day,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+        |FROM days d JOIN du u ON u.day BETWEEN d.d - 6 AND d.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v0 AS (
+        |  SELECT user_id, min(ts_us) AS v0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c0 AS (
+        |  SELECT e.user_id, min(ts_us) AS c0
+        |  FROM e JOIN v0 USING (user_id)
+        |  WHERE event_type = 'click'
+        |    AND ts_us >= v0 AND ts_us <= v0 + 86400000000
+        |  GROUP BY 1),
+        |p0 AS (
+        |  SELECT e.user_id, min(ts_us) AS p0
+        |  FROM e JOIN c0 USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |    AND ts_us >= c0 AND ts_us <= c0 + 7 * 86400000000
+        |  GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v0) AS n_view,
+        |  (SELECT count(*) FROM c0) AS n_click_24h,
+        |  (SELECT count(*) FROM p0) AS n_purchase_7d""".stripMargin,
 
     "q_calibration" ->
       s"""WITH $classifierChainSql,
