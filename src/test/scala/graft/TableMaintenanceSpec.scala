@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.TableMaintenanceApp
+import graft.sources.StatsManifest
+
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maintenance compacts, preserves data, and keeps pruning effective") {
+    val src = Files.createTempDirectory("graft-maint-src").toString
+    val out = Files.createTempDirectory("graft-maint-out").toString
+    (0L until 2000L).map(i => (i, i % 17)).toDF("k", "g")
+      .repartitionByRange(20, col("k"))
+      .write.mode("overwrite").parquet(src)
+
+    val r = TableMaintenanceApp.run(spark, src, "k",
+      targetRows = 500L, outDir = out)
+    r.filesBefore shouldBe 20
+    r.filesAfter shouldBe 4          // 2000 rows / 500 target
+    r.rows shouldBe 2000L
+    r.keptAfterProbe shouldBe 1      // narrow range -> one file
+
+    // data identical to the source
+    val a = spark.read.parquet(s"$out/data")
+      .agg(sum(col("k")), sum(col("g")), count(lit(1))).head()
+    val b = spark.read.parquet(src)
+      .agg(sum(col("k")), sum(col("g")), count(lit(1))).head()
+    a shouldBe b
+
+    // the persisted manifest matches a fresh build over the new layout
+    val persisted = spark.read.parquet(s"$out/manifest")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val fresh = StatsManifest
+      .build(spark.read.parquet(s"$out/data"), Seq("k"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    persisted shouldBe fresh
+  }
+}
