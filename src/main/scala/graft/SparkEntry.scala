@@ -3080,6 +3080,50 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ---- Z-order layout + data skipping on BOTH dimensions: the
+    //      point of Morton interleave over a single-key sort — a
+    //      16-file z-clustered layout prunes >half the files for a
+    //      narrow range on EITHER column (hard-asserted for both)
+    "q_zorder_skipping" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zorder_lineitem").getAbsolutePath
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val mx = li.agg(max(col("l_partkey")).as("mp"),
+        max(col("l_suppkey")).as("ms")).head()
+      val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+      val z = operators.Scale.zorderKey(Seq(
+        expr(s"l_partkey * 65535 DIV $mp"),
+        expr(s"l_suppkey * 65535 DIV $ms")), 16)
+      // 64 files = 6 z-quantile bits ~ 3 bits per dimension: a narrow
+      // range on either column intersects only its few z-intervals
+      // (16 files = 2 bits/dim was too coarse — a one-quarter y-slice
+      // crossed half the files)
+      li.withColumn("zk", z).repartitionByRange(64, col("zk"))
+        .drop("zk").write.mode("overwrite").parquet(p)
+      val manifest = sources.StatsManifest
+        .build(s.read.parquet(p), Seq("l_partkey", "l_suppkey"))
+        .localCheckpoint()
+      val total = s.read.parquet(p).inputFiles.length
+      val keptX = sources.StatsManifest
+        .prunedFiles(manifest, "l_partkey", 100, 350)
+      val keptY = sources.StatsManifest
+        .prunedFiles(manifest, "l_suppkey", 10, 20)
+      if (keptX.length * 2 >= total || keptY.length * 2 >= total)
+        throw new IllegalStateException(
+          s"z-order skipping ineffective: x=${keptX.length} " +
+            s"y=${keptY.length} of $total files")
+      val sliceX = sources.StatsManifest
+        .readPruned(s, manifest, "l_partkey", 100, 350)
+        .agg(count(lit(1)).as("n_x"),
+          sum(cents(col("l_quantity"))).as("qty_x_c"))
+      val sliceY = sources.StatsManifest
+        .readPruned(s, manifest, "l_suppkey", 10, 20)
+        .agg(count(lit(1)).as("n_y"),
+          sum(cents(col("l_quantity"))).as("qty_y_c"))
+      sliceX.crossJoin(sliceY)
+    }),
+
     // ---- sliding 7-day distinct users per day: the window range-join
     //      runs over the DAY-LEVEL distinct (day,user) table — the
     //      raw event stream collapses once, then every window reuses
@@ -7536,6 +7580,19 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.9) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zorder_skipping" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_partkey BETWEEN 100 AND 350) AS n_x,
+        |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |     AS BIGINT) FROM lineitem
+        |   WHERE l_partkey BETWEEN 100 AND 350) AS qty_x_c,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_suppkey BETWEEN 10 AND 20) AS n_y,
+        |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |     AS BIGINT) FROM lineitem
+        |   WHERE l_suppkey BETWEEN 10 AND 20) AS qty_y_c""".stripMargin,
 
     "q_sliding_dau" ->
       """WITH du AS (
