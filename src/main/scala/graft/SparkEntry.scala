@@ -3124,6 +3124,44 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- per-file Bloom skipping: point lookup on a high-cardinality
+    //      column over a layout sorted by a DIFFERENT key — min/max
+    //      envelopes cover everything (hard-asserted useless) while
+    //      the Bloom manifest keeps only the few true files + rare
+    //      false positives
+    "q_bloom_skipping" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bloom_lineitem").getAbsolutePath
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        .repartitionByRange(32, col("l_suppkey"))
+        .write.mode("overwrite").parquet(p)
+      val df = s.read.parquet(p)
+      val total = df.inputFiles.length
+      val minmax = sources.StatsManifest
+        .build(df, Seq("l_orderkey")).localCheckpoint()
+      val keptMinMax = sources.StatsManifest
+        .prunedFiles(minmax, "l_orderkey", 777, 777)
+      if (keptMinMax.length != total)
+        throw new IllegalStateException(
+          "expected min/max to be useless on the suppkey-sorted layout")
+      // sized for rows-per-file at the LARGEST tested SF (sf0.1:
+      // ~19k rows/file; ~10 bits/item keeps fpp ~1%) — an undersized
+      // filter saturates and "keeps" half the files
+      val bloom = sources.StatsManifest
+        .buildBloom(df, "l_orderkey", expectedItems = 65536L,
+          numBits = 1L << 20).localCheckpoint()
+      val keptBloom = sources.StatsManifest.prunedFilesBloom(bloom, 777L)
+      if (keptBloom.length * 2 >= total)
+        throw new IllegalStateException(
+          s"bloom skipping ineffective: ${keptBloom.length}/$total")
+      s.read.parquet(keptBloom: _*)
+        .filter(col("l_orderkey") === 777L)
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_c"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+    }),
+
     // ---- sliding 7-day distinct users per day: the window range-join
     //      runs over the DAY-LEVEL distinct (day,user) table — the
     //      raw event stream collapses once, then every window reuses
@@ -7593,6 +7631,13 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem
         |   WHERE l_suppkey BETWEEN 10 AND 20) AS qty_y_c""".stripMargin,
+
+    "q_bloom_skipping" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_c,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem WHERE l_orderkey = 777""".stripMargin,
 
     "q_sliding_dau" ->
       """WITH du AS (

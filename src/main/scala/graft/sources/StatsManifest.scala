@@ -53,6 +53,44 @@ object StatsManifest {
     stacked
   }
 
+  /** Per-file Bloom filters — point-lookup skipping for a
+    * high-cardinality column on a layout NOT sorted by it, where
+    * min/max envelopes cover everything and prune nothing (the
+    * Parquet-bloom / Delta-deletion-vector use case). One row per
+    * file: (file_path, bloom BINARY). Size the filter for rows/file,
+    * not table rows.
+    */
+  def buildBloom(df: DataFrame, bloomCol: String,
+      expectedItems: Long = 100000L, numBits: Long = 1048576L)
+      : DataFrame = {
+    // BloomFilterAggregate is the expression behind Spark's runtime
+    // join filters; it is not SQL-registered, so build the Column via
+    // the PlanBridge escape hatch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.PlanBridge
+    val base = df.select(col("_metadata.file_path").as("file_path"),
+      col(bloomCol).cast("long").as("v"))
+    val agg = new BloomFilterAggregate(PlanBridge.expression(col("v")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    base.groupBy(col("file_path"))
+      .agg(PlanBridge.column(agg).as("bloom"))
+  }
+
+  /** Files whose Bloom filter might contain `key` (exact lookups only;
+    * false positives keep extra files, never lose rows). Probing is
+    * driver-side over the file-count-sized manifest, via the public
+    * sketch API (the serialized buffer is BloomFilter wire format). */
+  def prunedFilesBloom(bloomManifest: DataFrame, key: Long): Seq[String] =
+    bloomManifest.select(col("file_path"), col("bloom"))
+      .collect()
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(key)
+      }
+      .map(_.getString(0)).toSeq.sorted
+
   /** Files whose [min,max] for `statCol` intersects [lo,hi] — plus
     * all-NULL-stat files, kept conservatively. Driver-side: the
     * manifest has one row per (file, column).

@@ -54,6 +54,26 @@ class StatsManifestSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("bloom manifest never loses the true file and prunes the rest") {
+    val p = tmpDir("graft_manifest_bloom")
+    // layout sorted by g, so a point lookup on k gets no min/max help
+    (0L until 4000L).map(i => (i, i % 8)).toDF("k", "g")
+      .repartitionByRange(8, col("g"))
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val bloom = StatsManifest.buildBloom(df, "k",
+      expectedItems = 1024L, numBits = 65536L)
+    // key 777 lives in exactly one file (g = 777 % 8)
+    val truth = df.withColumn("f", col("_metadata.file_path"))
+      .filter(col("k") === 777L).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val kept = StatsManifest.prunedFilesBloom(bloom, 777L).toSet
+    truth.subsetOf(kept) shouldBe true      // no false negatives, ever
+    kept.size should be < 8                 // and real pruning happened
+    // an absent key keeps (almost) nothing
+    StatsManifest.prunedFilesBloom(bloom, 999999L).size should be < 8
+  }
+
   test("all-NULL-stat files are kept conservatively") {
     val p = tmpDir("graft_manifest_spec3")
     val withNulls = Seq[(java.lang.Long, String)](
