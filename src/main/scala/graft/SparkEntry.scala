@@ -3124,6 +3124,53 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- null-safe equality join (<=>): NULL keys MATCH each other
+    //      instead of vanishing — the semantic the reference's
+    //      full-outer stats merge needs when uid is absent on both
+    //      sides; derived null-bearing keys from orders
+    "q_j_nullsafe" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100).as("k"),
+        cents(col("o_totalprice")).as("p_c"))
+      val d = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("dn"))
+      o.join(d, o("k") <=> d("k"))
+        .groupBy(o("k").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("p_c")).as("p_sum_c"),
+          max(col("dn")).as("dn"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // ---- correlated EXISTS / NOT EXISTS through the SQL surface:
+    //      customers with an above-average-priced order but no
+    //      low-priority one (rewritten by Catalyst into semi/anti
+    //      joins — asserted nothing falls back to a subquery loop)
+    "q_sql_exists" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      val q = s.sql("""
+        SELECT c.c_nationkey, count(*) AS n
+        FROM customer_v c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 150000.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1""")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains("LeftSemi") || !plan.contains("LeftAnti"))
+        throw new IllegalStateException(
+          "EXISTS/NOT EXISTS not planned as semi/anti joins:\n" +
+            plan.take(800))
+      q
+    }),
+
     // ---- per-file Bloom skipping: point lookup on a high-cardinality
     //      column over a layout sorted by a DIFFERENT key — min/max
     //      envelopes cover everything (hard-asserted useless) while
@@ -7631,6 +7678,35 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem
         |   WHERE l_suppkey BETWEEN 10 AND 20) AS qty_y_c""".stripMargin,
+
+    "q_j_nullsafe" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_orderkey % 100 END AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS p_c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_orderkey % 100 END AS k,
+        |    count(*) AS dn
+        |  FROM orders GROUP BY 1)
+        |SELECT o.k, count(*) AS n,
+        |  CAST(sum(o.p_c) AS BIGINT) AS p_sum_c, max(d.dn) AS dn
+        |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT c.c_nationkey, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 150000.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bloom_skipping" ->
       """SELECT count(*) AS n,
