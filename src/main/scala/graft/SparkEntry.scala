@@ -3124,6 +3124,15 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- column encoding advisor (Profiler.encodingAdvisor): exact
+    //      NDV + run structure over the canonical order -> dict / RLE
+    //      / plain advice, the input to write-time layout decisions
+    "q_encoding_advisor" -> ((s, dir) =>
+      operators.Profiler.encodingAdvisor(Tables.lineitem(s, dir),
+          orderCols = Seq("l_orderkey", "l_linenumber"),
+          cols = Seq("l_returnflag", "l_suppkey", "l_orderkey"))
+        .orderBy(col("col"))),
+
     // ---- null-safe equality join (<=>): NULL keys MATCH each other
     //      instead of vanishing — the semantic the reference's
     //      full-outer stats merge needs when uid is absent on both
@@ -7678,6 +7687,27 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem
         |   WHERE l_suppkey BETWEEN 10 AND 20) AS qty_y_c""".stripMargin,
+
+    "q_encoding_advisor" -> (Seq("l_returnflag", "l_suppkey", "l_orderkey")
+      .map(c =>
+        s"""SELECT '$c' AS col, n, ndv, runs,
+           |  n * 1000000 // runs AS avg_run_micro,
+           |  CASE WHEN ndv <= 100 THEN 'dict'
+           |       WHEN n * 1000000 // runs >= 2000000 THEN 'rle'
+           |       ELSE 'plain' END AS advice
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |    CAST(1 + sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS runs
+           |  FROM (
+           |    SELECT $c IS DISTINCT FROM
+           |        lag($c) OVER (ORDER BY l_orderkey, l_linenumber)
+           |      AND row_number()
+           |        OVER (ORDER BY l_orderkey, l_linenumber) > 1 AS chg,
+           |      $c
+           |    FROM lineitem) t)""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL ", ") ORDER BY col")),
 
     "q_j_nullsafe" ->
       """WITH o AS (

@@ -50,4 +50,39 @@ object Profiler {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Column encoding advisor — the physical-layout sibling of
+    * [[profile]]: per column, exact NDV plus the RUN structure over a
+    * canonical row order (runs = value-change count + 1), and the
+    * resulting encoding advice (dict for low cardinality, RLE for
+    * long runs, plain otherwise). This is the analysis behind
+    * "should this column drive the sort key / get dictionary-encoded
+    * at write time" — pair with Compaction/Z-order to act on it.
+    *
+    * The run scan needs a total order: a global window here (the
+    * advisor runs on a sample or one file's rows, not the corpus); at
+    * table scale, compute runs per range-partition of the sort key
+    * and subtract boundary matches.
+    */
+  def encodingAdvisor(df: DataFrame, orderCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    val perCol = cols.map { c =>
+      val changed = when(
+        !(col(c) <=> lag(col(c), 1).over(w)) &&
+          row_number().over(w) > 1, 1L).otherwise(0L)
+      df.select(col(c), changed.as("chg"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col(c)).as("ndv"),
+          (sum(col("chg")) + 1L).as("runs"))
+        .select(lit(c).as("col"), col("n"), col("ndv"), col("runs"),
+          expr("n * 1000000 DIV runs").as("avg_run_micro"))
+        .withColumn("advice",
+          when(col("ndv") <= 100, lit("dict"))
+            .when(col("avg_run_micro") >= 2000000L, lit("rle"))
+            .otherwise(lit("plain")))
+    }
+    perCol.reduce(_ unionAll _)
+  }
 }
