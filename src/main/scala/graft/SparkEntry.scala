@@ -3105,20 +3105,24 @@ object SparkEntry {
         .build(s.read.parquet(p), Seq("l_partkey", "l_suppkey"))
         .localCheckpoint()
       val total = s.read.parquet(p).inputFiles.length
+      // probe ranges are an EIGHTH of each key space (data-dependent:
+      // fixed literals fell outside the key range at small SFs)
+      val (xLo, xHi) = (mp / 8, mp / 4)
+      val (yLo, yHi) = (ms / 8, ms / 4)
       val keptX = sources.StatsManifest
-        .prunedFiles(manifest, "l_partkey", 100, 350)
+        .prunedFiles(manifest, "l_partkey", xLo, xHi)
       val keptY = sources.StatsManifest
-        .prunedFiles(manifest, "l_suppkey", 10, 20)
+        .prunedFiles(manifest, "l_suppkey", yLo, yHi)
       if (keptX.length * 2 >= total || keptY.length * 2 >= total)
         throw new IllegalStateException(
           s"z-order skipping ineffective: x=${keptX.length} " +
             s"y=${keptY.length} of $total files")
       val sliceX = sources.StatsManifest
-        .readPruned(s, manifest, "l_partkey", 100, 350)
+        .readPruned(s, manifest, "l_partkey", xLo, xHi)
         .agg(count(lit(1)).as("n_x"),
           sum(cents(col("l_quantity"))).as("qty_x_c"))
       val sliceY = sources.StatsManifest
-        .readPruned(s, manifest, "l_suppkey", 10, 20)
+        .readPruned(s, manifest, "l_suppkey", yLo, yHi)
         .agg(count(lit(1)).as("n_y"),
           sum(cents(col("l_quantity"))).as("qty_y_c"))
       sliceX.crossJoin(sliceY)
@@ -7676,17 +7680,21 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zorder_skipping" ->
-      """SELECT
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_partkey BETWEEN 100 AND 350) AS n_x,
+      """WITH b AS (
+        |  SELECT max(l_partkey) // 8 AS xlo, max(l_partkey) // 4 AS xhi,
+        |    max(l_suppkey) // 8 AS ylo, max(l_suppkey) // 4 AS yhi
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem, b
+        |   WHERE l_partkey BETWEEN xlo AND xhi) AS n_x,
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
-        |     AS BIGINT) FROM lineitem
-        |   WHERE l_partkey BETWEEN 100 AND 350) AS qty_x_c,
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_suppkey BETWEEN 10 AND 20) AS n_y,
+        |     AS BIGINT) FROM lineitem, b
+        |   WHERE l_partkey BETWEEN xlo AND xhi) AS qty_x_c,
+        |  (SELECT count(*) FROM lineitem, b
+        |   WHERE l_suppkey BETWEEN ylo AND yhi) AS n_y,
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
-        |     AS BIGINT) FROM lineitem
-        |   WHERE l_suppkey BETWEEN 10 AND 20) AS qty_y_c""".stripMargin,
+        |     AS BIGINT) FROM lineitem, b
+        |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
 
     "q_encoding_advisor" -> (Seq("l_returnflag", "l_suppkey", "l_orderkey")
       .map(c =>
