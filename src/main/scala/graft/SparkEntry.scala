@@ -3215,7 +3215,11 @@ object SparkEntry {
       if (keptBloom.length * 2 >= total)
         throw new IllegalStateException(
           s"bloom skipping ineffective: ${keptBloom.length}/$total")
-      s.read.parquet(keptBloom: _*)
+      // an all-pruned manifest means the key is absent: empty relation,
+      // not a zero-path parquet read (which cannot infer a schema)
+      val src = if (keptBloom.nonEmpty) s.read.parquet(keptBloom: _*)
+                else df.limit(0)
+      src
         .filter(col("l_orderkey") === 777L)
         .agg(count(lit(1)).as("n"),
           sum(cents(col("l_quantity"))).as("qty_c"),
@@ -3245,13 +3249,17 @@ object SparkEntry {
     "q_funnel_window" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts_us"))
+      // checkpoint each stage: the three eager counts otherwise
+      // rebuild v0 three times and c0 twice from the raw stream
       val v0 = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("v0"))
+        .localCheckpoint()
       val c0 = e.filter(col("event_type") === "click")
         .join(broadcast(v0), Seq("user_id"))
         .filter(col("ts_us") >= col("v0") &&
           col("ts_us") <= col("v0") + expr("86400000000"))
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
+        .localCheckpoint()
       val p0 = e.filter(col("event_type") === "purchase")
         .join(broadcast(c0), Seq("user_id"))
         .filter(col("ts_us") >= col("c0") &&
@@ -3306,10 +3314,11 @@ object SparkEntry {
     * the Spark UDF counts it — turn that silent divergence into a
     * loud failure. */
   private def assertMaxWordLen(docs: DataFrame, cap: Int): Unit = {
-    val maxW = docs
+    val row = docs
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w").rlike("^[A-Za-z]+$"))
-      .agg(max(length(col("w"))).as("m")).head().getInt(0)
+      .agg(max(length(col("w"))).as("m")).head()
+    val maxW = if (row.isNullAt(0)) 0 else row.getInt(0)
     if (maxW > cap)
       throw new IllegalStateException(
         s"corpus word length $maxW exceeds the $cap-step oracle unroll")
@@ -7576,9 +7585,12 @@ object SparkEntry {
 
     "q_table_checksum" ->
       """SELECT bit_xor(('0x'||substr(md5(
-        |    l_orderkey || chr(31) || l_linenumber || chr(31) ||
-        |    CAST(round(l_quantity*100) AS BIGINT) || chr(31) ||
-        |    l_returnflag), 1, 15))::BIGINT) AS checksum,
+        |    COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)) || chr(31) ||
+        |    COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)) || chr(31) ||
+        |    COALESCE(CAST(CAST(round(l_quantity*100) AS BIGINT)
+        |      AS VARCHAR), chr(2)) || chr(31) ||
+        |    COALESCE(l_returnflag, chr(2))), 1, 15))::BIGINT)
+        |    AS checksum,
         |  count(*) AS n
         |FROM lineitem""".stripMargin,
 

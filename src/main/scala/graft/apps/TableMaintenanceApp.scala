@@ -39,19 +39,24 @@ object TableMaintenanceApp {
     val manifest2 = StatsManifest.build(compacted, Seq(statCol))
       .localCheckpoint()
     manifest2.write.mode("overwrite").parquet(s"$outDir/manifest")
-    // pruning sanity probe: a range inside ONE bin keeps one file
+    // pruning sanity probe: a range inside ONE bin keeps one file.
+    // Skipped (0) for an empty table or an all-NULL stat column —
+    // there is no interval to probe.
     val bounds = manifest2.agg(min(col("min_v")), max(col("max_v"))).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val probeLo = lo
-    val probeHi = lo + math.max(1L, (hi - lo) / (2 * math.max(binCount, 1L)))
-    val kept = StatsManifest.prunedFiles(manifest2, statCol,
-      probeLo, probeHi)
+    val kept =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)) Seq.empty[String]
+      else {
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val probeHi =
+          lo + math.max(1L, (hi - lo) / (2 * math.max(binCount, 1L)))
+        StatsManifest.prunedFiles(manifest2, statCol, lo, probeHi)
+      }
     Report(before, after, compacted.count(), binCount, kept.length)
   }
 
   def main(args: Array[String]): Unit = {
     val Array(tableDir, statCol, targetRows, outDir) = args.take(4)
-    val spark = GraftMain.session("table-maintenance")
+    val spark = graft.GraftSession.builder("table-maintenance").getOrCreate()
     try {
       val r = run(spark, tableDir, statCol, targetRows.toLong, outDir)
       println(s"maintenance: files ${r.filesBefore} -> ${r.filesAfter} " +
@@ -59,9 +64,4 @@ object TableMaintenanceApp {
         s"${r.keptAfterProbe} file(s)")
     } finally spark.stop()
   }
-}
-
-private[apps] object GraftMain {
-  def session(name: String): SparkSession =
-    graft.GraftSession.builder(name).getOrCreate()
 }

@@ -38,13 +38,16 @@ object Merge {
     val tCols = target.columns.toSeq
     val prefixed = source.columns.foldLeft(source) { (d, c) =>
       d.withColumnRenamed(c, SrcPrefix + c)
-    }
-    val joined = target.join(prefixed,
-      col(key) === col(SrcPrefix + key), "full_outer")
-    val matched = col(key).isNotNull && col(SrcPrefix + key).isNotNull
-    // a target row with a NULL key never joins; it must pass through,
-    // not be mistaken for a source-only INSERT row
-    val srcOnly = col(key).isNull && col(SrcPrefix + key).isNotNull
+    }.withColumn(SrcPrefix + "__present", lit(true))
+    // presence FLAGS, not key nullness, tell the sides apart after the
+    // full outer join: a NULL-key row on EITHER side never matches the
+    // equi-condition (SQL MERGE ON semantics), and its key column is
+    // indistinguishable from the absent side's null-padded key
+    val joined = target.withColumn("__t_present", lit(true))
+      .join(prefixed, col(key) === col(SrcPrefix + key), "full_outer")
+    val matched = col("__t_present").isNotNull &&
+      col(SrcPrefix + "__present").isNotNull
+    val srcOnly = col("__t_present").isNull
     val updates = updateOnMatch.toMap
     val out = joined
       // WHEN MATCHED AND deleteCond THEN DELETE; SQL MERGE semantics:

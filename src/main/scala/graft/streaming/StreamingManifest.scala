@@ -75,16 +75,19 @@ object StreamingManifest {
   private def previousVersion(p: String, beforeId: Long): Option[Long] = {
     val dir = Paths.get(p)
     if (!Files.exists(dir)) return None
-    val it = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("v=")) {
-        val v = n.drop(2).toLong
-        if (v < beforeId) out += v
+    val stream = Files.list(dir) // must be closed: holds a DirectoryStream fd
+    try {
+      val it = stream.iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v=")) {
+          val v = n.drop(2).toLong
+          if (v < beforeId) out += v
+        }
       }
-    }
-    out.sorted.lastOption
+      out.sorted.lastOption
+    } finally stream.close()
   }
 
   private def flipPointer(p: String, v: Long): Unit = {

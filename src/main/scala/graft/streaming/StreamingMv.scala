@@ -82,16 +82,19 @@ object StreamingMv {
   private def previousVersion(mvPath: String, beforeId: Long): Option[Long] = {
     val dir = Paths.get(mvPath)
     if (!Files.exists(dir)) return None
-    val vs = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (vs.hasNext) {
-      val n = vs.next().getFileName.toString
-      if (n.startsWith("v=")) {
-        val v = n.drop(2).toLong
-        if (v < beforeId) out += v
+    val stream = Files.list(dir) // must be closed: holds a DirectoryStream fd
+    try {
+      val vs = stream.iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (vs.hasNext) {
+        val n = vs.next().getFileName.toString
+        if (n.startsWith("v=")) {
+          val v = n.drop(2).toLong
+          if (v < beforeId) out += v
+        }
       }
-    }
-    out.sorted.lastOption
+      out.sorted.lastOption
+    } finally stream.close()
   }
 
   private def flipPointer(mvPath: String, v: Long): Unit = {

@@ -70,6 +70,23 @@ class MergeSpec extends SparkSpec {
     noIns should contain ((None, "ghost", 77L))
   }
 
+  test("a source row with a NULL merge key is inserted (never matched)") {
+    val srcNullKey = Seq((Option.empty[Long], "nk", 55L))
+      .toDF("k", "name", "bal")
+    val got = Merge.mergeInto(target, srcNullKey, "k",
+        updateOnMatch = Seq("bal" -> src("bal")))
+      .orderBy(col("name")).as[(Option[Long], String, Long)]
+      .collect().toSeq
+    got should contain ((None, "nk", 55L))
+    got.size shouldBe 5
+    // with inserts disabled the NULL-key source row is dropped cleanly
+    Merge.mergeInto(target, srcNullKey, "k",
+        updateOnMatch = Seq("bal" -> src("bal")),
+        insertOnNoMatch = false)
+      .as[(Option[Long], String, Long)].collect().toSeq
+      .map(_._2) should not contain "nk"
+  }
+
   test("merge is idempotent when updates are absolute") {
     val once = Merge.mergeInto(target, source, "k",
       updateOnMatch = Seq("bal" -> src("bal")))
