@@ -2733,6 +2733,23 @@ object SparkEntry {
 
     // ---- TPC-H Q14 shape: promo revenue share as an exact integer
     // ratio in micro-units (no float aggregation)
+    // ---- TPC-H Q6 shape: the pure filter-aggregate forecasting query
+    //      (no join) — every predicate pushes to the scan; revenue in
+    //      exact 4-dp fixed point (price x discount of two 2-dp values)
+    "q_tpch_q6" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t6_lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CAST(round(l_extendedprice*l_discount*10000)
+          |    AS BIGINT)) AS BIGINT) AS revenue_4dp,
+          |  COUNT(*) AS n
+          |FROM t6_lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
     "q_tpch_q14" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("t14_lineitem")
       Tables.part(s, dir).createOrReplaceTempView("t14_part")
@@ -7390,6 +7407,17 @@ object SparkEntry {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_nationkey <> n2.n_nationkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*l_discount*10000)
+        |    AS BIGINT)) AS BIGINT) AS revenue_4dp,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q14" ->
       """SELECT
