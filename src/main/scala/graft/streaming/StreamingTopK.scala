@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Continuously-maintained heavy hitters: per micro-batch, fold the
+  * batch's token counts into a bounded Misra-Gries state table via the
+  * MERGE operation of Agarwal et al., "Mergeable Summaries" (PODS'12):
+  *
+  *   combined = state ⊎ batchCounts   (count-wise union)
+  *   d        = (k+1)-th largest combined count (0 if ≤ k entries)
+  *   state'   = { (t, c − d) : c − d > 0 }
+  *
+  * The state never exceeds k rows, each fold is one groupBy + one
+  * k-row window, and the classic MG guarantee survives merging: any
+  * token with true frequency > N/(k+1) is IN the state (its count is
+  * an undercount by at most the sum of subtracted d's). Serve exact
+  * top-k the two-pass way (q_heavy_hitters_guarantee): recount just
+  * the ≤ k candidates.
+  *
+  * Snapshot protocol = [[StreamingMv]]: versioned `v=<batchId>`
+  * directories + atomic `_CURRENT` flip; same-batch replay rebuilds
+  * from the previous snapshot.
+  */
+object StreamingTopK {
+
+  final case class Target(statePath: String, k: Int)
+
+  def currentVersion(p: String): Option[Long] = {
+    val f = Paths.get(p, "_CURRENT")
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+    else None
+  }
+
+  def readCurrent(spark: SparkSession, p: String): DataFrame = {
+    val v = currentVersion(p).getOrElse(
+      throw new IllegalStateException(s"no committed state under $p"))
+    spark.read.parquet(s"$p/v=$v")
+  }
+
+  /** One Misra-Gries merge: fold (token, cnt) rows into a ≤ k-row
+    * state. Exposed for batch use and tests; both inputs are
+    * (token, cnt) shaped. */
+  def mgMerge(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    val combined = state.unionByName(delta)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val ranked = combined.withColumn("rk", row_number().over(w))
+    val d = ranked.filter(col("rk") === k + 1)
+      .select(col("cnt").as("d"))
+    ranked
+      .crossJoin(broadcast(
+        d.unionByName(ranked.sparkSession.range(1)
+          .select(lit(0L).as("d"))).agg(max(col("d")).as("d"))))
+      .filter(col("cnt") - col("d") > 0)
+      .select(col("token"), (col("cnt") - col("d")).as("cnt"))
+  }
+
+  def processBatch(t: Target, tokenCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val prev = currentVersion(t.statePath) match {
+      case Some(v) if v == batchId => previousVersion(t.statePath, batchId)
+      case other => other
+    }
+    val state = prev match {
+      case Some(v) => spark.read.parquet(s"${t.statePath}/v=$v")
+      case None =>
+        delta.limit(0).select(col("token"), col("cnt"))
+    }
+    mgMerge(state, delta, t.k)
+      .write.mode("overwrite").parquet(s"${t.statePath}/v=$batchId")
+    flipPointer(t.statePath, batchId)
+  }
+
+  private def previousVersion(p: String, beforeId: Long): Option[Long] = {
+    val dir = Paths.get(p)
+    if (!Files.exists(dir)) return None
+    val stream = Files.list(dir)
+    try {
+      val it = stream.iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v=")) {
+          val v = n.drop(2).toLong
+          if (v < beforeId) out += v
+        }
+      }
+      out.sorted.lastOption
+    } finally stream.close()
+  }
+
+  private def flipPointer(p: String, v: Long): Unit = {
+    val dir = Paths.get(p)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "._CURRENT", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def writer(stream: DataFrame, t: Target, tokenCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(t, tokenCol)(b, id))
+
+  def start(stream: DataFrame, t: Target, tokenCol: String,
+      checkpoint: String): StreamingQuery =
+    writer(stream, t, tokenCol, checkpoint).start()
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingTopK
+import graft.streaming.StreamingTopK.Target
+
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: token "hot" dominates, "warm" second, long tail
+  private def tokens(n: Int): Seq[String] =
+    (0 until n).map { i =>
+      if (i % 3 == 0) "hot"
+      else if (i % 5 == 0) "warm"
+      else s"t${i % 40}"
+    }
+
+  test("mgMerge keeps <= k rows and never drops a true heavy hitter") {
+    val data = tokens(3000)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 8
+    val counts = data.toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val empty = counts.limit(0)
+    val merged = StreamingTopK.mgMerge(empty, counts, k)
+      .as[(String, Long)].collect().toMap
+    merged.size should be <= k
+    // MG guarantee: freq > N/(k+1) must survive
+    val threshold = data.size.toLong / (k + 1)
+    exact.filter(_._2 > threshold).keySet.foreach { t =>
+      merged.keySet should contain (t)
+    }
+  }
+
+  test("chunked folding preserves the guarantee (mergeable summary)") {
+    val data = tokens(4000)
+    val k = 6
+    val chunks = data.grouped(700).toSeq
+    var state = Seq.empty[(String, Long)].toDF("token", "cnt")
+    chunks.foreach { c =>
+      val delta = c.toDF("token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      state = StreamingTopK.mgMerge(state, delta, k).localCheckpoint()
+    }
+    val candidates = state.as[(String, Long)].collect().toMap
+    candidates.size should be <= k
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val threshold = data.size.toLong / (k + 1)
+    exact.filter(_._2 > threshold).keySet.foreach { t =>
+      candidates.keySet should contain (t)
+    }
+    // two-pass serving: exact recount of the candidates reproduces the
+    // true counts for every surviving token
+    val recount = data.toDF("token")
+      .join(state.select("token"), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    recount.foreach { case (t, c) => exact(t) shouldBe c }
+  }
+
+  test("streaming fold commits versioned snapshots; replay converges") {
+    val statePath = Files.createTempDirectory("graft-topk").toString
+    val ckpt = Files.createTempDirectory("graft-topk-ck").toString
+    val t = Target(statePath, k = 8)
+    val mem = MemoryStream[String](spark)
+    val q = StreamingTopK.start(mem.toDF().toDF("token"), t, "token", ckpt)
+    try {
+      mem.addData(tokens(1500): _*)
+      q.processAllAvailable()
+      mem.addData(tokens(1500): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = StreamingTopK.readCurrent(spark, statePath)
+      .as[(String, Long)].collect().toMap
+    state.size should be <= 8
+    state.keySet should contain ("hot")
+    // replay the last committed batch id with the same content
+    val v = StreamingTopK.currentVersion(statePath).get
+    val before = state
+    StreamingTopK.processBatch(t, "token")(
+      tokens(1500).toDF("token"), v)
+    StreamingTopK.currentVersion(statePath).get shouldBe v
+    StreamingTopK.readCurrent(spark, statePath)
+      .as[(String, Long)].collect().toMap shouldBe before
+  }
+}
