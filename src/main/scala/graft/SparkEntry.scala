@@ -3145,6 +3145,22 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- token-budget source mixing: waterfill caps computed over
+    //      BPE TOKEN counts, not doc/char counts — the budget a
+    //      training run actually spends (composes BpeTrain with the
+    //      waterfill allocator)
+    "q_mix_tokens" -> ((s, dir) => {
+      val toks = operators.BpeTrain.tokenCounts(
+        Tables.documents(s, dir), "doc_id", "text", 8)
+      val bySource = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(toks, Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("bpe_tokens")).as("n"))
+      operators.Sampling.waterFillCaps(bySource, col("source"), col("n"),
+          budget = 15000L)
+        .orderBy(col("source"))
+    }),
+
     // ---- column encoding advisor (Profiler.encodingAdvisor): exact
     //      NDV + run structure over the canonical order -> dict / RLE
     //      / plain advice, the input to write-time layout decisions
@@ -7735,6 +7751,31 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem, b
         |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
+
+    "q_mix_tokens" -> (bpeCtesSql(8) +
+      """,
+        |c AS (
+        |  SELECT d.source, CAST(sum(length(v.word)) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split_regex(text, '\s+')) AS word0
+        |        FROM documents) d
+        |  JOIN w8 v USING (word0)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS rn,
+        |    CAST(SUM(n) OVER (ORDER BY n, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+        |    CAST(count(*) OVER () AS BIGINT) AS s
+        |  FROM c),
+        |p AS (
+        |  SELECT CAST(min(level) AS BIGINT) AS level FROM (
+        |    SELECT (15000 - (prefix - n)) // (s - rn + 1) AS level
+        |    FROM r WHERE prefix - n + (s - rn + 1) * n >= 15000
+        |    ORDER BY rn LIMIT 1))
+        |SELECT source, n, least(n, COALESCE(level, n)) AS kept,
+        |  n > COALESCE(level, n) AS capped, level
+        |FROM r CROSS JOIN p ORDER BY source""".stripMargin),
 
     "q_encoding_advisor" -> (Seq("l_returnflag", "l_suppkey", "l_orderkey")
       .map(c =>
