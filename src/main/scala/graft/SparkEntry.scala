@@ -3145,6 +3145,30 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- forward azimuth per timeline segment (Geodesy
+    //      .initialBearingDeg): the heading companion to the
+    //      q_geo_haversine path length — same libm-pure float
+    //      discipline, floored to integer micro-degrees per segment
+    "q_geo_bearing" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(col("user_id"),
+        col("ts_us"), col("event_id"),
+        synthLon(col("event_id")).as("lon"),
+        synthLat(col("event_id")).as("lat"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      pts
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .filter(col("plon").isNotNull)
+        .withColumn("b_micro", floor(geo.Geodesy.initialBearingDeg(
+          col("plon"), col("plat"), col("lon"), col("lat")) * lit(1e6))
+          .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(col("b_micro")).as("bearing_sum_micro"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- token-budget source mixing: waterfill caps computed over
     //      BPE TOKEN counts, not doc/char counts — the budget a
     //      training run actually spends (composes BpeTrain with the
@@ -7751,6 +7775,31 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem, b
         |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
+
+    "q_geo_bearing" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id,
+        |    ((event_id * 7919) % 36000)/100.0 - 180.0 AS lon,
+        |    ((event_id * 104729) % 18000)/100.0 - 90.0 AS lat
+        |  FROM events),
+        |segs AS (
+        |  SELECT user_id, lon, lat,
+        |    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT user_id,
+        |    ((degrees(atan2(
+        |        sin(radians(lon - plon)) * cos(radians(lat)),
+        |        cos(radians(plat)) * sin(radians(lat)) -
+        |          sin(radians(plat)) * cos(radians(lat)) *
+        |          cos(radians(lon - plon))))
+        |      % 360.0) + 360.0) % 360.0 AS bdeg
+        |  FROM segs WHERE plon IS NOT NULL)
+        |SELECT user_id, count(*) AS n_segs,
+        |  CAST(sum(CAST(floor(bdeg * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS bearing_sum_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mix_tokens" -> (bpeCtesSql(8) +
       """,

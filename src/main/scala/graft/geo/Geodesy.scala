@@ -37,6 +37,23 @@ object Geodesy {
     lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
   }
 
+  /** Initial great-circle bearing from point 1 to point 2, degrees in
+    * [0, 360): atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ)
+    * — the forward-azimuth companion to [[haversineMeters]] (same
+    * libm-pure float discipline: every step is an IEEE op or a libm
+    * call on identical operands in any engine). */
+  def initialBearingDeg(lon1: Column, lat1: Column,
+                        lon2: Column, lat2: Column): Column = {
+    val p1 = radians(lat1)
+    val p2 = radians(lat2)
+    val dLon = radians(lon2 - lon1)
+    val y = sin(dLon) * cos(p2)
+    val x = cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dLon)
+    val deg = degrees(atan2(y, x))
+    // normalize to [0, 360) without branching: ((d % 360) + 360) % 360
+    ((deg % 360.0) + 360.0) % 360.0
+  }
+
   /** Cross-engine-stable rounding: floor(x*10^k + 0.5)/10^k. Spark's
     * built-in `round(col, k)` goes through BigDecimal.valueOf's
     * shortest-decimal representation, which can disagree with C-library

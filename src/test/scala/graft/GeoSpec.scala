@@ -77,4 +77,20 @@ class GeoSpec extends SparkSpec {
     // exactly the floor-based Scala mirror, element for element
     got shouldBe xs.map(x => math.floor(x * 1000 + 0.5) / 1000).toArray
   }
+
+  test("initialBearingDeg: cardinal directions from the equator origin") {
+    val segs = Seq(
+      (0.0, 0.0, 0.0, 1.0),    // due north
+      (0.0, 0.0, 1.0, 0.0),    // due east
+      (0.0, 0.0, 0.0, -1.0),   // due south
+      (0.0, 0.0, -1.0, 0.0)    // due west
+    ).toDF("lon1", "lat1", "lon2", "lat2")
+    val got = segs.select(Geodesy.initialBearingDeg(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+      .as[Double].collect()
+    got(0) shouldBe 0.0 +- 1e-9
+    got(1) shouldBe 90.0 +- 1e-9
+    got(2) shouldBe 180.0 +- 1e-9
+    got(3) shouldBe 270.0 +- 1e-9
+  }
 }
