@@ -3145,6 +3145,21 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- ratio-to-report: each group's share of the grand total via
+    //      an unpartitioned window over the AGGREGATED table (6 rows),
+    //      never over raw data; integer micro shares
+    "q_pct_of_total" -> ((s, dir) => {
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("total_c", sum(col("qty_c")).over(w))
+        .withColumn("share_micro", expr("qty_c * 1000000 DIV total_c"))
+        .drop("total_c")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // ---- forward azimuth per timeline segment (Geodesy
     //      .initialBearingDeg): the heading companion to the
     //      q_geo_haversine path length — same libm-pure float
@@ -7775,6 +7790,17 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem, b
         |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
+
+    "q_pct_of_total" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |      AS qty_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, qty_c,
+        |  qty_c * 1000000 // CAST(sum(qty_c) OVER () AS BIGINT)
+        |    AS share_micro
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     "q_geo_bearing" ->
       """WITH pts AS (
