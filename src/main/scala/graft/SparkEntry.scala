@@ -3145,6 +3145,29 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- Flesch reading ease per doc (integer counts, one double
+    //      formula, floored micro): words / sentence marks / vowel-
+    //      group syllable estimate — the classic readability gate
+    //      beside the Gopher/CCNet quality signals
+    "q_text_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+            .cast("long").as("n_words"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("n_sents"),
+          size(regexp_extract_all(col("text"),
+            lit("[aeiouyAEIOUY]+"), lit(0))).cast("long").as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch_micro",
+          floor((lit(206.835)
+            - lit(1.015) * col("n_words").cast("double")
+              / col("n_sents").cast("double")
+            - lit(84.6) * col("n_syll").cast("double")
+              / col("n_words").cast("double")) * lit(1e6)).cast("long"))
+        .orderBy(col("doc_id"))),
+
     // ---- ratio-to-report: each group's share of the grand total via
     //      an unpartitioned window over the AGGREGATED table (6 rows),
     //      never over raw data; integer micro shares
@@ -7790,6 +7813,24 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem, b
         |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1,
+        |      len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(floor((206.835
+        |    - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+        |    - 84.6 * CAST(n_syll AS DOUBLE) / n_words) * 1e6)
+        |    AS BIGINT) AS flesch_micro
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     "q_pct_of_total" ->
       """WITH g AS (
