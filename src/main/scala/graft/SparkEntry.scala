@@ -3145,6 +3145,32 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- RFM segmentation: recency / frequency / monetary quintiles
+    //      per customer (ntile over the customer-level rollup, integer
+    //      day recency vs the global high-water mark, exact cents)
+    "q_rfm" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("od"),
+        cents(col("o_totalprice")).as("p_c"))
+      val hwm = o.agg(max(col("od")).as("hwm"))
+      val cust = o.crossJoin(broadcast(hwm))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("hwm") - col("od")).as("recency_days"),
+          count(lit(1)).as("frequency"), sum(col("p_c")).as("monetary_c"))
+      def tile(c: Column, asc: Boolean) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          (if (asc) c.asc else c.desc), col("o_custkey").asc))
+      val scored = cust
+        .withColumn("r", tile(col("recency_days"), asc = true))
+        .withColumn("f", tile(col("frequency"), asc = false))
+        .withColumn("m", tile(col("monetary_c"), asc = false))
+        .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+      scored.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_c")).as("monetary_sum_c"))
+        .orderBy(col("segment"))
+    }),
+
     // ---- Flesch reading ease per doc (integer counts, one double
     //      formula, floored micro): words / sentence marks / vowel-
     //      group syllable estimate — the classic readability gate
@@ -7813,6 +7839,30 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
         |     AS BIGINT) FROM lineitem, b
         |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
+
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS od,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS p_c
+        |  FROM orders),
+        |h AS (SELECT max(od) AS hwm FROM o),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    CAST(min(hwm - od) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(p_c) AS BIGINT) AS monetary_c
+        |  FROM o, h GROUP BY 1),
+        |sc AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m
+        |  FROM cust)
+        |SELECT r*100 + f*10 + m AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(monetary_c) AS BIGINT) AS monetary_sum_c
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_readability" ->
       """WITH c AS (
