@@ -524,6 +524,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- P5 full family: every reference tag predicate driving the
+    //      complete DefaultCounts (30 keys) + DefaultMeasurements (18
+    //      keys) rollup through the A1 map-merge aggregator (reference
+    //      stats/package.scala:78-179). Feature class and edit
+    //      lifecycle are synthesized deterministically from event_id so
+    //      the aspatial oracle can mirror by class arithmetic while the
+    //      Spark side evaluates the real tag predicates over real maps.
+    "q_p5_full_counts" -> ((s, dir) => {
+      val pm = pmod(col("event_id"), lit(10))
+      val tagKey = when(pm === 0, "highway").when(pm === 1, "waterway")
+        .when(pm === 2, "natural").when(pm === 3, "building")
+        .when(pm === 4, "railway").when(pm === 5, "railway")
+        .when(pm === 6, "amenity").when(pm === 7, "landuse")
+        .when(pm === 8, "natural").otherwise("note")
+      val tagVal = when(pm === 0, "residential").when(pm === 1, "river")
+        .when(pm === 2, "coastline").when(pm === 3, "yes")
+        .when(pm === 4, "station").when(pm === 5, "rail")
+        .when(pm === 6, "cafe").when(pm === 7, "farmland")
+        .when(pm === 8, "wood").otherwise("fixme")
+      val lc = pmod(col("event_id"), lit(3))
+      val prepared = Tables.events(s, dir)
+        .withColumn("tags", map(tagKey, tagVal))
+        .withColumn("version", when(lc === 0, lit(1)).otherwise(lit(2)))
+        .withColumn("minorVersion", lit(0))
+        .withColumn("visible", lc =!= 2)
+        .withColumn("linearDeltaM", pmod(col("event_id"), lit(1000L)))
+        .withColumn("areaDeltaM2", pmod(col("event_id"), lit(50000L)))
+      operators.Stats.explodedElements(
+          operators.Stats.elementStats(prepared, "user_id"), "user_id")
+        .orderBy(col("user_id"), col("kind"), col("key"))
+    }),
+
     // ---- flagship composite: the reference's changeset-stats dataflow
     //      end-to-end (A2 -> J7 -> A1 -> J1; SURVEY §3.1)
     "q_stats_e2e" -> ((s, dir) =>
@@ -4014,6 +4046,41 @@ object SparkEntry {
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p5_full_counts" ->
+      """WITH cmap(cls, stem) AS (VALUES
+        |  (0,'roads'),(1,'waterways'),(2,'coastlines'),(3,'buildings'),
+        |  (4,'railway_features'),(5,'raillines'),(6,'pois'),(7,'landuse'),
+        |  (2,'natural'),(8,'natural'),(9,'other')),
+        |mmap(cls, stem, unit) AS (VALUES
+        |  (0,'road_km','lin'),(1,'waterway_km','lin'),
+        |  (2,'coastline_km','lin'),(5,'railline_km','lin'),
+        |  (7,'landuse_km2','area'),(2,'natural_km2','area'),
+        |  (8,'natural_km2','area')),
+        |e AS (SELECT user_id,
+        |        event_id % 10 AS cls, event_id % 3 AS lc,
+        |        CAST(event_id % 1000 AS BIGINT) AS lin,
+        |        CAST(event_id % 50000 AS BIGINT) AS area
+        |      FROM events),
+        |counts AS (
+        |  SELECT user_id, 'count' AS kind,
+        |    stem || (CASE lc WHEN 0 THEN '_added'
+        |             WHEN 1 THEN '_modified' ELSE '_deleted' END) AS key,
+        |    CAST(count(*) AS DOUBLE) AS val
+        |  FROM e JOIN cmap USING (cls) GROUP BY 1, 2, 3),
+        |meas AS (
+        |  SELECT user_id, 'measurement' AS kind,
+        |    stem || (CASE lc WHEN 0 THEN '_added'
+        |             WHEN 1 THEN '_modified' ELSE '_deleted' END) AS key,
+        |    CAST(SUM(CASE WHEN unit='lin' THEN lin ELSE area END)
+        |         AS BIGINT) /
+        |      (CASE WHEN unit='lin' THEN 1000.0 ELSE 1000000.0 END) AS val
+        |  FROM e JOIN mmap USING (cls)
+        |  WHERE (CASE WHEN unit='lin' THEN lin ELSE area END) <> 0
+        |  GROUP BY 1, 2, 3, unit)
+        |SELECT user_id, kind, key, val FROM counts
+        |UNION ALL SELECT user_id, kind, key, val FROM meas
+        |ORDER BY user_id, kind, key""".stripMargin,
 
     "q_stats_e2e" ->
       s"""WITH rects(code, minlon, minlat, maxlon, maxlat) AS (

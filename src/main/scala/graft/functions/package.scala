@@ -65,6 +65,46 @@ package object functions {
     hasKey(tags, "amenity") || hasKey(tags, "shop") ||
       hasKey(tags, "craft") || hasKey(tags, "office") ||
       hasKey(tags, "leisure") || hasKey(tags, "aeroway")
+  def isLanduse(tags: Column): Column = hasKey(tags, "landuse")
+  def isNatural(tags: Column): Column = hasKey(tags, "natural")
+
+  /** Rail-related site or area, not track (reference
+    * analytics/.../stats/package.scala:97-101: railway in
+    * {station,yard} or landuse=railway, via splitDelimitedValues). */
+  def isRailFeature(tags: Column): Column =
+    tagContains(tags, "railway", "station") ||
+      tagContains(tags, "railway", "yard") ||
+      tagContains(tags, "landuse", "railway")
+
+  /** A section of rail track: has a railway tag but is not a rail site
+    * (reference stats/package.scala:104). */
+  def isRailLine(tags: Column): Column =
+    !isRailFeature(tags) && hasKey(tags, "railway")
+
+  /** Any rail-related entity (reference stats/package.scala:107-108). */
+  def isRailway(tags: Column): Column =
+    hasKey(tags, "railway") || tagContains(tags, "landuse", "railway")
+
+  /** Linear feature classes whose edits are measured by length delta
+    * (reference stats/package.scala:110). */
+  def isLinear(tags: Column): Column =
+    isRoad(tags) || isWaterway(tags) || isCoastline(tags) || isRailLine(tags)
+
+  /** Tagged but in none of the named classes (reference
+    * stats/package.scala:112-117 — the "other_*" count bucket). */
+  def isOther(tags: Column): Column =
+    isTagged(tags) && !isRoad(tags) && !isWaterway(tags) &&
+      !isBuilding(tags) && !isRailway(tags) && !isNatural(tags) &&
+      !isLanduse(tags) && !isPOI(tags)
+
+  /** Node/way interest filters that gate which elements enter the stats
+    * pipeline at all (reference stats/package.scala:63-76). */
+  def isInterestingNode(tags: Column): Column = isPOI(tags)
+  def isInterestingWay(tags: Column): Column =
+    isBuilding(tags) || isRoad(tags) || isWaterway(tags) ||
+      isCoastline(tags) || isPOI(tags)
+  def isInteresting(tags: Column): Column =
+    isInterestingNode(tags) || isInterestingWay(tags)
 
   /** New-vs-modified classification: first major version with no minor
     * version (reference analytics/.../stats/package.scala:119-141 uses

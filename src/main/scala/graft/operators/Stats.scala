@@ -181,4 +181,102 @@ object Stats {
       .unionByName(stats.select(col("user_id"), lit("total").as("kind"),
         lit("edits").as("key"), col("total_edits").as("val")))
   }
+
+  // ------------------------------------------------------------------
+  // Full DefaultCounts / DefaultMeasurements key families (reference
+  // analytics/.../stats/package.scala:119-179): 30 count keys over 10
+  // feature classes x {added,modified,deleted}, 18 measurement keys over
+  // 4 linear classes (length delta) + 2 area classes (area delta).
+  //
+  // Design deviation, deliberate: the reference stores per-row
+  // `delta/1000` doubles and float-sums them; here the per-row map holds
+  // EXACT integer deltas (meters / m^2) and the unit division happens
+  // once per aggregated value at presentation ([[explodedElements]]).
+  // Integer map-merge is associative and order-independent, so results
+  // are bit-stable under AQE re-partitioning at any scale — and
+  // oracle-exact.
+  // ------------------------------------------------------------------
+
+  /** Per-class lifecycle triple: `stem_added/_modified/_deleted`, each
+    * `base` when the class predicate and lifecycle match, else 0 (then
+    * stripped by simplifyMap, exactly like the reference's
+    * simplify_counts / simplify_measurements). */
+  private def lifecycle(stem: String, pred: Column, isNewEdit: Column,
+      visible: Column, base: Column): Seq[Column] = Seq(
+    lit(stem + "_added"),
+    when(pred && isNewEdit, base).otherwise(lit(0L)),
+    lit(stem + "_modified"),
+    when(pred && !isNewEdit && visible, base).otherwise(lit(0L)),
+    lit(stem + "_deleted"),
+    when(pred && !visible, base).otherwise(lit(0L)))
+
+  /** The reference's DefaultCounts: 30-key map of per-edit feature-class
+    * counts (reference stats/package.scala:141-179). */
+  def defaultCounts(tags: Column, version: Column, minorVersion: Column,
+      visible: Column): Column = {
+    val nw = isNew(version, minorVersion)
+    val one = lit(1L)
+    simplifyMap(map(Seq(
+      lifecycle("roads", isRoad(tags), nw, visible, one),
+      lifecycle("waterways", isWaterway(tags), nw, visible, one),
+      lifecycle("coastlines", isCoastline(tags), nw, visible, one),
+      lifecycle("buildings", isBuilding(tags), nw, visible, one),
+      lifecycle("railway_features", isRailFeature(tags), nw, visible, one),
+      lifecycle("raillines", isRailLine(tags), nw, visible, one),
+      lifecycle("pois", isPOI(tags), nw, visible, one),
+      lifecycle("landuse", isLanduse(tags), nw, visible, one),
+      lifecycle("natural", isNatural(tags), nw, visible, one),
+      lifecycle("other", isOther(tags), nw, visible, one)).flatten: _*))
+  }
+
+  /** The reference's DefaultMeasurements: 18-key map (reference
+    * stats/package.scala:119-139), with integer deltas (meters, m^2)
+    * instead of pre-divided doubles — see the design note above. */
+  def defaultMeasurements(tags: Column, version: Column,
+      minorVersion: Column, visible: Column, linearDeltaM: Column,
+      areaDeltaM2: Column): Column = {
+    val nw = isNew(version, minorVersion)
+    simplifyMap(map(Seq(
+      lifecycle("road_km", isRoad(tags), nw, visible, linearDeltaM),
+      lifecycle("waterway_km", isWaterway(tags), nw, visible, linearDeltaM),
+      lifecycle("coastline_km", isCoastline(tags), nw, visible, linearDeltaM),
+      lifecycle("railline_km", isRailLine(tags), nw, visible, linearDeltaM),
+      lifecycle("landuse_km2", isLanduse(tags), nw, visible, areaDeltaM2),
+      lifecycle("natural_km2", isNatural(tags), nw, visible, areaDeltaM2))
+      .flatten: _*))
+  }
+
+  /** Element-history stats rollup: per-row DefaultCounts +
+    * DefaultMeasurements maps merged per group by the native
+    * TypedImperativeAggregate (A1) — the same shape changesetStats uses,
+    * applied to the full reference key families. Input needs columns
+    * `tags` (map), `version`, `minorVersion`, `visible`, `linearDeltaM`,
+    * `areaDeltaM2` and the group key. */
+  def elementStats(df: DataFrame, groupKey: String): DataFrame =
+    df.withColumn("counts", defaultCounts(col("tags"), col("version"),
+        col("minorVersion"), col("visible")))
+      .withColumn("measurements", defaultMeasurements(col("tags"),
+        col("version"), col("minorVersion"), col("visible"),
+        col("linearDeltaM"), col("areaDeltaM2")))
+      .groupBy(col(groupKey))
+      .agg(
+        plans.MapMergeAgg.sumCountsNative(col("counts")).as("counts"),
+        plans.MapMergeAgg.sumCountsNative(col("measurements"))
+          .as("measurements"),
+        count(lit(1)).as("total_edits"))
+
+  /** Oracle-comparable projection of [[elementStats]]: one row per
+    * (group, kind, key) with the unit division (m -> km, m^2 -> km^2)
+    * applied exactly once per aggregated value. */
+  def explodedElements(stats: DataFrame, groupKey: String): DataFrame = {
+    val counts = stats.select(col(groupKey), lit("count").as("kind"),
+      explode(col("counts")).as(Seq("key", "raw")))
+      .withColumn("val", col("raw").cast(DoubleType))
+    val meas = stats.select(col(groupKey), lit("measurement").as("kind"),
+      explode(col("measurements")).as(Seq("key", "raw")))
+      .withColumn("val",
+        when(col("key").contains("_km2_"), col("raw") / 1000000.0)
+          .otherwise(col("raw") / 1000.0))
+    counts.unionByName(meas).drop("raw")
+  }
 }

@@ -41,6 +41,63 @@ class FunctionsSpec extends SparkSpec {
       Array(true, true, true, true, false)
   }
 
+  test("tag predicates: full P5 family (rail/landuse/natural/linear/other)") {
+    val df = Seq(
+      Map("railway" -> "station"),        // rail feature, railway, not line
+      Map("railway" -> "rail"),           // rail line, railway, linear
+      Map("landuse" -> "railway"),        // rail feature, railway, landuse
+      Map("landuse" -> "farmland"),       // landuse only
+      Map("natural" -> "wood"),           // natural only
+      Map("natural" -> "water;coastline"),// natural + coastline -> linear
+      Map("highway" -> "residential"),    // road -> linear, interesting
+      Map("note" -> "fixme"),             // tagged but none -> other
+      Map.empty[String, String])
+      .toDF("tags")
+    def got(c: org.apache.spark.sql.Column): Array[Boolean] =
+      df.select(c).collect().map(_.getBoolean(0))
+    got(isRailFeature(col("tags"))) shouldBe
+      Array(true, false, true, false, false, false, false, false, false)
+    got(isRailLine(col("tags"))) shouldBe
+      Array(false, true, false, false, false, false, false, false, false)
+    got(isRailway(col("tags"))) shouldBe
+      Array(true, true, true, false, false, false, false, false, false)
+    got(isLanduse(col("tags"))) shouldBe
+      Array(false, false, true, true, false, false, false, false, false)
+    got(isNatural(col("tags"))) shouldBe
+      Array(false, false, false, false, true, true, false, false, false)
+    got(isLinear(col("tags"))) shouldBe
+      Array(false, true, false, false, false, true, true, false, false)
+    got(isOther(col("tags"))) shouldBe
+      Array(false, false, false, false, false, false, false, true, false)
+    got(isInteresting(col("tags"))) shouldBe
+      Array(false, false, false, false, false, true, true, false, false)
+  }
+
+  test("DefaultCounts/DefaultMeasurements cover the reference key families") {
+    val df = Seq(
+      // (tags, version, minor, visible, linM, areaM2)
+      (Map("highway" -> "residential"), 1, 0, true, 2000L, 0L),
+      (Map("highway" -> "residential"), 2, 0, true, 500L, 0L),
+      (Map("natural" -> "wood"), 2, 0, false, 0L, 3000000L),
+      (Map("railway" -> "station"), 1, 0, true, 0L, 0L))
+      .toDF("tags", "version", "minorVersion", "visible",
+        "linearDeltaM", "areaDeltaM2")
+      .withColumn("g", lit("u"))
+    val stats = operators.Stats.elementStats(df, "g")
+    val rows = operators.Stats.explodedElements(stats, "g")
+      .select(col("key"), col("val")).as[(String, Double)].collect().toMap
+    rows("roads_added") shouldBe 1.0
+    rows("roads_modified") shouldBe 1.0
+    rows("natural_deleted") shouldBe 1.0
+    rows("railway_features_added") shouldBe 1.0
+    rows("road_km_added") shouldBe 2.0
+    rows("road_km_modified") shouldBe 0.5
+    rows("natural_km2_deleted") shouldBe 3.0
+    // zero-valued contributions are stripped, not emitted as 0 keys
+    rows.contains("waterways_added") shouldBe false
+    rows.contains("railline_km_added") shouldBe false
+  }
+
   test("isNew: first major version with no minor version") {
     val df = Seq((1, Some(0)), (1, Some(2)), (2, Some(0)), (1, None))
       .toDF("version", "minorVersion")
