@@ -80,24 +80,55 @@ object Drift {
     * continuous-distribution sibling of categoryDrift's PSI/KL).
     *
     * Scale shape: one groupBy collapses the data to its DISTINCT
-    * value support (the only thing the ecdf depends on), so the
-    * global cumulative window runs over support-cardinality rows, not
-    * data rows. Overflow-safe for n_a·n_b < 9.2e12 (release multiply
-    * last). Emits one row: (n_a, n_b, d_num, ks_micro).
+    * value support (the only thing the ecdf depends on); the
+    * cumulative sums then run as windows PARTITIONED by
+    * order-preserving value-range shards (boundaries from one
+    * `percentile_approx` pass), with per-shard offsets recovered by a
+    * broadcast triangular self-join over the ≤64-row shard-total
+    * table — no unpartitioned window anywhere in the plan, so no
+    * single-task funnel over the support. Shard boundaries only
+    * affect parallelism, never the result (cum sums are exact
+    * integers regardless of where the shards cut). Overflow-safe for
+    * n_a·n_b < 9.2e12 (release multiply last). Emits one row:
+    * (n_a, n_b, d_num, ks_micro).
     */
   def ksStatistic(df: DataFrame, valueCol: Column, isACol: Column)
       : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = df
       .select(valueCol.as("v"), isACol.as("is_a"))
       .groupBy(col("v"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = counts
-      .select(sum(col("c_a")).over(w).as("cum_a"),
-        sum(col("c_b")).over(w).as("cum_b"))
+    val nShards = 64
+    val probs = (1 until nShards).map(i => i.toDouble / nShards)
+    val bounds = counts.agg(
+      percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
+    // shard id = #boundaries <= v: monotone in v, so shard order is
+    // value order and within-shard order refines it
+    val sharded = counts.crossJoin(broadcast(bounds))
+      .withColumn("__shard", size(filter(col("bs"), b => b <= col("v"))))
+      .drop("bs")
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded
+      .withColumn("l_a", sum(col("c_a")).over(wLocal))
+      .withColumn("l_b", sum(col("c_b")).over(wLocal))
+      .drop("c_a", "c_b")
+    val shardTotals = sharded.groupBy(col("__shard"))
+      .agg(sum(col("c_a")).as("s_a"), sum(col("c_b")).as("s_b"))
+    val offsets = shardTotals
+      .join(broadcast(shardTotals
+          .withColumnRenamed("__shard", "__p")
+          .withColumnRenamed("s_a", "p_a")
+          .withColumnRenamed("s_b", "p_b")),
+        col("__p") < col("__shard"), "left")
+      .groupBy(col("__shard"))
+      .agg(coalesce(sum(col("p_a")), lit(0L)).as("o_a"),
+        coalesce(sum(col("p_b")), lit(0L)).as("o_b"))
+    val cum = local.join(broadcast(offsets), Seq("__shard"))
+      .select((col("o_a") + col("l_a")).as("cum_a"),
+        (col("o_b") + col("l_b")).as("cum_b"))
     val tot = cum.agg(max(col("cum_a")).as("n_a"),
       max(col("cum_b")).as("n_b"))
     cum.crossJoin(broadcast(tot))
