@@ -2239,12 +2239,24 @@ object SparkEntry {
           synthLon(col("event_id")).as("lon"),
           synthLat(col("event_id")).as("lat"))
         .withColumn("coslat", cos(radians(col("lat"))))
-      val queries = pts.filter(col("pid") % 2000 === 0)
+      // fixed-K deterministic query sample (first 64 multiples of
+      // 100): the ground-truth set stays 64 queries at ANY corpus
+      // scale, so the broadcast side is O(1) and total cost is linear
+      // in corpus size — recall of the ANN variants is always measured
+      // against this same fixed protocol
+      val queries = pts
+        .filter(col("pid") % 100 === 0 && col("pid") < 100L * 64)
         .select(col("pid").as("qid"), col("lon").as("qlon"),
           col("lat").as("qlat"), col("coslat").as("qcoslat"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("dist_cm"), col("pid"))
-      pts.crossJoin(broadcast(queries))
+      // spread the corpus side across the cluster before fanning out
+      // against the broadcast query set: a compact scan (one small
+      // file -> one task) would otherwise serialize all pair work;
+      // repartition() follows spark.sql.shuffle.partitions so it
+      // scales with the cluster, and map-side WindowGroupLimit keeps
+      // the post-join shuffle at 3 rows per (query, partition)
+      pts.repartition().crossJoin(broadcast(queries))
         .filter(col("pid") =!= col("qid"))
         .withColumn("dist_cm", floor(geo.Geodesy.haversineWithCos(
           col("qlon"), col("qlat"), col("qcoslat"),
@@ -7082,7 +7094,7 @@ object SparkEntry {
          |  SELECT event_id AS pid, ${synthLonSql("event_id")} AS lon,
          |         ${synthLatSql("event_id")} AS lat FROM events),
          |q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat
-         |      FROM pts WHERE pid % 2000 = 0),
+         |      FROM pts WHERE pid % 100 = 0 AND pid < 6400),
          |d AS (
          |  SELECT q.qid, p.pid,
          |    CAST(floor(
