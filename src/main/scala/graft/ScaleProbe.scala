@@ -439,6 +439,93 @@ object ScaleProbe {
       f"ivm n=$nIvm sec=$tIvm%.1f vs full-rejoin n=$nFullJoin " +
       f"sec=$tFullJoin%.1f | checksum 6M rows n=${ck(0).getLong(1)} " +
       f"sec=$tCk%.1f")
+
+    // round 12: (j) BPE merge-learning must be FLAT in corpus size
+    //     when learning on the bounded sample: 1x (5k docs) vs 20x
+    //     (100k docs), both sampled to 5000 docs — the only
+    //     corpus-size-dependent work is the TakeOrdered sample pass.
+    val docs1x = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def timeBpe(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val s = System.nanoTime()
+      val n = operators.BpeTrain
+        .trainMerges(d, "text", 8, sampleMaxDocs = 5000).count()
+      (n, (System.nanoTime() - s) / 1e9)
+    }
+    val (m1, tBpe1) = timeBpe(docs1x)
+    val (m20, tBpe20) = timeBpe(docs) // the 20x corpus from the top
+    println(f"r12 bpe sampled-5k: 1x(5k docs) merges=$m1 sec=$tBpe1%.1f | " +
+      f"20x(100k docs) merges=$m20 sec=$tBpe20%.1f " +
+      f"ratio=${tBpe20 / tBpe1}%.2fx (flat => ~1x)")
+
+    // round 12: (k) MV rewrite at 20x lineitem (12M rows): the rollup
+    //     MV is built once; a matching aggregate query must answer
+    //     from the stored MV (group-cardinality rows) instead of the
+    //     12M-row base — the probe records the rewrite-hit delta.
+    val li20 = li.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("l_suppkey") * 20 + col("rep")).as("l_suppkey"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    val mvProbePath = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_probe_mv").getAbsolutePath
+    val mvDefn = li20.groupBy(col("l_suppkey"), col("l_returnflag"))
+      .agg(sum(graft.functions.cents(col("l_extendedprice")))
+          .as("sum_price_c"),
+        count(lit(1)).as("cnt"))
+    t0 = System.nanoTime()
+    mvDefn.write.mode("overwrite").parquet(mvProbePath)
+    val tMvBuild = (System.nanoTime() - t0) / 1e9
+    plans.MvRewrite.clear()
+    plans.MvRewrite.register("probe_li20_rollup", mvDefn,
+      spark.read.parquet(mvProbePath))
+    plans.MvRewrite.install(spark)
+    def mvQuery() = li20.groupBy(col("l_returnflag"))
+      .agg(sum(graft.functions.cents(col("l_extendedprice")))
+          .as("sum_price_c"),
+        count(lit(1)).as("cnt"))
+    t0 = System.nanoTime()
+    val hitRows = mvQuery().collect().length
+    val tMvHit = (System.nanoTime() - t0) / 1e9
+    val hitScans = plans.MvRewrite.scanPaths(
+      mvQuery().queryExecution.optimizedPlan)
+    require(hitScans.exists(_.contains("graft_probe_mv")),
+      s"MV rewrite did not fire at 20x; scans=$hitScans")
+    plans.MvRewrite.clear()
+    t0 = System.nanoTime()
+    val missRows = mvQuery().collect().length
+    val tMvMiss = (System.nanoTime() - t0) / 1e9
+    require(hitRows == missRows,
+      s"MV rewrite changed the result: $hitRows vs $missRows")
+    println(f"r12 mv 12M rows: build_sec=$tMvBuild%.1f " +
+      f"hit_sec=$tMvHit%.2f miss_sec=$tMvMiss%.2f " +
+      f"speedup=${tMvMiss / tMvHit}%.1fx rows=$hitRows")
+
+    // round 12: (l) native AS-OF at 20x events (2M rows): re-probes
+    //     the custom exec (one shuffle per side + forward-only merge)
+    //     against the compositional union+window form at double the
+    //     r11 scale — the gap should WIDEN with size if the exec's
+    //     claim holds.
+    val ev20 = Tables.events(spark, sfDir).crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("event_id") * 20 + col("rep")).as("event_id"),
+        (col("user_id") * 20 + col("rep")).as("user_id"), col("ts_us"))
+    val probeL20 = ev20.filter(col("event_id") % 5 =!= 0)
+    val probeR20 = ev20.filter(col("event_id") % 5 === 0)
+      .groupBy(col("user_id").as("ruid"), col("ts_us").as("mark_ts"))
+      .agg(count(lit(1)).as("mark_n"))
+    t0 = System.nanoTime()
+    val nNative20 = plans.AsOfNative.asofJoin(probeL20, probeR20,
+      Seq("user_id" -> "ruid"), "ts_us", "mark_ts").count()
+    val tNative20 = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nComposed20 = operators.Timeline.asofJoin(probeL20,
+      probeR20.withColumnRenamed("ruid", "user_id"),
+      Seq("user_id"), leftTs = "ts_us", rightTs = "mark_ts").count()
+    val tComposed20 = (System.nanoTime() - t0) / 1e9
+    require(nNative20 == nComposed20,
+      s"asof paths disagree at 20x: $nNative20 vs $nComposed20")
+    println(f"r12 asof 2M rows: native n=$nNative20 sec=$tNative20%.1f | " +
+      f"composed n=$nComposed20 sec=$tComposed20%.1f " +
+      f"speedup=${tComposed20 / tNative20}%.2fx")
     spark.stop()
   }
 }

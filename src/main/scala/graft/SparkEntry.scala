@@ -2507,14 +2507,16 @@ object SparkEntry {
         .partitionBy(col("grp")).orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp"))
-      Tables.lineitem(s, dir)
+      // group totals from a partially-aggregated groupBy broadcast
+      // back (group-cardinality rows) — not a second whole-partition
+      // window that would buffer every row again
+      val t = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("grp"),
           cents(col("l_extendedprice")).as("v"),
           round(col("l_quantity")).cast("long").as("wt"))
-        .withColumn("cw", sum(col("wt")).over(w))
-        .withColumn("tw", sum(col("wt")).over(wAll))
+      val totals = t.groupBy(col("grp")).agg(sum(col("wt")).as("tw"))
+      t.withColumn("cw", sum(col("wt")).over(w))
+        .join(broadcast(totals), Seq("grp"))
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("grp"))
         .agg(min(col("v")).as("wmedian_c"),
@@ -2896,11 +2898,13 @@ object SparkEntry {
       served.orderBy(col("l_suppkey"))
     }),
 
-    // ---- distributed BPE tokenizer-vocab training: one corpus-wide
-    //      shuffle to the word-frequency table, then 8 merge rounds on
-    //      the vocab only (corpus-size-independent per-round cost)
+    // ---- distributed BPE tokenizer-vocab training: merges learned on
+    //      a deterministic hash-ordered sample of <=100k docs (one
+    //      TakeOrdered pass; flat merge-learning cost at any corpus
+    //      size), then 8 merge rounds on the sample's vocab table only
     "q_bpe_train" -> ((s, dir) =>
-      operators.BpeTrain.trainMerges(Tables.documents(s, dir), "text", 8)
+      operators.BpeTrain.trainMerges(Tables.documents(s, dir), "text", 8,
+          sampleMaxDocs = 100000)
         .orderBy(col("merge_idx"))),
 
     // ---- per-doc token counts under the learned merges (the cost
@@ -7680,7 +7684,7 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_bpe_train" -> (bpeCtesSql(8) + "\n" +
+    "q_bpe_train" -> (bpeCtesSql(8, sampleMaxDocs = 100000) + "\n" +
       (1 to 8).map(i =>
         s"""SELECT CAST($i AS BIGINT) AS merge_idx,
            |    (SELECT ex FROM exp${i - 1} WHERE ch = substr(b.pair,1,1))
@@ -8160,13 +8164,21 @@ object SparkEntry {
     * (exp_i). MATERIALIZED is load-bearing: inlined, the
     * self-referencing chain plans exponentially (same lesson as
     * q_pretrain_v2). */
-  private def bpeCtesSql(n: Int): String = {
+  private def bpeCtesSql(n: Int, sampleMaxDocs: Int = 0): String = {
+    // sampleMaxDocs > 0 mirrors BpeTrain.sampleDocs: the maxDocs texts
+    // with the smallest stable 60-bit md5-prefix hash, text tie-break
+    val docsSrc =
+      if (sampleMaxDocs > 0)
+        s"""(SELECT text FROM documents
+           |     ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT),
+           |       text LIMIT $sampleMaxDocs)""".stripMargin
+      else "documents"
     val head = Seq(
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         |  SELECT word AS word0, word, count(*)::BIGINT AS freq FROM (
-        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
-        |    FROM documents) t
-        |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word)""".stripMargin,
+        |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM $docsSrc) t
+        |  WHERE regexp_matches(word, '^[A-Za-z]+$$') GROUP BY word)""".stripMargin,
       """exp0 AS MATERIALIZED (
         |  SELECT chr(x::INT)::VARCHAR AS ch, chr(x::INT)::VARCHAR AS ex
         |  FROM (SELECT unnest(list_concat(range(65,91), range(97,123)))

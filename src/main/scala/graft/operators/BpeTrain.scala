@@ -45,27 +45,47 @@ object BpeTrain {
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
 
+  /** Deterministic bounded training sample: the `maxDocs` documents
+    * with the smallest stable text hash (engine-independent md5-derived
+    * order, text tie-break). `TakeOrderedAndProject` keeps this a
+    * single parallel pass — per-partition top-N, tiny final merge — so
+    * the MERGE-LEARNING cost is flat in corpus size: however large the
+    * corpus, the vocab table is built from at most `maxDocs` docs.
+    * Tokenizer training on a bounded sample is the standard practice
+    * (vocabularies stabilize long before 100k docs); the sample is a
+    * pure function of the corpus contents, so results are reproducible
+    * and oracle-mirrorable. */
+  def sampleDocs(docs: DataFrame, textCol: String, maxDocs: Int): DataFrame =
+    docs.select(col(textCol))
+      .orderBy(graft.functions.stableHash64(col(textCol)), col(textCol))
+      .limit(maxDocs)
+
   /** One row per learned merge: (merge_idx 1-based, left_sym,
     * right_sym, pair_cnt) with symbols expanded back to letter
-    * strings.
+    * strings. `sampleMaxDocs > 0` learns on [[sampleDocs]].
     */
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
-    train(docs, textCol, nMerges)._1
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      sampleMaxDocs: Int = 0): DataFrame =
+    train(docs, textCol, nMerges, sampleMaxDocs)._1
 
   /** The vocab after training: (word0 original, word encoded — one
     * char per token, freq).
     */
-  def encodedVocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
-    train(docs, textCol, nMerges)._2
+  def encodedVocab(docs: DataFrame, textCol: String, nMerges: Int,
+      sampleMaxDocs: Int = 0): DataFrame =
+    train(docs, textCol, nMerges, sampleMaxDocs)._2
 
-  def train(docs: DataFrame, textCol: String, nMerges: Int)
-      : (DataFrame, DataFrame) = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      sampleMaxDocs: Int = 0): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val base =
+      if (sampleMaxDocs > 0) sampleDocs(docs, textCol, sampleMaxDocs)
+      else docs
     // vocab: word0 = original word (join key for encoding), word = the
     // evolving symbol string. localCheckpoint: the merge rounds must
     // not re-run the corpus scan + shuffle per round.
-    var vocab = wordFreq(docs, textCol)
+    var vocab = wordFreq(base, textCol)
       .select(col("word").as("word0"), col("word"), col("freq"))
       .localCheckpoint()
     val expansion = scala.collection.mutable.Map.empty[Char, String]
