@@ -556,6 +556,32 @@ object SparkEntry {
         .orderBy(col("user_id"), col("kind"), col("key"))
     }),
 
+    // ---- J5 surfaced as an oracle row: the 25h-watermark stream-stream
+    //      enrichment join (streaming.StreamingStats.enrichWithChangesets)
+    //      run in batch mode — withWatermark is a no-op on batch frames,
+    //      so this exercises the exact production join + interval-filter
+    //      code path; StreamingSpec separately proves stream==batch on
+    //      the same operator. Changes/metadata are synthesized
+    //      deterministically from events; metadata creation times lag the
+    //      event sequence by (changeset % 40)*50 minutes, so ~1/4 of
+    //      changesets fall outside the 25h window and exercise the bound.
+    "q_j5_stream_enrich" -> ((s, dir) => {
+      val changes = Tables.events(s, dir).select(
+        col("event_id").as("id"),
+        expr("event_id DIV 100").as("sequence"),
+        expr("event_id DIV 10").as("changeset"),
+        when(col("event_type") === "click", "node")
+          .when(col("event_type") === "view", "way")
+          .otherwise("relation").as("element_type"),
+        (col("event_id") % 7 =!= 0).as("visible"))
+      val metadata = changes.select(col("changeset")).distinct()
+        .withColumn("created_at", sequenceToTimestamp(
+          expr("changeset DIV 10 - (changeset % 40) * 50")))
+        .withColumn("meta_user", col("changeset") % 97)
+      streaming.StreamingStats.enrichWithChangesets(changes, metadata)
+        .orderBy(col("id"))
+    }),
+
     // ---- flagship composite: the reference's changeset-stats dataflow
     //      end-to-end (A2 -> J7 -> A1 -> J1; SURVEY §3.1)
     "q_stats_e2e" -> ((s, dir) =>
@@ -4062,6 +4088,24 @@ object SparkEntry {
         |  FROM events) t
         |WHERE list_contains(string_split(cat, ';'), 'even')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j5_stream_enrich" ->
+      """WITH ch AS (
+        |  SELECT event_id AS id, event_id // 100 AS sequence,
+        |    event_id // 10 AS changeset,
+        |    CASE WHEN event_type = 'click' THEN 'node'
+        |         WHEN event_type = 'view' THEN 'way'
+        |         ELSE 'relation' END AS element_type
+        |  FROM events),
+        |meta AS (
+        |  SELECT DISTINCT changeset,
+        |    changeset // 10 - (changeset % 40) * 50 AS cseq,
+        |    changeset % 97 AS meta_user
+        |  FROM ch)
+        |SELECT c.sequence, c.changeset, c.id, c.element_type, m.meta_user
+        |FROM ch c JOIN meta m USING (changeset)
+        |WHERE (c.sequence - m.cseq) * 60 BETWEEN 0 AND 90000
+        |ORDER BY c.id""".stripMargin,
 
     "q_p5_full_counts" ->
       """WITH cmap(cls, stem) AS (VALUES
