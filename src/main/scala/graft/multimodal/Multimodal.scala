@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   * JDK-builtin `javax.sound.sampled`, sample-stat features). VIDEO
   * container METADATA is real too ([[Containers.probe]]: MP4 box /
   * Matroska EBML walk → duration, tracks, codec ids, truncation
-  * detection); only video FRAME decode and compressed-audio decode
-  * remain STUBBED ([[decodeStub]]): no such codec ships in the JRE, so
-  * the stub derives a deterministic feature vector from payload bytes;
-  * swapping in a real decoder (JavaCV / ffmpeg-cli) only changes that
-  * one function.
+  * detection); G.711 µ-law/A-law audio transcodes through the JRE's
+  * built-in converters. Only MP3/AAC-class audio and non-MJPEG video
+  * FRAME decode remain STUBBED ([[decodeStub]]): no such codec ships
+  * in the JRE, so the stub derives a deterministic feature vector from
+  * payload bytes; swapping in a real decoder (JavaCV / ffmpeg-cli)
+  * only changes that one function.
   *
   * Scale notes: payloads never shuffle — feature extraction is a narrow
   * mapPartitions; only the (id, features) projection flows downstream.
@@ -91,8 +92,9 @@ object Multimodal {
     * external codec in the JRE). Returns 8 pixel-stat features —
     * [width, height, meanR, meanG, meanB, lumaMean, lumaStd, aspect] —
     * or None when the payload does not decode (corrupt/foreign format).
-    * This replaces the round-2 stub for images; audio/video decode
-    * remains stubbed ([[decodeStub]]) as no codec ships in the JRE. */
+    * This replaces the round-2 stub for images; MP3/AAC-class audio and
+    * non-MJPEG video remain stubbed ([[decodeStub]]) as no codec ships
+    * in the JRE. */
   def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
     try {
       val img = javax.imageio.ImageIO.read(
@@ -154,18 +156,55 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL audio decode for WAV/PCM via JDK-builtin `javax.sound.sampled`
-    * (no external codec needed for RIFF-WAVE carrying 16-bit signed
-    * PCM). Returns 8 sample-stat features —
+  /** Render the [[renderWav]] tone and transcode it to G.711 µ-law (or
+    * A-law with `aLaw = true`) inside a WAV container — the compressed-
+    * codec fixture for [[decodeAudio]]'s transcode path, built entirely
+    * from JDK encoders. */
+  def renderG711Wav(seed: Long, aLaw: Boolean = false,
+                    sampleRate: Int = 8000, nFrames: Int = 1600,
+                    amp: Double = 0.5): Array[Byte] = {
+    val pcm = renderWav(seed, sampleRate, nFrames, amp)
+    val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcm))
+    val enc =
+      if (aLaw) javax.sound.sampled.AudioFormat.Encoding.ALAW
+      else javax.sound.sampled.AudioFormat.Encoding.ULAW
+    val target = new javax.sound.sampled.AudioFormat(
+      enc, sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val out = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(target, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      out, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via JDK-builtin `javax.sound.sampled`: RIFF-WAVE
+    * carrying 16-bit signed PCM directly, plus the two telephony codecs
+    * the JRE ships converters for — G.711 µ-law and A-law — which are
+    * transcoded to PCM16 through `AudioSystem.getAudioInputStream
+    * (targetFormat, stream)` before feature extraction. Returns 8
+    * sample-stat features —
     * [duration_s, sample_rate, channels, rms, peak, clip_rate,
     * zero_cross_rate, mean_abs] (amplitudes normalized to [0,1]) —
-    * or None when the payload is not decodable PCM (corrupt container,
-    * compressed codec, or non-16-bit encoding → caller falls back to
+    * or None when the payload is not decodable (corrupt container, or
+    * a codec with no JRE decoder: MP3/AAC/etc → caller falls back to
     * [[decodeStub]], mirroring the image path's corrupt handling). */
   def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
+      val rawEnc = raw.getFormat.getEncoding
+      val ais =
+        if (rawEnc == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+            rawEnc == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+          val f = raw.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+            f.getSampleRate, false)
+          javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        } else raw
       try {
         val fmt = ais.getFormat
         val pcm16 =

@@ -113,6 +113,36 @@ class MultimodalSpec extends SparkSpec {
     g(5) should be > 0.0f
   }
 
+  test("decodeAudio: G.711 mu-law and A-law WAVs transcode end-to-end") {
+    // same half-amplitude tone as the PCM test, but G.711-encoded; the
+    // decode path must transcode via the JRE converter and recover the
+    // same signal statistics (8-bit companding costs ~1% accuracy)
+    for (aLaw <- Seq(false, true)) {
+      val wav = Multimodal.renderG711Wav(0L, aLaw = aLaw,
+        sampleRate = 8000, nFrames = 1600, amp = 0.5)
+      // the fixture really is compressed, not PCM in disguise
+      val fmt = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav)).getFormat
+      fmt.getEncoding.toString should (be("ULAW") or be("ALAW"))
+      val f = Multimodal.decodeAudio(wav).get
+      f(0) shouldBe 0.2f +- 1e-3f    // 1600 frames / 8 kHz
+      f(1) shouldBe 8000.0f
+      f(2) shouldBe 1.0f
+      f(3) shouldBe (0.5f / math.sqrt(2.0).toFloat) +- 0.02f
+      f(4) shouldBe 0.5f +- 0.02f
+    }
+    // and through the distributed extraction path: decoded = true
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "audio",
+          Multimodal.renderG711Wav(3L),
+          org.apache.spark.sql.Row(null, null, 8000, null, "wav"))), 1),
+      Multimodal.assetSchema)
+    val feats = Multimodal.extractFeatures(assets)
+      .as[(Long, String, Seq[Float], Boolean)].collect()
+    feats(0)._4 shouldBe true
+  }
+
   test("corrupt audio payloads fall back to the stub and are flagged") {
     // valid RIFF/WAVE magic, garbage body: sniffs as wav, cannot decode
     val corrupt = "RIFF".getBytes("ISO-8859-1") ++
