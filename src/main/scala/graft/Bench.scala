@@ -65,13 +65,18 @@ object Bench {
         "\",\"queries\":{", ",", "}}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      fullJson)
-    catch { case _: Throwable => () }
+    // advertise the sidecar only if THIS run's write succeeded — a
+    // stale file from a prior run must not read as current
+    val fullRef =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fullPath), fullJson)
+        "\"" + fullPath + "\""
+      } catch { case _: Throwable => "null" }
     val headline = results.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
     spark.stop()
   }
 }

@@ -462,9 +462,16 @@ object ScaleProbe {
     //     MV is built once; a matching aggregate query must answer
     //     from the stored MV (group-cardinality rows) instead of the
     //     12M-row base — the probe records the rewrite-hit delta.
-    val li20 = li.crossJoin(spark.range(20).select(col("id").as("rep")))
+    // the MV contract requires the definition to aggregate directly
+    // over a file scan (that is what the rewrite rule matches), so the
+    // 20x base is materialized to parquet first
+    val li20Path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_probe_li20").getAbsolutePath
+    li.crossJoin(spark.range(20).select(col("id").as("rep")))
       .select((col("l_suppkey") * 20 + col("rep")).as("l_suppkey"),
         col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .write.mode("overwrite").parquet(li20Path)
+    val li20 = spark.read.parquet(li20Path)
     val mvProbePath = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_probe_mv").getAbsolutePath
     val mvDefn = li20.groupBy(col("l_suppkey"), col("l_returnflag"))

@@ -7763,9 +7763,11 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |u AS (
         |  SELECT *,
-        |    (('0x'||substr(md5(event_type||chr(1)||'7'),1,13))::BIGINT
+        |    (('0x'||substr(md5(
+        |        COALESCE(event_type, chr(2))||chr(1)||'7'),1,13))::BIGINT
         |      + 0.5) / 4503599627370496.0 AS u_n,
-        |    (('0x'||substr(md5(event_type||chr(1)||'8'),1,13))::BIGINT
+        |    (('0x'||substr(md5(
+        |        COALESCE(event_type, chr(2))||chr(1)||'8'),1,13))::BIGINT
         |      + 0.5) / 4503599627370496.0 AS u_s
         |  FROM g)
         |SELECT event_type,

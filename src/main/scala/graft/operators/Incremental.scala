@@ -45,15 +45,25 @@ object Incremental {
     * computed WITHOUT touching A⋈B's inputs again: three delta-sized
     * joins instead of one history-sized one. At 100 TB the deltas and
     * the (key-partitioned) base sides are orders of magnitude apart,
-    * and ΔA⋈B / A⋈ΔB broadcast the delta side — cost is O(|Δ|·fanout),
-    * not O(|A⋈B|). Bag semantics: inputs must be duplicate-free per
-    * join key occurrence (or carry multiplicities upstream).
+    * and ΔA⋈B / A⋈ΔB usually broadcast the delta side — cost is
+    * O(|Δ|·fanout), not O(|A⋈B|). Bag semantics: inputs must be
+    * duplicate-free per join key occurrence (or carry multiplicities
+    * upstream).
+    *
+    * `broadcastDeltas = true` (default) HINTS broadcast for the delta
+    * sides; nothing enforces the "deltas are small" contract, so pass
+    * `false` when a delta may exceed broadcast/driver limits and let
+    * AQE pick the join strategy from runtime sizes instead of failing
+    * or OOMing on an oversized forced broadcast.
     */
   def joinDelta(joined: DataFrame, baseA: DataFrame, deltaA: DataFrame,
-      baseB: DataFrame, deltaB: DataFrame, key: String): DataFrame = {
-    val incr = deltaA.join(broadcast(deltaB), key)
-      .unionByName(broadcast(deltaA).join(baseB, key))
-      .unionByName(baseA.join(broadcast(deltaB), key))
+      baseB: DataFrame, deltaB: DataFrame, key: String,
+      broadcastDeltas: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastDeltas) broadcast(df) else df
+    val incr = deltaA.join(hint(deltaB), key)
+      .unionByName(hint(deltaA).join(baseB, key))
+      .unionByName(baseA.join(hint(deltaB), key))
     joined.unionByName(incr)
   }
 }

@@ -28,10 +28,15 @@ object Privacy {
 
   /** 52-bit uniform in (0,1), a pure function of (key, seed); md5 is
     * byte-identical across engines, and 13 hex chars (52 bits) stay
-    * exact in double.
+    * exact in double. A NULL key coalesces to the U+0002 sentinel
+    * BEFORE hashing: concat_ws silently skips NULL arguments (noise
+    * would derive from the seed alone) while `key || chr(1) || seed`
+    * on an oracle engine propagates NULL - the sentinel makes both
+    * sides agree and gives NULL groups their own noise draw.
     */
   def uniform52(key: Column, seed: Int): Column = {
-    val h = md5(concat_ws("\u0001", key, lit(seed.toString)))
+    val k = coalesce(key.cast("string"), lit("\u0002"))
+    val h = md5(concat_ws("\u0001", k, lit(seed.toString)))
     val v = conv(substring(h, 1, 13), 16, 10).cast("long")
     (v.cast("double") + lit(0.5)) / lit(Two52)
   }

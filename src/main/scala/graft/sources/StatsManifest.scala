@@ -106,13 +106,22 @@ object StatsManifest {
 
   /** Read only the files that can contain `statCol` ∈ [lo,hi]; the
     * residual exact filter still applies (skipping is file-granular,
-    * not row-granular).
+    * not row-granular). When EVERY file prunes away — a legitimately
+    * empty key range — returns an empty relation with the table's real
+    * schema (read from one manifest-listed file, no data scanned)
+    * instead of failing.
     */
   def readPruned(spark: SparkSession, manifest: DataFrame,
       statCol: String, lo: Long, hi: Long): DataFrame = {
     val files = prunedFiles(manifest, statCol, lo, hi)
-    require(files.nonEmpty, "all files pruned — read an empty relation explicitly")
-    spark.read.parquet(files: _*)
-      .filter(col(statCol).cast("long").between(lo, hi))
+    if (files.isEmpty) {
+      val any = manifest.select(col("file_path")).limit(1)
+        .collect().map(_.getString(0))
+      require(any.nonEmpty, "empty manifest: no files to derive a schema from")
+      spark.read.parquet(any.head).limit(0)
+        .filter(col(statCol).cast("long").between(lo, hi))
+    } else
+      spark.read.parquet(files: _*)
+        .filter(col(statCol).cast("long").between(lo, hi))
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
@@ -45,18 +44,20 @@ object StreamingTopK {
 
   /** One Misra-Gries merge: fold (token, cnt) rows into a ≤ k-row
     * state. Exposed for batch use and tests; both inputs are
-    * (token, cnt) shaped. */
+    * (token, cnt) shaped. The decrement d = (k+1)-th largest combined
+    * count comes from `orderBy.limit(k+1)` — TakeOrdered computes a
+    * per-partition top-(k+1) in parallel and merges k+1 rows, so no
+    * step funnels the batch's full distinct-token table through one
+    * task (a global row_number here would). */
   def mgMerge(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
     val combined = state.unionByName(delta)
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    val ranked = combined.withColumn("rk", row_number().over(w))
-    val d = ranked.filter(col("rk") === k + 1)
-      .select(col("cnt").as("d"))
-    ranked
-      .crossJoin(broadcast(
-        d.unionByName(ranked.sparkSession.range(1)
-          .select(lit(0L).as("d"))).agg(max(col("d")).as("d"))))
+    val d = combined
+      .orderBy(col("cnt").desc, col("token")).limit(k + 1)
+      .agg(when(count(lit(1)) === k + 1, min(col("cnt")))
+        .otherwise(lit(0L)).as("d"))
+    combined
+      .crossJoin(broadcast(d))
       .filter(col("cnt") - col("d") > 0)
       .select(col("token"), (col("cnt") - col("d")).as("cnt"))
   }

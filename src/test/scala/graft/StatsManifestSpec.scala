@@ -54,6 +54,17 @@ class StatsManifestSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("readPruned on a fully-pruned range returns an empty typed relation") {
+    val p = tmpDir("graft_manifest_spec3")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(p)
+    val manifest = StatsManifest.build(spark.read.parquet(p), Seq("k"))
+    val out = StatsManifest.readPruned(spark, manifest, "k", 5000, 6000)
+    out.columns.toSeq shouldBe Seq("k", "v") // real schema, zero rows
+    out.count() shouldBe 0L
+  }
+
   test("bloom manifest never loses the true file and prunes the rest") {
     val p = tmpDir("graft_manifest_bloom")
     // layout sorted by g, so a point lookup on k gets no min/max help
