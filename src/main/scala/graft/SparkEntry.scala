@@ -2780,6 +2780,16 @@ object SparkEntry {
           goldCol = col("lang"), predCol = col("langid"))
         .orderBy(col("cls"))),
 
+    // ---- Cohen's kappa: chance-corrected agreement between the
+    // heuristic language id and the gold label (label-QA companion to
+    // q_eval_langid; exact integer confusion mass, one IEEE division)
+    "q_eval_kappa" -> ((s, dir) =>
+      operators.Eval.cohenKappa(
+        Tables.documents(s, dir).withColumn("langid",
+          functions.TextFunctions.langId(
+            functions.TextFunctions.tokens(col("text")))),
+        col("lang"), col("langid"))),
+
     // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
     // ship year (two nation joins off one fact scan)
     "q_tpch_q7" -> ((s, dir) => {
@@ -7624,6 +7634,43 @@ object SparkEntry {
          |      // (precision_micro + recall_micro) END AS BIGINT)
          |    AS f1_micro
          |FROM p ORDER BY cls""".stripMargin,
+
+    "q_eval_kappa" ->
+      s"""WITH $toksSql,
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> x IN ('group','merge','row'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('the','data','table'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('filter','window','sort'))) AS s_es,
+         |    len(list_filter(t, x -> x IN ('join','stream','query'))) AS s_fr
+         |  FROM toks),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         |         ELSE 'und' END AS langid
+         |  FROM scores),
+         |pairs AS (
+         |  SELECT d.lang AS a, lid.langid AS b
+         |  FROM documents d JOIN lid ON d.doc_id = lid.doc_id),
+         |cm AS (SELECT a, b, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS d
+         |  FROM cm),
+         |ma AS (SELECT a AS cls, CAST(sum(n) AS BIGINT) AS na
+         |       FROM cm GROUP BY 1),
+         |mb AS (SELECT b AS cls, CAST(sum(n) AS BIGINT) AS nb
+         |       FROM cm GROUP BY 1),
+         |sp AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS s
+         |       FROM ma JOIN mb USING (cls))
+         |SELECT nn AS n, d AS agree,
+         |  CASE WHEN nn * nn = s THEN NULL
+         |       ELSE CAST(nn * d - s AS DOUBLE) / CAST(nn * nn - s AS DOUBLE)
+         |  END AS kappa
+         |FROM tot, sp""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -53,4 +53,37 @@ object Eval {
             "2 * precision_micro * recall_micro DIV " +
               "(precision_micro + recall_micro)")))
   }
+
+  /** Cohen's kappa chance-corrected agreement between two label
+    * columns (annotator pairs, or a classifier vs gold — the label-QA
+    * companion to [[classMetrics]]).
+    *
+    * All mass lives in the confusion matrix (one class² shuffle); with
+    * d = diagonal sum, N = total, S = Σ_c rowMarginal_c·colMarginal_c,
+    *
+    *   kappa = (p_o − p_e)/(1 − p_e) = (N·d − S)/(N² − S)
+    *
+    * computed in exact integers and released through ONE IEEE division
+    * — bit-stable across partitionings and engines. NULL when the
+    * marginals are degenerate (N² = S, chance agreement is total).
+    * Emits one row: (n, agree, kappa). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cm = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val tot = cm.agg(sum(col("n")).as("N"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L)))
+        .as("d"))
+    val margA = cm.groupBy(col("a").as("cls")).agg(sum(col("n")).as("na"))
+    val margB = cm.groupBy(col("b").as("cls")).agg(sum(col("n")).as("nb"))
+    val s = margA.join(margB, Seq("cls"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("S"))
+    tot.crossJoin(broadcast(s))
+      .select(col("N").as("n"), col("d").as("agree"),
+        when(col("N") * col("N") === col("S"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("N") * col("d") - col("S")).cast("double") /
+              (col("N") * col("N") - col("S")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -25,6 +25,30 @@ class EvalSpec extends SparkSpec {
     m("c") shouldBe ((1L, 0L, 0L, 1000000L, 1000000L, 1000000L))
   }
 
+  test("cohenKappa: hand-computed value, degenerate and perfect cases") {
+    // classic worked example: N=50, diag=20+15=35, marginals
+    // a:(25,20) b:(25,30) -> S = 25*20 + 25*30 = 1250
+    // kappa = (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+        Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val r = Eval.cohenKappa(df, col("a"), col("b")).collect().head
+    r.getLong(0) shouldBe 50L
+    r.getLong(1) shouldBe 35L
+    r.getDouble(2) shouldBe 0.4 +- 1e-12
+    // perfect agreement -> 1.0
+    Eval.cohenKappa(Seq(("a", "a"), ("b", "b")).toDF("a", "b"),
+      col("a"), col("b")).collect().head.getDouble(2) shouldBe 1.0
+    // degenerate: both raters constant -> chance agreement total -> NULL
+    Eval.cohenKappa(Seq(("a", "a"), ("a", "a")).toDF("a", "b"),
+      col("a"), col("b")).collect().head.isNullAt(2) shouldBe true
+    // partitioning cannot change the exact integer mass
+    val shuffled = Eval.cohenKappa(df.repartition(13), col("a"), col("b"))
+      .collect().head
+    shuffled.getDouble(2) shouldBe r.getDouble(2)
+  }
+
   test("a predicted-only class appears with zero recall denominator") {
     val df = Seq(("x", "x"), ("x", "ghost")).toDF("g", "p")
     val m = Eval.classMetrics(df, col("g"), col("p"))
