@@ -2278,11 +2278,15 @@ object SparkEntry {
         .partitionBy(col("qid")).orderBy(col("dist_cm"), col("pid"))
       // spread the corpus side across the cluster before fanning out
       // against the broadcast query set: a compact scan (one small
-      // file -> one task) would otherwise serialize all pair work;
-      // repartition() follows spark.sql.shuffle.partitions so it
-      // scales with the cluster, and map-side WindowGroupLimit keeps
-      // the post-join shuffle at 3 rows per (query, partition)
-      pts.repartition().crossJoin(broadcast(queries))
+      // file -> one task) would otherwise serialize all pair work.
+      // The partition count must be EXPLICIT: AQE sizes a bare
+      // repartition() by its input bytes (tiny here) and coalesces to
+      // ~2 partitions, blind to the 64x row fan-out the broadcast
+      // join adds downstream — measured 5.2 s -> 0.8 s at sf0.1.
+      // Map-side WindowGroupLimit keeps the post-join shuffle at
+      // 3 rows per (query, partition).
+      pts.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(queries))
         .filter(col("pid") =!= col("qid"))
         .withColumn("dist_cm", floor(geo.Geodesy.haversineWithCos(
           col("qlon"), col("qlat"), col("qcoslat"),
