@@ -1438,7 +1438,10 @@ object SparkEntry {
     //      n-grams appearing elsewhere" quality filter; 5-grams)
     "q_text_dupfrac" -> ((s, dir) =>
       operators.Dedup.duplicatedGramFraction(
-          Tables.documents(s, dir), col("text"), col("doc_id"))
+          // spread at the CALL site: the caller knows this input is a
+          // compact single-file scan; mid-pipeline callers skip it
+          operators.Scale.spread(Tables.documents(s, dir)),
+          col("text"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
     // ---- per-doc TF-IDF top terms (exact rational idf tf·N/df: one

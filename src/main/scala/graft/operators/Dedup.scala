@@ -95,7 +95,7 @@ object Dedup {
     * the gram stream. */
   def winnowFingerprints(df: DataFrame, textCol: Column, idCol: Column,
                          k: Int, window: Int): DataFrame =
-    df.select(idCol.as("doc_id"),
+    Scale.spread(df).select(idCol.as("doc_id"),
         explode(winnowUdf(k, window)(textCol)).as("fp"))
       .select(col("doc_id"), col("fp._1").as("fp_hash"),
         col("fp._2").as("gram_pos"))
@@ -714,7 +714,7 @@ object Dedup {
 
   /** (doc_id, simhash) signatures. */
   def simhashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("doc_id"), simhash60Text(textCol).as("sim"))
+    Scale.spread(df).select(idCol.as("doc_id"), simhash60Text(textCol).as("sim"))
 
   /** SimHash near-dup pairs: candidates share one of four 15-bit bands;
     * verified by Hamming distance ≤ maxHamming on the full signature. */

@@ -244,7 +244,7 @@ object LanguageModel {
   def invertedIndex(df: DataFrame, idCol: Column, termsCol: Column,
                     minDf: Long = 1L,
                     maxDfFrac: Double = 1.0): DataFrame = {
-    val occ = df.select(idCol.as("doc_id"),
+    val occ = Scale.spread(df).select(idCol.as("doc_id"),
       explode(array_distinct(termsCol)).as("w"))
     val n = df.agg(count(lit(1)).as("n_total"))
     occ.groupBy(col("w"))

@@ -7,6 +7,19 @@ import graft.operators.Scale
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spread: widens a compact input, leaves a wide input untouched") {
+    val p = spark.sparkContext.defaultParallelism
+    // compact: one partition (the single-file single-row-group shape)
+    val compact = (1 to 1000).toDF("x").coalesce(1)
+    compact.rdd.getNumPartitions shouldBe 1
+    val spreadOut = Scale.spread(compact)
+    spreadOut.rdd.getNumPartitions shouldBe p
+    spreadOut.agg(sum(col("x"))).head.getLong(0) shouldBe 500500L
+    // already wide: returned as-is, no exchange added
+    val wide = (1 to 1000).toDF("x").repartition(p)
+    (Scale.spread(wide) eq wide) shouldBe true
+  }
+
   test("saltedSum equals direct groupBy sum on skewed data") {
     // one hot key with 10k rows, many cold keys
     val skewed = (1 to 10000).map(i => ("hot", i.toLong)) ++
