@@ -582,6 +582,44 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- A10 surfaced as an oracle row: the watermarked per-sequence
+    //      changeset rollup (streaming.StreamingStats.changesetStats)
+    //      run in batch mode over change rows synthesized from events —
+    //      exercises the exact production aggregate; StreamingSpec
+    //      separately proves stream==batch + replay on the same code.
+    "q_a10_stream_rollup" -> ((s, dir) => {
+      val changes = Tables.events(s, dir).select(
+        expr("event_id DIV 100").as("sequence"),
+        expr("event_id DIV 10").as("changeset"),
+        col("user_id").as("uid"),
+        when(col("event_type") === "click", "node")
+          .when(col("event_type") === "view", "way")
+          .otherwise("relation").as("element_type"),
+        (col("event_id") % 7 =!= 0).as("visible"))
+      streaming.StreamingStats.changesetStats(changes)
+        .orderBy(col("sequence"), col("changeset"), col("uid"))
+    }),
+
+    // ---- J6 surfaced as an oracle row: composite-key (sequence, ref)
+    //      way-member x node join in batch mode (same-sequence
+    //      semantics); ways/nodes synthesized deterministically from
+    //      events so the aspatial oracle mirrors by arithmetic.
+    "q_j6_way_nodes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ways = ev.filter(col("event_type") === "click").select(
+        expr("event_id DIV 100").as("sequence"),
+        expr("event_id DIV 20").as("way_id"),
+        (col("event_id") % 50).as("ref"))
+      val nodes = ev.filter(col("event_type") === "view").select(
+        expr("event_id DIV 100").as("sequence"),
+        (col("event_id") % 50).as("node_id"),
+        synthLon(col("event_id")).as("lon"),
+        synthLat(col("event_id")).as("lat"))
+      streaming.StreamingStats.waysWithNodes(ways, nodes)
+        .orderBy(col("sequence"), col("way_id"), col("ref"),
+          col("lon"), col("lat"))
+    }),
+
     // ---- flagship composite: the reference's changeset-stats dataflow
     //      end-to-end (A2 -> J7 -> A1 -> J1; SURVEY §3.1)
     "q_stats_e2e" -> ((s, dir) =>
@@ -4123,6 +4161,39 @@ object SparkEntry {
         |FROM ch c JOIN meta m USING (changeset)
         |WHERE (c.sequence - m.cseq) * 60 BETWEEN 0 AND 90000
         |ORDER BY c.id""".stripMargin,
+
+    "q_a10_stream_rollup" ->
+      """WITH ch AS (
+        |  SELECT event_id // 100 AS sequence, event_id // 10 AS changeset,
+        |    user_id AS uid,
+        |    CASE WHEN event_type = 'click' THEN 'node'
+        |         WHEN event_type = 'view' THEN 'way'
+        |         ELSE 'relation' END AS element_type,
+        |    (event_id % 7 <> 0) AS visible
+        |  FROM events)
+        |SELECT sequence, changeset, uid,
+        |  count(*)::BIGINT AS total_edits,
+        |  CAST(sum(CASE WHEN element_type = 'node' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nodes,
+        |  CAST(sum(CASE WHEN element_type = 'way' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ways,
+        |  CAST(sum(CASE WHEN NOT visible THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS deletes
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_j6_way_nodes" ->
+      s"""WITH w AS (
+         |  SELECT event_id // 100 AS sequence, event_id // 20 AS way_id,
+         |    event_id % 50 AS ref
+         |  FROM events WHERE event_type = 'click'),
+         |n AS (
+         |  SELECT event_id // 100 AS sequence, event_id % 50 AS node_id,
+         |    ${synthLonSql("event_id")} AS lon,
+         |    ${synthLatSql("event_id")} AS lat
+         |  FROM events WHERE event_type = 'view')
+         |SELECT w.sequence, w.way_id, w.ref, n.lon, n.lat
+         |FROM w JOIN n ON w.sequence = n.sequence AND w.ref = n.node_id
+         |ORDER BY w.sequence, way_id, ref, lon, lat""".stripMargin,
 
     "q_p5_full_counts" ->
       """WITH cmap(cls, stem) AS (VALUES

@@ -38,6 +38,26 @@ object StreamingStats {
         col("total_edits"), col("nodes"), col("ways"), col("deletes"))
   }
 
+  /** Composite-key stream-stream self-join (J6): way member refs to
+    * node coordinates on (sequence, ref = node_id) — both sides keyed
+    * by the SAME replication sequence, 0 s watermarks (same-microbatch
+    * semantics, reference MergedChangesetStreamProcessor's
+    * way-assembly join). `ways` needs (sequence, way_id, ref); `nodes`
+    * needs (sequence, node_id, lon, lat). Works identically on batch
+    * frames, which is how the oracle row checks it. */
+  def waysWithNodes(ways: DataFrame, nodes: DataFrame): DataFrame = {
+    val w = ways
+      .withColumn("event_ts", sequenceToTimestamp(col("sequence")))
+      .withWatermark("event_ts", "0 seconds")
+    val n = nodes
+      .withColumn("n_ts", sequenceToTimestamp(col("sequence")))
+      .withWatermark("n_ts", "0 seconds")
+    w.join(n,
+        w("sequence") === n("sequence") && col("ref") === col("node_id"))
+      .select(w("sequence"), col("way_id"), col("ref"),
+        col("lon"), col("lat"))
+  }
+
   /** Stream-stream inner join of element changes to changeset metadata on
     * `changeset`, 25 h watermark on the metadata side, 0 s on changes
     * (J5). `metadata` needs (changeset, created_at, meta_user). */

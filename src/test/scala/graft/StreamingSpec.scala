@@ -202,16 +202,12 @@ class StreamingSpec extends SparkSpec {
   test("composite-key stream-stream self-join (J6 shape: ways x nodes on (sequence, ref))") {
     val ways = MemoryStream[(Long, Long, Long)](spark) // (sequence, way_id, ref)
     val nodes = MemoryStream[(Long, Long, Double, Double)](spark) // (sequence, node_id, lon, lat)
-    val w = ways.toDF().toDF("sequence", "way_id", "ref")
-      .withColumn("event_ts", graft.functions.sequenceToTimestamp(col("sequence")))
-      .withWatermark("event_ts", "0 seconds")
-    val n = nodes.toDF().toDF("sequence", "node_id", "lon", "lat")
-      .withColumn("n_ts", graft.functions.sequenceToTimestamp(col("sequence")))
-      .withWatermark("n_ts", "0 seconds")
-    // same-microbatch join on the composite (sequence, ref=node_id) key
-    val joined = w.join(n,
-      w("sequence") === n("sequence") && col("ref") === col("node_id"))
-      .select(w("sequence"), col("way_id"), col("ref"), col("lon"), col("lat"))
+    // same-microbatch join on the composite (sequence, ref=node_id)
+    // key — the production operator, also oracle-gated in batch mode
+    // by q_j6_way_nodes
+    val joined = graft.streaming.StreamingStats.waysWithNodes(
+      ways.toDF().toDF("sequence", "way_id", "ref"),
+      nodes.toDF().toDF("sequence", "node_id", "lon", "lat"))
     val ckpt = Files.createTempDirectory("graft-ckpt-j6").toString
     val q = joined.writeStream.format("memory").queryName("j6")
       .option("checkpointLocation", ckpt).outputMode("append").start()
