@@ -187,4 +187,113 @@ class PropertiesSpec extends SparkSpec {
         SequenceFetcher.parseState(s" $n \n") == Some(n)
     })
   }
+
+  test("cohenKappa equals the local reference on random confusion tables") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // local reference: kappa = (N*d - S) / (N^2 - S) over the pair list
+    def refKappa(pairs: List[(String, String)]): Option[Double] = {
+      val n = pairs.size.toLong
+      val d = pairs.count { case (a, b) => a == b }.toLong
+      val ma = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val mb = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val s = ma.keySet.intersect(mb.keySet).toSeq
+        .map(c => ma(c) * mb(c)).sum
+      if (n * n == s) None else Some((n * d - s).toDouble / (n * n - s))
+    }
+    val genPairs = Gen.chooseNum(1, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z"))))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(genPairs) { pairs =>
+        val row = graft.operators.Eval
+          .cohenKappa(pairs.toDF("a", "b"), col("a"), col("b"))
+          .collect().head
+        val got = if (row.isNullAt(2)) None else Some(row.getDouble(2))
+        val want = refKappa(pairs)
+        val eq = (got, want) match {
+          case (None, None) => true
+          case (Some(g), Some(w)) => math.abs(g - w) < 1e-12 &&
+            g >= -1.0 - 1e-12 && g <= 1.0 + 1e-12
+          case _ => false
+        }
+        row.getLong(0) == pairs.size.toLong && eq
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("P5 predicate laws hold on generated tag maps") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions._
+    import spark.implicits._
+    val keys = Seq("highway", "waterway", "natural", "building", "railway",
+      "landuse", "amenity", "note")
+    val values = Seq("residential", "river", "coastline", "yes", "no",
+      "station", "yard", "rail", "railway", "farmland", "wood", "cafe",
+      "fixme", "water;coastline", "station;yard")
+    val rnd = new scala.util.Random(42)
+    val maps = (0 until 400).map { _ =>
+      val n = rnd.nextInt(4)
+      (0 until n).map(_ => keys(rnd.nextInt(keys.size)) ->
+        values(rnd.nextInt(values.size))).toMap
+    }
+    val df = maps.toDF("tags")
+    val got = df.select(
+      isTagged(col("tags")).as("tagged"),
+      isRailFeature(col("tags")).as("rf"),
+      isRailLine(col("tags")).as("rl"),
+      isRailway(col("tags")).as("rw"),
+      isLinear(col("tags")).as("lin"),
+      isOther(col("tags")).as("oth"),
+      isRoad(col("tags")).as("road"),
+      isWaterway(col("tags")).as("ww"),
+      isCoastline(col("tags")).as("cl"),
+      isNatural(col("tags")).as("nat"),
+      isLanduse(col("tags")).as("lu"),
+      isBuilding(col("tags")).as("bld"),
+      isPOI(col("tags")).as("poi"))
+      .collect()
+    got.foreach { r =>
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      // rail feature and rail line are mutually exclusive; both imply railway
+      assert(!(b("rf") && b("rl")))
+      if (b("rf") || b("rl")) assert(b("rw"))
+      // linear is exactly the union of its four classes
+      assert(b("lin") == (b("road") || b("ww") || b("cl") || b("rl")))
+      // other implies tagged and excludes every named class
+      if (b("oth"))
+        assert(b("tagged") && !b("road") && !b("ww") && !b("bld") &&
+          !b("rw") && !b("nat") && !b("lu") && !b("poi"))
+      // coastline implies natural (it is natural=coastline)
+      if (b("cl")) assert(b("nat"))
+      // untagged matches no class
+      if (!b("tagged"))
+        assert(!b("rf") && !b("rl") && !b("rw") && !b("lin") && !b("oth") &&
+          !b("road") && !b("ww") && !b("cl") && !b("nat") && !b("lu") &&
+          !b("bld") && !b("poi"))
+    }
+  }
+
+  test("KS statistic laws: range, side symmetry, translation invariance") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("v", "is_a")
+    def ks(d: org.apache.spark.sql.DataFrame,
+           flag: org.apache.spark.sql.Column) =
+      graft.operators.Drift.ksStatistic(d, col("v"), flag).collect().head
+    val r1 = ks(df, col("is_a"))
+    val micro = r1.getLong(3)
+    assert(micro >= 0L && micro <= 1000000L)
+    // swapping sides swaps (n_a, n_b) but keeps |F_a - F_b| identical
+    val r2 = ks(df, !col("is_a"))
+    assert(r1.getLong(2) == r2.getLong(2) && micro == r2.getLong(3))
+    assert(r1.getLong(0) == r2.getLong(1) && r1.getLong(1) == r2.getLong(0))
+    // the ecdf gap is translation-invariant
+    val shifted = rows.map { case (v, a) => (v + 10000L, a) }.toDF("v", "is_a")
+    val r3 = ks(shifted, col("is_a"))
+    assert(r3.getLong(2) == r1.getLong(2) && r3.getLong(3) == micro)
+  }
 }
