@@ -98,9 +98,29 @@ object Tables {
     "lineitem" -> lineitemSchema, "events" -> eventsSchema,
     "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
 
-  /** Read one synthetic table with its pinned schema. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  /** Read one synthetic table with its pinned schema — drift-tolerant.
+    *
+    * The driver regenerates testdata at round boundaries and physical
+    * types have drifted before (events.ts flipped TIMESTAMP(NANOS) ->
+    * TIMESTAMP_NTZ(MICROS) at round 9 and silently broke 16 queries).
+    * Defense: footer-sniff the actual schema (cheap, no data scan);
+    * when a column's physical type differs from the pinned one, read
+    * with the FILE's type and cast to the pinned type — same column
+    * set and types out, whatever the file encodes. A missing column
+    * fails loudly at analysis instead of rows silently misreading. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val pinned = schemas(name)
+    val path = s"$dir/$name.parquet"
+    val actual = spark.read.parquet(path).schema
+    val actualTypes = actual.fields.map(f => f.name -> f.dataType).toMap
+    val drifted = pinned.fields.exists(f =>
+      actualTypes.get(f.name).exists(_ != f.dataType))
+    if (!drifted) spark.read.schema(pinned).parquet(path)
+    else
+      spark.read.parquet(path).select(pinned.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -10,6 +10,24 @@ import org.apache.spark.sql.types._
 class IoSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables.load tolerates physical-type drift in regenerated testdata") {
+    // pinned region schema says r_regionkey INT; write a drifted file
+    // with BIGINT keys (the round-9 events.ts incident shape) — load
+    // must sniff, read with the file's type, and cast back to pinned
+    val dir = Files.createTempDirectory("graft-drift").toString
+    Seq((10L, "AMERICA"), (20L, "ASIA")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val got = Tables.region(spark, dir)
+    got.schema("r_regionkey").dataType shouldBe IntegerType
+    got.orderBy(col("r_regionkey")).as[(Int, String)].collect() shouldBe
+      Array((10, "AMERICA"), (20, "ASIA"))
+    // and the non-drifted path still reads with the pinned schema
+    Seq((1, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Tables.region(spark, dir).as[(Int, String)].collect() shouldBe
+      Array((1, "EUROPE"))
+  }
+
   test("S2: CSV scan with header/quote/escape options") {
     val dir = Files.createTempDirectory("graft-csv")
     val csv = dir.resolve("data.csv")
