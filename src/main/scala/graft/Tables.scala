@@ -108,10 +108,16 @@ object Tables {
     * with the FILE's type and cast to the pinned type — same column
     * set and types out, whatever the file encodes. A missing column
     * fails loudly at analysis instead of rows silently misreading. */
+  // footer schemas are immutable per path within a run — memoize the
+  // sniff so repeated table loads don't pay a driver-side footer read
+  private val sniffed =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val pinned = schemas(name)
     val path = s"$dir/$name.parquet"
-    val actual = spark.read.parquet(path).schema
+    val actual = sniffed.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
     val actualTypes = actual.fields.map(f => f.name -> f.dataType).toMap
     val drifted = pinned.fields.exists(f =>
       actualTypes.get(f.name).exists(_ != f.dataType))

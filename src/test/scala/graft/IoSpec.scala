@@ -22,9 +22,11 @@ class IoSpec extends SparkSpec {
     got.orderBy(col("r_regionkey")).as[(Int, String)].collect() shouldBe
       Array((10, "AMERICA"), (20, "ASIA"))
     // and the non-drifted path still reads with the pinned schema
+    // (fresh dir: the footer sniff memoizes per path within a run)
+    val dir2 = Files.createTempDirectory("graft-drift2").toString
     Seq((1, "EUROPE")).toDF("r_regionkey", "r_name")
-      .write.mode("overwrite").parquet(s"$dir/region.parquet")
-    Tables.region(spark, dir).as[(Int, String)].collect() shouldBe
+      .write.mode("overwrite").parquet(s"$dir2/region.parquet")
+    Tables.region(spark, dir2).as[(Int, String)].collect() shouldBe
       Array((1, "EUROPE"))
   }
 
