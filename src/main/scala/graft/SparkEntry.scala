@@ -2915,6 +2915,272 @@ object SparkEntry {
           |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)
     }),
 
+    // ---- Q4: order-priority checking — correlated EXISTS against the
+    //      fact table (lateness adapted to shipdate > orderdate + 30d,
+    //      the schema has no commit/receipt dates). Plan-asserted to
+    //      decorrelate into a LeftSemi join, never a per-row probe.
+    "q_tpch_q4" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("t4_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t4_lineitem")
+      val q = s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM t4_orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-07-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM t4_lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains("LeftSemi"))
+        throw new IllegalStateException(
+          "Q4 EXISTS not planned as a semi join:\n" + plan.take(800))
+      q
+    }),
+
+    // ---- Q8: national market share — the 8-way star with the nation
+    //      dim joined TWICE (customer side fixes the market region,
+    //      supplier side carries the share nation). All dims broadcast;
+    //      the only shuffle is the final tiny per-year aggregate.
+    //      Share as floor-micro over exact c4 integer sums (Q14 idiom).
+    "q_tpch_q8" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("t8_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t8_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t8_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("t8_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("t8_customer")
+      Tables.nation(s, dir).createOrReplaceTempView("t8_nation")
+      Tables.region(s, dir).createOrReplaceTempView("t8_region")
+      s.sql(
+        """SELECT o_year,
+          |  CAST(SUM(CASE WHEN snation = 'NATION_6' THEN rev ELSE 0 END)
+          |    AS BIGINT) AS nation_c4,
+          |  CAST(SUM(rev) AS BIGINT) AS total_c4,
+          |  CAST(floor(
+          |    CAST(SUM(CASE WHEN snation = 'NATION_6' THEN rev ELSE 0 END)
+          |      AS DOUBLE) /
+          |    CAST(SUM(rev) AS DOUBLE) * 1000000.0) AS BIGINT)
+          |    AS share_micro
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          |    CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT) AS rev,
+          |    n2.n_name AS snation
+          |  FROM t8_part JOIN t8_lineitem ON p_partkey = l_partkey
+          |    JOIN t8_supplier ON s_suppkey = l_suppkey
+          |    JOIN t8_orders ON l_orderkey = o_orderkey
+          |    JOIN t8_customer ON o_custkey = c_custkey
+          |    JOIN t8_nation n1 ON c_nationkey = n1.n_nationkey
+          |    JOIN t8_region ON n1.n_regionkey = r_regionkey
+          |    JOIN t8_nation n2 ON s_nationkey = n2.n_nationkey
+          |  WHERE r_name = 'AMERICA'
+          |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |    AND p_type = 'ECONOMY') t
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    }),
+
+    // ---- Q9: product-type profit by nation x year (lite: the schema
+    //      has no partsupp/supplycost, so profit = revenue). The LIKE
+    //      filter on part prunes the fact join via the broadcast dim.
+    "q_tpch_q9" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("t9_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t9_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t9_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("t9_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("t9_nation")
+      s.sql(
+        """SELECT nation, o_year,
+          |  CAST(SUM(rev) AS BIGINT) AS profit_c4
+          |FROM (
+          |  SELECT n_name AS nation,
+          |    CAST(year(o_orderdate) AS INT) AS o_year,
+          |    CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT) AS rev
+          |  FROM t9_part JOIN t9_lineitem ON p_partkey = l_partkey
+          |    JOIN t9_supplier ON s_suppkey = l_suppkey
+          |    JOIN t9_orders ON o_orderkey = l_orderkey
+          |    JOIN t9_nation ON s_nationkey = n_nationkey
+          |  WHERE p_name LIKE '%gear%') t
+          |GROUP BY nation, o_year
+          |ORDER BY nation, o_year DESC""".stripMargin)
+    }),
+
+    // ---- Q12: shipping-mode line counts (lite: returnflag stands in
+    //      for shipmode; late = shipped >60d after order). The
+    //      conditional-aggregation-over-join shape; the date band plus
+    //      the non-equi lateness predicate both evaluate pre-shuffle.
+    "q_tpch_q12" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("t12_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t12_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM t12_orders JOIN t12_lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // ---- Q13: customer order-count distribution — LEFT OUTER with an
+    //      extra non-key join predicate (zero-order customers must
+    //      survive), then a second aggregation over the first's output.
+    "q_tpch_q13" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t13_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t13_orders")
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM t13_customer LEFT OUTER JOIN t13_orders
+          |    ON c_custkey = o_custkey
+          |    AND o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY c_custkey) t
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    }),
+
+    // ---- Q15: top supplier — a derived revenue view consumed twice
+    //      (join side + scalar-subquery max). Catalyst plans the max as
+    //      a one-row subquery broadcast, not a self-join shuffle.
+    "q_tpch_q15" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t15_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t15_supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |      AS BIGINT)) AS BIGINT) AS total_revenue_c4
+          |  FROM t15_lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue_c4
+          |FROM t15_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue_c4 = (SELECT max(total_revenue_c4)
+          |                          FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // ---- Q17: small-quantity-order revenue — correlated scalar
+    //      subquery (per-part average) that Catalyst decorrelates into
+    //      an aggregate + join; exact because quantities are
+    //      integer-valued (the double avg is order-invariant).
+    "q_tpch_q17" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("t17_part")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+          |    AS BIGINT) AS sum_price_c,
+          |  COUNT(*) AS n
+          |FROM t17_lineitem JOIN t17_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#4'
+          |  AND l_quantity < 0.2 * (
+          |    SELECT avg(ll.l_quantity) FROM t17_lineitem ll
+          |    WHERE ll.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // ---- Q18: large-volume customers — HAVING-filtered IN subquery on
+    //      the fact table (plans as an aggregate + semi join), top-100
+    //      by price with a deterministic key tie-break.
+    "q_tpch_q18" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t18_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t18_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t18_lineitem")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          |  totalprice_c, sum_qty
+          |FROM (
+          |  SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+          |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |  FROM t18_customer JOIN t18_orders ON c_custkey = o_custkey
+          |    JOIN t18_lineitem ON o_orderkey = l_orderkey
+          |  WHERE o_orderkey IN (
+          |    SELECT l_orderkey FROM t18_lineitem
+          |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+          |  GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+          |    o_totalprice
+          |  ORDER BY totalprice_c DESC, o_orderkey LIMIT 100) t
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- Q21: suppliers who kept orders waiting (lite: late = shipped
+    //      >60d after order) — the double-correlated EXISTS / NOT
+    //      EXISTS self-joins on the fact table, decorrelated by
+    //      Catalyst into semi + anti joins on l_orderkey.
+    "q_tpch_q21" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("t21_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t21_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("t21_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("t21_nation")
+      val q = s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM t21_supplier JOIN t21_lineitem l1
+          |    ON s_suppkey = l1.l_suppkey
+          |  JOIN t21_orders ON o_orderkey = l1.l_orderkey
+          |  JOIN t21_nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F'
+          |  AND n_name = 'NATION_3'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (
+          |    SELECT 1 FROM t21_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM t21_lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains("LeftSemi") || !plan.contains("LeftAnti"))
+        throw new IllegalStateException(
+          "Q21 EXISTS/NOT EXISTS not planned as semi/anti joins:\n" +
+            plan.take(800))
+      q
+    }),
+
+    // ---- Q22: global sales opportunity — scalar-subquery threshold in
+    //      exact integer cents (bal_c * n > sum_c avoids the
+    //      order-sensitive double average) + NOT EXISTS anti join,
+    //      scoped to "no orders since 1999" (every customer has SOME
+    //      order in this corpus). Country code from the nation key.
+    "q_tpch_q22" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("t22_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("t22_orders")
+      val q = s.sql(
+        """SELECT cntrycode, count(*) AS numcust,
+          |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+          |FROM (
+          |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+          |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c, c_custkey
+          |  FROM t22_customer
+          |  WHERE CAST(round(c_acctbal*100) AS BIGINT) * (
+          |      SELECT count(*) FROM t22_customer
+          |      WHERE c_acctbal > 0.0) > (
+          |      SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT))
+          |      FROM t22_customer WHERE c_acctbal > 0.0)
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM t22_orders
+          |      WHERE o_custkey = c_custkey
+          |        AND o_orderdate >= TIMESTAMP '1999-01-01')) t
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains("LeftAnti"))
+        throw new IllegalStateException(
+          "Q22 NOT EXISTS not planned as an anti join:\n" + plan.take(800))
+      q
+    }),
+
     // ---- fixed-point embedding pooling: per-cluster centroid sums in
     // exact integer micro-units (order-invariant, unlike float sums) —
     // the deterministic form of mean-pooling / centroid computation
@@ -7802,6 +8068,167 @@ object SparkEntry {
         |    AND l_quantity >= 10 AND l_quantity <= 35)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN snation = 'NATION_6' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nation_c4,
+        |  CAST(SUM(rev) AS BIGINT) AS total_c4,
+        |  CAST(floor(
+        |    CAST(SUM(CASE WHEN snation = 'NATION_6' THEN rev ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(SUM(rev) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS share_micro
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT) AS rev,
+        |    n2.n_name AS snation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'ECONOMY') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+        |  CAST(SUM(rev) AS BIGINT) AS profit_c4
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT) AS rev
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%gear%') t
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |      AS BIGINT)) AS BIGINT) AS total_revenue_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_c4
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c4 = (SELECT max(total_revenue_c4)
+        |                          FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT avg(ll.l_quantity) FROM lineitem ll
+        |    WHERE ll.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  totalprice_c, sum_qty
+        |FROM (
+        |  SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |  GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |    o_totalprice
+        |  ORDER BY totalprice_c DESC, o_orderkey LIMIT 100) t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1
+        |    ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM (
+        |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c, c_custkey
+        |  FROM customer
+        |  WHERE CAST(round(c_acctbal*100) AS BIGINT) * (
+        |      SELECT count(*) FROM customer
+        |      WHERE c_acctbal > 0.0) > (
+        |      SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT))
+        |      FROM customer WHERE c_acctbal > 0.0)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey
+        |        AND o_orderdate >= TIMESTAMP '1999-01-01')) t
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q_embed_pool" ->
       """SELECT label, i - 1 AS dim,
