@@ -2835,6 +2835,38 @@ object SparkEntry {
             functions.TextFunctions.tokens(col("text")))),
         col("lang"), col("langid"))),
 
+    // ---- exact ROC-AUC (Mann-Whitney U with midrank ties, sharded
+    //      prefix sum — no unpartitioned window): text length as an
+    //      is-English score. 500000 micro = chance.
+    "q_eval_auc" -> ((s, dir) =>
+      operators.Eval.rocAuc(Tables.documents(s, dir),
+        length(col("text")).cast("long"), col("lang") === "en")),
+
+    // ---- corpus BLEU-1/BLEU-2 modified n-gram precision over a
+    //      deterministic candidate/reference pairing (even doc vs its
+    //      successor) — clipped counts, exact micro ratios
+    "q_eval_bleu" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pid"), col("text").as("cand"))
+        .join(d.select((col("doc_id") - 1).as("pid"),
+          col("text").as("ref")), Seq("pid"))
+      operators.Eval.bleuPrecision(pairs, col("pid"), col("cand"),
+        col("ref"))
+    }),
+
+    // ---- k-anonymity generalization-ladder audit: (segment, nation)
+    //      quasi-identifiers, nation->region as the coarsening rung,
+    //      k=10; releases per-level group/row counts
+    "q_kanon" -> ((s, dir) => {
+      val j = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+      operators.Privacy.kAnonymize(j, Seq("c_nationkey"),
+          Seq("c_mktsegment", "n_regionkey"), 10L)
+        .orderBy(col("level"))
+    }),
+
     // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
     // ship year (two nation joins off one fact scan)
     "q_tpch_q7" -> ((s, dir) => {
@@ -8015,6 +8047,88 @@ object SparkEntry {
          |       ELSE CAST(nn * d - s AS DOUBLE) / CAST(nn * nn - s AS DOUBLE)
          |  END AS kappa
          |FROM tot, sp""".stripMargin,
+
+    "q_eval_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS v,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT pos, neg,
+        |    SUM(neg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - neg
+        |      AS cumneg
+        |  FROM s),
+        |t AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(pos * (2*cumneg + neg)) AS BIGINT) AS u2
+        |  FROM c)
+        |SELECT n_pos, n_neg, u2,
+        |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+        |    AS auc_micro
+        |FROM t""".stripMargin,
+
+    "q_eval_bleu" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS pid, string_split(a.text, ' ') AS ct,
+        |    string_split(b.text, ' ') AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |cc1 AS (SELECT pid, g, count(*) AS cc FROM (
+        |  SELECT pid, unnest(ct) AS g FROM pairs) t GROUP BY 1, 2),
+        |rc1 AS (SELECT pid, g, count(*) AS rc FROM (
+        |  SELECT pid, unnest(rt) AS g FROM pairs) t GROUP BY 1, 2),
+        |u1 AS (
+        |  SELECT CAST(SUM(cc) AS BIGINT) AS tot1,
+        |    CAST(SUM(least(cc, COALESCE(rc, 0))) AS BIGINT) AS clip1
+        |  FROM cc1 LEFT JOIN rc1 USING (pid, g)),
+        |cc2 AS (SELECT pid, g, count(*) AS cc FROM (
+        |  SELECT pid, unnest(list_transform(range(1, len(ct)),
+        |    i -> ct[i] || ' ' || ct[i+1])) AS g FROM pairs) t
+        |  GROUP BY 1, 2),
+        |rc2 AS (SELECT pid, g, count(*) AS rc FROM (
+        |  SELECT pid, unnest(list_transform(range(1, len(rt)),
+        |    i -> rt[i] || ' ' || rt[i+1])) AS g FROM pairs) t
+        |  GROUP BY 1, 2),
+        |u2 AS (
+        |  SELECT CAST(SUM(cc) AS BIGINT) AS tot2,
+        |    CAST(SUM(least(cc, COALESCE(rc, 0))) AS BIGINT) AS clip2
+        |  FROM cc2 LEFT JOIN rc2 USING (pid, g)),
+        |np AS (SELECT count(*) AS n_pairs FROM pairs)
+        |SELECT n_pairs,
+        |  COALESCE(tot1, 0) AS tot1, COALESCE(clip1, 0) AS clip1,
+        |  CASE WHEN COALESCE(tot1, 0) = 0 THEN 0
+        |       ELSE CAST(clip1 * 1000000 // tot1 AS BIGINT)
+        |  END AS p1_micro,
+        |  COALESCE(tot2, 0) AS tot2, COALESCE(clip2, 0) AS clip2,
+        |  CASE WHEN COALESCE(tot2, 0) = 0 THEN 0
+        |       ELSE CAST(clip2 * 1000000 // tot2 AS BIGINT)
+        |  END AS p2_micro
+        |FROM np, u1, u2""".stripMargin,
+
+    "q_kanon" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    n_regionkey AS reg
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (SELECT seg, nat, reg, count(*) AS n FROM j
+        |      GROUP BY 1, 2, 3),
+        |rest AS (SELECT seg, reg, CAST(SUM(n) AS BIGINT) AS n FROM g
+        |         WHERE n < 10 GROUP BY 1, 2),
+        |l0 AS (SELECT 0 AS level, count(*) AS n_groups,
+        |         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows
+        |       FROM g WHERE n >= 10),
+        |l1 AS (SELECT 1, count(*),
+        |         CAST(COALESCE(SUM(n), 0) AS BIGINT)
+        |       FROM rest WHERE n >= 10),
+        |l2 AS (SELECT 2, count(*),
+        |         CAST(COALESCE(SUM(n), 0) AS BIGINT)
+        |       FROM rest WHERE n < 10)
+        |SELECT level, n_groups, n_rows FROM (
+        |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2) t
+        |ORDER BY level""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

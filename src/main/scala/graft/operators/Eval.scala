@@ -86,4 +86,109 @@ object Eval {
               (col("N") * col("N") - col("S")).cast("double"))
           .as("kappa"))
   }
+
+  /** Exact ROC-AUC via the Mann–Whitney U statistic with midrank tie
+    * handling: AUC = U / (n_pos·n_neg) where
+    * U = #{(p,q): score_p > score_q} + ½·#{score ties}. Working in
+    * doubled units keeps everything integer: collapsing to distinct
+    * score values with (pos, neg) counts and an exclusive negative
+    * prefix sum gives  2U = Σ_v pos_v·(2·cumneg_v + neg_v).
+    *
+    * Scale shape mirrors [[Drift.ksStatistic]]: one groupBy collapses
+    * to the distinct score support; the prefix sum runs as windows
+    * partitioned by order-preserving value-range shards (boundaries
+    * from one `percentile_approx` pass) with per-shard offsets from a
+    * broadcast triangular self-join over the ≤64-row shard totals —
+    * no unpartitioned window. Shard cuts never affect the result.
+    * Overflow-safe while n_pos·n_neg < 4.6e12 (micro scaling is the
+    * last multiply). Emits one row: (n_pos, n_neg, u2, auc_micro);
+    * auc_micro = 500000 means "no better than chance". */
+  def rocAuc(df: DataFrame, scoreCol: Column, isPosCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(scoreCol.as("v"), isPosCol.as("is_p"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("is_p"), 1L).otherwise(0L)).as("neg"))
+    val nShards = 64
+    val probs = (1 until nShards).map(i => i.toDouble / nShards)
+    val bounds = counts.agg(
+      percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
+    val sharded = counts.crossJoin(broadcast(bounds))
+      .withColumn("__shard", size(filter(col("bs"), b => b <= col("v"))))
+      .drop("bs")
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("l_n", sum(col("neg")).over(wLocal))
+    val shardTotals = sharded.groupBy(col("__shard"))
+      .agg(sum(col("neg")).as("s_n"))
+    val offsets = shardTotals
+      .join(broadcast(shardTotals
+          .select(col("__shard").as("__p"), col("s_n").as("p_n"))),
+        col("__p") < col("__shard"), "left")
+      .groupBy(col("__shard"))
+      .agg(coalesce(sum(col("p_n")), lit(0L)).as("o_n"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .select(col("pos"), col("neg"),
+        (col("o_n") + col("l_n") - col("neg")).as("cumneg"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("u2 * 1000000 DIV (2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  /** Corpus-level modified n-gram precision — the BLEU-1/BLEU-2 core
+    * (Papineni et al. 2002) for generation-eval pipelines: candidate
+    * n-gram counts clipped to their reference counts, summed over all
+    * pairs, released as exact micro ratios. The brevity penalty is
+    * left to the caller (one exp() per corpus would be fine, but the
+    * clipped counts alone are the re-aggregable part).
+    *
+    * Scale shape: two explode→groupBy((pair,gram))→left-join-ref
+    * pipelines (unigram, bigram), each shuffle-grouped on composite
+    * keys — no windows, no driver loops; the two one-row totals meet
+    * in a broadcast scalar join. Tokenization is a plain
+    * single-space split (kept regex-free so any SQL engine can mirror
+    * it); bigram arrays are built positionally, guarded for
+    * one-token texts.
+    *
+    * Output one row: (n_pairs, tot1, clip1, p1_micro, tot2, clip2,
+    * p2_micro). */
+  def bleuPrecision(df: DataFrame, idCol: Column, candCol: Column,
+                    refCol: Column): DataFrame = {
+    def bigrams(a: Column): Column =
+      when(size(a) >= 2,
+        transform(sequence(lit(1), size(a) - 1),
+          i => concat_ws(" ", element_at(a, i), element_at(a, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val base = df.select(idCol.as("pid"),
+      split(candCol, " ").as("ct"), split(refCol, " ").as("rt"))
+    def clipped(gram: Column => Column): DataFrame = {
+      val c = base.select(col("pid"), explode(gram(col("ct"))).as("g"))
+        .groupBy(col("pid"), col("g")).agg(count(lit(1)).as("cc"))
+      val r = base.select(col("pid"), explode(gram(col("rt"))).as("g"))
+        .groupBy(col("pid"), col("g")).agg(count(lit(1)).as("rc"))
+      c.join(r, Seq("pid", "g"), "left")
+        .agg(sum(col("cc")).as("tot"),
+          sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+            .as("clip"))
+    }
+    val uni = clipped(identity)
+      .select(col("tot").as("tot1"), col("clip").as("clip1"))
+    val bi = clipped(bigrams)
+      .select(col("tot").as("tot2"), col("clip").as("clip2"))
+    val n = base.agg(count(lit(1)).as("n_pairs"))
+    n.crossJoin(broadcast(uni)).crossJoin(broadcast(bi))
+      .select(col("n_pairs"),
+        coalesce(col("tot1"), lit(0L)).as("tot1"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        when(coalesce(col("tot1"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("clip1 * 1000000 DIV tot1")).as("p1_micro"),
+        coalesce(col("tot2"), lit(0L)).as("tot2"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"),
+        when(coalesce(col("tot2"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("clip2 * 1000000 DIV tot2")).as("p2_micro"))
+  }
 }

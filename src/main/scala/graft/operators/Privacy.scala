@@ -68,4 +68,36 @@ object Privacy {
             laplace(uniform52(col("key"), seed + 1), clipCents / eps))
           * lit(1e3)).cast("long").as("sum_noised_milli"))
   }
+
+  /** k-anonymity release audit over a two-rung generalization ladder
+    * (Sweeney 2002): rows whose finest quasi-identifier group reaches
+    * k release at level 0; the remainder regroup under the coarser
+    * key (e.g. nation→region, zip→prefix — the caller pre-joins the
+    * hierarchy so `coarse` is a plain column set) and release at
+    * level 1 if THAT group reaches k; what is still below k is
+    * suppressed (level 2).
+    *
+    * Scale shape: the data collapses to its fine-group support in one
+    * shuffle; everything after runs on group-count tables (two more
+    * tiny aggregations). The coarse key must be functionally
+    * determined by the fine key (grouping carries both, so a
+    * violation would split groups, never mis-count rows).
+    *
+    * Output: (level, n_groups, n_rows), one row per level, always
+    * all three levels. */
+  def kAnonymize(df: DataFrame, fineCols: Seq[String],
+                 coarseCols: Seq[String], k: Long): DataFrame = {
+    val g = df.groupBy((fineCols ++ coarseCols).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val rest = g.filter(col("n") < k)
+      .groupBy(coarseCols.map(col): _*).agg(sum(col("n")).as("n"))
+    def lvl(d: DataFrame, keep: Column, level: Int): DataFrame =
+      d.filter(keep).agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_groups"),
+        coalesce(sum(col("n")), lit(0L)).as("n_rows"))
+        .select(lit(level).as("level"), col("n_groups"), col("n_rows"))
+    lvl(g, col("n") >= k, 0)
+      .unionByName(lvl(rest, col("n") >= k, 1))
+      .unionByName(lvl(rest, col("n") < k, 2))
+  }
 }

@@ -58,4 +58,50 @@ class EvalSpec extends SparkSpec {
     m("ghost") shouldBe ((0L, 1L, 0L, 0L, 0L))  // never in gold
     m("x") shouldBe ((1L, 0L, 1L, 1000000L, 500000L))
   }
+
+  test("rocAuc: hand-computed U with a midrank tie") {
+    // pos scores {3, 2}, neg scores {1, 2}:
+    // (3>1) + (3>2) + (2>1) + half for the 2=2 tie -> U = 3.5
+    // AUC = 3.5/4 = 0.875; doubled units u2 = 7
+    val df = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("s", "y")
+    val r = Eval.rocAuc(df, col("s"), col("y")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((2L, 2L, 7L, 875000L))
+  }
+
+  test("rocAuc: perfect and inverted separations bracket chance") {
+    val perfect = Seq((10L, true), (9L, true), (1L, false))
+      .toDF("s", "y")
+    Eval.rocAuc(perfect, col("s"), col("y"))
+      .collect().head.getLong(3) shouldBe 1000000L
+    val inverted = Seq((1L, true), (9L, false), (10L, false))
+      .toDF("s", "y")
+    Eval.rocAuc(inverted, col("s"), col("y"))
+      .collect().head.getLong(3) shouldBe 0L
+  }
+
+  test("bleuPrecision: hand-computed clipped counts") {
+    // cand "a b a c" vs ref "a b b":
+    //   unigrams: cand a:2 b:1 c:1, ref a:1 b:2
+    //     clip = min(2,1) + min(1,2) + 0 = 2 of 4 -> 500000
+    //   bigrams: cand {a b, b a, a c}, ref {a b, b b}
+    //     clip = 1 of 3 -> 333333
+    val df = Seq((1L, "a b a c", "a b b")).toDF("id", "c", "r")
+    val row = Eval.bleuPrecision(df, col("id"), col("c"), col("r"))
+      .collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6)) shouldBe
+      ((1L, 4L, 2L, 500000L, 3L, 1L, 333333L))
+  }
+
+  test("bleuPrecision: one-token texts produce no bigrams") {
+    val df = Seq((1L, "a", "a")).toDF("id", "c", "r")
+    val row = Eval.bleuPrecision(df, col("id"), col("c"), col("r"))
+      .collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      ((1L, 1L, 1000000L))
+    (row.getLong(4), row.getLong(5), row.getLong(6)) shouldBe
+      ((0L, 0L, 0L))
+  }
 }

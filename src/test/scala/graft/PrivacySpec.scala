@@ -51,4 +51,25 @@ class PrivacySpec extends SparkSpec {
     all(us) should be > 0.0
     all(us) should be < 1.0
   }
+
+  test("kAnonymize: three-level ladder partitions the rows") {
+    // (a,x)x2 releases fine; (b,x),(c,x) merge under x and release
+    // generalized; (d,y) stays below k even coarsened -> suppressed
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y")).toDF("fine", "coarse")
+    val out = Privacy.kAnonymize(df, Seq("fine"), Seq("coarse"), 2L)
+      .orderBy("level")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((0, 1L, 2L), (1, 1L, 2L), (2, 1L, 1L))
+    // levels partition the input: row counts sum to the table size
+    out.map(_._3).sum shouldBe 5L
+  }
+
+  test("kAnonymize: empty levels still emit zero rows") {
+    val df = Seq(("a", "x"), ("a", "x")).toDF("fine", "coarse")
+    val out = Privacy.kAnonymize(df, Seq("fine"), Seq("coarse"), 2L)
+      .orderBy("level")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((0, 1L, 2L), (1, 0L, 0L), (2, 0L, 0L))
+  }
 }
