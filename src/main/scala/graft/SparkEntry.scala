@@ -2867,6 +2867,86 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- SCD Type-2 dimension build: change log -> validity
+    //      intervals (islands per key, every window partitioned) —
+    //      the producer side of q_j4_temporal's interval consumption
+    "q_scd2_build" -> ((s, dir) =>
+      operators.Timeline.scd2Build(Tables.events(s, dir),
+          col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .orderBy(col("key"), col("version"))),
+
+    // ---- dynamic partition pruning: a year-partitioned fact joined
+    //      to a filtered dim — the runtime prune that keeps a 100-TB
+    //      scan to the partitions the dim actually selects.
+    //      Hard-asserted: the fact scan's partition filters must carry
+    //      a dynamicpruning subquery.
+    "q_dpp_prune" -> ((s, dir) => {
+      val factP = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpp_orders").getAbsolutePath
+      val dimP = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpp_years").getAbsolutePath
+      Tables.orders(s, dir)
+        .withColumn("o_year", expr("CAST(year(o_orderdate) AS INT)"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(factP)
+      s.range(1995, 2002)
+        .select(col("id").cast("int").as("o_year"),
+          when(col("id").isin(1996, 1997), 1).otherwise(0).as("keep"))
+        .write.mode("overwrite").parquet(dimP)
+      val fact = s.read.parquet(factP)
+      val dim = s.read.parquet(dimP).filter(col("keep") === 1)
+      val q = fact.join(dim, Seq("o_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice*100) AS BIGINT)"))
+            .cast("long").as("sum_c"))
+        .orderBy(col("o_year"))
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          "fact scan not dynamically pruned:\n" + plan.take(1200))
+      q
+    }),
+
+    // ---- co-located bucketed join: both sides pre-bucketed+sorted on
+    //      the join key -> bucket-local sort-merge join with ZERO
+    //      exchanges in the join plan (hard-asserted). The layout
+    //      investment that turns every repeated big-big join into a
+    //      shuffle-free map-side merge at 100 TB.
+    "q_bucketed_join" -> ((s, dir) => {
+      // a previous JVM's managed-table location survives the catalog;
+      // drop both layers so the overwrite can re-create cleanly
+      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = if (f.exists()) {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(new java.io.File(wh), t))
+      }
+      operators.Scale.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        "graft_bkt_lineitem", Seq("l_orderkey"), 8)
+      operators.Scale.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus")),
+        "graft_bkt_orders", Seq("o_orderkey"), 8)
+      val joined = s.table("graft_bkt_lineitem").hint("merge")
+        .join(s.table("graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val jPlan = joined.queryExecution.executedPlan.toString
+      if (!jPlan.contains("SortMergeJoin") || jPlan.contains("Exchange"))
+        throw new IllegalStateException(
+          "bucketed join not exchange-free:\n" + jPlan.take(1200))
+      joined.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
     // ship year (two nation joins off one fact scan)
     "q_tpch_q7" -> ((s, dir) => {
@@ -8129,6 +8209,50 @@ object SparkEntry {
         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |  UNION ALL SELECT * FROM l2) t
         |ORDER BY level""".stripMargin,
+
+    "q_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, event_type AS s, epoch_us(ts) AS t,
+        |    event_id AS o
+        |  FROM events),
+        |f AS (
+        |  SELECT k, s, t, o,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY t, o)),
+        |i AS (
+        |  SELECT k, s, t,
+        |    SUM(chg) OVER (PARTITION BY k ORDER BY t, o
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT k, island, min(s) AS state,
+        |    CAST(min(t) AS BIGINT) AS valid_from
+        |  FROM i GROUP BY 1, 2),
+        |v AS (
+        |  SELECT k, island, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY k ORDER BY island)
+        |      AS valid_to
+        |  FROM g)
+        |SELECT k AS key, state, valid_from, valid_to,
+        |  CAST(island AS BIGINT) AS version,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY key, version""".stripMargin,
+
+    "q_dpp_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_c
+        |FROM orders
+        |WHERE CAST(year(o_orderdate) AS INT) IN (1996, 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -256,4 +256,41 @@ object Timeline {
       .select(col("way_id"), col("version"), col("minor_version"),
         col("updated"), col("geometry"))
   }
+
+  /** Slowly-changing-dimension Type 2 build from a change log
+    * (Kimball's SCD2): per key, consecutive identical states collapse
+    * into one validity interval — (state, valid_from, valid_to,
+    * version, is_current), valid_to NULL on the open current row.
+    * The inverse of [[temporalJoin]]'s consumption side: this MAKES
+    * the interval table that as-of/temporal joins probe.
+    *
+    * Islands shape: lag-change flag → running change count → group by
+    * (key, island); every window is PARTITIONED by the dimension key,
+    * so parallelism is #keys — no global funnel. Ties on the
+    * timestamp break by `ordCol` for a deterministic history.
+    *
+    * Output: (key, state, valid_from, valid_to, version, is_current)
+    * with version numbering from 1 in time order. */
+  def scd2Build(df: DataFrame, keyCol: Column, stateCol: Column,
+                tsCol: Column, ordCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("o"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val flagged = df
+      .select(keyCol.as("k"), stateCol.as("s"), tsCol.as("t"),
+        ordCol.as("o"))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(wRun))
+    val iv = flagged.groupBy(col("k"), col("island"))
+      .agg(first(col("s")).as("state"), min(col("t")).as("valid_from"))
+    val wk = Window.partitionBy(col("k")).orderBy(col("island"))
+    iv.withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .select(col("k").as("key"), col("state"),
+        col("valid_from"), col("valid_to"),
+        col("island").cast("long").as("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -168,4 +168,33 @@ class TimelineSpec extends SparkSpec {
       (1L, 13L, 130L, false), // observation overrides the carry
       (2L, 5L, 50L, false))
   }
+
+  test("scd2Build: runs collapse, intervals chain, last row open") {
+    // key 1: a a b a  -> [a: 10..30) [b: 30..40) [a: 40..)
+    // key 2: x        -> [x: 5..)
+    val log = Seq((1L, "a", 10L, 1L), (1L, "a", 20L, 2L),
+      (1L, "b", 30L, 3L), (1L, "a", 40L, 4L), (2L, "x", 5L, 5L))
+      .toDF("k", "s", "t", "o")
+    val got = Timeline.scd2Build(log, col("k"), col("s"), col("t"),
+        col("o"))
+      .orderBy(col("key"), col("version"))
+      .as[(Long, String, Long, Option[Long], Long, Boolean)].collect()
+    got shouldBe Array(
+      (1L, "a", 10L, Some(30L), 1L, false),
+      (1L, "b", 30L, Some(40L), 2L, false),
+      (1L, "a", 40L, None, 3L, true),
+      (2L, "x", 5L, None, 1L, true))
+  }
+
+  test("scd2Build: timestamp ties break deterministically on ordCol") {
+    val log = Seq((1L, "b", 10L, 2L), (1L, "a", 10L, 1L))
+      .toDF("k", "s", "t", "o")
+    val got = Timeline.scd2Build(log, col("k"), col("s"), col("t"),
+        col("o"))
+      .orderBy(col("version"))
+      .as[(Long, String, Long, Option[Long], Long, Boolean)].collect()
+    got shouldBe Array(
+      (1L, "a", 10L, Some(10L), 1L, false),
+      (1L, "b", 10L, None, 2L, true))
+  }
 }
