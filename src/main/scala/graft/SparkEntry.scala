@@ -2947,6 +2947,38 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- pre-salted replicated join (plan-level skew guarantee,
+    //      complementing AQE's runtime split): big side salted by a
+    //      unique row key, small side exploded x8 — row-identical to
+    //      the plain join, verified against it
+    "q_skew_join_salted" -> ((s, dir) =>
+      operators.Scale.saltedJoin(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir),
+          col("l_suppkey"), col("s_suppkey"),
+          struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("s_name"))),
+
+    // ---- distribution-frame window completeness: percent_rank,
+    //      cume_dist, running nth_value under a UNIQUE ordering (one
+    //      IEEE division per value — cross-engine bit-stable)
+    "q_w6_dist_frames" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("w6_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd,
+          |  nth_value(l_quantity, 3) OVER w AS nth3
+          |FROM w6_lineitem
+          |WHERE l_quantity <= 3
+          |WINDOW w AS (PARTITION BY l_returnflag
+          |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+          |ORDER BY l_returnflag, l_quantity, l_orderkey,
+          |  l_linenumber""".stripMargin)
+    }),
+
     // ---- TPC-H Q7 shape: bilateral trade volume by nation pair and
     // ship year (two nation joins off one fact scan)
     "q_tpch_q7" -> ((s, dir) => {
@@ -8253,6 +8285,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """SELECT s_name, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_w6_dist_frames" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(l_quantity, 3) OVER w AS nth3
+        |FROM lineitem
+        |WHERE l_quantity <= 3
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey,
+        |  l_linenumber""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -105,6 +105,31 @@ object Scale {
     df.withColumn("shard",
       graft.plans.JumpHash.jumpShard(keyCol.cast("long"), numShards))
 
+  /** Salted replicated join for a skewed BIG side: each big row gets a
+    * deterministic salt from `bigSaltSrc` (any well-distributed column
+    * set — a unique row key is ideal), the small side is replicated
+    * once per salt value, and the join runs on (key, salt) — so a hot
+    * join key's row stream spreads over `salts` reducers instead of
+    * funneling into one. Result is row-identical to the plain join
+    * (every big row still meets every matching small row exactly once,
+    * via its own salt replica).
+    *
+    * Cost model: small side shuffles ×`salts` — use when |small|·salts
+    * is still far below the big side's hot-key volume. AQE's runtime
+    * skew split covers sort-merge joins after the fact; pre-salting is
+    * the plan-level guarantee (and the only option when the skew is in
+    * the PARTITION function, e.g. a downstream bucketed layout). */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: Column, smallKey: Column,
+                 bigSaltSrc: Column, salts: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(hash(bigSaltSrc), lit(salts)))
+    val sm = small.withColumn("__salt_r",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, bigKey === smallKey && col("__salt") === col("__salt_r"))
+      .drop("__salt", "__salt_r")
+  }
+
   /** Write a DataFrame bucketed+sorted by join keys so subsequent joins
     * between co-bucketed tables are exchange-free (bucket-local SMJ).
     * Spark requires the table path: bucketBy is a catalog-table feature. */

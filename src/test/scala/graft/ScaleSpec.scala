@@ -32,6 +32,24 @@ class ScaleSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("saltedJoin equals the plain join on a skewed key") {
+    // one hot key carrying 5000 of 5100 rows
+    val big = ((1 to 5000).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 5, i.toLong + 10000)))
+      .toDF("k", "row")
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (99L, "unmatched")).toDF("sk", "tag")
+    val salted = Scale.saltedJoin(big, small, col("k"), col("sk"),
+        col("row"), salts = 8)
+      .select(col("k"), col("row"), col("tag"))
+      .as[(Long, Long, String)].collect().sorted
+    val plain = big.join(small, col("k") === col("sk"))
+      .select(col("k"), col("row"), col("tag"))
+      .as[(Long, Long, String)].collect().sorted
+    salted shouldBe plain
+    salted.length shouldBe 5100
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("id", "va")
     val b = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "vb")
