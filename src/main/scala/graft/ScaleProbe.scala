@@ -533,6 +533,9 @@ object ScaleProbe {
     println(f"r12 asof 2M rows: native n=$nNative20 sec=$tNative20%.1f | " +
       f"composed n=$nComposed20 sec=$tComposed20%.1f " +
       f"speedup=${tComposed20 / tNative20}%.2fx")
+
+    ProbeJoins.run(spark, sfDir)
+
     spark.stop()
   }
 }

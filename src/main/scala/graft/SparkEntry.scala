@@ -2842,6 +2842,15 @@ object SparkEntry {
       operators.Eval.rocAuc(Tables.documents(s, dir),
         length(col("text")).cast("long"), col("lang") === "en")),
 
+    // ---- NDCG@10 per source: binary is-English relevance, docs
+    //      ranked by length under a unique (n_chars desc, doc_id)
+    //      order; integer micro discounts — exact ranking eval
+    "q_eval_ndcg" -> ((s, dir) =>
+      operators.Eval.ndcgBinaryAt10(Tables.documents(s, dir),
+          col("source"), when(col("lang") === "en", 1L).otherwise(0L),
+          Seq(col("n_chars").desc, col("doc_id")))
+        .orderBy(col("grp"))),
+
     // ---- corpus BLEU-1/BLEU-2 modified n-gram precision over a
     //      deterministic candidate/reference pairing (even doc vs its
     //      successor) — clipped counts, exact micro ratios
@@ -2960,6 +2969,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy(col("s_name"))),
+
+    // ---- LATERAL correlated subquery (top-2 orders per customer):
+    //      Catalyst decorrelates the per-row LIMIT into a window —
+    //      the SQL surface for "top-k per group" without self-joins
+    "q_sql_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, totalprice_c
+          |FROM lat_customer, LATERAL (
+          |  SELECT o_orderkey,
+          |    CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c
+          |  FROM lat_orders WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, totalprice_c DESC, o_orderkey""".stripMargin)
+    }),
+
+    // ---- recursive CTE (gap-free month spine joined to order
+    //      counts): the iterative SQL surface — bounded recursion,
+    //      engine-portable
+    "q_sql_recursive" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("rec_orders")
+      s.sql(
+        """WITH RECURSIVE m(mon) AS (
+          |  SELECT TIMESTAMP '1995-01-01'
+          |  UNION ALL
+          |  SELECT mon + INTERVAL 1 MONTH FROM m
+          |  WHERE mon < TIMESTAMP '2001-07-01')
+          |SELECT mon, COALESCE(n, 0) AS n FROM m
+          |LEFT JOIN (
+          |  SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n
+          |  FROM rec_orders GROUP BY 1) o ON om = mon
+          |ORDER BY mon""".stripMargin)
+    }),
 
     // ---- distribution-frame window completeness: percent_rank,
     //      cume_dist, running nth_value under a UNIQUE ordering (one
@@ -8181,6 +8224,40 @@ object SparkEntry {
         |    AS auc_micro
         |FROM t""".stripMargin,
 
+    "q_eval_ndcg" ->
+      """WITH b AS (
+        |  SELECT source AS g,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |a AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN rn <= 10 THEN rel * (CASE rn
+        |      WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |      WHEN 3 THEN 500000 WHEN 4 THEN 430676
+        |      WHEN 5 THEN 386852 WHEN 6 THEN 356207
+        |      WHEN 7 THEN 333333 WHEN 8 THEN 315464
+        |      WHEN 9 THEN 301029 WHEN 10 THEN 289064 END)
+        |      ELSE 0 END) AS BIGINT) AS dcg_micro,
+        |    CAST(SUM(rel) AS BIGINT) AS npos
+        |  FROM b GROUP BY g),
+        |i AS (
+        |  SELECT g, npos, dcg_micro,
+        |    CAST(CASE least(npos, 10)
+        |      WHEN 0 THEN 0 WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+        |      WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+        |      WHEN 5 THEN 2948457 WHEN 6 THEN 3304664
+        |      WHEN 7 THEN 3637997 WHEN 8 THEN 3953461
+        |      WHEN 9 THEN 4254490 WHEN 10 THEN 4543554 END
+        |      AS BIGINT) AS idcg_micro
+        |  FROM a)
+        |SELECT g AS grp, npos, dcg_micro, idcg_micro,
+        |  CASE WHEN idcg_micro = 0 THEN 0
+        |       ELSE CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT)
+        |  END AS ndcg_micro
+        |FROM i ORDER BY grp""".stripMargin,
+
     "q_eval_bleu" ->
       """WITH pairs AS (
         |  SELECT a.doc_id AS pid, string_split(a.text, ' ') AS ct,
@@ -8291,6 +8368,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT c_custkey, o_orderkey, totalprice_c
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, totalprice_c DESC, o_orderkey""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT mon + INTERVAL 1 MONTH FROM m
+        |  WHERE mon < TIMESTAMP '2001-07-01')
+        |SELECT mon, COALESCE(n, 0) AS n FROM m
+        |LEFT JOIN (
+        |  SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n
+        |  FROM orders GROUP BY 1) o ON om = mon
+        |ORDER BY mon""".stripMargin,
 
     "q_w6_dist_frames" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,

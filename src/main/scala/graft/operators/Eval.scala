@@ -139,6 +139,43 @@ object Eval {
         expr("u2 * 1000000 DIV (2 * n_pos * n_neg)").as("auc_micro"))
   }
 
+  /** NDCG@10 for binary relevance per group under a caller-supplied
+    * TOTAL order (pass a unique tie-break — rank must be
+    * deterministic). The log2 position discounts are pre-quantized
+    * integer micro units (floor(10^6/log2(i+1)) for i=1..10), so no
+    * engine's log ulps can flip a floor at a boundary; DCG and the
+    * ideal DCG (prefix sums of the same weights) are exact integer
+    * sums, NDCG is one integer division.
+    *
+    * Scale shape: one partitioned row_number window + one group
+    * aggregate — parallelism is #groups, nothing global.
+    *
+    * Output: (grp, npos, dcg_micro, idcg_micro, ndcg_micro). */
+  def ndcgBinaryAt10(df: DataFrame, groupCol: Column, relCol: Column,
+                     orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val cum = w.scanLeft(0L)(_ + _)
+    val win = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    val wArr = array(w.map(lit): _*)
+    val cumArr = array(cum.map(lit): _*)
+    df.withColumn("__rel", relCol.cast("long"))
+      .withColumn("__rn", row_number().over(win))
+      .groupBy(groupCol.as("grp"))
+      .agg(sum(when(col("__rn") <= 10,
+          col("__rel") * element_at(wArr, col("__rn")))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(col("__rel")).as("npos"))
+      .select(col("grp"), col("npos"), col("dcg_micro"),
+        element_at(cumArr,
+          (least(col("npos"), lit(10L)) + 1).cast("int"))
+          .as("idcg_micro"))
+      .withColumn("ndcg_micro",
+        when(col("idcg_micro") === 0, 0L)
+          .otherwise(expr("dcg_micro * 1000000 DIV idcg_micro")))
+  }
+
   /** Corpus-level modified n-gram precision — the BLEU-1/BLEU-2 core
     * (Papineni et al. 2002) for generation-eval pipelines: candidate
     * n-gram counts clipped to their reference counts, summed over all

@@ -81,6 +81,26 @@ class EvalSpec extends SparkSpec {
       .collect().head.getLong(3) shouldBe 0L
   }
 
+  test("ndcgBinaryAt10: hand-computed discounts, ideal and empty") {
+    // group a: rel at ranks 1 and 3 -> DCG = 1000000 + 500000,
+    //   IDCG(2 pos) = 1630929, NDCG = 1500000·1e6 // 1630929
+    // group b: positives lead the ranking -> NDCG = 1
+    // group c: no positives -> all zeros
+    val df = Seq(
+      ("a", 1L, 40L, 1L), ("a", 0L, 30L, 2L), ("a", 1L, 20L, 3L),
+      ("a", 0L, 10L, 4L),
+      ("b", 1L, 9L, 5L), ("b", 0L, 8L, 6L),
+      ("c", 0L, 7L, 7L)).toDF("g", "rel", "score", "id")
+    val got = Eval.ndcgBinaryAt10(df, col("g"), col("rel"),
+        Seq(col("score").desc, col("id")))
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    got shouldBe Array(
+      ("a", 2L, 1500000L, 1630929L, 919721L),
+      ("b", 1L, 1000000L, 1000000L, 1000000L),
+      ("c", 0L, 0L, 0L, 0L))
+  }
+
   test("bleuPrecision: hand-computed clipped counts") {
     // cand "a b a c" vs ref "a b b":
     //   unigrams: cand a:2 b:1 c:1, ref a:1 b:2

@@ -296,4 +296,29 @@ class PropertiesSpec extends SparkSpec {
     val r3 = ks(shifted, col("is_a"))
     assert(r3.getLong(2) == r1.getLong(2) && r3.getLong(3) == micro)
   }
+
+  test("rocAuc invariances: monotone transform, label swap, sharding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2500).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("s", "y")
+    def auc(d: org.apache.spark.sql.DataFrame,
+            sc: org.apache.spark.sql.Column,
+            yc: org.apache.spark.sql.Column) =
+      graft.operators.Eval.rocAuc(d, sc, yc).collect().head
+    val r1 = auc(df, col("s"), col("y"))
+    val u2 = r1.getLong(2)
+    // AUC depends only on score ORDER: any strictly monotone
+    // transform (here 7s + 3) leaves U untouched
+    val r2 = auc(df, col("s") * 7 + 3, col("y"))
+    assert(r2.getLong(2) == u2 && r2.getLong(3) == r1.getLong(3))
+    // swapping the positive class complements: u2 + u2' = 2·np·nn
+    val r3 = auc(df, col("s"), !col("y"))
+    assert(u2 + r3.getLong(2) == 2 * r1.getLong(0) * r1.getLong(1))
+    // repartitioning cannot move the exact statistic
+    val r4 = auc(df.repartition(13), col("s"), col("y"))
+    assert(r4.getLong(2) == u2 && r4.getLong(3) == r1.getLong(3))
+  }
 }
