@@ -2876,6 +2876,21 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- geohash cell rollup: base32 geohash (precision 5) as pure
+    //      integer Column ops (quantize -> interleave -> base32) —
+    //      the prefix-hierarchical spatial key, top cells by density
+    "q_geo_geohash" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          synthLon(col("event_id")).as("lon"),
+          synthLat(col("event_id")).as("lat"))
+        .withColumn("gh",
+          geo.GridLayout.geohash(col("lon"), col("lat"), 5))
+        .groupBy(col("gh"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+        .orderBy(col("n").desc, col("gh")).limit(50)
+        .orderBy(col("gh"))),
+
     // ---- SCD Type-2 dimension build: change log -> validity
     //      intervals (islands per key, every window partitioned) —
     //      the producer side of q_j4_temporal's interval consumption
@@ -8318,6 +8333,40 @@ object SparkEntry {
         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |  UNION ALL SELECT * FROM l2) t
         |ORDER BY level""".stripMargin,
+
+    "q_geo_geohash" ->
+      s"""WITH pts AS (
+         |  SELECT event_id, ${synthLonSql("event_id")} AS lon,
+         |         ${synthLatSql("event_id")} AS lat
+         |  FROM events),
+         |q AS (
+         |  SELECT event_id,
+         |    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192.0),
+         |      0.0), 8191.0) AS BIGINT) AS lonq,
+         |    CAST(least(greatest(floor((lat + 90.0) / 180.0 * 4096.0),
+         |      0.0), 4095.0) AS BIGINT) AS latq
+         |  FROM pts),
+         |c AS (
+         |  SELECT event_id,
+         |    (SELECT CAST(SUM(CASE WHEN i % 2 = 0
+         |        THEN ((lonq >> (12 - i // 2)) & 1) << (24 - i)
+         |        ELSE ((latq >> (11 - i // 2)) & 1) << (24 - i) END)
+         |      AS BIGINT)
+         |     FROM range(0, 25) r(i)) AS combined
+         |  FROM q),
+         |g AS (
+         |  SELECT event_id,
+         |    (SELECT string_agg(
+         |        substr('0123456789bcdefghjkmnpqrstuvwxyz',
+         |          CAST(((combined >> ((4 - c) * 5)) & 31) AS INT) + 1,
+         |          1), '' ORDER BY c)
+         |     FROM range(0, 5) rc(c)) AS gh
+         |  FROM c)
+         |SELECT gh, n, min_id FROM (
+         |  SELECT gh, count(*) AS n, min(event_id) AS min_id
+         |  FROM g GROUP BY gh
+         |  ORDER BY n DESC, gh LIMIT 50) t
+         |ORDER BY gh""".stripMargin,
 
     "q_scd2_build" ->
       """WITH e AS (

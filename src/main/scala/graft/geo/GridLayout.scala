@@ -55,4 +55,39 @@ object GridLayout {
     val y = (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n
     math.min(n - 1, math.max(0L, math.floor(y).toLong))
   }
+
+  /** Geohash base32 alphabet (Niemeyer 2008; i/l/o/a excluded). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell id at `chars` precision as base32 text, built
+    * entirely from integer Column ops (quantize → bit interleave →
+    * 5-bit base32 groups) — codegen'd, no UDF, and exactly mirrorable
+    * in any SQL engine with shifts (the only float step is one
+    * quantizing floor((x+off)/span·2^k), identical IEEE ops
+    * everywhere). Lon owns the even interleave positions per the
+    * spec, so longitude gets ceil(5·chars/2) bits. The prefix
+    * property holds: a cell's geohash at chars-1 is its parent. */
+  def geohash(lon: Column, lat: Column, chars: Int): Column = {
+    require(chars >= 1 && chars <= 12, s"geohash chars 1..12, got $chars")
+    val bits = chars * 5
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    def quant(v: Column, off: Double, span: Double, k: Int): Column =
+      least(greatest(floor((v + off) / span * (1L << k).toDouble),
+        lit(0.0)), lit(((1L << k) - 1).toDouble)).cast(LongType)
+    val lonQ = quant(lon, 180.0, 360.0, lonBits)
+    val latQ = quant(lat, 90.0, 180.0, latBits)
+    val combined = (0 until bits).map { i =>
+      val (src, srcBits) =
+        if (i % 2 == 0) (lonQ, lonBits) else (latQ, latBits)
+      shiftleft(shiftright(src, srcBits - 1 - i / 2).bitwiseAND(lit(1L)),
+        bits - 1 - i)
+    }.reduce(_.bitwiseOR(_))
+    val letters = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    concat((0 until chars).map { c =>
+      element_at(letters,
+        (shiftright(combined, (chars - 1 - c) * 5)
+          .bitwiseAND(lit(31L)) + 1).cast("int"))
+    }: _*)
+  }
 }

@@ -93,4 +93,22 @@ class GeoSpec extends SparkSpec {
     got(2) shouldBe 180.0 +- 1e-9
     got(3) shouldBe 270.0 +- 1e-9
   }
+
+  test("geohash matches the published reference cells") {
+    // canonical worked examples: Jutland (57.64911, 10.40744) ->
+    // u4pruydqqvj; Leon (42.605, -5.603) -> ezs42
+    val df = Seq((10.40744, 57.64911), (-5.603, 42.605))
+      .toDF("lon", "lat")
+    df.select(GridLayout.geohash(col("lon"), col("lat"), 5))
+      .as[String].collect() shouldBe Array("u4pru", "ezs42")
+    df.select(GridLayout.geohash(col("lon"), col("lat"), 11))
+      .as[String].collect().head shouldBe "u4pruydqqvj"
+    // prefix property: chars-1 hash is the parent cell's
+    df.select(GridLayout.geohash(col("lon"), col("lat"), 4))
+      .as[String].collect() shouldBe Array("u4pr", "ezs4")
+    // corner clamping stays in range
+    Seq((180.0, 90.0), (-180.0, -90.0)).toDF("lon", "lat")
+      .select(GridLayout.geohash(col("lon"), col("lat"), 5))
+      .as[String].collect().foreach(_.length shouldBe 5)
+  }
 }
