@@ -2876,6 +2876,29 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- interval-overlap join (J-family extension): purchase vs
+    //      error 2h-windows per user meet in a bucketized EQUI-join —
+    //      no range nested loop (hard-asserted); emit-once bucket
+    //      guard replaces the pair-universe distinct
+    "q_j9_interval_overlap" -> ((s, dir) => {
+      val span = 7200000000L // 2h in micros
+      val e = Tables.events(s, dir)
+      def side(t: String, p: String) = e
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          col("ts_us").as(s"${p}_s"),
+          (col("ts_us") + span).as(s"${p}_e"))
+      val q = operators.Timeline.overlapJoin(
+        side("purchase", "a"), side("error", "b"),
+        "user_id", "a_s", "a_e", "b_s", "b_e", span)
+      val plan = q.queryExecution.executedPlan.toString
+      if (plan.contains("NestedLoop") || plan.contains("Cartesian"))
+        throw new IllegalStateException(
+          "overlap join fell back to a nested loop:\n" + plan.take(800))
+      q.select(col("user_id"), col("a_id"), col("b_id"), col("overlap"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     // ---- geohash cell rollup: base32 geohash (precision 5) as pure
     //      integer Column ops (quantize -> interleave -> base32) —
     //      the prefix-hierarchical spatial key, top cells by density
@@ -8333,6 +8356,23 @@ object SparkEntry {
         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |  UNION ALL SELECT * FROM l2) t
         |ORDER BY level""".stripMargin,
+
+    "q_j9_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS s
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, s AS a_s,
+        |        s + 7200000000 AS a_e
+        |      FROM ev WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, event_id AS b_id, s AS b_s,
+        |        s + 7200000000 AS b_e
+        |      FROM ev WHERE event_type = 'error')
+        |SELECT a.user_id AS user_id, a_id, b_id,
+        |  CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT)
+        |    AS overlap
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_s < b_e AND b_s < a_e
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_geo_geohash" ->
       s"""WITH pts AS (

@@ -257,6 +257,45 @@ object Timeline {
         col("updated"), col("geometry"))
   }
 
+  /** Interval-overlap join: all (a, b) pairs sharing a key whose
+    * half-open intervals [s, e) intersect — the 1-D sibling of
+    * SpatialJoin's banded grid. Both sides explode into fixed-width
+    * time buckets and meet in a plain EQUI-join on (key, bucket) — no
+    * range-predicate nested loop anywhere in the plan. A pair seen in
+    * several buckets is emitted ONCE by the standard emit-once guard
+    * (count it only in the bucket holding max(s_a, s_b)) — cheaper
+    * than a distinct over the pair universe.
+    *
+    * `bucketWidth` trades duplication against join selectivity: an
+    * interval explodes into len/width + 1 rows, so pick the typical
+    * interval length. Scale shape: one shuffle on (key, bucket); skew
+    * = hot (key, bucket) cells, the same salting levers as any
+    * equi-join apply.
+    *
+    * Columns from both inputs survive; adds `overlap` (= min(e) −
+    * max(s), exact integers in the caller's time unit). */
+  def overlapJoin(a: DataFrame, b: DataFrame, key: String,
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bkt", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor((col(e) - 1) / bucketWidth).cast("long"))))
+    val ae = explodeBuckets(a, aStart, aEnd)
+    val be = explodeBuckets(b, bStart, bEnd)
+      .withColumnRenamed(key, "__bkey").withColumnRenamed("__bkt", "__bbkt")
+    ae.join(be, col(key) === col("__bkey") && col("__bkt") === col("__bbkt"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bkt") ===
+        floor(greatest(col(aStart), col(bStart)) / bucketWidth)
+          .cast("long"))
+      .withColumn("overlap",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+      .drop("__bkt", "__bbkt", "__bkey")
+  }
+
   /** Slowly-changing-dimension Type 2 build from a change log
     * (Kimball's SCD2): per key, consecutive identical states collapse
     * into one validity interval — (state, valid_from, valid_to,

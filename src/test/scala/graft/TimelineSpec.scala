@@ -169,6 +169,32 @@ class TimelineSpec extends SparkSpec {
       (2L, 5L, 50L, false))
   }
 
+  test("overlapJoin equals the brute-force range join, emits once") {
+    // intervals crossing bucket boundaries, containment, exact-touch
+    // (half-open: [0,10) vs [10,20) do NOT overlap), long spans
+    val a = Seq((1L, 10L, 0L, 10L), (1L, 11L, 5L, 35L),
+      (1L, 12L, 100L, 101L), (2L, 13L, 0L, 50L))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq((1L, 20L, 10L, 20L), (1L, 21L, 6L, 7L),
+      (1L, 22L, 30L, 200L), (2L, 23L, 49L, 60L), (3L, 24L, 0L, 9L))
+      .toDF("k", "b_id", "b_s", "b_e")
+    val got = Timeline.overlapJoin(a, b, "k",
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 8L)
+      .select(col("a_id"), col("b_id"), col("overlap"))
+      .as[(Long, Long, Long)].collect().sorted
+    val brute = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("ov"))
+      .as[(Long, Long, Long)].collect().sorted
+    got shouldBe brute
+    // the multi-bucket pair (11,22) appears exactly once
+    got.count(p => p._1 == 11L && p._2 == 22L) shouldBe 1
+    // exact touch excluded
+    got.exists(p => p._1 == 10L && p._2 == 20L) shouldBe false
+  }
+
   test("scd2Build: runs collapse, intervals chain, last row open") {
     // key 1: a a b a  -> [a: 10..30) [b: 30..40) [a: 40..)
     // key 2: x        -> [x: 5..)
