@@ -2261,14 +2261,15 @@ object SparkEntry {
 
     // ---- exact interpolated percentiles over integer cents (both
     // engines: pos = p*(n-1), linear interpolation — identical floats)
+    // (rank-join exact percentiles, NOT the built-in percentile()
+    //  whose buffer ships each group's full value multiset as one
+    //  shuffle record — the ShuffleAudit smell this replaced)
     "q_percentile" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .select(col("l_returnflag"),
-          cents(col("l_extendedprice")).as("c"))
-        .groupBy(col("l_returnflag"))
-        .agg(percentile(col("c"), lit(0.5)).as("p50"),
-          percentile(col("c"), lit(0.9)).as("p90"),
-          percentile(col("c"), lit(0.99)).as("p99"))
+      operators.Quantiles.exactInterpolated(
+          Tables.lineitem(s, dir), col("l_returnflag"),
+          cents(col("l_extendedprice")),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .withColumnRenamed("__g", "l_returnflag")
         .orderBy(col("l_returnflag"))),
 
     // ---- gate-threshold sweep: the keep-rate curve for choosing a
@@ -3676,9 +3677,10 @@ object SparkEntry {
     "q_approx_quantile" -> ((s, dir) => {
       val base = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-      val exact = base.groupBy(col("l_returnflag"))
-        .agg(percentile(col("c"), lit(0.5)).as("p50"),
-          percentile(col("c"), lit(0.9)).as("p90"))
+      val exact = operators.Quantiles.exactInterpolated(base,
+          col("l_returnflag"), col("c"),
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .withColumnRenamed("__g", "l_returnflag")
       val approx = base.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(c, 0.5, 10000)").as("a50"),
           expr("approx_percentile(c, 0.9, 10000)").as("a90"))

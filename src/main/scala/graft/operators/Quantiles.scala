@@ -74,4 +74,49 @@ object Quantiles {
       .select(col("q_permille"), col("rank"), col("bucket"),
         col("cnt"), col("cum"))
   }
+
+  /** Exact type-7 (linearly interpolated) percentiles per group,
+    * WITHOUT the full-multiset aggregation buffer Spark's built-in
+    * `percentile()` ships through the shuffle (one serialized blob
+    * per group — GBs per record at 100×). Here the values ride a
+    * per-group row_number sort (externally sortable, spillable) and
+    * only the two boundary ranks per requested percentile survive the
+    * aggregate. Interpolation reproduces Spark's built-in (and
+    * DuckDB's quantile_cont) bit-for-bit — the WEIGHTED-AVERAGE op
+    * order, pos = p·(n−1), v = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi,
+    * which rounds differently in the last ulp than the
+    * v_lo + Δ·frac form.
+    *
+    * `ps` maps output column name → p. Output: one row per group,
+    * group key in column `__g` (caller renames). */
+  def exactInterpolated(df: DataFrame, groupCol: Column,
+                        valueCol: Column,
+                        ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("__g"), valueCol.as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__c"))
+    val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val j = base.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), Seq("__g"))
+    def lo(p: Double): Column =
+      floor((col("__n") - 1).cast("double") * lit(p)).cast("long")
+    val aggs = ps.flatMap { case (nm, p) =>
+      Seq(min(when(col("__rn") === lo(p) + 1, col("__c")))
+          .as(s"__lo_$nm"),
+        min(when(col("__rn") === lo(p) + 2, col("__c")))
+          .as(s"__hi_$nm"))
+    } :+ max(col("__n")).as("__n")
+    val g = j.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (nm, p) =>
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      val frac = pos - floor(pos)
+      val vlo = col(s"__lo_$nm").cast("double")
+      val vhi = coalesce(col(s"__hi_$nm"), col(s"__lo_$nm"))
+        .cast("double")
+      when(frac === 0.0, vlo)
+        .otherwise((floor(pos) + 1 - pos) * vlo + frac * vhi)
+        .as(nm)
+    }
+    g.select(col("__g") +: outs: _*)
+  }
 }
