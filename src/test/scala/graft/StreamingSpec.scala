@@ -221,6 +221,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit nulls " +
+      "only after watermark expiry") {
+    val left = MemoryStream[(Long, Long)](spark) // (id, ts_sec)
+    val right = MemoryStream[(Long, Long)](spark)
+    val l = left.toDF().toDF("lid", "lts")
+      .withColumn("ltime", timestamp_seconds(col("lts")))
+      .withWatermark("ltime", "10 seconds")
+    val r = right.toDF().toDF("rid", "rts")
+      .withColumn("rtime", timestamp_seconds(col("rts")))
+      .withWatermark("rtime", "10 seconds")
+    val joined = l.join(r,
+      col("lid") === col("rid") &&
+        col("rtime") >= col("ltime") &&
+        col("rtime") <= col("ltime") + expr("INTERVAL 5 seconds"),
+      "left_outer")
+      .select(col("lid"), col("rid"))
+    val ckpt = Files.createTempDirectory("graft-ckpt-ljoin").toString
+    val q = joined.writeStream.format("memory").queryName("ljoin")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    left.addData((1L, 100L), (2L, 100L))
+    right.addData((1L, 102L))
+    q.processAllAvailable()
+    // the matched pair emits promptly; the unmatched left row is
+    // HELD as state (its match could still arrive)
+    spark.table("ljoin").as[(Long, Option[Long])].collect()
+      .toSet shouldBe Set((1L, Some(1L)))
+    // advance BOTH watermarks far past the join window, twice (the
+    // eviction runs a batch behind the watermark move)
+    left.addData((99L, 200L)); right.addData((98L, 200L))
+    q.processAllAvailable()
+    left.addData((97L, 210L)); right.addData((96L, 210L))
+    q.processAllAvailable()
+    val got = spark.table("ljoin").as[(Long, Option[Long])]
+      .collect().toSet
+    got should contain((2L, None)) // expired -> null-padded emission
+    q.stop()
+  }
+
   test("CheckpointMirror records the high-water sequence during streaming") {
     val store = new graft.sinks.UpsertSink.InMemoryUpsertStore
     val listener = new graft.streaming.CheckpointMirror(store, "seq-proc")
