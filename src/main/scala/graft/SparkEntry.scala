@@ -2877,6 +2877,25 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- exact per-group mode (most frequent value, min tie-break)
+    //      via count + rank — no value-multiset buffer, deterministic
+    //      where the built-in mode()'s tie choice is not
+    "q_stats_mode" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"),
+          col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- interval-overlap join (J-family extension): purchase vs
     //      error 2h-windows per user meet in a bucketized EQUI-join —
     //      no range nested loop (hard-asserted); emit-once bucket
@@ -8358,6 +8377,17 @@ object SparkEntry {
         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |  UNION ALL SELECT * FROM l2) t
         |ORDER BY level""".stripMargin,
+
+    "q_stats_mode" ->
+      """SELECT l_returnflag, mode_qty, cnt FROM (
+        |  SELECT l_returnflag, qty AS mode_qty, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty) AS rk
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |      count(*) AS cnt
+        |    FROM lineitem GROUP BY 1, 2) c) t
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_j9_interval_overlap" ->
       """WITH ev AS (
