@@ -2877,6 +2877,34 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- floored running balance (inventory that cannot go below
+    //      zero): the recurrence B_t = max(B_{t-1}+x_t, 0) is not a
+    //      window function, but the Skorokhod reflection identity
+    //      B_T = S_T - min(0, min_k S_k) is — one partitioned running
+    //      sum + one aggregate, exact integers
+    "q_inventory_floor" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity").cast("long") *
+            when(col("l_returnflag") === "R", -1L).otherwise(1L))
+            .as("x"))
+        .withColumn("srun", sum(col("x")).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("x")).as("total"),
+          min(col("srun")).as("min_prefix"))
+        .select(col("l_suppkey"), col("total"), col("min_prefix"),
+          (col("total") - least(lit(0L), col("min_prefix")))
+            .as("floored_balance"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- exact per-group mode (most frequent value, min tie-break)
     //      via count + rank — no value-multiset buffer, deterministic
     //      where the built-in mode()'s tie choice is not
@@ -8377,6 +8405,25 @@ object SparkEntry {
         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |  UNION ALL SELECT * FROM l2) t
         |ORDER BY level""".stripMargin,
+
+    "q_inventory_floor" ->
+      """WITH f AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) *
+        |      (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS x
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_suppkey, x,
+        |    SUM(x) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS srun
+        |  FROM f)
+        |SELECT l_suppkey, CAST(SUM(x) AS BIGINT) AS total,
+        |  CAST(MIN(srun) AS BIGINT) AS min_prefix,
+        |  CAST(SUM(x) - least(0, MIN(srun)) AS BIGINT)
+        |    AS floored_balance
+        |FROM c GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     "q_stats_mode" ->
       """SELECT l_returnflag, mode_qty, cnt FROM (

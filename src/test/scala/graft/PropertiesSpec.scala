@@ -297,6 +297,18 @@ class PropertiesSpec extends SparkSpec {
     assert(r3.getLong(2) == r1.getLong(2) && r3.getLong(3) == micro)
   }
 
+  test("Skorokhod reflection identity equals the floored-balance fold") {
+    // q_inventory_floor's window form rests on
+    //   fold(b, x => max(b+x, 0)) == S_T − min(0, min_k S_k)
+    check(Prop.forAll(
+      org.scalacheck.Gen.nonEmptyListOf(
+        org.scalacheck.Gen.chooseNum(-25L, 25L))) { xs =>
+      val direct = xs.foldLeft(0L)((b, x) => math.max(b + x, 0L))
+      val prefix = xs.scanLeft(0L)(_ + _).tail
+      direct == prefix.last - math.min(0L, prefix.min)
+    })
+  }
+
   test("rocAuc invariances: monotone transform, label swap, sharding") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
