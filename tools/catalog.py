@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Generate QUERIES.md: one line per registry query, described by the
+`// ----` comment block that precedes its entry in SparkEntry.scala.
+Regenerate after adding queries:  python3 tools/catalog.py
+"""
+import re
+import sys
+
+SRC = "src/main/scala/graft/SparkEntry.scala"
+OUT = "QUERIES.md"
+
+
+def main():
+    src = open(SRC).read()
+    qsec = src[src.index("def queries") : src.index("def oracleSql")]
+    # walk entries in order; capture the comment block directly above
+    entries = []
+    pat = re.compile(r'"(q[a-z0-9_]*)" ->')
+    comments = {}
+    lines = qsec.split("\n")
+    block = []
+    for ln in lines:
+        s = ln.strip()
+        if s.startswith("// ----"):
+            block = [s[7:].strip()]
+        elif block and s.startswith("//"):
+            block.append(s[2:].strip())
+        else:
+            m = pat.search(ln)
+            if m:
+                name = m.group(1)
+                if name not in comments:  # first definition wins
+                    comments[name] = " ".join(block) if block else ""
+                    entries.append(name)
+                block = []
+            elif s and not s.startswith("//"):
+                # non-comment code between blocks breaks attachment
+                # only if another entry didn't immediately follow
+                pass
+    cats = {}
+    for n in entries:
+        key = n.split("_")[1] if "_" in n else n
+        cats.setdefault(key, []).append(n)
+    with open(OUT, "w") as f:
+        f.write("# QUERIES — the oracle-gated registry\n\n")
+        f.write(
+            f"{len(entries)} queries; every one has a matching "
+            "`oracleSql` entry hash-checked\nagainst DuckDB by "
+            "`graft.Verify` + `tools/check.py`. Descriptions are the\n"
+            "registry's own comment blocks "
+            "(regenerate: `python3 tools/catalog.py`).\n\n"
+        )
+        f.write("| query | description |\n|---|---|\n")
+        prev = ""
+        for n in entries:
+            d = comments.get(n, "")
+            if not d and prev:
+                d = "(same family) " + prev
+            else:
+                prev = d
+            f.write(f"| {n} | {d.replace('|', chr(92) + '|')} |\n")
+    print(f"wrote {OUT}: {len(entries)} queries")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
