@@ -51,13 +51,8 @@ def main():
             "(regenerate: `python3 tools/catalog.py`).\n\n"
         )
         f.write("| query | description |\n|---|---|\n")
-        prev = ""
         for n in entries:
-            d = comments.get(n, "")
-            if not d and prev:
-                d = "(same family) " + prev
-            else:
-                prev = d
+            d = comments.get(n, "") or "—"
             f.write(f"| {n} | {d.replace('|', chr(92) + '|')} |\n")
     print(f"wrote {OUT}: {len(entries)} queries")
 
