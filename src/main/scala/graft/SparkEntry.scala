@@ -116,6 +116,7 @@ object SparkEntry {
       clickers.intersect(buyers).orderBy(col("user_id"))
     }),
 
+    // ---- set difference via exceptAll (SURVEY §2.7)
     "q_set_except" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val viewers = ev.filter(col("event_type") === "view")
@@ -641,10 +642,12 @@ object SparkEntry {
       operators.Stats.hashtagStatistics(Tables.events(s, dir), topK = 2)
         .orderBy(col("hashtag"), col("rnk"), col("user_id"))),
 
+    // ---- A12 SQL view: per-(hashtag, user) rollup with RANK top-k
     "q_stats_hashtag_user_view" -> ((s, dir) =>
       operators.Stats.hashtagUserStatistics(Tables.events(s, dir))
         .orderBy(col("hashtag"), col("user_id"))),
 
+    // ---- A12 SQL view: per-country edit rollup
     "q_stats_country_view" -> ((s, dir) =>
       operators.Stats.countryStatistics(s, Tables.events(s, dir))
         .orderBy(col("country"))),
@@ -875,6 +878,7 @@ object SparkEntry {
           "user_id", "ts_us", periodUs = 86400000000L)
         .orderBy(col("cohort_period"), col("period_offset"))),
 
+    // ---- gap-based sessionization (Timeline.sessionize, 1h inactivity)
     "q_sessionize" -> ((s, dir) =>
       operators.Timeline.sessionize(
           Tables.events(s, dir), Seq("user_id"), "ts_us",
@@ -939,6 +943,7 @@ object SparkEntry {
           parallelism = 32)
         .orderBy(col("key"))),
 
+    // ---- two-stage salted aggregation for hot keys (Scale.saltedSum)
     "q_salted_agg" -> ((s, dir) =>
       operators.Scale.saltedSum(
           Tables.events(s, dir)
@@ -1067,6 +1072,7 @@ object SparkEntry {
         .orderBy(col("x"), col("y"))
     }),
 
+    // ---- polygon rasterization onto the tile grid (GeomTiles poly burn)
     "q_tile_polys" -> ((s, dir) => {
       val z = 3; val cells = 16; val n = (1L << z) * cells
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -1169,18 +1175,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- MinHash-LSH near-dup pairs: banded signatures -> bucket join -> exact-Jaccard verify
     "q_dedup_minhash" -> ((s, dir) =>
       operators.Dedup.minhashLshPairs(
           Tables.documents(s, dir), col("text"), col("doc_id"),
           shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- n-gram Jaccard pairs without LSH: df-capped rare-shingle candidates + bound pruning
     "q_dedup_jaccard" -> ((s, dir) =>
       operators.Dedup.jaccardPairs(
           Tables.documents(s, dir), col("text"), col("doc_id"),
           shingleN = 3, threshold = 0.5, dfCap = 64)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- SimHash near-dup: 60-bit signatures, banded hamming candidates
     "q_dedup_simhash" -> ((s, dir) =>
       operators.Dedup.simhashPairs(
           Tables.documents(s, dir), col("text"), col("doc_id"), maxHamming = 8)
@@ -1220,6 +1229,7 @@ object SparkEntry {
         .orderBy(col("cluster_size"))
     }),
 
+    // ---- exact embedding near-dup: blocked pairwise cosine scan
     "q_dedup_embedding" -> ((s, dir) =>
       operators.Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.45)
         .orderBy(col("ia"), col("ib"))),
@@ -1248,6 +1258,7 @@ object SparkEntry {
           threshold = 0.45, nBands = 8, bitsPerBand = 4, dim = 64)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- ANN top-k via deterministic sign-LSH buckets
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       operators.Similarity.lshTopK(
@@ -1256,6 +1267,7 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- ANN top-k via IVF inverted lists (distributed centroids, nProbe)
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       operators.Similarity.ivfTopK(
@@ -1294,6 +1306,7 @@ object SparkEntry {
           col("st._3").as("mean_len"))
         .orderBy(col("doc_id"))),
 
+    // ---- heuristic quality scoring (length/punct/stopword ratios)
     "q_text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1301,6 +1314,7 @@ object SparkEntry {
             functions.TextFunctions.tokens(col("text"))).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // ---- Gopher/C4 repetition + composition gates
     "q_text_gopher" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("g", functions.TextFunctions.gopherUdf(col("text")))
@@ -1311,12 +1325,14 @@ object SparkEntry {
           col("g._4").as("passes"))
         .orderBy(col("doc_id"))),
 
+    // ---- BPE-ish subword token count estimation
     "q_text_tokens_bpe" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
           functions.TextFunctions.bpeTokenEstimate(col("text")).as("est_tokens"))
         .orderBy(col("doc_id"))),
 
+    // ---- n-gram-profile language identification
     "q_text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("langid", functions.TextFunctions.langId(
@@ -1515,6 +1531,7 @@ object SparkEntry {
           k = 3, divisor = 16)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ---- winnowing fingerprints (Schleimer et al. MOSS)
     "q_text_winnow" -> ((s, dir) =>
       operators.Dedup.winnowFingerprints(
           Tables.documents(s, dir), col("text"), col("doc_id"),
@@ -1583,6 +1600,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- rolling polynomial document fingerprints
     "q_text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1665,6 +1683,7 @@ object SparkEntry {
           array_contains(col("words"), "BRUSHED").as("has_brushed"))
         .orderBy(col("p_partkey"))),
 
+    // ---- replication sequence <-> timestamp round-trip functions
     "q_f_seq_roundtrip" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -1980,6 +1999,7 @@ object SparkEntry {
           Tables.documents(s, dir), col("source"), col("text"))
         .orderBy(col("source"))),
 
+    // ---- pairwise source cosine over unigram count vectors
     "q_source_similarity" -> ((s, dir) =>
       operators.LanguageModel.sourceSimilarity(
           Tables.documents(s, dir), col("source"), col("text"))
@@ -2069,7 +2089,7 @@ object SparkEntry {
         .orderBy(col("id"), col("hashtag"))
     }),
 
-    // full ChangesetMetadataCreator shape incl. the comments table:
+    // ---- full ChangesetMetadataCreator shape incl. the comments table:
     // comments (synthesized from lineitem — unique per-changeset dates
     // by construction: whole-day ship dates + minute-scaled line
     // numbers) are collected date-ascending per changeset; the
@@ -3150,6 +3170,7 @@ object SparkEntry {
           |  AND l_quantity < 24""".stripMargin)
     }),
 
+    // ---- TPC-H Q14: promo revenue share as an exact integer micro ratio
     "q_tpch_q14" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("t14_lineitem")
       Tables.part(s, dir).createOrReplaceTempView("t14_part")
