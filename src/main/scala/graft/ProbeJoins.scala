@@ -112,11 +112,15 @@ object ProbeJoins {
         }
       // the PARTITIONED fact scan is the one carrying partition
       // filters; the dim's own file count is irrelevant here
-      val files = scans(q.queryExecution.executedPlan)
+      val fileCounts = scans(q.queryExecution.executedPlan)
         .filter(f => f.partitionFilters.nonEmpty &&
           f.metrics.contains("numFiles"))
-        .map(_.metrics("numFiles").value).max
-      (n, files)
+        .map(_.metrics("numFiles").value)
+      require(fileCounts.nonEmpty,
+        "DPP probe: no partition-filtered file scan found in the " +
+          "executed plan (metric renamed or partition filters not " +
+          "inferred?)")
+      (n, fileCounts.max)
     }
     val (nDppOn, filesOn) = dppJoin()
     spark.conf.set(
@@ -144,6 +148,19 @@ object ProbeJoins {
     val ord100 = spark.read.parquet(dppProbeP)
       .select(col("o_orderkey") % 1500000 as "o_orderkey",
         col("o_totalprice")).distinct()
+    // a crashed previous run leaves the managed-table LOCATION behind
+    // while this JVM's fresh catalog knows nothing of it — same guard
+    // as q_bucketed_join
+    Seq("graft_probe_bl", "graft_probe_bo").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(new java.io.File(wh), t))
+    }
     t0 = System.nanoTime()
     operators.Scale.writeBucketed(li20k, "graft_probe_bl",
       Seq("l_orderkey"), 32)

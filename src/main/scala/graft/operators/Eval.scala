@@ -113,6 +113,13 @@ object Eval {
         sum(when(!col("is_p"), 1L).otherwise(0L)).as("neg"))
     val nShards = 64
     val probs = (1 until nShards).map(i => i.toDouble / nShards)
+    // `sharded` feeds two lineages (local prefix sums; shard totals)
+    // that must agree on cut points. That holds even if exchange
+    // reuse is off and the bounds subtree re-executes: the
+    // percentile_approx merge consumes partials in partition-id
+    // order over the same deterministic groupBy output, so a replay
+    // reproduces the same sketch bit-for-bit (same argument as
+    // Drift.ksStatistic, which shares this shape).
     val bounds = counts.agg(
       percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
     val sharded = counts.crossJoin(broadcast(bounds))

@@ -93,7 +93,10 @@ object Quantiles {
                         valueCol: Column,
                         ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULLs are excluded like the built-in (and quantile_cont) do —
+    // they must count in neither __n nor the rank order
     val base = df.select(groupCol.as("__g"), valueCol.as("__c"))
+      .filter(col("__c").isNotNull)
     val w = Window.partitionBy(col("__g")).orderBy(col("__c"))
     val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val j = base.withColumn("__rn", row_number().over(w))

@@ -279,10 +279,15 @@ object Timeline {
                   bStart: String, bEnd: String,
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // drop empty/inverted intervals BEFORE exploding: [s, s) matches
+    // nothing under half-open semantics (the post-join range filter
+    // alone would admit it), and e < s would make sequence() emit a
+    // huge DESCENDING bucket array rather than an empty one
     def explodeBuckets(df: DataFrame, s: String, e: String) =
-      df.withColumn("__bkt", explode(sequence(
-        floor(col(s) / bucketWidth).cast("long"),
-        floor((col(e) - 1) / bucketWidth).cast("long"))))
+      df.filter(col(s) < col(e))
+        .withColumn("__bkt", explode(sequence(
+          floor(col(s) / bucketWidth).cast("long"),
+          floor((col(e) - 1) / bucketWidth).cast("long"))))
     val ae = explodeBuckets(a, aStart, aEnd)
     val be = explodeBuckets(b, bStart, bEnd)
       .withColumnRenamed(key, "__bkey").withColumnRenamed("__bkt", "__bbkt")

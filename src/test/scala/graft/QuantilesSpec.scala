@@ -54,4 +54,22 @@ class QuantilesSpec extends SparkSpec {
       Seq(500, 999), alpha).orderBy("q_permille").collect()
     x shouldBe y
   }
+
+  test("exactInterpolated matches the built-in percentile(), incl NULLs") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", None), ("b", Some(10L)), ("b", None))
+      .toDF("g", "v")
+    val got = Quantiles.exactInterpolated(df, col("g"), col("v"),
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .orderBy(col("__g"))
+      .as[(String, Double, Double)].collect()
+    val builtin = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"))
+      .orderBy(col("g"))
+      .as[(String, Double, Double)].collect()
+    got shouldBe builtin
+    got.head._2 shouldBe 2.0 // NULL ignored, not sorted first
+  }
 }

@@ -195,6 +195,16 @@ class TimelineSpec extends SparkSpec {
     got.exists(p => p._1 == 10L && p._2 == 20L) shouldBe false
   }
 
+  test("overlapJoin: empty and inverted intervals match nothing") {
+    // [10,10) is empty under half-open semantics; e < s is bad data
+    // that must neither match nor explode a descending bucket range
+    val a = Seq((1L, 1L, 10L, 10L), (1L, 2L, 1000000L, 0L))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq((1L, 9L, 0L, 100L)).toDF("k", "b_id", "b_s", "b_e")
+    Timeline.overlapJoin(a, b, "k", "a_s", "a_e", "b_s", "b_e",
+      bucketWidth = 8L).count() shouldBe 0L
+  }
+
   test("scd2Build: runs collapse, intervals chain, last row open") {
     // key 1: a a b a  -> [a: 10..30) [b: 30..40) [a: 40..)
     // key 2: x        -> [x: 5..)

@@ -34,9 +34,9 @@ def main():
                     entries.append(name)
                 block = []
             elif s and not s.startswith("//"):
-                # non-comment code between blocks breaks attachment
-                # only if another entry didn't immediately follow
-                pass
+                # code intervened: the pending block belongs to nothing
+                # (an uncommented entry later must NOT inherit it)
+                block = []
     cats = {}
     for n in entries:
         key = n.split("_")[1] if "_" in n else n
