@@ -3001,13 +3001,29 @@ object SparkEntry {
         "graft_dpp_orders").getAbsolutePath
       val dimP = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_dpp_years").getAbsolutePath
-      Tables.orders(s, dir)
-        .withColumn("o_year", expr("CAST(year(o_orderdate) AS INT)"))
-        .write.mode("overwrite").partitionBy("o_year").parquet(factP)
-      s.range(1995, 2002)
-        .select(col("id").cast("int").as("o_year"),
-          when(col("id").isin(1996, 1997), 1).otherwise(0).as("keep"))
-        .write.mode("overwrite").parquet(dimP)
+      // memoize the layout on the SOURCE file's identity: rebuilding
+      // per invocation would make the bench time the parquet write,
+      // not the pruned join; a testdata regen changes the fingerprint
+      // and forces a rebuild (v1 = layout-logic version)
+      val srcF = new java.io.File(dir, "orders.parquet")
+      val fp = s"v1:${srcF.length}:${srcF.lastModified}"
+      val marker = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpp_orders.fp")
+      val fresh = marker.exists() && {
+        val src = scala.io.Source.fromFile(marker)
+        try src.mkString == fp finally src.close()
+      }
+      if (!fresh) {
+        Tables.orders(s, dir)
+          .withColumn("o_year", expr("CAST(year(o_orderdate) AS INT)"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(factP)
+        s.range(1995, 2002)
+          .select(col("id").cast("int").as("o_year"),
+            when(col("id").isin(1996, 1997), 1).otherwise(0).as("keep"))
+          .write.mode("overwrite").parquet(dimP)
+        val w = new java.io.FileWriter(marker)
+        try w.write(fp) finally w.close()
+      }
       val fact = s.read.parquet(factP)
       val dim = s.read.parquet(dimP).filter(col("keep") === 1)
       val q = fact.join(dim, Seq("o_year"))
