@@ -32,21 +32,27 @@ object SparkEntry {
     * so their bench rows time the read-side skipping/join, not the
     * parquet write, while a testdata regen still forces a rebuild. */
   private def withLayout(markerName: String, dir: String,
-      srcTable: String, version: String)(build: => Unit): Unit =
-    withLayoutMulti(markerName, dir, Seq(srcTable), version)(build)
+      srcTable: String, version: String,
+      mustExist: Seq[String] = Nil)(build: => Unit): Unit =
+    withLayoutMulti(markerName, dir, Seq(srcTable), version,
+      mustExist)(build)
 
   private def withLayoutMulti(markerName: String, dir: String,
-      srcTables: Seq[String], version: String)(build: => Unit): Unit = {
+      srcTables: Seq[String], version: String,
+      mustExist: Seq[String] = Nil)(build: => Unit): Unit = {
     val fp = version + ":" + srcTables.map { t =>
       val f = new java.io.File(dir, t)
       s"${f.length}:${f.lastModified}"
     }.mkString(",")
     val marker = new java.io.File(sys.props("java.io.tmpdir"),
       markerName)
-    val fresh = marker.exists() && {
-      val src = scala.io.Source.fromFile(marker)
-      try src.mkString == fp finally src.close()
-    }
+    // a surviving marker with wiped layout files (tmp cleanup,
+    // reboot) must rebuild, not serve a missing path
+    val fresh = marker.exists() &&
+      mustExist.forall(p => new java.io.File(p).exists()) && {
+        val src = scala.io.Source.fromFile(marker)
+        try src.mkString == fp finally src.close()
+      }
     if (!fresh) {
       build
       val w = new java.io.FileWriter(marker)
@@ -3033,7 +3039,8 @@ object SparkEntry {
       // per invocation would make the bench time the parquet write,
       // not the pruned join; a testdata regen changes the fingerprint
       // and forces a rebuild (v1 = layout-logic version)
-      withLayout("graft_dpp_orders.fp", dir, "orders.parquet", "v1") {
+      withLayout("graft_dpp_orders.fp", dir, "orders.parquet", "v1",
+          mustExist = Seq(factP, dimP)) {
         Tables.orders(s, dir)
           .withColumn("o_year", expr("CAST(year(o_orderdate) AS INT)"))
           .write.mode("overwrite").partitionBy("o_year").parquet(factP)
@@ -3077,7 +3084,8 @@ object SparkEntry {
         f.delete(): Unit
       }
       withLayoutMulti("graft_bkt.fp", dir,
-          Seq("lineitem.parquet", "orders.parquet"), "v2") {
+          Seq("lineitem.parquet", "orders.parquet"), "v2",
+          mustExist = Seq(liP, ordP)) {
         Seq("graft_bkt_lineitem" -> liP, "graft_bkt_orders" -> ordP)
           .foreach { case (t, p) =>
             s.sql(s"DROP TABLE IF EXISTS $t"); rm(new java.io.File(p))
@@ -3618,7 +3626,7 @@ object SparkEntry {
       val p = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_skip_lineitem").getAbsolutePath
       withLayout("graft_skip_lineitem.fp", dir, "lineitem.parquet",
-          "v1") {
+          "v1", mustExist = Seq(p)) {
         Tables.lineitem(s, dir)
           .repartitionByRange(16, col("l_orderkey"))
           .write.mode("overwrite").parquet(p)
@@ -3864,7 +3872,7 @@ object SparkEntry {
       // (16 files = 2 bits/dim was too coarse — a one-quarter y-slice
       // crossed half the files)
       withLayout("graft_zorder_lineitem.fp", dir, "lineitem.parquet",
-          "v1") {
+          "v1", mustExist = Seq(p)) {
         li.withColumn("zk", z).repartitionByRange(64, col("zk"))
           .drop("zk").write.mode("overwrite").parquet(p)
       }
@@ -4064,7 +4072,7 @@ object SparkEntry {
       val p = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_bloom_lineitem").getAbsolutePath
       withLayout("graft_bloom_lineitem.fp", dir, "lineitem.parquet",
-          "v1") {
+          "v1", mustExist = Seq(p)) {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"),
             col("l_quantity"))
