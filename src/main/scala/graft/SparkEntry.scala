@@ -3271,6 +3271,105 @@ object SparkEntry {
           |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)
     }),
 
+    // ---- Q2 (lite): min-cost supplier per part — the schema has no
+    //      partsupp, so lineitem's distinct (partkey, suppkey) pairs
+    //      stand in and s_acctbal proxies supply cost. The signature
+    //      shape survives: a correlated scalar MIN over a 4-table
+    //      subquery, decorrelated by Catalyst into an aggregate+join.
+    "q_tpch_q2" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("t2_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("t2_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t2_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("t2_nation")
+      Tables.region(s, dir).createOrReplaceTempView("t2_region")
+      s.sql(
+        """WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+          |    l_suppkey AS suppkey FROM t2_lineitem)
+          |SELECT p_partkey, s_name, n_name,
+          |  CAST(round(s_acctbal*100) AS BIGINT) AS bal_c
+          |FROM t2_part, ps, t2_supplier, t2_nation, t2_region
+          |WHERE p_partkey = partkey AND s_suppkey = suppkey
+          |  AND s_nationkey = n_nationkey
+          |  AND n_regionkey = r_regionkey
+          |  AND r_name = 'EUROPE' AND p_size = 15
+          |  AND CAST(round(s_acctbal*100) AS BIGINT) = (
+          |    SELECT min(CAST(round(s2.s_acctbal*100) AS BIGINT))
+          |    FROM ps ps2, t2_supplier s2, t2_nation n2, t2_region r2
+          |    WHERE ps2.partkey = p_partkey
+          |      AND s2.s_suppkey = ps2.suppkey
+          |      AND s2.s_nationkey = n2.n_nationkey
+          |      AND n2.n_regionkey = r2.r_regionkey
+          |      AND r2.r_name = 'EUROPE')
+          |ORDER BY bal_c, p_partkey, s_name""".stripMargin)
+    }),
+
+    // ---- Q11 (lite): important-stock share — per-part value for one
+    //      nation's suppliers kept only above a fraction of the total
+    //      (HAVING-against-scalar-subquery shape), exact c4 integers
+    "q_tpch_q11" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t11_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("t11_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("t11_nation")
+      s.sql(
+        """WITH pv AS (
+          |  SELECT l_partkey AS partkey,
+          |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)
+          |      *10000) AS BIGINT)) AS BIGINT) AS value_c4
+          |  FROM t11_lineitem
+          |    JOIN t11_supplier ON l_suppkey = s_suppkey
+          |    JOIN t11_nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7' GROUP BY 1)
+          |SELECT partkey, value_c4 FROM pv
+          |WHERE value_c4 * 1000 > (SELECT CAST(SUM(value_c4)
+          |                         AS BIGINT) FROM pv)
+          |ORDER BY value_c4 DESC, partkey""".stripMargin)
+    }),
+
+    // ---- Q16 (lite): supplier counts per (brand, type, size) with a
+    //      null-aware NOT IN exclusion (the anti-join variant NOT
+    //      EXISTS does not exercise) + count(DISTINCT)
+    "q_tpch_q16" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t16_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("t16_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("t16_supplier")
+      s.sql(
+        """WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+          |    l_suppkey AS suppkey FROM t16_lineitem)
+          |SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT suppkey) AS supplier_cnt
+          |FROM ps JOIN t16_part ON p_partkey = partkey
+          |WHERE p_brand <> 'Brand#3'
+          |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          |  AND suppkey NOT IN (SELECT s_suppkey FROM t16_supplier
+          |                      WHERE s_name LIKE '%7')
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type,
+          |  p_size""".stripMargin)
+    }),
+
+    // ---- Q20 (lite): suppliers with significant shipments of a part
+    //      family — Q20's nested IN-inside-IN chain with a HAVING
+    //      threshold on the inner aggregate
+    "q_tpch_q20" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t20_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("t20_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("t20_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("t20_nation")
+      s.sql(
+        """SELECT s_name, s_suppkey
+          |FROM t20_supplier JOIN t20_nation
+          |  ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_2'
+          |  AND s_suppkey IN (
+          |    SELECT l_suppkey FROM t20_lineitem
+          |    WHERE l_partkey IN (SELECT p_partkey FROM t20_part
+          |                        WHERE p_name LIKE 'small%')
+          |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+          |      AND l_shipdate < TIMESTAMP '1998-01-01'
+          |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // ---- Q4: order-priority checking — correlated EXISTS against the
     //      fact table (lateness adapted to shipdate > orderdate + 30d,
     //      the schema has no commit/receipt dates). Plan-asserted to
@@ -8715,6 +8814,67 @@ object SparkEntry {
         |    AND l_quantity >= 10 AND l_quantity <= 35)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+        |    l_suppkey AS suppkey FROM lineitem)
+        |SELECT p_partkey, s_name, n_name,
+        |  CAST(round(s_acctbal*100) AS BIGINT) AS bal_c
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = partkey AND s_suppkey = suppkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size = 15
+        |  AND CAST(round(s_acctbal*100) AS BIGINT) = (
+        |    SELECT min(CAST(round(s2.s_acctbal*100) AS BIGINT))
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY bal_c, p_partkey, s_name""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)
+        |      *10000) AS BIGINT)) AS BIGINT) AS value_c4
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7' GROUP BY 1)
+        |SELECT partkey, value_c4 FROM pv
+        |WHERE value_c4 * 1000 > (SELECT CAST(SUM(value_c4)
+        |                         AS BIGINT) FROM pv)
+        |ORDER BY value_c4 DESC, partkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
+        |    l_suppkey AS suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = partkey
+        |WHERE p_brand <> 'Brand#3'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                      WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type,
+        |  p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
