@@ -24,8 +24,6 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
-  /** Pricing summary (A1-style grouped rollup; reference changeset rollup
-    * shape at apps/.../batch/ChangesetStatsCreator.scala:118-142). */
   /** Build-once memoization for queries that WRITE a derived layout
     * before reading it back: rebuild only when the source file's
     * identity (length, mtime) or the layout-logic `version` changes —
@@ -47,9 +45,15 @@ object SparkEntry {
     val marker = new java.io.File(sys.props("java.io.tmpdir"),
       markerName)
     // a surviving marker with wiped layout files (tmp cleanup,
-    // reboot) must rebuild, not serve a missing path
+    // reboot) must rebuild, not serve a missing or PARTIAL path —
+    // age-based /tmp reaping can delete part-files inside a surviving
+    // directory, so require the write's _SUCCESS commit mark too
     val fresh = marker.exists() &&
-      mustExist.forall(p => new java.io.File(p).exists()) && {
+      mustExist.forall { pth =>
+        val f = new java.io.File(pth)
+        f.exists() && (!f.isDirectory ||
+          new java.io.File(f, "_SUCCESS").exists())
+      } && {
         val src = scala.io.Source.fromFile(marker)
         try src.mkString == fp finally src.close()
       }
@@ -60,6 +64,8 @@ object SparkEntry {
     }
   }
 
+  /** Pricing summary (A1-style grouped rollup; reference changeset rollup
+    * shape at apps/.../batch/ChangesetStatsCreator.scala:118-142). */
   private def q1Agg(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -2181,7 +2187,10 @@ object SparkEntry {
         .agg(sum(cents(col("l_extendedprice"))).as("sum_price_c"),
           count(lit(1)).as("cnt"),
           max(cents(col("l_quantity"))).as("max_qty_c"))
-      defn.write.mode("overwrite").parquet(mvPath)
+      withLayout("graft_mv_lineitem.fp", dir, "lineitem.parquet",
+          "v1", mustExist = Seq(mvPath)) {
+        defn.write.mode("overwrite").parquet(mvPath)
+      }
       plans.MvRewrite.clear()
       plans.MvRewrite.register("lineitem_by_supp_flag", defn,
         s.read.parquet(mvPath))
@@ -2710,9 +2719,12 @@ object SparkEntry {
     "q_partition_prune" -> ((s, dir) => {
       val p = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_part_orders").getAbsolutePath
-      Tables.orders(s, dir)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.partitionBy("o_year").mode("overwrite").parquet(p)
+      withLayout("graft_part_orders.fp", dir, "orders.parquet",
+          "v1", mustExist = Seq(p)) {
+        Tables.orders(s, dir)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.partitionBy("o_year").mode("overwrite").parquet(p)
+      }
       val q = s.read.parquet(p)
         .filter(col("o_year") === 1997)
         .groupBy(col("o_orderstatus"))
@@ -3080,7 +3092,8 @@ object SparkEntry {
       val ordP = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_bkt_orders").getAbsolutePath
       def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory)
+          Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
       withLayoutMulti("graft_bkt.fp", dir,
@@ -3093,11 +3106,13 @@ object SparkEntry {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice"))
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", liP).saveAsTable("graft_bkt_lineitem")
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"))
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", ordP).saveAsTable("graft_bkt_orders")
       }
       s.sql(s"""CREATE TABLE IF NOT EXISTS graft_bkt_lineitem
