@@ -3286,6 +3286,36 @@ object SparkEntry {
           |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)
     }),
 
+    // ---- Q1 (full pricing summary): every aggregate of the classic
+    //      report in exact integers — qty (integer-valued), base in
+    //      cents, discounted in 1e-4, charge (three 2-dp factors) in
+    //      1e-6, averages as integer micro ratios
+    "q_tpch_q1" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("t1_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |    AS sum_qty,
+          |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+          |    AS BIGINT) AS sum_base_c,
+          |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+          |    AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+          |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)
+          |    *(1+l_tax)*1000000) AS BIGINT)) AS BIGINT)
+          |    AS sum_charge_c6,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000
+          |    DIV COUNT(*) AS BIGINT) AS avg_qty_micro,
+          |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+          |    * 10000 DIV COUNT(*) AS BIGINT) AS avg_price_micro,
+          |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) * 10000
+          |    DIV COUNT(*) AS BIGINT) AS avg_disc_micro,
+          |  COUNT(*) AS count_order
+          |FROM t1_lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // ---- Q2 (lite): min-cost supplier per part — the schema has no
     //      partsupp, so lineitem's distinct (partkey, suppkey) pairs
     //      stand in and s_acctbal proxies supply cost. The signature
@@ -8829,6 +8859,29 @@ object SparkEntry {
         |    AND l_quantity >= 10 AND l_quantity <= 35)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)
+        |    *(1+l_tax)*1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_charge_c6,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000
+        |    // COUNT(*) AS BIGINT) AS avg_qty_micro,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    * 10000 // COUNT(*) AS BIGINT) AS avg_price_micro,
+        |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) * 10000
+        |    // COUNT(*) AS BIGINT) AS avg_disc_micro,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch_q2" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS partkey,
