@@ -184,5 +184,52 @@ object ProbeJoins {
     println(f"r12 bucketed join 12M rows: write_sec=$tBktWrite%.1f " +
       f"bucketed_sec=$tBkt%.1f shuffled_sec=$tShuf%.1f " +
       f"speedup=${tShuf / tBkt}%.2fx rows=$nBkt")
+
+    // round 12 cont: (p) interval-overlap join at 20x events (2M
+    //     intervals per side): the bucketized (key, bucket) equi-join
+    //     vs the plain key equi-join with a post-range filter — the
+    //     latter materializes EVERY same-key pair (quadratic in
+    //     events-per-key) before filtering, which is what kills hot
+    //     keys at scale; bucketizing bounds candidates to same-bucket
+    //     pairs. Counts must agree; the plain side runs on a 1/16
+    //     left sample because its pair volume is the point.
+    // keep the USER key unreplicated (replicas must share keys or the
+    // two sides never meet); shift each replica's timeline so the
+    // interval density per user stays realistic
+    val ev20o = Tables.events(spark, sfDir).crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("event_id") * 20 + col("rep")).as("eid"),
+        col("event_id").as("base_eid"),
+        col("user_id").as("uid"),
+        (col("ts_us") + col("rep") * 86400000000L).as("ts_us"))
+      .persist()
+    val span = 7200000000L
+    // split on the ORIGINAL event id (eid % 5 would just be rep % 5,
+    // putting the two sides on disjoint replicas/day offsets)
+    def iv(t: Long) = ev20o.filter(col("base_eid") % 5 === t)
+      .select(col("uid").as("k"), col("eid"),
+        col("ts_us").as("s"), (col("ts_us") + span).as("e"))
+    val ivA = iv(0).withColumnRenamed("eid", "a_id")
+      .withColumnRenamed("s", "a_s").withColumnRenamed("e", "a_e")
+    val ivB = iv(1).withColumnRenamed("eid", "b_id")
+      .withColumnRenamed("s", "b_s").withColumnRenamed("e", "b_e")
+    t0 = System.nanoTime()
+    val nOv = operators.Timeline.overlapJoin(ivA, ivB, "k",
+      "a_s", "a_e", "b_s", "b_e", span).count()
+    val tOv = (System.nanoTime() - t0) / 1e9
+    val ivAs = ivA.filter(col("a_id") % 16 === 0)
+    t0 = System.nanoTime()
+    val nNlj = ivAs.join(ivB,
+      ivAs("k") === ivB("k") && ivAs("a_s") < ivB("b_e") &&
+        ivB("b_s") < ivAs("a_e")).count()
+    val tNlj = (System.nanoTime() - t0) / 1e9
+    val nOvS = operators.Timeline.overlapJoin(ivAs, ivB, "k",
+      "a_s", "a_e", "b_s", "b_e", span).count()
+    require(nOvS == nNlj,
+      s"overlap join disagrees with the range join: $nOvS vs $nNlj")
+    println(f"r12 overlap join 2x2M intervals: bucketized full " +
+      f"pairs=$nOv sec=$tOv%.1f | plain key-join+filter 1/16 sample " +
+      f"sec=$tNlj%.1f (x16 ~ ${tNlj * 16}%.0f s extrapolated)")
+    ev20o.unpersist()
   }
 }
