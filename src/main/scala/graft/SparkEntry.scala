@@ -947,6 +947,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- FORWARD as-of: earliest mark at-or-after each event
+    //      ("time to next event") — backward as-of on the negated
+    //      axis, same one-shuffle union+window plan
+    "q_j_asof_fwd" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val left = e.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = e.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts_us").as("mark_ts"))
+        .agg(max(coalesce(cents(col("value")), lit(0L))).as("mark_v"))
+      operators.Timeline.asofJoinForward(left, right, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "mark_ts")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts").as("next_ts"), col("mark_v").as("next_v"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- skew-salted aggregation (SURVEY §4 skew handling): two-stage
     //      salted sum, oracle-checked equal to the direct rollup.
     //      pinSalt = false: the input is a direct file scan + projection
@@ -4560,6 +4577,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-07-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j_asof_fwd" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    COALESCE(CAST(round(value*100) AS BIGINT), 0) AS cents
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_id % 5 <> 0),
+        |r AS (
+        |  SELECT user_id, ts_us AS mark_ts, max(cents) AS mark_v
+        |  FROM e WHERE event_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  r.mark_ts AS next_ts, r.mark_v AS next_v
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us <= r.mark_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -126,6 +126,24 @@ object Timeline {
       .drop("__ts", "__side", "__rts", "__rs")
   }
 
+  /** Forward as-of join: the EARLIEST right row at-or-AFTER each left
+    * timestamp per key — "time to next event" (maintenance windows,
+    * next-purchase attribution). Pure reuse of [[asofJoin]]: forward
+    * on t is backward on −t, so both timestamp axes negate, the
+    * backward operator runs unchanged (its same-ts tie handling keeps
+    * the inclusive at-or-after bound), and the matched `asof_ts`
+    * un-negates on the way out. Inherits the one-shuffle union+window
+    * plan. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String): DataFrame = {
+    val l = left.withColumn("__negl", -col(leftTs).cast("long"))
+    val r = right.withColumn("__negr", -col(rightTs).cast("long"))
+      .drop(rightTs)
+    asofJoin(l, r, keys, "__negl", "__negr")
+      .withColumn("asof_ts", -col("asof_ts"))
+      .drop("__negl")
+  }
+
   /** Sessionization: split each key's event timeline into sessions at
     * inactivity gaps > `gapUs` (the standard running-sum-of-new-session-
     * flags formulation: lag for the gap, then a cumulative sum over an
