@@ -8764,7 +8764,8 @@ object SparkEntry {
         |  FROM events),
         |f AS (
         |  SELECT k, s, t, o,
-        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(s) OVER w IS DISTINCT FROM s
         |         THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY k ORDER BY t, o)),
         |i AS (

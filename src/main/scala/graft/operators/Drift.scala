@@ -102,13 +102,25 @@ object Drift {
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
     val nShards = 64
     val probs = (1 until nShards).map(i => i.toDouble / nShards)
-    val bounds = counts.agg(
-      percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
+    // The <=63 shard boundaries are collected to the driver ONCE (one
+    // tiny job at plan-build time) and embedded as a LITERAL array:
+    // the sharded frame feeds two lineages (local prefix sums; shard
+    // totals) that must agree on the cut points, and a literal removes
+    // any reliance on the exchange being computed once and reused —
+    // a re-executed percentile sketch could otherwise cut shards
+    // differently per lineage. Boundaries only affect parallelism,
+    // never the result.
+    val bRow = counts
+      .agg(percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
+      .head()
+    val bVals: Seq[Any] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Any](0)
     // shard id = #boundaries <= v: monotone in v, so shard order is
     // value order and within-shard order refines it
-    val sharded = counts.crossJoin(broadcast(bounds))
-      .withColumn("__shard", size(filter(col("bs"), b => b <= col("v"))))
-      .drop("bs")
+    val shardCol =
+      if (bVals.isEmpty) lit(0)
+      else size(filter(array(bVals.map(lit(_)): _*), b => b <= col("v")))
+    val sharded = counts.withColumn("__shard", shardCol)
     val wLocal = Window.partitionBy(col("__shard")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded

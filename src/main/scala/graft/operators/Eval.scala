@@ -63,11 +63,16 @@ object Eval {
     *
     *   kappa = (p_o − p_e)/(1 − p_e) = (N·d − S)/(N² − S)
     *
-    * computed in exact integers and released through ONE IEEE division
-    * — bit-stable across partitionings and engines. NULL when the
-    * marginals are degenerate (N² = S, chance agreement is total).
-    * Emits one row: (n, agree, kappa). */
+    * with the N², N·d and marginal products carried in decimal(38,0)
+    * — exact for any row count a Long can hold (Long N·N and Σna·nb
+    * would silently overflow past N ≈ 3.04e9 rows, i.e. √Long.Max;
+    * the sibling metrics rocAuc/ksStatistic document their bounds,
+    * this one simply has none) — and released through ONE IEEE
+    * division, bit-stable across partitionings and engines. NULL when
+    * the marginals are degenerate (N² = S, chance agreement is
+    * total). Emits one row: (n, agree, kappa). */
   def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(19,0)"
     val cm = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
     val tot = cm.agg(sum(col("n")).as("N"),
@@ -76,14 +81,17 @@ object Eval {
     val margA = cm.groupBy(col("a").as("cls")).agg(sum(col("n")).as("na"))
     val margB = cm.groupBy(col("b").as("cls")).agg(sum(col("n")).as("nb"))
     val s = margA.join(margB, Seq("cls"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("S"))
+      .agg(coalesce(sum(col("na").cast(dec) * col("nb").cast(dec)),
+        lit(0).cast("decimal(38,0)")).as("S"))
     tot.crossJoin(broadcast(s))
       .select(col("N").as("n"), col("d").as("agree"),
-        when(col("N") * col("N") === col("S"),
+        when(col("N").cast(dec) * col("N").cast(dec) === col("S"),
           lit(null).cast("double"))
           .otherwise(
-            (col("N") * col("d") - col("S")).cast("double") /
-              (col("N") * col("N") - col("S")).cast("double"))
+            (col("N").cast(dec) * col("d").cast(dec) - col("S"))
+              .cast("double") /
+              (col("N").cast(dec) * col("N").cast(dec) - col("S"))
+                .cast("double"))
           .as("kappa"))
   }
 
@@ -114,17 +122,22 @@ object Eval {
     val nShards = 64
     val probs = (1 until nShards).map(i => i.toDouble / nShards)
     // `sharded` feeds two lineages (local prefix sums; shard totals)
-    // that must agree on cut points. That holds even if exchange
-    // reuse is off and the bounds subtree re-executes: the
-    // percentile_approx merge consumes partials in partition-id
-    // order over the same deterministic groupBy output, so a replay
-    // reproduces the same sketch bit-for-bit (same argument as
-    // Drift.ksStatistic, which shares this shape).
-    val bounds = counts.agg(
-      percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
-    val sharded = counts.crossJoin(broadcast(bounds))
-      .withColumn("__shard", size(filter(col("bs"), b => b <= col("v"))))
-      .drop("bs")
+    // that must agree on cut points, so the <=63 boundaries are
+    // collected to the driver ONCE (one tiny job at plan-build time)
+    // and embedded as a LITERAL array — no reliance on exchange reuse
+    // recomputing the percentile sketch identically per lineage
+    // (shuffle-fetch order is not guaranteed, so a replayed sketch
+    // merge could cut shards differently). Same pattern as
+    // Drift.ksStatistic, which shares this shape.
+    val bRow = counts
+      .agg(percentile_approx(col("v"), typedLit(probs), lit(10000)).as("bs"))
+      .head()
+    val bVals: Seq[Any] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Any](0)
+    val shardCol =
+      if (bVals.isEmpty) lit(0)
+      else size(filter(array(bVals.map(lit(_)): _*), b => b <= col("v")))
+    val sharded = counts.withColumn("__shard", shardCol)
     val wLocal = Window.partitionBy(col("__shard")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded.withColumn("l_n", sum(col("neg")).over(wLocal))

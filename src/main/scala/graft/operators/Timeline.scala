@@ -297,6 +297,15 @@ object Timeline {
                   bStart: String, bEnd: String,
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // Exact integer floor(x / w): pmod yields the non-negative
+    // remainder, so x - pmod(x, w) is the floor-aligned multiple of w
+    // and integral DIV of an exact multiple IS the floor quotient.
+    // floor(col / lit) would round-trip through an IEEE double and
+    // lose bucket exactness past 2^53 (e.g. nanosecond epochs) —
+    // a pair's emit-once bucket could then fall outside either side's
+    // exploded range and the pair would silently vanish.
+    def floorDiv(x: Column): Column =
+      call_function("div", x - pmod(x, lit(bucketWidth)), lit(bucketWidth))
     // drop empty/inverted intervals BEFORE exploding: [s, s) matches
     // nothing under half-open semantics (the post-join range filter
     // alone would admit it), and e < s would make sequence() emit a
@@ -304,16 +313,14 @@ object Timeline {
     def explodeBuckets(df: DataFrame, s: String, e: String) =
       df.filter(col(s) < col(e))
         .withColumn("__bkt", explode(sequence(
-          floor(col(s) / bucketWidth).cast("long"),
-          floor((col(e) - 1) / bucketWidth).cast("long"))))
+          floorDiv(col(s)), floorDiv(col(e) - 1))))
     val ae = explodeBuckets(a, aStart, aEnd)
     val be = explodeBuckets(b, bStart, bEnd)
       .withColumnRenamed(key, "__bkey").withColumnRenamed("__bkt", "__bbkt")
     ae.join(be, col(key) === col("__bkey") && col("__bkt") === col("__bbkt"))
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
       .filter(col("__bkt") ===
-        floor(greatest(col(aStart), col(bStart)) / bucketWidth)
-          .cast("long"))
+        floorDiv(greatest(col(aStart), col(bStart))))
       .withColumn("overlap",
         least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
       .drop("__bkt", "__bbkt", "__bkey")
@@ -339,12 +346,18 @@ object Timeline {
       .orderBy(col("t"), col("o"))
     val wRun = w.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
+    // Null-safe change test: `lag =!= s` is NULL when either side is
+    // NULL, and `lag.isNull` can't distinguish "first row" from "prior
+    // state was NULL" — together they'd merge a NULL run into the
+    // previous island (first() then picks a nondeterministic state)
+    // and split consecutive NULLs into separate islands. row_number
+    // marks the first row; <=> compares NULL states as equal.
     val flagged = df
       .select(keyCol.as("k"), stateCol.as("s"), tsCol.as("t"),
         ordCol.as("o"))
       .withColumn("chg",
-        when(lag(col("s"), 1).over(w).isNull ||
-          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+        when(row_number().over(w) === 1 ||
+          !(lag(col("s"), 1).over(w) <=> col("s")), 1L).otherwise(0L))
       .withColumn("island", sum(col("chg")).over(wRun))
     val iv = flagged.groupBy(col("k"), col("island"))
       .agg(first(col("s")).as("state"), min(col("t")).as("valid_from"))

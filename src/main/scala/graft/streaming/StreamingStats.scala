@@ -44,7 +44,16 @@ object StreamingStats {
     * semantics, reference MergedChangesetStreamProcessor's
     * way-assembly join). `ways` needs (sequence, way_id, ref); `nodes`
     * needs (sequence, node_id, lon, lat). Works identically on batch
-    * frames, which is how the oracle row checks it. */
+    * frames, which is how the oracle row checks it.
+    *
+    * The join condition carries an event-time range (n_ts between
+    * event_ts and event_ts) on top of the sequence equality. It is
+    * semantically a no-op — equal sequences imply equal timestamps —
+    * but Spark derives its state-cleanup watermark from range
+    * predicates on event-time columns, so WITHOUT it the equality-only
+    * condition would keep both sides' join state forever in a
+    * long-running stream. With it, state for sequences behind the
+    * watermark is evicted each microbatch. */
   def waysWithNodes(ways: DataFrame, nodes: DataFrame): DataFrame = {
     val w = ways
       .withColumn("event_ts", sequenceToTimestamp(col("sequence")))
@@ -53,7 +62,8 @@ object StreamingStats {
       .withColumn("n_ts", sequenceToTimestamp(col("sequence")))
       .withWatermark("n_ts", "0 seconds")
     w.join(n,
-        w("sequence") === n("sequence") && col("ref") === col("node_id"))
+        w("sequence") === n("sequence") && col("ref") === col("node_id") &&
+          col("n_ts") >= col("event_ts") && col("n_ts") <= col("event_ts"))
       .select(w("sequence"), col("way_id"), col("ref"),
         col("lon"), col("lat"))
   }

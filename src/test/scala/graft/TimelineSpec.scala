@@ -195,6 +195,32 @@ class TimelineSpec extends SparkSpec {
     got.exists(p => p._1 == 10L && p._2 == 20L) shouldBe false
   }
 
+  test("overlapJoin: exact buckets beyond 2^53 (nanosecond epochs)") {
+    // bucket ids are exact integer floor division — IEEE-double
+    // division at 2^60 magnitudes has an ulp of ~256, so a
+    // double-rounded bucket could fall outside a side's exploded
+    // range and silently drop the pair; brute force catches any drop
+    val base = 1L << 60
+    val a = (0 until 24).map { i =>
+      val s = base + i * 7L + i % 3; (1L, 100L + i, s, s + 5L + i % 4)
+    }.toDF("k", "a_id", "a_s", "a_e")
+    val b = (0 until 24).map { i =>
+      val s = base + i * 5L + i % 2; (1L, 200L + i, s, s + 6L + i % 5)
+    }.toDF("k", "b_id", "b_s", "b_e")
+    val got = Timeline.overlapJoin(a, b, "k",
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 3L)
+      .select(col("a_id"), col("b_id"), col("overlap"))
+      .as[(Long, Long, Long)].collect().sorted
+    val brute = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("ov"))
+      .as[(Long, Long, Long)].collect().sorted
+    got shouldBe brute
+    got.length should be > 0
+  }
+
   test("overlapJoin: empty and inverted intervals match nothing") {
     // [10,10) is empty under half-open semantics; e < s is bad data
     // that must neither match nor explode a descending bucket range
@@ -220,6 +246,36 @@ class TimelineSpec extends SparkSpec {
       (1L, "b", 30L, Some(40L), 2L, false),
       (1L, "a", 40L, None, 3L, true),
       (2L, "x", 5L, None, 1L, true))
+  }
+
+  test("scd2Build: NULL states form their own islands, null-safely") {
+    // a a NULL NULL b NULL -> [a) [NULL) [b) [NULL, open): a NULL run
+    // is ONE island with a NULL state (not merged into the previous
+    // island, not split per row), and a later NULL run is distinct
+    val log = Seq((1L, Some("a"), 10L, 1L), (1L, Some("a"), 20L, 2L),
+      (1L, None, 30L, 3L), (1L, None, 40L, 4L),
+      (1L, Some("b"), 50L, 5L), (1L, None, 60L, 6L))
+      .toDF("k", "s", "t", "o")
+    val got = Timeline.scd2Build(log, col("k"), col("s"), col("t"),
+        col("o"))
+      .orderBy(col("version"))
+      .as[(Long, Option[String], Long, Option[Long], Long, Boolean)]
+      .collect()
+    got shouldBe Array(
+      (1L, Some("a"), 10L, Some(30L), 1L, false),
+      (1L, None, 30L, Some(50L), 2L, false),
+      (1L, Some("b"), 50L, Some(60L), 3L, false),
+      (1L, None, 60L, None, 4L, true))
+  }
+
+  test("scd2Build: all-NULL states collapse to one open interval") {
+    val log = Seq((1L, Option.empty[String], 10L, 1L),
+      (1L, Option.empty[String], 20L, 2L)).toDF("k", "s", "t", "o")
+    val got = Timeline.scd2Build(log, col("k"), col("s"), col("t"),
+        col("o"))
+      .as[(Long, Option[String], Long, Option[Long], Long, Boolean)]
+      .collect()
+    got shouldBe Array((1L, None, 10L, None, 1L, true))
   }
 
   test("scd2Build: timestamp ties break deterministically on ordCol") {
