@@ -1825,6 +1825,32 @@ object SparkEntry {
           size(filter(col("q._1"), x => x =!= 0)).as("n_nonzero"))
         .orderBy(col("vec_id"))),
 
+    // ---- sparse JL random projection (Achlioptas): deterministic
+    //      integer-mix signs, exact integer sums, map-only plan (no
+    //      shuffle) — the dim-reduction feeder for LSH/ANN at scale
+    "q_embed_rp" -> ((s, dir) =>
+      operators.Similarity.randomProjectSparse(
+          Tables.embeddings(s, dir), outDim = 8)
+        .select(col("id").as("vec_id"), col("k"), col("proj_q"))
+        .orderBy(col("vec_id"), col("k"))),
+
+    // ---- PCA whitening: per-component mean/variance of the whitened
+    //      corpus (~0 / ~1 by construction). Float eigenbasis -> no
+    //      DuckDB oracle; rows-only here, identity-covariance property
+    //      asserted in SimilaritySpec.
+    "q_embed_whiten" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Similarity.pcaFit(emb, k = 4)
+      val wh = operators.Similarity.whitenUdf(model)
+      emb.select(posexplode(
+          wh(col("embedding").cast("array<double>"))).as(Seq("k", "y")))
+        .groupBy(col("k"))
+        .agg(round(avg(col("y")), 2).as("mean_r"),
+          round(avg(col("y") * col("y")), 2).as("e2_r"),
+          count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
     // ---- sequence packing: documents -> fixed-budget context windows
     //      (pack-with-split; sharded cumsum so the window parallelizes)
     "q_pack_sequences" -> ((s, dir) =>
@@ -6843,6 +6869,18 @@ object SparkEntry {
         |  CAST(list_max(codes) AS INTEGER) AS max_code,
         |  CAST(len(list_filter(codes, x -> x <> 0)) AS INTEGER) AS n_nonzero
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_embed_rp" ->
+      """SELECT vec_id, CAST(k AS INT) AS k,
+        |  CAST(list_sum(list_transform(range(0, len(e)),
+        |    j -> (CASE ((1315423911 + 2654435761*(j+1) + 40503*(k+1)) % 6)
+        |           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)
+        |         * CAST(floor(CAST(e[j+1] AS DOUBLE) * 1000000 + 0.5)
+        |                AS BIGINT))) AS BIGINT) AS proj_q
+        |FROM (SELECT vec_id, embedding AS e FROM embeddings
+        |      WHERE len(embedding) > 0),
+        |     UNNEST(range(0, 8)) AS t(k)
+        |ORDER BY vec_id, k""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH c AS (

@@ -877,4 +877,72 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("dist_r"), col("rnk"))
   }
+
+  // ---------------------------------- random projection / whitening
+
+  /** Sparse Johnson–Lindenstrauss random projection (Achlioptas '03,
+    * density 1/3): each output coordinate k is Σ_j sign(j,k)·x_j with
+    * sign ∈ {+1, −1, 0} drawn {1/6, 1/6, 2/3} from a DETERMINISTIC
+    * integer mix of (j, k) — no materialized projection matrix, any
+    * engine reproduces the exact same map. Inputs are quantized to
+    * 1e-6 grid longs first, so every sum is EXACT integer arithmetic:
+    * bit-identical across partitionings and engines (the memory-bank
+    * float-sum rule). The √3/√k scale factor is omitted — downstream
+    * cosine/L2 *ranking* is scale-invariant; callers needing
+    * calibrated distances multiply by √3/√outDim themselves.
+    *
+    * Plan shape: one whole-stage-codegen pass of higher-order
+    * functions (transform/zip_with/aggregate) per row, then a
+    * posexplode — NO shuffle, no UDF, no driver state. At 100 TB this
+    * is a map-only stage; the k·n output rows are the reduced
+    * representation fed to LSH/ANN in place of the raw vectors.
+    *
+    * Output: (id, k, proj_q) — proj_q in 1e-6 units. */
+  def randomProjectSparse(corpus: DataFrame, outDim: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val projArr = transform(sequence(lit(0), lit(outDim - 1)), k =>
+      aggregate(
+        zip_with(col(vecCol),
+          sequence(lit(0), size(col(vecCol)) - 1), (x, j) => {
+            val m = (lit(1315423911L) +
+              lit(2654435761L) * (j.cast("long") + 1) +
+              lit(40503L) * (k.cast("long") + 1)) % 6
+            val sgn = when(m === 0, lit(1L)).when(m === 1, lit(-1L))
+              .otherwise(lit(0L))
+            sgn * floor(x.cast("double") * 1000000 + 0.5)
+          }),
+        lit(0L), (acc, v) => acc + v))
+    corpus.filter(size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"), posexplode(projArr).as(Seq("k", "proj_q")))
+  }
+
+  /** PCA whitening on a fitted [[PcaModel]]: y = Λ^(−1/2)·Qᵀ·(x−μ),
+    * with an `eps` variance floor so near-null directions don't blow
+    * up. After this map the training corpus has identity covariance in
+    * the kept k-dim basis — the standard preconditioner before
+    * cosine-threshold dedup or k-means IVF when raw dimensions are
+    * correlated/anisotropic (a dominant direction otherwise swamps the
+    * metric). Executor-side map over a closure-broadcast model, same
+    * contract as [[pcaProjectUdf]]; inherits pcaFit's
+    * not-bit-deterministic caveat, so no DuckDB oracle — spec-gated
+    * by the identity-covariance property instead. */
+  def whitenUdf(model: PcaModel, eps: Double = 1e-9)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val scales = model.variances.map(v => 1.0 / math.sqrt(math.max(v, eps)))
+    udf { v: Seq[Double] =>
+      val d = model.mean.length
+      Array.tabulate(model.components.length) { c =>
+        val comp = model.components(c)
+        var acc = 0.0
+        var i = 0
+        while (i < d && i < v.length) {
+          acc += (v(i) - model.mean(i)) * comp(i)
+          i += 1
+        }
+        acc * scales(c)
+      }.toSeq
+    }
+  }
 }

@@ -315,4 +315,72 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Int, Long)].collect()
     m shouldBe Array((0, 0, 3L), (0, 1, 1L), (1, 1, 2L))
   }
+
+  test("randomProjectSparse: matches local reference, linear, " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val dim = 24
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val outDim = 6
+    // local reference: same integer mix, same half-up 1e-6 grid
+    def sign(j: Int, k: Int): Long =
+      ((1315423911L + 2654435761L * (j + 1) + 40503L * (k + 1)) % 6) match {
+        case 0 => 1L; case 1 => -1L; case _ => 0L
+      }
+    def ref(v: Array[Float]): Array[Long] =
+      Array.tabulate(outDim) { k =>
+        v.zipWithIndex.map { case (x, j) =>
+          sign(j, k) * math.floor(x.toDouble * 1000000 + 0.5).toLong
+        }.sum
+      }
+    val got = Similarity.randomProjectSparse(df, outDim)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3)
+      }
+    vecs.foreach { case (id, v) =>
+      got(id).toSeq shouldBe ref(v).toSeq
+    }
+    // partition invariance (map-only — trivially, but lock it)
+    val rep = Similarity.randomProjectSparse(df.repartition(7), outDim)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    rep shouldBe got.toSeq.sortBy(_._1)
+      .flatMap { case (id, ps) => ps.zipWithIndex.map { case (p, k) =>
+        (id, k, p) } }
+    // linearity on integer-grid vectors: proj(a+b) = proj(a)+proj(b)
+    val a = Array.fill(dim)(0.25f)
+    val b = Array.fill(dim)(-0.5f)
+    val sumDf = Seq((0L, a), (1L, b), (2L, a.zip(b).map(p => p._1 + p._2)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProjectSparse(sumDf, outDim)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3) }
+    p(0L).zip(p(1L)).map(t => t._1 + t._2).toSeq shouldBe p(2L).toSeq
+  }
+
+  test("whitenUdf: whitened corpus has identity covariance in the " +
+      "kept basis") {
+    // anisotropic correlated cloud: x along (1,1,0) dominates
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val t = rnd.nextGaussian() * 5
+      val u = rnd.nextGaussian()
+      val w = rnd.nextGaussian() * 0.3
+      (i, Array((t + u).toFloat, (t - u).toFloat, w.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.pcaFit(df, k = 3)
+    val wh = Similarity.whitenUdf(model)
+    val ys = df.select(wh(col("embedding").cast("array<double>")).as("y"))
+      .as[Seq[Double]].collect()
+    val n = ys.length.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val cov = ys.map(y => y(i) * y(j)).sum / n -
+        ys.map(_(i)).sum / n * (ys.map(_(j)).sum / n)
+      if (i == j) cov shouldBe 1.0 +- 1e-6
+      else cov shouldBe 0.0 +- 1e-6
+    }
+  }
 }
