@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+import graft.functions.TextFunctions
+
+/** TTL-bounded streaming exact dedup on the Spark 4
+  * `transformWithState` API — the state-BOUNDED successor of
+  * [[StreamingDedup]]. That operator's boolean per-fingerprint state
+  * grows with the distinct-fingerprint count for the life of the
+  * stream (its scaladoc documents the manual bounding strategies);
+  * here the state variable carries a [[TTLConfig]], so the store
+  * evicts fingerprints not re-confirmed within the TTL on its own.
+  *
+  * Semantics trade, stated plainly: a fingerprint silent for longer
+  * than the TTL is forgotten, and its next arrival is emitted AGAIN —
+  * first-seen-within-TTL, the same contract as Spark's own
+  * `dropDuplicatesWithinWatermark`, chosen deliberately because
+  * unbounded exact first-seen over an infinite stream is an unbounded-
+  * state problem no matter the engine. Pipelines wanting both take
+  * this op's bounded state at ingest and run the batch
+  * [[graft.operators.Dedup.exactCanonical]] over the accumulated
+  * corpus for the global pass.
+  *
+  * Scale shape: one shuffle keyed by fingerprint; per-key state is one
+  * boolean in the RocksDB state store (transformWithState requires the
+  * RocksDB provider — set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `...state.RocksDBStateStoreProvider`), which spills to executor
+  * local disk instead of holding the key space on-heap — that, plus
+  * TTL eviction, is what makes per-executor state survive a 100 TB
+  * ingest. Smallest in-batch doc_id wins a tie, so replays are
+  * deterministic; append-mode output composes with the idempotent
+  * sinks.
+  *
+  * Trigger discipline (measured, not theoretical): TTL requires
+  * `TimeMode.ProcessingTime`, and in that mode the operator asks the
+  * engine for a no-data follow-up batch after EVERY batch (to advance
+  * its clock). Under a 0 ms trigger that is a hot micro-batch loop —
+  * observed 2000+ batches in minutes — which neither
+  * `processAllAvailable` nor `Trigger.AvailableNow()` exits. Either
+  * set `spark.sql.streaming.noDataMicroBatches.enabled=false`
+  * (safe here: TTL expiry is enforced on state READ, which the spec
+  * proves) or use a positive `Trigger.ProcessingTime(interval)` so
+  * the no-data batches idle at the interval.
+  */
+object StreamingDedupTtl {
+
+  /** First-seen-within-TTL document per fingerprint. */
+  case class Kept(doc_id: Long, fp: String)
+
+  private[streaming] class FirstSeenProcessor(ttl: Duration)
+      extends StatefulProcessor[String, (Long, String), Kept] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(fp: String, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[Kept] =
+      // an expired TTL makes exists() false again — that re-emission
+      // is the documented first-seen-within-TTL contract
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        var best = Long.MaxValue
+        rows.foreach { r => if (r._1 < best) best = r._1 }
+        Iterator.single(Kept(best, fp))
+      }
+  }
+
+  /** Keep the first document per normalized-text fingerprint seen
+    * within `ttl`. `docs` needs (doc_id LONG, text STRING); streaming
+    * append mode, processing-time TTL. */
+  def firstSeen(docs: DataFrame, ttl: Duration): Dataset[Kept] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val keptEnc: Encoder[Kept] = Encoders.product[Kept]
+    docs.select(col("doc_id").cast("long"),
+        md5(TextFunctions.normalize(col("text"))).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}

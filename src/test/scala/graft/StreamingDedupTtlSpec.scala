@@ -1,0 +1,97 @@
+package graft
+
+import java.time.Duration
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingDedupTtl
+
+class StreamingDedupTtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // transformWithState needs the RocksDB state store. TimeMode
+  // .ProcessingTime also makes the operator request a no-data batch
+  // after EVERY batch (to advance its clock) — under a 0ms trigger
+  // that's a hot micro-batch loop that neither processAllAvailable
+  // nor Trigger.AvailableNow ever exits (observed: 2000+ batches),
+  // so no-data micro-batches are disabled here; TTL expiry is
+  // enforced on state READ, not only by no-data maintenance batches,
+  // which is exactly what the second test proves.
+  private def withRocksDb[A](body: => A): A = {
+    val kProvider = "spark.sql.streaming.stateStore.providerClass"
+    val kNoData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.getOption(kProvider)
+    val prevN = spark.conf.getOption(kNoData)
+    spark.conf.set(kProvider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(kNoData, "false")
+    try body
+    finally {
+      prevP match {
+        case Some(v) => spark.conf.set(kProvider, v)
+        case None    => spark.conf.unset(kProvider)
+      }
+      prevN match {
+        case Some(v) => spark.conf.set(kNoData, v)
+        case None    => spark.conf.unset(kNoData)
+      }
+    }
+  }
+
+  // memory sink can't recover from a checkpoint, so drained rows
+  // land in a shared buffer via foreachBatch (a recoverable sink)
+  private def drain(mem: MemoryStream[(Long, String)], ttl: Duration,
+                    out: scala.collection.mutable.ArrayBuffer[(Long, String)],
+                    ckpt: String): Unit = {
+    val q = StreamingDedupTtl.firstSeen(
+        mem.toDF().toDF("doc_id", "text"), ttl)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingDedupTtl.Kept], _: Long) =>
+        val rows = batch.collect().map(k => (k.doc_id, k.fp))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("transformWithState firstSeen dedups across micro-batches, " +
+      "min id wins in-batch") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_dedup_ck").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      mem.addData((2L, "Hello, world!"), (1L, "hello world"),
+        (3L, "different text"))
+      drain(mem, Duration.ofHours(1), out, ckpt)
+      mem.addData((4L, "HELLO  world"), (5L, "brand new content"))
+      drain(mem, Duration.ofHours(1), out, ckpt)
+      out.map(_._1).toSet shouldBe Set(1L, 3L, 5L)
+    }
+  }
+
+  test("an expired TTL re-admits the fingerprint (bounded-state " +
+      "contract)") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_dedup_ck2").toString
+      // suppression INSIDE the TTL is what the first test proves
+      // (1-hour TTL across restarts); here the TTL is deliberately
+      // tiny so expiry is certain by the next drain — wall-clock
+      // query startup is seconds, far beyond 1ms
+      val mem = MemoryStream[(Long, String)](spark)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      mem.addData((10L, "alpha beta"))
+      drain(mem, Duration.ofMillis(1), out, ckpt)
+      out.map(_._1).toSet shouldBe Set(10L)
+      Thread.sleep(50) // let the wall-clock TTL lapse
+      mem.addData((11L, "alpha  BETA"))
+      drain(mem, Duration.ofMillis(1), out, ckpt)
+      // forgotten fingerprint re-emitted — first-seen-WITHIN-TTL
+      out.map(_._1).toSet shouldBe Set(10L, 11L)
+    }
+  }
+}
