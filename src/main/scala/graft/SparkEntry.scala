@@ -2607,11 +2607,14 @@ object SparkEntry {
     // is catalog-sized; production SNM over a big table
     // range-partitions the sort key with window-width overlap)
     "q_sorted_neighborhood" -> ((s, dir) => {
-      val ranked = Tables.part(s, dir)
-        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("nm"), col("id"))))
+      // sorted-neighborhood needs a GLOBAL sorted sequence number;
+      // Ranks.globalRowNumber keeps that scale-correct (range-sharded,
+      // no single-task window) — string sort keys work because range
+      // partitioning, not percentiles, places the shard cuts
+      val ranked = operators.Ranks.globalRowNumber(
+        Tables.part(s, dir)
+          .select(col("p_partkey").as("id"), col("p_name").as("nm")),
+        Seq(col("nm").asc, col("id").asc), "rn")
       val xs = ranked
         .withColumn("bk", explode(array(expr("CAST(rn DIV 4 AS BIGINT)"),
           expr("CAST(rn DIV 4 AS BIGINT) + 1"))))
@@ -4026,9 +4029,10 @@ object SparkEntry {
           when(col("lang") === "en", 1L).otherwise(-1L),
           dims = 8, rounds = 3)
         .select(col("doc_id"), col("y"), col("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score"), col("doc_id"))
-      scored.withColumn("bin", ntile(10).over(w))
+      // globalNtile: the scored frame is corpus-sized — an
+      // unpartitioned ntile window would single-task it at 100x
+      operators.Ranks.globalNtile(scored, 10,
+          Seq(col("score").asc, col("doc_id").asc), "bin")
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
@@ -4102,13 +4106,15 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(min(col("hwm") - col("od")).as("recency_days"),
           count(lit(1)).as("frequency"), sum(col("p_c")).as("monetary_c"))
-      def tile(c: Column, asc: Boolean) = ntile(5).over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          (if (asc) c.asc else c.desc), col("o_custkey").asc))
-      val scored = cust
-        .withColumn("r", tile(col("recency_days"), asc = true))
-        .withColumn("f", tile(col("frequency"), asc = false))
-        .withColumn("m", tile(col("monetary_c"), asc = false))
+      // Ranks.globalNtile, not ntile().over(Window.orderBy(...)): the
+      // per-customer frame grows with the corpus, and an unpartitioned
+      // window would funnel it through one task at 100x
+      def tile(df: DataFrame, c: Column, asc: Boolean, out: String) =
+        operators.Ranks.globalNtile(df, 5,
+          Seq(if (asc) c.asc else c.desc, col("o_custkey").asc), out)
+      val scored0 = tile(cust, col("recency_days"), asc = true, "r")
+      val scored1 = tile(scored0, col("frequency"), asc = false, "f")
+      val scored = tile(scored1, col("monetary_c"), asc = false, "m")
         .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
       scored.groupBy(col("segment"))
         .agg(count(lit(1)).as("n_customers"),

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.PlanGuard
+
+/** Prints the unpartitioned-window count per registry query — the
+  * enumeration behind PlanGuardSpec's whitelist invariant. An
+  * unpartitioned Window funnels its whole input through one task, so
+  * every occurrence must sit on a provably small aggregated frame;
+  * this main is how that whitelist is (re)derived when queries change.
+  */
+object WindowAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var total = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n =
+        try PlanGuard.unpartitionedWindows(fn(spark, dir))
+        catch { case e: Exception => println(s"ERR $name ${e.getMessage.take(80)}"); 0 }
+      if (n > 0) { println(s"$n  $name"); total += n }
+    }
+    println(s"TOTAL $total")
+    spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-correct global ranking — the replacement for
+  * `Window.orderBy(...)` with no partition spec, which funnels the
+  * entire input through ONE task (Spark's "No Partition Defined"
+  * warning; fine over a 50-row aggregate, fatal over a table at
+  * 100×).
+  *
+  * Shape: `repartitionByRange` range-shards the rows on the full sort
+  * key (Spark's range partitioner does the boundary sampling — no
+  * eager job, no hand-rolled percentiles), a window PARTITIONED by the
+  * range-shard id assigns local row numbers, and per-shard offsets are
+  * recovered with the broadcast triangular self-join over the ≤nShards
+  * shard-count rows (the [[Sampling]]/[[Drift]] prefix-sum pattern).
+  * Global rank = shard offset + local rank.
+  *
+  * Correctness does not depend on where the sampled range boundaries
+  * fall: the sort key is made TOTAL by the caller's tie-break columns,
+  * so offset + local rank reproduces the unique global rank under ANY
+  * boundary placement — the result is deterministic even though range
+  * sampling is not. Skew note: rows equal on the leading key always
+  * land in one shard; the tie-break columns participate in the range
+  * key, so only exact full-key duplicates (impossible under a total
+  * order) could pile up.
+  */
+object Ranks {
+
+  /** Append `out` = exact global row_number under `sortExprs` (must be
+    * a TOTAL order — include a unique tie-break). Parallelism is
+    * `nShards`; no unpartitioned window anywhere in the plan. */
+  def globalRowNumber(df: DataFrame, sortExprs: Seq[Column],
+                      out: String = "rn",
+                      nShards: Int = 64): DataFrame = {
+    require(sortExprs.nonEmpty, "globalRowNumber needs sort columns")
+    val ranged = df.repartitionByRange(nShards, sortExprs: _*)
+      .withColumn("__shard", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__shard"))
+      .orderBy(sortExprs: _*)
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal))
+    val counts = ranged.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__cnt"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("__shard").as("__p"),
+          col("__cnt").as("__pc"))),
+        col("__p") < col("__shard"), "left")
+      .groupBy(col("__shard"))
+      .agg(coalesce(sum(col("__pc")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__shard", "__lrn", "__off")
+  }
+
+  /** Append `out` = exact `ntile(k)` under `sortExprs` (same
+    * total-order contract), via [[globalRowNumber]] plus the ntile
+    * arithmetic: with n rows, q = n div k, m = n mod k, the first m
+    * tiles hold q+1 rows and the rest q — bit-identical to the SQL
+    * `NTILE(k) OVER (ORDER BY ...)` every engine implements. */
+  def globalNtile(df: DataFrame, k: Int, sortExprs: Seq[Column],
+                  out: String = "tile",
+                  nShards: Int = 64): DataFrame = {
+    require(k > 0, "ntile k must be positive")
+    val rn = globalRowNumber(df, sortExprs, "__gn", nShards)
+    val tot = rn.agg(count(lit(1)).as("__n"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn("__q", col("__n") / k cast "long")
+      .withColumn("__m", col("__n") % k)
+      .withColumn(out,
+        when(col("__q") === 0, col("__gn"))
+          .when(col("__gn") <= col("__m") * (col("__q") + 1),
+            (col("__gn") - 1) / (col("__q") + 1) cast "long" plus 1)
+          .otherwise(col("__m") +
+            ((col("__gn") - col("__m") * (col("__q") + 1) - 1) /
+              col("__q") cast "long") + 1)
+          .cast("int"))
+      .drop("__gn", "__n", "__q", "__m")
+  }
+}

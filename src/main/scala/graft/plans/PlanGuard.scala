@@ -19,13 +19,45 @@ object PlanGuard {
 
   final case class Audit(cartesians: Int, nestedLoops: Int,
                          shuffles: Int, broadcasts: Int, scans: Int,
-                         codegenSpans: Int)
+                         codegenSpans: Int, unpartitionedWindows: Int)
 
   def planString(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
   private def count(plan: String, token: String): Int =
     plan.sliding(token.length).count(_ == token)
+
+  /** Count `Window` nodes with NO partition spec — the single-task
+    * funnel Spark itself warns about ("No Partition Defined").
+    * Unpartitioned windows over a raw table serialize the whole table
+    * through one task at 100×; over a small aggregated frame (daily
+    * counts, a top-k rank over ≤10³ rows) they are bounded and fine —
+    * which is why this is a COUNT for callers to gate with a
+    * whitelist, not a hard throw.
+    *
+    * Physical format: partitioned nodes print
+    * `Window [exprs], [partCols], [orderSpec]`; unpartitioned ones
+    * omit the partition group, so the group right after the
+    * expressions is the order spec — recognizable by its
+    * ` NULLS ` ordering tokens, which a bare column list never
+    * carries. */
+  def unpartitionedWindows(df: DataFrame): Int =
+    countUnpartitionedWindows(planString(df))
+
+  private[plans] def countUnpartitionedWindows(plan: String): Int =
+    plan.linesIterator.count { ln =>
+      val i = ln.indexOf("Window [")
+      i >= 0 && {
+        val rest = ln.substring(i + "Window [".length)
+        val j = rest.indexOf("], [")
+        j >= 0 && {
+          val g2 = rest.substring(j + 4)
+          val k = g2.indexOf("]")
+          val grp = if (k >= 0) g2.substring(0, k) else g2
+          grp.contains(" NULLS ")
+        }
+      }
+    }
 
   def audit(df: DataFrame): Audit = {
     val p = planString(df)
@@ -36,7 +68,8 @@ object PlanGuard {
         count(p, "Exchange rangepartitioning"),
       broadcasts = count(p, "BroadcastExchange"),
       scans = count(p, "FileScan") + count(p, "BatchScan"),
-      codegenSpans = count(p, "WholeStageCodegen"))
+      codegenSpans = count(p, "WholeStageCodegen"),
+      unpartitionedWindows = countUnpartitionedWindows(p))
   }
 
   /** Throws (with the offending plan) if the query would execute an

@@ -30,17 +30,59 @@ class PlanGuardSpec extends SparkSpec {
       PlanGuard.requireNoCartesian(scalar, "scalar")
   }
 
-  test("EVERY registry query plans zero cartesians") {
-    // The registry-wide invariant: no query the driver verifies may
-    // execute an unkeyed, non-broadcast join. Building each DataFrame
-    // at sf0.001 forces full physical planning (some constructions also
-    // run their bounded fit jobs — centroids, codebooks — which is the
-    // point: the audited plan is the plan that ships).
+  // Queries whose plans legitimately carry unpartitioned Window nodes:
+  // every one sits on a PROVABLY SMALL aggregated frame (shard-count
+  // prefix sums bounded by #shards, per-source mixing tables, daily
+  // rollups, top-k-limited ranks, per-column stats, sketch buckets,
+  // file metadata) — never on corpus-sized rows. Re-derive with
+  // `graft.WindowAudit` when queries change; any NEW unpartitioned
+  // window must either move to Ranks.globalRowNumber/globalNtile or
+  // justify itself here.
+  private val boundedWindowWhitelist: Map[String, Int] = Map(
+    "q_compaction_plan" -> 1,      // file-metadata bin prefix
+    "q_corpus_vocab" -> 1,         // rank over top-25-limited frame
+    "q_encoding_advisor" -> 3,     // per-column stats frame
+    "q_events_dau" -> 1,           // daily counts
+    "q_hybrid_rrf" -> 1,           // rank over top-50-limited frame
+    "q_mix_tokens" -> 1,           // per-source mixing table
+    "q_mix_waterfill" -> 1,        // per-source water-fill prefix
+    "q_moving_avg" -> 1,           // daily series
+    "q_pack_sequences_global" -> 1, // shard bin-count prefix
+    "q_pack_utilization" -> 1,     // shard bin-count prefix
+    "q_pop_change" -> 1,           // per-nation-year rollup
+    "q_pretrain_v2_kept" -> 4,     // stage shard-count prefixes
+    "q_quantile_dd" -> 2,          // sketch bucket prefix
+    "q_shuffle_order" -> 1)        // shard-count prefix
+
+  test("EVERY registry query plans zero cartesians and no " +
+      "unpartitioned window outside the bounded whitelist") {
+    // The registry-wide invariants, audited in ONE planning pass per
+    // query: (a) no unkeyed, non-broadcast join anywhere; (b) no
+    // single-task global-window funnel except on the whitelisted
+    // bounded frames — and the whitelist must stay EXACT, so a fixed
+    // query can't leave a stale entry behind. Building each DataFrame
+    // at sf0.001 forces full physical planning (some constructions
+    // also run their bounded fit jobs — centroids, codebooks — which
+    // is the point: the audited plan is the plan that ships).
     val dir = "/root/testdata/sf0.001"
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, mk) =>
-        try { PlanGuard.requireNoCartesian(mk(spark, dir), name); None }
-        catch { case e: IllegalStateException => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+        try {
+          val a = PlanGuard.audit(mk(spark, dir))
+          val cart =
+            if (a.cartesians > 0)
+              Some(s"$name: ${a.cartesians} CartesianProduct node(s)")
+            else None
+          val expected = boundedWindowWhitelist.getOrElse(name, 0)
+          val win =
+            if (a.unpartitionedWindows != expected)
+              Some(s"$name: ${a.unpartitionedWindows} unpartitioned " +
+                s"window(s), whitelist says $expected")
+            else None
+          cart.toSeq ++ win.toSeq
+        } catch {
+          case e: Exception => Seq(s"$name: build failed ${e.getMessage}")
+        }
     }
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }

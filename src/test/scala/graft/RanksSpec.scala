@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** Ranks.globalRowNumber/globalNtile must be BIT-IDENTICAL to the
+  * unpartitioned window functions they replace — the whole point is
+  * swapping the single-task plan for a sharded one without moving a
+  * single rank. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(13)
+
+  test("globalRowNumber equals row_number over the global window") {
+    val df = (1 to 500).map(i =>
+        (i.toLong, rnd.nextInt(40), rnd.nextPrintableChar().toString))
+      .toDF("id", "v", "s").repartition(7)
+    val sort = Seq(col("v").asc, col("s").asc, col("id").asc)
+    val got = Ranks.globalRowNumber(df, sort, "rn", nShards = 5)
+      .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(sort: _*)))
+      .select(col("id"), col("rn").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe want
+  }
+
+  test("globalNtile equals ntile for every k, including k > n and " +
+      "uneven remainders") {
+    val df = (1 to 47).map(i => (i.toLong, rnd.nextInt(9)))
+      .toDF("id", "v").repartition(5)
+    val sort = Seq(col("v").desc, col("id").asc)
+    for (k <- Seq(1, 2, 5, 10, 46, 47, 48, 100)) {
+      val got = Ranks.globalNtile(df, k, sort, "t", nShards = 4)
+        .select(col("id"), col("t")).as[(Long, Int)].collect().toMap
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy(sort: _*)))
+        .select(col("id"), col("t")).as[(Long, Int)].collect().toMap
+      withClue(s"k=$k") { got shouldBe want }
+    }
+  }
+
+  test("globalRowNumber handles string leading keys and more shards " +
+      "than rows") {
+    val df = Seq((3L, "pear"), (1L, "apple"), (2L, "banana"))
+      .toDF("id", "s")
+    val got = Ranks.globalRowNumber(df,
+        Seq(col("s").asc, col("id").asc), "rn", nShards = 16)
+      .select(col("s"), col("rn")).as[(String, Long)].collect().toMap
+    got shouldBe Map("apple" -> 1L, "banana" -> 2L, "pear" -> 3L)
+  }
+
+  test("the plans carry no unpartitioned window") {
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "v")
+    graft.plans.PlanGuard.unpartitionedWindows(
+      Ranks.globalRowNumber(df, Seq(col("v").asc, col("id").asc),
+        "rn")) shouldBe 0
+    graft.plans.PlanGuard.unpartitionedWindows(
+      Ranks.globalNtile(df, 5, Seq(col("v").asc, col("id").asc),
+        "t")) shouldBe 0
+  }
+}
