@@ -3992,6 +3992,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- unigram-LM (SentencePiece-style) tokenizer family: seed
+    //      vocabulary with integer micro-nat costs (one ln per piece),
+    //      then weighted-Viterbi tokenization — min (Σcost, #pieces)
+    //      lexicographic, folded into one additive scalar
+    "q_unigram_vocab" -> ((s, dir) =>
+      operators.UnigramLm.seedVocab(Tables.documents(s, dir), "text",
+          maxPieceLen = 4, topMulti = 40)
+        .orderBy(col("piece"))),
+
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      assertMaxWordLen(docs, 24)
+      val costs = operators.UnigramLm.seedVocab(docs, "text", 4, 40)
+        .select(col("piece"), col("cost_micro"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      operators.UnigramLm.tokenCounts(docs, "doc_id", "text", costs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // hard-EM refinement (bounded rounds of one distributed pass) —
+    // the EM loop is not SQL-expressible, so this row is rows-only;
+    // UnigramLmSpec pins the exact vocabulary against a local
+    // reference
+    "q_unigram_train" -> ((s, dir) =>
+      operators.UnigramLm.train(Tables.documents(s, dir), "text",
+          rounds = 2, maxPieceLen = 4, topMulti = 40)
+        .orderBy(col("piece"))),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -9449,6 +9477,57 @@ object SparkEntry {
         |FROM docw d JOIN opt w USING (word0)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
+    "q_unigram_vocab" -> (unigramVocabCtesSql +
+      """
+        |SELECT piece, cnt,
+        |  CAST(floor(-1000000.0 *
+        |    ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM utot)) + 0.5)
+        |    AS BIGINT) AS cost_micro
+        |FROM uvocab ORDER BY piece""".stripMargin),
+
+    // weighted-Viterbi DP unrolled over positions (the
+    // q_tokenize_optimal unroll with per-piece micro-nat costs):
+    // comb accumulates cost_micro*64 + 1 per piece, so comb DIV 64 is
+    // the cost sum and comb % 64 the piece count — lexicographic
+    // (cost, pieces) minimization in one additive scalar
+    "q_unigram_tokens" -> (unigramVocabCtesSql +
+      """,
+        |vcost AS MATERIALIZED (
+        |  SELECT piece,
+        |    CAST(floor(-1000000.0 *
+        |      ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM utot)) + 0.5)
+        |      AS BIGINT) AS cost_micro
+        |  FROM uvocab),
+        |ud0 AS MATERIALIZED (SELECT word AS uword, 0 AS pos,
+        |  CAST(0 AS BIGINT) AS comb FROM uw0),
+        |""".stripMargin +
+      (1 to 24).map(k =>
+        s"""ud$k AS MATERIALIZED (
+           |  SELECT * FROM ud${k - 1} UNION ALL
+           |  SELECT w.word, $k,
+           |    (SELECT min(d.comb + v.cost_micro * 64 + 1)
+           |     FROM ud${k - 1} d, vcost v
+           |     WHERE d.uword = w.word
+           |       AND d.pos = $k - length(v.piece)
+           |       AND substr(w.word, d.pos + 1, length(v.piece))
+           |         = v.piece)
+           |  FROM uw0 w WHERE length(w.word) >= $k)""".stripMargin)
+        .mkString(",\n") +
+      """,
+        |uopt AS (
+        |  SELECT uword AS word0, comb FROM ud24
+        |  WHERE pos = length(uword)),
+        |udocw AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+'))
+        |    AS word0
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CAST(sum(w.comb // 64) AS BIGINT) AS uni_cost_micro,
+        |  CAST(sum(w.comb % 64) AS BIGINT) AS uni_tokens,
+        |  count(*) AS n_words
+        |FROM udocw d JOIN uopt w USING (word0)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
@@ -9715,6 +9794,30 @@ object SparkEntry {
     * (exp_i). MATERIALIZED is load-bearing: inlined, the
     * self-referencing chain plans exponentially (same lesson as
     * q_pretrain_v2). */
+  // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
+  // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
+  // word occurrences, all single chars + top-40 multis
+  private val unigramVocabCtesSql: String =
+    """WITH uw0 AS MATERIALIZED (
+      |  SELECT word, count(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+      |    FROM documents) t
+      |  WHERE regexp_matches(word, '^[A-Za-z]+$') GROUP BY word),
+      |usubs AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(flatten(list_transform(range(1, 5),
+      |      l -> list_transform(generate_series(1, length(word) - l + 1),
+      |             i -> substr(word, i, l::INT))))) AS piece
+      |    FROM uw0) t GROUP BY piece),
+      |uvocab AS MATERIALIZED (
+      |  SELECT piece, cnt FROM usubs WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM usubs WHERE length(piece) > 1
+      |    ORDER BY cnt DESC, piece LIMIT 40) t),
+      |utot AS MATERIALIZED (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uvocab)""".stripMargin
+
   private def bpeCtesSql(n: Int, sampleMaxDocs: Int = 0): String = {
     // sampleMaxDocs > 0 mirrors BpeTrain.sampleDocs: the maxDocs texts
     // with the smallest stable 60-bit md5-prefix hash, text tie-break

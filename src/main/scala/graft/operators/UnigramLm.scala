@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenization — the third member of
+  * the tokenizer family next to [[BpeTrain]] (BPE) and its greedy
+  * WordPiece path. A unigram tokenizer scores a segmentation by the
+  * SUM of per-piece costs (−log p) and picks the cheapest — unlike
+  * BPE's merge order or WordPiece's greedy longest-match, the
+  * objective is global per word, solved exactly by Viterbi DP.
+  *
+  * Everything is exact integer arithmetic released through one `ln`
+  * per vocabulary entry (micro-nat costs), so results are
+  * bit-identical across engines and partitionings — the same
+  * determinism discipline as the rest of the registry.
+  *
+  * Scale shape (all paths): the corpus collapses to its DISTINCT words
+  * with frequencies first (one shuffle); per-word DP runs once per
+  * distinct word, never per occurrence; the vocabulary (≤ a few
+  * hundred rows) broadcasts with the closure. Training rounds are a
+  * bounded driver loop (default 2) of one distributed pass each —
+  * no per-merge job storm (the lesson from BpeTrain's round-11
+  * verdict).
+  */
+object UnigramLm {
+
+  /** Same word discipline as BpeTrain: whitespace split, alphabetic
+    * words only, distinct words with occurrence frequencies. */
+  private[operators] def wordFreqs(docs: DataFrame, textCol: String)
+      : DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[A-Za-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of length ≤ `maxPieceLen`
+    * counted over word OCCURRENCES (substring count × word frequency),
+    * keeping ALL single characters (so every word stays segmentable)
+    * plus the `topMulti` most frequent multi-character pieces
+    * (count desc, piece asc tie-break). `cost_micro` =
+    * ⌊−10⁶·ln(cnt/total) + ½⌋ over the KEPT vocabulary's total —
+    * one `ln` per piece, integer out. Emits (piece, cnt, cost_micro).
+    */
+  def seedVocab(docs: DataFrame, textCol: String,
+                maxPieceLen: Int = 4, topMulti: Int = 40): DataFrame = {
+    require(maxPieceLen >= 1 && topMulti >= 0, "bad seedVocab params")
+    val wf = wordFreqs(docs, textCol)
+    val subUdf = udf { (word: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= word.length) {
+          out += word.substring(i, i + l)
+          l += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val counts = wf
+      .select(col("freq"), explode(subUdf(col("word"))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val singles = counts.filter(length(col("piece")) === 1)
+    val multis = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(topMulti)
+    val vocab = singles.unionByName(multis)
+    val tot = vocab.agg(sum(col("cnt")).as("__tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(lit(-1000000.0) *
+          log(col("cnt").cast("double") / col("__tot").cast("double")) +
+          0.5).as("cost_micro"))
+  }
+
+  // lexicographic (total cost, piece count) folded into ONE additive
+  // scalar: each piece contributes cost·PIECE_BASE + 1, and words are
+  // ≤ 63 pieces, so the low digits never carry into the cost digits
+  private[graft] val PieceBase = 64L
+
+  /** Exact per-word Viterbi under integer costs, minimizing
+    * (Σ cost, #pieces) lexicographically. Returns the combined scalar;
+    * Long.MaxValue/4 marks an unsegmentable word (impossible when all
+    * single chars are in the vocab). */
+  private[graft] def viterbiCombined(word: String,
+      costs: collection.Map[String, Long], maxLen: Int): Long = {
+    val n = word.length
+    val inf = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(inf)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        if (dp(i - l) < inf) {
+          costs.get(word.substring(i - l, i)) match {
+            case Some(c) =>
+              val cand = dp(i - l) + c * PieceBase + 1
+              if (cand < dp(i)) dp(i) = cand
+            case None =>
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** Viterbi piece SEQUENCE for the same objective (used by training's
+    * E-step); on cost ties the DP keeps the segmentation reaching the
+    * position with the LONGEST last piece (deterministic: the l-loop
+    * takes strictly-better candidates only, scanning l ascending, so
+    * the last strict improvement wins). */
+  private[graft] def viterbiPieces(word: String,
+      costs: collection.Map[String, Long], maxLen: Int): Seq[String] = {
+    val n = word.length
+    val inf = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(inf)
+    val back = Array.fill(n + 1)(0)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        if (dp(i - l) < inf) {
+          costs.get(word.substring(i - l, i)) match {
+            case Some(c) =>
+              val cand = dp(i - l) + c * PieceBase + 1
+              if (cand < dp(i)) { dp(i) = cand; back(i) = l }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dp(n) >= inf) Seq.empty
+    else {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = n
+      while (p > 0) { out.prepend(word.substring(p - back(p), p)); p -= back(p) }
+      out.toSeq
+    }
+  }
+
+  /** Per-document unigram tokenization stats under an explicit cost
+    * table: (idCol, uni_cost_micro = Σ piece costs over the optimal
+    * segmentation of every word occurrence, uni_tokens, n_words).
+    * Same distinct-word discipline as [[BpeTrain.optimalTokenCounts]].
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  costs: Map[String, Long]): DataFrame = {
+    require(costs.nonEmpty, "empty unigram vocabulary")
+    val maxLen = costs.keysIterator.map(_.length).max
+    val comb = udf { (word: String) =>
+      viterbiCombined(word, costs, maxLen)
+    }
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word0"))
+      .filter(col("word0").rlike("^[A-Za-z]+$"))
+    val scored = words.select(col("word0")).distinct()
+      .withColumn("__c", comb(col("word0")))
+    words.join(scored, Seq("word0"))
+      .groupBy(col(idCol))
+      .agg(sum(expr(s"__c DIV ${PieceBase}")).as("uni_cost_micro"),
+        sum(col("__c") % PieceBase).as("uni_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
+  /** Hard-EM refinement (bounded rounds, one distributed pass each):
+    * E-step Viterbi-segments every distinct word under the current
+    * costs and accumulates frequency-weighted piece usage; M-step
+    * re-costs from usage, always retaining the single characters
+    * (usage-0 pieces get a +1 smoothed count so their cost stays
+    * finite) and pruning multi-char pieces back to `topMulti` by
+    * (usage desc, piece asc). Exactly the SentencePiece loop with
+    * Viterbi counts in place of forward–backward expectations — the
+    * standard "hard" simplification — and integer costs throughout.
+    * Returns (piece, cnt, cost_micro) of the final vocabulary. */
+  def train(docs: DataFrame, textCol: String, rounds: Int = 2,
+            maxPieceLen: Int = 4, topMulti: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = wordFreqs(docs, textCol).as[(String, Long)].persist()
+    try {
+      var vocab: Map[String, Long] = seedVocab(docs, textCol,
+          maxPieceLen, topMulti)
+        .select(col("piece"), col("cost_micro"))
+        .as[(String, Long)].collect().toMap
+      var r = 0
+      while (r < rounds) {
+        val cur = vocab
+        val maxLen = cur.keysIterator.map(_.length).max
+        val segUdf = udf { (word: String) =>
+          viterbiPieces(word, cur, maxLen)
+        }
+        val usage = wf.toDF("word", "freq")
+          .select(col("freq"), explode(segUdf(col("word"))).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+          .as[(String, Long)].collect().toMap
+        val singles = cur.keysIterator.filter(_.length == 1).map { p =>
+          p -> math.max(usage.getOrElse(p, 0L), 1L)
+        }.toMap
+        val multis = usage.iterator
+          .filter { case (p, _) => p.length > 1 }
+          .toSeq.sortBy { case (p, c) => (-c, p) }.take(topMulti)
+        val kept = singles ++ multis
+        val tot = kept.valuesIterator.sum.toDouble
+        vocab = kept.map { case (p, c) =>
+          p -> math.floor(-1000000.0 * math.log(c / tot) + 0.5).toLong
+        }
+        r += 1
+      }
+      val maxLenF = vocab.keysIterator.map(_.length).max
+      val vFinal = vocab
+      val segF = udf { (word: String) =>
+        viterbiPieces(word, vFinal, maxLenF)
+      }
+      val cnts = wf.toDF("word", "freq")
+        .select(col("freq"), explode(segF(col("word"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val costDf = vFinal.toSeq.toDF("piece", "cost_micro")
+      costDf.join(cnts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("cost_micro"))
+    } finally { wf.unpersist(); () }
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UnigramLm
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the mats sat there"),
+    (3L, "that cat thereon sat"),
+    (4L, "on and on the mat sat"))
+
+  test("viterbiCombined equals brute-force enumeration over all " +
+      "segmentations") {
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abc"
+    // random costs over all pieces of length <= 3 (chars always in)
+    val pieces = (for {
+      l <- 1 to 3
+      s <- Iterator.fill(40)(
+        (1 to l).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    } yield s).toSet
+    val costs: Map[String, Long] =
+      pieces.map(p => p -> (1000L + rnd.nextInt(9000)).toLong).toMap ++
+        alphabet.map(c => c.toString ->
+          (5000L + rnd.nextInt(9000)).toLong)
+    def brute(word: String): Long = {
+      // enumerate all compositions of the word into vocab pieces
+      def go(i: Int): Seq[(Long, Int)] =
+        if (i == word.length) Seq((0L, 0))
+        else (1 to math.min(3, word.length - i)).flatMap { l =>
+          costs.get(word.substring(i, i + l)).toSeq.flatMap { c =>
+            go(i + l).map { case (cs, n) => (cs + c, n + 1) }
+          }
+        }
+      go(0).map { case (c, n) => c * UnigramLm.PieceBase + n }.min
+    }
+    for (_ <- 1 to 60) {
+      val w = (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      UnigramLm.viterbiCombined(w, costs, 3) shouldBe brute(w)
+    }
+  }
+
+  test("seedVocab keeps every single char plus exactly topMulti " +
+      "multis, exact counts") {
+    val df = corpus.toDF("doc_id", "text")
+    val v = UnigramLm.seedVocab(df, "text", maxPieceLen = 3,
+        topMulti = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // every char of every word present
+    val chars = corpus.flatMap(_._2.split("\\s+")).flatten.toSet
+    chars.foreach(c => v.keySet should contain(c.toString))
+    v.count(_._1.length > 1) shouldBe 5
+    // "the" occurs 4x as a word and once inside "there"->the, once in
+    // "that"(no)... count the substring occurrences directly
+    val occ = corpus.flatMap(_._2.split("\\s+"))
+      .map(w => (0 to math.max(w.length - 3, -1) + 2).count(i =>
+        i + 3 <= w.length && w.substring(i, i + 3) == "the")).sum
+    if (v.contains("the")) v("the") shouldBe occ
+  }
+
+  test("tokenCounts: optimal beats-or-ties greedy piece counts and " +
+      "matches per-word DP") {
+    val df = corpus.toDF("doc_id", "text")
+    val costs = UnigramLm.seedVocab(df, "text", 4, 10)
+      .select(col("piece"), col("cost_micro"))
+      .as[(String, Long)].collect().toMap
+    val got = UnigramLm.tokenCounts(df, "doc_id", "text", costs)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    val maxLen = costs.keysIterator.map(_.length).max
+    corpus.foreach { case (id, text) =>
+      val words = text.split("\\s+").filter(_.matches("^[A-Za-z]+$"))
+      val combs = words.map(w =>
+        UnigramLm.viterbiCombined(w, costs, maxLen))
+      val row = got.find(_._1 == id).get
+      row._2 shouldBe combs.map(_ / UnigramLm.PieceBase).sum
+      row._3 shouldBe combs.map(_ % UnigramLm.PieceBase).sum
+      row._4 shouldBe words.length.toLong
+    }
+  }
+
+  test("train matches a pure-local reference of the same hard-EM loop") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = UnigramLm.train(df, "text", rounds = 2, maxPieceLen = 3,
+        topMulti = 6)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // local mirror: no Spark anywhere
+    val wf: Map[String, Long] = corpus.flatMap(_._2.split("\\s+"))
+      .filter(_.matches("^[A-Za-z]+$"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def cost(kept: Map[String, Long]): Map[String, Long] = {
+      val tot = kept.values.sum.toDouble
+      kept.map { case (p, c) =>
+        p -> math.floor(-1000000.0 * math.log(c / tot) + 0.5).toLong }
+    }
+    val seedCounts: Map[String, Long] = wf.toSeq.flatMap { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(3, w.length - i))
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val seedKept = seedCounts.filter(_._1.length == 1) ++
+      seedCounts.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(6)
+    var vocab = cost(seedKept.toMap)
+    for (_ <- 1 to 2) {
+      val maxLen = vocab.keysIterator.map(_.length).max
+      val usage = wf.toSeq.flatMap { case (w, f) =>
+        UnigramLm.viterbiPieces(w, vocab, maxLen).map(p => (p, f))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val singles = vocab.keysIterator.filter(_.length == 1).map(p =>
+        p -> math.max(usage.getOrElse(p, 0L), 1L)).toMap
+      val multis = usage.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(6)
+      vocab = cost(singles ++ multis)
+    }
+    val maxLenF = vocab.keysIterator.map(_.length).max
+    val cnts = wf.toSeq.flatMap { case (w, f) =>
+      UnigramLm.viterbiPieces(w, vocab, maxLenF).map(p => (p, f))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = vocab.map { case (p, c) =>
+      p -> (cnts.getOrElse(p, 0L), c) }
+    got shouldBe want
+  }
+}
