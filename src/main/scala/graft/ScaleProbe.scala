@@ -534,6 +534,57 @@ object ScaleProbe {
       f"composed n=$nComposed20 sec=$tComposed20%.1f " +
       f"speedup=${tComposed20 / tNative20}%.2fx")
 
+    // round 13: (m) scale-correct global ntile at 20x events (2M
+    //     rows): Ranks.globalNtile must equal the single-task ntile
+    //     window BIT-FOR-BIT at this size — the rewrite moves the
+    //     plan from one funnel task to range-sharded parallelism
+    //     without moving a single rank.
+    val evN = Tables.events(spark, sfDir).crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("event_id") * 20 + col("rep")).as("eid"), col("ts_us"))
+    t0 = System.nanoTime()
+    val shardedT = operators.Ranks.globalNtile(evN, 100,
+        Seq(col("ts_us").asc, col("eid").asc), "t")
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), min(col("eid")).as("lo"))
+      .orderBy(col("t")).collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tShard = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val windowT = evN.withColumn("t", ntile(100).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts_us").asc, col("eid").asc)))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), min(col("eid")).as("lo"))
+      .orderBy(col("t")).collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tWin = (System.nanoTime() - t0) / 1e9
+    require(shardedT == windowT,
+      "globalNtile disagrees with the window ntile at 2M rows")
+    println(f"r13 globalNtile 2M rows x100 tiles: sharded=$tShard%.1fs " +
+      f"window(single-task)=$tWin%.1fs identical=${shardedT == windowT}")
+
+    // round 13: (n) sparse JL projection at 20x embeddings (100k
+    //     vectors x 64 dims -> 16): map-only exact integers, so every
+    //     replica must project identically — the 20x checksum is
+    //     exactly 20x the base checksum; records throughput.
+    val emBase = Tables.embeddings(spark, sfDir)
+    val baseChk = operators.Similarity.randomProjectSparse(emBase, 16)
+      .agg(sum(col("proj_q"))).collect()(0).getLong(0)
+    val em20 = emBase.crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("vec_id") * 20 + col("rep")).as("vec_id"),
+        col("embedding"))
+    t0 = System.nanoTime()
+    val agg20 = operators.Similarity.randomProjectSparse(em20, 16)
+      .agg(sum(col("proj_q")).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val tRp = (System.nanoTime() - t0) / 1e9
+    require(agg20.getLong(0) == 20L * baseChk,
+      s"JL checksum not 20x base: ${agg20.getLong(0)} vs 20*$baseChk")
+    println(f"r13 JL projection ${agg20.getLong(1)} rows out " +
+      f"(100k vecs x16 dims): $tRp%.1fs, checksum exact at 20x")
+
     ProbeJoins.run(spark, sfDir)
 
     spark.stop()
