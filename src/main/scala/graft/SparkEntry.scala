@@ -4058,8 +4058,10 @@ object SparkEntry {
           dims = 8, rounds = 3)
         .select(col("doc_id"), col("y"), col("score"))
       // globalNtile: the scored frame is corpus-sized — an
-      // unpartitioned ntile window would single-task it at 100x
-      operators.Ranks.globalNtile(scored, 10,
+      // unpartitioned ntile window would single-task it at 100x.
+      // localCheckpoint first: the range exchange's sampling pass
+      // would otherwise recompute the classifier training upstream
+      operators.Ranks.globalNtile(scored.localCheckpoint(), 10,
           Seq(col("score").asc, col("doc_id").asc), "bin")
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
@@ -4136,13 +4138,22 @@ object SparkEntry {
           count(lit(1)).as("frequency"), sum(col("p_c")).as("monetary_c"))
       // Ranks.globalNtile, not ntile().over(Window.orderBy(...)): the
       // per-customer frame grows with the corpus, and an unpartitioned
-      // window would funnel it through one task at 100x
-      def tile(df: DataFrame, c: Column, asc: Boolean, out: String) =
-        operators.Ranks.globalNtile(df, 5,
-          Seq(if (asc) c.asc else c.desc, col("o_custkey").asc), out)
-      val scored0 = tile(cust, col("recency_days"), asc = true, "r")
-      val scored1 = tile(scored0, col("frequency"), asc = false, "f")
-      val scored = tile(scored1, col("monetary_c"), asc = false, "m")
+      // window would funnel it through one task at 100x. The base is
+      // localCheckpoint'ed ONCE and the three tiles run independently
+      // and re-join on the key — chaining them would nest three range
+      // exchanges, each of whose sampling pass recomputes the entire
+      // upstream lineage (measured 16x the window form; this shape is
+      // ~2x)
+      val custC = cust.localCheckpoint()
+      def tile(c: Column, asc: Boolean, out: String) =
+        operators.Ranks.globalNtile(custC, 5,
+            Seq(if (asc) c.asc else c.desc, col("o_custkey").asc), out)
+          .select(col("o_custkey"), col(out))
+      val scored = custC
+        .join(tile(col("recency_days"), asc = true, "r"),
+          Seq("o_custkey"))
+        .join(tile(col("frequency"), asc = false, "f"), Seq("o_custkey"))
+        .join(tile(col("monetary_c"), asc = false, "m"), Seq("o_custkey"))
         .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
       scored.groupBy(col("segment"))
         .agg(count(lit(1)).as("n_customers"),

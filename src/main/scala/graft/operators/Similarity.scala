@@ -897,23 +897,33 @@ object Similarity {
     * is a map-only stage; the k·n output rows are the reduced
     * representation fed to LSH/ANN in place of the raw vectors.
     *
-    * Output: (id, k, proj_q) — proj_q in 1e-6 units. */
+    * Output: (id, k, proj_q) — proj_q in 1e-6 units.
+    *
+    * `native = true` (default) computes the projection with the
+    * [[graft.plans.JlProject]] codegen expression (primitive long
+    * loops inside WholeStageCodegen); `false` keeps the pure
+    * higher-order-function formulation — identical arithmetic,
+    * interpreted lambda dispatch — which the spec cross-checks
+    * element-for-element against the native path. */
   def randomProjectSparse(corpus: DataFrame, outDim: Int,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          native: Boolean = true): DataFrame = {
     require(outDim > 0, "outDim must be positive")
-    val projArr = transform(sequence(lit(0), lit(outDim - 1)), k =>
-      aggregate(
-        zip_with(col(vecCol),
-          sequence(lit(0), size(col(vecCol)) - 1), (x, j) => {
-            val m = (lit(1315423911L) +
-              lit(2654435761L) * (j.cast("long") + 1) +
-              lit(40503L) * (k.cast("long") + 1)) % 6
-            val sgn = when(m === 0, lit(1L)).when(m === 1, lit(-1L))
-              .otherwise(lit(0L))
-            sgn * floor(x.cast("double") * 1000000 + 0.5)
-          }),
-        lit(0L), (acc, v) => acc + v))
+    val projArr =
+      if (native) ArrayExpressions.jlProject(col(vecCol), outDim)
+      else transform(sequence(lit(0), lit(outDim - 1)), k =>
+        aggregate(
+          zip_with(col(vecCol),
+            sequence(lit(0), size(col(vecCol)) - 1), (x, j) => {
+              val m = (lit(1315423911L) +
+                lit(2654435761L) * (j.cast("long") + 1) +
+                lit(40503L) * (k.cast("long") + 1)) % 6
+              val sgn = when(m === 0, lit(1L)).when(m === 1, lit(-1L))
+                .otherwise(lit(0L))
+              sgn * floor(x.cast("double") * 1000000 + 0.5)
+            }),
+          lit(0L), (acc, v) => acc + v))
     corpus.filter(size(col(vecCol)) > 0)
       .select(col(idCol).as("id"), posexplode(projArr).as(Seq("k", "proj_q")))
   }

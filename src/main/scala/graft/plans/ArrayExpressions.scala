@@ -116,12 +116,98 @@ case class NearestCentroid(child: Expression, lists: Array[Int],
       newChild: Expression): NearestCentroid = copy(child = newChild)
 }
 
+/** Sparse Johnson–Lindenstrauss projection as ONE codegen expression —
+  * the native form of `Similarity.randomProjectSparse`'s HOF chain
+  * (transform ∘ zip_with ∘ aggregate), whose interpreted lambda
+  * dispatch costs outDim·dim closure calls per row. Identical
+  * arithmetic: inputs quantized to the 1e-6 grid with
+  * ⌊x·10⁶ + ½⌋ (float→double first, same IEEE ops), signs from the
+  * deterministic integer mix of (j, k), exact integer sums. The
+  * quantized vector is hoisted out of the k-loop, so the work is
+  * outDim·dim long-adds over a primitive array inside
+  * WholeStageCodegen. Input ARRAY<FLOAT>, output ARRAY<BIGINT>. */
+case class JlProject(child: Expression, outDim: Int)
+    extends UnaryExpression {
+  require(outDim > 0, "outDim must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      q(j) = math.floor(v.getFloat(j).toDouble * 1000000.0 + 0.5).toLong
+      j += 1
+    }
+    val res = new Array[Long](outDim)
+    var k = 0
+    while (k < outDim) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val m = (1315423911L + 2654435761L * (i + 1) +
+          40503L * (k + 1)) % 6
+        if (m == 0L) s += q(i) else if (m == 1L) s -= q(i)
+        i += 1
+      }
+      res(k) = s
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val res = ctx.freshName("res")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $q[$i] = (long) Math.floor(
+         |    ((double) $v.getFloat($i)) * 1000000.0 + 0.5);
+         |}
+         |long[] $res = new long[$outDim];
+         |for (int $k = 0; $k < $outDim; $k++) {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $m = (1315423911L + 2654435761L * ($i + 1)
+         |      + 40503L * ($k + 1)) % 6L;
+         |    if ($m == 0L) $s += $q[$i];
+         |    else if ($m == 1L) $s -= $q[$i];
+         |  }
+         |  $res[$k] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JlProject = copy(child = newChild)
+}
+
 object ArrayExpressions {
   /** Register `dot_prod(a, b)` for use via `expr("dot_prod(...)")` /
     * SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_prod", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+
+  /** Column builder for [[JlProject]]: `vec` must evaluate to
+    * ARRAY<FLOAT>. */
+  def jlProject(vec: Column, outDim: Int): Column =
+    GraftShims.column(JlProject(GraftShims.expression(vec), outDim))
 
   /** Column builder for [[NearestCentroid]]: `vec` must evaluate to
     * ARRAY<DOUBLE>; `cents` is the (listId, centroid) set, flattened

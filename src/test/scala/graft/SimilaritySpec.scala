@@ -343,6 +343,12 @@ class SimilaritySpec extends SparkSpec {
     vecs.foreach { case (id, v) =>
       got(id).toSeq shouldBe ref(v).toSeq
     }
+    // native codegen expression == pure-HOF formulation, element-wise
+    val hof = Similarity.randomProjectSparse(df, outDim, native = false)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    hof.toSeq shouldBe got.toSeq.sortBy(_._1)
+      .flatMap { case (id, ps) => ps.zipWithIndex.map { case (p, k) =>
+        (id, k, p) } }
     // partition invariance (map-only — trivially, but lock it)
     val rep = Similarity.randomProjectSparse(df.repartition(7), outDim)
       .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
