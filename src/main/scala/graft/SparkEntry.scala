@@ -1825,6 +1825,24 @@ object SparkEntry {
           size(filter(col("q._1"), x => x =!= 0)).as("n_nonzero"))
         .orderBy(col("vec_id"))),
 
+    // ---- exact top-k per group as a NATIVE bounded aggregate
+    //      (plans.TopKPairsAgg): map-side k-bounded buffers, so the
+    //      shuffle carries <= k pairs per (group x partition) instead
+    //      of every row + a full per-group sort (the window form's
+    //      cost); bit-identical to row_number() <= k under the same
+    //      total order
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("p_c"),
+          col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(plans.TopKPairsAgg.topKPairs(col("p_c"), col("o_orderkey"),
+          k = 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), (col("pos") + 1).as("rnk"),
+          col("t.ord").as("price_c"), col("t.id").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rnk"))),
+
     // ---- sparse JL random projection (Achlioptas): deterministic
     //      integer-mix signs, exact integer sums, map-only plan (no
     //      shuffle) — the dim-reduction feeder for LSH/ANN at scale
@@ -6914,6 +6932,19 @@ object SparkEntry {
         |  CAST(list_max(codes) AS INTEGER) AS max_code,
         |  CAST(len(list_filter(codes, x -> x <> 0)) AS INTEGER) AS n_nonzero
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |    o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+        |        o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rnk AS INT) AS rnk, price_c, o_orderkey
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_embed_rp" ->
       """SELECT vec_id, CAST(k AS INT) AS k,

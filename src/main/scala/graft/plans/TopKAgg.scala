@@ -1,0 +1,141 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+import java.util.Comparator
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** EXACT top-k per group as a native TypedImperativeAggregate — the
+  * map-side-combinable alternative to
+  * `row_number().over(Window.partitionBy(g).orderBy(...)) <= k`.
+  *
+  * The window form shuffles EVERY row of every group and sorts each
+  * group in full just to discard all but k rows. This aggregate keeps
+  * a k-bounded ordered buffer per group on the MAP side, so the
+  * shuffle carries at most k pairs per (group × input partition) —
+  * on a 100 TB fact table with small k that is the difference between
+  * moving the table and moving a rounding error. Exactness is
+  * unconditional: a bounded best-k buffer merged by union-then-trim
+  * is a semigroup (order-free, associative), proven in the spec.
+  *
+  * Ordering: `ord` descending when `desc` (ascending otherwise), ties
+  * broken by ascending `id` — a TOTAL order, so results are
+  * deterministic across partitionings, retries, and engines. Output is
+  * the sorted ARRAY<STRUCT<ord BIGINT, id BIGINT>> (best first);
+  * `posexplode` turns position into the dense rank.
+  */
+case class TopKPairsAgg(
+    ordExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    desc: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Array[Long]]] {
+
+  require(k >= 1, s"topk_pairs needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(ordExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  // best-first: compare ord (desc or asc), then id asc
+  private def cmp: Comparator[Array[Long]] = new Comparator[Array[Long]] {
+    override def compare(a: Array[Long], b: Array[Long]): Int = {
+      val c = if (desc) java.lang.Long.compare(b(0), a(0))
+              else java.lang.Long.compare(a(0), b(0))
+      if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[Array[Long]] =
+    new java.util.TreeSet[Array[Long]](cmp)
+
+  private def add(buf: java.util.TreeSet[Array[Long]],
+                  p: Array[Long]): Unit = {
+    if (buf.size < k) { buf.add(p); () }
+    else if (cmp.compare(p, buf.last) < 0) {
+      if (buf.add(p)) { buf.remove(buf.last); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[Array[Long]],
+                      input: InternalRow): java.util.TreeSet[Array[Long]] = {
+    val o = ordExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (o != null && i != null)
+      add(buf, Array(o.asInstanceOf[Long], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[Array[Long]],
+                     b: java.util.TreeSet[Array[Long]])
+      : java.util.TreeSet[Array[Long]] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[Array[Long]]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val p = it.next()
+      out(i) = InternalRow(p(0), p(1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      out.writeLong(p(0)); out.writeLong(p(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[Array[Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val s = createAggregationBuffer()
+    var i = 0
+    while (i < n) { s.add(Array(in.readLong(), in.readLong())); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairsAgg =
+    copy(ordExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKPairsAgg {
+  /** Column entry: exact top-`k` (ord, id) pairs per group, best
+    * first. `ord` and `id` must evaluate to BIGINT. */
+  def topKPairs(ord: org.apache.spark.sql.Column,
+                id: org.apache.spark.sql.Column, k: Int,
+                desc: Boolean = true): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TopKPairsAgg(GraftShims.expression(ord),
+      GraftShims.expression(id), k, desc).toAggregateExpression())
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPairsAgg
+
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def explodeTop(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+    .select(col("g"), (col("pos") + 1).as("rnk"),
+      col("t.ord").as("ord"), col("t.id").as("id"))
+
+  test("topKPairs equals the window row_number form under ties and " +
+      "any partitioning") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1L to 400L).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(20).toLong, i))
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = explodeTop(df.groupBy(col("g"))
+          .agg(TopKPairsAgg.topKPairs(col("v"), col("id"), 5).as("top")))
+        .as[(Long, Int, Long, Long)].collect().sorted
+      val want = df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rnk") <= 5)
+        .select(col("g"), col("rnk"), col("v").as("ord"), col("id"))
+        .as[(Long, Int, Long, Long)].collect().sorted
+      withClue(s"parts=$parts") { got.toSeq shouldBe want.toSeq }
+    }
+  }
+
+  test("ascending order and k larger than the group") {
+    val df = Seq((1L, 30L, 1L), (1L, 10L, 2L), (1L, 10L, 3L),
+      (2L, 5L, 4L)).toDF("g", "v", "id")
+    val got = explodeTop(df.groupBy(col("g"))
+        .agg(TopKPairsAgg.topKPairs(col("v"), col("id"), 10,
+          desc = false).as("top")))
+      .as[(Long, Int, Long, Long)].collect().sorted
+    got.toSeq shouldBe Seq(
+      (1L, 1, 10L, 2L), (1L, 2, 10L, 3L), (1L, 3, 30L, 1L),
+      (2L, 1, 5L, 4L))
+  }
+
+  test("bounded-buffer merge is a semigroup: union-then-trim is " +
+      "order-free and associative") {
+    val rnd = new scala.util.Random(31)
+    val agg = TopKPairsAgg(null, null, k = 4)
+    def bufOf(ps: Seq[(Long, Long)]) = {
+      val b = agg.createAggregationBuffer()
+      ps.foreach(p => agg.merge(b, {
+        val s = agg.createAggregationBuffer()
+        s.add(Array(p._1, p._2)); s
+      }))
+      b
+    }
+    def toSeqOf(b: java.util.TreeSet[Array[Long]]) = {
+      val it = b.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext)
+        .map(_.next().toSeq).toList
+    }
+    for (_ <- 1 to 50) {
+      val ps = Seq.fill(12)((rnd.nextInt(6).toLong, rnd.nextLong().abs))
+      val (l, r) = ps.splitAt(rnd.nextInt(ps.length))
+      val merged = agg.merge(bufOf(l), bufOf(r))
+      toSeqOf(merged) shouldBe toSeqOf(bufOf(ps))
+      // serialization round-trip preserves content and order
+      toSeqOf(agg.deserialize(agg.serialize(merged))) shouldBe
+        toSeqOf(merged)
+    }
+  }
+
+  test("the plan carries a map-side partial aggregate, not a window " +
+      "sort") {
+    val df = (1L to 100L).map(i => (i % 5, i, i)).toDF("g", "v", "id")
+    val plan = df.groupBy(col("g"))
+      .agg(TopKPairsAgg.topKPairs(col("v"), col("id"), 3).as("top"))
+      .queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_topkpairsagg")
+    (plan should not).include("Window")
+  }
+}
