@@ -6947,15 +6947,26 @@ object SparkEntry {
         |ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_embed_rp" ->
-      """SELECT vec_id, CAST(k AS INT) AS k,
-        |  CAST(list_sum(list_transform(range(0, len(e)),
-        |    j -> (CASE ((1315423911 + 2654435761*(j+1) + 40503*(k+1)) % 6)
-        |           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)
-        |         * CAST(floor(CAST(e[j+1] AS DOUBLE) * 1000000 + 0.5)
-        |                AS BIGINT))) AS BIGINT) AS proj_q
-        |FROM (SELECT vec_id, embedding AS e FROM embeddings
-        |      WHERE len(embedding) > 0),
-        |     UNNEST(range(0, 8)) AS t(k)
+      """WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings
+        |           WHERE len(embedding) > 0),
+        |x AS (SELECT vec_id, jj - 1 AS j,
+        |        CAST(floor(CAST(emb[jj] AS DOUBLE) * 1000000 + 0.5)
+        |             AS BIGINT) AS q
+        |      FROM e, UNNEST(range(1, len(emb) + 1)) AS tj(jj)),
+        |s0 AS (SELECT vec_id, j, q, kk.k,
+        |         (1315423911 + 2654435761*(j+1) + 40503*(kk.k+1))
+        |           % 2147483647 AS h0
+        |       FROM x, UNNEST(range(0, 8)) AS kk(k)),
+        |s1 AS (SELECT vec_id, k, q,
+        |         (h0*h0 + 40503*h0 + 1315423911) % 2147483647 AS h1
+        |       FROM s0),
+        |s2 AS (SELECT vec_id, k, q,
+        |         ((h1*h1 + 2654435761) % 2147483647) % 6 AS m
+        |       FROM s1)
+        |SELECT vec_id, CAST(k AS INT) AS k,
+        |  CAST(sum(CASE m WHEN 0 THEN q WHEN 1 THEN -q ELSE 0 END)
+        |       AS BIGINT) AS proj_q
+        |FROM s2 GROUP BY vec_id, k
         |ORDER BY vec_id, k""".stripMargin,
 
     "q_pack_sequences" ->

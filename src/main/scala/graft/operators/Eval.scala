@@ -63,11 +63,16 @@ object Eval {
     *
     *   kappa = (p_o − p_e)/(1 − p_e) = (N·d − S)/(N² − S)
     *
-    * with the N², N·d and marginal products carried in decimal(38,0)
-    * — exact for any row count a Long can hold (Long N·N and Σna·nb
-    * would silently overflow past N ≈ 3.04e9 rows, i.e. √Long.Max;
-    * the sibling metrics rocAuc/ksStatistic document their bounds,
-    * this one simply has none) — and released through ONE IEEE
+    * with the operands of N², N·d and the marginal products cast to
+    * decimal(19,0) so Spark's multiply-widening rule yields EXACT
+    * decimal(38,0) products (do NOT "simplify" to a direct
+    * decimal(38,0) cast: a 38,0 × 38,0 multiply is capped at 38
+    * digits and loses precision — the 19-digit operands are what
+    * make the 38-digit product exact). Exact for any row count a
+    * Long can hold (Long N·N and Σna·nb would silently overflow past
+    * N ≈ 3.04e9 rows, i.e. √Long.Max; the sibling metrics
+    * rocAuc/ksStatistic document their bounds, this one simply has
+    * none) — and released through ONE IEEE
     * division, bit-stable across partitionings and engines. NULL when
     * the marginals are degenerate (N² = S, chance agreement is
     * total). Emits one row: (n, agree, kappa). */

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-correct global ranking — the replacement for
   * `Window.orderBy(...)` with no partition spec, which funnels the
@@ -11,71 +11,88 @@ import org.apache.spark.sql.functions._
   * 100×).
   *
   * Shape: `repartitionByRange` range-shards the rows on the full sort
-  * key (Spark's range partitioner does the boundary sampling — no
-  * eager job, no hand-rolled percentiles), a window PARTITIONED by the
-  * range-shard id assigns local row numbers, and per-shard offsets are
-  * recovered with the broadcast triangular self-join over the ≤nShards
-  * shard-count rows (the [[Sampling]]/[[Drift]] prefix-sum pattern).
-  * Global rank = shard offset + local rank.
+  * key and sorts within shards (one range-shuffle), then ONE RDD
+  * carries both passes — a partition-size count pass and an
+  * offset-zip pass (the `zipWithIndex` protocol, hand-rolled so the
+  * total row count is also captured for [[globalNtile]]). Global rank
+  * = driver prefix-sum offset of the shard + local position.
   *
-  * Correctness does not depend on where the sampled range boundaries
-  * fall: the sort key is made TOTAL by the caller's tie-break columns,
-  * so offset + local rank reproduces the unique global rank under ANY
-  * boundary placement — the result is deterministic even though range
-  * sampling is not. Skew note: rows equal on the leading key always
-  * land in one shard; the tie-break columns participate in the range
-  * key, so only exact full-key duplicates (impossible under a total
-  * order) could pile up.
+  * Why the RDD zip instead of a window-plus-count-join DataFrame
+  * formulation: the ranked rows and the shard counts must describe
+  * the SAME range-boundary placement. In a DataFrame plan the
+  * range exchange appears once per consuming lineage and boundary
+  * consistency silently depends on `ReuseExchange` deduplicating the
+  * subtrees — with exchange reuse disabled (or a planner change
+  * defeating it), the exchange samples boundaries twice and the
+  * offsets describe a different shard population than the local
+  * ranks. Here both passes run over literally one RDD, hence one
+  * `RangePartitioner` instance and one boundary set, whatever the
+  * planner or config does; the second pass reuses the first pass's
+  * shuffle files. This is the "genuine per-partition imperative
+  * logic" carve-out: a global dense index is exactly what the
+  * DataFrame API cannot express without the reuse assumption.
+  *
+  * Both entry points are EAGER (the size pass runs at call time).
+  * The result is deterministic for a TOTAL sort key (include a
+  * unique tie-break): wherever the sampled boundaries fall, offset +
+  * local position reproduces the unique global rank.
   */
 object Ranks {
+
+  /** Range-shard + sort + zip. Returns the ranked frame and the total
+    * row count (a free by-product of the size pass). */
+  private def rankWithTotal(df: DataFrame, sortExprs: Seq[Column],
+                            out: String, nShards: Int): (DataFrame, Long) = {
+    require(sortExprs.nonEmpty, "globalRowNumber needs sort columns")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(nShards, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val rdd = sorted.rdd // ONE RDD: both jobs below share its partitioner
+    val sizes = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = rows before shard i
+    val total = offsets.last
+    val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    val schema = StructType(
+      df.schema.fields :+ StructField(out, LongType, nullable = false))
+    (spark.createDataFrame(ranked, schema), total)
+  }
 
   /** Append `out` = exact global row_number under `sortExprs` (must be
     * a TOTAL order — include a unique tie-break). Parallelism is
     * `nShards`; no unpartitioned window anywhere in the plan. */
   def globalRowNumber(df: DataFrame, sortExprs: Seq[Column],
                       out: String = "rn",
-                      nShards: Int = 64): DataFrame = {
-    require(sortExprs.nonEmpty, "globalRowNumber needs sort columns")
-    val ranged = df.repartitionByRange(nShards, sortExprs: _*)
-      .withColumn("__shard", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__shard"))
-      .orderBy(sortExprs: _*)
-    val local = ranged.withColumn("__lrn", row_number().over(wLocal))
-    val counts = ranged.groupBy(col("__shard"))
-      .agg(count(lit(1)).as("__cnt"))
-    val offsets = counts
-      .join(broadcast(counts.select(col("__shard").as("__p"),
-          col("__cnt").as("__pc"))),
-        col("__p") < col("__shard"), "left")
-      .groupBy(col("__shard"))
-      .agg(coalesce(sum(col("__pc")), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), Seq("__shard"))
-      .withColumn(out, col("__off") + col("__lrn"))
-      .drop("__shard", "__lrn", "__off")
-  }
+                      nShards: Int = 64): DataFrame =
+    rankWithTotal(df, sortExprs, out, nShards)._1
 
   /** Append `out` = exact `ntile(k)` under `sortExprs` (same
-    * total-order contract), via [[globalRowNumber]] plus the ntile
+    * total-order contract), via the global row number plus the ntile
     * arithmetic: with n rows, q = n div k, m = n mod k, the first m
     * tiles hold q+1 rows and the rest q — bit-identical to the SQL
-    * `NTILE(k) OVER (ORDER BY ...)` every engine implements. */
+    * `NTILE(k) OVER (ORDER BY ...)` every engine implements. The
+    * total n comes from the size pass, embedded as a literal — no
+    * count subtree, no cross join. */
   def globalNtile(df: DataFrame, k: Int, sortExprs: Seq[Column],
                   out: String = "tile",
                   nShards: Int = 64): DataFrame = {
     require(k > 0, "ntile k must be positive")
-    val rn = globalRowNumber(df, sortExprs, "__gn", nShards)
-    val tot = rn.agg(count(lit(1)).as("__n"))
-    rn.crossJoin(broadcast(tot))
-      .withColumn("__q", col("__n") / k cast "long")
-      .withColumn("__m", col("__n") % k)
-      .withColumn(out,
-        when(col("__q") === 0, col("__gn"))
-          .when(col("__gn") <= col("__m") * (col("__q") + 1),
-            (col("__gn") - 1) / (col("__q") + 1) cast "long" plus 1)
-          .otherwise(col("__m") +
-            ((col("__gn") - col("__m") * (col("__q") + 1) - 1) /
-              col("__q") cast "long") + 1)
-          .cast("int"))
-      .drop("__gn", "__n", "__q", "__m")
+    val (rn, n) = rankWithTotal(df, sortExprs, "__gn", nShards)
+    val q = n / k
+    val m = n % k
+    val tile =
+      if (q == 0L) col("__gn")
+      else when(col("__gn") <= m * (q + 1),
+          (col("__gn") - 1) / (q + 1) cast "long" plus 1)
+        .otherwise(lit(m) +
+          ((col("__gn") - m * (q + 1) - 1) / q cast "long") + 1)
+    rn.withColumn(out, tile.cast("int")).drop("__gn")
   }
 }

@@ -916,9 +916,16 @@ object Similarity {
         aggregate(
           zip_with(col(vecCol),
             sequence(lit(0), size(col(vecCol)) - 1), (x, j) => {
-              val m = (lit(1315423911L) +
+              // Quadratic mix mod 2^31-1 (NOT an affine %6, which is
+              // linear in (j,k) mod 6 and collapses the sign matrix
+              // to rank 2); intermediates < 2^63, so the DuckDB
+              // oracle mirrors it in plain BIGINT arithmetic.
+              val h0 = (lit(1315423911L) +
                 lit(2654435761L) * (j.cast("long") + 1) +
-                lit(40503L) * (k.cast("long") + 1)) % 6
+                lit(40503L) * (k.cast("long") + 1)) % 2147483647L
+              val h1 = (h0 * h0 + lit(40503L) * h0 + 1315423911L) %
+                2147483647L
+              val m = ((h1 * h1 + 2654435761L) % 2147483647L) % 6
               val sgn = when(m === 0, lit(1L)).when(m === 1, lit(-1L))
                 .otherwise(lit(0L))
               sgn * floor(x.cast("double") * 1000000 + 0.5)

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Everything is exact integer arithmetic released through one `ln`
   * per vocabulary entry (micro-nat costs), so results are
-  * bit-identical across engines and partitionings — the same
-  * determinism discipline as the rest of the registry.
+  * bit-identical across partitionings, and across engines on every
+  * platform where `ln` agrees in the last ulp (division is correctly
+  * rounded by IEEE; `ln` is not guaranteed to be, so
+  * ⌊−10⁶·ln(p)+½⌋ can in principle differ by 1 between libms when
+  * the value lands within an ulp of a half-integer — not observed
+  * against DuckDB here, but a weaker guarantee than the pure
+  * integer/division paths elsewhere in the registry).
   *
   * Scale shape (all paths): the corpus collapses to its DISTINCT words
   * with frequencies first (one shuffle); per-word DP runs once per
@@ -81,12 +86,17 @@ object UnigramLm {
   /** Exact per-word Viterbi under integer costs, minimizing
     * (Σ cost, #pieces) lexicographically. Returns the combined scalar;
     * Long.MaxValue/4 marks an unsegmentable word (impossible when all
-    * single chars are in the vocab). */
+    * single chars are in the vocab). The packing is only valid while
+    * the optimal segmentation stays under [[PieceBase]] pieces — the
+    * piece count is tracked separately and a segmentation of ≥ 64
+    * pieces fails LOUDLY instead of silently carrying the count into
+    * the cost digits (callers see the task error, not a wrong sum). */
   private[graft] def viterbiCombined(word: String,
       costs: collection.Map[String, Long], maxLen: Int): Long = {
     val n = word.length
     val inf = Long.MaxValue / 4
     val dp = Array.fill(n + 1)(inf)
+    val cnt = Array.fill(n + 1)(0)
     dp(0) = 0L
     var i = 1
     while (i <= n) {
@@ -96,7 +106,7 @@ object UnigramLm {
           costs.get(word.substring(i - l, i)) match {
             case Some(c) =>
               val cand = dp(i - l) + c * PieceBase + 1
-              if (cand < dp(i)) dp(i) = cand
+              if (cand < dp(i)) { dp(i) = cand; cnt(i) = cnt(i - l) + 1 }
             case None =>
           }
         }
@@ -104,14 +114,21 @@ object UnigramLm {
       }
       i += 1
     }
+    if (dp(n) < inf && cnt(n) >= PieceBase)
+      throw new IllegalArgumentException(
+        s"unigram segmentation of '${word.take(16)}…' (${word.length} " +
+          s"chars) needs ${cnt(n)} pieces >= PieceBase=$PieceBase; the " +
+          "(cost, count) packing would corrupt — raise PieceBase or " +
+          "pre-filter overlong words")
     dp(n)
   }
 
   /** Viterbi piece SEQUENCE for the same objective (used by training's
-    * E-step); on cost ties the DP keeps the segmentation reaching the
-    * position with the LONGEST last piece (deterministic: the l-loop
-    * takes strictly-better candidates only, scanning l ascending, so
-    * the last strict improvement wins). */
+    * E-step); on cost ties the DP keeps the FIRST optimum found — the
+    * l-loop scans l ascending and accepts strictly-better candidates
+    * only, so the candidate with the SHORTEST last piece wins the tie
+    * (deterministic; re-implementations must break ties the same way
+    * to reproduce the trained vocabulary). */
   private[graft] def viterbiPieces(word: String,
       costs: collection.Map[String, Long], maxLen: Int): Seq[String] = {
     val n = word.length

@@ -149,8 +149,15 @@ case class JlProject(child: Expression, outDim: Int)
       var s = 0L
       var i = 0
       while (i < n) {
-        val m = (1315423911L + 2654435761L * (i + 1) +
-          40503L * (k + 1)) % 6
+        // Quadratic mix mod the Mersenne prime 2^31-1: the earlier
+        // affine-mod-6 form was linear in (i, k) mod 6 and collapsed
+        // the sign matrix to rank 2. Two squaring rounds break the
+        // linearity; every intermediate stays < 2^63 (no wraparound),
+        // so DuckDB BIGINT arithmetic reproduces it exactly.
+        val h0 = (1315423911L + 2654435761L * (i + 1) +
+          40503L * (k + 1)) % 2147483647L
+        val h1 = (h0 * h0 + 40503L * h0 + 1315423911L) % 2147483647L
+        val m = ((h1 * h1 + 2654435761L) % 2147483647L) % 6L
         if (m == 0L) s += q(i) else if (m == 1L) s -= q(i)
         i += 1
       }
@@ -170,6 +177,8 @@ case class JlProject(child: Expression, outDim: Int)
       val k = ctx.freshName("k")
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
+      val h0 = ctx.freshName("h0")
+      val h1 = ctx.freshName("h1")
       s"""
          |int $n = $v.numElements();
          |long[] $q = new long[$n];
@@ -181,8 +190,11 @@ case class JlProject(child: Expression, outDim: Int)
          |for (int $k = 0; $k < $outDim; $k++) {
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $m = (1315423911L + 2654435761L * ($i + 1)
-         |      + 40503L * ($k + 1)) % 6L;
+         |    long $h0 = (1315423911L + 2654435761L * ($i + 1)
+         |      + 40503L * ($k + 1)) % 2147483647L;
+         |    long $h1 = ($h0 * $h0 + 40503L * $h0 + 1315423911L)
+         |      % 2147483647L;
+         |    long $m = (($h1 * $h1 + 2654435761L) % 2147483647L) % 6L;
          |    if ($m == 0L) $s += $q[$i];
          |    else if ($m == 1L) $s -= $q[$i];
          |  }

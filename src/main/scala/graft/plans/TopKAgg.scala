@@ -23,11 +23,18 @@ import org.apache.spark.sql.types._
   * unconditional: a bounded best-k buffer merged by union-then-trim
   * is a semigroup (order-free, associative), proven in the spec.
   *
+  * The buffer is a TreeMap of (ord, id) → MULTIPLICITY, not a set:
+  * duplicate input pairs are retained with their count, so the output
+  * is the exact best-k MULTISET — bit-identical to the rows the
+  * row_number form keeps even when `id` is not unique within a group
+  * (a set buffer would silently collapse duplicates and drop rows).
+  *
   * Ordering: `ord` descending when `desc` (ascending otherwise), ties
-  * broken by ascending `id` — a TOTAL order, so results are
-  * deterministic across partitionings, retries, and engines. Output is
-  * the sorted ARRAY<STRUCT<ord BIGINT, id BIGINT>> (best first);
-  * `posexplode` turns position into the dense rank.
+  * broken by ascending `id` — a TOTAL order over pairs, so results
+  * are deterministic across partitionings, retries, and engines.
+  * Output is the sorted ARRAY<STRUCT<ord BIGINT, id BIGINT>> (best
+  * first, duplicates repeated); `posexplode` turns position into the
+  * dense rank.
   */
 case class TopKPairsAgg(
     ordExpr: Expression,
@@ -36,7 +43,7 @@ case class TopKPairsAgg(
     desc: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[Array[Long]]] {
+    extends TypedImperativeAggregate[TopKPairsAgg.Buffer] {
 
   require(k >= 1, s"topk_pairs needs k >= 1, got $k")
 
@@ -47,75 +54,105 @@ case class TopKPairsAgg(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  // best-first: compare ord (desc or asc), then id asc
-  private def cmp: Comparator[Array[Long]] = new Comparator[Array[Long]] {
-    override def compare(a: Array[Long], b: Array[Long]): Int = {
-      val c = if (desc) java.lang.Long.compare(b(0), a(0))
-              else java.lang.Long.compare(a(0), b(0))
-      if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+  // best-first: compare ord (desc or asc), then id asc. Transient
+  // lazy: rebuilt once per JVM after plan deserialization, shared by
+  // every add() (no per-row allocation on the update hot path).
+  @transient private lazy val cmp: Comparator[Array[Long]] =
+    new Comparator[Array[Long]] {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = if (desc) java.lang.Long.compare(b(0), a(0))
+                else java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      }
+    }
+
+  override def createAggregationBuffer(): TopKPairsAgg.Buffer =
+    new TopKPairsAgg.Buffer(
+      new java.util.TreeMap[Array[Long], Long](cmp), 0L)
+
+  /** Insert `n` copies of `p`, then trim the worst units beyond k.
+    * Buffer total never exceeds k, so n ≤ k on every merge path. */
+  private def addN(buf: TopKPairsAgg.Buffer, p: Array[Long],
+                   n: Long): Unit = {
+    var left = n
+    if (buf.total < k) {
+      val take = math.min(left, k - buf.total)
+      buf.m.merge(p, take, (a, b) => a + b)
+      buf.total += take
+      left -= take
+    }
+    // buffer full: admit only units strictly better than the worst,
+    // evicting one worst unit per admitted unit (total stays k; the
+    // loop exits as soon as p itself becomes the worst entry)
+    while (left > 0 && cmp.compare(p, buf.m.lastKey()) < 0) {
+      buf.m.merge(p, 1L, (a, b) => a + b)
+      val last = buf.m.lastEntry()
+      if (last.getValue == 1L) buf.m.remove(last.getKey)
+      else buf.m.put(last.getKey, last.getValue - 1L)
+      left -= 1
     }
   }
 
-  override def createAggregationBuffer(): java.util.TreeSet[Array[Long]] =
-    new java.util.TreeSet[Array[Long]](cmp)
-
-  private def add(buf: java.util.TreeSet[Array[Long]],
-                  p: Array[Long]): Unit = {
-    if (buf.size < k) { buf.add(p); () }
-    else if (cmp.compare(p, buf.last) < 0) {
-      if (buf.add(p)) { buf.remove(buf.last); () }
-    }
-  }
-
-  override def update(buf: java.util.TreeSet[Array[Long]],
-                      input: InternalRow): java.util.TreeSet[Array[Long]] = {
+  override def update(buf: TopKPairsAgg.Buffer,
+                      input: InternalRow): TopKPairsAgg.Buffer = {
     val o = ordExpr.eval(input)
     val i = idExpr.eval(input)
     if (o != null && i != null)
-      add(buf, Array(o.asInstanceOf[Long], i.asInstanceOf[Long]))
+      addN(buf, Array(o.asInstanceOf[Long], i.asInstanceOf[Long]), 1L)
     buf
   }
 
-  override def merge(a: java.util.TreeSet[Array[Long]],
-                     b: java.util.TreeSet[Array[Long]])
-      : java.util.TreeSet[Array[Long]] = {
-    val it = b.iterator()
-    while (it.hasNext) add(a, it.next())
+  override def merge(a: TopKPairsAgg.Buffer,
+                     b: TopKPairsAgg.Buffer): TopKPairsAgg.Buffer = {
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      addN(a, e.getKey, e.getValue)
+    }
     a
   }
 
-  override def eval(buf: java.util.TreeSet[Array[Long]]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: TopKPairsAgg.Buffer): Any = {
+    val out = new Array[Any](buf.total.toInt)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val p = it.next()
-      out(i) = InternalRow(p(0), p(1))
-      i += 1
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) {
+        out(i) = InternalRow(e.getKey()(0), e.getKey()(1))
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[Array[Long]]): Array[Byte] = {
+  override def serialize(buf: TopKPairsAgg.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
+    out.writeInt(buf.m.size())
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
-      val p = it.next()
-      out.writeLong(p(0)); out.writeLong(p(1))
+      val e = it.next()
+      out.writeLong(e.getKey()(0)); out.writeLong(e.getKey()(1))
+      out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : java.util.TreeSet[Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): TopKPairsAgg.Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val s = createAggregationBuffer()
     var i = 0
-    while (i < n) { s.add(Array(in.readLong(), in.readLong())); i += 1 }
+    while (i < n) {
+      val p = Array(in.readLong(), in.readLong())
+      val c = in.readLong()
+      s.m.put(p, c)
+      s.total += c
+      i += 1
+    }
     s
   }
 
@@ -129,8 +166,14 @@ case class TopKPairsAgg(
 }
 
 object TopKPairsAgg {
+  /** k-bounded best-first multiset: (ord, id) → multiplicity plus the
+    * running unit total (≤ k by construction). */
+  final class Buffer(val m: java.util.TreeMap[Array[Long], Long],
+                     var total: Long)
+
   /** Column entry: exact top-`k` (ord, id) pairs per group, best
-    * first. `ord` and `id` must evaluate to BIGINT. */
+    * first, duplicates preserved. `ord` and `id` must evaluate to
+    * BIGINT. */
   def topKPairs(ord: org.apache.spark.sql.Column,
                 id: org.apache.spark.sql.Column, k: Int,
                 desc: Boolean = true): org.apache.spark.sql.Column = {

@@ -325,10 +325,39 @@ class SimilaritySpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
     val outDim = 6
     // local reference: same integer mix, same half-up 1e-6 grid
-    def sign(j: Int, k: Int): Long =
-      ((1315423911L + 2654435761L * (j + 1) + 40503L * (k + 1)) % 6) match {
+    def sign(j: Int, k: Int): Long = {
+      val h0 = (1315423911L + 2654435761L * (j + 1) +
+        40503L * (k + 1)) % 2147483647L
+      val h1 = (h0 * h0 + 40503L * h0 + 1315423911L) % 2147483647L
+      (((h1 * h1 + 2654435761L) % 2147483647L) % 6) match {
         case 0 => 1L; case 1 => -1L; case _ => 0L
       }
+    }
+    // non-degeneracy: the sign matrix must have full real rank and
+    // distinct columns (the old affine-mod-6 mix was linear in (j,k)
+    // and collapsed to rank 2 — every output coordinate repeated)
+    {
+      val m = Array.tabulate(dim, outDim)((j, k) => sign(j, k).toDouble)
+      val cols = (0 until outDim).map(k => m.map(_(k)).toSeq)
+      cols.distinct.size shouldBe outDim
+      // Gaussian elimination rank over the reals
+      val a = m.map(_.clone())
+      var rank = 0
+      var col = 0
+      while (col < outDim && rank < dim) {
+        val piv = (rank until dim).find(r => math.abs(a(r)(col)) > 1e-9)
+        piv.foreach { p =>
+          val t = a(p); a(p) = a(rank); a(rank) = t
+          for (r <- rank + 1 until dim) {
+            val f = a(r)(col) / a(rank)(col)
+            for (c <- col until outDim) a(r)(c) -= f * a(rank)(c)
+          }
+          rank += 1
+        }
+        col += 1
+      }
+      rank shouldBe outDim
+    }
     def ref(v: Array[Float]): Array[Long] =
       Array.tabulate(outDim) { k =>
         v.zipWithIndex.map { case (x, j) =>

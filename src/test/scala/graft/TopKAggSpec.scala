@@ -53,14 +53,15 @@ class TopKAggSpec extends SparkSpec {
       val b = agg.createAggregationBuffer()
       ps.foreach(p => agg.merge(b, {
         val s = agg.createAggregationBuffer()
-        s.add(Array(p._1, p._2)); s
+        s.m.put(Array(p._1, p._2), 1L); s.total = 1L; s
       }))
       b
     }
-    def toSeqOf(b: java.util.TreeSet[Array[Long]]) = {
-      val it = b.iterator()
-      Iterator.continually(it).takeWhile(_.hasNext)
-        .map(_.next().toSeq).toList
+    def toSeqOf(b: TopKPairsAgg.Buffer) = {
+      val it = b.m.entrySet().iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .flatMap(e => Seq.fill(e.getValue.toInt)(e.getKey.toSeq))
+        .toList
     }
     for (_ <- 1 to 50) {
       val ps = Seq.fill(12)((rnd.nextInt(6).toLong, rnd.nextLong().abs))
@@ -70,6 +71,27 @@ class TopKAggSpec extends SparkSpec {
       // serialization round-trip preserves content and order
       toSeqOf(agg.deserialize(agg.serialize(merged))) shouldBe
         toSeqOf(merged)
+    }
+  }
+
+  test("duplicate (ord, id) pairs are kept with multiplicity — " +
+      "matches row_number when id is NOT unique") {
+    val rnd = new scala.util.Random(37)
+    // heavy duplication: 300 rows over only 4 ord values x 5 ids
+    val rows = (1L to 300L).map(_ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(4).toLong, rnd.nextInt(5).toLong))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = explodeTop(df.groupBy(col("g"))
+          .agg(TopKPairsAgg.topKPairs(col("v"), col("id"), 6).as("top")))
+        .as[(Long, Int, Long, Long)].collect().sorted
+      val want = df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rnk") <= 6)
+        .select(col("g"), col("rnk"), col("v").as("ord"), col("id"))
+        .as[(Long, Int, Long, Long)].collect().sorted
+      withClue(s"parts=$parts") { got.toSeq shouldBe want.toSeq }
     }
   }
 
