@@ -2632,7 +2632,7 @@ object SparkEntry {
       val ranked = operators.Ranks.globalRowNumber(
         Tables.part(s, dir)
           .select(col("p_partkey").as("id"), col("p_name").as("nm")),
-        Seq(col("nm").asc, col("id").asc), "rn")
+        Seq(col("nm").asc, col("id").asc), "rn", nShards = 16)
       val xs = ranked
         .withColumn("bk", explode(array(expr("CAST(rn DIV 4 AS BIGINT)"),
           expr("CAST(rn DIV 4 AS BIGINT) + 1"))))
@@ -4080,7 +4080,7 @@ object SparkEntry {
       // localCheckpoint first: the range exchange's sampling pass
       // would otherwise recompute the classifier training upstream
       operators.Ranks.globalNtile(scored.localCheckpoint(), 10,
-          Seq(col("score").asc, col("doc_id").asc), "bin")
+          Seq(col("score").asc, col("doc_id").asc), "bin", nShards = 16)
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
@@ -4165,7 +4165,8 @@ object SparkEntry {
       val custC = cust.localCheckpoint()
       def tile(c: Column, asc: Boolean, out: String) =
         operators.Ranks.globalNtile(custC, 5,
-            Seq(if (asc) c.asc else c.desc, col("o_custkey").asc), out)
+            Seq(if (asc) c.asc else c.desc, col("o_custkey").asc), out,
+            nShards = 16)
           .select(col("o_custkey"), col(out))
       val scored = custC
         .join(tile(col("recency_days"), asc = true, "r"),

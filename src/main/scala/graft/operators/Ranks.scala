@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -40,14 +40,17 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Ranks {
 
   /** Range-shard + sort + zip. Returns the ranked frame and the total
-    * row count (a free by-product of the size pass). */
+    * row count (a free by-product of the size pass). Runs on the
+    * INTERNAL row representation end to end (queryExecution.toRdd in,
+    * LogicalRDD out) — the external createDataFrame(rdd, schema) path
+    * pays an encoder round-trip per row, measured ~3x slower. */
   private def rankWithTotal(df: DataFrame, sortExprs: Seq[Column],
                             out: String, nShards: Int): (DataFrame, Long) = {
     require(sortExprs.nonEmpty, "globalRowNumber needs sort columns")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(nShards, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-    val rdd = sorted.rdd // ONE RDD: both jobs below share its partitioner
+    val rdd = sorted.queryExecution.toRdd // ONE RDD: both jobs share its partitioner
     val sizes = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }
@@ -56,13 +59,25 @@ object Ranks {
       .collect().sortBy(_._1).map(_._2)
     val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = rows before shard i
     val total = offsets.last
+    val types = df.schema.fields.map(_.dataType) :+ LongType
     val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(types)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
       var r = offsets(i)
-      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      it.map { row =>
+        r += 1
+        extra.setLong(0, r)
+        proj(joined(row, extra))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
     }
     val schema = StructType(
       df.schema.fields :+ StructField(out, LongType, nullable = false))
-    (spark.createDataFrame(ranked, schema), total)
+    (org.apache.spark.sql.graft.PlanBridge
+      .ofInternalRows(spark, schema, ranked), total)
   }
 
   /** Append `out` = exact global row_number under `sortExprs` (must be
