@@ -2066,6 +2066,33 @@ object SparkEntry {
         .select(col("n_est_merged"), col("n_est_direct"))
     }),
 
+    // ---- KMV set ALGEBRA (theta-sketch-style): union / Jaccard /
+    //      intersection cardinality of two part-key sets (returnflag R
+    //      vs A) computed purely from their two 256-hash bottom-k
+    //      sketches — no rescan of either side. The md5-derived hash
+    //      is cross-engine exact, so unlike HLL the whole estimator
+    //      chain is hash-gated against the oracle, not tolerance-gated
+    "q_sketch_kmv_ops" -> ((s, dir) => {
+      val k = 256
+      val li = Tables.lineitem(s, dir)
+      def sk(flag: String, as: String) =
+        li.filter(col("l_returnflag") === flag)
+          .agg(plans.KmvDistinctAgg.kmvSketch(
+            col("l_partkey").cast("string"), k).as(as))
+      sk("R", "a").crossJoin(broadcast(sk("A", "b")))
+        .select(
+          plans.KmvDistinctAgg.kmvEstimateFromSketch(col("a"), k)
+            .as("est_a"),
+          plans.KmvDistinctAgg.kmvEstimateFromSketch(col("b"), k)
+            .as("est_b"),
+          plans.KmvDistinctAgg.kmvUnionEstimate(col("a"), col("b"), k)
+            .as("est_union"),
+          plans.KmvDistinctAgg.kmvJaccardMicro(col("a"), col("b"), k)
+            .as("jaccard_micro"),
+          plans.KmvDistinctAgg.kmvIntersectEstimate(col("a"), col("b"), k)
+            .as("est_intersect"))
+    }),
+
     // ---- Misra-Gries heavy-hitters GUARANTEE projection: pass 1 is
     //      the bounded MG sketch (k=30 over 31 distinct tokens, so
     //      eviction fires); pass 2 exactly recounts only the ≤ k
@@ -3879,6 +3906,19 @@ object SparkEntry {
             .distinct(),
           col("u"), col("v"), source = "s1", maxHops = 6)
         .orderBy(col("dist"), col("node"))),
+
+    // ---- fixed-round synchronous label propagation (community
+    //      detection, Graph.labelPropagation): most-frequent neighbor
+    //      label per round, smallest-label tie-break — argmax via
+    //      map-side-combinable max(struct(cnt, −lbl)), no window; the
+    //      bipartite order/part fold keeps node spaces disjoint
+    "q_graph_lpa" -> ((s, dir) =>
+      operators.Graph.labelPropagation(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 4000).as("u"),
+            (col("l_partkey") % 4000 + 4000).as("v")),
+          col("u"), col("v"), rounds = 3)
+        .orderBy(col("node"))),
 
     // ---- Datasketches HLL re-aggregation: per-(flag,status) sketches
     //      merged to flag level with hll_union_agg — the mergeable-
@@ -7117,6 +7157,48 @@ object SparkEntry {
          |  FROM r WHERE rn = least(nd, 16))
          |SELECT e AS n_est_merged, e AS n_est_direct FROM est""".stripMargin,
 
+    "q_sketch_kmv_ops" ->
+      """WITH ha AS (SELECT DISTINCT
+        |  CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT)
+        |    AS hv FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv)
+        |      AS rn FROM ha) WHERE rn <= 256),
+        |hb AS (SELECT DISTINCT
+        |  CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT)
+        |    AS hv FROM lineitem WHERE l_returnflag = 'A'),
+        |b AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv)
+        |      AS rn FROM hb) WHERE rn <= 256),
+        |u AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv)
+        |      AS rn FROM (SELECT hv FROM a UNION SELECT hv FROM b))
+        |      WHERE rn <= 256),
+        |ca AS (SELECT count(*) AS n, max(hv) AS hk FROM a),
+        |cb AS (SELECT count(*) AS n, max(hv) AS hk FROM b),
+        |cu AS (SELECT count(*) AS n, max(hv) AS hk FROM u),
+        |ji AS (SELECT count(*) AS ni FROM u
+        |       WHERE hv IN (SELECT hv FROM a)
+        |         AND hv IN (SELECT hv FROM b)),
+        |est AS (SELECT
+        |  CASE WHEN ca.n < 256 THEN ca.n
+        |    ELSE CAST(floor(255 * 1152921504606846976.0 / ca.hk)
+        |         AS BIGINT) END AS est_a,
+        |  CASE WHEN cb.n < 256 THEN cb.n
+        |    ELSE CAST(floor(255 * 1152921504606846976.0 / cb.hk)
+        |         AS BIGINT) END AS est_b,
+        |  CASE WHEN cu.n < 256 THEN cu.n
+        |    ELSE CAST(floor(255 * 1152921504606846976.0 / cu.hk)
+        |         AS BIGINT) END AS est_union,
+        |  CASE WHEN cu.n = 0 THEN 0
+        |    ELSE ji.ni * 1000000 // least(256, cu.n)
+        |  END AS jaccard_micro
+        |  FROM ca, cb, cu, ji)
+        |SELECT CAST(est_a AS BIGINT) AS est_a,
+        |  CAST(est_b AS BIGINT) AS est_b,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(jaccard_micro AS BIGINT) AS jaccard_micro,
+        |  CAST(jaccard_micro * est_union // 1000000 AS BIGINT)
+        |    AS est_intersect
+        |FROM est""".stripMargin,
+
     "q_heavy_hitters_guarantee" ->
       s"""WITH $toksSql,
          |occ AS (SELECT unnest(t) AS w FROM toks),
@@ -9378,6 +9460,30 @@ object SparkEntry {
         |  WHERE w.d < 6)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY dist, node""".stripMargin,
+
+    "q_graph_lpa" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey % 4000 AS u,
+        |         4000 + (l_partkey % 4000) AS v FROM lineitem),
+        |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |c1 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+        |FROM l3 ORDER BY node""".stripMargin,
 
     "q_sketch_hll" ->
       """SELECT l_returnflag,

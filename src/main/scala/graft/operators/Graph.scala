@@ -179,4 +179,53 @@ object Graph {
     }
     dist
   }
+
+  /** Fixed-round SYNCHRONOUS label propagation (community detection):
+    * every node starts labeled with its own id; each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a total order, so
+    * the result after any fixed round budget is deterministic across
+    * partitionings and engines (classic async LPA is
+    * visit-order-dependent; the synchronous variant with a fixed
+    * budget is the reproducible form, at the cost of possible 2-cycle
+    * oscillation on bipartite-ish regions — callers pick the budget).
+    *
+    * Relational per round: one edge join (neighbor label gather), one
+    * (node, label) count, one argmax — all map-side combinable
+    * aggregations, NO window (the argmax is max(struct(cnt, −lbl)),
+    * not row_number), shuffled by node key. Per-round lineage is cut
+    * with an eager localCheckpoint, same discipline as [[kCore]] /
+    * [[bfsHops]]. Skew equals the hottest node's degree, as in
+    * [[pageRank]].
+    *
+    * Node ids must be non-negative longs (the argmax negates labels
+    * for the ascending tie-break). Emits (node, lbl). */
+  def labelPropagation(edges: DataFrame, uCol: Column, vCol: Column,
+                       rounds: Int = 3): DataFrame = {
+    val sym = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"))
+      .unionAll(edges.select(vCol.cast("long").as("u"),
+        uCol.cast("long").as("v")))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), col("lbl"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
 }

@@ -134,6 +134,72 @@ object KmvDistinctAgg {
     GraftShims.column(
       KmvMergeAgg(GraftShims.expression(c), k).toAggregateExpression())
   }
+
+  // ------------------------------------------------------ set algebra
+  // Theta-sketch-style set operations over two KmvSketchAgg arrays
+  // (Beyer et al., SIGMOD'07): the bottom-k of A ∪ B is recoverable
+  // from the two bottom-k sets (min-k is distributive over union), so
+  // union cardinality, Jaccard, and intersection cardinality all come
+  // from pure array arithmetic on two ≤k-long columns — no rescan of
+  // either input. All DETERMINISTIC integer/exact-double ops on the
+  // md5-derived hashes: cross-engine reproducible, oracle-hashable.
+
+  private def intDiv(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(GraftShims.expression(a), GraftShims.expression(b),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+  }
+
+  /** Bottom-k of the UNION of two sketches (itself a valid sketch). */
+  def kmvUnionK(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_union(a, b)), 1, k)
+  }
+
+  /** Cardinality estimate from a sketch ARRAY (ascending bottom-k):
+    * exact size below k, else ⌊(k−1)·2^60 / h_k⌋ — the same formula
+    * as [[KmvDistinctAgg]]'s eval, exposed for stored sketches. */
+  def kmvEstimateFromSketch(s: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(s) < k, size(s).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * 1152921504606846976.0) /
+        element_at(s, k).cast("double")).cast("long"))
+  }
+
+  /** Jaccard similarity in exact micro-units: |U_k ∩ A ∩ B| · 10⁶
+    * div min(k, |U_k|), where U_k is the union's bottom-k — the
+    * standard bottom-k Jaccard estimator (each of the union's k
+    * smallest hashes is a uniform sample of A ∪ B). 0 for two empty
+    * sketches. */
+  def kmvJaccardMicro(a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val u = kmvUnionK(a, b, k)
+    val inter = size(array_intersect(array_intersect(u, a), b))
+    when(size(u) === 0, lit(0L))
+      .otherwise(intDiv(inter.cast("long") * 1000000L,
+        least(lit(k.toLong), size(u).cast("long"))))
+  }
+
+  /** Intersection cardinality estimate = Ĵ · |A ∪ B|̂ (micro-units
+    * released through one integral divide). Exact-integer arithmetic
+    * bounds: union estimates beyond ~9.2e12 distinct would overflow
+    * the micro-product — far past any count a 2^60 hash space
+    * resolves. */
+  def kmvIntersectEstimate(a: org.apache.spark.sql.Column,
+                           b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    intDiv(kmvJaccardMicro(a, b, k) * kmvUnionEstimate(a, b, k),
+      lit(1000000L))
+  }
+
+  /** Union cardinality estimate from two sketches. */
+  def kmvUnionEstimate(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    kmvEstimateFromSketch(kmvUnionK(a, b, k), k)
 }
 
 /** The RE-AGGREGATION half of the KMV sketch: emit the raw bottom-k

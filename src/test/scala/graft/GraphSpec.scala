@@ -90,4 +90,47 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     full.values.max shouldBe 4L
   }
+
+  test("labelPropagation: two cliques with one bridge keep distinct " +
+      "communities") {
+    // cliques {0,1,2}, {10,11,12}, bridge 2-10
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, col("u"), col("v"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1: each node takes its smallest neighbor's label (all
+    // neighbor labels distinct): 0->1, 1->0, 2->0, 10->2, 11->10, 12->10
+    // subsequent rounds settle each clique on its min id; the bridge
+    // never outvotes a clique majority
+    got(0L) shouldBe got(1L)
+    got(0L) shouldBe got(2L)
+    got(10L) shouldBe got(11L)
+    got(10L) shouldBe got(12L)
+    got(0L) should not be got(10L)
+  }
+
+  test("labelPropagation matches a local synchronous reference on a " +
+      "random graph, partition-invariant") {
+    val rnd = new scala.util.Random(43)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    // local synchronous LPA: most frequent neighbor label, min tie-break
+    val adj = edges.flatMap(p => Seq(p, p.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, ns) =>
+        val counts = ns.toSeq.map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = edges.toDF("u", "v").repartition(parts)
+      val got = Graph.labelPropagation(df, col("u"), col("v"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      withClue(s"parts=$parts") { got shouldBe lbl }
+    }
+  }
 }

@@ -37,4 +37,37 @@ class KmvDistinctSpec extends SparkSpec {
     // each group sees 250 distinct values
     got.values.foreach(e => e.toDouble shouldBe 250.0 +- 80.0)
   }
+
+  test("set algebra: union/Jaccard/intersection estimates track a " +
+      "known 50% overlap and are exact below k") {
+    val k = 256
+    // A = 0..9999, B = 5000..14999: |A|=|B|=10000, |A∩B|=5000,
+    // |A∪B|=15000, J = 1/3
+    val a = (0 until 10000).map(i => s"x$i").toDF("v")
+      .agg(KmvDistinctAgg.kmvSketch(col("v"), k).as("a"))
+    val b = (5000 until 15000).map(i => s"x$i").toDF("v")
+      .agg(KmvDistinctAgg.kmvSketch(col("v"), k).as("b"))
+    val r = a.crossJoin(b).select(
+      KmvDistinctAgg.kmvUnionEstimate(col("a"), col("b"), k).as("u"),
+      KmvDistinctAgg.kmvJaccardMicro(col("a"), col("b"), k).as("j"),
+      KmvDistinctAgg.kmvIntersectEstimate(col("a"), col("b"), k).as("i"))
+      .as[(Long, Long, Long)].head()
+    r._1.toDouble shouldBe 15000.0 +- 4000.0
+    r._2.toDouble shouldBe 333333.0 +- 120000.0
+    r._3.toDouble shouldBe 5000.0 +- 2000.0
+
+    // below k on both sides everything is EXACT
+    val sa = (0 until 60).map(i => s"y$i").toDF("v")
+      .agg(KmvDistinctAgg.kmvSketch(col("v"), k).as("a"))
+    val sb = (30 until 90).map(i => s"y$i").toDF("v")
+      .agg(KmvDistinctAgg.kmvSketch(col("v"), k).as("b"))
+    val e = sa.crossJoin(sb).select(
+      KmvDistinctAgg.kmvUnionEstimate(col("a"), col("b"), k).as("u"),
+      KmvDistinctAgg.kmvJaccardMicro(col("a"), col("b"), k).as("j"),
+      KmvDistinctAgg.kmvIntersectEstimate(col("a"), col("b"), k).as("i"))
+      .as[(Long, Long, Long)].head()
+    e._1 shouldBe 90L
+    e._2 shouldBe 333333L // 30/90 in micro-units, floored
+    e._3 shouldBe 29L     // 333333 * 90 / 1e6 floored — documented bias
+  }
 }
