@@ -2093,6 +2093,21 @@ object SparkEntry {
             .as("est_intersect"))
     }),
 
+    // ---- Hilbert space-filling-curve cell index (native codegen
+    //      HilbertIndex expression): the locality-preserving layout
+    //      key — consecutive indices are always Manhattan-1 neighbors,
+    //      unlike Z-order's seam jumps; a bijection on the grid, so
+    //      ORDER BY hd is a total order. The repartitionByRange/sort
+    //      key for 2-D layout clustering at 100 TB
+    "q_hilbert_order" -> ((s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") % 7 === 0)
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"))
+        .distinct()
+        .withColumn("hd",
+          plans.HilbertIndex.hilbertIndex(col("x"), col("y"), 8))
+        .orderBy(col("hd"))),
+
     // ---- Misra-Gries heavy-hitters GUARANTEE projection: pass 1 is
     //      the bounded MG sketch (k=30 over 31 distinct tokens, so
     //      eviction fires); pass 2 exactly recounts only the ≤ k
@@ -7198,6 +7213,85 @@ object SparkEntry {
         |  CAST(jaccard_micro * est_union // 1000000 AS BIGINT)
         |    AS est_intersect
         |FROM est""".stripMargin,
+
+    "q_hilbert_order" ->
+      """WITH cells AS (SELECT DISTINCT l_partkey % 256 AS x,
+        |  l_suppkey % 256 AS y FROM lineitem WHERE l_orderkey % 7 = 0),
+        |l0 AS (SELECT x AS x0, y AS y0, x, y, 0 AS d FROM cells),
+        |r1 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END AS ry FROM l0),
+        |l1 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 16384 * xor(3*rx, ry) AS d FROM r1),
+        |r2 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END AS ry FROM l1),
+        |l2 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 4096 * xor(3*rx, ry) AS d FROM r2),
+        |r3 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END AS ry FROM l2),
+        |l3 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 1024 * xor(3*rx, ry) AS d FROM r3),
+        |r4 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END AS ry FROM l3),
+        |l4 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 256 * xor(3*rx, ry) AS d FROM r4),
+        |r5 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END AS ry FROM l4),
+        |l5 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 64 * xor(3*rx, ry) AS d FROM r5),
+        |r6 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END AS ry FROM l5),
+        |l6 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 16 * xor(3*rx, ry) AS d FROM r6),
+        |r7 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END AS ry FROM l6),
+        |l7 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 4 * xor(3*rx, ry) AS d FROM r7),
+        |r8 AS (SELECT x0, y0, x, y, d,
+        |  CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END AS rx,
+        |  CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END AS ry FROM l7),
+        |l8 AS (SELECT x0, y0,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y
+        |    ELSE y END) ELSE x END AS x,
+        |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x
+        |    ELSE x END) ELSE y END AS y,
+        |  d + 1 * xor(3*rx, ry) AS d FROM r8)
+        |SELECT CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+        |  CAST(d AS BIGINT) AS hd FROM l8 ORDER BY hd""".stripMargin,
 
     "q_heavy_hitters_guarantee" ->
       s"""WITH $toksSql,

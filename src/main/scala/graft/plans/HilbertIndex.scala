@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hilbert space-filling-curve index of a 2-D cell — the
+  * locality-preserving alternative to the Z-order (Morton) key the
+  * layout tooling already ships: consecutive Hilbert indices are
+  * ALWAYS Manhattan-distance-1 neighbors (Z-order jumps across the
+  * grid at power-of-two seams), so range scans over a
+  * Hilbert-clustered layout touch strictly fewer cells for 2-D
+  * range/locality predicates (Faloutsos & Roseman, PODS'89 — the
+  * basis of Hilbert-packed R-trees and modern lakehouse Hilbert
+  * clustering).
+  *
+  * The classic bit-stepped algorithm (one reflect-rotate per level,
+  * high bit to low); the reflection uses the all-ones complement
+  * n−1−v, which only rewrites bits BELOW the current step, so the
+  * arithmetic is exact in longs for any order ≤ 31 and identical in
+  * Java, Spark codegen, and the unrolled SQL oracle. Inputs are
+  * masked into [0, 2^order) (callers quantize however they like —
+  * the mask just guarantees total ordering never throws). Output is
+  * the curve position in [0, 4^order), a BIJECTION on the grid: cells
+  * sorted by it have a unique total order.
+  *
+  * Codegen: a fixed `order`-iteration long loop inside
+  * WholeStageCodegen — no allocation, no virtual calls; this is a
+  * shuffle-key expression meant for `repartitionByRange`/sort on a
+  * 100 TB layout rewrite. */
+case class HilbertIndex(xExpr: Expression, yExpr: Expression, order: Int)
+    extends BinaryExpression {
+
+  require(order >= 1 && order <= 31,
+    s"hilbert_index order must be in [1, 31], got $order")
+
+  override def left: Expression = xExpr
+  override def right: Expression = yExpr
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(xa: Any, ya: Any): Any = {
+    val n = 1L << order
+    var x = xa.asInstanceOf[Long] & (n - 1)
+    var y = ya.asInstanceOf[Long] & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xv, yv) => {
+      val n = 1L << order
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = $xv & ${n - 1}L;
+         |long $y = $yv & ${n - 1}L;
+         |long $d = 0L;
+         |for (long $s = ${n >> 1}L; $s > 0L; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = ${n - 1}L - $x; $y = ${n - 1}L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(xExpr = newLeft, yExpr = newRight)
+}
+
+object HilbertIndex {
+  /** Column builder: `x`, `y` must evaluate to BIGINT. */
+  def hilbertIndex(x: org.apache.spark.sql.Column,
+                   y: org.apache.spark.sql.Column,
+                   order: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(HilbertIndex(GraftShims.expression(x),
+      GraftShims.expression(y), order))
+  }
+}

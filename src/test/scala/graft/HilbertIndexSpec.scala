@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.HilbertIndex
+
+/** HilbertIndex: bijection on the grid, unit-step curve, strictly
+  * better locality than the Z-order key, identical across
+  * partitionings (and between interpreted eval and codegen — the DF
+  * path exercises WholeStageCodegen, the direct eval call does not). */
+class HilbertIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def localXy2d(order: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << order
+    var x = x0 & (n - 1); var y = y0 & (n - 1)
+    var d = 0L; var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("order-4 full grid: bijection onto [0,256), every consecutive " +
+      "pair is a Manhattan-1 step, matches the local reference") {
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .withColumn("hd", HilbertIndex.hilbertIndex(col("x"), col("y"), 4))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, hd) => hd shouldBe localXy2d(4, x, y) }
+    val byD = got.map { case (x, y, hd) => hd -> (x, y) }.toMap
+    byD.keySet shouldBe (0L until 256L).toSet
+    (0L until 255L).foreach { d =>
+      val (ax, ay) = byD(d); val (bx, by) = byD(d + 1)
+      withClue(s"step $d") {
+        math.abs(ax - bx) + math.abs(ay - by) shouldBe 1L
+      }
+    }
+  }
+
+  test("locality beats Z-order: max consecutive-step distance is 1 " +
+      "vs Z-order's cross-grid seam jumps") {
+    // Z-order (Morton) on the same 16x16 grid
+    def morton(x: Long, y: Long): Long = {
+      var d = 0L
+      for (b <- 0 until 4)
+        d |= ((x >> b) & 1L) << (2 * b) | ((y >> b) & 1L) << (2 * b + 1)
+      d
+    }
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val zByD = cells.map(c => morton(c._1, c._2) -> c).toMap
+    val zMax = (0L until 255L).map { d =>
+      val (ax, ay) = zByD(d); val (bx, by) = zByD(d + 1)
+      math.abs(ax - bx) + math.abs(ay - by)
+    }.max
+    zMax should be > 1L // the Z seam (15 at the half-grid boundary)
+    // Hilbert max step is exactly 1 (asserted cell-by-cell above)
+  }
+
+  test("masking keeps out-of-range inputs total-ordered, " +
+      "partition-invariant at order 8") {
+    val rnd = new scala.util.Random(47)
+    val pts = (1 to 500).map(_ =>
+      (rnd.nextLong().abs, rnd.nextLong().abs))
+    val base = pts.toDF("x", "y")
+      .withColumn("hd", HilbertIndex.hilbertIndex(col("x"), col("y"), 8))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    base.foreach { case (x, y, hd) =>
+      hd shouldBe localXy2d(8, x, y)
+      hd should be >= 0L
+      hd should be < (1L << 16)
+    }
+    val rep = pts.toDF("x", "y").repartition(7)
+      .withColumn("hd", HilbertIndex.hilbertIndex(col("x"), col("y"), 8))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rep.toSeq shouldBe base.toSeq
+  }
+}
