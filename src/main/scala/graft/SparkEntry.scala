@@ -928,6 +928,23 @@ object SparkEntry {
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // ---- Spark's NATIVE session_window operator (batch mode of the
+    //      §2.9 streaming session aggregation): merge-on-overlap
+    //      semantics, so a gap EXACTLY equal to the threshold starts a
+    //      new session (q_sessionize's lag-based form keeps it — the
+    //      oracle mirrors the >= convention); window end = last event
+    //      + gap, unlike the lag form's last-event end
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // ---- AS-OF join (beyond-reference: the time-series lookup join
     //      Spark lacks natively): every probe event matched to its
     //      user's latest mark event at-or-before it — union-window
@@ -5582,6 +5599,26 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |              >= 3600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 3600000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_graph_pagerank" ->
       """WITH e AS (

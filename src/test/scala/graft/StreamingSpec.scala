@@ -324,4 +324,47 @@ class StreamingSpec extends SparkSpec {
     got.head shouldBe ((1L, 100L, 7L, "node", "alice"))
     q.stop()
   }
+
+  test("streaming session_window aggregation equals the batch " +
+      "session_window on the same events (watermark finalizes all)") {
+    // (user, ts_sec): three users, gaps straddling the 60s threshold —
+    // including one EXACTLY-60s gap (merge-on-overlap starts a new
+    // session at equality)
+    val rows = Seq(
+      (1L, 0L), (1L, 30L), (1L, 89L),       // one session (gap 59 < 60)
+      (1L, 149L),                            // gap exactly 60 -> NEW
+      (2L, 10L), (2L, 200L),                 // two sessions
+      (3L, 5L))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user"), timestamp_seconds(col("ts_sec")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user"), session_window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"), col("n"))
+    val expected = agg(rows.toDF("user", "ts_sec"))
+      .orderBy(col("user"), col("s_us")).collect().map(_.toSeq)
+    expected.length shouldBe 5 // u1 x2 (split at the exact-60s gap),
+    // u2 x2, u3 x1
+
+    val mem = MemoryStream[(Long, Long)](spark)
+    val ckpt = Files.createTempDirectory("graft-sess").toString
+    val q = agg(mem.toDF().toDF("user", "ts_sec")).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark past every session's close so append mode
+    // finalizes all windows
+    mem.addData((99L, 100000L))
+    q.processAllAvailable()
+    val got = spark.table("sess_stream")
+      .filter(col("user") =!= 99L)
+      .orderBy(col("user"), col("s_us")).collect().map(_.toSeq)
+    q.stop()
+    got.toSeq shouldBe expected.toSeq
+  }
 }
