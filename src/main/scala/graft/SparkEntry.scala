@@ -928,23 +928,6 @@ object SparkEntry {
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .orderBy(col("user_id"), col("session_idx"))),
 
-    // ---- Spark's NATIVE session_window operator (batch mode of the
-    //      §2.9 streaming session aggregation): merge-on-overlap
-    //      semantics, so a gap EXACTLY equal to the threshold starts a
-    //      new session (q_sessionize's lag-based form keeps it — the
-    //      oracle mirrors the >= convention); window end = last event
-    //      + gap, unlike the lag form's last-event end
-    "q_session_window" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
-        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("start_us"),
-          unix_micros(col("session_window.end")).as("end_us"),
-          col("n_events"))
-        .orderBy(col("user_id"), col("start_us"))),
-
     // ---- AS-OF join (beyond-reference: the time-series lookup join
     //      Spark lacks natively): every probe event matched to its
     //      user's latest mark event at-or-before it — union-window
@@ -3816,9 +3799,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("dim"))),
 
-    // ---- native session_window batch aggregation (same gap semantics
-    // as Timeline.sessionize: a row at exactly prev + gap opens a NEW
-    // session — session_window ends are exclusive)
+    // ---- native session_window batch aggregation. Merge-on-TOUCH
+    // semantics (MEASURED, StreamingSpec): a row at exactly prev + gap
+    // still MERGES into the running session (windows [a, a+gap) and
+    // [a+gap, ...) touch, and Spark merges start <= prevEnd) — the
+    // same strict-> break that Timeline.sessionize uses, so the oracle
+    // splits only on gap STRICTLY greater than the threshold. Window
+    // end = last event + gap, unlike the lag form's last-event end.
     "q_session_window" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
@@ -3951,6 +3938,53 @@ object SparkEntry {
             (col("l_partkey") % 4000 + 4000).as("v")),
           col("u"), col("v"), rounds = 3)
         .orderBy(col("node"))),
+
+    // ---- Newman modularity of the LPA partition, exact integer form:
+    //      per-community contribution numerator 4·m·e_c − d_c² (Q =
+    //      Σ/4m² — no division in-engine, so the row is hash-exact).
+    //      Edge canonicalization is localCheckpoint'd once for its
+    //      three consumers; the single-row edge total is broadcast
+    //      back, never collected.
+    "q_graph_modularity" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 4000).as("u"),
+        (col("l_partkey") % 4000 + 4000).as("v"))
+      val labels = operators.Graph.labelPropagation(
+        edges, col("u"), col("v"), rounds = 3)
+      operators.Graph.modularity(edges, col("u"), col("v"), labels)
+        .orderBy(col("lbl"))
+    }),
+
+    // ---- 2-D Pareto skyline (price minimized, size maximized) via
+    //      the sharded strict-prefix-max sweep — linear, never the
+    //      O(n²) NOT EXISTS join the oracle runs. Survivor x values
+    //      are provably unique, so ORDER BY x is total.
+    "q_skyline" -> ((s, dir) =>
+      operators.Skyline.skyline2d(
+          Tables.part(s, dir),
+          expr("CAST(round(p_retailprice*100) AS BIGINT)"),
+          col("p_size"), shards = 32)
+        .select(col("x").as("price_c"), col("y").as("size"),
+          col("cnt"))
+        .orderBy(col("price_c"))),
+
+    // ---- sweep-line over activity windows [ts, ts+value·1s): per
+    //      user, peak concurrent open windows + total covered time
+    //      (overlaps counted once) — half-open semantics via the
+    //      (t, delta) sort, exact integer micros end to end
+    "q_interval_sweep" -> ((s, dir) =>
+      operators.Timeline.intervalSweep(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull && col("value") > 0)
+            .select(col("user_id"),
+              unix_micros(col("ts")).as("s_us"),
+              (unix_micros(col("ts")) +
+                expr("CAST(round(value*1000000) AS BIGINT)"))
+                .as("e_us")),
+          col("user_id"), col("s_us"), col("e_us"))
+        .select(col("g").as("user_id"), col("max_concurrent"),
+          col("covered").as("covered_us"))
+        .orderBy(col("user_id"))),
 
     // ---- Datasketches HLL re-aggregation: per-(flag,status) sketches
     //      merged to flag level with hll_union_agg — the mergeable-
@@ -5599,26 +5633,6 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-
-    "q_session_window" ->
-      """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-        |              >= 3600000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
-        |sess AS (
-        |  SELECT user_id, ts_us,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT user_id, min(ts_us) AS start_us,
-        |  max(ts_us) + 3600000000 AS end_us,
-        |  count(*) AS n_events
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_graph_pagerank" ->
       """WITH e AS (
@@ -9491,7 +9505,7 @@ object SparkEntry {
         |d AS (
         |  SELECT user_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |           OR ts_us - lag(ts_us) OVER w >= 3600000000
+        |           OR ts_us - lag(ts_us) OVER w > 3600000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
         |s AS (
@@ -9615,6 +9629,79 @@ object SparkEntry {
         |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
         |FROM l3 ORDER BY node""".stripMargin,
+
+    "q_graph_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey % 4000 AS u,
+        |         4000 + (l_partkey % 4000) AS v FROM lineitem),
+        |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |c1 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1),
+        |e AS (SELECT u AS a, v AS b FROM e0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |cd AS (SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS deg_sum,
+        |         CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1),
+        |il AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS intra
+        |       FROM e JOIN l3 la ON e.a = la.node
+        |              JOIN l3 lb ON e.b = lb.node
+        |       WHERE la.lbl = lb.lbl GROUP BY 1)
+        |SELECT CAST(cd.lbl AS BIGINT) AS lbl, cd.n_nodes,
+        |  CAST(COALESCE(il.intra, 0) AS BIGINT) AS intra, cd.deg_sum,
+        |  CAST(4*m.m*COALESCE(il.intra, 0) - cd.deg_sum*cd.deg_sum
+        |    AS BIGINT) AS contrib_num
+        |FROM cd LEFT JOIN il ON cd.lbl = il.lbl CROSS JOIN m
+        |ORDER BY lbl""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(round(p_retailprice*100) AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1, 2)
+        |SELECT x AS price_c, y AS size, cnt FROM p pt
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.x <= pt.x AND q.y >= pt.y
+        |    AND (q.x < pt.x OR q.y > pt.y))
+        |ORDER BY price_c""".stripMargin,
+
+    "q_interval_sweep" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value*1000000) AS BIGINT) AS e
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |    AND CAST(round(value*1000000) AS BIGINT) > 0),
+        |d AS (SELECT user_id, s AS t, CAST(1 AS BIGINT) AS delta
+        |      FROM iv
+        |      UNION ALL
+        |      SELECT user_id, e, CAST(-1 AS BIGINT) FROM iv),
+        |r AS (SELECT user_id, t, delta,
+        |        sum(delta) OVER (PARTITION BY user_id
+        |          ORDER BY t, delta) AS run,
+        |        lead(t) OVER (PARTITION BY user_id
+        |          ORDER BY t, delta) AS nt
+        |      FROM d)
+        |SELECT user_id, CAST(max(run) AS BIGINT) AS max_concurrent,
+        |  CAST(sum(CASE WHEN run > 0 AND nt IS NOT NULL
+        |    THEN nt - t ELSE 0 END) AS BIGINT) AS covered_us
+        |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_sketch_hll" ->
       """SELECT l_returnflag,

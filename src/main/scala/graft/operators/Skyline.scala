@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pareto frontier (skyline) over two criteria — the "best tradeoff"
+  * operator: keep the rows no other row beats on both dimensions at
+  * once (x minimized, y maximized; a dominator is ≤ in x, ≥ in y and
+  * strictly better in at least one). Classic in price/quality
+  * frontiers, model selection (cost vs score), and data-pruning
+  * curves (keep documents on the quality-vs-length frontier).
+  *
+  * Algorithm, 100-TB-shaped: the naive NOT EXISTS form is an O(n²)
+  * all-pairs join. Instead the points are range-partitioned on the
+  * sort order (x asc, y desc); within a shard the strict-prefix
+  * running max of y decides local survival via an ordinary
+  * PARTITIONED window (parallel), and cross-shard domination flows
+  * through a per-shard max-y sidecar whose strict-prefix max is a
+  * window over only `shards` rows, broadcast back. Total cost: one
+  * range exchange + one parallel window + a tiny sidecar — linear in
+  * the input, never quadratic.
+  *
+  * Determinism: survival is boundary-invariant — for any cut
+  * consistent with the global (x asc, y desc) order, the strict
+  * prefix max seen by a point is max(local prefix, preceding-shard
+  * max), so the survivor set does not depend on where the range
+  * partitioner drew its boundaries. The ranged frame is
+  * localCheckpoint'd because the window and the sidecar must read
+  * the SAME shard assignment (two lineages re-running the range
+  * sampler could cut differently — the exchange-reuse hazard).
+  *
+  * Duplicate (x, y) points never dominate each other, so the input
+  * is first collapsed to distinct points with a multiplicity count;
+  * the emitted frontier is (x, y, cnt). Among survivors x is unique
+  * (two frontier points cannot share x — the lower-y one would be
+  * dominated), so ORDER BY x is a total order on the output.
+  */
+object Skyline {
+
+  /** 2-D skyline: minimize `xCol`, maximize `yCol` (both cast to
+    * long — quantize floats upstream, e.g. to cents). Null
+    * coordinates are dropped. */
+  def skyline2d(df: DataFrame, xCol: Column, yCol: Column,
+                shards: Int = 64): DataFrame = {
+    val pts = df.select(xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    val ranged = pts
+      .repartitionByRange(shards, col("x").asc, col("y").desc)
+      .withColumn("__shard", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    // strict-prefix max of y inside each shard — a partitioned
+    // window, one task per shard
+    val wLoc = Window.partitionBy(col("__shard"))
+      .orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = ranged.withColumn("__lmax",
+      coalesce(max(col("y")).over(wLoc), lit(Long.MinValue)))
+    // sidecar: max y per shard, then strict-prefix max over shard
+    // ids (window over `shards` rows — the whitelisted tiny-frame
+    // shape), broadcast back onto the full frame
+    val shardMax = ranged.groupBy(col("__shard"))
+      .agg(max(col("y")).as("__smax"))
+    val wPre = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = shardMax.select(col("__shard"),
+      coalesce(max(col("__smax")).over(wPre), lit(Long.MinValue))
+        .as("__pmax"))
+    loc.join(broadcast(prefix), Seq("__shard"))
+      .filter(col("y") > greatest(col("__lmax"), col("__pmax")))
+      .select(col("x"), col("y"), col("cnt"))
+  }
+}

@@ -368,4 +368,45 @@ object Timeline {
         col("island").cast("long").as("version"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Sweep-line over half-open intervals [start, end): per group,
+    * the peak number of simultaneously open intervals and the total
+    * length of time covered by at least one interval (overlaps
+    * counted once). The classic pair of questions over sessions,
+    * connections, reservations, in-flight requests.
+    *
+    * Each interval becomes a +1 delta at start and a −1 at end; the
+    * running sum over (t, delta) is the live count. Half-open
+    * semantics fall out of the sort: at equal t the −1 sorts first,
+    * so an interval ending exactly when another starts never counts
+    * as overlap. Covered time sums (next_t − t) over stretches where
+    * the live count is positive.
+    *
+    * Determinism: the running sum uses the default RANGE frame, so
+    * all (t, delta) peers see the same post-tie total — the count is
+    * order-invariant within ties, and tied rows contribute
+    * zero-length stretches. Exact integer arithmetic end to end.
+    *
+    * Scale: one shuffle by group key, one partitioned window —
+    * parallelism equals group cardinality (millions of users, not a
+    * global funnel). Skew equals the busiest single group. */
+  def intervalSweep(df: DataFrame, groupCol: Column, startCol: Column,
+                    endCol: Column): DataFrame = {
+    val iv = df.select(groupCol.as("g"),
+        startCol.cast("long").as("s"), endCol.cast("long").as("e"))
+      .filter(col("s").isNotNull && col("e").isNotNull &&
+        col("e") > col("s"))
+    val deltas = iv.select(col("g"), col("s").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(iv.select(col("g"), col("e").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("delta"))
+    val swept = deltas
+      .withColumn("run", sum(col("delta")).over(w))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+    swept.groupBy(col("g"))
+      .agg(max(col("run")).as("max_concurrent"),
+        sum(when(col("run") > 0 && col("nt").isNotNull,
+          col("nt") - col("t")).otherwise(0L)).as("covered"))
+  }
 }

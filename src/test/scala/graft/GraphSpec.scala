@@ -133,4 +133,37 @@ class GraphSpec extends SparkSpec {
       withClue(s"parts=$parts") { got shouldBe lbl }
     }
   }
+
+  test("modularity: two bridged triangles, hand-computed integer form") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; m = 7 edges;
+    // degrees 2,2,3,3,2,2 -> each community: intra 3, deg_sum 7,
+    // contrib 4*7*3 - 49 = 35 (Q = 70/196 ~ 0.357)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (4L, 3L), (1L, 1L)) // reversed dupe + loop
+      .toDF("u", "v")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "lbl")
+    val got = Graph.modularity(edges, col("u"), col("v"), labels)
+      .orderBy(col("lbl"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got shouldBe Array((10L, 3L, 3L, 7L, 35L), (20L, 3L, 3L, 7L, 35L))
+  }
+
+  test("modularity: singleton partition is negative, whole-graph is zero") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    // every node its own community: no intra edges, contribs -d^2
+    val solo = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("node", "lbl")
+    val gotSolo = Graph.modularity(star, col("u"), col("v"), solo)
+      .orderBy(col("lbl"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    gotSolo shouldBe Array((0L, 1L, 0L, 3L, -9L), (1L, 1L, 0L, 1L, -1L),
+      (2L, 1L, 0L, 1L, -1L), (3L, 1L, 0L, 1L, -1L))
+    // one community holding everything: 4*m*m - (2m)^2 = 0 exactly
+    val all = Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 7L))
+      .toDF("node", "lbl")
+    val gotAll = Graph.modularity(star, col("u"), col("v"), all)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    gotAll shouldBe Array((7L, 4L, 3L, 6L, 0L))
+  }
 }

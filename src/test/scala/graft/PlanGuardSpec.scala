@@ -52,7 +52,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_pop_change" -> 1,           // per-nation-year rollup
     "q_pretrain_v2_kept" -> 4,     // stage shard-count prefixes
     "q_quantile_dd" -> 2,          // sketch bucket prefix
-    "q_shuffle_order" -> 1)        // shard-count prefix
+    "q_shuffle_order" -> 1,        // shard-count prefix
+    "q_skyline" -> 1)              // per-shard max-y sidecar prefix
 
   test("EVERY registry query plans zero cartesians and no " +
       "unpartitioned window outside the bounded whitelist") {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skyline
+
+/** 2-D Pareto skyline: brute-force equivalence, boundary invariance
+  * across shard counts, and dominance edge cases. */
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val d = pts.distinct
+    d.filter { case (x, y) =>
+      !d.exists { case (qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y)
+      }
+    }.toSet
+  }
+
+  test("skyline2d matches brute force on a random cloud, any shard count") {
+    // deterministic pseudo-random points with deliberate duplicates
+    val pts = (0 until 500).map { i =>
+      val x = ((i * 2654435761L) % 97).abs
+      val y = ((i * 40503L + 13) % 89).abs
+      (x, y)
+    }
+    val expect = brute(pts)
+    for (shards <- Seq(1, 3, 32)) {
+      val got = Skyline.skyline2d(pts.toDF("px", "py"),
+          col("px"), col("py"), shards = shards)
+        .as[(Long, Long, Long)].collect()
+      got.map(t => (t._1, t._2)).toSet shouldBe expect
+      // multiplicity: every frontier point carries its duplicate count
+      got.foreach { case (x, y, cnt) =>
+        cnt shouldBe pts.count(_ == ((x, y))).toLong
+      }
+      // frontier x values are unique (same-x lower-y is dominated)
+      got.map(_._1).distinct.length shouldBe got.length
+    }
+  }
+
+  test("skyline2d edge cases: ties, nulls, single point, total dominance") {
+    // one point dominates everything else
+    val dom = Skyline.skyline2d(
+        Seq((1L, 9L), (2L, 5L), (3L, 1L), (1L, 9L)).toDF("x", "y"),
+        col("x"), col("y"), shards = 4)
+      .as[(Long, Long, Long)].collect()
+    dom.toSeq shouldBe Seq((1L, 9L, 2L))
+    // anti-chain: nobody dominates anybody -> everyone survives
+    val anti = Skyline.skyline2d(
+        Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y"),
+        col("x"), col("y"), shards = 2)
+      .as[(Long, Long, Long)].collect()
+    anti.map(t => (t._1, t._2)).toSet shouldBe
+      Set((1L, 1L), (2L, 2L), (3L, 3L))
+    // null coordinates are dropped
+    val withNull = Seq((Some(1L), Some(5L)), (None, Some(9L)),
+      (Some(0L), None)).toDF("x", "y")
+    Skyline.skyline2d(withNull, col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().toSeq shouldBe Seq((1L, 5L, 1L))
+  }
+}

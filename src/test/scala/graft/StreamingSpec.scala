@@ -328,12 +328,13 @@ class StreamingSpec extends SparkSpec {
   test("streaming session_window aggregation equals the batch " +
       "session_window on the same events (watermark finalizes all)") {
     // (user, ts_sec): three users, gaps straddling the 60s threshold —
-    // including one EXACTLY-60s gap (merge-on-overlap starts a new
-    // session at equality)
+    // including one EXACTLY-60s gap: windows [89, 149) and [149, 209)
+    // TOUCH and Spark merges touching sessions (start <= prevEnd), so
+    // an exact-threshold gap stays in the SAME session
     val rows = Seq(
-      (1L, 0L), (1L, 30L), (1L, 89L),       // one session (gap 59 < 60)
-      (1L, 149L),                            // gap exactly 60 -> NEW
-      (2L, 10L), (2L, 200L),                 // two sessions
+      (1L, 0L), (1L, 30L), (1L, 89L),       // gaps 30, 59 — merged
+      (1L, 149L),                            // gap exactly 60 -> MERGED
+      (2L, 10L), (2L, 200L),                 // two sessions (gap 190)
       (3L, 5L))
     def agg(df: org.apache.spark.sql.DataFrame) = df
       .select(col("user"), timestamp_seconds(col("ts_sec")).as("ts"))
@@ -345,7 +346,7 @@ class StreamingSpec extends SparkSpec {
         unix_micros(col("session_window.end")).as("e_us"), col("n"))
     val expected = agg(rows.toDF("user", "ts_sec"))
       .orderBy(col("user"), col("s_us")).collect().map(_.toSeq)
-    expected.length shouldBe 5 // u1 x2 (split at the exact-60s gap),
+    expected.length shouldBe 4 // u1 x1 (exact-60s gap merges),
     // u2 x2, u3 x1
 
     val mem = MemoryStream[(Long, Long)](spark)

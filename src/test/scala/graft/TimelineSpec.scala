@@ -289,4 +289,30 @@ class TimelineSpec extends SparkSpec {
       (1L, "a", 10L, Some(10L), 1L, false),
       (1L, "b", 10L, None, 2L, true))
   }
+
+  test("intervalSweep: overlap chain, half-open touch, gaps, empty drop") {
+    val iv = Seq(
+      // A: [0,10) [5,15) [10,20) — chain: peak 2, covered 20
+      ("A", 0L, 10L), ("A", 5L, 15L), ("A", 10L, 20L),
+      // B: touching [0,5) [5,10): half-open means NEVER concurrent
+      ("B", 0L, 5L), ("B", 5L, 10L),
+      // C: disjoint with a gap + an empty interval (dropped)
+      ("C", 0L, 5L), ("C", 7L, 9L), ("C", 3L, 3L))
+      .toDF("g", "s", "e")
+    val got = Timeline.intervalSweep(iv, col("g"), col("s"), col("e"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long)].collect()
+    got shouldBe Array(("A", 2L, 20L), ("B", 1L, 10L), ("C", 1L, 7L))
+  }
+
+  test("intervalSweep: simultaneous starts count via the RANGE frame") {
+    // nested same-start intervals: both +1 deltas are frame peers, so
+    // every peer row sees the post-tie total — peak 3 regardless of
+    // tie order; full containment keeps covered = outer length
+    val iv = Seq((1L, 0L, 10L), (1L, 0L, 3L), (1L, 0L, 3L))
+      .toDF("g", "s", "e")
+    val got = Timeline.intervalSweep(iv, col("g"), col("s"), col("e"))
+      .as[(Long, Long, Long)].collect()
+    got shouldBe Array((1L, 3L, 10L))
+  }
 }
