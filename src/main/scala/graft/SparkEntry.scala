@@ -3955,6 +3955,25 @@ object SparkEntry {
         .orderBy(col("lbl"))
     }),
 
+    // ---- multi-source weighted shortest paths (3-round synchronous
+    //      Bellman-Ford over the symmetrized supplier↔part graph,
+    //      quantity as edge weight): exact for all ≤3-edge paths,
+    //      per-round relax join + min-agg, no driver fixpoint
+    "q_graph_sssp" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val base = li.select(col("l_suppkey").as("sk"),
+        (col("l_partkey") + 1000000L).as("pk"),
+        col("l_quantity").cast("long").as("w"))
+      val e = base.select(col("sk").as("u"), col("pk").as("v"), col("w"))
+        .unionAll(base.select(col("pk").as("u"), col("sk").as("v"),
+          col("w")))
+      val srcs = li.filter(col("l_suppkey") % 10 === 0)
+        .select(col("l_suppkey").as("node")).distinct()
+      operators.Graph.ssspRounds(e, col("u"), col("v"), col("w"),
+          srcs, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // ---- 2-D Pareto skyline (price minimized, size maximized) via
     //      the sharded strict-prefix-max sweep — linear, never the
     //      O(n²) NOT EXISTS join the oracle runs. Survivor x values
@@ -9669,6 +9688,30 @@ object SparkEntry {
         |    AS BIGINT) AS contrib_num
         |FROM cd LEFT JOIN il ON cd.lbl = il.lbl CROSS JOIN m
         |ORDER BY lbl""".stripMargin,
+
+    "q_graph_sssp" ->
+      """WITH b AS (SELECT l_suppkey AS s, l_partkey + 1000000 AS p,
+        |         CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |e0 AS (SELECT s AS u, p AS v, w FROM b
+        |       UNION ALL SELECT p, s, w FROM b),
+        |e AS (SELECT u, v, min(w) AS w FROM e0 GROUP BY 1, 2),
+        |d0 AS (SELECT DISTINCT l_suppkey AS node,
+        |         CAST(0 AS BIGINT) AS d
+        |       FROM lineitem WHERE l_suppkey % 10 = 0),
+        |r1 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL SELECT e.v, d0.d + e.w
+        |  FROM d0 JOIN e ON e.u = d0.node) GROUP BY node),
+        |r2 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM r1
+        |  UNION ALL SELECT e.v, r1.d + e.w
+        |  FROM r1 JOIN e ON e.u = r1.node) GROUP BY node),
+        |r3 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM r2
+        |  UNION ALL SELECT e.v, r2.d + e.w
+        |  FROM r2 JOIN e ON e.u = r2.node) GROUP BY node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
+        |FROM r3 ORDER BY node""".stripMargin,
 
     "q_skyline" ->
       """WITH p AS (

@@ -229,6 +229,48 @@ object Graph {
     labels
   }
 
+  /** Fixed-round weighted single-source shortest paths — synchronous
+    * Bellman-Ford from a SET of source nodes (multi-source: each
+    * node's distance is to its nearest source). Non-negative integer
+    * weights; `rounds` bounds path length in EDGES, so after r rounds
+    * the result is exact for every node whose true shortest path uses
+    * ≤ r edges — the same fixed-budget determinism contract as
+    * [[pageRank]] / [[labelPropagation]], and the reason there is no
+    * driver-side convergence loop.
+    *
+    * Relational per round: one edge join (relax every edge out of the
+    * current distance table) + one min-aggregation — map-side
+    * combinable, shuffled by node key, lineage cut per round. Edges
+    * are directed; symmetrize upstream for undirected graphs.
+    * Parallel edges collapse to their min weight first. Emits
+    * (node, dist) for reached nodes only. */
+  def ssspRounds(edges: DataFrame, srcCol: Column, dstCol: Column,
+                 wCol: Column, sources: DataFrame,
+                 rounds: Int = 3): DataFrame = {
+    val e = edges.select(srcCol.cast("long").as("u"),
+        dstCol.cast("long").as("v"), wCol.cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull && col("w") >= 0 && col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.select(sources.columns.head)
+      .toDF("node")
+      .select(col("node").cast("long")).toDF("node")
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("d", lit(0L))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+
   /** Newman modularity of a node partition, in exact integer form.
     * For community c with e_c intra-community undirected edges and
     * total degree d_c over a graph of m undirected edges,

@@ -134,6 +134,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("ssspRounds: cheap long path beats expensive direct edge") {
+    // 0 -> 1 costs 10 direct, but 0 -> 2 -> 1 costs 2; node 3's true
+    // shortest path uses 3 edges, so after 2 rounds its entry is a
+    // valid-but-not-minimal path cost (11, via the expensive edge)
+    // and round 3 settles it; parallel edge 0->2 w5 collapses to min 1
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (0L, 2L, 5L),
+      (2L, 1L, 1L), (1L, 3L, 1L)).toDF("u", "v", "w")
+    val srcs = Seq(0L).toDF("node")
+    val got2 = Graph.ssspRounds(edges, col("u"), col("v"), col("w"),
+        srcs, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    got2 shouldBe Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 11L)
+    val got3 = Graph.ssspRounds(edges, col("u"), col("v"), col("w"),
+        srcs, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    got3 shouldBe Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("ssspRounds: multi-source takes the nearest source, per node") {
+    val edges = Seq((0L, 1L, 4L), (9L, 1L, 1L), (1L, 2L, 1L))
+      .toDF("u", "v", "w")
+    val got = Graph.ssspRounds(edges, col("u"), col("v"), col("w"),
+        Seq(0L, 9L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(0L -> 0L, 9L -> 0L, 1L -> 1L, 2L -> 2L)
+  }
+
   test("modularity: two bridged triangles, hand-computed integer form") {
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; m = 7 edges;
     // degrees 2,2,3,3,2,2 -> each community: intra 3, deg_sum 7,
