@@ -585,6 +585,60 @@ object ScaleProbe {
     println(f"r13 JL projection ${agg20.getLong(1)} rows out " +
       f"(100k vecs x16 dims): $tRp%.1fs, checksum exact at 20x")
 
+    // round 13: (o) 2-D skyline at 50x part (≈1M points). Replication
+    //     preserves the frontier POINT SET exactly (duplicates never
+    //     dominate each other) and multiplies every survivor's cnt by
+    //     50 — both asserted, so the sharded prefix-max sweep is
+    //     proven boundary-invariant at scale, not just in the spec.
+    val partBase = Tables.part(spark, sfDir)
+    val skyBase = operators.Skyline.skyline2d(partBase,
+        expr("CAST(round(p_retailprice*100) AS BIGINT)"),
+        col("p_size"), shards = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val part50 = partBase.crossJoin(
+      spark.range(50).select(col("id").as("rep")))
+    t0 = System.nanoTime()
+    val sky50 = operators.Skyline.skyline2d(part50,
+        expr("CAST(round(p_retailprice*100) AS BIGINT)"),
+        col("p_size"), shards = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val tSky = (System.nanoTime() - t0) / 1e9
+    require(sky50 == skyBase.map { case (k, c) => k -> c * 50 },
+      "skyline at 50x is not the base frontier with 50x counts")
+    println(f"r13 skyline 50x part (${sky50.size} frontier pts): " +
+      f"$tSky%.1fs, frontier identical, counts exactly 50x")
+
+    // round 13: (p) interval sweep at 20x events with disjoint user
+    //     spaces per replica: per-group results must equal the base
+    //     run's groups replica by replica (asserted via totals).
+    val evBase = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          expr("CAST(round(value*1000000) AS BIGINT)")).as("e_us"))
+    val sweepBase = operators.Timeline.intervalSweep(evBase,
+        col("user_id"), col("s_us"), col("e_us"))
+      .agg(sum(col("covered")).as("cov"), count(lit(1)).as("n"),
+        sum(col("max_concurrent")).as("mx")).collect()(0)
+    val evRep20 = evBase.crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
+        col("s_us"), col("e_us"))
+    t0 = System.nanoTime()
+    val sweep20 = operators.Timeline.intervalSweep(evRep20,
+        col("user_id"), col("s_us"), col("e_us"))
+      .agg(sum(col("covered")).as("cov"), count(lit(1)).as("n"),
+        sum(col("max_concurrent")).as("mx")).collect()(0)
+    val tSweep = (System.nanoTime() - t0) / 1e9
+    require(sweep20.getLong(0) == 20L * sweepBase.getLong(0) &&
+      sweep20.getLong(1) == 20L * sweepBase.getLong(1) &&
+      sweep20.getLong(2) == 20L * sweepBase.getLong(2),
+      "interval sweep at 20x does not equal 20 disjoint base copies")
+    println(f"r13 intervalSweep 20x events (${sweep20.getLong(1)} " +
+      f"groups): $tSweep%.1fs, per-group results exact")
+
     ProbeJoins.run(spark, sfDir)
 
     spark.stop()

@@ -3955,6 +3955,21 @@ object SparkEntry {
         .orderBy(col("lbl"))
     }),
 
+    // ---- one synchronous Louvain local-move round refining the LPA
+    //      partition: every node joins the neighbor community with the
+    //      best integer-scaled modularity gain 4m·k_i,c − 2·k_i·d_c′,
+    //      smallest-label tie-break — the deterministic, parallel form
+    //      of Louvain's phase 1 (argmax via max(struct), no window)
+    "q_graph_louvain" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 4000).as("u"),
+        (col("l_partkey") % 4000 + 4000).as("v"))
+      val labels = operators.Graph.labelPropagation(
+        edges, col("u"), col("v"), rounds = 3)
+      operators.Graph.louvainMove(edges, col("u"), col("v"), labels)
+        .orderBy(col("node"))
+    }),
+
     // ---- multi-source weighted shortest paths (3-round synchronous
     //      Bellman-Ford over the symmetrized supplier↔part graph,
     //      quantity as edge weight): exact for all ≤3-edge paths,
@@ -9688,6 +9703,53 @@ object SparkEntry {
         |    AS BIGINT) AS contrib_num
         |FROM cd LEFT JOIN il ON cd.lbl = il.lbl CROSS JOIN m
         |ORDER BY lbl""".stripMargin,
+
+    "q_graph_louvain" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_orderkey % 4000 AS u,
+        |         4000 + (l_partkey % 4000) AS v FROM lineitem),
+        |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |c1 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.v AS node, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1),
+        |m AS (SELECT CAST(count(*)//2 AS BIGINT) AS m FROM sym),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS k
+        |        FROM sym GROUP BY 1),
+        |cdg AS (SELECT l.lbl, CAST(sum(d.k) AS BIGINT) AS d
+        |        FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1),
+        |kic AS (SELECT s.u AS node, lv.lbl AS c,
+        |          CAST(count(*) AS BIGINT) AS kic
+        |        FROM sym s JOIN l3 lv ON s.v = lv.node GROUP BY 1, 2),
+        |cand AS (SELECT node, c, kic FROM kic
+        |         UNION
+        |         SELECT n.node, n.lbl AS c, COALESCE(k0.kic, 0) AS kic
+        |         FROM l3 n LEFT JOIN kic k0
+        |           ON k0.node = n.node AND k0.c = n.lbl),
+        |sc AS (SELECT cand.node, cand.c,
+        |         4*m.m*cand.kic - 2*deg.k*(cdg.d -
+        |           CASE WHEN cand.c = cur.lbl THEN deg.k ELSE 0 END)
+        |           AS s
+        |       FROM cand JOIN l3 cur ON cand.node = cur.node
+        |            JOIN deg ON cand.node = deg.node
+        |            JOIN cdg ON cand.c = cdg.lbl
+        |            CROSS JOIN m)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(c AS BIGINT) AS lbl
+        |FROM (SELECT node, c, row_number() OVER (PARTITION BY node
+        |        ORDER BY s DESC, c ASC) AS rn FROM sc)
+        |WHERE rn = 1 ORDER BY node""".stripMargin,
 
     "q_graph_sssp" ->
       """WITH b AS (SELECT l_suppkey AS s, l_partkey + 1000000 AS p,

@@ -271,6 +271,69 @@ object Graph {
     dist
   }
 
+  /** One synchronous Louvain local-move round: every node
+    * simultaneously joins the community (its own, or a neighbor's)
+    * with the best modularity gain, ties broken by the SMALLEST
+    * community label. The standard comparison — maximize
+    * k_i,c − k_i·d_c′/2m with d_c′ the community degree excluding i —
+    * is scaled by 4m to the integer score 4m·k_i,c − 2·k_i·d_c′, so
+    * the round is bit-deterministic across partitionings and engines
+    * (classic sequential Louvain is visit-order-dependent; the
+    * synchronous variant is the reproducible, parallel form — like
+    * [[labelPropagation]], simultaneous moves may oscillate, so
+    * callers iterate with a fixed budget; a locally-optimal partition
+    * is a FIXED POINT, which is the spec-testable invariant).
+    *
+    * Relational: one neighbor-community count (edge-sized), one
+    * community-degree rollup, one scored argmax via
+    * max(struct(score, −lbl)) — all map-side combinable, no windows;
+    * the single-row edge total broadcasts back. Community labels must
+    * be non-negative (the argmax negates them for the tie-break).
+    * Integer-exact while 4·m·k_i,c stays below 2^63 (m ≲ 1.5e9
+    * undirected edges — same bound as [[modularity]]). */
+  def louvainMove(edges: DataFrame, uCol: Column, vCol: Column,
+                  labels: DataFrame): DataFrame = {
+    val sym = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"))
+      .unionAll(edges.select(vCol.cast("long").as("u"),
+        uCol.cast("long").as("v")))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col("node"), col("lbl"))
+    val mDf = sym.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("k"))
+      .withColumnRenamed("u", "node")
+    val commDeg = deg.join(lab, Seq("node"))
+      .groupBy(col("lbl")).agg(sum(col("k")).as("d"))
+    val kic = sym
+      .join(lab.select(col("node").as("v"), col("lbl").as("c")),
+        Seq("v"))
+      .groupBy(col("u"), col("c")).agg(count(lit(1)).as("kic"))
+      .withColumnRenamed("u", "node")
+    // the node's own community is always a candidate, even with zero
+    // neighbors inside it (kic = 0); distinct() collapses the dup
+    // when the current community also appears among neighbors
+    val candExtra = lab.select(col("node"), col("lbl").as("c"))
+      .join(kic, Seq("node", "c"), "left")
+      .na.fill(0L, Seq("kic"))
+    val cand = kic.unionByName(candExtra).distinct()
+    val scored = cand
+      .join(lab.withColumnRenamed("lbl", "a"), Seq("node"))
+      .join(deg, Seq("node"))
+      .join(commDeg.select(col("lbl").as("c"), col("d").as("dc")),
+        Seq("c"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("s",
+        lit(4L) * col("m") * col("kic") - lit(2L) * col("k") *
+          (col("dc") -
+            when(col("c") === col("a"), col("k")).otherwise(lit(0L))))
+    scored.groupBy(col("node"))
+      .agg(max(struct(col("s"), (-col("c")).as("nc"))).as("best"))
+      .select(col("node"), (-col("best.nc")).as("lbl"))
+  }
+
   /** Newman modularity of a node partition, in exact integer form.
     * For community c with e_c intra-community undirected edges and
     * total degree d_c over a graph of m undirected edges,

@@ -176,6 +176,30 @@ class GraphSpec extends SparkSpec {
     got shouldBe Array((10L, 3L, 3L, 7L, 35L), (20L, 3L, 3L, 7L, 35L))
   }
 
+  test("louvainMove: local optimum is a fixed point; a corrupted " +
+      "partition repairs in one round and modularity strictly rises") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("u", "v")
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "lbl")
+    val fixedPoint = Graph.louvainMove(edges, col("u"), col("v"), good)
+      .as[(Long, Long)].collect().toMap
+    fixedPoint shouldBe Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L)
+    // node 3 mislabeled onto the wrong triangle: gain S(10) = 32 vs
+    // S(20, current) = -14, so one synchronous round repairs it and
+    // nobody else moves
+    val bad = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "lbl")
+    val moved = Graph.louvainMove(edges, col("u"), col("v"), bad)
+      .as[(Long, Long)].collect().toMap
+    moved shouldBe fixedPoint
+    def q(l: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(edges, col("u"), col("v"), l)
+        .agg(sum(col("contrib_num")).as("q")).as[Long].head()
+    q(moved.toSeq.toDF("node", "lbl")) should be > q(bad)
+  }
+
   test("modularity: singleton partition is negative, whole-graph is zero") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
     // every node its own community: no intra edges, contribs -d^2
