@@ -737,6 +737,18 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey"))
         .orderBy(col("rule"))),
 
+    // ---- exact CUSUM change-point per user: the position maximizing
+    //      |n·S_k − k·S_n| (scaled by n — no division, bit-exact);
+    //      earliest timestamp wins ties via max(struct(dev, −t));
+    //      RANGE-frame prefixes make timestamp ties order-invariant
+    "q_ts_cusum" -> ((s, dir) =>
+      operators.Drift.cusumChangePoint(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("user_id"), col("ts_us"), cents(col("value")))
+        .select(col("k").as("user_id"), col("n"), col("total"),
+          col("max_absdev"), col("cp_ts"))
+        .orderBy(col("user_id"))),
+
     // ---- 3-sigma anomaly flags per user (exact integer moments; the
     //      comparison runs in doubles of exact ints — IEEE ×/− only,
     //      no transcendentals, so it hashes cross-engine)
@@ -5441,6 +5453,28 @@ object SparkEntry {
         |FROM m
         |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_ts_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id, t,
+        |    sum(v) OVER (PARTITION BY user_id ORDER BY t, v) AS sk,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY t, v) AS kk
+        |  FROM e),
+        |tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1),
+        |d AS (SELECT w.user_id, w.t,
+        |    abs(tot.n * w.sk - w.kk * tot.s) AS ad
+        |  FROM w JOIN tot USING (user_id)),
+        |mx AS (SELECT user_id, max(ad) AS m FROM d GROUP BY 1)
+        |SELECT d.user_id, tot.n, tot.s AS total,
+        |  CAST(mx.m AS BIGINT) AS max_absdev,
+        |  CAST(min(d.t) AS BIGINT) AS cp_ts
+        |FROM d JOIN mx USING (user_id) JOIN tot USING (user_id)
+        |WHERE d.ad = mx.m
+        |GROUP BY 1, 2, 3, 4 ORDER BY d.user_id""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH d AS (

@@ -150,4 +150,41 @@ object Drift {
       .select(col("n_a"), col("n_b"), col("d_num"),
         expr("d_num * 1000000 DIV (n_a * n_b)").as("ks_micro"))
   }
+
+  /** Exact CUSUM change-point per series: the position maximizing the
+    * scaled deviation |n·S_k − k·S_n| between the prefix mean and the
+    * series mean (the classic single-change-point statistic, scaled
+    * by n to stay in integers — no division, so bit-exact across
+    * engines). Prefixes use the default RANGE frame, so timestamp
+    * ties share one cumulative value (order-invariant); among equal
+    * maxima the EARLIEST timestamp wins via max(struct(dev, −t)).
+    * Emits (key, n, total, max_absdev, cp_ts).
+    *
+    * Scale: one partitioned window per series + one rollup — the
+    * parallelism is the series count; the per-series totals join is a
+    * plain keyed shuffle (no global window anywhere). Exact while
+    * n²·avg|v| < 2^63 per series (~3e9 rows at unit values —
+    * document per-deployment).
+    *
+    * `valCol` must be integral (cents-quantize floats upstream). */
+  def cusumChangePoint(df: DataFrame, keyCol: Column, tsCol: Column,
+                       valCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(keyCol.as("k"), tsCol.cast("long").as("t"),
+        valCol.cast("long").as("v"))
+      .filter(col("t").isNotNull && col("v").isNotNull)
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("v"))
+    val pre = e.withColumn("sk", sum(col("v")).over(w))
+      .withColumn("kk", count(lit(1)).over(w))
+    val tot = e.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    pre.join(tot, Seq("k"))
+      .withColumn("ad",
+        abs(col("n") * col("sk") - col("kk") * col("s")))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"), max(col("s")).as("total"),
+        max(struct(col("ad"), (-col("t")).as("nt"))).as("b"))
+      .select(col("k"), col("n"), col("total"),
+        col("b.ad").as("max_absdev"), (-col("b.nt")).as("cp_ts"))
+  }
 }

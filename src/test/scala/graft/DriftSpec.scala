@@ -81,4 +81,38 @@ class DriftSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     a shouldBe b
   }
+
+  test("cusumChangePoint: hand-computed level shift, earliest-tie rule") {
+    // series A: 0,0,0,10 -> D_k = 4*S_k - k*10 = -10,-20,-30,0; the
+    // max |D| = 30 sits at t=3, just before the jump
+    // series B: 5,0,0,5 -> |D| = 10,0,10,0 ties at t=1 and t=3; the
+    // EARLIEST wins
+    val df = Seq(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 0L),
+      ("A", 4L, 10L), ("B", 1L, 5L), ("B", 2L, 0L), ("B", 3L, 0L),
+      ("B", 4L, 5L)).toDF("k", "t", "v")
+    val got = Drift.cusumChangePoint(df, col("k"), col("t"), col("v"))
+      .orderBy(col("k"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    got shouldBe Array(("A", 4L, 10L, 30L, 3L), ("B", 4L, 10L, 10L, 1L))
+  }
+
+  test("cusumChangePoint: timestamp ties share one RANGE prefix, " +
+      "partition-invariant") {
+    // two IDENTICAL (t, v) rows are frame peers: both see the
+    // post-tie prefix (sk=8, kk=3), so the result cannot depend on
+    // their physical order
+    val rows = Seq((1L, 1L, 4L), (1L, 2L, 2L), (1L, 2L, 2L),
+      (1L, 3L, 0L))
+    for (parts <- Seq(1, 7)) {
+      val got = Drift.cusumChangePoint(
+          rows.toDF("k", "t", "v").repartition(parts),
+          col("k"), col("t"), col("v"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      // n=4, S=8; D = 4*S_k - k*8: t1: 8; t2 peers (sk=8, kk=3):
+      // 32-24=8; t3: 0 -> max |D| = 8, earliest t = 1
+      withClue(s"parts=$parts") {
+        got shouldBe ((1L, 4L, 8L, 8L, 1L))
+      }
+    }
+  }
 }
