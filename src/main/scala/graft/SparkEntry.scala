@@ -3061,6 +3061,18 @@ object SparkEntry {
         .orderBy(col("level"))
     }),
 
+    // ---- distinct l-diversity audit (the companion to q_kanon):
+    //      k-anonymity bounds group size, l-diversity requires >= l
+    //      distinct sensitive values per quasi-group — one groupBy
+    //      with exact count_distinct, verdict per group
+    "q_ldiversity" -> ((s, dir) =>
+      operators.Privacy.lDiversity(
+          Tables.customer(s, dir)
+            .withColumn("bal_kb",
+              floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "bal_kb"), col("c_mktsegment"), l = 3L)
+        .orderBy(col("c_nationkey"), col("bal_kb"))),
+
     // ---- floored running balance (inventory that cannot go below
     //      zero): the recurrence B_t = max(B_{t-1}+x_t, 0) is not a
     //      window function, but the Skorokhod reflection identity
@@ -9073,6 +9085,14 @@ object SparkEntry {
         |       ELSE CAST(clip2 * 1000000 // tot2 AS BIGINT)
         |  END AS p2_micro
         |FROM np, u1, u2""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal/1000) AS BIGINT) AS bal_kb,
+        |  count(*) AS n_rows,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_kanon" ->
       """WITH j AS (

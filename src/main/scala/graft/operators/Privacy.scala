@@ -100,4 +100,24 @@ object Privacy {
       .unionByName(lvl(rest, col("n") >= k, 1))
       .unionByName(lvl(rest, col("n") < k, 2))
   }
+
+  /** Distinct l-diversity audit — the companion check to
+    * [[kAnonymize]]: k-anonymity bounds group SIZE, but a group whose
+    * members all share one sensitive value still leaks it; l-diversity
+    * requires ≥ l distinct sensitive values per quasi-identifier
+    * group. Emits one row per group with its size, distinct-sensitive
+    * count, and the verdict — release gates keep `diverse`, audits
+    * list the failures.
+    *
+    * Scale: one groupBy over the quasi columns with an exact
+    * count_distinct (Spark plans it as the two-phase expand/partial
+    * aggregate — map-side combinable, no window, no second shuffle
+    * beyond the expand). Null sensitive values don't count toward l
+    * (count_distinct skips nulls), matching the conservative reading. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: Column, l: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitiveCol).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
 }

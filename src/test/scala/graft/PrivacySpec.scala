@@ -72,4 +72,18 @@ class PrivacySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     out shouldBe Array((0, 1L, 2L), (1, 0L, 0L), (2, 0L, 0L))
   }
+
+  test("lDiversity: big-but-homogeneous group fails, nulls don't count") {
+    // group a: 3 rows, one sensitive value -> NOT diverse even though
+    // it would pass k=3 anonymity; group b: 2 rows, 2 values -> passes
+    // l=2; group c: 2 rows but one sensitive is null -> 1 distinct
+    val df = Seq(("a", Some("s1")), ("a", Some("s1")), ("a", Some("s1")),
+      ("b", Some("s1")), ("b", Some("s2")),
+      ("c", Some("s1")), ("c", None)).toDF("q", "sens")
+    val got = Privacy.lDiversity(df, Seq("q"), col("sens"), l = 2L)
+      .orderBy(col("q"))
+      .as[(String, Long, Long, Boolean)].collect()
+    got shouldBe Array(("a", 3L, 1L, false), ("b", 2L, 2L, true),
+      ("c", 2L, 1L, false))
+  }
 }
