@@ -4306,6 +4306,53 @@ object SparkEntry {
       sliceX.crossJoin(sliceY)
     }),
 
+    // ---- Hilbert-curve layout + file skipping: the q_zorder_skipping
+    //      experiment re-keyed on plans.HilbertIndex (adjacency-
+    //      preserving, no Z-seam jumps, so range slices touch
+    //      contiguous curve intervals); 64 range-partitioned files,
+    //      min/max manifest, both single-column eighth-slices must
+    //      prune over half the files, slice aggregates oracle-checked
+    "q_hilbert_skipping" -> ((s, dir) => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hilbert_lineitem").getAbsolutePath
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val mx = li.agg(max(col("l_partkey")).as("mp"),
+        max(col("l_suppkey")).as("ms")).head()
+      val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+      val hk = plans.HilbertIndex.hilbertIndex(
+        expr(s"l_partkey * 65535 DIV $mp"),
+        expr(s"l_suppkey * 65535 DIV $ms"), 16)
+      withLayout("graft_hilbert_lineitem.fp", dir, "lineitem.parquet",
+          "v1", mustExist = Seq(p)) {
+        li.withColumn("hk", hk).repartitionByRange(64, col("hk"))
+          .drop("hk").write.mode("overwrite").parquet(p)
+      }
+      val manifest = sources.StatsManifest
+        .build(s.read.parquet(p), Seq("l_partkey", "l_suppkey"))
+        .localCheckpoint()
+      val total = s.read.parquet(p).inputFiles.length
+      val (xLo, xHi) = (mp / 8, mp / 4)
+      val (yLo, yHi) = (ms / 8, ms / 4)
+      val keptX = sources.StatsManifest
+        .prunedFiles(manifest, "l_partkey", xLo, xHi)
+      val keptY = sources.StatsManifest
+        .prunedFiles(manifest, "l_suppkey", yLo, yHi)
+      if (keptX.length * 2 >= total || keptY.length * 2 >= total)
+        throw new IllegalStateException(
+          s"hilbert skipping ineffective: x=${keptX.length} " +
+            s"y=${keptY.length} of $total files")
+      val sliceX = sources.StatsManifest
+        .readPruned(s, manifest, "l_partkey", xLo, xHi)
+        .agg(count(lit(1)).as("n_x"),
+          sum(cents(col("l_quantity"))).as("qty_x_c"))
+      val sliceY = sources.StatsManifest
+        .readPruned(s, manifest, "l_suppkey", yLo, yHi)
+        .agg(count(lit(1)).as("n_y"),
+          sum(cents(col("l_quantity"))).as("qty_y_c"))
+      sliceX.crossJoin(sliceY)
+    }),
+
     // ---- RFM segmentation: recency / frequency / monetary quintiles
     //      per customer (ntile over the customer-level rollup, integer
     //      day recency vs the global high-water mark, exact cents)
@@ -10072,6 +10119,23 @@ object SparkEntry {
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
         |    0.9) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hilbert_skipping" ->
+      """WITH b AS (
+        |  SELECT max(l_partkey) // 8 AS xlo, max(l_partkey) // 4 AS xhi,
+        |    max(l_suppkey) // 8 AS ylo, max(l_suppkey) // 4 AS yhi
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem, b
+        |   WHERE l_partkey BETWEEN xlo AND xhi) AS n_x,
+        |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |     AS BIGINT) FROM lineitem, b
+        |   WHERE l_partkey BETWEEN xlo AND xhi) AS qty_x_c,
+        |  (SELECT count(*) FROM lineitem, b
+        |   WHERE l_suppkey BETWEEN ylo AND yhi) AS n_y,
+        |  (SELECT CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |     AS BIGINT) FROM lineitem, b
+        |   WHERE l_suppkey BETWEEN ylo AND yhi) AS qty_y_c""".stripMargin,
 
     "q_zorder_skipping" ->
       """WITH b AS (
