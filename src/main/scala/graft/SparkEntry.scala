@@ -737,6 +737,60 @@ object SparkEntry {
           Tables.customer(s, dir), "c_custkey"))
         .orderBy(col("rule"))),
 
+    // ---- purged time-series CV folds (3 folds, 2-day embargo): the
+    //      leakage-safe split for autocorrelated data — rows within
+    //      the embargo of a test window count as purged, not train;
+    //      pure integer fold boundaries, k-row broadcast fan-out
+    "q_split_purged" -> ((s, dir) =>
+      operators.Sampling.purgedTimeFolds(
+          Tables.events(s, dir),
+          expr("ts_us DIV 86400000000"), k = 3, gap = 2L)
+        .orderBy(col("fold"))),
+
+    // ---- lagged autocorrelation (ACF lags 1-3) per user series: ONE
+    //      partitioned window computes all three lags, explode fans
+    //      them into (lag, pair) rows, exact integer moment sums, and
+    //      the only floats are the final Pearson divide + sqrt —
+    //      IEEE-deterministic, floored to micro (q_corr's discipline)
+    "q_ts_acf" -> ((s, dir) => {
+      val b = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          round(col("value")).cast("long").as("x"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val l = b.select(col("user_id"), col("x"),
+        lag(col("x"), 1).over(w).as("x1"),
+        lag(col("x"), 2).over(w).as("x2"),
+        lag(col("x"), 3).over(w).as("x3"))
+      val p = l.select(col("user_id"), col("x"),
+          explode(array(
+            struct(lit(1).as("lg"), col("x1").as("b")),
+            struct(lit(2).as("lg"), col("x2").as("b")),
+            struct(lit(3).as("lg"), col("x3").as("b")))).as("e"))
+        .select(col("user_id"), col("e.lg").as("lg"),
+          col("x").as("a"), col("e.b").as("b"))
+        .filter(col("b").isNotNull)
+      val m = p.groupBy(col("user_id"), col("lg"))
+        .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+          sum(col("b")).as("sb"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+      m.withColumn("vx",
+          col("n").cast("double") * col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double"))
+        .withColumn("vy",
+          col("n").cast("double") * col("sbb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .withColumn("acf_micro", floor(
+          (col("n").cast("double") * col("sab").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double")) /
+          (sqrt(col("vx")) * sqrt(col("vy"))) * lit(1e6)).cast("long"))
+        .select(col("user_id"), col("lg"), col("n"), col("acf_micro"))
+        .orderBy(col("user_id"), col("lg"))
+    }),
+
     // ---- exact CUSUM change-point per user: the position maximizing
     //      |n·S_k − k·S_n| (scaled by n — no division, bit-exact);
     //      earliest timestamp wins ties via max(struct(dev, −t));
@@ -5512,6 +5566,62 @@ object SparkEntry {
         |FROM m
         |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_split_purged" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) + 1 AS d1 FROM e),
+        |f AS (SELECT unnest(range(3)) AS fold),
+        |c AS (SELECT e.day, f.fold,
+        |    b.d0 + (f.fold * (b.d1 - b.d0)) // 3 AS lo,
+        |    b.d0 + ((f.fold + 1) * (b.d1 - b.d0)) // 3 AS hi
+        |  FROM e, b, f)
+        |SELECT fold,
+        |  CAST(sum(CASE WHEN day >= lo AND day < hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN (day >= lo - 2 AND day < lo)
+        |    OR (day >= hi AND day < hi + 2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |  CAST(sum(CASE WHEN day < lo - 2 OR day >= hi + 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        |FROM c GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    "q_ts_acf" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(round(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, x,
+        |    lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+        |    lag(x, 3) OVER w AS x3
+        |  FROM b WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, event_id)),
+        |p AS (
+        |  SELECT user_id, 1 AS lg, x AS a, x1 AS bb FROM l
+        |  WHERE x1 IS NOT NULL
+        |  UNION ALL SELECT user_id, 2, x, x2 FROM l
+        |  WHERE x2 IS NOT NULL
+        |  UNION ALL SELECT user_id, 3, x, x3 FROM l
+        |  WHERE x3 IS NOT NULL),
+        |m AS (SELECT user_id, lg, count(*) AS n,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(bb) AS BIGINT) AS sb,
+        |    CAST(sum(a*a) AS BIGINT) AS saa,
+        |    CAST(sum(bb*bb) AS BIGINT) AS sbb,
+        |    CAST(sum(a*bb) AS BIGINT) AS sab
+        |  FROM p GROUP BY 1, 2),
+        |v AS (SELECT user_id, lg, n, sa, sb, sab,
+        |    CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) AS vy
+        |  FROM m)
+        |SELECT user_id, lg, n,
+        |  CAST(floor(
+        |    (CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)) /
+        |    (sqrt(vx) * sqrt(vy)) * 1000000.0) AS BIGINT) AS acf_micro
+        |FROM v WHERE vx > 0 AND vy > 0
+        |ORDER BY user_id, lg""".stripMargin,
 
     "q_ts_cusum" ->
       """WITH e AS (

@@ -450,4 +450,47 @@ object Sampling {
         (col("n") > coalesce(col("level"), col("n"))).as("capped"),
         col("level"))
   }
+
+  /** Purged time-series cross-validation folds: k contiguous time
+    * windows, and for each test fold the rows within `gap` time units
+    * of its boundaries are PURGED from training (the leakage guard
+    * for autocorrelated data — a model must not train on rows whose
+    * features overlap the test window through lags or rolling stats).
+    * [[split3]] hashes rows independently, which is exactly wrong for
+    * time series; this is the temporal sibling.
+    *
+    * Fold f covers [d0 + f·span DIV k, d0 + (f+1)·span DIV k) over
+    * the observed time range — pure integer arithmetic, so fold
+    * membership is bit-deterministic. Emits per fold: n_train,
+    * n_test, n_purged (each row is counted in exactly one role per
+    * fold; roles differ across folds — that is the point of CV).
+    *
+    * Scale: one min/max aggregate broadcast back, one k-row broadcast
+    * fan-out (k·rows classification, map-only), one groupBy(k) — no
+    * window, no per-fold scan of the corpus. */
+  def purgedTimeFolds(df: DataFrame, timeCol: Column, k: Int,
+                      gap: Long): DataFrame = {
+    val d = df.select(timeCol.cast("long").as("day"))
+      .filter(col("day").isNotNull)
+    val bounds = d.agg(min(col("day")).as("d0"),
+      (max(col("day")) + 1L).as("d1"))
+    val folds = df.sparkSession.range(k).select(col("id").as("fold"))
+    d.crossJoin(broadcast(bounds)).crossJoin(broadcast(folds))
+      .withColumn("lo",
+        col("d0") + expr(s"fold * (d1 - d0) DIV $k"))
+      .withColumn("hi",
+        col("d0") + expr(s"(fold + 1) * (d1 - d0) DIV $k"))
+      .groupBy(col("fold"))
+      .agg(
+        sum(when(col("day") >= col("lo") && col("day") < col("hi"),
+          1L).otherwise(0L)).as("n_test"),
+        sum(when((col("day") >= col("lo") - gap &&
+            col("day") < col("lo")) ||
+          (col("day") >= col("hi") &&
+            col("day") < col("hi") + gap), 1L).otherwise(0L))
+          .as("n_purged"),
+        sum(when(!(col("day") >= col("lo") - gap &&
+            col("day") < col("hi") + gap), 1L).otherwise(0L))
+          .as("n_train"))
+  }
 }

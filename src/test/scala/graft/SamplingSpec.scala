@@ -476,4 +476,19 @@ class SamplingSpec extends SparkSpec {
     again.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
       r.select("doc_id").collect().map(_.getLong(0)).sorted
   }
+
+  test("purgedTimeFolds: hand-computed folds, embargo eats the edges") {
+    // one row per day 0..8, k=3, gap=1: folds [0,3) [3,6) [6,9)
+    //   fold0: test {0,1,2}, purged {3},        train {4..8}
+    //   fold1: test {3,4,5}, purged {2, 6},     train {0,1,7,8}
+    //   fold2: test {6,7,8}, purged {5},        train {0..4}
+    val df = (0L to 8L).toDF("d")
+    val got = Sampling.purgedTimeFolds(df, col("d"), k = 3, gap = 1L)
+      .orderBy(col("fold"))
+      .as[(Long, Long, Long, Long)].collect()
+    got shouldBe Array((0L, 3L, 1L, 5L), (1L, 3L, 2L, 4L),
+      (2L, 3L, 1L, 5L))
+    // every row lands in exactly one role per fold
+    got.foreach { case (_, te, pu, tr) => te + pu + tr shouldBe 9L }
+  }
 }
