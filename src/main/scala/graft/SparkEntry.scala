@@ -4067,6 +4067,54 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // ---- PageRank with dangling-mass redistribution: sink-node mass
+    //      is split evenly across all nodes (floor(D·85/(100·N)) each,
+    //      exact integer division; D and N are single-row broadcasts)
+    //      instead of dropped — textbook-comparable ranks, same
+    //      bit-determinism contract as q_graph_pagerank
+    "q_graph_pagerank_d" -> ((s, dir) =>
+      operators.Graph.pageRank(
+          Tables.lineitem(s, dir)
+            .select(concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"))
+            .distinct(),
+          col("src"), col("dst"), rounds = 3,
+          danglingRedistribute = true)
+        .orderBy(col("node"))),
+
+    // ---- WEIGHTED label propagation (largest incident weight sum,
+    //      smallest-label tie-break) feeding weighted Newman
+    //      modularity (contrib_num = 4·m_w·W_c − d_c², no division →
+    //      hash-exact) — the quantity-weighted twin of
+    //      q_graph_modularity; similarity-graph pipelines feed
+    //      weighted edges (Jaccard micro-scores) through exactly this
+    "q_graph_modularity_w" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 4000).as("u"),
+        (col("l_partkey") % 4000 + 4000).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val labels = operators.Graph.labelPropagationW(
+        edges, col("u"), col("v"), col("w"), rounds = 2)
+      operators.Graph.modularityW(edges, col("u"), col("v"), col("w"),
+          labels)
+        .orderBy(col("lbl"))
+    }),
+
+    // ---- MULTI-LEVEL Louvain (fixed budget: 2 weighted local-move
+    //      rounds, contract communities to supernodes — parallel
+    //      weights sum, intra weight becomes the supernode self-loop —
+    //      then 2 more rounds on the coarse graph): the full Louvain
+    //      loop, deterministic by the same integer-gain + smallest-
+    //      label argmax; emits original node → final coarse community
+    "q_graph_louvain_ml" -> ((s, dir) =>
+      operators.Graph.louvainLevels(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 300).as("u"),
+            (col("l_partkey") % 300 + 300).as("v"),
+            col("l_quantity").cast("long").as("w")),
+          col("u"), col("v"), col("w"), levels = 2, movesPerLevel = 2)
+        .orderBy(col("node"))),
+
     // ---- 2-D Pareto skyline (price minimized, size maximized) via
     //      the sharded strict-prefix-max sweep — linear, never the
     //      O(n²) NOT EXISTS join the oracle runs. Survivor x values
@@ -9986,6 +10034,59 @@ object SparkEntry {
         |SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
         |FROM r3 ORDER BY node""".stripMargin,
 
+    "q_graph_pagerank_d" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |         'p' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |nn AS (SELECT count(*) AS nn FROM n),
+        |od AS MATERIALIZED (
+        |  SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p0 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |d1 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dm
+        |  FROM p0 WHERE node NOT IN (SELECT src FROM od)),
+        |p1 AS MATERIALIZED (
+        |  SELECT n.node, CAST(150000 + coalesce(c1.c, 0)
+        |    + (d1.dm * 85) // (100 * nn.nn) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c1 USING (node) CROSS JOIN d1
+        |    CROSS JOIN nn),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p1 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |d2 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dm
+        |  FROM p1 WHERE node NOT IN (SELECT src FROM od)),
+        |p2 AS MATERIALIZED (
+        |  SELECT n.node, CAST(150000 + coalesce(c2.c, 0)
+        |    + (d2.dm * 85) // (100 * nn.nn) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c2 USING (node) CROSS JOIN d2
+        |    CROSS JOIN nn),
+        |c3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p2 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |d3 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dm
+        |  FROM p2 WHERE node NOT IN (SELECT src FROM od)),
+        |p3 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c3.c, 0)
+        |    + (d3.dm * 85) // (100 * nn.nn) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c3 USING (node) CROSS JOIN d3
+        |    CROSS JOIN nn)
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_graph_modularity_w" -> modularityWSql,
+
+    "q_graph_louvain_ml" -> louvainMlSql,
+
     "q_skyline" ->
       """WITH p AS (
         |  SELECT CAST(round(p_retailprice*100) AS BIGINT) AS x,
@@ -10508,6 +10609,132 @@ object SparkEntry {
   // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
   // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
   // word occurrences, all single chars + top-40 multis
+  /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
+    * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum
+    * argmax with (ws DESC, lbl ASC) tie-break, then the integer
+    * contribution 4·m_w·W_c − d_c². */
+  private val modularityWSql: String = {
+    def lpaRound(lIn: String, lOut: String): String =
+      s"""c$lOut AS (SELECT s.v AS node, l.lbl,
+         |    CAST(sum(s.w) AS BIGINT) AS ws
+         |  FROM symw s JOIN $lIn l ON s.u = l.node GROUP BY 1, 2),
+         |$lOut AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY ws DESC, lbl ASC) AS rn FROM c$lOut)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT l_orderkey % 4000 AS u, 4000 + (l_partkey % 4000) AS v,
+       |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+       |symw AS MATERIALIZED (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0)
+       |  GROUP BY u, v),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM symw),
+       |${lpaRound("l0", "l1")},
+       |${lpaRound("l1", "l2")},
+       |ec AS MATERIALIZED (
+       |  SELECT u AS a, v AS b, CAST(sum(w) AS BIGINT) AS w
+       |  FROM e0 GROUP BY 1, 2),
+       |mw AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ec),
+       |degw AS (SELECT node, CAST(sum(w) AS BIGINT) AS d FROM (
+       |  SELECT a AS node, w FROM ec
+       |  UNION ALL SELECT b, w FROM ec) GROUP BY 1),
+       |cdw AS (SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS deg_sum,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM degw d JOIN l2 l ON d.node = l.node GROUP BY 1),
+       |iw AS (SELECT la.lbl, CAST(sum(ec.w) AS BIGINT) AS intra_w
+       |  FROM ec JOIN l2 la ON ec.a = la.node
+       |       JOIN l2 lb ON ec.b = lb.node
+       |  WHERE la.lbl = lb.lbl GROUP BY 1)
+       |SELECT CAST(cdw.lbl AS BIGINT) AS lbl, cdw.n_nodes,
+       |  CAST(coalesce(iw.intra_w, 0) AS BIGINT) AS intra_w,
+       |  cdw.deg_sum,
+       |  CAST(4 * mw.m * coalesce(iw.intra_w, 0)
+       |    - cdw.deg_sum * cdw.deg_sum AS BIGINT) AS contrib_num
+       |FROM cdw LEFT JOIN iw ON cdw.lbl = iw.lbl CROSS JOIN mw
+       |ORDER BY lbl""".stripMargin
+  }
+
+  /** One weighted Louvain local-move round as CTEs (prefix `p`):
+    * mirrors Graph.louvainMoveW — W2·k_i,c − k_i·d_c′ integer score,
+    * (s DESC, c ASC) argmax, zero-degree nodes kept via left joins.
+    * `self` names an optional (node, selfw) CTE whose rows add
+    * 2·selfw to the weighted degree. Emits label CTE `${p}o`. */
+  private def louvainMoveRoundSql(p: String, inter: String,
+      self: Option[String], lab: String): String = {
+    val selfDeg = self.map(s =>
+      s"\n    UNION ALL SELECT node, 2 * selfw FROM $s").getOrElse("")
+    s"""${p}s AS MATERIALIZED (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT a AS u, b AS v, w FROM $inter
+       |    UNION ALL SELECT b, a, w FROM $inter) GROUP BY u, v),
+       |${p}d AS MATERIALIZED (
+       |  SELECT node, CAST(sum(k) AS BIGINT) AS k FROM (
+       |    SELECT u AS node, w AS k FROM ${p}s$selfDeg)
+       |  GROUP BY node),
+       |${p}t AS (SELECT CAST(sum(k) AS BIGINT) AS w2 FROM ${p}d),
+       |${p}cd AS (SELECT l.lbl, CAST(sum(d.k) AS BIGINT) AS dd
+       |  FROM ${p}d d JOIN $lab l ON d.node = l.node GROUP BY 1),
+       |${p}ki AS MATERIALIZED (
+       |  SELECT s.u AS node, lv.lbl AS c,
+       |    CAST(sum(s.w) AS BIGINT) AS kic
+       |  FROM ${p}s s JOIN $lab lv ON s.v = lv.node GROUP BY 1, 2),
+       |${p}ca AS (SELECT node, c, kic FROM ${p}ki
+       |  UNION
+       |  SELECT n.node, n.lbl AS c, coalesce(k0.kic, 0) AS kic
+       |  FROM $lab n LEFT JOIN ${p}ki k0
+       |    ON k0.node = n.node AND k0.c = n.lbl),
+       |${p}sc AS (SELECT ca.node, ca.c,
+       |    t.w2 * ca.kic - coalesce(d.k, 0) * (coalesce(cd.dd, 0) -
+       |      CASE WHEN ca.c = cur.lbl THEN coalesce(d.k, 0)
+       |           ELSE 0 END) AS s
+       |  FROM ${p}ca ca JOIN $lab cur ON ca.node = cur.node
+       |    LEFT JOIN ${p}d d ON ca.node = d.node
+       |    LEFT JOIN ${p}cd cd ON ca.c = cd.lbl
+       |    CROSS JOIN ${p}t t),
+       |${p}o AS MATERIALIZED (SELECT node, c AS lbl FROM (
+       |  SELECT node, c, row_number() OVER (PARTITION BY node
+       |    ORDER BY s DESC, c ASC) AS rn FROM ${p}sc)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Multi-level Louvain oracle (2 levels × 2 moves) mirroring
+    * Graph.louvainLevels on the 300-fold weighted lineitem graph:
+    * identity labels → move ×2 → contract (inter-community weights
+    * sum canonically, intra weight becomes the supernode self-loop)
+    * → identity labels on communities → move ×2 → fold back to the
+    * original nodes. */
+  private val louvainMlSql: String = {
+    s"""WITH i0 AS MATERIALIZED (
+       |  SELECT u AS a, v AS b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT l_orderkey % 300 AS u, 300 + (l_partkey % 300) AS v,
+       |      CAST(l_quantity AS BIGINT) AS w FROM lineitem)
+       |  GROUP BY 1, 2),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM (
+       |  SELECT a AS node FROM i0 UNION ALL SELECT b FROM i0)),
+       |${louvainMoveRoundSql("m1", "i0", None, "l0")},
+       |${louvainMoveRoundSql("m2", "i0", None, "m1o")},
+       |ed AS MATERIALIZED (
+       |  SELECT la.lbl AS x, lb.lbl AS y, e.w
+       |  FROM i0 e JOIN m2o la ON e.a = la.node
+       |       JOIN m2o lb ON e.b = lb.node),
+       |i1 AS MATERIALIZED (
+       |  SELECT least(x, y) AS a, greatest(x, y) AS b,
+       |    CAST(sum(w) AS BIGINT) AS w
+       |  FROM ed WHERE x <> y GROUP BY 1, 2),
+       |s1 AS MATERIALIZED (
+       |  SELECT x AS node, CAST(sum(w) AS BIGINT) AS selfw
+       |  FROM ed WHERE x = y GROUP BY 1),
+       |l1 AS MATERIALIZED (
+       |  SELECT DISTINCT lbl AS node, lbl FROM m2o),
+       |${louvainMoveRoundSql("m3", "i1", Some("s1"), "l1")},
+       |${louvainMoveRoundSql("m4", "i1", Some("s1"), "m3o")}
+       |SELECT CAST(a.node AS BIGINT) AS node,
+       |  CAST(o.lbl AS BIGINT) AS lbl
+       |FROM m2o a JOIN m4o o ON a.lbl = o.node
+       |ORDER BY node""".stripMargin
+  }
+
   private val unigramVocabCtesSql: String =
     """WITH uw0 AS MATERIALIZED (
       |  SELECT word, count(*)::BIGINT AS freq FROM (

@@ -27,14 +27,19 @@ object Graph {
     * node's in-degree (salt upstream if one hub dominates). */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
                rounds: Int = 3, scale: Long = 1000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               danglingRedistribute: Boolean = false): DataFrame = {
     val e = edges.select(srcCol.cast("string").as("src"),
       dstCol.cast("string").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val base = scale * (dampDen - dampNum) / dampDen
+    // node count only feeds the dangling split; a single-row frame
+    // broadcast back in — never collect()ed to the driver
+    val nDf = nodes.agg(count(lit(1)).as("nn"))
     var pr = nodes.withColumn("pr", lit(scale))
     var r = 0
     while (r < rounds) {
@@ -45,9 +50,27 @@ object Graph {
           expr(s"(pr * $dampNum) div ($dampDen * od)").as("c"))
       val incoming = contrib.groupBy(col("node"))
         .agg(sum(col("c")).as("in"))
-      pr = nodes.join(incoming, Seq("node"), "left")
+      val next = nodes.join(incoming, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in"), lit(0L))).as("pr"))
+      pr =
+        if (!danglingRedistribute) next
+        else {
+          // textbook correction: mass parked on sink nodes (no
+          // out-edges) is split evenly across ALL nodes instead of
+          // dropped — each node gains floor(D·damp / (dampDen·N)),
+          // one exact integer division; D is a single-row aggregate
+          // over the sinks, broadcast back in with N
+          val dangling = pr
+            .join(outdeg.select(col("src").as("node")), Seq("node"),
+              "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+          next.crossJoin(broadcast(dangling))
+            .crossJoin(broadcast(nDf))
+            .select(col("node"),
+              (col("pr") +
+                expr(s"(dm * $dampNum) div ($dampDen * nn)")).as("pr"))
+        }
       r += 1
     }
     pr
@@ -319,11 +342,19 @@ object Graph {
       .join(kic, Seq("node", "c"), "left")
       .na.fill(0L, Seq("kic"))
     val cand = kic.unionByName(candExtra).distinct()
+    // left-join degrees with a zero fill: a labeled node with no edge
+    // in `edges` still has its own community as a candidate (kic = 0,
+    // k = 0 → every score is 0, so it keeps its current label); an
+    // inner join here would silently DROP such nodes from the output
+    // partition, shrinking it across iteration rounds. Likewise a
+    // community containing only zero-degree nodes has no commDeg row.
     val scored = cand
       .join(lab.withColumnRenamed("lbl", "a"), Seq("node"))
-      .join(deg, Seq("node"))
+      .join(deg, Seq("node"), "left")
+      .na.fill(0L, Seq("k"))
       .join(commDeg.select(col("lbl").as("c"), col("d").as("dc")),
-        Seq("c"))
+        Seq("c"), "left")
+      .na.fill(0L, Seq("dc"))
       .crossJoin(broadcast(mDf))
       .withColumn("s",
         lit(4L) * col("m") * col("kic") - lit(2L) * col("k") *
@@ -388,5 +419,239 @@ object Graph {
       .select(col("lbl"), col("n_nodes"), col("intra"), col("deg_sum"),
         (lit(4L) * col("m") * col("intra") -
           col("deg_sum") * col("deg_sum")).as("contrib_num"))
+  }
+
+  // ------------------------------------------------ weighted variants
+  // Similarity-graph pipelines (MinHash Jaccard scores, co-occurrence
+  // PMI) produce WEIGHTED edges; the integer-exactness discipline
+  // carries over by quantizing weights to integer micro-units
+  // upstream, so every variant below stays bit-identical across
+  // partitionings and engines.
+
+  /** Symmetrize a weighted edge list: both directions of every u≠v
+    * row, parallel edges collapsed by SUM. Long weights in, long
+    * weights out. */
+  private def symW(edges: DataFrame, uCol: Column, vCol: Column,
+                   wCol: Column): DataFrame =
+    edges.select(uCol.cast("long").as("u"), vCol.cast("long").as("v"),
+        wCol.cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull && col("u") =!= col("v"))
+      .unionAll(edges.select(vCol.cast("long").as("u"),
+          uCol.cast("long").as("v"), wCol.cast("long").as("w"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("w").isNotNull && col("u") =!= col("v")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+
+  /** [[labelPropagation]] with edge weights: each round every node
+    * adopts the label with the largest incident WEIGHT SUM (ties →
+    * smallest label). Same synchronous fixed-round determinism, same
+    * relational shape (edge join + combinable sum + max(struct), no
+    * window); parallel edges collapse by weight sum first. Node ids
+    * must be non-negative longs. */
+  def labelPropagationW(edges: DataFrame, uCol: Column, vCol: Column,
+                        wCol: Column, rounds: Int = 3): DataFrame = {
+    val sym = symW(edges, uCol, vCol, wCol).localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), col("lbl"), col("w"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(sum(col("w")).as("ws"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("ws"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
+
+  /** Weighted Newman modularity, exact integer form: with total
+    * undirected weight m_w, community intra-weight W_c and weighted
+    * degree d_c, the contribution numerator is 4·m_w·W_c − d_c² and
+    * Q = Σ/4m_w² — same no-division hash-exactness contract as
+    * [[modularity]]. Parallel edges collapse by sum; self-loops are
+    * dropped (the unweighted convention here). Exact while
+    * 4·m_w·W_c < 2^63 — with 1e-6-unit micro-weights that is
+    * ~1.5e9 total weight units; rescale upstream beyond that. */
+  def modularityW(edges: DataFrame, uCol: Column, vCol: Column,
+                  wCol: Column, labels: DataFrame): DataFrame = {
+    val e = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"), wCol.cast("long").as("w"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull && col("w").isNotNull)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val lab = labels.select(col("node"), col("lbl"))
+    val mDf = e.agg(sum(col("w")).as("m"))
+    val deg = e.select(col("a").as("node"), col("w"))
+      .unionAll(e.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("d"))
+    val commDeg = deg.join(lab, Seq("node"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("d")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la")).agg(sum(col("w")).as("intra_w"))
+      .withColumnRenamed("la", "lbl")
+    commDeg.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("intra_w"))
+      .crossJoin(broadcast(mDf))
+      .select(col("lbl"), col("n_nodes"), col("intra_w"),
+        col("deg_sum"),
+        (lit(4L) * col("m") * col("intra_w") -
+          col("deg_sum") * col("deg_sum")).as("contrib_num"))
+  }
+
+  /** One synchronous WEIGHTED Louvain local-move round — the
+    * building block of [[louvainLevels]]. `edges` rows are u≠v
+    * weighted edges (either direction; parallel rows sum);
+    * `selfLoops` is an optional (node, selfw) frame of RAW
+    * intra-node weight — a self-loop of weight s contributes 2s to
+    * the node's weighted degree (the standard convention) but never
+    * to a neighbor-community weight (moving the node carries its
+    * internal edges along, so they cancel out of every candidate's
+    * score). Score = W2·k_i,c − k_i·d_c′ with W2 = Σ degrees = 2m_w
+    * — the [[louvainMove]] integer gain halved, same argmax, ties →
+    * smallest community label. Labels must be non-negative longs.
+    * Exact while W2·k_i,c < 2^63. */
+  def louvainMoveW(edges: DataFrame, uCol: Column, vCol: Column,
+                   wCol: Column, labels: DataFrame,
+                   selfLoops: Option[DataFrame] = None): DataFrame = {
+    val sym = symW(edges, uCol, vCol, wCol).localCheckpoint(true)
+    val lab = labels.select(col("node"), col("lbl"))
+    val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
+      selfLoops.toSeq.map(_.select(col("node"),
+        (col("selfw") * 2).as("k")))
+    val deg = degParts.reduce(_ unionAll _)
+      .groupBy(col("node")).agg(sum(col("k")).as("k"))
+    val w2Df = deg.agg(sum(col("k")).as("w2"))
+    val commDeg = deg.join(lab, Seq("node"))
+      .groupBy(col("lbl")).agg(sum(col("k")).as("d"))
+    val kic = sym
+      .join(lab.select(col("node").as("v"), col("lbl").as("c")),
+        Seq("v"))
+      .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kic"))
+      .withColumnRenamed("u", "node")
+    val candExtra = lab.select(col("node"), col("lbl").as("c"))
+      .join(kic, Seq("node", "c"), "left")
+      .na.fill(0L, Seq("kic"))
+    val cand = kic.unionByName(candExtra).distinct()
+    // left joins + zero fills so zero-degree labeled nodes and
+    // all-zero-degree communities survive (see louvainMove)
+    val scored = cand
+      .join(lab.withColumnRenamed("lbl", "a"), Seq("node"))
+      .join(deg, Seq("node"), "left")
+      .na.fill(0L, Seq("k"))
+      .join(commDeg.select(col("lbl").as("c"), col("d").as("dc")),
+        Seq("c"), "left")
+      .na.fill(0L, Seq("dc"))
+      .crossJoin(broadcast(w2Df))
+      .withColumn("s",
+        col("w2") * col("kic") - col("k") *
+          (col("dc") -
+            when(col("c") === col("a"), col("k")).otherwise(lit(0L))))
+    scored.groupBy(col("node"))
+      .agg(max(struct(col("s"), (-col("c")).as("nc"))).as("best"))
+      .select(col("node"), (-col("best.nc")).as("lbl"))
+  }
+
+  /** Multi-level Louvain with a FIXED budget: `movesPerLevel`
+    * synchronous weighted move rounds, then CONTRACT — every
+    * community collapses to one supernode, parallel inter-community
+    * weights sum, intra-community weight becomes the supernode's
+    * self-loop (feeding the next level's degrees) — and repeat for
+    * `levels` levels. This is the full Louvain loop with bounded
+    * budgets in place of convergence tests, the same determinism
+    * contract as every other fixed-round operator here; a partition
+    * that is locally optimal is a fixed point of the move round, so
+    * extra budget never degrades it.
+    *
+    * Scale: contraction SHRINKS the graph geometrically in practice —
+    * level-2 rounds run on the community graph, not the input — which
+    * is exactly why multi-level beats move-only at 100×: the
+    * expensive full-size rounds are capped at `movesPerLevel`.
+    * Everything is edge-join + combinable-agg shaped; per-level
+    * frames are localCheckpoint'd (the assignment join chain would
+    * otherwise compound the plan exponentially).
+    *
+    * Emits (node, lbl): ORIGINAL node → final coarse community. */
+  def louvainLevels(edges: DataFrame, uCol: Column, vCol: Column,
+                    wCol: Column, levels: Int = 2,
+                    movesPerLevel: Int = 2): DataFrame = {
+    require(levels >= 1 && movesPerLevel >= 1, "bad louvain budget")
+    val raw = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"), wCol.cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("w").isNotNull)
+    var inter = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    var selfLoops = raw.filter(col("u") === col("v"))
+      .groupBy(col("u").as("node")).agg(sum(col("w")).as("selfw"))
+      .localCheckpoint(true)
+    var assign = inter.select(col("a").as("node"))
+      .unionAll(inter.select(col("b").as("node")))
+      .unionAll(selfLoops.select(col("node")))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var level = 0
+    while (level < levels) {
+      // bounded local-move rounds at the current granularity
+      var lab = assign.select(col("lbl").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      var mv = 0
+      while (mv < movesPerLevel) {
+        lab = louvainMoveW(inter, col("a"), col("b"), col("w"), lab,
+            Some(selfLoops))
+          .localCheckpoint(true)
+        mv += 1
+      }
+      // fold this level's map into the original-node assignment
+      assign = assign
+        .join(lab.select(col("node").as("lbl"), col("lbl").as("nl")),
+          Seq("lbl"))
+        .select(col("node"), col("nl").as("lbl"))
+        .localCheckpoint(true)
+      level += 1
+      if (level < levels) {
+        // contract: communities become nodes; intra weight → self-loop
+        val ed = inter
+          .join(lab.select(col("node").as("a"), col("lbl").as("x")),
+            Seq("a"))
+          .join(lab.select(col("node").as("b"), col("lbl").as("y")),
+            Seq("b"))
+          .select(col("x"), col("y"), col("w"))
+        val newInter = ed.filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"), col("w"))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+          .localCheckpoint(true)
+        val newSelf = ed.filter(col("x") === col("y"))
+          .select(col("x").as("node"), col("w").as("selfw"))
+          .unionAll(selfLoops
+            .join(lab, Seq("node"))
+            .select(col("lbl").as("node"), col("selfw")))
+          .groupBy(col("node")).agg(sum(col("selfw")).as("selfw"))
+          .localCheckpoint(true)
+        inter = newInter
+        selfLoops = newSelf
+      }
+    }
+    assign
   }
 }

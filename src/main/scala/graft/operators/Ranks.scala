@@ -102,12 +102,16 @@ object Ranks {
     val (rn, n) = rankWithTotal(df, sortExprs, "__gn", nShards)
     val q = n / k
     val m = n % k
+    // integral DIV on the long rank — Spark's `/` is IEEE double
+    // division, which silently loses exactness past ~2^53 ranks (the
+    // same bound the Timeline.floorDiv fix closed); operands here are
+    // non-negative so DIV equals mathematical floor division
     val tile =
       if (q == 0L) col("__gn")
       else when(col("__gn") <= m * (q + 1),
-          (col("__gn") - 1) / (q + 1) cast "long" plus 1)
+          expr(s"(__gn - 1) DIV ${q + 1}") + 1)
         .otherwise(lit(m) +
-          ((col("__gn") - m * (q + 1) - 1) / q cast "long") + 1)
+          expr(s"(__gn - ${m * (q + 1)} - 1) DIV $q") + 1)
     rn.withColumn(out, tile.cast("int")).drop("__gn")
   }
 }

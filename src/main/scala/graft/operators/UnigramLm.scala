@@ -170,8 +170,18 @@ object UnigramLm {
                   costs: Map[String, Long]): DataFrame = {
     require(costs.nonEmpty, "empty unigram vocabulary")
     val maxLen = costs.keysIterator.map(_.length).max
+    // the sentinel must fail LOUDLY here, mirroring the >= PieceBase
+    // guard: summing Long.MaxValue/4 into uni_cost_micro would corrupt
+    // the document's totals silently when a caller-supplied cost map
+    // is missing a character
     val comb = udf { (word: String) =>
-      viterbiCombined(word, costs, maxLen)
+      val c = viterbiCombined(word, costs, maxLen)
+      if (c == Long.MaxValue / 4)
+        throw new IllegalArgumentException(
+          s"word '${word.take(16)}' is not segmentable under the " +
+            "supplied unigram vocabulary (a character is missing); " +
+            "include all single characters or pre-filter such words")
+      c
     }
     val words = docs
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word0"))

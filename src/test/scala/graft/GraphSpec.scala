@@ -217,4 +217,106 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     gotAll shouldBe Array((7L, 4L, 3L, 6L, 0L))
   }
+
+  test("pageRank danglingRedistribute: hand-computed chain, more " +
+      "mass conserved than the dropping variant") {
+    // A->B->C: C is a sink; each round its parked mass is split
+    // floor(D*85/300) to every node
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("s", "d")
+    val got = Graph.pageRank(edges, col("s"), col("d"), rounds = 3,
+        danglingRedistribute = true)
+      .as[(String, Long)].collect().toMap
+    // r1: redis floor(1000000*85/300)=283333
+    //   A=433333, B=1283333, C=1283333
+    // r2: redis floor(1283333*85/300)=363611
+    //   A=513611, B=881944, C=1604444
+    // r3: redis floor(1604444*85/300)=454592
+    //   A=604592, B=1041161, C=1354244
+    got shouldBe Map("A" -> 604592L, "B" -> 1041161L, "C" -> 1354244L)
+    val dropped = Graph.pageRank(edges, col("s"), col("d"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    got.values.sum should be > dropped.values.sum
+  }
+
+  test("labelPropagationW: heavy edge outweighs the count majority") {
+    // node 1 has two unit-weight neighbors (labels 2, 3) and one
+    // weight-5 neighbor (label 4): unweighted LPA ties -> label 2,
+    // weighted adopts 4
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 5L))
+      .toDF("u", "v", "w")
+    val got = Graph.labelPropagationW(edges, col("u"), col("v"),
+        col("w"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 4L
+    val unw = Graph.labelPropagation(edges, col("u"), col("v"),
+        rounds = 1).as[(Long, Long)].collect().toMap
+    unw(1L) shouldBe 2L
+  }
+
+  test("modularityW with unit weights reproduces modularity exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "lbl")
+    val got = Graph.modularityW(edges.withColumn("w", lit(1L)),
+        col("u"), col("v"), col("w"), labels)
+      .orderBy(col("lbl"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got shouldBe Array((10L, 3L, 3L, 7L, 35L), (20L, 3L, 3L, 7L, 35L))
+    // doubling every weight scales intra/deg/m by 2:
+    // contrib 4*(2m)*(2W) - (2d)^2 = 4 * unweighted
+    val got2 = Graph.modularityW(edges.withColumn("w", lit(2L)),
+        col("u"), col("v"), col("w"), labels)
+      .orderBy(col("lbl"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got2 shouldBe Array((10L, 3L, 6L, 14L, 140L), (20L, 3L, 6L, 14L, 140L))
+  }
+
+  test("louvainMoveW: weight pulls a node across the count majority; " +
+      "zero-degree labeled nodes survive the round") {
+    // node 3 sits between triangle {1,2,3} (unit weights) and node 4
+    // with one weight-12 edge: the weighted gain favors 4's community
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L), (3L, 4L, 12L))
+      .toDF("u", "v", "w")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L), (99L, 77L)) // 99 has no edges at all
+      .toDF("node", "lbl")
+    val got = Graph.louvainMoveW(edges, col("u"), col("v"), col("w"),
+        labels).as[(Long, Long)].collect().toMap
+    got(3L) shouldBe 20L
+    // the ADVICE r13 fix: zero-degree node kept, label unchanged
+    got(99L) shouldBe 77L
+    got.size shouldBe 7
+    // with unit weight on the bridge the triangle holds node 3
+    val unitBridge = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("u", "v", "w")
+    Graph.louvainMoveW(unitBridge, col("u"), col("v"), col("w"),
+        labels).as[(Long, Long)].collect().toMap.apply(3L) shouldBe 10L
+  }
+
+  test("louvainLevels: bridged cliques converge to one community " +
+      "per clique; a converged partition is a fixed point of the " +
+      "move round") {
+    // two K4 cliques bridged by one weak edge
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j, 3L)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j, 3L)
+    val edges = (k4a ++ k4b :+ ((4L, 5L, 1L))).toDF("u", "v", "w")
+    val got = Graph.louvainLevels(edges, col("u"), col("v"), col("w"),
+        levels = 2, movesPerLevel = 2)
+      .as[(Long, Long)].collect().toMap
+    got.keySet shouldBe (1L to 8L).toSet
+    val ca = (1L to 4L).map(got).toSet
+    val cb = (5L to 8L).map(got).toSet
+    ca.size shouldBe 1
+    cb.size shouldBe 1
+    ca should not be cb
+    // fixed point: one more weighted move on the converged partition
+    // changes nothing
+    val lab = got.toSeq.toDF("node", "lbl")
+    val again = Graph.louvainMoveW(edges, col("u"), col("v"), col("w"),
+        lab).as[(Long, Long)].collect().toMap
+    again shouldBe got
+  }
 }
