@@ -1918,10 +1918,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("k"), col("proj_q"))
         .orderBy(col("vec_id"), col("k"))),
 
-    // ---- PCA whitening: per-component mean/variance of the whitened
-    //      corpus (~0 / ~1 by construction). Float eigenbasis -> no
-    //      DuckDB oracle; rows-only here, identity-covariance property
-    //      asserted in SimilaritySpec.
+    // ---- PCA whitening, PROPERTY-gated: the float eigenbasis is not
+    //      cross-engine reproducible (sign/rotation), but the whitened
+    //      corpus's per-component mean (0) and second moment (1) ARE —
+    //      quantized to a 1e-3 grid they hash-match a literal oracle
+    //      regardless of which basis the eigensolver lands on. The
+    //      eigensolve residual is ~1e-10 and pcaFit uses population
+    //      covariance, so the milli-grid has ~1e7x margin.
+    //      SimilaritySpec keeps the full identity-covariance proof.
     "q_embed_whiten" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = operators.Similarity.pcaFit(emb, k = 4)
@@ -1929,9 +1933,14 @@ object SparkEntry {
       emb.select(posexplode(
           wh(col("embedding").cast("array<double>"))).as(Seq("k", "y")))
         .groupBy(col("k"))
-        .agg(round(avg(col("y")), 2).as("mean_r"),
-          round(avg(col("y") * col("y")), 2).as("e2_r"),
+        .agg(
+          floor(avg(col("y")) * 1000 + 0.5).cast("long")
+            .as("mean_milli"),
+          floor(avg(col("y") * col("y")) * 1000 + 0.5).cast("long")
+            .as("e2_milli"),
           count(lit(1)).as("n"))
+        .select(col("k").cast("long").as("k"), col("mean_milli"),
+          col("e2_milli"), col("n"))
         .orderBy(col("k"))
     }),
 
@@ -7360,6 +7369,16 @@ object SparkEntry {
         |       AS BIGINT) AS proj_q
         |FROM s2 GROUP BY vec_id, k
         |ORDER BY vec_id, k""".stripMargin,
+
+    // property gate: whatever eigenbasis the whitening lands on, the
+    // whitened corpus has per-component mean 0 and second moment 1 —
+    // exact-representable literals on the milli grid
+    "q_embed_whiten" ->
+      """SELECT CAST(t.k AS BIGINT) AS k,
+        |  CAST(0 AS BIGINT) AS mean_milli,
+        |  CAST(1000 AS BIGINT) AS e2_milli,
+        |  (SELECT count(*) FROM embeddings) AS n
+        |FROM range(4) t(k) ORDER BY k""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH c AS (
