@@ -4304,10 +4304,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // hard-EM refinement (bounded rounds of one distributed pass) —
-    // the EM loop is not SQL-expressible, so this row is rows-only;
-    // UnigramLmSpec pins the exact vocabulary against a local
-    // reference
+    // hard-EM refinement (bounded rounds of one distributed pass),
+    // oracle-gated by the FULLY UNROLLED 2-round EM: per round a
+    // 24-position Viterbi DP with the backpointer packed into the
+    // minimized scalar, an unrolled backwalk extracting the piece
+    // sequence, and the top-40 rank-filter M-step — plus a third
+    // segmentation pass for the final usage counts; UnigramLmSpec
+    // additionally pins the exact vocabulary against a local reference
     "q_unigram_train" -> ((s, dir) =>
       operators.UnigramLm.train(Tables.documents(s, dir), "text",
           rounds = 2, maxPieceLen = 4, topMulti = 40)
@@ -10342,6 +10345,8 @@ object SparkEntry {
         |FROM udocw d JOIN uopt w USING (word0)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
+    "q_unigram_train" -> unigramTrainSql,
+
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
@@ -10753,6 +10758,105 @@ object SparkEntry {
        |FROM m2o a JOIN m4o o ON a.lbl = o.node
        |ORDER BY node""".stripMargin
   }
+
+  /** One unigram hard-EM E-step as CTEs (prefix `p`, cost table CTE
+    * `vc` with (piece, cost_micro)): 24-position weighted-Viterbi DP
+    * with the BACKPOINTER packed into the minimized scalar —
+    * packed = comb·8 + lastPieceLen, so min(packed) realizes exactly
+    * UnigramLm.viterbiPieces' tie-break (min comb, then the SHORTEST
+    * last piece, because the Scala l-loop scans ascending and accepts
+    * strictly-better only) — then a 24-step unrolled backwalk (NO
+    * recursive CTE: DuckDB silently returns zero rows from a
+    * recursive CTE after a long MATERIALIZED chain) extracting the
+    * optimal piece sequence, then frequency-weighted usage counts.
+    * Emits usage CTE `${p}u` (piece, cnt). */
+  private def unigramEstepSql(p: String, vc: String): String = {
+    val dp0 = s"${p}d0 AS MATERIALIZED (SELECT word AS uword, " +
+      s"0 AS pos, CAST(0 AS BIGINT) AS packed FROM uw0)"
+    val dps = (1 to 24).map { k =>
+      s"""${p}d$k AS MATERIALIZED (
+         |  SELECT * FROM ${p}d${k - 1} UNION ALL
+         |  SELECT w.word, $k,
+         |    (SELECT min(((d.packed // 8) + v.cost_micro * 64 + 1) * 8
+         |                + length(v.piece))
+         |     FROM ${p}d${k - 1} d, $vc v
+         |     WHERE d.uword = w.word
+         |       AND d.pos = $k - length(v.piece)
+         |       AND substr(w.word, d.pos + 1, length(v.piece))
+         |         = v.piece)
+         |  FROM uw0 w WHERE length(w.word) >= $k)""".stripMargin
+    }
+    val wk0 = s"${p}w0 AS MATERIALIZED (SELECT word, " +
+      s"length(word) AS pos FROM uw0)"
+    val wks = (1 to 24).map { j =>
+      s"""${p}w$j AS MATERIALIZED (
+         |  SELECT w.word, CAST(w.pos - (d.packed % 8) AS INT) AS pos,
+         |    substr(w.word, CAST(w.pos - (d.packed % 8) + 1 AS INT),
+         |      CAST(d.packed % 8 AS INT)) AS piece
+         |  FROM ${p}w${j - 1} w JOIN ${p}d24 d
+         |    ON d.uword = w.word AND d.pos = w.pos
+         |  WHERE w.pos > 0)""".stripMargin
+    }
+    val steps = (1 to 24)
+      .map(j => s"SELECT word, piece FROM ${p}w$j")
+      .mkString("\n    UNION ALL ")
+    val usage =
+      s"""${p}u AS MATERIALIZED (
+         |  SELECT s.piece, CAST(sum(f.freq) AS BIGINT) AS cnt FROM (
+         |    $steps) s
+         |  JOIN uw0 f ON s.word = f.word
+         |  GROUP BY s.piece)""".stripMargin
+    (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks :+ usage).mkString(",\n")
+  }
+
+  /** One unigram M-step as CTEs: keep every single-char piece of the
+    * CURRENT vocabulary at max(usage, 1), the top-40 multi-char
+    * pieces of the usage by (cnt DESC, piece ASC), and re-cost on the
+    * kept total — mirrors UnigramLm.train's M-step exactly. Emits
+    * cost CTE `${p}v` (piece, cost_micro) and counts `${p}k`. */
+  private def unigramMstepSql(p: String, vc: String): String =
+    s"""${p}k AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+       |    FROM $vc v LEFT JOIN ${p}u u USING (piece)
+       |    WHERE length(v.piece) = 1)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM ${p}u WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT 40)),
+       |${p}t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ${p}k),
+       |${p}v AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(-1000000.0 * ln(CAST(cnt AS DOUBLE) /
+       |      (SELECT tot FROM ${p}t)) + 0.5) AS BIGINT) AS cost_micro
+       |  FROM ${p}k)""".stripMargin
+
+  /** Full unrolled 2-round hard-EM oracle for q_unigram_train: seed
+    * vocab costs → E-step → M-step → E-step → M-step → final
+    * segmentation usage under the trained costs → (piece, cnt,
+    * cost_micro). */
+  // lazy: unigramVocabCtesSql is declared below and object-init order
+  // would otherwise read it as null
+  private lazy val unigramTrainSql: String =
+    unigramVocabCtesSql +
+      """,
+        |vcost AS MATERIALIZED (
+        |  SELECT piece,
+        |    CAST(floor(-1000000.0 *
+        |      ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM utot)) + 0.5)
+        |      AS BIGINT) AS cost_micro
+        |  FROM uvocab),
+        |""".stripMargin +
+      unigramEstepSql("r1", "vcost") + ",\n" +
+      unigramMstepSql("r1", "vcost") + ",\n" +
+      unigramEstepSql("r2", "r1v") + ",\n" +
+      unigramMstepSql("r2", "r1v") + ",\n" +
+      unigramEstepSql("r3", "r2v") +
+      """
+        |SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt,
+        |  v.cost_micro
+        |FROM r2v v LEFT JOIN r3u u USING (piece)
+        |ORDER BY v.piece""".stripMargin
 
   private val unigramVocabCtesSql: String =
     """WITH uw0 AS MATERIALIZED (
