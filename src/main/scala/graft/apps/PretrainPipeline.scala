@@ -59,7 +59,16 @@ object PretrainDataPipeline {
       .filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
 
-  /** Stage 1: exact dedup — keep each fingerprint's min-id canonical. */
+  /** Stage 1: exact dedup — keep each fingerprint's min-id canonical.
+    *
+    * Streaming twin: an INCREMENTAL ingest runs
+    * [[graft.streaming.StreamingDedupTtl.firstSeen]] at the edge —
+    * the same normalized-text fingerprint, TTL-bounded RocksDB state
+    * (endurance-probed at 100k keys: state 100k → 0 after expiry
+    * with zero input, full re-admission after; see graft.TtlDedupProbe
+    * / DEVNOTES round 14) — then this batch stage provides the global
+    * exact pass over the accumulated corpus, as the operator's
+    * scaladoc prescribes. */
   def afterExactDedup(corpus: DataFrame, cfg: Config): DataFrame =
     corpus.join(droppedByExactDedup(corpus, cfg), Seq("doc_id"), "left_anti")
 
