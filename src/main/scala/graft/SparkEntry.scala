@@ -4091,6 +4091,32 @@ object SparkEntry {
           danglingRedistribute = true)
         .orderBy(col("node"))),
 
+    // ---- deterministic uniform random walks (DeepWalk corpus
+    //      generation): neighbor choice = stableHash64(walk:step:seed)
+    //      mod degree over the id-sorted adjacency — bit-reproducible
+    //      under retries/AQE/engines; per-step frontier equi-join,
+    //      keyed (never global) window for the adjacency index
+    "q_graph_walks" -> ((s, dir) =>
+      operators.Graph.randomWalks(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 2000).as("u"),
+            (col("l_partkey") % 2000 + 2000).as("v")),
+          col("u"), col("v"), walksPerNode = 2, steps = 4)
+        .orderBy(col("walk_id"), col("pos"))),
+
+    // ---- WEIGHTED PageRank: mass splits proportionally to edge
+    //      weight (floor(pr·85·w / (100·W)) per edge, one exact
+    //      integer division) — the similarity-weighted ranking pass;
+    //      same fixed-round bit-determinism as q_graph_pagerank
+    "q_graph_pagerank_w" -> ((s, dir) =>
+      operators.Graph.pageRankW(
+          Tables.lineitem(s, dir)
+            .select(concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"),
+              col("l_quantity").cast("long").as("w")),
+          col("src"), col("dst"), col("w"), rounds = 3)
+        .orderBy(col("node"))),
+
     // ---- WEIGHTED label propagation (largest incident weight sum,
     //      smallest-label tie-break) feeding weighted Newman
     //      modularity (contrib_num = 4·m_w·W_c − d_c², no division →
@@ -10105,6 +10131,49 @@ object SparkEntry {
         |    CROSS JOIN nn)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
 
+    "q_graph_walks" -> randomWalksSql,
+
+    "q_graph_pagerank_w" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |           'p' || CAST(l_partkey AS VARCHAR) AS dst,
+        |           CAST(l_quantity AS BIGINT) AS w FROM lineitem)
+        |  GROUP BY src, dst),
+        |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+        |       FROM e GROUP BY 1),
+        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85 * e.w) // (100 * ow.ow)) AS BIGINT) AS c
+        |  FROM e JOIN p0 p ON e.src = p.node
+        |       JOIN ow ON e.src = ow.src
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c1.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85 * e.w) // (100 * ow.ow)) AS BIGINT) AS c
+        |  FROM e JOIN p1 p ON e.src = p.node
+        |       JOIN ow ON e.src = ow.src
+        |  GROUP BY 1),
+        |p2 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c2.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85 * e.w) // (100 * ow.ow)) AS BIGINT) AS c
+        |  FROM e JOIN p2 p ON e.src = p.node
+        |       JOIN ow ON e.src = ow.src
+        |  GROUP BY 1),
+        |p3 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS pr
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
     "q_graph_modularity_w" -> modularityWSql,
 
     "q_graph_louvain_ml" -> louvainMlSql,
@@ -10633,6 +10702,43 @@ object SparkEntry {
   // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
   // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
   // word occurrences, all single chars + top-40 multis
+  /** Deterministic random-walk oracle: id-sorted adjacency indexed by
+    * a keyed row_number, neighbor choice = md5-hash(walk:step:seed)
+    * mod degree, 4 unrolled steps — mirrors Graph.randomWalks
+    * (stableHash64 is the same first-15-hex-chars-of-md5 integer). */
+  private val randomWalksSql: String = {
+    val stepCtes = (1 to 4).map { t =>
+      s"""f$t AS MATERIALIZED (
+         |  SELECT f.walk_id, $t AS pos, a.v AS node
+         |  FROM f${t - 1} f JOIN dg d ON f.node = d.u
+         |  JOIN adj a ON a.u = f.node
+         |   AND a.idx = CAST('0x' ||
+         |     substr(md5(f.walk_id || ':$t:42'), 1, 15) AS BIGINT)
+         |     % d.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey % 2000 AS u,
+       |    2000 + (l_partkey % 2000) AS v FROM lineitem),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |adj AS MATERIALIZED (SELECT u, v,
+       |  CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+       |    AS BIGINT) AS idx FROM sym),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |       FROM sym GROUP BY 1),
+       |st AS (SELECT n.node * 2 + j.j AS walk_id, n.node
+       |       FROM (SELECT DISTINCT u AS node FROM sym) n,
+       |            (SELECT unnest(range(0, 2)) AS j) j),
+       |f0 AS (SELECT walk_id, 0 AS pos, node FROM st),
+       |$stepCtes
+       |SELECT walk_id, CAST(pos AS INT) AS pos,
+       |  CAST(node AS BIGINT) AS node
+       |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+       |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+       |      UNION ALL SELECT * FROM f4)
+       |ORDER BY walk_id, pos""".stripMargin
+  }
+
   /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
     * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum
     * argmax with (ws DESC, lbl ASC) tie-break, then the integer

@@ -484,15 +484,32 @@ object Multimodal {
     f.map(_ / (payload.length / 8.0f) / norm)
   }
 
+  /** The PLUGGABLE decoder seam: (kind, payload) → Some(features) on
+    * a successful decode, None to fall back to [[decodeStub]]. The
+    * function is closure-serialized to executors, so a deployment
+    * with real codecs on the classpath (FFmpeg JNI, JCodec, a JNI
+    * CLIP encoder) plugs in here WITHOUT touching the pipeline shape
+    * — batching, schema, and the decoded-flag contract stay fixed. */
+  type Decoder = (String, Array[Byte]) => Option[Array[Float]]
+
+  /** Default decoder: everything the bare JRE can do — ImageIO images,
+    * WAV/PCM + G.711 audio, MJPEG-in-AVI video; anything else → None
+    * (MP3/AAC/H.264 need codecs the JRE does not ship). */
+  val jreDecoder: Decoder = (kind, payload) => kind match {
+    case "image" => decodeImage(payload)
+    case "audio" => decodeAudio(payload)
+    case "video" => decodeVideo(payload)
+    case _       => None
+  }
+
   /** Batched feature extraction: (asset_id, kind, features ARRAY<FLOAT>,
     * decoded BOOLEAN). Partition-local, batch-at-a-time — the
-    * mapInPandas shape. Images run the REAL ImageIO decode (pixel
-    * stats), audio the REAL WAV/PCM decode (sample stats), and video
-    * the REAL MJPEG-in-AVI frame decode (per-frame ImageIO, averaged);
-    * a corrupt/undecodable payload (or a codec the JRE can't decode,
-    * e.g. H.264-in-MP4) falls back to the byte-derived stub with
+    * mapInPandas shape. The `decoder` seam defaults to [[jreDecoder]]
+    * (REAL ImageIO / WAV-PCM / MJPEG decodes); a corrupt or
+    * codec-less payload falls back to the byte-derived stub with
     * `decoded = false`. */
-  def extractFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(assets: DataFrame, batchSize: Int = 64,
+                      decoder: Decoder = jreDecoder): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("payload"))
@@ -501,12 +518,7 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch setup happens HERE in a real decoder (codec/model init)
           batch.map { case (id, kind, payload) =>
-            val decoded = kind match {
-              case "image" => decodeImage(payload)
-              case "audio" => decodeAudio(payload)
-              case "video" => decodeVideo(payload)
-              case _       => None
-            }
+            val decoded = decoder(kind, payload)
             (id, kind, decoded.getOrElse(decodeStub(kind, payload)),
               decoded.isDefined)
           }

@@ -421,6 +421,71 @@ object Graph {
           col("deg_sum") * col("deg_sum")).as("contrib_num"))
   }
 
+  /** DETERMINISTIC uniform random walks — the DeepWalk/node2vec
+    * corpus-generation pass that turns a graph into walk "sentences"
+    * for a skip-gram embedding pipeline. Every node starts
+    * `walksPerNode` walks; at step t walk w moves from its current
+    * node to neighbor number stableHash64(w:t:seed) mod degree in the
+    * node's id-sorted adjacency — a pure function of (walk, step,
+    * seed), so the corpus is bit-identical across partitionings,
+    * retries, AQE replans, and engines (the md5-derived hash is the
+    * same one the sampling family uses for oracle-checkable
+    * randomness; true RNG walks would be irreproducible under task
+    * retry, which at 100 TB is a correctness bug, not a nicety).
+    *
+    * Scale shape: the adjacency index is one keyed window
+    * (row_number partitioned BY NODE — bounded by max degree, never
+    * global) materialized once; each step is one equi-join of the
+    * walk frontier against (node, idx) — node-key shuffles, fixed
+    * `steps` budget, per-step lineage cut. Isolated nodes never
+    * appear (symmetrized edges mean degree ≥ 1 for every emitted
+    * node), so walks never strand. Output: (walk_id, pos, node) with
+    * pos 0..steps — walk_id = start_node·walksPerNode + j. */
+  def randomWalks(edges: DataFrame, uCol: Column, vCol: Column,
+                  walksPerNode: Int = 2, steps: Int = 4,
+                  seed: Long = 42L): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 0, "bad walk budget")
+    val spark = edges.sparkSession
+    val sym = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"))
+      .unionAll(edges.select(vCol.cast("long").as("u"),
+        uCol.cast("long").as("v")))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val adj = sym
+      .withColumn("idx", row_number().over(byNode).cast("long") - 1)
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val starts = sym.select(col("u").as("node")).distinct()
+      .crossJoin(spark.range(walksPerNode).select(col("id").as("j")))
+      .select((col("node") * walksPerNode + col("j")).as("walk_id"),
+        col("node"))
+    var frontier = starts
+      .select(col("walk_id"), lit(0).as("pos"), col("node"))
+      .localCheckpoint(true)
+    var out = frontier
+    var t = 1
+    while (t <= steps) {
+      frontier = frontier
+        .join(deg.withColumnRenamed("u", "node"), Seq("node"))
+        .withColumn("idx",
+          graft.functions.stableHash64(concat_ws(":", col("walk_id"),
+            lit(t), lit(seed))) % col("deg"))
+        .join(adj.select(col("u").as("node"), col("idx"),
+          col("v").as("next")), Seq("node", "idx"))
+        .select(col("walk_id"), lit(t).as("pos"),
+          col("next").as("node"))
+        .localCheckpoint(true)
+      out = out.unionAll(frontier)
+      t += 1
+    }
+    out
+  }
+
   // ------------------------------------------------ weighted variants
   // Similarity-graph pipelines (MinHash Jaccard scores, co-occurrence
   // PMI) produce WEIGHTED edges; the integer-exactness discipline
@@ -442,6 +507,50 @@ object Graph {
         .filter(col("u").isNotNull && col("v").isNotNull &&
           col("w").isNotNull && col("u") =!= col("v")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+
+  /** [[pageRank]] with WEIGHTED edges: each round a node with
+    * out-weight W sends floor(pr·dampNum·w / (dampDen·W)) units along
+    * each out-edge of weight w — mass splits proportionally to edge
+    * weight instead of evenly, one exact integer division per edge,
+    * rounding residue dropped deterministically. Parallel edges
+    * collapse by weight sum first; non-positive weights are dropped.
+    * Same fixed-round bit-determinism contract as [[pageRank]]; exact
+    * while pr·dampNum·w < 2^63 (with the default scale, edge weights
+    * below ~1e8 on graphs up to ~1e5·scale total mass).
+    *
+    * Scale: identical shape to [[pageRank]] — one weighted outdeg
+    * rollup + one edge join + one incoming-mass aggregation per
+    * round, all map-side combinable, node-key shuffles only. */
+  def pageRankW(edges: DataFrame, srcCol: Column, dstCol: Column,
+                wCol: Column, rounds: Int = 3, scale: Long = 1000000L,
+                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(srcCol.cast("string").as("src"),
+        dstCol.cast("string").as("dst"), wCol.cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = nodes.withColumn("pr", lit(scale))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(pr * $dampNum * w) div ($dampDen * ow)").as("c"))
+      val incoming = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("in"))
+      pr = nodes.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in"), lit(0L))).as("pr"))
+      r += 1
+    }
+    pr
+  }
 
   /** [[labelPropagation]] with edge weights: each round every node
     * adopts the label with the largest incident WEIGHT SUM (ties →

@@ -238,6 +238,57 @@ class GraphSpec extends SparkSpec {
     got.values.sum should be > dropped.values.sum
   }
 
+  test("randomWalks: valid edges every step, deterministic under " +
+      "repartitioning, seed changes the corpus") {
+    val edges = (0 until 200)
+      .map(i => ((i * 7) % 23L, (i * 13 + 5) % 23L))
+      .filter { case (u, v) => u != v }.toDF("u", "v")
+    val walks = Graph.randomWalks(edges, col("u"), col("v"),
+        walksPerNode = 2, steps = 4)
+      .as[(Long, Int, Long)].collect().sorted
+    val nNodes = edges.select(col("u")).union(edges.select(col("v")))
+      .distinct().count().toInt // 22: node 21 only pairs with itself
+    walks.length shouldBe nNodes * 2 * 5 // every walk runs full length
+    // every consecutive (pos, pos+1) pair must be a real edge
+    val es = edges.as[(Long, Long)].collect()
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    walks.groupBy(_._1).values.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Array(a, b) =>
+        es should contain((a, b))
+      }
+      // walk_id encodes the start node
+      path.head shouldBe w.head._1 / 2
+    }
+    // partition-invariance (retry/AQE safety)
+    val walksRe = Graph.randomWalks(edges.repartition(13), col("u"),
+        col("v"), walksPerNode = 2, steps = 4)
+      .as[(Long, Int, Long)].collect().sorted
+    walksRe shouldBe walks
+    // a different seed produces a different corpus
+    val other = Graph.randomWalks(edges, col("u"), col("v"),
+        walksPerNode = 2, steps = 4, seed = 7L)
+      .as[(Long, Int, Long)].collect().sorted
+    other should not be walks
+  }
+
+  test("pageRankW: hand-computed proportional split; unit weights " +
+      "reproduce pageRank") {
+    // A sends 3/4 of its mass to B and 1/4 to C (weights 3, 1)
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("s", "d", "w")
+    val got = Graph.pageRankW(edges, col("s"), col("d"), col("w"),
+        rounds = 1).as[(String, Long)].collect().toMap
+    // A: base; B: base + floor(1e6*85*3/400); C: base + floor(1e6*85/400)
+    got shouldBe Map("A" -> 150000L, "B" -> 787500L, "C" -> 362500L)
+    val uw = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+    val w1 = Graph.pageRankW(uw.withColumn("w", lit(1L)),
+        col("s"), col("d"), col("w"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    val ref = Graph.pageRank(uw, col("s"), col("d"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    w1 shouldBe ref
+  }
+
   test("labelPropagationW: heavy edge outweighs the count majority") {
     // node 1 has two unit-weight neighbors (labels 2, 3) and one
     // weight-5 neighbor (label 4): unweighted LPA ties -> label 2,

@@ -43,6 +43,26 @@ class MultimodalSpec extends SparkSpec {
     a(2)._3.toArray shouldBe Multimodal.decodeStub("video", videoPayload)
   }
 
+  test("extractFeatures decoder seam: a plugged decoder replaces the " +
+      "JRE path without changing the pipeline shape") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    // a fake external codec that "decodes" video (the JRE default
+    // can't for the MP4 payloads) and refuses everything else
+    val plugged: Multimodal.Decoder = (kind, payload) =>
+      if (kind == "video") Some(Array.fill(8)(payload.length.toFloat))
+      else None
+    val out = Multimodal.extractFeatures(assets, batchSize = 7,
+        decoder = plugged)
+      .orderBy(col("asset_id"))
+      .as[(Long, String, Seq[Float], Boolean)].collect()
+    out.length shouldBe 30
+    // videos now decode; image/audio fall back to the stub
+    out.filter(_._2 == "video").forall(_._4) shouldBe true
+    out.filter(_._2 != "video").exists(_._4) shouldBe false
+    val v = out.filter(_._2 == "video").head
+    v._3.toSet.size shouldBe 1 // the plugged features, not the stub's
+  }
+
   test("decodeImage: real PNG round-trip yields exact pixel stats") {
     // solid-color 4x2 image: means are exact, luma variance is 0
     val img = new java.awt.image.BufferedImage(
