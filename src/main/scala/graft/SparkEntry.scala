@@ -4104,6 +4104,34 @@ object SparkEntry {
           col("u"), col("v"), walksPerNode = 2, steps = 4)
         .orderBy(col("walk_id"), col("pos"))),
 
+    // ---- skip-gram (center, context) pair counts over the walk
+    //      corpus: banded self-join on walk_id — the training table a
+    //      SGNS graph-embedding trainer consumes; constant join
+    //      fan-out per row (walkLen·window), one combinable count
+    "q_graph_skipgram" -> ((s, dir) =>
+      operators.Graph.skipGramPairs(
+          operators.Graph.randomWalks(
+            Tables.lineitem(s, dir).select(
+              (col("l_orderkey") % 2000).as("u"),
+              (col("l_partkey") % 2000 + 2000).as("v")),
+            col("u"), col("v"), walksPerNode = 2, steps = 4),
+          window = 2)
+        .orderBy(col("center"), col("context"))),
+
+    // ---- multi-level Louvain at resolution γ=3 (Reichardt–Bornholdt
+    //      generalized modularity: null-model term tripled in the
+    //      integer gain) — the knob against the resolution limit the
+    //      20x scale probe documents; same graph as q_graph_louvain_ml
+    "q_graph_louvain_res" -> ((s, dir) =>
+      operators.Graph.louvainLevels(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 300).as("u"),
+            (col("l_partkey") % 300 + 300).as("v"),
+            col("l_quantity").cast("long").as("w")),
+          col("u"), col("v"), col("w"), levels = 2, movesPerLevel = 2,
+          resNum = 3L, resDen = 1L)
+        .orderBy(col("node"))),
+
     // ---- WEIGHTED PageRank: mass splits proportionally to edge
     //      weight (floor(pr·85·w / (100·W)) per edge, one exact
     //      integer division) — the similarity-weighted ranking pass;
@@ -10133,6 +10161,10 @@ object SparkEntry {
 
     "q_graph_walks" -> randomWalksSql,
 
+    "q_graph_skipgram" -> skipGramSql,
+
+    "q_graph_louvain_res" -> louvainResSql,
+
     "q_graph_pagerank_w" ->
       """WITH e AS MATERIALIZED (
         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
@@ -10706,7 +10738,7 @@ object SparkEntry {
     * a keyed row_number, neighbor choice = md5-hash(walk:step:seed)
     * mod degree, 4 unrolled steps — mirrors Graph.randomWalks
     * (stableHash64 is the same first-15-hex-chars-of-md5 integer). */
-  private val randomWalksSql: String = {
+  private val randomWalkCtesSql: String = {
     val stepCtes = (1 to 4).map { t =>
       s"""f$t AS MATERIALIZED (
          |  SELECT f.walk_id, $t AS pos, a.v AS node
@@ -10730,14 +10762,31 @@ object SparkEntry {
        |       FROM (SELECT DISTINCT u AS node FROM sym) n,
        |            (SELECT unnest(range(0, 2)) AS j) j),
        |f0 AS (SELECT walk_id, 0 AS pos, node FROM st),
-       |$stepCtes
-       |SELECT walk_id, CAST(pos AS INT) AS pos,
-       |  CAST(node AS BIGINT) AS node
-       |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
-       |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
-       |      UNION ALL SELECT * FROM f4)
-       |ORDER BY walk_id, pos""".stripMargin
+       |$stepCtes,
+       |wa AS MATERIALIZED (
+       |  SELECT * FROM f0 UNION ALL SELECT * FROM f1
+       |  UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+       |  UNION ALL SELECT * FROM f4)""".stripMargin
   }
+
+  private val randomWalksSql: String =
+    randomWalkCtesSql +
+      """
+        |SELECT walk_id, CAST(pos AS INT) AS pos,
+        |  CAST(node AS BIGINT) AS node
+        |FROM wa ORDER BY walk_id, pos""".stripMargin
+
+  /** Skip-gram pairs over the same walk corpus: banded self-join on
+    * walk_id, directed pairs, corpus-wide counts. */
+  private val skipGramSql: String =
+    randomWalkCtesSql +
+      """
+        |SELECT CAST(a.node AS BIGINT) AS center,
+        |  CAST(b.node AS BIGINT) AS context,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM wa a JOIN wa b ON a.walk_id = b.walk_id
+        |  AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+        |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 
   /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
     * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum
@@ -10791,7 +10840,8 @@ object SparkEntry {
     * `self` names an optional (node, selfw) CTE whose rows add
     * 2·selfw to the weighted degree. Emits label CTE `${p}o`. */
   private def louvainMoveRoundSql(p: String, inter: String,
-      self: Option[String], lab: String): String = {
+      self: Option[String], lab: String,
+      gn: Long = 1L, gd: Long = 1L): String = {
     val selfDeg = self.map(s =>
       s"\n    UNION ALL SELECT node, 2 * selfw FROM $s").getOrElse("")
     s"""${p}s AS MATERIALIZED (
@@ -10815,7 +10865,8 @@ object SparkEntry {
        |  FROM $lab n LEFT JOIN ${p}ki k0
        |    ON k0.node = n.node AND k0.c = n.lbl),
        |${p}sc AS (SELECT ca.node, ca.c,
-       |    t.w2 * ca.kic - coalesce(d.k, 0) * (coalesce(cd.dd, 0) -
+       |    $gd * t.w2 * ca.kic -
+       |      $gn * coalesce(d.k, 0) * (coalesce(cd.dd, 0) -
        |      CASE WHEN ca.c = cur.lbl THEN coalesce(d.k, 0)
        |           ELSE 0 END) AS s
        |  FROM ${p}ca ca JOIN $lab cur ON ca.node = cur.node
@@ -10834,7 +10885,7 @@ object SparkEntry {
     * sum canonically, intra weight becomes the supernode self-loop)
     * → identity labels on communities → move ×2 → fold back to the
     * original nodes. */
-  private val louvainMlSql: String = {
+  private def louvainLevelsSql(gn: Long, gd: Long): String = {
     s"""WITH i0 AS MATERIALIZED (
        |  SELECT u AS a, v AS b, CAST(sum(w) AS BIGINT) AS w FROM (
        |    SELECT l_orderkey % 300 AS u, 300 + (l_partkey % 300) AS v,
@@ -10842,8 +10893,8 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM (
        |  SELECT a AS node FROM i0 UNION ALL SELECT b FROM i0)),
-       |${louvainMoveRoundSql("m1", "i0", None, "l0")},
-       |${louvainMoveRoundSql("m2", "i0", None, "m1o")},
+       |${louvainMoveRoundSql("m1", "i0", None, "l0", gn, gd)},
+       |${louvainMoveRoundSql("m2", "i0", None, "m1o", gn, gd)},
        |ed AS MATERIALIZED (
        |  SELECT la.lbl AS x, lb.lbl AS y, e.w
        |  FROM i0 e JOIN m2o la ON e.a = la.node
@@ -10857,13 +10908,19 @@ object SparkEntry {
        |  FROM ed WHERE x = y GROUP BY 1),
        |l1 AS MATERIALIZED (
        |  SELECT DISTINCT lbl AS node, lbl FROM m2o),
-       |${louvainMoveRoundSql("m3", "i1", Some("s1"), "l1")},
-       |${louvainMoveRoundSql("m4", "i1", Some("s1"), "m3o")}
+       |${louvainMoveRoundSql("m3", "i1", Some("s1"), "l1", gn, gd)},
+       |${louvainMoveRoundSql("m4", "i1", Some("s1"), "m3o", gn, gd)}
        |SELECT CAST(a.node AS BIGINT) AS node,
        |  CAST(o.lbl AS BIGINT) AS lbl
        |FROM m2o a JOIN m4o o ON a.lbl = o.node
        |ORDER BY node""".stripMargin
   }
+
+  private val louvainMlSql: String = louvainLevelsSql(1L, 1L)
+
+  /** Resolution γ = 3 variant (Reichardt–Bornholdt): same unrolled
+    * multi-level pipeline with the null-model term tripled. */
+  private val louvainResSql: String = louvainLevelsSql(3L, 1L)
 
   /** One unigram hard-EM E-step as CTEs (prefix `p`, cost table CTE
     * `vc` with (piece, cost_micro)): 24-position weighted-Viterbi DP

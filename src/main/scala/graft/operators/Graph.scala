@@ -486,6 +486,31 @@ object Graph {
     out
   }
 
+  /** Skip-gram training pairs from a [[randomWalks]] corpus: for
+    * every walk, each (center, context) node pair within `window`
+    * positions of each other, counted over the whole corpus —
+    * (center, context, cnt), the co-occurrence table a
+    * skip-gram-with-negative-sampling embedding trainer consumes
+    * (and exactly what a words-in-sentences pipeline would produce,
+    * with walks as sentences). Pairs are directed (both orders
+    * emitted), excluding the center itself.
+    *
+    * Scale: a self-equi-join on walk_id with a position band — the
+    * join fan-out is walkLen·window per walk row, a constant — then
+    * one combinable count. No windows, no driver state. */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val a = walks.select(col("walk_id"), col("pos").as("pa"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("pos").as("pb"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("pa") =!= col("pb") &&
+        abs(col("pa") - col("pb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   // ------------------------------------------------ weighted variants
   // Similarity-graph pipelines (MinHash Jaccard scores, co-occurrence
   // PMI) produce WEIGHTED edges; the integer-exactness discipline
@@ -631,13 +656,19 @@ object Graph {
     * the node's weighted degree (the standard convention) but never
     * to a neighbor-community weight (moving the node carries its
     * internal edges along, so they cancel out of every candidate's
-    * score). Score = W2·k_i,c − k_i·d_c′ with W2 = Σ degrees = 2m_w
-    * — the [[louvainMove]] integer gain halved, same argmax, ties →
-    * smallest community label. Labels must be non-negative longs.
-    * Exact while W2·k_i,c < 2^63. */
+    * score). Score = resDen·W2·k_i,c − resNum·k_i·d_c′ with
+    * W2 = Σ degrees = 2m_w — the [[louvainMove]] integer gain halved,
+    * same argmax, ties → smallest community label; resNum/resDen is
+    * the RESOLUTION γ of the Reichardt–Bornholdt generalized
+    * modularity (γ > 1 penalizes the null model harder → smaller
+    * communities — the knob against the resolution limit the
+    * GraphScaleProbe documents; γ = 1 is classic Louvain). Labels
+    * must be non-negative longs. Exact while
+    * resDen·W2·k_i,c < 2^63. */
   def louvainMoveW(edges: DataFrame, uCol: Column, vCol: Column,
                    wCol: Column, labels: DataFrame,
-                   selfLoops: Option[DataFrame] = None): DataFrame = {
+                   selfLoops: Option[DataFrame] = None,
+                   resNum: Long = 1L, resDen: Long = 1L): DataFrame = {
     val sym = symW(edges, uCol, vCol, wCol).localCheckpoint(true)
     val lab = labels.select(col("node"), col("lbl"))
     val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
@@ -668,7 +699,7 @@ object Graph {
       .na.fill(0L, Seq("dc"))
       .crossJoin(broadcast(w2Df))
       .withColumn("s",
-        col("w2") * col("kic") - col("k") *
+        lit(resDen) * col("w2") * col("kic") - lit(resNum) * col("k") *
           (col("dc") -
             when(col("c") === col("a"), col("k")).otherwise(lit(0L))))
     scored.groupBy(col("node"))
@@ -698,7 +729,8 @@ object Graph {
     * Emits (node, lbl): ORIGINAL node → final coarse community. */
   def louvainLevels(edges: DataFrame, uCol: Column, vCol: Column,
                     wCol: Column, levels: Int = 2,
-                    movesPerLevel: Int = 2): DataFrame = {
+                    movesPerLevel: Int = 2,
+                    resNum: Long = 1L, resDen: Long = 1L): DataFrame = {
     require(levels >= 1 && movesPerLevel >= 1, "bad louvain budget")
     val raw = edges.select(uCol.cast("long").as("u"),
         vCol.cast("long").as("v"), wCol.cast("long").as("w"))
@@ -726,7 +758,7 @@ object Graph {
       var mv = 0
       while (mv < movesPerLevel) {
         lab = louvainMoveW(inter, col("a"), col("b"), col("w"), lab,
-            Some(selfLoops))
+            Some(selfLoops), resNum, resDen)
           .localCheckpoint(true)
         mv += 1
       }

@@ -272,6 +272,43 @@ class GraphSpec extends SparkSpec {
     other should not be walks
   }
 
+  test("skipGramPairs: hand-computed window pairs on a fixed corpus") {
+    // one walk 0:[10,20,30,40], window 2; another walk 1:[10,20]
+    val walks = Seq((0L, 0, 10L), (0L, 1, 20L), (0L, 2, 30L),
+      (0L, 3, 40L), (1L, 0, 10L), (1L, 1, 20L))
+      .toDF("walk_id", "pos", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    got((10L, 20L)) shouldBe 2L // both walks
+    got((10L, 30L)) shouldBe 1L // dist 2, walk 0 only
+    got.get((10L, 40L)) shouldBe None // dist 3 > window
+    got((30L, 10L)) shouldBe 1L // directed: both orders present
+    got((20L, 40L)) shouldBe 1L
+    // every pair's mirror exists with the same count
+    got.foreach { case ((a, b), c) => got((b, a)) shouldBe c }
+  }
+
+  test("louvainLevels resolution γ: γ=1 merges the tiny graph, a " +
+      "large γ forces singletons (null model dominates)") {
+    // the bridged-K4 fixture the convergence test uses: γ=1 finds
+    // the two cliques (asserted there)
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j, 3L)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j, 3L)
+    val edges = (k4a ++ k4b :+ ((4L, 5L, 1L))).toDF("u", "v", "w")
+    def nComms(rn: Long): Long =
+      Graph.louvainLevels(edges, col("u"), col("v"), col("w"),
+          levels = 2, movesPerLevel = 2, resNum = rn)
+        .select(col("lbl")).distinct().count()
+    nComms(1L) shouldBe 2L // one community per clique
+    // γ=100: every foreign community scores W2·kic − 100·k·dc < 0,
+    // so every node keeps its own label at every level
+    nComms(100L) shouldBe 8L
+    // and γ is monotone between the extremes
+    nComms(3L) should be >= nComms(1L)
+    nComms(100L) should be >= nComms(3L)
+  }
+
   test("pageRankW: hand-computed proportional split; unit weights " +
       "reproduce pageRank") {
     // A sends 3/4 of its mass to B and 1/4 to C (weights 3, 1)
