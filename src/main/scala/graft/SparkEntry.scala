@@ -4104,6 +4104,20 @@ object SparkEntry {
           col("u"), col("v"), walksPerNode = 2, steps = 4)
         .orderBy(col("walk_id"), col("pos"))),
 
+    // ---- approximate neighborhood function (HyperBall with the
+    //      deterministic bottom-k sketch): per (node, radius) ball-
+    //      size estimates via k-bounded sketch propagation — exact
+    //      below k members, hash-exact everywhere (md5 hashes; HLL
+    //      could never be oracle-gated); hub cost is k longs of agg
+    //      state per node, not a collect_list
+    "q_graph_anf" -> ((s, dir) =>
+      operators.Graph.neighborhoodFunction(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 4000).as("u"),
+            (col("l_partkey") % 4000 + 4000).as("v")),
+          col("u"), col("v"), radius = 2, k = 16)
+        .orderBy(col("node"), col("r"))),
+
     // ---- skip-gram (center, context) pair counts over the walk
     //      corpus: banded self-join on walk_id — the training table a
     //      SGNS graph-embedding trainer consumes; constant join
@@ -10162,6 +10176,49 @@ object SparkEntry {
     "q_graph_walks" -> randomWalksSql,
 
     "q_graph_skipgram" -> skipGramSql,
+
+    // exact r-hop reachability sets (feasible at sf0.01), bottom-16
+    // md5 hashes per ball, same estimate formula as the KMV agg —
+    // the sketch propagation is LOSSLESS for bottom-k, so the Spark
+    // side's iterated merge equals the direct ball sketch
+    "q_graph_anf" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey % 4000 AS u,
+        |    4000 + (l_partkey % 4000) AS v FROM lineitem),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |r1 AS MATERIALIZED (
+        |  SELECT u AS node, u AS m FROM (SELECT DISTINCT u FROM sym)
+        |  UNION SELECT u, v FROM sym),
+        |r2 AS MATERIALIZED (
+        |  SELECT node, m FROM r1
+        |  UNION SELECT r1.node, s.v FROM r1 JOIN sym s ON r1.m = s.u),
+        |h1 AS (SELECT node,
+        |  CAST('0x'||substr(md5(CAST(m AS VARCHAR)),1,15) AS BIGINT)
+        |    AS hv FROM r1),
+        |h2 AS (SELECT node,
+        |  CAST('0x'||substr(md5(CAST(m AS VARCHAR)),1,15) AS BIGINT)
+        |    AS hv FROM r2),
+        |b1 AS (SELECT node, count(*) AS n, max(hv) AS hk FROM (
+        |  SELECT node, hv, row_number() OVER (PARTITION BY node
+        |    ORDER BY hv) AS rn FROM h1) WHERE rn <= 16 GROUP BY node),
+        |b2 AS (SELECT node, count(*) AS n, max(hv) AS hk FROM (
+        |  SELECT node, hv, row_number() OVER (PARTITION BY node
+        |    ORDER BY hv) AS rn FROM h2) WHERE rn <= 16 GROUP BY node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS INT) AS r,
+        |  CAST(nbh AS BIGINT) AS nbh FROM (
+        |  SELECT node, 1 AS r,
+        |    CASE WHEN n < 16 THEN n
+        |      ELSE CAST(floor(15 * 1152921504606846976.0 / hk)
+        |           AS BIGINT) END AS nbh
+        |  FROM b1
+        |  UNION ALL
+        |  SELECT node, 2,
+        |    CASE WHEN n < 16 THEN n
+        |      ELSE CAST(floor(15 * 1152921504606846976.0 / hk)
+        |           AS BIGINT) END
+        |  FROM b2)
+        |ORDER BY node, r""".stripMargin,
 
     "q_graph_louvain_res" -> louvainResSql,
 

@@ -486,6 +486,61 @@ object Graph {
     out
   }
 
+  /** Approximate Neighborhood Function (ANF / HyperBall with bottom-k
+    * sketches): for every node and radius r ≤ `radius`, an estimate
+    * of |{nodes within r hops}| — the primitive behind effective
+    * diameter, reachability profiles, and spam-farm "ball size"
+    * features at graph scales where exact per-node BFS is hopeless.
+    * Exactly Boldi–Vigna HyperBall with the engine's DETERMINISTIC
+    * KMV sketch in place of HLL: each round every node's ball sketch
+    * absorbs its neighbors' via the k-bounded
+    * [[graft.plans.KmvSketchMergeAgg]] (min-k distributes over union,
+    * so the propagated sketch IS the sketch of the true r-ball — no
+    * approximation error beyond the final k-of-n estimate), and the
+    * md5-derived hashes make every estimate bit-identical across
+    * partitionings, retries, and engines — oracle-hashable, which no
+    * HLL ball ever is. Estimates are EXACT below k members.
+    *
+    * Scale: per round one edge join + one sketch-merge groupBy with
+    * k-LONG aggregation buffers (a 10⁶-degree hub costs k longs of
+    * state, not a collect_list); lineage cut per round. Output:
+    * (node, r, nbh) for r = 1..radius. */
+  def neighborhoodFunction(edges: DataFrame, uCol: Column, vCol: Column,
+                           radius: Int = 2, k: Int = 16): DataFrame = {
+    require(radius >= 1 && k >= 2, "bad anf params")
+    val sym = edges.select(uCol.cast("long").as("u"),
+        vCol.cast("long").as("v"))
+      .unionAll(edges.select(vCol.cast("long").as("u"),
+        uCol.cast("long").as("v")))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var sk = sym.select(col("u").as("node")).distinct()
+      .withColumn("sk",
+        array(graft.functions.stableHash64(col("node").cast("string"))))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var r = 1
+    while (r <= radius) {
+      val gathered = sym
+        .join(sk.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("u"), col("sk"))
+        .unionAll(sk.select(col("node").as("u"), col("sk")))
+      sk = gathered.groupBy(col("u"))
+        .agg(graft.plans.KmvDistinctAgg
+          .kmvSketchMerge(col("sk"), k).as("sk"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(true)
+      val round = sk.select(col("node"), lit(r).as("r"),
+        graft.plans.KmvDistinctAgg
+          .kmvEstimateFromSketch(col("sk"), k).as("nbh"))
+      out = if (out == null) round else out.unionAll(round)
+      r += 1
+    }
+    out
+  }
+
   /** Skip-gram training pairs from a [[randomWalks]] corpus: for
     * every walk, each (center, context) node pair within `window`
     * positions of each other, counted over the whole corpus —

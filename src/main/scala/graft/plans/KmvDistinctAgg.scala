@@ -135,6 +135,13 @@ object KmvDistinctAgg {
       KmvMergeAgg(GraftShims.expression(c), k).toAggregateExpression())
   }
 
+  /** Column entry for [[KmvSketchMergeAgg]]. */
+  def kmvSketchMerge(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(
+      KmvSketchMergeAgg(GraftShims.expression(c), k).toAggregateExpression())
+  }
+
   // ------------------------------------------------------ set algebra
   // Theta-sketch-style set operations over two KmvSketchAgg arrays
   // (Beyer et al., SIGMOD'07): the bottom-k of A ∪ B is recoverable
@@ -306,5 +313,56 @@ case class KmvMergeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = newChildren.head)
+}
+
+/** Sketch-in, sketch-out fold: merges partial bottom-k ARRAYS into
+  * the bottom-k array of their union (lossless — min-k distributes
+  * over union). The missing corner of the KMV quartet (values→est,
+  * values→sketch, sketches→est, and now sketches→sketch); what an
+  * iterative sketch-propagation pass needs — each round of
+  * [[graft.operators.Graph.neighborhoodFunction]] folds every
+  * neighbor's sketch into a node's own with a k-BOUNDED buffer, so a
+  * hub with 10⁶ neighbors costs k longs of aggregation state, not a
+  * collect_list of 10⁶ arrays. */
+case class KmvSketchMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, s"kmv_sketch_merge needs k >= 2, got $k")
+
+  private val inner = KmvMergeAgg(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] =
+    inner.update(buf, input)
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    inner.merge(a, b)
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchMergeAgg =
     copy(child = newChildren.head)
 }

@@ -272,6 +272,41 @@ class GraphSpec extends SparkSpec {
     other should not be walks
   }
 
+  test("neighborhoodFunction: exact ball sizes below k, partition-" +
+      "invariant, k-truncation matches direct bottom-k") {
+    // chain 1-2-3-4-5 plus isolated-ish pair 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("u", "v")
+    val got = Graph.neighborhoodFunction(edges, col("u"), col("v"),
+        radius = 2, k = 16)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, r, b) => (n, r) -> b }.toMap
+    // below k=16 the estimate is the EXACT ball size
+    got((1L, 1)) shouldBe 2L // {1,2}
+    got((1L, 2)) shouldBe 3L // {1,2,3}
+    got((3L, 1)) shouldBe 3L // {2,3,4}
+    got((3L, 2)) shouldBe 5L // whole chain
+    got((8L, 2)) shouldBe 2L // {8,9}
+    // partition-invariance (deterministic hashes + lossless merge)
+    val re = Graph.neighborhoodFunction(edges.repartition(7), col("u"),
+        col("v"), radius = 2, k = 16)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, r, b) => (n, r) -> b }.toMap
+    re shouldBe got
+    // k=2 truncation: the propagated sketch equals the direct
+    // bottom-2 of the true ball, so the estimate matches the formula
+    // computed by hand from the two smallest member hashes
+    val k2 = Graph.neighborhoodFunction(edges, col("u"), col("v"),
+        radius = 2, k = 2)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, r, b) => (n, r) -> b }.toMap
+    def h(x: Long): Long = graft.functions.TextFunctions
+      .stableHash64Scala(x.toString)
+    val ball = Seq(1L, 2L, 3L).map(h).sorted // node 1, r=2
+    k2((1L, 2)) shouldBe math.floor(
+      1.0 * 1152921504606846976.0 / ball(1)).toLong
+  }
+
   test("skipGramPairs: hand-computed window pairs on a fixed corpus") {
     // one walk 0:[10,20,30,40], window 2; another walk 1:[10,20]
     val walks = Seq((0L, 0, 10L), (0L, 1, 20L), (0L, 2, 30L),
