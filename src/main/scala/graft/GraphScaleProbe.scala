@@ -154,6 +154,36 @@ object GraphScaleProbe {
       s"k-core 20x totals mismatch: $c20 vs 20x $cb")
     println(f"kcore 20x: ${c20._1} survivors $tCore%.1fs totals exactly 20x")
 
+    // (f) ANF / HyperBall neighborhood function, radius 2, k=16.
+    // Ball hashes follow node IDS, so replicas are not hash-identical
+    // to the base — the exact invariant is SLICE EQUALITY: running
+    // the base graph shifted into replica 7's id space must reproduce
+    // replica 7's slice of the 20x output row for row.
+    val anfShift = 7L * Off
+    val anfBase = operators.Graph.neighborhoodFunction(
+        base.select((col("u") + anfShift).as("u"),
+          (col("v") + anfShift).as("v")),
+        col("u"), col("v"), radius = 2, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val (anf20, tAnf) = time {
+      val d = operators.Graph.neighborhoodFunction(
+        e20, col("u"), col("v"), radius = 2, k = 16).persist()
+      val n = d.count()
+      val slice = d.filter(col("node") >= anfShift &&
+          col("node") < anfShift + Off)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      d.unpersist()
+      (n, slice)
+    }
+    require(anf20._2 == anfBase,
+      "ANF replica-7 slice differs from the shifted base run")
+    require(anf20._1 == anfBase.size.toLong * 20,
+      s"ANF row count ${anf20._1} != 20x ${anfBase.size}")
+    println(f"anf 20x: ${anf20._1} (node,r) rows $tAnf%.1fs " +
+      "replica slice exactly equals shifted base")
+
     base.unpersist()
     e20.unpersist()
     spark.stop()
