@@ -1312,6 +1312,23 @@ object SparkEntry {
           shingleN = 3, threshold = 0.5, dfCap = 64)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- the dedup→graph bridge, end-to-end: Jaccard similarity
+    //      pairs become INTEGER-micro-weighted edges feeding weighted
+    //      label propagation — near-dup communities (not just
+    //      connected components: weak transitive chains split where
+    //      the weight evidence is thin). Only documents with at least
+    //      one qualifying pair enter the graph.
+    "q_dedup_communities" -> ((s, dir) => {
+      val pairs = operators.Dedup.jaccardPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleN = 3, threshold = 0.5, dfCap = 64)
+      val edges = pairs.select(col("ia").as("u"), col("ib").as("v"),
+        floor(col("jac") * 1000000 + 0.5).cast("long").as("w"))
+      operators.Graph.labelPropagationW(edges, col("u"), col("v"),
+          col("w"), rounds = 2)
+        .orderBy(col("node"))
+    }),
+
     // ---- SimHash near-dup: 60-bit signatures, banded hamming candidates
     "q_dedup_simhash" -> ((s, dir) =>
       operators.Dedup.simhashPairs(
@@ -4104,6 +4121,19 @@ object SparkEntry {
           col("u"), col("v"), walksPerNode = 2, steps = 4)
         .orderBy(col("walk_id"), col("pos"))),
 
+    // ---- weighted k-core (s-core) peeling: drop nodes under 400
+    //      units of incident weight, 3 rounds — kCore with strength
+    //      in place of degree, for similarity graphs where weight is
+    //      the evidence
+    "q_graph_score" -> ((s, dir) =>
+      operators.Graph.sCore(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 4000).as("u"),
+            (col("l_partkey") % 4000 + 4000).as("v"),
+            col("l_quantity").cast("long").as("w")),
+          col("u"), col("v"), col("w"), minStrength = 400L, rounds = 3)
+        .orderBy(col("node"))),
+
     // ---- approximate neighborhood function (HyperBall with the
     //      deterministic bottom-k sketch): per (node, radius) ball-
     //      size estimates via k-bounded sketch propagation — exact
@@ -6494,6 +6524,33 @@ object SparkEntry {
          |  FROM cand JOIN sh x ON x.doc_id = cand.ia
          |            JOIN sh y ON y.doc_id = cand.ib)
          |SELECT ia, ib, jac FROM jv WHERE jac >= 0.5 ORDER BY ia, ib""".stripMargin,
+
+    "q_dedup_communities" ->
+      s"""WITH $toksSql, $shSql,
+         |shx AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+         |rare AS (SELECT sng FROM shx GROUP BY sng HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM shx a JOIN rare ON a.sng = rare.sng
+         |             JOIN shx b ON a.sng = b.sng AND a.doc_id < b.doc_id),
+         |jv AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = cand.ia
+         |            JOIN sh y ON y.doc_id = cand.ib),
+         |ej AS (SELECT ia AS u, ib AS v,
+         |    CAST(floor(jac * 1000000 + 0.5) AS BIGINT) AS w
+         |  FROM jv WHERE jac >= 0.5),
+         |symj AS MATERIALIZED (
+         |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT u, v, w FROM ej UNION ALL SELECT v, u, w FROM ej)
+         |  GROUP BY u, v),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM symj),
+         |${lpaRoundSql("symj", "l0", "l1")},
+         |${lpaRoundSql("symj", "l1", "l2")}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+         |FROM l2 ORDER BY node""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """WITH vals AS (
@@ -10177,6 +10234,8 @@ object SparkEntry {
 
     "q_graph_skipgram" -> skipGramSql,
 
+    "q_graph_score" -> sCoreSql,
+
     // exact r-hop reachability sets (feasible at sf0.01), bottom-16
     // md5 hashes per ball, same estimate formula as the KMV agg —
     // the sketch propagation is LOSSLESS for bottom-k, so the Spark
@@ -10791,6 +10850,33 @@ object SparkEntry {
   // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
   // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
   // word occurrences, all single chars + top-40 multis
+  /** Weighted k-core (s-core) oracle: 3 unrolled peel rounds on the
+    * canonically-summed weighted edge list, strength = incident
+    * weight sum — mirrors Graph.sCore. */
+  private val sCoreSql: String = {
+    def str(e: String, out: String): String =
+      s"""$out AS (SELECT n, CAST(sum(w) AS BIGINT) AS s FROM (
+         |  SELECT a AS n, w FROM $e UNION ALL SELECT b, w FROM $e)
+         |  GROUP BY n)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""${str(s"e${i - 1}", s"s${i - 1}")},
+         |k${i - 1} AS (SELECT n FROM s${i - 1} WHERE s >= 400),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, e.w FROM e${i - 1} e
+         |  JOIN k${i - 1} x ON e.a = x.n
+         |  JOIN k${i - 1} y ON e.b = y.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT u AS a, v AS b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT l_orderkey % 4000 AS u, 4000 + (l_partkey % 4000) AS v,
+       |      CAST(l_quantity AS BIGINT) AS w FROM lineitem)
+       |  GROUP BY 1, 2),
+       |$rounds,
+       |${str("e3", "sf")}
+       |SELECT CAST(n AS BIGINT) AS node, CAST(s AS BIGINT) AS strength
+       |FROM sf ORDER BY node""".stripMargin
+  }
+
   /** Deterministic random-walk oracle: id-sorted adjacency indexed by
     * a keyed row_number, neighbor choice = md5-hash(walk:step:seed)
     * mod degree, 4 unrolled steps — mirrors Graph.randomWalks
@@ -10849,15 +10935,21 @@ object SparkEntry {
     * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum
     * argmax with (ws DESC, lbl ASC) tie-break, then the integer
     * contribution 4·m_w·W_c − d_c². */
+  /** One weighted-LPA round as CTEs: weight-sum per (node, label),
+    * (ws DESC, lbl ASC) argmax — mirrors Graph.labelPropagationW. */
+  private def lpaRoundSql(sym: String, lIn: String,
+                          lOut: String): String =
+    s"""c$lOut AS (SELECT s.v AS node, l.lbl,
+       |    CAST(sum(s.w) AS BIGINT) AS ws
+       |  FROM $sym s JOIN $lIn l ON s.u = l.node GROUP BY 1, 2),
+       |$lOut AS MATERIALIZED (SELECT node, lbl FROM (
+       |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+       |    ORDER BY ws DESC, lbl ASC) AS rn FROM c$lOut)
+       |  WHERE rn = 1)""".stripMargin
+
   private val modularityWSql: String = {
     def lpaRound(lIn: String, lOut: String): String =
-      s"""c$lOut AS (SELECT s.v AS node, l.lbl,
-         |    CAST(sum(s.w) AS BIGINT) AS ws
-         |  FROM symw s JOIN $lIn l ON s.u = l.node GROUP BY 1, 2),
-         |$lOut AS MATERIALIZED (SELECT node, lbl FROM (
-         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
-         |    ORDER BY ws DESC, lbl ASC) AS rn FROM c$lOut)
-         |  WHERE rn = 1)""".stripMargin
+      lpaRoundSql("symw", lIn, lOut)
     s"""WITH e0 AS MATERIALIZED (
        |  SELECT l_orderkey % 4000 AS u, 4000 + (l_partkey % 4000) AS v,
        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),

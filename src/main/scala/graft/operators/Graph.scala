@@ -486,6 +486,41 @@ object Graph {
     out
   }
 
+  /** Weighted k-core ("s-core") peeling: repeatedly drop nodes whose
+    * incident-WEIGHT sum (strength) is below `minStrength`, `rounds`
+    * times — [[kCore]] with weighted degrees, the dense-subgraph
+    * filter for similarity graphs where edge multiplicity is
+    * meaningless but edge weight is the evidence. Same fixed-budget
+    * determinism and per-round localCheckpoint discipline. Parallel
+    * edges collapse by weight sum; self-loops dropped. Emits
+    * surviving (node, strength). */
+  def sCore(edges: DataFrame, uCol: Column, vCol: Column, wCol: Column,
+            minStrength: Long, rounds: Int = 3): DataFrame = {
+    var e = edges.select(least(uCol.cast("long"), vCol.cast("long"))
+          .as("a"),
+        greatest(uCol.cast("long"), vCol.cast("long")).as("b"),
+        wCol.cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull && col("w").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    def strengths(d: DataFrame): DataFrame =
+      d.select(col("a").as("n"), col("w"))
+        .unionAll(d.select(col("b").as("n"), col("w")))
+        .groupBy(col("n")).agg(sum(col("w")).as("s"))
+    var i = 0
+    while (i < rounds) {
+      val keep = strengths(e).filter(col("s") >= minStrength)
+        .select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), "a")
+        .join(keep.select(col("n").as("b")), "b")
+        .select(col("a"), col("b"), col("w"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    strengths(e).select(col("n").as("node"), col("s").as("strength"))
+  }
+
   /** Approximate Neighborhood Function (ANF / HyperBall with bottom-k
     * sketches): for every node and radius r ≤ `radius`, an estimate
     * of |{nodes within r hops}| — the primitive behind effective

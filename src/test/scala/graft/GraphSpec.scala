@@ -272,6 +272,27 @@ class GraphSpec extends SparkSpec {
     other should not be walks
   }
 
+  test("sCore: weighted peel removes weak-strength nodes and their " +
+      "edge weight cascades") {
+    // triangle 1-2-3 with weight 5 each (strength 10); pendant 4
+    // attached to 1 with weight 3 (strength 3); threshold 6 peels 4,
+    // and 1's strength drops from 13 to 10
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 1L, 5L),
+      (1L, 4L, 3L)).toDF("u", "v", "w")
+    val got = Graph.sCore(edges, col("u"), col("v"), col("w"),
+        minStrength = 6L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 10L, 2L -> 10L, 3L -> 10L)
+    // unit weights with threshold k reproduce kCore survivors
+    val uw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("u", "v").withColumn("w", lit(1L))
+    val sc = Graph.sCore(uw, col("u"), col("v"), col("w"), 2L, 3)
+      .as[(Long, Long)].collect().toMap
+    val kc = Graph.kCore(uw, col("u"), col("v"), k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    sc shouldBe kc
+  }
+
   test("neighborhoodFunction: exact ball sizes below k, partition-" +
       "invariant, k-truncation matches direct bottom-k") {
     // chain 1-2-3-4-5 plus isolated-ish pair 8-9
