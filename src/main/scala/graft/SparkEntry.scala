@@ -4121,6 +4121,17 @@ object SparkEntry {
           col("u"), col("v"), walksPerNode = 2, steps = 4)
         .orderBy(col("walk_id"), col("pos"))),
 
+    // ---- local clustering coefficient: 2·tri·1e6 div (deg·(deg−1))
+    //      per node, exact integer micro-units — triangleCounts plus
+    //      one degree join, same 20000-fold graph as q_graph_triangles
+    "q_graph_clustering" -> ((s, dir) =>
+      operators.Graph.clusteringCoefficient(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 20000).as("u"),
+            (col("l_partkey") % 20000).as("v")),
+          col("u"), col("v"))
+        .orderBy(col("node"))),
+
     // ---- weighted k-core (s-core) peeling: drop nodes under 400
     //      units of incident weight, 3 rounds — kCore with strength
     //      in place of degree, for similarity graphs where weight is
@@ -10235,6 +10246,32 @@ object SparkEntry {
     "q_graph_skipgram" -> skipGramSql,
 
     "q_graph_score" -> sCoreSql,
+
+    "q_graph_clustering" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 20000 AS u, l_partkey % 20000 AS v
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+        |      FROM raw WHERE u <> v),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT x AS node FROM tri
+        |        UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT CAST(dg.node AS BIGINT) AS node, dg.deg,
+        |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN dg.deg < 2 THEN 0
+        |    ELSE (2 * coalesce(tc.triangles, 0) * 1000000)
+        |         // (dg.deg * (dg.deg - 1)) END AS BIGINT) AS cc_micro
+        |FROM dg LEFT JOIN tc ON dg.node = tc.node
+        |ORDER BY node""".stripMargin,
 
     // exact r-hop reachability sets (feasible at sf0.01), bottom-16
     // md5 hashes per ball, same estimate formula as the KMV agg —

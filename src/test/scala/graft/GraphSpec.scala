@@ -272,6 +272,22 @@ class GraphSpec extends SparkSpec {
     other should not be walks
   }
 
+  test("clusteringCoefficient: K4 corners are 1.0, a pendant and its " +
+      "hub dilute exactly") {
+    // K4 on 1-4 plus pendant 5 attached to 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("u", "v")
+    val got = Graph.clusteringCoefficient(edges, col("u"), col("v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node 1: deg 4, tri 3 -> 2*3e6/(4*3) = 500000
+    got(1L) shouldBe ((4L, 3L, 500000L))
+    // nodes 2-4: deg 3, tri 3 -> 2*3e6/6 = 1000000 (fully clustered)
+    Seq(2L, 3L, 4L).foreach(n => got(n) shouldBe ((3L, 3L, 1000000L)))
+    // pendant: deg 1, no triangles, cc 0 by convention
+    got(5L) shouldBe ((1L, 0L, 0L))
+  }
+
   test("sCore: weighted peel removes weak-strength nodes and their " +
       "edge weight cascades") {
     // triangle 1-2-3 with weight 5 each (strength 10); pendant 4
