@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Plan-audit sibling of [[TimeOne]]: print the FORMATTED physical
+  * plan of named registry queries at sf0.01 without running them —
+  * the .explain review loop the build discipline asks for after each
+  * operator goes green.
+  * Usage: runMain graft.ExplainOne q_name [q_name2 ...] */
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { name =>
+      println(s"==== $name ====")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
