@@ -4425,6 +4425,34 @@ object SparkEntry {
           rounds = 2, maxPieceLen = 4, topMulti = 40)
         .orderBy(col("piece"))),
 
+    // ---- in-engine quality-classifier training (CCNet/GPT-3 style):
+    //      full-batch logistic regression with per-row gradients
+    //      QUANTIZED to micro longs before summation — exact integer
+    //      aggregation makes every round partition-invariant and
+    //      cross-engine reproducible; 3 rounds, one map+sum pass each,
+    //      no shuffle (scalar combinable sums)
+    "q_train_logreg" -> ((s, dir) => {
+      import s.implicits._
+      val w = operators.Classifier.logisticTrainMicro(
+        Tables.documents(s, dir), logregFeatures, logregLabel,
+        rounds = 3, lrDen = 10L)
+      Seq(("f1", w(0)), ("f2", w(1)), ("f3", w(2)))
+        .toDF("feature", "w_micro").orderBy(col("feature"))
+    }),
+
+    // ---- scoring pass under the trained weights: per-document
+    //      probability in micro-units (a pure map stage — the shape
+    //      that filters 100 TB by classifier score)
+    "q_score_logreg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = operators.Classifier.logisticTrainMicro(
+        docs, logregFeatures, logregLabel, rounds = 3, lrDen = 10L)
+      docs.select(col("doc_id"),
+          operators.Classifier.logisticScoreMicro(logregFeatures, w)
+            .as("p_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -10601,6 +10629,20 @@ object SparkEntry {
 
     "q_unigram_train" -> unigramTrainSql,
 
+    "q_train_logreg" -> (logregCtesSql +
+      """
+        |SELECT feature, w_micro FROM (
+        |  SELECT 'f1' AS feature, c0 AS w_micro FROM wr3
+        |  UNION ALL SELECT 'f2', c1 FROM wr3
+        |  UNION ALL SELECT 'f3', c2 FROM wr3)
+        |ORDER BY feature""".stripMargin),
+
+    "q_score_logreg" -> (logregCtesSql +
+      """
+        |SELECT doc_id, CAST(floor(p * 1000000 + 0.5) AS BIGINT)
+        |  AS p_micro
+        |FROM pr4 ORDER BY doc_id""".stripMargin),
+
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
@@ -10887,6 +10929,65 @@ object SparkEntry {
   // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
   // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
   // word occurrences, all single chars + top-40 multis
+  // logistic-regression trainer: shared feature/label definitions —
+  // the Spark expressions and the oracle SQL strings must stay
+  // textually parallel (same float expression trees)
+  private def logregFeatures: Seq[org.apache.spark.sql.Column] = Seq(
+    col("n_chars").cast("double") / 1000.0,
+    (length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))).cast("double")
+      / 100.0,
+    lit(1.0))
+  private def logregLabel: org.apache.spark.sql.Column =
+    when(col("n_chars") > 250, lit(1.0)).otherwise(lit(0.0))
+
+  /** Unrolled quantized-gradient-descent oracle (3 rounds, lr 1/10):
+    * per-row gradients quantized to micro longs, summed exactly; the
+    * weight update divides in double (IEEE-exact at these magnitudes)
+    * — mirrors operators.Classifier.logisticTrainMicro term for
+    * term. Emits weight CTE wr3 and probability CTEs pr1..pr4 (pr4 =
+    * scores under the final weights). */
+  private val logregCtesSql: String = {
+    val feats = Seq("CAST(n_chars AS DOUBLE)/1000",
+      "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)/100",
+      "CAST(1 AS DOUBLE)")
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT doc_id, ${feats(0)} AS f0, ${feats(1)} AS f1,
+         |    ${feats(2)} AS f2,
+         |    CASE WHEN n_chars > 250 THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS y
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM base),
+         |wr0 AS (SELECT CAST(0 AS BIGINT) AS c0,
+         |  CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2)""".stripMargin
+    def margin(w: String): String =
+      (0 to 2).map(j =>
+        s"CAST($w.c$j AS DOUBLE)/1000000*b.f$j").mkString(" + ")
+    def pr(r: Int): String =
+      s"""pr$r AS (SELECT b.*,
+         |  1.0/(1.0 + exp(-(${margin("w")}))) AS p
+         |  FROM base b CROSS JOIN wr${r - 1} w)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      val gs = (0 to 2).map(j =>
+        s"""CAST(sum(CAST(floor((p - y) * f$j * 1000000 + 0.5)
+           |    AS BIGINT)) AS BIGINT) AS g$j""".stripMargin)
+        .mkString(",\n  ")
+      val ws = (0 to 2).map(j =>
+        s"""CAST(w.c$j - CAST(floor(g.g$j / (10.0 * nn.n) + 0.5)
+           |    AS BIGINT) AS BIGINT) AS c$j""".stripMargin)
+        .mkString(",\n  ")
+      s"""${pr(r)},
+         |gr$r AS (SELECT
+         |  $gs
+         |  FROM pr$r),
+         |wr$r AS (SELECT
+         |  $ws
+         |  FROM wr${r - 1} w, gr$r g, nn)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rounds,\n${pr(4)}"
+  }
+
   /** Weighted k-core (s-core) oracle: 3 unrolled peel rounds on the
     * canonically-summed weighted edge list, strength = incident
     * weight sum — mirrors Graph.sCore. */

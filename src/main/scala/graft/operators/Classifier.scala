@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine classifier training — the quality-classifier step of a
+  * pretraining pipeline (CCNet/GPT-3-style: train a small logistic
+  * model on curated-vs-crawl labels, score every document, keep the
+  * high-probability tail) run INSIDE the engine instead of exporting
+  * features to an external trainer.
+  *
+  * The engine-wide bit-determinism discipline applied to SGD: float
+  * gradient sums are partition-order-dependent (the memory-bank
+  * float-sum rule), so each ROW's gradient contribution is quantized
+  * to integer micro-units FIRST — floor(g·10⁶ + ½) — and the
+  * aggregation sums longs, which is exact and partition-invariant.
+  * Weights live in micro-units (longs); each full-batch round updates
+  * w_j ← w_j − ⌊G_j/(lrDen·n) + ½⌋ with the division done in double
+  * (exactly rounded by IEEE, and G_j < 2^53 — deterministic across
+  * engines). One `exp` per row per round is the only transcendental —
+  * the same last-ulp caveat as the unigram trainer's `ln`, accepted
+  * there and here.
+  *
+  * Scale shape: training is a bounded driver loop (`rounds`, default
+  * 3) of ONE distributed map+sum pass each — no per-round shuffle at
+  * all (the sums are map-side combinable scalars); the only driver
+  * traffic is `features.size` longs per round. Scoring is a pure
+  * map-stage column. Full-batch gradient descent, not stochastic:
+  * at 100 TB a full pass per round is the cheap part, and it is what
+  * makes the result reproducible.
+  */
+object Classifier {
+
+  private val Micro = 1000000.0
+
+  /** margin = Σ_j (w_j/10⁶)·x_j, built left-to-right so the float
+    * expression tree matches the oracle's textual order exactly. */
+  private def marginCol(features: Seq[Column], w: Seq[Long]): Column =
+    features.zip(w).map { case (f, wj) =>
+      lit(wj).cast("double") / Micro * f
+    }.reduceLeft(_ + _)
+
+  private def sigmoid(m: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** Train logistic weights (micro-units) by `rounds` full-batch
+    * quantized-gradient steps from w = 0. `features` are double
+    * columns (include a lit(1.0) intercept yourself); `label` must
+    * evaluate to 0.0/1.0 doubles. Returns one weight per feature, in
+    * feature order. */
+  def logisticTrainMicro(df: DataFrame, features: Seq[Column],
+                         label: Column, rounds: Int = 3,
+                         lrDen: Long = 10L): Seq[Long] = {
+    require(features.nonEmpty && rounds >= 1 && lrDen >= 1,
+      "bad logistic params")
+    var w: Seq[Long] = Seq.fill(features.size)(0L)
+    var r = 0
+    while (r < rounds) {
+      val p = sigmoid(marginCol(features, w))
+      val gradCols = features.zipWithIndex.map { case (f, j) =>
+        sum(floor((p - label) * f * lit(Micro) + 0.5).cast("long"))
+          .as(s"g$j")
+      }
+      val row = df.select(gradCols :+ count(lit(1)).as("n"): _*)
+        .collect()(0)
+      val n = row.getLong(features.size)
+      require(n > 0, "logisticTrainMicro: empty training frame")
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - math.floor(
+          row.getLong(j).toDouble / (lrDen.toDouble * n) + 0.5).toLong
+      }
+      r += 1
+    }
+    w
+  }
+
+  /** Per-row probability quantized to micro-units under fixed
+    * micro-weights: floor(σ(margin)·10⁶ + ½) as a long column. */
+  def logisticScoreMicro(features: Seq[Column], w: Seq[Long]): Column =
+    floor(sigmoid(marginCol(features, w)) * Micro + 0.5).cast("long")
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** Deterministic quantized-gradient logistic regression. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = (1 to 400).map { i =>
+    (i.toLong, i.toDouble / 100.0, if (i > 200) 1.0 else 0.0)
+  }.toDF("id", "x", "y")
+
+  private val feats = Seq(col("x"), lit(1.0))
+
+  test("training is bit-identical under repartitioning (quantized " +
+      "gradient sums)") {
+    val w1 = Classifier.logisticTrainMicro(frame, feats, col("y"),
+      rounds = 3)
+    val w2 = Classifier.logisticTrainMicro(frame.repartition(13),
+      feats, col("y"), rounds = 3)
+    w1 shouldBe w2
+    w1.length shouldBe 2
+  }
+
+  test("the learned slope is positive for an increasing label and " +
+      "more rounds reduce training error") {
+    val w3 = Classifier.logisticTrainMicro(frame, feats, col("y"),
+      rounds = 3)
+    w3.head should be > 0L // x is positively predictive
+    def errors(w: Seq[Long]): Long = frame.filter(
+        (Classifier.logisticScoreMicro(feats, w) >= 500000L)
+          .cast("int") =!= col("y").cast("int"))
+      .count()
+    val w8 = Classifier.logisticTrainMicro(frame, feats, col("y"),
+      rounds = 8)
+    errors(w8) should be <= errors(w3)
+    errors(w8) should be < 200L // far better than the all-one guess
+  }
+
+  test("scoreMicro is a monotone map of the margin and exact at the " +
+      "midpoint") {
+    // zero weights: p = 1/2 exactly for every row
+    val mid = frame.select(
+        Classifier.logisticScoreMicro(feats, Seq(0L, 0L)).as("p"))
+      .distinct().as[Long].collect()
+    mid shouldBe Array(500000L)
+    val w = Seq(1000000L, -2000000L) // p = sigmoid(x - 2)
+    val scored = frame.orderBy(col("x"))
+      .select(Classifier.logisticScoreMicro(feats, w)).as[Long]
+      .collect()
+    scored.sliding(2).foreach { case Array(a, b) => a should be <= b }
+  }
+}
