@@ -4453,6 +4453,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- closed-form OLS from integer sufficient statistics:
+    //      XᵀX / Xᵀy as exact micro-long sums (one map+sum pass),
+    //      Cramer solve with a fixed expansion order the oracle
+    //      mirrors term for term
+    "q_train_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Seq(
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))).cast("double")
+          / 100.0,
+        lit(1.0))
+      val b = operators.Classifier.olsFitMicro(
+        Tables.documents(s, dir), feats,
+        col("n_chars").cast("double") / 1000.0)
+      Seq(("f1", b(0)), ("f2", b(1)))
+        .toDF("feature", "beta_micro").orderBy(col("feature"))
+    }),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -10642,6 +10660,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(floor(p * 1000000 + 0.5) AS BIGINT)
         |  AS p_micro
         |FROM pr4 ORDER BY doc_id""".stripMargin),
+
+    "q_train_linreg" ->
+      """WITH lb AS MATERIALIZED (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', ''))
+        |      AS DOUBLE)/100 AS x1,
+        |    CAST(1 AS DOUBLE) AS x2,
+        |    CAST(n_chars AS DOUBLE)/1000 AS y
+        |  FROM documents),
+        |ss AS (SELECT
+        |  CAST(sum(CAST(floor(x1 * x1 * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS a,
+        |  CAST(sum(CAST(floor(x1 * x2 * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS b,
+        |  CAST(sum(CAST(floor(x2 * x2 * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS e,
+        |  CAST(sum(CAST(floor(x1 * y * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS p,
+        |  CAST(sum(CAST(floor(x2 * y * 1000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS q
+        |  FROM lb),
+        |bt AS (SELECT CAST(a AS DOUBLE) AS da, CAST(b AS DOUBLE) AS db,
+        |  CAST(e AS DOUBLE) AS de, CAST(p AS DOUBLE) AS dp,
+        |  CAST(q AS DOUBLE) AS dq FROM ss),
+        |sol AS (SELECT
+        |  (dp * de - db * dq) / (da * de - db * db) AS b1,
+        |  (da * dq - db * dp) / (da * de - db * db) AS b2 FROM bt)
+        |SELECT feature, beta_micro FROM (
+        |  SELECT 'f1' AS feature,
+        |    CAST(floor(b1 * 1000000 + 0.5) AS BIGINT) AS beta_micro
+        |  FROM sol
+        |  UNION ALL SELECT 'f2',
+        |    CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) FROM sol)
+        |ORDER BY feature""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT l_returnflag,

@@ -78,4 +78,59 @@ object Classifier {
     * micro-weights: floor(σ(margin)·10⁶ + ½) as a long column. */
   def logisticScoreMicro(features: Seq[Column], w: Seq[Long]): Column =
     floor(sigmoid(marginCol(features, w)) * Micro + 0.5).cast("long")
+
+  /** Closed-form ordinary least squares via INTEGER sufficient
+    * statistics: every XᵀX / Xᵀy entry is a sum of per-row products
+    * quantized to micro longs — exact, partition-invariant, the same
+    * one-pass map+sum shape as [[logisticTrainMicro]] (at 100 TB the
+    * sufficient statistics are d(d+3)/2 longs; the solve is free).
+    * The d×d system is solved by CRAMER'S RULE with a fixed expansion
+    * order, so an engine-side oracle can mirror the arithmetic
+    * term for term — which is why d is capped at 3 (beyond that
+    * you'd want a pivoting solver, whose branch order is not
+    * SQL-mirrorable). Returns β in micro-units, feature order. */
+  def olsFitMicro(df: DataFrame, features: Seq[Column],
+                  target: Column): Seq[Long] = {
+    val d = features.size
+    require(d >= 1 && d <= 3, "olsFitMicro supports 1-3 features")
+    val xx = for (i <- 0 until d; j <- i until d) yield
+      sum(floor(features(i) * features(j) * lit(Micro) + 0.5)
+        .cast("long")).as(s"xx_${i}_$j")
+    val xy = (0 until d).map(i =>
+      sum(floor(features(i) * target * lit(Micro) + 0.5)
+        .cast("long")).as(s"xy_$i"))
+    val row = df.select(xx ++ xy: _*).collect()(0)
+    var idx = -1
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      idx += 1
+      m(i)(j) = row.getLong(idx).toDouble
+      m(j)(i) = m(i)(j)
+    }
+    val rhs = (0 until d).map(i => row.getLong(d * (d + 1) / 2 + i)
+      .toDouble)
+    val beta: Seq[Double] = d match {
+      case 1 =>
+        Seq(rhs(0) / m(0)(0))
+      case 2 =>
+        val (a, b, e) = (m(0)(0), m(0)(1), m(1)(1))
+        val (p, q) = (rhs(0), rhs(1))
+        val det = a * e - b * b
+        Seq((p * e - b * q) / det, (a * q - b * p) / det)
+      case _ =>
+        val (a, b, c) = (m(0)(0), m(0)(1), m(0)(2))
+        val (e, f, i9) = (m(1)(1), m(1)(2), m(2)(2))
+        val (p, q, r) = (rhs(0), rhs(1), rhs(2))
+        val det = a * (e * i9 - f * f) - b * (b * i9 - f * c) +
+          c * (b * f - e * c)
+        Seq(
+          (p * (e * i9 - f * f) - b * (q * i9 - f * r) +
+            c * (q * f - e * r)) / det,
+          (a * (q * i9 - r * f) - p * (b * i9 - f * c) +
+            c * (b * r - q * c)) / det,
+          (a * (e * r - f * q) - b * (b * r - q * c) +
+            p * (b * f - e * c)) / det)
+    }
+    beta.map(x => math.floor(x * Micro + 0.5).toLong)
+  }
 }

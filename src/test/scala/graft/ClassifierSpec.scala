@@ -39,6 +39,30 @@ class ClassifierSpec extends SparkSpec {
     errors(w8) should be < 200L // far better than the all-one guess
   }
 
+  test("olsFitMicro recovers an exact linear relationship and is " +
+      "partition-invariant") {
+    // y = 2x + 3 exactly, x on the 0.01 grid: every quantized product
+    // is exact, so the closed form recovers beta to the micro grid
+    val lin = (1 to 300).map { i =>
+      val x = i.toDouble / 100.0
+      (x, 2.0 * x + 3.0)
+    }.toDF("x", "y")
+    val b = Classifier.olsFitMicro(lin, Seq(col("x"), lit(1.0)),
+      col("y"))
+    b shouldBe Seq(2000000L, 3000000L)
+    Classifier.olsFitMicro(lin.repartition(13),
+      Seq(col("x"), lit(1.0)), col("y")) shouldBe b
+    // d=3: y = x1 - 2*x2 + 5 on exact grids
+    val lin3 = (1 to 300).map { i =>
+      val x1 = i.toDouble / 100.0
+      val x2 = ((i * 7) % 100).toDouble / 100.0
+      (x1, x2, x1 - 2.0 * x2 + 5.0)
+    }.toDF("x1", "x2", "y")
+    Classifier.olsFitMicro(lin3,
+      Seq(col("x1"), col("x2"), lit(1.0)),
+      col("y")) shouldBe Seq(1000000L, -2000000L, 5000000L)
+  }
+
   test("scoreMicro is a monotone map of the margin and exact at the " +
       "midpoint") {
     // zero weights: p = 1/2 exactly for every row
