@@ -789,8 +789,18 @@ object Graph {
   def louvainMoveW(edges: DataFrame, uCol: Column, vCol: Column,
                    wCol: Column, labels: DataFrame,
                    selfLoops: Option[DataFrame] = None,
-                   resNum: Long = 1L, resDen: Long = 1L): DataFrame = {
-    val sym = symW(edges, uCol, vCol, wCol).localCheckpoint(true)
+                   resNum: Long = 1L, resDen: Long = 1L): DataFrame =
+    louvainMoveWSym(symW(edges, uCol, vCol, wCol).localCheckpoint(true),
+      labels, selfLoops, resNum, resDen)
+
+  /** [[louvainMoveW]] on an ALREADY symmetrized, parallel-collapsed,
+    * materialized (u, v, w) frame — so an iterating caller
+    * ([[louvainLevels]]) symmetrizes and checkpoints ONCE per level
+    * instead of once per move round (at 100 TB each avoided
+    * re-materialization is a full edge-frame shuffle write). */
+  private def louvainMoveWSym(sym: DataFrame, labels: DataFrame,
+                              selfLoops: Option[DataFrame],
+                              resNum: Long, resDen: Long): DataFrame = {
     val lab = labels.select(col("node"), col("lbl"))
     val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
       selfLoops.toSeq.map(_.select(col("node"),
@@ -876,10 +886,13 @@ object Graph {
       // bounded local-move rounds at the current granularity
       var lab = assign.select(col("lbl").as("node")).distinct()
         .withColumn("lbl", col("node"))
+      // symmetrize + materialize ONCE for all this level's move rounds
+      val symCur = symW(inter, col("a"), col("b"), col("w"))
+        .localCheckpoint(true)
       var mv = 0
       while (mv < movesPerLevel) {
-        lab = louvainMoveW(inter, col("a"), col("b"), col("w"), lab,
-            Some(selfLoops), resNum, resDen)
+        lab = louvainMoveWSym(symCur, lab, Some(selfLoops), resNum,
+            resDen)
           .localCheckpoint(true)
         mv += 1
       }
