@@ -4453,6 +4453,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multinomial Naive Bayes language-ID, trained in-engine:
+    //      pure-count training (hash-exact), add-1 log-probs released
+    //      as quantized micro-nat COSTS (one ln per model cell, the
+    //      UnigramLm pattern) so scoring is an exact integer sum
+    "q_train_nb" -> ((s, dir) =>
+      operators.Classifier.nbTrain(Tables.documents(s, dir),
+          col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("cls"), col("tok"))),
+
+    // ---- NB prediction: argmin over classes of prior + token costs,
+    //      unseen cells at the add-1 limit; (cost, class) min(struct)
+    //      argmax — no window; model/prior frames broadcast
+    "q_score_nb" -> ((s, dir) =>
+      operators.Classifier.nbPredict(Tables.documents(s, dir),
+          col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ---- closed-form OLS from integer sufficient statistics:
     //      XᵀX / Xᵀy as exact micro-long sums (one map+sum pass),
     //      Cramer solve with a fixed expansion order the oracle
@@ -10661,6 +10678,50 @@ object SparkEntry {
         |  AS p_micro
         |FROM pr4 ORDER BY doc_id""".stripMargin),
 
+    "q_train_nb" -> (nbCtesSql +
+      """
+        |SELECT cc.cls, cc.tok, cc.cnt,
+        |  CAST(floor(-1000000.0 * ln(CAST(cc.cnt + 1 AS DOUBLE) /
+        |    CAST(ct.tot + vv.v AS DOUBLE)) + 0.5) AS BIGINT)
+        |    AS cost_micro
+        |FROM cc JOIN ct USING (cls) CROSS JOIN vv
+        |ORDER BY cls, tok""".stripMargin),
+
+    "q_score_nb" -> (nbCtesSql +
+      """,
+        |model AS MATERIALIZED (
+        |  SELECT cc.cls, cc.tok,
+        |    CAST(floor(-1000000.0 * ln(CAST(cc.cnt + 1 AS DOUBLE) /
+        |      CAST(ct.tot + vv.v AS DOUBLE)) + 0.5) AS BIGINT)
+        |      AS cost_micro
+        |  FROM cc JOIN ct USING (cls) CROSS JOIN vv),
+        |un AS (SELECT ct.cls,
+        |  CAST(floor(-1000000.0 * ln(1.0 /
+        |    CAST(ct.tot + vv.v AS DOUBLE)) + 0.5) AS BIGINT) AS cost_u
+        |  FROM ct CROSS JOIN vv),
+        |nd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(sum(nd) AS BIGINT) AS nt FROM nd),
+        |prc AS (SELECT nd.cls,
+        |  CAST(floor(-1000000.0 * ln(CAST(nd.nd AS DOUBLE) /
+        |    CAST(nt.nt AS DOUBLE)) + 0.5) AS BIGINT) AS cost_p
+        |  FROM nd CROSS JOIN nt),
+        |scn AS (SELECT d.doc_id, c.cls,
+        |    CAST(sum(COALESCE(m.cost_micro, u.cost_u)) AS BIGINT)
+        |      AS tokcost
+        |  FROM dt2 d CROSS JOIN (SELECT cls FROM nd) c
+        |  LEFT JOIN model m ON m.cls = c.cls AND m.tok = d.tok
+        |  JOIN un u ON u.cls = c.cls
+        |  GROUP BY 1, 2),
+        |fc AS (SELECT scn.doc_id, scn.cls,
+        |  scn.tokcost + prc.cost_p AS cost
+        |  FROM scn JOIN prc ON scn.cls = prc.cls)
+        |SELECT doc_id, cls AS pred, CAST(cost AS BIGINT) AS cost_micro
+        |FROM (SELECT doc_id, cls, cost,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY cost ASC, cls ASC) AS rn FROM fc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
     "q_train_linreg" ->
       """WITH lb AS MATERIALIZED (
         |  SELECT CAST(length(text) - length(replace(text, ' ', ''))
@@ -10980,6 +11041,23 @@ object SparkEntry {
   // unigram-LM seed vocabulary (mirrors UnigramLm.seedVocab with
   // maxPieceLen=4, topMulti=40): every substring of length <= 4 over
   // word occurrences, all single chars + top-40 multis
+  /** Shared Naive-Bayes count CTEs: per-occurrence whitespace token
+    * stream with class labels, (class, token) counts, class totals,
+    * global vocabulary size. */
+  private val nbCtesSql: String =
+    """WITH dt AS MATERIALIZED (
+      |  SELECT doc_id, lang AS cls,
+      |    unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |dt2 AS MATERIALIZED (SELECT * FROM dt WHERE tok <> ''),
+      |cc AS MATERIALIZED (
+      |  SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM dt2 GROUP BY 1, 2),
+      |ct AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot
+      |  FROM cc GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |  FROM dt2)""".stripMargin
+
   // logistic-regression trainer: shared feature/label definitions —
   // the Spark expressions and the oracle SQL strings must stay
   // textually parallel (same float expression trees)

@@ -79,6 +79,94 @@ object Classifier {
   def logisticScoreMicro(features: Seq[Column], w: Seq[Long]): Column =
     floor(sigmoid(marginCol(features, w)) * Micro + 0.5).cast("long")
 
+  // ------------------------------------------ multinomial Naive Bayes
+  // The generative counterpart of logisticTrainMicro, for language-ID
+  // style classification: training is PURE COUNTS (hash-exact by
+  // construction) and the model's add-1-smoothed log-probabilities
+  // are quantized to positive micro-nat COSTS (one ln per model cell,
+  // the UnigramLm release pattern) — so SCORING is an exact integer
+  // sum and the argmin class is bit-deterministic across
+  // partitionings and engines. Whitespace tokens, per-occurrence
+  // counts (true multinomial).
+
+  private def nbTokens(docs: DataFrame, idCol: Column, textCol: Column,
+                       classCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"), classCol.as("cls"),
+        explode(split(textCol, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-(class, token) model rows: occurrence count and
+    * cost_micro = ⌊−10⁶·ln((cnt+1)/(tot_c+V)) + ½⌋ with V the global
+    * distinct-token vocabulary (add-1 smoothing). One groupBy of the
+    * token stream; the single-row V frame broadcasts. */
+  def nbTrain(docs: DataFrame, idCol: Column, textCol: Column,
+              classCol: Column): DataFrame = {
+    val toks = nbTokens(docs, idCol, textCol, classCol)
+    val cc = toks.groupBy(col("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = cc.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val vv = toks.agg(countDistinct(col("tok")).as("v"))
+    cc.join(ct, Seq("cls")).crossJoin(broadcast(vv))
+      .select(col("cls"), col("tok"), col("cnt"),
+        floor(lit(-1000000.0) *
+          log((col("cnt") + 1).cast("double") /
+            (col("tot") + col("v")).cast("double")) + 0.5)
+          .cast("long").as("cost_micro"))
+  }
+
+  /** Self-train-and-predict: argmin over classes of
+    * prior_cost + Σ_token-occurrences cost(token | class), unseen
+    * (class, token) cells costing ⌊−10⁶·ln(1/(tot_c+V)) + ½⌋ — the
+    * add-1 limit, so seen and unseen cells share one formula. Integer
+    * sums, (cost, class) argmin via min(struct) — no window. Emits
+    * (doc_id, pred, cost_micro). Scale: token stream × nClasses rows
+    * through one combinable sum; the model/prior/unseen frames are
+    * class- or vocab-sized broadcasts. */
+  def nbPredict(docs: DataFrame, idCol: Column, textCol: Column,
+                classCol: Column): DataFrame = {
+    val toks = nbTokens(docs, idCol, textCol, classCol)
+      .localCheckpoint(true)
+    val cc = toks.groupBy(col("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = cc.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val vv = toks.agg(countDistinct(col("tok")).as("v"))
+    val model = cc.join(ct, Seq("cls")).crossJoin(broadcast(vv))
+      .select(col("cls"), col("tok"),
+        floor(lit(-1000000.0) *
+          log((col("cnt") + 1).cast("double") /
+            (col("tot") + col("v")).cast("double")) + 0.5)
+          .cast("long").as("cost_micro"))
+    val unseen = ct.crossJoin(broadcast(vv))
+      .select(col("cls"),
+        floor(lit(-1000000.0) *
+          log(lit(1.0) / (col("tot") + col("v")).cast("double")) + 0.5)
+          .cast("long").as("cost_u"))
+    val ndocs = docs.select(idCol.as("doc_id"), classCol.as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("nd"))
+    val ntot = ndocs.agg(sum(col("nd")).as("nt"))
+    val prior = ndocs.crossJoin(broadcast(ntot))
+      .select(col("cls"),
+        floor(lit(-1000000.0) *
+          log(col("nd").cast("double") / col("nt").cast("double"))
+          + 0.5).cast("long").as("cost_p"))
+    val classes = ndocs.select(col("cls"))
+    val scored = toks.select(col("doc_id"), col("tok"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .join(broadcast(unseen), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        coalesce(col("cost_micro"), col("cost_u")).as("c"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("c")).as("tokcost"))
+      .join(broadcast(prior), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (col("tokcost") + col("cost_p")).as("cost"))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct(col("cost"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("best.cls").as("pred"),
+        col("best.cost").as("cost_micro"))
+  }
+
   /** Closed-form ordinary least squares via INTEGER sufficient
     * statistics: every XᵀX / Xᵀy entry is a sum of per-row products
     * quantized to micro longs — exact, partition-invariant, the same

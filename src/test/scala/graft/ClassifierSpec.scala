@@ -63,6 +63,33 @@ class ClassifierSpec extends SparkSpec {
       col("y")) shouldBe Seq(1000000L, -2000000L, 5000000L)
   }
 
+  test("naive Bayes: disjoint vocabularies classify perfectly; " +
+      "prediction is partition-invariant") {
+    val docs = Seq(
+      (1L, "aa bb aa cc", "x"), (2L, "bb aa aa", "x"),
+      (3L, "dd ee dd ff", "y"), (4L, "ee dd ff ff", "y"),
+      (5L, "aa bb", "x"), (6L, "dd ee", "y"))
+      .toDF("doc_id", "text", "lang")
+    val pred = Classifier.nbPredict(docs, col("doc_id"), col("text"),
+        col("lang"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    pred.map(p => p._1 -> p._2).toMap shouldBe Map(
+      1L -> "x", 2L -> "x", 3L -> "y", 4L -> "y", 5L -> "x", 6L -> "y")
+    val pred2 = Classifier.nbPredict(docs.repartition(7),
+        col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    pred2 shouldBe pred
+    // model cells: seen tokens cost less than the unseen limit, and
+    // a more frequent token costs less than a rarer one
+    val model = Classifier.nbTrain(docs, col("doc_id"), col("text"),
+        col("lang"))
+      .as[(String, String, Long, Long)].collect()
+    val xa = model.find(m => m._1 == "x" && m._2 == "aa").get
+    val xc = model.find(m => m._1 == "x" && m._2 == "cc").get
+    xa._3 should be > xc._3
+    xa._4 should be < xc._4
+  }
+
   test("scoreMicro is a monotone map of the margin and exact at the " +
       "midpoint") {
     // zero weights: p = 1/2 exactly for every row
