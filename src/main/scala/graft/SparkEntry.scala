@@ -10658,7 +10658,11 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(sum(w.comb // 64) AS BIGINT) AS uni_cost_micro,
         |  CAST(sum(w.comb % 64) AS BIGINT) AS uni_tokens,
-        |  count(*) AS n_words
+        |  count(*) + 0 * (SELECT CASE
+        |    WHEN max(length(word)) <= 24 THEN 0
+        |    ELSE error('unigram oracle: corpus word exceeds the ' ||
+        |      '24-position DP unroll - raise the unroll depth')
+        |    END FROM uw0) AS n_words
         |FROM udocw d JOIN uopt w USING (word0)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
@@ -11433,7 +11437,11 @@ object SparkEntry {
       unigramEstepSql("r3", "r2v") +
       """
         |SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt,
-        |  v.cost_micro
+        |  v.cost_micro + 0 * (SELECT CASE
+        |    WHEN max(length(word)) <= 24 THEN 0
+        |    ELSE error('unigram oracle: corpus word exceeds the ' ||
+        |      '24-position DP unroll - raise the unroll depth')
+        |    END FROM uw0) AS cost_micro
         |FROM r2v v LEFT JOIN r3u u USING (piece)
         |ORDER BY v.piece""".stripMargin
 

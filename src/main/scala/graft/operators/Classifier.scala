@@ -61,10 +61,35 @@ object Classifier {
         sum(floor((p - label) * f * lit(Micro) + 0.5).cast("long"))
           .as(s"g$j")
       }
-      val row = df.select(gradCols :+ count(lit(1)).as("n"): _*)
+      // Guard band for the one float seam in this otherwise
+      // integer-exact pipeline: exp() is not guaranteed bit-identical
+      // across libms, so if any row's quantization input
+      // x = (p−y)·f·10⁶ + ½ lands within ~1 ulp of an integer, a
+      // last-ulp exp divergence could flip the floored unit and break
+      // cross-engine determinism SILENTLY. Measure each row's
+      // distance to the nearest floor boundary in the same pass and
+      // fail loudly when the margin is below 1e-7 (≫ any libm
+      // last-ulp drift at these magnitudes, ≪ the ~0.5 typical
+      // spacing) instead of surfacing as an unexplained hash
+      // mismatch later.
+      val guardCols = features.zipWithIndex.map { case (f, j) =>
+        val x = (p - label) * f * lit(Micro) + 0.5
+        val fr = x - floor(x)
+        min(least(fr, lit(1.0) - fr)).as(s"bd$j")
+      }
+      val row = df
+        .select((gradCols ++ guardCols) :+ count(lit(1)).as("n"): _*)
         .collect()(0)
-      val n = row.getLong(features.size)
+      val d = features.size
+      val n = row.getLong(2 * d)
       require(n > 0, "logisticTrainMicro: empty training frame")
+      (0 until d).foreach { j =>
+        val bd = row.getDouble(d + j)
+        require(bd > 1e-7,
+          s"logisticTrainMicro: round $r feature $j has a gradient " +
+            s"quantization input within $bd of a floor boundary - " +
+            "cross-engine exp() determinism is not guaranteed here")
+      }
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - math.floor(
           row.getLong(j).toDouble / (lrDen.toDouble * n) + 0.5).toLong
@@ -120,8 +145,12 @@ object Classifier {
     * add-1 limit, so seen and unseen cells share one formula. Integer
     * sums, (cost, class) argmin via min(struct) — no window. Emits
     * (doc_id, pred, cost_micro). Scale: token stream × nClasses rows
-    * through one combinable sum; the model/prior/unseen frames are
-    * class- or vocab-sized broadcasts. */
+    * through one combinable sum; the prior/unseen/classes frames are
+    * class-sized broadcasts. The MODEL frame is vocabulary-sized —
+    * millions of rows on a real language-ID corpus — so it carries NO
+    * broadcast hint: AQE broadcasts it when it is small and falls
+    * back to a shuffle join on (cls, tok) when it is not, instead of
+    * OOMing the driver on a forced vocab-sized broadcast. */
   def nbPredict(docs: DataFrame, idCol: Column, textCol: Column,
                 classCol: Column): DataFrame = {
     val toks = nbTokens(docs, idCol, textCol, classCol)
@@ -152,7 +181,7 @@ object Classifier {
     val classes = ndocs.select(col("cls"))
     val scored = toks.select(col("doc_id"), col("tok"))
       .crossJoin(broadcast(classes))
-      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .join(model, Seq("cls", "tok"), "left")
       .join(broadcast(unseen), Seq("cls"))
       .select(col("doc_id"), col("cls"),
         coalesce(col("cost_micro"), col("cost_u")).as("c"))
@@ -197,20 +226,32 @@ object Classifier {
     }
     val rhs = (0 until d).map(i => row.getLong(d * (d + 1) / 2 + i)
       .toDouble)
+    // Fail-loud singular-matrix guard: a collinear/constant feature
+    // set drives det to 0 and the Cramer divisions to NaN/Inf, which
+    // the micro-quantization below would silently fold to 0 or
+    // Long.MaxValue garbage. The sufficient statistics are integer-
+    // exact, so det == 0.0 is an exact test, not a float tolerance.
+    def nonSingular(det: Double): Double = {
+      require(det != 0.0,
+        "olsFitMicro: singular normal equations (collinear or " +
+          "constant features) — det(XtX) == 0")
+      det
+    }
     val beta: Seq[Double] = d match {
       case 1 =>
-        Seq(rhs(0) / m(0)(0))
+        Seq(rhs(0) / nonSingular(m(0)(0)))
       case 2 =>
         val (a, b, e) = (m(0)(0), m(0)(1), m(1)(1))
         val (p, q) = (rhs(0), rhs(1))
-        val det = a * e - b * b
+        val det = nonSingular(a * e - b * b)
         Seq((p * e - b * q) / det, (a * q - b * p) / det)
       case _ =>
         val (a, b, c) = (m(0)(0), m(0)(1), m(0)(2))
         val (e, f, i9) = (m(1)(1), m(1)(2), m(2)(2))
         val (p, q, r) = (rhs(0), rhs(1), rhs(2))
-        val det = a * (e * i9 - f * f) - b * (b * i9 - f * c) +
-          c * (b * f - e * c)
+        val det = nonSingular(
+          a * (e * i9 - f * f) - b * (b * i9 - f * c) +
+            c * (b * f - e * c))
         Seq(
           (p * (e * i9 - f * f) - b * (q * i9 - f * r) +
             c * (q * f - e * r)) / det,
