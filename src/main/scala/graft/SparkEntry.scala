@@ -4488,6 +4488,26 @@ object SparkEntry {
         .toDF("feature", "beta_micro").orderBy(col("feature"))
     }),
 
+    // ---- SGNS node-embedding training (DeepWalk end-to-end): the
+    //      deterministic walk corpus → skip-gram pairs → 3 rounds of
+    //      full-batch quantized-gradient SGNS with hash-picked
+    //      top-frequency negatives — the model never visits the
+    //      driver (node-keyed joins + long-sum groupBys per round)
+    "q_train_sgns" -> ((s, dir) =>
+      sgnsModel(s, dir)
+        .select(col("node"), col("u0"), col("u1"), col("u2"), col("u3"))
+        .orderBy(col("node"))),
+
+    // ---- the learned vectors feed the embedding-LSH dedup family:
+    //      banded sign-LSH candidates over the SGNS embeddings +
+    //      exact rounded-cosine verification — the walks →
+    //      embeddings → near-dup pipeline with zero external stages
+    "q_embed_sgns_dedup" -> ((s, dir) =>
+      operators.Similarity.lshNearDupPairs(
+          operators.Sgns.embeddings(sgnsModel(s, dir), dims = 4),
+          threshold = 0.999, nBands = 2, bitsPerBand = 2, dim = 4)
+        .orderBy(col("ia"), col("ib"))),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -10759,6 +10779,9 @@ object SparkEntry {
         |    CAST(floor(b2 * 1000000 + 0.5) AS BIGINT) FROM sol)
         |ORDER BY feature""".stripMargin,
 
+    "q_train_sgns" -> sgnsTrainSql,
+    "q_embed_sgns_dedup" -> sgnsDedupSql,
+
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
@@ -11062,6 +11085,23 @@ object SparkEntry {
       |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
       |  FROM dt2)""".stripMargin
 
+  /** Shared DeepWalk-SGNS pipeline for q_train_sgns /
+    * q_embed_sgns_dedup: the 600-node bipartite lineitem fold →
+    * deterministic walks → skip-gram pairs → 3-round quantized SGNS
+    * (d=4, 2 negatives from a 16-node top-frequency pool). */
+  private def sgnsModel(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    operators.Sgns.train(
+      operators.Graph.skipGramPairs(
+        operators.Graph.randomWalks(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 300).as("u"),
+            (col("l_partkey") % 300 + 300).as("v")),
+          col("u"), col("v"), walksPerNode = 2, steps = 4),
+        window = 2),
+      dims = 4, rounds = 3, negsPerPair = 2, negPool = 16,
+      lrDen = 1L, seed = 42L)
+
   // logistic-regression trainer: shared feature/label definitions —
   // the Spark expressions and the oracle SQL strings must stay
   // textually parallel (same float expression trees)
@@ -11152,7 +11192,13 @@ object SparkEntry {
     * a keyed row_number, neighbor choice = md5-hash(walk:step:seed)
     * mod degree, 4 unrolled steps — mirrors Graph.randomWalks
     * (stableHash64 is the same first-15-hex-chars-of-md5 integer). */
-  private val randomWalkCtesSql: String = {
+  private val randomWalkCtesSql: String = walkCtesSql(2000)
+
+  /** The deterministic-walk CTE chain over the `mod`-folded bipartite
+    * lineitem graph (walksPerNode=2, steps=4, seed=42) — shared by
+    * the walk/skip-gram oracles (mod 2000) and the SGNS trainer
+    * oracle (mod 300). Emits the corpus CTE `wa`. */
+  private def walkCtesSql(mod: Int): String = {
     val stepCtes = (1 to 4).map { t =>
       s"""f$t AS MATERIALIZED (
          |  SELECT f.walk_id, $t AS pos, a.v AS node
@@ -11163,8 +11209,8 @@ object SparkEntry {
          |     % d.deg)""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey % 2000 AS u,
-       |    2000 + (l_partkey % 2000) AS v FROM lineitem),
+       |  SELECT DISTINCT l_orderkey % $mod AS u,
+       |    $mod + (l_partkey % $mod) AS v FROM lineitem),
        |sym AS MATERIALIZED (
        |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
        |adj AS MATERIALIZED (SELECT u, v,
@@ -11201,6 +11247,162 @@ object SparkEntry {
         |FROM wa a JOIN wa b ON a.walk_id = b.walk_id
         |  AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+
+  /** Unrolled SGNS trainer oracle CTEs (mirrors operators.Sgns.train
+    * term for term on the mod-300 walk graph): walk corpus →
+    * skip-gram pairs → 16-node top-frequency negative pool →
+    * example multiset (2 hash-picked negatives per pair) → md5 u
+    * init / v=0 → 3 rounds of {exact long dot, one exp, per-example
+    * micro-quantized gradients, per-node long sums, mean-gradient
+    * update} — emits the final model CTE `m3`. */
+  private lazy val sgnsCtesSql: String = {
+    val d = 4
+    def dotSql(u: String, v: String): String =
+      (0 until d).map(k => s"$u.u$k * $v.v$k").mkString(" + ")
+    val rounds = (1 to 3).map { r =>
+      val gus = (0 until d).map(k =>
+        s"""CAST(sum(CAST(floor((p - y) * CAST(v$k AS DOUBLE) + 0.5)
+           |      AS BIGINT) * cnt) AS BIGINT) AS g$k""".stripMargin)
+        .mkString(",\n    ")
+      val gvs = (0 until d).map(k =>
+        s"""CAST(sum(CAST(floor((p - y) * CAST(u$k AS DOUBLE) + 0.5)
+           |      AS BIGINT) * cnt) AS BIGINT) AS h$k""".stripMargin)
+        .mkString(",\n    ")
+      val ups = ((0 until d).map(k =>
+        s"""CAST(coalesce(m.u$k - CAST(floor(CAST(g.g$k AS DOUBLE)
+           |      / (1.0 * g.nc) + 0.5) AS BIGINT), m.u$k) AS BIGINT)
+           |      AS u$k""".stripMargin) ++
+        (0 until d).map(k =>
+          s"""CAST(coalesce(m.v$k - CAST(floor(CAST(h.h$k AS DOUBLE)
+             |      / (1.0 * h.nx) + 0.5) AS BIGINT), m.v$k) AS BIGINT)
+             |      AS v$k""".stripMargin)).mkString(",\n    ")
+      s"""sc$r AS MATERIALIZED (
+         |  SELECT e.center, e.other, e.cnt, e.y,
+         |    ${(0 until d).map(k => s"m.u$k").mkString(", ")},
+         |    ${(0 until d).map(k => s"n.v$k").mkString(", ")},
+         |    1.0 / (1.0 + exp(-(CAST(${dotSql("m", "n")} AS DOUBLE)
+         |      / 1000000000000.0))) AS p
+         |  FROM ex e JOIN m${r - 1} m ON e.center = m.node
+         |            JOIN m${r - 1} n ON e.other = n.node),
+         |gu$r AS MATERIALIZED (
+         |  SELECT center AS node,
+         |    $gus,
+         |    CAST(sum(cnt) AS BIGINT) AS nc
+         |  FROM sc$r GROUP BY 1),
+         |gv$r AS MATERIALIZED (
+         |  SELECT other AS node,
+         |    $gvs,
+         |    CAST(sum(cnt) AS BIGINT) AS nx
+         |  FROM sc$r GROUP BY 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT m.node,
+         |    $ups
+         |  FROM m${r - 1} m LEFT JOIN gu$r g ON m.node = g.node
+         |                   LEFT JOIN gv$r h ON m.node = h.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val uInits = (0 until d).map(k =>
+      s"""CAST(CAST('0x' || substr(md5('sgnsu:' || node || ':$k:42'),
+         |      1, 15) AS BIGINT) % 2001 - 1000 AS BIGINT) AS u$k"""
+        .stripMargin).mkString(",\n    ")
+    val vInits = (0 until d).map(k =>
+      s"CAST(0 AS BIGINT) AS v$k").mkString(", ")
+    walkCtesSql(300) +
+      s""",
+         |pr AS MATERIALIZED (
+         |  SELECT CAST(a.node AS BIGINT) AS center,
+         |    CAST(b.node AS BIGINT) AS context,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM wa a JOIN wa b ON a.walk_id = b.walk_id
+         |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+         |  GROUP BY 1, 2),
+         |pool AS MATERIALIZED (
+         |  SELECT nd, idx FROM (
+         |    SELECT nd, row_number() OVER (ORDER BY f DESC, nd) - 1
+         |      AS idx
+         |    FROM (SELECT context AS nd, CAST(sum(cnt) AS BIGINT) AS f
+         |          FROM pr GROUP BY 1) t) s
+         |  WHERE idx < 16),
+         |negx AS MATERIALIZED (
+         |  SELECT p.center, p.context, p.cnt,
+         |    CAST('0x' || substr(md5('sgnsneg:' || p.center || ':' ||
+         |      p.context || ':' || i.i || ':42'), 1, 15) AS BIGINT)
+         |      % 16 AS idx
+         |  FROM pr p, (SELECT unnest(range(0, 2)) AS i) i),
+         |ex AS MATERIALIZED (
+         |  SELECT center, context AS other, cnt, CAST(1 AS DOUBLE) AS y
+         |  FROM pr
+         |  UNION ALL
+         |  SELECT n.center, pl.nd, n.cnt, CAST(0 AS DOUBLE)
+         |  FROM negx n JOIN pool pl USING (idx)
+         |  WHERE pl.nd <> n.center AND pl.nd <> n.context),
+         |nds AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT center AS node FROM ex
+         |  UNION ALL SELECT other FROM ex)),
+         |m0 AS MATERIALIZED (
+         |  SELECT node,
+         |    $uInits,
+         |    $vInits
+         |  FROM nds),
+         |$rounds""".stripMargin
+  }
+
+  private lazy val sgnsTrainSql: String =
+    sgnsCtesSql +
+      """
+        |SELECT CAST(node AS BIGINT) AS node, u0, u1, u2, u3
+        |FROM m3 ORDER BY node""".stripMargin
+
+  /** The learned u vectors through the banded sign-LSH near-dup path
+    * (2 bands × 2 bits, dim 4, seed 42) with exact rounded-cosine
+    * verification at τ=0.999 — mirrors
+    * Similarity.lshNearDupPairs(Sgns.embeddings(...)) including the
+    * micro → double → FLOAT round-trip of the embedding contract. */
+  private lazy val sgnsDedupSql: String = {
+    val d = 4
+    def fv(t: String, k: Int): String =
+      s"CAST($t.f$k AS DOUBLE)"
+    def dotSql(a: String, b: String): String =
+      (0 until d).map(k => s"${fv(a, k)} * ${fv(b, k)}")
+        .mkString(" + ")
+    val sSum = (0 until d).map(k =>
+      s"${fv("e", k)} * ${lshWSql("r.p", k.toString)}")
+      .mkString(" + ")
+    sgnsCtesSql +
+      s""",
+         |emb AS MATERIALIZED (
+         |  SELECT node AS vec_id,
+         |    ${(0 until d).map(k =>
+               s"CAST(CAST(u$k AS DOUBLE) / 1000000 AS FLOAT) AS f$k")
+               .mkString(", ")}
+         |  FROM m3),
+         |sgs AS MATERIALIZED (
+         |  SELECT e.vec_id, r.p, ($sSum) AS sv
+         |  FROM emb e, range(0, 4) r(p)),
+         |bks AS (
+         |  SELECT vec_id, p // 2 AS band,
+         |    CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << (p % 2))
+         |             ELSE 0 END) AS BIGINT) AS bits
+         |  FROM sgs GROUP BY 1, 2),
+         |cnd AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bks a JOIN bks b
+         |    ON a.band = b.band AND a.bits = b.bits
+         |   AND a.vec_id < b.vec_id),
+         |nrm AS (
+         |  SELECT vec_id, ${dotSql("e", "e")} AS n2
+         |  FROM emb e),
+         |vfy AS (
+         |  SELECT ia, ib,
+         |    floor((${dotSql("x", "y")}) /
+         |      sqrt(nx.n2 * ny.n2) * 1000000 + 0.5) / 1000000 AS cos_r
+         |  FROM cnd JOIN emb x ON x.vec_id = cnd.ia
+         |           JOIN emb y ON y.vec_id = cnd.ib
+         |           JOIN nrm nx ON nx.vec_id = cnd.ia
+         |           JOIN nrm ny ON ny.vec_id = cnd.ib)
+         |SELECT ia, ib, cos_r FROM vfy WHERE cos_r >= 0.999
+         |ORDER BY ia, ib""".stripMargin
+  }
 
   /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
     * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skip-gram-with-negative-sampling (SGNS) node-embedding training,
+  * run INSIDE the engine — the stage that turns
+  * [[Graph.randomWalks]] → [[Graph.skipGramPairs]] co-occurrence
+  * counts into learned d-dimensional node vectors (DeepWalk), which
+  * then feed the embedding-LSH dedup / ANN family
+  * ([[Similarity.lshNearDupPairs]]). Closes the graph → embeddings →
+  * similarity end-to-end with no external trainer.
+  *
+  * Bit-determinism, by the two engine-wide tricks the classifier
+  * family proved ([[Classifier.logisticTrainMicro]]):
+  *   - every per-example float gradient contribution is quantized to
+  *     integer micro-units BEFORE any sum — ⌊(p−y)·v_k + ½⌋ with
+  *     v_k already in micro — then scaled by the exact integer pair
+  *     count, so the per-node gradient aggregation sums longs
+  *     (partition-order-invariant, AQE/retry-safe);
+  *   - the only transcendental is one exp per example per round, and
+  *     the dot product is built left-to-right so the float expression
+  *     tree matches an oracle's textual order exactly.
+  *
+  * Negative sampling is deterministic: negatives for pair (c, x, i)
+  * come from a fixed pool of the `negPool` most frequent context
+  * nodes (frequency-ranked — the same bias toward frequent nodes as
+  * word2vec's unigram^0.75 table, collapsed to its head), picked by
+  * stableHash64("sgnsneg:c:x:i:seed") mod pool size. A hash-picked
+  * negative equal to the pair's center or true context is dropped
+  * (not resampled), keeping the example set a pure function of the
+  * pair table.
+  *
+  * Scale shape: the model is a DataFrame of (node, u0..u_{d-1},
+  * v0..v_{d-1}) micro longs that NEVER visits the driver — each
+  * round is one equi-join of examples against the model (node-keyed,
+  * twice: center side and context/negative side), two combinable
+  * long-sum groupBys, and one model-update join, with a lineage cut
+  * per round. Driver traffic is the `negPool` pool rows once, plus
+  * nothing per round. At 100 TB the model is |V|·2d longs
+  * distributed across the cluster; updates are joins, exactly how a
+  * parameter-server round would shard.
+  *
+  * Init: u_k(node) = stableHash64("sgnsu:node:k:seed") mod 2001 −
+  * 1000 micro (±0.001, breaks the zero-init fixed point); v = 0
+  * (word2vec convention — v moves round 1, u from round 2).
+  *
+  * The exp() guard band from logisticTrainMicro carries over, but
+  * RELATIVE: each quantization input (p−y)·m + ½ must sit more than
+  * |m|·1e-14 from a floor boundary (a libm last-ulp divergence in
+  * exp perturbs the input by ~1e-16·|m|, so the margin scales with
+  * the multiplier; rows with dot exactly 0 are exempt — their
+  * arithmetic is transcendental-free and IEEE-exact). Aggregated
+  * alongside the gradients, asserted via assert_true inside the
+  * update join: a cross-libm divergence fails loudly instead of
+  * silently flipping a quantized unit.
+  */
+object Sgns {
+
+  private val Micro = 1e6
+
+  /** Deterministic negative-sample pool: the `negPool` most frequent
+    * context nodes by (Σcnt DESC, node ASC). Bounded driver collect
+    * (`negPool` rows — a global top-k TakeOrdered, never a sort). */
+  def negativePool(pairs: DataFrame, negPool: Int): Seq[Long] =
+    pairs.groupBy(col("context")).agg(sum(col("cnt")).as("f"))
+      .orderBy(col("f").desc, col("context"))
+      .limit(negPool)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Training example table: positives (center, other=context, y=1)
+    * plus `negsPerPair` hash-picked pool negatives (y=0) per pair,
+    * every example carrying the exact pair multiplicity `cnt`. */
+  def examples(pairs: DataFrame, pool: Seq[Long], negsPerPair: Int,
+               seed: Long): DataFrame = {
+    val poolArr = array(pool.map(lit(_)): _*)
+    val pos = pairs.select(col("center"), col("context").as("other"),
+      col("cnt"), lit(1.0).as("y"))
+    val negs = (0 until negsPerPair).map { i =>
+      pairs.select(col("center"),
+          element_at(poolArr,
+            (graft.functions.stableHash64(concat_ws(":", lit("sgnsneg"),
+              col("center"), col("context"), lit(i), lit(seed)))
+              % pool.size).cast("int") + 1).as("other"),
+          col("cnt"), lit(0.0).as("y"),
+          col("context"))
+        .filter(col("other") =!= col("center") &&
+          col("other") =!= col("context"))
+        .drop("context")
+    }.reduce(_ unionAll _)
+    pos.unionAll(negs)
+  }
+
+  /** Train `dims`-dimensional embeddings over a
+    * [[Graph.skipGramPairs]] table (center, context, cnt) by `rounds`
+    * full-batch quantized-gradient steps. Returns the model frame
+    * (node, u0.., v0..) in micro longs; the embedding is the u side
+    * (see [[embeddings]]). */
+  def train(pairs: DataFrame, dims: Int = 4, rounds: Int = 3,
+            negsPerPair: Int = 2, negPool: Int = 16,
+            lrDen: Long = 10L, seed: Long = 42L): DataFrame = {
+    require(dims >= 1 && rounds >= 1 && negsPerPair >= 1 &&
+      negPool >= 2 && lrDen >= 1, "bad sgns params")
+    val pool = negativePool(pairs, negPool)
+    require(pool.nonEmpty, "sgns: empty pair table")
+    val ex = examples(pairs, pool, negsPerPair, seed)
+      .localCheckpoint(true)
+    val nodes = ex.select(col("center").as("node"))
+      .unionAll(ex.select(col("other").as("node")))
+      .distinct()
+    var model = nodes.select(
+      col("node") +:
+        ((0 until dims).map(k =>
+          (graft.functions.stableHash64(concat_ws(":", lit("sgnsu"),
+            col("node"), lit(k), lit(seed))) % 2001L - 1000L)
+            .as(s"u$k")) ++
+          (0 until dims).map(k => lit(0L).as(s"v$k"))): _*)
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val mc = model.select(col("node").as("center") +:
+        (0 until dims).map(k => col(s"u$k")): _*)
+      val mx = model.select(col("node").as("other") +:
+        (0 until dims).map(k => col(s"v$k")): _*)
+      // The dot product is summed in EXACT long micro² units and
+      // converted to double once — a float term-by-term sum leaves
+      // ~1e-25 cancellation residue when the integer dot is 0,
+      // which defeats the exactness exemption below and creates
+      // denormal knife-edge rows no guard threshold can classify.
+      val scored = ex.join(mc, Seq("center")).join(mx, Seq("other"))
+        .withColumn("dot", (0 until dims)
+          .map(k => col(s"u$k") * col(s"v$k"))
+          .reduceLeft(_ + _).cast("double") / lit(1e12))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("dot"))))
+      // per-example quantized gradient units, scaled by the exact
+      // pair count; bd = distance to the nearest floor boundary over
+      // every quantization input on this row (guard band). Rows with
+      // dot == 0.0 are EXEMPT: exp(0) is exactly 1 in any conforming
+      // libm, p is exactly 0.5, and (±0.5)·micro + 0.5 is pure
+      // power-of-two IEEE arithmetic — such rows land exactly ON
+      // boundaries by construction (v inits at 0) yet floor there is
+      // bit-deterministic; only transcendental-derived inputs carry
+      // the cross-libm last-ulp risk the guard exists for.
+      def qIn(k: Int, side: String): Column =
+        (col("p") - col("y")) * col(side + k).cast("double") + 0.5
+      // RELATIVE margin: a libm last-ulp divergence perturbs the
+      // input by ~1e-16·|m| (m = the micro multiplier), so the
+      // boundary distance is compared against |m|·1e-14 — a 100×
+      // margin that scales with the input's own magnitude. An
+      // absolute threshold is wrong in both directions here: the
+      // smallest legitimate nonzero dot (1 micro², 1e-12) puts
+      // inputs ~2.5e-13·|m| from a boundary — unsafe-looking on an
+      // absolute scale yet 25× clear of the relative one.
+      def bdTerm(k: Int, side: String): Column = {
+        val x = qIn(k, side)
+        val fr = x - floor(x)
+        least(fr, lit(1.0) - fr) -
+          abs(col(side + k).cast("double")) * lit(1e-14)
+      }
+      val withG = (0 until dims).foldLeft(scored) { (d, k) =>
+        d.withColumn(s"gu$k", floor(qIn(k, "v")).cast("long") * col("cnt"))
+          .withColumn(s"gv$k", floor(qIn(k, "u")).cast("long") * col("cnt"))
+      }.withColumn("bd",
+        when(col("dot") === 0.0, lit(0.5)).otherwise(
+          (0 until dims).flatMap(k =>
+            Seq(bdTerm(k, "v"), bdTerm(k, "u")))
+            .reduceLeft(least(_, _))))
+      val guAggs = (0 until dims).map(k => sum(col(s"gu$k")).as(s"g$k")) ++
+        Seq(sum(col("cnt")).as("nc"), min(col("bd")).as("bd"))
+      val gu = withG.groupBy(col("center"))
+        .agg(guAggs.head, guAggs.tail: _*)
+        .withColumnRenamed("center", "node")
+      val gvAggs = (0 until dims).map(k => sum(col(s"gv$k")).as(s"h$k")) :+
+        sum(col("cnt")).as("nx")
+      val gv = withG.groupBy(col("other"))
+        .agg(gvAggs.head, gvAggs.tail: _*)
+        .withColumnRenamed("other", "node")
+      // bd is NULL for nodes that never appear as a center (left
+      // join) — assert_true treats NULL as failure, so pass those
+      val guard = coalesce(assert_true(
+        col("bd").isNull || col("bd") > 0.0,
+        lit("sgns: gradient quantization input within 1e-14 of a " +
+          "floor boundary relative to its multiplier - cross-libm " +
+          "exp() determinism not guaranteed")).cast("long"), lit(0L))
+      model = model.join(gu, Seq("node"), "left")
+        .join(gv, Seq("node"), "left")
+        .select(col("node") +:
+          ((0 until dims).map(k =>
+            (coalesce(col(s"u$k") - floor(col(s"g$k").cast("double") /
+              (lit(lrDen.toDouble) * col("nc")) + 0.5).cast("long")
+              + guard, col(s"u$k"))).as(s"u$k")) ++
+            (0 until dims).map(k =>
+              coalesce(col(s"v$k") - floor(col(s"h$k").cast("double") /
+                (lit(lrDen.toDouble) * col("nx")) + 0.5).cast("long"),
+                col(s"v$k")).as(s"v$k"))): _*)
+        .localCheckpoint(true)
+      r += 1
+    }
+    model
+  }
+
+  /** The learned embedding table for the similarity family:
+    * (vec_id, embedding array<float>) from the model's u side —
+    * float to match the embeddings-table contract the LSH/ANN
+    * operators consume; the micro-long → double → float round-trip
+    * is exactly rounded, so an oracle can mirror it. */
+  def embeddings(model: DataFrame, dims: Int): DataFrame =
+    model.select(col("node").as("vec_id"),
+      array((0 until dims).map(k =>
+        (col(s"u$k").cast("double") / Micro).cast("float")): _*)
+        .as("embedding"))
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sgns}
+
+/** SGNS node-embedding trainer: deterministic negatives, exact
+  * quantized-gradient rounds, model-shape invariants, and the
+  * embedding contract the similarity family consumes. */
+class SgnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyPairs = Graph.skipGramPairs(
+    Graph.randomWalks(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L),
+        (3L, 12L), (4L, 13L), (5L, 13L), (4L, 14L), (5L, 14L))
+        .toDF("u", "v"),
+      col("u"), col("v"), walksPerNode = 2, steps = 3),
+    window = 2)
+
+  test("negativePool is frequency-ranked with node-id tie-break") {
+    val pairs = Seq((1L, 7L, 5L), (2L, 7L, 3L), (1L, 8L, 8L),
+      (2L, 9L, 4L), (3L, 9L, 4L)).toDF("center", "context", "cnt")
+    // freqs: 7 -> 8, 8 -> 8, 9 -> 8 — all tied, node id breaks
+    Sgns.negativePool(pairs, 2) shouldBe Seq(7L, 8L)
+    Sgns.negativePool(pairs, 5) shouldBe Seq(7L, 8L, 9L)
+  }
+
+  test("examples: positives keep cnt, negatives avoid center/context") {
+    val pairs = Seq((1L, 7L, 5L), (7L, 1L, 5L), (2L, 8L, 3L))
+      .toDF("center", "context", "cnt")
+    val ex = Sgns.examples(pairs, Seq(7L, 8L), negsPerPair = 2,
+      seed = 42L).collect()
+    val pos = ex.filter(_.getDouble(3) == 1.0)
+    pos.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      Set((1L, 7L, 5L), (7L, 1L, 5L), (2L, 8L, 3L))
+    // every negative is a pool member and never the pair's own
+    // center or true context; dropped (not resampled) on collision
+    val negSrc = ex.filter(_.getDouble(3) == 0.0)
+    negSrc.foreach { r =>
+      Seq(7L, 8L) should contain(r.getLong(1))
+      r.getLong(1) should not be r.getLong(0)
+    }
+    negSrc.length should be <= 6
+  }
+
+  test("train is bit-deterministic across partitionings") {
+    val pairs = toyPairs.localCheckpoint(true)
+    def run(parts: Int) =
+      Sgns.train(pairs.repartition(parts), dims = 2, rounds = 2,
+          negsPerPair = 1, negPool = 4, lrDen = 1L)
+        .orderBy(col("node")).collect().map(_.toSeq).toSeq
+    run(1) shouldBe run(7)
+  }
+
+  test("train moves the model and stays integer-bounded") {
+    val model = Sgns.train(toyPairs, dims = 2, rounds = 3,
+      negsPerPair = 2, negPool = 4, lrDen = 1L)
+    val rows = model.collect()
+    rows.length shouldBe 10 // 5 + 5 bipartite fold, all walked
+    // v side must have moved off its zero init somewhere (round 1
+    // trains v; u follows once v is nonzero)
+    rows.map(r => math.abs(r.getLong(3)) + math.abs(r.getLong(4)))
+      .sum should be > 0L
+    // micro magnitudes stay sane under the mean-gradient update
+    rows.flatMap(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).foreach(v => math.abs(v) should be < 100000L)
+  }
+
+  test("embeddings emits the float-array contract for the LSH family") {
+    val model = Sgns.train(toyPairs, dims = 3, rounds = 1,
+      negsPerPair = 1, negPool = 4)
+    val emb = Sgns.embeddings(model, dims = 3)
+    emb.columns.toSeq shouldBe Seq("vec_id", "embedding")
+    emb.schema("embedding").dataType.simpleString shouldBe "array<float>"
+    val first = emb.orderBy(col("vec_id")).head
+    first.getSeq[Float](1).length shouldBe 3
+    // the learned vectors flow through the banded sign-LSH dedup
+    // entry point without schema friction
+    operators.Similarity.lshNearDupPairs(emb, threshold = 0.9,
+      nBands = 1, bitsPerBand = 2, dim = 3).columns.toSeq shouldBe
+      Seq("ia", "ib", "cos_r")
+  }
+}
