@@ -12,6 +12,8 @@ object ExplainOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    operators.Graph.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { name =>
       println(s"==== $name ====")

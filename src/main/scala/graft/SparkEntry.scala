@@ -4488,6 +4488,33 @@ object SparkEntry {
         .toDF("feature", "beta_micro").orderBy(col("feature"))
     }),
 
+    // ---- pure-Scala QOI decode through the pluggable decoder seam:
+    //      deterministic synthetic QOI assets (full op coverage:
+    //      runs, diffs, luma, literals) decoded by the real codec
+    //      with per-batch decoder init; features are integer-exact
+    //      sums released through fixed double chains, so the oracle
+    //      regenerates them from the pixel formula — decoded=true on
+    //      every row proves the codec ran, not the stub
+    "q_multimodal_qoi" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) => multimodal.Qoi.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 200).as("asset_id")).distinct()
+        .withColumn("kind", lit("image"))
+        .withColumn("payload", mkPayload(col("asset_id")))
+      multimodal.Qoi.extractFeaturesBatched(assets, 64,
+          () => multimodal.Qoi.qoiFirstDecoder)
+        .select(col("asset_id"), col("decoded"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("double").as("mean_r"),
+          element_at(col("features"), 4).cast("double").as("mean_g"),
+          element_at(col("features"), 5).cast("double").as("mean_b"),
+          element_at(col("features"), 6).cast("double").as("luma_mean"),
+          element_at(col("features"), 7).cast("double").as("luma_std"),
+          element_at(col("features"), 8).cast("double").as("aspect"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- SGNS node-embedding training (DeepWalk end-to-end): the
     //      deterministic walk corpus → skip-gram pairs → 3 rounds of
     //      full-batch quantized-gradient SGNS with hash-picked
@@ -10782,6 +10809,51 @@ object SparkEntry {
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
 
+    // regenerates the synthetic QOI pixels (pure integer formula)
+    // and mirrors Qoi.features' fixed division chains; the Spark
+    // side must decode the actual byte stream to match
+    "q_multimodal_qoi" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 200 AS id
+        |  FROM lineitem),
+        |dims AS (SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.id, d.w, d.h,
+        |    CASE WHEN d.id % 7 = 0 THEN d.id % 256
+        |         ELSE (x.x*7 + y.y*11 + d.id*13) % 256 END AS r,
+        |    CASE WHEN d.id % 7 = 0 THEN d.id % 256
+        |         ELSE (x.x*17 + y.y*3 + d.id*29) % 256 END AS g,
+        |    CASE WHEN d.id % 7 = 0 THEN d.id % 256
+        |         ELSE (x.x*5 + y.y*23 + d.id*31) % 256 END AS b
+        |  FROM dims d, range(0, 8) x(x), range(0, 7) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |ag AS (
+        |  SELECT id, w, h, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(r) AS BIGINT) AS sr,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS sl,
+        |    CAST(sum((299*r + 587*g + 114*b) *
+        |             (299*r + 587*g + 114*b)) AS BIGINT) AS sl2
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT CAST(id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(CAST(CAST(sr AS DOUBLE) / n / 255.0 AS FLOAT)
+        |    AS DOUBLE) AS mean_r,
+        |  CAST(CAST(CAST(sg AS DOUBLE) / n / 255.0 AS FLOAT)
+        |    AS DOUBLE) AS mean_g,
+        |  CAST(CAST(CAST(sb AS DOUBLE) / n / 255.0 AS FLOAT)
+        |    AS DOUBLE) AS mean_b,
+        |  CAST(CAST(CAST(sl AS DOUBLE) / n / 1000.0 / 255.0 AS FLOAT)
+        |    AS DOUBLE) AS luma_mean,
+        |  CAST(CAST(sqrt(greatest(0.0,
+        |      CAST(sl2 AS DOUBLE) / n -
+        |      (CAST(sl AS DOUBLE) / n) * (CAST(sl AS DOUBLE) / n)))
+        |      / 1000.0 / 255.0 AS FLOAT) AS DOUBLE) AS luma_std,
+        |  CAST(CAST(CAST(w AS DOUBLE) / h AS FLOAT) AS DOUBLE)
+        |    AS aspect
+        |FROM ag ORDER BY asset_id""".stripMargin,
+
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT),
@@ -11088,19 +11160,26 @@ object SparkEntry {
   /** Shared DeepWalk-SGNS pipeline for q_train_sgns /
     * q_embed_sgns_dedup: the 600-node bipartite lineitem fold →
     * deterministic walks → skip-gram pairs → 3-round quantized SGNS
-    * (d=4, 2 negatives from a 16-node top-frequency pool). */
+    * (d=4, 2 negatives from a 16-node top-frequency pool).
+    * Registered under a keyed ResultCache entry — the trained model
+    * is the shared artifact of both queries, and its plan chains
+    * through per-round checkpoints, so only an explicit key can
+    * address it; the key carries the source dir and every
+    * hyperparameter. */
   private def sgnsModel(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
-    operators.Sgns.train(
-      operators.Graph.skipGramPairs(
-        operators.Graph.randomWalks(
-          Tables.lineitem(s, dir).select(
-            (col("l_orderkey") % 300).as("u"),
-            (col("l_partkey") % 300 + 300).as("v")),
-          col("u"), col("v"), walksPerNode = 2, steps = 4),
-        window = 2),
-      dims = 4, rounds = 3, negsPerPair = 2, negPool = 16,
-      lrDen = 1L, seed = 42L)
+    plans.ResultCache.withKeyedCache(s,
+      s"sgns_model:$dir:mod=300:d=4:r=3:neg=2:pool=16:lr=1:seed=42",
+      operators.Sgns.train(
+        operators.Graph.skipGramPairs(
+          operators.Graph.randomWalks(
+            Tables.lineitem(s, dir).select(
+              (col("l_orderkey") % 300).as("u"),
+              (col("l_partkey") % 300 + 300).as("v")),
+            col("u"), col("v"), walksPerNode = 2, steps = 4),
+          window = 2),
+        dims = 4, rounds = 3, negsPerPair = 2, negPool = 16,
+        lrDen = 1L, seed = 42L))
 
   // logistic-regression trainer: shared feature/label definitions —
   // the Spark expressions and the oracle SQL strings must stay
@@ -11463,7 +11542,8 @@ object SparkEntry {
     * 2·selfw to the weighted degree. Emits label CTE `${p}o`. */
   private def louvainMoveRoundSql(p: String, inter: String,
       self: Option[String], lab: String,
-      gn: Long = 1L, gd: Long = 1L): String = {
+      gn: Long = 1L, gd: Long = 1L,
+      parity: Option[Int] = None): String = {
     val selfDeg = self.map(s =>
       s"\n    UNION ALL SELECT node, 2 * selfw FROM $s").getOrElse("")
     s"""${p}s AS MATERIALIZED (
@@ -11495,10 +11575,23 @@ object SparkEntry {
        |    LEFT JOIN ${p}d d ON ca.node = d.node
        |    LEFT JOIN ${p}cd cd ON ca.c = cd.lbl
        |    CROSS JOIN ${p}t t),
-       |${p}o AS MATERIALIZED (SELECT node, c AS lbl FROM (
-       |  SELECT node, c, row_number() OVER (PARTITION BY node
-       |    ORDER BY s DESC, c ASC) AS rn FROM ${p}sc)
-       |  WHERE rn = 1)""".stripMargin
+       |${p}o AS MATERIALIZED (${parity match {
+         case None =>
+           s"""SELECT node, c AS lbl FROM (
+              |  SELECT node, c, row_number() OVER (PARTITION BY node
+              |    ORDER BY s DESC, c ASC) AS rn FROM ${p}sc)
+              |  WHERE rn = 1""".stripMargin
+         case Some(par) =>
+           // parity-gated round: ineligible nodes keep their label
+           s"""SELECT r.node,
+              |    CASE WHEN r.node % 2 = $par THEN r.c
+              |         ELSE cur.lbl END AS lbl
+              |  FROM (
+              |    SELECT node, c, row_number() OVER (PARTITION BY node
+              |      ORDER BY s DESC, c ASC) AS rn FROM ${p}sc) r
+              |  JOIN $lab cur ON r.node = cur.node
+              |  WHERE r.rn = 1""".stripMargin
+       }})""".stripMargin
   }
 
   /** Multi-level Louvain oracle (2 levels × 2 moves) mirroring
@@ -11515,8 +11608,8 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM (
        |  SELECT a AS node FROM i0 UNION ALL SELECT b FROM i0)),
-       |${louvainMoveRoundSql("m1", "i0", None, "l0", gn, gd)},
-       |${louvainMoveRoundSql("m2", "i0", None, "m1o", gn, gd)},
+       |${louvainMoveRoundSql("m1", "i0", None, "l0", gn, gd, Some(0))},
+       |${louvainMoveRoundSql("m2", "i0", None, "m1o", gn, gd, Some(1))},
        |ed AS MATERIALIZED (
        |  SELECT la.lbl AS x, lb.lbl AS y, e.w
        |  FROM i0 e JOIN m2o la ON e.a = la.node
@@ -11530,8 +11623,10 @@ object SparkEntry {
        |  FROM ed WHERE x = y GROUP BY 1),
        |l1 AS MATERIALIZED (
        |  SELECT DISTINCT lbl AS node, lbl FROM m2o),
-       |${louvainMoveRoundSql("m3", "i1", Some("s1"), "l1", gn, gd)},
-       |${louvainMoveRoundSql("m4", "i1", Some("s1"), "m3o", gn, gd)}
+       |${louvainMoveRoundSql("m3", "i1", Some("s1"), "l1", gn, gd,
+           Some(0))},
+       |${louvainMoveRoundSql("m4", "i1", Some("s1"), "m3o", gn, gd,
+           Some(1))}
        |SELECT CAST(a.node AS BIGINT) AS node,
        |  CAST(o.lbl AS BIGINT) AS lbl
        |FROM m2o a JOIN m4o o ON a.lbl = o.node

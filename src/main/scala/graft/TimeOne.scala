@@ -11,6 +11,8 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    operators.Graph.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     val dir = "/root/testdata/sf0.1"
     SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
     args.foreach { name =>

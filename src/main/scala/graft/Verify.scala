@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize shared graph preprocessing once per run: the N
+    // queries folding the same base table re-read one artifact
+    operators.Graph.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

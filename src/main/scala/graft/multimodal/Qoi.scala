@@ -1,0 +1,256 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** Pure-Scala QOI ("Quite OK Image") codec — the proof that the
+  * [[Multimodal.Decoder]] seam carries a REAL non-JRE codec, not just
+  * ImageIO passthrough. QOI is a public single-page spec
+  * (qoiformat.org): byte-oriented, lossless, no entropy coder — a
+  * 14-byte header, six chunk ops (RGB / RGBA literals, a 64-slot
+  * running index, 2-bit diffs, luma diffs, runs), and an 8-byte end
+  * marker. ~100 lines each way, zero dependencies, and exercises
+  * every moving part a batched decode stage needs (stateful
+  * per-image decode, malformed-input rejection, per-batch init).
+  *
+  * Features ([[features]]) are computed in INTEGER sums (per-mille
+  * luma, long accumulators) and released through one fixed chain of
+  * double divisions — so a SQL oracle can reproduce them bit-exactly
+  * from the synthetic pixel formula, which a float-accumulating
+  * decoder (cf. [[Multimodal.decodeImage]]'s double += loop) can
+  * never guarantee under reordered sums.
+  */
+object Qoi {
+
+  private val Magic = Array[Byte]('q', 'o', 'i', 'f')
+
+  private def hash(r: Int, g: Int, b: Int, a: Int): Int =
+    (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+  /** Decode a QOI payload → (width, height, row-major ARGB pixels);
+    * None on anything malformed (bad magic, truncation, overrun). */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload.length < 22) return None
+    if (payload(0) != Magic(0) || payload(1) != Magic(1) ||
+      payload(2) != Magic(2) || payload(3) != Magic(3)) return None
+    def u32(o: Int): Int =
+      ((payload(o) & 0xFF) << 24) | ((payload(o + 1) & 0xFF) << 16) |
+        ((payload(o + 2) & 0xFF) << 8) | (payload(o + 3) & 0xFF)
+    val w = u32(4)
+    val h = u32(8)
+    val channels = payload(12) & 0xFF
+    if (w <= 0 || h <= 0 || w.toLong * h > 16_000_000L ||
+      (channels != 3 && channels != 4)) return None
+    val n = w * h
+    val out = new Array[Int](n)
+    val index = new Array[Int](64) // packed ARGB, zero-initialized
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var pos = 14
+    var px = 0
+    try {
+      while (px < n) {
+        val b0 = payload(pos) & 0xFF
+        pos += 1
+        var run = 1
+        if (b0 == 0xFE) { // QOI_OP_RGB
+          r = payload(pos) & 0xFF; g = payload(pos + 1) & 0xFF
+          b = payload(pos + 2) & 0xFF; pos += 3
+        } else if (b0 == 0xFF) { // QOI_OP_RGBA
+          r = payload(pos) & 0xFF; g = payload(pos + 1) & 0xFF
+          b = payload(pos + 2) & 0xFF; a = payload(pos + 3) & 0xFF
+          pos += 4
+        } else (b0 >> 6) match {
+          case 0 => // QOI_OP_INDEX
+            val v = index(b0 & 0x3F)
+            a = (v >>> 24) & 0xFF; r = (v >> 16) & 0xFF
+            g = (v >> 8) & 0xFF; b = v & 0xFF
+          case 1 => // QOI_OP_DIFF (bias 2)
+            r = (r + ((b0 >> 4) & 3) - 2) & 0xFF
+            g = (g + ((b0 >> 2) & 3) - 2) & 0xFF
+            b = (b + (b0 & 3) - 2) & 0xFF
+          case 2 => // QOI_OP_LUMA (dg bias 32; dr-dg, db-dg bias 8)
+            val dg = (b0 & 0x3F) - 32
+            val b1 = payload(pos) & 0xFF
+            pos += 1
+            r = (r + dg + ((b1 >> 4) & 0xF) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (b1 & 0xF) - 8) & 0xFF
+          case _ => // QOI_OP_RUN (bias -1)
+            run = (b0 & 0x3F) + 1
+        }
+        val packed = (a << 24) | (r << 16) | (g << 8) | b
+        index(hash(r, g, b, a)) = packed
+        var i = 0
+        while (i < run && px < n) { out(px) = packed; px += 1; i += 1 }
+        if (i < run) return None // run overran the pixel count
+      }
+      // 8-byte end marker: seven 0x00 then 0x01
+      if (pos + 8 > payload.length) return None
+      var j = 0
+      while (j < 7) {
+        if (payload(pos + j) != 0) return None
+        j += 1
+      }
+      if (payload(pos + 7) != 1) return None
+      Some((w, h, out))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Encode row-major ARGB pixels as QOI (channels=4, sRGB tag) —
+    * the full op set: RUN for repeats, INDEX on hash hits, DIFF /
+    * LUMA for small deltas, RGB / RGBA literals otherwise. */
+  def encode(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h, "bad qoi input")
+    val out = new java.io.ByteArrayOutputStream(14 + pixels.length + 8)
+    def u32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    Magic.foreach(b => out.write(b.toInt))
+    u32(w); u32(h); out.write(4); out.write(0)
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    var run = 0
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i)
+      val a = (v >>> 24) & 0xFF; val r = (v >> 16) & 0xFF
+      val g = (v >> 8) & 0xFF; val b = v & 0xFF
+      if (r == pr && g == pg && b == pb && a == pa) {
+        run += 1
+        if (run == 62) { out.write(0xC0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xC0 | (run - 1)); run = 0 }
+        val packed = (a << 24) | (r << 16) | (g << 8) | b
+        val hx = hash(r, g, b, a)
+        if (index(hx) == packed) out.write(hx)
+        else {
+          index(hx) = packed
+          if (a == pa) {
+            val dr = r - pr; val dg = g - pg; val db = b - pb
+            val vr = dr - dg; val vb = db - dg
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+              db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 && vr >= -8 && vr <= 7 &&
+              vb >= -8 && vb <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((vr + 8) << 4) | (vb + 8))
+            } else {
+              out.write(0xFE); out.write(r); out.write(g); out.write(b)
+            }
+          } else {
+            out.write(0xFF); out.write(r); out.write(g); out.write(b)
+            out.write(a)
+          }
+        }
+        pr = r; pg = g; pb = b; pa = a
+      }
+      i += 1
+    }
+    if (run > 0) out.write(0xC0 | (run - 1))
+    var j = 0
+    while (j < 7) { out.write(0); j += 1 }
+    out.write(1)
+    out.toByteArray
+  }
+
+  /** Integer-exact image features over decoded ARGB pixels, the
+    * oracle-mirrorable counterpart of [[Multimodal.decodeImage]]'s
+    * 8-float contract: [w, h, meanR, meanG, meanB, lumaMean,
+    * lumaStd, aspect]. Channel sums and PER-MILLE luma (299r + 587g
+    * + 114b — exactly 1000× the Rec.601 weights) accumulate as
+    * LONGS, so the sums are partition/order-invariant; the float
+    * release is one fixed chain of double divisions per feature. */
+  def features(w: Int, h: Int, pixels: Array[Int]): Array[Float] = {
+    val n = pixels.length.toDouble
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var sl = 0L; var sl2 = 0L
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i)
+      val r = (v >> 16) & 0xFF; val g = (v >> 8) & 0xFF; val b = v & 0xFF
+      sr += r; sg += g; sb += b
+      val l = 299L * r + 587L * g + 114L * b
+      sl += l; sl2 += l * l
+      i += 1
+    }
+    val lm = sl.toDouble / n
+    val lv = math.max(0.0, sl2.toDouble / n - lm * lm)
+    Array(w.toFloat, h.toFloat,
+      (sr.toDouble / n / 255.0).toFloat,
+      (sg.toDouble / n / 255.0).toFloat,
+      (sb.toDouble / n / 255.0).toFloat,
+      (lm / 1000.0 / 255.0).toFloat,
+      (math.sqrt(lv) / 1000.0 / 255.0).toFloat,
+      (w.toDouble / h.toDouble).toFloat)
+  }
+
+  /** The seam plug: QOI images decode natively; everything else
+    * falls through to [[Multimodal.jreDecoder]] — a deployment
+    * stacks codecs exactly like this. */
+  val qoiFirstDecoder: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "image" && payload.length >= 4 &&
+      payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
+      payload(3) == 'f')
+      decode(payload).map { case (w, h, px) => features(w, h, px) }
+    else Multimodal.jreDecoder(kind, payload)
+
+  /** Deterministic synthetic QOI asset for fixtures and the oracle:
+    * w = 4 + id%5, h = 3 + id%4; ids divisible by 7 are constant
+    * color (exercises RUN), others an affine-mod-256 gradient
+    * (exercises DIFF/LUMA/RGB/INDEX). The pixel formula is pure
+    * integer arithmetic, so a SQL oracle regenerates it exactly. */
+  def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    if (id % 7 == 0) {
+      val c = (id % 256).toInt
+      (c, c, c)
+    } else (
+      ((x * 7 + y * 11 + id * 13) % 256).toInt,
+      ((x * 17 + y * 3 + id * 29) % 256).toInt,
+      ((x * 5 + y * 23 + id * 31) % 256).toInt)
+
+  def synthAsset(id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        px(y * w + x) = (255 << 24) | (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    encode(w, h, px)
+  }
+
+  /** [[Multimodal.extractFeatures]] with a PER-BATCH decoder
+    * factory — the codec-init seam made real: `mkDecoder` runs once
+    * per batch on the executor (where a JNI codec or model session
+    * would be constructed) and the resulting decoder serves that
+    * batch's assets. Same output contract as extractFeatures. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int,
+      mkDecoder: () => Multimodal.Decoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assets.select(col("asset_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val decoder = mkDecoder() // per-batch init
+          batch.map { case (id, kind, payload) =>
+            val decoded = decoder(kind, payload)
+            (id, kind,
+              decoded.getOrElse(Multimodal.decodeStub(kind, payload)),
+              decoded.isDefined)
+          }
+        }
+      }
+      .toDF("asset_id", "kind", "features", "decoded")
+  }
+}

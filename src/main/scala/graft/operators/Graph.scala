@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Materializer for the SHARED preprocessing frames — the
+    * canonicalized/symmetrized edge lists, degree bases, and walk
+    * corpora that several registry queries derive from the same
+    * folded base table. Defaults to an eager localCheckpoint
+    * (per-build, per-JVM). graft.Verify / graft.Bench install
+    * [[graft.plans.ResultCache.withCache]] here, so the N graph
+    * queries sharing a fold re-read ONE materialized artifact
+    * instead of re-shuffling the same symmetrization N times —
+    * exactly what a 100-TB deployment does by materializing the
+    * graph once and running the whole family against it.
+    * Round-carried iteration frames keep plain localCheckpoint:
+    * their plans chain through build-unique RDD scans, so a
+    * plan-keyed cache could never hit on them. */
+  @volatile var preMaterializer: DataFrame => DataFrame =
+    _.localCheckpoint(true)
+
+  private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
+
   /** Fixed-round integer PageRank: every node starts with `scale`
     * units of mass; each round a node sends
     * floor(pr·dampNum / (dampDen·outdeg)) units along each out-edge
@@ -34,7 +52,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val base = scale * (dampDen - dampNum) / dampDen
     // node count only feeds the dangling split; a single-row frame
@@ -149,7 +167,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("p"),
         greatest(col("u"), col("v")).as("q"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val deg = und.select(col("p").as("node"))
       .unionAll(und.select(col("q").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -180,7 +198,7 @@ object Graph {
     var e = edges.select(least(uCol, vCol).as("a"),
         greatest(uCol, vCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     def ends(d: DataFrame): DataFrame =
       d.select(col("a").as("n")).unionAll(d.select(col("b").as("n")))
     var i = 0
@@ -216,7 +234,7 @@ object Graph {
     val sym = edges.select(uCol.as("u"), vCol.as("v"))
       .unionAll(edges.select(vCol.as("u"), uCol.as("v")))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     var dist = Seq((source, 0L)).toDF("node", "dist")
       .localCheckpoint(true)
     var h = 1L
@@ -263,7 +281,7 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -306,7 +324,7 @@ object Graph {
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("w").isNotNull && col("w") >= 0 && col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .transform(preMat)
     var dist = sources.select(sources.columns.head)
       .toDF("node")
       .select(col("node").cast("long")).toDF("node")
@@ -354,7 +372,7 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val lab = labels.select(col("node"), col("lbl"))
     val mDf = sym.agg((count(lit(1)) / 2).cast("long").as("m"))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("k"))
@@ -427,7 +445,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val lab = labels.select(col("node"), col("lbl"))
     val mDf = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("a").as("node"))
@@ -484,12 +502,12 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
     val adj = sym
       .withColumn("idx", row_number().over(byNode).cast("long") - 1)
-      .localCheckpoint(true)
+      .transform(preMat)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val starts = sym.select(col("u").as("node")).distinct()
       .crossJoin(spark.range(walksPerNode).select(col("id").as("j")))
@@ -497,7 +515,7 @@ object Graph {
         col("node"))
     var frontier = starts
       .select(col("walk_id"), lit(0).as("pos"), col("node"))
-      .localCheckpoint(true)
+      .transform(preMat)
     var out = frontier
     var t = 1
     while (t <= steps) {
@@ -510,7 +528,7 @@ object Graph {
           col("v").as("next")), Seq("node", "idx"))
         .select(col("walk_id"), lit(t).as("pos"),
           col("next").as("node"))
-        .localCheckpoint(true)
+        .transform(preMat)
       out = out.unionAll(frontier)
       t += 1
     }
@@ -534,7 +552,7 @@ object Graph {
       .filter(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull && col("w").isNotNull)
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+      .transform(preMat)
     def strengths(d: DataFrame): DataFrame =
       d.select(col("a").as("n"), col("w"))
         .unionAll(d.select(col("b").as("n"), col("w")))
@@ -581,7 +599,7 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull &&
         col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     var sk = sym.select(col("u").as("node")).distinct()
       .withColumn("sk",
         array(graft.functions.stableHash64(col("node").cast("string"))))
@@ -677,7 +695,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(preMat)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val base = scale * (dampDen - dampNum) / dampDen
     var pr = nodes.withColumn("pr", lit(scale))
@@ -706,7 +724,7 @@ object Graph {
     * must be non-negative longs. */
   def labelPropagationW(edges: DataFrame, uCol: Column, vCol: Column,
                         wCol: Column, rounds: Int = 3): DataFrame = {
-    val sym = symW(edges, uCol, vCol, wCol).localCheckpoint(true)
+    val sym = symW(edges, uCol, vCol, wCol).transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
@@ -743,7 +761,7 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+      .transform(preMat)
     val lab = labels.select(col("node"), col("lbl"))
     val mDf = e.agg(sum(col("w")).as("m"))
     val deg = e.select(col("a").as("node"), col("w"))
@@ -790,17 +808,27 @@ object Graph {
                    wCol: Column, labels: DataFrame,
                    selfLoops: Option[DataFrame] = None,
                    resNum: Long = 1L, resDen: Long = 1L): DataFrame =
-    louvainMoveWSym(symW(edges, uCol, vCol, wCol).localCheckpoint(true),
+    louvainMoveWSym(symW(edges, uCol, vCol, wCol).transform(preMat),
       labels, selfLoops, resNum, resDen)
 
   /** [[louvainMoveW]] on an ALREADY symmetrized, parallel-collapsed,
     * materialized (u, v, w) frame — so an iterating caller
     * ([[louvainLevels]]) symmetrizes and checkpoints ONCE per level
     * instead of once per move round (at 100 TB each avoided
-    * re-materialization is a full edge-frame shuffle write). */
+    * re-materialization is a full edge-frame shuffle write).
+    *
+    * `parity`: when Some(p), only nodes with node-id parity p may
+    * move this round; the rest keep their current label. This is the
+    * standard deterministic damping for the synchronous form's
+    * 2-cycle (two nodes that each prefer the OTHER's community swap
+    * labels forever under simultaneous moves — the partition never
+    * merges them; alternating eligibility lets one land first and
+    * the other then join it). Still a pure function of
+    * (graph, labels, round), so reproducibility is unchanged. */
   private def louvainMoveWSym(sym: DataFrame, labels: DataFrame,
                               selfLoops: Option[DataFrame],
-                              resNum: Long, resDen: Long): DataFrame = {
+                              resNum: Long, resDen: Long,
+                              parity: Option[Long] = None): DataFrame = {
     val lab = labels.select(col("node"), col("lbl"))
     val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
       selfLoops.toSeq.map(_.select(col("node"),
@@ -833,9 +861,17 @@ object Graph {
         lit(resDen) * col("w2") * col("kic") - lit(resNum) * col("k") *
           (col("dc") -
             when(col("c") === col("a"), col("k")).otherwise(lit(0L))))
-    scored.groupBy(col("node"))
-      .agg(max(struct(col("s"), (-col("c")).as("nc"))).as("best"))
-      .select(col("node"), (-col("best.nc")).as("lbl"))
+    val best = scored.groupBy(col("node"))
+      .agg(max(struct(col("s"), (-col("c")).as("nc"))).as("best"),
+        min(col("a")).as("cur"))
+    parity match {
+      case None =>
+        best.select(col("node"), (-col("best.nc")).as("lbl"))
+      case Some(p) =>
+        best.select(col("node"),
+          when(pmod(col("node"), lit(2L)) === lit(p),
+            -col("best.nc")).otherwise(col("cur")).as("lbl"))
+    }
   }
 
   /** Multi-level Louvain with a FIXED budget: `movesPerLevel`
@@ -871,28 +907,37 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+      .transform(preMat)
     var selfLoops = raw.filter(col("u") === col("v"))
       .groupBy(col("u").as("node")).agg(sum(col("w")).as("selfw"))
-      .localCheckpoint(true)
+      .transform(preMat)
     var assign = inter.select(col("a").as("node"))
       .unionAll(inter.select(col("b").as("node")))
       .unionAll(selfLoops.select(col("node")))
       .distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(preMat)
     var level = 0
     while (level < levels) {
       // bounded local-move rounds at the current granularity
       var lab = assign.select(col("lbl").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      // symmetrize + materialize ONCE for all this level's move rounds
-      val symCur = symW(inter, col("a"), col("b"), col("w"))
-        .localCheckpoint(true)
+      // symmetrize + materialize ONCE for all this level's move
+      // rounds; level 0 routes through preMat (shared across the
+      // resolution variants), deeper levels chain off per-build
+      // label RDDs where a plan-keyed cache cannot hit
+      val symCurRaw = symW(inter, col("a"), col("b"), col("w"))
+      val symCur =
+        if (level == 0) symCurRaw.transform(preMat)
+        else symCurRaw.localCheckpoint(true)
       var mv = 0
       while (mv < movesPerLevel) {
+        // alternate move eligibility by node-id parity — kills the
+        // synchronous 2-cycle (supernode pairs at the coarse levels
+        // otherwise swap labels instead of merging); see
+        // louvainMoveWSym
         lab = louvainMoveWSym(symCur, lab, Some(selfLoops), resNum,
-            resDen)
+            resDen, Some(mv.toLong % 2L))
           .localCheckpoint(true)
         mv += 1
       }

@@ -44,6 +44,31 @@ object ResultCache {
     f.mkdirs(); f
   }
 
+  /** Serve a frame under an EXPLICIT key — the registered-artifact
+    * variant for frames whose plan is not canonical-stable across
+    * builds (anything downstream of a localCheckpoint / RDD scan,
+    * e.g. an iteratively trained model). The caller's key must
+    * capture every input the build depends on (source dir, params);
+    * this is the same contract as naming a materialized view. The
+    * build thunk only runs on a miss. */
+  def withKeyedCache(spark: SparkSession, key: String,
+                     build: => DataFrame): DataFrame = {
+    val mapKey = ("k:" + key).hashCode
+    val existing = entries.get(mapKey)
+    if (existing != null && existing.canonical == key) {
+      hitCount.incrementAndGet()
+      spark.read.parquet(existing.path)
+    } else {
+      missCount.incrementAndGet()
+      val path = new File(cacheRoot,
+        s"k_${mapKey.toHexString}_${math.abs(key.hashCode).toHexString}")
+        .getAbsolutePath
+      build.write.mode("overwrite").parquet(path)
+      entries.put(mapKey, Entry(key, path))
+      spark.read.parquet(path)
+    }
+  }
+
   /** Serve `df` through the cache: on a semantic hit, return a scan of
     * the materialized result; on a miss, materialize, register, and
     * return the scan (so hit and miss paths have the same plan shape

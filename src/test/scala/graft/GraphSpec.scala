@@ -381,6 +381,37 @@ class GraphSpec extends SparkSpec {
     nComms(100L) should be >= nComms(3L)
   }
 
+  test("louvainLevels parity damping: a merge-favorable pair reaches " +
+      "the sequential-Louvain merge instead of 2-cycling") {
+    // The coarse-level shape of the documented r14 oscillation: two
+    // supernodes (self-loops 18, i.e. contracted K4s) joined by a
+    // bridge heavy enough that merging is favorable —
+    // W2·w_b = 152·40 > k² = 76². Under simultaneous moves both
+    // nodes adopt each OTHER's label every round (the partition
+    // stays split forever); parity-gated rounds let the even node
+    // land first and the odd one then keep the merged community.
+    val pair = Seq((1L, 1L, 18L), (6L, 6L, 18L), (1L, 6L, 40L))
+      .toDF("u", "v", "w")
+    Graph.louvainLevels(pair, col("u"), col("v"), col("w"),
+        levels = 1, movesPerLevel = 2)
+      .select(col("lbl")).distinct().count() shouldBe 1L
+    // end-to-end: K4s with a heavy bridge — the bridge endpoints
+    // each prefer the OTHER side (kic 40 vs 9), the classic
+    // simultaneous-swap seed; with parity damping node 4 lands in
+    // 5's community first and the partition settles on the stable
+    // local optimum {1,2,3} {4,5} {6,7,8} (joining the residual
+    // clique scores 152·9 − 49·45 < 0, so it is a fixed point —
+    // the same answer sequential Louvain reaches)
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j, 3L)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j, 3L)
+    val heavy = (k4a ++ k4b :+ ((4L, 5L, 40L))).toDF("u", "v", "w")
+    val got = Graph.louvainLevels(heavy, col("u"), col("v"), col("w"),
+        levels = 2, movesPerLevel = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).values.map(_.keys.toSet).toSet shouldBe
+      Set(Set(1L, 2L, 3L), Set(4L, 5L), Set(6L, 7L, 8L))
+  }
+
   test("pageRankW: hand-computed proportional split; unit weights " +
       "reproduce pageRank") {
     // A sends 3/4 of its mass to B and 1/4 to C (weights 3, 1)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Multimodal, Qoi}
+
+/** Pure-Scala QOI codec + the per-batch decoder-init seam. */
+class QoiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng(seed: Long): Iterator[Int] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 33).toInt)
+
+  test("encode/decode round-trips every op family") {
+    // noise (RGB/RGBA literals + index hits), gradients (DIFF/LUMA),
+    // long constant spans (RUN > 62 forces run splitting), and
+    // alpha changes (RGBA path)
+    val cases = Seq(
+      (7, 5, rng(1).take(35).map(v => 0xFF000000 | (v & 0xFFFFFF)).toArray),
+      (16, 16, Array.tabulate(256)(i =>
+        0xFF000000 | ((i & 0xFF) << 16) | (((i * 2) & 0xFF) << 8) |
+          ((i * 3) & 0xFF))),
+      (10, 20, Array.fill(200)(0xFF123456)),
+      (8, 8, Array.tabulate(64)(i =>
+        (((i * 4) & 0xFF) << 24) | ((i & 0xFF) << 16) | 0x3344))
+    )
+    cases.foreach { case (w, h, px) =>
+      val enc = Qoi.encode(w, h, px)
+      val Some((dw, dh, dec)) = Qoi.decode(enc)
+      (dw, dh) shouldBe ((w, h))
+      dec.toSeq shouldBe px.toSeq
+    }
+  }
+
+  test("decode rejects malformed payloads instead of throwing") {
+    Qoi.decode(Array[Byte]()) shouldBe None
+    Qoi.decode("not a qoi image at all........".getBytes) shouldBe None
+    val good = Qoi.encode(4, 4, Array.fill(16)(0xFF00FF00))
+    Qoi.decode(good.dropRight(3)) shouldBe None // missing end marker
+    val badMagic = good.clone(); badMagic(0) = 'x'
+    Qoi.decode(badMagic) shouldBe None
+    // truncated mid-stream
+    Qoi.decode(good.take(15)) shouldBe None
+  }
+
+  test("synthetic assets decode to the synthetic pixels") {
+    (0L until 30L).foreach { id =>
+      val Some((w, h, px)) = Qoi.decode(Qoi.synthAsset(id))
+      w shouldBe 4 + (id % 5).toInt
+      h shouldBe 3 + (id % 4).toInt
+      val (r0, g0, b0) = Qoi.synthPixel(id, 1, 2)
+      val v = px(2 * w + 1)
+      (((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)) shouldBe
+        ((r0, g0, b0))
+    }
+  }
+
+  test("extractFeaturesBatched: decoder factory runs once per batch " +
+      "and QOI payloads decode for real") {
+    val inits = spark.sparkContext.longAccumulator("decoderInits")
+    val assets = (0L until 10L)
+      .map(id => (id, "image", Qoi.synthAsset(id)))
+      .toDF("asset_id", "kind", "payload")
+      .repartition(1)
+    val out = Qoi.extractFeaturesBatched(assets, batchSize = 4,
+      () => { inits.add(1); Qoi.qoiFirstDecoder }).collect()
+    out.length shouldBe 10
+    all(out.map(_.getBoolean(3))) shouldBe true // real decode, not stub
+    inits.value shouldBe 3L // ceil(10 / 4) batches on one partition
+    // features match a driver-side recompute
+    val r = out.find(_.getLong(0) == 3L).get
+    val Some((w, h, px)) = Qoi.decode(Qoi.synthAsset(3L))
+    r.getSeq[Float](2).toArray.toSeq shouldBe
+      Qoi.features(w, h, px).toSeq
+  }
+
+  test("qoiFirstDecoder stacks: non-QOI images fall through to the " +
+      "JRE decoder, junk falls to the stub") {
+    // a PNG via ImageIO still decodes through the fallback
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 1, 0x8040C0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Qoi.qoiFirstDecoder("image", bos.toByteArray) shouldBe defined
+    // garbage image payload: None -> extractFeatures falls to stub
+    Qoi.qoiFirstDecoder("image", Array[Byte](1, 2, 3, 4, 5)) shouldBe None
+    Multimodal.decodeStub("image", Array[Byte](1, 2, 3, 4, 5))
+      .length shouldBe 8
+  }
+}

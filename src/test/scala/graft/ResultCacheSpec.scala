@@ -44,4 +44,54 @@ class ResultCacheSpec extends SparkSpec {
     assert(!scans.exists(_.contains("lineitem.parquet")), scans)
     ResultCache.clear()
   }
+
+  test("withKeyedCache: the build thunk runs once per key and the " +
+      "served rows match") {
+    import spark.implicits._
+    ResultCache.clear()
+    var builds = 0
+    def build() = { builds += 1
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v") }
+    val a = ResultCache.withKeyedCache(spark, "rcs:test:v1", build())
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = ResultCache.withKeyedCache(spark, "rcs:test:v1", build())
+      .collect().map(_.toSeq).sortBy(_.toString)
+    builds shouldBe 1 // by-name thunk untouched on the hit
+    b shouldBe a
+    // a different key is a different artifact
+    ResultCache.withKeyedCache(spark, "rcs:test:v2", build()).count()
+    builds shouldBe 2
+    ResultCache.clear()
+  }
+
+  test("Graph.preMaterializer routed through the cache: two operators " +
+      "on the same fold share one symmetrization, results unchanged") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = ((0 until 200).map(i => ((i * 7) % 40L, (i * 13 + 5) % 40L)))
+      .toDF("u", "v")
+    val saved = Graph.preMaterializer
+    try {
+      // uncached reference results first
+      val lpaRef = Graph.labelPropagation(edges, col("u"), col("v"),
+        rounds = 2).collect().map(_.toSeq).sortBy(_.toString)
+      ResultCache.clear()
+      Graph.preMaterializer =
+        df => ResultCache.withCache(df.sparkSession, df)
+      val lpaGot = Graph.labelPropagation(edges, col("u"), col("v"),
+        rounds = 2).collect().map(_.toSeq).sortBy(_.toString)
+      val h0 = ResultCache.hits
+      // a DIFFERENT operator with the same symmetrization shape on
+      // the same fold must hit the shared artifact
+      val ids = edges.select(col("u").as("node")).unionAll(
+        edges.select(col("v").as("node"))).distinct()
+        .withColumn("lbl", col("node"))
+      Graph.louvainMove(edges, col("u"), col("v"), ids).count()
+      ResultCache.hits should be > h0
+      lpaGot shouldBe lpaRef
+    } finally {
+      Graph.preMaterializer = saved
+      ResultCache.clear()
+    }
+  }
 }
