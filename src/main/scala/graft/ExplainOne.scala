@@ -4,7 +4,18 @@ import org.apache.spark.sql.SparkSession
   * plan of named registry queries at sf0.01 without running them —
   * the .explain review loop the build discipline asks for after each
   * operator goes green.
-  * Usage: runMain graft.ExplainOne q_name [q_name2 ...] */
+  *
+  * Runs in DRY-PLAN mode by default: both Graph materializers
+  * (shared preprocessing AND round-carried frames) are swapped for
+  * identity, so iterative operators keep their whole per-round join
+  * structure in ONE logical plan — the per-round SMJ/broadcast
+  * choices print instead of hiding behind eager-checkpoint RDD
+  * scans, and PlanGuard audits that full plan (cartesian count,
+  * unpartitioned windows, shuffle/broadcast totals). Dry mode is
+  * for auditing only — executing such a plan would compound the
+  * uncut iterative lineage. Pass --materialized to audit the
+  * execution-shaped plan instead.
+  * Usage: runMain graft.ExplainOne [--materialized] q_name [...] */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -12,12 +23,26 @@ object ExplainOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    operators.Graph.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
+    val (flags, names) = args.partition(_.startsWith("--"))
+    val dry = !flags.contains("--materialized")
+    if (dry) {
+      operators.Graph.preMaterializer = identity
+      operators.Graph.roundMaterializer = identity
+    } else
+      operators.Graph.preMaterializer =
+        df => plans.ResultCache.withCache(df.sparkSession, df)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    args.foreach { name =>
-      println(s"==== $name ====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    names.foreach { name =>
+      println(s"==== $name${if (dry) " (dry plan)" else ""} ====")
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.explain("formatted")
+      val a = plans.PlanGuard.audit(df)
+      println(s"[planguard] cartesians=${a.cartesians} " +
+        s"nestedLoops=${a.nestedLoops} shuffles=${a.shuffles} " +
+        s"broadcasts=${a.broadcasts} scans=${a.scans} " +
+        s"codegenSpans=${a.codegenSpans} " +
+        s"unpartitionedWindows=${a.unpartitionedWindows}")
+      plans.PlanGuard.requireNoCartesian(df, name)
     }
     spark.stop()
   }

@@ -1,0 +1,59 @@
+package graft.apps
+
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.StreamingDedupTtl
+
+/** Stage 1 of [[PretrainDataPipeline]] as a RUNNING streaming app —
+  * the wiring the TTL-dedup endurance probe proved but the pipeline
+  * only documented: exact first-seen dedup happens at INGEST with
+  * TTL-bounded state, and the batch pipeline's later stages (near-dup
+  * collapse, contamination, sampling, packing) run over the
+  * accumulated kept corpus.
+  *
+  * Contract, stated against the batch pipeline:
+  *   - within one TTL window, [[stage1]]'s kept set is EXACTLY the
+  *     batch stage-1 survivor set (min doc_id per normalized-text
+  *     fingerprint — both sides fingerprint with
+  *     md5(TextFunctions.normalize), so the equivalence is by
+  *     construction, and the spec pins it);
+  *   - across TTL expiry a silent fingerprint re-admits (the
+  *     documented first-seen-within-TTL trade); the batch
+  *     [[graft.operators.Dedup.exactCanonical]] pass over the
+  *     accumulated kept manifest collapses those re-admissions, so
+  *     `exactCanonical(accumulated kept) == batch stage 1` — the
+  *     hybrid both scaladocs describe, here executable and spec'd.
+  *
+  * Scale shape: the stream shuffles once by fingerprint into RocksDB
+  * TTL state (bounded by the TTL window's distinct fingerprints, the
+  * endurance-probed property); the manifest sink appends narrow
+  * (doc_id, fp) rows, so the follow-up global pass reads a
+  * manifest-sized table, never re-reads the corpus.
+  */
+object StreamingPretrainApp {
+
+  /** The streaming stage-1 transform: (doc_id, text) stream →
+    * append-mode kept (doc_id, fp) under first-seen-within-`ttl`. */
+  def stage1(docs: DataFrame, ttl: Duration): DataFrame =
+    StreamingDedupTtl.firstSeen(docs, ttl).toDF()
+
+  /** The running app: checkpointed parquet manifest of kept
+    * (doc_id, fp) rows. `trigger` defaults to a 1 s processing-time
+    * trigger (the TTL operator's documented trigger discipline —
+    * a 0 ms trigger hot-loops on no-data maintenance batches). */
+  def run(docs: DataFrame, ttl: Duration, keptPath: String,
+          checkpointPath: String,
+          trigger: Trigger = Trigger.ProcessingTime(1000L))
+      : StreamingQuery =
+    stage1(docs, ttl)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", keptPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+}

@@ -75,8 +75,31 @@ object BpeTrain {
       sampleMaxDocs: Int = 0): DataFrame =
     train(docs, textCol, nMerges, sampleMaxDocs)._2
 
+  /** Greedy BPE training, BATCHED without changing the result: each
+    * Spark job collects the top of the ranked pair table and the
+    * driver accepts a CONTIGUOUS ranked prefix (count DESC, pair
+    * ASC) of pairwise character-disjoint pairs, stopping at the
+    * first pair that shares a character with an accepted one, then
+    * trims the batch to counts STRICTLY above that boundary.
+    *
+    * Why this equals merge-at-a-time greedy exactly: applying a
+    * batch merge cannot change the count of any other accepted pair
+    * (disjoint characters), can only DECREASE counts of skipped old
+    * pairs, and every NEW pair it creates (x+merged / merged+y) is
+    * bounded by the pre-merge count of a pair sharing one of its
+    * characters — an interacting pair, which by the stop rule ranks
+    * at or below the boundary, so its count is ≤ the boundary count
+    * and strictly below every trimmed-in batch member. Hence at
+    * sequential step j the snapshot's j-th pair still wins
+    * (count DESC, pair ASC), merge for merge. When the trim leaves
+    * nothing (boundary tie), the round falls back to the classic
+    * single top-1 merge, which is trivially exact. Jobs per
+    * training run drop ~batch-size-fold; the learned merge list is
+    * bit-identical, so the unrolled sequential SQL oracle still
+    * hash-gates it. */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      sampleMaxDocs: Int = 0): (DataFrame, DataFrame) = {
+      sampleMaxDocs: Int = 0, batchK: Int = 8): (DataFrame, DataFrame) = {
+    require(batchK >= 1, "batchK must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val base =
@@ -93,11 +116,12 @@ object BpeTrain {
       .empty[(Long, String, String, Long)]
     var round = 0
     var exhausted = false
+    val window = math.max(batchK * 4, 8)
     while (round < nMerges && !exhausted) {
       // overlapping adjacent bigrams weighted by freq; 1-char words
       // contribute nothing (guarded: Spark's sequence(1,0) would
       // otherwise count DOWN and fabricate single-char "pairs")
-      val best = vocab
+      val top = vocab
         .filter(length(col("word")) > 1)
         .select(col("freq"),
           explode(expr(
@@ -106,23 +130,53 @@ object BpeTrain {
         .groupBy(col("pair"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
+        .limit(window)
         .collect()
-      if (best.isEmpty) exhausted = true
+      if (top.isEmpty) exhausted = true
       else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val (l, r) = (pair.charAt(0), pair.charAt(1))
-        val merged = (MergeCharBase + round).toChar
-        def expand(c: Char): String =
-          expansion.getOrElse(c, c.toString)
-        expansion(merged) = expand(l) + expand(r)
-        merges += ((round + 1L, expand(l), expand(r), cnt))
+        // driver-side exact-safe batch selection over ≤window rows
+        val cap = math.min(batchK, nMerges - round)
+        val used = scala.collection.mutable.Set.empty[Char]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long)]
+        var boundary = -1L // count bounding everything below the scan
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped && accepted.size < cap) {
+          val p = top(i).getString(0)
+          val c = top(i).getLong(1)
+          if (used.contains(p.charAt(0)) || used.contains(p.charAt(1))) {
+            boundary = c
+            stopped = true
+          } else {
+            accepted += ((p, c))
+            used += p.charAt(0)
+            used += p.charAt(1)
+            i += 1
+          }
+        }
+        if (!stopped)
+          boundary =
+            if (i < top.length) top(i).getLong(1) // size-capped
+            else if (top.length == window) top.last.getLong(1) // window may truncate
+            else 0L // the full pair list was scanned: nothing below
+        val trimmed = accepted.takeWhile(_._2 > boundary)
+        val batch = if (trimmed.isEmpty) accepted.take(1).toSeq
+                    else trimmed.toSeq
+        var wordExpr = "word"
+        batch.foreach { case (pair, cnt) =>
+          val (l, r) = (pair.charAt(0), pair.charAt(1))
+          val merged = (MergeCharBase + round).toChar
+          def expand(c: Char): String =
+            expansion.getOrElse(c, c.toString)
+          expansion(merged) = expand(l) + expand(r)
+          merges += ((round + 1L, expand(l), expand(r), cnt))
+          wordExpr = s"replace($wordExpr, '${l}${r}', '${merged}')"
+          round += 1
+        }
         vocab = vocab
-          .withColumn("word",
-            expr(s"replace(word, '${l}${r}', '${merged}')"))
+          .withColumn("word", expr(wordExpr))
           .localCheckpoint()
-        round += 1
       }
     }
     val mergesDf = merges.toSeq

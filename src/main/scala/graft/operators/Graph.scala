@@ -29,7 +29,21 @@ object Graph {
   @volatile var preMaterializer: DataFrame => DataFrame =
     _.localCheckpoint(true)
 
+  /** Materializer for ROUND-CARRIED iteration frames (label tables,
+    * frontiers, contracted graphs). Defaults to the eager
+    * localCheckpoint lineage cut every fixed-round operator relies
+    * on. [[graft.ExplainOne]] swaps BOTH materializers for identity
+    * (dry-plan mode), so the full per-round join structure stays in
+    * one logical plan and `.explain` / PlanGuard can audit the
+    * per-round SMJ/broadcast choices that eager checkpoints
+    * otherwise hide behind RDD scans. NEVER run a query in dry-plan
+    * mode at scale: without the lineage cuts, iterative plans
+    * compound exponentially at execution time. */
+  @volatile var roundMaterializer: DataFrame => DataFrame =
+    _.localCheckpoint(true)
+
   private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
+  private def roundMat(df: DataFrame): DataFrame = roundMaterializer(df)
 
   /** Fixed-round integer PageRank: every node starts with `scale`
     * units of mass; each round a node sends
@@ -208,7 +222,7 @@ object Graph {
       e = e.join(keep.select(col("n").as("a")), "a")
         .join(keep.select(col("n").as("b")), "b")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       i += 1
     }
     ends(e).groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
@@ -236,7 +250,7 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
       .transform(preMat)
     var dist = Seq((source, 0L)).toDF("node", "dist")
-      .localCheckpoint(true)
+      .transform(roundMat)
     var h = 1L
     var frontierEmpty = false
     while (h <= maxHops && !frontierEmpty) {
@@ -245,7 +259,7 @@ object Graph {
         .select(col("v").as("node"), lit(h).as("dist"))
       dist = dist.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       frontierEmpty = dist.filter(col("dist") === h).isEmpty
       h += 1
     }
@@ -284,7 +298,7 @@ object Graph {
       .transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(roundMat)
     var r = 0
     while (r < rounds) {
       labels = sym
@@ -295,7 +309,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       r += 1
     }
     labels
@@ -330,14 +344,14 @@ object Graph {
       .select(col("node").cast("long")).toDF("node")
       .filter(col("node").isNotNull).distinct()
       .withColumn("d", lit(0L))
-      .localCheckpoint(true)
+      .transform(roundMat)
     var r = 0
     while (r < rounds) {
       val relaxed = e.join(dist.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), (col("d") + col("w")).as("d"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       r += 1
     }
     dist
@@ -564,7 +578,7 @@ object Graph {
       e = e.join(keep.select(col("n").as("a")), "a")
         .join(keep.select(col("n").as("b")), "b")
         .select(col("a"), col("b"), col("w"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       i += 1
     }
     strengths(e).select(col("n").as("node"), col("s").as("strength"))
@@ -603,7 +617,7 @@ object Graph {
     var sk = sym.select(col("u").as("node")).distinct()
       .withColumn("sk",
         array(graft.functions.stableHash64(col("node").cast("string"))))
-      .localCheckpoint(true)
+      .transform(roundMat)
     var out: DataFrame = null
     var r = 1
     while (r <= radius) {
@@ -615,7 +629,7 @@ object Graph {
         .agg(graft.plans.KmvDistinctAgg
           .kmvSketchMerge(col("sk"), k).as("sk"))
         .withColumnRenamed("u", "node")
-        .localCheckpoint(true)
+        .transform(roundMat)
       val round = sk.select(col("node"), lit(r).as("r"),
         graft.plans.KmvDistinctAgg
           .kmvEstimateFromSketch(col("sk"), k).as("nbh"))
@@ -727,7 +741,7 @@ object Graph {
     val sym = symW(edges, uCol, vCol, wCol).transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(roundMat)
     var r = 0
     while (r < rounds) {
       labels = sym
@@ -738,7 +752,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(struct(col("ws"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       r += 1
     }
     labels
@@ -929,7 +943,7 @@ object Graph {
       val symCurRaw = symW(inter, col("a"), col("b"), col("w"))
       val symCur =
         if (level == 0) symCurRaw.transform(preMat)
-        else symCurRaw.localCheckpoint(true)
+        else symCurRaw.transform(roundMat)
       var mv = 0
       while (mv < movesPerLevel) {
         // alternate move eligibility by node-id parity — kills the
@@ -938,7 +952,7 @@ object Graph {
         // louvainMoveWSym
         lab = louvainMoveWSym(symCur, lab, Some(selfLoops), resNum,
             resDen, Some(mv.toLong % 2L))
-          .localCheckpoint(true)
+          .transform(roundMat)
         mv += 1
       }
       // fold this level's map into the original-node assignment
@@ -946,7 +960,7 @@ object Graph {
         .join(lab.select(col("node").as("lbl"), col("lbl").as("nl")),
           Seq("lbl"))
         .select(col("node"), col("nl").as("lbl"))
-        .localCheckpoint(true)
+        .transform(roundMat)
       level += 1
       if (level < levels) {
         // contract: communities become nodes; intra weight → self-loop
@@ -960,14 +974,14 @@ object Graph {
           .select(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b"), col("w"))
           .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-          .localCheckpoint(true)
+          .transform(roundMat)
         val newSelf = ed.filter(col("x") === col("y"))
           .select(col("x").as("node"), col("w").as("selfw"))
           .unionAll(selfLoops
             .join(lab, Seq("node"))
             .select(col("lbl").as("node"), col("selfw")))
           .groupBy(col("node")).agg(sum(col("selfw")).as("selfw"))
-          .localCheckpoint(true)
+          .transform(roundMat)
         inter = newInter
         selfLoops = newSelf
       }

@@ -104,7 +104,7 @@ object Sgns {
     val pool = negativePool(pairs, negPool)
     require(pool.nonEmpty, "sgns: empty pair table")
     val ex = examples(pairs, pool, negsPerPair, seed)
-      .localCheckpoint(true)
+      .transform(Graph.roundMaterializer)
     val nodes = ex.select(col("center").as("node"))
       .unionAll(ex.select(col("other").as("node")))
       .distinct()
@@ -115,7 +115,7 @@ object Sgns {
             col("node"), lit(k), lit(seed))) % 2001L - 1000L)
             .as(s"u$k")) ++
           (0 until dims).map(k => lit(0L).as(s"v$k"))): _*)
-      .localCheckpoint(true)
+      .transform(Graph.roundMaterializer)
     var r = 0
     while (r < rounds) {
       val mc = model.select(col("node").as("center") +:
@@ -193,7 +193,7 @@ object Sgns {
               coalesce(col(s"v$k") - floor(col(s"h$k").cast("double") /
                 (lit(lrDen.toDouble) * col("nx")) + 0.5).cast("long"),
                 col(s"v$k")).as(s"v$k"))): _*)
-        .localCheckpoint(true)
+        .transform(Graph.roundMaterializer)
       r += 1
     }
     model

@@ -107,4 +107,57 @@ class BpeTrainSpec extends SparkSpec {
     merges.length shouldBe 1
     merges(0) shouldBe ((1L, "a", "b", 3L))
   }
+
+  private def mergeList(d: org.apache.spark.sql.DataFrame, n: Int,
+                        k: Int): Seq[(Long, String, String, Long)] =
+    BpeTrain.train(d, "text", n, batchK = k)._1
+      .orderBy(col("merge_idx"))
+      .as[(Long, String, String, Long)].collect().toSeq
+
+  test("batched training equals merge-at-a-time greedy, including " +
+      "interacting-pair corpora that force the stop/trim fallback") {
+    // the Sennrich fixture: chained merges (es -> est) interact, so
+    // the batch must stop and re-count rather than merge stale pairs
+    mergeList(docs, 8, 8) shouldBe mergeList(docs, 8, 1)
+    // adversarial: top pairs all share characters (aa bb ab ba soup)
+    // plus a run of disjoint pairs further down the ranking
+    val tricky = Seq(
+      (0L, "aaab aaab aaab abab abba baab"),
+      (1L, "cd cd cd cd ef ef ef gh gh ij"),
+      (2L, "aabb ccdd eeff aabb ccdd")
+    ).toDF("doc_id", "text")
+    mergeList(tricky, 10, 8) shouldBe mergeList(tricky, 10, 1)
+    // boundary-tie corpus: several pairs at the same count straddling
+    // the batch edge exercise the strict-trim fallback
+    val ties = Seq(
+      (0L, "ab ab ab cd cd cd ef ef ef gh gh gh")
+    ).toDF("doc_id", "text")
+    mergeList(ties, 6, 2) shouldBe mergeList(ties, 6, 1)
+  }
+
+  test("batching cuts jobs per training run") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val d = Seq((0L, "cd cd cd cd ef ef ef gh gh ij kl kl mn op"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Unit = { Thread.sleep(300) } // listener drain
+      jobs = 0
+      mergeList(d, 6, 1)
+      settle()
+      val sequentialJobs = jobs
+      jobs = 0
+      mergeList(d, 6, 8)
+      settle()
+      val batchedJobs = jobs
+      // disjoint-pair corpus: one counting job should learn several
+      // merges, where the sequential loop pays one job per merge
+      batchedJobs should be < sequentialJobs
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -87,4 +87,31 @@ class PlanGuardSpec extends SparkSpec {
     }
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
+
+  test("dry-plan mode exposes per-round join shapes to the audit") {
+    import graft.operators.Graph
+    val (savedPre, savedRound) =
+      (Graph.preMaterializer, Graph.roundMaterializer)
+    try {
+      Graph.preMaterializer = identity
+      Graph.roundMaterializer = identity
+      import spark.implicits._
+      val edges = (0 until 100).map(i => (i.toLong % 20, (i * 7) % 20L))
+        .toDF("u", "v")
+      val df = Graph.labelPropagation(edges,
+        org.apache.spark.sql.functions.col("u"),
+        org.apache.spark.sql.functions.col("v"), rounds = 3)
+      val p = PlanGuard.planString(df)
+      // one neighbor-gather join per round stays IN the plan instead
+      // of hiding behind an eager-checkpoint RDD scan
+      val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+        .findAllIn(p).length
+      joins should be >= 3
+      p should not include "Scan ExistingRDD"
+      PlanGuard.audit(df).cartesians shouldBe 0
+    } finally {
+      Graph.preMaterializer = savedPre
+      Graph.roundMaterializer = savedRound
+    }
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.time.Duration
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.apps.{PretrainDataPipeline, StreamingPretrainApp}
+import graft.operators.Dedup
+
+/** Batch equivalence of the streaming pretrain stage-1 app. */
+class StreamingPretrainAppSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[A](body: => A): A = {
+    val kProvider = "spark.sql.streaming.stateStore.providerClass"
+    val kNoData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.getOption(kProvider)
+    val prevN = spark.conf.getOption(kNoData)
+    spark.conf.set(kProvider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(kNoData, "false")
+    try body
+    finally {
+      prevP match {
+        case Some(v) => spark.conf.set(kProvider, v)
+        case None    => spark.conf.unset(kProvider)
+      }
+      prevN match {
+        case Some(v) => spark.conf.set(kNoData, v)
+        case None    => spark.conf.unset(kNoData)
+      }
+    }
+  }
+
+  // the run() app's parquet sink, drained to completion
+  private def runToParquet(mem: MemoryStream[(Long, String)],
+                           ttl: Duration, kept: String,
+                           ckpt: String): Unit = {
+    val q = StreamingPretrainApp.run(
+      mem.toDF().toDF("doc_id", "text"), ttl, kept, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  private val corpusRows = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "THE  quick Brown fox"),   // exact dup of 1 (normalized)
+    (3L, "jumps over the lazy dog"),
+    (4L, "jumps over the lazy dog"), // exact dup of 3
+    (5L, "entirely novel content"),
+    (6L, "the quick brown fox"))     // another dup of 1
+
+  test("streaming stage-1 kept set equals the batch pipeline's " +
+      "stage-1 survivors on the same fixture") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_eq").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData(corpusRows: _*)
+      runToParquet(mem, Duration.ofHours(1), s"$tmp/kept", s"$tmp/ck")
+      val streamingKept = spark.read.parquet(s"$tmp/kept")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batchKept = PretrainDataPipeline
+        .afterExactDedup(corpus, PretrainDataPipeline.Config())
+        .select(col("doc_id")).as[Long].collect().toSet
+      streamingKept shouldBe batchKept
+      streamingKept shouldBe Set(1L, 3L, 5L)
+    }
+  }
+
+  test("TTL re-admissions are collapsed by the batch global pass " +
+      "over the accumulated manifest (the hybrid contract)") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_ttl").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      // tiny TTL: the duplicate arriving after expiry re-admits
+      mem.addData((1L, "alpha beta"), (2L, "unrelated"))
+      runToParquet(mem, Duration.ofMillis(1), s"$tmp/kept", s"$tmp/ck")
+      Thread.sleep(50)
+      mem.addData((9L, "ALPHA  beta"))
+      runToParquet(mem, Duration.ofMillis(1), s"$tmp/kept", s"$tmp/ck")
+      val manifest = spark.read.parquet(s"$tmp/kept")
+      // the stream re-admitted the expired fingerprint...
+      manifest.select(col("doc_id")).as[Long].collect().toSet shouldBe
+        Set(1L, 2L, 9L)
+      // ...and the batch exactCanonical pass over the MANIFEST
+      // (fp is the text basis — manifest-sized, not corpus-sized)
+      // collapses it back to the batch stage-1 answer
+      val global = Dedup
+        .exactCanonical(manifest, col("fp"), col("doc_id"))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id")).as[Long].collect().toSet
+      global shouldBe Set(1L, 2L)
+    }
+  }
+}
