@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 import org.apache.spark.sql.SparkSession
 /** Plan-audit sibling of [[TimeOne]]: print the FORMATTED physical
   * plan of named registry queries at sf0.01 without running them —
@@ -11,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   * structure in ONE logical plan — the per-round SMJ/broadcast
   * choices print instead of hiding behind eager-checkpoint RDD
   * scans, and PlanGuard audits that full plan (cartesian count,
-  * unpartitioned windows, shuffle/broadcast totals). Dry mode is
-  * for auditing only — executing such a plan would compound the
-  * uncut iterative lineage. Pass --materialized to audit the
-  * execution-shaped plan instead.
+  * unpartitioned windows, shuffle/broadcast totals).
+  *
+  * Queries that EXECUTE during construction — driver-loop trainers
+  * (logistic/OLS/BPE collect per round) and keyed-cache artifacts
+  * (the SGNS model materializes on first touch) — cannot be made
+  * lazy by hook-swapping, and running them WITHOUT lineage cuts
+  * compounds exponentially. The dry build therefore runs under a
+  * 90 s deadline; on timeout the in-flight jobs are cancelled and
+  * the query is re-audited in materialized mode (the execution
+  * shape). Pass --materialized to skip dry mode entirely.
   * Usage: runMain graft.ExplainOne [--materialized] q_name [...] */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
@@ -25,15 +33,21 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("ERROR")
     val (flags, names) = args.partition(_.startsWith("--"))
     val dry = !flags.contains("--materialized")
-    if (dry) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    def setDry(): Unit = {
       operators.Graph.preMaterializer = identity
       operators.Graph.roundMaterializer = identity
-    } else
+    }
+    def setMaterialized(): Unit = {
       operators.Graph.preMaterializer =
         df => plans.ResultCache.withCache(df.sparkSession, df)
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    names.foreach { name =>
-      println(s"==== $name${if (dry) " (dry plan)" else ""} ====")
+      operators.Graph.roundMaterializer = _.localCheckpoint(true)
+    }
+    val exec = Executors.newCachedThreadPool { r =>
+      val t = new Thread(r); t.setDaemon(true); t
+    }
+    def audit(name: String, label: String): Unit = {
+      println(s"==== $name$label ====")
       val df = SparkEntry.queries(name)(spark, dir)
       df.explain("formatted")
       val a = plans.PlanGuard.audit(df)
@@ -43,6 +57,27 @@ object ExplainOne {
         s"codegenSpans=${a.codegenSpans} " +
         s"unpartitionedWindows=${a.unpartitionedWindows}")
       plans.PlanGuard.requireNoCartesian(df, name)
+    }
+    names.foreach { name =>
+      if (!dry) { setMaterialized(); audit(name, "") }
+      else {
+        setDry()
+        val fut = exec.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = audit(name, " (dry plan)")
+        })
+        try fut.get(90, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelAllJobs()
+            fut.cancel(true)
+            println(s"[dry-plan timeout] $name either executes work " +
+              "during construction (driver-loop trainer, keyed-cache " +
+              "artifact) or its uncut iterative plan overwhelms the " +
+              "optimizer - re-auditing in materialized mode")
+            setMaterialized()
+            audit(name, " (materialized)")
+        }
+      }
     }
     spark.stop()
   }
