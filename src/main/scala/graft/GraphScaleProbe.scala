@@ -184,6 +184,38 @@ object GraphScaleProbe {
     println(f"anf 20x: ${anf20._1} (node,r) rows $tAnf%.1fs " +
       "replica slice exactly equals shifted base")
 
+    // (g) SGNS embedding training at 20x. The negative pool is a
+    // GLOBAL top-16 (frequency ties break to the lowest node id, so
+    // with disjoint replicas the pool collapses onto replica 0 and
+    // training genuinely couples replicas through shared negatives)
+    // — slice equality cannot hold and is not claimed. The exact
+    // invariant probed is PARTITION INVARIANCE at scale: training on
+    // an adversarially repartitioned copy of the 20x pair table must
+    // produce the bit-identical model, which is the retry/AQE-safety
+    // property the quantize-before-sum discipline buys. Wall time
+    // bounds the fixed-round cost at ~6M pairs / ~18M examples.
+    val walks20 = operators.Graph.randomWalks(
+      e20.select(col("u"), col("v")), col("u"), col("v"),
+      walksPerNode = 2, steps = 4)
+    val pairs20 = operators.Graph.skipGramPairs(walks20, window = 2)
+      .persist()
+    val nPairs20 = pairs20.count()
+    val (m1, tSgns) = time {
+      operators.Sgns.train(pairs20, dims = 4, rounds = 2,
+          negsPerPair = 2, negPool = 16, lrDen = 1L)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+    val (m2, _) = time {
+      operators.Sgns.train(pairs20.repartition(97), dims = 4,
+          rounds = 2, negsPerPair = 2, negPool = 16, lrDen = 1L)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+    require(m1 == m2,
+      "SGNS 20x model differs under adversarial repartitioning")
+    println(f"sgns 20x: pairs=$nPairs20 model_nodes=${m1.size} " +
+      f"train_sec=$tSgns%.1f partition-invariant bit-exact")
+    pairs20.unpersist()
+
     base.unpersist()
     e20.unpersist()
     spark.stop()
