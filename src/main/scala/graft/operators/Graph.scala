@@ -825,6 +825,18 @@ object Graph {
     louvainMoveWSym(symW(edges, uCol, vCol, wCol).transform(preMat),
       labels, selfLoops, resNum, resDen)
 
+  /** Per-node weighted degree over a symmetrized frame (+2·selfw for
+    * self-loops) — the label-invariant half of a Louvain move round,
+    * hoistable across a level's rounds. */
+  private def louvainDegrees(sym: DataFrame,
+                             selfLoops: Option[DataFrame]): DataFrame = {
+    val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
+      selfLoops.toSeq.map(_.select(col("node"),
+        (col("selfw") * 2).as("k")))
+    degParts.reduce(_ unionAll _)
+      .groupBy(col("node")).agg(sum(col("k")).as("k"))
+  }
+
   /** [[louvainMoveW]] on an ALREADY symmetrized, parallel-collapsed,
     * materialized (u, v, w) frame — so an iterating caller
     * ([[louvainLevels]]) symmetrizes and checkpoints ONCE per level
@@ -842,13 +854,15 @@ object Graph {
   private def louvainMoveWSym(sym: DataFrame, labels: DataFrame,
                               selfLoops: Option[DataFrame],
                               resNum: Long, resDen: Long,
-                              parity: Option[Long] = None): DataFrame = {
+                              parity: Option[Long] = None,
+                              degPre: Option[DataFrame] = None)
+      : DataFrame = {
     val lab = labels.select(col("node"), col("lbl"))
-    val degParts = sym.select(col("u").as("node"), col("w").as("k")) +:
-      selfLoops.toSeq.map(_.select(col("node"),
-        (col("selfw") * 2).as("k")))
-    val deg = degParts.reduce(_ unionAll _)
-      .groupBy(col("node")).agg(sum(col("k")).as("k"))
+    // weighted degrees + total are LABEL-INVARIANT: an iterating
+    // caller (louvainLevels) computes them once per level via
+    // louvainDegrees and passes them in, saving one full sym scan +
+    // groupBy per extra move round
+    val deg = degPre.getOrElse(louvainDegrees(sym, selfLoops))
     val w2Df = deg.agg(sum(col("k")).as("w2"))
     val commDeg = deg.join(lab, Seq("node"))
       .groupBy(col("lbl")).agg(sum(col("k")).as("d"))
@@ -944,6 +958,17 @@ object Graph {
       val symCur =
         if (level == 0) symCurRaw.transform(preMat)
         else symCurRaw.transform(roundMat)
+      // degrees are label-invariant and hoistable across the level's
+      // rounds — but materializing them is 2 extra eager actions the
+      // optimizer otherwise pipelines into each round's job, which
+      // MEASURED SLOWER at movesPerLevel=2 (7.5s -> 8.4s on the
+      // sf0.1 louvain_ml bench). Hoist only when 3+ rounds amortize
+      // the materialization; at 2 the recompute is the cheaper plan.
+      val degCur =
+        if (movesPerLevel >= 3)
+          Some(louvainDegrees(symCur, Some(selfLoops))
+            .transform(roundMat))
+        else None
       var mv = 0
       while (mv < movesPerLevel) {
         // alternate move eligibility by node-id parity — kills the
@@ -951,7 +976,7 @@ object Graph {
         // otherwise swap labels instead of merging); see
         // louvainMoveWSym
         lab = louvainMoveWSym(symCur, lab, Some(selfLoops), resNum,
-            resDen, Some(mv.toLong % 2L))
+            resDen, Some(mv.toLong % 2L), degCur)
           .transform(roundMat)
         mv += 1
       }

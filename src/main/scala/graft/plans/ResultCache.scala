@@ -39,9 +39,24 @@ object ResultCache {
 
   def clear(): Unit = { entries.clear(); hitCount.set(0); missCount.set(0) }
 
-  private def cacheRoot: File = {
-    val f = new File(sys.props("java.io.tmpdir"), "graft_result_cache")
-    f.mkdirs(); f
+  // Per-JVM root: the entries map is per-JVM, so two concurrent
+  // processes (sbt test beside a Verify/Bench run) sharing one
+  // directory could overwrite each other's parquet mid-read — the
+  // documented ResultCacheSpec flakiness class. A pid-scoped dir
+  // removes the hazard; a best-effort shutdown hook reclaims it.
+  private lazy val cacheRoot: File = {
+    val f = new File(sys.props("java.io.tmpdir"),
+      s"graft_result_cache/${ProcessHandle.current().pid()}")
+    f.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(d: File): Unit = {
+        val cs = d.listFiles()
+        if (cs != null) cs.foreach(rm)
+        d.delete(); ()
+      }
+      try rm(f) catch { case _: Throwable => () }
+    }))
+    f
   }
 
   /** Serve a frame under an EXPLICIT key — the registered-artifact
