@@ -15,6 +15,8 @@ object Bench {
     // family against the registered artifact)
     operators.Graph.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     // warmup: absorb one-time session costs (codegen compiler, file
     // index, shuffle infra) so per-query numbers reflect the operators
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()

@@ -37,9 +37,12 @@ object ExplainOne {
     def setDry(): Unit = {
       operators.Graph.preMaterializer = identity
       operators.Graph.roundMaterializer = identity
+      operators.Dedup.preMaterializer = identity
     }
     def setMaterialized(): Unit = {
       operators.Graph.preMaterializer =
+        df => plans.ResultCache.withCache(df.sparkSession, df)
+      operators.Dedup.preMaterializer =
         df => plans.ResultCache.withCache(df.sparkSession, df)
       operators.Graph.roundMaterializer = _.localCheckpoint(true)
     }

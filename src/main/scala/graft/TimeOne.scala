@@ -13,6 +13,8 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     operators.Graph.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     val dir = "/root/testdata/sf0.1"
     SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
     args.foreach { name =>

@@ -21,6 +21,8 @@ object Verify {
     // queries folding the same base table re-read one artifact
     operators.Graph.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -156,9 +156,18 @@ object TextFunctions {
     if (toks.length < n) Array.empty
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
 
+  // MEMOIZED per parameter: a fresh closure per call would make two
+  // independently built, semantically identical plans canonically
+  // UNEQUAL (ScalaUDF equality is by function reference), so the
+  // plan-keyed ResultCache could never hit on shingle-derived frames
+  private val shinglesUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** UDF: text -> distinct word n-gram shingles (one pass). */
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => shinglesScala(tokensScala(s), n))
+    shinglesUdfCache.computeIfAbsent(n,
+      m => udf((s: String) => shinglesScala(tokensScala(s), m)))
 
   /** UDF: text -> (n_tokens, n_distinct, mean_len) in one compiled pass
     * (the Column formulation re-evaluates the token array once per
@@ -248,7 +257,14 @@ object TextFunctions {
     * h_i = ((2i+1)·(stableHash64 mod P) + 7919i+13) mod P, P = 2^31−1.
     * One md5 per shingle, k integer mult-adds — the whole signature in a
     * single compiled pass. */
-  def minhashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private val minhashSigUdfCache =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
+
+  def minhashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    minhashSigUdfCache.computeIfAbsent(k, kk => mkMinhashSigUdf(kk))
+
+  private def mkMinhashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val P = 2147483647L
     udf((sh: Seq[String]) => {
       val sig = Array.fill(k)(Long.MaxValue)
