@@ -4538,6 +4538,17 @@ object SparkEntry {
           threshold = 0.999, nBands = 2, bitsPerBand = 2, dim = 4)
         .orderBy(col("ia"), col("ib"))),
 
+    // ---- and the ANN family: exact cosine top-3 neighbors per
+    //      sampled query node over the LEARNED vectors (broadcast
+    //      queries, streaming corpus) — graph → walks → SGNS →
+    //      similarity search end-to-end inside one engine
+    "q_ann_sgns" -> ((s, dir) => {
+      val emb = operators.Sgns.embeddings(sgnsModel(s, dir), dims = 4)
+      operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), k = 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -10811,6 +10822,7 @@ object SparkEntry {
 
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
+    "q_ann_sgns" -> sgnsAnnSql,
 
     // regenerates the synthetic QOI pixels (pure integer formula)
     // and mirrors Qoi.features' fixed division chains; the Spark
@@ -11484,6 +11496,50 @@ object SparkEntry {
          |           JOIN nrm ny ON ny.vec_id = cnd.ib)
          |SELECT ia, ib, cos_r FROM vfy WHERE cos_r >= 0.999
          |ORDER BY ia, ib""".stripMargin
+  }
+
+  /** ANN top-3 over the learned SGNS vectors: brute-force rounded
+    * cosine per sampled query node (vec_id % 50 = 0), zero-norm
+    * vectors excluded, (cos DESC, n_id ASC) ranking — mirrors
+    * Similarity.bruteForceTopK over Sgns.embeddings. */
+  private lazy val sgnsAnnSql: String = {
+    val d = 4
+    def fv(t: String, k: Int): String = s"CAST($t.f$k AS DOUBLE)"
+    def dotSql(a: String, b: String): String =
+      (0 until d).map(k => s"${fv(a, k)} * ${fv(b, k)}")
+        .mkString(" + ")
+    sgnsCtesSql +
+      s""",
+         |emb AS MATERIALIZED (
+         |  SELECT node AS vec_id,
+         |    ${(0 until d).map(k =>
+               s"CAST(CAST(u$k AS DOUBLE) / 1000000 AS FLOAT) AS f$k")
+               .mkString(", ")}
+         |  FROM m3),
+         |nrm AS (
+         |  SELECT vec_id, ${dotSql("e", "e")} AS n2
+         |  FROM emb e),
+         |cps AS (
+         |  SELECT e.vec_id AS n_id, n.n2
+         |  FROM emb e JOIN nrm n USING (vec_id) WHERE n.n2 > 0),
+         |qps AS (
+         |  SELECT e.vec_id AS q_id, n.n2 AS q2
+         |  FROM emb e JOIN nrm n USING (vec_id)
+         |  WHERE n.n2 > 0 AND e.vec_id % 50 = 0),
+         |scr AS (
+         |  SELECT q.q_id, c.n_id,
+         |    floor((${dotSql("x", "y")}) / sqrt(q.q2 * c.n2)
+         |      * 1000000 + 0.5) / 1000000 AS cos_r
+         |  FROM qps q JOIN cps c ON q.q_id <> c.n_id
+         |  JOIN emb x ON x.vec_id = q.q_id
+         |  JOIN emb y ON y.vec_id = c.n_id),
+         |rkd AS (
+         |  SELECT q_id, n_id, cos_r,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_r DESC, n_id) AS rnk
+         |  FROM scr)
+         |SELECT q_id, n_id, cos_r, rnk FROM rkd WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
