@@ -333,4 +333,80 @@ class PropertiesSpec extends SparkSpec {
     val r4 = auc(df.repartition(13), col("s"), col("y"))
     assert(r4.getLong(2) == u2 && r4.getLong(3) == r1.getLong(3))
   }
+
+  test("QOI encode/decode round-trips arbitrary images") {
+    import graft.multimodal.Qoi
+    // pixel generator biased toward the op families: long runs
+    // (same as prev), small deltas (DIFF/LUMA), index revisits
+    // (palette), and raw literals incl. alpha changes
+    val genImage: Gen[(Int, Int, Array[Int])] = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      palette <- Gen.listOfN(8,
+        Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      ops <- Gen.listOfN(w * h, Gen.frequency(
+        4 -> Gen.const(0),                 // repeat prev (RUN)
+        3 -> Gen.chooseNum(1, 8),          // small delta (DIFF/LUMA)
+        2 -> Gen.chooseNum(100, 107),      // palette pick (INDEX)
+        1 -> Gen.chooseNum(Int.MinValue, Int.MaxValue))) // literal
+    } yield {
+      val px = new Array[Int](w * h)
+      var prev = 0xFF000000
+      var i = 0
+      ops.foreach { op =>
+        val v =
+          if (op == 0) prev
+          else if (op >= 1 && op <= 8)
+            (prev & 0xFF000000) |
+              (((prev >> 16) & 0xFF) + op & 0xFF) << 16 |
+              (((prev >> 8) & 0xFF) + op & 0xFF) << 8 |
+              ((prev & 0xFF) + op & 0xFF)
+          else if (op >= 100 && op <= 107) palette(op - 100)
+          else op
+        px(i) = v; prev = v; i += 1
+      }
+      (w, h, px)
+    }
+    check(Prop.forAll(genImage) { case (w, h, px) =>
+      Qoi.decode(Qoi.encode(w, h, px)) match {
+        case Some((dw, dh, dec)) =>
+          dw == w && dh == h && dec.toSeq == px.toSeq
+        case None => false
+      }
+    })
+  }
+
+  test("batched BPE equals merge-at-a-time greedy on random corpora") {
+    import spark.implicits._
+    import graft.operators.BpeTrain
+    // small alphabets force heavy pair interaction (the stop/trim
+    // path); word multiplicities create count ties at batch edges
+    val genCorpus: Gen[Seq[String]] = for {
+      alpha <- Gen.chooseNum(2, 6)
+      nWords <- Gen.chooseNum(3, 12)
+      words <- Gen.listOfN(nWords, for {
+        len <- Gen.chooseNum(1, 8)
+        cs <- Gen.listOfN(len, Gen.chooseNum(0, alpha - 1))
+      } yield cs.map(c => ('a' + c).toChar).mkString)
+      reps <- Gen.listOfN(nWords, Gen.chooseNum(1, 5))
+    } yield words.zip(reps).flatMap { case (word, r) =>
+      Seq.fill(r)(word)
+    }
+    val prop = Prop.forAll(genCorpus, Gen.chooseNum(2, 8)) {
+      (corpus, k) =>
+        val df = Seq((0L, corpus.mkString(" "))).toDF("doc_id", "text")
+          .localCheckpoint(true)
+        def merges(batch: Int) =
+          BpeTrain.train(df, "text", nMerges = 6, batchK = batch)._1
+            .orderBy(org.apache.spark.sql.functions.col("merge_idx"))
+            .collect().map(_.toSeq).toSeq
+        merges(k) == merges(1)
+    }
+    // Spark jobs per case make 200 trials slow; 40 random corpora
+    // on top of the deterministic adversarial fixtures in
+    // BpeTrainSpec is the evidence budget here
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
