@@ -46,9 +46,6 @@ object ExplainOne {
         df => plans.ResultCache.withCache(df.sparkSession, df)
       operators.Graph.roundMaterializer = _.localCheckpoint(true)
     }
-    val exec = Executors.newCachedThreadPool { r =>
-      val t = new Thread(r); t.setDaemon(true); t
-    }
     def audit(name: String, label: String): Unit = {
       println(s"==== $name$label ====")
       val df = SparkEntry.queries(name)(spark, dir)
@@ -65,20 +62,43 @@ object ExplainOne {
       if (!dry) { setMaterialized(); audit(name, "") }
       else {
         setDry()
+        // per-query executor so a timed-out build can be shutdownNow +
+        // awaitTermination'd — cancel alone does not guarantee the
+        // thread stopped, and an abandoned build still constructing
+        // under the dry hooks would race the materialized re-audit on
+        // shared ResultCache state if the globals were swapped under it
+        val exec = Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r); t.setDaemon(true); t
+        }
         val fut = exec.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = audit(name, " (dry plan)")
         })
-        try fut.get(90, TimeUnit.SECONDS)
+        try { fut.get(90, TimeUnit.SECONDS); exec.shutdown() }
         catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelAllJobs()
             fut.cancel(true)
-            println(s"[dry-plan timeout] $name either executes work " +
-              "during construction (driver-loop trainer, keyed-cache " +
-              "artifact) or its uncut iterative plan overwhelms the " +
-              "optimizer - re-auditing in materialized mode")
-            setMaterialized()
-            audit(name, " (materialized)")
+            exec.shutdownNow()
+            // re-cancel in a bounded loop: the build may submit a new
+            // job between a cancel and its next action
+            val dead = (1 to 12).exists { _ =>
+              spark.sparkContext.cancelAllJobs()
+              exec.awaitTermination(5, TimeUnit.SECONDS)
+            }
+            if (!dead)
+              println(s"[dry-plan timeout] $name: build thread did " +
+                "not terminate within 60 s of cancellation - " +
+                "SKIPPING the materialized re-audit rather than " +
+                "racing the live thread on shared hook state")
+            else {
+              println(s"[dry-plan timeout] $name either executes " +
+                "work during construction (driver-loop trainer, " +
+                "keyed-cache artifact) or its uncut iterative plan " +
+                "overwhelms the optimizer - re-auditing in " +
+                "materialized mode")
+              setMaterialized()
+              audit(name, " (materialized)")
+            }
         }
       }
     }

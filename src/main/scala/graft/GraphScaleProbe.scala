@@ -202,12 +202,12 @@ object GraphScaleProbe {
     val nPairs20 = pairs20.count()
     val (m1, tSgns) = time {
       operators.Sgns.train(pairs20, dims = 4, rounds = 2,
-          negsPerPair = 2, negPool = 16, lrDen = 1L)
+          negsPerPair = 2, lrDen = 1L)
         .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     }
     val (m2, _) = time {
       operators.Sgns.train(pairs20.repartition(97), dims = 4,
-          rounds = 2, negsPerPair = 2, negPool = 16, lrDen = 1L)
+          rounds = 2, negsPerPair = 2, lrDen = 1L)
         .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     }
     require(m1 == m2,

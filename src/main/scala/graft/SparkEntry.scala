@@ -11175,16 +11175,18 @@ object SparkEntry {
   /** Shared DeepWalk-SGNS pipeline for q_train_sgns /
     * q_embed_sgns_dedup: the 600-node bipartite lineitem fold →
     * deterministic walks → skip-gram pairs → 3-round quantized SGNS
-    * (d=4, 2 negatives from a 16-node top-frequency pool).
-    * Registered under a keyed ResultCache entry — the trained model
-    * is the shared artifact of both queries, and its plan chains
-    * through per-round checkpoints, so only an explicit key can
-    * address it; the key carries the source dir and every
-    * hyperparameter. */
+    * (d=4, 2 negatives per pair drawn from the full unigram^0.75
+    * CDF over context frequencies — see [[operators.Sgns
+    * .negativeCdf]]). Registered under a keyed ResultCache entry —
+    * the trained model is the shared artifact of both queries, and
+    * its plan chains through per-round checkpoints, so only an
+    * explicit key can address it; the key carries the source dir and
+    * every hyperparameter. */
   private def sgnsModel(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
     plans.ResultCache.withKeyedCache(s,
-      s"sgns_model:$dir:mod=300:d=4:r=3:neg=2:pool=16:lr=1:seed=42",
+      s"sgns_model:$dir:mod=300:d=4:r=3:neg=2:pool=u75cap200k:" +
+        "lr=1:seed=42",
       operators.Sgns.train(
         operators.Graph.skipGramPairs(
           operators.Graph.randomWalks(
@@ -11193,7 +11195,7 @@ object SparkEntry {
               (col("l_partkey") % 300 + 300).as("v")),
             col("u"), col("v"), walksPerNode = 2, steps = 4),
           window = 2),
-        dims = 4, rounds = 3, negsPerPair = 2, negPool = 16,
+        dims = 4, rounds = 3, negsPerPair = 2,
         lrDen = 1L, seed = 42L))
 
   // logistic-regression trainer: shared feature/label definitions —
@@ -11344,9 +11346,14 @@ object SparkEntry {
 
   /** Unrolled SGNS trainer oracle CTEs (mirrors operators.Sgns.train
     * term for term on the mod-300 walk graph): walk corpus →
-    * skip-gram pairs → 16-node top-frequency negative pool →
-    * example multiset (2 hash-picked negatives per pair) → md5 u
-    * init / v=0 → 3 rounds of {exact long dot, one exp, per-example
+    * skip-gram pairs → unigram^0.75 negative CDF (integer weight
+    * ⌊√√(min(f,2e5)³)⌋ per context node — two IEEE correctly-rounded
+    * sqrts on an exact double, bit-identical to the engine's) →
+    * example multiset (2 negatives per pair, picked by md5-hash mod
+    * the CDF's total weight into the containing interval — the
+    * modulus is (SELECT Σw) on BOTH sides by construction, so engine
+    * and oracle can never disagree on pool size) → md5 u init / v=0
+    * → 3 rounds of {exact long dot, one exp, per-example
     * micro-quantized gradients, per-node long sums, mean-gradient
     * update} — emits the final model CTE `m3`. */
   private lazy val sgnsCtesSql: String = {
@@ -11410,26 +11417,33 @@ object SparkEntry {
          |  FROM wa a JOIN wa b ON a.walk_id = b.walk_id
          |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
          |  GROUP BY 1, 2),
-         |pool AS MATERIALIZED (
-         |  SELECT nd, idx FROM (
-         |    SELECT nd, row_number() OVER (ORDER BY f DESC, nd) - 1
-         |      AS idx
-         |    FROM (SELECT context AS nd, CAST(sum(cnt) AS BIGINT) AS f
-         |          FROM pr GROUP BY 1) t) s
-         |  WHERE idx < 16),
+         |wts AS MATERIALIZED (
+         |  SELECT nd, CAST(floor(sqrt(sqrt(CAST(
+         |      least(f, 200000) * least(f, 200000) * least(f, 200000)
+         |      AS DOUBLE)))) AS BIGINT) AS w
+         |  FROM (SELECT context AS nd, CAST(sum(cnt) AS BIGINT) AS f
+         |        FROM pr GROUP BY 1) t),
+         |cdf AS MATERIALIZED (
+         |  SELECT nd,
+         |    CAST(SUM(w) OVER (ORDER BY nd ROWS UNBOUNDED PRECEDING)
+         |      - w AS BIGINT) AS lo,
+         |    CAST(SUM(w) OVER (ORDER BY nd ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS hi
+         |  FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
          |negx AS MATERIALIZED (
          |  SELECT p.center, p.context, p.cnt,
          |    CAST('0x' || substr(md5('sgnsneg:' || p.center || ':' ||
          |      p.context || ':' || i.i || ':42'), 1, 15) AS BIGINT)
-         |      % 16 AS idx
+         |      % (SELECT tw FROM tot) AS h
          |  FROM pr p, (SELECT unnest(range(0, 2)) AS i) i),
          |ex AS MATERIALIZED (
          |  SELECT center, context AS other, cnt, CAST(1 AS DOUBLE) AS y
          |  FROM pr
          |  UNION ALL
-         |  SELECT n.center, pl.nd, n.cnt, CAST(0 AS DOUBLE)
-         |  FROM negx n JOIN pool pl USING (idx)
-         |  WHERE pl.nd <> n.center AND pl.nd <> n.context),
+         |  SELECT n.center, c.nd, n.cnt, CAST(0 AS DOUBLE)
+         |  FROM negx n JOIN cdf c ON n.h >= c.lo AND n.h < c.hi
+         |  WHERE c.nd <> n.center AND c.nd <> n.context),
          |nds AS MATERIALIZED (SELECT DISTINCT node FROM (
          |  SELECT center AS node FROM ex
          |  UNION ALL SELECT other FROM ex)),

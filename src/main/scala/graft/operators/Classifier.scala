@@ -56,7 +56,8 @@ object Classifier {
     var w: Seq[Long] = Seq.fill(features.size)(0L)
     var r = 0
     while (r < rounds) {
-      val p = sigmoid(marginCol(features, w))
+      val m = marginCol(features, w)
+      val p = sigmoid(m)
       val gradCols = features.zipWithIndex.map { case (f, j) =>
         sum(floor((p - label) * f * lit(Micro) + 0.5).cast("long"))
           .as(s"g$j")
@@ -66,16 +67,24 @@ object Classifier {
       // across libms, so if any row's quantization input
       // x = (p−y)·f·10⁶ + ½ lands within ~1 ulp of an integer, a
       // last-ulp exp divergence could flip the floored unit and break
-      // cross-engine determinism SILENTLY. Measure each row's
-      // distance to the nearest floor boundary in the same pass and
-      // fail loudly when the margin is below 1e-7 (≫ any libm
-      // last-ulp drift at these magnitudes, ≪ the ~0.5 typical
-      // spacing) instead of surfacing as an unexplained hash
-      // mismatch later.
+      // cross-engine determinism SILENTLY. The boundary distance is
+      // compared against a RELATIVE margin |f·10⁶|·1e-14 (the Sgns
+      // pattern): a libm last-ulp divergence perturbs x by
+      // ~ulp(p)·|f|·10⁶ ≈ |f|·1e-10, so the relative threshold keeps
+      // a ~100× cushion while scaling with the row's own magnitude —
+      // an absolute threshold (the old 1e-7) trips on legitimate
+      // uniformly-distributed fractional parts at a rate that grows
+      // linearly with corpus size. Rows with margin m == 0.0 are
+      // EXEMPT: exp(-0) is exactly 1 in any conforming libm, p is
+      // exactly 0.5 (the round-0 w=0 case for every row), so x
+      // carries no transcendental-derived uncertainty — floor(x) is
+      // bit-deterministic everywhere even exactly ON a boundary.
       val guardCols = features.zipWithIndex.map { case (f, j) =>
         val x = (p - label) * f * lit(Micro) + 0.5
         val fr = x - floor(x)
-        min(least(fr, lit(1.0) - fr)).as(s"bd$j")
+        val rel = least(fr, lit(1.0) - fr) -
+          abs(f * lit(Micro)) * lit(1e-14)
+        min(when(m === 0.0, lit(0.5)).otherwise(rel)).as(s"bd$j")
       }
       val row = df
         .select((gradCols ++ guardCols) :+ count(lit(1)).as("n"): _*)
@@ -85,10 +94,11 @@ object Classifier {
       require(n > 0, "logisticTrainMicro: empty training frame")
       (0 until d).foreach { j =>
         val bd = row.getDouble(d + j)
-        require(bd > 1e-7,
+        require(bd > 0.0,
           s"logisticTrainMicro: round $r feature $j has a gradient " +
-            s"quantization input within $bd of a floor boundary - " +
-            "cross-engine exp() determinism is not guaranteed here")
+            "quantization input within 1e-14 of a floor boundary " +
+            "relative to its multiplier - cross-engine exp() " +
+            "determinism is not guaranteed here")
       }
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - math.floor(
@@ -219,22 +229,42 @@ object Classifier {
     val row = df.select(xx ++ xy: _*).collect()(0)
     var idx = -1
     val m = Array.ofDim[Double](d, d)
+    val mb = Array.ofDim[BigInt](d, d)
     for (i <- 0 until d; j <- i until d) {
       idx += 1
       m(i)(j) = row.getLong(idx).toDouble
       m(j)(i) = m(i)(j)
+      mb(i)(j) = BigInt(row.getLong(idx))
+      mb(j)(i) = mb(i)(j)
     }
     val rhs = (0 until d).map(i => row.getLong(d * (d + 1) / 2 + i)
       .toDouble)
-    // Fail-loud singular-matrix guard: a collinear/constant feature
-    // set drives det to 0 and the Cramer divisions to NaN/Inf, which
-    // the micro-quantization below would silently fold to 0 or
-    // Long.MaxValue garbage. The sufficient statistics are integer-
-    // exact, so det == 0.0 is an exact test, not a float tolerance.
+    // Fail-loud singular-matrix guard, EXACT: the singularity test
+    // runs in BigInt over the integer sufficient statistics — the
+    // stats exceed 2^53 at scale, so a double det can round a truly
+    // singular system to a tiny nonzero value (garbage betas) or a
+    // near-singular one to exactly 0.0 (spurious abort). The SOLVE
+    // below stays in double on purpose — it mirrors the SQL oracle's
+    // IEEE arithmetic term for term — so a second guard rejects the
+    // pathological gap where the exact det is nonzero but underflows
+    // the double expansion to 0.0 (Cramer would divide by zero).
+    val detExact: BigInt = d match {
+      case 1 => mb(0)(0)
+      case 2 => mb(0)(0) * mb(1)(1) - mb(0)(1) * mb(0)(1)
+      case _ =>
+        mb(0)(0) * (mb(1)(1) * mb(2)(2) - mb(1)(2) * mb(1)(2)) -
+          mb(0)(1) * (mb(0)(1) * mb(2)(2) - mb(1)(2) * mb(0)(2)) +
+          mb(0)(2) * (mb(0)(1) * mb(1)(2) - mb(1)(1) * mb(0)(2))
+    }
+    require(detExact != 0,
+      "olsFitMicro: singular normal equations (collinear or " +
+        "constant features) — exact det(XtX) == 0")
     def nonSingular(det: Double): Double = {
       require(det != 0.0,
-        "olsFitMicro: singular normal equations (collinear or " +
-          "constant features) — det(XtX) == 0")
+        "olsFitMicro: near-singular normal equations — exact " +
+          s"det(XtX) = $detExact is nonzero but the double Cramer " +
+          "expansion underflows to 0.0; the solve is not " +
+          "representable in the oracle-mirrorable arithmetic")
       det
     }
     val beta: Seq[Double] = d match {

@@ -22,22 +22,31 @@ import org.apache.spark.sql.functions._
   *     the dot product is built left-to-right so the float expression
   *     tree matches an oracle's textual order exactly.
   *
-  * Negative sampling is deterministic: negatives for pair (c, x, i)
-  * come from a fixed pool of the `negPool` most frequent context
-  * nodes (frequency-ranked — the same bias toward frequent nodes as
-  * word2vec's unigram^0.75 table, collapsed to its head), picked by
-  * stableHash64("sgnsneg:c:x:i:seed") mod pool size. A hash-picked
-  * negative equal to the pair's center or true context is dropped
-  * (not resampled), keeping the example set a pure function of the
-  * pair table.
+  * Negative sampling is deterministic AND word2vec-faithful: a
+  * unigram^0.75 CDF over the FULL context-frequency table (not a
+  * top-k head), where node nd with context frequency f gets integer
+  * weight w = ⌊√√(min(f, 2·10⁵)³)⌋ — i.e. ⌊f^0.75⌋ computed through
+  * two IEEE-754 correctly-rounded square roots on an
+  * exactly-representable double (the capped cube stays < 2^53), so
+  * the weight is bit-identical in any engine, unlike a libm
+  * pow(f, 0.75). Negatives for pair (c, x, i) are picked by
+  * stableHash64("sgnsneg:c:x:i:seed") mod Σw landing in a node's
+  * half-open CDF interval [lo, hi); the interval lookup executes as
+  * an EQUI-join on a bucketed CDF (each interval exploded to the
+  * ⌈w/bw⌉ fixed-width buckets it overlaps, bw = the mean weight), so
+  * example construction is a hash join, never a range/theta join. A
+  * hash-picked negative equal to the pair's center or true context
+  * is dropped (not resampled), keeping the example set a pure
+  * function of the pair table.
   *
   * Scale shape: the model is a DataFrame of (node, u0..u_{d-1},
   * v0..v_{d-1}) micro longs that NEVER visits the driver — each
   * round is one equi-join of examples against the model (node-keyed,
   * twice: center side and context/negative side), two combinable
   * long-sum groupBys, and one model-update join, with a lineage cut
-  * per round. Driver traffic is the `negPool` pool rows once, plus
-  * nothing per round. At 100 TB the model is |V|·2d longs
+  * per round. Driver traffic is ONE totals row (Σw, vocab size)
+  * once, plus nothing per round; the CDF itself stays distributed.
+  * At 100 TB the model is |V|·2d longs
   * distributed across the cluster; updates are joins, exactly how a
   * parameter-server round would shard.
   *
@@ -59,36 +68,77 @@ object Sgns {
 
   private val Micro = 1e6
 
-  /** Deterministic negative-sample pool: the `negPool` most frequent
-    * context nodes by (Σcnt DESC, node ASC). Bounded driver collect
-    * (`negPool` rows — a global top-k TakeOrdered, never a sort). */
-  def negativePool(pairs: DataFrame, negPool: Int): Seq[Long] =
-    pairs.groupBy(col("context")).agg(sum(col("cnt")).as("f"))
-      .orderBy(col("f").desc, col("context"))
-      .limit(negPool)
-      .collect().map(_.getLong(0)).toSeq
+  /** Frequency cap for the unigram^0.75 weight: min(f, FreqCap)³ ≤
+    * 8·10¹⁵ < 2⁵³, so the cube is an EXACT double and the two
+    * correctly-rounded sqrts below are bit-deterministic across
+    * engines. Frequencies beyond the cap saturate (word2vec clamps
+    * head frequencies via subsampling anyway). */
+  val FreqCap = 200000L
+
+  /** The unigram^0.75 negative-sampling CDF: one row per distinct
+    * context node — (nd, lo, hi) with hi − lo = w(nd) =
+    * ⌊√√(min(f, FreqCap)³)⌋ ≥ 1 and intervals laid out in node-id
+    * order. Fully distributed; the single unpartitioned window runs
+    * over the VOCAB-sized frequency table (sublinear in corpus
+    * size), the standard one-time cost of building a sampling
+    * artifact. */
+  def negativeCdf(pairs: DataFrame): DataFrame = {
+    val freqs = pairs.groupBy(col("context").as("nd"))
+      .agg(sum(col("cnt")).as("f"))
+    val fc = least(col("f"), lit(FreqCap))
+    val w = floor(sqrt(sqrt((fc * fc * fc).cast("double")))).cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nd"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    freqs.select(col("nd"), w.as("w"))
+      .withColumn("hi", sum(col("w")).over(win))
+      .select(col("nd"), (col("hi") - col("w")).as("lo"), col("hi"))
+  }
 
   /** Training example table: positives (center, other=context, y=1)
-    * plus `negsPerPair` hash-picked pool negatives (y=0) per pair,
-    * every example carrying the exact pair multiplicity `cnt`. */
-  def examples(pairs: DataFrame, pool: Seq[Long], negsPerPair: Int,
-               seed: Long): DataFrame = {
-    val poolArr = array(pool.map(lit(_)): _*)
+    * plus `negsPerPair` CDF-picked negatives (y=0) per pair, every
+    * example carrying the exact pair multiplicity `cnt`. `tw` is the
+    * CDF's total weight (max hi) and `bw` the bucket width — both
+    * from [[cdfTotals]]. The interval lookup is an equi-join on
+    * bucket id: each CDF interval is exploded to every fixed-width
+    * bucket it overlaps (≈2 rows per bucket at bw = mean weight), so
+    * the pick costs O(|pairs|) through a hash join — no range join,
+    * no per-row table scan. */
+  def examples(pairs: DataFrame, cdf: DataFrame, tw: Long, bw: Long,
+               negsPerPair: Int, seed: Long): DataFrame = {
+    require(tw >= 1 && bw >= 1, "sgns: empty negative CDF")
+    val buckets = cdf.withColumn("bucket",
+        explode(sequence(expr(s"lo div ${bw}L"),
+          expr(s"(hi - 1) div ${bw}L"))))
+      .select(col("bucket"), col("nd"), col("lo"), col("hi"))
     val pos = pairs.select(col("center"), col("context").as("other"),
       col("cnt"), lit(1.0).as("y"))
     val negs = (0 until negsPerPair).map { i =>
-      pairs.select(col("center"),
-          element_at(poolArr,
-            (graft.functions.stableHash64(concat_ws(":", lit("sgnsneg"),
-              col("center"), col("context"), lit(i), lit(seed)))
-              % pool.size).cast("int") + 1).as("other"),
-          col("cnt"), lit(0.0).as("y"),
-          col("context"))
+      pairs.select(col("center"), col("context"), col("cnt"),
+          (graft.functions.stableHash64(concat_ws(":", lit("sgnsneg"),
+            col("center"), col("context"), lit(i), lit(seed)))
+            % lit(tw)).as("h"))
+        .withColumn("bucket", expr(s"h div ${bw}L"))
+        .join(buckets, Seq("bucket"))
+        .filter(col("h") >= col("lo") && col("h") < col("hi"))
+        .select(col("center"), col("nd").as("other"), col("cnt"),
+          lit(0.0).as("y"), col("context"))
         .filter(col("other") =!= col("center") &&
           col("other") =!= col("context"))
         .drop("context")
     }.reduce(_ unionAll _)
     pos.unionAll(negs)
+  }
+
+  /** Bounded driver collect (ONE row): the CDF's total weight and
+    * vocab size, from which the bucket width bw = max(1, ⌊tw/|V|⌋)
+    * (the mean weight — each bucket then overlaps ~2 intervals). */
+  def cdfTotals(cdf: DataFrame): (Long, Long) = {
+    val r = cdf.agg(max(col("hi")).as("tw"), count(lit(1)).as("nv"))
+      .collect()(0)
+    if (r.isNullAt(0)) (0L, 0L)
+    else (r.getLong(0), math.max(1L, r.getLong(0) / r.getLong(1)))
   }
 
   /** Train `dims`-dimensional embeddings over a
@@ -97,13 +147,14 @@ object Sgns {
     * (node, u0.., v0..) in micro longs; the embedding is the u side
     * (see [[embeddings]]). */
   def train(pairs: DataFrame, dims: Int = 4, rounds: Int = 3,
-            negsPerPair: Int = 2, negPool: Int = 16,
-            lrDen: Long = 10L, seed: Long = 42L): DataFrame = {
+            negsPerPair: Int = 2, lrDen: Long = 10L,
+            seed: Long = 42L): DataFrame = {
     require(dims >= 1 && rounds >= 1 && negsPerPair >= 1 &&
-      negPool >= 2 && lrDen >= 1, "bad sgns params")
-    val pool = negativePool(pairs, negPool)
-    require(pool.nonEmpty, "sgns: empty pair table")
-    val ex = examples(pairs, pool, negsPerPair, seed)
+      lrDen >= 1, "bad sgns params")
+    val cdf = negativeCdf(pairs)
+    val (tw, bw) = cdfTotals(cdf)
+    require(tw >= 1, "sgns: empty pair table")
+    val ex = examples(pairs, cdf, tw, bw, negsPerPair, seed)
       .transform(Graph.roundMaterializer)
     val nodes = ex.select(col("center").as("node"))
       .unionAll(ex.select(col("other").as("node")))

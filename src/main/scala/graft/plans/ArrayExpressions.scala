@@ -35,14 +35,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName on every local: the same expression can be generated
+      // twice into one function (filter + project), and raw names
+      // collide — "Redefinition of local variable" kills codegen for
+      // the whole stage (interpreter fallback)
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements() < $b.numElements()
+         |int $n = $a.numElements() < $b.numElements()
          |    ? $a.numElements() : $b.numElements();
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -94,21 +101,31 @@ case class NearestCentroid(child: Expression, lists: Array[Int],
     nullSafeCodeGen(ctx, ev, v => {
       val listsRef = ctx.addReferenceObj("centroidLists", lists, "int[]")
       val flatRef = ctx.addReferenceObj("centroidFlat", flat, "double[]")
+      // freshName on every local — see DotProduct.doGenCode
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val k = ctx.freshName("k")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
       s"""
-         |int n = $v.numElements() < $dim ? $v.numElements() : $dim;
-         |int best = -1;
-         |double bestD = Double.MAX_VALUE;
-         |for (int k = 0; k < $listsRef.length; k++) {
-         |  int off = k * $dim;
-         |  double d = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double t = $v.getDouble(i) - $flatRef[off + i];
-         |    d += t * t;
+         |int $n = $v.numElements() < $dim ? $v.numElements() : $dim;
+         |int $best = -1;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $k = 0; $k < $listsRef.length; $k++) {
+         |  int $off = $k * $dim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $v.getDouble($i) - $flatRef[$off + $i];
+         |    $d += $t * $t;
          |  }
-         |  ${if (round6) "d = Math.floor(d * 1.0E6 + 0.5) / 1.0E6;" else ""}
-         |  if (d < bestD) { bestD = d; best = $listsRef[k]; }
+         |  ${if (round6) s"$d = Math.floor($d * 1.0E6 + 0.5) / 1.0E6;"
+            else ""}
+         |  if ($d < $bestD) { $bestD = $d; $best = $listsRef[$k]; }
          |}
-         |${ev.value} = best;
+         |${ev.value} = $best;
        """.stripMargin
     })
 

@@ -44,16 +44,22 @@ case class JumpHash(child: Expression, buckets: Int)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName on every local: raw names collide when the same
+      // expression is generated twice into one function (filter +
+      // project) and kill codegen for the whole stage
+      val k = ctx.freshName("k")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
       s"""
-         |long k = $c;
-         |long b = -1L, j = 0L;
-         |while (j < $buckets) {
-         |  b = j;
-         |  k = k * 2862933555777941757L + 1L;
-         |  j = (long) ((b + 1) *
-         |      ((double) (1L << 31) / (double) ((k >>> 33) + 1)));
+         |long $k = $c;
+         |long $b = -1L, $j = 0L;
+         |while ($j < $buckets) {
+         |  $b = $j;
+         |  $k = $k * 2862933555777941757L + 1L;
+         |  $j = (long) (($b + 1) *
+         |      ((double) (1L << 31) / (double) (($k >>> 33) + 1)));
          |}
-         |${ev.value} = (int) b;
+         |${ev.value} = (int) $b;
        """.stripMargin
     })
 

@@ -29,15 +29,53 @@ object ResultCache {
 
   final case class Entry(canonical: String, path: String)
 
-  private val entries = new ConcurrentHashMap[Int, Entry]()
+  // Keyed by the FULL key string (not its Int hashCode): two distinct
+  // keys colliding on hashCode must occupy distinct entries, never
+  // evict each other into a permanent rebuild loop. Entry paths come
+  // from a process-unique counter, so no two entries ever share a
+  // parquet directory. Builds run under a PER-KEY lock (not inside a
+  // ConcurrentHashMap mapping function): one build wins a concurrent
+  // race and writes the path exactly once, and a build that nests
+  // further cache calls (a keyed model build routing through the
+  // plan-keyed preMaterializer) takes a DIFFERENT key's lock instead
+  // of re-entering the map mid-update — key nesting is a DAG by
+  // construction (keyed artifacts build over plan-cached frames,
+  // never the reverse), so lock order cannot cycle.
+  private val entries = new ConcurrentHashMap[String, Entry]()
+  private val locks = new ConcurrentHashMap[String, Object]()
+  private val pathSeq = new AtomicLong(0)
   private val hitCount = new AtomicLong(0)
   private val missCount = new AtomicLong(0)
+
+  private def cached(spark: SparkSession, mapKey: String,
+                     canonical: String, prefix: String,
+                     build: => DataFrame): DataFrame = {
+    val first = entries.get(mapKey)
+    val entry =
+      if (first != null) { hitCount.incrementAndGet(); first }
+      else locks.computeIfAbsent(mapKey, _ => new Object).synchronized {
+        val again = entries.get(mapKey)
+        if (again != null) { hitCount.incrementAndGet(); again }
+        else {
+          missCount.incrementAndGet()
+          val path = new File(cacheRoot,
+            s"${prefix}_${pathSeq.incrementAndGet()}").getAbsolutePath
+          build.write.mode("overwrite").parquet(path)
+          val e = Entry(canonical, path)
+          entries.put(mapKey, e)
+          e
+        }
+      }
+    spark.read.parquet(entry.path)
+  }
 
   def hits: Long = hitCount.get()
   def misses: Long = missCount.get()
   def size: Int = entries.size()
 
-  def clear(): Unit = { entries.clear(); hitCount.set(0); missCount.set(0) }
+  def clear(): Unit = {
+    entries.clear(); locks.clear(); hitCount.set(0); missCount.set(0)
+  }
 
   // Per-JVM root: the entries map is per-JVM, so two concurrent
   // processes (sbt test beside a Verify/Bench run) sharing one
@@ -68,20 +106,7 @@ object ResultCache {
     * build thunk only runs on a miss. */
   def withKeyedCache(spark: SparkSession, key: String,
                      build: => DataFrame): DataFrame = {
-    val mapKey = ("k:" + key).hashCode
-    val existing = entries.get(mapKey)
-    if (existing != null && existing.canonical == key) {
-      hitCount.incrementAndGet()
-      spark.read.parquet(existing.path)
-    } else {
-      missCount.incrementAndGet()
-      val path = new File(cacheRoot,
-        s"k_${mapKey.toHexString}_${math.abs(key.hashCode).toHexString}")
-        .getAbsolutePath
-      build.write.mode("overwrite").parquet(path)
-      entries.put(mapKey, Entry(key, path))
-      spark.read.parquet(path)
-    }
+    cached(spark, "k:" + key, key, "k", build)
   }
 
   /** Serve `df` through the cache: on a semantic hit, return a scan of
@@ -90,20 +115,13 @@ object ResultCache {
     * downstream). */
   def withCache(spark: SparkSession, df: DataFrame): DataFrame = {
     val canon = df.queryExecution.optimizedPlan.canonicalized
-    val key = canon.hashCode()
+    // The map key carries BOTH the full-structure hashCode and the
+    // canonical tree string: `toString` TRUNCATES wide field lists
+    // (maxToStringFields), so two plans differing only in an elided
+    // literal can print identically — the structural hash still
+    // separates them (this exact collision served a mod-300 walk
+    // table to a mod-2000 query when the key was the string alone).
     val canonStr = canon.toString
-    val existing = entries.get(key)
-    if (existing != null && existing.canonical == canonStr) {
-      hitCount.incrementAndGet()
-      spark.read.parquet(existing.path)
-    } else {
-      missCount.incrementAndGet()
-      val path = new File(cacheRoot,
-        s"e_${key.toHexString}_${math.abs(canonStr.hashCode).toHexString}")
-        .getAbsolutePath
-      df.write.mode("overwrite").parquet(path)
-      entries.put(key, Entry(canonStr, path))
-      spark.read.parquet(path)
-    }
+    cached(spark, s"e:${canon.hashCode()}:$canonStr", canonStr, "e", df)
   }
 }

@@ -18,44 +18,82 @@ class SgnsSpec extends SparkSpec {
       col("u"), col("v"), walksPerNode = 2, steps = 3),
     window = 2)
 
-  test("negativePool is frequency-ranked with node-id tie-break") {
+  test("negativeCdf lays out floor(f^0.75) intervals in node order") {
     val pairs = Seq((1L, 7L, 5L), (2L, 7L, 3L), (1L, 8L, 8L),
       (2L, 9L, 4L), (3L, 9L, 4L)).toDF("center", "context", "cnt")
-    // freqs: 7 -> 8, 8 -> 8, 9 -> 8 — all tied, node id breaks
-    Sgns.negativePool(pairs, 2) shouldBe Seq(7L, 8L)
-    Sgns.negativePool(pairs, 5) shouldBe Seq(7L, 8L, 9L)
+    // freqs: 7 -> 8, 8 -> 8, 9 -> 8; w = floor(8^0.75) =
+    // floor(4.756...) = 4 each; intervals stack in node order
+    val cdf = Sgns.negativeCdf(pairs).orderBy(col("nd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cdf.toSeq shouldBe Seq((7L, 0L, 4L), (8L, 4L, 8L), (9L, 8L, 12L))
+    Sgns.cdfTotals(Sgns.negativeCdf(pairs)) shouldBe ((12L, 4L))
+  }
+
+  test("negativeCdf weight saturates at the exactness frequency cap") {
+    val pairs = Seq((1L, 7L, Sgns.FreqCap + 999999L), (2L, 8L, 1L))
+      .toDF("center", "context", "cnt")
+    val w = Sgns.negativeCdf(pairs).orderBy(col("nd")).collect()
+      .map(r => r.getLong(2) - r.getLong(1))
+    // capped: floor((2e5)^0.75) = floor(9457.41...) = 9457; f=1 -> 1
+    w.toSeq shouldBe Seq(9457L, 1L)
   }
 
   test("examples: positives keep cnt, negatives avoid center/context") {
     val pairs = Seq((1L, 7L, 5L), (7L, 1L, 5L), (2L, 8L, 3L))
       .toDF("center", "context", "cnt")
-    val ex = Sgns.examples(pairs, Seq(7L, 8L), negsPerPair = 2,
+    val cdf = Sgns.negativeCdf(pairs)
+    val (tw, bw) = Sgns.cdfTotals(cdf)
+    val ex = Sgns.examples(pairs, cdf, tw, bw, negsPerPair = 2,
       seed = 42L).collect()
     val pos = ex.filter(_.getDouble(3) == 1.0)
     pos.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
       Set((1L, 7L, 5L), (7L, 1L, 5L), (2L, 8L, 3L))
-    // every negative is a pool member and never the pair's own
-    // center or true context; dropped (not resampled) on collision
+    // every negative is a distinct context node and never the pair's
+    // own center or true context; dropped (not resampled) on collision
     val negSrc = ex.filter(_.getDouble(3) == 0.0)
     negSrc.foreach { r =>
-      Seq(7L, 8L) should contain(r.getLong(1))
+      Seq(1L, 7L, 8L) should contain(r.getLong(1))
       r.getLong(1) should not be r.getLong(0)
     }
     negSrc.length should be <= 6
+  }
+
+  test("examples: every CDF pick maps h to the containing interval") {
+    // skewed weights so intervals span multiple buckets: f=256 ->
+    // w=64, f=1 -> w=1; tw=66, bw=66/3=22 — node 7 spans buckets
+    // 0..2, nodes 8/9 share bucket 2
+    val pairs = Seq((1L, 7L, 256L), (2L, 8L, 1L), (3L, 9L, 1L))
+      .toDF("center", "context", "cnt")
+    val cdf = Sgns.negativeCdf(pairs)
+    val (tw, bw) = Sgns.cdfTotals(cdf)
+    (tw, bw) shouldBe ((66L, 22L))
+    val manyPairs = (1L to 50L).map(i => (1000L + i, 8L, 1L))
+      .toDF("center", "context", "cnt")
+    val negs = Sgns.examples(manyPairs, cdf, tw, bw, negsPerPair = 2,
+        seed = 42L)
+      .filter(col("y") === 0.0).collect()
+    // each (center, i) hash picks EXACTLY one node (intervals
+    // partition [0, tw)): never more than one bucket row survives
+    // the containment filter, so <= 100 picks; node 8 is the true
+    // context (dropped on collision), 7 carries 64/66 of the mass so
+    // the bulk of picks land there and survive
+    negs.length should be <= 100
+    negs.length should be > 60
+    negs.foreach(r => Seq(7L, 9L) should contain(r.getLong(1)))
   }
 
   test("train is bit-deterministic across partitionings") {
     val pairs = toyPairs.localCheckpoint(true)
     def run(parts: Int) =
       Sgns.train(pairs.repartition(parts), dims = 2, rounds = 2,
-          negsPerPair = 1, negPool = 4, lrDen = 1L)
+          negsPerPair = 1, lrDen = 1L)
         .orderBy(col("node")).collect().map(_.toSeq).toSeq
     run(1) shouldBe run(7)
   }
 
   test("train moves the model and stays integer-bounded") {
     val model = Sgns.train(toyPairs, dims = 2, rounds = 3,
-      negsPerPair = 2, negPool = 4, lrDen = 1L)
+      negsPerPair = 2, lrDen = 1L)
     val rows = model.collect()
     rows.length shouldBe 10 // 5 + 5 bipartite fold, all walked
     // v side must have moved off its zero init somewhere (round 1
@@ -69,7 +107,7 @@ class SgnsSpec extends SparkSpec {
 
   test("embeddings emits the float-array contract for the LSH family") {
     val model = Sgns.train(toyPairs, dims = 3, rounds = 1,
-      negsPerPair = 1, negPool = 4)
+      negsPerPair = 1)
     val emb = Sgns.embeddings(model, dims = 3)
     emb.columns.toSeq shouldBe Seq("vec_id", "embedding")
     emb.schema("embedding").dataType.simpleString shouldBe "array<float>"
