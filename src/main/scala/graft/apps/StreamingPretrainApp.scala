@@ -3,9 +3,10 @@ package graft.apps
 import java.time.Duration
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.streaming.StreamingDedupTtl
+import graft.streaming.{StreamingDedupTtl, StreamingNearDedup}
 
 /** Stage 1 of [[PretrainDataPipeline]] as a RUNNING streaming app —
   * the wiring the TTL-dedup endurance probe proved but the pipeline
@@ -53,6 +54,53 @@ object StreamingPretrainApp {
       .outputMode("append")
       .format("parquet")
       .option("path", keptPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
+
+  /** TWO-stage streaming pretrain: stage 1's TTL exact dedup chains
+    * straight into stage 2's near-dup LSH filter inside one
+    * checkpointed query — the streaming twin of
+    * `afterNearDedup(afterExactDedup(corpus))`.
+    *
+    * Composition: [[graft.streaming.StreamingDedupTtl.firstSeenDocs]]
+    * (text rides the row, state stays one boolean per fingerprint)
+    * feeds a foreachBatch running
+    * [[graft.streaming.StreamingNearDedup.processBatch]] — in-batch
+    * exact-verified LSH collapse (min id wins, the batch operator
+    * verbatim) plus the bucket-history tier against everything
+    * previously emitted. Survivors land under `keptDir/batch=<id>`
+    * with their fingerprints (the manifest columns the hybrid global
+    * pass reads), per-batch OVERWRITE, so checkpoint replay
+    * reproduces byte-identical batches and the app composes with the
+    * exactly-once story end to end.
+    *
+    * Equivalence contract (spec'd): when the corpus arrives in one
+    * micro-batch inside one TTL window, the kept set EQUALS the batch
+    * pipeline's stage-1+2 survivors — stage 1 keeps min-id per exact
+    * fingerprint on both sides, stage 2's within-batch tier IS the
+    * batch operator. Across batches the history tier drops on bucket
+    * collision without exact verification (documented asymmetry);
+    * across TTL expiry, stage-1 re-admissions are caught either by
+    * the bucket history (same buckets) or by the batch global pass
+    * over the accumulated manifest. */
+  def runTwoStage(docs: DataFrame, ttl: Duration, keptDir: String,
+                  lshStateDir: String, checkpointPath: String,
+                  shingleN: Int = 3, bands: Int = 4,
+                  rowsPerBand: Int = 3, threshold: Double = 0.5,
+                  trigger: Trigger = Trigger.ProcessingTime(1000L))
+      : StreamingQuery =
+    StreamingDedupTtl.firstSeenDocs(docs, ttl).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = StreamingNearDedup.processBatch(
+          batch, batchId, lshStateDir, shingleN, bands, rowsPerBand,
+          threshold)
+        survivors
+          .join(batch.select(col("doc_id"), col("fp")), Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+        ()
+      }
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()

@@ -89,4 +89,48 @@ object StreamingDedupTtl {
       .transformWithState(new FirstSeenProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  /** First-seen survivor WITH its payload — the stage-chaining form:
+    * a downstream stage (near-dup LSH, quality scoring) needs the
+    * text, which [[Kept]] deliberately drops. The text rides the
+    * emitted ROW only; per-key state is still the one TTL'd boolean —
+    * the store stays payload-free and its size bound is unchanged. */
+  case class KeptDoc(doc_id: Long, fp: String, text: String)
+
+  private[streaming] class FirstSeenDocProcessor(ttl: Duration)
+      extends StatefulProcessor[String, (Long, String, String), KeptDoc] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(fp: String,
+        rows: Iterator[(Long, String, String)],
+        timerValues: TimerValues): Iterator[KeptDoc] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        // smallest in-batch doc_id wins the tie AND contributes the
+        // emitted text (the batch twin keeps min-id's row too)
+        var best: (Long, String, String) = null
+        rows.foreach { r => if (best == null || r._1 < best._1) best = r }
+        Iterator.single(KeptDoc(best._1, fp, best._3))
+      }
+  }
+
+  /** [[firstSeen]] carrying the document text through to the output —
+    * same fingerprint, same TTL contract, same state bound. */
+  def firstSeenDocs(docs: DataFrame, ttl: Duration): Dataset[KeptDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val keptEnc: Encoder[KeptDoc] = Encoders.product[KeptDoc]
+    docs.select(col("doc_id").cast("long"),
+        md5(TextFunctions.normalize(col("text"))).as("fp"),
+        col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .transformWithState(new FirstSeenDocProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

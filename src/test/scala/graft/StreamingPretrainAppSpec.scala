@@ -71,6 +71,91 @@ class StreamingPretrainAppSpec extends SparkSpec {
     }
   }
 
+  // two-stage fixture: 2 is an exact dup of 1 (stage 1 drops it);
+  // 12 is a NEAR dup of 11 that stage 1 cannot see (different
+  // normalized text, high shingle overlap — stage 2's job); 13/5
+  // are unrelated survivors
+  private val nearBase =
+    "the quick brown fox jumps over the lazy dog in the quiet park tonight"
+  private val twoStageRows = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "THE  quick Brown fox"),       // exact dup of 1
+    (11L, nearBase),
+    (12L, nearBase.replace("tonight", "today")), // near dup of 11
+    (13L, "completely unrelated words about database engines here"),
+    (5L, "entirely novel content"))
+
+  private def runTwoStageToParquet(mem: MemoryStream[(Long, String)],
+                                   tmp: String): Unit = {
+    val q = StreamingPretrainApp.runTwoStage(
+      mem.toDF().toDF("doc_id", "text"), Duration.ofHours(1),
+      s"$tmp/kept", s"$tmp/lsh_state", s"$tmp/ck",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("two-stage streaming kept set equals batch stage-1+2 " +
+      "survivors on a one-batch fixture") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_2s").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData(twoStageRows: _*)
+      runTwoStageToParquet(mem, tmp)
+      val streamingKept = spark.read.parquet(s"$tmp/kept")
+      // manifest carries the hybrid-pass columns
+      streamingKept.columns.toSet shouldBe
+        Set("doc_id", "text", "fp", "batch")
+      val keptIds = streamingKept.select(col("doc_id"))
+        .as[Long].collect().toSet
+      val corpus = twoStageRows.toDF("doc_id", "text")
+      val cfg = PretrainDataPipeline.Config()
+      val batchKept = PretrainDataPipeline.afterNearDedup(
+          PretrainDataPipeline.afterExactDedup(corpus, cfg), cfg)
+        .select(col("doc_id")).as[Long].collect().toSet
+      keptIds shouldBe batchKept
+      keptIds shouldBe Set(1L, 11L, 13L, 5L)
+    }
+  }
+
+  test("two-stage: a later batch repeating survivor text is dropped " +
+      "by the LSH bucket history; replay reproduces batches") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_2sh").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData(twoStageRows: _*)
+      runTwoStageToParquet(mem, tmp)
+      // batch 1: 21 repeats doc 11's text -> exact fp is REMEMBERED by
+      // stage-1 TTL state (in-window), never reaches stage 2; 22 is a
+      // fresh NEAR dup of 11 -> passes stage 1, bucket history drops
+      // it; 23 is novel and survives
+      mem.addData(
+        (21L, nearBase),
+        (22L, nearBase.replace("tonight", "at dawn")),
+        (23L, "a second standalone document with its own vocabulary"))
+      runTwoStageToParquet(mem, tmp)
+      def batchIds(b: Long): Set[Long] =
+        spark.read.parquet(s"$tmp/kept")
+          .filter(col("batch") === b)
+          .select(col("doc_id")).as[Long].collect().toSet
+      batchIds(0L) shouldBe Set(1L, 11L, 13L, 5L)
+      batchIds(1L) shouldBe Set(23L)
+      // replay from a fresh checkpoint: per-batch overwrite converges
+      // on byte-identical survivor sets
+      val mem2 = MemoryStream[(Long, String)](spark)
+      mem2.addData(twoStageRows: _*)
+      val tmp2 = java.nio.file.Files
+        .createTempDirectory("spa_2sr").toString
+      val q2 = StreamingPretrainApp.runTwoStage(
+        mem2.toDF().toDF("doc_id", "text"), Duration.ofHours(1),
+        s"$tmp/kept", s"$tmp/lsh_state", s"$tmp2/ck",
+        trigger = Trigger.AvailableNow())
+      q2.awaitTermination()
+      batchIds(0L) shouldBe Set(1L, 11L, 13L, 5L)
+    }
+  }
+
   test("TTL re-admissions are collapsed by the batch global pass " +
       "over the accumulated manifest (the hybrid contract)") {
     withRocksDb {
