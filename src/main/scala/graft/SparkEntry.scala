@@ -4518,6 +4518,32 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- LOSSY codec through the decoder seam: from-spec G.711
+    //      µ-law WAV decode (hand-parsed RIFF, closed-form integer
+    //      expansion — no javax.sound anywhere on this path); the
+    //      synthetic byte stream is a pure formula, so the oracle
+    //      regenerates it and expands each byte with the same
+    //      integer expression. decoded=true proves the native codec
+    //      ran on every row.
+    "q_multimodal_ulaw" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) => multimodal.Ulaw.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 150).as("asset_id")).distinct()
+        .withColumn("kind", lit("audio"))
+        .withColumn("payload", mkPayload(col("asset_id")))
+      multimodal.Ulaw.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"), col("decoded"),
+          element_at(col("features"), 1).cast("long").as("n"),
+          element_at(col("features"), 2).cast("long").as("sr"),
+          element_at(col("features"), 3).cast("long").as("sum_abs"),
+          element_at(col("features"), 4).cast("long").as("sum_s"),
+          element_at(col("features"), 5).cast("long").as("max_s"),
+          element_at(col("features"), 6).cast("long").as("min_s"),
+          element_at(col("features"), 7).cast("double").as("mean_abs"),
+          element_at(col("features"), 8).cast("double").as("peak_frac"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- SGNS node-embedding training (DeepWalk end-to-end): the
     //      deterministic walk corpus → skip-gram pairs → 3 rounds of
     //      full-batch quantized-gradient SGNS with hash-picked
@@ -10823,6 +10849,41 @@ object SparkEntry {
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
     "q_ann_sgns" -> sgnsAnnSql,
+
+    // regenerates the synthetic µ-law byte stream (pure formula) and
+    // expands each byte with the closed-form G.711 integer map —
+    // v = ~b&255, t = ((v%16)*8+132) << ((v//16)%8), ±(t-132) by the
+    // sign bit; the Spark side must parse the RIFF container and
+    // decode the actual bytes to match
+    "q_multimodal_ulaw" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 150 AS id
+        |  FROM lineitem),
+        |par AS (SELECT id, 200 + (id % 5) * 40 AS n FROM ids),
+        |smp AS (
+        |  SELECT p.id, p.n,
+        |    255 - CAST((i.i*7 + p.id*13) % 256 AS BIGINT) AS v
+        |  FROM par p, range(0, 360) i(i) WHERE i.i < p.n),
+        |dec AS (
+        |  SELECT id, n,
+        |    CASE WHEN v >= 128
+        |      THEN 132 - (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)))
+        |      ELSE (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))) - 132
+        |    END AS s
+        |  FROM smp),
+        |ag AS (
+        |  SELECT id, n, CAST(sum(abs(s)) AS BIGINT) AS sa,
+        |    CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(max(s) AS BIGINT) AS mx,
+        |    CAST(min(s) AS BIGINT) AS mn
+        |  FROM dec GROUP BY 1, 2)
+        |SELECT CAST(id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(n AS BIGINT) AS n, CAST(8000 AS BIGINT) AS sr,
+        |  sa AS sum_abs, ss AS sum_s, mx AS max_s, mn AS min_s,
+        |  CAST(CAST(CAST(sa AS DOUBLE) / n / 32768.0 AS FLOAT)
+        |    AS DOUBLE) AS mean_abs,
+        |  CAST(CAST(CAST(greatest(abs(mx), abs(mn)) AS DOUBLE)
+        |    / 32768.0 AS FLOAT) AS DOUBLE) AS peak_frac
+        |FROM ag ORDER BY asset_id""".stripMargin,
 
     // regenerates the synthetic QOI pixels (pure integer formula)
     // and mirrors Qoi.features' fixed division chains; the Spark

@@ -1,0 +1,163 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** From-spec G.711 µ-law WAV decoding — the LOSSY codec proven
+  * through the multimodal decoder seam (the lossless counterpart is
+  * [[Qoi]]). Nothing here touches `javax.sound`: the RIFF/WAVE
+  * container walk and the µ-law expansion are both implemented from
+  * their public specifications (RIFF chunk grammar; CCITT G.711
+  * µ-law segment/mantissa expansion), so this is the engine's own
+  * codec, not a JRE delegation — [[Multimodal.decodeAudio]] keeps
+  * the JRE path for PCM16 and acts as the independent reference
+  * implementation the spec cross-checks sample-for-sample.
+  *
+  * µ-law expansion is STATELESS per byte (closed-form integer map),
+  * which is exactly what makes the decode oracle-mirrorable in SQL —
+  * the q_multimodal_ulaw oracle regenerates the synthetic byte
+  * stream by formula and expands each byte with the same integer
+  * expression, no sequential state (cf. IMA-ADPCM, whose per-sample
+  * predictor recursion is not SQL-expressible).
+  *
+  * Reference provenance: the reference repo has no audio path at
+  * all; this family exists for the training-data-pipeline surface
+  * (multimodal corpora) the build brief adds beyond the reference.
+  */
+object Ulaw {
+
+  /** CCITT G.711 µ-law byte → linear PCM16 sample (closed form):
+    * complement the byte, split sign(1)/segment(3)/mantissa(4),
+    * expand t = ((mantissa·8 + 132) << segment) and re-bias.
+    * Range ±32124 — the standard µ-law ceiling. */
+  def decodeSample(b: Byte): Int = {
+    val v = (~b) & 0xFF
+    val t = (((v & 0x0F) << 3) + 0x84) << ((v & 0x70) >> 4)
+    if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  private def u16(a: Array[Byte], i: Int): Int =
+    (a(i) & 0xFF) | ((a(i + 1) & 0xFF) << 8)
+  private def u32(a: Array[Byte], i: Int): Long =
+    (a(i) & 0xFFL) | ((a(i + 1) & 0xFFL) << 8) |
+      ((a(i + 2) & 0xFFL) << 16) | ((a(i + 3) & 0xFFL) << 24)
+  private def fourcc(a: Array[Byte], i: Int): String =
+    new String(a, i, 4, "US-ASCII")
+
+  /** RIFF/WAVE walk for a µ-law payload: returns (sampleRate,
+    * channels, µ-law bytes) when the container is well-formed AND
+    * carries format tag 7 (µ-law) at 8 bits/sample; None on a
+    * truncated header, wrong magic, missing fmt/data chunk, or any
+    * other format tag (a PCM WAV is VALID but not ours — the seam
+    * falls through to the JRE decoder for it). Unknown chunks
+    * ("fact" is mandatory for non-PCM WAV per the spec) are skipped
+    * with word alignment. */
+  def parseWavUlaw(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+      fourcc(payload, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (tag, channels, rate)
+    var data: Option[Array[Byte]] = None
+    while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = fourcc(payload, pos)
+      val size = u32(payload, pos + 4)
+      val body = pos + 8
+      if (size < 0 || body + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((u16(payload, body), u16(payload, body + 2),
+            u32(payload, body + 4).toInt))
+        case "data" =>
+          data = Some(java.util.Arrays.copyOfRange(
+            payload, body, (body + size).toInt))
+        case _ => () // skip (fact, LIST, ...)
+      }
+      pos = body + size.toInt + (size.toInt & 1) // word alignment
+    }
+    for {
+      (tag, ch, rate) <- fmt
+      d <- data
+      if tag == 7 && ch >= 1 && rate > 0
+    } yield (rate, ch, d)
+  }
+
+  /** Full decode: µ-law WAV payload → linear PCM16 samples, or None
+    * when [[parseWavUlaw]] rejects the container. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parseWavUlaw(payload).map { case (rate, ch, d) =>
+      val out = new Array[Int](d.length)
+      var i = 0
+      while (i < d.length) { out(i) = decodeSample(d(i)); i += 1 }
+      (rate, ch, out)
+    }
+
+  /** Integer-exact audio features over decoded PCM16 samples, the
+    * oracle-mirrorable 8-float contract: [n, sampleRate, sumAbs,
+    * sumS, maxS, minS, meanAbs, peakFrac]. The integer sums ride as
+    * floats, which is exact only below 2^24 — [[synthAsset]] keeps
+    * n·32124 under that bound by construction, and the scaladoc'd
+    * precondition is n ≤ 520. The two float releases are fixed
+    * double-division chains (mirrorable). */
+  def features(sampleRate: Int, samples: Array[Int]): Array[Float] = {
+    var sa = 0L; var ss = 0L
+    var mx = Int.MinValue; var mn = Int.MaxValue
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      sa += math.abs(s); ss += s
+      if (s > mx) mx = s
+      if (s < mn) mn = s
+      i += 1
+    }
+    val n = math.max(1, samples.length).toDouble
+    val peak = math.max(math.abs(mx.toLong), math.abs(mn.toLong))
+    Array(samples.length.toFloat, sampleRate.toFloat,
+      sa.toFloat, ss.toFloat, mx.toFloat, mn.toFloat,
+      (sa.toDouble / n / 32768.0).toFloat,
+      (peak.toDouble / 32768.0).toFloat)
+  }
+
+  /** The seam plug: µ-law WAVs decode natively; everything else
+    * (PCM WAV, G.711 A-law, images) falls through to
+    * [[Multimodal.jreDecoder]]. */
+  val ulawFirstDecoder: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "audio" && parseWavUlaw(payload).isDefined)
+      decode(payload).map { case (rate, _, samples) =>
+        features(rate, samples)
+      }
+    else Multimodal.jreDecoder(kind, payload)
+
+  /** Deterministic synthetic µ-law WAV for fixtures and the oracle:
+    * mono, 8 kHz, n = 200 + (id%5)·40 frames, byte(i) =
+    * (i·7 + id·13) mod 256 — covers every segment/sign/mantissa
+    * combination across the corpus. The container is written from
+    * the RIFF spec with an 18-byte fmt (cbSize 0) and the mandatory
+    * non-PCM "fact" chunk, so the parser's chunk-skip and
+    * extension-size paths are exercised by the fixture itself. */
+  def synthAsset(id: Long): Array[Byte] = {
+    val n = 200 + (id % 5).toInt * 40
+    val sr = 8000
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val dataSize = n
+    val riffSize = 4 + (8 + 18) + (8 + 4) + (8 + dataSize)
+    tag("RIFF"); w32(riffSize); tag("WAVE")
+    tag("fmt "); w32(18)
+    w16(7); w16(1); w32(sr); w32(sr); w16(1); w16(8); w16(0)
+    tag("fact"); w32(4); w32(n)
+    tag("data"); w32(dataSize)
+    var i = 0
+    while (i < n) { out.write(((i * 7 + id * 13) % 256).toInt); i += 1 }
+    out.toByteArray
+  }
+
+  /** [[Qoi.extractFeaturesBatched]] over the µ-law-first decoder —
+    * the shared per-batch-init seam, re-exported for call-site
+    * symmetry. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int)
+      : DataFrame =
+    Qoi.extractFeaturesBatched(assets, batchSize, () => ulawFirstDecoder)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Multimodal, Ulaw}
+
+/** From-spec µ-law WAV codec: known CCITT table values, sample-exact
+  * agreement with the JRE's independent G.711 converter, container
+  * parsing, malformed-input rejection, and the decoder-seam contract. */
+class UlawSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeSample reproduces the CCITT G.711 table landmarks") {
+    Ulaw.decodeSample(0x00.toByte) shouldBe -32124
+    Ulaw.decodeSample(0x01.toByte) shouldBe -31100
+    Ulaw.decodeSample(0x80.toByte) shouldBe 32124
+    Ulaw.decodeSample(0x81.toByte) shouldBe 31100
+    Ulaw.decodeSample(0xFF.toByte) shouldBe 0
+    Ulaw.decodeSample(0x7F.toByte) shouldBe 0
+    // full range stays inside PCM16 and is odd-symmetric: the byte
+    // with the flipped sign bit decodes to the exact negation
+    (0 to 127).foreach { b =>
+      val neg = Ulaw.decodeSample(b.toByte)
+      val pos = Ulaw.decodeSample((b | 0x80).toByte)
+      pos shouldBe -neg
+      math.abs(neg) should be <= 32124
+    }
+  }
+
+  test("sample-exact agreement with the JRE's independent µ-law " +
+      "converter on a JRE-encoded WAV") {
+    val payload = Multimodal.renderG711Wav(seed = 3L)
+    val (rate, ch, ours) = Ulaw.decode(payload).get
+    rate shouldBe 8000
+    ch shouldBe 1
+    // reference: javax.sound transcode of the same container
+    val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = src.getFormat
+    val target = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+      f.getSampleRate, false)
+    val pcm = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(target, src).readAllBytes()
+    val ref = Array.tabulate(pcm.length / 2)(i =>
+      (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort).toInt)
+    ours.length shouldBe ref.length
+    ours.toSeq shouldBe ref.toSeq
+  }
+
+  test("synthAsset parses back: fact chunk skipped, 18-byte fmt " +
+      "accepted, formula byte count") {
+    val (rate, ch, samples) = Ulaw.decode(Ulaw.synthAsset(7L)).get
+    rate shouldBe 8000
+    ch shouldBe 1
+    samples.length shouldBe 200 + (7 % 5) * 40
+  }
+
+  test("malformed containers are rejected, not misread") {
+    Ulaw.parseWavUlaw(Array.emptyByteArray) shouldBe None
+    Ulaw.parseWavUlaw("RIFFxxxxJUNK".getBytes) shouldBe None
+    // truncated: data chunk claims more bytes than the payload has
+    val good = Ulaw.synthAsset(1L)
+    Ulaw.parseWavUlaw(good.take(good.length - 10)) shouldBe None
+    // a VALID PCM WAV is not ours (format tag 1): parser rejects...
+    val pcmWav = Multimodal.renderWav(seed = 1L)
+    Ulaw.parseWavUlaw(pcmWav) shouldBe None
+    // ...and the seam falls through to the JRE decoder for it
+    Ulaw.ulawFirstDecoder("audio", pcmWav).isDefined shouldBe true
+    // garbage is None end to end
+    Ulaw.ulawFirstDecoder("audio",
+      Array.fill[Byte](64)(0x55)) shouldBe None
+  }
+
+  test("extractFeaturesBatched decodes natively with decoded=true " +
+      "and integer-exact features") {
+    val assets = Seq(0L, 3L, 9L).toDF("asset_id")
+      .withColumn("kind", lit("audio"))
+      .withColumn("payload",
+        udf((id: Long) => Ulaw.synthAsset(id)).apply(col("asset_id")))
+    val out = Ulaw.extractFeaturesBatched(assets, 2)
+      .orderBy(col("asset_id")).collect()
+    out.foreach(_.getBoolean(3) shouldBe true)
+    // spot-check one row against a direct decode
+    val (rate, _, samples) = Ulaw.decode(Ulaw.synthAsset(3L)).get
+    val want = Ulaw.features(rate, samples)
+    out(1).getSeq[Float](2).toArray shouldBe want
+  }
+}
