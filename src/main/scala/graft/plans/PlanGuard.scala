@@ -68,7 +68,14 @@ object PlanGuard {
         count(p, "Exchange rangepartitioning"),
       broadcasts = count(p, "BroadcastExchange"),
       scans = count(p, "FileScan") + count(p, "BatchScan"),
-      codegenSpans = count(p, "WholeStageCodegen"),
+      // spans print as `*(N) Op` line prefixes in the simple plan
+      // string (the "WholeStageCodegen (N)" node header only appears
+      // in formatted mode); count DISTINCT span ids, and note the
+      // count is 0 on an un-executed AQE plan — AQE only assigns
+      // codegen in the finalized plan, so gate on this counter after
+      // an action, not before
+      codegenSpans = ("\\*\\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size),
       unpartitionedWindows = countUnpartitionedWindows(p))
   }
 
