@@ -4544,6 +4544,39 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- stateful LOSSY codec, oracle-gated at the block layer:
+    //      from-spec IMA-ADPCM decode (4-bit nibble recursion over
+    //      the 89-entry step table). The per-sample recursion is not
+    //      SQL-expressible, so the ORACLE checks what IS exact and
+    //      formula-predictable: the verbatim block-header samples
+    //      (sample 0 of every 64-byte block = the source sample that
+    //      seeded it) and the total decoded sample count (proves the
+    //      nibble walk visited every byte of every block); the
+    //      recursion itself is spec-gated (ImaAdpcmSpec hand-computed
+    //      landmarks + error bounds)
+    "q_multimodal_adpcm" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) =>
+        multimodal.ImaAdpcm.synthAsset(id))
+      val spb = (64 - 4) * 2 + 1 // samples per 64-byte block
+      val decodeHdrs = udf((payload: Array[Byte]) =>
+        multimodal.ImaAdpcm.decode(payload) match {
+          case Some((_, samples)) =>
+            val hdrs = samples.indices
+              .collect { case k if k % spb == 0 => samples(k).toLong }
+            (true, samples.length.toLong, hdrs.map(math.abs).sum,
+              hdrs.sum, hdrs.max, hdrs.min)
+          case None => (false, 0L, 0L, 0L, 0L, 0L)
+        })
+      Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 150).as("asset_id")).distinct()
+        .withColumn("d", decodeHdrs(mkPayload(col("asset_id"))))
+        .select(col("asset_id"), col("d._1").as("decoded"),
+          col("d._2").as("n_total"), col("d._3").as("hdr_abs"),
+          col("d._4").as("hdr_sum"), col("d._5").as("hdr_max"),
+          col("d._6").as("hdr_min"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- SGNS node-embedding training (DeepWalk end-to-end): the
     //      deterministic walk corpus → skip-gram pairs → 3 rounds of
     //      full-batch quantized-gradient SGNS with hash-picked
@@ -10849,6 +10882,34 @@ object SparkEntry {
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
     "q_ann_sgns" -> sgnsAnnSql,
+
+    // regenerates the verbatim block-header samples from the source
+    // triangle formula (headers sit at source positions k*121 < 400;
+    // both sides TRUNCATE the division — DuckDB's // is C-style, as
+    // is Scala's /) and pins the decoded count at
+    // blocks*samplesPerBlock = 4*121
+    "q_multimodal_adpcm" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 150 AS id
+        |  FROM lineitem),
+        |par AS (SELECT id, 16 + (id % 7) * 4 AS p,
+        |  2000 + (id % 5) * 1500 AS a FROM ids),
+        |hdr AS (
+        |  SELECT r.id,
+        |    ((CASE WHEN (k.k * 121) % r.p < r.p // 2
+        |        THEN ((k.k * 121) % r.p) * 4 - r.p
+        |        ELSE 3 * r.p - 4 * ((k.k * 121) % r.p) END)
+        |      * r.a) // r.p AS s
+        |  FROM par r, range(0, 4) k(k)),
+        |ag AS (
+        |  SELECT id, CAST(sum(abs(s)) AS BIGINT) AS sa,
+        |    CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(max(s) AS BIGINT) AS mx,
+        |    CAST(min(s) AS BIGINT) AS mn
+        |  FROM hdr GROUP BY 1)
+        |SELECT CAST(id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(484 AS BIGINT) AS n_total, sa AS hdr_abs,
+        |  ss AS hdr_sum, mx AS hdr_max, mn AS hdr_min
+        |FROM ag ORDER BY asset_id""".stripMargin,
 
     // regenerates the synthetic µ-law byte stream (pure formula) and
     // expands each byte with the closed-form G.711 integer map —

@@ -87,16 +87,29 @@ object BpeTrain {
     * (disjoint characters), can only DECREASE counts of skipped old
     * pairs, and every NEW pair it creates (x+merged / merged+y) is
     * bounded by the pre-merge count of a pair sharing one of its
-    * characters — an interacting pair, which by the stop rule ranks
-    * at or below the boundary, so its count is ≤ the boundary count
-    * and strictly below every trimmed-in batch member. Hence at
-    * sequential step j the snapshot's j-th pair still wins
-    * (count DESC, pair ASC), merge for merge. When the trim leaves
-    * nothing (boundary tie), the round falls back to the classic
-    * single top-1 merge, which is trivially exact. Jobs per
-    * training run drop ~batch-size-fold; the learned merge list is
-    * bit-identical, so the unrolled sequential SQL oracle still
-    * hash-gates it. */
+    * characters at the same text position — an interacting pair,
+    * which by the stop rule ranks at or below the boundary, so its
+    * count is ≤ the boundary count and strictly below every
+    * trimmed-in batch member. Hence at sequential step j the
+    * snapshot's j-th pair still wins (count DESC, pair ASC), merge
+    * for merge. When the trim leaves nothing (boundary tie), the
+    * round falls back to the classic single top-1 merge, which is
+    * trivially exact.
+    *
+    * SELF-pairs (left == right, e.g. "aa") need one more rule: they
+    * overlap with THEMSELVES, so the new-pair bound above fails —
+    * merging "aa"→M inside a run "aaa" creates "Ma" whose
+    * occurrences map to the merged pair's own (above-boundary)
+    * occurrences, not to an interacting pair below the boundary; on
+    * run-heavy corpora "Ma" can overtake a later batch member
+    * (found by the ScalaCheck greedy-equality property, round 16).
+    * An accepted self-pair therefore TERMINATES its batch: it may be
+    * the last accepted merge of the round, never followed in-batch —
+    * its new pairs then only influence the next round's fresh count,
+    * which is exact by construction. Jobs per training run still
+    * drop ~batch-size-fold on natural text (self-pairs are rare);
+    * the learned merge list is bit-identical, so the unrolled
+    * sequential SQL oracle still hash-gates it. */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       sampleMaxDocs: Int = 0, batchK: Int = 8): (DataFrame, DataFrame) = {
     require(batchK >= 1, "batchK must be >= 1")
@@ -153,6 +166,18 @@ object BpeTrain {
             used += p.charAt(0)
             used += p.charAt(1)
             i += 1
+            // a self-pair overlaps with itself: its merge creates
+            // pairs bounded only by its OWN count, so nothing may
+            // follow it in this batch (see scaladoc); the boundary
+            // below it follows the same window rules as the
+            // size-capped stop
+            if (p.charAt(0) == p.charAt(1)) {
+              boundary =
+                if (i < top.length) top(i).getLong(1)
+                else if (top.length == window) c // window may truncate
+                else 0L // full pair list scanned: nothing below
+              stopped = true
+            }
           }
         }
         if (!stopped)

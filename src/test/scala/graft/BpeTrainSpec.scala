@@ -135,6 +135,24 @@ class BpeTrainSpec extends SparkSpec {
     mergeList(ties, 6, 2) shouldBe mergeList(ties, 6, 1)
   }
 
+  test("a self-pair terminates its batch: the overlap-created pair " +
+      "may beat the next batch member (round-16 regression)") {
+    // aa = 14 (overlap-counted in runs), ff = 6; merging aa -> M
+    // turns every "aaa" into "Ma", so the NEW pair (aa,a) = 7
+    // outranks ff — a batch [aa, ff] would diverge from sequential
+    // greedy. The ScalaCheck property found this shape on a random
+    // corpus; this pins the minimal deterministic reproduction.
+    val runs = (Seq.fill(7)("aaa") ++ Seq.fill(6)("ffg")).mkString(" ")
+    val d = Seq((0L, runs)).toDF("doc_id", "text").localCheckpoint(true)
+    val seq1 = mergeList(d, 3, 1)
+    mergeList(d, 3, 8) shouldBe seq1
+    // sequential order: aa first, then the overlap-created (aa, a)
+    // at count 7 ahead of ff at 6
+    seq1(0)._2 shouldBe "a"
+    seq1(0)._3 shouldBe "a"
+    (seq1(1)._2, seq1(1)._3, seq1(1)._4) shouldBe (("aa", "a", 7L))
+  }
+
   test("batching cuts jobs per training run") {
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{ImaAdpcm, Multimodal, Ulaw}
+
+/** From-spec IMA-ADPCM codec: hand-computed recursion landmarks,
+  * encode→decode error bounds on the lossy path, determinism,
+  * container/malformed handling, and the stacked decoder seam. */
+class ImaAdpcmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("step reproduces the IMA recursion by hand") {
+    // pred=0, index=0 (step=7): nibble 4 adds the full step -> 7,
+    // index += indexTable(4)=2
+    ImaAdpcm.step(0, 0, 4) shouldBe ((7, 2))
+    // then nibble 8 at index 2 (step=9): diff = 9>>3 = 1, sign bit
+    // subtracts -> 6; index += indexTable(0) = -1 -> 1
+    ImaAdpcm.step(7, 2, 8) shouldBe ((6, 1))
+    // clamping: max nibble at max index cannot escape PCM16
+    val (p, i) = ImaAdpcm.step(32767, 88, 7)
+    p shouldBe 32767
+    i shouldBe 88
+    // negative clamp
+    ImaAdpcm.step(-32768, 88, 15)._1 shouldBe -32768
+  }
+
+  test("encode -> decode tracks the source within the quantizer's " +
+      "step bound (lossy, not lost)") {
+    val src = ImaAdpcm.synthSamples(3L, n = 800)
+    val (rate, dec) = ImaAdpcm.decode(ImaAdpcm.encode(src)).get
+    rate shouldBe 8000
+    // decoder emits the header predictor as sample 0 of each block
+    // plus trailing pad nibbles in the final block: at blockAlign
+    // 256 that is 505 samples/block; >= src length always
+    dec.length should be >= src.length
+    val errs = src.indices.map(k => math.abs(dec(k) - src(k)))
+    // triangle slope = 4*amp/period <= ~1400/sample: the adaptive
+    // step tracks the ramps closely (mean error well under 3% of the
+    // ~6500 amplitude); the MAX error spikes transiently at slope
+    // reversals where the grown step overshoots the peak — the
+    // documented IMA behavior, bounded by the step the ramp needed
+    (errs.sum.toDouble / errs.size) should be < 200.0
+    errs.max should be < 6000
+  }
+
+  test("decode is bit-deterministic and block headers reseed state") {
+    val src = ImaAdpcm.synthSamples(9L, n = 600)
+    val payload = ImaAdpcm.encode(src, blockAlign = 64)
+    val a = ImaAdpcm.decode(payload).get._2
+    val b = ImaAdpcm.decode(payload).get._2
+    a.toSeq shouldBe b.toSeq
+    // block boundaries: every 121st sample ((64-4)*2+1) is a verbatim
+    // header predictor == the clamped source sample that seeded it
+    val spb = (64 - 4) * 2 + 1
+    a(0) shouldBe src(0)
+    a(spb) shouldBe src(spb)
+  }
+
+  test("malformed containers are rejected; seam stacks adpcm -> " +
+      "ulaw -> jre") {
+    ImaAdpcm.parseWavAdpcm(Array.emptyByteArray) shouldBe None
+    val good = ImaAdpcm.synthAsset(1L)
+    // truncated data: a torn block header rejects the payload
+    ImaAdpcm.decode(good.take(good.length - 61)) shouldBe None
+    // a mu-law WAV is not ours (tag 7), but the stacked seam decodes
+    // it through the native Ulaw tier...
+    val ulawWav = Ulaw.synthAsset(2L)
+    ImaAdpcm.parseWavAdpcm(ulawWav) shouldBe None
+    ImaAdpcm.adpcmFirstDecoder("audio", ulawWav).isDefined shouldBe true
+    // ...a PCM WAV through the JRE tier...
+    ImaAdpcm.adpcmFirstDecoder("audio",
+      Multimodal.renderWav(seed = 1L)).isDefined shouldBe true
+    // ...and garbage through none
+    ImaAdpcm.adpcmFirstDecoder("audio",
+      Array.fill[Byte](64)(0x2A)) shouldBe None
+  }
+
+  test("extractFeaturesBatched decodes natively with decoded=true") {
+    val assets = Seq(1L, 4L).toDF("asset_id")
+      .withColumn("kind", lit("audio"))
+      .withColumn("payload",
+        udf((id: Long) => ImaAdpcm.synthAsset(id)).apply(col("asset_id")))
+    val out = ImaAdpcm.extractFeaturesBatched(assets, 8)
+      .orderBy(col("asset_id")).collect()
+    out.length shouldBe 2
+    out.foreach(_.getBoolean(3) shouldBe true)
+    val (rate, samples) = ImaAdpcm.decode(ImaAdpcm.synthAsset(1L)).get
+    out(0).getSeq[Float](2).toArray shouldBe Ulaw.features(rate, samples)
+  }
+}
