@@ -9,7 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver records only the LAST 2000 chars of
+    // this process's combined output, and WindowExec/streaming WARNs
+    // printed during the sweep drowned the round-15 JSON line out of
+    // that tail (BENCH_r15.json parsed:null). The JSON line is also
+    // printed AFTER spark.stop() so no executor log can interleave
+    // behind it.
+    spark.sparkContext.setLogLevel("ERROR")
     // materialize shared graph preprocessing once per run (the
     // 100-TB operating mode: symmetrize the graph once, run the
     // family against the registered artifact)
@@ -83,7 +89,7 @@ object Bench {
     val headline = results.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
   }
 }

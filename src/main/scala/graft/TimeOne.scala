@@ -3,6 +3,16 @@ import org.apache.spark.sql.SparkSession
 /** Micro-bench for iterating on ONE query's shape without a full Bench
   * sweep: warm session, 3 timed runs per named query at sf0.1, prints
   * the min (the reproducible operator cost under transient contention).
+  *
+  * SCOPE — relative comparisons within one session only. TimeOne
+  * numbers are NOT comparable to BENCH_FLOOR.json: floors come from
+  * full Bench sweeps whose 300+ preceding queries deep-JIT the
+  * planner/codegen paths, which makes sub-300ms queries ~100-150 ms
+  * faster there than any short session can reproduce (measured round
+  * 16: q_text_stats 0.09 s in-bench vs 0.24 s here, SAME code —
+  * worktree A/B proved zero code delta). Adjudicate floor breaches
+  * bench-vs-bench; use TimeOne to compare candidate A vs candidate B
+  * in the same session.
   * Usage: runMain graft.TimeOne q_name [q_name2 ...] */
 object TimeOne {
   def main(args: Array[String]): Unit = {
