@@ -104,4 +104,51 @@ object StreamingPretrainApp {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** The FULL pretrain pipeline as one checkpointed streaming query —
+    * every stage of the batch `kept()` composition running at ingest:
+    *
+    *   stage 1  TTL exact dedup      (stateful, RocksDB, bounded)
+    *   stage 2  near-dup LSH filter  (in-batch exact collapse +
+    *                                  bucket history)
+    *   stage 3  contamination filter (stateless per batch — the
+    *                                  benchmark side broadcasts, so
+    *                                  the SAME batch operator runs
+    *                                  verbatim)
+    *   stage 4  stratified sampling  (a row-local pure predicate —
+    *                                  streamable by construction)
+    *
+    * Equivalence contract (spec'd): stages 3 and 4 are pure
+    * per-batch functions called on the batch operators themselves,
+    * so when the corpus arrives in one micro-batch inside one TTL
+    * window the kept set EQUALS `PretrainDataPipeline.kept(corpus,
+    * bench, cfg)` — the entire batch flagship, reproduced by the
+    * running stream. Across batches the stage-2 history asymmetry
+    * applies (see [[runTwoStage]]); stages 3/4 are batch-local and
+    * replay-stable, so per-batch overwrite keeps the exactly-once
+    * story. */
+  def runFull(docs: DataFrame, bench: DataFrame, ttl: Duration,
+              keptDir: String, lshStateDir: String,
+              checkpointPath: String,
+              cfg: PretrainDataPipeline.Config =
+                PretrainDataPipeline.Config(),
+              trigger: Trigger = Trigger.ProcessingTime(1000L))
+      : StreamingQuery =
+    StreamingDedupTtl.firstSeenDocs(docs, ttl).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = StreamingNearDedup.processBatch(
+          batch, batchId, lshStateDir, cfg.shingleN, cfg.bands,
+          cfg.rowsPerBand, cfg.nearDupThreshold)
+          .join(batch.select(col("doc_id"), col("fp"), col("lang")),
+            Seq("doc_id"))
+        val s3 = PretrainDataPipeline.afterDecontamination(
+          s2, bench, cfg)
+        val s4 = PretrainDataPipeline.afterSampling(s3, cfg)
+        s4.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .start()
 }

@@ -91,14 +91,17 @@ object StreamingDedupTtl {
   }
 
   /** First-seen survivor WITH its payload — the stage-chaining form:
-    * a downstream stage (near-dup LSH, quality scoring) needs the
-    * text, which [[Kept]] deliberately drops. The text rides the
-    * emitted ROW only; per-key state is still the one TTL'd boolean —
-    * the store stays payload-free and its size bound is unchanged. */
-  case class KeptDoc(doc_id: Long, fp: String, text: String)
+    * a downstream stage (near-dup LSH, contamination, sampling)
+    * needs the text and language, which [[Kept]] deliberately drops.
+    * The payload rides the emitted ROW only; per-key state is still
+    * the one TTL'd boolean — the store stays payload-free and its
+    * size bound is unchanged. */
+  case class KeptDoc(doc_id: Long, fp: String, text: String,
+                     lang: String)
 
   private[streaming] class FirstSeenDocProcessor(ttl: Duration)
-      extends StatefulProcessor[String, (Long, String, String), KeptDoc] {
+      extends StatefulProcessor[String, (Long, String, String, String),
+        KeptDoc] {
     @transient private var seen: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -106,29 +109,32 @@ object StreamingDedupTtl {
         Encoders.scalaBoolean, TTLConfig(ttl))
 
     override def handleInputRows(fp: String,
-        rows: Iterator[(Long, String, String)],
+        rows: Iterator[(Long, String, String, String)],
         timerValues: TimerValues): Iterator[KeptDoc] =
       if (seen.exists()) Iterator.empty
       else {
         seen.update(true)
         // smallest in-batch doc_id wins the tie AND contributes the
-        // emitted text (the batch twin keeps min-id's row too)
-        var best: (Long, String, String) = null
+        // emitted payload (the batch twin keeps min-id's row too)
+        var best: (Long, String, String, String) = null
         rows.foreach { r => if (best == null || r._1 < best._1) best = r }
-        Iterator.single(KeptDoc(best._1, fp, best._3))
+        Iterator.single(KeptDoc(best._1, fp, best._3, best._4))
       }
   }
 
-  /** [[firstSeen]] carrying the document text through to the output —
-    * same fingerprint, same TTL contract, same state bound. */
+  /** [[firstSeen]] carrying the document payload through to the
+    * output — same fingerprint, same TTL contract, same state bound.
+    * `lang` is optional in the input (empty string when absent). */
   def firstSeenDocs(docs: DataFrame, ttl: Duration): Dataset[KeptDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val keptEnc: Encoder[KeptDoc] = Encoders.product[KeptDoc]
+    val langCol =
+      if (docs.columns.contains("lang")) col("lang") else lit("")
     docs.select(col("doc_id").cast("long"),
         md5(TextFunctions.normalize(col("text"))).as("fp"),
-        col("text"))
-      .as[(Long, String, String)]
+        col("text"), langCol.cast("string").as("lang"))
+      .as[(Long, String, String, String)]
       .groupByKey(_._2)
       .transformWithState(new FirstSeenDocProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())

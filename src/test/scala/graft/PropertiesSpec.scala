@@ -376,6 +376,48 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("audio container parsers never throw: pure fuzz and " +
+      "single-byte corruption of valid assets") {
+    import graft.multimodal.{ImaAdpcm, Ulaw}
+    // tier 1: arbitrary byte soup — every outcome must be a clean
+    // Option, never an exception (the malformed-input contract)
+    val genBytes: Gen[Array[Byte]] = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)
+        .map(_.toByte)))
+      .map(_.toArray)
+    check(Prop.forAll(genBytes) { bs =>
+      Ulaw.decode(bs)
+      ImaAdpcm.decode(bs)
+      true
+    })
+    // tier 2: one flipped byte anywhere in a VALID container — the
+    // parser may reject (None) or still parse (a flipped data byte
+    // is a legal different asset), but must never throw or misread
+    // beyond the payload
+    val genCorrupt: Gen[Array[Byte]] = for {
+      id <- Gen.chooseNum(0L, 500L)
+      adpcm <- Gen.oneOf(true, false)
+      payload = if (adpcm) ImaAdpcm.synthAsset(id)
+                else Ulaw.synthAsset(id)
+      pos <- Gen.chooseNum(0, payload.length - 1)
+      b <- Gen.chooseNum(-128, 127)
+    } yield {
+      val c = payload.clone(); c(pos) = b.toByte; c
+    }
+    check(Prop.forAll(genCorrupt) { bs =>
+      Ulaw.decode(bs)
+      ImaAdpcm.decode(bs)
+      true
+    })
+    // µ-law expansion is a total function over all 256 bytes with
+    // the G.711 range bound and odd symmetry
+    check(Prop.forAll(Gen.chooseNum(0, 255)) { b =>
+      val v = Ulaw.decodeSample(b.toByte)
+      math.abs(v) <= 32124 &&
+        Ulaw.decodeSample((b ^ 0x80).toByte) == -v
+    })
+  }
+
   test("batched BPE equals merge-at-a-time greedy on random corpora") {
     import spark.implicits._
     import graft.operators.BpeTrain

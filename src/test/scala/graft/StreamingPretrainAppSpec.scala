@@ -156,6 +156,37 @@ class StreamingPretrainAppSpec extends SparkSpec {
     }
   }
 
+  test("FULL streaming pipeline equals the batch kept() flagship on " +
+      "a one-batch corpus (all four stages)") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_full").toString
+      // the real sf0.001 documents table: near-dups, benchmark
+      // overlaps, and multilingual sampling rates all bite (the
+      // PretrainPipelineSpec fixture argument)
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val (corpus, bench) = PretrainDataPipeline.splitBench(docs)
+      val rows = corpus.as[(Long, String, String)].collect()
+      val mem = MemoryStream[(Long, String, String)](spark)
+      mem.addData(rows.toIndexedSeq: _*)
+      val q = StreamingPretrainApp.runFull(
+        mem.toDF().toDF("doc_id", "text", "lang"), bench,
+        Duration.ofHours(1), s"$tmp/kept", s"$tmp/lsh", s"$tmp/ck",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      val streamingKept = spark.read.parquet(s"$tmp/kept")
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      val batchKept = PretrainDataPipeline.kept(corpus, bench)
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      streamingKept shouldBe batchKept
+      // the fixture exercises every stage: something was dropped
+      // between input and kept, and something survived
+      streamingKept.size should be > 0
+      streamingKept.size should be < rows.length
+    }
+  }
+
   test("TTL re-admissions are collapsed by the batch global pass " +
       "over the accumulated manifest (the hybrid contract)") {
     withRocksDb {
