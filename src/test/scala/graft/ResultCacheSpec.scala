@@ -64,6 +64,45 @@ class ResultCacheSpec extends SparkSpec {
     ResultCache.clear()
   }
 
+  test("concurrent first calls for one key build exactly once; " +
+      "nested keyed builds do not deadlock the map") {
+    import spark.implicits._
+    ResultCache.clear()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build() = {
+      builds.incrementAndGet()
+      Thread.sleep(200) // widen the race window
+      Seq((1L, 1L)).toDF("k", "v")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            ResultCache.withKeyedCache(spark, "rcs:conc:v1", build())
+              .count()
+        }))
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        shouldBe 1L)
+      // one winner wrote the path; the losers blocked and read it
+      builds.get() shouldBe 1
+      ResultCache.misses shouldBe 1L
+      ResultCache.hits shouldBe 3L
+    } finally pool.shutdownNow()
+    // a keyed build that NESTS a plan-keyed cache call (the sgnsModel
+    // shape: artifact build routes through a preMaterializer) must
+    // not re-enter the entries map mid-update — per-key locks, not
+    // computeIfAbsent mapping functions
+    ResultCache.clear()
+    val nested = ResultCache.withKeyedCache(spark, "rcs:outer:v1", {
+      val inner = ResultCache.withCache(spark,
+        Seq((7L, 70L)).toDF("k", "v"))
+      inner.withColumn("v2", col("v") * 2)
+    })
+    nested.count() shouldBe 1L
+    ResultCache.clear()
+  }
+
   test("Graph.preMaterializer routed through the cache: two operators " +
       "on the same fold share one symmetrization, results unchanged") {
     import spark.implicits._
