@@ -4544,6 +4544,39 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- heterogeneous corpus through ONE stacked seam pass: a
+    //      single assets table mixing QOI images, µ-law WAVs, and
+    //      IMA-ADPCM WAVs, decoded by the full native-first codec
+    //      chain in one extractFeaturesBatched call — the real
+    //      multimodal-ingest shape. Per-codec projections keep the
+    //      oracle exact: QOI rows emit (w, mean_r) from the pixel
+    //      formula, µ-law rows (n, sum_abs) from the byte formula,
+    //      ADPCM rows the exact decoded count (the recursion itself
+    //      is spec-gated, see q_multimodal_adpcm)
+    "q_multimodal_mixed" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 3 == 0) multimodal.Qoi.synthAsset(id)
+        else if (id % 3 == 1) multimodal.Ulaw.synthAsset(id)
+        else multimodal.ImaAdpcm.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 180).as("asset_id")).distinct()
+        .withColumn("kind",
+          when(col("asset_id") % 3 === 0, lit("image"))
+            .otherwise(lit("audio")))
+        .withColumn("payload", mk(col("asset_id")))
+      multimodal.Codecs.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"),
+          when(col("asset_id") % 3 === 0, lit("qoi"))
+            .when(col("asset_id") % 3 === 1, lit("ulaw"))
+            .otherwise(lit("adpcm")).as("codec"),
+          col("decoded"),
+          element_at(col("features"), 1).cast("long").as("f1"),
+          when(col("asset_id") % 3 === 2, lit(0.0))
+            .otherwise(element_at(col("features"), 3).cast("double"))
+            .as("f3"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- stateful LOSSY codec, oracle-gated at the block layer:
     //      from-spec IMA-ADPCM decode (4-bit nibble recursion over
     //      the 89-entry step table). The per-sample recursion is not
@@ -10882,6 +10915,54 @@ object SparkEntry {
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
     "q_ann_sgns" -> sgnsAnnSql,
+
+    // three formula branches, one row set: QOI rows from the pixel
+    // formula, µ-law rows from the byte formula through the closed
+    // G.711 map, ADPCM rows pinning the exact decoded count; the
+    // Spark side decodes every payload through ONE stacked seam pass
+    "q_multimodal_mixed" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 180 AS id
+        |  FROM lineitem),
+        |qd AS (SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h
+        |  FROM ids WHERE id % 3 = 0),
+        |qp AS (
+        |  SELECT d.id, d.w,
+        |    CASE WHEN d.id % 7 = 0 THEN d.id % 256
+        |         ELSE (x.x*7 + y.y*11 + d.id*13) % 256 END AS r
+        |  FROM qd d, range(0, 8) x(x), range(0, 7) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |qa AS (SELECT id, w, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(r) AS BIGINT) AS sr
+        |  FROM qp GROUP BY 1, 2),
+        |qrows AS (SELECT CAST(id AS BIGINT) AS asset_id,
+        |    'qoi' AS codec, TRUE AS decoded, CAST(w AS BIGINT) AS f1,
+        |    CAST(CAST(CAST(sr AS DOUBLE) / n / 255.0 AS FLOAT)
+        |      AS DOUBLE) AS f3
+        |  FROM qa),
+        |up AS (SELECT id, 200 + (id % 5) * 40 AS n
+        |  FROM ids WHERE id % 3 = 1),
+        |us AS (SELECT p.id, p.n,
+        |    255 - CAST((i.i*7 + p.id*13) % 256 AS BIGINT) AS v
+        |  FROM up p, range(0, 360) i(i) WHERE i.i < p.n),
+        |ud AS (SELECT id, n,
+        |    CASE WHEN v >= 128
+        |      THEN 132 - (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)))
+        |      ELSE (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))) - 132
+        |    END AS s
+        |  FROM us),
+        |ua AS (SELECT id, n, CAST(sum(abs(s)) AS BIGINT) AS sa
+        |  FROM ud GROUP BY 1, 2),
+        |urows AS (SELECT CAST(id AS BIGINT), 'ulaw', TRUE,
+        |    CAST(n AS BIGINT), CAST(sa AS DOUBLE)
+        |  FROM ua),
+        |arows AS (SELECT CAST(id AS BIGINT), 'adpcm', TRUE,
+        |    CAST(484 AS BIGINT), CAST(0 AS DOUBLE)
+        |  FROM ids WHERE id % 3 = 2)
+        |SELECT asset_id, codec, decoded, f1, f3 FROM (
+        |  SELECT * FROM qrows
+        |  UNION ALL SELECT * FROM urows
+        |  UNION ALL SELECT * FROM arows)
+        |ORDER BY asset_id""".stripMargin,
 
     // regenerates the verbatim block-header samples from the source
     // triangle formula (headers sit at source positions k*121 < 400;

@@ -1,0 +1,28 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** The full native-first codec chain in one decoder: QOI images,
+  * then IMA-ADPCM audio, then µ-law audio, then the JRE fallbacks —
+  * the heterogeneous-corpus configuration a real multimodal ingest
+  * runs, where ONE seam pass decodes whatever each row carries.
+  *
+  * Lives in its own object (not on [[Multimodal]]): the chain
+  * references [[Qoi]]/[[ImaAdpcm]]/[[Ulaw]], each of which
+  * references [[Multimodal.jreDecoder]] — hanging the combined val
+  * off Multimodal would create an object-initialization cycle;
+  * nothing references Codecs back, so this init order is acyclic. */
+object Codecs {
+
+  val nativeFirst: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "image" && payload.length >= 4 &&
+      payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
+      payload(3) == 'f')
+      Qoi.decode(payload).map { case (w, h, px) => Qoi.features(w, h, px) }
+    else ImaAdpcm.adpcmFirstDecoder(kind, payload)
+
+  /** [[Qoi.extractFeaturesBatched]] over the full chain. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int)
+      : DataFrame =
+    Qoi.extractFeaturesBatched(assets, batchSize, () => nativeFirst)
+}
