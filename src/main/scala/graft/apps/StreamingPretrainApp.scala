@@ -6,7 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.streaming.{StreamingDedupTtl, StreamingNearDedup}
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Dedup
+import graft.streaming.{StreamingDedupTtl, StreamingMv, StreamingNearDedup}
 
 /** Stage 1 of [[PretrainDataPipeline]] as a RUNNING streaming app —
   * the wiring the TTL-dedup endurance probe proved but the pipeline
@@ -151,4 +154,41 @@ object StreamingPretrainApp {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .start()
+
+  /** The hybrid GLOBAL pass as an executable, scheduled COMPACTION
+    * stage — what closes the stream-forever story every scaladoc in
+    * this file references: the stream's kept manifest accumulates
+    * `batch=<id>` partitions indefinitely, TTL expiry re-admits
+    * long-silent fingerprints, and this stage periodically collapses
+    * both by running the batch [[graft.operators.Dedup.exactCanonical]]
+    * pass over the MANIFEST (the fingerprint column is the text basis,
+    * so the pass is manifest-sized — the corpus is never re-read) and
+    * committing the result as a versioned snapshot under `compactDir`
+    * with the [[graft.streaming.StreamingMv]] atomic `_CURRENT`
+    * protocol. Downstream consumers read
+    * `StreamingMv.readCurrent(spark, compactDir)` and always see a
+    * whole snapshot; the stream keeps appending concurrently.
+    *
+    * Consistency: the manifest read lists partitions once, so the
+    * snapshot is a consistent compaction of the batches present at
+    * list time — batches landing mid-compaction appear in the NEXT
+    * snapshot (run the compactor on a schedule, e.g. per N batches or
+    * per TTL window). Min doc_id wins across re-admissions, which is
+    * exactly the batch stage-1 answer — the spec pins
+    * `compactKept == batch afterExactDedup` across a forced TTL
+    * expiry. Returns the committed version. */
+  def compactKept(spark: SparkSession, keptDir: String,
+                  compactDir: String): Long = {
+    val manifest = spark.read.parquet(keptDir)
+    val canon = Dedup
+      .exactCanonical(manifest, col("fp"), col("doc_id"))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    val version = StreamingMv.currentVersion(compactDir)
+      .map(_ + 1L).getOrElse(0L)
+    manifest.join(canon, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$compactDir/v=$version")
+    StreamingMv.flipPointer(compactDir, version)
+    version
+  }
 }

@@ -79,15 +79,20 @@ object ImaAdpcm {
   private def fourcc(a: Array[Byte], i: Int): String =
     new String(a, i, 4, "US-ASCII")
 
-  /** RIFF walk for an IMA-ADPCM payload: (sampleRate, blockAlign,
-    * data) when well-formed with fmt tag 0x11, mono, 4 bits/sample;
-    * None otherwise (truncation, wrong magic, other codecs). */
-  def parseWavAdpcm(payload: Array[Byte])
-      : Option[(Int, Int, Array[Byte])] = {
+  /** RIFF walk for an IMA-ADPCM payload, mono OR stereo: (sampleRate,
+    * channels, blockAlign, fact sample-frame count if present, data)
+    * when well-formed with fmt tag 0x11 at 4 bits/sample; None
+    * otherwise (truncation, wrong magic, other codecs, >2 channels).
+    * Stereo blocks interleave per-channel 4-byte nibble words after
+    * the two 4-byte channel headers, so a stereo blockAlign must be a
+    * multiple of 8 and hold at least the headers plus one word pair. */
+  def parseWavAdpcmEx(payload: Array[Byte])
+      : Option[(Int, Int, Int, Option[Long], Array[Byte])] = {
     if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
       fourcc(payload, 8) != "WAVE") return None
     var pos = 12
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var fact: Option[Long] = None
     var data: Option[Array[Byte]] = None
     while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
       val id = fourcc(payload, pos)
@@ -100,6 +105,9 @@ object ImaAdpcm {
           fmt = Some((u16(payload, body), u16(payload, body + 2),
             u32(payload, body + 4).toInt, u16(payload, body + 12),
             u16(payload, body + 14)))
+        case "fact" =>
+          if (size < 4) return None
+          fact = Some(u32(payload, body))
         case "data" =>
           data = Some(java.util.Arrays.copyOfRange(
             payload, body, (body + size).toInt))
@@ -110,10 +118,19 @@ object ImaAdpcm {
     for {
       (tag, ch, rate, blockAlign, bits) <- fmt
       d <- data
-      if tag == 0x11 && ch == 1 && bits == 4 && blockAlign >= 5 &&
-        rate > 0
-    } yield (rate, blockAlign, d)
+      if tag == 0x11 && bits == 4 && rate > 0 &&
+        ((ch == 1 && blockAlign >= 5) ||
+          (ch == 2 && blockAlign >= 16 && blockAlign % 8 == 0))
+    } yield (rate, ch, blockAlign, fact, d)
   }
+
+  /** The original mono-only walk (no fact), kept as the oracle-pinned
+    * surface: (sampleRate, blockAlign, data). */
+  def parseWavAdpcm(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    parseWavAdpcmEx(payload).collect {
+      case (rate, 1, blockAlign, _, d) => (rate, blockAlign, d)
+    }
 
   /** Full decode: IMA-ADPCM WAV → PCM16 samples. Block structure per
     * the spec: header predictor is sample 0, then one sample per
@@ -147,6 +164,144 @@ object ImaAdpcm {
       }
       if (torn) None else Some((rate, out.toArray))
     }
+
+  /** Channel-general decode honoring the `fact` chunk: IMA-ADPCM WAV
+    * (mono or stereo) → (rate, channels, interleaved PCM16 frames).
+    * Stereo blocks carry one 4-byte header per channel, then
+    * alternating per-channel 4-byte nibble words (8 samples each) —
+    * the output interleaves L/R per frame, the layout every PCM
+    * consumer expects. When a `fact` chunk states the true frame
+    * count, the encoder's final-block pad samples are trimmed
+    * (mono [[decode]] deliberately keeps them — its oracle pins that
+    * length). A stereo data region torn mid word-pair rejects the
+    * payload, same discipline as a torn header. */
+  def decodeEx(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parseWavAdpcmEx(payload).flatMap {
+      case (rate, 1, _, fact, _) =>
+        decode(payload).map { case (_, samples) =>
+          val n = fact.map(f => math.min(f, samples.length.toLong).toInt)
+            .getOrElse(samples.length)
+          (rate, 1, samples.take(n))
+        }
+      case (rate, 2, blockAlign, fact, d) =>
+        val out = new scala.collection.mutable.ArrayBuffer[Int]()
+        var bpos = 0
+        var torn = false
+        while (!torn && bpos < d.length) {
+          val blockEnd = math.min(bpos + blockAlign, d.length)
+          if (bpos + 8 > d.length) torn = true // torn header pair
+          else {
+            var predL = s16(d, bpos)
+            var idxL = clampIndex(d(bpos + 2) & 0xFF)
+            var predR = s16(d, bpos + 4)
+            var idxR = clampIndex(d(bpos + 6) & 0xFF)
+            out += predL; out += predR
+            var i = bpos + 8
+            while (!torn && i < blockEnd) {
+              if (i + 8 > blockEnd) torn = true // torn word pair
+              else {
+                val lBuf = new Array[Int](8)
+                val rBuf = new Array[Int](8)
+                var k = 0
+                while (k < 4) {
+                  val bl = d(i + k) & 0xFF
+                  val (pl1, il1) = step(predL, idxL, bl & 0x0F)
+                  predL = pl1; idxL = il1; lBuf(2 * k) = predL
+                  val (pl2, il2) = step(predL, idxL, (bl >> 4) & 0x0F)
+                  predL = pl2; idxL = il2; lBuf(2 * k + 1) = predL
+                  val br = d(i + 4 + k) & 0xFF
+                  val (pr1, ir1) = step(predR, idxR, br & 0x0F)
+                  predR = pr1; idxR = ir1; rBuf(2 * k) = predR
+                  val (pr2, ir2) = step(predR, idxR, (br >> 4) & 0x0F)
+                  predR = pr2; idxR = ir2; rBuf(2 * k + 1) = predR
+                  k += 1
+                }
+                k = 0
+                while (k < 8) { out += lBuf(k); out += rBuf(k); k += 1 }
+                i += 8
+              }
+            }
+            bpos += blockAlign
+          }
+        }
+        if (torn) None
+        else {
+          val frames = out.length / 2
+          val n = fact.map(f => math.min(f, frames.toLong).toInt)
+            .getOrElse(frames)
+          Some((rate, 2, out.take(n * 2).toArray))
+        }
+    }
+
+  /** Encode a stereo pair of PCM16 channels into an IMA-ADPCM WAV:
+    * per-channel headers seed each block, then per-channel 4-byte
+    * nibble words alternate (the layout [[decodeEx]] reads back). The
+    * `fact` chunk records the true frame count so decode trims the
+    * final block's pad frames. */
+  def encodeStereo(left: Array[Int], right: Array[Int],
+                   sampleRate: Int = 8000,
+                   blockAlign: Int = 256): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty,
+      "stereo channels must be equal-length and non-empty")
+    require(blockAlign >= 16 && blockAlign % 8 == 0,
+      "stereo blockAlign must be a multiple of 8, >= 16")
+    val framesPerBlock = (blockAlign - 8) + 1 // (ba-8)/8 words * 8 + 1
+    val data = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var idxL = 0
+    var idxR = 0
+    while (pos < left.length) {
+      val pl0 = clampSample(left(pos))
+      val pr0 = clampSample(right(pos))
+      data.write(pl0 & 0xFF); data.write((pl0 >> 8) & 0xFF)
+      data.write(idxL); data.write(0)
+      data.write(pr0 & 0xFF); data.write((pr0 >> 8) & 0xFF)
+      data.write(idxR); data.write(0)
+      var predL = pl0
+      var predR = pr0
+      var i = 1
+      while (i < framesPerBlock) {
+        def nib(ch: Array[Int], k: Int, pred: Int, idx: Int)
+            : (Int, Int, Int) =
+          if (pos + k < ch.length) encodeStep(pred, idx, ch(pos + k))
+          else encodeStep(pred, idx, pred) // pad: re-encode predictor
+        val lWord = new Array[Int](4)
+        val rWord = new Array[Int](4)
+        var k = 0
+        while (k < 4) {
+          val (nl1, pl1, il1) = nib(left, i + 2 * k, predL, idxL)
+          predL = pl1; idxL = il1
+          val (nl2, pl2, il2) = nib(left, i + 2 * k + 1, predL, idxL)
+          predL = pl2; idxL = il2
+          lWord(k) = nl1 | (nl2 << 4)
+          val (nr1, pr1, ir1) = nib(right, i + 2 * k, predR, idxR)
+          predR = pr1; idxR = ir1
+          val (nr2, pr2, ir2) = nib(right, i + 2 * k + 1, predR, idxR)
+          predR = pr2; idxR = ir2
+          rWord(k) = nr1 | (nr2 << 4)
+          k += 1
+        }
+        lWord.foreach(data.write)
+        rWord.foreach(data.write)
+        i += 8
+      }
+      pos += framesPerBlock
+    }
+    val d = data.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val byteRate = (sampleRate.toLong * blockAlign / framesPerBlock).toInt
+    tag("RIFF"); w32(4 + (8 + 20) + (8 + 4) + (8 + d.length)); tag("WAVE")
+    tag("fmt "); w32(20)
+    w16(0x11); w16(2); w32(sampleRate); w32(byteRate)
+    w16(blockAlign); w16(4); w16(2); w16(framesPerBlock)
+    tag("fact"); w32(4); w32(left.length)
+    tag("data"); w32(d.length)
+    out.write(d)
+    out.toByteArray
+  }
 
   /** Encode PCM16 samples into an IMA-ADPCM WAV (mono). Each block
     * seeds its header with the running (predictor, index) — sample 0
@@ -199,12 +354,19 @@ object ImaAdpcm {
     out.toByteArray
   }
 
-  /** The seam plug, stacked: IMA-ADPCM native, then µ-law native,
-    * then the JRE — a deployment's codec chain in one decoder. */
+  /** The seam plug, stacked: IMA-ADPCM native (mono via [[decode]] —
+    * its pad-inclusive length is oracle-pinned — stereo via
+    * [[decodeEx]] on the interleaved frames), then µ-law native, then
+    * the JRE — a deployment's codec chain in one decoder. */
   val adpcmFirstDecoder: Multimodal.Decoder = (kind, payload) =>
     if (kind == "audio" && parseWavAdpcm(payload).isDefined)
       decode(payload).map { case (rate, samples) =>
         Ulaw.features(rate, samples)
+      }
+    else if (kind == "audio" &&
+        parseWavAdpcmEx(payload).exists(_._2 == 2))
+      decodeEx(payload).map { case (rate, _, frames) =>
+        Ulaw.features(rate, frames)
       }
     else Ulaw.ulawFirstDecoder(kind, payload)
 

@@ -97,7 +97,10 @@ object StreamingMv {
     } finally stream.close()
   }
 
-  private def flipPointer(mvPath: String, v: Long): Unit = {
+  /** Atomic snapshot commit (write-temp + ATOMIC_MOVE of `_CURRENT`) —
+    * shared with every versioned-snapshot layout in the engine (the
+    * pretrain manifest compactor reuses it verbatim). */
+  private[graft] def flipPointer(mvPath: String, v: Long): Unit = {
     val dir = Paths.get(mvPath)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, "._CURRENT", ".tmp")

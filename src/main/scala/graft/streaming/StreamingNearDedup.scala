@@ -120,4 +120,45 @@ object StreamingNearDedup {
     q.awaitTermination(180000)
     ()
   }
+
+  /** Offline bucket-state compaction — the maintenance pass the state
+    * layout's scaladoc defers to ("compact old partitions offline when
+    * the directory count grows"). Merges every `batch=<id>` partition
+    * with id <= `throughBatch` into one distinct-row partition at
+    * `batch=<throughBatch>`.
+    *
+    * Replay-safety precondition (the caller's contract): `throughBatch`
+    * must be a batch the checkpoint has COMMITTED — strictly less than
+    * any batch id that may still replay. Then for every future batch
+    * N > throughBatch, [[readState]]'s `batch < N` filter sees exactly
+    * the same bucket union before and after compaction (the spec pins
+    * identical survivor sets), while the directory count drops to one
+    * per compaction horizon.
+    *
+    * Crash discipline: the distinct union is first written to a hidden
+    * temp dir, the old partitions are then deleted, and the temp dir is
+    * renamed into place LAST — a crash between delete and rename loses
+    * no data (the temp dir holds the full union; move it back and
+    * re-run). A production object-store deployment would wrap this in a
+    * manifest commit; this is the single-writer maintenance-job shape. */
+  def compactState(spark: SparkSession, stateDir: String,
+                   throughBatch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val olds = fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith("batch=") &&
+        n.drop("batch=".length).toLong <= throughBatch
+    }
+    if (olds.isEmpty) return
+    val merged = spark.read.parquet(olds.map(_.getPath.toString): _*)
+      .select(col("band"), col("bucket")).distinct()
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, ".compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    olds.foreach(s => fs.delete(s.getPath, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(stateDir,
+      s"batch=$throughBatch"))
+    ()
+  }
 }

@@ -76,6 +76,112 @@ class ImaAdpcmSpec extends SparkSpec {
       Array.fill[Byte](64)(0x2A)) shouldBe None
   }
 
+  test("stereo encode -> decodeEx round-trips interleaved frames " +
+      "with fact-trimmed length and independent channel state") {
+    val left = ImaAdpcm.synthSamples(3L, n = 700)
+    val right = ImaAdpcm.synthSamples(8L, n = 700).map(-_)
+    val payload = ImaAdpcm.encodeStereo(left, right, blockAlign = 64)
+    val (rate, ch, frames) = ImaAdpcm.decodeEx(payload).get
+    rate shouldBe 8000
+    ch shouldBe 2
+    // the fact chunk trims the final block's pad frames exactly
+    frames.length shouldBe left.length * 2
+    // header frames are verbatim per channel at each block boundary
+    val fpb = 64 - 8 + 1 // frames per 64-byte stereo block
+    frames(0) shouldBe left(0)
+    frames(1) shouldBe right(0)
+    frames(2 * fpb) shouldBe left(fpb)
+    frames(2 * fpb + 1) shouldBe right(fpb)
+    // per-channel tracking error: same quantizer bound as mono —
+    // the channels' states are independent (right is inverted, so
+    // any cross-channel state bleed would blow the bound)
+    val lErr = left.indices.map(k => math.abs(frames(2 * k) - left(k)))
+    val rErr = right.indices.map(k =>
+      math.abs(frames(2 * k + 1) - right(k)))
+    (lErr.sum.toDouble / lErr.size) should be < 200.0
+    (rErr.sum.toDouble / rErr.size) should be < 200.0
+    // max error spikes transiently at slope reversals (documented IMA
+    // overshoot); the id-8 wave's steeper ramp peaks a bit above the
+    // mono fixture's — still ~1 grown step, nowhere near divergence
+    lErr.max should be < 8000
+    rErr.max should be < 8000
+  }
+
+  test("stereo interleave layout: nibble words alternate channels " +
+      "in 4-byte groups") {
+    // one hand-laid stereo block, blockAlign 16: headers
+    // (L pred=100 idx=0, R pred=-50 idx=2) + one word pair
+    val lNibs = Array(4, 8, 1, 2, 3, 5, 6, 7)
+    val rNibs = Array(0, 15, 9, 4, 2, 8, 1, 3)
+    def pack(n: Array[Int]): Array[Byte] = Array.tabulate(4)(k =>
+      (n(2 * k) | (n(2 * k + 1) << 4)).toByte)
+    val data = Array[Byte](100, 0, 0, 0) ++ // L header
+      Array[Byte]((-50 & 0xFF).toByte, (-1).toByte, 2, 0) ++ // R header
+      pack(lNibs) ++ pack(rNibs)
+    def w16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def w32(v: Int) = w16(v & 0xFFFF) ++ w16((v >>> 16) & 0xFFFF)
+    val payload =
+      "RIFF".getBytes("US-ASCII") ++ w32(4 + 28 + 8 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ w32(20) ++
+        w16(0x11) ++ w16(2) ++ w32(8000) ++ w32(8000) ++
+        w16(16) ++ w16(4) ++ w16(2) ++ w16(9) ++
+        "data".getBytes("US-ASCII") ++ w32(data.length) ++ data
+    val (_, ch, frames) = ImaAdpcm.decodeEx(payload).get
+    ch shouldBe 2
+    frames.length shouldBe 18 // header frame + 8 frames
+    // expected: the per-channel step() recursion over each channel's
+    // OWN nibble sequence — pins the word-interleave mapping
+    def walk(pred0: Int, idx0: Int, nibs: Array[Int]): Array[Int] = {
+      var p = pred0; var ix = idx0
+      pred0 +: nibs.map { n =>
+        val (np, ni) = ImaAdpcm.step(p, ix, n); p = np; ix = ni; p
+      }
+    }
+    val expL = walk(100, 0, lNibs)
+    val expR = walk(-50, 2, rNibs)
+    frames.grouped(2).map(_(0)).toArray shouldBe expL
+    frames.grouped(2).map(_(1)).toArray shouldBe expR
+    // torn WORD PAIR: blockAlign 24 but only half a word pair after
+    // the first group — the in-block alignment check rejects
+    val tornData = data ++ pack(lNibs).take(4)
+    val tornPayload =
+      "RIFF".getBytes("US-ASCII") ++ w32(4 + 28 + 8 + tornData.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ w32(20) ++
+        w16(0x11) ++ w16(2) ++ w32(8000) ++ w32(8000) ++
+        w16(24) ++ w16(4) ++ w16(2) ++ w16(17) ++
+        "data".getBytes("US-ASCII") ++ w32(tornData.length) ++ tornData
+    ImaAdpcm.decodeEx(tornPayload) shouldBe None
+  }
+
+  test("stereo malformed variants are rejected; mono decodeEx " +
+      "fact-trims while decode keeps padding") {
+    val left = ImaAdpcm.synthSamples(1L, n = 100)
+    val right = ImaAdpcm.synthSamples(2L, n = 100)
+    val good = ImaAdpcm.encodeStereo(left, right, blockAlign = 64)
+    // truncated data chunk: the RIFF walk rejects
+    ImaAdpcm.decodeEx(good.take(good.length - 3)) shouldBe None
+    // 3 channels: reject (patch the fmt channel count in place)
+    val threeCh = good.clone()
+    threeCh(22) = 3
+    ImaAdpcm.decodeEx(threeCh) shouldBe None
+    // stereo blockAlign not a multiple of 8: reject
+    val badAlign = good.clone()
+    badAlign(32) = 63
+    ImaAdpcm.decodeEx(badAlign) shouldBe None
+    // the stacked seam decodes stereo natively
+    ImaAdpcm.adpcmFirstDecoder("audio", good).isDefined shouldBe true
+    // mono: decodeEx honors fact (exact source length), decode pads
+    val src = ImaAdpcm.synthSamples(5L, n = 300)
+    val mono = ImaAdpcm.encode(src, blockAlign = 64)
+    val (_, mch, mtrim) = ImaAdpcm.decodeEx(mono).get
+    mch shouldBe 1
+    mtrim.length shouldBe src.length
+    ImaAdpcm.decode(mono).get._2.length should be > src.length
+    mtrim.toSeq shouldBe ImaAdpcm.decode(mono).get._2.take(src.length).toSeq
+  }
+
   test("extractFeaturesBatched decodes natively with decoded=true") {
     val assets = Seq(1L, 4L).toDF("asset_id")
       .withColumn("kind", lit("audio"))

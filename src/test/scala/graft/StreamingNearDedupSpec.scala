@@ -73,4 +73,33 @@ class StreamingNearDedupSpec extends SparkSpec {
         Seq((9L, base)).toDF("doc_id", "text"), 1L, stateDir)
       .select("doc_id").as[Long].collect().toSet shouldBe Set.empty
   }
+
+  test("compactState merges committed partitions without changing " +
+      "any future batch's decisions") {
+    val stateDir = Files.createTempDirectory("graft-snd-state3").toString
+    StreamingNearDedup.processBatch(
+        Seq((1L, base), (3L, otherA)).toDF("doc_id", "text"), 0L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+    StreamingNearDedup.processBatch(
+        Seq((5L, otherB)).toDF("doc_id", "text"), 1L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(5L)
+    val preCompact = spark.read.parquet(stateDir)
+      .select("band", "bucket").distinct().count()
+    // batches 0 and 1 are committed; the next live batch is 2 —
+    // compacting through 1 satisfies the replay precondition
+    StreamingNearDedup.compactState(spark, stateDir, 1L)
+    val dirs = new java.io.File(stateDir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    dirs shouldBe Set("batch=1")
+    spark.read.parquet(stateDir)
+      .select("band", "bucket").distinct().count() shouldBe preCompact
+    // batch 2 decides identically against the compacted union: a
+    // repeat of a batch-0 survivor still collides, novelty survives
+    StreamingNearDedup.processBatch(
+        Seq((9L, base),
+          (10L, "yet another brand new sentence nobody wrote before"))
+          .toDF("doc_id", "text"), 2L, stateDir)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(10L)
+  }
 }

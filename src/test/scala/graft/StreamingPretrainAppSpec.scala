@@ -213,4 +213,39 @@ class StreamingPretrainAppSpec extends SparkSpec {
       global shouldBe Set(1L, 2L)
     }
   }
+
+  test("compactKept commits versioned snapshots equal to the batch " +
+      "global pass while the stream keeps appending") {
+    withRocksDb {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("spa_compact").toString
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData((1L, "alpha beta"), (2L, "unrelated"))
+      runToParquet(mem, Duration.ofMillis(1), s"$tmp/kept", s"$tmp/ck")
+      Thread.sleep(50)
+      mem.addData((9L, "ALPHA  beta")) // TTL expired: re-admitted
+      runToParquet(mem, Duration.ofMillis(1), s"$tmp/kept", s"$tmp/ck")
+      val v0 = StreamingPretrainApp.compactKept(
+        spark, s"$tmp/kept", s"$tmp/compact")
+      v0 shouldBe 0L
+      graft.streaming.StreamingMv
+        .readCurrent(spark, s"$tmp/compact")
+        .select(col("doc_id")).as[Long].collect().toSet shouldBe
+        Set(1L, 2L)
+      // the stream keeps going: another re-admission plus a novel doc
+      Thread.sleep(50)
+      mem.addData((30L, "alpha  BETA"), (31L, "gamma delta"))
+      runToParquet(mem, Duration.ofMillis(1), s"$tmp/kept", s"$tmp/ck")
+      val v1 = StreamingPretrainApp.compactKept(
+        spark, s"$tmp/kept", s"$tmp/compact")
+      v1 shouldBe 1L
+      // _CURRENT advanced; the new snapshot is again the batch answer
+      graft.streaming.StreamingMv
+        .currentVersion(s"$tmp/compact") shouldBe Some(1L)
+      graft.streaming.StreamingMv
+        .readCurrent(spark, s"$tmp/compact")
+        .select(col("doc_id")).as[Long].collect().toSet shouldBe
+        Set(1L, 2L, 31L)
+    }
+  }
 }
