@@ -984,6 +984,36 @@ object SparkEntry {
           "user_id", "ts_us", periodUs = 86400000000L)
         .orderBy(col("cohort_period"), col("period_offset"))),
 
+    // ---- Kaplan-Meier time-to-conversion (operators.Survival):
+    //      durations = days from first activity to first purchase
+    //      inside a 5-day analysis window; no purchase -> right-
+    //      censored at last in-window activity. Integer micro-unit
+    //      product-limit recursion, bit-exact vs the oracle's
+    //      recursive CTE. The d0 crossJoin is the single-row
+    //      broadcast scalar pattern; the unpartitioned window inside
+    //      kaplanMeier runs over the <= 5-row step table.
+    "q_survival_km" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts_us div 86400000000").as("day"))
+      val d0 = base.agg(min(col("day")).as("base"))
+      val win = base.crossJoin(broadcast(d0))
+        .filter(col("day") < col("base") + lit(5L))
+        .select(col("user_id"), col("event_type"),
+          (col("day") - col("base")).as("day"))
+      val life = win.groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val conv = win.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("c"))
+      val obs = life.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("c").isNotNull, col("c") - col("f"))
+            .otherwise(col("l") - col("f")).as("dur"),
+          when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("observed"))
+      operators.Survival.kaplanMeier(obs, col("dur"), col("observed"))
+        .orderBy(col("t"))
+    }),
+
     // ---- gap-based sessionization (Timeline.sessionize, 1h inactivity)
     "q_sessionize" -> ((s, dir) =>
       operators.Timeline.sessionize(
@@ -6263,6 +6293,47 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM a JOIN f USING (u) GROUP BY 1, 2
         |ORDER BY cohort_period, period_offset""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS base
+        |       FROM events),
+        |win AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 - (SELECT base FROM d0) AS day
+        |  FROM events
+        |  WHERE epoch_us(ts) // 86400000000 < (SELECT base FROM d0) + 5),
+        |life AS (SELECT user_id, min(day) AS f, max(day) AS l
+        |         FROM win GROUP BY user_id),
+        |conv AS (SELECT user_id, min(day) AS c FROM win
+        |         WHERE event_type = 'purchase' GROUP BY user_id),
+        |obs AS (
+        |  SELECT CASE WHEN conv.c IS NOT NULL THEN conv.c - life.f
+        |              ELSE life.l - life.f END AS dur,
+        |         CASE WHEN conv.c IS NOT NULL THEN 1 ELSE 0 END
+        |           AS observed
+        |  FROM life LEFT JOIN conv ON life.user_id = conv.user_id),
+        |steps AS (SELECT dur AS t, count(*) AS n_at,
+        |            sum(observed) AS d
+        |          FROM obs GROUP BY dur),
+        |risk AS (
+        |  SELECT t, d, sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM steps),
+        |ds AS (SELECT t, n_risk, d,
+        |         row_number() OVER (ORDER BY t) AS k
+        |       FROM risk WHERE d > 0),
+        |km AS (
+        |  SELECT k, t, n_risk, d,
+        |    (1000000 * (n_risk - d)) // n_risk AS s
+        |  FROM ds WHERE k = 1
+        |  UNION ALL
+        |  SELECT ds.k, ds.t, ds.n_risk, ds.d,
+        |    (km.s * (ds.n_risk - ds.d)) // ds.n_risk
+        |  FROM km JOIN ds ON ds.k = km.k + 1)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events, CAST(s AS BIGINT) AS s_micro
+        |FROM km ORDER BY t""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan-Meier product-limit survival estimation — the
+  * censoring-aware completion of the analytics family (q_retention
+  * counts cohort survivors, but treats "not seen yet" as dead; KM is
+  * the estimator that gets this right, and time-to-conversion /
+  * time-to-churn curves are a standard product-analytics deliverable).
+  *
+  * Determinism discipline: the survival curve is published in integer
+  * MICRO-units with a per-step floor —
+  * `S_k = ⌊S_{k-1} · (n_k − d_k) / n_k⌋`, `S_0 = 10⁶` — so the whole
+  * estimator is integer arithmetic and bit-exact across engines (the
+  * oracle replays the same recursion as a recursive CTE). The per-step
+  * floor makes the recursion inherently sequential, which is fine:
+  * it runs over the STEP table, not the subject table.
+  *
+  * Scale shape: one groupBy collapses subjects to per-duration
+  * (count, deaths) rows; the at-risk counts come from one descending
+  * cumulative-sum window over that step table — unpartitioned, but
+  * bounded by the DISTINCT DURATION count (time resolution × horizon,
+  * e.g. ≤ a few thousand for daily durations over years), never by
+  * subject count. The sequential product then folds on the driver
+  * over the same step rows — the bounded-collect pattern of the
+  * trainer family (one model-sized table, documented as such), NOT a
+  * corpus collect. Subjects: 10⁹ users → the shuffle is the groupBy;
+  * everything after is O(steps).
+  */
+object Survival {
+
+  /** Subjects (one row each) with an integer duration and a 0/1
+    * observed flag (1 = event occurred at `duration`; 0 = right-
+    * censored at `duration`) → one row per distinct duration at which
+    * at least one event occurred: (t, n_risk, n_events, s_micro),
+    * ascending t. */
+  def kaplanMeier(subjects: DataFrame, durationCol: Column,
+                  observedCol: Column): DataFrame = {
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val steps = subjects
+      .select(durationCol.cast("long").as("t"),
+        observedCol.cast("long").as("obs"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("obs")).as("d"))
+    // at-risk at t = subjects with duration >= t: one descending
+    // cumulative sum over the duration-bounded step table
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deathSteps = steps
+      .withColumn("n_risk", sum(col("n_at")).over(w))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"))
+      .orderBy(col("t"))
+      .collect() // bounded by distinct durations — the step table
+    var s = 1000000L
+    val curve = deathSteps.map { r =>
+      val (t, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // s <= 1e6 and n <= subject count: the product stays far
+      // inside Long (1e6 * 1e12 < 2^63)
+      s = s * (n - d) / n
+      (t, n, d, s)
+    }
+    curve.toSeq.toDF("t", "n_risk", "n_events", "s_micro")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Survival
+
+/** Kaplan-Meier estimator: hand-computed product-limit curve,
+  * censoring semantics, partitioning invariance. */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val subjects = Seq(
+    (1L, 1L), // event at t=1
+    (2L, 1L), // event at t=2
+    (2L, 0L), // censored at t=2 (leaves the risk set, no step)
+    (3L, 1L), // event at t=3
+    (4L, 0L), // censored at t=4
+    (5L, 1L)) // event at t=5
+
+  test("product-limit curve matches the hand calculation with " +
+      "per-step integer floor") {
+    val out = Survival.kaplanMeier(
+        subjects.toDF("dur", "obs"), col("dur"), col("obs"))
+      .orderBy(col("t"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // t=1: n=6,d=1 -> floor(1e6*5/6)        = 833333
+    // t=2: n=5,d=1 -> floor(833333*4/5)     = 666666
+    // t=3: n=3,d=1 -> floor(666666*2/3)     = 444444  (censored@2 left)
+    // t=5: n=1,d=1 -> 0                     (censored@4 left)
+    out shouldBe Seq(
+      (1L, 6L, 1L, 833333L),
+      (2L, 5L, 1L, 666666L),
+      (3L, 3L, 1L, 444444L),
+      (5L, 1L, 1L, 0L))
+  }
+
+  test("an all-censored cohort yields an empty curve; censoring " +
+      "only shrinks the risk set") {
+    Survival.kaplanMeier(
+        Seq((3L, 0L), (7L, 0L)).toDF("dur", "obs"),
+        col("dur"), col("obs"))
+      .count() shouldBe 0L
+    // the censored-at-2 subject is AT RISK at t=2 (n_risk=5 above);
+    // removing it drops the t=2 risk set to 4 and nothing else
+    val without = Survival.kaplanMeier(
+        subjects.filterNot(_ == ((2L, 0L))).toDF("dur", "obs"),
+        col("dur"), col("obs"))
+      .filter(col("t") === 2L)
+      .select(col("n_risk")).as[Long].collect()
+    without.toSeq shouldBe Seq(4L)
+  }
+
+  test("curve is invariant under input partitioning") {
+    val df = subjects.toDF("dur", "obs")
+    val a = Survival.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy(col("t")).collect().toSeq
+    val b = Survival.kaplanMeier(df.repartition(7, col("obs")),
+        col("dur"), col("obs"))
+      .orderBy(col("t")).collect().toSeq
+    a shouldBe b
+  }
+}
