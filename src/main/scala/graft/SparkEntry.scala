@@ -1729,6 +1729,30 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- Luhn-VALIDATED card detection: the regex PII pass plus the
+    //      mod-10 checksum that separates real card numbers from
+    //      random 16-digit runs (fewer false redactions). Cards are
+    //      synthesized deterministically per doc: doc_id%3==0 carries
+    //      a Luhn-valid number, the rest get a corrupted check digit.
+    //      Unrolled integer Column sum — codegen, no UDF, bit-exact
+    //      oracle mirror.
+    "q_pii_luhn" -> ((s, dir) => {
+      val body = concat(lit("4"), lpad(
+        ((col("doc_id") * 7919) % 100000000000000L).cast(StringType),
+        14, "0"))
+      val cd = functions.TextFunctions.luhnCheckDigit(col("body"), 15)
+      val digit = when(col("doc_id") % 3 === 0, cd)
+        .otherwise((cd + 1) % 10)
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("body", body)
+        .withColumn("text", concat(lit("invoice ref "), col("body"),
+          digit.cast(StringType), lit(" due on receipt")))
+        .withColumn("card", regexp_extract(col("text"), "[0-9]{16}", 0))
+        .select(col("doc_id"), col("card"),
+          functions.TextFunctions.luhnValid(col("card"), 16).as("valid"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- train-test contamination: corpus docs sharing 3-gram shingles
     //      with a benchmark subset (broadcast probe — the 100 TB shape)
     "q_contamination" -> ((s, dir) => {
@@ -5289,6 +5313,18 @@ object SparkEntry {
 
   /** Cosine similarity mirroring [[operators.Similarity.cosine]]:
     * dot / sqrt(na*nb), sequential sums over 64 dims. */
+  /** Luhn mod-10 digit sum over a fixed-length digit string, unrolled
+    * to `len` integer terms — token-parallel to
+    * `TextFunctions.luhnSum` so the q_pii_luhn oracle is bit-exact. */
+  private def luhnSumSql(e: String, len: Int,
+                         asBody: Boolean = false): String =
+    (1 to len).map { i =>
+      val d = s"CAST(substr($e, $i, 1) AS INT)"
+      val doubled = (len - i) % 2 == (if (asBody) 0 else 1)
+      if (doubled) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+      else d
+    }.mkString("(", " + ", ")")
+
   private def cosSql(a: String, b: String): String =
     s"list_sum([$a[i]*$b[i] for i in range(1,65)]) / " +
       s"sqrt(list_sum([$a[i]*$a[i] for i in range(1,65)]) * " +
@@ -8472,6 +8508,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\+\d[\d ]{8,}\d')) AS INTEGER) AS n_phone
         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_pii_luhn" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    '4' || lpad(CAST((doc_id * 7919) % 100000000000000
+         |      AS VARCHAR), 14, '0') AS body
+         |  FROM documents),
+         |cd AS (
+         |  SELECT doc_id, body,
+         |    (10 - (${luhnSumSql("body", 15, asBody = true)} % 10)) % 10
+         |      AS check_digit
+         |  FROM b),
+         |t AS (
+         |  SELECT doc_id,
+         |    'invoice ref ' || body || CAST(
+         |      CASE WHEN doc_id % 3 = 0 THEN check_digit
+         |           ELSE (check_digit + 1) % 10 END AS VARCHAR)
+         |      || ' due on receipt' AS text
+         |  FROM cd),
+         |x AS (
+         |  SELECT doc_id, regexp_extract(text, '[0-9]{16}', 0) AS card
+         |  FROM t)
+         |SELECT doc_id, card,
+         |  ${luhnSumSql("card", 16)} % 10 = 0 AS valid
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH $toksSql, $shSql,

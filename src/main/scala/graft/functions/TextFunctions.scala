@@ -253,6 +253,37 @@ object TextFunctions {
       size(regexp_extract_all(c, lit(Ipv4Re), lit(0))),
       size(regexp_extract_all(c, lit(PhoneRe), lit(0))))
 
+  /** Luhn mod-10 digit sum of a fixed-length all-digit string —
+    * the checksum that separates real payment-card numbers from
+    * random digit runs, turning the regex PII detector into a
+    * VALIDATED one (a 16-digit order id passes the regex but fails
+    * Luhn 90% of the time). Every second digit from the RIGHT is
+    * doubled (the rightmost — the check digit — is not), digits > 9
+    * after doubling subtract 9. `asBody = true` computes the sum a
+    * soon-to-be-appended check digit would see (parity shifts by
+    * one), which is how [[luhnCheckDigit]] derives it.
+    *
+    * Unrolled to `len` pure-Column integer terms: whole-stage
+    * codegen, no UDF, and the oracle mirrors the expression
+    * token-identically (all-integer, so bit-exact). */
+  def luhnSum(s: Column, len: Int, asBody: Boolean = false): Column =
+    (1 to len).map { i =>
+      val d = substring(s, i, 1).cast("int")
+      val doubled = (len - i) % 2 == (if (asBody) 0 else 1)
+      if (doubled) {
+        val e = d * lit(2)
+        when(e > 9, e - 9).otherwise(e)
+      } else d
+    }.reduce(_ + _)
+
+  /** The digit that makes `body || digit` Luhn-valid. */
+  def luhnCheckDigit(body: Column, len: Int): Column =
+    (lit(10) - (luhnSum(body, len, asBody = true) % 10)) % 10
+
+  /** True when the `len`-digit string passes the Luhn check. */
+  def luhnValid(s: Column, len: Int): Column =
+    luhnSum(s, len) % 10 === 0
+
   /** UDF: shingle array -> k minhashes of the linear rehash family
     * h_i = ((2i+1)·(stableHash64 mod P) + 7919i+13) mod P, P = 2^31−1.
     * One md5 per shingle, k integer mult-adds — the whole signature in a

@@ -230,4 +230,31 @@ class FunctionsSpec extends SparkSpec {
     // deterministic on repeat invocation
     TextFunctions.deflateRatioScala("spam " * 500) shouldBe spam
   }
+
+  test("Luhn checksum validates real card numbers and rejects " +
+      "corrupted check digits") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "4111111111111111", // the canonical Visa test number: valid
+      "4539578763621486", // valid
+      "4111111111111112", // corrupted check digit
+      "1234567812345678") // random digit run
+      .toDF("card")
+      .select(col("card"),
+        TextFunctions.luhnValid(col("card"), 16).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    df("4111111111111111") shouldBe true
+    df("4539578763621486") shouldBe true
+    df("4111111111111112") shouldBe false
+    df("1234567812345678") shouldBe false
+    // check-digit derivation: appending it always yields a valid card
+    val derived = Seq("453957876362148", "411111111111111",
+        "400012345678901")
+      .toDF("body")
+      .select(concat(col("body"), TextFunctions
+        .luhnCheckDigit(col("body"), 15).cast("string")).as("card"))
+      .select(TextFunctions.luhnValid(col("card"), 16).as("ok"))
+      .collect()
+    derived.foreach(_.getBoolean(0) shouldBe true)
+  }
 }
