@@ -4721,6 +4721,49 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- reconstruction AUC over the learned SGNS model: does the
+    //      trained logit u_center·v_context rank the walk-co-occurrence
+    //      pairs it was fit on above hash-scrambled never-co-occurring
+    //      pairs? Positives = deterministic sample of the skip-gram
+    //      pair table; negatives = scrambled (center, context)
+    //      candidates anti-joined against it; score = exact integer
+    //      dot of the micro vectors; AUC = the exact Mann-Whitney
+    //      readout (Eval.rocAuc). Closes the loop walks → SGNS →
+    //      embeddings → ranking eval, all in-engine, all
+    //      oracle-mirrored. (Raw graph edges are NOT the target: the
+    //      %300 bipartite fold is near-complete at sf0.1, so edge
+    //      prediction is information-free there; co-occurrence
+    //      reconstruction is the claim SGNS actually optimizes.)
+    "q_eval_linkpred" -> ((s, dir) => {
+      val model = sgnsModel(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val pairsT = operators.Graph.skipGramPairs(
+        operators.Graph.randomWalks(
+          li.select((col("l_orderkey") % 300).as("u"),
+            (col("l_partkey") % 300 + 300).as("v")),
+          col("u"), col("v"), walksPerNode = 2, steps = 4),
+        window = 2).select(col("center"), col("context"))
+      val pos = pairsT
+        .filter((col("center") + col("context")) % 7 === 0)
+        .withColumn("is_pos", lit(true))
+      val neg = li.select(
+          ((col("l_orderkey") * 13 + 7) % 600).as("center"),
+          ((col("l_partkey") * 17 + 3) % 600).as("context")).distinct()
+        .filter(col("center") =!= col("context"))
+        .join(pairsT, Seq("center", "context"), "left_anti")
+        .filter((col("center") + col("context")) % 7 === 0)
+        .withColumn("is_pos", lit(false))
+      val mc = model.select(col("node").as("center") +:
+        (0 to 3).map(k => col(s"u$k").as(s"a$k")): _*)
+      val mx = model.select(col("node").as("context") +:
+        (0 to 3).map(k => col(s"v$k").as(s"b$k")): _*)
+      val scored = pos.unionByName(neg)
+        .join(mc, "center").join(mx, "context")
+        .withColumn("score",
+          (0 to 3).map(k => col(s"a$k") * col(s"b$k")).reduce(_ + _))
+      operators.Eval.rocAuc(scored, col("score"), col("is_pos"))
+    }),
+
     // ---- approx_percentile cross-check (same contract as
     //      q_sketch_hll): the mergeable quantile sketch is
     //      hard-asserted within 1% of exact per group; the RETURNED
@@ -11088,6 +11131,7 @@ object SparkEntry {
     "q_train_sgns" -> sgnsTrainSql,
     "q_embed_sgns_dedup" -> sgnsDedupSql,
     "q_ann_sgns" -> sgnsAnnSql,
+    "q_eval_linkpred" -> sgnsLinkpredSql,
 
     // three formula branches, one row set: QOI rows from the pixel
     // formula, µ-law rows from the byte formula through the closed
@@ -11931,6 +11975,52 @@ object SparkEntry {
          |SELECT q_id, n_id, cos_r, rnk FROM rkd WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** Reconstruction-AUC oracle: the SGNS chain's own pr CTE (the
+    * skip-gram pair table) supplies positives ((center+context)%7
+    * sample); hash-scrambled lineitem pairs anti-joined against pr
+    * are the negatives; score = exact BIGINT dot
+    * u_center·v_context over m3; AUC = the q_eval_auc Mann-Whitney
+    * window formulation (midrank ties, u2 integer). */
+  private lazy val sgnsLinkpredSql: String =
+    sgnsCtesSql +
+      s""",
+         |pose AS (SELECT center, context, TRUE AS is_pos FROM pr
+         |         WHERE (center + context) % 7 = 0),
+         |negc AS (
+         |  SELECT DISTINCT (l_orderkey * 13 + 7) % 600 AS center,
+         |    (l_partkey * 17 + 3) % 600 AS context FROM lineitem),
+         |nege AS (
+         |  SELECT n.center, n.context, FALSE AS is_pos
+         |  FROM negc n LEFT JOIN pr p
+         |    ON p.center = n.center AND p.context = n.context
+         |  WHERE p.center IS NULL AND n.center <> n.context
+         |    AND (n.center + n.context) % 7 = 0),
+         |prs2 AS (SELECT * FROM pose UNION ALL SELECT * FROM nege),
+         |lpsc AS (
+         |  SELECT p.is_pos,
+         |    CAST(a.u0*b.v0 + a.u1*b.v1 + a.u2*b.v2 + a.u3*b.v3
+         |      AS BIGINT) AS v
+         |  FROM prs2 p JOIN m3 a ON a.node = p.center
+         |              JOIN m3 b ON b.node = p.context),
+         |lpg AS (
+         |  SELECT v, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS pos,
+         |    SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS neg
+         |  FROM lpsc GROUP BY 1),
+         |lpc AS (
+         |  SELECT pos, neg,
+         |    SUM(neg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - neg
+         |      AS cumneg
+         |  FROM lpg),
+         |lpt AS (
+         |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |    CAST(SUM(pos * (2*cumneg + neg)) AS BIGINT) AS u2
+         |  FROM lpc)
+         |SELECT n_pos, n_neg, u2,
+         |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+         |    AS auc_micro
+         |FROM lpt""".stripMargin
 
   /** Weighted-LPA (2 rounds) + weighted modularity oracle: mirrors
     * Graph.labelPropagationW / Graph.modularityW exactly — weight-sum
