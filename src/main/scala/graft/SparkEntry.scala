@@ -2488,9 +2488,13 @@ object SparkEntry {
     // ships no builtin), oracled BIT-IDENTICALLY against DuckDB's
     // jaro_winkler_similarity (the double tree is IEEE-exact divisions
     // of small ints — fuzzed at 3000 pairs, zero mismatches) with the
-    // usual 1e-6 floor. Two-key (first-token, p_size) blocking keeps
-    // block sizes O(1) in SF, so candidate pairs grow linearly — the
-    // record-linkage discipline that survives 100 TB
+    // usual 1e-6 floor. Two-key (first-token, p_size) blocking: the
+    // shuffle is a plain equi-join, and pairs per block are
+    // |block|² — with TPC-H's FIXED key cardinality (92×50) block
+    // sizes grow linearly in SF, so a 100 TB run widens the blocking
+    // key (second token, size band) or fronts an LSH pass to keep
+    // blocks bounded; the JOIN SHAPE here is already the one that
+    // scales, the key choice is per-corpus tuning
     "q_fuzzy_jw" -> ((s, dir) => {
       val p = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name"), col("p_size"))
@@ -3195,6 +3199,22 @@ object SparkEntry {
           col("source"), when(col("lang") === "en", 1L).otherwise(0L),
           Seq(col("n_chars").desc, col("doc_id")))
         .orderBy(col("grp"))),
+
+    // ---- truncated rank-biased overlap (Webber 2010) between the
+    //      customer spend and order-count leaderboards: exact sharded
+    //      global ranks (Ranks.globalRowNumber — no unpartitioned
+    //      window), RBO@50 p=0.9 in integer nano units with
+    //      BigDecimal-exact weights embedded as literals both sides
+    "q_eval_rbo" -> ((s, dir) => {
+      val ca = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend"),
+          count(lit(1)).as("n_orders"))
+      val ra = operators.Ranks.globalRowNumber(ca,
+        Seq(col("spend").desc, col("o_custkey")), "ra")
+      val rb = operators.Ranks.globalRowNumber(ra,
+        Seq(col("n_orders").desc, col("o_custkey")), "rb")
+      operators.Eval.rboTruncated(rb, col("ra"), col("rb"), depth = 50)
+    }),
 
     // ---- corpus BLEU-1/BLEU-2 modified n-gram precision over a
     //      deterministic candidate/reference pairing (even doc vs its
@@ -9808,6 +9828,36 @@ object SparkEntry {
         |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
         |    AS auc_micro
         |FROM t""".stripMargin,
+
+    "q_eval_rbo" -> {
+      val weights = operators.Eval.rboWeights(50)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH ca AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         |      AS BIGINT) AS spend,
+         |    count(*) AS n_orders
+         |  FROM orders GROUP BY 1),
+         |rk AS (
+         |  SELECT
+         |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS ra,
+         |    row_number() OVER (ORDER BY n_orders DESC, o_custkey)
+         |      AS rb
+         |  FROM ca),
+         |mm AS (SELECT greatest(ra, rb) AS m FROM rk
+         |       WHERE greatest(ra, rb) <= 50),
+         |cc AS (SELECT m, count(*) AS c FROM mm GROUP BY 1),
+         |wt(d, w_nano) AS (VALUES $weights),
+         |ovd AS (
+         |  SELECT CAST(w.d AS BIGINT) AS d,
+         |    CAST(w.w_nano AS BIGINT) AS w_nano,
+         |    CAST(coalesce(sum(c.c), 0) AS BIGINT) AS ov
+         |  FROM wt w LEFT JOIN cc c ON c.m <= w.d
+         |  GROUP BY 1, 2)
+         |SELECT d, w_nano, ov,
+         |  CAST((w_nano * ov) // d AS BIGINT) AS term_nano
+         |FROM ovd ORDER BY d""".stripMargin
+    },
 
     "q_eval_ndcg" ->
       """WITH b AS (

@@ -253,4 +253,53 @@ object Eval {
         when(coalesce(col("tot2"), lit(0L)) === 0, lit(0L))
           .otherwise(expr("clip2 * 1000000 DIV tot2")).as("p2_micro"))
   }
+
+  /** Per-depth weights of truncated rank-biased overlap (Webber,
+    * Moffat & Zobel 2010): w_d = ⌊10⁹ · (1−p) · p^(d−1)⌋ with
+    * p = pNum/pDen, computed in exact BigDecimal (no libm pow — the
+    * weights are embedded as literals on BOTH engine and oracle
+    * sides, the ndcg discount-table discipline). */
+  def rboWeights(depth: Int, pNum: Int = 9,
+                 pDen: Int = 10): Seq[(Int, Long)] = {
+    val p = BigDecimal(pNum) / BigDecimal(pDen)
+    val oneMinusP = BigDecimal(1) - p
+    (1 to depth).map { d =>
+      val w = oneMinusP * p.pow(d - 1) * BigDecimal(1000000000L)
+      (d, w.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact)
+    }
+  }
+
+  /** Truncated rank-biased overlap at `depth` between two total-order
+    * rankings of the same items, in integer nano units: the agreement
+    * readout for "did re-ranking change the leaderboard" that top-k
+    * set intersection alone misses (RBO weights agreement at shallow
+    * depths geometrically higher).
+    *
+    * An item counts toward the depth-d overlap iff
+    * max(rankA, rankB) ≤ d, so one greatest() + filter + groupBy on
+    * the ranked frame reduces everything to a ≤`depth`-row table;
+    * each per-depth term is ⌊w_d · ov_d / d⌋ (all-integer: ov_d ≤ d).
+    * Output: (d, w_nano, ov, term_nano) per depth, ascending — sum
+    * term_nano for the scalar RBO. Scale shape: the rank columns come
+    * from the caller (use Ranks.globalRowNumber — no unpartitioned
+    * window); this side is one filter + tiny-frame broadcast join. */
+  def rboTruncated(ranks: DataFrame, rankA: Column, rankB: Column,
+                   depth: Int, pNum: Int = 9,
+                   pDen: Int = 10): DataFrame = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    val counts = ranks
+      .select(greatest(rankA, rankB).cast("long").as("m"))
+      .filter(col("m") <= depth)
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val depths = rboWeights(depth, pNum, pDen)
+      .toDF("d", "w_nano")
+      .select(col("d").cast("long").as("d"), col("w_nano"))
+    depths.join(broadcast(counts), col("m") <= col("d"), "left")
+      .groupBy(col("d"), col("w_nano"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("ov"))
+      .select(col("d"), col("w_nano"), col("ov"),
+        expr("(w_nano * ov) DIV d").as("term_nano"))
+      .orderBy(col("d"))
+  }
 }

@@ -124,4 +124,43 @@ class EvalSpec extends SparkSpec {
     (row.getLong(4), row.getLong(5), row.getLong(6)) shouldBe
       ((0L, 0L, 0L))
   }
+
+  test("rboWeights are the exact BigDecimal geometric series") {
+    val w = Eval.rboWeights(4)
+    // 0.1, 0.09, 0.081, 0.0729 in nano units, floored
+    w shouldBe Seq((1, 100000000L), (2, 90000000L), (3, 81000000L),
+      (4, 72900000L))
+    // weights sum to (1 - p^k)*1e9 up to per-term floors
+    val total = Eval.rboWeights(50).map(_._2).sum
+    total should be <= 1000000000L
+    total should be > 990000000L // 1 - 0.9^50 = 0.99485
+  }
+
+  test("rboTruncated: identical rankings emit each weight verbatim; " +
+      "disjoint top-k emits zero") {
+    val same = (1L to 10L).map(i => (i, i)).toDF("ra", "rb")
+    val out = Eval.rboTruncated(same, col("ra"), col("rb"), depth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 100000000L, 1L, 100000000L),
+      (2L, 90000000L, 2L, 90000000L),
+      (3L, 81000000L, 3L, 81000000L),
+      (4L, 72900000L, 4L, 72900000L))
+    // reversed ranking of 100 items: top-4 of A is bottom-4 of B
+    val rev = (1L to 100L).map(i => (i, 101L - i)).toDF("ra", "rb")
+    Eval.rboTruncated(rev, col("ra"), col("rb"), depth = 4)
+      .agg(sum(col("term_nano"))).collect().head.getLong(0) shouldBe 0L
+  }
+
+  test("rboTruncated hand case: swap at rank 2/3 of three items") {
+    // A: x,y,z  B: x,z,y -> overlap@1=1, @2=1, @3=3
+    val rk = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("ra", "rb")
+    val out = Eval.rboTruncated(rk, col("ra"), col("rb"), depth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 100000000L),          // w1*1/1
+      (2L, 1L, 45000000L),           // floor(9e7*1/2)
+      (3L, 3L, 81000000L))           // w3*3/3
+  }
 }
