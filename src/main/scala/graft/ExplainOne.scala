@@ -38,6 +38,7 @@ object ExplainOne {
       operators.Graph.preMaterializer = identity
       operators.Graph.roundMaterializer = identity
       operators.Dedup.preMaterializer = identity
+      operators.Dedup.roundMaterializer = identity
     }
     def setMaterialized(): Unit = {
       operators.Graph.preMaterializer =
@@ -45,6 +46,7 @@ object ExplainOne {
       operators.Dedup.preMaterializer =
         df => plans.ResultCache.withCache(df.sparkSession, df)
       operators.Graph.roundMaterializer = _.localCheckpoint(true)
+      operators.Dedup.roundMaterializer = _.localCheckpoint(true)
     }
     def audit(name: String, label: String): Unit = {
       println(s"==== $name$label ====")

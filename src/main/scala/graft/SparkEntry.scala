@@ -886,6 +886,65 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // ---- exact-integer EWMA (α = 3/10) over the global daily
+    //      revenue series: distributed daily rollup, then the
+    //      bounded per-step trunc recursion folded over the ≤31-row
+    //      day table (Timeline.ewmaExact — the Survival.kaplanMeier
+    //      fold discipline); oracle replays it as a recursive CTE
+    "q_ts_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("x"))
+      operators.Timeline.ewmaExact(daily, col("day"), col("x"),
+          num = 3L, den = 10L)
+        .orderBy(col("t"))
+    }),
+
+    // ---- U-shaped (position-based) multi-touch attribution: every
+    //      purchase credits its preceding 7-day click path 40/20/40
+    //      (first/middles/last) in integer micro shares, remainder to
+    //      the last middle — deterministic to the share. Per-user
+    //      bounded range join + partitioned windows; the marketing
+    //      analytics op the funnel family lacked
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts"))
+      val lookback = 7L * 86400000000L
+      val path = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") < col("p_ts") &&
+          col("c_ts") >= col("p_ts") - lookback)
+      val w = Window.partitionBy(col("purchase_id"))
+      val wo = w.orderBy(col("c_ts"), col("click_id"))
+      val ranked = path
+        .withColumn("pos", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(w))
+        // integer DIV (trunc), guarded: n <= 2 paths never read it
+        .withColumn("mid",
+          expr("CASE WHEN n > 2 THEN 200000 DIV (n - 2) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+      val weight =
+        when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("pos") === 1, lit(400000L))
+          .when(col("pos") === col("n"), lit(400000L))
+          .when(col("pos") === col("n") - 1,
+            col("mid") + lit(200000L) - (col("n") - 2) * col("mid"))
+          .otherwise(col("mid"))
+      ranked.select(col("purchase_id"), col("click_id"),
+          col("pos").cast("long").as("pos"), col("n"),
+          weight.cast("long").as("weight_micro"))
+        .orderBy(col("purchase_id"), col("pos"))
+    }),
+
     // ---- equi-width value histogram: binned o_totalprice distribution
     //      (integer-div binning on exact cents)
     "q_histogram" -> ((s, dir) =>
@@ -6184,6 +6243,55 @@ object SparkEntry {
         |FROM d JOIN mx USING (user_id) JOIN tot USING (user_id)
         |WHERE d.ad = mx.m
         |GROUP BY 1, 2, 3, 4 ORDER BY d.user_id""".stripMargin,
+
+    "q_ts_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |st AS (SELECT t, x, row_number() OVER (ORDER BY t) AS k
+        |       FROM daily),
+        |ew AS (
+        |  SELECT k, t, x, x AS ewma FROM st WHERE k = 1
+        |  UNION ALL
+        |  SELECT s.k, s.t, s.x,
+        |    CAST((3 * s.x + 7 * ew.ewma) // 10 AS BIGINT)
+        |  FROM ew JOIN st s ON s.k = ew.k + 1)
+        |SELECT CAST(t AS BIGINT) AS t, x, CAST(ewma AS BIGINT) AS ewma
+        |FROM ew ORDER BY t""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |path AS (
+        |  SELECT p.purchase_id, c.click_id, c.c_ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.c_ts < p.p_ts
+        |   AND c.c_ts >= p.p_ts - 7 * 86400000000),
+        |rk AS (
+        |  SELECT purchase_id, click_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY c_ts, click_id) AS pos,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM path),
+        |md AS (
+        |  SELECT purchase_id, click_id, CAST(pos AS BIGINT) AS pos,
+        |    CAST(n AS BIGINT) AS n,
+        |    CASE WHEN n > 2 THEN 200000 // (n - 2)
+        |         ELSE CAST(0 AS BIGINT) END AS mid
+        |  FROM rk)
+        |SELECT purchase_id, click_id, pos, n,
+        |  CAST(CASE WHEN n = 1 THEN 1000000
+        |       WHEN n = 2 THEN 500000
+        |       WHEN pos = 1 THEN 400000
+        |       WHEN pos = n THEN 400000
+        |       WHEN pos = n - 1 THEN mid + 200000 - (n - 2) * mid
+        |       ELSE mid END AS BIGINT) AS weight_micro
+        |FROM md ORDER BY purchase_id, pos""".stripMargin,
 
     "q_ts_anomaly" ->
       """WITH d AS (

@@ -37,6 +37,17 @@ object Dedup {
   @volatile var preMaterializer: DataFrame => DataFrame = identity
   private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
 
+  /** Materializer for the per-round lineage cuts of
+    * [[canonicalizeClusters]] — the Dedup twin of
+    * [[Graph.roundMaterializer]]. Default: eager localCheckpoint
+    * (the only execution mode that survives at scale — iterative
+    * self-joins otherwise compound the plan exponentially). Dry-plan
+    * audits (ExplainOne, PlanDump, PlanGuardSpec) swap in identity so
+    * the per-round join shapes stay visible in one plan. */
+  @volatile var roundMaterializer: DataFrame => DataFrame =
+    _.localCheckpoint(true)
+  private def roundMat(df: DataFrame): DataFrame = roundMaterializer(df)
+
   // ------------------------------------------------------------ exact
 
   /** Exact/normalized dedup: canonical id = min doc id per fingerprint.
@@ -690,9 +701,9 @@ object Dedup {
     // input twice), and the input pair pipeline (LSH etc.) would be
     // re-executed once per reference. One materialization job per
     // round, lineage truncated — no fixpoint count() actions.
-    val init = pairs.select(col("ia").as("a"), col("ib").as("b"))
+    val init = roundMat(pairs.select(col("ia").as("a"), col("ib").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var edges = init
     var i = 0
     while (i < rounds) {
@@ -710,12 +721,11 @@ object Dedup {
       val o = large.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       val m2 = o.groupBy(col("u")).agg(min(col("v")).as("m"))
-      edges = o.join(m2, "u")
+      edges = roundMat(o.join(m2, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       i += 1
     }
     // After convergence each component is a star centered at its min

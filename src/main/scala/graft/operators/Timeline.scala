@@ -409,4 +409,43 @@ object Timeline {
         sum(when(col("run") > 0 && col("nt").isNotNull,
           col("nt") - col("t")).otherwise(0L)).as("covered"))
   }
+
+  /** Exact-integer exponential smoothing over ONE ordered series:
+    * S_0 = x_0, S_t = trunc((num·x_t + (den−num)·S_{t−1}) / den) — the
+    * all-integer EWMA that is bit-exact across engines (the float
+    * formulation compounds one rounding per step per libm-free op,
+    * but its S_{t-1} feedback makes window re-expression impossible;
+    * the per-step floor recursion is honest about being sequential).
+    *
+    * Same bounded-fold discipline as
+    * [[graft.operators.Survival.kaplanMeier]]: the aggregation that
+    * PRODUCES the series (daily rollup) is distributed; the fold runs
+    * on the driver over the step table, bounded by the time
+    * resolution × horizon, never by event count. The oracle replays
+    * the recursion as a recursive CTE.
+    *
+    * Input must be one row per `tCol` value (enforce upstream with a
+    * groupBy); output (t, x, ewma), ascending t. */
+  def ewmaExact(series: DataFrame, tCol: Column, xCol: Column,
+                num: Long, den: Long): DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num <= den, got $num/$den")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val steps = series
+      .select(tCol.cast("long").as("t"), xCol.cast("long").as("x"))
+      .orderBy(col("t"))
+      .collect() // bounded by distinct t — the step table
+    var s = 0L
+    var first = true
+    val out = steps.map { r =>
+      val (t, x) = (r.getLong(0), r.getLong(1))
+      // Scala Long `/` truncates toward zero — exactly DuckDB's
+      // integer `//` (measured: -7//2 = -3, not -4), so negative
+      // series keep bit-parity too
+      s = if (first) { first = false; x }
+          else (num * x + (den - num) * s) / den
+      (t, x, s)
+    }
+    out.toSeq.toDF("t", "x", "ewma")
+  }
 }

@@ -315,4 +315,25 @@ class TimelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     got shouldBe Array((1L, 3L, 10L))
   }
+
+  test("ewmaExact: hand recursion with trunc division, negative " +
+      "values keep DuckDB // parity") {
+    val series = Seq((3L, 100L), (1L, 10L), (2L, 20L), (4L, -50L))
+      .toDF("t", "x")
+    val out = Timeline.ewmaExact(series, col("t"), col("x"),
+        num = 3L, den = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // t=1: S=10 (seed)
+    // t=2: trunc((3*20 + 7*10)/10)   = 13
+    // t=3: trunc((3*100 + 7*13)/10)  = trunc(39.1)  = 39
+    // t=4: trunc((3*-50 + 7*39)/10)  = trunc(12.3)  = 12
+    out shouldBe Seq((1L, 10L, 10L), (2L, 20L, 13L),
+      (3L, 100L, 39L), (4L, -50L, 12L))
+    // all-negative tail: trunc toward zero, not floor
+    val neg = Seq((1L, -10L), (2L, -11L)).toDF("t", "x")
+    Timeline.ewmaExact(neg, col("t"), col("x"), 3L, 10L)
+      .as[(Long, Long, Long)].collect().last shouldBe
+      // (3*-11 + 7*-10)/10 = -103/10 -> trunc = -10 (floor were -11)
+      ((2L, -11L, -10L))
+  }
 }
