@@ -3259,6 +3259,47 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id")))
         .orderBy(col("grp"))),
 
+    // ---- mean-reciprocal-rank inputs per source "query": rank docs
+    //      by (n_chars desc, doc_id), first English hit's reciprocal
+    //      rank in integer micro (1e6 DIV rank — exact)
+    "q_eval_mrr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(min(col("rn")).cast("long").as("first_rank"))
+        .select(col("source"), col("first_rank"),
+          expr("1000000 DIV first_rank").as("rr_micro"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- classical link-prediction heuristics on the bipartite
+    //      order-part graph: common-neighbor counts and Adamic-Adar
+    //      (Σ 1/ln(deg) over shared neighbors, nano fixed-point — one
+    //      ln per NODE of an integer degree, the bounded-transcendental
+    //      discipline) for the top-20 order pairs. Wedge join on the
+    //      shared neighbor — the triangles shape, no all-pairs
+    "q_graph_adamic" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 20000).as("u"),
+          (col("l_partkey") % 20000).as("v")).distinct()
+      val wNode = e.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2)
+        .select(col("v"),
+          floor(lit(1e9) / log(col("d").cast("double")))
+            .cast("long").as("w"))
+      val a = e.select(col("v"), col("u").as("a"))
+      val b = e.select(col("v"), col("u").as("b"))
+      a.join(b, "v").filter(col("a") < col("b"))
+        .join(wNode, "v")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_nano"))
+        .orderBy(col("aa_nano").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // ---- truncated rank-biased overlap (Webber 2010) between the
     //      customer spend and order-count leaderboards: exact sharded
     //      global ranks (Ranks.globalRowNumber — no unpartitioned
@@ -9936,6 +9977,36 @@ object SparkEntry {
         |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
         |    AS auc_micro
         |FROM t""".stripMargin,
+
+    "q_eval_mrr" ->
+      """WITH r AS (
+        |  SELECT source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(min(rn) AS BIGINT) AS first_rank,
+        |  CAST(1000000 // min(rn) AS BIGINT) AS rr_micro
+        |FROM r WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_graph_adamic" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey % 20000 AS u,
+        |    l_partkey % 20000 AS v
+        |  FROM lineitem),
+        |wn AS (
+        |  SELECT v, CAST(floor(1e9 / ln(CAST(count(*) AS DOUBLE)))
+        |    AS BIGINT) AS w
+        |  FROM e GROUP BY v HAVING count(*) >= 2),
+        |p AS (
+        |  SELECT a.u AS a, b.u AS b, a.v
+        |  FROM e a JOIN e b ON a.v = b.v AND a.u < b.u)
+        |SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(sum(wn.w) AS BIGINT) AS aa_nano
+        |FROM p JOIN wn ON wn.v = p.v
+        |GROUP BY 1, 2
+        |ORDER BY aa_nano DESC, a, b
+        |LIMIT 20""".stripMargin,
 
     "q_eval_rbo" -> {
       val weights = operators.Eval.rboWeights(50)
