@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the round-16 continuation operators (not part of
+  * the driver contract): Kaplan-Meier and multi-touch attribution on
+  * a 20×-replicated events table (20M rows, 30k users), and the
+  * Jaro-Winkler blocked join on 5×-replicated parts — the latter
+  * deliberately demonstrates the QUADRATIC-in-block-size growth the
+  * q_fuzzy_jw scaladoc warns about (fixed-cardinality blocking keys:
+  * 5× rows → ~25× candidate pairs), so the number lands in DEVNOTES
+  * next to the mitigation (widen the key per corpus). */
+object AnalyticsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 20x events with DISTINCT user/event ids per replica: per-user
+    // density (the per-key work) stays constant, keys scale 20x
+    val ev = Tables.events(spark, sfDir)
+      .crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("user_id") * 20 + col("rep")).as("user_id"),
+        (col("event_id") * 20 + col("rep")).as("event_id"),
+        col("ts_us"), col("event_type"))
+      .persist()
+    val nEv = ev.count()
+
+    // ---- Kaplan-Meier time-to-conversion (the q_survival_km shape)
+    var t0 = System.nanoTime()
+    val base = ev.select(col("user_id"), col("event_type"),
+      expr("ts_us div 86400000000").as("day"))
+    val d0 = base.agg(min(col("day")).as("base"))
+    val win = base.crossJoin(broadcast(d0))
+      .filter(col("day") < col("base") + lit(5L))
+      .select(col("user_id"), col("event_type"),
+        (col("day") - col("base")).as("day"))
+    val life = win.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val conv = win.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("c"))
+    val obs = life.join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("c").isNotNull, col("c") - col("f"))
+          .otherwise(col("l") - col("f")).as("dur"),
+        when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("observed"))
+    val kmSteps = operators.Survival
+      .kaplanMeier(obs, col("dur"), col("observed")).count()
+    val tKm = (System.nanoTime() - t0) / 1e9
+    println(f"[km] events=$nEv steps=$kmSteps km_sec=$tKm%.1f")
+
+    // ---- U-shaped attribution (the q_attribution shape)
+    t0 = System.nanoTime()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"))
+    val path = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - 7L * 86400000000L)
+    val w = Window.partitionBy(col("purchase_id"))
+    val nAttr = path
+      .withColumn("pos",
+        row_number().over(w.orderBy(col("c_ts"), col("click_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .count()
+    val tAttr = (System.nanoTime() - t0) / 1e9
+    println(f"[attr] events=$nEv touch_rows=$nAttr attr_sec=$tAttr%.1f")
+
+    // ---- Jaro-Winkler blocked join, 5x parts with DISTINCT names but
+    // UNCHANGED block keys: the adversarial fixed-key case
+    val p5 = Tables.part(spark, sfDir)
+      .crossJoin(spark.range(5).select(col("id").as("rep")))
+      .select((col("p_partkey") * 5 + col("rep")).as("p_partkey"),
+        concat(col("p_name"), lit(" r"), col("rep")).as("p_name"),
+        col("p_size"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), 1))
+      .persist()
+    val nParts = p5.count()
+    t0 = System.nanoTime()
+    val a = p5.select(col("blk"), col("p_size"),
+      col("p_partkey").as("ia"), col("p_name").as("na"))
+    val b = p5.select(col("blk"), col("p_size"),
+      col("p_partkey").as("ib"), col("p_name").as("nb"))
+    val nJw = a.join(b, Seq("blk", "p_size"))
+      .filter(col("ia") < col("ib"))
+      .filter(floor(plans.JaroWinkler.jaroWinkler(col("na"), col("nb"))
+        * lit(1e6)).cast("long") >= 900000L)
+      .count()
+    val tJw = (System.nanoTime() - t0) / 1e9
+    println(f"[jw] parts=$nParts survivors=$nJw jw_sec=$tJw%.1f " +
+      "(5x rows -> ~25x pairs: the documented fixed-key quadratic)")
+
+    spark.stop()
+  }
+}
