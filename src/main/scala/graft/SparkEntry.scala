@@ -3300,6 +3300,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- Damerau-Levenshtein vs plain Levenshtein on synthetic
+    //      transposition typos (chars 4/5 of every part name swapped):
+    //      the native full-DL expression scores the swap as ONE edit
+    //      where the builtin Levenshtein needs two — the typo-match
+    //      advantage, row-linear (each mention compares to its own
+    //      original only). Integer DP, exact oracle parity with
+    //      DuckDB's damerau_levenshtein (true-DL variant, measured)
+    "q_fuzzy_dl" -> ((s, dir) => {
+      val mention = concat(substring(col("p_name"), 1, 3),
+        substring(col("p_name"), 5, 1), substring(col("p_name"), 4, 1),
+        expr("substring(p_name, 6)"))
+      Tables.part(s, dir)
+        .withColumn("mention", mention)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("mention")).as("lev"),
+          plans.DamerauLevenshtein
+            .damerauLevenshtein(col("p_name"), col("mention"))
+            .as("dl"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- truncated rank-biased overlap (Webber 2010) between the
     //      customer spend and order-count leaderboards: exact sharded
     //      global ranks (Ranks.globalRowNumber — no unpartitioned
@@ -10007,6 +10028,17 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY aa_nano DESC, a, b
         |LIMIT 20""".stripMargin,
+
+    "q_fuzzy_dl" ->
+      """WITH m AS (
+        |  SELECT p_partkey, p_name,
+        |    substr(p_name, 1, 3) || substr(p_name, 5, 1)
+        |      || substr(p_name, 4, 1) || substr(p_name, 6) AS mention
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(levenshtein(p_name, mention) AS INTEGER) AS lev,
+        |  CAST(damerau_levenshtein(p_name, mention) AS INTEGER) AS dl
+        |FROM m ORDER BY p_partkey""".stripMargin,
 
     "q_eval_rbo" -> {
       val weights = operators.Eval.rboWeights(50)

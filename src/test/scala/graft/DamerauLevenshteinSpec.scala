@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.DamerauLevenshtein
+
+/** True Damerau-Levenshtein: variant-separating landmarks, codegen ≡
+  * interpreted, nulls, symmetry. */
+class DamerauLevenshteinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dl(a: String, b: String): Int =
+    DamerauLevenshtein.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("landmarks, including the OSA-separating case") {
+    dl("teh", "the") shouldBe 1      // adjacent transposition
+    dl("kitten", "sitting") shouldBe 3
+    dl("", "abc") shouldBe 3
+    dl("abc", "") shouldBe 3
+    dl("", "") shouldBe 0
+    dl("abc", "abc") shouldBe 0
+    // the variant separator: full DL edits ca -> ac -> abc (2);
+    // restricted OSA forbids editing after a transposition (3).
+    // DuckDB's damerau_levenshtein returns 2 — we must too.
+    dl("ca", "abc") shouldBe 2
+    dl("a cat", "an act") shouldBe 2
+  }
+
+  test("codegen equals interpreted; nulls propagate; symmetric") {
+    val rng = new scala.util.Random(11)
+    val alpha = "abcde"
+    val rows = Seq.tabulate(300) { _ =>
+      def s() = Seq.fill(rng.nextInt(9))(
+        alpha(rng.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val out = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        DamerauLevenshtein.damerauLevenshtein(col("a"), col("b"))
+          .as("d"))
+      .collect()
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      r.getInt(2) shouldBe dl(a, b)
+      dl(a, b) shouldBe dl(b, a) // symmetry
+    }
+    val nulls = Seq(("x", null), (null, "y"))
+      .toDF("a", "b")
+      .select(DamerauLevenshtein
+        .damerauLevenshtein(col("a"), col("b")).as("d"))
+      .collect()
+    nulls.foreach(_.isNullAt(0) shouldBe true)
+  }
+}
