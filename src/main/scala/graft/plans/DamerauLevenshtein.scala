@@ -94,4 +94,11 @@ object DamerauLevenshtein {
   def damerauLevenshtein(a: Column, b: Column): Column =
     GraftShims.column(DamerauLevenshtein(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Register `damerau_levenshtein(a, b)` for SQL / `expr(...)` use.
+    * Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs.head, exprs(1)), "scala_udf")
 }

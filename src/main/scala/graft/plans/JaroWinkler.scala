@@ -110,4 +110,11 @@ object JaroWinkler {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftShims.column(JaroWinkler(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Register `jaro_winkler(a, b)` for SQL / `expr(...)` use.
+    * Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)),
+      "scala_udf")
 }

@@ -29,6 +29,18 @@ class RegistrySpec extends SparkSpec {
     viaSql(0)._1 shouldBe Seq("spark", "catalyst_2")
   }
 
+  test("native string-similarity expressions register as SQL " +
+      "functions with the same codegen kernels") {
+    graft.plans.JaroWinkler.register(spark)
+    graft.plans.DamerauLevenshtein.register(spark)
+    val r = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |  damerau_levenshtein('ca', 'abc') AS dl""".stripMargin)
+      .collect().head
+    r.getDouble(0) shouldBe 0.9611111111111111
+    r.getInt(1) shouldBe 2
+  }
+
   test("sequence/timestamp SQL functions invert each other") {
     Registry.install(spark)
     val bad = spark.sql(
