@@ -4878,12 +4878,7 @@ object SparkEntry {
     "q_eval_linkpred" -> ((s, dir) => {
       val model = sgnsModel(s, dir)
       val li = Tables.lineitem(s, dir)
-      val pairsT = operators.Graph.skipGramPairs(
-        operators.Graph.randomWalks(
-          li.select((col("l_orderkey") % 300).as("u"),
-            (col("l_partkey") % 300 + 300).as("v")),
-          col("u"), col("v"), walksPerNode = 2, steps = 4),
-        window = 2).select(col("center"), col("context"))
+      val pairsT = sgnsPairs(s, dir).select(col("center"), col("context"))
       val pos = pairsT
         .filter((col("center") + col("context")) % 7 === 0)
         .withColumn("is_pos", lit(true))
@@ -11863,19 +11858,29 @@ object SparkEntry {
     * its plan chains through per-round checkpoints, so only an
     * explicit key can address it; the key carries the source dir and
     * every hyperparameter. */
+  /** The mod-300 walk-corpus skip-gram pair table, keyed-cached
+    * beside the model: q_eval_linkpred reads it as its positive set
+    * and sgnsModel trains on it — without the shared key the pair
+    * pipeline (walks + banded self-join) rebuilt per consumer and
+    * the family's bench cost depended on registry order. */
+  private def sgnsPairs(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    plans.ResultCache.withKeyedCache(s,
+      s"sgns_pairs:$dir:mod=300:wpn=2:steps=4:win=2:seed=42",
+      operators.Graph.skipGramPairs(
+        operators.Graph.randomWalks(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 300).as("u"),
+            (col("l_partkey") % 300 + 300).as("v")),
+          col("u"), col("v"), walksPerNode = 2, steps = 4),
+        window = 2))
+
   private def sgnsModel(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
     plans.ResultCache.withKeyedCache(s,
       s"sgns_model:$dir:mod=300:d=4:r=3:neg=2:pool=u75cap200k:" +
         "lr=1:seed=42",
-      operators.Sgns.train(
-        operators.Graph.skipGramPairs(
-          operators.Graph.randomWalks(
-            Tables.lineitem(s, dir).select(
-              (col("l_orderkey") % 300).as("u"),
-              (col("l_partkey") % 300 + 300).as("v")),
-            col("u"), col("v"), walksPerNode = 2, steps = 4),
-          window = 2),
+      operators.Sgns.train(sgnsPairs(s, dir),
         dims = 4, rounds = 3, negsPerPair = 2,
         lrDen = 1L, seed = 42L))
 
