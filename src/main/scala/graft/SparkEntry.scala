@@ -2573,6 +2573,34 @@ object SparkEntry {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // ---- Damerau-aware entity resolution: a trailing-character
+    //      transposition ("widget" -> "widgte") costs ONE edit under
+    //      the native full-DL scorer, so it resolves inside a
+    //      maxDist=1 budget where Levenshtein (cost 2) drops it —
+    //      typo-tolerant linking at the same distance budget. The
+    //      swap stays inside the LAST word so blocking still hits via
+    //      the mention's intact first token
+    "q_entity_resolve_dl" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val catalog = p.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("entity_id"))
+        .select(col("entity_id"), col("p_name").as("name"))
+      val k = col("p_partkey") % 4
+      val swapped = concat(
+        expr("substring(p_name, 1, length(p_name)-2)"),
+        expr("substring(p_name, length(p_name), 1)"),
+        expr("substring(p_name, length(p_name)-1, 1)"))
+      val mentions = p.select(col("p_partkey").as("id"),
+        when(k === 1, swapped) // transposition: DL 1, Levenshtein 2
+          .when(k === 2, expr("substring(p_name, 1, length(p_name)-1)"))
+          .when(k === 3, concat(col("p_name"), lit("x")))
+          .otherwise(col("p_name")).as("text"))
+      operators.EntityResolution.resolveMentions(mentions, catalog,
+          maxDist = 1,
+          scorer = plans.DamerauLevenshtein.damerauLevenshtein)
+        .orderBy(col("id"))
+    }),
+
     // ---- leakage-free split: train/val/test assigned per near-dup
     // CLUSTER (not per doc), so no near-duplicate pair straddles the
     // eval boundary — the oracle recomputes clusters AND assignment
@@ -9248,6 +9276,39 @@ object SparkEntry {
         |    levenshtein(mt.text, ct.name) AS dist
         |  FROM mt JOIN ct ON mt.tok = ct.tok
         |  WHERE levenshtein(mt.text, ct.name) <= 3),
+        |best AS (SELECT id, min(dist) AS best_dist FROM sc GROUP BY id)
+        |SELECT sc.id, best.best_dist,
+        |  CAST(min(sc.entity_id) AS BIGINT) AS entity_id
+        |FROM sc JOIN best ON sc.id = best.id AND sc.dist = best.best_dist
+        |GROUP BY sc.id, best.best_dist
+        |ORDER BY sc.id""".stripMargin,
+
+    "q_entity_resolve_dl" ->
+      """WITH cat AS (
+        |  SELECT min(p_partkey) AS entity_id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |m AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 4 = 1
+        |           THEN substr(p_name, 1, length(p_name)-2)
+        |             || substr(p_name, length(p_name), 1)
+        |             || substr(p_name, length(p_name)-1, 1)
+        |         WHEN p_partkey % 4 = 2
+        |           THEN substr(p_name, 1, length(p_name)-1)
+        |         WHEN p_partkey % 4 = 3 THEN p_name || 'x'
+        |         ELSE p_name END AS text
+        |  FROM part),
+        |ct AS (SELECT entity_id, name,
+        |         unnest(list_distinct(string_split(name, ' '))) AS tok
+        |       FROM cat),
+        |mt AS (SELECT id, text,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |       FROM m),
+        |sc AS (
+        |  SELECT DISTINCT mt.id, ct.entity_id,
+        |    damerau_levenshtein(mt.text, ct.name) AS dist
+        |  FROM mt JOIN ct ON mt.tok = ct.tok
+        |  WHERE damerau_levenshtein(mt.text, ct.name) <= 1),
         |best AS (SELECT id, min(dist) AS best_dist FROM sc GROUP BY id)
         |SELECT sc.id, best.best_dist,
         |  CAST(min(sc.entity_id) AS BIGINT) AS entity_id

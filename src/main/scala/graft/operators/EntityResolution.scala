@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Entity resolution: link free-text mentions to a canonical entity
@@ -26,14 +26,22 @@ object EntityResolution {
   /** @param mentions (`id` long, `text` string)
     * @param catalog  (`entity_id` long, `name` string); must fit in a
     *                 broadcast (entity vocabularies do)
-    * @param maxDist  maximum Levenshtein distance to accept a link
+    * @param maxDist  maximum edit distance to accept a link
     * @param dfCap    drop blocking tokens appearing in more than this
     *                 many catalog names
+    * @param scorer   edit-distance Column builder — Levenshtein by
+    *                 default; pass
+    *                 [[graft.plans.DamerauLevenshtein.damerauLevenshtein]]
+    *                 when transposition typos ("teh") should cost one
+    *                 edit instead of two (typo-tolerant linking at the
+    *                 same distance budget)
     * @return (`id`, `best_dist`, `entity_id`) — the closest catalog
     *         entity per mention; smallest `entity_id` wins ties
     */
   def resolveMentions(mentions: DataFrame, catalog: DataFrame,
-                      maxDist: Int, dfCap: Int = Int.MaxValue): DataFrame = {
+                      maxDist: Int, dfCap: Int = Int.MaxValue,
+                      scorer: (Column, Column) => Column =
+                        levenshtein): DataFrame = {
     val catTok = catalog
       .select(col("entity_id"), col("name"),
         explode(array_distinct(split(col("name"), " "))).as("tok"))
@@ -50,7 +58,7 @@ object EntityResolution {
       // candidate rows, and min(struct) is insensitive to duplicates —
       // cheaper than a dedup shuffle of the full candidate stream
       .select(col("id"), col("text"), col("entity_id"), col("name"))
-      .withColumn("dist", levenshtein(col("text"), col("name")))
+      .withColumn("dist", scorer(col("text"), col("name")))
       .filter(col("dist") <= maxDist)
     cand
       .groupBy(col("id"))

@@ -66,4 +66,23 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString)
     a shouldBe b
   }
+
+  test("the Damerau scorer links transposition typos the default " +
+      "Levenshtein budget rejects") {
+    val cat = Seq((1L, "red widget"), (2L, "blue gear"))
+      .toDF("entity_id", "name")
+    val mentions = Seq((10L, "red widgte"), (11L, "blue gear"))
+      .toDF("id", "text")
+    // Levenshtein: the swap costs 2 -> mention 10 unresolved at 1
+    EntityResolution.resolveMentions(mentions, cat, maxDist = 1)
+      .select(col("id")).as[Long].collect().toSet shouldBe Set(11L)
+    // full Damerau-Levenshtein: the swap costs 1 -> both resolve
+    val dl = EntityResolution.resolveMentions(mentions, cat,
+        maxDist = 1,
+        scorer = graft.plans.DamerauLevenshtein.damerauLevenshtein)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2))).toMap
+    dl(10L) shouldBe ((1, 1L))
+    dl(11L) shouldBe ((0, 2L))
+  }
 }
