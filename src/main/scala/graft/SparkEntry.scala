@@ -902,6 +902,24 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    // ---- PER-KEY exact EWMA: the distributed segmented-scan form of
+    //      q_ts_ewma (repartition by user, in-partition sort, one
+    //      imperative pass with key-boundary resets — parallelism =
+    //      keys, no driver fold); per-user daily spend smoothed at
+    //      α = 3/10, bit-exact vs the oracle's per-key recursive CTE
+    "q_ts_ewma_key" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.ewmaByKey(daily, col("user_id"), col("day"),
+          col("x"), num = 3L, den = 10L)
+        .orderBy(col("k"), col("t"))
+    }),
+
     // ---- U-shaped (position-based) multi-touch attribution: every
     //      purchase credits its preceding 7-day click path 40/20/40
     //      (first/middles/last) in integer micro shares, remainder to
@@ -6344,6 +6362,24 @@ object SparkEntry {
         |  FROM ew JOIN st s ON s.k = ew.k + 1)
         |SELECT CAST(t AS BIGINT) AS t, x, CAST(ewma AS BIGINT) AS ewma
         |FROM ew ORDER BY t""".stripMargin,
+
+    "q_ts_ewma_key" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT k, t, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY t) AS i
+        |       FROM daily),
+        |ew AS (
+        |  SELECT k, i, t, x, x AS ewma FROM st WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i, s.t, s.x,
+        |    CAST((3 * s.x + 7 * ew.ewma) // 10 AS BIGINT)
+        |  FROM ew JOIN st s ON s.k = ew.k AND s.i = ew.i + 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(t AS BIGINT) AS t, x,
+        |  CAST(ewma AS BIGINT) AS ewma
+        |FROM ew ORDER BY k, t""".stripMargin,
 
     "q_attribution" ->
       """WITH p AS (

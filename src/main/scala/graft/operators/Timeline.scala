@@ -448,4 +448,39 @@ object Timeline {
     }
     out.toSeq.toDF("t", "x", "ewma")
   }
+
+  /** [[ewmaExact]] PER KEY, distributed — the segmented-scan form:
+    * each key's rows co-locate (repartition by key), sort within the
+    * partition by (key, t), and one imperative pass runs the exact
+    * trunc recursion, resetting state at key boundaries. Parallelism
+    * is the key count; no driver fold, no window — the pattern for
+    * any per-key sequential recursion at 10⁹ keys (one shuffle, one
+    * in-partition sort, one scan). mapPartitions is the honest tool
+    * here: the S_{t−1} feedback is not window-expressible, and this
+    * is exactly the "genuine per-partition imperative logic" case.
+    *
+    * Input needs one row per (key, t) — enforce upstream with a
+    * groupBy. Output (k, t, x, ewma). */
+  def ewmaByKey(df: DataFrame, keyCol: Column, tCol: Column,
+                xCol: Column, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num <= den, got $num/$den")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        xCol.cast("long").as("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var haveKey = false
+        var s = 0L
+        it.map { case (k, t, x) =>
+          if (!haveKey || k != curKey) { curKey = k; haveKey = true; s = x }
+          else s = (num * x + (den - num) * s) / den
+          (k, t, x, s)
+        }
+      }
+      .toDF("k", "t", "x", "ewma")
+  }
 }

@@ -336,4 +336,26 @@ class TimelineSpec extends SparkSpec {
       // (3*-11 + 7*-10)/10 = -103/10 -> trunc = -10 (floor were -11)
       ((2L, -11L, -10L))
   }
+
+  test("ewmaByKey equals the bounded-fold operator per key and " +
+      "resets state at key boundaries under any partitioning") {
+    val rng = new scala.util.Random(3)
+    val rows = for {
+      k <- 1L to 7L
+      t <- 1L to 20L
+    } yield (k, t, rng.nextInt(2000).toLong - 500L)
+    val df = rows.toDF("k", "t", "x")
+    val got = Timeline.ewmaByKey(df.repartition(5), col("k"),
+        col("t"), col("x"), 3L, 10L)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = (1L to 7L).flatMap { k =>
+      Timeline.ewmaExact(df.filter(col("k") === k), col("t"),
+          col("x"), 3L, 10L)
+        .orderBy(col("t"))
+        .as[(Long, Long, Long)].collect().toSeq
+        .map { case (t, x, e) => (k, t, x, e) }
+    }
+    got shouldBe want
+  }
 }
