@@ -36,6 +36,7 @@ object Bench {
     // full sweep (~30s+) makes the two samples independent, so the min
     // is the reproducible operator cost.
     val names = SparkEntry.queries.keys.toSeq
+    val tWall0 = System.nanoTime()
     val timed = (1 to 2).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
@@ -44,6 +45,7 @@ object Bench {
         catch { case _: Throwable => name -> None }
       }.toMap
     }
+    val wallS = (System.nanoTime() - tWall0) / 1e9
     // failed = no successful attempt in either pass; a query with one
     // good pass reports that pass (a flaky second attempt must not put
     // a query in BOTH the failed list and the totals)
@@ -70,12 +72,31 @@ object Bench {
     // regression is distinguishable from timer noise). The complete
     // per-query map goes to BENCH_FULL.json beside the repo for the
     // judge / future rounds.
+    // Self-diagnosis against machine contention (the round-16 lesson:
+    // 10 phantom >2x floor "breaches" on a contended driver run cost a
+    // full adjudication cycle). The sidecar carries BOTH interleaved
+    // pass samples per query — a genuine regression reproduces in both
+    // passes, a contention blip inflates only one — plus a machine-
+    // level indicator: wall time of the timed section over the
+    // min-sum. Two back-to-back idle passes land ~2.0-2.4 (each pass
+    // ~= the min-sum); a contended run climbs well past 3 (r16's was
+    // ~4.4). `queries` stays the flat name->min map for existing
+    // tooling; `samples` adds {p1,p2}.
+    val contention =
+      if (total > 0) wallS / total else 0.0
+    val samplesJson = results.toSeq.sortBy(_._1).map { case (k, _) =>
+      def g(i: Int): String = timed(i)(k).map(f3).getOrElse("null")
+      "\"" + k + "\":{\"p1\":" + g(0) + ",\"p2\":" + g(1) + "}"
+    }.mkString("{", ",", "}")
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + f3(total) +
         ",\"unit\":\"sec\",\"n_queries\":" + results.size +
+        ",\"wall_s\":" + f3(wallS) +
+        ",\"wall_over_min_sum\":" + f3(contention) +
         ",\"failed\":" + failedJson + ",\"sf\":\"" + sfDir +
-        "\",\"queries\":{", ",", "}}")
+        "\",\"samples\":" + samplesJson +
+        ",\"queries\":{", ",", "}}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_FULL.json")
     // advertise the sidecar only if THIS run's write succeeded — a
@@ -90,6 +111,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
   }
 }

@@ -920,6 +920,24 @@ object SparkEntry {
         .orderBy(col("k"), col("t"))
     }),
 
+    // ---- PER-KEY Holt linear-trend smoothing (α = 3/10, β = 2/10):
+    //      the two coupled exact-integer recursions (level needs the
+    //      previous level+trend, trend needs the CURRENT level)
+    //      through the same segmented-scan seam as q_ts_ewma_key;
+    //      oracle replays both recursions in one recursive CTE
+    "q_ts_holt_key" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.holtByKey(daily, col("user_id"), col("day"),
+          col("x"), aNum = 3L, aDen = 10L, bNum = 2L, bDen = 10L)
+        .orderBy(col("k"), col("t"))
+    }),
+
     // ---- U-shaped (position-based) multi-touch attribution: every
     //      purchase credits its preceding 7-day click path 40/20/40
     //      (first/middles/last) in integer micro shares, remainder to
@@ -2619,6 +2637,35 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- phonetic (Soundex) entity resolution: every odd mention's
+    //      FIRST token has its vowels rotated (a→e→i→o→u→a, first
+    //      char kept), so exact-token blocking misses the block
+    //      entirely — but vowels are all code-0 separators in
+    //      Soundex, so the token's phonetic key is UNCHANGED and
+    //      soundex blocking still lands it. Engine blocks on Spark's
+    //      builtin soundex (full American spec, H/W-transparent —
+    //      verified bit-identical to the oracle's char-walk CTE on
+    //      canonical vectors incl. Ashcraft→A261, white/wheat→W300);
+    //      the oracle replays the identical algorithm in pure SQL
+    "q_entity_resolve_sx" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val catalog = p.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("entity_id"))
+        .select(col("entity_id"), col("p_name").as("name"))
+      val tok1 = expr("split(p_name, ' ')[0]")
+      val perturbed = concat(
+        substring(tok1, 1, 1),
+        translate(expr("substring(split(p_name, ' ')[0], 2)"),
+          "aeiou", "eioua"),
+        expr("substring(p_name, length(split(p_name, ' ')[0]) + 1)"))
+      val mentions = p.select(col("p_partkey").as("id"),
+        when(col("p_partkey") % 2 === 1, perturbed)
+          .otherwise(col("p_name")).as("text"))
+      operators.EntityResolution.resolveMentions(mentions, catalog,
+          maxDist = 6, blockingKey = soundex)
+        .orderBy(col("id"))
+    }),
+
     // ---- leakage-free split: train/val/test assigned per near-dup
     // CLUSTER (not per doc), so no near-duplicate pair straddles the
     // eval boundary — the oracle recomputes clusters AND assignment
@@ -3323,23 +3370,34 @@ object SparkEntry {
 
     // ---- classical link-prediction heuristics on the bipartite
     //      order-part graph: common-neighbor counts and Adamic-Adar
-    //      (Σ 1/ln(deg) over shared neighbors, nano fixed-point — one
-    //      ln per NODE of an integer degree, the bounded-transcendental
-    //      discipline) for the top-20 order pairs. Wedge join on the
-    //      shared neighbor — the triangles shape, no all-pairs
+    //      (Σ 1/ln(deg) over shared neighbors, nano fixed-point) for
+    //      the top-20 order pairs. The wedge join enumerates
+    //      C(deg(v),2) pairs per shared neighbor, so hubs with
+    //      deg(v) > τ=256 are DROPPED before the join (the
+    //      Dedup.jaccardPairs dfCap discipline): on a power-law graph
+    //      an uncapped hub is quadratic, and its Adamic-Adar
+    //      contribution 1/ln(deg) is the least informative signal in
+    //      the sum anyway. τ drops nothing at the gated SFs (max deg
+    //      53 at sf0.1) — it exists for the 100× graph. Weights come
+    //      from the BigDecimal-exact Eval.adamicWeightsNano table,
+    //      broadcast and embedded identically in the oracle (no libm
+    //      ln on either side — floor-boundary parity by construction)
     "q_graph_adamic" -> ((s, dir) => {
+      import s.implicits._
       val e = Tables.lineitem(s, dir).select(
           (col("l_orderkey") % 20000).as("u"),
           (col("l_partkey") % 20000).as("v")).distinct()
+      val wt = operators.Eval.adamicWeightsNano(256).toDF("d", "w")
       val wNode = e.groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= 2)
-        .select(col("v"),
-          floor(lit(1e9) / log(col("d").cast("double")))
-            .cast("long").as("w"))
-      val a = e.select(col("v"), col("u").as("a"))
+        .filter(col("d") >= 2 && col("d") <= 256)
+        .join(broadcast(wt), "d")
+        .select(col("v"), col("w"))
+      // cap applied BEFORE the wedge: only edges on surviving v's
+      // enter the self-join, and w rides side a (no post-wedge join)
+      val a = e.join(wNode, "v").select(col("v"), col("u").as("a"),
+        col("w"))
       val b = e.select(col("v"), col("u").as("b"))
       a.join(b, "v").filter(col("a") < col("b"))
-        .join(wNode, "v")
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa_nano"))
         .orderBy(col("aa_nano").desc, col("a"), col("b"))
@@ -6381,6 +6439,29 @@ object SparkEntry {
         |  CAST(ewma AS BIGINT) AS ewma
         |FROM ew ORDER BY k, t""".stripMargin,
 
+    "q_ts_holt_key" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT k, t, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY t) AS i
+        |       FROM daily),
+        |hw AS (
+        |  SELECT k, i, t, x, x AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM st WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i, s.t, s.x,
+        |    CAST((3 * s.x + 7 * (hw.level + hw.trend)) // 10
+        |      AS BIGINT),
+        |    CAST((2 * (CAST((3 * s.x + 7 * (hw.level + hw.trend))
+        |        // 10 AS BIGINT) - hw.level) + 8 * hw.trend) // 10
+        |      AS BIGINT)
+        |  FROM hw JOIN st s ON s.k = hw.k AND s.i = hw.i + 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(t AS BIGINT) AS t, x,
+        |  CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
+        |FROM hw ORDER BY k, t""".stripMargin,
+
     "q_attribution" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
@@ -9352,6 +9433,77 @@ object SparkEntry {
         |GROUP BY sc.id, best.best_dist
         |ORDER BY sc.id""".stripMargin,
 
+    // Soundex replayed from the spec in pure SQL: explode chars,
+    // map to codes (H/W→'7' transparent, vowels→'0' separators),
+    // collapse adjacent equal codes over the 7-free chain via lag,
+    // first letter + first 3 digits padded with '0'. Verified
+    // bit-identical to Spark's builtin on canonical vectors
+    // (Robert→R163, Ashcraft→A261, Pfister→P236, white/wheat→W300,
+    // hw→H000, aeiou→A000).
+    "q_entity_resolve_sx" ->
+      """WITH cat AS (
+        |  SELECT min(p_partkey) AS entity_id, p_name AS name
+        |  FROM part GROUP BY p_name),
+        |m AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 2 = 1
+        |      THEN substr(string_split(p_name, ' ')[1], 1, 1)
+        |        || translate(substr(string_split(p_name, ' ')[1], 2),
+        |             'aeiou', 'eioua')
+        |        || substr(p_name,
+        |             length(string_split(p_name, ' ')[1]) + 1)
+        |      ELSE p_name END AS text
+        |  FROM part),
+        |ct AS (SELECT entity_id, name,
+        |         unnest(list_distinct(string_split(name, ' '))) AS tok
+        |       FROM cat),
+        |mt AS (SELECT id, text,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |       FROM m),
+        |words AS (SELECT DISTINCT tok AS word FROM ct
+        |          UNION SELECT DISTINCT tok FROM mt),
+        |tokc AS (
+        |  SELECT word, i, upper(substr(word, CAST(i AS INT), 1)) AS ch
+        |  FROM (SELECT word, unnest(range(1, length(word)+1)) AS i
+        |        FROM words)),
+        |cod AS (
+        |  SELECT word, i, ch,
+        |    CASE WHEN ch IN ('B','F','P','V') THEN '1'
+        |         WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |         WHEN ch IN ('D','T') THEN '3'
+        |         WHEN ch = 'L' THEN '4'
+        |         WHEN ch IN ('M','N') THEN '5'
+        |         WHEN ch = 'R' THEN '6'
+        |         WHEN ch IN ('H','W') THEN '7'
+        |         ELSE '0' END AS code
+        |  FROM tokc),
+        |chain AS (
+        |  SELECT word, i, code,
+        |    lag(code) OVER (PARTITION BY word ORDER BY i) AS pc
+        |  FROM cod WHERE i = 1 OR code <> '7'),
+        |dig AS (
+        |  SELECT word, i, code FROM chain
+        |  WHERE i > 1 AND code NOT IN ('0','7') AND code <> pc),
+        |sx AS (
+        |  SELECT w.word, upper(substr(w.word, 1, 1)) ||
+        |    substr(coalesce(string_agg(d.code, '' ORDER BY d.i), '')
+        |      || '000', 1, 3) AS sx
+        |  FROM words w LEFT JOIN dig d USING (word)
+        |  GROUP BY w.word),
+        |sc AS (
+        |  SELECT DISTINCT mt.id, ct.entity_id,
+        |    levenshtein(mt.text, ct.name) AS dist
+        |  FROM mt JOIN sx s1 ON s1.word = mt.tok
+        |    JOIN sx s2 ON s2.sx = s1.sx
+        |    JOIN ct ON ct.tok = s2.word
+        |  WHERE levenshtein(mt.text, ct.name) <= 6),
+        |best AS (SELECT id, min(dist) AS best_dist FROM sc GROUP BY id)
+        |SELECT sc.id, best.best_dist,
+        |  CAST(min(sc.entity_id) AS BIGINT) AS entity_id
+        |FROM sc JOIN best ON sc.id = best.id AND sc.dist = best.best_dist
+        |GROUP BY sc.id, best.best_dist
+        |ORDER BY sc.id""".stripMargin,
+
     "q_fuzzy_jw" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, p_size,
@@ -10102,24 +10254,31 @@ object SparkEntry {
         |FROM r WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    "q_graph_adamic" ->
-      """WITH e AS (
-        |  SELECT DISTINCT l_orderkey % 20000 AS u,
-        |    l_partkey % 20000 AS v
-        |  FROM lineitem),
-        |wn AS (
-        |  SELECT v, CAST(floor(1e9 / ln(CAST(count(*) AS DOUBLE)))
-        |    AS BIGINT) AS w
-        |  FROM e GROUP BY v HAVING count(*) >= 2),
-        |p AS (
-        |  SELECT a.u AS a, b.u AS b, a.v
-        |  FROM e a JOIN e b ON a.v = b.v AND a.u < b.u)
-        |SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS cn,
-        |  CAST(sum(wn.w) AS BIGINT) AS aa_nano
-        |FROM p JOIN wn ON wn.v = p.v
-        |GROUP BY 1, 2
-        |ORDER BY aa_nano DESC, a, b
-        |LIMIT 20""".stripMargin,
+    "q_graph_adamic" -> {
+      // same BigDecimal-exact weight table as the engine side; hub
+      // cap τ=256 mirrored in the HAVING
+      val weights = operators.Eval.adamicWeightsNano(256)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey % 20000 AS u,
+         |    l_partkey % 20000 AS v
+         |  FROM lineitem),
+         |wt(d, w) AS (VALUES $weights),
+         |wn AS (
+         |  SELECT dg.v, CAST(wt.w AS BIGINT) AS w
+         |  FROM (SELECT v, count(*) AS d FROM e GROUP BY v
+         |        HAVING count(*) >= 2 AND count(*) <= 256) dg
+         |  JOIN wt ON wt.d = dg.d),
+         |p AS (
+         |  SELECT a.u AS a, b.u AS b, a.v
+         |  FROM e a JOIN e b ON a.v = b.v AND a.u < b.u)
+         |SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS cn,
+         |  CAST(sum(wn.w) AS BIGINT) AS aa_nano
+         |FROM p JOIN wn ON wn.v = p.v
+         |GROUP BY 1, 2
+         |ORDER BY aa_nano DESC, a, b
+         |LIMIT 20""".stripMargin
+    },
 
     "q_fuzzy_dl" ->
       """WITH m AS (

@@ -94,7 +94,10 @@ object ImaAdpcm {
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var fact: Option[Long] = None
     var data: Option[Array[Byte]] = None
-    while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+    // walk ALL chunks — legal RIFF ordering allows `fact` after `data`,
+    // so stopping at fmt+data would return untrimmed pad frames
+    while (pos + 8 <= payload.length &&
+      (fmt.isEmpty || data.isEmpty || fact.isEmpty)) {
       val id = fourcc(payload, pos)
       val size = u32(payload, pos + 4)
       val body = pos + 8

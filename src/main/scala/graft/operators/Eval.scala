@@ -269,6 +269,52 @@ object Eval {
     }
   }
 
+  /** Natural log in exact BigDecimal (50-digit working precision) via
+    * argument reduction x = m·2^k, m ∈ [1,2), then the atanh series
+    * ln(m) = 2·atanh((m−1)/(m+1)) — y ≤ 1/3, two digits per term. No
+    * libm anywhere, so tables built from it are reproducible literals
+    * on both engine and oracle sides. */
+  private val lnMc = new java.math.MathContext(50)
+  private def atanhExact(y: BigDecimal): BigDecimal = {
+    val eps = BigDecimal(1, lnMc) / BigDecimal(10, lnMc).pow(45)
+    val y2 = y * y
+    var pow = y
+    var sum = y
+    var n = 3
+    while (pow.abs > eps) {
+      pow = pow * y2
+      sum = sum + pow / BigDecimal(n, lnMc)
+      n += 2
+    }
+    sum
+  }
+  private lazy val ln2Exact: BigDecimal =
+    atanhExact(BigDecimal(1, lnMc) / BigDecimal(3, lnMc)) * 2
+  private[graft] def lnExact(x: Int): BigDecimal = {
+    require(x >= 1, s"lnExact domain: $x")
+    var k = 0
+    var m = x
+    while (m >= 2) { k += 1; m >>= 1 } // k = floor(log2 x)
+    val mantissa = BigDecimal(x, lnMc) / BigDecimal(2, lnMc).pow(k)
+    val y = (mantissa - 1) / (mantissa + 1)
+    ln2Exact * k + atanhExact(y) * 2
+  }
+
+  /** Adamic-Adar per-degree weight table: d → ⌊10⁹ / ln(d)⌋ for
+    * d ∈ [2, maxDeg], computed in exact BigDecimal ([[lnExact]]) and
+    * embedded as identical literals on engine and oracle sides — the
+    * rboWeights/ndcg discount-table discipline. Relying on JVM
+    * Math.log and the oracle's libm ln agreeing to the last ulp at a
+    * floor boundary is a latent ordering hazard; a 50-digit table is
+    * not. The bounded domain is free: callers cap shared-neighbor
+    * degree at maxDeg anyway (hub guard), so the table covers every
+    * degree that survives. */
+  def adamicWeightsNano(maxDeg: Int): Seq[(Int, Long)] =
+    (2 to maxDeg).map { d =>
+      val w = BigDecimal(1000000000L, lnMc) / lnExact(d)
+      (d, w.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact)
+    }
+
   /** Truncated rank-biased overlap at `depth` between two total-order
     * rankings of the same items, in integer nano units: the agreement
     * readout for "did re-ranking change the leaderboard" that top-k

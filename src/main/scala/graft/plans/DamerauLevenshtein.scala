@@ -44,6 +44,23 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Per-thread scratch buffers: the flat DP matrix plus a primitive
+    * open-addressed char→row table (keys hold the char or -1; load
+    * factor ≤ 0.5). Reused across rows so the codegen hot path
+    * allocates nothing but the two decoded Strings — the boxed
+    * HashMap[Character,Integer] + fresh 2-D matrix per row that the
+    * first cut paid is gone. Safe: one task per thread, and every DP
+    * cell read (incl. the transposition lookback d(k)(l)) is written
+    * earlier in the same call, so a dirty reused matrix never leaks. */
+  private final class Scratch {
+    var d: Array[Int] = new Array[Int](0)
+    var keys: Array[Int] = new Array[Int](0)
+    var vals: Array[Int] = new Array[Int](0)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   /** Shared kernel (interpreted eval + generated code both call the
     * static forwarder). */
   def compute(ua: UTF8String, ub: UTF8String): Int = {
@@ -53,41 +70,63 @@ object DamerauLevenshtein {
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
+    val sc = scratch.get()
+    val w = lb + 2
+    val need = (la + 2) * w
+    if (sc.d.length < need) sc.d = new Array[Int](need)
+    val d = sc.d
+    var cap = 8
+    while (cap < la * 2) cap <<= 1
+    if (sc.keys.length < cap) {
+      sc.keys = new Array[Int](cap); sc.vals = new Array[Int](cap)
+    }
+    cap = sc.keys.length // pow2 by construction
+    val keys = sc.keys
+    val vals = sc.vals
+    java.util.Arrays.fill(keys, 0, cap, -1)
+    val mask = cap - 1
     val maxd = la + lb
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = maxd
+    d(0) = maxd
     var i = 0
-    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = maxd; i += 1 }
+    while (i <= la) {
+      d((i + 1) * w + 1) = i; d((i + 1) * w) = maxd; i += 1
+    }
     var j = 0
-    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = maxd; j += 1 }
-    val last = new java.util.HashMap[Character, Integer]()
+    while (j <= lb) { d(w + j + 1) = j; d(j + 1) = maxd; j += 1 }
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = {
-          val v = last.get(Character.valueOf(b.charAt(j - 1)))
-          if (v == null) 0 else v.intValue
+        val bc: Int = b.charAt(j - 1)
+        var k = 0
+        var h = bc & mask
+        var probing = true
+        while (probing) {
+          val kk = keys(h)
+          if (kk == -1) probing = false
+          else if (kk == bc) { k = vals(h); probing = false }
+          else h = (h + 1) & mask
         }
         val l = db
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) {
-          db = j; 0
-        } else 1
-        var best = d(i)(j) + cost // substitute / match
-        val ins = d(i + 1)(j) + 1
+        val cost = if (a.charAt(i - 1) == bc) { db = j; 0 } else 1
+        var best = d(i * w + j) + cost // substitute / match
+        val ins = d((i + 1) * w + j) + 1
         if (ins < best) best = ins
-        val del = d(i)(j + 1) + 1
+        val del = d(i * w + j + 1) + 1
         if (del < best) best = del
-        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
         if (tr < best) best = tr
-        d(i + 1)(j + 1) = best
+        d((i + 1) * w + j + 1) = best
         j += 1
       }
-      last.put(Character.valueOf(a.charAt(i - 1)), Integer.valueOf(i))
+      val ac: Int = a.charAt(i - 1)
+      var h = ac & mask
+      while (keys(h) != -1 && keys(h) != ac) h = (h + 1) & mask
+      keys(h) = ac; vals(h) = i
       i += 1
     }
-    d(la + 1)(lb + 1)
+    d((la + 1) * w + lb + 1)
   }
 
   /** Column builder over two STRING columns. */

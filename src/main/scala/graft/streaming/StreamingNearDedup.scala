@@ -135,30 +135,51 @@ object StreamingNearDedup {
     * identical survivor sets), while the directory count drops to one
     * per compaction horizon.
     *
-    * Crash discipline: the distinct union is first written to a hidden
-    * temp dir, the old partitions are then deleted, and the temp dir is
-    * renamed into place LAST — a crash between delete and rename loses
-    * no data (the temp dir holds the full union; move it back and
-    * re-run). A production object-store deployment would wrap this in a
-    * manifest commit; this is the single-writer maintenance-job shape. */
+    * Crash discipline (promote-before-delete, every FileSystem verb
+    * checked — Hadoop signals most failures by returning false, not
+    * throwing): the distinct union is staged to a hidden dir, committed
+    * to `.compact_tmp` by rename, swapped into `batch=<throughBatch>`,
+    * and only THEN are the now-redundant old partitions deleted. A
+    * crash at any step loses nothing: `.compact_tmp` (if present) is
+    * folded back into the next run's merge inputs, and leftover
+    * duplicate partitions are harmless — state rows are a set. The only
+    * reader-invisible window is the single delete+rename swap of the
+    * target partition itself (vs. the whole horizon before), and the
+    * single-writer maintenance contract covers it. A production
+    * object-store deployment would wrap this in a manifest commit. */
   def compactState(spark: SparkSession, stateDir: String,
                    throughBatch: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactState: $what failed (FileSystem returned false)")
     val olds = fs.listStatus(root).filter { s =>
       val n = s.getPath.getName
       s.isDirectory && n.startsWith("batch=") &&
         n.drop("batch=".length).toLong <= throughBatch
     }
-    if (olds.isEmpty) return
-    val merged = spark.read.parquet(olds.map(_.getPath.toString): _*)
-      .select(col("band"), col("bucket")).distinct()
     val tmp = new org.apache.hadoop.fs.Path(stateDir, ".compact_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    olds.foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(stateDir,
-      s"batch=$throughBatch"))
+    val haveTmp = fs.exists(tmp) // a prior attempt's committed union
+    if (olds.isEmpty && !haveTmp) return
+    val inputs = olds.map(_.getPath.toString) ++
+      (if (haveTmp) Seq(tmp.toString) else Nil)
+    val merged = spark.read.parquet(inputs: _*)
+      .select(col("band"), col("bucket")).distinct()
+    // stage (never a merge input, safe to clobber), then commit to tmp
+    val stage = new org.apache.hadoop.fs.Path(stateDir, ".compact_stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(tmp)) must(fs.delete(tmp, true), s"delete $tmp")
+    must(fs.rename(stage, tmp), s"rename $stage -> $tmp")
+    // swap the committed union into place, then drop the redundant olds
+    val target = new org.apache.hadoop.fs.Path(stateDir,
+      s"batch=$throughBatch")
+    if (fs.exists(target)) must(fs.delete(target, true), s"delete $target")
+    must(fs.rename(tmp, target), s"rename $tmp -> $target")
+    // compare by name — listStatus paths are fully qualified, target is not
+    olds.filterNot(_.getPath.getName == target.getName).foreach(s =>
+      must(fs.delete(s.getPath, true), s"delete ${s.getPath}"))
     ()
   }
 }

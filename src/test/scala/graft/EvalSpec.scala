@@ -136,6 +136,22 @@ class EvalSpec extends SparkSpec {
     total should be > 990000000L // 1 - 0.9^50 = 0.99485
   }
 
+  test("adamicWeightsNano matches an independent 60-digit decimal " +
+      "computation of floor(1e9/ln d)") {
+    // expected values computed with Python decimal (prec=60),
+    // independent of the Scala BigDecimal atanh-series ln
+    val expected = Map(
+      2 -> 1442695040L, 3 -> 910239226L, 4 -> 721347520L,
+      5 -> 621334934L, 10 -> 434294481L, 53 -> 251870648L,
+      100 -> 217147240L, 255 -> 180464255L, 256 -> 180336880L)
+    val table = Eval.adamicWeightsNano(256).toMap
+    table should have size 255
+    expected.foreach { case (d, w) => table(d) shouldBe w }
+    // monotone decreasing in d (1/ln is)
+    val ws = Eval.adamicWeightsNano(256).map(_._2)
+    ws.zip(ws.tail).foreach { case (a, b) => a should be > b }
+  }
+
   test("rboTruncated: identical rankings emit each weight verbatim; " +
       "disjoint top-k emits zero") {
     val same = (1L to 10L).map(i => (i, i)).toDF("ra", "rb")
