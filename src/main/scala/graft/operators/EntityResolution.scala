@@ -35,16 +35,29 @@ object EntityResolution {
     *                 when transposition typos ("teh") should cost one
     *                 edit instead of two (typo-tolerant linking at the
     *                 same distance budget)
+    * @param blockingKey transform applied to each blocking token on
+    *                 BOTH sides before matching — identity by default
+    *                 (exact token blocking); pass
+    *                 `org.apache.spark.sql.functions.soundex` for
+    *                 phonetic blocking, where a misspelled token still
+    *                 lands in its sound-alike block. `dfCap` counts
+    *                 per transformed key (a phonetic bucket merging
+    *                 many tokens is exactly the mega-block the cap
+    *                 exists for)
     * @return (`id`, `best_dist`, `entity_id`) — the closest catalog
     *         entity per mention; smallest `entity_id` wins ties
     */
   def resolveMentions(mentions: DataFrame, catalog: DataFrame,
                       maxDist: Int, dfCap: Int = Int.MaxValue,
                       scorer: (Column, Column) => Column =
-                        levenshtein): DataFrame = {
+                        levenshtein,
+                      blockingKey: Column => Column =
+                        identity[Column]): DataFrame = {
     val catTok = catalog
       .select(col("entity_id"), col("name"),
-        explode(array_distinct(split(col("name"), " "))).as("tok"))
+        explode(array_distinct(split(col("name"), " "))).as("rawtok"))
+      .select(col("entity_id"), col("name"),
+        blockingKey(col("rawtok")).as("tok"))
     val keepTok = catTok.groupBy(col("tok"))
       .agg(countDistinct(col("entity_id")).as("df"))
       .filter(col("df") <= dfCap)
@@ -52,7 +65,9 @@ object EntityResolution {
     val blocked = broadcast(catTok.join(keepTok, "tok"))
     val cand = mentions
       .select(col("id"), col("text"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(split(col("text"), " "))).as("rawtok"))
+      .select(col("id"), col("text"),
+        blockingKey(col("rawtok")).as("tok"))
       .join(blocked, "tok")
       // no distinct: a pair sharing several tokens yields duplicate
       // candidate rows, and min(struct) is insensitive to duplicates —

@@ -483,4 +483,51 @@ object Timeline {
       }
       .toDF("k", "t", "x", "ewma")
   }
+
+  /** Holt linear-trend smoothing PER KEY — two coupled exact-integer
+    * recursions through the [[ewmaByKey]] segmented-scan seam:
+    *
+    *   L_t = trunc((aNum·x_t + (aDen−aNum)·(L_{t−1}+T_{t−1})) / aDen)
+    *   T_t = trunc((bNum·(L_t−L_{t−1}) + (bDen−bNum)·T_{t−1}) / bDen)
+    *
+    * with L = x, T = 0 at each key's first row. Trunc division per
+    * step (Scala Long `/` = DuckDB integer `//`, toward zero — exact
+    * parity on negative levels/trends too). The trend recursion needs
+    * the CURRENT level, so this is even less window-expressible than
+    * plain EWMA — same repartition-by-key + in-partition sort + one
+    * imperative scan with key-boundary resets; parallelism is the key
+    * count, no driver fold. Input needs one row per (key, t); output
+    * (k, t, x, level, trend). */
+  def holtByKey(df: DataFrame, keyCol: Column, tCol: Column,
+                xCol: Column, aNum: Long, aDen: Long,
+                bNum: Long, bDen: Long): DataFrame = {
+    require(aNum > 0 && aDen >= aNum,
+      s"need 0 < aNum <= aDen, got $aNum/$aDen")
+    require(bNum > 0 && bDen >= bNum,
+      s"need 0 < bNum <= bDen, got $bNum/$bDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        xCol.cast("long").as("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var haveKey = false
+        var lvl = 0L
+        var tr = 0L
+        it.map { case (k, t, x) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; lvl = x; tr = 0L
+          } else {
+            val prevL = lvl
+            lvl = (aNum * x + (aDen - aNum) * (prevL + tr)) / aDen
+            tr = (bNum * (lvl - prevL) + (bDen - bNum) * tr) / bDen
+          }
+          (k, t, x, lvl, tr)
+        }
+      }
+      .toDF("k", "t", "x", "level", "trend")
+  }
 }

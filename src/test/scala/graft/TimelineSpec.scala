@@ -358,4 +358,51 @@ class TimelineSpec extends SparkSpec {
     }
     got shouldBe want
   }
+
+  test("holtByKey hand case, trunc-toward-zero trend, and key reset") {
+    // α=3/10, β=2/10 over x = 10,20,100:
+    //  t1 L=10 T=0; t2 L=(60+70)/10=13 T=(2*3)/10=0;
+    //  t3 L=(300+7*13)/10=39 T=(2*26)/10=5
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 100L),
+      (2L, 1L, 100L), (2L, 2L, 10L)).toDF("k", "t", "x")
+    val out = Timeline.holtByKey(df, col("k"), col("t"), col("x"),
+        3L, 10L, 2L, 10L)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 10L, 10L, 0L),
+      (1L, 2L, 20L, 13L, 0L),
+      (1L, 3L, 100L, 39L, 5L),
+      (2L, 1L, 100L, 100L, 0L), // key-boundary reset: L=x, T=0
+      // L=(30+700)/10=73; T=(2*(73-100))/10 = -54/10 -> trunc -5
+      // (floor were -6 — the DuckDB `//` parity case)
+      (2L, 2L, 10L, 73L, -5L))
+  }
+
+  test("holtByKey matches a per-key driver fold under any partitioning") {
+    val rng = new scala.util.Random(17)
+    val rows = for {
+      k <- 1L to 7L
+      t <- 1L to 20L
+    } yield (k, t, rng.nextInt(2000).toLong - 500L)
+    val df = rows.toDF("k", "t", "x")
+    val got = Timeline.holtByKey(df.repartition(5), col("k"),
+        col("t"), col("x"), 3L, 10L, 2L, 10L)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (k, rs) =>
+        var lvl = 0L; var tr = 0L; var first = true
+        rs.sortBy(_._2).map { case (_, t, x) =>
+          if (first) { first = false; lvl = x; tr = 0L }
+          else {
+            val prevL = lvl
+            lvl = (3L * x + 7L * (prevL + tr)) / 10L
+            tr = (2L * (lvl - prevL) + 8L * tr) / 10L
+          }
+          (k, t, x, lvl, tr)
+        }
+    }
+    got shouldBe want
+  }
 }
