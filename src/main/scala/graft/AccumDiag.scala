@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main for the chronic ERROR-level DAGScheduler
+  * `updateAccumulators` stack that has polluted every driver bench
+  * tail since round 11 (benign to results — all queries time, none
+  * fail — but exactly the log class that decapitated the bench JSON
+  * line out of the driver's 2000-char tail in r15/r16).
+  *
+  * Runs the full registry in Bench's configuration but prints a
+  * `===query <name>` marker to stderr before each query, so the
+  * interleaved log4j console stream attributes any ERROR stack to the
+  * query whose jobs produced it. Usage:
+  *   runMain graft.AccumDiag <sfDir> [namesCsv]
+  */
+object AccumDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    operators.Graph.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq
+    names.foreach { name =>
+      System.err.println(s"===query $name")
+      System.err.flush()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"===query $name FAILED: ${t.getClass}")
+      }
+    }
+    System.err.println("===done")
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apps.PretrainDataPipeline
+import graft.apps.PretrainDataPipeline.{Config, ConfigV2}
+
+/** Per-stage cost breakdown for the v2 pretrain pipeline — the
+  * measurement VERDICT r16 asked for ("prove the ~11 s
+  * q_pretrain_v2_kept floor is irreducible, or find the stage to
+  * trim"). Replays keptV2Packed stage by stage with an eager count
+  * after each pin, so each stage's wall time and row count are
+  * isolated (the composed query pays the same work inside one
+  * action). Usage: runMain graft.PretrainStageProbe <sfDir>
+  */
+object PretrainStageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = ConfigV2()
+    val docs = Tables.documents(spark, sfDir)
+    val (corpusAll, bench) = PretrainDataPipeline.splitBench(docs, 97L)
+    val corpus = corpusAll.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    var t0 = System.nanoTime()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val pinned = pin(df)
+      val n = pinned.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STAGE $name%-16s ${dt}%8.2f s  $n%9d rows")
+      t0 = System.nanoTime()
+      pinned
+    }
+    val s1 = stage("s1_exact_dedup", corpus.join(
+      PretrainDataPipeline.droppedByExactDedup(corpus,
+        Config(prefixTokens = 0)), Seq("doc_id"), "left_anti"))
+    val s2 = stage("s2_line_clean", PretrainDataPipeline.v2LineClean(s1, cfg)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"), col("lang"),
+        col("source")))
+    val s3 = stage("s3_near_dedup", s2.join(
+      PretrainDataPipeline.v2DroppedByNearDedup(s2, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s4 = stage("s4_dup_grams", s3.join(
+      PretrainDataPipeline.v2DroppedByDupGrams(s3, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s5 = stage("s5_gopher", s4.filter(PretrainDataPipeline.v2GopherPasses))
+    val s6 = stage("s6_decontam", s5.join(
+      PretrainDataPipeline.v2DroppedByContamination(s5, bench, cfg),
+      Seq("doc_id"), "left_anti"))
+    val s7 = stage("s7_lm_gate", s6.join(
+      PretrainDataPipeline.v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_semi"))
+    val s8 = stage("s8_temp_mix",
+      operators.Sampling.temperatureMix(s7, col("source"),
+        col("doc_id"), cfg.mixTarget, cfg.mixAlpha, cfg.mixSalt))
+    t0 = System.nanoTime()
+    val packed = PretrainDataPipeline.v2ShuffleAndPack(s8, cfg)
+    val n = packed.count()
+    println(f"STAGE s9_shuffle_pack ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%9d rows")
+    spark.stop()
+  }
+}

@@ -4902,6 +4902,34 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- compressed-LOSSLESS audio through the seam: from-spec
+    //      FLAC fixed-predictor subset decode (fLaC container +
+    //      STREAMINFO, CRC-8 frame headers, CONSTANT/VERBATIM/FIXED
+    //      0..4 subframes, partitioned Rice residuals, CRC-16
+    //      footers). Because decode is LOSSLESS the oracle checks
+    //      the FULL decoded signal: it regenerates the synthetic PCM
+    //      by integer formula and aggregates it directly — decoded
+    //      == source, sample-exact end to end (contrast
+    //      q_multimodal_adpcm's header-only projection on the lossy
+    //      path). Fixtures rotate Rice partition order 0/1/2 by id
+    //      so the corpus exercises the multi-partition path
+    "q_multimodal_flac" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) => multimodal.Flac.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 150).as("asset_id")).distinct()
+        .withColumn("kind", lit("audio"))
+        .withColumn("payload", mkPayload(col("asset_id")))
+      multimodal.Flac.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"), col("decoded"),
+          element_at(col("features"), 1).cast("long").as("n"),
+          element_at(col("features"), 2).cast("long").as("sr"),
+          element_at(col("features"), 3).cast("long").as("sum_abs"),
+          element_at(col("features"), 4).cast("long").as("sum_s"),
+          element_at(col("features"), 5).cast("long").as("max_s"),
+          element_at(col("features"), 6).cast("long").as("min_s"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- stateful LOSSY codec, oracle-gated at the block layer:
     //      from-spec IMA-ADPCM decode (4-bit nibble recursion over
     //      the 89-entry step table). The per-sample recursion is not
@@ -11800,6 +11828,29 @@ object SparkEntry {
         |  CAST(CAST(CAST(w AS DOUBLE) / h AS FLOAT) AS DOUBLE)
         |    AS aspect
         |FROM ag ORDER BY asset_id""".stripMargin,
+
+    // FLAC is lossless, so the oracle regenerates the synthetic PCM
+    // by the generating integer formula and aggregates the FULL
+    // signal — the engine must bit-exactly decode every Rice-coded
+    // frame to match
+    "q_multimodal_flac" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 150 AS asset_id
+        |  FROM lineitem),
+        |par AS (SELECT asset_id, 600 + (asset_id % 5) * 120 AS n,
+        |               7 + (asset_id % 11) AS a
+        |        FROM ids),
+        |ks AS (SELECT asset_id, n, a, unnest(range(0, n)) AS k
+        |       FROM par),
+        |xs AS (SELECT asset_id, n,
+        |         ((k * a + asset_id * 13) % 4001) - 2000 AS x
+        |       FROM ks)
+        |SELECT CAST(asset_id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(max(n) AS BIGINT) AS n, CAST(8000 AS BIGINT) AS sr,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(x) AS BIGINT) AS sum_s,
+        |  CAST(max(x) AS BIGINT) AS max_s,
+        |  CAST(min(x) AS BIGINT) AS min_s
+        |FROM xs GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT l_returnflag,

@@ -3,12 +3,13 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 
 /** The full native-first codec chain in one decoder: QOI images,
-  * then IMA-ADPCM audio, then µ-law audio, then the JRE fallbacks —
-  * the heterogeneous-corpus configuration a real multimodal ingest
-  * runs, where ONE seam pass decodes whatever each row carries.
+  * then FLAC, then IMA-ADPCM, then µ-law audio, then the JRE
+  * fallbacks — the heterogeneous-corpus configuration a real
+  * multimodal ingest runs, where ONE seam pass decodes whatever each
+  * row carries.
   *
   * Lives in its own object (not on [[Multimodal]]): the chain
-  * references [[Qoi]]/[[ImaAdpcm]]/[[Ulaw]], each of which
+  * references [[Qoi]]/[[Flac]]/[[ImaAdpcm]]/[[Ulaw]], each of which
   * references [[Multimodal.jreDecoder]] — hanging the combined val
   * off Multimodal would create an object-initialization cycle;
   * nothing references Codecs back, so this init order is acyclic. */
@@ -19,7 +20,7 @@ object Codecs {
       payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
       payload(3) == 'f')
       Qoi.decode(payload).map { case (w, h, px) => Qoi.features(w, h, px) }
-    else ImaAdpcm.adpcmFirstDecoder(kind, payload)
+    else Flac.flacFirstDecoder(kind, payload)
 
   /** [[Qoi.extractFeaturesBatched]] over the full chain. */
   def extractFeaturesBatched(assets: DataFrame, batchSize: Int)

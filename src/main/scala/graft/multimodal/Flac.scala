@@ -1,0 +1,759 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** From-spec FLAC decoding, fixed-predictor subset — the first
+  * compressed-LOSSLESS audio path through the multimodal codec seam
+  * (QOI is the lossless image twin; µ-law/ADPCM are the lossy audio
+  * paths). Everything is implemented from the public FLAC format
+  * specification: the fLaC container + STREAMINFO walk, frame and
+  * subframe headers (CRC-8-checked), CONSTANT / VERBATIM / FIXED
+  * order-0..4 subframes, partitioned Rice residuals (both 4- and
+  * 5-bit parameter methods, escape partitions), UTF-8-style frame
+  * numbers, wasted-bits shifts, stereo decorrelation
+  * (left/side, right/side, mid/side) and the frame CRC-16. LPC
+  * subframes are outside the subset and rejected (None), as is any
+  * CRC or container violation.
+  *
+  * Because FLAC is lossless, the decode oracle is the FULL signal:
+  * q_multimodal_flac's DuckDB side regenerates the synthetic PCM by
+  * integer formula and aggregates it directly — decoded == source,
+  * sample-exact, no header-only weakening (cf. ADPCM, where only the
+  * block headers are formula-predictable).
+  *
+  * All-integer: fixed predictors are integer difference operators and
+  * Rice coding is bit-exact, so engine/oracle parity holds by
+  * construction. Reference provenance: the reference repo has no
+  * audio path; this family exists for the training-data-pipeline
+  * surface the build brief adds beyond the reference.
+  */
+object Flac {
+
+  // ---------------------------------------------------------------
+  // CRCs (FLAC spec: CRC-8 poly x^8+x^2+x+1 = 0x07, init 0;
+  // CRC-16 poly x^16+x^15+x^2+1 = 0x8005, init 0)
+  // ---------------------------------------------------------------
+
+  private val crc8Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i
+      var b = 0
+      while (b < 8) {
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF
+        b += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private val crc16Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i << 8
+      var b = 0
+      while (b < 8) {
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+            else (c << 1) & 0xFFFF
+        b += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  def crc8(buf: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) { c = crc8Table(c ^ (buf(i) & 0xFF)); i += 1 }
+    c
+  }
+
+  def crc16(buf: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) {
+      c = ((c << 8) & 0xFFFF) ^ crc16Table(((c >> 8) ^ (buf(i) & 0xFF)) & 0xFF)
+      i += 1
+    }
+    c
+  }
+
+  // ---------------------------------------------------------------
+  // Bit IO (MSB-first, per spec)
+  // ---------------------------------------------------------------
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def bad(): Nothing = throw new Malformed
+
+  private final class BitReader(val buf: Array[Byte]) {
+    var bytePos = 0
+    var bitPos = 0 // bits already consumed in buf(bytePos), 0..7
+
+    def readBit(): Int = {
+      if (bytePos >= buf.length) bad()
+      val v = (buf(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    def readSigned(n: Int): Int = {
+      if (n == 0) return 0
+      val u = readBits(n)
+      val sign = 1L << (n - 1)
+      (if ((u & sign) != 0) u - (1L << n) else u).toInt
+    }
+
+    /** Unary: count 0 bits up to the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) { q += 1; if (q > (1 << 20)) bad() }
+      q
+    }
+
+    def alignToByte(): Unit =
+      if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+
+    def readByteAligned(): Int = {
+      if (bitPos != 0 || bytePos >= buf.length) bad()
+      val v = buf(bytePos) & 0xFF
+      bytePos += 1
+      v
+    }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+
+    def writeBits(n: Int, v: Long): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+
+    def alignToByte(): Unit =
+      while (nbits != 0) writeBit(0)
+
+    def toBytes: Array[Byte] = { require(nbits == 0); out.toByteArray }
+  }
+
+  // ---------------------------------------------------------------
+  // Decode
+  // ---------------------------------------------------------------
+
+  /** Parsed STREAMINFO essentials. */
+  final case class StreamInfo(minBlock: Int, maxBlock: Int,
+                              sampleRate: Int, channels: Int,
+                              bitsPerSample: Int, totalSamples: Long)
+
+  /** fLaC magic + metadata walk; returns STREAMINFO and the offset of
+    * the first audio frame. None unless STREAMINFO is present and
+    * well-formed. */
+  def parseStreamInfo(buf: Array[Byte]): Option[(StreamInfo, Int)] = {
+    if (buf.length < 4 + 4 + 34) return None
+    if (buf(0) != 'f' || buf(1) != 'L' || buf(2) != 'a' || buf(3) != 'C')
+      return None
+    var pos = 4
+    var si: Option[StreamInfo] = None
+    var last = false
+    var first = true
+    while (!last) {
+      if (pos + 4 > buf.length) return None
+      val hdr = buf(pos) & 0xFF
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7F
+      val len = ((buf(pos + 1) & 0xFF) << 16) | ((buf(pos + 2) & 0xFF) << 8) |
+        (buf(pos + 3) & 0xFF)
+      val body = pos + 4
+      if (body + len > buf.length) return None
+      if (first) {
+        if (tpe != 0 || len != 34) return None // STREAMINFO must lead
+        val r = new BitReader(buf)
+        r.bytePos = body
+        val minB = r.readBits(16).toInt
+        val maxB = r.readBits(16).toInt
+        r.readBits(24); r.readBits(24) // min/max frame size (unused)
+        val rate = r.readBits(20).toInt
+        val ch = r.readBits(3).toInt + 1
+        val bps = r.readBits(5).toInt + 1
+        val total = r.readBits(36)
+        si = Some(StreamInfo(minB, maxB, rate, ch, bps, total))
+        first = false
+      }
+      pos = body + len
+    }
+    si.filter(s => s.sampleRate > 0 && s.channels >= 1 &&
+      s.channels <= 8 && s.bitsPerSample >= 4).map((_, pos))
+  }
+
+  /** UTF-8-style coded number (frame/sample number), 1..7 bytes. */
+  private def readCodedNumber(r: BitReader): Long = {
+    val b0 = r.readByteAligned()
+    if ((b0 & 0x80) == 0) return b0
+    var nExtra = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0) { nExtra += 1; mask >>= 1 }
+    if (nExtra < 1 || nExtra > 6) bad()
+    var v: Long = b0 & (mask - 1)
+    var i = 0
+    while (i < nExtra) {
+      val b = r.readByteAligned()
+      if ((b & 0xC0) != 0x80) bad()
+      v = (v << 6) | (b & 0x3F)
+      i += 1
+    }
+    v
+  }
+
+  /** Partitioned-Rice residual decode into res[order..blockSize). */
+  private def readResiduals(r: BitReader, blockSize: Int, order: Int,
+                            res: Array[Int]): Unit = {
+    val method = r.readBits(2).toInt // 0: 4-bit param, 1: 5-bit param
+    if (method > 1) bad()
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val partOrder = r.readBits(4).toInt
+    val nParts = 1 << partOrder
+    if (blockSize % nParts != 0) bad()
+    val perPart = blockSize >> partOrder
+    if (perPart <= order && nParts == 1) bad()
+    var p = 0
+    var idx = order
+    while (p < nParts) {
+      val n = if (p == 0) perPart - order else perPart
+      if (n < 0) bad()
+      val param = r.readBits(pBits).toInt
+      if (param == escape) {
+        val raw = r.readBits(5).toInt
+        var i = 0
+        while (i < n) { res(idx) = r.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) | r.readBits(param)
+          // zigzag: even -> u/2, odd -> -(u+1)/2
+          res(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+          idx += 1
+          i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One subframe into out[0..blockSize): CONSTANT, VERBATIM, or
+    * FIXED 0..4 (+ wasted-bits shift). LPC rejects. */
+  private def readSubframe(r: BitReader, blockSize: Int, bps: Int,
+                           out: Array[Int]): Unit = {
+    if (r.readBit() != 0) bad() // reserved
+    val tpe = r.readBits(6).toInt
+    var wasted = 0
+    if (r.readBit() == 1) wasted = r.readUnary() + 1
+    val effBps = bps - wasted
+    if (effBps <= 0) bad()
+    if (tpe == 0) { // CONSTANT
+      val v = r.readSigned(effBps)
+      java.util.Arrays.fill(out, 0, blockSize, v)
+    } else if (tpe == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { out(i) = r.readSigned(effBps); i += 1 }
+    } else if ((tpe & 0x38) == 0x08 && (tpe & 0x07) <= 4) { // FIXED
+      val order = tpe & 0x07
+      if (order > blockSize) bad()
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(effBps); i += 1 }
+      readResiduals(r, blockSize, order, out)
+      order match {
+        case 0 => ()
+        case 1 =>
+          i = 1
+          while (i < blockSize) { out(i) += out(i - 1); i += 1 }
+        case 2 =>
+          i = 2
+          while (i < blockSize) {
+            out(i) += 2 * out(i - 1) - out(i - 2); i += 1
+          }
+        case 3 =>
+          i = 3
+          while (i < blockSize) {
+            out(i) += 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3); i += 1
+          }
+        case 4 =>
+          i = 4
+          while (i < blockSize) {
+            out(i) += 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) -
+              out(i - 4)
+            i += 1
+          }
+      }
+    } else bad() // LPC or reserved — outside the fixed subset
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+  }
+
+  private val blockSizeTable = Array(-1, 192, 576, 1152, 2304, 4608,
+    -2, -3, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+  private val sampleRateTable = Array(0, 88200, 176400, 192000, 8000,
+    16000, 22050, 24000, 32000, 44100, 48000, 96000, -1, -2, -3, -4)
+
+  /** Full decode: fLaC payload → (sampleRate, channels, interleaved
+    * PCM samples). None on anything outside the fixed subset or any
+    * CRC/container violation. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      parseStreamInfo(payload).flatMap { case (si, frameStart) =>
+        val total = si.totalSamples
+        if (total <= 0 || total > 50000000L) return None
+        val out = new Array[Int]((total * si.channels).toInt)
+        var written = 0L
+        val r = new BitReader(payload)
+        r.bytePos = frameStart
+        while (written < total) {
+          val fStart = r.bytePos
+          if (r.readBits(14).toInt != 0x3FFE) bad() // sync
+          if (r.readBit() != 0) bad() // reserved
+          r.readBit() // blocking strategy
+          val bsCode = r.readBits(4).toInt
+          val srCode = r.readBits(4).toInt
+          val chCode = r.readBits(4).toInt
+          val szCode = r.readBits(3).toInt
+          if (r.readBit() != 0) bad() // reserved
+          readCodedNumber(r)
+          val blockSize = blockSizeTable(bsCode) match {
+            case -1 => bad()
+            case -2 => r.readByteAligned() + 1
+            case -3 => (r.readByteAligned() << 8 | r.readByteAligned()) + 1
+            case v => v
+          }
+          sampleRateTable(srCode) match {
+            case -1 => r.readByteAligned() // kHz byte
+            case -2 | -3 =>
+              r.readByteAligned(); r.readByteAligned()
+            case -4 => bad()
+            case _ => ()
+          }
+          val bps = szCode match {
+            case 0 => si.bitsPerSample
+            case 1 => 8
+            case 2 => 12
+            case 4 => 16
+            case 5 => 20
+            case 6 => 24
+            case 7 => 32
+            case _ => bad()
+          }
+          val hdrCrc = crc8(payload, fStart, r.bytePos)
+          if (hdrCrc != r.readByteAligned()) bad()
+          val nCh = if (chCode < 8) chCode + 1
+                    else if (chCode <= 10) 2
+                    else bad()
+          if (nCh != si.channels) bad()
+          val chans = Array.ofDim[Int](nCh, blockSize)
+          var c = 0
+          while (c < nCh) {
+            // side channels carry one extra bit
+            val extra = chCode match {
+              case 8 => if (c == 1) 1 else 0 // left/side
+              case 9 => if (c == 0) 1 else 0 // right/side
+              case 10 => if (c == 1) 1 else 0 // mid/side
+              case _ => 0
+            }
+            readSubframe(r, blockSize, bps + extra, chans(c))
+            c += 1
+          }
+          r.alignToByte()
+          val fCrc = crc16(payload, fStart, r.bytePos)
+          val stored = (r.readByteAligned() << 8) | r.readByteAligned()
+          if (fCrc != stored) bad()
+          // undo stereo decorrelation
+          chCode match {
+            case 8 => // left/side: R = L - side
+              var i = 0
+              while (i < blockSize) {
+                chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+              }
+            case 9 => // right/side: L = R + side (ch0=side, ch1=right)
+              var i = 0
+              while (i < blockSize) {
+                val s = chans(0)(i)
+                chans(0)(i) = chans(1)(i) + s
+                i += 1
+              }
+            case 10 => // mid/side
+              var i = 0
+              while (i < blockSize) {
+                val mid = chans(0)(i)
+                val side = chans(1)(i)
+                // L+R and L−R share parity, so side's LSB restores
+                // the bit the mid floor-shift dropped
+                val l = (((mid << 1) | (side & 1)) + side) >> 1
+                chans(0)(i) = l
+                chans(1)(i) = l - side
+                i += 1
+              }
+            case _ => ()
+          }
+          val take = math.min(blockSize.toLong, total - written).toInt
+          var i = 0
+          while (i < take) {
+            c = 0
+            while (c < nCh) {
+              out(((written + i) * nCh).toInt + c) = chans(c)(i)
+              c += 1
+            }
+            i += 1
+          }
+          written += take
+        }
+        Some((si.sampleRate, si.channels, out))
+      }
+    } catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
+
+  // ---------------------------------------------------------------
+  // Encode (fixture generator; also the round-trip proof surface)
+  // ---------------------------------------------------------------
+
+  private def riceCost(res: Array[Int], from: Int, until: Int,
+                       param: Int): Long = {
+    var bits = 0L
+    var i = from
+    while (i < until) {
+      val u = (res(i).toLong << 1) ^ (res(i).toLong >> 63)
+      bits += (u >>> param) + 1 + param
+      i += 1
+    }
+    bits
+  }
+
+  private def bestRiceParam(res: Array[Int], from: Int,
+                            until: Int): (Int, Long) = {
+    var best = 0
+    var bestBits = Long.MaxValue
+    var p = 0
+    while (p <= 14) {
+      val b = riceCost(res, from, until, p)
+      if (b < bestBits) { bestBits = b; best = p }
+      p += 1
+    }
+    (best, bestBits)
+  }
+
+  /** Encode interleaved PCM to a fixed-subset FLAC stream. Mono or
+    * stereo; `bps` ≤ 17 so order-4 accumulators stay far from Int
+    * overflow. `partOrder` exercises the decoder's multi-partition
+    * path (blockSize must be divisible by 2^partOrder). Stereo frames
+    * pick mid/side when it beats independent. `forceWasted` shifts
+    * samples right by that many bits and records them as wasted bits
+    * (caller guarantees divisibility), exercising that decode path. */
+  def encode(samples: Array[Int], channels: Int, sampleRate: Int,
+             bps: Int = 16, blockSize: Int = 256, partOrder: Int = 0,
+             forceWasted: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 2, "mono or stereo only")
+    require(samples.length % channels == 0)
+    require(blockSize % (1 << partOrder) == 0)
+    val total = samples.length / channels
+    val out = new java.io.ByteArrayOutputStream()
+    // fLaC + STREAMINFO (single, last) — frame sizes + md5 left 0
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val siw = new BitWriter
+    siw.writeBits(16, blockSize); siw.writeBits(16, blockSize)
+    siw.writeBits(24, 0); siw.writeBits(24, 0)
+    siw.writeBits(20, sampleRate)
+    siw.writeBits(3, channels - 1)
+    siw.writeBits(5, bps - 1)
+    siw.writeBits(36, total)
+    siw.writeBits(64, 0L); siw.writeBits(64, 0L) // md5 = unknown
+    out.write(siw.toBytes)
+
+    var frameNo = 0L
+    var off = 0
+    while (off < total) {
+      val n = math.min(blockSize, total - off)
+      val fw = new BitWriter
+      fw.writeBits(14, 0x3FFE)
+      fw.writeBit(0) // reserved
+      fw.writeBit(0) // fixed blocksize strategy
+      fw.writeBits(4, 7) // blocksize: 16-bit at end of header
+      fw.writeBits(4, 0) // sample rate: from STREAMINFO
+      // channel assignment decided below; reserve by building channels
+      val chData = Array.ofDim[Int](channels, n)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < channels) {
+          chData(c)(i) = samples((off + i) * channels + c)
+          c += 1
+        }
+        i += 1
+      }
+      var chCode = channels - 1
+      var enc: Array[Array[Int]] = chData
+      var extraBit: Array[Int] = Array.fill(channels)(0)
+      if (channels == 2) {
+        val mid = new Array[Int](n)
+        val side = new Array[Int](n)
+        i = 0
+        while (i < n) {
+          mid(i) = (chData(0)(i) + chData(1)(i)) >> 1
+          side(i) = chData(0)(i) - chData(1)(i)
+          i += 1
+        }
+        def cost(xs: Array[Int]): Long = {
+          var s = 0L
+          var j = 1
+          while (j < xs.length) { s += math.abs(xs(j).toLong - xs(j - 1)); j += 1 }
+          s
+        }
+        if (cost(mid) + cost(side) <
+            cost(chData(0)) + cost(chData(1))) {
+          chCode = 10
+          enc = Array(mid, side)
+          extraBit = Array(0, 1)
+        }
+      }
+      fw.writeBits(4, chCode)
+      fw.writeBits(3, 4) // 16-bit samples... adjusted below for bps
+      // NOTE: we always store bps via STREAMINFO-dependent code only
+      // when bps==16; otherwise use the from-streaminfo code 0.
+      fw.writeBit(0) // reserved
+      // rewrite size bits properly: we wrote 4 (=16 bit) above; if
+      // bps != 16 that is wrong — so this encoder requires bps == 16
+      require(bps == 16, "encoder emits 16-bit sample-size code")
+      // coded frame number (UTF-8 style)
+      writeCodedNumber(fw, frameNo)
+      fw.writeBits(16, n - 1) // blocksize-1 (code 7)
+      // header bytes so far; CRC-8 appended after materializing
+      val headerBytes = fw.toBytes // BitWriter is byte-aligned here
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(headerBytes)
+      frame.write(crc8ByteArray(headerBytes))
+      // subframes
+      val bw = new BitWriter
+      var c = 0
+      while (c < channels) {
+        writeSubframe(bw, enc(c), bps + extraBit(c), partOrder,
+          forceWasted)
+        c += 1
+      }
+      bw.alignToByte()
+      frame.write(bw.toBytes)
+      val fb = frame.toByteArray
+      val c16 = crc16(fb, 0, fb.length)
+      frame.write((c16 >> 8) & 0xFF)
+      frame.write(c16 & 0xFF)
+      out.write(frame.toByteArray)
+      frameNo += 1
+      off += n
+    }
+    out.toByteArray
+  }
+
+  private def crc8ByteArray(bytes: Array[Byte]): Int =
+    crc8(bytes, 0, bytes.length)
+
+  private def writeCodedNumber(w: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 36))
+    if (v < 0x80) { w.writeBits(8, v); return }
+    // nBytes-byte encoding carries 6·(nBytes−1) + (7−nBytes) bits
+    var nBytes = 2
+    while (v >= (1L << (6 * (nBytes - 1) + 7 - nBytes))) nBytes += 1
+    var head = 0
+    var i = 0
+    while (i < nBytes) { head |= 1 << (7 - i); i += 1 }
+    val headBits = 7 - nBytes
+    head |= ((v >> (6 * (nBytes - 1))) & ((1L << headBits) - 1)).toInt
+    w.writeBits(8, head)
+    i = nBytes - 2
+    while (i >= 0) {
+      w.writeBits(8, 0x80L | ((v >> (6 * i)) & 0x3F))
+      i -= 1
+    }
+  }
+
+  private def writeSubframe(w: BitWriter, xs: Array[Int], bps: Int,
+                            partOrder: Int, forceWasted: Int): Unit = {
+    val n = xs.length
+    var wasted = 0
+    var data = xs
+    if (forceWasted > 0 && xs.forall(v => (v >> forceWasted) << forceWasted == v)) {
+      wasted = forceWasted
+      data = xs.map(_ >> forceWasted)
+    }
+    val effBps = bps - wasted
+    def writeWasted(): Unit =
+      if (wasted == 0) w.writeBit(0)
+      else { w.writeBit(1); w.writeUnary(wasted - 1) }
+    // CONSTANT?
+    if (data.forall(_ == data(0))) {
+      w.writeBit(0); w.writeBits(6, 0); writeWasted()
+      w.writeBits(effBps, data(0).toLong & ((1L << effBps) - 1))
+      return
+    }
+    // pick best fixed order 0..4 by residual magnitude
+    var best = 0
+    var bestCost = Long.MaxValue
+    var o = 0
+    val maxOrder = math.min(4, n - 1)
+    while (o <= maxOrder) {
+      val res = residuals(data, o)
+      var s = 0L
+      var i = o
+      while (i < n) { s += math.abs(res(i).toLong); i += 1 }
+      if (s < bestCost) { bestCost = s; best = o }
+      o += 1
+    }
+    val order = best
+    val res = residuals(data, order)
+    // effective partition order: partition 0 must keep >= 0 samples
+    var po = partOrder
+    while (po > 0 && (n % (1 << po) != 0 || (n >> po) <= order)) po -= 1
+    if (n % (1 << po) != 0) po = 0
+    // estimate rice total vs verbatim
+    var riceBits = 0L
+    val nParts = 1 << po
+    val perPart = n / nParts
+    val params = new Array[Int](nParts)
+    var p = 0
+    while (p < nParts) {
+      val from = if (p == 0) order else p * perPart
+      val until = (p + 1) * perPart
+      val (bp, bits) = bestRiceParam(res, from, until)
+      params(p) = bp
+      riceBits += bits + 4
+      p += 1
+    }
+    val verbatimBits = n.toLong * effBps
+    if (riceBits + order.toLong * effBps + 8 >= verbatimBits) {
+      w.writeBit(0); w.writeBits(6, 1); writeWasted() // VERBATIM
+      var i = 0
+      while (i < n) {
+        w.writeBits(effBps, data(i).toLong & ((1L << effBps) - 1))
+        i += 1
+      }
+      return
+    }
+    w.writeBit(0); w.writeBits(6, 8 | order); writeWasted()
+    var i = 0
+    while (i < order) {
+      w.writeBits(effBps, data(i).toLong & ((1L << effBps) - 1))
+      i += 1
+    }
+    w.writeBits(2, 0) // 4-bit rice method
+    w.writeBits(4, po)
+    p = 0
+    while (p < nParts) {
+      val from = if (p == 0) order else p * perPart
+      val until = (p + 1) * perPart
+      val param = params(p)
+      w.writeBits(4, param)
+      i = from
+      while (i < until) {
+        val u = (res(i).toLong << 1) ^ (res(i).toLong >> 63)
+        w.writeUnary((u >>> param).toInt)
+        w.writeBits(param, u & ((1L << param) - 1))
+        i += 1
+      }
+      p += 1
+    }
+  }
+
+  /** Fixed-predictor residuals r[i] for i ≥ order (the order-k
+    * difference, binomial signs); positions < order carry the ORIGINAL
+    * warmup samples (the decoder reconstructs from originals, so the
+    * warmup must be verbatim — an iterative in-place differencing
+    * would corrupt them). */
+  private def residuals(xs: Array[Int], order: Int): Array[Int] = {
+    val n = xs.length
+    val r = xs.clone()
+    var i = n - 1
+    order match {
+      case 0 => ()
+      case 1 =>
+        while (i >= 1) { r(i) = xs(i) - xs(i - 1); i -= 1 }
+      case 2 =>
+        while (i >= 2) {
+          r(i) = xs(i) - 2 * xs(i - 1) + xs(i - 2); i -= 1
+        }
+      case 3 =>
+        while (i >= 3) {
+          r(i) = xs(i) - 3 * xs(i - 1) + 3 * xs(i - 2) - xs(i - 3)
+          i -= 1
+        }
+      case 4 =>
+        while (i >= 4) {
+          r(i) = xs(i) - 4 * xs(i - 1) + 6 * xs(i - 2) -
+            4 * xs(i - 3) + xs(i - 4)
+          i -= 1
+        }
+    }
+    r
+  }
+
+  // ---------------------------------------------------------------
+  // Seam + fixtures
+  // ---------------------------------------------------------------
+
+  /** The seam plug: fLaC payloads decode natively; everything else
+    * falls to the ADPCM→µ-law→JRE chain. */
+  val flacFirstDecoder: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "audio" && payload.length >= 4 && payload(0) == 'f' &&
+      payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C')
+      decode(payload).map { case (rate, _, samples) =>
+        Ulaw.features(rate, samples)
+      }
+    else ImaAdpcm.adpcmFirstDecoder(kind, payload)
+
+  /** Deterministic mono FLAC fixture: n = 600 + (id%5)·120 samples at
+    * 8 kHz, x_k = ((k·(7 + id%11) + id·13) mod 4001) − 2000 — an
+    * integer formula the oracle regenerates verbatim (decode is
+    * lossless, so the FULL decoded signal is oracle-checkable).
+    * Partition order rotates 0/1/2 by id so the corpus exercises the
+    * multi-partition Rice path. */
+  def synthAsset(id: Long): Array[Byte] = {
+    val n = 600 + (id % 5).toInt * 120
+    val a = 7 + (id % 11)
+    val xs = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      xs(k) = (((k * a + id * 13) % 4001) - 2000).toInt
+      k += 1
+    }
+    encode(xs, channels = 1, sampleRate = 8000, bps = 16,
+      blockSize = 256, partOrder = (id % 3).toInt)
+  }
+
+  /** [[Qoi.extractFeaturesBatched]] over the FLAC-first decoder. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int)
+      : DataFrame =
+    Qoi.extractFeaturesBatched(assets, batchSize, () => flacFirstDecoder)
+}

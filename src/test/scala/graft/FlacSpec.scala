@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Flac, Ulaw}
+
+/** From-spec FLAC fixed-predictor subset: lossless round trips across
+  * orders / block sizes / Rice partitions / stereo decorrelation /
+  * wasted bits, CRC and container rejection, and the decoder seam. */
+class FlacSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rngSamples(seed: Long, n: Int, amp: Int): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)(rng.nextInt(2 * amp + 1) - amp)
+  }
+
+  test("mono round trip is sample-exact across block sizes and " +
+      "partition orders (lossless)") {
+    for {
+      bs <- Seq(64, 192, 256)
+      po <- Seq(0, 1, 2)
+      n <- Seq(63, 256, 1000)
+    } {
+      val src = rngSamples(bs * 1000 + po * 10 + n, n, 3000)
+      val enc = Flac.encode(src, channels = 1, sampleRate = 8000,
+        blockSize = bs, partOrder = po)
+      val dec = Flac.decode(enc)
+      assert(dec.isDefined, s"bs=$bs po=$po n=$n failed to decode")
+      val (rate, ch, got) = dec.get
+      rate shouldBe 8000
+      ch shouldBe 1
+      got.toSeq shouldBe src.toSeq
+    }
+  }
+
+  test("smooth signals pick high fixed orders and still round-trip; " +
+      "constant blocks take the CONSTANT path") {
+    // quadratic ramp: order-3 residuals are ~0 — exercises high orders
+    val quad = Array.tabulate(700)(i => (i * i) / 40 - 3000)
+    Flac.decode(Flac.encode(quad, 1, 8000)).get._3.toSeq shouldBe
+      quad.toSeq
+    val const = Array.fill(500)(-1234)
+    val enc = Flac.encode(const, 1, 8000)
+    Flac.decode(enc).get._3.toSeq shouldBe const.toSeq
+    // CONSTANT frames compress far below verbatim
+    assert(enc.length < 500 * 2 / 4, s"constant stream ${enc.length}B")
+  }
+
+  test("incompressible noise falls back to VERBATIM and round-trips") {
+    val noise = rngSamples(99L, 512, 32000)
+    Flac.decode(Flac.encode(noise, 1, 8000)).get._3.toSeq shouldBe
+      noise.toSeq
+  }
+
+  test("stereo round trip — mid/side picked on correlated channels, " +
+      "independent on uncorrelated; both sample-exact") {
+    // correlated: right = left + small noise -> mid/side wins
+    val rng = new scala.util.Random(7)
+    val n = 600
+    val inter = new Array[Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val l = rng.nextInt(4001) - 2000
+      inter(2 * i) = l
+      inter(2 * i + 1) = l + rng.nextInt(21) - 10
+      i += 1
+    }
+    val dec = Flac.decode(Flac.encode(inter, channels = 2,
+      sampleRate = 16000)).get
+    dec._2 shouldBe 2
+    dec._3.toSeq shouldBe inter.toSeq
+    // uncorrelated channels
+    val un = rngSamples(8L, 2 * n, 2000)
+    Flac.decode(Flac.encode(un, channels = 2, sampleRate = 16000))
+      .get._3.toSeq shouldBe un.toSeq
+  }
+
+  test("wasted-bits subframes decode with the shift restored") {
+    val src = rngSamples(5L, 400, 1500).map(v => v << 2)
+    val enc = Flac.encode(src, 1, 8000, forceWasted = 2)
+    Flac.decode(enc).get._3.toSeq shouldBe src.toSeq
+  }
+
+  test("negative samples keep exact parity (zigzag + two's " +
+      "complement paths)") {
+    val src = Array.tabulate(300)(i => if (i % 2 == 0) -i * 7 else i * 3)
+    Flac.decode(Flac.encode(src, 1, 8000)).get._3.toSeq shouldBe
+      src.toSeq
+  }
+
+  test("malformed payloads reject: flipped bytes, truncation, bad " +
+      "magic, LPC-free guarantee") {
+    val src = rngSamples(11L, 500, 3000)
+    val enc = Flac.encode(src, 1, 8000)
+    Flac.decode(enc).isDefined shouldBe true
+    // magic
+    val m = enc.clone(); m(0) = 'g'.toByte
+    Flac.decode(m) shouldBe None
+    // truncation at several depths
+    for (cut <- Seq(3, 20, enc.length / 2, enc.length - 1))
+      Flac.decode(java.util.Arrays.copyOf(enc, cut)) shouldBe None
+    // any single-bit flip inside the frame region must be caught —
+    // CRC-8 (header) and CRC-16 (whole frame, padding included)
+    // detect all 1-bit errors, so decode must return None
+    val headerEnd = 4 + 4 + 34
+    val rng = new scala.util.Random(13)
+    var trials = 0
+    while (trials < 40) {
+      val pos = headerEnd + rng.nextInt(enc.length - headerEnd)
+      val bit = rng.nextInt(8)
+      val c = enc.clone()
+      c(pos) = (c(pos) ^ (1 << bit)).toByte
+      withClue(s"bit $bit of byte $pos flipped: ") {
+        Flac.decode(c) shouldBe None
+      }
+      trials += 1
+    }
+  }
+
+  test("synthAsset fixtures decode to the generating formula exactly") {
+    for (id <- 0L to 14L) {
+      val (rate, ch, got) = Flac.decode(Flac.synthAsset(id)).get
+      rate shouldBe 8000
+      ch shouldBe 1
+      val n = 600 + (id % 5).toInt * 120
+      val a = 7 + (id % 11)
+      val want = Array.tabulate(n)(k =>
+        (((k * a + id * 13) % 4001) - 2000).toInt)
+      got.toSeq shouldBe want.toSeq
+    }
+  }
+
+  test("the FLAC-first seam decodes fLaC natively and still routes " +
+      "ADPCM/µ-law/QOI down the chain") {
+    val flacAsset = Flac.synthAsset(4L)
+    val ulawAsset = Ulaw.synthAsset(4L)
+    val df = Seq(
+      (1L, "audio", flacAsset),
+      (2L, "audio", ulawAsset)
+    ).toDF("asset_id", "kind", "payload")
+    val out = Flac.extractFeaturesBatched(df, 8)
+      .select(col("asset_id"), col("decoded"),
+        element_at(col("features"), 1).cast("long").as("n"))
+      .orderBy(col("asset_id"))
+      .as[(Long, Boolean, Long)].collect().toSeq
+    out(0)._2 shouldBe true
+    out(0)._3 shouldBe (600 + 4 * 120).toLong
+    out(1)._2 shouldBe true // µ-law flowed through the stacked chain
+    out(1)._3 shouldBe (200 + 4 * 40).toLong
+  }
+
+  test("features over decoded FLAC match the direct formula " +
+      "(lossless end to end)") {
+    val id = 7L
+    val (rate, _, samples) = Flac.decode(Flac.synthAsset(id)).get
+    val f = Ulaw.features(rate, samples)
+    val n = 600 + (id % 5).toInt * 120
+    val a = 7 + (id % 11)
+    val want = Array.tabulate(n)(k =>
+      (((k * a + id * 13) % 4001) - 2000).toInt)
+    f(0).toLong shouldBe n.toLong
+    f(2).toLong shouldBe want.map(v => math.abs(v.toLong)).sum
+    f(3).toLong shouldBe want.map(_.toLong).sum
+    f(4).toLong shouldBe want.max.toLong
+    f(5).toLong shouldBe want.min.toLong
+  }
+}
