@@ -938,6 +938,27 @@ object SparkEntry {
         .orderBy(col("k"), col("t"))
     }),
 
+    // ---- PER-KEY Holt-Winters ADDITIVE seasonal smoothing (m = 7,
+    //      α = 3/10, β = 2/10, γ = 2/10): three coupled exact-integer
+    //      recursions with a per-key circular seasonal buffer — the
+    //      recursion reaches back m steps, beyond any window/lag
+    //      re-expression — through the ewmaByKey segmented-scan seam;
+    //      the oracle's recursive CTE carries the last m seasonals as
+    //      a LIST (validated against an independent fold)
+    "q_ts_hw_key" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.holtWintersByKey(daily, col("user_id"),
+          col("day"), col("x"), m = 7, aNum = 3L, aDen = 10L,
+          bNum = 2L, bDen = 10L, cNum = 2L, cDen = 10L)
+        .orderBy(col("k"), col("t"))
+    }),
+
     // ---- U-shaped (position-based) multi-touch attribution: every
     //      purchase credits its preceding 7-day click path 40/20/40
     //      (first/middles/last) in integer micro shares, remainder to
@@ -6488,6 +6509,47 @@ object SparkEntry {
         |  FROM hw JOIN st s ON s.k = hw.k AND s.i = hw.i + 1)
         |SELECT CAST(k AS BIGINT) AS k, CAST(t AS BIGINT) AS t, x,
         |  CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend
+        |FROM hw ORDER BY k, t""".stripMargin,
+
+    // the recursive CTE carries the last m=7 seasonals as a LIST
+    // (sl[1] is the value from m steps back); the new level must be
+    // inlined into both the trend and seasonal expressions
+    "q_ts_hw_key" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT k, t, x,
+        |         row_number() OVER (PARTITION BY k ORDER BY t) AS i
+        |       FROM daily),
+        |hw AS (
+        |  SELECT k, i, t, x, x AS level, CAST(0 AS BIGINT) AS trend,
+        |    CAST(0 AS BIGINT) AS seas, [CAST(0 AS BIGINT)] AS sl
+        |  FROM st WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.k, s.i, s.t, s.x,
+        |    CASE WHEN len(hw.sl) < 7 THEN s.x
+        |      ELSE CAST((3*(s.x - hw.sl[1])
+        |        + 7*(hw.level + hw.trend)) // 10 AS BIGINT) END,
+        |    CASE WHEN len(hw.sl) < 7 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST((2*(CAST((3*(s.x - hw.sl[1])
+        |        + 7*(hw.level + hw.trend)) // 10 AS BIGINT)
+        |        - hw.level) + 8*hw.trend) // 10 AS BIGINT) END,
+        |    CASE WHEN len(hw.sl) < 7 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST((2*(s.x - CAST((3*(s.x - hw.sl[1])
+        |        + 7*(hw.level + hw.trend)) // 10 AS BIGINT))
+        |        + 8*hw.sl[1]) // 10 AS BIGINT) END,
+        |    CASE WHEN len(hw.sl) < 7
+        |      THEN list_append(hw.sl, CAST(0 AS BIGINT))
+        |      ELSE list_append(hw.sl[2:],
+        |        CAST((2*(s.x - CAST((3*(s.x - hw.sl[1])
+        |          + 7*(hw.level + hw.trend)) // 10 AS BIGINT))
+        |          + 8*hw.sl[1]) // 10 AS BIGINT)) END
+        |  FROM hw JOIN st s ON s.k = hw.k AND s.i = hw.i + 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(t AS BIGINT) AS t, x,
+        |  CAST(level AS BIGINT) AS level,
+        |  CAST(trend AS BIGINT) AS trend,
+        |  CAST(seas AS BIGINT) AS seas
         |FROM hw ORDER BY k, t""".stripMargin,
 
     "q_attribution" ->

@@ -357,8 +357,28 @@ object PretrainDataPipeline {
     val s7 = pin(s6.join(v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_semi"))
     val s8 = Sampling.temperatureMix(s7, col("source"), col("doc_id"),
       cfg.mixTarget, cfg.mixAlpha, cfg.mixSalt)
-    v2ShuffleAndPack(s8, cfg)
+    val out = v2ShuffleAndPack(s8, cfg)
+    // Keep the pinned intermediates reachable for as long as the
+    // returned frame lives. Lazy localCheckpoint severs the strong
+    // path to each stage's QueryExecution, so after this function
+    // returns, a mid-job GC clears their SQLMetric weak refs in
+    // AccumulatorContext — and every late task completion from the
+    // pinned stages then logs an ERROR-level "attempted to access
+    // non-existent accumulator" DAGScheduler stack (benign to
+    // results, but it polluted every bench tail since round 11;
+    // AccumDiag attributed all 33 stacks of a full sf0.1 sweep to
+    // exactly this query). The weak-keyed map holds the stage frames
+    // alive until the composed frame itself is collected.
+    pinsAlive.put(out, Seq(s1, s2, s3, s4, s5, s6, s7))
+    out
   }
+
+  /** Weak-keyed registry backing the GC-lifetime coupling documented
+    * in [[keptV2Packed]]: values (stage pins) stay strongly held
+    * exactly while the composed frame (key) is reachable. */
+  private val pinsAlive =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
   /** Materializing v2 run: tags every corpus document with the FIRST
     * stage that drops it and reads the 8-stage manifest from a single

@@ -530,4 +530,65 @@ object Timeline {
       }
       .toDF("k", "t", "x", "level", "trend")
   }
+
+  /** Holt-Winters ADDITIVE seasonal smoothing PER KEY (period `m`) —
+    * three coupled exact-integer recursions through the same
+    * segmented-scan seam as [[holtByKey]], with a per-key circular
+    * seasonal buffer (the recursion reaches back m steps, which no
+    * window or self-join expresses without re-shuffling per step):
+    *
+    *   warm-up (first m rows of a key): L = x, T = 0, S = 0
+    *   then, with Sprev = seasonal from m steps back:
+    *   L_t = trunc((aNum·(x_t−Sprev) + (aDen−aNum)·(L+T)) / aDen)
+    *   T_t = trunc((bNum·(L_t−L) + (bDen−bNum)·T) / bDen)
+    *   S_t = trunc((cNum·(x_t−L_t) + (cDen−cNum)·Sprev) / cDen)
+    *
+    * Trunc division per step (Scala Long `/` = DuckDB `//`). The
+    * oracle replays the recursion in a recursive CTE that carries the
+    * last m seasonals as a LIST. Input needs one row per (key, t);
+    * output (k, t, x, level, trend, seas). */
+  def holtWintersByKey(df: DataFrame, keyCol: Column, tCol: Column,
+                       xCol: Column, m: Int, aNum: Long, aDen: Long,
+                       bNum: Long, bDen: Long, cNum: Long,
+                       cDen: Long): DataFrame = {
+    require(m >= 1, s"period must be >= 1, got $m")
+    require(aNum > 0 && aDen >= aNum, s"bad alpha $aNum/$aDen")
+    require(bNum > 0 && bDen >= bNum, s"bad beta $bNum/$bDen")
+    require(cNum > 0 && cDen >= cNum, s"bad gamma $cNum/$cDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        xCol.cast("long").as("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var haveKey = false
+        var i = 0
+        var lvl = 0L
+        var tr = 0L
+        val seas = new Array[Long](m)
+        it.map { case (k, t, x) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; i = 0
+            java.util.Arrays.fill(seas, 0L)
+          }
+          var sOut = 0L
+          if (i < m) { lvl = x; tr = 0L; seas(i % m) = 0L }
+          else {
+            val sPrev = seas(i % m)
+            val prevL = lvl
+            lvl = (aNum * (x - sPrev) + (aDen - aNum) * (prevL + tr)) /
+              aDen
+            tr = (bNum * (lvl - prevL) + (bDen - bNum) * tr) / bDen
+            sOut = (cNum * (x - lvl) + (cDen - cNum) * sPrev) / cDen
+            seas(i % m) = sOut
+          }
+          i += 1
+          (k, t, x, lvl, tr, sOut)
+        }
+      }
+      .toDF("k", "t", "x", "level", "trend", "seas")
+  }
 }

@@ -379,6 +379,63 @@ class TimelineSpec extends SparkSpec {
       (2L, 2L, 10L, 73L, -5L))
   }
 
+  test("holtWintersByKey: m=2 hand case with warm-up, seasonal " +
+      "reach-back, and key reset") {
+    // m=2, α=3/10, β=2/10, γ=2/10; x = 10, 20, 100, 40
+    // i=0,1 warm-up: L=x, T=0, S=0
+    // i=2: Sprev=S[0]=0, L=(3*100+7*20)/10=44, T=(2*24)/10=4,
+    //      S=(2*(100-44))/10=11
+    // i=3: Sprev=S[1]=0, L=(3*40+7*(44+4))/10=45, T=(2*1+8*4)/10=3,
+    //      S=(2*(40-45))/10 = -10/10 -> -1
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 100L),
+      (1L, 4L, 40L), (2L, 1L, 5L)).toDF("k", "t", "x")
+    val out = Timeline.holtWintersByKey(df, col("k"), col("t"),
+        col("x"), 2, 3L, 10L, 2L, 10L, 2L, 10L)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 10L, 10L, 0L, 0L),
+      (1L, 2L, 20L, 20L, 0L, 0L),
+      (1L, 3L, 100L, 44L, 4L, 11L),
+      (1L, 4L, 40L, 45L, 3L, -1L),
+      (2L, 1L, 5L, 5L, 0L, 0L)) // key reset
+  }
+
+  test("holtWintersByKey matches a per-key driver fold under any " +
+      "partitioning (m=7)") {
+    val rng = new scala.util.Random(23)
+    val rows = for {
+      k <- 1L to 5L
+      t <- 1L to 30L
+    } yield (k, t, rng.nextInt(2000).toLong - 500L)
+    val df = rows.toDF("k", "t", "x")
+    val got = Timeline.holtWintersByKey(df.repartition(4), col("k"),
+        col("t"), col("x"), 7, 3L, 10L, 2L, 10L, 2L, 10L)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (k, rs) =>
+        var lvl = 0L; var tr = 0L
+        val seas = new Array[Long](7)
+        var i = 0
+        rs.sortBy(_._2).map { case (_, t, x) =>
+          var s = 0L
+          if (i < 7) { lvl = x; tr = 0L; seas(i % 7) = 0L }
+          else {
+            val sp = seas(i % 7)
+            val pL = lvl
+            lvl = (3L * (x - sp) + 7L * (pL + tr)) / 10L
+            tr = (2L * (lvl - pL) + 8L * tr) / 10L
+            s = (2L * (x - lvl) + 8L * sp) / 10L
+            seas(i % 7) = s
+          }
+          i += 1
+          (k, t, x, lvl, tr, s)
+        }
+    }
+    got shouldBe want
+  }
+
   test("holtByKey matches a per-key driver fold under any partitioning") {
     val rng = new scala.util.Random(17)
     val rows = for {
