@@ -4923,6 +4923,35 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- real-world-format lossless image through the seam:
+    //      from-spec PNG decode — OWN RFC 1951 inflate (stored +
+    //      fixed + dynamic Huffman), RFC 1950 zlib unwrap with own
+    //      Adler-32, own CRC-32 per chunk, all five scanline filters
+    //      (fixtures rotate filter type row-by-row). The fixture
+    //      encoder compresses with java.util.zip.Deflater, so the
+    //      engine decodes a THIRD-PARTY compressor's dynamic-Huffman
+    //      stream with its own inflate — and the oracle regenerates
+    //      the pixels by integer formula and aggregates the full
+    //      image (lossless: decoded == source)
+    "q_multimodal_png" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) => multimodal.Png.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 150).as("asset_id")).distinct()
+        .withColumn("kind", lit("image"))
+        .withColumn("payload", mkPayload(col("asset_id")))
+      multimodal.Png.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"), col("decoded"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("n"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"),
+          element_at(col("features"), 7).cast("long").as("min_r"),
+          element_at(col("features"), 8).cast("long").as("max_r"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- compressed-LOSSLESS audio through the seam: from-spec
     //      FLAC fixed-predictor subset decode (fLaC container +
     //      STREAMINFO, CRC-8 frame headers, CONSTANT/VERBATIM/FIXED
@@ -11890,6 +11919,34 @@ object SparkEntry {
         |  CAST(CAST(CAST(w AS DOUBLE) / h AS FLOAT) AS DOUBLE)
         |    AS aspect
         |FROM ag ORDER BY asset_id""".stripMargin,
+
+    // PNG is lossless, so the oracle regenerates the synthetic
+    // pixels by formula and aggregates the full image — the engine
+    // must bit-exactly inflate the JRE-deflated stream and unfilter
+    // every row to match
+    "q_multimodal_png" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 150 AS asset_id
+        |  FROM lineitem),
+        |dims AS (SELECT asset_id, 5 + asset_id % 6 AS w,
+        |                4 + asset_id % 5 AS h
+        |         FROM ids),
+        |px AS (
+        |  SELECT d.asset_id, d.w, d.h,
+        |    (x.x*11 + y.y*7 + d.asset_id*3) % 256 AS r,
+        |    (x.x*5 + y.y*13 + d.asset_id*17) % 256 AS g,
+        |    (x.x*3 + y.y*19 + d.asset_id*23) % 256 AS b
+        |  FROM dims d, range(0, 11) x(x), range(0, 9) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        |SELECT CAST(asset_id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(r) AS BIGINT) AS min_r,
+        |  CAST(max(r) AS BIGINT) AS max_r
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY asset_id""".stripMargin,
 
     // FLAC is lossless, so the oracle regenerates the synthetic PCM
     // by the generating integer formula and aggregates the FULL

@@ -20,6 +20,10 @@ object Codecs {
       payload(0) == 'q' && payload(1) == 'o' && payload(2) == 'i' &&
       payload(3) == 'f')
       Qoi.decode(payload).map { case (w, h, px) => Qoi.features(w, h, px) }
+    else if (kind == "image" && payload.length >= 8 &&
+      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G')
+      Png.decode(payload).map { case (w, h, px) => Png.features(w, h, px) }
     else Flac.flacFirstDecoder(kind, payload)
 
   /** [[Qoi.extractFeaturesBatched]] over the full chain. */

@@ -1,0 +1,577 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** From-spec PNG decoding — the ubiquitous-format lossless image path
+  * through the multimodal codec seam (QOI is the simple lossless
+  * twin; FLAC the audio counterpart). EVERYTHING on the decode side
+  * is implemented from the public specifications:
+  *
+  *  - RFC 1951 DEFLATE inflate: stored blocks, fixed Huffman, dynamic
+  *    Huffman (HLIT/HDIST/HCLEN code-length alphabet with 16/17/18
+  *    repeats), canonical bit-at-a-time decode, LZ77 back-reference
+  *    copy with the full length/distance extra-bit tables.
+  *  - RFC 1950 zlib wrapper: CMF/FLG consistency, FDICT rejection,
+  *    Adler-32 verification (own implementation).
+  *  - PNG (W3C): signature, chunk grammar with OWN CRC-32
+  *    (reflected 0xEDB88320) verified per chunk, IHDR validation,
+  *    IDAT concatenation, and all five scanline filters
+  *    (None/Sub/Up/Average/Paeth) at bit depth 8 for grayscale /
+  *    RGB / RGBA. Interlace (Adam7), 16-bit and palette images are
+  *    outside the subset and reject cleanly (None).
+  *
+  * The fixture ENCODER writes chunks + filters itself (rotating all
+  * five filter types across rows) but compresses the filtered stream
+  * with `java.util.zip.Deflater` — deliberately: decoding a real
+  * third-party DEFLATE implementation's output (dynamic Huffman
+  * blocks included) with our own inflate is a stronger independence
+  * check than round-tripping our own encoder, the same
+  * JRE-as-reference discipline [[Ulaw]] documents.
+  *
+  * Because PNG is lossless, q_multimodal_png's oracle regenerates the
+  * synthetic pixels by integer formula and aggregates the FULL image.
+  * Reference provenance: the reference repo has no raster-decode
+  * path; this family exists for the training-data-pipeline surface
+  * the build brief adds beyond the reference.
+  */
+object Png {
+
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def bad(): Nothing = throw new Malformed
+
+  // ---------------------------------------------------------------
+  // CRC-32 (reflected, poly 0xEDB88320) + Adler-32, from spec
+  // ---------------------------------------------------------------
+
+  private val crcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  def crc32(buf: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0xFFFFFFFF
+    var i = from
+    while (i < until) {
+      c = crcTable((c ^ buf(i)) & 0xFF) ^ (c >>> 8)
+      i += 1
+    }
+    c ^ 0xFFFFFFFF
+  }
+
+  def adler32(buf: Array[Byte], from: Int, until: Int): Int = {
+    var a = 1
+    var b = 0
+    var i = from
+    while (i < until) {
+      a = (a + (buf(i) & 0xFF)) % 65521
+      b = (b + a) % 65521
+      i += 1
+    }
+    (b << 16) | a
+  }
+
+  // ---------------------------------------------------------------
+  // RFC 1951 inflate (LSB-first bit order — the opposite of FLAC's)
+  // ---------------------------------------------------------------
+
+  private final class InfReader(val buf: Array[Byte], var pos: Int,
+                                val limit: Int) {
+    private var bitBuf = 0L
+    private var bitCnt = 0
+
+    def bits(n: Int): Int = {
+      while (bitCnt < n) {
+        if (pos >= limit) bad()
+        bitBuf |= (buf(pos) & 0xFFL) << bitCnt
+        pos += 1
+        bitCnt += 8
+      }
+      val v = (bitBuf & ((1L << n) - 1)).toInt
+      bitBuf >>>= n
+      bitCnt -= n
+      v
+    }
+
+    def alignByte(): Unit = {
+      val r = bitCnt & 7
+      bitBuf >>>= r
+      bitCnt -= r
+    }
+
+    /** Consume a byte-aligned byte through the bit buffer. */
+    def byteAligned(): Int = bits(8)
+  }
+
+  /** Canonical Huffman decoder built from code lengths (0 = unused);
+    * decodes one bit at a time — codes are packed MSB-of-code-first
+    * per the RFC. */
+  private final class Huffman(lengths: Array[Int]) {
+    private val maxLen = 15
+    private val counts = new Array[Int](maxLen + 1)
+    lengths.foreach { l => if (l > 0) counts(l) += 1 }
+    // over-subscribed code sets are malformed
+    locally {
+      var left = 1
+      var l = 1
+      while (l <= maxLen) {
+        left = (left << 1) - counts(l)
+        if (left < 0) bad()
+        l += 1
+      }
+    }
+    private val symbols = {
+      val offs = new Array[Int](maxLen + 2)
+      var l = 1
+      while (l <= maxLen) { offs(l + 1) = offs(l) + counts(l); l += 1 }
+      val sym = new Array[Int](lengths.count(_ > 0))
+      var s = 0
+      while (s < lengths.length) {
+        val len = lengths(s)
+        if (len > 0) { sym(offs(len)) = s; offs(len) += 1 }
+        s += 1
+      }
+      sym
+    }
+
+    def decode(r: InfReader): Int = {
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len <= maxLen) {
+        code |= r.bits(1)
+        val count = counts(len)
+        if (code - first < count) return symbols(index + (code - first))
+        index += count
+        first = (first + count) << 1
+        code <<= 1
+        len += 1
+      }
+      bad()
+    }
+  }
+
+  private val lenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
+    19, 23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195,
+    227, 258)
+  private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val distBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33,
+    49, 65, 97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073,
+    4097, 6145, 8193, 12289, 16385, 24577)
+  private val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5,
+    5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  private lazy val fixedLit: Huffman = {
+    val l = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      l(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7
+             else 8
+      i += 1
+    }
+    new Huffman(l)
+  }
+  private lazy val fixedDist: Huffman = new Huffman(Array.fill(30)(5))
+
+  private val clOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4,
+    12, 3, 13, 2, 14, 1, 15)
+
+  /** Inflate `src[from, until)` into an exactly-`outLen`-byte array;
+    * malformed input or any size mismatch throws Malformed. */
+  private def inflate(src: Array[Byte], from: Int, until: Int,
+                      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var opos = 0
+    val r = new InfReader(src, from, until)
+    var fin = false
+    while (!fin) {
+      fin = r.bits(1) == 1
+      r.bits(2) match {
+        case 0 => // stored
+          r.alignByte()
+          val len = r.byteAligned() | (r.byteAligned() << 8)
+          val nlen = r.byteAligned() | (r.byteAligned() << 8)
+          if ((len ^ 0xFFFF) != nlen) bad()
+          var i = 0
+          while (i < len) {
+            if (r.pos >= r.limit || opos >= outLen) bad()
+            out(opos) = src(r.pos)
+            r.pos += 1; opos += 1; i += 1
+          }
+        case t if t == 1 || t == 2 =>
+          val (lit, dist) =
+            if (t == 1) (fixedLit, fixedDist)
+            else {
+              val hlit = r.bits(5) + 257
+              val hdist = r.bits(5) + 1
+              val hclen = r.bits(4) + 4
+              val clLens = new Array[Int](19)
+              var i = 0
+              while (i < hclen) {
+                clLens(clOrder(i)) = r.bits(3); i += 1
+              }
+              val clH = new Huffman(clLens)
+              val lens = new Array[Int](hlit + hdist)
+              var n = 0
+              while (n < hlit + hdist) {
+                val sym = clH.decode(r)
+                if (sym < 16) { lens(n) = sym; n += 1 }
+                else if (sym == 16) {
+                  if (n == 0) bad()
+                  val prev = lens(n - 1)
+                  var rep = 3 + r.bits(2)
+                  while (rep > 0) {
+                    if (n >= lens.length) bad()
+                    lens(n) = prev; n += 1; rep -= 1
+                  }
+                } else {
+                  var rep = if (sym == 17) 3 + r.bits(3)
+                            else 11 + r.bits(7)
+                  while (rep > 0) {
+                    if (n >= lens.length) bad()
+                    lens(n) = 0; n += 1; rep -= 1
+                  }
+                }
+              }
+              if (lens(256) == 0) bad() // end-of-block must be codable
+              (new Huffman(java.util.Arrays.copyOfRange(lens, 0, hlit)),
+                new Huffman(java.util.Arrays.copyOfRange(lens, hlit,
+                  hlit + hdist)))
+            }
+          var done = false
+          while (!done) {
+            val sym = lit.decode(r)
+            if (sym < 256) {
+              if (opos >= outLen) bad()
+              out(opos) = sym.toByte
+              opos += 1
+            } else if (sym == 256) done = true
+            else {
+              if (sym > 285) bad()
+              val li = sym - 257
+              val len = lenBase(li) + r.bits(lenExtra(li))
+              val ds = dist.decode(r)
+              if (ds > 29) bad()
+              val d = distBase(ds) + r.bits(distExtra(ds))
+              if (d > opos || opos + len > outLen) bad()
+              var i = 0
+              while (i < len) {
+                out(opos) = out(opos - d)
+                opos += 1
+                i += 1
+              }
+            }
+          }
+        case _ => bad()
+      }
+    }
+    if (opos != outLen) bad()
+    out
+  }
+
+  /** RFC 1950 zlib unwrap + inflate + Adler-32 verify.
+    * `private[graft]` so the spec can feed it raw
+    * java.util.zip.Deflater streams — decoding a third-party
+    * compressor's stored/fixed/dynamic blocks is the independence
+    * check on the inflate core. */
+  private[graft] def zlibInflate(src: Array[Byte],
+                                 outLen: Int): Array[Byte] = {
+    if (src.length < 6) bad()
+    val cmf = src(0) & 0xFF
+    val flg = src(1) & 0xFF
+    if ((cmf & 0x0F) != 8) bad() // CM must be deflate
+    if ((cmf * 256 + flg) % 31 != 0) bad()
+    if ((flg & 0x20) != 0) bad() // FDICT unsupported
+    val out = inflate(src, 2, src.length - 4, outLen)
+    val stored = ((src(src.length - 4) & 0xFF) << 24) |
+      ((src(src.length - 3) & 0xFF) << 16) |
+      ((src(src.length - 2) & 0xFF) << 8) |
+      (src(src.length - 1) & 0xFF)
+    if (adler32(out, 0, out.length) != stored) bad()
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // PNG container + filters
+  // ---------------------------------------------------------------
+
+  private val signature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def u32be(a: Array[Byte], i: Int): Int =
+    ((a(i) & 0xFF) << 24) | ((a(i + 1) & 0xFF) << 16) |
+      ((a(i + 2) & 0xFF) << 8) | (a(i + 3) & 0xFF)
+
+  /** Full decode: PNG payload → (width, height, pixels packed
+    * 0xRRGGBB). Bit depth 8, color types 0/2/6, no interlace; every
+    * chunk's CRC-32 and the zlib Adler-32 must verify. None on
+    * anything else. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (payload.length < 8 + 25 ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOf(payload, 8), signature)) return None
+      var pos = 8
+      var w = 0
+      var h = 0
+      var colorType = -1
+      var sawIhdr = false
+      var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawIend) {
+        if (pos + 8 > payload.length) bad()
+        val len = u32be(payload, pos)
+        if (len < 0 || pos + 12 + len > payload.length) bad()
+        val tpe = new String(payload, pos + 4, 4, "US-ASCII")
+        if (crc32(payload, pos + 4, pos + 8 + len) !=
+          u32be(payload, pos + 8 + len)) bad()
+        tpe match {
+          case "IHDR" =>
+            if (sawIhdr || len != 13) bad()
+            sawIhdr = true
+            w = u32be(payload, pos + 8)
+            h = u32be(payload, pos + 12)
+            val depth = payload(pos + 16) & 0xFF
+            colorType = payload(pos + 17) & 0xFF
+            val comp = payload(pos + 18) & 0xFF
+            val filt = payload(pos + 19) & 0xFF
+            val inter = payload(pos + 20) & 0xFF
+            if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20))
+              bad()
+            if (depth != 8 || comp != 0 || filt != 0 || inter != 0)
+              bad()
+            if (colorType != 0 && colorType != 2 && colorType != 6)
+              bad()
+          case "IDAT" =>
+            if (!sawIhdr) bad()
+            idat.write(payload, pos + 8, len)
+          case "IEND" =>
+            if (!sawIhdr || len != 0) bad()
+            sawIend = true
+          case _ => () // ancillary chunks: CRC-checked above, skipped
+        }
+        pos += 12 + len
+      }
+      val bpp = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 6 => 4
+      }
+      val stride = 1 + w * bpp
+      val raw = zlibInflate(idat.toByteArray, h * stride)
+      // unfilter in place, row by row
+      val px = new Array[Int](w * h)
+      val prev = new Array[Int](w * bpp) // reconstructed bytes, 0..255
+      val cur = new Array[Int](w * bpp)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * stride) & 0xFF
+        var i = 0
+        while (i < w * bpp) {
+          val x = raw(y * stride + 1 + i) & 0xFF
+          val a = if (i >= bpp) cur(i - bpp) else 0 // left
+          val b = prev(i) // up
+          val c = if (i >= bpp) prev(i - bpp) else 0 // up-left
+          val rec = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a)
+              val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a
+                   else if (pb <= pc) b
+                   else c)
+            case _ => bad()
+          }
+          cur(i) = rec & 0xFF
+          i += 1
+        }
+        var xw = 0
+        while (xw < w) {
+          val (r, g, b) = colorType match {
+            case 0 =>
+              val v = cur(xw); (v, v, v)
+            case 2 =>
+              (cur(3 * xw), cur(3 * xw + 1), cur(3 * xw + 2))
+            case 6 =>
+              (cur(4 * xw), cur(4 * xw + 1), cur(4 * xw + 2))
+          }
+          px(y * w + xw) = (r << 16) | (g << 8) | b
+          xw += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, w * bpp)
+        y += 1
+      }
+      Some((w, h, px))
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+
+  /** Integer-exact image features, all values < 2^24 so they ride
+    * float-exactly: [w, h, n, sum_r, sum_g, sum_b, min_r, max_r]
+    * (fixtures keep n ≤ 80 by construction). */
+  def features(w: Int, h: Int, px: Array[Int]): Array[Float] = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx = 0
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      val r = (v >> 16) & 0xFF
+      sr += r; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+      if (r < mn) mn = r
+      if (r > mx) mx = r
+      i += 1
+    }
+    Array(w.toFloat, h.toFloat, px.length.toFloat, sr.toFloat,
+      sg.toFloat, sb.toFloat, mn.toFloat, mx.toFloat)
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture encoder (chunks + filters ours; DEFLATE via the JRE —
+  // decoding a third-party compressor's dynamic-Huffman output with
+  // our own inflate is the independence check)
+  // ---------------------------------------------------------------
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream,
+                         tpe: String, data: Array[Byte]): Unit = {
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    be32(data.length)
+    val body = tpe.getBytes("US-ASCII") ++ data
+    out.write(body, 0, body.length)
+    be32(crc32(body, 0, body.length))
+  }
+
+  /** Encode packed-RGB pixels (plus optional alpha formula) as a PNG,
+    * rotating the filter type row-by-row (y % 5) so every filter path
+    * is exercised. */
+  def encode(w: Int, h: Int, px: Array[Int],
+             alpha: Option[(Int, Int) => Int] = None): Array[Byte] = {
+    require(px.length == w * h)
+    val bpp = if (alpha.isDefined) 4 else 3
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
+    val prev = new Array[Int](w * bpp)
+    val cur = new Array[Int](w * bpp)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        cur(bpp * x) = (v >> 16) & 0xFF
+        cur(bpp * x + 1) = (v >> 8) & 0xFF
+        cur(bpp * x + 2) = v & 0xFF
+        if (bpp == 4) cur(bpp * x + 3) = alpha.get(x, y) & 0xFF
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * stride) = ft.toByte
+      var i = 0
+      while (i < w * bpp) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val orig = cur(i)
+        val filtered = ft match {
+          case 0 => orig
+          case 1 => orig - a
+          case 2 => orig - b
+          case 3 => orig - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            orig - (if (pa <= pb && pa <= pc) a
+                    else if (pb <= pc) b
+                    else c)
+        }
+        raw(y * stride + 1 + i) = filtered.toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, w * bpp)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(signature, 0, signature.length)
+    val ihdr = new Array[Byte](13)
+    def be32(v: Int, at: Int): Unit = {
+      ihdr(at) = ((v >>> 24) & 0xFF).toByte
+      ihdr(at + 1) = ((v >>> 16) & 0xFF).toByte
+      ihdr(at + 2) = ((v >>> 8) & 0xFF).toByte
+      ihdr(at + 3) = (v & 0xFF).toByte
+    }
+    be32(w, 0); be32(h, 4)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (bpp == 4) 6 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zbuf.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic PNG fixture: w = 5 + id%6, h = 4 + id%5, pixel
+    * channels by integer formula; even ids are RGBA (alpha ignored by
+    * features), odd ids RGB. Row filters rotate through all five
+    * types by construction of [[encode]]. */
+  def synthAsset(id: Long): Array[Byte] = {
+    val w = 5 + (id % 6).toInt
+    val h = 4 + (id % 5).toInt
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val r = ((x * 11 + y * 7 + id * 3) % 256).toInt
+      val g = ((x * 5 + y * 13 + id * 17) % 256).toInt
+      val b = ((x * 3 + y * 19 + id * 23) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    val alpha =
+      if (id % 2 == 0) Some((x: Int, y: Int) => ((x + y + id) % 256).toInt)
+      else None
+    encode(w, h, px, alpha)
+  }
+
+  /** The seam plug: PNG payloads decode natively; everything else
+    * falls down the QOI/FLAC/ADPCM/µ-law/JRE chain via [[Codecs]]. */
+  val pngFirstDecoder: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "image" && payload.length >= 8 &&
+      java.util.Arrays.equals(java.util.Arrays.copyOf(payload, 8),
+        signature))
+      decode(payload).map { case (w, h, px) => features(w, h, px) }
+    else Multimodal.jreDecoder(kind, payload)
+
+  /** [[Qoi.extractFeaturesBatched]] over the PNG-first decoder. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int)
+      : DataFrame =
+    Qoi.extractFeaturesBatched(assets, batchSize, () => pngFirstDecoder)
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Png, Qoi}
+
+/** From-spec PNG decode: our inflate against real java.util.zip
+  * Deflater output (dynamic-Huffman blocks), JRE ImageIO as the
+  * independent pixel reference, every filter type, corruption
+  * rejection, and the seam. */
+class PngSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pixels(w: Int, h: Int, seed: Long,
+                     smooth: Boolean): Array[Int] = {
+    val rng = new scala.util.Random(seed)
+    if (smooth)
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = (x * 3 + y * 2) % 256
+        val g = (x + y * 5) % 256
+        val b = (x * 7 + y) % 256
+        (r << 16) | (g << 8) | b
+      }
+    else Array.fill(w * h)(rng.nextInt(1 << 24))
+  }
+
+  test("encode -> decode round-trips pixels exactly (RGB and RGBA, " +
+      "smooth and noisy, all five filters exercised)") {
+    for {
+      (w, h) <- Seq((1, 1), (3, 7), (16, 16), (40, 23))
+      smooth <- Seq(true, false)
+      rgba <- Seq(false, true)
+    } {
+      val px = pixels(w, h, w * 1000 + h, smooth)
+      val alpha = if (rgba) Some((x: Int, y: Int) => (x * y + 7) % 256)
+                  else None
+      val enc = Png.encode(w, h, px, alpha)
+      val dec = Png.decode(enc)
+      assert(dec.isDefined, s"w=$w h=$h smooth=$smooth rgba=$rgba")
+      val (gw, gh, got) = dec.get
+      (gw, gh) shouldBe ((w, h))
+      got.toSeq shouldBe px.toSeq
+    }
+  }
+
+  test("our inflate decodes the JRE Deflater's output at every " +
+      "compression level (fixed + dynamic Huffman + stored)") {
+    // levels 0 (stored), 1 (fast/fixed-ish) and 9 (dynamic) produce
+    // different block types; our decoder must handle all
+    for (level <- Seq(0, 1, 6, 9); n <- Seq(10, 1000, 40000)) {
+      val rng = new scala.util.Random(level * 100 + n)
+      // mixed compressible + noisy payload
+      val raw = Array.tabulate(n)(i =>
+        if (i % 3 == 0) (i % 7).toByte else rng.nextInt(256).toByte)
+      val defl = new java.util.zip.Deflater(level)
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val inflated = Png.zlibInflate(out.toByteArray, n)
+      inflated.toSeq shouldBe raw.toSeq
+    }
+  }
+
+  test("decoded pixels match the JRE ImageIO reference on our own " +
+      "encoder's output (independent end-to-end check)") {
+    val px = pixels(20, 14, 99L, smooth = false)
+    val enc = Png.encode(20, 14, px, Some((x, y) => (x + 2 * y) % 256))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    img should not be null
+    img.getWidth shouldBe 20
+    img.getHeight shouldBe 14
+    val (gw, gh, got) = Png.decode(enc).get
+    (gw, gh) shouldBe ((20, 14))
+    var i = 0
+    while (i < got.length) {
+      val x = i % 20; val y = i / 20
+      (img.getRGB(x, y) & 0xFFFFFF) shouldBe got(i)
+      i += 1
+    }
+  }
+
+  test("malformed payloads reject: bad magic, truncation, chunk CRC " +
+      "flips, Adler flips, unsupported shapes") {
+    val enc = Png.encode(9, 9, pixels(9, 9, 5L, smooth = true), None)
+    Png.decode(enc).isDefined shouldBe true
+    val m = enc.clone(); m(1) = 'Q'.toByte
+    Png.decode(m) shouldBe None
+    for (cut <- Seq(7, 20, enc.length / 2, enc.length - 1))
+      Png.decode(java.util.Arrays.copyOf(enc, cut)) shouldBe None
+    // flip one byte anywhere after the signature: chunk CRC-32 or
+    // zlib Adler-32 must catch it (or the parse fails outright)
+    val rng = new scala.util.Random(3)
+    var trials = 0
+    while (trials < 40) {
+      val pos = 8 + rng.nextInt(enc.length - 8)
+      val c = enc.clone()
+      c(pos) = (c(pos) ^ (1 << rng.nextInt(8))).toByte
+      Png.decode(c) shouldBe None
+      trials += 1
+    }
+    // 16-bit depth rejects (patch IHDR depth byte + fix its CRC)
+    val deep = enc.clone()
+    deep(8 + 8 + 8) = 16.toByte
+    val crc = Png.crc32(deep, 8 + 4, 8 + 8 + 13)
+    deep(8 + 8 + 13) = ((crc >>> 24) & 0xFF).toByte
+    deep(8 + 8 + 14) = ((crc >>> 16) & 0xFF).toByte
+    deep(8 + 8 + 15) = ((crc >>> 8) & 0xFF).toByte
+    deep(8 + 8 + 16) = (crc & 0xFF).toByte
+    Png.decode(deep) shouldBe None
+  }
+
+  test("synthAsset fixtures decode to the generating formula exactly") {
+    for (id <- 0L to 11L) {
+      val (w, h, got) = Png.decode(Png.synthAsset(id)).get
+      w shouldBe 5 + (id % 6).toInt
+      h shouldBe 4 + (id % 5).toInt
+      val want = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((x * 11 + y * 7 + id * 3) % 256).toInt
+        val g = ((x * 5 + y * 13 + id * 17) % 256).toInt
+        val b = ((x * 3 + y * 19 + id * 23) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      got.toSeq shouldBe want.toSeq
+    }
+  }
+
+  test("crc32 and adler32 match the JRE reference implementations") {
+    val rng = new scala.util.Random(1)
+    for (n <- Seq(0, 1, 100, 10000)) {
+      val data = Array.fill(n)(rng.nextInt(256).toByte)
+      val jc = new java.util.zip.CRC32()
+      jc.update(data)
+      Png.crc32(data, 0, n) shouldBe jc.getValue.toInt
+      val ja = new java.util.zip.Adler32()
+      ja.update(data)
+      Png.adler32(data, 0, n) shouldBe ja.getValue.toInt
+    }
+  }
+
+  test("the PNG-first seam decodes PNGs natively and the stacked " +
+      "Codecs chain routes PNG beside QOI") {
+    val pngAsset = Png.synthAsset(3L)
+    val qoiAsset = Qoi.synthAsset(3L)
+    val df = Seq(
+      (1L, "image", pngAsset),
+      (2L, "image", qoiAsset)
+    ).toDF("asset_id", "kind", "payload")
+    val out = graft.multimodal.Codecs.extractFeaturesBatched(df, 8)
+      .select(col("asset_id"), col("decoded"))
+      .orderBy(col("asset_id"))
+      .as[(Long, Boolean)].collect().toSeq
+    out shouldBe Seq((1L, true), (2L, true))
+  }
+}
