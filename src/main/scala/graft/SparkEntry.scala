@@ -3414,9 +3414,13 @@ object SparkEntry {
         .join(broadcast(wt), "d")
         .select(col("v"), col("w"))
       // cap applied BEFORE the wedge: only edges on surviving v's
-      // enter the self-join, and w rides side a (no post-wedge join)
-      val a = e.join(wNode, "v").select(col("v"), col("u").as("a"),
-        col("w"))
+      // enter the self-join, and w rides side a (no post-wedge join
+      // of the 10M-row wedge output). wNode is one row per surviving
+      // shared neighbor — broadcast it explicitly (its groupBy
+      // lineage hides its size from the planner), so the cap costs
+      // no shuffle on the edge stream
+      val a = e.join(broadcast(wNode), "v")
+        .select(col("v"), col("u").as("a"), col("w"))
       val b = e.select(col("v"), col("u").as("b"))
       a.join(b, "v").filter(col("a") < col("b"))
         .groupBy(col("a"), col("b"))
