@@ -959,6 +959,47 @@ object SparkEntry {
         .orderBy(col("k"), col("t"))
     }),
 
+    // ---- exact-integer Mann-Kendall trend test per user: S = Σ_{i<j}
+    //      sign(x_j − x_i) over each user's first 64 events in
+    //      (ts, event_id) order, plus the tie-corrected variance
+    //      numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5) — all integers, so
+    //      the oracle hash-gates the full statistic. The 64-point cap
+    //      is the dfCap discipline applied to a pairwise statistic
+    //      (C(n,2) per key is quadratic in an uncapped hot key) and it
+    //      BINDS at sf0.1 (users reach 99 events), so the capped path
+    //      is what the oracle certifies
+    "q_ts_mannkendall" -> ((s, dir) =>
+      operators.Timeline.mannKendall(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("user_id"), col("ts_us"), col("event_id"),
+          cents(col("value")), cap = 64)
+        .select(col("k").as("user_id"), col("n"), col("s"),
+          col("var18"))
+        .orderBy(col("user_id"))),
+
+    // ---- Theil-Sen robust slope per user (median of pairwise
+    //      slopes over the daily-spend series, first 64 days — the
+    //      outlier-tolerant companion to q_ts_trend's OLS): slopes
+    //      release as trunc((Δx·2^40)/Δt) exact scaled integers
+    //      (DECIMAL ride; both engines truncate toward zero), so the
+    //      multiset is bit-identical and the positional lower median
+    //      is deterministic. Same C(cap,2) pairwise bound as
+    //      q_ts_mannkendall
+    "q_ts_sen_slope" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.senSlope(daily, col("user_id"), col("day"),
+          col("x"), cap = 64)
+        .select(col("k").as("user_id"), col("n_pairs"),
+          col("sen_scaled"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- U-shaped (position-based) multi-touch attribution: every
     //      purchase credits its preceding 7-day click path 40/20/40
     //      (first/middles/last) in integer micro shares, remainder to
@@ -1253,6 +1294,22 @@ object SparkEntry {
               concat(lit("p"), col("l_partkey")).as("dst"))
             .distinct(),
           col("src"), col("dst"), rounds = 3)
+        .orderBy(col("node"))),
+
+    // ---- fixed-round integer HITS (hubs/authorities) over the
+    //      mod-folded orderkey→partkey digraph: per round, authority =
+    //      Σ incoming hub / hub = Σ outgoing authority, renormalized
+    //      to [0, 1e6] by ONE exact integer division against the
+    //      round's max (single-row broadcast — the integer stand-in
+    //      for L2 normalization; same bit-determinism contract as
+    //      q_graph_pagerank, DECIMAL(38,0) sums so a power-law hub
+    //      can't overflow mid-round)
+    "q_graph_hits" -> ((s, dir) =>
+      operators.Graph.hits(
+          Tables.lineitem(s, dir).select(
+            (col("l_orderkey") % 20000).as("u"),
+            (col("l_partkey") % 20000).as("v")),
+          col("u"), col("v"), rounds = 2)
         .orderBy(col("node"))),
 
     // ---- per-node triangle counts over a mod-folded lineitem graph
@@ -3503,6 +3560,22 @@ object SparkEntry {
           Seq("c_nationkey", "bal_kb"), col("c_mktsegment"), l = 3L)
         .orderBy(col("c_nationkey"), col("bal_kb"))),
 
+    // ---- t-closeness audit (the third privacy rung: k-anonymity
+    //      bounds size, l-diversity bounds distinctness, t-closeness
+    //      bounds the DISTRIBUTION gap): exact-integer prefix-form
+    //      EMD between each nation's balance-bucket histogram and the
+    //      table's, buckets from exact integer cents (no float
+    //      boundary risk), released as micro units by one integral
+    //      division; close = within t = 0.1
+    "q_tcloseness" -> ((s, dir) =>
+      operators.Privacy.tCloseness(
+          Tables.customer(s, dir)
+            .withColumn("bal_b", expr(
+              "(cast(round(c_acctbal*100) as bigint) + 100000)" +
+                " div 100000")),
+          Seq("c_nationkey"), col("bal_b"), m = 11, tMicro = 100000L)
+        .orderBy(col("c_nationkey"))),
+
     // ---- floored running balance (inventory that cannot go below
     //      zero): the recurrence B_t = max(B_{t-1}+x_t, 0) is not a
     //      window function, but the Skorokhod reflection identity
@@ -4944,6 +5017,34 @@ object SparkEntry {
         .withColumn("kind", lit("image"))
         .withColumn("payload", mkPayload(col("asset_id")))
       multimodal.Png.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"), col("decoded"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("n"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"),
+          element_at(col("features"), 7).cast("long").as("min_r"),
+          element_at(col("features"), 8).cast("long").as("max_r"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // ---- DICTIONARY-compression image through the seam: from-spec
+    //      GIF89a decode — variable-width LZW (3..12-bit codes,
+    //      LSB-first packing, clear/EOI, KwKwK, 4096-entry reset),
+    //      global/LOCAL color tables (fixtures plant a wrong global
+    //      under the correct local to prove the override), extension
+    //      skipping, 4-pass interlace (odd ids). The fixture encoder
+    //      is a real hash-dictionary LZW compressor, and GIF is
+    //      lossless, so the oracle regenerates the palette-indexed
+    //      pixels by integer formula and aggregates the full image
+    "q_multimodal_gif" -> ((s, dir) => {
+      val mkPayload = udf((id: Long) => multimodal.Gif.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 150).as("asset_id")).distinct()
+        .withColumn("kind", lit("image"))
+        .withColumn("payload", mkPayload(col("asset_id")))
+      multimodal.Gif.extractFeaturesBatched(assets, 64)
         .select(col("asset_id"), col("decoded"),
           element_at(col("features"), 1).cast("long").as("w"),
           element_at(col("features"), 2).cast("long").as("h"),
@@ -6585,6 +6686,63 @@ object SparkEntry {
         |  CAST(seas AS BIGINT) AS seas
         |FROM hw ORDER BY k, t""".stripMargin,
 
+    // the 64-point per-key cap is part of the semantics (dfCap
+    // discipline for a pairwise statistic) and binds at sf0.1
+    "q_ts_mannkendall" ->
+      """WITH base AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |kept AS (
+        |  SELECT k, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t, tie) AS rn
+        |  FROM base QUALIFY rn <= 64),
+        |s AS (
+        |  SELECT a.k,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |                  WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM kept a JOIN kept b ON a.k = b.k AND a.rn < b.rn
+        |  GROUP BY 1),
+        |n AS (SELECT k, count(*) AS n FROM kept GROUP BY 1
+        |      HAVING count(*) >= 2),
+        |ties AS (
+        |  SELECT k, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT k, x, count(*) AS t FROM kept GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT CAST(n.k AS BIGINT) AS user_id,
+        |  CAST(n.n AS BIGINT) AS n, s.s AS s,
+        |  CAST(n.n*(n.n-1)*(2*n.n+5) - ties.tie_sum AS BIGINT)
+        |    AS var18
+        |FROM n JOIN s ON n.k = s.k JOIN ties ON n.k = ties.k
+        |ORDER BY user_id""".stripMargin,
+
+    // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
+    // (both truncate toward zero); lower median by position
+    "q_ts_sen_slope" ->
+      """WITH daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT k, t, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM daily QUALIFY rn <= 64),
+        |p AS (
+        |  SELECT a.k,
+        |    (CAST(b.x - a.x AS HUGEINT) * 1099511627776)
+        |      // (b.t - a.t) AS sl
+        |  FROM kept a JOIN kept b ON a.k = b.k AND a.rn < b.rn),
+        |r AS (
+        |  SELECT k, sl,
+        |    row_number() OVER (PARTITION BY k ORDER BY sl) AS i,
+        |    count(*) OVER (PARTITION BY k) AS np
+        |  FROM p)
+        |SELECT CAST(k AS BIGINT) AS user_id,
+        |  CAST(np AS BIGINT) AS n_pairs, CAST(sl AS BIGINT) AS sen_scaled
+        |FROM r WHERE i = (np + 1) // 2
+        |ORDER BY user_id""".stripMargin,
+
     "q_attribution" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
@@ -6919,6 +7077,45 @@ object SparkEntry {
         |  SELECT n.node, CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS pr
         |  FROM n LEFT JOIN c3 USING (node))
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    // HUGEINT sums mirror the engine's DECIMAL(38,0); `//` against
+    // the round max is the exact-integer renormalization
+    "q_graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_orderkey % 20000 AS VARCHAR) AS src,
+        |         CAST(l_partkey % 20000 AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS hub FROM n),
+        |a1r AS (SELECT e.dst AS node, sum(h.hub) AS s
+        |        FROM e JOIN h0 h ON e.src = h.node GROUP BY 1),
+        |a1m AS (SELECT greatest(max(s), 1) AS mx FROM a1r),
+        |a1 AS (SELECT n.node,
+        |         (COALESCE(r.s, 0) * 1000000) // m.mx AS auth
+        |       FROM n LEFT JOIN a1r r USING (node) CROSS JOIN a1m m),
+        |h1r AS (SELECT e.src AS node, sum(a.auth) AS s
+        |        FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+        |h1m AS (SELECT greatest(max(s), 1) AS mx FROM h1r),
+        |h1 AS (SELECT n.node,
+        |         (COALESCE(r.s, 0) * 1000000) // m.mx AS hub
+        |       FROM n LEFT JOIN h1r r USING (node) CROSS JOIN h1m m),
+        |a2r AS (SELECT e.dst AS node, sum(h.hub) AS s
+        |        FROM e JOIN h1 h ON e.src = h.node GROUP BY 1),
+        |a2m AS (SELECT greatest(max(s), 1) AS mx FROM a2r),
+        |a2 AS (SELECT n.node,
+        |         (COALESCE(r.s, 0) * 1000000) // m.mx AS auth
+        |       FROM n LEFT JOIN a2r r USING (node) CROSS JOIN a2m m),
+        |h2r AS (SELECT e.src AS node, sum(a.auth) AS s
+        |        FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+        |h2m AS (SELECT greatest(max(s), 1) AS mx FROM h2r),
+        |h2 AS (SELECT n.node,
+        |         (COALESCE(r.s, 0) * 1000000) // m.mx AS hub
+        |       FROM n LEFT JOIN h2r r USING (node) CROSS JOIN h2m m)
+        |SELECT n.node AS node, CAST(h2.hub AS BIGINT) AS hub,
+        |  CAST(a2.auth AS BIGINT) AS auth
+        |FROM n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
+        |ORDER BY 1""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH raw AS (
@@ -10524,6 +10721,43 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment) >= 3 AS diverse
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // exact-integer prefix-form EMD (ordered attribute): diff_b =
+    // c_b·N − C_b·n_g, emd_num = Σ_{b<m−1} |prefix|, micro release
+    // by one integral division — buckets from exact cents
+    "q_tcloseness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey AS g,
+        |    least(greatest(
+        |      (CAST(round(c_acctbal*100) AS BIGINT) + 100000)
+        |        // 100000, 0), 10) AS b
+        |  FROM customer),
+        |cnt AS (SELECT g, b, count(*) AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g, count(*) AS n_rows FROM base GROUP BY 1),
+        |gl AS (SELECT b, count(*) AS cg FROM base GROUP BY 1),
+        |nt AS (SELECT count(*) AS nn FROM base),
+        |dense AS (
+        |  SELECT gt.g, r.range AS b, gt.n_rows, nt.nn,
+        |    COALESCE(cnt.c, 0) * nt.nn
+        |      - COALESCE(gl.cg, 0) * gt.n_rows AS diff
+        |  FROM gt CROSS JOIN range(0, 11) r
+        |  LEFT JOIN cnt ON cnt.g = gt.g AND cnt.b = r.range
+        |  LEFT JOIN gl ON gl.b = r.range
+        |  CROSS JOIN nt),
+        |pfx AS (
+        |  SELECT g, b, n_rows, nn,
+        |    sum(diff) OVER (PARTITION BY g ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM dense),
+        |agg AS (
+        |  SELECT g, n_rows, nn, CAST(sum(abs(p)) AS BIGINT) AS emd_num
+        |  FROM pfx WHERE b < 10 GROUP BY 1, 2, 3)
+        |SELECT g AS c_nationkey, n_rows, emd_num,
+        |  CAST((CAST(emd_num AS HUGEINT) * 1000000)
+        |    // (10 * n_rows * nn) AS BIGINT) AS emd_micro,
+        |  CAST((CAST(emd_num AS HUGEINT) * 1000000)
+        |    // (10 * n_rows * nn) AS BIGINT) <= 100000 AS close
+        |FROM agg ORDER BY 1""".stripMargin,
+
     "q_kanon" ->
       """WITH j AS (
         |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
@@ -11950,6 +12184,39 @@ object SparkEntry {
         |  CAST(min(r) AS BIGINT) AS min_r,
         |  CAST(max(r) AS BIGINT) AS max_r
         |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY asset_id""".stripMargin,
+
+    // GIF is lossless, so the oracle regenerates the palette-indexed
+    // pixels by formula and aggregates the full image — the engine
+    // must bit-exactly LZW-decode its own real compressor's stream
+    // (and honor the local-color-table override on id%5==0 assets,
+    // which carry a deliberately wrong global table)
+    "q_multimodal_gif" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 150 AS asset_id
+        |  FROM lineitem),
+        |dims AS (SELECT asset_id, 6 + asset_id % 9 AS w,
+        |                5 + asset_id % 7 AS h
+        |         FROM ids),
+        |px AS (
+        |  SELECT d.asset_id, d.w, d.h,
+        |    (x.x*3 + y.y*5 + d.asset_id) % 8 AS k
+        |  FROM dims d, range(0, 15) x(x), range(0, 12) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |rgb AS (
+        |  SELECT asset_id, w, h,
+        |    (k*37 + asset_id*11) % 256 AS r,
+        |    (k*59 + asset_id*7) % 256 AS g,
+        |    (k*83 + asset_id*3) % 256 AS b
+        |  FROM px)
+        |SELECT CAST(asset_id AS BIGINT) AS asset_id, TRUE AS decoded,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(r) AS BIGINT) AS min_r,
+        |  CAST(max(r) AS BIGINT) AS max_r
+        |FROM rgb GROUP BY 1, 2, 3, 4
         |ORDER BY asset_id""".stripMargin,
 
     // FLAC is lossless, so the oracle regenerates the synthetic PCM

@@ -1,0 +1,489 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+
+/** Pure-Scala GIF (GIF87a/89a) codec — the family's first
+  * DICTIONARY-compression format: variable-width LZW (3..12-bit
+  * codes, LSB-first bit packing, clear/EOI control codes, the KwKwK
+  * corner case, dictionary reset at 4096), where PNG exercised
+  * Huffman/DEFLATE and FLAC exercised Rice coding. Everything here
+  * is from the public GIF89a specification (CompuServe, 1990):
+  * header + logical screen descriptor, global/local color tables
+  * (local OVERRIDES global — fixtures plant a deliberately wrong
+  * global table under a correct local one to prove the override is
+  * honored), extension blocks (skipped via their sub-block chains),
+  * 4-pass interlacing, and sub-block-chunked LZW image data.
+  *
+  * The fixture encoder is a REAL LZW compressor (hash-dictionary,
+  * width growth, mid-stream reset), not a clear-code-per-symbol
+  * degenerate — so the decoder is exercised against genuinely
+  * compressed streams, including the decoder-side code==nextCode
+  * (KwKwK) case that only a real compressor emits.
+  *
+  * GIF carries no checksum (unlike PNG's CRC-32 / FLAC's CRC-8/16),
+  * so rejection is structural: bad magic, truncation, missing color
+  * table, LZW code overruns, pixel-count mismatch.
+  */
+object Gif {
+
+  // ---------------------------------------------------------------
+  // Decode
+  // ---------------------------------------------------------------
+
+  private final class Malformed extends RuntimeException
+
+  /** Reader over a GIF sub-block chain (len byte + payload,
+    * terminated by a 0x00 block); exposes the concatenated bytes. */
+  private final class SubBlocks(buf: Array[Byte], var pos: Int) {
+    private var left = 0
+    private var done = false
+    /** Next data byte, or -1 once the 0-terminator is consumed. */
+    def next(): Int = {
+      while (left == 0) {
+        if (done) return -1
+        if (pos >= buf.length) throw new Malformed
+        val len = buf(pos) & 0xFF
+        pos += 1
+        if (len == 0) { done = true; return -1 }
+        left = len
+      }
+      if (pos >= buf.length) throw new Malformed
+      left -= 1
+      val b = buf(pos) & 0xFF
+      pos += 1
+      b
+    }
+    /** Consume any remaining sub-blocks; `pos` ends past the 0x00. */
+    def finish(): Unit = {
+      while (next() != -1) {}
+    }
+  }
+
+  /** LSB-first bit reader over a sub-block chain (GIF packs LZW
+    * codes little-endian within bytes). */
+  private final class BitReader(sb: SubBlocks) {
+    private var acc = 0
+    private var nbits = 0
+    /** Next `width`-bit code, or -1 on end of data. */
+    def read(width: Int): Int = {
+      while (nbits < width) {
+        val b = sb.next()
+        if (b < 0) return -1
+        acc |= b << nbits
+        nbits += 8
+      }
+      val v = acc & ((1 << width) - 1)
+      acc >>>= width
+      nbits -= width
+      v
+    }
+  }
+
+  /** Decode one LZW stream into exactly `expected` palette indices.
+    * Dictionary entries are (prefix-code, suffix-byte) pairs expanded
+    * through an explicit stack — no recursion, max 4096 codes. */
+  private def lzwDecode(mcs: Int, sb: SubBlocks,
+                        expected: Int): Array[Byte] = {
+    if (mcs < 2 || mcs > 8) throw new Malformed
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    val bits = new BitReader(sb)
+    var width = mcs + 1
+    var nextCode = eoi + 1
+    var prev = -1
+    var prevFirst = 0 // head literal of prev's string (KwKwK needs it)
+    var n = 0
+    var eoiSeen = false
+    while (!eoiSeen) {
+      val code = bits.read(width)
+      if (code < 0) throw new Malformed // data ran out before EOI
+      if (code == clear) {
+        width = mcs + 1
+        nextCode = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        eoiSeen = true
+      } else if (prev == -1) {
+        // first code after (re)start must be a literal
+        if (code >= clear) throw new Malformed
+        if (n >= expected) throw new Malformed
+        out(n) = code.toByte
+        n += 1
+        prev = code
+        prevFirst = code
+      } else {
+        if (code > nextCode || code == clear || code == eoi)
+          throw new Malformed
+        var sp = 0
+        var c = code
+        if (code == nextCode) { // KwKwK: entry = prev-string + its head;
+          stack(sp) = prevFirst.toByte // bottom of stack -> popped LAST
+          sp += 1
+          c = prev
+        }
+        while (c >= clear) { // walk dictionary links down to a literal
+          stack(sp) = suffix(c)
+          sp += 1
+          c = prefix(c)
+        }
+        val first = c.toByte
+        // stack holds the string minus its head in reverse; emit head
+        // then unwind
+        if (n >= expected) throw new Malformed
+        out(n) = first
+        n += 1
+        while (sp > 0) {
+          sp -= 1
+          if (n >= expected) throw new Malformed
+          out(n) = stack(sp)
+          n += 1
+        }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = first
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+        prevFirst = first & 0xFF
+      }
+    }
+    if (n != expected) throw new Malformed
+    out
+  }
+
+  private val InterlacePasses: Array[(Int, Int)] =
+    Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** Decode a GIF payload → (width, height, row-major ARGB pixels of
+    * the FIRST image frame); None on anything malformed. Honors a
+    * local color table over the global one, all extension blocks are
+    * skipped by their sub-block framing, and 4-pass interlace is
+    * de-interleaved. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (payload.length < 13) return None
+      val magicOk = payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == '8' &&
+        (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
+      if (!magicOk) return None
+      def u16(o: Int): Int =
+        (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+      var pos = 6
+      pos += 4 // logical screen width/height (frame dims rule below)
+      val packed = payload(pos) & 0xFF
+      pos += 3 // packed + background index + aspect
+      var gct: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val entries = 1 << ((packed & 0x07) + 1)
+        gct = new Array[Int](entries)
+        var i = 0
+        while (i < entries) {
+          gct(i) = (0xFF << 24) | ((payload(pos) & 0xFF) << 16) |
+            ((payload(pos + 1) & 0xFF) << 8) | (payload(pos + 2) & 0xFF)
+          pos += 3
+          i += 1
+        }
+      }
+      // walk blocks to the first image descriptor
+      while (true) {
+        if (pos >= payload.length) return None
+        val b = payload(pos) & 0xFF
+        pos += 1
+        b match {
+          case 0x21 => // extension: label + sub-block chain
+            if (pos >= payload.length) return None
+            pos += 1
+            val sb = new SubBlocks(payload, pos)
+            sb.finish()
+            pos = sb.pos
+          case 0x2C => // image descriptor
+            if (pos + 9 > payload.length) return None
+            val iw = u16(pos + 4)
+            val ih = u16(pos + 6)
+            val ipacked = payload(pos + 8) & 0xFF
+            pos += 9
+            if (iw <= 0 || ih <= 0 || iw.toLong * ih > 16_000_000L)
+              return None
+            val interlaced = (ipacked & 0x40) != 0
+            var table = gct
+            if ((ipacked & 0x80) != 0) { // local color table overrides
+              val entries = 1 << ((ipacked & 0x07) + 1)
+              if (pos + 3 * entries > payload.length) return None
+              table = new Array[Int](entries)
+              var i = 0
+              while (i < entries) {
+                table(i) = (0xFF << 24) |
+                  ((payload(pos) & 0xFF) << 16) |
+                  ((payload(pos + 1) & 0xFF) << 8) |
+                  (payload(pos + 2) & 0xFF)
+                pos += 3
+                i += 1
+              }
+            }
+            if (table == null) return None // no color table at all
+            if (pos >= payload.length) return None
+            val mcs = payload(pos) & 0xFF
+            pos += 1
+            val sb = new SubBlocks(payload, pos)
+            val idx = lzwDecode(mcs, sb, iw * ih)
+            sb.finish()
+            val px = new Array[Int](iw * ih)
+            if (interlaced) {
+              var src = 0
+              var p = 0
+              while (p < 4) {
+                val (start, step) = InterlacePasses(p)
+                var y = start
+                while (y < ih) {
+                  var x = 0
+                  while (x < iw) {
+                    val k = idx(src) & 0xFF
+                    if (k >= table.length) return None
+                    px(y * iw + x) = table(k)
+                    src += 1
+                    x += 1
+                  }
+                  y += step
+                }
+                p += 1
+              }
+            } else {
+              var i = 0
+              while (i < idx.length) {
+                val k = idx(i) & 0xFF
+                if (k >= table.length) return None
+                px(i) = table(k)
+                i += 1
+              }
+            }
+            return Some((iw, ih, px))
+          case 0x3B => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  // ---------------------------------------------------------------
+  // Fixture encoder — a real LZW compressor
+  // ---------------------------------------------------------------
+
+  /** LZW-compress palette indices at `mcs` minimum code size: emits
+    * an initial clear code, grows code width as the dictionary
+    * fills ((1<<width)+1 on the encoder side mirrors the decoder's
+    * 1<<width bump — they are offset by one because the encoder adds
+    * its entry before emitting the next code), and resets with a
+    * clear code when the 4096-entry table fills. */
+  private def lzwEncode(mcs: Int, indices: Array[Byte],
+                        out: java.io.ByteArrayOutputStream): Unit = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    var acc = 0L
+    var nbits = 0
+    val block = new Array[Byte](255)
+    var blockLen = 0
+    def flushByte(b: Int): Unit = {
+      block(blockLen) = b.toByte
+      blockLen += 1
+      if (blockLen == 255) {
+        out.write(255)
+        out.write(block, 0, 255)
+        blockLen = 0
+      }
+    }
+    var width = mcs + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) {
+        flushByte((acc & 0xFF).toInt)
+        acc >>>= 8
+        nbits -= 8
+      }
+    }
+    // dictionary: (prefixCode << 8 | byte) -> code, open-addressed
+    val cap = 1 << 13
+    val keys = new Array[Int](cap)
+    val vals = new Array[Int](cap)
+    java.util.Arrays.fill(keys, -1)
+    var nextCode = eoi + 1
+    def reset(): Unit = {
+      java.util.Arrays.fill(keys, -1)
+      nextCode = eoi + 1
+      width = mcs + 1
+    }
+    def find(key: Int): Int = {
+      var h = (key * 0x9E3779B9) >>> 19 // top bits into [0, cap)
+      while (true) {
+        val k = keys(h & (cap - 1))
+        if (k == -1) return -(h & (cap - 1)) - 1 // free slot (encoded)
+        if (k == key) return vals(h & (cap - 1))
+        h += 1
+      }
+      0 // unreachable
+    }
+    emit(clear)
+    if (indices.nonEmpty) {
+      var prefixCode = indices(0) & 0xFF
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xFF
+        val key = (prefixCode << 8) | k
+        val hit = find(key)
+        if (hit >= 0) prefixCode = hit
+        else {
+          emit(prefixCode)
+          if (nextCode == 4096) { // table full: reset mid-stream
+            emit(clear)
+            reset()
+          } else {
+            val slot = -hit - 1
+            keys(slot) = key
+            vals(slot) = nextCode
+            nextCode += 1
+            if (nextCode == (1 << width) + 1 && width < 12) width += 1
+          }
+          prefixCode = k
+        }
+        i += 1
+      }
+      emit(prefixCode)
+    }
+    emit(eoi)
+    if (nbits > 0) flushByte((acc & 0xFF).toInt)
+    if (blockLen > 0) {
+      out.write(blockLen)
+      out.write(block, 0, blockLen)
+    }
+    out.write(0) // sub-block terminator
+  }
+
+  private def writeColorTable(out: java.io.ByteArrayOutputStream,
+                              palette: Array[Int], entries: Int): Unit = {
+    var i = 0
+    while (i < entries) {
+      val v = if (i < palette.length) palette(i) else 0
+      out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF)
+      out.write(v & 0xFF)
+      i += 1
+    }
+  }
+
+  /** Encode palette indices as a single-frame GIF89a. `localTable`
+    * stores the palette as a LOCAL color table and plants a
+    * deliberately shifted global one (decoders that ignore the
+    * override decode wrong colors); `withExtension` prepends a
+    * graphic-control extension the decoder must skip. */
+  def encode(w: Int, h: Int, indices: Array[Byte], palette: Array[Int],
+             interlaced: Boolean = false, localTable: Boolean = false,
+             withExtension: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h, "bad gif input")
+    require(palette.length >= 2 && palette.length <= 256, "bad palette")
+    var sizeField = 0 // entries = 2^(sizeField+1) >= palette.length
+    while ((1 << (sizeField + 1)) < palette.length) sizeField += 1
+    val entries = 1 << (sizeField + 1)
+    val mcs = math.max(2, sizeField + 1)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    u16(w); u16(h)
+    out.write(0x80 | sizeField) // GCT present, size field
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    if (localTable) {
+      // wrong-on-purpose global table: every channel shifted by 85
+      val shifted = palette.map { v =>
+        (((v >> 16) + 85) & 0xFF) << 16 |
+          ((((v >> 8) & 0xFF) + 85) & 0xFF) << 8 |
+          (((v & 0xFF) + 85) & 0xFF)
+      }
+      writeColorTable(out, shifted, entries)
+    } else writeColorTable(out, palette, entries)
+    if (withExtension) {
+      out.write(0x21); out.write(0xF9) // graphic control extension
+      out.write(4); out.write(0); u16(0); out.write(0)
+      out.write(0) // terminator
+    }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    val ipacked = (if (localTable) 0x80 | sizeField else 0) |
+      (if (interlaced) 0x40 else 0)
+    out.write(ipacked)
+    if (localTable) writeColorTable(out, palette, entries)
+    out.write(mcs)
+    val ordered =
+      if (!interlaced) indices
+      else {
+        val o = new Array[Byte](indices.length)
+        var dst = 0
+        var p = 0
+        while (p < 4) {
+          val (start, step) = InterlacePasses(p)
+          var y = start
+          while (y < h) {
+            System.arraycopy(indices, y * w, o, dst, w)
+            dst += w
+            y += step
+          }
+          p += 1
+        }
+        o
+      }
+    lzwEncode(mcs, ordered, out)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Fixtures + the seam plug
+  // ---------------------------------------------------------------
+
+  /** Palette color k of asset `id` — pure integer formulas so a SQL
+    * oracle regenerates pixels exactly. */
+  def synthColor(id: Long, k: Int): Int =
+    (((k * 37 + id * 11) % 256).toInt << 16) |
+      (((k * 59 + id * 7) % 256).toInt << 8) |
+      ((k * 83 + id * 3) % 256).toInt
+
+  /** Deterministic GIF fixture: w = 6 + id%9, h = 5 + id%7, an
+    * 8-color palette by [[synthColor]], index (x*3 + y*5 + id) % 8.
+    * Odd ids are interlaced; id%5==0 stores the palette as a LOCAL
+    * color table under a deliberately wrong global one; id%3==0
+    * carries an extension block the decoder must skip. */
+  def synthAsset(id: Long): Array[Byte] = {
+    val w = 6 + (id % 9).toInt
+    val h = 5 + (id % 7).toInt
+    val palette = Array.tabulate(8)(k => synthColor(id, k))
+    val idx = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      ((x * 3 + y * 5 + id) % 8).toByte
+    }
+    encode(w, h, idx, palette,
+      interlaced = id % 2 == 1,
+      localTable = id % 5 == 0,
+      withExtension = id % 3 == 0)
+  }
+
+  /** The seam plug: GIF payloads decode natively; everything else
+    * falls down the PNG/QOI/FLAC/ADPCM/µ-law/JRE chain. */
+  val gifFirstDecoder: Multimodal.Decoder = (kind, payload) =>
+    if (kind == "image" && payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8')
+      decode(payload).map { case (w, h, px) => Png.features(w, h, px) }
+    else Png.pngFirstDecoder(kind, payload)
+
+  /** [[Qoi.extractFeaturesBatched]] over the GIF-first decoder. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int)
+      : DataFrame =
+    Qoi.extractFeaturesBatched(assets, batchSize, () => gifFirstDecoder)
+}

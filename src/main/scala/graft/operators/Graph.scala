@@ -730,6 +730,63 @@ object Graph {
     pr
   }
 
+  /** Fixed-round integer HITS (Kleinberg's hubs/authorities): each
+    * round, authority(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
+    * auth(v), each renormalized to [0, scale] by ONE exact integer
+    * division against the round's max (a single-row aggregate,
+    * broadcast back in — the integer stand-in for the float L2
+    * normalization, with the same bit-determinism contract as
+    * [[pageRank]]: order-/partitioning-independent, engine-exact).
+    * Sums and the ×scale product ride DECIMAL(38,0) so a 100-TB hub
+    * with ~1e13 in-degree cannot overflow a Long mid-round; the
+    * released scores are back in [0, scale] and emitted as longs.
+    *
+    * Scale: per round, two edge equi-joins + two map-side-combinable
+    * sums + two single-row max aggregates (broadcast, never
+    * collect()ed) — node-key shuffles only, no cartesian, no driver
+    * state. Skew equals the hottest node's degree, same salting
+    * caveat as [[pageRank]]. */
+  def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
+           rounds: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(srcCol.cast("string").as("src"),
+        dstCol.cast("string").as("dst"))
+      .distinct()
+      .transform(preMat)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .transform(preMat)
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    var r = 0
+    while (r < rounds) {
+      val araw = e
+        .join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("s"))
+      val amax = araw.agg(
+        greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
+      auth = roundMat(nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"), expr(
+          s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
+          .as("auth")))
+      val hraw = e
+        .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth").cast("decimal(38,0)")).as("s"))
+      val hmax = hraw.agg(
+        greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
+      hub = roundMat(nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"), expr(
+          s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
+          .as("hub")))
+      r += 1
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   /** [[labelPropagation]] with edge weights: each round every node
     * adopts the label with the largest incident WEIGHT SUM (ties →
     * smallest label). Same synchronous fixed-round determinism, same

@@ -120,4 +120,67 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(sensitiveCol).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
+
+  /** t-closeness audit — the third rung after [[kAnonymize]] and
+    * [[lDiversity]]: a group can be large AND diverse yet still leak
+    * if its sensitive-value DISTRIBUTION departs from the table's.
+    * For an ORDERED sensitive attribute bucketed into m classes
+    * 0..m−1, the Earth Mover's Distance has the closed prefix form
+    * EMD = (1/(m−1))·Σ_{i<m−1} |Σ_{b≤i} (p_b − q_b)| (Li, Li,
+    * Venkatasubramanian, ICDE 2007). Cross-multiplying by n_g·N
+    * keeps it exact-integer: diff_b = c_{g,b}·N − C_b·n_g, and
+    * emd_micro = 10⁶·Σ|prefix| div ((m−1)·n_g·N) — one exact
+    * division at release, hash-gateable.
+    *
+    * Emits one row per group: (group cols, n_rows, emd_num,
+    * emd_micro, close = emd_micro ≤ tMicro).
+    *
+    * Scale: per-group bucket counts are one groupBy; the global
+    * bucket histogram is m rows (broadcast back in, never
+    * collect()ed), the dense (group × m) frame comes from a
+    * broadcast m-row range join, and the prefix window orders m
+    * rows per group — no unpartitioned window, no driver state. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 bucketCol: Column, m: Int, tMicro: Long): DataFrame = {
+    require(m >= 2, s"need >= 2 buckets, got $m")
+    val spark = df.sparkSession
+    val qis = quasiCols.map(col)
+    val base = df.select(qis :+
+      least(greatest(bucketCol.cast("long"), lit(0L)),
+        lit(m - 1L)).as("__b"): _*)
+    val cnt = base.groupBy(qis :+ col("__b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val gTot = base.groupBy(qis: _*).agg(count(lit(1)).as("n_rows"))
+    val glob = base.groupBy(col("__b")).agg(count(lit(1)).as("cg"))
+    val nTot = base.agg(count(lit(1)).as("nn"))
+    val buckets = spark.range(0, m).toDF("__b")
+    val dense = gTot
+      .crossJoin(broadcast(buckets))
+      .join(cnt, quasiCols :+ "__b", "left")
+      .join(broadcast(glob), Seq("__b"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(qis ++ Seq(col("__b"), col("n_rows"),
+        // DECIMAL(38,0) cross-products: c·N fits a Long only to
+        // ~3e9 rows; the decimal ride keeps 100-TB tables exact
+        (coalesce(col("c"), lit(0L)).cast("decimal(38,0)") *
+          col("nn") -
+          coalesce(col("cg"), lit(0L)).cast("decimal(38,0)") *
+            col("n_rows")).as("diff"),
+        col("nn")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qis: _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    dense
+      .withColumn("pfx", sum(col("diff")).over(w))
+      .filter(col("__b") < m - 1) // the m-th prefix is zero by mass
+      .groupBy(qis :+ col("n_rows") :+ col("nn"): _*)
+      .agg(sum(abs(col("pfx"))).as("emd_num"))
+      .select(qis ++ Seq(col("n_rows"),
+        col("emd_num").cast("long").as("emd_num"),
+        expr(s"(emd_num * 1000000) div " +
+          s"(cast(${m - 1} as decimal(38,0)) * n_rows * nn)")
+          .as("emd_micro")): _*)
+      .withColumn("close", col("emd_micro") <= tMicro)
+  }
 }

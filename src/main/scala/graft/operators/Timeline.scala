@@ -591,4 +591,100 @@ object Timeline {
       }
       .toDF("k", "t", "x", "level", "trend", "seas")
   }
+
+  /** Exact-integer Mann-Kendall trend test per key: over each key's
+    * first `cap` points in (t, tie) order, S = Σ_{i<j}
+    * sign(x_j − x_i) — the classic nonparametric monotone-trend
+    * statistic — plus the tie-corrected variance NUMERATOR
+    * var18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) (the textbook
+    * Var(S) is var18/18; emitting the numerator keeps the whole
+    * result in exact integers, so the oracle hash-gates it — z-score
+    * release is one float division downstream if wanted).
+    *
+    * The per-key length cap is the [[graft.operators.Dedup]] dfCap
+    * discipline: S is inherently pairwise (C(n,2) comparisons per
+    * key), so an uncapped hot key is quadratic at 100×. Capping to
+    * the first `cap` points bounds every key at C(cap,2) pairs —
+    * deterministic because the (t, tie) rank is total — and the
+    * pair self-join shuffles on the key only, map-side combinable
+    * sums after it. Rows past the cap are dropped on BOTH engine and
+    * oracle sides (document the cap with the query).
+    *
+    * Output (k, n, s, var18) — one row per key with ≥ 2 kept rows. */
+  def mannKendall(df: DataFrame, keyCol: Column, tCol: Column,
+                  tieCol: Column, vCol: Column,
+                  cap: Int = 128): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tie"))
+    val kept = df
+      .select(keyCol.as("k"), tCol.as("t"), tieCol.as("tie"),
+        vCol.cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("rn"), col("x"))
+    val a = kept.select(col("k"), col("rn").as("i"), col("x").as("xi"))
+    val b = kept.select(col("k"), col("rn").as("j"), col("x").as("xj"))
+    val s = a.join(b, Seq("k"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L)
+        .otherwise(0L)).as("s"))
+    val nDf = kept.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val ties = kept.groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_sum"))
+    nDf.join(s, Seq("k"))
+      .join(ties, Seq("k"))
+      .select(col("k"), col("n"), col("s"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          col("tie_sum")).as("var18"))
+  }
+
+  /** Theil-Sen slope per key — the robust companion to the OLS trend:
+    * the MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i) over
+    * each key's first `cap` points, which tolerates up to ~29%
+    * outliers where least squares tolerates none. Slopes are released
+    * as exact scaled integers trunc((x_j − x_i)·2^40 / (t_j − t_i))
+    * (one DECIMAL(38,0) multiply + one integral division — both
+    * engines truncate toward zero, so the multiset of scaled slopes
+    * is bit-identical and the positional lower median over it is
+    * deterministic; 2^40 keeps distinct day-resolution rationals
+    * distinct up to day gaps of ~10⁶).
+    *
+    * The `cap` is the same pairwise-statistic bound as
+    * [[mannKendall]]: C(cap,2) pairs per key, key-only shuffles.
+    * Input needs one row per (key, t) — enforce upstream with a
+    * groupBy. Output (k, n_pairs, sen_scaled), keys with ≥ 2 points.
+    */
+  def senSlope(df: DataFrame, keyCol: Column, tCol: Column,
+               vCol: Column, cap: Int = 64): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    val kept = df
+      .select(keyCol.as("k"), tCol.cast("long").as("t"),
+        vCol.cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("rn"), col("t"), col("x"))
+    val a = kept.select(col("k"), col("rn").as("i"),
+      col("t").as("ti"), col("x").as("xi"))
+    val b = kept.select(col("k"), col("rn").as("j"),
+      col("t").as("tj"), col("x").as("xj"))
+    val slopes = a.join(b, Seq("k"))
+      .filter(col("i") < col("j")) // rn order == t order, so tj > ti
+      .select(col("k"), expr(
+        "(cast(xj - xi as decimal(38,0)) * 1099511627776) div (tj - ti)")
+        .as("sl"))
+    val ws = Window.partitionBy(col("k")).orderBy(col("sl"))
+    slopes
+      .withColumn("idx", row_number().over(ws))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("idx") === expr("(np + 1) div 2")) // lower median
+      .select(col("k"), col("np").as("n_pairs"),
+        col("sl").as("sen_scaled"))
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.multimodal.{Gif, Png}
+
+/** From-spec GIF89a codec: variable-width LZW both ways (KwKwK,
+  * width growth, 4096-entry dictionary reset), interlace, local
+  * color table override, extension skipping, structural rejection. */
+class GifSpec extends SparkSpec {
+
+  private def rng(seed: Long): Iterator[Int] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 33).toInt)
+
+  private val pal8 = Array.tabulate(8)(k => Gif.synthColor(3L, k))
+  private val pal256 = Array.tabulate(256)(k =>
+    (k << 16) | (((k * 7) & 0xFF) << 8) | ((k * 13) & 0xFF))
+
+  private def roundTrip(w: Int, h: Int, idx: Array[Byte],
+                        pal: Array[Int], interlaced: Boolean = false,
+                        local: Boolean = false,
+                        ext: Boolean = false): Unit = {
+    val enc = Gif.encode(w, h, idx, pal, interlaced, local, ext)
+    val Some((dw, dh, px)) = Gif.decode(enc)
+    (dw, dh) shouldBe ((w, h))
+    px.toSeq shouldBe idx.toSeq.map(i => 0xFF000000 | pal(i & 0xFF))
+  }
+
+  test("LZW round-trips: runs (KwKwK), noise, gradients, all flags") {
+    // long runs of one symbol force the decoder's code==nextCode path
+    roundTrip(16, 8, Array.fill(128)(5.toByte), pal8)
+    // random noise over the full palette
+    roundTrip(11, 9, rng(7).take(99).map(v => (v & 7).toByte).toArray, pal8)
+    // gradient sweep
+    roundTrip(10, 10, Array.tabulate(100)(i => ((i * 3) % 8).toByte), pal8)
+    // every flag combination
+    for (il <- Seq(false, true); lc <- Seq(false, true);
+         ex <- Seq(false, true))
+      roundTrip(9, 7,
+        Array.tabulate(63)(i => ((i * 5 + 2) % 8).toByte), pal8,
+        interlaced = il, local = lc, ext = ex)
+  }
+
+  test("dictionary fills past 4096 entries and resets mid-stream") {
+    // 256-color noise over 128x128 = 16384 px fills the 12-bit table
+    val idx = rng(42).take(128 * 128).map(v => (v & 0xFF).toByte).toArray
+    roundTrip(128, 128, idx, pal256)
+    // and a compressible pattern that still overflows the table
+    val idx2 = Array.tabulate(128 * 128)(i => ((i / 3 + i * i) % 251).toByte)
+    roundTrip(128, 128, idx2, pal256)
+  }
+
+  test("width growth boundaries (each power-of-two code count)") {
+    // enough distinct pairs to walk widths 4 -> 9 with an 8-symbol
+    // alphabet: de Bruijn-ish varying pairs
+    val idx = Array.tabulate(4000)(i => ((i * 2654435761L >>> 13) % 8).toByte)
+    roundTrip(80, 50, idx, pal8)
+  }
+
+  test("local color table overrides a wrong global one") {
+    val idx = Array.tabulate(35)(i => (i % 8).toByte)
+    val enc = Gif.encode(7, 5, idx, pal8, localTable = true)
+    val Some((_, _, px)) = Gif.decode(enc)
+    // decoding must see the LOCAL palette (the global is shifted)
+    px(0) shouldBe (0xFF000000 | pal8(0))
+    px(9) shouldBe (0xFF000000 | pal8(idx(9) & 0xFF))
+  }
+
+  test("interlaced rows land where the 4-pass schedule says") {
+    val w = 6; val h = 13 // odd height exercises all four passes
+    val idx = Array.tabulate(w * h)(i => ((i / w) % 8).toByte) // row id
+    val enc = Gif.encode(w, h, idx, pal8, interlaced = true)
+    val Some((_, _, px)) = Gif.decode(enc)
+    (0 until h).foreach { y =>
+      px(y * w) shouldBe (0xFF000000 | pal8(y % 8))
+    }
+  }
+
+  test("decode rejects structural corruption instead of throwing") {
+    Gif.decode(Array[Byte]()) shouldBe None
+    Gif.decode("GIF10a rest".getBytes) shouldBe None
+    val good = Gif.encode(7, 5, Array.tabulate(35)(i => (i % 8).toByte), pal8)
+    Gif.decode(good.take(10)) shouldBe None // truncated header
+    Gif.decode(good.dropRight(4)) shouldBe None // truncated data
+    // hand-crafted frame with NO color table anywhere -> reject
+    val noTable = "GIF89a".getBytes ++ Array[Byte](
+      2, 0, 1, 0, 0, 0, 0, // LSD 2x1, no GCT
+      0x2C, 0, 0, 0, 0, 2, 0, 1, 0, 0, // descriptor, no LCT
+      2, 2, 0x4C.toByte, 0x01, 0, 0x3B) // mcs=2 + a 2-byte data block
+    Gif.decode(noTable) shouldBe None
+    // 40-trial single-byte corruption: never throws (GIF has no CRC,
+    // so success-with-different-pixels is allowed; crashes are not)
+    val r = rng(9)
+    (0 until 40).foreach { _ =>
+      val at = math.abs(r.next()) % good.length
+      val bad = good.clone()
+      bad(at) = (bad(at) ^ (1 << (math.abs(r.next()) % 8))).toByte
+      Gif.decode(bad) // must simply not throw
+    }
+  }
+
+  test("synthetic assets decode to the synthetic pixel formula") {
+    (0L until 45L).foreach { id =>
+      val Some((w, h, px)) = Gif.decode(Gif.synthAsset(id))
+      w shouldBe 6 + (id % 9).toInt
+      h shouldBe 5 + (id % 7).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = ((x * 3 + y * 5 + id) % 8).toInt
+          px(y * w + x) shouldBe (0xFF000000 | Gif.synthColor(id, k))
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("seam: GIF-first decoder chains down to PNG for non-GIF") {
+    val gif = Gif.synthAsset(4L)
+    val viaSeam = Gif.gifFirstDecoder("image", gif)
+    viaSeam.isDefined shouldBe true
+    val Some((w, h, px)) = Gif.decode(gif)
+    viaSeam.get.toSeq shouldBe Png.features(w, h, px).toSeq
+    // a PNG payload must fall through to the PNG decoder unchanged
+    val png = Png.synthAsset(4L)
+    Gif.gifFirstDecoder("image", png).get.toSeq shouldBe
+      Png.pngFirstDecoder("image", png).get.toSeq
+  }
+}

@@ -21,6 +21,35 @@ class GraphSpec extends SparkSpec {
     got.values.sum should be < 3000000L
   }
 
+  test("hits: hand-computed integer rounds with max-renormalization") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"))
+      .toDF("s", "d")
+    // r1: araw B=1e6 C=2e6 A=1e6, max 2e6 -> auth A=B=500000, C=1e6
+    //     hraw A=1.5e6 B=1e6 C=0.5e6, max 1.5e6
+    //     -> hub A=1e6, B=666666, C=333333
+    // r2: araw B=1e6 C=1666666 A=333333, max 1666666
+    //     -> auth A=199999, B=600000, C=1e6
+    //     hraw A=1.6e6 B=1e6 C=199999, max 1.6e6
+    //     -> hub A=1e6, B=625000, C=124999
+    val got = Graph.hits(edges, col("s"), col("d"), rounds = 2)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    got shouldBe Map(
+      "A" -> (1000000L, 199999L),
+      "B" -> (625000L, 600000L),
+      "C" -> (124999L, 1000000L))
+  }
+
+  test("hits is identical under repartitioning") {
+    val edges = (1 to 60).map(i => (i % 13, (i * 7) % 11)).toDF("s", "d")
+    val a = Graph.hits(edges.repartition(1), col("s"), col("d"), 2)
+      .orderBy(col("node")).as[(String, Long, Long)].collect().toSeq
+    val b = Graph.hits(edges.repartition(17), col("s"), col("d"), 2)
+      .orderBy(col("node")).as[(String, Long, Long)].collect().toSeq
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
+
   test("triangleCounts: K4 plus a triangle-free star, messy input") {
     // K4 on 1..4 (4 triangles, 3 per node) + star at 5 (none);
     // input has both directions, dupes, and a self-loop

@@ -86,4 +86,36 @@ class PrivacySpec extends SparkSpec {
     got shouldBe Array(("a", 3L, 1L, false), ("b", 2L, 2L, true),
       ("c", 2L, 1L, false))
   }
+
+  test("tCloseness: hand-computed prefix EMD, empty buckets densified") {
+    // m=3. A all-bucket-0, B all-bucket-2 (maximal opposite shifts),
+    // C one of each (close to global). N=9, C0=4, C1=1, C2=4.
+    // A: diffs (15,-3,-12) -> prefixes 15,12 -> emd_num 27,
+    //    micro = 27e6 div (2*3*9) = 500000
+    // C: diffs (-3,6,-3)  -> prefixes -3,3 -> emd_num 6,
+    //    micro = 6e6 div 54 = 111111
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 0L),
+      ("B", 2L), ("B", 2L), ("B", 2L),
+      ("C", 0L), ("C", 1L), ("C", 2L)).toDF("g", "b")
+    val got = Privacy.tCloseness(df.repartition(4), Seq("g"),
+        col("b"), m = 3, tMicro = 200000L)
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    got shouldBe Array(
+      ("A", 3L, 27L, 500000L, false),
+      ("B", 3L, 27L, 500000L, false),
+      ("C", 3L, 6L, 111111L, true))
+  }
+
+  test("tCloseness: out-of-range buckets clamp; uniform group is " +
+      "distance zero") {
+    val df = Seq(("u", -5L), ("u", 0L), ("u", 99L), ("u", 1L),
+      ("v", -5L), ("v", 0L), ("v", 99L), ("v", 1L)).toDF("g", "b")
+    // both groups clamp to buckets [0,0,1,1] == each other == global
+    val got = Privacy.tCloseness(df, Seq("g"), col("b"), m = 2,
+        tMicro = 0L)
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    got shouldBe Array(("u", 4L, 0L, 0L, true), ("v", 4L, 0L, 0L, true))
+  }
 }

@@ -462,4 +462,76 @@ class TimelineSpec extends SparkSpec {
     }
     got shouldBe want
   }
+
+  test("mannKendall: hand-computed S and tie-corrected var18") {
+    // key 1: x = [3,1,4,1,5] -> S = 3; one tied pair (1,1):
+    // var18 = 5*4*15 - 2*1*9 = 282
+    // key 2: strictly increasing n=4 -> S = C(4,2) = 6,
+    // var18 = 4*3*13 = 156
+    val df = Seq(
+      (1L, 1L, 10L, 3L), (1L, 2L, 11L, 1L), (1L, 3L, 12L, 4L),
+      (1L, 4L, 13L, 1L), (1L, 5L, 14L, 5L),
+      (2L, 1L, 20L, 2L), (2L, 2L, 21L, 4L), (2L, 3L, 22L, 6L),
+      (2L, 4L, 23L, 8L),
+      (3L, 1L, 30L, 7L) // singleton key: dropped (n < 2)
+    ).toDF("k", "t", "tie", "x")
+    val got = Timeline.mannKendall(df, col("k"), col("t"), col("tie"),
+        col("x"), cap = 128)
+      .orderBy(col("k"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 5L, 3L, 282L), (2L, 4L, 6L, 156L))
+  }
+
+  test("mannKendall: the cap keeps the FIRST points in (t, tie) " +
+      "order and is partition-stable") {
+    // 8 points descending in value; cap=4 keeps t=1..4 ->
+    // S over [8,7,6,5] = -6, no ties -> var18 = 4*3*13 = 156
+    val rows = (1L to 8L).map(t => (1L, t, t, 9L - t))
+    val got = Timeline.mannKendall(rows.toDF("k", "t", "tie", "x")
+        .repartition(7), col("k"), col("t"), col("tie"), col("x"),
+        cap = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 4L, -6L, 156L))
+    // tie column breaks equal timestamps deterministically: same t
+    // everywhere, tie picks ascending x -> S = +6
+    val tied = (1L to 8L).map(i => (1L, 0L, i, i))
+    val got2 = Timeline.mannKendall(tied.toDF("k", "t", "tie", "x")
+        .repartition(5), col("k"), col("t"), col("tie"), col("x"),
+        cap = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got2 shouldBe Seq((1L, 4L, 6L, 156L))
+  }
+
+  test("senSlope: hand-computed scaled medians, trunc-toward-zero " +
+      "negatives match DuckDB's //") {
+    val K = 1099511627776L // 2^40
+    val df = Seq(
+      // slopes 10, 7, 50/3, 4, 20, 36 -> lower median = 10
+      (1L, 0L, 0L), (1L, 1L, 10L), (1L, 2L, 14L), (1L, 3L, 50L),
+      // all-negative: slopes -7, -5, -3 -> median -5
+      (2L, 0L, 10L), (2L, 1L, 3L), (2L, 2L, 0L),
+      // single pair, negative non-integer: trunc(-7*2^40/3)
+      (3L, 0L, 0L), (3L, 3L, -7L),
+      (4L, 9L, 42L) // single point: no pairs, dropped
+    ).toDF("k", "t", "x")
+    val got = Timeline.senSlope(df.repartition(5), col("k"), col("t"),
+        col("x"), cap = 64)
+      .orderBy(col("k"))
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 6L, 10L * K),
+      (2L, 3L, -5L * K),
+      (3L, 1L, -2565527131477L)) // == DuckDB (-7*2^40)//3
+  }
+
+  test("senSlope: cap keeps the first points in t order") {
+    // 6 points; cap=3 keeps t=1..3 with slopes 1,1,1 -> median 2^40;
+    // the excluded tail would have pulled the median to 100
+    val rows = Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (1L, 4L, 102L), (1L, 5L, 202L), (1L, 6L, 302L))
+    val got = Timeline.senSlope(rows.toDF("k", "t", "x"), col("k"),
+        col("t"), col("x"), cap = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 3L, 1099511627776L))
+  }
 }
