@@ -5057,6 +5057,39 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- ALL-IMAGE heterogeneous corpus through ONE stacked seam
+    //      pass (the image-side twin of q_multimodal_mixed's audio
+    //      mix): GIF, PNG, and QOI assets interleaved in one table,
+    //      decoded by the full Codecs chain in a single
+    //      extractFeaturesBatched call — three container formats,
+    //      three compression schemes (LZW dictionary, DEFLATE
+    //      Huffman, QOI byte-ops) dispatched per row by magic bytes.
+    //      Per-codec projections keep the oracle exact: width for all
+    //      three, red-channel SUM for GIF/PNG, red MEAN (float chain)
+    //      for QOI
+    "q_multimodal_images" -> ((s, dir) => {
+      val mk = udf((id: Long) =>
+        if (id % 3 == 0) multimodal.Gif.synthAsset(id)
+        else if (id % 3 == 1) multimodal.Png.synthAsset(id)
+        else multimodal.Qoi.synthAsset(id))
+      val assets = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 180).as("asset_id")).distinct()
+        .withColumn("kind", lit("image"))
+        .withColumn("payload", mk(col("asset_id")))
+      multimodal.Codecs.extractFeaturesBatched(assets, 64)
+        .select(col("asset_id"),
+          when(col("asset_id") % 3 === 0, lit("gif"))
+            .when(col("asset_id") % 3 === 1, lit("png"))
+            .otherwise(lit("qoi")).as("codec"),
+          col("decoded"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          when(col("asset_id") % 3 === 2,
+            element_at(col("features"), 3).cast("double"))
+            .otherwise(element_at(col("features"), 4).cast("double"))
+            .as("f"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- compressed-LOSSLESS audio through the seam: from-spec
     //      FLAC fixed-predictor subset decode (fLaC container +
     //      STREAMINFO, CRC-8 frame headers, CONSTANT/VERBATIM/FIXED
@@ -12217,6 +12250,56 @@ object SparkEntry {
         |  CAST(min(r) AS BIGINT) AS min_r,
         |  CAST(max(r) AS BIGINT) AS max_r
         |FROM rgb GROUP BY 1, 2, 3, 4
+        |ORDER BY asset_id""".stripMargin,
+
+    // three per-codec pixel formulas, one result: GIF/PNG rows emit
+    // the red SUM (exact small integers through the float features),
+    // QOI rows replay the mean-release float chain
+    "q_multimodal_images" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey % 180 AS id
+        |  FROM lineitem),
+        |gif AS (
+        |  SELECT id, 6 + id % 9 AS w, 5 + id % 7 AS h FROM ids
+        |  WHERE id % 3 = 0),
+        |gifpx AS (
+        |  SELECT d.id, d.w,
+        |    (((x.x*3 + y.y*5 + d.id) % 8)*37 + d.id*11) % 256 AS r
+        |  FROM gif d, range(0, 15) x(x), range(0, 12) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |gifr AS (
+        |  SELECT id, 'gif' AS codec, max(w) AS w,
+        |    CAST(CAST(sum(r) AS FLOAT) AS DOUBLE) AS f
+        |  FROM gifpx GROUP BY id),
+        |png AS (
+        |  SELECT id, 5 + id % 6 AS w, 4 + id % 5 AS h FROM ids
+        |  WHERE id % 3 = 1),
+        |pngpx AS (
+        |  SELECT d.id, d.w, (x.x*11 + y.y*7 + d.id*3) % 256 AS r
+        |  FROM png d, range(0, 11) x(x), range(0, 9) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |pngr AS (
+        |  SELECT id, 'png' AS codec, max(w) AS w,
+        |    CAST(CAST(sum(r) AS FLOAT) AS DOUBLE) AS f
+        |  FROM pngpx GROUP BY id),
+        |qoi AS (
+        |  SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h FROM ids
+        |  WHERE id % 3 = 2),
+        |qoipx AS (
+        |  SELECT d.id, d.w,
+        |    CASE WHEN d.id % 7 = 0 THEN d.id % 256
+        |         ELSE (x.x*7 + y.y*11 + d.id*13) % 256 END AS r
+        |  FROM qoi d, range(0, 9) x(x), range(0, 7) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |qoir AS (
+        |  SELECT id, 'qoi' AS codec, max(w) AS w,
+        |    CAST(CAST(CAST(sum(r) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE)
+        |      AS f
+        |  FROM qoipx GROUP BY id)
+        |SELECT CAST(id AS BIGINT) AS asset_id, codec, TRUE AS decoded,
+        |  CAST(w AS BIGINT) AS w, f
+        |FROM (SELECT * FROM gifr UNION ALL SELECT * FROM pngr
+        |      UNION ALL SELECT * FROM qoir) t
         |ORDER BY asset_id""".stripMargin,
 
     // FLAC is lossless, so the oracle regenerates the synthetic PCM

@@ -2,17 +2,18 @@ package graft.multimodal
 
 import org.apache.spark.sql.DataFrame
 
-/** The full native-first codec chain in one decoder: QOI images,
-  * then FLAC, then IMA-ADPCM, then µ-law audio, then the JRE
-  * fallbacks — the heterogeneous-corpus configuration a real
+/** The full native-first codec chain in one decoder: QOI, PNG, and
+  * GIF images, then FLAC, then IMA-ADPCM, then µ-law audio, then the
+  * JRE fallbacks — the heterogeneous-corpus configuration a real
   * multimodal ingest runs, where ONE seam pass decodes whatever each
   * row carries.
   *
   * Lives in its own object (not on [[Multimodal]]): the chain
-  * references [[Qoi]]/[[Flac]]/[[ImaAdpcm]]/[[Ulaw]], each of which
-  * references [[Multimodal.jreDecoder]] — hanging the combined val
-  * off Multimodal would create an object-initialization cycle;
-  * nothing references Codecs back, so this init order is acyclic. */
+  * references [[Qoi]]/[[Png]]/[[Gif]]/[[Flac]]/[[ImaAdpcm]]/[[Ulaw]],
+  * each of which references [[Multimodal.jreDecoder]] — hanging the
+  * combined val off Multimodal would create an object-initialization
+  * cycle; nothing references Codecs back, so this init order is
+  * acyclic. */
 object Codecs {
 
   val nativeFirst: Multimodal.Decoder = (kind, payload) =>
@@ -24,6 +25,10 @@ object Codecs {
       (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
       payload(2) == 'N' && payload(3) == 'G')
       Png.decode(payload).map { case (w, h, px) => Png.features(w, h, px) }
+    else if (kind == "image" && payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8')
+      Gif.decode(payload).map { case (w, h, px) => Png.features(w, h, px) }
     else Flac.flacFirstDecoder(kind, payload)
 
   /** [[Qoi.extractFeaturesBatched]] over the full chain. */

@@ -127,4 +127,14 @@ class GifSpec extends SparkSpec {
     Gif.gifFirstDecoder("image", png).get.toSeq shouldBe
       Png.pngFirstDecoder("image", png).get.toSeq
   }
+
+  test("Codecs.nativeFirst dispatches GIF rows by magic bytes") {
+    val gif = Gif.synthAsset(9L)
+    val Some((w, h, px)) = Gif.decode(gif)
+    graft.multimodal.Codecs.nativeFirst("image", gif).get.toSeq shouldBe
+      Png.features(w, h, px).toSeq
+    // and still routes QOI / audio payloads to their own decoders
+    val qoi = graft.multimodal.Qoi.synthAsset(2L)
+    graft.multimodal.Codecs.nativeFirst("image", qoi).isDefined shouldBe true
+  }
 }
