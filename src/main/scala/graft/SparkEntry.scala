@@ -1312,6 +1312,25 @@ object SparkEntry {
           col("u"), col("v"), rounds = 2)
         .orderBy(col("node"))),
 
+    // ---- personalized PageRank (random walk with restart): all
+    //      restart mass returns to the 40-node seed set (node%500==0)
+    //      instead of spreading uniformly — the local-similarity
+    //      ranking recommenders run; same folded digraph and integer
+    //      bit-determinism as q_graph_pagerank
+    "q_graph_ppr" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 20000).as("u"),
+          (col("l_partkey") % 20000).as("v"))
+        .distinct()
+      val seeds = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .filter(col("n") % 500 === 0)
+        .distinct()
+      operators.Graph.personalizedPageRank(e, col("u"), col("v"),
+          seeds, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // ---- per-node triangle counts over a mod-folded lineitem graph
     //      (degree-oriented wedge enumeration — the shuffle-bounded
     //      distributed form; beyond-reference graph analytics)
@@ -3035,6 +3054,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("q_micro"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Poisson(1) bootstrap confidence interval per event type
+    //      (Chamandy et al. 2012 — the distributed bootstrap: each
+    //      row draws its 16 replicate multiplicities from its own id,
+    //      no global coordination): md5-seeded draws are bit-exact on
+    //      both engines, replicate totals are exact integers, and the
+    //      p10/p90 release is positional over the 16 sorted totals.
+    //      The resampling-uncertainty primitive the A/B family lacked
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val boot = operators.Sampling.poissonBootstrap(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        col("event_type"), col("event_id"), cents(col("value")),
+        b = 16)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("total"), col("rep"))
+      boot.withColumn("rk", row_number().over(w))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_boot"),
+          max(when(col("rk") === 2, col("total"))).as("lo_cents"),
+          max(when(col("rk") === 15, col("total"))).as("hi_cents"))
+        .select(col("g").as("event_type"), col("n_boot"),
+          col("lo_cents"), col("hi_cents"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- chi-square independence screen: is event mix independent of
@@ -7150,6 +7193,52 @@ object SparkEntry {
         |FROM n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
         |ORDER BY 1""".stripMargin,
 
+    // restart mass returns ONLY to the seed set (CASE on is_seed);
+    // otherwise the same unrolled integer mass flow as
+    // q_graph_pagerank
+    "q_graph_ppr" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_orderkey % 20000 AS VARCHAR) AS src,
+        |         CAST(l_partkey % 20000 AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |n AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |sd AS (SELECT node,
+        |         CAST(node AS BIGINT) % 500 = 0 AS is_seed FROM n),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |p0 AS (SELECT node,
+        |         CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS pr
+        |       FROM sd),
+        |c1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p0 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN 150000
+        |    ELSE 0 END + coalesce(c1.c, 0) AS BIGINT) AS pr
+        |  FROM sd LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p1 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p2 AS (
+        |  SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN 150000
+        |    ELSE 0 END + coalesce(c2.c, 0) AS BIGINT) AS pr
+        |  FROM sd LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(sum((p.pr * 85) // (100 * od.od)) AS BIGINT) AS c
+        |  FROM e JOIN p2 p ON e.src = p.node JOIN od ON e.src = od.src
+        |  GROUP BY 1),
+        |p3 AS (
+        |  SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN 150000
+        |    ELSE 0 END + coalesce(c3.c, 0) AS BIGINT) AS pr
+        |  FROM sd LEFT JOIN c3 USING (node))
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
     "q_graph_triangles" ->
       """WITH raw AS (
         |  SELECT l_orderkey % 20000 AS u, l_partkey % 20000 AS v
@@ -10156,6 +10245,49 @@ object SparkEntry {
         |    * 1000000
         |    // (count(*) OVER (PARTITION BY source)) AS q_micro
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5-seeded Poisson(1) draws (shared CDF literals), exact
+    // integer replicate totals, positional p10/p90 over 16 replicates
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |reps AS (
+        |  SELECT g, id, v, r.range AS rep
+        |  FROM base CROSS JOIN range(0, 16) r),
+        |dr AS (
+        |  SELECT g, rep, v,
+        |    (('0x'||substr(md5('boot#'||id||chr(1)||
+        |        CAST(rep AS VARCHAR)),1,13))::BIGINT + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM reps),
+        |wts AS (
+        |  SELECT g, rep, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM dr),
+        |tot AS (
+        |  SELECT g, rep, CAST(sum(w * v) AS BIGINT) AS total
+        |  FROM wts GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT g, total,
+        |    row_number() OVER (PARTITION BY g ORDER BY total, rep)
+        |      AS rk
+        |  FROM tot)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_boot,
+        |  CAST(max(CASE WHEN rk = 2 THEN total END) AS BIGINT)
+        |    AS lo_cents,
+        |  CAST(max(CASE WHEN rk = 15 THEN total END) AS BIGINT)
+        |    AS hi_cents
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_chi2" ->
       """WITH j AS (

@@ -730,6 +730,58 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank, fixed-round integer form: identical mass
+    * mechanics to [[pageRank]], except ALL restart mass returns to the
+    * SEED set (each seed restarts with floor(scale·(dampDen−dampNum)/
+    * dampDen); non-seeds restart with 0) — the random-walk-with-
+    * restart similarity that recommendation and local-community
+    * pipelines run, where plain PageRank measures global importance.
+    * Same bit-determinism contract: integer mass, one exact division
+    * per edge hop, dangling residue dropped deterministically.
+    *
+    * Scale: per round one edge join + one map-side-combinable
+    * incoming sum, node-key shuffles only; the seed flag rides the
+    * node frame (no per-round broadcast). Seeds arrive as a
+    * single-column DataFrame, joined once up front — never
+    * collect()ed. */
+  def personalizedPageRank(edges: DataFrame, srcCol: Column,
+      dstCol: Column, seeds: DataFrame, rounds: Int = 3,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(srcCol.cast("string").as("src"),
+      dstCol.cast("string").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val seedSet = seeds
+      .select(col(seeds.columns.head).cast("string").as("node"))
+      .distinct()
+    val marked = nodes
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .transform(preMat)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = marked.withColumn("pr",
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(pr * $dampNum) div ($dampDen * od)").as("c"))
+      val incoming = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("in"))
+      pr = roundMat(marked.join(incoming, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("in"), lit(0L))).as("pr")))
+      r += 1
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
   /** Fixed-round integer HITS (Kleinberg's hubs/authorities): each
     * round, authority(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
     * auth(v), each renormalized to [0, scale] by ONE exact integer

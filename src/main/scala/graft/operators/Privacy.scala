@@ -34,9 +34,15 @@ object Privacy {
     * on an oracle engine propagates NULL - the sentinel makes both
     * sides agree and gives NULL groups their own noise draw.
     */
-  def uniform52(key: Column, seed: Int): Column = {
+  def uniform52(key: Column, seed: Int): Column =
+    uniform52(key, lit(seed.toString))
+
+  /** [[uniform52]] with a COLUMN seed — for per-replicate draws
+    * (bootstrap resampling, repeated releases) where the replicate
+    * index is data, not a constant. */
+  def uniform52(key: Column, seed: Column): Column = {
     val k = coalesce(key.cast("string"), lit("\u0002"))
-    val h = md5(concat_ws("\u0001", k, lit(seed.toString)))
+    val h = md5(concat_ws("\u0001", k, seed.cast("string")))
     val v = conv(substring(h, 1, 13), 16, 10).cast("long")
     (v.cast("double") + lit(0.5)) / lit(Two52)
   }

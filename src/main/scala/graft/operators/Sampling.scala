@@ -493,4 +493,52 @@ object Sampling {
             col("day") < col("hi") + gap), 1L).otherwise(0L))
           .as("n_train"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds, written once as decimal
+    * literals so both engines parse the same doubles (correctly
+    * rounded on both JVMs and C++): P(X ≤ k) for k = 0..7; draws
+    * beyond cap at 8. */
+  val Poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Deterministic Poisson(1) draw from a [[Privacy.uniform52]]
+    * uniform: the inverse-CDF ladder over [[Poisson1Cdf]]. The
+    * uniform is bit-identical across engines (md5) and the
+    * thresholds are shared literals, so every row's weight is
+    * engine-exact. */
+  def poisson1(u: Column): Column =
+    Poisson1Cdf.zipWithIndex.foldRight(lit(Poisson1Cdf.length): Column) {
+      case ((c, k), rest) => when(u < c, k).otherwise(rest)
+    }
+
+  /** Poisson bootstrap (the distributed bootstrap: Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google 2012):
+    * resampling n rows with replacement is ~ giving each row an
+    * independent Poisson(1) multiplicity, which needs NO global
+    * coordination — each row draws its B weights from its own id.
+    * Emits one row per (group, replicate) with the replicate's
+    * weighted integer total and row count: the engine-exact bootstrap
+    * distribution, ready for positional quantile release.
+    *
+    * Scale: the B-way expansion is a generator (no shuffle), then ONE
+    * map-side-combinable groupBy(group, replicate) — B·|groups| output
+    * rows. The draw is a pure per-row function (md5 + threshold
+    * ladder), deterministic under retries and stage replays, which a
+    * rand()-based bootstrap cannot guarantee. */
+  def poissonBootstrap(df: DataFrame, groupCol: Column, idCol: Column,
+                       valueCol: Column, b: Int,
+                       salt: String = "boot"): DataFrame = {
+    require(b >= 1, s"need >= 1 replicate, got $b")
+    val reps = explode(array((0 until b).map(lit): _*)).as("rep")
+    df.select(groupCol.as("g"), idCol.cast("string").as("id"),
+        valueCol.cast("long").as("v"))
+      .select(col("g"), col("id"), col("v"), reps)
+      .withColumn("w", poisson1(Privacy.uniform52(
+        concat_ws("#", lit(salt), col("id")), col("rep").cast("string"))))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w").cast("long") * col("v")).as("total"),
+        sum(col("w").cast("long")).as("n_eff"))
+  }
 }

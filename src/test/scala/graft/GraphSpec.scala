@@ -40,6 +40,22 @@ class GraphSpec extends SparkSpec {
       "C" -> (124999L, 1000000L))
   }
 
+  test("personalizedPageRank: restart mass returns only to the seed") {
+    // cycle A->B->C->A, seed {A}:
+    // p1: A=150000, B=850000, C=0
+    // p2: A=150000, B=127500, C=722500
+    // p3: A=150000+614125, B=127500, C=108375
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("s", "d")
+    val seeds = Seq("A").toDF("n")
+    val got = Graph.personalizedPageRank(edges, col("s"), col("d"),
+        seeds, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("A" -> 764125L, "B" -> 127500L, "C" -> 108375L)
+    // non-seeds never receive restart mass: with damping off the walk,
+    // total mass stays below seeds*scale
+    got.values.sum should be < 1000001L * 1
+  }
+
   test("hits is identical under repartitioning") {
     val edges = (1 to 60).map(i => (i % 13, (i * 7) % 11)).toDF("s", "d")
     val a = Graph.hits(edges.repartition(1), col("s"), col("d"), 2)

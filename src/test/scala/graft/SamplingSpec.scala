@@ -491,4 +491,39 @@ class SamplingSpec extends SparkSpec {
     // every row lands in exactly one role per fold
     got.foreach { case (_, te, pu, tr) => te + pu + tr shouldBe 9L }
   }
+
+  test("poisson1: inverse-CDF ladder lands on the textbook values") {
+    val df = Seq(0.1, 0.5, 0.8, 0.95, 0.99, 0.999, 0.99995,
+      0.9999999).toDF("u")
+    val got = df.select(Sampling.poisson1(col("u")).as("w"))
+      .as[Int].collect().toSeq
+    // P(X<=0)=.36788, <=1=.73576, <=2=.91970, <=3=.98101,
+    // <=4=.99634, <=5=.99941, <=6=.99992, <=7=.9999898
+    got shouldBe Seq(0, 1, 2, 3, 4, 5, 7, 8)
+  }
+
+  test("poissonBootstrap: deterministic, partition-stable, complete " +
+      "replicate grid, sane weights") {
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, 10L))
+      .toDF("g", "id", "v")
+    val r1 = Sampling.poissonBootstrap(df.repartition(1), col("g"),
+        col("id"), col("v"), b = 8)
+      .orderBy(col("g"), col("rep"))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val r2 = Sampling.poissonBootstrap(df.repartition(13), col("g"),
+        col("id"), col("v"), b = 8)
+      .orderBy(col("g"), col("rep"))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    r1 shouldBe r2 // hash-seeded draws: engine- and partition-exact
+    r1.size shouldBe 16 // 2 groups x 8 replicates, all present
+    // every replicate total is weight-consistent: total = 10 * n_eff
+    r1.foreach { case (_, _, total, nEff) =>
+      total shouldBe 10L * nEff
+      nEff should be <= 8L * 20L
+    }
+    // Poisson(1) mass: mean n_eff across replicates ~ group size (20)
+    val meanEff = r1.map(_._4).sum.toDouble / r1.size
+    meanEff should be > 12.0
+    meanEff should be < 28.0
+  }
 }
