@@ -1000,6 +1000,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- isotonic regression (PAV) per user over the daily-spend
+    //      series — the probability-calibration primitive. The ENGINE
+    //      runs true pool-adjacent-violators through the segmented-
+    //      scan seam (O(n)/key, exact cross-multiplied mean compares);
+    //      the ORACLE computes the independent minimax closed form
+    //      max_{j≤i} min_{k≥i} avg(y[j..k]) — truncation is monotone
+    //      so it commutes with min/max, and two genuinely different
+    //      algorithms must produce the identical scaled fit
+    "q_ts_isotonic" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.isotonicByKey(daily, col("user_id"),
+          col("day"), col("x"), cap = 24)
+        .orderBy(col("k"), col("t"))
+    }),
+
     // ---- U-shaped (position-based) multi-touch attribution: every
     //      purchase credits its preceding 7-day click path 40/20/40
     //      (first/middles/last) in integer micro shares, remainder to
@@ -6818,6 +6839,41 @@ object SparkEntry {
         |  CAST(np AS BIGINT) AS n_pairs, CAST(sl AS BIGINT) AS sen_scaled
         |FROM r WHERE i = (np + 1) // 2
         |ORDER BY user_id""".stripMargin,
+
+    // the minimax closed form of PAV: fit_i = max_{j<=i} min_{k>=i}
+    // avg(y[j..k]), over 2^20-scaled truncated range averages (trunc
+    // is monotone, so it commutes with min/max and equals the
+    // engine's truncated pooled block means) — an INDEPENDENT
+    // algorithm from the engine's merge stack
+    "q_ts_isotonic" ->
+      """WITH daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT k, t, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS i
+        |  FROM daily QUALIFY i <= 24),
+        |ps AS (
+        |  SELECT k, i, t, x,
+        |    sum(x) OVER (PARTITION BY k ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM kept),
+        |rng AS (
+        |  SELECT a.k AS k, a.i AS j, b.i AS kk,
+        |    (CAST(b.cs - a.cs + a.x AS HUGEINT) * 1048576)
+        |      // (b.i - a.i + 1) AS av
+        |  FROM ps a JOIN ps b ON a.k = b.k AND a.i <= b.i),
+        |ex AS (
+        |  SELECT r.k, r.j, r.kk, r.av, g.range + r.j AS i
+        |  FROM rng r CROSS JOIN range(0, 24) g
+        |  WHERE g.range <= r.kk - r.j),
+        |mn AS (SELECT k, j, i, min(av) AS m FROM ex GROUP BY 1, 2, 3),
+        |mx AS (SELECT k, i, max(m) AS fit FROM mn GROUP BY 1, 2)
+        |SELECT kept.k AS k, CAST(kept.t AS BIGINT) AS t, kept.x AS x,
+        |  CAST(mx.fit AS BIGINT) AS fit_scaled
+        |FROM kept JOIN mx ON kept.k = mx.k AND kept.i = mx.i
+        |ORDER BY k, t""".stripMargin,
 
     "q_attribution" ->
       """WITH p AS (

@@ -812,10 +812,13 @@ object Graph {
     var auth = nodes.withColumn("auth", lit(0L))
     var r = 0
     while (r < rounds) {
-      val araw = e
+      // materialize the raw sums once: they feed BOTH the round max
+      // and the renormalization join (left unmaterialized, the
+      // aggregation would execute twice per round)
+      val araw = roundMat(e
         .join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("hub").cast("decimal(38,0)")).as("s"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("s")))
       val amax = araw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
       auth = roundMat(nodes.join(araw, Seq("node"), "left")
@@ -823,10 +826,10 @@ object Graph {
         .select(col("node"), expr(
           s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
           .as("auth")))
-      val hraw = e
+      val hraw = roundMat(e
         .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(col("auth").cast("decimal(38,0)")).as("s"))
+        .agg(sum(col("auth").cast("decimal(38,0)")).as("s")))
       val hmax = hraw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
       hub = roundMat(nodes.join(hraw, Seq("node"), "left")

@@ -687,4 +687,110 @@ object Timeline {
       .select(col("k"), col("np").as("n_pairs"),
         col("sl").as("sen_scaled"))
   }
+
+  /** Isotonic regression per key — pool-adjacent-violators (PAV;
+    * Ayer et al. 1955): the least-squares NONDECREASING fit to each
+    * key's first `cap` points in t order, the probability-calibration
+    * primitive (calibrating classifier scores against outcomes).
+    *
+    * Engine side runs TRUE PAV: the ewmaByKey segmented-scan seam
+    * (repartition by key, in-partition sort, one imperative pass)
+    * with a per-key block stack — push (y, 1), merge while the
+    * previous block's mean ≥ the new block's (compared EXACTLY by
+    * cross-multiplication, no division) — O(n) per key, stack
+    * bounded by `cap`. Fitted values release as trunc(sum·2^20/cnt)
+    * scaled integers.
+    *
+    * The oracle CANNOT replay a merge stack in SQL, so it computes
+    * the INDEPENDENT minimax closed form instead: fit_i =
+    * max_{j≤i} min_{k≥i} avg(y[j..k]) (the classical PAV identity).
+    * Truncation is monotone nondecreasing and monotone maps commute
+    * with min/max, so minimax over truncated range-averages equals
+    * the truncated PAV block value EXACTLY — two genuinely different
+    * algorithms, one bit-identical answer. Keep `cap` modest: the
+    * oracle's range expansion is O(cap³)/key (the engine stays
+    * O(cap)).
+    *
+    * Output (k, t, x, fit_scaled), ascending t per key. */
+  def isotonicByKey(df: DataFrame, keyCol: Column, tCol: Column,
+                    vCol: Column, cap: Int = 24): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        vCol.cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("t"), col("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        val SCALE = 1L << 20
+        val ts = new Array[Long](cap)
+        val xs = new Array[Long](cap)
+        val bSum = new Array[Long](cap) // block partial sums
+        val bCnt = new Array[Int](cap) // block sizes
+        def flush(k: Long, n: Int, nb: Int): Iterator[(Long, Long, Long, Long)] = {
+          val out = new Array[(Long, Long, Long, Long)](n)
+          var i = 0
+          var b = 0
+          var used = 0
+          while (b < nb) {
+            val v = bSum(b) * SCALE / bCnt(b) // trunc toward zero
+            var j = 0
+            while (j < bCnt(b)) {
+              out(i) = (k, ts(used + j), xs(used + j), v)
+              i += 1
+              j += 1
+            }
+            used += bCnt(b)
+            b += 1
+          }
+          out.iterator
+        }
+        var curKey = 0L
+        var haveKey = false
+        var n = 0
+        var nb = 0
+        it.flatMap { case (k, t, x) =>
+          val emitted: Iterator[(Long, Long, Long, Long)] =
+            if (haveKey && k != curKey) flush(curKey, n, nb)
+            else Iterator.empty
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; n = 0; nb = 0
+          }
+          ts(n) = t; xs(n) = x
+          n += 1
+          bSum(nb) = x
+          bCnt(nb) = 1
+          nb += 1
+          // merge while prev block mean >= new block mean, EXACT:
+          // s1/c1 >= s2/c2  <=>  s1*c2 >= s2*c1 (counts positive)
+          while (nb > 1 &&
+            bSum(nb - 2) * bCnt(nb - 1) >= bSum(nb - 1) * bCnt(nb - 2)) {
+            bSum(nb - 2) += bSum(nb - 1)
+            bCnt(nb - 2) += bCnt(nb - 1)
+            nb -= 1
+          }
+          emitted
+        } ++ {
+          // flatMap has drained `it`; flush the final key
+          new Iterator[(Long, Long, Long, Long)] {
+            private var done = false
+            private var inner: Iterator[(Long, Long, Long, Long)] = _
+            def hasNext: Boolean = {
+              if (!done) {
+                inner = if (haveKey) flush(curKey, n, nb) else Iterator.empty
+                done = true
+              }
+              inner.hasNext
+            }
+            def next(): (Long, Long, Long, Long) = { hasNext; inner.next() }
+          }
+        }
+      }
+      .toDF("k", "t", "x", "fit_scaled")
+  }
 }

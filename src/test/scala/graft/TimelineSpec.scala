@@ -534,4 +534,42 @@ class TimelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     got shouldBe Seq((1L, 3L, 1099511627776L))
   }
+
+  test("isotonicByKey: hand-computed PAV blocks, exact negative " +
+      "trunc, key resets, partition-stable") {
+    val S = 1L << 20
+    val df = Seq(
+      // [3,1,2,5,4] -> blocks {3,1,2}=2 and {5,4}=4.5
+      (1L, 1L, 3L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 5L),
+      (1L, 5L, 4L),
+      // strictly decreasing pools to one block of mean 3
+      (2L, 1L, 5L), (2L, 2L, 3L), (2L, 3L, 1L),
+      // negative pool with a non-integer mean: trunc(-4*2^20/3)
+      (3L, 1L, -1L), (3L, 2L, -1L), (3L, 3L, -2L),
+      // already isotonic stays untouched
+      (4L, 1L, 1L), (4L, 2L, 7L)
+    ).toDF("k", "t", "x")
+    val got = Timeline.isotonicByKey(df.repartition(7), col("k"),
+        col("t"), col("x"), cap = 24)
+      .orderBy(col("k"), col("t"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 1L, 3L, 2 * S), (1L, 2L, 1L, 2 * S), (1L, 3L, 2L, 2 * S),
+      (1L, 4L, 5L, 9 * S / 2), (1L, 5L, 4L, 9 * S / 2),
+      (2L, 1L, 5L, 3 * S), (2L, 2L, 3L, 3 * S), (2L, 3L, 1L, 3 * S),
+      (3L, 1L, -1L, -4 * S / 3), (3L, 2L, -1L, -4 * S / 3),
+      (3L, 3L, -2L, -4 * S / 3),
+      (4L, 1L, 1L, S), (4L, 2L, 7L, 7 * S))
+    // the fit is nondecreasing within every key
+    got.groupBy(_._1).values.foreach { rows =>
+      val fits = rows.sortBy(_._2).map(_._4)
+      fits shouldBe fits.sorted
+    }
+    // cap: only the first 2 points of key 2 survive cap=2
+    val capped = Timeline.isotonicByKey(df, col("k"), col("t"),
+        col("x"), cap = 2)
+      .filter(col("k") === 2).orderBy(col("t"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    capped shouldBe Seq((2L, 1L, 5L, 4 * S), (2L, 2L, 3L, 4 * S))
+  }
 }
