@@ -3101,6 +3101,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- leave-one-out target encoding with additive smoothing
+    //      (m = 20 prior pseudo-counts): the categorical feature-
+    //      engineering primitive — each event's type is replaced by
+    //      the other rows' mean spend shrunk toward the global mean,
+    //      released as one exact integral division over DECIMAL
+    //      cross-products (LOO is the target-leakage guard; n_c = 1
+    //      rows release the prior exactly)
+    "q_target_encode" -> ((s, dir) =>
+      operators.Classifier.targetEncode(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("event_id"), col("event_type"), cents(col("value")),
+          priorWeight = 20L)
+        .select(col("id").as("event_id"), col("c").as("event_type"),
+          col("y").as("y_cents"), col("te_micro"))
+        .orderBy(col("event_id"))),
+
     // ---- chi-square independence screen: is event mix independent of
     // customer segment? (o-e)^2/e over exact integer counts, one
     // float tree — the significance cousin of the PSI drift monitor
@@ -10301,6 +10317,26 @@ object SparkEntry {
         |    * 1000000
         |    // (count(*) OVER (PARTITION BY source)) AS q_micro
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // LOO mean with the rational prior cleared by cross-multiplying
+    // with N; HUGEINT mirrors the engine's DECIMAL(38,0)
+    "q_target_encode" ->
+      """WITH base AS (
+        |  SELECT event_id AS id, event_type AS c,
+        |    CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT c, CAST(sum(y) AS BIGINT) AS sc,
+        |        count(*) AS nc
+        |      FROM base GROUP BY 1),
+        |t AS (SELECT CAST(sum(y) AS BIGINT) AS s, count(*) AS n
+        |      FROM base)
+        |SELECT b.id AS event_id, b.c AS event_type, b.y AS y_cents,
+        |  CAST(((CAST(g.sc - b.y AS HUGEINT) * t.n + 20 * t.s)
+        |      * 1000000)
+        |    // (CAST(g.nc - 1 + 20 AS HUGEINT) * t.n) AS BIGINT)
+        |    AS te_micro
+        |FROM base b JOIN g USING (c) CROSS JOIN t
+        |ORDER BY event_id""".stripMargin,
 
     // md5-seeded Poisson(1) draws (shared CDF literals), exact
     // integer replicate totals, positional p10/p90 over 16 replicates

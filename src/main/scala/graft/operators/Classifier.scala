@@ -292,4 +292,41 @@ object Classifier {
     }
     beta.map(x => math.floor(x * Micro + 0.5).toLong)
   }
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * categorical feature-engineering primitive (Micci-Barreca 2001):
+    * each row's category is replaced by the target mean of the OTHER
+    * rows in its category, shrunk toward the global mean by a prior
+    * pseudo-count m:
+    *   te_r = (S_c − y_r + m·ȳ) / (n_c − 1 + m).
+    * Leave-one-out removes the row's own label (the target-leakage
+    * guard); the shrinkage keeps rare categories near the prior
+    * (n_c = 1 rows release the prior exactly).
+    *
+    * Exact-integer release: cross-multiplying by N clears the
+    * rational prior — te_micro = trunc(((S_c − y_r)·N + m·S)·10⁶ /
+    * ((n_c − 1 + m)·N)), all products on DECIMAL(38,0) so 100-TB
+    * row counts can't overflow mid-expression.
+    *
+    * Scale: one groupBy over the category (map-side combinable), one
+    * single-row global aggregate broadcast back, one equi-join back
+    * to the rows (broadcastable when the category dim is small) —
+    * no window, no driver state. */
+  def targetEncode(df: DataFrame, idCol: Column, catCol: Column,
+                   yCol: Column, priorWeight: Long,
+                   scale: Long = 1000000L): DataFrame = {
+    require(priorWeight >= 1, s"need prior weight >= 1, got $priorWeight")
+    val base = df.select(idCol.as("id"), catCol.as("c"),
+      yCol.cast("long").as("y"))
+    val g = base.groupBy(col("c"))
+      .agg(sum(col("y")).as("sc"), count(lit(1)).as("nc"))
+    val tot = base.agg(sum(col("y")).as("s"), count(lit(1)).as("n"))
+    base.join(g, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("c"), col("y"), expr(
+        s"((cast(sc - y as decimal(38,0)) * n + $priorWeight * s)" +
+          s" * $scale) div" +
+          s" (cast(nc - 1 + $priorWeight as decimal(38,0)) * n)")
+        .as("te_micro"))
+  }
 }

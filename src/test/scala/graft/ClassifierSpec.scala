@@ -103,4 +103,23 @@ class ClassifierSpec extends SparkSpec {
       .collect()
     scored.sliding(2).foreach { case Array(a, b) => a should be <= b }
   }
+
+  test("targetEncode: hand-computed LOO means, singleton gets the " +
+      "prior exactly, partition-stable") {
+    // cats a: y=[10,20], b: y=[40]; global mean 70/3, m=2
+    // a/10: ((30-10)*3 + 2*70)*1e6 // (2*3+3) -> 200e6 // 9
+    // a/20: (30+140)*1e6 // 9; b/40: 140e6 // 6 == the prior
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 40L))
+      .toDF("id", "c", "y")
+    val got = Classifier.targetEncode(df.repartition(3), col("id"),
+        col("c"), col("y"), priorWeight = 2L)
+      .orderBy(col("id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, "a", 10L, 200000000L / 9),
+      (2L, "a", 20L, 170000000L / 9),
+      (3L, "b", 40L, 140000000L / 6))
+    // the singleton's encoding IS the smoothed global prior
+    got(2)._4 shouldBe (70L * 1000000L / 3)
+  }
 }
