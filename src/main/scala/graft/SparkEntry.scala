@@ -1921,6 +1921,21 @@ object SparkEntry {
           k = 3, window = 4)
         .orderBy(col("doc_id"), col("gram_pos"), col("fp_hash"))),
 
+    // ---- distributed suffix-array prefix doubling (Manber-Myers
+    //      via KMR labeling — the Lee et al. 2021 exact-substring
+    //      dedup core): 5 doubling rounds give every suffix the dense
+    //      rank of its 32-char prefix (−1 sentinel = truncated, so
+    //      rank equality == substring equality incl. length); release
+    //      = per doc, positions whose 32-prefix recurs in ANOTHER
+    //      doc. The ORACLE never builds ranks — it groups raw
+    //      substr(text, p, 32) directly: two independent algorithms,
+    //      one answer
+    "q_text_suffix_dup" -> ((s, dir) =>
+      operators.SuffixArray.crossDocDupCounts(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"), rounds = 5)
+        .orderBy(col("d"))),
+
     // ---- PII scrubbing: typed-placeholder redaction + audit counts
     //      (training-data pre-processing; codegen regexp chain). PII is
     //      synthesized deterministically from customer so the redaction
@@ -8584,6 +8599,24 @@ object SparkEntry {
          |  GROUP BY wf.doc_id, wf.p, wf.mh)
          |SELECT DISTINCT doc_id, fp_hash, gram_pos FROM sel
          |ORDER BY doc_id, gram_pos, fp_hash""".stripMargin,
+
+    // the oracle certifies the engine's prefix-doubled ranks by
+    // grouping the raw 32-char substrings themselves
+    "q_text_suffix_dup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |pos AS (
+        |  SELECT doc_id,
+        |    substr(text, CAST(g.range + 1 AS INTEGER), 32) AS pre
+        |  FROM docs CROSS JOIN range(0, 600) g
+        |  WHERE g.range < length(text)),
+        |grp AS (SELECT pre, count(DISTINCT doc_id) AS nd
+        |        FROM pos GROUP BY 1)
+        |SELECT doc_id AS d, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN grp.nd >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup
+        |FROM pos JOIN grp USING (pre)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH norm AS (

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixArray
+
+/** Prefix-doubling suffix ranks: rank equality == substring equality
+  * (including length), cross-doc dup counts, partition stability. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefixRanks: equal 2-prefixes share a rank, truncation is " +
+      "its own class") {
+    // "abab": suffixes ab|ba|ab|b. 2-prefixes: ab, ba, ab, b(end)
+    val docs = Seq((1L, "abab")).toDF("id", "text")
+    val r = SuffixArray.prefixRanks(docs, col("id"), col("text"),
+        rounds = 1)
+      .orderBy(col("p"))
+      .as[(Long, Int, Long)].collect().toSeq
+    r.map(_._2) shouldBe Seq(1, 2, 3, 4)
+    val byPos = r.map(t => t._2 -> t._3).toMap
+    byPos(1) shouldBe byPos(3) // "ab" == "ab"
+    byPos(2) should not be byPos(1) // "ba"
+    byPos(4) should not be byPos(1) // "b" truncated != "ab"
+    byPos(4) should not be byPos(2)
+  }
+
+  test("prefixRanks: a shorter suffix never matches a longer prefix " +
+      "even when the text agrees") {
+    // "aa" vs "aab" vs "xa": 2-prefix "aa" matches across docs;
+    // a truncated "a"(end) matches only other truncated "a"(end)s
+    val docs = Seq((1L, "aa"), (2L, "aab"), (3L, "xa"))
+      .toDF("id", "text")
+    val r = SuffixArray.prefixRanks(docs, col("id"), col("text"),
+        rounds = 1)
+      .as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r((1L, 1)) shouldBe r((2L, 1)) // "aa" == "aa"
+    r((1L, 2)) should not be r((2L, 2)) // "a"(end) != "ab"
+    r((1L, 2)) should not be r((2L, 3)) // "a"(end) != "b"(end)
+    r((1L, 2)) shouldBe r((3L, 2)) // "a"(end) == "a"(end)
+  }
+
+  test("crossDocDupCounts: hand-computed dup profile, partition-stable") {
+    // d1 = abcabc, d2 = xabc; 4-prefix classes shared across docs:
+    // "abc"(end), "bc"(end), "c"(end) -> d1 3 of 6, d2 3 of 4
+    val docs = Seq((1L, "abcabc"), (2L, "xabc")).toDF("id", "text")
+    val got = SuffixArray.crossDocDupCounts(docs.repartition(4),
+        col("id"), col("text"), rounds = 2)
+      .orderBy(col("d"))
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 6L, 3L), (2L, 4L, 3L))
+    // identical docs: every position is a cross-doc dup
+    val twin = Seq((1L, "hello world"), (2L, "hello world"))
+      .toDF("id", "text")
+    val g2 = SuffixArray.crossDocDupCounts(twin, col("id"),
+        col("text"), rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    g2.foreach { case (_, np, nd) => nd shouldBe np }
+  }
+
+  test("ranks agree with a brute-force substring grouping on messy text") {
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a hat"),
+      (3L, "entirely different words here"),
+      (4L, "the cat sat on the mat")) // exact twin of doc 1
+    val docs = texts.toDF("id", "text")
+    val L = 8 // rounds=3
+    val got = SuffixArray.crossDocDupCounts(docs, col("id"),
+        col("text"), rounds = 3)
+      .orderBy(col("d"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // brute force in plain Scala
+    val pre = texts.flatMap { case (id, t) =>
+      (1 to t.length).map(p => (id, t.substring(p - 1,
+        math.min(t.length, p - 1 + L))))
+    }
+    val nd = pre.groupBy(_._2).map { case (s, g) =>
+      s -> g.map(_._1).distinct.size
+    }
+    val want = pre.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, g) =>
+      (id, g.size.toLong, g.count(x => nd(x._2) >= 2).toLong)
+    }
+    got shouldBe want
+  }
+}
