@@ -977,6 +977,29 @@ object SparkEntry {
           col("var18"))
         .orderBy(col("user_id"))),
 
+    // ---- Kendall's τ-b rank correlation per return flag (quantity
+    //      vs price over each flag's first 64 lineitems — the robust
+    //      two-variable companion to q_ts_mannkendall): exact-integer
+    //      S = Σ sign(Δx)·sign(Δy) plus BOTH tie-corrected
+    //      denominators; τ-b = S/√(d1·d2) is one float op downstream.
+    //      Same capped-pairwise dfCap bound, and the cap binds hard
+    //      (600k rows per flag at sf0.1)
+    "q_stats_kendall" -> ((s, dir) =>
+      operators.Timeline.kendallTau(
+          Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_orderkey"),
+          // (orderkey, linenumber) is NOT unique in this synthetic
+          // data — widen the tiebreak until any residual tie carries
+          // identical (x, y), which leaves S order-invariant
+          struct(col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          col("l_quantity").cast("long"),
+          cents(col("l_extendedprice")), cap = 64)
+        .select(col("k").as("l_returnflag"), col("n"), col("s"),
+          col("d1"), col("d2"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- Theil-Sen robust slope per user (median of pairwise
     //      slopes over the daily-spend series, first 64 days — the
     //      outlier-tolerant companion to q_ts_trend's OLS): slopes
@@ -3515,6 +3538,35 @@ object SparkEntry {
     "q_eval_auc" -> ((s, dir) =>
       operators.Eval.rocAuc(Tables.documents(s, dir),
         length(col("text")).cast("long"), col("lang") === "en")),
+
+    // ---- average precision (the PR-AUC companion to q_eval_auc):
+    //      rank all events by (spend desc, id), AP = mean over
+    //      positives of precision-at-their-rank. Each term releases
+    //      as trunc(1e6·rp/rn) BEFORE the sum (order-free integer
+    //      sum — a float AP sum would hash-differ across engines'
+    //      summation orders); ranks come from the range-shard
+    //      globalRowNumber, positives re-ranked by the same total
+    //      order so rp IS the cumulative-positive count — no
+    //      unpartitioned window anywhere
+    "q_eval_ap" -> ((s, dir) => {
+      val scored = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          (col("event_type") === "purchase").cast("int").as("label"),
+          cents(col("value")).as("score"))
+      val ranked = operators.Ranks.globalRowNumber(scored,
+        Seq(col("score").desc, col("event_id")), out = "rn")
+      val posRanked = operators.Ranks.globalRowNumber(
+        ranked.filter(col("label") === 1),
+        Seq(col("score").desc, col("event_id")), out = "rp")
+      posRanked
+        .select(expr(
+          "(cast(rp as decimal(38,0)) * 1000000) div rn").as("term"))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("term")).as("ap_num_micro"))
+        .select(col("n_pos"), col("ap_num_micro"),
+          expr("ap_num_micro div n_pos").as("ap_micro"))
+    }),
 
     // ---- NDCG@10 per source: binary is-English relevance, docs
     //      ranked by length under a unique (n_chars desc, doc_id)
@@ -6844,6 +6896,46 @@ object SparkEntry {
         |    AS var18
         |FROM n JOIN s ON n.k = s.k JOIN ties ON n.k = ties.k
         |ORDER BY user_id""".stripMargin,
+
+    // S = Σ sign(Δx)·sign(Δy) over the capped pair set; both
+    // tie-corrected denominators stay exact integers
+    "q_stats_kendall" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS k, l_orderkey AS t,
+        |    l_linenumber AS t2, l_partkey AS t3, l_suppkey AS t4,
+        |    l_quantity AS t5, l_extendedprice AS t6,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |kept AS (
+        |  SELECT k, x, y,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY t, t2, t3, t4, t5, t6) AS rn
+        |  FROM base QUALIFY rn <= 64),
+        |s AS (
+        |  SELECT a.k, CAST(sum(
+        |    (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |          ELSE 0 END) *
+        |    (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |          ELSE 0 END)) AS BIGINT) AS s
+        |  FROM kept a JOIN kept b ON a.k = b.k AND a.rn < b.rn
+        |  GROUP BY 1),
+        |n AS (SELECT k, count(*) AS n FROM kept GROUP BY 1
+        |      HAVING count(*) >= 2),
+        |tx AS (
+        |  SELECT k, CAST(sum(t*(t-1)) AS BIGINT) AS tsx
+        |  FROM (SELECT k, x, count(*) AS t FROM kept GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT k, CAST(sum(t*(t-1)) AS BIGINT) AS tsy
+        |  FROM (SELECT k, y, count(*) AS t FROM kept GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT n.k AS l_returnflag, CAST(n.n AS BIGINT) AS n, s.s AS s,
+        |  CAST((n.n*(n.n-1) - tx.tsx) // 2 AS BIGINT) AS d1,
+        |  CAST((n.n*(n.n-1) - ty.tsy) // 2 AS BIGINT) AS d2
+        |FROM n JOIN s ON n.k = s.k JOIN tx ON n.k = tx.k
+        |  JOIN ty ON n.k = ty.k
+        |ORDER BY 1""".stripMargin,
 
     // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
     // (both truncate toward zero); lower median by position
@@ -10852,6 +10944,29 @@ object SparkEntry {
         |  CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
         |    AS auc_micro
         |FROM t""".stripMargin,
+
+    // per-positive terms truncate to micro BEFORE the sum so the
+    // release is an order-free integer sum on both engines
+    "q_eval_ap" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS label,
+        |    CAST(round(value*100) AS BIGINT) AS score
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT label,
+        |    row_number() OVER (ORDER BY score DESC, event_id) AS rn
+        |  FROM base),
+        |p AS (
+        |  SELECT rn, row_number() OVER (ORDER BY rn) AS rp
+        |  FROM r WHERE label = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum((CAST(rp AS HUGEINT) * 1000000) // rn) AS BIGINT)
+        |    AS ap_num_micro,
+        |  CAST(sum((CAST(rp AS HUGEINT) * 1000000) // rn)
+        |    // count(*) AS BIGINT) AS ap_micro
+        |FROM p""".stripMargin,
 
     "q_eval_mrr" ->
       """WITH r AS (

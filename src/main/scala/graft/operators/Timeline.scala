@@ -644,6 +644,54 @@ object Timeline {
           col("tie_sum")).as("var18"))
   }
 
+  /** Kendall's τ-b per key — the robust RANK correlation between two
+    * variables (the two-variable generalization of [[mannKendall]]):
+    * over each key's first `cap` rows in (t, tie) order,
+    *   S  = Σ_{i<j} sign(x_j − x_i)·sign(y_j − y_i)
+    *   d1 = C(n,2) − Σ_g C(t_g^x, 2)   (x tie correction)
+    *   d2 = C(n,2) − Σ_g C(t_g^y, 2)   (y tie correction)
+    * and τ-b = S/√(d1·d2) — released as the exact integer triple
+    * (S, d1, d2) so the oracle hash-gates everything; the single
+    * √ release is one float op downstream if wanted.
+    *
+    * Same capped-pairwise (dfCap) bound and key-only shuffles as
+    * [[mannKendall]]. Output (k, n, s, d1, d2), keys with ≥ 2 rows. */
+  def kendallTau(df: DataFrame, keyCol: Column, tCol: Column,
+                 tieCol: Column, xCol: Column, yCol: Column,
+                 cap: Int = 64): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tie"))
+    val kept = df
+      .select(keyCol.as("k"), tCol.as("t"), tieCol.as("tie"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("rn"), col("x"), col("y"))
+    val a = kept.select(col("k"), col("rn").as("i"),
+      col("x").as("xi"), col("y").as("yi"))
+    val b = kept.select(col("k"), col("rn").as("j"),
+      col("x").as("xj"), col("y").as("yj"))
+    def sgn(l: Column, r: Column): Column =
+      when(l > r, 1L).when(l < r, -1L).otherwise(0L)
+    val s = a.join(b, Seq("k"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("k"))
+      .agg(sum(sgn(col("xj"), col("xi")) * sgn(col("yj"), col("yi")))
+        .as("s"))
+    val nDf = kept.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    def tieSum(c: String): DataFrame = kept
+      .groupBy(col("k"), col(c)).agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * (col("t") - 1)).as(s"ts_$c")) // 2·ΣC(t,2)
+    nDf.join(s, Seq("k"))
+      .join(tieSum("x"), Seq("k"))
+      .join(tieSum("y"), Seq("k"))
+      .select(col("k"), col("n"), col("s"),
+        expr("(n * (n - 1) - ts_x) div 2").as("d1"),
+        expr("(n * (n - 1) - ts_y) div 2").as("d2"))
+  }
+
   /** Theil-Sen slope per key — the robust companion to the OLS trend:
     * the MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i) over
     * each key's first `cap` points, which tolerates up to ~29%

@@ -502,6 +502,21 @@ class TimelineSpec extends SparkSpec {
     got2 shouldBe Seq((1L, 4L, 6L, 156L))
   }
 
+  test("kendallTau: hand-computed S with tie-corrected denominators") {
+    val df = Seq(
+      // x=[1,2,3,4], y=[1,3,2,4]: one discordant pair -> S=4, d=6
+      (1L, 1L, 0L, 1L, 1L), (1L, 2L, 0L, 2L, 3L),
+      (1L, 3L, 0L, 3L, 2L), (1L, 4L, 0L, 4L, 4L),
+      // x=[1,1,2], y=[5,6,6]: S=1, both sides one tied pair -> d=2
+      (2L, 1L, 0L, 1L, 5L), (2L, 2L, 0L, 1L, 6L), (2L, 3L, 0L, 2L, 6L)
+    ).toDF("k", "t", "tie", "x", "y")
+    val got = Timeline.kendallTau(df.repartition(5), col("k"),
+        col("t"), col("tie"), col("x"), col("y"), cap = 64)
+      .orderBy(col("k"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 4L, 4L, 6L, 6L), (2L, 3L, 1L, 2L, 2L))
+  }
+
   test("senSlope: hand-computed scaled medians, trunc-toward-zero " +
       "negatives match DuckDB's //") {
     val K = 1099511627776L // 2^40
