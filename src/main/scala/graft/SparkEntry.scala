@@ -1023,6 +1023,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- longest strictly-increasing subsequence of each user's
+    //      daily-spend series (first 64 days): patience sorting
+    //      through the segmented-scan seam; the oracle replays
+    //      patience in a recursive CTE whose carried state is the
+    //      tails LIST itself (lower-bound replace via list_filter) —
+    //      the non-contiguous counterpart of q_streaks
+    "q_ts_lis" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          cents(col("value")).as("c"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("c")).as("x"))
+      operators.Timeline.lisByKey(daily, col("user_id"), col("day"),
+          col("x"), cap = 64)
+        .select(col("k").as("user_id"), col("n"), col("lis_len"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- isotonic regression (PAV) per user over the daily-spend
     //      series — the probability-calibration primitive. The ENGINE
     //      runs true pool-adjacent-violators through the segmented-
@@ -6961,6 +6981,37 @@ object SparkEntry {
         |SELECT CAST(k AS BIGINT) AS user_id,
         |  CAST(np AS BIGINT) AS n_pairs, CAST(sl AS BIGINT) AS sen_scaled
         |FROM r WHERE i = (np + 1) // 2
+        |ORDER BY user_id""".stripMargin,
+
+    // patience sorting replayed in SQL: the recursive CTE carries the
+    // tails LIST; lower-bound replace = count of tails < x
+    "q_ts_lis" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT k, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM daily QUALIFY rn <= 64),
+        |lis AS (
+        |  SELECT k, rn, [x] AS tails FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn,
+        |    CASE WHEN len(list_filter(l.tails, t -> t < s.x))
+        |              = len(l.tails)
+        |         THEN list_append(l.tails, s.x)
+        |         ELSE l.tails[:len(list_filter(l.tails, t -> t < s.x))]
+        |              || [s.x]
+        |              || l.tails[len(list_filter(l.tails,
+        |                   t -> t < s.x))+2:]
+        |    END
+        |  FROM lis l JOIN st s ON s.k = l.k AND s.rn = l.rn + 1),
+        |fin AS (SELECT k, max(rn) AS n FROM lis GROUP BY 1)
+        |SELECT CAST(l.k AS BIGINT) AS user_id,
+        |  CAST(f.n AS BIGINT) AS n,
+        |  CAST(len(l.tails) AS BIGINT) AS lis_len
+        |FROM lis l JOIN fin f ON l.k = f.k AND l.rn = f.n
         |ORDER BY user_id""".stripMargin,
 
     // the minimax closed form of PAV: fit_i = max_{j<=i} min_{k>=i}

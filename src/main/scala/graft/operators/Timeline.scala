@@ -736,6 +736,78 @@ object Timeline {
         col("sl").as("sen_scaled"))
   }
 
+  /** Longest strictly-increasing subsequence length per key —
+    * patience sorting (the O(n log n) tails algorithm) over each
+    * key's first `cap` points in t order: keep the smallest possible
+    * tail for every subsequence length; each new value replaces the
+    * first tail ≥ it (binary search) or extends the pile row. LIS
+    * length = number of tails. The non-contiguous "improvement
+    * streak" statistic (q_streaks is the CONTIGUOUS version).
+    *
+    * Same segmented-scan seam as [[ewmaByKey]] (repartition by key +
+    * in-partition sort + one imperative pass, tails array bounded by
+    * `cap`); the oracle replays patience in a recursive CTE whose
+    * state is the tails LIST itself (lower-bound replace via
+    * list_filter count) — the [[holtWintersByKey]] LIST-carrying
+    * oracle pattern generalized from a fixed ring buffer to a
+    * growing structure. Output (k, n, lis_len). */
+  def lisByKey(df: DataFrame, keyCol: Column, tCol: Column,
+               vCol: Column, cap: Int = 64): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        vCol.cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("t"), col("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        val tails = new Array[Long](cap)
+        var nt = 0
+        var n = 0L
+        var curKey = 0L
+        var haveKey = false
+        def lowerBound(x: Long): Int = { // first idx with tails(idx) >= x
+          var lo = 0
+          var hi = nt
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (tails(mid) < x) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        def feed(x: Long): Unit = {
+          val i = lowerBound(x)
+          tails(i) = x
+          if (i == nt) nt += 1
+        }
+        it.flatMap { case (k, _, x) =>
+          val out: Iterator[(Long, Long, Long)] =
+            if (haveKey && k != curKey)
+              Iterator((curKey, n, nt.toLong))
+            else Iterator.empty
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; nt = 0; n = 0L
+          }
+          n += 1
+          feed(x)
+          out
+        } ++ new Iterator[(Long, Long, Long)] {
+          private var done = false
+          def hasNext: Boolean = !done && haveKey
+          def next(): (Long, Long, Long) = {
+            done = true
+            (curKey, n, nt.toLong)
+          }
+        }
+      }
+      .toDF("k", "n", "lis_len")
+  }
+
   /** Isotonic regression per key — pool-adjacent-violators (PAV;
     * Ayer et al. 1955): the least-squares NONDECREASING fit to each
     * key's first `cap` points in t order, the probability-calibration

@@ -550,6 +550,28 @@ class TimelineSpec extends SparkSpec {
     got shouldBe Seq((1L, 3L, 1099511627776L))
   }
 
+  test("lisByKey: patience lengths, strictness, cap, key resets") {
+    def series(k: Long, xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong + 1, x) }
+    val df = (series(1L, Seq(3, 1, 4, 1, 5, 9, 2, 6)) ++ // LIS 4
+      series(2L, Seq(9, 7, 5, 3)) ++ // strictly decreasing -> 1
+      series(3L, Seq(1, 2, 3, 4, 5)) ++ // already increasing -> 5
+      series(4L, Seq(2, 2, 2))) // STRICT: equal values -> 1
+      .toDF("k", "t", "x")
+    val got = Timeline.lisByKey(df.repartition(6), col("k"), col("t"),
+        col("x"), cap = 64)
+      .orderBy(col("k"))
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 8L, 4L), (2L, 4L, 1L), (3L, 5L, 5L),
+      (4L, 3L, 1L))
+    // cap keeps the FIRST points: [1,2,3] of key 3 under cap=3
+    val capped = Timeline.lisByKey(df, col("k"), col("t"), col("x"),
+        cap = 3)
+      .filter(col("k") === 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    capped shouldBe Seq((3L, 3L, 3L))
+  }
+
   test("isotonicByKey: hand-computed PAV blocks, exact negative " +
       "trunc, key resets, partition-stable") {
     val S = 1L << 20
