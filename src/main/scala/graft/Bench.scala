@@ -16,6 +16,33 @@ object Bench {
     // printed AFTER spark.stop() so no executor log can interleave
     // behind it.
     spark.sparkContext.setLogLevel("ERROR")
+    // Targeted filter for the ONE benign ERROR class left in the
+    // sweep: DAGScheduler's "Failed to update accumulator" stack,
+    // emitted when a late/zombie task completion races the GC of an
+    // already-finished query's SQLMetrics (root-caused in DEVNOTES
+    // r17: metrics-only, results unaffected, all queries time and
+    // none fail — confirmed by AccumDiag running the full registry
+    // with zero such stacks when frames stay reachable). It is
+    // GC-timing dependent, so it cannot be deterministically pinned
+    // away across 340 queries x 2 passes; filtering exactly this
+    // message in Bench ONLY keeps the driver's 2000-char tail
+    // parseable while AccumDiag/Verify keep the channel visible.
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      import org.apache.logging.log4j.core.{Filter, LogEvent}
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getRootLogger.addFilter(new AbstractFilter {
+        override def filter(event: LogEvent): Filter.Result =
+          if (event.getLoggerName.endsWith("DAGScheduler") &&
+            event.getMessage.getFormattedMessage
+              .startsWith("Failed to update accumulator"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+      })
+      ctx.updateLoggers()
+    }
     // materialize shared graph preprocessing once per run (the
     // 100-TB operating mode: symmetrize the graph once, run the
     // family against the registered artifact)

@@ -1023,6 +1023,27 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- two-state burst segmentation of each user's daily event
+    //      counts (integer min-plus Viterbi — Kleinberg's burst model
+    //      with integer costs: θ = 2 events/day, switch cost 3):
+    //      exact forward DP through the segmented-scan seam, oracle
+    //      carries the (c0, c1, burst-count) triple in a recursive
+    //      CTE. Releases total steps, final min cost, final state,
+    //      and burst-leaning step count per user
+    "q_ts_burst" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      operators.Timeline.burstSegment(daily, col("user_id"),
+          col("day"), col("x"), theta = 2L, switchCost = 3L,
+          cap = 256)
+        .select(col("k").as("user_id"), col("n"), col("cost"),
+          col("in_burst"), col("n_burst"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- longest strictly-increasing subsequence of each user's
     //      daily-spend series (first 64 days): patience sorting
     //      through the segmented-scan seam; the oracle replays
@@ -6981,6 +7002,47 @@ object SparkEntry {
         |SELECT CAST(k AS BIGINT) AS user_id,
         |  CAST(np AS BIGINT) AS n_pairs, CAST(sl AS BIGINT) AS sen_scaled
         |FROM r WHERE i = (np + 1) // 2
+        |ORDER BY user_id""".stripMargin,
+
+    // forward min-plus DP replayed in SQL: the recursive CTE carries
+    // (c0, c1, n_burst); init c0=0, c1=P before the first step
+    "q_ts_burst" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS t,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT k, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY t) AS rn
+        |  FROM daily QUALIFY rn <= 256),
+        |dp AS (
+        |  SELECT k, rn,
+        |    CAST(least(0, 3 + 3) + greatest(0, x - 2) AS BIGINT)
+        |      AS c0,
+        |    CAST(least(3, 0 + 3) + greatest(0, 2 - x) AS BIGINT)
+        |      AS c1,
+        |    CAST(CASE WHEN least(3, 3) + greatest(0, 2 - x)
+        |              < least(0, 6) + greatest(0, x - 2)
+        |         THEN 1 ELSE 0 END AS BIGINT) AS nb
+        |  FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn,
+        |    CAST(least(d.c0, d.c1 + 3) + greatest(0, s.x - 2)
+        |      AS BIGINT),
+        |    CAST(least(d.c1, d.c0 + 3) + greatest(0, 2 - s.x)
+        |      AS BIGINT),
+        |    d.nb + CASE WHEN
+        |      least(d.c1, d.c0 + 3) + greatest(0, 2 - s.x)
+        |      < least(d.c0, d.c1 + 3) + greatest(0, s.x - 2)
+        |      THEN 1 ELSE 0 END
+        |  FROM dp d JOIN st s ON s.k = d.k AND s.rn = d.rn + 1),
+        |fin AS (SELECT k, max(rn) AS n FROM dp GROUP BY 1)
+        |SELECT CAST(d.k AS BIGINT) AS user_id,
+        |  CAST(f.n AS BIGINT) AS n,
+        |  CAST(least(d.c0, d.c1) AS BIGINT) AS cost,
+        |  d.c1 < d.c0 AS in_burst,
+        |  CAST(d.nb AS BIGINT) AS n_burst
+        |FROM dp d JOIN fin f ON d.k = f.k AND d.rn = f.n
         |ORDER BY user_id""".stripMargin,
 
     // patience sorting replayed in SQL: the recursive CTE carries the

@@ -736,6 +736,76 @@ object Timeline {
         col("sl").as("sen_scaled"))
   }
 
+  /** Two-state burst segmentation per key — the integer min-plus
+    * Viterbi form of Kleinberg's burst model (KDD 2002): state 0 =
+    * baseline, state 1 = burst; per step the baseline state pays
+    * max(0, x − θ) (activity above threshold) and the burst state
+    * pays max(0, θ − x) (activity below it), switching states pays
+    * `switchCost`. The forward min-plus recursion
+    *   c0' = min(c0, c1 + P) + e0,   c1' = min(c1, c0 + P) + e1
+    * is exact integer arithmetic end to end (Kleinberg's ln-odds
+    * weights are the float version; an integer cost model keeps the
+    * oracle hash-gateable). Start in baseline: c0 = 0, c1 = P.
+    *
+    * Releases per key the deterministic forward-pass functions:
+    * total steps, final min cost, final state (burst iff c1 < c0,
+    * ties → baseline), and the count of burst-leaning steps. Same
+    * segmented-scan seam as [[ewmaByKey]]; the oracle carries the
+    * (c0, c1, count) triple through a recursive CTE. */
+  def burstSegment(df: DataFrame, keyCol: Column, tCol: Column,
+                   vCol: Column, theta: Long, switchCost: Long,
+                   cap: Int = 256): DataFrame = {
+    require(switchCost >= 0 && cap >= 1, "bad burst parameters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    df.select(keyCol.cast("long").as("k"), tCol.cast("long").as("t"),
+        vCol.cast("long").as("x"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("k"), col("t"), col("x"))
+      .as[(Long, Long, Long)]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"))
+      .mapPartitions { it =>
+        val P = switchCost
+        var curKey = 0L
+        var haveKey = false
+        var n = 0L
+        var c0 = 0L
+        var c1 = 0L
+        var nb = 0L
+        def reset(): Unit = { n = 0L; c0 = 0L; c1 = P; nb = 0L }
+        def emit(): (Long, Long, Long, Boolean, Long) =
+          (curKey, n, math.min(c0, c1), c1 < c0, nb)
+        it.flatMap { case (k, _, x) =>
+          val out: Iterator[(Long, Long, Long, Boolean, Long)] =
+            if (haveKey && k != curKey) Iterator(emit())
+            else Iterator.empty
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; reset()
+          }
+          n += 1
+          val e0 = math.max(0L, x - theta)
+          val e1 = math.max(0L, theta - x)
+          val n0 = math.min(c0, c1 + P) + e0
+          val n1 = math.min(c1, c0 + P) + e1
+          c0 = n0
+          c1 = n1
+          if (c1 < c0) nb += 1
+          out
+        } ++ new Iterator[(Long, Long, Long, Boolean, Long)] {
+          private var done = false
+          def hasNext: Boolean = !done && haveKey
+          def next(): (Long, Long, Long, Boolean, Long) = {
+            done = true
+            emit()
+          }
+        }
+      }
+      .toDF("k", "n", "cost", "in_burst", "n_burst")
+  }
+
   /** Longest strictly-increasing subsequence length per key —
     * patience sorting (the O(n log n) tails algorithm) over each
     * key's first `cap` points in t order: keep the smallest possible

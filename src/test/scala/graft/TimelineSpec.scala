@@ -550,6 +550,24 @@ class TimelineSpec extends SparkSpec {
     got shouldBe Seq((1L, 3L, 1099511627776L))
   }
 
+  test("burstSegment: hand-computed min-plus Viterbi, key resets") {
+    // theta=2, P=3. x=[5,5,0,0,5]: forward DP lands at
+    // (c0,c1) = (9,7), burst-leaning steps 3 (steps 2,3,5)
+    val df = (Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 0L),
+      (1L, 4L, 0L), (1L, 5L, 5L)) ++
+      (1L to 3L).map(t => (2L, t, 0L)) ++ // idle: stays baseline
+      Seq((3L, 1L, 9L), (3L, 2L, 9L))) // hot: pays one switch
+      .toDF("k", "t", "x")
+    val got = Timeline.burstSegment(df.repartition(5), col("k"),
+        col("t"), col("x"), theta = 2L, switchCost = 3L, cap = 256)
+      .orderBy(col("k"))
+      .as[(Long, Long, Long, Boolean, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 5L, 7L, true, 3L),
+      (2L, 3L, 0L, false, 0L),
+      (3L, 2L, 3L, true, 2L))
+  }
+
   test("lisByKey: patience lengths, strictness, cap, key resets") {
     def series(k: Long, xs: Seq[Long]) =
       xs.zipWithIndex.map { case (x, i) => (k, i.toLong + 1, x) }
