@@ -1416,6 +1416,26 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // ---- 3-truss peeling over the folded lineitem graph (2 fixed
+    //      peel rounds): drop edges in < 1 triangle, recompute
+    //      support on the survivors, drop again — the EDGE-cohesion
+    //      community filter above q_graph_kcore's node degrees.
+    //      Support comes from the degree-oriented triangle pass
+    //      (O(m^1.5) bound, no wedge self-join); the oracle peels the
+    //      same two rounds with the canonical x<y<z triple join.
+    //      Released as per-node surviving-truss degrees
+    "q_graph_ktruss" -> ((s, dir) => {
+      val truss = operators.Graph.kTruss(
+        Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 20000).as("u"),
+          (col("l_partkey") % 20000).as("v")),
+        col("u"), col("v"), k = 3, rounds = 2)
+      truss.select(col("a").as("node"))
+        .unionAll(truss.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg_truss"))
+        .orderBy(col("node"))
+    }),
+
     // ---- per-node triangle counts over a mod-folded lineitem graph
     //      (degree-oriented wedge enumeration — the shuffle-bounded
     //      distributed form; beyond-reference graph analytics)
@@ -7530,6 +7550,48 @@ object SparkEntry {
         |    ELSE 0 END + coalesce(c3.c, 0) AS BIGINT) AS pr
         |  FROM sd LEFT JOIN c3 USING (node))
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    // two unrolled peel rounds; triangle support per round from the
+    // canonical x<y<z triple join, credited to all three edges
+    "q_graph_ktruss" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey % 20000 AS u, l_partkey % 20000 AS v
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(u,v) AS a, greatest(u,v) AS b
+        |       FROM raw WHERE u <> v),
+        |t0 AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e0 e1
+        |  JOIN e0 e2 ON e2.a = e1.b
+        |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |s0 AS (
+        |  SELECT a, b, count(*) AS sup FROM (
+        |    SELECT x AS a, y AS b FROM t0
+        |    UNION ALL SELECT x, z FROM t0
+        |    UNION ALL SELECT y, z FROM t0) c
+        |  GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT e0.a, e0.b FROM e0
+        |  JOIN s0 ON e0.a = s0.a AND e0.b = s0.b
+        |  WHERE s0.sup >= 1),
+        |t1 AS (
+        |  SELECT e1a.a AS x, e1a.b AS y, e1b.b AS z
+        |  FROM e1 e1a
+        |  JOIN e1 e1b ON e1b.a = e1a.b
+        |  JOIN e1 e1c ON e1c.a = e1a.a AND e1c.b = e1b.b),
+        |s1 AS (
+        |  SELECT a, b, count(*) AS sup FROM (
+        |    SELECT x AS a, y AS b FROM t1
+        |    UNION ALL SELECT x, z FROM t1
+        |    UNION ALL SELECT y, z FROM t1) c
+        |  GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT e1.a, e1.b FROM e1
+        |  JOIN s1 ON e1.a = s1.a AND e1.b = s1.b
+        |  WHERE s1.sup >= 1)
+        |SELECT node, CAST(count(*) AS BIGINT) AS deg_truss FROM (
+        |  SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH raw AS (

@@ -56,6 +56,42 @@ class GraphSpec extends SparkSpec {
     got.values.sum should be < 1000001L * 1
   }
 
+  test("kTruss: K4 survives k=4, a lone triangle only survives k=3, " +
+      "bridges and pendants peel, messy input tolerated") {
+    // K4 on 1..4 (every edge closes 2 triangles) + triangle 5-6-7
+    // (each edge closes 1) + bridge 4-5 + pendant 7-8; input has
+    // dupes, self-loops, and both directions
+    val edges = Seq((1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4),
+      (3, 4), (5, 6), (5, 7), (6, 7), (4, 5), (7, 8), (8, 7), (6, 6))
+      .toDF("s", "d")
+    def degs(k: Int) = {
+      val t = Graph.kTruss(edges, col("s"), col("d"), k, rounds = 2)
+      t.select(col("a").as("n")).unionAll(t.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .as[(Long, Long)].collect().toMap
+    }
+    degs(3) shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L)
+    degs(4) shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    degs(5) shouldBe Map.empty // K4 edges close only 2 triangles
+  }
+
+  test("kTruss: second peel round removes edges whose support " +
+      "depended on peeled edges") {
+    // triangle 1-2-3 plus edge 3-4 closing a triangle with 1-4, 1-3:
+    // diamond 1-3 shared. Take path graph: triangles A(1,2,3) and
+    // B(2,3,4) share edge 2-3; add pendant triangle C(4,5,6) sharing
+    // only node 4. k=4 (sup >= 2): round 1 keeps only edge 2-3 (in 2
+    // triangles) -> its own support collapses; round 2 empties it
+    val edges = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5),
+      (4, 6), (5, 6)).toDF("s", "d")
+    val t = Graph.kTruss(edges, col("s"), col("d"), k = 4, rounds = 2)
+    t.count() shouldBe 0L
+    // with one round only, the 2-3 edge would still be present
+    val t1 = Graph.kTruss(edges, col("s"), col("d"), k = 4, rounds = 1)
+    t1.as[(Long, Long)].collect().toSeq shouldBe Seq((2L, 3L))
+  }
+
   test("hits is identical under repartitioning") {
     val edges = (1 to 60).map(i => (i % 13, (i * 7) % 11)).toDF("s", "d")
     val a = Graph.hits(edges.repartition(1), col("s"), col("d"), 2)
