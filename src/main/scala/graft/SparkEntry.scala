@@ -1000,6 +1000,20 @@ object SparkEntry {
           col("d1"), col("d2"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- Spearman rank correlation per event type (spend vs event
+    //      time): tie-averaged ranks DOUBLED to stay integer
+    //      (dr = 2·RANK + tie-size − 1), Pearson moments on the
+    //      doubled ranks released as exact integers — ρ is one √
+    //      downstream. No pair join (rank + aggregate), so no cap:
+    //      the scalable complement of the capped q_stats_kendall
+    "q_stats_spearman" -> ((s, dir) =>
+      operators.Timeline.spearman(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("event_type"), cents(col("value")), col("ts_us"))
+        .select(col("k").as("event_type"), col("n"), col("sxy"),
+          col("sxx"), col("syy"))
+        .orderBy(col("event_type"))),
+
     // ---- Theil-Sen robust slope per user (median of pairwise
     //      slopes over the daily-spend series, first 64 days — the
     //      outlier-tolerant companion to q_ts_trend's OLS): slopes
@@ -6997,6 +7011,34 @@ object SparkEntry {
         |FROM n JOIN s ON n.k = s.k JOIN tx ON n.k = tx.k
         |  JOIN ty ON n.k = ty.k
         |ORDER BY 1""".stripMargin,
+
+    // doubled tie-averaged ranks (2·RANK + tie − 1) keep the moments
+    // exact integers; HUGEINT mirrors the engine's DECIMAL(38,0)
+    "q_stats_spearman" ->
+      """WITH base AS (
+        |  SELECT event_type AS k,
+        |    CAST(round(value*100) AS BIGINT) AS x,
+        |    epoch_us(ts) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    CAST(2 * rank() OVER (PARTITION BY k ORDER BY x)
+        |      + count(*) OVER (PARTITION BY k, x) - 1 AS HUGEINT)
+        |      AS dx,
+        |    CAST(2 * rank() OVER (PARTITION BY k ORDER BY y)
+        |      + count(*) OVER (PARTITION BY k, y) - 1 AS HUGEINT)
+        |      AS dy
+        |  FROM base),
+        |m AS (
+        |  SELECT k, count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx*dy) AS sxy0, sum(dx*dx) AS sxx0,
+        |    sum(dy*dy) AS syy0
+        |  FROM r GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy0 - sx * sy AS BIGINT) AS sxy,
+        |  CAST(n * sxx0 - sx * sx AS BIGINT) AS sxx,
+        |  CAST(n * syy0 - sy * sy AS BIGINT) AS syy
+        |FROM m ORDER BY 1""".stripMargin,
 
     // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
     // (both truncate toward zero); lower median by position

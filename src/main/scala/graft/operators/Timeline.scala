@@ -692,6 +692,45 @@ object Timeline {
         expr("(n * (n - 1) - ts_y) div 2").as("d2"))
   }
 
+  /** Spearman rank correlation per key, exact-integer moments: both
+    * variables rank-transform within the key (average ranks for
+    * ties — DOUBLED so they stay integers: dr = 2·RANK + t − 1 where
+    * t is the tie-class size), then the Pearson moments on the
+    * doubled ranks release as exact integers
+    *   sxy = n·Σ(dx·dy) − Σdx·Σdy,
+    *   sxx = n·Σdx² − (Σdx)²,   syy likewise,
+    * and ρ = sxy/√(sxx·syy) is one float op downstream. Unlike the
+    * capped pairwise [[kendallTau]], this is rank + aggregate — no
+    * pair join at all, so no cap is needed: two partitioned windows
+    * and one groupBy per key. DECIMAL(38,0) products guard the
+    * n·Σ(dx·dy) term past ~10⁵ rows per key.
+    *
+    * Output (k, n, sxy, sxx, syy), keys with ≥ 2 rows. */
+  def spearman(df: DataFrame, keyCol: Column, xCol: Column,
+               yCol: Column): DataFrame = {
+    val base = df.select(keyCol.as("k"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    def doubledRank(c: String): Column =
+      (lit(2) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col("k"), col(c))) -
+        lit(1)).cast("decimal(38,0)")
+    base
+      .withColumn("dx", doubledRank("x"))
+      .withColumn("dy", doubledRank("y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy0"),
+        sum(col("dx") * col("dx")).as("sxx0"),
+        sum(col("dy") * col("dy")).as("syy0"))
+      .filter(col("n") >= 2)
+      .select(col("k"), col("n"),
+        expr("cast(n * sxy0 - sx * sy as long)").as("sxy"),
+        expr("cast(n * sxx0 - sx * sx as long)").as("sxx"),
+        expr("cast(n * syy0 - sy * sy as long)").as("syy"))
+  }
+
   /** Theil-Sen slope per key — the robust companion to the OLS trend:
     * the MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i) over
     * each key's first `cap` points, which tolerates up to ~29%

@@ -502,6 +502,23 @@ class TimelineSpec extends SparkSpec {
     got2 shouldBe Seq((1L, 4L, 6L, 156L))
   }
 
+  test("spearman: perfect/inverse/tied ranks give hand-computed " +
+      "exact moments") {
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), // rho = +1
+      (2L, 1L, 30L), (2L, 2L, 20L), (2L, 3L, 10L), // rho = -1
+      (3L, 1L, 5L), (3L, 1L, 7L), (3L, 2L, 6L) // x tie: dx=[3,3,6]
+    ).toDF("k", "x", "y")
+    val got = Timeline.spearman(df.repartition(4), col("k"), col("x"),
+        col("y"))
+      .orderBy(col("k"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 3L, 24L, 24L, 24L), // sxy == sxx == syy -> rho 1
+      (2L, 3L, -24L, 24L, 24L), // rho -1
+      (3L, 3L, 0L, 18L, 24L)) // tied x: uncorrelated by rank
+  }
+
   test("kendallTau: hand-computed S with tie-corrected denominators") {
     val df = Seq(
       // x=[1,2,3,4], y=[1,3,2,4]: one discordant pair -> S=4, d=6
