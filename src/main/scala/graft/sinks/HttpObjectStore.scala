@@ -1,0 +1,164 @@
+package graft.sinks
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** S3-compatible HTTP [[ObjectStore]] — the production-parity backend
+  * the reference fills with an AWS client (reference
+  * updater/package.scala:130-180 read-modify-writes s3:// tiles;
+  * S3Utils.scala wraps the SDK). This container has no egress or SDK,
+  * so the adapter speaks the S3 REST dialect directly over
+  * `HttpURLConnection` against any path-addressed endpoint
+  * (MinIO-style `http://host:port/bucket`):
+  *
+  *  - `PUT /bucket/key` with a fixed-length body — S3 PUT is atomic
+  *    per key, which is exactly the all-or-nothing visibility rule the
+  *    [[ObjectStore]] contract demands;
+  *  - `GET /bucket/key` — 200 body / 404 absent;
+  *  - `DELETE /bucket/key` — 2xx or 404 both count as deleted
+  *    (S3 DELETE is idempotent);
+  *  - `GET /bucket?list-type=2&prefix=…` — ListObjectsV2 XML, followed
+  *    through `NextContinuationToken` pages so a million-tile prefix
+  *    lists completely (S3 caps each page at 1000 keys).
+  *
+  * Transient faults (5xx, connect/read IO) retry with bounded
+  * exponential backoff, same policy as
+  * [[graft.streaming.HttpSequenceFetcher]]; a PUT that exhausts its
+  * attempts THROWS so the Spark task fails and retries the partition —
+  * safe because every tile commit is idempotent behind the
+  * `__sequences__` guard ([[Mvt.commitTileLayers]]). 4xx (other than
+  * 404 where absence is an answer) are permanent and throw
+  * immediately: retrying a signature/ACL error just burns the budget.
+  *
+  * The handle is (baseUrl, retry policy) — serializable, one
+  * connection per call on the executor, matching the fetcher's
+  * no-pool rationale (small one-shot objects, tasks already bound
+  * concurrency via [[TileSink]]'s upload pool).
+  */
+class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
+                      backoffMs: Long = 50L) extends ObjectStore {
+  require(maxAttempts >= 1, s"need maxAttempts >= 1, got $maxAttempts")
+  private val base = baseUrl.stripSuffix("/")
+
+  /** Key → URL path: segments percent-encoded individually so the
+    * `/`-separated S3 key structure survives (URLEncoder alone would
+    * eat the slashes; spaces must be %20, not `+`, in a URL path). */
+  private def keyUrl(key: String): String =
+    base + "/" + key.split("/", -1)
+      .map(s => URLEncoder.encode(s, UTF_8).replace("+", "%20"))
+      .mkString("/")
+
+  private final case class Response(code: Int, body: Array[Byte])
+
+  private def call(method: String, url: String,
+                   body: Option[Array[Byte]]): Response = {
+    var conn: HttpURLConnection = null
+    try {
+      conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(b.length)
+        conn.setRequestProperty("Content-Type", "application/octet-stream")
+        val os = conn.getOutputStream
+        try { os.write(b); os.flush() } finally os.close()
+      }
+      val code = conn.getResponseCode
+      val bytes =
+        if (code >= 200 && code < 300 && method != "DELETE")
+          Option(conn.getInputStream)
+            .map(_.readAllBytes()).getOrElse(Array.emptyByteArray)
+        else Array.emptyByteArray
+      Response(code, bytes)
+    } finally if (conn != null) conn.disconnect()
+  }
+
+  /** Bounded-retry driver: retries 5xx and IO faults with doubling
+    * backoff; returns the first non-5xx response. Throws after the
+    * budget — callers decide what non-2xx means. */
+  private def callWithRetry(method: String, url: String,
+                            body: Option[Array[Byte]]): Response = {
+    var attempt = 0
+    var lastErr = ""
+    while (attempt < maxAttempts) {
+      try {
+        val r = call(method, url, body)
+        if (r.code < 500) return r
+        lastErr = s"http_${r.code}"
+      } catch {
+        case e: IOException => lastErr = s"http_io: ${e.getMessage}"
+      }
+      attempt += 1
+      if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
+    }
+    throw new IOException(
+      s"$method $url failed after $maxAttempts attempts: $lastErr")
+  }
+
+  override def put(key: String, bytes: Array[Byte]): Unit = {
+    val r = callWithRetry("PUT", keyUrl(key), Some(bytes))
+    if (r.code < 200 || r.code >= 300)
+      throw new IOException(s"PUT $key rejected: http_${r.code}")
+  }
+
+  override def get(key: String): Option[Array[Byte]] = {
+    val r = callWithRetry("GET", keyUrl(key), None)
+    if (r.code >= 200 && r.code < 300) Some(r.body)
+    else if (r.code == 404) None
+    else throw new IOException(s"GET $key failed: http_${r.code}")
+  }
+
+  override def delete(key: String): Unit = {
+    val r = callWithRetry("DELETE", keyUrl(key), None)
+    if (!(r.code >= 200 && r.code < 300) && r.code != 404)
+      throw new IOException(s"DELETE $key failed: http_${r.code}")
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val qs = "?list-type=2&prefix=" +
+        URLEncoder.encode(prefix, UTF_8) +
+        token.map("&continuation-token=" +
+          URLEncoder.encode(_, UTF_8)).getOrElse("")
+      val r = callWithRetry("GET", base + "/" + qs, None)
+      if (r.code < 200 || r.code >= 300)
+        throw new IOException(s"LIST $prefix failed: http_${r.code}")
+      val xml = new String(r.body, UTF_8)
+      out ++= HttpObjectStore.listKeys(xml)
+      token = HttpObjectStore.continuationToken(xml)
+      more = token.isDefined
+    }
+    out.result().sorted
+  }
+}
+
+object HttpObjectStore {
+  // ListObjectsV2 is a flat, server-generated document, so anchored
+  // regex extraction is sufficient (no attributes, no nesting inside
+  // the matched elements); only the five XML entities S3 emits in
+  // URL-encoded-off mode need unescaping.
+  private val KeyRe = "<Key>([^<]*)</Key>".r
+  private val TokenRe =
+    "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
+  private val TruncRe = "<IsTruncated>true</IsTruncated>".r
+
+  private def unescape(s: String): String = s
+    .replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&quot;", "\"").replace("&apos;", "'")
+    .replace("&amp;", "&") // last: &amp;lt; must not double-decode
+
+  private[sinks] def listKeys(xml: String): Seq[String] =
+    KeyRe.findAllMatchIn(xml).map(m => unescape(m.group(1))).toVector
+
+  private[sinks] def continuationToken(xml: String): Option[String] =
+    if (TruncRe.findFirstIn(xml).isDefined)
+      TokenRe.findFirstMatchIn(xml).map(m => unescape(m.group(1)))
+    else None
+}

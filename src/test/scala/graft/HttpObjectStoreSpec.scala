@@ -1,0 +1,214 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sinks.{HttpObjectStore, Mvt, TileSink}
+
+/** S3-compatible [[HttpObjectStore]] against an in-process mini-S3
+  * endpoint (path-addressed PUT/GET/DELETE + ListObjectsV2 with
+  * continuation paging), including transient-fault retry, permanent
+  * 4xx fail-fast, and the FULL tile commit protocol — read-modify-write
+  * over HTTP with `__sequences__` replay idempotence surviving injected
+  * PUT failures, exactly the production story the reference runs
+  * against s3:// (reference updater/package.scala:130-180). */
+class HttpObjectStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal S3 path-style endpoint over a concurrent map. `pageSize`
+    * caps ListObjectsV2 pages to force continuation-token paging;
+    * `failPuts` injects that many leading 500s on PUT. */
+  private class MiniS3(pageSize: Int = 1000) {
+    val objects = new ConcurrentHashMap[String, Array[Byte]]()
+    val failPuts = new AtomicInteger(0)
+    val putAttempts = new AtomicInteger(0)
+    var permanentPutCode: Option[Int] = None
+
+    private def xmlEscape(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    private def respond(ex: HttpExchange, code: Int,
+                        body: Array[Byte]): Unit = {
+      if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, body.length)
+        ex.getResponseBody.write(body)
+      }
+    }
+
+    private def handleList(ex: HttpExchange, query: String): Unit = {
+      val params = query.split("&").map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else kv.take(i) ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap
+      val prefix = params.getOrElse("prefix", "")
+      val from = params.getOrElse("continuation-token", "")
+      val all = objects.keySet().asScala.toSeq.sorted
+        .filter(_.startsWith(prefix))
+        .filter(k => from.isEmpty || k > from)
+      val page = all.take(pageSize)
+      val truncated = all.size > page.size
+      val xml = new StringBuilder("<?xml version=\"1.0\"?>\n")
+      xml.append("<ListBucketResult>")
+      page.foreach(k => xml.append(
+        s"<Contents><Key>${xmlEscape(k)}</Key></Contents>"))
+      xml.append(s"<IsTruncated>$truncated</IsTruncated>")
+      if (truncated) xml.append("<NextContinuationToken>" +
+        xmlEscape(page.last) + "</NextContinuationToken>")
+      xml.append("</ListBucketResult>")
+      respond(ex, 200, xml.toString.getBytes(UTF_8))
+    }
+
+    val server: HttpServer = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/", (ex: HttpExchange) => {
+        try {
+          val key = ex.getRequestURI.getPath.stripPrefix("/bucket")
+            .stripPrefix("/")
+          (ex.getRequestMethod, Option(ex.getRequestURI.getQuery)) match {
+            case ("GET", Some(q)) if q.contains("list-type=2") =>
+              handleList(ex, q)
+            case ("PUT", _) =>
+              putAttempts.incrementAndGet()
+              permanentPutCode match {
+                case Some(code) => respond(ex, code, Array.emptyByteArray)
+                case None if failPuts.getAndDecrement() > 0 =>
+                  respond(ex, 500, Array.emptyByteArray)
+                case None =>
+                  objects.put(key, ex.getRequestBody.readAllBytes())
+                  respond(ex, 200, Array.emptyByteArray)
+              }
+            case ("GET", _) => Option(objects.get(key)) match {
+              case Some(b) => respond(ex, 200, b)
+              case None    => respond(ex, 404, Array.emptyByteArray)
+            }
+            case ("DELETE", _) =>
+              objects.remove(key)
+              respond(ex, 204, Array.emptyByteArray)
+            case _ => respond(ex, 405, Array.emptyByteArray)
+          }
+        } finally ex.close()
+      })
+      s.start()
+      s
+    }
+    def baseUrl: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}/bucket"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("put/get/delete round-trip, binary-safe, slash and space keys") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1)
+      store.get("z/1/2.mvt") shouldBe None
+      val bytes = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+      store.put("z/1/2.mvt", bytes)
+      store.get("z/1/2.mvt").get.toSeq shouldBe bytes.toSeq
+      store.put("z/1/2.mvt", Array[Byte](9)) // overwrite = S3 PUT
+      store.get("z/1/2.mvt").get.toSeq shouldBe Seq[Byte](9)
+      store.put("lists/allow list.txt", "alice\nbob\n".getBytes(UTF_8))
+      store.readLines("lists/allow list.txt") shouldBe Seq("alice", "bob")
+      store.delete("z/1/2.mvt")
+      store.get("z/1/2.mvt") shouldBe None
+      store.delete("z/1/2.mvt") // idempotent: absent is a no-op
+    } finally s3.stop()
+  }
+
+  test("list pages through NextContinuationToken and filters by prefix") {
+    val s3 = new MiniS3(pageSize = 2)
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1)
+      val keys = Seq("a/1.bin", "a/2.bin", "a/3.bin", "a/4.bin",
+        "b/1.bin")
+      keys.foreach(k => store.put(k, Array[Byte](1)))
+      store.list("a/") shouldBe keys.filter(_.startsWith("a/"))
+      store.list("") shouldBe keys.sorted // 3 pages of 2
+      store.list("nope/") shouldBe Seq.empty
+    } finally s3.stop()
+  }
+
+  test("transient 500s retry with bounded backoff, then succeed") {
+    val s3 = new MiniS3()
+    try {
+      s3.failPuts.set(2)
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 3,
+        backoffMs = 1)
+      store.put("k", Array[Byte](7))
+      s3.putAttempts.get() shouldBe 3 // 500, 500, 200
+      store.get("k").get.toSeq shouldBe Seq[Byte](7)
+    } finally s3.stop()
+  }
+
+  test("a PUT that exhausts the retry budget throws (task retries the " +
+      "partition); a permanent 4xx throws without burning retries") {
+    val s3 = new MiniS3()
+    try {
+      s3.failPuts.set(99)
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 3,
+        backoffMs = 1)
+      an[java.io.IOException] should be thrownBy
+        store.put("k", Array[Byte](1))
+      s3.putAttempts.get() shouldBe 3
+
+      s3.failPuts.set(0)
+      s3.putAttempts.set(0)
+      s3.permanentPutCode = Some(403)
+      an[java.io.IOException] should be thrownBy
+        store.put("k", Array[Byte](1))
+      s3.putAttempts.get() shouldBe 1 // permanent: no retry
+    } finally s3.stop()
+  }
+
+  test("tile commit protocol read-modify-writes over HTTP: merge " +
+      "across sequences, replay no-op via __sequences__") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1)
+      def f(v: Long) = Seq(Mvt.Feature(1L, 1,
+        Seq(Mvt.MoveTo(Seq((64, 64)))), Map("density" -> Mvt.MLong(v))))
+      Mvt.commitTile(store, 3, 2, 1, "edits", f(5), 1L, 4096,
+        Mvt.SumSchema) shouldBe true
+      Mvt.commitTile(store, 3, 2, 1, "edits", f(5), 1L, 4096,
+        Mvt.SumSchema) shouldBe false // replayed sequence: no-op
+      Mvt.commitTile(store, 3, 2, 1, "edits", f(2), 2L, 4096,
+        Mvt.SumSchema) shouldBe true
+      val feats = Mvt.readTile(store, 3, 2, 1).get
+        .find(_.name == "edits").get.features
+      feats.head.tags("density") shouldBe Mvt.MLong(7L)
+      store.list("") shouldBe Seq("3/2/1.mvt")
+    } finally s3.stop()
+  }
+
+  test("TileSink end-to-end against the HTTP store: injected PUT " +
+      "faults absorbed by the retry budget, rewrite is idempotent") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 3,
+        backoffMs = 1)
+      val pts = Seq(("k", 10.0, 20.0), ("k", 10.1, 20.1),
+        ("k", -60.0, -30.0)).toDF("key", "lon", "lat")
+      val rasters = graft.operators.Tiles.rasterize(pts, "key", "lon",
+        "lat", zoom = 3, cells = 16)
+      s3.failPuts.set(2) // two transient faults inside the upload pool
+      val written = TileSink.writeRasters(rasters, store, "edits",
+        sequence = 1L, concurrency = 4)
+      written should be >= 1L
+      val again = TileSink.writeRasters(rasters, store, "edits",
+        sequence = 1L, concurrency = 4)
+      again shouldBe 0L // all tiles already committed: replay no-ops
+      store.list("").size.toLong shouldBe written
+    } finally s3.stop()
+  }
+}
