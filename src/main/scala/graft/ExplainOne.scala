@@ -37,8 +37,14 @@ object ExplainOne {
     def setDry(): Unit = {
       operators.Graph.preMaterializer = identity
       operators.Graph.roundMaterializer = identity
+      // ktruss: LAZY cut instead of identity — edgeSupport is too wide
+      // to chain uncut (dry audit timed out in r17); the lazy
+      // localCheckpoint cuts the plan at a LogicalRDD without running
+      // a job, so DRY completes with the last round's shape
+      operators.Graph.kTrussRoundMaterializer = _.localCheckpoint(false)
       operators.Dedup.preMaterializer = identity
       operators.Dedup.roundMaterializer = identity
+      apps.PretrainDataPipeline.preMaterializer = identity
     }
     def setMaterialized(): Unit = {
       operators.Graph.preMaterializer =
@@ -46,7 +52,10 @@ object ExplainOne {
       operators.Dedup.preMaterializer =
         df => plans.ResultCache.withCache(df.sparkSession, df)
       operators.Graph.roundMaterializer = _.localCheckpoint(true)
+      operators.Graph.kTrussRoundMaterializer = _.localCheckpoint(true)
       operators.Dedup.roundMaterializer = _.localCheckpoint(true)
+      apps.PretrainDataPipeline.preMaterializer =
+        df => plans.ResultCache.withCache(df.sparkSession, df)
     }
     def audit(name: String, label: String): Unit = {
       println(s"==== $name$label ====")

@@ -42,6 +42,19 @@ object Graph {
   @volatile var roundMaterializer: DataFrame => DataFrame =
     _.localCheckpoint(true)
 
+  /** Materializer for [[kTruss]]'s between-round cut ONLY. The
+    * edgeSupport plan is an order of magnitude wider than any other
+    * round body (two adjacency self-joins + three-way union), so
+    * chaining even two uncut rounds overwhelms the optimizer and the
+    * dry-plan audit used to time out ([[graft.ExplainOne]] r17).
+    * Dry mode swaps this for a LAZY localCheckpoint: the plan is cut
+    * at a LogicalRDD boundary WITHOUT running a job, each round's
+    * plan optimizes separately (linear, not compounding), and the
+    * printed/audited plan shows the representative last-round shape.
+    * Execution paths keep the eager cut, identical to before. */
+  @volatile var kTrussRoundMaterializer: DataFrame => DataFrame =
+    _.localCheckpoint(true)
+
   private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
   private def roundMat(df: DataFrame): DataFrame = roundMaterializer(df)
 
@@ -263,7 +276,7 @@ object Graph {
       .transform(preMat)
     var i = 0
     while (i < rounds) {
-      e = roundMat(edgeSupport(e)
+      e = kTrussRoundMaterializer(edgeSupport(e)
         .filter(col("sup") >= k - 2)
         .select(col("a"), col("b")))
       i += 1
