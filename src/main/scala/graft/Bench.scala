@@ -27,6 +27,11 @@ object Bench {
     // away across 340 queries x 2 passes; filtering exactly this
     // message in Bench ONLY keeps the driver's 2000-char tail
     // parseable while AccumDiag/Verify keep the channel visible.
+    // Suppressions are COUNTED and released in the final JSON
+    // (`suppressed_accum_logs`): a later change that starts losing
+    // genuinely important accumulator updates shows up as a count
+    // spike in the artifact instead of disappearing silently.
+    val suppressedAccumLogs = new java.util.concurrent.atomic.AtomicLong(0)
     locally {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.LoggerContext
@@ -37,9 +42,10 @@ object Bench {
         override def filter(event: LogEvent): Filter.Result =
           if (event.getLoggerName.endsWith("DAGScheduler") &&
             event.getMessage.getFormattedMessage
-              .startsWith("Failed to update accumulator"))
+              .startsWith("Failed to update accumulator")) {
+            suppressedAccumLogs.incrementAndGet()
             Filter.Result.DENY
-          else Filter.Result.NEUTRAL
+          } else Filter.Result.NEUTRAL
       })
       ctx.updateLoggers()
     }
@@ -49,6 +55,8 @@ object Bench {
     operators.Graph.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
     operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    apps.PretrainDataPipeline.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
     // warmup: absorb one-time session costs (codegen compiler, file
     // index, shuffle infra) so per-query numbers reflect the operators
@@ -62,14 +70,26 @@ object Bench {
     // for whichever queries it overlaps. Separating the attempts by a
     // full sweep (~30s+) makes the two samples independent, so the min
     // is the reproducible operator cost.
+    // Pass 2 runs in REVERSE order: a query's two samples then have
+    // different predecessors, so heap/GC residue from one heavy
+    // neighbor (lingering localCheckpoint blocks awaiting the async
+    // ContextCleaner — the r17 q_graph_lpa 9.7x inflation signature)
+    // cannot contaminate both samples; the per-query min stays the
+    // clean-heap cost. After any query >2s, an explicit System.gc()
+    // OUTSIDE the timed region drains the cleaner queue so the residue
+    // is not measured against the successor either.
     val names = SparkEntry.queries.keys.toSeq
     val tWall0 = System.nanoTime()
-    val timed = (1 to 2).map { _ =>
-      names.map { name =>
+    val timed = (1 to 2).map { pass =>
+      val order = if (pass == 2) names.reverse else names
+      order.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count()
-              name -> Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => name -> None }
+        val r =
+          try { SparkEntry.queries(name)(spark, sfDir).count()
+                name -> Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => name -> None }
+        if (r._2.exists(_ > 2.0)) System.gc()
+        r
       }.toMap
     }
     val wallS = (System.nanoTime() - tWall0) / 1e9
@@ -121,6 +141,7 @@ object Bench {
         ",\"unit\":\"sec\",\"n_queries\":" + results.size +
         ",\"wall_s\":" + f3(wallS) +
         ",\"wall_over_min_sum\":" + f3(contention) +
+        ",\"suppressed_accum_logs\":" + suppressedAccumLogs.get() +
         ",\"failed\":" + failedJson + ",\"sf\":\"" + sfDir +
         "\",\"samples\":" + samplesJson +
         ",\"queries\":{", ",", "}}")
@@ -138,6 +159,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"suppressed_accum_logs":${suppressedAccumLogs.get()},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
   }
 }

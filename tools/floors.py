@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_FLOOR.json from >=2 clean full Bench runs, refusing
+contaminated input — the mechanical floor protocol the round-17 verdict
+asked for ("make Bench refuse to write floors when the contention
+indicator exceeds the threshold, and emit a per-query breach list so
+adjudication is mechanical").
+
+Usage:
+  python3 tools/floors.py floor  RUN1.json RUN2.json [...] > BENCH_FLOOR.json
+  python3 tools/floors.py breach FLOOR.json RUN.json [threshold=2.0]
+
+`floor` REFUSES (exit 2) any input run whose wall_over_min_sum exceeds
+CONTENTION_MAX — a contended run's per-query samples are not floors.
+`breach` lists queries above threshold x their floor in the given run,
+exit 1 if any.
+"""
+import json
+import sys
+
+CONTENTION_MAX = 2.6
+
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def cmd_floor(paths):
+    runs = [(p, load(p)) for p in paths]
+    bad = [(p, r.get("wall_over_min_sum"))
+           for p, r in runs
+           if r.get("wall_over_min_sum", 99) > CONTENTION_MAX]
+    if bad:
+        for p, w in bad:
+            print(f"REFUSED: {p} wall_over_min_sum={w} > {CONTENTION_MAX} "
+                  "(contended run; re-record on an idle box)",
+                  file=sys.stderr)
+        sys.exit(2)
+    if len(runs) < 2:
+        print("REFUSED: floor protocol needs >= 2 clean runs",
+              file=sys.stderr)
+        sys.exit(2)
+    names = set()
+    for _, r in runs:
+        names.update(r["queries"].keys())
+    missing = [n for n in sorted(names)
+               if any(n not in r["queries"] for _, r in runs)]
+    floors = {n: min(r["queries"][n] for _, r in runs)
+              for n in sorted(names) if n not in missing}
+    out = {
+        "metric": "total",
+        "value": round(sum(floors.values()), 3),
+        "unit": "sec",
+        "method": ("per-query min over %d clean full Bench runs "
+                   "(wall_over_min_sum %s; gate %s; interleaved 2-pass "
+                   "min per run, pass 2 reversed); assembled by "
+                   "tools/floors.py" % (
+                       len(runs),
+                       "/".join("%.2f" % r.get("wall_over_min_sum", -1)
+                                for _, r in runs),
+                       CONTENTION_MAX)),
+        "queries": {n: round(v, 3) for n, v in floors.items()},
+    }
+    if missing:
+        out["missing_in_some_run"] = missing
+    json.dump(out, sys.stdout, indent=1)
+    print()
+
+
+def cmd_breach(floor_path, run_path, threshold):
+    floor = load(floor_path)["queries"]
+    run = load(run_path)
+    rq = run["queries"]
+    breaches = []
+    for n, f in sorted(floor.items()):
+        if n in rq and f > 0 and rq[n] > threshold * f:
+            breaches.append((n, rq[n], f, rq[n] / f))
+    print(json.dumps({
+        "run": run_path,
+        "wall_over_min_sum": run.get("wall_over_min_sum"),
+        "threshold": threshold,
+        "n_breaches": len(breaches),
+        "breaches": [{"query": n, "sec": round(t, 3),
+                      "floor": f, "ratio": round(x, 2)}
+                     for n, t, f, x in breaches],
+    }, indent=1))
+    sys.exit(1 if breaches else 0)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    if sys.argv[1] == "floor":
+        cmd_floor(sys.argv[2:])
+    elif sys.argv[1] == "breach":
+        thr = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+        cmd_breach(sys.argv[2], sys.argv[3], thr)
+    else:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
