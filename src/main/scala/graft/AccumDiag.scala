@@ -28,6 +28,8 @@ object AccumDiag {
       df => plans.ResultCache.withCache(df.sparkSession, df)
     operators.Dedup.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    apps.PretrainDataPipeline.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq

@@ -2113,10 +2113,14 @@ object SparkEntry {
     //      observable, as in q_dedup_lines.
     "q_pretrain_v2_kept" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (corpus0, bench) = apps.PretrainDataPipeline.splitBench(docs)
-      val corpus = corpus0.withColumn("text",
-        concat(col("text"), lit("\nhdr "), col("doc_id") % 7))
-      apps.PretrainDataPipeline.keptV2Packed(corpus, bench)
+      val (corpus, bench) = apps.PretrainDataPipeline.splitBench(docs)
+      // header injected AFTER exact dedup (afterStage1 seam): stage 1
+      // keys on the source text, and its survivor frame is then
+      // plan-identical to q_pretrain_kept's — one shared materialized
+      // artifact per corpus under the plan-keyed ResultCache
+      apps.PretrainDataPipeline.keptV2Packed(corpus, bench,
+          afterStage1 = _.withColumn("text",
+            concat(col("text"), lit("\nhdr "), col("doc_id") % 7)))
         .orderBy(col("doc_id"))
     }),
 
@@ -7013,7 +7017,9 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     // doubled tie-averaged ranks (2·RANK + tie − 1) keep the moments
-    // exact integers; HUGEINT mirrors the engine's DECIMAL(38,0)
+    // exact integers, RELEASED as DECIMAL(38,0) on both engines:
+    // sxx ~ n^4/3 on doubled ranks leaves int64 past ~7e4 rows/key,
+    // where a BIGINT release would null on Spark but error on DuckDB
     "q_stats_spearman" ->
       """WITH base AS (
         |  SELECT event_type AS k,
@@ -7035,9 +7041,9 @@ object SparkEntry {
         |    sum(dy*dy) AS syy0
         |  FROM r GROUP BY 1 HAVING count(*) >= 2)
         |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy0 - sx * sy AS BIGINT) AS sxy,
-        |  CAST(n * sxx0 - sx * sx AS BIGINT) AS sxx,
-        |  CAST(n * syy0 - sy * sy AS BIGINT) AS syy
+        |  CAST(n * sxy0 - sx * sy AS DECIMAL(38,0)) AS sxy,
+        |  CAST(n * sxx0 - sx * sx AS DECIMAL(38,0)) AS sxx,
+        |  CAST(n * syy0 - sy * sy AS DECIMAL(38,0)) AS syy
         |FROM m ORDER BY 1""".stripMargin,
 
     // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
@@ -8915,10 +8921,12 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         |pos AS (
+        |  -- per-row unnest(range(0, length)) enumerates EVERY
+        |  -- position (no silent document-length cap; empty docs
+        |  -- yield range(0,0) = [] on both engines)
         |  SELECT doc_id,
-        |    substr(text, CAST(g.range + 1 AS INTEGER), 32) AS pre
-        |  FROM docs CROSS JOIN range(0, 600) g
-        |  WHERE g.range < length(text)),
+        |    substr(text, CAST(g.p + 1 AS INTEGER), 32) AS pre
+        |  FROM docs, unnest(range(0, length(text))) AS g(p)),
         |grp AS (SELECT pre, count(DISTINCT doc_id) AS nd
         |        FROM pos GROUP BY 1)
         |SELECT doc_id AS d, CAST(count(*) AS BIGINT) AS n_pos,
@@ -9868,20 +9876,25 @@ object SparkEntry {
     // exponential in the stage count).
     "q_pretrain_v2_kept" ->
       """WITH RECURSIVE
-        |d AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    text || chr(10) || 'hdr ' || CAST(doc_id % 7 AS VARCHAR) AS text,
-        |    lang, source
-        |  FROM documents),
-        |corpus AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 97 <> 0),
+        |corpus0 AS MATERIALIZED (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id % 97 <> 0),
         |keep1 AS MATERIALIZED (
+        |  -- exact dedup on the RAW text (the boilerplate header is
+        |  -- injected after stage 1, mirroring the engine's
+        |  -- afterStage1 seam)
         |  SELECT doc_id FROM (
         |    SELECT doc_id,
         |      min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
         |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |        ' +', ' ', 'g')))) AS canon
-        |    FROM corpus)
+        |    FROM corpus0)
         |  WHERE doc_id = canon),
+        |corpus AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'hdr ' || CAST(doc_id % 7 AS VARCHAR) AS text,
+        |    lang, source
+        |  FROM corpus0),
         |l1 AS MATERIALIZED (
         |  SELECT c.doc_id,
         |    unnest(range(1, len(string_split(c.text, chr(10))) + 1)) AS pos,
@@ -10673,7 +10686,8 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(y) AS BIGINT) AS s, count(*) AS n
         |      FROM base)
         |SELECT b.id AS event_id, b.c AS event_type, b.y AS y_cents,
-        |  CAST(((CAST(g.sc - b.y AS HUGEINT) * t.n + 20 * t.s)
+        |  CAST(((CAST(g.sc - b.y AS HUGEINT) * t.n
+        |        + 20 * CAST(t.s AS HUGEINT))
         |      * 1000000)
         |    // (CAST(g.nc - 1 + 20 AS HUGEINT) * t.n) AS BIGINT)
         |    AS te_micro

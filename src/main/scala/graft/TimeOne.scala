@@ -26,6 +26,8 @@ object TimeOne {
       df => plans.ResultCache.withCache(df.sparkSession, df)
     operators.Dedup.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    apps.PretrainDataPipeline.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     val dir = "/root/testdata/sf0.1"
     SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
     args.foreach { name =>

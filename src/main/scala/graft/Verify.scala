@@ -23,6 +23,8 @@ object Verify {
       df => plans.ResultCache.withCache(df.sparkSession, df)
     operators.Dedup.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
+    apps.PretrainDataPipeline.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

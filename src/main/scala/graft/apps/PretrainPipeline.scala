@@ -32,6 +32,20 @@ import graft.functions.TextFunctions
   */
 object PretrainDataPipeline {
 
+  /** Materializer for the STAGE-1 (exact dedup) survivor frame, the
+    * preprocessing [[kept]] (v1) and [[keptV2Packed]] (v2) share when
+    * both run over the same corpus: both route the identically-built
+    * frame through this hook, so with the plan-keyed
+    * [[graft.plans.ResultCache]] installed (Bench/Verify/TimeOne — the
+    * same wiring as Graph/Dedup.preMaterializer) the first composite
+    * materializes the survivors once and the second reads the
+    * artifact — the 100-TB operating mode, where stage outputs live in
+    * parquet and downstream recipes consume them. Identity by default
+    * so the compositions stay fully lazy for specs/dry plan audits. */
+  @volatile var preMaterializer: DataFrame => DataFrame = identity
+
+  private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
+
   /** Tuning knobs, defaulted to the values the stage-level oracle
     * queries (q_dedup_minhash/cluster, q_contamination,
     * q_sample_stratified, q_pack_sequences_global) pin down.
@@ -116,7 +130,8 @@ object PretrainDataPipeline {
   def kept(corpus: DataFrame, bench: DataFrame,
            cfg: Config = Config()): DataFrame =
     afterSampling(
-      afterDecontamination(afterNearDedup(afterExactDedup(corpus, cfg), cfg),
+      afterDecontamination(
+        afterNearDedup(preMat(afterExactDedup(corpus, cfg)), cfg),
         bench, cfg), cfg)
 
   /** Convention used by the oracle queries: docs whose id is divisible
@@ -331,9 +346,9 @@ object PretrainDataPipeline {
     * recompute — the same stage-checkpoint discipline a 100 TB run uses
     * (there, parquet between stages; here, block storage). */
   def keptV2Packed(corpusRaw: DataFrame, bench: DataFrame,
-                   cfg: ConfigV2 = ConfigV2()): DataFrame = {
-    val corpus = corpusRaw.select(col("doc_id"), col("text"),
-      col("lang"), col("source"))
+                   cfg: ConfigV2 = ConfigV2(),
+                   afterStage1: DataFrame => DataFrame = identity)
+      : DataFrame = {
     // Lazy localCheckpoint, not persist: stages reference their input
     // several times AND the logical plan must be truncated per stage —
     // nine chained self-referencing stages otherwise compound into a
@@ -342,8 +357,17 @@ object PretrainDataPipeline {
     // (there, parquet between stages; here, block storage), paid only
     // when an action runs.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
-    val s1 = pin(corpus.join(droppedByExactDedup(corpus,
-        Config(prefixTokens = 0)), Seq("doc_id"), "left_anti"))
+    // Stage 1 runs on the UN-projected raw corpus so its frame
+    // canonicalizes identically to [[kept]]'s stage 1 — that plan-key
+    // equality is what lets the two composites share one materialized
+    // survivor set through [[preMaterializer]]. `afterStage1` is the
+    // seam for synthetic augmentation (the registry's boilerplate
+    // header injection) — applied AFTER exact dedup, where it belongs:
+    // dedup keys on the source text, not on synthesized scaffolding.
+    val s1full = preMat(afterExactDedup(corpusRaw,
+      Config(prefixTokens = 0)))
+    val s1 = pin(afterStage1(s1full).select(col("doc_id"), col("text"),
+      col("lang"), col("source")))
     val s2 = pin(v2LineClean(s1, cfg)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text"), col("lang"), col("source")))

@@ -324,7 +324,12 @@ object Classifier {
     base.join(g, Seq("c"))
       .crossJoin(broadcast(tot))
       .select(col("id"), col("c"), col("y"), expr(
-        s"((cast(sc - y as decimal(38,0)) * n + $priorWeight * s)" +
+        // s is promoted to decimal BEFORE the priorWeight multiply:
+        // a plain BIGINT m·S overflows int64 once the global target
+        // sum passes ~Long.Max/m, breaking the "all products on
+        // DECIMAL(38,0)" guarantee mid-expression.
+        s"((cast(sc - y as decimal(38,0)) * n" +
+          s" + $priorWeight * cast(s as decimal(38,0)))" +
           s" * $scale) div" +
           s" (cast(nc - 1 + $priorWeight as decimal(38,0)) * n)")
         .as("te_micro"))

@@ -36,8 +36,12 @@ object SuffixArray {
   def prefixRanks(docs: DataFrame, idCol: Column, textCol: Column,
                   rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 12, s"need 1..12 rounds, got $rounds")
+    // Guard length >= 1: Spark's sequence(1, 0) defaults to step -1
+    // and yields [1, 0], which would fabricate two phantom positions
+    // per EMPTY document (rank = ascii("") = 0) that no oracle emits.
     var cur = docs
       .select(idCol.as("d"), textCol.as("t"))
+      .filter(length(col("t")) >= 1)
       .withColumn("p", explode(sequence(lit(1), length(col("t")))))
       .select(col("d"), col("p"),
         ascii(expr("substring(t, p, 1)")).cast("long").as("r"))

@@ -702,8 +702,12 @@ object Timeline {
     * and ρ = sxy/√(sxx·syy) is one float op downstream. Unlike the
     * capped pairwise [[kendallTau]], this is rank + aggregate — no
     * pair join at all, so no cap is needed: two partitioned windows
-    * and one groupBy per key. DECIMAL(38,0) products guard the
-    * n·Σ(dx·dy) term past ~10⁵ rows per key.
+    * and one groupBy per key. The moments are RELEASED as
+    * DECIMAL(38,0) (not cast to long): with doubled ranks up to 2n,
+    * sxx grows like n⁴/3, which leaves int64 past ~7·10⁴ rows per
+    * key — a long release would silently null under Spark's
+    * non-ANSI cast while the oracle errors, diverging the engines.
+    * 38 digits hold to n ≈ 10⁹ rows per key.
     *
     * Output (k, n, sxy, sxx, syy), keys with ≥ 2 rows. */
   def spearman(df: DataFrame, keyCol: Column, xCol: Column,
@@ -726,9 +730,9 @@ object Timeline {
         sum(col("dy") * col("dy")).as("syy0"))
       .filter(col("n") >= 2)
       .select(col("k"), col("n"),
-        expr("cast(n * sxy0 - sx * sy as long)").as("sxy"),
-        expr("cast(n * sxx0 - sx * sx as long)").as("sxx"),
-        expr("cast(n * syy0 - sy * sy as long)").as("syy"))
+        expr("cast(n * sxy0 - sx * sy as decimal(38,0))").as("sxy"),
+        expr("cast(n * sxx0 - sx * sx as decimal(38,0))").as("sxx"),
+        expr("cast(n * syy0 - sy * sy as decimal(38,0))").as("syy"))
   }
 
   /** Theil-Sen slope per key — the robust companion to the OLS trend:

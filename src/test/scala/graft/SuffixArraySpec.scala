@@ -41,6 +41,16 @@ class SuffixArraySpec extends SparkSpec {
     r((1L, 2)) shouldBe r((3L, 2)) // "a"(end) == "a"(end)
   }
 
+  test("prefixRanks: empty documents emit zero positions (no " +
+      "sequence(1,0) phantom [1,0] pair)") {
+    val docs = Seq((1L, ""), (2L, "ab"), (3L, "")).toDF("id", "text")
+    val r = SuffixArray.prefixRanks(docs, col("id"), col("text"),
+        rounds = 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    r.map(_._1).distinct.sorted shouldBe Seq(2L)
+    r should have size 2
+  }
+
   test("crossDocDupCounts: hand-computed dup profile, partition-stable") {
     // d1 = abcabc, d2 = xabc; 4-prefix classes shared across docs:
     // "abc"(end), "bc"(end), "c"(end) -> d1 3 of 6, d2 3 of 4

@@ -509,8 +509,17 @@ class TimelineSpec extends SparkSpec {
       (2L, 1L, 30L), (2L, 2L, 20L), (2L, 3L, 10L), // rho = -1
       (3L, 1L, 5L), (3L, 1L, 7L), (3L, 2L, 6L) // x tie: dx=[3,3,6]
     ).toDF("k", "x", "y")
-    val got = Timeline.spearman(df.repartition(4), col("k"), col("x"),
-        col("y"))
+    val raw = Timeline.spearman(df.repartition(4), col("k"), col("x"),
+      col("y"))
+    // moments must release as DECIMAL(38,0) — a long release silently
+    // nulls past ~7e4 rows/key (sxx ~ n^4/3 on doubled ranks)
+    Seq("sxy", "sxx", "syy").foreach { c =>
+      raw.schema(c).dataType shouldBe
+        org.apache.spark.sql.types.DecimalType(38, 0)
+    }
+    val got = raw
+      .select(col("k"), col("n"), col("sxy").cast("long"),
+        col("sxx").cast("long"), col("syy").cast("long"))
       .orderBy(col("k"))
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     got shouldBe Seq(
