@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** One-shot audit-consistency probe: PlanGuard counters on the same
+  * query BEFORE and AFTER execution must agree on windows (the r18
+  * initial-plan-section fix); run ad hoc when plan printing changes. */
+object AqeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = args.headOption.getOrElse("q_pretrain_v2_kept")
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val pre = graft.plans.PlanGuard.audit(df)
+    println(s"PRE  unpartitionedWindows=${pre.unpartitionedWindows} " +
+      s"shuffles=${pre.shuffles} broadcasts=${pre.broadcasts} " +
+      s"nestedLoops=${pre.nestedLoops}")
+    df.count()
+    val post = graft.plans.PlanGuard.audit(df)
+    println(s"POST unpartitionedWindows=${post.unpartitionedWindows} " +
+      s"shuffles=${post.shuffles} broadcasts=${post.broadcasts} " +
+      s"nestedLoops=${post.nestedLoops}")
+    spark.stop()
+  }
+}

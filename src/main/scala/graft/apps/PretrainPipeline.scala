@@ -273,6 +273,18 @@ object PretrainDataPipeline {
       .filter(col("canonical_id") =!= col("doc_id"))
       .select("doc_id")
 
+  /** [[v2DroppedByNearDedup]] over a PRECOMPUTED shingle frame — the
+    * composed pipeline shingles the cleaned corpus ONCE and shares it
+    * with the decontamination stage (same shingleN), instead of
+    * re-tokenizing per stage. */
+  def v2DroppedByNearDedupSh(sh: DataFrame, cfg: ConfigV2): DataFrame =
+    Dedup.canonicalizeClusters(
+        Dedup.minhashLshPairsFromShingles(sh, cfg.bands, cfg.rowsPerBand,
+          cfg.nearDupThreshold)
+          .select(col("ia"), col("ib")))
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select("doc_id")
+
   /** Stage-4 drop set: documents whose duplicated-`dupGramN`-gram
     * fraction exceeds the threshold (docs too short to have grams are
     * unscored and survive). */
@@ -294,6 +306,18 @@ object PretrainDataPipeline {
     Dedup.contamination(s5, bench,
         col("clean_text"), col("doc_id"), col("text"), col("doc_id"),
         cfg.shingleN, cfg.contamMinShared)
+      .select("doc_id")
+
+  /** [[v2DroppedByContamination]] over the SHARED cleaned-corpus
+    * shingle frame (restricted to stage-5 survivors by the caller);
+    * only the bench side still tokenizes — on its raw text, as the
+    * stage contract requires. */
+  def v2DroppedByContaminationSh(docSh: DataFrame, bench: DataFrame,
+                                 cfg: ConfigV2): DataFrame =
+    Dedup.contaminationFromShingles(docSh,
+        Dedup.shingleSets(bench, col("text"), col("doc_id"),
+          cfg.shingleN),
+        cfg.contamMinShared)
       .select("doc_id")
 
   /** Stage-7 keep set: corpus-LM bigram score (exact integer
@@ -371,12 +395,28 @@ object PretrainDataPipeline {
     val s2 = pin(v2LineClean(s1, cfg)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text"), col("lang"), col("source")))
-    val s3 = pin(s2.join(v2DroppedByNearDedup(s2, cfg),
+    // One shingling pass over the cleaned corpus, shared by the
+    // near-dedup (s3) and decontamination (s6) stages — the same
+    // shingleN feeds both, so re-tokenizing per stage is pure waste
+    // at any scale (clean_text is immutable through s3-s5, so the
+    // survivor semi-join below selects exactly the shingle sets the
+    // per-stage operator would recompute).
+    val sh2 = pin(Dedup.shingleSets(s2, col("clean_text"),
+      col("doc_id"), cfg.shingleN))
+    val s3 = pin(s2.join(v2DroppedByNearDedupSh(sh2, cfg),
       Seq("doc_id"), "left_anti"))
-    val s4 = pin(s3.join(v2DroppedByDupGrams(s3, cfg),
-      Seq("doc_id"), "left_anti"))
-    val s5 = pin(s4.filter(v2GopherPasses))
-    val s6 = pin(s5.join(v2DroppedByContamination(s5, bench, cfg),
+    // The Gopher gate (s5) is a row-local filter — folding it into
+    // the dup-gram stage's pin saves one full materialization pass
+    // over the survivors; the stage SEMANTICS stay separate (runV2's
+    // manifest still attributes drops per stage).
+    val s5 = pin(s3.join(v2DroppedByDupGrams(s3, cfg),
+        Seq("doc_id"), "left_anti")
+      .filter(v2GopherPasses))
+    // Contamination is per-doc independent, so computing it over the
+    // FULL shared shingle frame and anti-joining the survivors gives
+    // the same s6 as restricting the shingles to s5 first — without
+    // the survivor semi-join pass.
+    val s6 = pin(s5.join(v2DroppedByContaminationSh(sh2, bench, cfg),
       Seq("doc_id"), "left_anti"))
     val s7 = pin(s6.join(v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_semi"))
     val s8 = Sampling.temperatureMix(s7, col("source"), col("doc_id"),
@@ -393,7 +433,7 @@ object PretrainDataPipeline {
     // AccumDiag attributed all 33 stacks of a full sf0.1 sweep to
     // exactly this query). The weak-keyed map holds the stage frames
     // alive until the composed frame itself is collected.
-    pinsAlive.put(out, Seq(s1, s2, s3, s4, s5, s6, s7))
+    pinsAlive.put(out, Seq(s1, s2, sh2, s3, s5, s6, s7))
     out
   }
 

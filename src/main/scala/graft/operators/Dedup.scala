@@ -499,13 +499,22 @@ object Dedup {
   def contamination(docs: DataFrame, bench: DataFrame,
                     textCol: Column, idCol: Column,
                     benchTextCol: Column, benchIdCol: Column,
-                    shingleN: Int = 3, minShared: Int = 1): DataFrame = {
-    val docSh = shingleSets(docs, textCol, idCol, shingleN)
-      .select(col("doc_id"), explode(col("sh")).as("sng"))
-    val benchSh = shingleSets(bench, benchTextCol, benchIdCol, shingleN)
+                    shingleN: Int = 3, minShared: Int = 1): DataFrame =
+    contaminationFromShingles(
+      shingleSets(docs, textCol, idCol, shingleN),
+      shingleSets(bench, benchTextCol, benchIdCol, shingleN),
+      minShared)
+
+  /** [[contamination]] core over PRECOMPUTED (doc_id, sh) shingle
+    * frames for both sides — lets a multi-stage pipeline shingle each
+    * corpus once (see [[minhashLshPairsFromShingles]]). */
+  def contaminationFromShingles(docSh: DataFrame, benchSh: DataFrame,
+                                minShared: Int = 1): DataFrame = {
+    val d = docSh.select(col("doc_id"), explode(col("sh")).as("sng"))
+    val b = benchSh
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("sng"))
       .distinct()
-    docSh.join(broadcast(benchSh), Seq("sng"))
+    d.join(broadcast(b), Seq("sng"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sng")).as("n_shared"),
         min(col("bench_id")).as("contaminated_by"))
@@ -549,11 +558,26 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshPairsFromShingles(sh, bands, rowsPerBand, threshold)
+      .transform(preMat)
+  }
+
+  /** [[minhashLshPairs]] core over a PRECOMPUTED (doc_id, sh) shingle
+    * frame — the multi-stage-pipeline entry point: one shingling pass
+    * per corpus serves near-dedup AND decontamination
+    * ([[contaminationFromShingles]]) instead of re-tokenizing per
+    * stage. The caller owns materialization of `sh` (it is referenced
+    * three times: signature + both verify sides) and of the result —
+    * no preMat here, because pipeline callers feed the pairs straight
+    * into [[canonicalizeClusters]], whose round materializer already
+    * cuts at the first round. */
+  def minhashLshPairsFromShingles(sh: DataFrame, bands: Int,
+                                  rowsPerBand: Int,
+                                  threshold: Double): DataFrame = {
     val cands = minhashCandidates(
       minhashBucketsFromShingles(sh, bands, rowsPerBand))
     jaccardVerifyFromShingles(cands, sh)
       .filter(col("jac") >= threshold)
-      .transform(preMat)
   }
 
   // ------------------------------------------------------------ jaccard

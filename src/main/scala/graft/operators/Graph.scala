@@ -274,11 +274,19 @@ object Graph {
         greatest(col("u"), col("v")).as("b"))
       .distinct()
       .transform(preMat)
+    // BETWEEN-round cuts go through [[kTrussRoundMaterializer]] (lazy
+    // in dry mode so the optimizer never sees two chained edgeSupport
+    // trees); the FINAL round goes through the plain round hook —
+    // identity in dry mode, so the audited plan keeps the
+    // representative per-round join shape in-plan, and the usual eager
+    // cut at execution, so runtime behavior is unchanged.
     var i = 0
     while (i < rounds) {
-      e = kTrussRoundMaterializer(edgeSupport(e)
+      val next = edgeSupport(e)
         .filter(col("sup") >= k - 2)
-        .select(col("a"), col("b")))
+        .select(col("a"), col("b"))
+      e = if (i == rounds - 1) roundMat(next)
+          else kTrussRoundMaterializer(next)
       i += 1
     }
     e

@@ -88,6 +88,32 @@ class PlanGuardSpec extends SparkSpec {
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
 
+  test("stripInitialPlans drops only the initial-plan sections of " +
+      "executed adaptive (sub)plans, scoped by connector depth") {
+    val plan =
+      """AdaptiveSparkPlan isFinalPlan=true
+        |+- == Final Plan ==
+        |   *(2) HashAggregate
+        |   +- Window [rank()], [ts ASC NULLS FIRST]
+        |      +- InMemoryTableScan
+        |            +- AdaptiveSparkPlan isFinalPlan=true
+        |               +- == Final Plan ==
+        |                  *(1) Project
+        |               +- == Initial Plan ==
+        |                  Window [rank()], [ts ASC NULLS FIRST]
+        |                  +- Exchange hashpartitioning(k, 4)
+        |+- == Initial Plan ==
+        |   Window [rank()], [ts ASC NULLS FIRST]
+        |   +- Exchange hashpartitioning(k, 4)""".stripMargin
+    val stripped = PlanGuard.stripInitialPlansPublic(plan)
+    stripped should not include "Initial Plan"
+    stripped should not include "Exchange hashpartitioning"
+    // exactly the one final-plan window survives
+    stripped.linesIterator.count(_.contains("Window [")) shouldBe 1
+    stripped should include("*(2) HashAggregate")
+    stripped should include("*(1) Project")
+  }
+
   test("dry-plan mode exposes per-round join shapes to the audit") {
     import graft.operators.Graph
     val (savedPre, savedRound) =
