@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.apps.PretrainDataPipeline
+import graft.apps.PretrainDataPipeline.ConfigV2
+import graft.operators.Dedup
+
+/** Ad-hoc 10× scale probe for the 9-stage v2 pretrain pipeline (the
+  * r17 verdict's #6; not part of the driver contract): replicate the
+  * sf0.1 documents table 10× with DISJOINT doc-id spaces
+  * (doc_id + rep·10⁹) and a per-replica guard line PREPENDED to every
+  * text (so exact dedup stays replica-local instead of collapsing the
+  * replicas into one), then run the composed pipeline at 1× and 10×
+  * and measure the three cliffs the verdict named:
+  *
+  *  - wall-time scaling of the composed run (superlinear = a hidden
+  *    cross-replica funnel or optimizer blowup);
+  *  - LSH band-bucket occupancy skew (the max bucket bounds the
+  *    candidate-pair blow-up: pairs grow with Σ C(bucket, 2), so a
+  *    mega-bucket is THE quadratic cliff of banded LSH);
+  *  - pack shard sizing (the shard-count prefix-window input must
+  *    stay shard-count-bounded — rows/100 — not corpus-bounded) and
+  *    stage-checkpoint storage (lazy localCheckpoint blocks).
+  *
+  * Replica-shared lines sit in 10× more docs at 10×, so the absolute
+  * line-dedup and dup-gram thresholds bite HARDER at 10× — survivor
+  * counts are reported, not asserted, and the assertions pin only
+  * scale-safety invariants that hold regardless of content shift.
+  * Numbers are recorded in DEVNOTES round over round. */
+object PretrainScaleProbe {
+  private val Off = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = ConfigV2()
+
+    def time[T](f: => T): (T, Double) = {
+      val s = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - s) / 1e9)
+    }
+
+    val docs1 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .persist()
+    val n1 = docs1.count()
+    val docs10 = docs1.crossJoin(
+        spark.range(10).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * Off).as("doc_id"),
+        concat(lit("replica "), col("rep"), lit("\n"), col("text"))
+          .as("text"),
+        col("lang"), col("source"))
+      .persist()
+    val n10 = docs10.count()
+    println(s"pretrain probe: docs_1x=$n1 docs_10x=$n10")
+
+    def runPipe(docs: DataFrame): (Long, Double) = {
+      val (corpus, bench) = PretrainDataPipeline.splitBench(docs, 97L)
+      time(PretrainDataPipeline.keptV2Packed(corpus, bench, cfg).count())
+    }
+    val (kept1, t1) = runPipe(docs1)
+    println(f"composed 1x : kept=$kept1%6d  wall=$t1%7.2f s")
+    val (kept10, t10) = runPipe(docs10)
+    println(f"composed 10x: kept=$kept10%6d  wall=$t10%7.2f s  " +
+      f"ratio=${t10 / t1}%5.2f")
+    // the quadratic cliff shows up as wall ratio far beyond the data
+    // ratio; generous bound because fixed job overhead amortizes the
+    // other way
+    require(t10 / t1 < 30.0,
+      f"superlinear composed-pipeline scaling: ${t10 / t1}%.1fx wall " +
+        "for 10x data")
+
+    // LSH band-bucket occupancy on the 10x CLEANED corpus: the max
+    // bucket and the implied candidate-pair count are the quadratic
+    // guards of banded minhash
+    val (corpus10, _) = PretrainDataPipeline.splitBench(docs10, 97L)
+    val s1 = corpus10.join(
+      PretrainDataPipeline.droppedByExactDedup(corpus10,
+        PretrainDataPipeline.Config(prefixTokens = 0)),
+      Seq("doc_id"), "left_anti")
+    val s2 = PretrainDataPipeline.v2LineClean(s1, cfg)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"), col("lang"),
+        col("source"))
+      .localCheckpoint(true)
+    val sh = Dedup.shingleSets(s2, col("clean_text"), col("doc_id"),
+      cfg.shingleN).localCheckpoint(true)
+    val buckets = Dedup.minhashBucketsFromShingles(sh, cfg.bands,
+      cfg.rowsPerBand)
+    val occ = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"),
+        sum(col("n") * (col("n") - 1)).as("pairs2"),
+        count(lit(1)).as("n_buckets"))
+      .head()
+    val (mxBucket, candPairs, nBuckets) =
+      (occ.getLong(0), occ.getLong(1) / 2, occ.getLong(2))
+    val nDocs10 = s2.count()
+    println(s"lsh occupancy 10x: buckets=$nBuckets max_bucket=$mxBucket " +
+      s"cand_pairs=$candPairs docs=$nDocs10")
+    // candidate pairs bounded by a constant multiple of the corpus =
+    // LSH is doing its job (all-pairs would be ~nDocs^2/2)
+    require(candPairs < 60L * nDocs10,
+      s"LSH candidate blow-up: $candPairs pairs for $nDocs10 docs")
+    require(mxBucket < nDocs10 / 10,
+      s"mega-bucket: $mxBucket of $nDocs10 docs share one LSH bucket")
+
+    // pack shard sizing at 10x: the prefix-window input is the
+    // per-shard bin-count rollup — shard-count rows, NOT corpus rows
+    val (corpus10b, bench10b) = PretrainDataPipeline.splitBench(docs10, 97L)
+    val packed = PretrainDataPipeline.keptV2Packed(corpus10b, bench10b, cfg)
+    val shards = packed.select((col("shuffle_pos") / cfg.packShardSize)
+      .cast("long").as("shard")).distinct().count()
+    println(s"pack shards 10x: $shards (window input rows = shard count)")
+    require(shards <= kept10 / cfg.packShardSize + 1,
+      s"shard explosion: $shards shards for $kept10 rows")
+
+    // stage-checkpoint storage: lazy localCheckpoints materialize as
+    // RDD blocks; report what the 10x composed run left cached
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val mb = storage.map(_.memSize).sum / 1e6
+    val diskMb = storage.map(_.diskSize).sum / 1e6
+    println(f"checkpoint storage after 10x: rdds=${storage.length} " +
+      f"mem=${mb}%.1f MB disk=${diskMb}%.1f MB")
+    spark.stop()
+    println("PRETRAIN SCALE PROBE OK")
+  }
+}
