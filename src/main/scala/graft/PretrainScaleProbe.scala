@@ -10,10 +10,16 @@ import graft.operators.Dedup
 /** Ad-hoc 10× scale probe for the 9-stage v2 pretrain pipeline (the
   * r17 verdict's #6; not part of the driver contract): replicate the
   * sf0.1 documents table 10× with DISJOINT doc-id spaces
-  * (doc_id + rep·10⁹) and a per-replica guard line PREPENDED to every
-  * text (so exact dedup stays replica-local instead of collapsing the
-  * replicas into one), then run the composed pipeline at 1× and 10×
-  * and measure the three cliffs the verdict named:
+  * (doc_id + rep·10⁹) and a per-replica token SUFFIXED to every LINE
+  * (` r<rep>`) so the replicas model ten independent corpora — exact
+  * fingerprints, line fingerprints and most shingles stay
+  * replica-local. (First attempt used verbatim replicas: every
+  * line's document frequency became 10, the ABSOLUTE line-dedup
+  * threshold (≤2 docs) dropped every line, and stage 2 emptied the
+  * corpus — a probe-construction lesson: exact-copy inflation tests
+  * the dedup stages' kill path, not scale.) Then run the composed
+  * pipeline at 1× and 10× and measure the three cliffs the verdict
+  * named:
   *
   *  - wall-time scaling of the composed run (superlinear = a hidden
   *    cross-replica funnel or optimizer blowup);
@@ -56,7 +62,20 @@ object PretrainScaleProbe {
     val docs10 = docs1.crossJoin(
         spark.range(10).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * Off).as("doc_id"),
-        concat(lit("replica "), col("rep"), lit("\n"), col("text"))
+        // every TOKEN suffixed with the replica id: vocabulary,
+        // shingles, line fingerprints and exact fingerprints are all
+        // replica-unique, so the 10x corpus behaves like ten
+        // independent corpora. (Line- or doc-level tags are NOT
+        // enough: within-line 5-grams stay verbatim-shared across
+        // replicas and the ABSOLUTE dup-gram/line-dedup thresholds
+        // then kill the whole corpus — measured; that mode tests the
+        // dedup kill path, not scale.)
+        // LETTER suffix, not the digit id: the Gopher gate requires
+        // >= 80% purely-alphabetic tokens, so a digit suffix fails
+        // every token and empties the corpus at stage 5 (measured)
+        regexp_replace(col("text"), lit("(\\w+)"),
+          concat(lit("$1q"),
+            expr("substring('abcdefghij', cast(rep + 1 as int), 1)")))
           .as("text"),
         col("lang"), col("source"))
       .persist()
@@ -72,6 +91,8 @@ object PretrainScaleProbe {
     val (kept10, t10) = runPipe(docs10)
     println(f"composed 10x: kept=$kept10%6d  wall=$t10%7.2f s  " +
       f"ratio=${t10 / t1}%5.2f")
+    require(kept10 > 0, "10x corpus emptied mid-pipeline - probe " +
+      "construction regressed to verbatim replication")
     // the quadratic cliff shows up as wall ratio far beyond the data
     // ratio; generous bound because fixed job overhead amortizes the
     // other way
