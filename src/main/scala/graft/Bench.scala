@@ -131,6 +131,17 @@ object Bench {
     // tooling; `samples` adds {p1,p2}.
     val contention =
       if (total > 0) wallS / total else 0.0
+    // Timed-span companion indicator: (Σp1 + Σp2) / (2·Σmin) counts
+    // ONLY the measured query spans, so it is blind to the structural
+    // wall costs (pass-1 cache materialization, post-heavy GC,
+    // inter-query scheduling) that push wall_over_min_sum to ~2.6-2.8
+    // even on an idle box under the r18 protocol. Idle: ~1.2-1.35
+    // (pass 1 carries the cold-cache builds); contention inflates
+    // both passes and drives it well past 1.6.
+    val timedSum = timed.iterator
+      .flatMap(_.valuesIterator).flatten.sum
+    val timedContention =
+      if (total > 0) timedSum / (2 * total) else 0.0
     val samplesJson = results.toSeq.sortBy(_._1).map { case (k, _) =>
       def g(i: Int): String = timed(i)(k).map(f3).getOrElse("null")
       "\"" + k + "\":{\"p1\":" + g(0) + ",\"p2\":" + g(1) + "}"
@@ -141,6 +152,7 @@ object Bench {
         ",\"unit\":\"sec\",\"n_queries\":" + results.size +
         ",\"wall_s\":" + f3(wallS) +
         ",\"wall_over_min_sum\":" + f3(contention) +
+        ",\"timed_over_min_sum\":" + f3(timedContention) +
         ",\"suppressed_accum_logs\":" + suppressedAccumLogs.get() +
         ",\"failed\":" + failedJson + ",\"sf\":\"" + sfDir +
         "\",\"samples\":" + samplesJson +
@@ -159,6 +171,6 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"suppressed_accum_logs":${suppressedAccumLogs.get()},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"timed_over_min_sum":${f3(timedContention)},"suppressed_accum_logs":${suppressedAccumLogs.get()},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
   }
 }

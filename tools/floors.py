@@ -17,7 +17,15 @@ exit 1 if any.
 import json
 import sys
 
-CONTENTION_MAX = 2.6
+# wall_over_min_sum is structurally ~2.6-2.8 under the r18 protocol
+# even on an idle box (pass-1 cache materialization + post-heavy-query
+# GC + inter-query scheduling are wall, not timed spans), so the wall
+# gate is a coarse backstop; the sharp gate is the TIMED-span
+# indicator (sum of both passes' samples over 2x the min-sum), which
+# only query execution itself can inflate. Idle: ~1.2-1.35 (pass 1
+# carries the cold-cache builds); contention pushes both passes up.
+WALL_MAX = 3.0
+TIMED_MAX = 1.6
 
 
 def load(p):
@@ -25,14 +33,33 @@ def load(p):
         return json.load(f)
 
 
+def timed_indicator(r):
+    """timed_over_min_sum from the artifact, derived from `samples`
+    when the run predates the field."""
+    if "timed_over_min_sum" in r:
+        return r["timed_over_min_sum"]
+    s = r.get("samples", {})
+    tot = sum(r["queries"].values())
+    if not s or tot <= 0:
+        return None
+    timed = sum(v[k] for v in s.values() for k in ("p1", "p2")
+                if v.get(k) is not None)
+    return timed / (2 * tot)
+
+
 def cmd_floor(paths):
     runs = [(p, load(p)) for p in paths]
-    bad = [(p, r.get("wall_over_min_sum"))
-           for p, r in runs
-           if r.get("wall_over_min_sum", 99) > CONTENTION_MAX]
+    bad = []
+    for p, r in runs:
+        w = r.get("wall_over_min_sum", 99)
+        t = timed_indicator(r)
+        if w > WALL_MAX:
+            bad.append((p, f"wall_over_min_sum={w} > {WALL_MAX}"))
+        if t is not None and t > TIMED_MAX:
+            bad.append((p, f"timed_over_min_sum={t:.3f} > {TIMED_MAX}"))
     if bad:
-        for p, w in bad:
-            print(f"REFUSED: {p} wall_over_min_sum={w} > {CONTENTION_MAX} "
+        for p, why in bad:
+            print(f"REFUSED: {p} {why} "
                   "(contended run; re-record on an idle box)",
                   file=sys.stderr)
         sys.exit(2)
@@ -52,13 +79,15 @@ def cmd_floor(paths):
         "value": round(sum(floors.values()), 3),
         "unit": "sec",
         "method": ("per-query min over %d clean full Bench runs "
-                   "(wall_over_min_sum %s; gate %s; interleaved 2-pass "
-                   "min per run, pass 2 reversed); assembled by "
-                   "tools/floors.py" % (
+                   "(wall_over_min_sum %s, timed_over_min_sum %s; "
+                   "gates %s/%s; interleaved 2-pass min per run, "
+                   "pass 2 reversed); assembled by tools/floors.py" % (
                        len(runs),
                        "/".join("%.2f" % r.get("wall_over_min_sum", -1)
                                 for _, r in runs),
-                       CONTENTION_MAX)),
+                       "/".join("%.3f" % (timed_indicator(r) or -1)
+                                for _, r in runs),
+                       WALL_MAX, TIMED_MAX)),
         "queries": {n: round(v, 3) for n, v in floors.items()},
     }
     if missing:
