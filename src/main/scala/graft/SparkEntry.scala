@@ -1014,6 +1014,21 @@ object SparkEntry {
           col("sxx"), col("syy"))
         .orderBy(col("event_type"))),
 
+    // ---- Mann-Whitney U rank-sum test per event type (even- vs
+    //      odd-user spend): tie-averaged DOUBLED ranks over the
+    //      combined sample, 2·U₀ = Σ_{g=0}dr − n₀(n₀+1) exact, plus
+    //      the Σ(t³−t) tie term for the variance — the two-sample
+    //      location companion to q_stats_spearman, same
+    //      rank+aggregate shape (no pair join, no cap)
+    "q_stats_mannwhitney" -> ((s, dir) =>
+      operators.Timeline.mannWhitney(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("event_type"), col("user_id") % 2 === 1,
+          cents(col("value")))
+        .select(col("k").as("event_type"), col("n0"), col("n1"),
+          col("u0_x2"), col("tie_sum"))
+        .orderBy(col("event_type"))),
+
     // ---- Theil-Sen robust slope per user (median of pairwise
     //      slopes over the daily-spend series, first 64 days — the
     //      outlier-tolerant companion to q_ts_trend's OLS): slopes
@@ -7045,6 +7060,37 @@ object SparkEntry {
         |  CAST(n * sxx0 - sx * sx AS DECIMAL(38,0)) AS sxx,
         |  CAST(n * syy0 - sy * sy AS DECIMAL(38,0)) AS syy
         |FROM m ORDER BY 1""".stripMargin,
+
+    // doubled tie-averaged ranks over the combined sample; U and the
+    // tie term release as DECIMAL(38,0) on both engines (Σdr ~ n²)
+    "q_stats_mannwhitney" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, CAST(user_id % 2 AS BIGINT) AS g,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, g,
+        |    CAST(2 * rank() OVER (PARTITION BY k ORDER BY x)
+        |      + count(*) OVER (PARTITION BY k, x) - 1 AS HUGEINT)
+        |      AS dr
+        |  FROM base),
+        |a AS (
+        |  SELECT k,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(g) AS n1,
+        |    sum(CASE WHEN g = 0 THEN dr ELSE 0 END) AS sdr0
+        |  FROM r GROUP BY 1),
+        |t AS (
+        |  SELECT k, sum(CAST(t AS HUGEINT)*t*t - t) AS ts0 FROM (
+        |    SELECT k, x, count(*) AS t FROM base GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT k AS event_type, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1,
+        |  CAST(sdr0 - n0*(n0+1) AS DECIMAL(38,0)) AS u0_x2,
+        |  CAST(ts0 AS DECIMAL(38,0)) AS tie_sum
+        |FROM a JOIN t USING (k)
+        |WHERE n0 >= 1 AND n1 >= 1
+        |ORDER BY 1""".stripMargin,
 
     // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
     // (both truncate toward zero); lower median by position

@@ -735,6 +735,54 @@ object Timeline {
         expr("cast(n * syy0 - sy * sy as decimal(38,0))").as("syy"))
   }
 
+  /** Mann-Whitney U (rank-sum) test per key — the nonparametric
+    * two-sample location test that closes the rank-statistics family
+    * ([[spearman]] correlates two variables, this COMPARES two
+    * samples): within each key, rows split into sample 0 and sample 1
+    * by `grpCol`; ranks are tie-averaged over the COMBINED sample and
+    * DOUBLED so they stay integers (dr = 2·RANK + t − 1), giving
+    *   2·U₀ = Σ_{g=0} dr − n₀·(n₀ + 1)
+    * exactly (U₁ follows from U₀ + U₁ = n₀·n₁). The tie term
+    * Σ(t³ − t) releases alongside for the normal-approximation
+    * variance n₀n₁/12·((n+1) − Στ/(n(n−1))) downstream — one float
+    * op, like ρ in [[spearman]].
+    *
+    * Same shape as [[spearman]]: one partitioned rank window + one
+    * groupBy, no pair join, no cap. u0_x2 releases as DECIMAL(38,0)
+    * (Σdr grows like n², past int64 at ~10⁹ rows/key — the r18
+    * spearman lesson applied from day one). Output
+    * (k, n0, n1, u0_x2, tie_sum), keys with both samples non-empty. */
+  def mannWhitney(df: DataFrame, keyCol: Column, grpCol: Column,
+                  vCol: Column): DataFrame = {
+    val base = df.select(keyCol.as("k"),
+      when(grpCol, 1L).otherwise(0L).as("g"),
+      vCol.cast("long").as("x"))
+    val dr =
+      (lit(2) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col("x"))) +
+        count(lit(1)).over(Window.partitionBy(col("k"), col("x"))) -
+        lit(1)).cast("decimal(38,0)")
+    val agg = base
+      .withColumn("dr", dr)
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("g") === 0, lit(1L)).otherwise(lit(0L))).as("n0"),
+        sum(col("g")).as("n1"),
+        sum(when(col("g") === 0, col("dr"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sdr0"))
+    val ties = base
+      .groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts0"))
+    agg.join(ties, Seq("k"))
+      .filter(col("n0") >= 1 && col("n1") >= 1)
+      .select(col("k"), col("n0"), col("n1"),
+        expr("cast(sdr0 - n0 * (n0 + 1) as decimal(38,0))")
+          .as("u0_x2"),
+        expr("cast(ts0 as decimal(38,0))").as("tie_sum"))
+  }
+
   /** Theil-Sen slope per key — the robust companion to the OLS trend:
     * the MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i) over
     * each key's first `cap` points, which tolerates up to ~29%

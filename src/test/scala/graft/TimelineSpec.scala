@@ -528,6 +528,31 @@ class TimelineSpec extends SparkSpec {
       (3L, 3L, 0L, 18L, 24L)) // tied x: uncorrelated by rank
   }
 
+  test("mannWhitney: hand-computed doubled U and tie terms, " +
+      "decimal release, single-sample keys excluded") {
+    val df = Seq(
+      // k=1: g0={1,2}, g1={3}: dr=2,4,6; 2*U0 = (2+4) - 2*3 = 0
+      (1L, false, 1L), (1L, false, 2L), (1L, true, 3L),
+      // k=2: g0={5}, g1={5,7}: x=5 tied (t=2, dr=3), x=7 dr=6
+      //   2*U0 = 3 - 1*2 = 1 (the tie counts half); ties = 2^3-2 = 6
+      (2L, false, 5L), (2L, true, 5L), (2L, true, 7L),
+      // k=3: only one sample -> excluded
+      (3L, false, 9L), (3L, false, 10L)
+    ).toDF("k", "g", "x")
+    val raw = Timeline.mannWhitney(df.repartition(5), col("k"),
+      col("g"), col("x"))
+    Seq("u0_x2", "tie_sum").foreach { c =>
+      raw.schema(c).dataType shouldBe
+        org.apache.spark.sql.types.DecimalType(38, 0)
+    }
+    val got = raw
+      .select(col("k"), col("n0"), col("n1"),
+        col("u0_x2").cast("long"), col("tie_sum").cast("long"))
+      .orderBy(col("k"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 1L, 0L, 0L), (2L, 1L, 2L, 1L, 6L))
+  }
+
   test("kendallTau: hand-computed S with tie-corrected denominators") {
     val df = Seq(
       // x=[1,2,3,4], y=[1,3,2,4]: one discordant pair -> S=4, d=6
