@@ -1029,6 +1029,19 @@ object SparkEntry {
           col("u0_x2"), col("tie_sum"))
         .orderBy(col("event_type"))),
 
+    // ---- Kruskal-Wallis H moments per event type (spend ranked
+    //      across user_id%3 cohorts): one row per (key, group) with
+    //      the exact doubled rank sum + replicated n/tie term — H is
+    //      pure float downstream; the k-sample member of the rank
+    //      family (spearman = correlation, mannwhitney = 2-sample)
+    "q_stats_kruskal" -> ((s, dir) =>
+      operators.Timeline.kruskalWallis(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          col("event_type"), col("user_id") % 3, cents(col("value")))
+        .select(col("k").as("event_type"), col("g"), col("n_g"),
+          col("rsum_x2"), col("n"), col("tie_sum"))
+        .orderBy(col("event_type"), col("g"))),
+
     // ---- Theil-Sen robust slope per user (median of pairwise
     //      slopes over the daily-spend series, first 64 days — the
     //      outlier-tolerant companion to q_ts_trend's OLS): slopes
@@ -7091,6 +7104,35 @@ object SparkEntry {
         |FROM a JOIN t USING (k)
         |WHERE n0 >= 1 AND n1 >= 1
         |ORDER BY 1""".stripMargin,
+
+    // per-(key, group) doubled rank sums over the combined sample;
+    // DECIMAL(38,0) release, key-level n/tie replicated per row
+    "q_stats_kruskal" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, CAST(user_id % 3 AS BIGINT) AS g,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, g,
+        |    CAST(2 * rank() OVER (PARTITION BY k ORDER BY x)
+        |      + count(*) OVER (PARTITION BY k, x) - 1 AS HUGEINT)
+        |      AS dr
+        |  FROM base),
+        |pg AS (
+        |  SELECT k, g, count(*) AS n_g, sum(dr) AS rsum_x2
+        |  FROM r GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT k, CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t AS HUGEINT)*t*t - t) AS tie_sum FROM (
+        |    SELECT k, x, count(*) AS t FROM base GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ok AS (SELECT k FROM pg GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT pg.k AS event_type, pg.g,
+        |  CAST(pg.n_g AS BIGINT) AS n_g,
+        |  CAST(pg.rsum_x2 AS DECIMAL(38,0)) AS rsum_x2,
+        |  pk.n, CAST(pk.tie_sum AS DECIMAL(38,0)) AS tie_sum
+        |FROM pg JOIN pk USING (k) JOIN ok USING (k)
+        |ORDER BY 1, 2""".stripMargin,
 
     // HUGEINT·2^40 // Δt mirrors the engine's DECIMAL(38,0) div
     // (both truncate toward zero); lower median by position

@@ -783,6 +783,48 @@ object Timeline {
         expr("cast(ts0 as decimal(38,0))").as("tie_sum"))
   }
 
+  /** Kruskal-Wallis H-test moments per key — the k-sample extension
+    * of [[mannWhitney]] (which compares exactly two samples): within
+    * each key, rows carry a group id; ranks are tie-averaged over the
+    * COMBINED sample and doubled (dr = 2·RANK + t − 1), and the test
+    * releases one row per (key, group) with the group's exact doubled
+    * rank sum, plus the key-level n and tie term replicated onto each
+    * row, so
+    *   H = [12/(n(n+1)) · Σ_g (rsum_x2/2)²/n_g − 3(n+1)]
+    *         / (1 − tie_sum/(n³−n))
+    * is pure float arithmetic downstream. Rank + aggregate, no pair
+    * join, no cap; rank sums release as DECIMAL(38,0) (Σdr ~ n²).
+    * Output (k, g, n_g, rsum_x2, n, tie_sum), keys with ≥ 2 groups. */
+  def kruskalWallis(df: DataFrame, keyCol: Column, grpCol: Column,
+                    vCol: Column): DataFrame = {
+    val base = df.select(keyCol.as("k"), grpCol.cast("long").as("g"),
+      vCol.cast("long").as("x"))
+    val dr =
+      (lit(2) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col("x"))) +
+        count(lit(1)).over(Window.partitionBy(col("k"), col("x"))) -
+        lit(1)).cast("decimal(38,0)")
+    val perGroup = base
+      .withColumn("dr", dr)
+      .groupBy(col("k"), col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("dr")).cast("decimal(38,0)").as("rsum_x2"))
+    val perKey = base
+      .groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t")).as("n"),
+        sum(expr("cast(t as decimal(38,0)) * t * t - t"))
+          .cast("decimal(38,0)").as("tie_sum"))
+    val groups = perGroup.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= 2)
+      .select(col("k"))
+    perGroup.join(perKey, Seq("k")).join(groups, Seq("k"), "left_semi")
+      .select(col("k"), col("g"), col("n_g"), col("rsum_x2"),
+        col("n"), col("tie_sum"))
+  }
+
   /** Theil-Sen slope per key — the robust companion to the OLS trend:
     * the MEDIAN of all pairwise slopes (x_j − x_i)/(t_j − t_i) over
     * each key's first `cap` points, which tolerates up to ~29%

@@ -553,6 +553,31 @@ class TimelineSpec extends SparkSpec {
     got shouldBe Seq((1L, 2L, 1L, 0L, 0L), (2L, 1L, 2L, 1L, 6L))
   }
 
+  test("kruskalWallis: hand-computed group rank sums, ties, " +
+      "single-group keys excluded") {
+    val df = Seq(
+      // k=1: g0={1}, g1={2,3}, g2={5}: dr=2,4,6,8
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 5L),
+      // k=2: all tied at 7 (t=3, dr=4): g0 two rows, g1 one
+      (2L, 0L, 7L), (2L, 0L, 7L), (2L, 1L, 7L),
+      // k=3: one group only -> excluded
+      (3L, 0L, 1L), (3L, 0L, 2L)
+    ).toDF("k", "g", "x")
+    val got = Timeline.kruskalWallis(df.repartition(4), col("k"),
+        col("g"), col("x"))
+      .select(col("k"), col("g"), col("n_g"),
+        col("rsum_x2").cast("long"), col("n"),
+        col("tie_sum").cast("long"))
+      .orderBy(col("k"), col("g"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 0L, 1L, 2L, 4L, 0L),
+      (1L, 1L, 2L, 10L, 4L, 0L),
+      (1L, 2L, 1L, 8L, 4L, 0L),
+      (2L, 0L, 2L, 8L, 3L, 24L),
+      (2L, 1L, 1L, 4L, 3L, 24L))
+  }
+
   test("kendallTau: hand-computed S with tie-corrected denominators") {
     val df = Seq(
       // x=[1,2,3,4], y=[1,3,2,4]: one discordant pair -> S=4, d=6
