@@ -1298,6 +1298,35 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    // ---- log-rank (Mantel-Cox) test on the same time-to-conversion
+    //      setup, even- vs odd-user cohorts: per-step floored
+    //      expected/variance terms (two-step integer divisions keep
+    //      every intermediate inside DECIMAL(38,0) at 10^9 subjects),
+    //      z = (o1*1e6 - e1_micro)/sqrt(v_micro*1e6) one float op
+    //      downstream — the censoring-aware q_stats_mannwhitney
+    "q_survival_logrank" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts_us div 86400000000").as("day"))
+      val d0 = base.agg(min(col("day")).as("base"))
+      val win = base.crossJoin(broadcast(d0))
+        .filter(col("day") < col("base") + lit(5L))
+        .select(col("user_id"), col("event_type"),
+          (col("day") - col("base")).as("day"))
+      val life = win.groupBy(col("user_id"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val conv = win.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("c"))
+      val obs = life.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("c").isNotNull, col("c") - col("f"))
+            .otherwise(col("l") - col("f")).as("dur"),
+          when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("observed"),
+          (col("user_id") % 2 === 1).as("grp"))
+      operators.Survival.logRank(obs, col("dur"), col("observed"),
+        col("grp"))
+    }),
+
     // ---- gap-based sessionization (Timeline.sessionize, 1h inactivity)
     "q_sessionize" -> ((s, dir) =>
       operators.Timeline.sessionize(
@@ -7507,6 +7536,60 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM a JOIN f USING (u) GROUP BY 1, 2
         |ORDER BY cohort_period, period_offset""".stripMargin,
+
+    // same duration construction as q_survival_km; per-step floored
+    // expected/variance with the engine's two-step division, all on
+    // HUGEINT -> DECIMAL(38,0)
+    "q_survival_logrank" ->
+      """WITH
+        |d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS base
+        |       FROM events),
+        |win AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 - (SELECT base FROM d0) AS day
+        |  FROM events
+        |  WHERE epoch_us(ts) // 86400000000 < (SELECT base FROM d0) + 5),
+        |life AS (SELECT user_id, min(day) AS f, max(day) AS l
+        |         FROM win GROUP BY user_id),
+        |conv AS (SELECT user_id, min(day) AS c FROM win
+        |         WHERE event_type = 'purchase' GROUP BY user_id),
+        |obs AS (
+        |  SELECT CASE WHEN conv.c IS NOT NULL THEN conv.c - life.f
+        |              ELSE life.l - life.f END AS dur,
+        |         CASE WHEN conv.c IS NOT NULL THEN 1 ELSE 0 END
+        |           AS observed,
+        |         CAST(life.user_id % 2 AS BIGINT) AS g
+        |  FROM life LEFT JOIN conv ON life.user_id = conv.user_id),
+        |steps AS (SELECT dur AS t, count(*) AS n_at,
+        |            sum(g) AS n_at1, sum(observed) AS d,
+        |            sum(observed * g) AS d1
+        |          FROM obs GROUP BY dur),
+        |risk AS (
+        |  SELECT t, d, d1,
+        |    sum(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_risk,
+        |    sum(n_at1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_risk1
+        |  FROM steps),
+        |ds AS (SELECT * FROM risk WHERE d > 0),
+        |tot AS (
+        |  SELECT CAST(sum(1 - g) AS BIGINT) AS n0,
+        |    CAST(sum(g) AS BIGINT) AS n1
+        |  FROM obs)
+        |SELECT tot.n0, tot.n1,
+        |  CAST(sum(d) AS BIGINT) AS d_total,
+        |  CAST(sum(d1) AS BIGINT) AS o1,
+        |  CAST(sum((1000000::HUGEINT * d * n_risk1) // n_risk)
+        |    AS DECIMAL(38,0)) AS e1_micro,
+        |  CAST(sum(CASE WHEN n_risk > 1 THEN
+        |      ((1000000000000::HUGEINT * n_risk1 * (n_risk - n_risk1))
+        |        // (n_risk * n_risk)) * d * (n_risk - d) // (n_risk - 1)
+        |    ELSE 0::HUGEINT END) AS DECIMAL(38,0)) AS v_micro,
+        |  CAST(count(*) AS BIGINT) AS n_steps
+        |FROM ds CROSS JOIN tot
+        |GROUP BY tot.n0, tot.n1""".stripMargin,
 
     "q_survival_km" ->
       """WITH RECURSIVE

@@ -65,4 +65,67 @@ object Survival {
     }
     curve.toSeq.toDF("t", "n_risk", "n_events", "s_micro")
   }
+
+  /** Log-rank (Mantel-Cox) test moments for TWO survival curves —
+    * the censoring-aware sibling of [[graft.operators.Timeline
+    * .mannWhitney]] and the standard "did cohort B churn slower than
+    * cohort A" significance test over [[kaplanMeier]]-shaped data.
+    * At every distinct duration t with pooled events d_t > 0:
+    * n_t = pooled at-risk, n1_t = group-1 at-risk, d1_t = group-1
+    * events; the released moments are
+    *   o1       = Σ d1_t                      (exact long),
+    *   e1_micro = Σ (10⁶·d_t·n1_t) div n_t    (expected, floored
+    *              per step),
+    *   v_micro  = Σ two-step floored variance terms
+    *              a = (10¹²·n1_t·(n_t−n1_t)) div n_t²,
+    *              v = (a·d_t·(n_t−d_t)) div (n_t−1)   [n_t > 1]
+    * so z = (o1·10⁶ − e1_micro)/√(v_micro·10⁶) is one float op
+    * downstream. The two-step division keeps every intermediate
+    * inside DECIMAL(38,0) even at 10⁹ subjects (a single rational
+    * floor would need ~10⁴⁷); both engines replay the same two
+    * floors, so the release is bit-exact.
+    *
+    * Scale shape: one groupBy collapses subjects to the per-duration
+    * step table (pooled + group-1 counts), two descending cumulative
+    * sums over that DURATION-BOUNDED table give both at-risk series,
+    * one aggregate releases the moments — no driver fold at all
+    * (unlike [[kaplanMeier]]'s sequential product). Output is one
+    * row: (n0, n1, d_total, o1, e1_micro, v_micro, n_steps). */
+  def logRank(subjects: DataFrame, durationCol: Column,
+              observedCol: Column, grpCol: Column): DataFrame = {
+    val base = subjects.select(durationCol.cast("long").as("t"),
+      observedCol.cast("long").as("obs"),
+      when(grpCol, 1L).otherwise(0L).as("g"))
+    val steps = base
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col("g")).as("n_at1"),
+        sum(col("obs")).as("d"),
+        sum(col("obs") * col("g")).as("d1"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = steps
+      .withColumn("n_risk", sum(col("n_at")).over(w))
+      .withColumn("n_risk1", sum(col("n_at1")).over(w))
+      .filter(col("d") > 0)
+    val totals = base.agg(
+      sum(lit(1L) - col("g")).as("n0"), sum(col("g")).as("n1"))
+    atRisk
+      .select(col("d"), col("d1"), col("n_risk"), col("n_risk1"))
+      .agg(
+        sum(col("d")).as("d_total"),
+        sum(col("d1")).as("o1"),
+        sum(expr("(cast(1000000 as decimal(38,0)) * d * n_risk1)" +
+          " div n_risk")).cast("decimal(38,0)").as("e1_micro"),
+        sum(when(col("n_risk") > 1, expr(
+          "((cast(1000000000000 as decimal(38,0)) * n_risk1" +
+            " * (n_risk - n_risk1)) div (n_risk * n_risk))" +
+            " * d * (n_risk - d) div (n_risk - 1)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("v_micro"),
+        count(lit(1)).as("n_steps"))
+      .crossJoin(broadcast(totals))
+      .select(col("n0"), col("n1"), col("d_total"), col("o1"),
+        col("e1_micro"), col("v_micro"), col("n_steps"))
+  }
 }

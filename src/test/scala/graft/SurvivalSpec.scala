@@ -50,6 +50,30 @@ class SurvivalSpec extends SparkSpec {
     without.toSeq shouldBe Seq(4L)
   }
 
+  test("logRank: hand-computed moments, n_risk=1 variance guard, " +
+      "decimal releases, partition-stable") {
+    // A: events t=1, censored t=2; B: events t=1 and t=3
+    val df = Seq(
+      (1L, 1L, false), (2L, 0L, false),
+      (1L, 1L, true), (3L, 1L, true)
+    ).toDF("dur", "obs", "g")
+    val raw = Survival.logRank(df.repartition(3), col("dur"),
+      col("obs"), col("g"))
+    Seq("e1_micro", "v_micro").foreach { c =>
+      raw.schema(c).dataType shouldBe
+        org.apache.spark.sql.types.DecimalType(38, 0)
+    }
+    val got = raw.select(col("n0"), col("n1"), col("d_total"),
+        col("o1"), col("e1_micro").cast("long"),
+        col("v_micro").cast("long"), col("n_steps"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // t=1: n=4, n1=2, d=2, d1=1 -> e += (1e6*2*2)//4 = 1e6;
+    //   a = (1e12*2*2)//16 = 2.5e11, v += (a*2*2)//3 = 333333333333
+    // t=3: n=1 (only B's t=3 remains), d=1, d1=1 -> e += 1e6, v += 0
+    got shouldBe Seq((2L, 2L, 3L, 2L, 2000000L, 333333333333L, 2L))
+  }
+
   test("curve is invariant under input partitioning") {
     val df = subjects.toDF("dur", "obs")
     val a = Survival.kaplanMeier(df, col("dur"), col("obs"))
