@@ -53,7 +53,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_pretrain_v2_kept" -> 4,     // stage shard-count prefixes
     "q_quantile_dd" -> 2,          // sketch bucket prefix
     "q_shuffle_order" -> 1,        // shard-count prefix
-    "q_skyline" -> 1)              // per-shard max-y sidecar prefix
+    "q_skyline" -> 1,              // per-shard max-y sidecar prefix
+    "q_survival_logrank" -> 1)     // duration-bounded step-table
+                                   // at-risk cumsum (same frame
+                                   // q_survival_km folds post-collect)
 
   test("EVERY registry query plans zero cartesians and no " +
       "unpartitioned window outside the bounded whitelist") {
