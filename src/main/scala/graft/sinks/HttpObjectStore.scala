@@ -118,6 +118,95 @@ class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
       throw new IOException(s"DELETE $key failed: http_${r.code}")
   }
 
+  /** S3 multipart upload — the large-object path (S3 caps a single
+    * PUT at 5 GB and recommends multipart from 100 MB): initiate
+    * (`POST ?uploads`), upload each part (`PUT ?partNumber=N&
+    * uploadId=…`, collecting the ETag response header), complete
+    * (`POST ?uploadId=…` with the part manifest XML). Each part
+    * retries INDEPENDENTLY under the same bounded-backoff policy —
+    * at 100 TB that is the point: a transient fault re-sends one
+    * bounded part, not the whole object. A failure after the retry
+    * budget aborts the upload (`DELETE ?uploadId=…`, best-effort —
+    * S3 bills abandoned parts) and throws so the task retries the
+    * partition; completion is atomic on the S3 side, so readers see
+    * the whole object or nothing, same as plain put. */
+  def putMultipart(key: String, parts: Iterator[Array[Byte]]): Unit = {
+    val init = callWithRetry("POST", keyUrl(key) + "?uploads", None)
+    if (init.code < 200 || init.code >= 300)
+      throw new IOException(
+        s"multipart initiate $key rejected: http_${init.code}")
+    val uploadId = HttpObjectStore
+      .uploadIdOf(new String(init.body, UTF_8))
+      .getOrElse(throw new IOException(
+        s"multipart initiate $key returned no UploadId"))
+    val etags = Vector.newBuilder[(Int, String)]
+    var n = 0
+    try {
+      parts.foreach { part =>
+        n += 1
+        val r = callWithRetryEtag("PUT",
+          keyUrl(key) + s"?partNumber=$n&uploadId=$uploadId",
+          Some(part))
+        if (r._1.code < 200 || r._1.code >= 300)
+          throw new IOException(
+            s"multipart part $n of $key rejected: http_${r._1.code}")
+        etags += ((n, r._2.getOrElse("")))
+      }
+      val manifest = etags.result().map { case (i, e) =>
+        s"<Part><PartNumber>$i</PartNumber><ETag>$e</ETag></Part>"
+      }.mkString("<CompleteMultipartUpload>", "",
+        "</CompleteMultipartUpload>")
+      val done = callWithRetry("POST",
+        keyUrl(key) + s"?uploadId=$uploadId",
+        Some(manifest.getBytes(UTF_8)))
+      if (done.code < 200 || done.code >= 300)
+        throw new IOException(
+          s"multipart complete $key rejected: http_${done.code}")
+    } catch {
+      case e: Throwable =>
+        try call("DELETE", keyUrl(key) + s"?uploadId=$uploadId", None)
+        catch { case _: IOException => () } // abort is best-effort
+        throw e
+    }
+  }
+
+  /** Like [[callWithRetry]] but also returns the ETag response
+    * header (multipart part uploads need it for the manifest). */
+  private def callWithRetryEtag(method: String, url: String,
+      body: Option[Array[Byte]]): (Response, Option[String]) = {
+    var attempt = 0
+    var lastErr = ""
+    while (attempt < maxAttempts) {
+      try {
+        var conn: HttpURLConnection = null
+        try {
+          conn = URI.create(url).toURL.openConnection()
+            .asInstanceOf[HttpURLConnection]
+          conn.setConnectTimeout(10000)
+          conn.setReadTimeout(30000)
+          conn.setRequestMethod(method)
+          body.foreach { b =>
+            conn.setDoOutput(true)
+            conn.setFixedLengthStreamingMode(b.length)
+            val os = conn.getOutputStream
+            try { os.write(b); os.flush() } finally os.close()
+          }
+          val code = conn.getResponseCode
+          if (code < 500)
+            return (Response(code, Array.emptyByteArray),
+              Option(conn.getHeaderField("ETag")))
+          lastErr = s"http_$code"
+        } finally if (conn != null) conn.disconnect()
+      } catch {
+        case e: IOException => lastErr = s"http_io: ${e.getMessage}"
+      }
+      attempt += 1
+      if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
+    }
+    throw new IOException(
+      s"$method $url failed after $maxAttempts attempts: $lastErr")
+  }
+
   override def list(prefix: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     var token: Option[String] = None
@@ -148,6 +237,10 @@ object HttpObjectStore {
   private val TokenRe =
     "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
   private val TruncRe = "<IsTruncated>true</IsTruncated>".r
+  private val UploadIdRe = "<UploadId>([^<]*)</UploadId>".r
+
+  private[sinks] def uploadIdOf(xml: String): Option[String] =
+    UploadIdRe.findFirstMatchIn(xml).map(m => unescape(m.group(1)))
 
   private def unescape(s: String): String = s
     .replace("&lt;", "<").replace("&gt;", ">")

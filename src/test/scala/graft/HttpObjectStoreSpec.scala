@@ -29,6 +29,11 @@ class HttpObjectStoreSpec extends SparkSpec {
     val failPuts = new AtomicInteger(0)
     val putAttempts = new AtomicInteger(0)
     var permanentPutCode: Option[Int] = None
+    // multipart state: uploadId -> (key, partNumber -> bytes)
+    val uploads = new ConcurrentHashMap[
+      String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
+    val uploadSeq = new AtomicInteger(0)
+    val aborted = new AtomicInteger(0)
 
     private def xmlEscape(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -76,6 +81,43 @@ class HttpObjectStoreSpec extends SparkSpec {
           (ex.getRequestMethod, Option(ex.getRequestURI.getQuery)) match {
             case ("GET", Some(q)) if q.contains("list-type=2") =>
               handleList(ex, q)
+            case ("POST", Some(q)) if q == "uploads" =>
+              val id = s"up-${uploadSeq.incrementAndGet()}"
+              uploads.put(id, (key, new ConcurrentHashMap[Int, Array[Byte]]()))
+              respond(ex, 200, (s"<InitiateMultipartUploadResult>" +
+                s"<UploadId>$id</UploadId>" +
+                "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+            case ("PUT", Some(q)) if q.contains("uploadId=") =>
+              putAttempts.incrementAndGet()
+              if (failPuts.getAndDecrement() > 0)
+                respond(ex, 500, Array.emptyByteArray)
+              else {
+                val params = q.split("&").map(_.split("=", 2))
+                  .map(a => a(0) -> a(1)).toMap
+                val up = uploads.get(params("uploadId"))
+                if (up == null) respond(ex, 404, Array.emptyByteArray)
+                else {
+                  val pn = params("partNumber").toInt
+                  up._2.put(pn, ex.getRequestBody.readAllBytes())
+                  ex.getResponseHeaders.add("ETag", s""""etag-$pn"""")
+                  respond(ex, 200, Array.emptyByteArray)
+                }
+              }
+            case ("POST", Some(q)) if q.startsWith("uploadId=") =>
+              val id = q.stripPrefix("uploadId=")
+              val up = uploads.remove(id)
+              if (up == null) respond(ex, 404, Array.emptyByteArray)
+              else {
+                val bytes = up._2.asScala.toSeq.sortBy(_._1)
+                  .flatMap(_._2).toArray
+                objects.put(up._1, bytes)
+                respond(ex, 200,
+                  "<CompleteMultipartUploadResult/>".getBytes(UTF_8))
+              }
+            case ("DELETE", Some(q)) if q.startsWith("uploadId=") =>
+              if (uploads.remove(q.stripPrefix("uploadId=")) != null)
+                aborted.incrementAndGet()
+              respond(ex, 204, Array.emptyByteArray)
             case ("PUT", _) =>
               putAttempts.incrementAndGet()
               permanentPutCode match {
@@ -188,6 +230,35 @@ class HttpObjectStoreSpec extends SparkSpec {
         .find(_.name == "edits").get.features
       feats.head.tags("density") shouldBe Mvt.MLong(7L)
       store.list("") shouldBe Seq("3/2/1.mvt")
+    } finally s3.stop()
+  }
+
+  test("multipart upload: parts reassemble in order, a transient " +
+      "part fault retries ONLY that part, exhaustion aborts cleanly") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 3,
+        backoffMs = 1)
+      val parts = Seq(
+        Array.tabulate[Byte](100)(_.toByte),
+        Array.tabulate[Byte](50)(i => (i + 100).toByte),
+        Array[Byte](1, 2, 3))
+      s3.failPuts.set(1) // one 500 inside the part stream
+      store.putMultipart("big/object.bin", parts.iterator)
+      store.get("big/object.bin").get.toSeq shouldBe
+        parts.flatten.toSeq
+      // 3 parts + 1 retried = 4 part-PUT attempts
+      s3.putAttempts.get() shouldBe 4
+      s3.uploads.isEmpty shouldBe true // completed, not dangling
+
+      // a part that never succeeds: upload aborted, no object
+      s3.putAttempts.set(0)
+      s3.failPuts.set(99)
+      an[java.io.IOException] should be thrownBy
+        store.putMultipart("big/broken.bin", parts.iterator)
+      s3.aborted.get() shouldBe 1
+      store.get("big/broken.bin") shouldBe None
+      s3.uploads.isEmpty shouldBe true
     } finally s3.stop()
   }
 
