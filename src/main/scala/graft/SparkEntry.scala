@@ -1006,12 +1006,18 @@ object SparkEntry {
     //      doubled ranks released as exact integers — ρ is one √
     //      downstream. No pair join (rank + aggregate), so no cap:
     //      the scalable complement of the capped q_stats_kendall
+    //      The exact moments ride DECIMAL(38,0) internally and RELEASE
+    //      as canonical digit strings — the driver's hash domain is
+    //      int64/double/string only (r18: decimal-on-both-engines
+    //      failed it)
     "q_stats_spearman" -> ((s, dir) =>
       operators.Timeline.spearman(
           Tables.events(s, dir).filter(col("value").isNotNull),
           col("event_type"), cents(col("value")), col("ts_us"))
-        .select(col("k").as("event_type"), col("n"), col("sxy"),
-          col("sxx"), col("syy"))
+        .select(col("k").as("event_type"), col("n"),
+          col("sxy").cast("string").as("sxy"),
+          col("sxx").cast("string").as("sxx"),
+          col("syy").cast("string").as("syy"))
         .orderBy(col("event_type"))),
 
     // ---- Mann-Whitney U rank-sum test per event type (even- vs
@@ -1020,13 +1026,16 @@ object SparkEntry {
     //      the Σ(t³−t) tie term for the variance — the two-sample
     //      location companion to q_stats_spearman, same
     //      rank+aggregate shape (no pair join, no cap)
+    //      Digit-string release of the decimal moments (same driver
+    //      hash-domain rule as q_stats_spearman)
     "q_stats_mannwhitney" -> ((s, dir) =>
       operators.Timeline.mannWhitney(
           Tables.events(s, dir).filter(col("value").isNotNull),
           col("event_type"), col("user_id") % 2 === 1,
           cents(col("value")))
         .select(col("k").as("event_type"), col("n0"), col("n1"),
-          col("u0_x2"), col("tie_sum"))
+          col("u0_x2").cast("string").as("u0_x2"),
+          col("tie_sum").cast("string").as("tie_sum"))
         .orderBy(col("event_type"))),
 
     // ---- Kruskal-Wallis H moments per event type (spend ranked
@@ -1034,12 +1043,15 @@ object SparkEntry {
     //      the exact doubled rank sum + replicated n/tie term — H is
     //      pure float downstream; the k-sample member of the rank
     //      family (spearman = correlation, mannwhitney = 2-sample)
+    //      Digit-string release of the decimal moments (same driver
+    //      hash-domain rule as q_stats_spearman)
     "q_stats_kruskal" -> ((s, dir) =>
       operators.Timeline.kruskalWallis(
           Tables.events(s, dir).filter(col("value").isNotNull),
           col("event_type"), col("user_id") % 3, cents(col("value")))
         .select(col("k").as("event_type"), col("g"), col("n_g"),
-          col("rsum_x2"), col("n"), col("tie_sum"))
+          col("rsum_x2").cast("string").as("rsum_x2"), col("n"),
+          col("tie_sum").cast("string").as("tie_sum"))
         .orderBy(col("event_type"), col("g"))),
 
     // ---- Theil-Sen robust slope per user (median of pairwise
@@ -1325,6 +1337,12 @@ object SparkEntry {
           (col("user_id") % 2 === 1).as("grp"))
       operators.Survival.logRank(obs, col("dur"), col("observed"),
         col("grp"))
+        // digit-string release of the decimal micro-moments (driver
+        // hash domain is int64/double/string — r18 lesson)
+        .select(col("n0"), col("n1"), col("d_total"), col("o1"),
+          col("e1_micro").cast("string").as("e1_micro"),
+          col("v_micro").cast("string").as("v_micro"),
+          col("n_steps"))
     }),
 
     // ---- gap-based sessionization (Timeline.sessionize, 1h inactivity)
@@ -7074,9 +7092,11 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     // doubled tie-averaged ranks (2·RANK + tie − 1) keep the moments
-    // exact integers, RELEASED as DECIMAL(38,0) on both engines:
-    // sxx ~ n^4/3 on doubled ranks leaves int64 past ~7e4 rows/key,
-    // where a BIGINT release would null on Spark but error on DuckDB
+    // exact integers, computed in HUGEINT/DECIMAL and released as
+    // digit strings on both engines: sxx ~ n^4/3 on doubled ranks
+    // leaves int64 past ~7e4 rows/key (a BIGINT release would null on
+    // Spark but error on DuckDB), and a decimal release leaves the
+    // driver's int64/double/string hash domain
     "q_stats_spearman" ->
       """WITH base AS (
         |  SELECT event_type AS k,
@@ -7098,13 +7118,15 @@ object SparkEntry {
         |    sum(dy*dy) AS syy0
         |  FROM r GROUP BY 1 HAVING count(*) >= 2)
         |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy0 - sx * sy AS DECIMAL(38,0)) AS sxy,
-        |  CAST(n * sxx0 - sx * sx AS DECIMAL(38,0)) AS sxx,
-        |  CAST(n * syy0 - sy * sy AS DECIMAL(38,0)) AS syy
+        |  CAST(n * sxy0 - sx * sy AS VARCHAR) AS sxy,
+        |  CAST(n * sxx0 - sx * sx AS VARCHAR) AS sxx,
+        |  CAST(n * syy0 - sy * sy AS VARCHAR) AS syy
         |FROM m ORDER BY 1""".stripMargin,
 
     // doubled tie-averaged ranks over the combined sample; U and the
-    // tie term release as DECIMAL(38,0) on both engines (Σdr ~ n²)
+    // tie term ride HUGEINT/DECIMAL internally and release as digit
+    // strings on both engines (Σdr ~ n² leaves int64; decimal leaves
+    // the driver's hash domain)
     "q_stats_mannwhitney" ->
       """WITH base AS (
         |  SELECT event_type AS k, CAST(user_id % 2 AS BIGINT) AS g,
@@ -7128,14 +7150,15 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT k AS event_type, CAST(n0 AS BIGINT) AS n0,
         |  CAST(n1 AS BIGINT) AS n1,
-        |  CAST(sdr0 - n0*(n0+1) AS DECIMAL(38,0)) AS u0_x2,
-        |  CAST(ts0 AS DECIMAL(38,0)) AS tie_sum
+        |  CAST(sdr0 - n0*(n0+1) AS VARCHAR) AS u0_x2,
+        |  CAST(ts0 AS VARCHAR) AS tie_sum
         |FROM a JOIN t USING (k)
         |WHERE n0 >= 1 AND n1 >= 1
         |ORDER BY 1""".stripMargin,
 
     // per-(key, group) doubled rank sums over the combined sample;
-    // DECIMAL(38,0) release, key-level n/tie replicated per row
+    // digit-string release of the exact moments, key-level n/tie
+    // replicated per row
     "q_stats_kruskal" ->
       """WITH base AS (
         |  SELECT event_type AS k, CAST(user_id % 3 AS BIGINT) AS g,
@@ -7158,8 +7181,8 @@ object SparkEntry {
         |ok AS (SELECT k FROM pg GROUP BY 1 HAVING count(*) >= 2)
         |SELECT pg.k AS event_type, pg.g,
         |  CAST(pg.n_g AS BIGINT) AS n_g,
-        |  CAST(pg.rsum_x2 AS DECIMAL(38,0)) AS rsum_x2,
-        |  pk.n, CAST(pk.tie_sum AS DECIMAL(38,0)) AS tie_sum
+        |  CAST(pg.rsum_x2 AS VARCHAR) AS rsum_x2,
+        |  pk.n, CAST(pk.tie_sum AS VARCHAR) AS tie_sum
         |FROM pg JOIN pk USING (k) JOIN ok USING (k)
         |ORDER BY 1, 2""".stripMargin,
 
@@ -7539,7 +7562,7 @@ object SparkEntry {
 
     // same duration construction as q_survival_km; per-step floored
     // expected/variance with the engine's two-step division, all on
-    // HUGEINT -> DECIMAL(38,0)
+    // HUGEINT internally, digit-string release
     "q_survival_logrank" ->
       """WITH
         |d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS base
@@ -7582,11 +7605,11 @@ object SparkEntry {
         |  CAST(sum(d) AS BIGINT) AS d_total,
         |  CAST(sum(d1) AS BIGINT) AS o1,
         |  CAST(sum((1000000::HUGEINT * d * n_risk1) // n_risk)
-        |    AS DECIMAL(38,0)) AS e1_micro,
+        |    AS VARCHAR) AS e1_micro,
         |  CAST(sum(CASE WHEN n_risk > 1 THEN
         |      ((1000000000000::HUGEINT * n_risk1 * (n_risk - n_risk1))
         |        // (n_risk * n_risk)) * d * (n_risk - d) // (n_risk - 1)
-        |    ELSE 0::HUGEINT END) AS DECIMAL(38,0)) AS v_micro,
+        |    ELSE 0::HUGEINT END) AS VARCHAR) AS v_micro,
         |  CAST(count(*) AS BIGINT) AS n_steps
         |FROM ds CROSS JOIN tot
         |GROUP BY tot.n0, tot.n1""".stripMargin,

@@ -83,7 +83,14 @@ object Survival {
     * downstream. The two-step division keeps every intermediate
     * inside DECIMAL(38,0) even at 10⁹ subjects (a single rational
     * floor would need ~10⁴⁷); both engines replay the same two
-    * floors, so the release is bit-exact.
+    * floors, so the release is bit-exact. The second floor runs in
+    * DECIMAL, not Spark's `div` (which would collapse to BIGINT and
+    * wrap past ~9·10¹⁸ — the per-step v alone reaches ~2.5·10²⁰).
+    *
+    * The e1_micro/v_micro moments are DECIMAL(38,0)-typed here for
+    * exactness; hash-released surfaces must cast them to canonical
+    * digit STRINGS (the driver's value hash only accepts the
+    * int64/double/string domain — round-18 lesson).
     *
     * Scale shape: one groupBy collapses subjects to the per-duration
     * step table (pooled + group-1 counts), two descending cumulative
@@ -112,17 +119,31 @@ object Survival {
       sum(lit(1L) - col("g")).as("n0"), sum(col("g")).as("n1"))
     atRisk
       .select(col("d"), col("d1"), col("n_risk"), col("n_risk1"))
+      // Spark's `div` returns BIGINT even on DECIMAL(38,0) operands, so
+      // the variance chain must re-enter decimal after the first floor:
+      // a ≤ 10¹²/4 fits int64, but a·d·(n_risk−d) ~ 6·10²⁸ and the final
+      // per-step v ~ 2.5·10²⁰ both leave int64 at 10⁹ subjects. The
+      // second floor is the exact decimal identity
+      // (vnum − pmod(vnum, den)) / den — the subtraction makes the
+      // division exact, so the decimal(38,6) quotient carries no
+      // rounding and casts back to decimal(38,0) losslessly, mirroring
+      // DuckDB's HUGEINT `//` end-to-end.
+      .withColumn("va", expr(
+        "(cast(1000000000000 as decimal(38,0)) * n_risk1" +
+          " * (n_risk - n_risk1)) div (n_risk * n_risk)"))
+      .withColumn("vnum",
+        expr("cast(va as decimal(38,0)) * d * (n_risk - d)"))
+      .withColumn("vstep", when(col("n_risk") > 1, expr(
+        "cast((vnum - pmod(vnum, n_risk - 1)) / (n_risk - 1)" +
+          " as decimal(38,0))"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
       .agg(
         sum(col("d")).as("d_total"),
         sum(col("d1")).as("o1"),
-        sum(expr("(cast(1000000 as decimal(38,0)) * d * n_risk1)" +
-          " div n_risk")).cast("decimal(38,0)").as("e1_micro"),
-        sum(when(col("n_risk") > 1, expr(
-          "((cast(1000000000000 as decimal(38,0)) * n_risk1" +
-            " * (n_risk - n_risk1)) div (n_risk * n_risk))" +
-            " * d * (n_risk - d) div (n_risk - 1)"))
-          .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("v_micro"),
+        sum(expr("cast((cast(1000000 as decimal(38,0)) * d * n_risk1)" +
+          " div n_risk as decimal(38,0))"))
+          .cast("decimal(38,0)").as("e1_micro"),
+        sum(col("vstep")).cast("decimal(38,0)").as("v_micro"),
         count(lit(1)).as("n_steps"))
       .crossJoin(broadcast(totals))
       .select(col("n0"), col("n1"), col("d_total"), col("o1"),

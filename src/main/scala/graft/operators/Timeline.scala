@@ -707,18 +707,25 @@ object Timeline {
     * sxx grows like n⁴/3, which leaves int64 past ~7·10⁴ rows per
     * key — a long release would silently null under Spark's
     * non-ANSI cast while the oracle errors, diverging the engines.
-    * 38 digits hold to n ≈ 10⁹ rows per key.
+    * 38 digits hold to n ≈ 10⁹ rows per key. Hash-released surfaces
+    * must cast the decimal moments to canonical digit STRINGS — the
+    * driver's value hash only accepts int64/double/string (round-18
+    * lesson: DECIMAL released on both engines still fails it).
     *
     * Output (k, n, sxy, sxx, syy), keys with ≥ 2 rows. */
   def spearman(df: DataFrame, keyCol: Column, xCol: Column,
                yCol: Column): DataFrame = {
     val base = df.select(keyCol.as("k"), xCol.cast("long").as("x"),
       yCol.cast("long").as("y"))
+    // rank() is IntegerType; widen to long BEFORE doubling so the
+    // engine's headroom matches the docstring (2·rank wraps int32 at
+    // rank ~1.07e9 — exactly the documented n ≈ 10⁹ boundary — while
+    // the DuckDB oracle's rank() is already BIGINT)
     def doubledRank(c: String): Column =
-      (lit(2) * rank().over(Window.partitionBy(col("k"))
-        .orderBy(col(c))) +
+      (lit(2L) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col(c))).cast("long") +
         count(lit(1)).over(Window.partitionBy(col("k"), col(c))) -
-        lit(1)).cast("decimal(38,0)")
+        lit(1L)).cast("decimal(38,0)")
     base
       .withColumn("dx", doubledRank("x"))
       .withColumn("dy", doubledRank("y"))
@@ -757,11 +764,12 @@ object Timeline {
     val base = df.select(keyCol.as("k"),
       when(grpCol, 1L).otherwise(0L).as("g"),
       vCol.cast("long").as("x"))
+    // long BEFORE doubling — same int32-wrap guard as [[spearman]]
     val dr =
-      (lit(2) * rank().over(Window.partitionBy(col("k"))
-        .orderBy(col("x"))) +
+      (lit(2L) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col("x"))).cast("long") +
         count(lit(1)).over(Window.partitionBy(col("k"), col("x"))) -
-        lit(1)).cast("decimal(38,0)")
+        lit(1L)).cast("decimal(38,0)")
     val agg = base
       .withColumn("dr", dr)
       .groupBy(col("k"))
@@ -799,11 +807,12 @@ object Timeline {
                     vCol: Column): DataFrame = {
     val base = df.select(keyCol.as("k"), grpCol.cast("long").as("g"),
       vCol.cast("long").as("x"))
+    // long BEFORE doubling — same int32-wrap guard as [[spearman]]
     val dr =
-      (lit(2) * rank().over(Window.partitionBy(col("k"))
-        .orderBy(col("x"))) +
+      (lit(2L) * rank().over(Window.partitionBy(col("k"))
+        .orderBy(col("x"))).cast("long") +
         count(lit(1)).over(Window.partitionBy(col("k"), col("x"))) -
-        lit(1)).cast("decimal(38,0)")
+        lit(1L)).cast("decimal(38,0)")
     val perGroup = base
       .withColumn("dr", dr)
       .groupBy(col("k"), col("g"))

@@ -74,6 +74,28 @@ class SurvivalSpec extends SparkSpec {
     got shouldBe Seq((2L, 2L, 3L, 2L, 2000000L, 333333333333L, 2L))
   }
 
+  test("logRank: variance chain stays exact past int64 (20k subjects," +
+      " vnum ~ 2.5e19)") {
+    // One step at t=1: n=20000, n1=10000, d=10000, d1=5000.
+    //   a    = (1e12·n1·(n−n1)) div n²  = 2.5e11 (fits int64)
+    //   vnum = a·d·(n−d)                = 2.5e19 (LEAVES int64 —
+    //          the pre-r19 `div` chain wrapped here)
+    //   v    = vnum div (n−1)
+    val rows = (0 until 20000).map { i =>
+      (1L, if (i % 2 == 0) 1L else 0L, i % 4 < 2)
+    }
+    val df = rows.toDF("dur", "obs", "g")
+    val got = Survival.logRank(df.repartition(8), col("dur"),
+        col("obs"), col("g"))
+      .select(col("o1"), col("e1_micro"), col("v_micro"))
+      .collect().head
+    val vExact = BigInt("25000000000000000000") / BigInt(19999)
+    got.getLong(0) shouldBe 5000L
+    got.getDecimal(1).toBigInteger shouldBe
+      BigInt(5000000000L).bigInteger
+    got.getDecimal(2).toBigInteger shouldBe vExact.bigInteger
+  }
+
   test("curve is invariant under input partitioning") {
     val df = subjects.toDF("dur", "obs")
     val a = Survival.kaplanMeier(df, col("dur"), col("obs"))

@@ -82,6 +82,23 @@ def main():
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
+        # The driver's value hash only accepts the int64/double/string
+        # release domain (round-18 lesson: DECIMAL(38,0) released on BOTH
+        # engines — rows and schema matching — still failed the driver's
+        # hash on exactly those four queries). A DECIMAL or HUGEINT column
+        # in EITHER released schema is a gate failure even when values
+        # agree; exact big-integer moments must release as canonical digit
+        # strings instead.
+        banned = [
+            (c, side, t)
+            for side, types in (("spark", got_types), ("oracle", exp_types))
+            for c, t in zip(got_cols if side == "spark" else exp_cols, types)
+            if re.search(r"\b(DECIMAL|HUGEINT|UHUGEINT)\b", t)]
+        if banned:
+            print(f"FAIL {name}: released type outside the driver-safe "
+                  f"int64/double/string domain: {banned}")
+            n_fail += 1
+            continue
         # The driver's hash is TYPE-sensitive (round-3 lesson: DuckDB
         # HUGEINT vs Spark BIGINT fails it with identical values), so the
         # local gate must be at least as strict: compare DuckDB-inferred
