@@ -22,6 +22,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    through `NextContinuationToken` pages so a million-tile prefix
   *    lists completely (S3 caps each page at 1000 keys).
   *
+  * With [[SigV4.Credentials]] supplied, every request carries
+  * `x-amz-date`, `x-amz-content-sha256` and a SigV4 `Authorization`
+  * header — the same authentication the reference delegates to the
+  * AWS SDK — so the store works against real S3/MinIO endpoints;
+  * without credentials it stays the unsigned mini-S3 dialect.
+  *
   * Transient faults (5xx, connect/read IO) retry with bounded
   * exponential backoff, same policy as
   * [[graft.streaming.HttpSequenceFetcher]]; a PUT that exhausts its
@@ -37,9 +43,45 @@ import java.nio.charset.StandardCharsets.UTF_8
   * concurrency via [[TileSink]]'s upload pool).
   */
 class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
-                      backoffMs: Long = 50L) extends ObjectStore {
+                      backoffMs: Long = 50L,
+                      credentials: Option[SigV4.Credentials] = None,
+                      amzDateSupplier: () => String = SigV4.nowAmzDate)
+    extends ObjectStore {
   require(maxAttempts >= 1, s"need maxAttempts >= 1, got $maxAttempts")
   private val base = baseUrl.stripSuffix("/")
+
+  /** SigV4 headers for one request (empty when unsigned): x-amz-date,
+    * x-amz-content-sha256 (hex sha256 of the body — the S3
+    * single-chunk dialect), and the Authorization header over
+    * host + those two. The host value mirrors what HttpURLConnection
+    * puts on the wire (port included when explicit). */
+  private def signedHeaders(method: String, url: String,
+      body: Option[Array[Byte]]): Seq[(String, String)] =
+    credentials match {
+      case None => Nil
+      case Some(creds) =>
+        val uri = URI.create(url)
+        val host =
+          if (uri.getPort == -1) uri.getHost
+          else s"${uri.getHost}:${uri.getPort}"
+        val payloadHash = body.map(SigV4.sha256Hex)
+          .getOrElse(SigV4.EmptyPayloadHash)
+        val amzDate = amzDateSupplier()
+        val token = creds.sessionToken
+          .map("x-amz-security-token" -> _).toSeq
+        val toSign = Seq(
+          "host" -> host,
+          "x-amz-content-sha256" -> payloadHash,
+          "x-amz-date" -> amzDate) ++ token
+        val auth = SigV4.authorization(method,
+          Option(uri.getRawPath).getOrElse(""),
+          Option(uri.getRawQuery).getOrElse(""),
+          toSign, payloadHash, creds, amzDate)
+        Seq(
+          "x-amz-content-sha256" -> payloadHash,
+          "x-amz-date" -> amzDate) ++ token ++ Seq(
+          "Authorization" -> auth)
+    }
 
   /** Key → URL path: segments percent-encoded individually so the
     * `/`-separated S3 key structure survives (URLEncoder alone would
@@ -60,6 +102,9 @@ class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(30000)
       conn.setRequestMethod(method)
+      signedHeaders(method, url, body).foreach { case (k, v) =>
+        conn.setRequestProperty(k, v)
+      }
       body.foreach { b =>
         conn.setDoOutput(true)
         conn.setFixedLengthStreamingMode(b.length)
@@ -150,18 +195,44 @@ class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
         if (r._1.code < 200 || r._1.code >= 300)
           throw new IOException(
             s"multipart part $n of $key rejected: http_${r._1.code}")
-        etags += ((n, r._2.getOrElse("")))
+        // a part response without an ETag can only fail later, as an
+        // opaque InvalidPart at complete time — fail fast and named
+        etags += ((n, r._2.getOrElse(throw new IOException(
+          s"multipart part $n of $key returned no ETag"))))
       }
       val manifest = etags.result().map { case (i, e) =>
         s"<Part><PartNumber>$i</PartNumber><ETag>$e</ETag></Part>"
       }.mkString("<CompleteMultipartUpload>", "",
         "</CompleteMultipartUpload>")
-      val done = callWithRetry("POST",
-        keyUrl(key) + s"?uploadId=$uploadId",
-        Some(manifest.getBytes(UTF_8)))
-      if (done.code < 200 || done.code >= 300)
-        throw new IOException(
-          s"multipart complete $key rejected: http_${done.code}")
+      // S3's slow-complete path can return HTTP 200 with an <Error>
+      // document in the BODY (e.g. InternalError) — a 2xx status alone
+      // does not mean the object committed. Require the
+      // CompleteMultipartUploadResult document; an in-body error is
+      // retryable (AWS documents retrying the complete call itself).
+      var attempt = 0
+      var done = false
+      var lastErr = ""
+      while (!done && attempt < maxAttempts) {
+        val r = callWithRetry("POST",
+          keyUrl(key) + s"?uploadId=$uploadId",
+          Some(manifest.getBytes(UTF_8)))
+        if (r.code < 200 || r.code >= 300)
+          throw new IOException(
+            s"multipart complete $key rejected: http_${r.code}")
+        val bodyText = new String(r.body, UTF_8)
+        if (bodyText.contains("<CompleteMultipartUploadResult"))
+          done = true
+        else {
+          lastErr = bodyText.linesIterator.take(1).mkString.take(200)
+          attempt += 1
+          if (attempt < maxAttempts)
+            Thread.sleep(backoffMs << (attempt - 1))
+        }
+      }
+      if (!done)
+        throw new IOException(s"multipart complete $key returned 2xx " +
+          s"without CompleteMultipartUploadResult after $maxAttempts " +
+          s"attempts: $lastErr")
     } catch {
       case e: Throwable =>
         try call("DELETE", keyUrl(key) + s"?uploadId=$uploadId", None)
@@ -185,6 +256,9 @@ class HttpObjectStore(baseUrl: String, maxAttempts: Int = 3,
           conn.setConnectTimeout(10000)
           conn.setReadTimeout(30000)
           conn.setRequestMethod(method)
+          signedHeaders(method, url, body).foreach { case (k, v) =>
+            conn.setRequestProperty(k, v)
+          }
           body.foreach { b =>
             conn.setDoOutput(true)
             conn.setFixedLengthStreamingMode(b.length)

@@ -34,6 +34,15 @@ class HttpObjectStoreSpec extends SparkSpec {
       String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
     val uploadSeq = new AtomicInteger(0)
     val aborted = new AtomicInteger(0)
+    // inject N complete responses that are HTTP 200 but carry an
+    // <Error> document (S3's slow-complete InternalError shape)
+    val failCompletes = new AtomicInteger(0)
+    val completeAttempts = new AtomicInteger(0)
+    @volatile var omitEtag = false
+    // last request as seen ON THE WIRE: (method, rawPath, rawQuery,
+    // lowercased headers) — for server-side SigV4 re-derivation
+    @volatile var lastRequest
+        : Option[(String, String, String, Map[String, String])] = None
 
     private def xmlEscape(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -76,6 +85,13 @@ class HttpObjectStoreSpec extends SparkSpec {
       val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
       s.createContext("/", (ex: HttpExchange) => {
         try {
+          lastRequest = Some((
+            ex.getRequestMethod,
+            ex.getRequestURI.getRawPath,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""),
+            ex.getRequestHeaders.asScala.map { case (k, vs) =>
+              k.toLowerCase -> vs.asScala.mkString(",")
+            }.toMap))
           val key = ex.getRequestURI.getPath.stripPrefix("/bucket")
             .stripPrefix("/")
           (ex.getRequestMethod, Option(ex.getRequestURI.getQuery)) match {
@@ -99,20 +115,29 @@ class HttpObjectStoreSpec extends SparkSpec {
                 else {
                   val pn = params("partNumber").toInt
                   up._2.put(pn, ex.getRequestBody.readAllBytes())
-                  ex.getResponseHeaders.add("ETag", s""""etag-$pn"""")
+                  if (!omitEtag)
+                    ex.getResponseHeaders.add("ETag", s""""etag-$pn"""")
                   respond(ex, 200, Array.emptyByteArray)
                 }
               }
             case ("POST", Some(q)) if q.startsWith("uploadId=") =>
-              val id = q.stripPrefix("uploadId=")
-              val up = uploads.remove(id)
-              if (up == null) respond(ex, 404, Array.emptyByteArray)
+              completeAttempts.incrementAndGet()
+              if (failCompletes.getAndDecrement() > 0)
+                // S3's slow-complete failure: HTTP 200, <Error> body
+                respond(ex, 200, ("<Error><Code>InternalError</Code>" +
+                  "<Message>We encountered an internal error." +
+                  "</Message></Error>").getBytes(UTF_8))
               else {
-                val bytes = up._2.asScala.toSeq.sortBy(_._1)
-                  .flatMap(_._2).toArray
-                objects.put(up._1, bytes)
-                respond(ex, 200,
-                  "<CompleteMultipartUploadResult/>".getBytes(UTF_8))
+                val id = q.stripPrefix("uploadId=")
+                val up = uploads.remove(id)
+                if (up == null) respond(ex, 404, Array.emptyByteArray)
+                else {
+                  val bytes = up._2.asScala.toSeq.sortBy(_._1)
+                    .flatMap(_._2).toArray
+                  objects.put(up._1, bytes)
+                  respond(ex, 200,
+                    "<CompleteMultipartUploadResult/>".getBytes(UTF_8))
+                }
               }
             case ("DELETE", Some(q)) if q.startsWith("uploadId=") =>
               if (uploads.remove(q.stripPrefix("uploadId=")) != null)
@@ -259,6 +284,114 @@ class HttpObjectStoreSpec extends SparkSpec {
       s3.aborted.get() shouldBe 1
       store.get("big/broken.bin") shouldBe None
       s3.uploads.isEmpty shouldBe true
+    } finally s3.stop()
+  }
+
+  test("multipart complete: a 200-with-<Error> body retries the " +
+      "complete call, then commits (slow-complete InternalError)") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 3,
+        backoffMs = 1)
+      val parts = Seq(Array[Byte](1, 2), Array[Byte](3))
+      s3.failCompletes.set(1)
+      store.putMultipart("slow/complete.bin", parts.iterator)
+      s3.completeAttempts.get() shouldBe 2
+      store.get("slow/complete.bin").get.toSeq shouldBe
+        Seq[Byte](1, 2, 3)
+
+      // a complete that NEVER yields the Result document: budget
+      // exhausted, upload aborted, no phantom "committed" object
+      s3.completeAttempts.set(0)
+      s3.failCompletes.set(99)
+      val e = the[java.io.IOException] thrownBy
+        store.putMultipart("slow/never.bin", parts.iterator)
+      e.getMessage should include("CompleteMultipartUploadResult")
+      s3.completeAttempts.get() shouldBe 3
+      store.get("slow/never.bin") shouldBe None
+    } finally s3.stop()
+  }
+
+  test("multipart part without an ETag fails fast with the part " +
+      "number, not an opaque complete-time InvalidPart") {
+    val s3 = new MiniS3()
+    try {
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1)
+      s3.omitEtag = true
+      val e = the[java.io.IOException] thrownBy
+        store.putMultipart("noetag.bin",
+          Iterator(Array[Byte](1), Array[Byte](2)))
+      e.getMessage should include("part 1")
+      e.getMessage should include("no ETag")
+      s3.uploads.isEmpty shouldBe true // aborted
+    } finally s3.stop()
+  }
+
+  test("SigV4-signed requests round-trip: the wire Authorization " +
+      "re-derives server-side from the raw request for PUT/GET/LIST " +
+      "and multipart; unsigned store sends none") {
+    import graft.sinks.SigV4
+    val s3 = new MiniS3(pageSize = 2)
+    try {
+      val creds = SigV4.Credentials("AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", "us-east-1")
+      val store = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1, credentials = Some(creds),
+        amzDateSupplier = () => "20150830T123600Z")
+
+      // re-derive the signature from what the SERVER saw on the wire
+      // (raw path/query/headers), exactly as real S3 validates it
+      def wireAuthMatches(): Unit = {
+        val (method, rawPath, rawQuery, hdrs) = s3.lastRequest.get
+        val expected = SigV4.authorization(method, rawPath, rawQuery,
+          Seq("host" -> hdrs("host"),
+            "x-amz-content-sha256" -> hdrs("x-amz-content-sha256"),
+            "x-amz-date" -> hdrs("x-amz-date")),
+          hdrs("x-amz-content-sha256"), creds, hdrs("x-amz-date"))
+        hdrs("authorization") shouldBe expected
+      }
+
+      val body = "signed body".getBytes(UTF_8)
+      store.put("tiles/10/1 2/a.mvt", body) // space + slashes in key
+      s3.lastRequest.get._4("x-amz-content-sha256") shouldBe
+        SigV4.sha256Hex(body)
+      wireAuthMatches()
+
+      store.get("tiles/10/1 2/a.mvt").get.toSeq shouldBe body.toSeq
+      wireAuthMatches()
+
+      store.put("tiles/x", Array[Byte](1))
+      store.list("tiles/") should have size 2
+      wireAuthMatches() // last LIST page (continuation-token page)
+
+      store.putMultipart("tiles/big.bin",
+        Iterator(Array[Byte](1, 2), Array[Byte](3)))
+      wireAuthMatches() // the complete POST
+      store.delete("tiles/x")
+      wireAuthMatches()
+
+      // STS temporary credentials: x-amz-security-token rides signed
+      val stsCreds = creds.copy(sessionToken = Some("tok/EXAMPLE=="))
+      val stsStore = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1, credentials = Some(stsCreds),
+        amzDateSupplier = () => "20150830T123600Z")
+      stsStore.put("sts/obj", body)
+      val (m, p, q, hdrs) = s3.lastRequest.get
+      hdrs("x-amz-security-token") shouldBe "tok/EXAMPLE=="
+      hdrs("authorization") should include("x-amz-security-token")
+      val expectedSts = SigV4.authorization(m, p, q,
+        Seq("host" -> hdrs("host"),
+          "x-amz-content-sha256" -> hdrs("x-amz-content-sha256"),
+          "x-amz-date" -> hdrs("x-amz-date"),
+          "x-amz-security-token" -> hdrs("x-amz-security-token")),
+        hdrs("x-amz-content-sha256"), stsCreds, hdrs("x-amz-date"))
+      hdrs("authorization") shouldBe expectedSts
+
+      val unsigned = new HttpObjectStore(s3.baseUrl, maxAttempts = 2,
+        backoffMs = 1)
+      unsigned.put("plain", body)
+      s3.lastRequest.get._4.contains("authorization") shouldBe false
     } finally s3.stop()
   }
 
