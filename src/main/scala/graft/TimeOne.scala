@@ -13,9 +13,26 @@ import org.apache.spark.sql.SparkSession
   * worktree A/B proved zero code delta). Adjudicate floor breaches
   * bench-vs-bench; use TimeOne to compare candidate A vs candidate B
   * in the same session.
-  * Usage: runMain graft.TimeOne q_name [q_name2 ...] */
+  *
+  * `--cold` clears the plan-keyed [[plans.ResultCache]] before EVERY
+  * timed run, so each sample pays its query's shared-preprocessing
+  * build itself — the cache-state probe behind the round-19
+  * bimodality audit (a floor recorded from warm-cache samples is only
+  * reproducible when the cache is warm; cold mode measures the other
+  * mode of the distribution). `--json PATH` additionally writes
+  * `{"mode":…,"sf":…,"queries":{name: min}}` for mechanical
+  * consumption (DEVNOTES tables, floors audits).
+  *
+  * Usage: runMain graft.TimeOne [--cold] [--json out.json] q_name ...
+  */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    val cold = args.contains("--cold")
+    val jsonIdx = args.indexOf("--json")
+    val jsonPath = if (jsonIdx >= 0) Some(args(jsonIdx + 1)) else None
+    val names = args.zipWithIndex.filterNot { case (a, i) =>
+      a == "--cold" || a == "--json" || (jsonIdx >= 0 && i == jsonIdx + 1)
+    }.map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,15 +45,27 @@ object TimeOne {
       df => plans.ResultCache.withCache(df.sparkSession, df)
     apps.PretrainDataPipeline.preMaterializer =
       df => plans.ResultCache.withCache(df.sparkSession, df)
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
     SparkEntry.queries("q1_agg")(spark, dir).count() // warmup
-    args.foreach { name =>
+    val mins = names.map { name =>
       val times = (1 to 3).map { _ =>
+        if (cold) plans.ResultCache.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name: min ${times.min}%.2f s  runs ${times.map(t => f"$t%.2f").mkString(",")}")
+      println(f"$name: min ${times.min}%.2f s  runs ${times.map(t => f"$t%.2f").mkString(",")}" +
+        (if (cold) "  [cold cache]" else ""))
+      name -> times.min
+    }
+    jsonPath.foreach { p =>
+      def f3(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val qs = mins.map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        s"""{"mode":"${if (cold) "cold" else "warm"}","sf":"$dir","queries":$qs}""")
     }
     spark.stop()
   }
