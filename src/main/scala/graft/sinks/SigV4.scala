@@ -142,6 +142,54 @@ object SigV4 {
       s"SignedHeaders=$signedHdrs, Signature=$sig"
   }
 
+  /** Presigned URL (SigV4 query-string auth): the time-boxed
+    * capability link for handing a single object to a client with no
+    * credentials — how a tile rendered by [[Mvt]] gets served to a
+    * browser without proxying bytes. The auth parameters ride as
+    * `X-Amz-*` query params, the payload is `UNSIGNED-PAYLOAD`, and
+    * only `host` is signed (the AWS S3 query-auth dialect; a session
+    * token joins the SIGNED query as `X-Amz-Security-Token`).
+    * Deterministic: the emitted query is the canonical sort with
+    * `X-Amz-Signature` appended last.
+    *
+    * @param url     absolute object URL, path percent-encoded as it
+    *                will be requested (existing query params, if any,
+    *                are signed too)
+    * @param expires validity window in seconds (S3 caps at 604800)
+    */
+  def presignedUrl(method: String, url: String, creds: Credentials,
+                   amzDate: String, expires: Long): String = {
+    val uri = java.net.URI.create(url)
+    val host =
+      if (uri.getPort == -1) uri.getHost
+      else s"${uri.getHost}:${uri.getPort}"
+    val date = amzDate.take(8)
+    val scope = s"$date/${creds.region}/${creds.service}/aws4_request"
+    val authParams = Seq(
+      "X-Amz-Algorithm" -> "AWS4-HMAC-SHA256",
+      "X-Amz-Credential" -> s"${creds.accessKeyId}/$scope",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Expires" -> expires.toString,
+      "X-Amz-SignedHeaders" -> "host") ++
+      creds.sessionToken.map("X-Amz-Security-Token" -> _)
+    val rawQuery = (Option(uri.getRawQuery).toSeq ++
+      authParams.map { case (k, v) => s"$k=${rfc3986(v)}" })
+      .mkString("&")
+    val canonQuery = canonicalQuery(rawQuery)
+    val path =
+      if (uri.getRawPath == null || uri.getRawPath.isEmpty) "/"
+      else uri.getRawPath
+    val canonicalRequest = Seq(method, path, canonQuery,
+      s"host:$host\n", "host", "UNSIGNED-PAYLOAD").mkString("\n")
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes(UTF_8))).mkString("\n")
+    val sig = hex(hmac(
+      signingKey(creds.secretAccessKey, date, creds.region,
+        creds.service),
+      stringToSign))
+    s"${uri.getScheme}://$host$path?$canonQuery&X-Amz-Signature=$sig"
+  }
+
   /** Current UTC timestamp in the SigV4 basic format — the default
     * date supplier for [[HttpObjectStore]]; tests inject a fixed one
     * for deterministic vectors. */

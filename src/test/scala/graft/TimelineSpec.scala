@@ -528,6 +528,28 @@ class TimelineSpec extends SparkSpec {
       (3L, 3L, 0L, 18L, 24L)) // tied x: uncorrelated by rank
   }
 
+  test("spearman: moments stay exact past int64 (100k rows," +
+      " sxx ~ 3.3e19) — the long-rank widening holds") {
+    // y = x, all distinct: dr_i = 2i, so
+    // sxx = syy = sxy = n·Σ(2i)² − (Σ2i)² = n²(n²−1)/3 — for
+    // n = 1e5 that is ≈ 3.3e19, past int64; the pre-r19 2·rank in
+    // IntegerType was fine here, but the decimal ride from the
+    // doubled rank on is what keeps this exact
+    val n = 100000
+    val df = (1 to n).map(i => (1L, i.toLong, i.toLong))
+      .toDF("k", "x", "y")
+    val got = Timeline.spearman(df.repartition(8), col("k"),
+        col("x"), col("y"))
+      .select(col("n"), col("sxy"), col("sxx"), col("syy"))
+      .collect().head
+    val nn = BigInt(n)
+    val expected = (nn * nn * (nn * nn - 1) / 3).bigInteger
+    got.getLong(0) shouldBe n.toLong
+    got.getDecimal(1).toBigInteger shouldBe expected
+    got.getDecimal(2).toBigInteger shouldBe expected
+    got.getDecimal(3).toBigInteger shouldBe expected
+  }
+
   test("mannWhitney: hand-computed doubled U and tie terms, " +
       "decimal release, single-sample keys excluded") {
     val df = Seq(
