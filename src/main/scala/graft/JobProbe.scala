@@ -1,0 +1,94 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job breakdown of ONE registry query's warm run — the
+  * micro-profiler behind the round-19 "where do the seconds of an
+  * iterative operator actually go" question that per-query totals
+  * (TimeOne) cannot answer. Runs the query once to warm every cache,
+  * then once instrumented: prints each Spark job of the warm run with
+  * its wall time, stage count, task count, and the driver-side GAP
+  * since the previous job ended (planning/optimizer/codegen time —
+  * invisible to task metrics, dominant for big iterative plans).
+  *
+  * Usage: runMain graft.JobProbe q_name [q_name ...]
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    operators.Graph.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    operators.Dedup.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    apps.PretrainDataPipeline.preMaterializer =
+      df => plans.ResultCache.withCache(df.sparkSession, df)
+    SparkEntry.queries("q1_agg")(spark, dir).count() // session warmup
+
+    final case class Job(start: Long, site: String, var end: Long = 0L,
+                         var stages: Int = 0, var tasks: Int = 0)
+    val jobs = new ConcurrentHashMap[Int, Job]()
+    val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("?")
+        jobs.put(js.jobId, Job(js.time, site)); order.add(js.jobId)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val j = jobs.get(je.jobId); if (j != null) j.end = je.time
+      }
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        // attribute to the most recent unfinished job (local mode,
+        // sequential jobs — good enough for a breakdown)
+        val it = order.iterator()
+        var last: Job = null
+        while (it.hasNext) {
+          val j = jobs.get(it.next())
+          if (j != null && j.end == 0L) last = j
+        }
+        if (last != null) {
+          last.stages += 1
+          last.tasks += sc.stageInfo.numTasks
+        }
+      }
+    }
+    args.foreach { name =>
+      SparkEntry.queries(name)(spark, dir).count() // warm run 1
+      jobs.clear(); order.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(300) // drain listener bus
+      println(f"==== $name warm total $total%.2f s ====")
+      var prevEnd = 0L
+      var sumJob = 0.0; var sumGap = 0.0
+      val it = order.iterator()
+      while (it.hasNext) {
+        val id = it.next(); val j = jobs.get(id)
+        val dur = (j.end - j.start) / 1e3
+        val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
+        sumJob += dur; if (gap > 0) sumGap += gap
+        println(f"  job $id%4d  ${dur}%7.3f s  gap ${gap}%7.3f s  " +
+          f"stages ${j.stages}%3d  tasks ${j.tasks}%5d  ${j.site}")
+        prevEnd = j.end
+      }
+      println(f"  [sum] jobs ${sumJob}%.3f s  inter-job gaps ${sumGap}%.3f s" +
+        f"  unattributed ${total - sumJob - sumGap}%.3f s")
+    }
+    spark.stop()
+  }
+}

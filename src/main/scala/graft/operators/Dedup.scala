@@ -679,6 +679,13 @@ object Dedup {
       .filter(col("inter_hi").cast(DoubleType) /
         least(col("sza"), col("szb")) >= threshold)
       .select(col("ia"), col("ib"))
+    // Both directions emitted in ONE pass via explode: the old
+    // unionByName over two filters of `verified` re-executed the
+    // whole candidate+prune+verify pipeline once per branch (the
+    // union's branches are separate lineages; only the persisted
+    // shingle frame was shared). One generate per verified pair,
+    // nulls (below-threshold directions) compacted away — identical
+    // rows, half the heavy work.
     val verified = pruned
       .join(sh.select(col("doc_id").as("ia"), col("sh").as("sa")), Seq("ia"))
       .join(sh.select(col("doc_id").as("ib"), col("sh").as("sb")), Seq("ib"))
@@ -687,12 +694,16 @@ object Dedup {
         col("inter").cast(DoubleType) / size(col("sa")))
       .withColumn("c_ba",
         col("inter").cast(DoubleType) / size(col("sb")))
-    verified.filter(col("c_ab") >= threshold)
-      .select(col("ia").as("src"), col("ib").as("dst"),
-        col("c_ab").as("containment"))
-      .unionByName(verified.filter(col("c_ba") >= threshold)
-        .select(col("ib").as("src"), col("ia").as("dst"),
-          col("c_ba").as("containment")))
+    verified.select(explode(array(
+        when(col("c_ab") >= threshold,
+          struct(col("ia").as("src"), col("ib").as("dst"),
+            col("c_ab").as("containment"))),
+        when(col("c_ba") >= threshold,
+          struct(col("ib").as("src"), col("ia").as("dst"),
+            col("c_ba").as("containment"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.containment").as("containment"))
   }
 
   // ------------------------------------------------- cluster collapse

@@ -74,13 +74,19 @@ object Graph {
                rounds: Int = 3, scale: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L,
                danglingRedistribute: Boolean = false): DataFrame = {
+    // e and outdeg are consumed by every round's contrib join —
+    // materialize once (guide-§2.4: the per-round base re-scan +
+    // re-shuffle disappears; at 100 TB this is the difference between
+    // one fold of the edge table and `rounds` folds)
     val e = edges.select(srcCol.cast("string").as("src"),
-      dstCol.cast("string").as("dst"))
+        dstCol.cast("string").as("dst"))
+      .transform(preMat)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .transform(preMat)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .transform(preMat)
     val base = scale * (dampDen - dampNum) / dampDen
     // node count only feeds the dangling split; a single-row frame
     // broadcast back in — never collect()ed to the driver
@@ -395,9 +401,15 @@ object Graph {
       .transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .transform(roundMat)
     var r = 0
     while (r < rounds) {
+      // labels is referenced exactly ONCE per round (the gather
+      // join), so intermediate rounds stay LAZY over the materialized
+      // sym — a linear plan with the same per-round exchanges but one
+      // job instead of `rounds` eager checkpoint jobs. Only the FINAL
+      // label table is cut: downstream consumers (modularity's two
+      // label joins, louvainMove's three) re-read a materialized
+      // frame instead of re-running the whole propagation per branch.
       labels = sym
         .join(labels.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), col("lbl"))
@@ -406,10 +418,9 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .transform(roundMat)
       r += 1
     }
-    labels
+    roundMat(labels)
   }
 
   /** Fixed-round weighted single-source shortest paths — synchronous
@@ -496,12 +507,15 @@ object Graph {
       .groupBy(col("u"), col("c")).agg(count(lit(1)).as("kic"))
       .withColumnRenamed("u", "node")
     // the node's own community is always a candidate, even with zero
-    // neighbors inside it (kic = 0); distinct() collapses the dup
-    // when the current community also appears among neighbors
-    val candExtra = lab.select(col("node"), col("lbl").as("c"))
-      .join(kic, Seq("node", "c"), "left")
-      .na.fill(0L, Seq("kic"))
-    val cand = kic.unionByName(candExtra).distinct()
+    // neighbors inside it — appended as a kic = 0 row WITHOUT the
+    // old left-join + distinct: when the current community also
+    // appears in kic, its true-kic row scores >= the 0-row (the score
+    // is monotone in kic — coefficient 4·m >= 0 — and both rows tie
+    // on the −c tie-break), so the argmax is unchanged and two
+    // exchanges per move round disappear
+    val cand = kic.unionByName(
+      lab.select(col("node"), col("lbl").as("c"))
+        .withColumn("kic", lit(0L)))
     // left-join degrees with a zero fill: a labeled node with no edge
     // in `edges` still has its own community as a candidate (kic = 0,
     // k = 0 → every score is 0, so it keeps its current label); an
@@ -799,15 +813,18 @@ object Graph {
   def pageRankW(edges: DataFrame, srcCol: Column, dstCol: Column,
                 wCol: Column, rounds: Int = 3, scale: Long = 1000000L,
                 dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    // e and outw feed every round — materialize once (see pageRank)
     val e = edges.select(srcCol.cast("string").as("src"),
         dstCol.cast("string").as("dst"), wCol.cast("long").as("w"))
       .filter(col("w").isNotNull && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .transform(preMat)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .transform(preMat)
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .transform(preMat)
     val base = scale * (dampDen - dampNum) / dampDen
     var pr = nodes.withColumn("pr", lit(scale))
     var r = 0
@@ -845,8 +862,14 @@ object Graph {
       dstCol: Column, seeds: DataFrame, rounds: Int = 3,
       scale: Long = 1000000L, dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame = {
+    // The edge list and out-degree table are read by EVERY round
+    // (contrib join + split divisor) — materialize each ONCE instead
+    // of re-deriving them from the base scan per round (guide-§2.4
+    // shuffle removal: 2 scans + 1 distinct + 1 groupBy per round
+    // collapse to two cached reads).
     val e = edges.select(srcCol.cast("string").as("src"),
-      dstCol.cast("string").as("dst"))
+        dstCol.cast("string").as("dst"))
+      .transform(preMat)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -858,6 +881,7 @@ object Graph {
       .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
       .transform(preMat)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .transform(preMat)
     val base = scale * (dampDen - dampNum) / dampDen
     var pr = marked.withColumn("pr",
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
@@ -870,10 +894,14 @@ object Graph {
           expr(s"(pr * $dampNum) div ($dampDen * od)").as("c"))
       val incoming = contrib.groupBy(col("node"))
         .agg(sum(col("c")).as("in"))
-      pr = roundMat(marked.join(incoming, Seq("node"), "left")
+      // pr is referenced exactly ONCE per round (the contrib join),
+      // so the chain stays LAZY over the materialized e/outdeg/marked
+      // frames — a linear plan, executed by the caller's one action,
+      // instead of one eager checkpoint job per round
+      pr = marked.join(incoming, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            coalesce(col("in"), lit(0L))).as("pr")))
+            coalesce(col("in"), lit(0L))).as("pr"))
       r += 1
     }
     pr.select(col("node"), col("pr"))
@@ -912,28 +940,34 @@ object Graph {
       // materialize the raw sums once: they feed BOTH the round max
       // and the renormalization join (left unmaterialized, the
       // aggregation would execute twice per round)
+      // Only the RAW sums are checkpointed (each feeds two lineages:
+      // the round max and the renormalization join). The renormalized
+      // auth/hub frames have a single downstream consumer per round —
+      // a node-sized projection over the materialized raw frame plus
+      // one broadcast single-row max — so they stay LAZY: two eager
+      // jobs per round instead of four, same per-round exchanges.
       val araw = roundMat(e
         .join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub").cast("decimal(38,0)")).as("s")))
       val amax = araw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
-      auth = roundMat(nodes.join(araw, Seq("node"), "left")
+      auth = nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"), expr(
           s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
-          .as("auth")))
+          .as("auth"))
       val hraw = roundMat(e
         .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth").cast("decimal(38,0)")).as("s")))
       val hmax = hraw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
-      hub = roundMat(nodes.join(hraw, Seq("node"), "left")
+      hub = nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("node"), expr(
           s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
-          .as("hub")))
+          .as("hub"))
       r += 1
     }
     hub.join(auth, Seq("node"))
@@ -950,9 +984,10 @@ object Graph {
     val sym = symW(edges, uCol, vCol, wCol).transform(preMat)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .transform(roundMat)
     var r = 0
     while (r < rounds) {
+      // lazy intermediate rounds, one final cut — see
+      // [[labelPropagation]] for the single-reference argument
       labels = sym
         .join(labels.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), col("lbl"), col("w"))
@@ -961,10 +996,9 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(struct(col("ws"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-        .transform(roundMat)
       r += 1
     }
-    labels
+    roundMat(labels)
   }
 
   /** Weighted Newman modularity, exact integer form: with total
@@ -1080,10 +1114,12 @@ object Graph {
         Seq("v"))
       .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kic"))
       .withColumnRenamed("u", "node")
-    val candExtra = lab.select(col("node"), col("lbl").as("c"))
-      .join(kic, Seq("node", "c"), "left")
-      .na.fill(0L, Seq("kic"))
-    val cand = kic.unionByName(candExtra).distinct()
+    // stay candidate as a plain kic = 0 row — argmax-invariant (score
+    // monotone in kic, coefficient resDen·w2 >= 0; same-c rows tie),
+    // see louvainMove. Saves the left join + distinct per move round.
+    val cand = kic.unionByName(
+      lab.select(col("node"), col("lbl").as("c"))
+        .withColumn("kic", lit(0L)))
     // left joins + zero fills so zero-degree labeled nodes and
     // all-zero-degree communities survive (see louvainMove)
     val scored = cand
@@ -1155,10 +1191,19 @@ object Graph {
       .withColumn("lbl", col("node"))
       .transform(preMat)
     var level = 0
+    // final lab of the previous level — its distinct lbl set IS the
+    // next level's node space, and it is already materialized, so
+    // deriving lab-init from it (instead of from the lazily-folded
+    // assign chain) keeps the fold out of every iteration plan
+    var labPrev: DataFrame = null
     while (level < levels) {
-      // bounded local-move rounds at the current granularity
-      var lab = assign.select(col("lbl").as("node")).distinct()
-        .withColumn("lbl", col("node"))
+      // bounded local-move rounds at the current granularity.
+      // Level 0's identity labeling IS `assign` (lbl = node there) —
+      // no distinct pass needed.
+      var lab =
+        if (level == 0) assign.select(col("node"), col("lbl"))
+        else labPrev.select(col("lbl").as("node")).distinct()
+          .withColumn("lbl", col("node"))
       // symmetrize + materialize ONCE for all this level's move
       // rounds; level 0 routes through preMat (shared across the
       // resolution variants), deeper levels chain off per-build
@@ -1189,12 +1234,16 @@ object Graph {
           .transform(roundMat)
         mv += 1
       }
-      // fold this level's map into the original-node assignment
+      // fold this level's map into the original-node assignment —
+      // LAZILY: every lab in the chain is already a materialized
+      // round frame, so the fold is a flat join chain executed once
+      // by the caller's action instead of one eager checkpoint per
+      // level. Nothing downstream of the iteration reads `assign`.
       assign = assign
         .join(lab.select(col("node").as("lbl"), col("lbl").as("nl")),
           Seq("lbl"))
         .select(col("node"), col("nl").as("lbl"))
-        .transform(roundMat)
+      labPrev = lab
       level += 1
       if (level < levels) {
         // contract: communities become nodes; intra weight → self-loop
@@ -1204,11 +1253,14 @@ object Graph {
           .join(lab.select(col("node").as("b"), col("lbl").as("y")),
             Seq("b"))
           .select(col("x"), col("y"), col("w"))
-        val newInter = ed.filter(col("x") =!= col("y"))
+        // newInter is consumed once (the next level's symCur build)
+        // unless ANOTHER contraction follows — materialize only then
+        val newInterRaw = ed.filter(col("x") =!= col("y"))
           .select(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b"), col("w"))
           .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-          .transform(roundMat)
+        val newInter =
+          if (level + 1 < levels) roundMat(newInterRaw) else newInterRaw
         val newSelf = ed.filter(col("x") === col("y"))
           .select(col("x").as("node"), col("w").as("selfw"))
           .unionAll(selfLoops

@@ -49,11 +49,18 @@ object SuffixArray {
     var k = 1
     var round = 0
     while (round < rounds) {
-      val shifted = cur.select(col("d"), (col("p") - k).as("p"),
-        col("r").as("rb"))
+      // rank_k(d, p+k) via lead(r, k) over the per-document position
+      // order: positions are DENSE (1..len, every round preserves the
+      // full set), so a row offset of k IS a position offset of k and
+      // the window replaces the old (d, p+k) self-equi-join — one
+      // doc-keyed shuffle instead of two join-side shuffles per round.
+      // The window is partitioned by document (bounded by max doc
+      // length), never global.
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d")).orderBy(col("p"))
       val paired = cur
-        .join(shifted, Seq("d", "p"), "left")
-        .withColumn("rb", coalesce(col("rb"), lit(-1L)))
+        .withColumn("rb", coalesce(lead(col("r"), k).over(byDoc),
+          lit(-1L)))
       val ranked = Ranks.globalRowNumber(
         paired.select(col("r"), col("rb")).distinct(),
         Seq(col("r"), col("rb")), out = "nr")
