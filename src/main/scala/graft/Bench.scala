@@ -52,12 +52,7 @@ object Bench {
     // materialize shared graph preprocessing once per run (the
     // 100-TB operating mode: symmetrize the graph once, run the
     // family against the registered artifact)
-    operators.Graph.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    operators.Dedup.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    apps.PretrainDataPipeline.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
+    plans.ResultCache.installHooks()
     // warmup: absorb one-time session costs (codegen compiler, file
     // index, shuffle infra) so per-query numbers reflect the operators
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()

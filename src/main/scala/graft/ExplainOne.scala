@@ -44,18 +44,14 @@ object ExplainOne {
       operators.Graph.kTrussRoundMaterializer = _.localCheckpoint(false)
       operators.Dedup.preMaterializer = identity
       operators.Dedup.roundMaterializer = identity
+      operators.Dedup.clusterMaterializer = (_, _, build) => build()
       apps.PretrainDataPipeline.preMaterializer = identity
     }
     def setMaterialized(): Unit = {
-      operators.Graph.preMaterializer =
-        df => plans.ResultCache.withCache(df.sparkSession, df)
-      operators.Dedup.preMaterializer =
-        df => plans.ResultCache.withCache(df.sparkSession, df)
+      plans.ResultCache.installHooks()
       operators.Graph.roundMaterializer = _.localCheckpoint(true)
       operators.Graph.kTrussRoundMaterializer = _.localCheckpoint(true)
       operators.Dedup.roundMaterializer = _.localCheckpoint(true)
-      apps.PretrainDataPipeline.preMaterializer =
-        df => plans.ResultCache.withCache(df.sparkSession, df)
     }
     def audit(name: String, label: String): Unit = {
       println(s"==== $name$label ====")

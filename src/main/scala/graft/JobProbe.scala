@@ -26,12 +26,7 @@ object JobProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    operators.Graph.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    operators.Dedup.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    apps.PretrainDataPipeline.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
+    plans.ResultCache.installHooks()
     SparkEntry.queries("q1_agg")(spark, dir).count() // session warmup
 
     final case class Job(start: Long, site: String, var end: Long = 0L,

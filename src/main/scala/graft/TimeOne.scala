@@ -39,12 +39,7 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    operators.Graph.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    operators.Dedup.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    apps.PretrainDataPipeline.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
+    plans.ResultCache.installHooks()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     SparkEntry.queries("q1_agg")(spark, dir).count() // warmup

@@ -19,12 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // materialize shared graph preprocessing once per run: the N
     // queries folding the same base table re-read one artifact
-    operators.Graph.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    operators.Dedup.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
-    apps.PretrainDataPipeline.preMaterializer =
-      df => plans.ResultCache.withCache(df.sparkSession, df)
+    plans.ResultCache.installHooks()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

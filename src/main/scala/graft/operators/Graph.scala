@@ -420,7 +420,13 @@ object Graph {
         .select(col("node"), (-col("m.nl")).as("lbl"))
       r += 1
     }
-    roundMat(labels)
+    // The finished label table is a SHARED family artifact (the
+    // modularity report and the Louvain refinement both join it), and
+    // with lazy rounds its plan is canonical-stable — route through
+    // the shared-preprocessing materializer so consumers re-read one
+    // materialized map instead of re-propagating per query. Default
+    // hook is the same eager localCheckpoint as before.
+    preMat(labels)
   }
 
   /** Fixed-round weighted single-source shortest paths — synchronous
@@ -940,34 +946,38 @@ object Graph {
       // materialize the raw sums once: they feed BOTH the round max
       // and the renormalization join (left unmaterialized, the
       // aggregation would execute twice per round)
-      // Only the RAW sums are checkpointed (each feeds two lineages:
-      // the round max and the renormalization join). The renormalized
-      // auth/hub frames have a single downstream consumer per round —
-      // a node-sized projection over the materialized raw frame plus
-      // one broadcast single-row max — so they stay LAZY: two eager
-      // jobs per round instead of four, same per-round exchanges.
+      // materialize the raw sums once: they feed BOTH the round max
+      // and the renormalization join (left unmaterialized, the
+      // aggregation would execute twice per round).
+      // NOTE (r19 optimization round): leaving the renormalized
+      // auth/hub frames LAZY (they have one consumer per round) was
+      // tried and MEASURED SLOWER at sf0.1 (full-bench mins 5.3 s ->
+      // 9.0 s, both passes): each remaining checkpoint's plan then
+      // carries the renormalization subtree, and the added driver
+      // planning time + single-task renormalize-inside-join stages
+      // cost more than the two skipped jobs saved. Eager form kept.
       val araw = roundMat(e
         .join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub").cast("decimal(38,0)")).as("s")))
       val amax = araw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
-      auth = nodes.join(araw, Seq("node"), "left")
+      auth = roundMat(nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"), expr(
           s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
-          .as("auth"))
+          .as("auth")))
       val hraw = roundMat(e
         .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth").cast("decimal(38,0)")).as("s")))
       val hmax = hraw.agg(
         greatest(max(col("s")), lit(1L).cast("decimal(38,0)")).as("mx"))
-      hub = nodes.join(hraw, Seq("node"), "left")
+      hub = roundMat(nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hmax))
         .select(col("node"), expr(
           s"(coalesce(s, cast(0 as decimal(38,0))) * $scale) div mx")
-          .as("hub"))
+          .as("hub")))
       r += 1
     }
     hub.join(auth, Seq("node"))
@@ -1213,13 +1223,20 @@ object Graph {
         if (level == 0) symCurRaw.transform(preMat)
         else symCurRaw.transform(roundMat)
       // degrees are label-invariant and hoistable across the level's
-      // rounds — but materializing them is 2 extra eager actions the
-      // optimizer otherwise pipelines into each round's job, which
-      // MEASURED SLOWER at movesPerLevel=2 (7.5s -> 8.4s on the
-      // sf0.1 louvain_ml bench). Hoist only when 3+ rounds amortize
-      // the materialization; at 2 the recompute is the cheaper plan.
+      // rounds. At level 0 they are ALSO resolution-invariant with a
+      // canonical-stable plan (symCur and selfLoops are both shared
+      // artifacts), so they route through the shared-preprocessing
+      // materializer: one build serves every move round of every
+      // resolution variant. Deeper levels chain through build-unique
+      // RDDs where a plan-keyed cache cannot hit; there an eager
+      // materialization is 2 extra actions that MEASURED SLOWER at
+      // movesPerLevel=2 (7.5s -> 8.4s, sf0.1 louvain_ml) — hoist only
+      // when 3+ rounds amortize it.
       val degCur =
-        if (movesPerLevel >= 3)
+        if (level == 0)
+          Some(louvainDegrees(symCur, Some(selfLoops))
+            .transform(preMat))
+        else if (movesPerLevel >= 3)
           Some(louvainDegrees(symCur, Some(selfLoops))
             .transform(roundMat))
         else None

@@ -49,18 +49,20 @@ object SuffixArray {
     var k = 1
     var round = 0
     while (round < rounds) {
-      // rank_k(d, p+k) via lead(r, k) over the per-document position
-      // order: positions are DENSE (1..len, every round preserves the
-      // full set), so a row offset of k IS a position offset of k and
-      // the window replaces the old (d, p+k) self-equi-join — one
-      // doc-keyed shuffle instead of two join-side shuffles per round.
-      // The window is partitioned by document (bounded by max doc
-      // length), never global.
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("d")).orderBy(col("p"))
+      // NOTE (r19 optimization round): a doc-partitioned lead(r, k)
+      // window is the "obvious" one-shuffle replacement for this
+      // (d, p+k) self-join (positions are dense, so row offset ==
+      // position offset) — MEASURED 2x SLOWER at sf0.1 (full-bench
+      // mins 7.2 s -> 14.7 s, both passes): `paired` feeds two
+      // lineages (rank distinct + join-back), ReuseExchange dedupes
+      // the exchange but each branch re-runs the per-doc sort + lead,
+      // while the hash self-join's probe side is cheap to re-run.
+      // Keeping the join form.
+      val shifted = cur.select(col("d"), (col("p") - k).as("p"),
+        col("r").as("rb"))
       val paired = cur
-        .withColumn("rb", coalesce(lead(col("r"), k).over(byDoc),
-          lit(-1L)))
+        .join(shifted, Seq("d", "p"), "left")
+        .withColumn("rb", coalesce(col("rb"), lit(-1L)))
       val ranked = Ranks.globalRowNumber(
         paired.select(col("r"), col("rb")).distinct(),
         Seq(col("r"), col("rb")), out = "nr")

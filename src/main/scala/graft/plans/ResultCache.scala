@@ -113,6 +113,28 @@ object ResultCache {
     * the materialized result; on a miss, materialize, register, and
     * return the scan (so hit and miss paths have the same plan shape
     * downstream). */
+  /** The standard driver-main wiring (Bench/Verify/TimeOne/JobProbe,
+    * ExplainOne materialized mode): route the shared-preprocessing
+    * materializers AND the keyed cluster-map materializer through this
+    * cache, so one wiring list exists instead of five. */
+  def installHooks(): Unit = {
+    graft.operators.Graph.preMaterializer =
+      df => withCache(df.sparkSession, df)
+    graft.operators.Dedup.preMaterializer =
+      df => withCache(df.sparkSession, df)
+    graft.apps.PretrainDataPipeline.preMaterializer =
+      df => withCache(df.sparkSession, df)
+    graft.operators.Dedup.clusterMaterializer =
+      (pairs, rounds, build) => {
+        // key = canonical plan of the input pair table + round budget;
+        // hashCode rides along because toString truncates wide field
+        // lists (see withCache)
+        val canon = pairs.queryExecution.optimizedPlan.canonicalized
+        withKeyedCache(pairs.sparkSession,
+          s"cc:$rounds:${canon.hashCode()}:$canon", build())
+      }
+  }
+
   def withCache(spark: SparkSession, df: DataFrame): DataFrame = {
     val canon = df.queryExecution.optimizedPlan.canonicalized
     // The map key carries BOTH the full-structure hashCode and the

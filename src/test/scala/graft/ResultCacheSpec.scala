@@ -133,4 +133,39 @@ class ResultCacheSpec extends SparkSpec {
       ResultCache.clear()
     }
   }
+
+  test("Dedup.clusterMaterializer routed through the keyed cache: the " +
+      "cluster map builds once per (pairs, rounds), results unchanged") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 4L))
+      .toDF("ia", "ib")
+    val ref = Dedup.canonicalizeClusters(pairs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val saved = Dedup.clusterMaterializer
+    try {
+      ResultCache.clear()
+      Dedup.clusterMaterializer = (p, rounds, build) => {
+        val canon = p.queryExecution.optimizedPlan.canonicalized
+        ResultCache.withKeyedCache(p.sparkSession,
+          s"cc:$rounds:${canon.hashCode()}:$canon", build())
+      }
+      val got1 = Dedup.canonicalizeClusters(pairs)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val m0 = ResultCache.misses
+      // an INDEPENDENTLY built identical pair frame re-reads the map
+      val got2 = Dedup.canonicalizeClusters(
+          Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 4L)).toDF("ia", "ib"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      ResultCache.misses shouldBe m0
+      // a different round budget is a different artifact
+      Dedup.canonicalizeClusters(pairs, rounds = 4).count()
+      ResultCache.misses shouldBe (m0 + 1)
+      got1 shouldBe ref
+      got2 shouldBe ref
+    } finally {
+      Dedup.clusterMaterializer = saved
+      ResultCache.clear()
+    }
+  }
 }
