@@ -159,11 +159,16 @@ object Graph {
     val withDeg = undirected
       .join(deg.select(col("node").as("p"), col("deg").as("dp")), Seq("p"))
       .join(deg.select(col("node").as("q"), col("deg").as("dq")), Seq("q"))
+    // oriented feeds THREE lineages (the adjacency rollup and both
+    // wedge-join sides) — materialize once instead of re-running the
+    // two degree joins per consumer (r19; plan is canonical-stable,
+    // so the fold is also shared across the triangle-family queries)
     val oriented = withDeg.select(
       when(struct(col("dp"), col("p")) < struct(col("dq"), col("q")),
         struct(col("p").as("a"), col("q").as("b")))
         .otherwise(struct(col("q").as("a"), col("p").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .transform(preMat)
     val adj = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     // edges whose head has no outgoing oriented edges close no
@@ -174,12 +179,19 @@ object Graph {
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("w"))
       .filter(size(col("w")) > 0)
-    val endpointCredit = tri.select(
-      explode(array(col("a"), col("b"))).as("node"),
-      size(col("w")).cast("long").as("n"))
-    val memberCredit = tri.select(explode(col("w")).as("node"),
-      lit(1L).as("n"))
-    endpointCredit.union(memberCredit)
+    // one generate emits endpoint AND member credits per wedge row:
+    // a union of two selects over `tri` would re-run the adjacency
+    // join + array_intersect (the quadratic term) once per branch —
+    // ReuseExchange dedupes the exchanges but not the joins above
+    // them (r19 optimization round)
+    tri.select(explode(concat(
+        array(struct(col("a").as("node"),
+            size(col("w")).cast("long").as("n")),
+          struct(col("b").as("node"),
+            size(col("w")).cast("long").as("n"))),
+        transform(col("w"),
+          c => struct(c.as("node"), lit(1L).as("n"))))).as("cr"))
+      .select(col("cr.node").as("node"), col("cr.n").as("n"))
       .groupBy(col("node")).agg(sum(col("n")).as("triangles"))
   }
 
@@ -240,16 +252,19 @@ object Graph {
       .select(col("x"), col("y"),
         array_intersect(col("nx"), col("ny")).as("w"))
       .filter(size(col("w")) > 0)
-    val xy = tri.select(least(col("x"), col("y")).as("a"),
-      greatest(col("x"), col("y")).as("b"),
-      size(col("w")).cast("long").as("n"))
-    val xc = tri.select(col("x"), explode(col("w")).as("c"))
-      .select(least(col("x"), col("c")).as("a"),
-        greatest(col("x"), col("c")).as("b"), lit(1L).as("n"))
-    val yc = tri.select(col("y"), explode(col("w")).as("c"))
-      .select(least(col("y"), col("c")).as("a"),
-        greatest(col("y"), col("c")).as("b"), lit(1L).as("n"))
-    val sup = xy.unionAll(xc).unionAll(yc)
+    // all THREE canonical edges of every triangle credited from ONE
+    // generate over the wedge row — the old xy/xc/yc union re-ran the
+    // adjacency join + array_intersect once per branch (see
+    // triangleCounts)
+    val sup = tri.select(explode(concat(
+        array(struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"),
+          size(col("w")).cast("long").as("n"))),
+        transform(col("w"), c => struct(least(col("x"), c).as("a"),
+          greatest(col("x"), c).as("b"), lit(1L).as("n"))),
+        transform(col("w"), c => struct(least(col("y"), c).as("a"),
+          greatest(col("y"), c).as("b"), lit(1L).as("n"))))).as("cr"))
+      .select(col("cr.a").as("a"), col("cr.b").as("b"), col("cr.n").as("n"))
       .groupBy(col("a"), col("b")).agg(sum(col("n")).as("sup"))
     e.join(sup, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
