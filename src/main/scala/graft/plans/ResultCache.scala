@@ -27,7 +27,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ResultCache {
 
-  final case class Entry(canonical: String, path: String)
+  final case class Entry(canonical: String, path: String) {
+    // Memoized served frame: a cache HIT used to pay a fresh
+    // spark.read.parquet per consumer — driver-side file listing +
+    // footer/schema resolution on EVERY hit, ~100-400 ms of pure
+    // planning overhead per consuming query (r19 JobProbe: the
+    // inter-job gaps of the iterative operators). The resolved
+    // relation is immutable, so serving one DataFrame object is safe;
+    // rebuilt only if a different SparkSession asks.
+    @volatile private[ResultCache] var served: DataFrame = null
+  }
+
+  private def serve(spark: SparkSession, entry: Entry): DataFrame = {
+    val d = entry.served
+    if (d != null && (d.sparkSession eq spark)) d
+    else {
+      val nd = spark.read.parquet(entry.path)
+      entry.served = nd
+      nd
+    }
+  }
 
   // Keyed by the FULL key string (not its Int hashCode): two distinct
   // keys colliding on hashCode must occupy distinct entries, never
@@ -66,7 +85,7 @@ object ResultCache {
           e
         }
       }
-    spark.read.parquet(entry.path)
+    serve(spark, entry)
   }
 
   def hits: Long = hitCount.get()
