@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scan-parallelism floor: at least one split per core at ANY
+      // scale (no-op on big multi-split scans; locally it keeps all
+      // cores busy on compact single-file tables and cache artifacts)
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver records only the LAST 2000 chars of

@@ -79,7 +79,18 @@ object ResultCache {
           missCount.incrementAndGet()
           val path = new File(cacheRoot,
             s"${prefix}_${pathSeq.incrementAndGet()}").getAbsolutePath
-          build.write.mode("overwrite").parquet(path)
+          // Small row groups (4 MB vs the 128 MB default): an AQE-
+          // coalesced build often lands in ONE file with ONE row
+          // group, and a one-row-group file is unsplittable — every
+          // downstream consumer then scans the artifact on a single
+          // task no matter what `spark.sql.files.minPartitionNum`
+          // asks for (r19 JobProbe: the pretrain stages serialized
+          // behind 1-task scans). 4 MB row groups keep the artifact
+          // splittable at any file count; for a re-read-many internal
+          // artifact the small compression loss is the right trade.
+          build.write.mode("overwrite")
+            .option("parquet.block.size", (4 * 1024 * 1024).toString)
+            .parquet(path)
           val e = Entry(canonical, path)
           entries.put(mapKey, e)
           e
