@@ -39,6 +39,8 @@ object ResultCache {
   }
 
   private def serve(spark: SparkSession, entry: Entry): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_NO_MEMO"))
+      return spark.read.parquet(entry.path)
     val d = entry.served
     if (d != null && (d.sparkSession eq spark)) d
     else {
