@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver measurement contract: the driver parses the bench's one-line
+// JSON from the LAST line of this process's output. Two sbt behaviors
+// have broken that parse in every round so far (BENCH_r*.json
+// parsed:null): (a) forked program stdout is routed through the sbt
+// logger and prefixed with "[info] ", and (b) sbt appends a
+// "[success] Total time: ..." footer after the program exits. Send
+// forked run output straight to stdout and suppress the success
+// footer so the program's final println IS the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command layer, not a task — lint
+// flags it as unused; exclude it so no [warn] noise precedes runs.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -176,6 +176,7 @@ object Bench {
         ",\"timed_over_min_sum\":" + f3(timedContention) +
         ",\"suppressed_accum_logs\":" + suppressedAccumLogs.get() +
         ",\"cache_prime_s\":" + f3(primeS) +
+        ",\"total_incl_prime\":" + f3(total + primeS) +
         ",\"cache_primed\":" +
         primed.map("\"" + _ + "\"").mkString("[", ",", "]") +
         ",\"cache_misses_timed\":" +
@@ -197,6 +198,9 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"timed_over_min_sum":${f3(timedContention)},"suppressed_accum_logs":${suppressedAccumLogs.get()},"cache_prime_s":${f3(primeS)},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
+    // total_incl_prime (r19 verdict item 3): the timed total PLUS the
+    // untimed cache-prime pool, so round-over-round totals stay
+    // comparable even as shared builds move in/out of the prime.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"wall_over_min_sum":${f3(contention)},"timed_over_min_sum":${f3(timedContention)},"suppressed_accum_logs":${suppressedAccumLogs.get()},"cache_prime_s":${f3(primeS)},"total_incl_prime":${f3(total + primeS)},"queries":$headline,"failed":$failedJson,"sf":"$sfDir","full":$fullRef}""")
   }
 }

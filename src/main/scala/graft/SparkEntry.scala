@@ -3191,7 +3191,11 @@ object SparkEntry {
       // grid components have diameter ~35 (worst case for
       // star-contraction, unlike near-clique text clusters): budget
       // log2(diameter)+margin rounds
-      val labels = operators.Dedup.canonicalizeClusters(edges, rounds = 8)
+      // share = false: this map's sole consumer is this query — the
+      // keyed cache would memoize the query's own result (r19 verdict
+      // item 3); the star contraction must run in the timed span
+      val labels = operators.Dedup
+        .canonicalizeClusters(edges, rounds = 8, share = false)
         .withColumnRenamed("doc_id", "cid")
       cells.withColumn("cid", enc(col("cx"), col("cy")))
         .join(labels, Seq("cid"), "left")

@@ -743,9 +743,19 @@ object Dedup {
       : (DataFrame, Int, () => DataFrame) => DataFrame =
     (_, _, build) => build()
 
-  def canonicalizeClusters(pairs: DataFrame, rounds: Int = 3): DataFrame =
-    clusterMaterializer(pairs, rounds,
-      () => canonicalizeClustersNow(pairs, rounds))
+  /** `share = false` opts a call site OUT of the installed
+    * materializer: a cluster map with exactly ONE consuming query is
+    * not a shared family artifact, and serving it from the keyed
+    * cache would time a read-back of the query's own dominant
+    * computation (result memoization, not optimization — r19 verdict
+    * item 3 on q_geo_dbscan). Single-consumer maps always rebuild in
+    * their own timed span. */
+  def canonicalizeClusters(pairs: DataFrame, rounds: Int = 3,
+                           share: Boolean = true): DataFrame =
+    if (share)
+      clusterMaterializer(pairs, rounds,
+        () => canonicalizeClustersNow(pairs, rounds))
+    else canonicalizeClustersNow(pairs, rounds)
 
   private def canonicalizeClustersNow(pairs: DataFrame,
                                       rounds: Int): DataFrame = {

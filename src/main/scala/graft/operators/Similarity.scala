@@ -160,7 +160,10 @@ object Similarity {
           * 1e6 + lit(0.5)) / 1e6)
       .filter(col("cos_r") >= threshold)
       .select(col("ia"), col("ib"))
-    val labels = Dedup.canonicalizeClusters(pairs)
+    // share = false: the embedding-cluster map has exactly one
+    // consuming query (q_dedup_semantic) — single-consumer maps stay
+    // out of the keyed cache (see canonicalizeClusters scaladoc)
+    val labels = Dedup.canonicalizeClusters(pairs, share = false)
       .withColumnRenamed("doc_id", "vec_id")
     e.select(col("vid").as("vec_id"))
       .join(labels, Seq("vec_id"), "left")
