@@ -409,15 +409,24 @@ object PretrainDataPipeline {
     // the dup-gram stage's pin saves one full materialization pass
     // over the survivors; the stage SEMANTICS stay separate (runV2's
     // manifest still attributes drops per stage).
-    val s5 = pin(s3.join(v2DroppedByDupGrams(s3, cfg),
-        Seq("doc_id"), "left_anti")
-      .filter(v2GopherPasses))
     // Contamination is per-doc independent, so computing it over the
     // FULL shared shingle frame and anti-joining the survivors gives
     // the same s6 as restricting the shingles to s5 first — without
-    // the survivor semi-join pass.
-    val s6 = pin(s5.join(v2DroppedByContaminationSh(sh2, bench, cfg),
-      Seq("doc_id"), "left_anti"))
+    // the survivor semi-join pass. And because all three gates here
+    // (dup-gram set over s3, row-local Gopher, contamination set over
+    // sh2) have FIXED statistics populations that do not depend on
+    // each other's survivors, the dup-gram anti-join, the Gopher
+    // filter and the contamination anti-join compose into ONE pinned
+    // stage (r20, guide §2.4 "one fold instead of N"): the old
+    // separate s5 pin paid a full block-storage materialization pass
+    // over the survivor corpus whose only consumer was s6's
+    // anti-join. Set-identical by construction — anti-join ∘ filter ∘
+    // anti-join applied in either grouping selects the same rows.
+    val s6 = pin(s3.join(v2DroppedByDupGrams(s3, cfg),
+        Seq("doc_id"), "left_anti")
+      .filter(v2GopherPasses)
+      .join(v2DroppedByContaminationSh(sh2, bench, cfg),
+        Seq("doc_id"), "left_anti"))
     val s7 = pin(s6.join(v2LmKeepIds(s6, cfg), Seq("doc_id"), "left_semi"))
     val s8 = Sampling.temperatureMix(s7, col("source"), col("doc_id"),
       cfg.mixTarget, cfg.mixAlpha, cfg.mixSalt)
@@ -433,7 +442,7 @@ object PretrainDataPipeline {
     // AccumDiag attributed all 33 stacks of a full sf0.1 sweep to
     // exactly this query). The weak-keyed map holds the stage frames
     // alive until the composed frame itself is collected.
-    pinsAlive.put(out, Seq(s1, s2, sh2, s3, s5, s6, s7))
+    pinsAlive.put(out, Seq(s1, s2, sh2, s3, s6, s7))
     out
   }
 

@@ -58,6 +58,27 @@ object Graph {
   private def preMat(df: DataFrame): DataFrame = preMaterializer(df)
   private def roundMat(df: DataFrame): DataFrame = roundMaterializer(df)
 
+  /** Narrowest shuffle-key type for node ids (guide §2.3 "narrower
+    * types"): when every id column resolves to an integral type, the
+    * per-round joins/aggregations shuffle fixed 8-byte longs instead
+    * of variable-width strings. The operator's RELEASED node column is
+    * cast back to string at its boundary, so the external contract is
+    * unchanged — cast(long→string) is injective and equality-
+    * preserving, so join/groupBy equivalence classes (and therefore
+    * every released value) are identical; none of the operators using
+    * this helper ORDER or tie-break on the node id. Non-integral ids
+    * keep the string path. */
+  private def idKeyType(edges: DataFrame, cs: Column*): String = {
+    import org.apache.spark.sql.types._
+    val integral = cs.forall { c =>
+      edges.select(c).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integral) "long" else "string"
+  }
+
   /** Fixed-round integer PageRank: every node starts with `scale`
     * units of mass; each round a node sends
     * floor(pr·dampNum / (dampDen·outdeg)) units along each out-edge
@@ -78,8 +99,9 @@ object Graph {
     // materialize once (guide-§2.4: the per-round base re-scan +
     // re-shuffle disappears; at 100 TB this is the difference between
     // one fold of the edge table and `rounds` folds)
-    val e = edges.select(srcCol.cast("string").as("src"),
-        dstCol.cast("string").as("dst"))
+    val kt = idKeyType(edges, srcCol, dstCol)
+    val e = edges.select(srcCol.cast(kt).as("src"),
+        dstCol.cast(kt).as("dst"))
       .transform(preMat)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -124,7 +146,9 @@ object Graph {
         }
       r += 1
     }
-    pr
+    // released node column is string regardless of the internal key
+    // type (see idKeyType) — the external contract is unchanged
+    pr.select(col("node").cast("string").as("node"), col("pr"))
   }
 
   /** Per-node triangle counts via degree orientation + adjacency
@@ -805,7 +829,17 @@ object Graph {
 
   /** Symmetrize a weighted edge list: both directions of every u≠v
     * row, parallel edges collapsed by SUM. Long weights in, long
-    * weights out. */
+    * weights out.
+    *
+    * PRECONDITION: edge weights must be NON-NEGATIVE. Negative
+    * weights pass through here un-filtered (unlike [[pageRankW]],
+    * which drops w ≤ 0), and downstream [[louvainMoveWSym]] relies on
+    * its kic-coefficient resDen·w2 being ≥ 0 for the kic=0
+    * stay-candidate shortcut to be argmax-invariant — a caller
+    * supplying negative weights would get labels that differ from the
+    * pre-r19 left-join+distinct form. All registry callers feed
+    * counts / quantities / micro-scores, which are ≥ 0 by
+    * construction. */
   private def symW(edges: DataFrame, uCol: Column, vCol: Column,
                    wCol: Column): DataFrame =
     edges.select(uCol.cast("long").as("u"), vCol.cast("long").as("v"),
@@ -835,8 +869,9 @@ object Graph {
                 wCol: Column, rounds: Int = 3, scale: Long = 1000000L,
                 dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     // e and outw feed every round — materialize once (see pageRank)
-    val e = edges.select(srcCol.cast("string").as("src"),
-        dstCol.cast("string").as("dst"), wCol.cast("long").as("w"))
+    val kt = idKeyType(edges, srcCol, dstCol)
+    val e = edges.select(srcCol.cast(kt).as("src"),
+        dstCol.cast(kt).as("dst"), wCol.cast("long").as("w"))
       .filter(col("w").isNotNull && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .transform(preMat)
@@ -862,7 +897,8 @@ object Graph {
           (lit(base) + coalesce(col("in"), lit(0L))).as("pr"))
       r += 1
     }
-    pr
+    // string node at the boundary, long keys inside (see idKeyType)
+    pr.select(col("node").cast("string").as("node"), col("pr"))
   }
 
   /** Personalized PageRank, fixed-round integer form: identical mass
@@ -888,14 +924,18 @@ object Graph {
     // of re-deriving them from the base scan per round (guide-§2.4
     // shuffle removal: 2 scans + 1 distinct + 1 groupBy per round
     // collapse to two cached reads).
-    val e = edges.select(srcCol.cast("string").as("src"),
-        dstCol.cast("string").as("dst"))
+    val kt = idKeyType(edges, srcCol, dstCol)
+    val e = edges.select(srcCol.cast(kt).as("src"),
+        dstCol.cast(kt).as("dst"))
       .transform(preMat)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+    // seeds cast to the SAME key type: for the long path a seed that
+    // is not a valid long casts to null and never matches — exactly
+    // the string path's never-matches semantics for such a value
     val seedSet = seeds
-      .select(col(seeds.columns.head).cast("string").as("node"))
+      .select(col(seeds.columns.head).cast(kt).as("node"))
       .distinct()
     val marked = nodes
       .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
@@ -925,7 +965,8 @@ object Graph {
             coalesce(col("in"), lit(0L))).as("pr"))
       r += 1
     }
-    pr.select(col("node"), col("pr"))
+    // string node at the boundary, long keys inside (see idKeyType)
+    pr.select(col("node").cast("string").as("node"), col("pr"))
   }
 
   /** Fixed-round integer HITS (Kleinberg's hubs/authorities): each
@@ -946,8 +987,9 @@ object Graph {
     * caveat as [[pageRank]]. */
   def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
            rounds: Int = 2, scale: Long = 1000000L): DataFrame = {
-    val e = edges.select(srcCol.cast("string").as("src"),
-        dstCol.cast("string").as("dst"))
+    val kt = idKeyType(edges, srcCol, dstCol)
+    val e = edges.select(srcCol.cast(kt).as("src"),
+        dstCol.cast(kt).as("dst"))
       .distinct()
       .transform(preMat)
     val nodes = e.select(col("src").as("node"))
@@ -995,7 +1037,10 @@ object Graph {
           .as("hub")))
       r += 1
     }
+    // string node at the boundary, long keys inside (see idKeyType)
     hub.join(auth, Seq("node"))
+      .select(col("node").cast("string").as("node"), col("hub"),
+        col("auth"))
   }
 
   /** [[labelPropagation]] with edge weights: each round every node

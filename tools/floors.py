@@ -100,17 +100,37 @@ def cmd_breach(floor_path, run_path, threshold):
     floor = load(floor_path)["queries"]
     run = load(run_path)
     rq = run["queries"]
+    samples = run.get("samples", {})
     breaches = []
     for n, f in sorted(floor.items()):
         if n in rq and f > 0 and rq[n] > threshold * f:
             breaches.append((n, rq[n], f, rq[n] / f))
+
+    def spread(n):
+        """Per-sample annotation (r18 verdict item 8): a genuine
+        regression reproduces in BOTH interleaved passes, a contention
+        blip inflates only one. Returns the two pass samples and their
+        max/min ratio; a spread well above ~1.5 says one-pass noise."""
+        s = samples.get(n)
+        if not s:
+            return None
+        p1, p2 = s.get("p1"), s.get("p2")
+        if p1 is None or p2 is None or min(p1, p2) <= 0:
+            return {"p1": p1, "p2": p2, "spread": None,
+                    "verdict": "one pass missing"}
+        sp = max(p1, p2) / min(p1, p2)
+        return {"p1": p1, "p2": p2, "spread": round(sp, 2),
+                "verdict": ("reproduced-in-both-passes" if sp <= 1.5
+                            else "one-pass-blip-suspect")}
+
     print(json.dumps({
         "run": run_path,
         "wall_over_min_sum": run.get("wall_over_min_sum"),
         "threshold": threshold,
         "n_breaches": len(breaches),
         "breaches": [{"query": n, "sec": round(t, 3),
-                      "floor": f, "ratio": round(x, 2)}
+                      "floor": f, "ratio": round(x, 2),
+                      "samples": spread(n)}
                      for n, t, f, x in breaches],
     }, indent=1))
     sys.exit(1 if breaches else 0)
