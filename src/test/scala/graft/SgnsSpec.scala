@@ -7,6 +7,12 @@ import graft.operators.{Graph, Sgns}
 /** SGNS node-embedding trainer: deterministic negatives, exact
   * quantized-gradient rounds, model-shape invariants, and the
   * embedding contract the similarity family consumes. */
+// Driver-window test scope (r20, r19 verdict item 1b): this suite
+// costs >30s of the 21.7-minute full run, which overran the round
+// driver's sbt-test window. Tagged Slow and excluded from the
+// default `sbt test`; SPARK_GRAFT_FULL_TESTS=1 includes it (see
+// build.sbt). Run in full before every round close-out.
+@org.scalatest.tags.Slow
 class SgnsSpec extends SparkSpec {
   import spark.implicits._
 
