@@ -53,5 +53,13 @@ Test / testOptions ++= (
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): the q_graph_louvain_ml variance case open
+  // since r18 closed on heap pressure — 4 recorded TimeOne runs at 8g
+  // spread 7.9-48.9 s (6.2x, one process pinned at ~50 s for all 3
+  // in-process attempts on an idle box), 3 runs at 32g spread
+  // 6.6-8.5 s (1.29x). The round driver itself runs ~90g heap
+  // (53.2 GiB BlockManager in BENCH_r19 tail); 32g default keeps
+  // local runs in the same GC regime on a 128 GiB box. Env-keyed as
+  // before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
